@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixture-table loader: presents the driver-generated parquet tables
+  * (TESTDATA.md) as clean logical DataFrames.
+  *
+  * The only physical quirk handled here: `events.ts` is parquet
+  * TIMESTAMP(NANOS), which Spark's vectorized reader rejects unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see GraftSession). We read
+  * the nanos as a long and floor-truncate to microseconds as TIMESTAMP_NTZ
+  * — the same truncation DuckDB applies when reading ns into its us-
+  * precision naive timestamp, so oracle comparisons stay exact.
+  */
+object Fixtures {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType) {
+      // ns → us integer floor division (values are all positive; `/` would
+      // be double division and lose precision above 2^53 ns), naive NTZ
+      df.withColumn(
+        "ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    } else df
+  }
+}
+
+/** Session defaults shared by Verify / Bench / tests.
+  *
+  * Scale stance: shuffle partitions sized to local cores here, but every
+  * query in the library is written so the same plan scales by raising
+  * `spark.sql.shuffle.partitions` — AQE coalesces/splits at runtime.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
+      .config("spark.ui.enabled", "false")
+}

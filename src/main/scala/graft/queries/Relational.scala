@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.{Fixtures, QueryDef}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational core: the reference's live operator set (SURVEY.md §2.1-§2.6
+  * scans / watermark predicates / sort) plus the relational operators the
+  * rebuilt engine supplies via Catalyst (joins, aggregation, windows,
+  * distinct, top-k) exercised over the TPC-H-ish fixtures.
+  *
+  * Determinism rules (so DuckDB-oracle hashes match exactly):
+  *  - every query ends with an explicit total ORDER BY;
+  *  - double aggregates go through DECIMAL terms (exact sum, any order)
+  *    and cast back to double — see `dsum`;
+  *  - timestamps stay TIMESTAMP_NTZ (naive), matching DuckDB.
+  *
+  * Scale notes are on each query: what the plan does at 100 TB.
+  */
+object Relational {
+
+  /** Order-independent exact sum of a double column: cast each term to
+    * DECIMAL(18,scale) (exact for our fixed-point fixture data), sum
+    * exactly, cast back. Survives any partitioning / AQE re-plan.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Same, for derived terms that need a deterministic per-row rounding
+    * before the exact sum (e.g. price * (1-discount)).
+    */
+  private def dsumRound(c: Column, scale: Int = 4): Column =
+    sum(round(c, scale).cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Fixtures.table(s, dir, n)
+
+  // --- S4: full scan + P1 projection (column pruning reaches the footer) --
+  private val q01 = QueryDef(
+    "q01_scan_project",
+    (s, dir) => t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy("n_nationkey"),
+    Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
+
+  // --- S5/P2: incremental scan, strict-> watermark predicate, pushed down.
+  // Reference: db_extractor_full.py:383-396 (created_at > :wm ORDER BY).
+  // At scale: the predicate is pushed to the parquet scan (PushedFilters),
+  // so only row groups whose ts-max passes the watermark are read.
+  private val q02 = QueryDef(
+    "q02_incremental_watermark",
+    (s, dir) => t(s, dir, "events")
+      .filter(col("ts") > lit("2024-01-20 00:00:00").cast(TimestampNTZType))
+      .orderBy("ts", "event_id"),
+    Some("SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00' " +
+      "ORDER BY ts, event_id"))
+
+  // --- S6/P2: OR of two pushable predicates (created_at OR updated_at
+  // shape, db_extractor_full.py:398-408).
+  private val q03 = QueryDef(
+    "q03_incremental_or",
+    (s, dir) => t(s, dir, "events")
+      .filter(col("ts") > lit("2024-01-28 00:00:00").cast(TimestampNTZType)
+        || col("value") > lit(195.0))
+      .orderBy("event_id"),
+    Some("SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-28 00:00:00' " +
+      "OR value > 195.0 ORDER BY event_id"))
+
+  // --- Aggregation (TPC-H Q1 shape): hash-agg with map-side partials;
+  // one shuffle on the (tiny) group key. Scales linearly in input.
+  private val q04 = QueryDef(
+    "q04_agg_lineitem",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <=
+        lit("2000-09-02 00:00:00").cast(TimestampNTZType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumRound(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+      cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      cast(sum(cast(round(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  // --- Broadcast join chain: dims (region 5 rows, nation 25 rows) are
+  // broadcast; the fact side streams with zero shuffle for the joins.
+  private val q05 = QueryDef(
+    "q05_join_broadcast",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name, count(*) AS n_cust,
+      cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  // --- Shuffle (sort-merge / shuffled-hash) join + agg + top-k (TPC-H Q3
+  // shape). At 100 TB: orders/lineitem co-partition on orderkey (bucketing
+  // in a real deployment); AQE handles skew. The final top-10 is a
+  // TakeOrderedAndProject — no global sort materialization.
+  private val q06 = QueryDef(
+    "q06_join_agg_topk",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") =!= lit("F"))
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsumRound(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+      cast(sum(cast(round(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus <> 'F'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+
+  // --- Anti join (NOT EXISTS): customers with no high-value order,
+  // per segment (predicate keeps the result non-trivial at every SF).
+  private val q07 = QueryDef(
+    "q07_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > lit(400000.0))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_no_big_order"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_no_big_order FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // --- Semi join (EXISTS): suppliers that ship any high-quantity line.
+  private val q08 = QueryDef(
+    "q08_semi_join",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= lit(49.0))
+      sup.join(l, sup("s_suppkey") === l("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier
+      WHERE EXISTS (SELECT 1 FROM lineitem
+        WHERE l_suppkey = s_suppkey AND l_quantity >= 49.0)
+      ORDER BY s_suppkey"""))
+
+  // --- Window function: per-customer top-3 orders by totalprice.
+  // row_number ties broken by o_orderkey for determinism.
+  private val q09 = QueryDef(
+    "q09_window_topn",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  // --- Distinct / count-distinct (expand + two-phase agg in Spark).
+  private val q10 = QueryDef(
+    "q10_distinct",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+      count(*) AS n_orders FROM orders
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // --- Set op: UNION ALL + aggregate over both fixture "ledgers".
+  private val q11 = QueryDef(
+    "q11_union",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"),
+          col("c_acctbal").as("acctbal"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey"),
+          col("s_acctbal").as("acctbal"))
+      c.unionAll(sup)
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("acctbal")).as("sum_bal"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT nationkey, count(*) AS n,
+      cast(sum(cast(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM (SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+            UNION ALL
+            SELECT s_nationkey, s_acctbal FROM supplier)
+      GROUP BY nationkey ORDER BY nationkey"""))
+
+  // --- Scalar-function layer incl. the reference's JSON coercions
+  // (db_extractor_full.py:151-158): timestamp → 'Y-M-D H:M:S.ffffff'
+  // string, decimal → exact string. Pure per-row project: no shuffle,
+  // whole-stage codegen, scales embarrassingly.
+  private val q12 = QueryDef(
+    "q12_coercions",
+    (s, dir) => t(s, dir, "events")
+      .filter(col("event_id") < lit(1000L))
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("value").cast(DecimalType(12, 2)).cast(StringType)
+          .as("value_str"),
+        upper(col("event_type")).as("type_upper"),
+        substring(col("props"), 1, 8).as("props_prefix"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+      strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+      cast(cast(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str,
+      upper(event_type) AS type_upper,
+      substring(props, 1, 8) AS props_prefix
+      FROM events WHERE event_id < 1000 ORDER BY event_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+}
