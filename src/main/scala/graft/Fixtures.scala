@@ -23,9 +23,12 @@ object Fixtures {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType) {
       // ns → us integer floor division (values are all positive; `/` would
-      // be double division and lose precision above 2^53 ns), naive NTZ
+      // be double division and lose precision above 2^53 ns). The NTZ value
+      // is built by adding the micros to an NTZ epoch literal — no
+      // TimestampType hop, so the result is session-timezone-independent.
       df.withColumn(
-        "ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+        "ts", expr("timestampadd(MICROSECOND, ts div 1000, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     } else df
   }
 }

@@ -56,9 +56,12 @@ object Coercions {
 
   /** Row → JSON object string, field order = column order (the reference
     * zips catalog column order into a dict and orjson preserves insertion
-    * order; src/db_extractor_full.py:169-170).
+    * order; src/db_extractor_full.py:169-170). orjson emits explicit
+    * `"col": null` for NULL values, so Spark's default null-dropping
+    * (spark.sql.jsonGenerator.ignoreNullFields=true) must be overridden.
     */
   def jsonRow(df: DataFrame, uuidCols: Set[String] = Set.empty): DataFrame =
     coerceForJson(df, uuidCols)
-      .select(to_json(struct(col("*"))).as("json"))
+      .select(to_json(struct(col("*")),
+        Map("ignoreNullFields" -> "false")).as("json"))
 }

@@ -82,9 +82,16 @@ final class JdbcSource(
       "SELECT table_name FROM information_schema.tables " +
         "WHERE table_schema = 'public'")
       .load().as[String].collect().toSeq
+      .filter(JdbcSource.isSafeName)
   }
 
   override def read(table: String): DataFrame = {
+    // `dbtable` is interpolated into `SELECT * FROM <name>` by the JDBC
+    // source; reject anything outside [A-Za-z0-9_] rather than trusting
+    // information_schema (the reference sanitizes to the same class,
+    // db_extractor_full.py:463-473).
+    require(JdbcSource.isSafeName(table),
+      s"unsafe table name rejected: $table")
     val r = reader.option("dbtable", table)
     partitionColumn match {
       case Some((c, lo, hi, n)) => r
@@ -94,4 +101,10 @@ final class JdbcSource(
       case None => r.load()
     }
   }
+}
+
+object JdbcSource {
+  /** Identifier whitelist matching the reference's sanitization class. */
+  def isSafeName(name: String): Boolean =
+    name.nonEmpty && name.forall(c => c.isLetterOrDigit && c < 128 || c == '_')
 }

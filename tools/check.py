@@ -21,8 +21,10 @@ def canon(v):
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        # 12 significant digits: tolerate last-ulp noise, catch real diffs
-        return f"{v:.12g}"
+        # 17 significant digits = exact double round-trip. The library's
+        # DECIMAL-term convention makes Spark/DuckDB doubles bit-identical,
+        # so local PASS should predict an exact driver-side value hash.
+        return f"{v:.17g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
@@ -78,9 +80,10 @@ def main(sf_dir, out_dir):
         gh, eh = table_hash(gcols, grows), table_hash(ecols, erows)
         if gh != eh:
             print(f"FAIL {name}: hash mismatch ({len(grows)} rows)")
-            order = sorted(range(len(gcols)), key=lambda i: gcols[i])
-            gm = sorted("\x01".join(canon(r[i]) for i in order) for r in grows)
-            em = sorted("\x01".join(canon(r[i]) for i in order) for r in erows)
+            gorder = sorted(range(len(gcols)), key=lambda i: gcols[i])
+            eorder = sorted(range(len(ecols)), key=lambda i: ecols[i])
+            gm = sorted("\x01".join(canon(r[i]) for i in gorder) for r in grows)
+            em = sorted("\x01".join(canon(r[i]) for i in eorder) for r in erows)
             shown = 0
             for a, b in zip(gm, em):
                 if a != b and shown < 3:
