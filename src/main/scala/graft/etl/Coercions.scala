@@ -19,6 +19,20 @@ import org.apache.spark.sql.types._
   */
 object Coercions {
 
+  /** Driver-side `str(datetime.now())` — the reference's watermark capture
+    * (db_extractor_full.py:24-26, :543): space separator, microseconds,
+    * fractional part omitted when exactly zero.
+    */
+  def nowPyString(): String =
+    pyString(java.time.LocalDateTime.now())
+
+  def pyString(t: java.time.LocalDateTime): String = {
+    val base = t.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val micros = t.getNano / 1000
+    if (micros == 0) base else f"$base.$micros%06d"
+  }
+
   /** UUID string (with dashes) → Python `uuid.hex` form. */
   def uuidHex(c: Column): Column = lower(regexp_replace(c, "-", ""))
 

@@ -1,0 +1,115 @@
+package graft.etl
+
+/** The data-export run loop — the reference's `db_extractor`
+  * (db_extractor_full.py:426-563): discover tables, sanitize names, drop
+  * the ignore list, route each table through the watermark dispatch, write
+  * one JSON array per table under a serial-numbered prefix, then advance
+  * the checkpoint.
+  *
+  * Fidelity notes (SURVEY.md §2.9 / §7.4):
+  *  - the run watermark is captured BEFORE extraction starts (the
+  *    reference captures it at module import, db_extractor_full.py:24-26)
+  *    so mid-run commits re-export next run — at-least-once, no gaps;
+  *  - watermark comparison is strict `>` (db_extractor_full.py:389,403);
+  *  - `updated_at`-only tables are skipped (db_extractor_full.py:409-414);
+  *  - DEVIATION (flagged): the reference advances the checkpoint even when
+  *    individual tables failed (errors swallowed per-worker, :418-421),
+  *    losing those tables' missed window. We gate on all-success by
+  *    default; `advanceOnPartialFailure = true` restores the reference
+  *    behavior.
+  *
+  * Scale: table-level fan-out is the reference's (accidentally serial)
+  * process-per-table loop (db_extractor_full.py:508-537). Here each
+  * table's scan/encode already parallelizes across executors, and tables
+  * can additionally run concurrently via `tableParallelism` (driver
+  * threads submitting independent Spark jobs — FAIR-scheduler friendly).
+  */
+object Exporter {
+
+  /** Data-export ignore list (db_extractor_full.py:477-492). */
+  val DataIgnore: Set[String] = Set(
+    "zip3_distances", "transportation_service_provider_performances",
+    "move", "move_to_gbloc", "archived_access_codes", "schema_migration",
+    "audit_history_tableslist", "v_locations")
+
+  /** Schema-dump ignore list — intentionally different
+    * (db_schema_dump.py:47).
+    */
+  val SchemaIgnore: Set[String] = Set("audit_history", "v_locations")
+
+  /** Reference sanitization: keep [alnum_], lowercase
+    * (db_extractor_full.py:463-473).
+    */
+  def sanitize(name: String): String =
+    name.filter(c => c.isLetterOrDigit || c == '_').toLowerCase
+
+  sealed trait TableOutcome
+  final case class Exported(table: String, path: String) extends TableOutcome
+  final case class Skipped(table: String, reason: String) extends TableOutcome
+  final case class Failed(table: String, error: String) extends TableOutcome
+
+  final case class RunResult(
+      serial: Long,
+      watermark: String,
+      outcomes: Seq[TableOutcome],
+      checkpointAdvanced: Boolean) {
+    def exported: Seq[Exported] =
+      outcomes.collect { case e: Exported => e }
+  }
+
+  /** One export run. `runTime` is injectable for deterministic tests;
+    * callers default it to "now", captured before extraction begins.
+    */
+  def run(
+      source: TableSource,
+      outDir: String,
+      store: CheckpointStore,
+      ignore: Set[String] = DataIgnore,
+      uuidCols: Set[String] = Set.empty,
+      advanceOnPartialFailure: Boolean = false,
+      tableParallelism: Int = 1,
+      runTime: String = Coercions.nowPyString()): RunResult = {
+
+    val st = store.read()
+    val serial = st.dataSerial + 1
+    val prefix = f"$outDir/db_data/$serial%06d"
+
+    val tables = source.tableNames
+      .map(sanitize).filter(_.nonEmpty).distinct
+      .filterNot(ignore.contains)
+
+    val outcomes: Seq[TableOutcome] = {
+      def one(t: String): TableOutcome =
+        try {
+          Watermark(source.read(t), st.lastRunTime) match {
+            case None =>
+              Skipped(t, "updated_at-only table (reference semantics)")
+            case Some(df) =>
+              val path = s"$prefix/$t.json"
+              JsonArraySink.write(df, path, uuidCols)
+              Exported(t, path)
+          }
+        } catch {
+          case e: Exception => Failed(t, String.valueOf(e.getMessage))
+        }
+      if (tableParallelism <= 1) tables.map(one)
+      else {
+        import scala.concurrent._
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(tableParallelism)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(tables.map(t => Future(one(t)))), Duration.Inf)
+        finally pool.shutdown()
+      }
+    }
+
+    val ok = !outcomes.exists(_.isInstanceOf[Failed])
+    val advance = ok || advanceOnPartialFailure
+    if (advance)
+      store.write(st.copy(lastRunTime = runTime, dataSerial = serial))
+    RunResult(serial, st.lastRunTime, outcomes, advance)
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import graft.etl._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end specs for the export pipeline: schema dump (MD5 gate),
+  * JSON-array sink (single object, `[]` for empty), run loop (routing,
+  * ignore list, serial layout, checkpoint gating).
+  */
+class ExporterSpec extends SparkSpec {
+
+  private def df(rows: Seq[Row], schema: StructType) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+  private def ts(s: String) = java.time.LocalDateTime.parse(s)
+
+  private def fixtureSource = new MapSource(Map(
+    // created_at only: incremental path
+    "users" -> df(
+      Seq(
+        Row(1L, "a", ts("2024-01-01T00:00:00")),
+        Row(2L, "b", ts("2024-02-01T00:00:00")),
+        Row(3L, "c", ts("2024-03-01T00:00:00"))),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("created_at", TimestampNTZType)))),
+    // updated_at only: must be skipped
+    "ledger" -> df(
+      Seq(Row(1L, ts("2024-01-01T00:00:00"))),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("updated_at", TimestampNTZType)))),
+    // no timestamps: full dump every run
+    "codes" -> df(
+      Seq(Row(10L, null), Row(20L, "y")),
+      StructType(Seq(
+        StructField("code", LongType),
+        StructField("label", StringType)))),
+    // on the ignore list: never exported
+    "schema_migration" -> df(
+      Seq(Row(1L)),
+      StructType(Seq(StructField("v", LongType))))))
+
+  private def tmpDir(tag: String) =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  test("export run: routing, serial layout, ignore list, checkpoint") {
+    val out = tmpDir("export")
+    val store = FileCheckpointStore(s"$out/ckpt.json")
+    val r1 = Exporter.run(fixtureSource, out, store,
+      runTime = "2024-02-15 00:00:00")
+
+    assert(r1.serial == 1L)
+    assert(r1.checkpointAdvanced)
+    assert(r1.exported.map(_.table).sorted == Seq("codes", "users"))
+    assert(r1.outcomes.collect { case s: Exporter.Skipped => s.table }
+      == Seq("ledger"))
+    // ignore list dropped before routing
+    assert(!r1.outcomes.exists {
+      case Exporter.Exported(t, _) => t == "schema_migration"
+      case _ => false
+    })
+
+    // seed watermark = epoch → all 3 users rows, explicit nulls, ordered
+    val users1 = Files.readString(Paths.get(s"$out/db_data/000001/users.json"))
+    assert(users1.startsWith("[") && users1.endsWith("]"))
+    assert(users1.contains(""""created_at":"2024-01-01 00:00:00""""))
+    assert(users1.split("\\},\\{").length == 3)
+    val codes1 = Files.readString(Paths.get(s"$out/db_data/000001/codes.json"))
+    assert(codes1.contains(""""label":null"""), codes1)
+
+    // run 2: watermark = 2024-02-15 → only the March row (strict >)
+    val r2 = Exporter.run(fixtureSource, out, store,
+      runTime = "2024-03-15 00:00:00")
+    assert(r2.serial == 2L)
+    assert(r2.watermark == "2024-02-15 00:00:00")
+    val users2 = Files.readString(Paths.get(s"$out/db_data/000002/users.json"))
+    assert(users2.split("\\},\\{").length == 1)
+    assert(users2.contains(""""id":3"""))
+    // full-dump table re-exports everything
+    val codes2 = Files.readString(Paths.get(s"$out/db_data/000002/codes.json"))
+    assert(codes2.split("\\},\\{").length == 2)
+  }
+
+  test("empty result writes a literal [] (reference K2)") {
+    val out = tmpDir("empty")
+    val store = FileCheckpointStore(s"$out/ckpt.json")
+    store.write(CheckpointState("2030-01-01 00:00:00", 0L, 0L, ""))
+    Exporter.run(fixtureSource, out, store, runTime = "2030-01-02 00:00:00")
+    val users = Files.readString(Paths.get(s"$out/db_data/000001/users.json"))
+    assert(users == "[]")
+  }
+
+  test("checkpoint does not advance on table failure unless flagged") {
+    val boom = new TableSource {
+      override def tableNames: Seq[String] = Seq("good", "bad")
+      override def read(table: String) =
+        if (table == "bad") throw new RuntimeException("no such table")
+        else fixtureSource.read("codes")
+    }
+    val out = tmpDir("fail")
+    val store = FileCheckpointStore(s"$out/ckpt.json")
+    val r = Exporter.run(boom, out, store, runTime = "2024-01-01 00:00:00")
+    assert(r.outcomes.exists(_.isInstanceOf[Exporter.Failed]))
+    assert(!r.checkpointAdvanced)
+    assert(store.read().dataSerial == 0L)
+
+    val r2 = Exporter.run(boom, out, store,
+      advanceOnPartialFailure = true, runTime = "2024-01-01 00:00:00")
+    assert(r2.checkpointAdvanced)
+    assert(store.read().dataSerial == 1L)
+  }
+
+  test("sanitize matches the reference transform") {
+    assert(Exporter.sanitize("Weird-Name!") == "weirdname")
+    assert(Exporter.sanitize("UPPER_case_9") == "upper_case_9")
+  }
+
+  test("schema dump: MD5 gate writes only on change") {
+    val out = tmpDir("schema")
+    val store = FileCheckpointStore(s"$out/ckpt.json")
+    val r1 = SchemaDump.run(fixtureSource, out, store)
+    assert(r1.changed && r1.path.exists(_.endsWith("000001_db_schema.json")))
+    val doc = Files.readString(Paths.get(r1.path.get))
+    assert(doc.contains(""""users":[["id","bigint"],["name","string"]"""))
+    // schema ignore list ≠ data ignore list: schema_migration IS dumped
+    assert(doc.contains("schema_migration"))
+
+    val r2 = SchemaDump.run(fixtureSource, out, store)
+    assert(!r2.changed && r2.path.isEmpty)
+    assert(store.read().schemaSerial == 1L)
+
+    val r3 = SchemaDump.run(fixtureSource, out, store,
+      ignore = Set("codes"))
+    assert(r3.changed && r3.path.exists(_.endsWith("000002_db_schema.json")))
+  }
+
+  test("JSON array sink round-trips a real fixture table") {
+    val out = tmpDir("roundtrip")
+    val nation = Fixtures.table(spark, sf, "nation")
+    JsonArraySink.write(nation, s"$out/nation.json")
+    val txt = Files.readString(Paths.get(s"$out/nation.json"))
+    // parse back with Spark's JSON reader and compare row count
+    import spark.implicits._
+    val parsed = spark.read.json(
+      Seq(txt.stripPrefix("[").stripSuffix("]")
+        .split("\\},\\{").toSeq.map {
+          s => ("{" + s.stripPrefix("{").stripSuffix("}") + "}")
+        }: _*).toDS)
+    assert(parsed.count() == nation.count())
+  }
+
+  test("parallel table export produces identical outputs") {
+    val out1 = tmpDir("par1"); val out2 = tmpDir("par2")
+    val s1 = FileCheckpointStore(s"$out1/ckpt.json")
+    val s2 = FileCheckpointStore(s"$out2/ckpt.json")
+    Exporter.run(fixtureSource, out1, s1, runTime = "2024-06-01 00:00:00")
+    Exporter.run(fixtureSource, out2, s2, tableParallelism = 4,
+      runTime = "2024-06-01 00:00:00")
+    for (t <- Seq("users", "codes")) {
+      val a = Files.readString(Paths.get(s"$out1/db_data/000001/$t.json"))
+      val b = Files.readString(Paths.get(s"$out2/db_data/000001/$t.json"))
+      assert(a == b, s"parallel export diverged for $t")
+    }
+  }
+}
