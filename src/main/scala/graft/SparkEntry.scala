@@ -12,7 +12,8 @@ object SparkEntry {
     queries_registry
 
   private lazy val queries_registry: Seq[QueryDef] =
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+      graft.queries.TextOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.{Fixtures, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the LLM-data-
+  * pipeline extensions the rebuilt engine adds beyond the reference's ETL
+  * surface (BASELINE.json north star; reference itself has no text ops).
+  *
+  * All of these are pure per-row projections: narrow, shuffle-free,
+  * whole-stage-codegen'd — at 100 TB they scale embarrassingly (the only
+  * cost is the scan itself, and column pruning keeps it to doc_id+text).
+  *
+  * Determinism for the DuckDB oracle: integer token counts everywhere;
+  * ratios are IEEE double ops applied in identical textual order on both
+  * sides, so results are bit-identical.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Fixtures.table(s, dir, "documents")
+
+  /** Whitespace tokens + BPE-ish regex tokens + distinct-token count.
+    * The regex tokenizer is the standard letters|digits|single-symbol
+    * fallback pretokenization shape.
+    */
+  private val q13 = QueryDef(
+    "q13_text_tokens",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+        .as("n_regex_tokens"),
+      size(array_distinct(split(col("text"), " "))).as("n_distinct_tokens"),
+      length(col("text")).as("len_chars"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS n_regex_tokens,
+      len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      length(text) AS len_chars
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: type-token ratio, stopword ratio, length factor —
+    * the length/stopword heuristics used for pretraining-corpus filtering.
+    */
+  private val q14 = QueryDef(
+    "q14_text_quality",
+    (s, dir) => docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+          .as("ttr"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (lit(1.0) - length(regexp_replace(col("text"), "[a-z ]", ""))
+          .cast("double") / length(col("text"))).as("alpha_ratio"),
+        least(col("n_tokens").cast("double") / lit(50.0), lit(1.0))
+          .as("len_factor"))
+      .withColumn("quality",
+        lit(0.3) * col("ttr") + lit(0.2) * (lit(1.0) - col("stop_ratio"))
+          + lit(0.2) * col("alpha_ratio") + lit(0.3) * col("len_factor"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_tokens, ttr, stop_ratio, alpha_ratio, len_factor,
+      0.3 * ttr + 0.2 * (1.0 - stop_ratio) + 0.2 * alpha_ratio
+        + 0.3 * len_factor AS quality
+      FROM (
+        SELECT doc_id,
+          len(string_split(text, ' ')) AS n_tokens,
+          cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS ttr,
+          cast(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stop_ratio,
+          1.0 - cast(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+            / length(text) AS alpha_ratio,
+          least(cast(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+            AS len_factor
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Language-ID: stopword-hit heuristic with a fixed language priority
+    * for ties. (A char-n-gram profile model is the production variant;
+    * the fixture corpus is synthetic ASCII so stopword hits are the
+    * discriminating signal available.)
+    */
+  private val q15 = QueryDef(
+    "q15_lang_id",
+    (s, dir) => docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hits_en",
+        expr("size(filter(toks, t -> t IN ('the','a','of','to','and','is')))"))
+      .withColumn("hits_de",
+        expr("size(filter(toks, t -> t IN ('der','die','das','und','ist')))"))
+      .withColumn("hits_es",
+        expr("size(filter(toks, t -> t IN ('el','los','las','y','es')))"))
+      .withColumn("hits_fr",
+        expr("size(filter(toks, t -> t IN ('le','les','et','est','une')))"))
+      .select(
+        col("doc_id"), col("lang").as("lang_label"),
+        col("hits_en"), col("hits_de"), col("hits_es"), col("hits_fr"),
+        expr("""CASE
+          WHEN hits_en >= hits_de AND hits_en >= hits_es
+            AND hits_en >= hits_fr THEN 'en'
+          WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+          WHEN hits_es >= hits_fr THEN 'es'
+          ELSE 'fr' END""").as("lang_pred"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang AS lang_label, hits_en, hits_de, hits_es,
+      hits_fr,
+      CASE
+        WHEN hits_en >= hits_de AND hits_en >= hits_es
+          AND hits_en >= hits_fr THEN 'en'
+        WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        WHEN hits_es >= hits_fr THEN 'es'
+        ELSE 'fr' END AS lang_pred
+      FROM (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(text, ' '),
+            t -> t IN ('the','a','of','to','and','is'))) AS hits_en,
+          len(list_filter(string_split(text, ' '),
+            t -> t IN ('der','die','das','und','ist'))) AS hits_de,
+          len(list_filter(string_split(text, ' '),
+            t -> t IN ('el','los','las','y','es'))) AS hits_es,
+          len(list_filter(string_split(text, ' '),
+            t -> t IN ('le','les','et','est','une'))) AS hits_fr
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Document fingerprinting: content hash (md5), head-shingle hash, and
+    * a rolling polynomial hash over characters (mod a prime, so the fold
+    * stays in 64-bit range on both engines).
+    */
+  private val q16 = QueryDef(
+    "q16_fingerprint",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5)))
+        .as("fp_head"),
+      expr("aggregate(regexp_extract_all(text, '.', 0), 0L, " +
+        "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fp_roll"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      md5(text) AS fp_md5,
+      md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' '))
+        AS fp_head,
+      list_reduce(
+        list_prepend(cast(0 AS BIGINT),
+          list_transform(regexp_extract_all(text, '.', 0),
+            c -> cast(ascii(c) AS BIGINT))),
+        (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16)
+}
