@@ -13,7 +13,8 @@ object SparkEntry {
 
   private lazy val queries_registry: Seq[QueryDef] =
     graft.queries.Relational.all ++
-      graft.queries.TextOps.all
+      graft.queries.TextOps.all ++
+      graft.ops.Dedup.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
