@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.CosineSimilarity
+
+/** Session extensions for the graft engine: registers the library's
+  * native Catalyst expressions as SQL functions, so they are available
+  * in `expr(...)`/`spark.sql(...)` on any session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (see GraftSession).
+  *
+  * Injected functions (vs. UDFs) keep the hot loops inside whole-stage
+  * codegen — the registry builder hands Catalyst the raw Expression.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_cosine expects 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

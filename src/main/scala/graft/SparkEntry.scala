@@ -14,7 +14,8 @@ object SparkEntry {
   private lazy val queries_registry: Seq[QueryDef] =
     graft.queries.Relational.all ++
       graft.queries.TextOps.all ++
-      graft.ops.Dedup.all
+      graft.ops.Dedup.all ++
+      graft.ops.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,89 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity of two float vectors.
+  *
+  * Fuses dot product and both norms into a single pass over the arrays
+  * (one loop, three accumulators) and participates in whole-stage codegen
+  * — this is the hot inner loop of the similarity/ANN operators
+  * (ops/Similarity.scala, ops/Dedup.scala q21), where a per-pair lambda
+  * chain (`aggregate`/`zip_with`, interpreted HOFs) would dominate the
+  * runtime. At 100 TB the candidate-verify stage evaluates this O(pairs)
+  * times, so it must be codegen'd, not interpreted.
+  *
+  * Semantics are bit-identical to three sequential left folds over the
+  * double-widened elements — `dot / sqrt(na * nb)` — which is exactly
+  * what the DuckDB oracle computes via `list_reduce`, so results
+  * hash-match the oracle exactly. Elements are assumed non-null (the
+  * embeddings fixture guarantees it); lengths may differ, the shorter
+  * prefix is used.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double $x = (double) $a.getFloat($i);
+        |  final double $y = (double) $b.getFloat($i);
+        |  $dot += $x * $y;
+        |  $na += $x * $x;
+        |  $nb += $y * $y;
+        |}
+        |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}

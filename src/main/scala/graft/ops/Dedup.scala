@@ -290,12 +290,12 @@ object Dedup {
     * order → bit-identical doubles. Floats are widened to double before
     * any arithmetic (exact).
     */
-  private[ops] val cosSpark: String =
+  private[graft] val cosSpark: String =
     "aggregate(zip_with(ea, eb, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v) / " +
       "sqrt(aggregate(transform(ea, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v) * " +
       "aggregate(transform(eb, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v))"
 
-  private[ops] def cosDuck(a: String, b: String): String = {
+  private[graft] def cosDuck(a: String, b: String): String = {
     def fold(l: String) =
       s"list_reduce(list_prepend(0.0::DOUBLE, $l), (acc, v) -> acc + v)"
     val dot = fold(s"list_transform(range(1, len($a) + 1), " +
@@ -315,7 +315,8 @@ object Dedup {
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), expr(cosSpark).as("cosine"))
+        .select(col("vec_a"), col("vec_b"),
+          expr("graft_cosine(ea, eb)").as("cosine"))
         .where(col("cosine") >= 0.3)
         .orderBy("vec_a", "vec_b")
     },

@@ -1,0 +1,181 @@
+package graft.ops
+
+import graft.{Fixtures, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors)
+  * — the ANN extension family (BASELINE.json north star).
+  *
+  *  - q22 brute-force top-k: the exact baseline. The (small) query set is
+  *    broadcast; the corpus streams through one BroadcastNestedLoopJoin
+  *    pass — no corpus shuffle, scales linearly in corpus size at any
+  *    query-set size that fits a broadcast (the 100 TB path for
+  *    "embed a batch, retrieve neighbors for each").
+  *  - q23 LSH-bucketed ANN: 4 hash tables × 6 random hyperplanes.
+  *    Signatures reduce each vector to 4 (table, bucket) keys; candidate
+  *    generation is an equi-join on those keys (shuffle ∝ collisions,
+  *    never |corpus|²), then exact cosine re-rank of candidates only.
+  *    Approximate by design — recall is tuned by tables × planes — and
+  *    the oracle replicates the identical construction, so results still
+  *    hash-match exactly.
+  *
+  * Cosine on the Spark side is the native codegen'd expression
+  * `graft_cosine` (expressions/CosineSimilarity.scala, registered by
+  * GraftExtensions); on the oracle side the equivalent sequential folds.
+  * Hyperplane weights are data-independent constants derived from md5
+  * (3-decimal fixed-point in [-1, 1]) and emitted as literals into BOTH
+  * dialects — precomputing planes (vs hashing per row) is also what a
+  * real deployment does: planes are broadcast constants, not per-row
+  * work.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Fixtures.table(s, dir, "embeddings")
+
+  // ---------- shared constants ---------------------------------------
+
+  private val Dim = 64
+  private val Tables = 4
+  private val PlanesPerTable = 6
+  private val NPlanes = Tables * PlanesPerTable
+
+  /** Deterministic pseudo-random plane weights from md5 — the same
+    * h32 primitive the dedup family uses (first 8 md5 hex chars), so
+    * the constants are reproducible from the seed strings alone.
+    */
+  private def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  private val planes: Seq[Seq[String]] =
+    (0 until NPlanes).map { p =>
+      (0 until Dim).map { d =>
+        val v = (h32(s"hp_${p}_$d") % 2001 - 1000) / 1000.0
+        f"$v%.3f" // exact 3-decimal literal; both engines parse to the
+                  // same nearest double
+      }
+    }
+
+  private val planesSpark: String =
+    planes.map(_.map(_ + "D").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+  private val planesDuck: String =
+    planes.map(_.map(_ + "::DOUBLE").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+
+  /** Per-vector plane dots as a sequential left fold (order-identical in
+    * both engines → bit-identical signs → identical buckets).
+    */
+  private val dotsSpark: String =
+    s"transform($planesSpark, w -> aggregate(sequence(1, $Dim), " +
+      "cast(0 AS DOUBLE), (acc, d) -> acc + element_at(w, d) * " +
+      "cast(element_at(embedding, d) AS DOUBLE)))"
+  private val dotsDuck: String =
+    s"list_transform($planesDuck, w -> list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(range(1, ${Dim + 1}), d -> w[d] * embedding[d]::DOUBLE)), " +
+      "(acc, v) -> acc + v))"
+
+  /** Bucket of hash table `t`: 6 sign bits of that table's plane dots. */
+  private def bucketExpr(t: Int, idx: (Int) => String): String =
+    (0 until PlanesPerTable).map { p =>
+      s"(CASE WHEN ${idx(t * PlanesPerTable + p + 1)} >= 0.0 " +
+        s"THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  // ---------- q22: brute-force exact top-k ---------------------------
+
+  private val K = 5
+  private val NQueries = 8
+
+  private val q22 = QueryDef(
+    "q22_knn_bruteforce",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val q = broadcast(e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      e.join(q, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("graft_cosine(qe, embedding)").as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= K)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < $NQueries),
+      s AS (SELECT query_id, b.vec_id AS neighbor_id,
+          ${Dedup.cosDuck("qe", "b.embedding")} AS cosine
+        FROM q JOIN embeddings b ON b.vec_id <> query_id),
+      r AS (SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
+      SELECT query_id, rnk, neighbor_id, cosine FROM r
+      WHERE rnk <= $K ORDER BY query_id, rnk"""))
+
+  // ---------- q23: LSH-bucketed approximate top-k --------------------
+
+  private val KAnn = 3
+
+  private val q23 = QueryDef(
+    "q23_knn_lsh",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val dotted = e.select(col("vec_id"), col("embedding"),
+        expr(dotsSpark).as("dots"))
+      val bucketCols = (0 until Tables).map(t =>
+        expr(bucketExpr(t, i => s"element_at(dots, $i)")))
+      val keys = dotted.select(col("vec_id"), col("embedding"),
+        posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+      val qk = keys.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("tbl"), col("bucket"))
+      // candidate generation: equi-join on (table, bucket); candidates
+      // seen in several tables are deduped before the exact re-rank.
+      val cand = qk.join(keys.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"), col("tbl"), col("bucket")),
+          Seq("tbl", "bucket"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
+        .distinct()
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cand
+        .select(col("query_id"), col("neighbor_id"),
+          expr("graft_cosine(qe, ne)").as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= KAnn)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      val bucketSelects = (0 until Tables).map { t =>
+        s"SELECT vec_id, embedding, $t AS tbl, " +
+          s"${bucketExpr(t, i => s"dots[$i]")} AS bucket FROM dotted"
+      }.mkString(" UNION ALL ")
+      s"""WITH dotted AS (SELECT vec_id, embedding, $dotsDuck AS dots
+        FROM embeddings),
+      keys AS ($bucketSelects),
+      cand AS (SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qe,
+          n.vec_id AS neighbor_id, n.embedding AS ne
+        FROM keys q JOIN keys n
+        ON q.tbl = n.tbl AND q.bucket = n.bucket
+          AND q.vec_id < $NQueries AND n.vec_id <> q.vec_id),
+      scored AS (SELECT query_id, neighbor_id,
+          ${Dedup.cosDuck("qe", "ne")} AS cosine FROM cand),
+      r AS (SELECT query_id, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+      SELECT query_id, rnk, neighbor_id, cosine FROM r
+      WHERE rnk <= $KAnn ORDER BY query_id, rnk"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q22, q23)
+}

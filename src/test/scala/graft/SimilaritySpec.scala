@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CosineSimilarity expression + ANN query invariants.
+  * Uses sf0.001 fixtures (500 embeddings, 64-dim float).
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = GraftSession.builder("4").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("graft_cosine matches the portable sequential-fold expression " +
+    "bit-exactly (codegen path)") {
+    val e = Fixtures.table(spark, sf, "embeddings").limit(50)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val both = a.join(b, col("va") < col("vb"))
+      .select(expr("graft_cosine(ea, eb)").as("native"),
+        expr(graft.ops.Dedup.cosSpark).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_cosine interpreted eval matches codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val x = Array(0.5f, -1.25f, 3.0f)
+    val y = Array(2.0f, 0.75f, -0.5f)
+    val lit = (v: Array[Float]) =>
+      Literal(ArrayData.toArrayData(v), ArrayType(FloatType, containsNull = false))
+    val got = graft.expressions.CosineSimilarity(lit(x), lit(y)).eval(null)
+      .asInstanceOf[Double]
+    val dot = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+    val na = x.map(v => v.toDouble * v.toDouble).sum
+    val nb = y.map(v => v.toDouble * v.toDouble).sum
+    assert(got === dot / math.sqrt(na * nb))
+  }
+
+  test("graft_cosine is null-safe") {
+    val r = spark.sql(
+      "SELECT graft_cosine(CAST(NULL AS ARRAY<FLOAT>), array(1.0F))")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("self-similarity is 1.0 for every fixture vector") {
+    val e = Fixtures.table(spark, sf, "embeddings")
+    val bad = e.select(expr("graft_cosine(embedding, embedding)").as("c"))
+      .where(abs(col("c") - 1.0) > 1e-12).count()
+    assert(bad === 0L)
+  }
+
+  test("q22 brute-force top-k: each query has exactly k ranked neighbors") {
+    val df = SparkEntry.queries("q22_knn_bruteforce")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 8 * 5)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted === (1 to 5).toArray)
+      // ranks ordered by non-increasing cosine
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (hi, lo) => hi >= lo })
+    }
+  }
+
+  test("q23 LSH candidates are a subset of brute-force scoring " +
+    "(same cosine values where ids overlap)") {
+    val bf = SparkEntry.queries("q22_knn_bruteforce")(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = SparkEntry.queries("q23_knn_lsh")(spark, sf).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bf.get(key).foreach(c => assert(c === r.getDouble(3)))
+    }
+  }
+}
