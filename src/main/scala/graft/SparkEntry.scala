@@ -15,7 +15,9 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.TextOps.all ++
       graft.ops.Dedup.all ++
-      graft.ops.Similarity.all
+      graft.ops.Similarity.all ++
+      graft.ops.Events.all ++
+      graft.ops.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

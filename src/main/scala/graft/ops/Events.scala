@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.{Fixtures, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Temporal / event-stream operators over the `events` table. The
+  * reference's only temporal semantics are watermark scans
+  * (SURVEY.md §2.9, /root/reference/src/db_extractor_full.py:383-408);
+  * these queries supply the event-analytics layer a warehouse consumer
+  * builds on top of the exported stream: windowed aggregation, as-of
+  * join, range join, sessionization, and JSON-property extraction.
+  *
+  * Determinism: all time arithmetic is integer microseconds
+  * (`timestampdiff` / `epoch_us`), aggregated doubles go through the
+  * DECIMAL-term convention (QueryDef.doc), every query ends in a total
+  * ORDER BY.
+  */
+object Events {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Fixtures.table(s, dir, "events")
+
+  /** Exact order-independent sum of a double column (see Relational). */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  // ---------- q24: tumbling-window aggregation ------------------------
+
+  /** 6-hour tumbling windows via Spark's `window()` (epoch-aligned, same
+    * alignment as DuckDB `time_bucket`). Map-side partial aggregation,
+    * one shuffle on (window, event_type) — at 100 TB the window key is
+    * derived, so partition pruning on a date-partitioned layout still
+    * applies upstream.
+    */
+  private val q24 = QueryDef(
+    "q24_window_agg",
+    (s, dir) => ev(s, dir)
+      .groupBy(window(col("ts"), "6 hours").getField("start").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("bucket", "event_type"),
+    Some("""SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
+      count(*) AS n,
+      cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""))
+
+  // ---------- q25: as-of join -----------------------------------------
+
+  /** For each purchase, the latest click by the same user at-or-before
+    * the purchase time. Implemented with the scalable union trick: tag
+    * both sides, one shuffle on user_id, a running `last(_, ignoreNulls)`
+    * window — O(n log n) per user partition, no range-explosion join.
+    * The oracle is DuckDB's *native* ASOF JOIN — an independent
+    * implementation of the same semantics.
+    * Clicks tie-ordered before purchases at equal ts (inclusive bound).
+    */
+  private val q25 = QueryDef(
+    "q25_asof_join",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          col("ts").as("click_ts"), lit(null).cast(LongType).as("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast(TimestampNTZType).as("click_ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .where(col("side") === 1 && col("last_click_ts").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("last_click_ts"))
+        .orderBy("purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+      c.ts AS last_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id"""))
+
+  // ---------- q26: range join (banded) --------------------------------
+
+  /** Pairs of error events by the same user within 6 h of each other.
+    * Spark has no native range join, so the interval is banded into
+    * 6 h buckets: a pair at distance ≤ 6 h lands in the same or the
+    * next bucket, so two equi-joins on (user, bucket) + an exact filter
+    * cover all pairs. Shuffle cost ∝ rows, not the O(n²) cross product —
+    * the standard banded-interval-join pattern at scale.
+    * The oracle is the plain θ-join (exact, fine at oracle scale).
+    */
+  private val q26 = QueryDef(
+    "q26_range_join",
+    (s, dir) => {
+      val BandUs = 21600000000L // 6 h in µs
+      val err = ev(s, dir).where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            .as("us"))
+        .withColumn("bucket", expr(s"us div $BandUs"))
+      val a = err.select(col("user_id").as("u"), col("event_id").as("a_id"),
+        col("us").as("a_us"), col("bucket").as("a_b"))
+      val b = err.select(col("user_id").as("u"), col("event_id").as("b_id"),
+        col("us").as("b_us"), col("bucket").as("b_b"))
+      val same = a.join(b, Seq("u"), "inner")
+        .where(col("a_b") === col("b_b"))
+      val next = a.join(b, Seq("u"), "inner")
+        .where(col("a_b") + 1 === col("b_b"))
+      same.unionAll(next)
+        .select(col("u").as("user_id"), col("a_id"), col("b_id"),
+          (col("b_us") - col("a_us")).as("dt_us"))
+        .where(col("dt_us").between(0, BandUs) && col("a_id") < col("b_id"))
+        .orderBy("user_id", "a_id", "b_id")
+    },
+    Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+      FROM (SELECT * FROM events WHERE event_type = 'error') a
+      JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON a.user_id = b.user_id
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+      AND a.event_id < b.event_id
+      ORDER BY 1, 2, 3"""))
+
+  // ---------- q27: sessionization (gaps-and-islands) ------------------
+
+  /** 30-minute-inactivity sessions per user: lag → new-session flag →
+    * running sum (the gaps-and-islands pattern; the streaming twin with
+    * mapGroupsWithState lives in graft.streaming). One shuffle on
+    * user_id; both windows reuse the same sort order.
+    */
+  private val q27 = QueryDef(
+    "q27_sessionize",
+    (s, dir) => {
+      val GapUs = 1800000000L // 30 min
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || expr("timestampdiff(MICROSECOND, prev_ts, ts)") > GapUs, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_seq")
+    },
+    Some("""WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, ts,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq, min(ts) AS session_start,
+        max(ts) AS session_end, count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq"""))
+
+  // ---------- q28: JSON property extraction ---------------------------
+
+  /** The `props` column is a JSON document (the shape the reference's
+    * export emits — SURVEY.md §2.7/K1). Extract + aggregate: pure
+    * projection then one small shuffle. Integer math only.
+    */
+  private val q28 = QueryDef(
+    "q28_json_extract",
+    (s, dir) => ev(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+      sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+      max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28)
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.{Fixtures, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, processed by a partition-batched decode stage.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * DETERMINISTIC STUB (byte statistics standing in for pixels/samples);
+  * everything around it — binary column, schema, Dataset encoders,
+  * `mapPartitions` batching, partition sizing — is the real pattern a
+  * media pipeline uses. Swap `decodeStub` for a real codec call and the
+  * plumbing is unchanged: the iterator shape means one codec init per
+  * PARTITION (not per row), which is what makes per-row-expensive
+  * decode viable at 100 TB; binary payloads never shuffle (the stage is
+  * a narrow map; only the small extracted features flow onward).
+  *
+  * Feature semantics (so the DuckDB oracle can verify them exactly over
+  * the ASCII fixture text, where bytes == codepoints):
+  *  - n_bytes:   payload length
+  *  - checksum:  left fold (acc * 31 + byte) mod 1e9+7
+  *  - hist:      16-bin histogram of byte % 16
+  *  - sample8:   8 evenly-strided bytes (frame-sampling stand-in)
+  */
+object Multimodal {
+
+  private val Mod = 1000000007L
+
+  /** The partition-batched "decoder". Real pipelines put codec init
+    * before the iterator map and reuse it across the partition's rows.
+    */
+  private[ops] def decodeStub(
+      rows: Iterator[(Long, Array[Byte])]): Iterator[BinFeatures] =
+    rows.map { case (id, bytes) =>
+      var checksum = 0L
+      val hist = new Array[Int](16)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        checksum = (checksum * 31 + b) % Mod
+        hist(b % 16) += 1
+        i += 1
+      }
+      val n = bytes.length
+      val sample8 = (0 until 8).map(k => bytes(k * n / 8) & 0xff)
+      BinFeatures(id, n, checksum, hist.toSeq, sample8)
+    }
+
+  private val q29 = QueryDef(
+    "q29_binary_features",
+    (s, dir) => {
+      import s.implicits._
+      val bin = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions(decodeStub).toDF()
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH cl AS (SELECT doc_id, text,
+        regexp_extract_all(text, '.', 0) AS chars FROM documents)
+      SELECT doc_id,
+        strlen(text) AS n_bytes,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(chars, c -> ascii(c)::BIGINT)),
+          (acc, c) -> (acc * 31 + c) % $Mod) AS checksum,
+        list_transform(range(0, 16),
+          b -> len(list_filter(chars, c -> ascii(c) % 16 = b))::INT) AS hist,
+        list_transform(range(0, 8),
+          k -> ascii(chars[(k * strlen(text)) // 8 + 1])) AS sample8
+      FROM cl ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q29)
+}
+
+/** Features extracted per binary payload (the decode-stub output row). */
+final case class BinFeatures(
+    doc_id: Long,
+    n_bytes: Int,
+    checksum: Long,
+    hist: Seq[Int],
+    sample8: Seq[Int])
