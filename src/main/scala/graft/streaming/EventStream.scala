@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming layer: the incremental semantics of the
+  * reference (watermark scans, SURVEY.md §2.9 —
+  * /root/reference/src/db_extractor_full.py:383-408) re-expressed as an
+  * unbounded pipeline. The reference polls with a checkpointed
+  * timestamp; the Spark-native equivalent is a file/parquet stream with
+  * an event-time watermark — same at-least-once contract, but the
+  * engine tracks progress per source file instead of a hand-rolled SSM
+  * checkpoint, and late data is bounded by the watermark instead of
+  * silently re-exported.
+  *
+  * At scale: `Trigger.AvailableNow` turns the same plan into a bounded
+  * backfill over 100 TB of history (all operators here are incremental
+  * — windowed aggregation state is per (window, type), session state
+  * per user), then the identical code runs continuously on the live
+  * feed.
+  */
+object EventStream {
+
+  /** Events as an unbounded stream from a parquet source. Mirrors
+    * Fixtures.table's ns→µs TIMESTAMP_NTZ normalization so streaming
+    * and batch plans see the identical schema.
+    *
+    * A production source is a directory that files land in;
+    * FileStreamSource requires that, so the single-file fixture is
+    * staged into a temp directory once (driver-side, test scale only).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val streamDir =
+      if (new java.io.File(path).isFile) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+          tmp.resolve("part-00000.parquet"))
+        tmp.toFile.deleteOnExit()
+        tmp.toString
+      } else path
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(streamDir)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts",
+        expr("timestampadd(MICROSECOND, ts div 1000, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    else raw
+  }
+
+  /** Tumbling 6-hour counts per event type — the streaming twin of
+    * q24_window_agg. The 1-hour watermark bounds state: windows older
+    * than (max event time − 1 h) are finalized and evicted.
+    *
+    * Spark's watermark API only accepts TIMESTAMP (not NTZ); with the
+    * session timezone pinned to UTC (GraftSession) the NTZ→LTZ→NTZ
+    * round-trip is value-preserving, so `bucket` matches the batch
+    * query exactly.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_evt", col("ts").cast(TimestampType))
+      .withWatermark("ts_evt", "1 hour")
+      .groupBy(window(col("ts_evt"), "6 hours").getField("start")
+        .cast(TimestampNTZType).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  // ---------- stateful sessionization ---------------------------------
+
+  final case class Ev(event_id: Long, ts: java.time.LocalDateTime,
+      user_id: Long)
+  final case class SessionOut(user_id: Long,
+      session_start: java.time.LocalDateTime,
+      session_end: java.time.LocalDateTime, n_events: Long)
+  final case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+  private val GapUs = 1800000000L // 30 min
+
+  private def toUs(t: java.time.LocalDateTime): Long =
+    t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+  private def fromUs(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+      (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)
+
+  /** 30-min-gap sessions per user via flatMapGroupsWithState — the
+    * custom-state path (KeyValueGroupedDataset) for semantics the
+    * built-in window operators can't express. Events inside one
+    * micro-batch are sorted per group; the open session is carried in
+    * GroupState across batches and closed either by a later event's gap
+    * or — when `flushOpen` (bounded backfill mode, Trigger.AvailableNow)
+    * — at end of input. A continuous deployment would instead configure
+    * EventTimeTimeout to flush idle sessions when the watermark passes
+    * start+gap.
+    */
+  def sessionize(events: Dataset[Ev], flushOpen: Boolean): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val us = toUs(e.ts)
+            open match {
+              case Some(s) if us - s.endUs <= GapUs =>
+                open = Some(s.copy(endUs = us, n = s.n + 1))
+              case Some(s) =>
+                out += SessionOut(uid, fromUs(s.startUs), fromUs(s.endUs), s.n)
+                open = Some(OpenSession(us, us, 1))
+              case None =>
+                open = Some(OpenSession(us, us, 1))
+            }
+          }
+          if (flushOpen) {
+            open.foreach(s =>
+              out += SessionOut(uid, fromUs(s.startUs), fromUs(s.endUs), s.n))
+            state.remove()
+          } else {
+            open.foreach(state.update)
+          }
+          out.iterator
+      }
+  }
+}

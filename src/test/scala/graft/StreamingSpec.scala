@@ -1,0 +1,53 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming/batch parity: the streaming operators must produce exactly
+  * the batch answers when run as a bounded backfill (AvailableNow).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = GraftSession.builder("4").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming windowed counts == batch q24 counts (AvailableNow)") {
+    val q = EventStream.windowedCounts(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("wc")
+      .select("bucket", "event_type", "n").collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val want = SparkEntry.queries("q24_window_agg")(spark, sf)
+      .select("bucket", "event_type", "n").collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("flatMapGroupsWithState sessionization == batch q27 (backfill mode)") {
+    import spark.implicits._
+    val src = EventStream.readEvents(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[EventStream.Ev]
+    val q = EventStream.sessionize(src, flushOpen = true)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString,
+        r.getLong(3))).toSet
+    val want = SparkEntry.queries("q27_sessionize")(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString,
+        r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+}
