@@ -11,8 +11,7 @@ import org.apache.spark.sql.functions._
   * duplicates: /root/reference/src/db_extractor_full.py:383-408).
   *
   * Four strategies, each the standard one at a different cost/recall
-  * point, all expressed as declarative Spark plans (no RDDs, no UDFs —
-  * every expression is Catalyst-codegen-able):
+  * point, all expressed as declarative Spark plans (no RDDs, no UDFs):
   *
   *  - q17 exact:      hash-groupBy on normalized content. One shuffle on
   *                    md5(norm); at 100 TB this is the cheapest pass and
@@ -26,19 +25,26 @@ import org.apache.spark.sql.functions._
   *  - q19 SimHash:    32-bit signature; byte-banding (4 blocks) to find
   *                    candidate pairs, exact Hamming verify. Signatures are
   *                    8 bytes/doc → the pair search is tiny even at scale.
-  *  - q20 n-gram Jaccard (exact): inverted-index self-join on shingle.
-  *                    Exact, finds every pair ≥ τ (any such pair shares a
+  *  - q20 n-gram Jaccard (exact): inverted-index self-join on shingle
+  *                    hash. Finds every pair ≥ τ (any such pair shares a
   *                    shingle), cost bounded by posting-list skew — the
   *                    quadratic blowup lives only inside hot shingles
-  *                    (mitigate at scale by dropping top-frequency shingles,
-  *                    same as stopword pruning).
+  *                    (mitigate at scale by dropping top-frequency
+  *                    shingles, same as stopword pruning).
   *  - q21 embedding near-dup: cosine ≥ τ pairs over `embeddings`.
   *
-  * Portability invariant (the DuckDB oracle must hash-match bit-exactly):
-  * every hash is derived from md5 (identical hex in both engines) via
-  * `h32(s)` = first 8 md5 hex chars as a BIGINT; all arithmetic stays in
-  * exact int64; the only doubles are final ratios of two ints computed by
-  * the same single division on both sides.
+  * Hashing design (performance + portability):
+  *  - each TOKEN is hashed once via `h32` (md5-derived — identical hex
+  *    in both engines); trigram-shingle hashes are then an arithmetic
+  *    combine of three token hashes mod P. md5 is the only non-codegen
+  *    step and runs once per token, not once per shingle character.
+  *  - per-doc signature work (minhash, simhash bit counts) runs as
+  *    codegen'd hash aggregations over the *exploded* shingle table
+  *    (map-side partials), not as interpreted array lambdas.
+  *  - all arithmetic stays in exact int64 (largest product ≈ 8.6e15);
+  *    the only doubles are final ratios of two ints computed by the
+  *    same single division on both sides, so the DuckDB oracle
+  *    hash-matches bit-exactly.
   */
 object Dedup {
 
@@ -53,22 +59,57 @@ object Dedup {
   private def h32Duck(e: String): String =
     s"('0x' || substring(md5($e), 1, 8))::BIGINT"
 
-  /** Token 3-gram shingles, distinct. Docs with <3 tokens are excluded
-    * upstream by a `size(toks) >= 3` filter (Spark `sequence` would go
-    * descending on an empty range; DuckDB `range` is half-open).
-    */
-  private val shingleSpark =
-    "array_distinct(transform(sequence(1, size(toks) - 2), " +
-      "i -> concat_ws(' ', slice(toks, i, 3))))"
-  private val shingleDuck =
-    "list_distinct(list_transform(range(1, len(toks) - 1), " +
-      "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
-
-  /** MinHash constants: 16 universal-hash functions (a*h + b) mod P over
-    * the h32 shingle hashes; 8 bands × 2 rows. a*h ≤ 3821 * 2^32 ≈ 1.6e13
-    * so all arithmetic stays exact in int64.
+  /** Trigram-shingle hash = (h(t1)*C1 + h(t2)*C2 + h(t3)) mod P over the
+    * per-token hashes; distinct per doc. Docs with <3 tokens are
+    * excluded upstream (Spark `sequence` would go descending on an
+    * empty range; DuckDB `range` is half-open).
     */
   private val P = 2147483647L
+  private val C1 = 1000003L
+  private val C2 = 999983L
+
+  private val shingleDuck =
+    s"list_distinct(list_transform(range(1, len(hts) - 1), " +
+      s"i -> (hts[i] * $C1 + hts[i + 1] * $C2 + hts[i + 2]) % $P))"
+
+  /** Exploded (doc_id, shingle-hash) inverted-index rows.
+    *
+    * Deliberately row-relational, not array-HOF: tokens are exploded to
+    * rows so each token is md5-hashed exactly once inside codegen, and
+    * trigram hashes come from two window `lead`s. (The array formulation
+    * — transform over a token-hash array — looks natural but Catalyst's
+    * CollapseProject inlines the hash array into every `element_at` of
+    * the shingle lambda, re-evaluating every token hash per shingle:
+    * ~300× redundant md5 work. HOF lambdas also run interpreted, outside
+    * whole-stage codegen.) Docs with <3 tokens drop out naturally (no
+    * row has two leads).
+    */
+  private def inverted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), expr(h32Spark("tok")).as("ht"))
+      .select(col("doc_id"),
+        ((col("ht") * C1 + lead(col("ht"), 1).over(w) * C2
+          + lead(col("ht"), 2).over(w)) % P).as("h"))
+      .where(col("h").isNotNull)
+      .distinct()
+  }
+
+  private val shingledDuckCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE len(string_split(text, ' ')) >= 3),
+    hts AS (SELECT doc_id,
+      list_transform(toks, t -> ${h32Duck("t")}) AS hts FROM toks),
+    sh AS (SELECT doc_id, $shingleDuck AS sh FROM hts),
+    inv AS (SELECT doc_id, unnest(sh) AS h FROM sh)"""
+
+  /** MinHash constants: 16 universal-hash functions (a*h + b) mod P over
+    * the shingle hashes (< 2^31, so a*h ≤ 3821 * 2^31 ≈ 8.2e12 stays
+    * exact); 8 bands × 2 rows.
+    */
   private val A = Seq(1117, 2971, 3343, 577, 2129, 1847, 919, 3457,
     1231, 2689, 353, 1511, 2017, 761, 3821, 1433)
   private val B = Seq(407, 2011, 89, 1777, 563, 3229, 1399, 241,
@@ -101,42 +142,28 @@ object Dedup {
 
   // ---------- q18: MinHash + LSH near-dup pairs -----------------------
 
-  private def minhashSpark: String =
-    A.zip(B).map { case (a, b) =>
-      s"array_min(transform(hh, h -> (h * $a + $b) % $P))"
-    }.mkString("array(", ", ", ")")
-
-  private def minhashDuck: String =
-    A.zip(B).map { case (a, b) =>
-      s"list_min(list_transform(hh, h -> (h * $a + $b) % $P))"
-    }.mkString("[", ", ", "]")
-
-  /** Shingle-set prep shared by q18/q19/q20 (Spark side). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(shingleSpark).as("sh"))
-
-  private val shingledDuckCte =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS toks
-      FROM documents WHERE len(string_split(text, ' ')) >= 3),
-    sh AS (SELECT doc_id, $shingleDuck AS sh FROM toks)"""
-
   private val q18 = QueryDef(
     "q18_minhash_lsh",
     (s, dir) => {
-      val sh = shingled(s, dir)
-      val mh = sh
-        .select(col("doc_id"), col("sh"),
-          expr(s"transform(sh, s -> ${h32Spark("s")})").as("hh"))
-        .select(col("doc_id"), col("sh"), expr(minhashSpark).as("mh"))
+      // The inverted index feeds four consumers (minhash agg, sizes,
+      // both sides of the verify join); materialize it once instead of
+      // recomputing the tokenize+hash pipeline per branch. At scale
+      // this is the standard persisted/checkpointed posting table every
+      // MinHash pipeline builds first.
+      val inv = inverted(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // all 16 minhashes in one codegen'd hash aggregation over the
+      // exploded shingle table (min of an affine transform per function).
+      val minCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        min(expr(s"(h * $a + $b) % $P")).as(s"mh$i")
+      }
+      val mh = inv.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       // band key: md5 over the band's minhash rows; posexplode → the
       // LSH shuffle key (band, bkey). Identical docs collide in every
       // band; j≈0.9 pairs collide in ≥1 band w.p. ~1 - (1-0.81)^8.
       val bandCols = (0 until NBands).map { bnd =>
-        expr(s"md5(concat_ws(',', cast(element_at(mh, ${2 * bnd + 1}) AS STRING), " +
-          s"cast(element_at(mh, ${2 * bnd + 2}) AS STRING)))")
+        expr(s"md5(concat_ws(',', cast(mh${2 * bnd} AS STRING), " +
+          s"cast(mh${2 * bnd + 1} AS STRING)))")
       }
       val bands = mh.select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
@@ -146,68 +173,70 @@ object Dedup {
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // verify candidates with exact Jaccard (set ops on the distinct
-      // shingle arrays; counts are ints, one double division at the end).
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      // exact-Jaccard verify of the candidates only, straight off the
+      // inverted index: |A∩B| by joining both sides' postings.
+      val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(inv.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+        .join(inv.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sha"), col("shb"))).cast("double")
-            / size(array_union(col("sha"), col("shb")))).as("jaccard"))
+          (col("n_common").cast("double")
+            / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
         .where(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     },
     Some {
+      val minSelects = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $P) AS mh$i"
+      }.mkString(", ")
       val bandSelects = (0 until NBands).map { bnd =>
-        s"SELECT doc_id, $bnd AS band, md5(mh[${2 * bnd + 1}]::VARCHAR || ',' || " +
-          s"mh[${2 * bnd + 2}]::VARCHAR) AS bkey FROM mh"
+        s"SELECT doc_id, $bnd AS band, md5(mh${2 * bnd}::VARCHAR || ',' || " +
+          s"mh${2 * bnd + 1}::VARCHAR) AS bkey FROM mh"
       }.mkString(" UNION ALL ")
       s"""WITH $shingledDuckCte,
-      hh AS (SELECT doc_id, sh,
-        list_transform(sh, s -> ${h32Duck("s")}) AS hh FROM sh),
-      mh AS (SELECT doc_id, sh, $minhashDuck AS mh FROM hh),
+      mh AS (SELECT doc_id, $minSelects FROM inv GROUP BY doc_id),
       bands AS ($bandSelects),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
+      common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN inv a ON a.doc_id = c.doc_a
+        JOIN inv b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2)
       SELECT doc_a, doc_b,
-        len(list_intersect(sa.sh, sb.sh))::DOUBLE
-          / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-      FROM cand
-      JOIN sh sa ON sa.doc_id = doc_a
-      JOIN sh sb ON sb.doc_id = doc_b
-      WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+        n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5
       ORDER BY doc_a, doc_b"""
     })
 
   // ---------- q19: SimHash signatures + banded Hamming pairs ----------
 
-  /** 32-bit SimHash over the shingle h32 hashes: bit b is set iff more
-    * than half the shingles have bit b set. Generated as 32 literal
-    * terms so Spark and DuckDB evaluate the exact same integer
-    * expression (no engine-specific bit intrinsics in the signature).
-    */
-  private def simhashTerms(div: String, lenF: String, filterF: String,
-      bigLit: Long => String): String =
-    (0 until 32).map { b =>
-      val pow = 1L << b
-      s"(CASE WHEN 2 * $lenF($filterF(hh, h -> (h $div $pow) % 2 = 1)) " +
-        s"> $lenF(hh) THEN ${bigLit(pow)} ELSE ${bigLit(0L)} END)"
-    }.mkString(" + ")
-
-  private val simhashSpark =
-    simhashTerms("div", "size", "filter", v => s"${v}L")
-  private val simhashDuck =
-    simhashTerms("//", "len", "list_filter", v => s"$v::BIGINT")
-
   private val q19 = QueryDef(
     "q19_simhash",
     (s, dir) => {
-      val sig = shingled(s, dir)
-        .select(col("doc_id"),
-          expr(s"transform(sh, s -> ${h32Spark("s")})").as("hh"))
-        .select(col("doc_id"), expr(simhashSpark).as("simhash"))
+      // one codegen'd aggregation computes all 32 bit-counts (sum of
+      // CASE per bit) + the shingle count; the 32-bit signature (bit b
+      // set iff set in >half the shingles) is then a scalar projection.
+      val cnts = inverted(s, dir).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          (0 until 32).map { b =>
+            sum(expr(s"CASE WHEN (h div ${1L << b}) % 2 = 1 THEN 1 ELSE 0 END"))
+              .as(s"c$b")
+          }: _*)
+      val sigExpr = (0 until 32).map { b =>
+        s"(CASE WHEN 2 * c$b > n THEN ${1L << b}L ELSE 0L END)"
+      }.mkString(" + ")
+      val sig = cnts.select(col("doc_id"), expr(sigExpr).as("simhash"))
       // candidate blocking: 4 byte-blocks of the signature; pairs agreeing
       // on ≥1 block are checked with exact Hamming distance (≤ 8 of 32).
       val blockCols = (0 until 4).map(i =>
@@ -225,14 +254,19 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
     Some {
+      val bitSums = (0 until 32).map { b =>
+        s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE 0 END) AS c$b"
+      }.mkString(", ")
+      val sigExpr = (0 until 32).map { b =>
+        s"(CASE WHEN 2 * c$b > n THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString(" + ")
       val blockSelects = (0 until 4).map { i =>
         s"SELECT doc_id, simhash, $i AS blk, " +
           s"(simhash // ${1L << (8 * i)}) % 256 AS bval FROM sig"
       }.mkString(" UNION ALL ")
       s"""WITH $shingledDuckCte,
-      hh AS (SELECT doc_id,
-        list_transform(sh, s -> ${h32Duck("s")}) AS hh FROM sh),
-      sig AS (SELECT doc_id, $simhashDuck AS simhash FROM hh),
+      cnts AS (SELECT doc_id, count(*) AS n, $bitSums FROM inv GROUP BY doc_id),
+      sig AS (SELECT doc_id, $sigExpr AS simhash FROM cnts),
       blocks AS ($blockSelects)
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         bit_count(xor(a.simhash, b.simhash))::INT AS hamming
@@ -247,15 +281,15 @@ object Dedup {
   private val q20 = QueryDef(
     "q20_ngram_jaccard",
     (s, dir) => {
-      val sh = shingled(s, dir)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      // three consumers (sizes + both join sides) → materialize once.
+      val inv = inverted(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       // inverted-index self-join: |A ∩ B| = #common shingles; shuffle is
       // on the shingle key so cost tracks posting-list sizes, not |docs|².
       val inter = inv.alias("a")
         .join(inv.alias("b"),
-          col("a.shingle") === col("b.shingle")
-            && col("a.doc_id") < col("b.doc_id"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_common"))
       inter
@@ -268,12 +302,11 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""WITH $shingledDuckCte,
-      sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           count(*) AS n_common
         FROM inv a JOIN inv b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT doc_a, doc_b,
         n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
@@ -288,7 +321,9 @@ object Dedup {
   /** Cosine as three sequential left folds (dot, |a|², |b|²) so Spark's
     * `aggregate` and DuckDB's `list_reduce` see the identical operation
     * order → bit-identical doubles. Floats are widened to double before
-    * any arithmetic (exact).
+    * any arithmetic (exact). The Spark side evaluates the fused
+    * codegen'd CosineSimilarity expression, which implements the same
+    * fold order natively.
     */
   private[graft] val cosSpark: String =
     "aggregate(zip_with(ea, eb, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v) / " +
