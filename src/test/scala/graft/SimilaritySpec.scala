@@ -74,6 +74,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q30 typed top-k matches q22 row-for-row and partial-aggregates " +
+    "before the shuffle") {
+    val agg = SparkEntry.queries("q30_topk_aggregator")(spark, sf)
+    val win = SparkEntry.queries("q22_knn_bruteforce")(spark, sf)
+    assert(agg.collect().map(_.toSeq).toSeq ===
+      win.collect().map(_.toSeq).toSeq)
+    val plan = agg.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("partial_topkagg"),
+      "expected a map-side partial aggregation of the TopKAgg")
+  }
+
   test("q23 LSH candidates are a subset of brute-force scoring " +
     "(same cosine values where ids overlap)") {
     val bf = SparkEntry.queries("q22_knn_bruteforce")(spark, sf)
