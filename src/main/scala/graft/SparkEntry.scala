@@ -18,7 +18,8 @@ object SparkEntry {
       graft.ops.Similarity.all ++
       graft.ops.Events.all ++
       graft.ops.Multimodal.all ++
-      graft.ops.TopK.all
+      graft.ops.TopK.all ++
+      graft.ops.Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

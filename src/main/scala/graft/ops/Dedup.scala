@@ -325,10 +325,12 @@ object Dedup {
     * codegen'd CosineSimilarity expression, which implements the same
     * fold order natively.
     */
-  private[graft] val cosSpark: String =
-    "aggregate(zip_with(ea, eb, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v) / " +
-      "sqrt(aggregate(transform(ea, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v) * " +
-      "aggregate(transform(eb, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v))"
+  private[graft] def cosFoldSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v) / " +
+      s"sqrt(aggregate(transform($a, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v) * " +
+      s"aggregate(transform($b, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v))"
+
+  private[graft] val cosSpark: String = cosFoldSpark("ea", "eb")
 
   private[graft] def cosDuck(a: String, b: String): String = {
     def fold(l: String) =

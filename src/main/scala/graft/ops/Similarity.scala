@@ -177,5 +177,110 @@ object Similarity {
       WHERE rnk <= $KAnn ORDER BY query_id, rnk"""
     })
 
-  val all: Seq[QueryDef] = Seq(q22, q23)
+  // ---------- q33: per-cell centroids (IVF coarse codebook) -----------
+
+  /** Element-wise centroid of each label cell. Distributed shape:
+    * posexplode to (label, pos, val) rows and aggregate per (label, pos)
+    * — the shuffle key space is labels × dims, so this scales to any
+    * corpus size with no per-group memory beyond one cell's column.
+    *
+    * Determinism: the element sum is an ordered fold over the cell's
+    * values sorted by vec_id (collect_list → sort_array → aggregate on
+    * the Spark side, `list(... ORDER BY vec_id)` → `list_reduce` in the
+    * oracle), because a plain SUM(double) is execution-order-dependent.
+    * A production pipeline would use plain sum/avg; the ordered fold is
+    * the price of bit-exact cross-engine verification.
+    */
+  private val centSparkSum =
+    "aggregate(transform(sort_array(collect_list(struct(vec_id, val))), " +
+      "s -> cast(s.val AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private val centDuckCte =
+    s"""ex AS (SELECT label, vec_id, pos - 1 AS pos, embedding[pos] AS val
+        FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(pos)),
+      cent AS (SELECT label, pos,
+        list_reduce(list_prepend(0.0::DOUBLE, list(val::DOUBLE ORDER BY vec_id)),
+          (acc, v) -> acc + v) / count(*) AS centroid
+        FROM ex GROUP BY label, pos)"""
+
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr(centSparkSum).as("sum_val"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sum_val") / col("n")).as("centroid"))
+
+  private val q33 = QueryDef(
+    "q33_centroids",
+    (s, dir) => centroids(s, dir).orderBy("label", "pos"),
+    Some(s"""WITH $centDuckCte
+      SELECT label, pos, centroid FROM cent ORDER BY label, pos"""))
+
+  // ---------- q34: IVF-style ANN (coarse quantize → probe → re-rank) --
+
+  /** Inverted-file ANN search: route each query to its nearest cell
+    * centroid (coarse quantization), then run exact top-k only inside
+    * that cell — the corpus scan shrinks by ~|cells|×. Here the cells
+    * are the given `label` partitions standing in for a k-means
+    * codebook (training the codebook is an offline job; the SEARCH
+    * path — tiny broadcast codebook, equi-join on cell id, exact
+    * re-rank — is exactly this plan at any scale). Single-probe by
+    * design; recall is tuned by probing more cells.
+    */
+  private val q34 = QueryDef(
+    "q34_knn_ivf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cvecs = centroids(s, dir).groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, centroid))), " +
+          "s -> s.centroid)").as("cvec"))
+      val q = emb(s, dir).where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val wCell = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val assign = q.crossJoin(broadcast(cvecs))
+        .select(col("query_id"), col("qe"), col("label"),
+          expr(Dedup.cosFoldSpark("qe", "cvec")).as("ccos"))
+        .withColumn("rn", row_number().over(wCell))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("qe"), col("label").as("cell"))
+      val corpus = emb(s, dir).select(col("label").as("cell"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      assign.join(corpus, Seq("cell"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("cell"), col("neighbor_id"),
+          expr("graft_cosine(qe, ne)").as("cosine"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= KAnn)
+        .select(col("query_id"), col("cell"), col("rnk"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH $centDuckCte,
+      cvec AS (SELECT label, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < $NQueries),
+      cellscore AS (SELECT query_id, qe, label,
+          ${Dedup.cosDuck("qe", "cvec")} AS ccos
+        FROM q CROSS JOIN cvec),
+      assign AS (SELECT query_id, qe, label AS cell FROM (
+          SELECT query_id, qe, label, row_number() OVER (
+            PARTITION BY query_id ORDER BY ccos DESC, label) AS rn
+          FROM cellscore) WHERE rn = 1),
+      scored AS (SELECT query_id, cell, b.vec_id AS neighbor_id,
+          ${Dedup.cosDuck("qe", "b.embedding")} AS cosine
+        FROM assign a JOIN embeddings b
+        ON b.label = a.cell AND b.vec_id <> a.query_id),
+      r AS (SELECT query_id, cell, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+      SELECT query_id, cell, rnk, neighbor_id, cosine FROM r
+      WHERE rnk <= $KAnn ORDER BY query_id, rnk"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34)
 }

@@ -85,6 +85,21 @@ class SimilaritySpec extends AnyFunSuite {
       "expected a map-side partial aggregation of the TopKAgg")
   }
 
+  test("q34 IVF probes exactly one cell per query and scores match " +
+    "brute force on overlapping neighbors") {
+    val ivf = SparkEntry.queries("q34_knn_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val cellsPerQuery = ivf.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.get(1)).distinct.length)
+    assert(cellsPerQuery.values.forall(_ === 1))
+    val bf = SparkEntry.queries("q22_knn_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(3)))
+        .foreach(c => assert(c === r.getDouble(4)))
+    }
+  }
+
   test("q23 LSH candidates are a subset of brute-force scoring " +
     "(same cosine values where ids overlap)") {
     val bf = SparkEntry.queries("q22_knn_bruteforce")(spark, sf)
