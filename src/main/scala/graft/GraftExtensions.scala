@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, SelfCosineRule}
 
 /** Session extensions for the graft engine: registers the library's
   * native Catalyst expressions as SQL functions, so they are available
@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_cosine expects 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => SelfCosineRule)
   }
 }

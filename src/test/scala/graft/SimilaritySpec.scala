@@ -61,6 +61,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("SelfCosineRule rewrites graft_cosine(x, x) to a constant " +
+    "(no per-row vector loop in the optimized plan)") {
+    val e = Fixtures.table(spark, sf, "embeddings")
+    val df = e.select(expr("graft_cosine(embedding, embedding)").as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_cosine"), optimized)
+    // null still propagates
+    val r = spark.sql(
+      "SELECT graft_cosine(v, v) FROM (SELECT CAST(NULL AS ARRAY<FLOAT>) v)")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("q22 brute-force top-k: each query has exactly k ranked neighbors") {
     val df = SparkEntry.queries("q22_knn_bruteforce")(spark, sf)
     val rows = df.collect()
