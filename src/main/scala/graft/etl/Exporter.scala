@@ -43,6 +43,16 @@ object Exporter {
   def sanitize(name: String): String =
     name.filter(c => c.isLetterOrDigit || c == '_').toLowerCase
 
+  /** Output format of the run loop. The reference only emits JSON
+    * arrays (K1); Parquet is the engine's primary production sink
+    * (SURVEY.md §7.1 — columnar, splittable, predicate-pushdown-able by
+    * every downstream consumer), sharded per table with no
+    * driver-serial completion step.
+    */
+  sealed trait SinkMode
+  case object JsonArray extends SinkMode
+  case object Parquet extends SinkMode
+
   sealed trait TableOutcome
   final case class Exported(table: String, path: String) extends TableOutcome
   final case class Skipped(table: String, reason: String) extends TableOutcome
@@ -68,6 +78,7 @@ object Exporter {
       uuidCols: Set[String] = Set.empty,
       advanceOnPartialFailure: Boolean = false,
       tableParallelism: Int = 1,
+      sink: SinkMode = JsonArray,
       runTime: String = Coercions.nowPyString()): RunResult = {
 
     val st = store.read()
@@ -84,10 +95,16 @@ object Exporter {
           Watermark(source.read(t), st.lastRunTime) match {
             case None =>
               Skipped(t, "updated_at-only table (reference semantics)")
-            case Some(df) =>
-              val path = s"$prefix/$t.json"
-              JsonArraySink.write(df, path, uuidCols)
-              Exported(t, path)
+            case Some(df) => sink match {
+              case JsonArray =>
+                val path = s"$prefix/$t.json"
+                JsonArraySink.write(df, path, uuidCols)
+                Exported(t, path)
+              case Parquet =>
+                val path = s"$prefix/$t.parquet"
+                df.write.mode("overwrite").parquet(path)
+                Exported(t, path)
+            }
           }
         } catch {
           case e: Exception => Failed(t, String.valueOf(e.getMessage))

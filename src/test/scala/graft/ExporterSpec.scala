@@ -153,6 +153,19 @@ class ExporterSpec extends SparkSpec {
     assert(parsed.count() == nation.count())
   }
 
+  test("parquet sink mode: sharded columnar output, same routing") {
+    val out = tmpDir("pq")
+    val store = FileCheckpointStore(s"$out/ckpt.json")
+    val r = Exporter.run(fixtureSource, out, store,
+      sink = Exporter.Parquet, runTime = "2024-02-15 00:00:00")
+    assert(r.exported.map(_.table).sorted == Seq("codes", "users"))
+    val users = spark.read.parquet(s"$out/db_data/000001/users.parquet")
+    assert(users.count() == 3)
+    // native types survive (no JSON string coercion in the parquet path)
+    assert(users.schema("created_at").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+  }
+
   test("parallel table export produces identical outputs") {
     val out1 = tmpDir("par1"); val out2 = tmpDir("par2")
     val s1 = FileCheckpointStore(s"$out1/ckpt.json")
