@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-technique specs: bucketed co-located joins and salted skew
+  * joins — the physical-layout levers a 100 TB deployment uses on top
+  * of the query layer. Verified for plan shape AND result equality.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = GraftSession.builder("4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate the orders⋈lineitem join: " +
+    "no shuffle exchange in the join plan") {
+    val o = Fixtures.table(spark, sf, "orders")
+    val l = Fixtures.table(spark, sf, "lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    // disable auto-broadcast so the join would otherwise need a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketed layout satisfies the join's distribution requirement:
+      // the only exchange allowed is for the final aggregation, and
+      // even that is satisfied by bucketing on the same key
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"lineitem side should not reshuffle:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"orders side should not reshuffle:\n$plan")
+      // and the result matches the unbucketed join
+      val expect = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("salted join equals plain join on a skewed key distribution") {
+    import graft.ops.SkewJoin
+    // skew: user 0 owns ~half the events at every SF
+    val e = Fixtures.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val dim = e.groupBy(col("user_id"))
+      .agg(avg(col("value")).as("user_avg"))
+    val plain = e.join(dim, Seq("user_id"))
+      .select(col("event_id"), col("user_avg"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val salted = SkewJoin.saltedEquiJoin(e, dim, "user_id", salts = 8)
+      .select(col("event_id"), col("user_avg"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+}
