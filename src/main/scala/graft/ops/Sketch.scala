@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.{Fixtures, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sketch / sampling / order-statistic operators.
+  *
+  * Design rule for this engine: prefer DETERMINISTIC sketches. Spark's
+  * approx_count_distinct (HLL++) and DuckDB's approx sketches are
+  * engine-specific and can never hash-match an oracle; the KMV
+  * (k-minimum-values) estimator delivers the same accuracy class from
+  * pure relational operations on a portable hash, so the estimate
+  * itself is reproducible bit-for-bit anywhere — which also makes
+  * pipelines auditable (re-running the sketch on the same data yields
+  * the same number, a property HLL registers shared across partitions
+  * do not guarantee across engines).
+  */
+object Sketch {
+
+  private def h32Spark(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"
+  private def h32Duck(e: String): String =
+    s"('0x' || substring(md5($e), 1, 8))::BIGINT"
+
+  // ---------- q35: KMV distinct-count sketch --------------------------
+
+  private val K = 64
+
+  /** Distinct-count estimate per order priority: keep each group's K
+    * smallest distinct value-hashes; estimate = (K−1)·2³² / kth-min.
+    * Distributed shape: distinct → one window pass; at scale the
+    * k-smallest set is a partial aggregate (each partition contributes
+    * its own K minima — the TopK Aggregator pattern with reversed
+    * order), so the shuffle carries K rows per group.
+    */
+  private val q35 = QueryDef(
+    "q35_kmv_distinct",
+    (s, dir) => {
+      val o = Fixtures.table(s, dir, "orders")
+      val exact = o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      val h = o.select(col("o_orderpriority"),
+        expr(h32Spark("cast(o_custkey AS STRING)")).as("h")).distinct()
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("h"))
+      val wAll = Window.partitionBy(col("o_orderpriority"))
+      val est = h
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr(s"CASE WHEN max(nd) >= $K THEN " +
+          s"${K - 1}.0 * 4294967296.0 / max(CASE WHEN rn = $K THEN h END) " +
+          "ELSE cast(max(nd) AS DOUBLE) END").as("n_est"))
+      exact.join(est, "o_orderpriority").orderBy("o_orderpriority")
+    },
+    Some(s"""WITH exact AS (SELECT o_orderpriority,
+        count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1),
+      h AS (SELECT DISTINCT o_orderpriority,
+        ${h32Duck("o_custkey::VARCHAR")} AS h FROM orders),
+      r AS (SELECT o_orderpriority, h,
+        row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY o_orderpriority) AS nd FROM h),
+      est AS (SELECT o_orderpriority,
+        CASE WHEN max(nd) >= $K THEN
+          ${K - 1}.0 * 4294967296.0 / max(CASE WHEN rn = $K THEN h END)
+        ELSE cast(max(nd) AS DOUBLE) END AS n_est
+        FROM r GROUP BY 1)
+      SELECT exact.o_orderpriority, n_exact, n_est
+      FROM exact JOIN est USING (o_orderpriority)
+      ORDER BY o_orderpriority"""))
+
+  // ---------- q36: exact median via rank selection --------------------
+
+  /** Lower median of o_totalprice per order status — exact order
+    * statistic by row_number selection (no interpolation, so no
+    * engine-specific percentile formula can diverge). One sort per
+    * group partition; at scale use two passes (count, then select the
+    * kth by global sort position) or a t-digest if approximation is
+    * acceptable.
+    */
+  private val q36 = QueryDef(
+    "q36_median",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      val wAll = Window.partitionBy(col("o_orderstatus"))
+      Fixtures.table(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("o_orderstatus"))
+        .agg(max(expr("CASE WHEN rn = (n + 1) div 2 THEN o_totalprice END"))
+          .as("median_price"), max(col("n")).as("n_orders"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH r AS (SELECT o_orderstatus, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice) AS rn,
+        count(*) OVER (PARTITION BY o_orderstatus) AS n FROM orders)
+      SELECT o_orderstatus,
+        max(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS median_price,
+        max(n) AS n_orders
+      FROM r GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  // ---------- q37: deterministic train/val/test split -----------------
+
+  /** Hash-based corpus split (80/10/10) — the standard way to assign
+    * training splits so membership is a pure function of the document
+    * id: stable across runs, engines, and corpus growth (adding docs
+    * never reassigns existing ones). Pure projection + small agg.
+    */
+  private val q37 = QueryDef(
+    "q37_split_assign",
+    (s, dir) => Fixtures.table(s, dir, "documents")
+      .select(col("lang"),
+        expr(s"CASE WHEN ${h32Spark("concat('doc_', doc_id)")} % 100 < 80 " +
+          "THEN 'train' WHEN " +
+          s"${h32Spark("concat('doc_', doc_id)")} % 100 < 90 " +
+          "THEN 'val' ELSE 'test' END").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split"),
+    Some(s"""SELECT lang,
+      CASE WHEN ${h32Duck("'doc_' || doc_id")} % 100 < 80 THEN 'train'
+        WHEN ${h32Duck("'doc_' || doc_id")} % 100 < 90 THEN 'val'
+        ELSE 'test' END AS split,
+      count(*) AS n
+      FROM documents GROUP BY 1, 2 ORDER BY lang, split"""))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37)
+}
