@@ -57,5 +57,36 @@ object Analytics {
       SELECT 'supp_only', nationkey FROM (SELECT * FROM p EXCEPT SELECT * FROM c)
       ORDER BY tag, nationkey"""))
 
-  val all: Seq[QueryDef] = Seq(q31, q32)
+  /** FULL OUTER join: per-nation counts of high-balance customers vs
+    * high-balance suppliers — the filters make each side miss some
+    * nations, so both outer sides are exercised. `coalesce` restores
+    * the key and zero-fills the missing side.
+    */
+  private val q40 = QueryDef(
+    "q40_full_outer",
+    (s, dir) => {
+      val c = Fixtures.table(s, dir, "customer")
+        .where(col("c_acctbal") > 9000.0)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val p = Fixtures.table(s, dir, "supplier")
+        .where(col("s_acctbal") > 9000.0)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      c.join(p, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+    Some("""SELECT coalesce(c.nationkey, p.nationkey) AS nationkey,
+      coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+            FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1) c
+      FULL OUTER JOIN
+           (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+            FROM supplier WHERE s_acctbal > 9000.0 GROUP BY 1) p
+      ON c.nationkey = p.nationkey
+      ORDER BY nationkey"""))
+
+  val all: Seq[QueryDef] = Seq(q31, q32, q40)
 }

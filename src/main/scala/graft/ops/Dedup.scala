@@ -278,43 +278,52 @@ object Dedup {
 
   // ---------- q20: exact n-gram Jaccard via inverted index ------------
 
-  private val q20 = QueryDef(
-    "q20_ngram_jaccard",
-    (s, dir) => {
-      // three consumers (sizes + both join sides) → materialize once.
-      val inv = inverted(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // inverted-index self-join: |A ∩ B| = #common shingles; shuffle is
-      // on the shingle key so cost tracks posting-list sizes, not |docs|².
-      val inter = inv.alias("a")
-        .join(inv.alias("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("n_common").cast("double")
-            / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
-        .where(col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
-    },
-    Some(s"""WITH $shingledDuckCte,
+  /** All pairs with exact hashed-shingle Jaccard ≥ `threshold`
+    * (inverted-index self-join) — shared by q20, q38, q39.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    // three consumers (sizes + both join sides) → materialize once.
+    val inv = inverted(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // inverted-index self-join: |A ∩ B| = #common shingles; shuffle is
+    // on the shingle key so cost tracks posting-list sizes, not |docs|².
+    val inter = inv.alias("a")
+      .join(inv.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double")
+          / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Oracle twin of [[jaccardPairs]] as a `pairs` CTE chain. */
+  private def jaccardPairsDuckCte(threshold: Double): String =
+    s"""$shingledDuckCte,
       sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           count(*) AS n_common
         FROM inv a JOIN inv b
         ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT doc_a, doc_b,
-        n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
-      ORDER BY doc_a, doc_b"""))
+        GROUP BY 1, 2),
+      pairs AS (SELECT doc_a, doc_b,
+          n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= $threshold)"""
+
+  private val q20 = QueryDef(
+    "q20_ngram_jaccard",
+    (s, dir) => jaccardPairs(s, dir, 0.8).orderBy("doc_a", "doc_b"),
+    Some(s"""WITH ${jaccardPairsDuckCte(0.8)}
+      SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""))
 
   // ---------- q21: embedding-cosine near-dup pairs --------------------
 
@@ -363,5 +372,58 @@ object Dedup {
       WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.3
       ORDER BY vec_a, vec_b"""))
 
-  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21)
+  // ---------- q38: edit-distance verify of near-dup pairs -------------
+
+  /** Character-level Levenshtein over the near-dup candidate pairs —
+    * the fuzzy-match second opinion after set-based Jaccard (catches
+    * e.g. in-token edits that shingle sets overweight). Bounded cost:
+    * the O(len²) distance runs only on the ≥0.8 pairs, never all pairs,
+    * and on a fixed-length prefix.
+    */
+  private val q38 = QueryDef(
+    "q38_edit_distance",
+    (s, dir) => {
+      val d = docs(s, dir)
+      jaccardPairs(s, dir, 0.8)
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          levenshtein(substring(col("ta"), 1, 100),
+            substring(col("tb"), 1, 100)).as("edit_prefix100"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH ${jaccardPairsDuckCte(0.8)}
+      SELECT doc_a, doc_b, jaccard,
+        levenshtein(substring(da.text, 1, 100),
+          substring(db.text, 1, 100)) AS edit_prefix100
+      FROM pairs
+      JOIN documents da ON da.doc_id = doc_a
+      JOIN documents db ON db.doc_id = doc_b
+      ORDER BY doc_a, doc_b"""))
+
+  // ---------- q39: dedup apply (keep canonical survivors) -------------
+
+  /** The apply step: drop the higher-id member of every near-dup pair
+    * (greedy canonicalization — for chained clusters a connected-
+    * components pass replaces the greedy rule; pairs here are disjoint)
+    * and report the surviving corpus per language. Anti-join against
+    * the pair victims — one broadcast-able distinct id set at any
+    * scale where dup rate ≪ corpus.
+    */
+  private val q39 = QueryDef(
+    "q39_dedup_apply",
+    (s, dir) => {
+      val victims = jaccardPairs(s, dir, 0.8).select(col("doc_b").as("doc_id"))
+      docs(s, dir)
+        .join(victims, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH ${jaccardPairsDuckCte(0.8)}
+      SELECT lang, count(*) AS n_kept FROM documents
+      WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+      GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q38, q39)
 }
