@@ -1,36 +1,56 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query steady-state seconds.
+  *
+  * Protocol (documented in BASELINE.md):
+  *  - every plan is warmed once at sf0.001 first (JIT + Janino codegen
+  *    are one-time process costs, not per-query costs);
+  *  - each query is materialized via `queryExecution.toRdd.count()` —
+  *    NOT `df.count()`, which would let Catalyst prune projections and
+  *    drop sorts, timing a bare scan for projection-only queries;
+  *  - best-of-2 runs per query (this shared container shows ±50 %
+  *    noise on sub-second timings);
+  *  - failures are reported in an "errors" list and timed as -1, never
+  *    silently folded into the total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session and JIT: run every query once at the smallest SF
-    // so measured numbers reflect steady-state execution, not one-time
-    // JVM startup + Janino codegen compilation of each plan (~2-5 s for
-    // the larger plans, paid once per process in any real deployment).
+
+    // full-plan materialization: forces every projection column and the
+    // query's own sort, unlike a count() on top
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Long =
+      fn(spark, dir).queryExecution.toRdd.count()
+
     spark.range(1000000).selectExpr("sum(id)").collect()
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count(): Unit }
-        catch { case _: Throwable => }
+        try { run(fn, warmDir): Unit } catch { case _: Throwable => }
       }
-    // best-of-2 per query: this shared container shows ±50 % noise on
-    // sub-second queries; the min is the stable steady-state estimate.
+
+    var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { run(fn, sfDir); true }
+          catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      name -> times.min
+      val good = times.filterNot(_.isNaN)
+      if (good.isEmpty) { errors ::= name; name -> -1.0 }
+      else name -> good.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -85,14 +85,23 @@ object Exporter {
     val serial = st.dataSerial + 1
     val prefix = f"$outDir/db_data/$serial%06d"
 
-    val tables = source.tableNames
-      .map(sanitize).filter(_.nonEmpty).distinct
-      .filterNot(ignore.contains)
+    // DEVIATION (flagged, SURVEY.md §1.4): the reference reads via the
+    // SANITIZED name (db_extractor_full.py:377 interpolates it into
+    // SQL), so a name that changes under sanitization silently breaks.
+    // Here the source is read under the ORIGINAL name; sanitization
+    // only shapes the output key. Distinct protects against two
+    // originals colliding on the same sanitized output name.
+    val tables: Seq[(String, String)] = source.tableNames
+      .map(t => (t, sanitize(t)))
+      .filter(_._2.nonEmpty)
+      .distinctBy(_._2)
+      .filterNot { case (_, clean) => ignore.contains(clean) }
 
     val outcomes: Seq[TableOutcome] = {
-      def one(t: String): TableOutcome =
+      def one(tc: (String, String)): TableOutcome = {
+        val (orig, t) = tc
         try {
-          Watermark(source.read(t), st.lastRunTime) match {
+          Watermark(source.read(orig), st.lastRunTime) match {
             case None =>
               Skipped(t, "updated_at-only table (reference semantics)")
             case Some(df) => sink match {
@@ -109,6 +118,7 @@ object Exporter {
         } catch {
           case e: Exception => Failed(t, String.valueOf(e.getMessage))
         }
+      }
       if (tableParallelism <= 1) tables.map(one)
       else {
         import scala.concurrent._

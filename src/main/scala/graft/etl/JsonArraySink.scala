@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.DataFrame
-import java.io.{BufferedReader, BufferedWriter, FileReader, FileWriter}
+import java.io.{BufferedReader, BufferedWriter}
 import java.nio.file.{Files, Path, Paths}
 
 /** The reference's signature sink: ONE JSON **array** per table
@@ -59,12 +59,16 @@ object JsonArraySink {
     * Streams line-by-line — bounded memory regardless of table size.
     */
   private def compose(parts: Seq[Path], out: Path): Unit = {
-    val w = new BufferedWriter(new FileWriter(out.toFile), 1 << 20)
+    // explicit UTF-8: Spark writes the part files as UTF-8; the platform
+    // default charset must not leak into the re-encode
+    val w = new BufferedWriter(Files.newBufferedWriter(out,
+      java.nio.charset.StandardCharsets.UTF_8), 1 << 20)
     try {
       w.write("[")
       var first = true
       parts.foreach { p =>
-        val r = new BufferedReader(new FileReader(p.toFile), 1 << 20)
+        val r = new BufferedReader(Files.newBufferedReader(p,
+          java.nio.charset.StandardCharsets.UTF_8), 1 << 20)
         try {
           var line = r.readLine()
           while (line != null) {

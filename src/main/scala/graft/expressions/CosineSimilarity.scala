@@ -87,3 +87,55 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_cosine(x, x)` after SelfCosineRule: 1.0 for any vector with a
+  * non-zero norm, NaN for zero/empty vectors, null for null — the
+  * binary expression's exact diagonal arithmetic (dot==na), but one
+  * array pass with one accumulator instead of two passes and three.
+  */
+case class SelfCosine(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_self_cosine expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_self_cosine"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var na = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val xi = x.getFloat(i).toDouble
+      na += xi * xi
+      i += 1
+    }
+    // identical arithmetic to the binary expression's diagonal (dot==na):
+    // 1.0 normally, NaN for zero norm, and the same ±Inf behavior at
+    // norm under/overflow — bit-exact with the unrewritten plan
+    na / math.sqrt(na * na)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val na = ctx.freshName("na")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      s"""
+        |double $na = 0.0;
+        |for (int $i = 0; $i < $a.numElements(); $i++) {
+        |  final double $x = (double) $a.getFloat($i);
+        |  $na += $x * $x;
+        |}
+        |${ev.value} = $na / java.lang.Math.sqrt($na * $na);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SelfCosine =
+    copy(child = newChild)
+}

@@ -44,7 +44,11 @@ object Multimodal {
         i += 1
       }
       val n = bytes.length
-      val sample8 = (0 until 8).map(k => bytes(k * n / 8) & 0xff)
+      // long arithmetic (k*n overflows Int past ~256 MB payloads);
+      // empty payloads sample as zeros rather than crashing the task
+      val sample8 =
+        if (n == 0) Seq.fill(8)(0)
+        else (0 until 8).map(k => bytes((k.toLong * n / 8).toInt) & 0xff)
       BinFeatures(id, n, checksum, hist.toSeq, sample8)
     }
 
@@ -68,7 +72,7 @@ object Multimodal {
         list_transform(range(0, 16),
           b -> len(list_filter(chars, c -> ascii(c) % 16 = b))::INT) AS hist,
         list_transform(range(0, 8),
-          k -> ascii(chars[(k * strlen(text)) // 8 + 1])) AS sample8
+          k -> coalesce(ascii(chars[(k * strlen(text)) // 8 + 1]), 0)) AS sample8
       FROM cl ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(q29)

@@ -18,11 +18,7 @@ import org.apache.spark.sql.functions._
   * do not guarantee across engines).
   */
 object Sketch {
-
-  private def h32Spark(e: String): String =
-    s"cast(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"
-  private def h32Duck(e: String): String =
-    s"('0x' || substring(md5($e), 1, 8))::BIGINT"
+  import Portable.{h32Spark, h32Duck}
 
   // ---------- q35: KMV distinct-count sketch --------------------------
 

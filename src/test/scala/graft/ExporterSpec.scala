@@ -119,6 +119,22 @@ class ExporterSpec extends SparkSpec {
     assert(Exporter.sanitize("UPPER_case_9") == "upper_case_9")
   }
 
+  test("tables are read under their ORIGINAL name; sanitize only shapes " +
+    "the output key (deviation from the reference's sanitized read)") {
+    val src = new TableSource {
+      override def tableNames: Seq[String] = Seq("Weird-Name")
+      override def read(table: String) = {
+        assert(table == "Weird-Name", s"read called with sanitized '$table'")
+        fixtureSource.read("codes")
+      }
+    }
+    val out = tmpDir("orig")
+    val store = FileCheckpointStore(s"$out/ckpt.json")
+    val r = Exporter.run(src, out, store, runTime = "2024-01-01 00:00:00")
+    assert(r.exported.map(_.table) == Seq("weirdname"))
+    assert(Files.exists(Paths.get(s"$out/db_data/000001/weirdname.json")))
+  }
+
   test("schema dump: MD5 gate writes only on change") {
     val out = tmpDir("schema")
     val store = FileCheckpointStore(s"$out/ckpt.json")

@@ -61,17 +61,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
-  test("SelfCosineRule rewrites graft_cosine(x, x) to a constant " +
-    "(no per-row vector loop in the optimized plan)") {
+  test("SelfCosineRule rewrites graft_cosine(x, x) to the single-pass " +
+    "form, preserving null and zero-vector NaN semantics") {
     val e = Fixtures.table(spark, sf, "embeddings")
     val df = e.select(expr("graft_cosine(embedding, embedding)").as("c"))
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("graft_cosine"), optimized)
-    // null still propagates
+    assert(optimized.contains("graft_self_cosine"), optimized)
+    assert(!optimized.contains("graft_cosine("), optimized)
+    // null propagates
     val r = spark.sql(
       "SELECT graft_cosine(v, v) FROM (SELECT CAST(NULL AS ARRAY<FLOAT>) v)")
       .collect()(0)
     assert(r.isNullAt(0))
+    // zero vector → NaN, same as the unrewritten expression
+    val z = spark.sql(
+      "SELECT graft_cosine(v, v) FROM (SELECT array(0.0F, 0.0F) v)")
+      .collect()(0).getDouble(0)
+    assert(z.isNaN)
   }
 
   test("q22 brute-force top-k: each query has exactly k ranked neighbors") {
