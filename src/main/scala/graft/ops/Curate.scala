@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a training-data build
+  * actually runs, wiring the operator families together as one library
+  * pipeline:
+  *
+  *   quality filter  →  near-dup removal  →  split assignment  →
+  *   partitioned parquet layout
+  *
+  * Every stage is one of the registry operators (q14 quality scoring,
+  * q20/q39 near-dup pairs + apply, q37 hash splits) applied as a
+  * DataFrame→DataFrame transform, so the pipeline inherits their scale
+  * properties: the only corpus-wide shuffles are the dedup posting-table
+  * joins; quality and split are narrow projections; the final write is
+  * partitioned by split so downstream training jobs prune to their
+  * split at the file-listing level.
+  */
+object Curate {
+
+  import Portable.h32Spark
+
+  /** Quality score (same formula as q14_text_quality). */
+  def withQuality(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("quality",
+        lit(0.3) * (size(array_distinct(toks)).cast("double") / col("n_tokens"))
+          + lit(0.2) * (lit(1.0) -
+            expr("size(filter(split(text, ' '), t -> t IN ('the','a','of','to','and')))")
+              .cast("double") / col("n_tokens"))
+          + lit(0.2) * (lit(1.0) - length(regexp_replace(col("text"), "[a-z ]", ""))
+            .cast("double") / length(col("text")))
+          + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)))
+  }
+
+  /** Split assignment (same hash contract as q37_split_assign). */
+  def withSplit(docs: DataFrame): DataFrame =
+    docs.withColumn("split",
+      expr(s"CASE WHEN ${h32Spark("concat('doc_', doc_id)")} % 100 < 80 " +
+        "THEN 'train' WHEN " +
+        s"${h32Spark("concat('doc_', doc_id)")} % 100 < 90 " +
+        "THEN 'val' ELSE 'test' END"))
+
+  final case class CurationReport(
+      input: Long, afterQuality: Long, afterDedup: Long,
+      bySplit: Map[String, Long], outPath: String)
+
+  /** Run the full pipeline over a fixture directory and write the
+    * curated corpus partitioned by split. `minQuality` gates stage 1;
+    * near-dup removal keeps the lower doc_id of every ≥0.8-Jaccard
+    * pair (q39 semantics).
+    */
+  def run(spark: SparkSession, sfDir: String, outPath: String,
+      minQuality: Double = 0.5): CurationReport = {
+    val docs = graft.Fixtures.table(spark, sfDir, "documents")
+    val input = docs.count()
+
+    val qualified = withQuality(docs).where(col("quality") >= minQuality)
+    val afterQuality = qualified.count()
+
+    // near-dup victims from the full corpus (dedup before OR after the
+    // quality gate is a policy choice; here after, so borderline dups of
+    // a high-quality doc don't survive via the removed twin)
+    val victims = graft.ops.Dedup.nearDupVictims(spark, sfDir, 0.8)
+    val deduped = qualified.join(victims, Seq("doc_id"), "left_anti")
+    val afterDedup = deduped.count()
+
+    val curated = withSplit(deduped)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("quality"), col("split"))
+    curated.write.mode("overwrite").partitionBy("split").parquet(outPath)
+
+    val bySplit = spark.read.parquet(outPath)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    CurationReport(input, afterQuality, afterDedup, bySplit, outPath)
+  }
+}

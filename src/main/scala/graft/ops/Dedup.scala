@@ -422,10 +422,18 @@ object Dedup {
     * the pair victims — one broadcast-able distinct id set at any
     * scale where dup rate ≪ corpus.
     */
+  /** The higher-id member of every near-dup pair — the removal set the
+    * apply step (q39) and the curation pipeline (ops.Curate) anti-join
+    * against.
+    */
+  private[ops] def nearDupVictims(s: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    jaccardPairs(s, dir, threshold).select(col("doc_b").as("doc_id")).distinct()
+
   private val q39 = QueryDef(
     "q39_dedup_apply",
     (s, dir) => {
-      val victims = jaccardPairs(s, dir, 0.8).select(col("doc_b").as("doc_id"))
+      val victims = nearDupVictims(s, dir, 0.8)
       docs(s, dir)
         .join(victims, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))

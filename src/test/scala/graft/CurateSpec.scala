@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end curation pipeline: quality gate → dedup → split →
+  * partitioned layout, verified for count accounting, dedup
+  * effectiveness, split stability, and partition pruning.
+  */
+class CurateSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = GraftSession.builder("4").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  test("curation pipeline accounts for every document") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curated").toString
+    val r = graft.ops.Curate.run(spark, sf, s"$out/corpus")
+    assert(r.input === 500L)
+    assert(r.afterQuality <= r.input && r.afterQuality > 0)
+    assert(r.afterDedup <= r.afterQuality && r.afterDedup > 0)
+    assert(r.bySplit.values.sum === r.afterDedup)
+    assert(r.bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // the 25 planted near-dup pairs lose at most one member each
+    assert(r.afterQuality - r.afterDedup <= 25)
+
+    // split assignment is a pure function of doc_id: identical on re-run
+    val r2 = graft.ops.Curate.run(spark, sf, s"$out/corpus2")
+    assert(r2.bySplit === r.bySplit)
+
+    // partitioned layout: reading one split only lists that directory
+    val train = spark.read.parquet(s"$out/corpus")
+      .where(col("split") === "train")
+    assert(train.count() === r.bySplit.getOrElse("train", 0L))
+    val scan = train.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+}
