@@ -88,5 +88,86 @@ object Analytics {
       ON c.nationkey = p.nationkey
       ORDER BY nationkey"""))
 
-  val all: Seq[QueryDef] = Seq(q31, q32, q40)
+  /** Window-function breadth: ranking (rank/dense_rank/ntile),
+    * distribution (percent_rank/cume_dist — both single divisions of
+    * ints, so cross-engine exact), and a running sum in DECIMAL (a
+    * running double sum would be bit-exact only if both engines
+    * accumulate in the same association order, which sliding-window
+    * implementations do not guarantee — DECIMAL is order-independent).
+    * One shuffle + one sort per partition key, all functions share the
+    * same window.
+    */
+  private val q41 = QueryDef(
+    "q41_window_stats",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Fixtures.table(s, dir, "orders")
+        .where(col("o_totalprice") > 350000.0)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("run_sum",
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
+        .orderBy("o_orderstatus", "rnk")
+    },
+    Some("""SELECT o_orderstatus, o_orderkey, o_totalprice,
+      rank() OVER w AS rnk,
+      dense_rank() OVER w AS drnk,
+      ntile(4) OVER w AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume,
+      cast(sum(cast(o_totalprice AS DECIMAL(18,4)))
+        OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum
+      FROM orders WHERE o_totalprice > 350000.0
+      WINDOW w AS (PARTITION BY o_orderstatus
+        ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderstatus, rnk"""))
+
+  /** Pivot as conditional aggregation (the portable formulation; Spark's
+    * .pivot() plans the identical aggregate, but explicit CASE columns
+    * pin the output names for the oracle). Wide-format order counts and
+    * exact sums per priority × status.
+    */
+  private val q42 = QueryDef(
+    "q42_pivot",
+    (s, dir) => {
+      val statuses = Seq("F", "O", "P")
+      val o = Fixtures.table(s, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          statuses.tail.map(st =>
+            sum(when(col("o_orderstatus") === st, 1).otherwise(0))
+              .as(s"n_${st.toLowerCase}")) ++
+          statuses.map(st =>
+            sum(when(col("o_orderstatus") === st,
+              col("o_totalprice").cast(DecimalType(18, 4)))
+              .otherwise(lit(0).cast(DecimalType(18, 4))))
+              .cast(DoubleType).as(s"sum_${st.toLowerCase}")): _*)
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+      sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      cast(sum(CASE WHEN o_orderstatus = 'F'
+        THEN cast(o_totalprice AS DECIMAL(18,4))
+        ELSE cast(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_f,
+      cast(sum(CASE WHEN o_orderstatus = 'O'
+        THEN cast(o_totalprice AS DECIMAL(18,4))
+        ELSE cast(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_o,
+      cast(sum(CASE WHEN o_orderstatus = 'P'
+        THEN cast(o_totalprice AS DECIMAL(18,4))
+        ELSE cast(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Seq[QueryDef] = Seq(q31, q32, q40, q41, q42)
 }
