@@ -135,6 +135,23 @@ class ExporterSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$out/db_data/000001/weirdname.json")))
   }
 
+  test("GraftJob runs schema dump then export in one invocation, " +
+    "containing phase failures (lambda_handler twin)") {
+    val out = tmpDir("job")
+    val store = FileCheckpointStore(s"$out/ckpt.json")
+    val r = GraftJob.run(fixtureSource, out, store)
+    assert(r.schema.exists(_.changed))
+    assert(r.data.exists(_.exported.nonEmpty))
+    // a schema-phase failure never blocks the data phase
+    val boom = new TableSource {
+      override def tableNames: Seq[String] =
+        throw new RuntimeException("catalog down")
+      override def read(table: String) = fixtureSource.read("codes")
+    }
+    val r2 = GraftJob.run(boom, out, store)
+    assert(r2.schema.isLeft && r2.data.isLeft) // both phases contained
+  }
+
   test("schema dump: MD5 gate writes only on change") {
     val out = tmpDir("schema")
     val store = FileCheckpointStore(s"$out/ckpt.json")
