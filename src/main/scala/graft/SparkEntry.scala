@@ -20,7 +20,8 @@ object SparkEntry {
       graft.ops.Multimodal.all ++
       graft.ops.TopK.all ++
       graft.ops.Analytics.all ++
-      graft.ops.Sketch.all
+      graft.ops.Sketch.all ++
+      graft.ops.Quality.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -91,14 +91,14 @@ object Dedup {
     */
   private val lastInv =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private def persistedInverted(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def persistedInverted(s: SparkSession, dir: String): DataFrame = {
     val inv = inverted(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Option(lastInv.getAndSet(inv)).foreach(_.unpersist(blocking = false))
     inv
   }
 
-  private def inverted(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def inverted(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     docs(s, dir)
@@ -112,7 +112,7 @@ object Dedup {
       .distinct()
   }
 
-  private val shingledDuckCte =
+  private[ops] val shingledDuckCte =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS toks
       FROM documents WHERE len(string_split(text, ' ')) >= 3),
     hts AS (SELECT doc_id,

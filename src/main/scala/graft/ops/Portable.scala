@@ -6,7 +6,7 @@ package graft.ops
   * and DuckDB SQL. One definition so the two dialects can never
   * de-synchronize.
   */
-private[ops] object Portable {
+private[graft] object Portable {
   def h32Spark(e: String): String =
     s"cast(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"
   def h32Duck(e: String): String =

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.{Fixtures, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators beyond the per-doc scoring of q14:
+  * intra-document repetition and benchmark contamination — the two
+  * filters a pretraining build runs between dedup and split assignment.
+  * Both reuse the dedup family's hashed-shingle posting table
+  * (Dedup.inverted), so at scale they share its materialization.
+  */
+object Quality {
+
+  import Portable.h32Spark
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Fixtures.table(s, dir, "documents")
+
+  // ---------- q43: intra-document repetition --------------------------
+
+  /** Repetition score per document: 1 − distinct/total trigrams (the
+    * Gopher-style duplicate-n-gram fraction). A doc that repeats a
+    * passage scores high even when no OTHER doc matches it — this is
+    * the within-doc complement of the cross-doc dedup family. Narrow:
+    * one pass over the posting table + a projection join.
+    */
+  private val q43 = QueryDef(
+    "q43_repetition",
+    (s, dir) => {
+      val nd = Dedup.inverted(s, dir)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          (size(split(col("text"), " ")) - 2).as("n_total"))
+        .where(col("n_total") >= 1)
+        .join(nd, "doc_id")
+        .select(col("doc_id"), col("n_total"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_total"))
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${Dedup.shingledDuckCte},
+      nd AS (SELECT doc_id, count(*) AS n_distinct FROM inv GROUP BY 1),
+      tot AS (SELECT doc_id, len(string_split(text, ' ')) - 2 AS n_total
+        FROM documents WHERE len(string_split(text, ' ')) - 2 >= 1)
+      SELECT tot.doc_id, n_total, n_distinct,
+        1.0 - n_distinct::DOUBLE / n_total AS rep_ratio
+      FROM tot JOIN nd ON nd.doc_id = tot.doc_id
+      ORDER BY 1"""))
+
+  // ---------- q44: benchmark contamination ----------------------------
+
+  private val NBench = 10
+
+  /** Decontamination check: for each "benchmark" document (doc_id <
+    * 10 stands in for an eval set), the fraction of its trigrams that
+    * appear anywhere in the train split (q37's hash split, benchmark
+    * docs excluded). High coverage ⇒ the benchmark leaks into
+    * training data. Distributed shape: semi-join of the benchmark's
+    * postings against the distinct train-shingle set — shuffle on the
+    * 8-byte shingle key, never a doc×doc comparison.
+    */
+  private val q44 = QueryDef(
+    "q44_contamination",
+    (s, dir) => {
+      val inv = Dedup.persistedInverted(s, dir)
+      val trainIds = docs(s, dir)
+        .where(col("doc_id") >= NBench &&
+          expr(s"${h32Spark("concat('doc_', doc_id)")} % 100 < 80"))
+        .select(col("doc_id"))
+      val trainShingles = inv.join(trainIds, "doc_id")
+        .select(col("h")).distinct()
+        .withColumn("in_train", lit(1))
+      inv.where(col("doc_id") < NBench)
+        .join(trainShingles, Seq("h"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("in_train"), lit(0))).as("n_hit"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_shingles"))
+            .as("contamination"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${Dedup.shingledDuckCte},
+      train_ids AS (SELECT doc_id FROM documents
+        WHERE doc_id >= $NBench
+        AND ${graft.ops.Portable.h32Duck("'doc_' || doc_id")} % 100 < 80),
+      train_sh AS (SELECT DISTINCT h FROM inv
+        JOIN train_ids USING (doc_id)),
+      bench AS (SELECT doc_id, h FROM inv WHERE doc_id < $NBench)
+      SELECT doc_id, count(*) AS n_shingles,
+        sum(CASE WHEN train_sh.h IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+        sum(CASE WHEN train_sh.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+          / count(*) AS contamination
+      FROM bench LEFT JOIN train_sh ON bench.h = train_sh.h
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q43, q44)
+}
