@@ -35,9 +35,16 @@ object EventStream {
     val path = s"$dir/events.parquet"
     val streamDir =
       if (new java.io.File(path).isFile) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
-        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-          tmp.resolve("part-00000.parquet"))
+        // stable per source path (not a fresh temp dir): a streaming
+        // checkpoint records source file offsets, so a restarted query
+        // must see the same directory
+        val tag = java.lang.Integer.toHexString(path.hashCode)
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_stream_src_$tag")
+        java.nio.file.Files.createDirectories(tmp)
+        val dst = tmp.resolve("part-00000.parquet")
+        if (!java.nio.file.Files.exists(dst))
+          java.nio.file.Files.copy(java.nio.file.Paths.get(path), dst)
         tmp.toFile.deleteOnExit()
         tmp.toString
       } else path
@@ -84,6 +91,25 @@ object EventStream {
   private def fromUs(us: Long): java.time.LocalDateTime =
     java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
       (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)
+
+  /** Continuous incremental export — the reference's cron-invoked
+    * Lambda (poll → filter by watermark → write serial-numbered output,
+    * SURVEY.md §2.9) collapsed into a Structured Streaming query: the
+    * engine's file-source offsets replace the hand-rolled SSM
+    * checkpoint, each micro-batch lands as its own serial-numbered
+    * parquet directory, and `checkpointDir` gives exactly-once batch
+    * tracking across restarts. `Trigger.AvailableNow` = one reference
+    * "invocation"; a processing-time trigger = the cron loop.
+    */
+  def incrementalExport(events: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          batch.write.mode("overwrite")
+            .parquet(f"$outDir/db_data/$id%06d/events.parquet")
+      }
 
   /** 30-min-gap sessions per user via flatMapGroupsWithState — the
     * custom-state path (KeyValueGroupedDataset) for semantics the

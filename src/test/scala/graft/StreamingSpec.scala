@@ -31,6 +31,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("incremental export streams the full table once, exactly-once " +
+    "across a restart (foreachBatch + checkpoint)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val q = EventStream.incrementalExport(
+      EventStream.readEvents(spark, sf), out, s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batches = new java.io.File(s"$out/db_data").listFiles()
+    assert(batches != null && batches.nonEmpty)
+    val exported = spark.read.parquet(
+      batches.map(b => s"$b/events.parquet"): _*)
+    assert(exported.count() === Fixtures.table(spark, sf, "events").count())
+    // restart with the same checkpoint: no new data → no new batches
+    val q2 = EventStream.incrementalExport(
+      EventStream.readEvents(spark, sf), out, s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val exported2 = spark.read.parquet(
+      new java.io.File(s"$out/db_data").listFiles()
+        .map(b => s"$b/events.parquet"): _*)
+    assert(exported2.count() === exported.count())
+  }
+
   test("flatMapGroupsWithState sessionization == batch q27 (backfill mode)") {
     import spark.implicits._
     val src = EventStream.readEvents(spark, sf)
