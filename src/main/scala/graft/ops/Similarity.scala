@@ -88,8 +88,8 @@ object Similarity {
 
   // ---------- q22: brute-force exact top-k ---------------------------
 
-  private val K = 5
-  private val NQueries = 8
+  private[ops] val K = 5
+  private[ops] val NQueries = 8
 
   private val q22 = QueryDef(
     "q22_knn_bruteforce",

@@ -47,8 +47,9 @@ object TopK {
       ExpressionEncoder[Seq[Scored]]()
   }
 
-  private val K = 5
-  private val NQueries = 8
+  // same query-set contract as q22 (the shared oracle requires it)
+  private val K = Similarity.K
+  private val NQueries = Similarity.NQueries
 
   /** q22's KNN, but the per-query top-k runs through the partial-agg
     * path instead of a window sort. Identical output contract (and the
