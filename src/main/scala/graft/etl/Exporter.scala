@@ -38,10 +38,16 @@ object Exporter {
   val SchemaIgnore: Set[String] = Set("audit_history", "v_locations")
 
   /** Reference sanitization: keep [alnum_], lowercase
-    * (db_extractor_full.py:463-473).
+    * (db_extractor_full.py:463-473). Lowercasing happens BEFORE the
+    * filter (unlike the reference, which filters first): one-to-many
+    * lowercase expansions (e.g. U+0130 → "i" + combining dot) would
+    * otherwise re-introduce non-alnum characters, making the transform
+    * non-idempotent. Result contract: lowercase letters/digits/_ only
+    * (Unicode letters allowed, as in the reference's isalnum()).
     */
   def sanitize(name: String): String =
-    name.filter(c => c.isLetterOrDigit || c == '_').toLowerCase
+    name.toLowerCase.filter(c =>
+      (c.isLetterOrDigit && !c.isUpper) || c == '_')
 
   /** Output format of the run loop. The reference only emits JSON
     * arrays (K1); Parquet is the engine's primary production sink

@@ -21,8 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  import Portable.h32Spark
-
   /** Quality score (same formula as q14_text_quality). */
   def withQuality(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
@@ -38,13 +36,12 @@ object Curate {
           + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)))
   }
 
-  /** Split assignment (same hash contract as q37_split_assign). */
+  /** Split assignment — literally q37_split_assign's expression
+    * (Portable.splitCaseSpark), so pipeline and registry query cannot
+    * drift apart.
+    */
   def withSplit(docs: DataFrame): DataFrame =
-    docs.withColumn("split",
-      expr(s"CASE WHEN ${h32Spark("concat('doc_', doc_id)")} % 100 < 80 " +
-        "THEN 'train' WHEN " +
-        s"${h32Spark("concat('doc_', doc_id)")} % 100 < 90 " +
-        "THEN 'val' ELSE 'test' END"))
+    docs.withColumn("split", expr(Portable.splitCaseSpark))
 
   final case class CurationReport(
       input: Long, afterQuality: Long, afterDedup: Long,
@@ -60,24 +57,30 @@ object Curate {
     val docs = graft.Fixtures.table(spark, sfDir, "documents")
     val input = docs.count()
 
+    // materialize the gated set once: it feeds the count, the anti-join,
+    // and the write — without the persist the quality scan and the dedup
+    // join would re-execute per action
     val qualified = withQuality(docs).where(col("quality") >= minQuality)
-    val afterQuality = qualified.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val afterQuality = qualified.count()
 
-    // near-dup victims from the full corpus (dedup before OR after the
-    // quality gate is a policy choice; here after, so borderline dups of
-    // a high-quality doc don't survive via the removed twin)
-    val victims = graft.ops.Dedup.nearDupVictims(spark, sfDir, 0.8)
-    val deduped = qualified.join(victims, Seq("doc_id"), "left_anti")
-    val afterDedup = deduped.count()
+      // near-dup victims from the full corpus (dedup before OR after the
+      // quality gate is a policy choice; here after, so borderline dups of
+      // a high-quality doc don't survive via the removed twin)
+      val victims = graft.ops.Dedup.nearDupVictims(spark, sfDir, 0.8)
+      val curated = withSplit(
+        qualified.join(victims, Seq("doc_id"), "left_anti"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("quality"), col("split"))
+      curated.write.mode("overwrite").partitionBy("split").parquet(outPath)
 
-    val curated = withSplit(deduped)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("quality"), col("split"))
-    curated.write.mode("overwrite").partitionBy("split").parquet(outPath)
-
-    val bySplit = spark.read.parquet(outPath)
-      .groupBy("split").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    CurationReport(input, afterQuality, afterDedup, bySplit, outPath)
+      // read the written corpus back for the split accounting; its total
+      // IS the post-dedup count (one pipeline execution, not two)
+      val bySplit = spark.read.parquet(outPath)
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      CurationReport(input, afterQuality, bySplit.values.sum, bySplit, outPath)
+    } finally qualified.unpersist(blocking = false)
   }
 }

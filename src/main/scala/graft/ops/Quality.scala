@@ -12,8 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  import Portable.h32Spark
-
   private def docs(s: SparkSession, dir: String): DataFrame =
     Fixtures.table(s, dir, "documents")
 
@@ -67,7 +65,7 @@ object Quality {
       val inv = Dedup.persistedInverted(s, dir)
       val trainIds = docs(s, dir)
         .where(col("doc_id") >= NBench &&
-          expr(s"${h32Spark("concat('doc_', doc_id)")} % 100 < 80"))
+          expr(Portable.splitCaseSpark) === "train")
         .select(col("doc_id"))
       val trainShingles = inv.join(trainIds, "doc_id")
         .select(col("h")).distinct()
@@ -85,7 +83,7 @@ object Quality {
     Some(s"""WITH ${Dedup.shingledDuckCte},
       train_ids AS (SELECT doc_id FROM documents
         WHERE doc_id >= $NBench
-        AND ${graft.ops.Portable.h32Duck("'doc_' || doc_id")} % 100 < 80),
+        AND (${Portable.splitCaseDuck}) = 'train'),
       train_sh AS (SELECT DISTINCT h FROM inv
         JOIN train_ids USING (doc_id)),
       bench AS (SELECT doc_id, h FROM inv WHERE doc_id < $NBench)

@@ -108,18 +108,11 @@ object Sketch {
   private val q37 = QueryDef(
     "q37_split_assign",
     (s, dir) => Fixtures.table(s, dir, "documents")
-      .select(col("lang"),
-        expr(s"CASE WHEN ${h32Spark("concat('doc_', doc_id)")} % 100 < 80 " +
-          "THEN 'train' WHEN " +
-          s"${h32Spark("concat('doc_', doc_id)")} % 100 < 90 " +
-          "THEN 'val' ELSE 'test' END").as("split"))
+      .select(col("lang"), expr(Portable.splitCaseSpark).as("split"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "split"),
-    Some(s"""SELECT lang,
-      CASE WHEN ${h32Duck("'doc_' || doc_id")} % 100 < 80 THEN 'train'
-        WHEN ${h32Duck("'doc_' || doc_id")} % 100 < 90 THEN 'val'
-        ELSE 'test' END AS split,
+    Some(s"""SELECT lang, ${Portable.splitCaseDuck} AS split,
       count(*) AS n
       FROM documents GROUP BY 1, 2 ORDER BY lang, split"""))
 

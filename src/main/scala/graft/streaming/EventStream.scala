@@ -38,14 +38,25 @@ object EventStream {
         // stable per source path (not a fresh temp dir): a streaming
         // checkpoint records source file offsets, so a restarted query
         // must see the same directory
+        val src = java.nio.file.Paths.get(path)
         val tag = java.lang.Integer.toHexString(path.hashCode)
         val tmp = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), s"graft_stream_src_$tag")
         java.nio.file.Files.createDirectories(tmp)
         val dst = tmp.resolve("part-00000.parquet")
-        if (!java.nio.file.Files.exists(dst))
-          java.nio.file.Files.copy(java.nio.file.Paths.get(path), dst)
-        tmp.toFile.deleteOnExit()
+        // refresh when the source changed (size mismatch covers stale and
+        // crash-truncated copies); stage via temp file + atomic move so a
+        // concurrent or killed copy never leaves a corrupt visible file
+        val fresh = java.nio.file.Files.exists(dst) &&
+          java.nio.file.Files.size(dst) == java.nio.file.Files.size(src)
+        if (!fresh) {
+          val stage = java.nio.file.Files.createTempFile(tmp, ".stage", ".tmp")
+          java.nio.file.Files.copy(src, stage,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.move(stage, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
         tmp.toString
       } else path
     val schema = spark.read.parquet(path).schema
@@ -106,9 +117,10 @@ object EventStream {
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty)
-          batch.write.mode("overwrite")
-            .parquet(f"$outDir/db_data/$id%06d/events.parquet")
+        // unconditional write: an isEmpty pre-check would run the batch
+        // plan twice, and a zero-row parquet write is valid and readable
+        batch.write.mode("overwrite")
+          .parquet(f"$outDir/db_data/$id%06d/events.parquet")
       }
 
   /** 30-min-gap sessions per user via flatMapGroupsWithState — the

@@ -35,7 +35,10 @@ class CurateSpec extends AnyFunSuite {
     val train = spark.read.parquet(s"$out/corpus")
       .where(col("split") === "train")
     assert(train.count() === r.bySplit.getOrElse("train", 0L))
+    // a real pruning predicate, not the always-present empty
+    // "PartitionFilters: []" key
     val scan = train.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("PartitionFilters: [isnotnull(split")
+      || scan.contains("PartitionFilters: [(split"), scan)
   }
 }

@@ -24,12 +24,15 @@ class PropertySpec extends AnyFunSuite {
     s
   }
 
-  test("sanitize is idempotent and always lands in [a-z0-9_]*") {
+  test("sanitize is idempotent and emits only lowercase alnum/_ " +
+    "(full Unicode input, incl. one-to-many lowercase expansions)") {
     check(Prop.forAll { (s: String) =>
       val once = Exporter.sanitize(s)
       Exporter.sanitize(once) == once &&
-        once.forall(c => (c.isLetterOrDigit && c.toLower == c) || c == '_')
+        once.forall(c => (c.isLetterOrDigit && !c.isUpper) || c == '_')
     })
+    // the classic trap: U+0130 lowercases to 'i' + combining dot
+    assert(Exporter.sanitize("İstanbul") == "istanbul")
   }
 
   test("checkpoint state JSON round-trips for arbitrary contents") {
