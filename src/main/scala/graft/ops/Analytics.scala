@@ -169,5 +169,40 @@ object Analytics {
         ELSE cast(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_p
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val all: Seq[QueryDef] = Seq(q31, q32, q40, q41, q42)
+  /** CUBE over (priority, status) with an explicit grouping_id — all
+    * four grouping sets in one Expand pass. grouping_id disambiguates
+    * "NULL because subtotal" from a (hypothetical) NULL group value,
+    * and Spark's bitmask convention matches DuckDB's GROUPING().
+    */
+  private val q45 = QueryDef(
+    "q45_cube",
+    (s, dir) => Fixtures.table(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first),
+    Some("""SELECT o_orderpriority, o_orderstatus,
+      GROUPING(o_orderpriority, o_orderstatus) AS gid, count(*) AS n,
+      cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
+
+  /** Deterministic equi-width histogram — the portable alternative to
+    * engine-specific histogram sketches: bin = floor(value / width) in
+    * exact arithmetic, one hash aggregation. The standard first look at
+    * any numeric column's distribution at scale (map-side partials;
+    * cardinality = #bins regardless of input size).
+    */
+  private val q46 = QueryDef(
+    "q46_histogram",
+    (s, dir) => Fixtures.table(s, dir, "orders")
+      .select((floor(col("o_totalprice") / 50000.0)).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin"),
+    Some("""SELECT cast(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+      count(*) AS n FROM orders GROUP BY 1 ORDER BY bin"""))
+
+  val all: Seq[QueryDef] = Seq(q31, q32, q40, q41, q42, q45, q46)
 }
