@@ -94,5 +94,49 @@ object Quality {
       FROM bench LEFT JOIN train_sh ON bench.h = train_sh.h
       GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q43, q44)
+  // ---------- q47: top terms per document (tf·N/df) -------------------
+
+  /** Keyword extraction: rank each document's terms by tf · N / df —
+    * the tf-idf family with a rational idf (no log(), whose libm
+    * rounding differs across engines; the ranking is order-isomorphic
+    * to tf·log-idf for fixed tf). Distributed shape: one (doc, term)
+    * count agg, one term-level df agg joined back (broadcast-able at
+    * any corpus size — |vocab| ≪ |corpus|), window top-3.
+    */
+  private val q47 = QueryDef(
+    "q47_top_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val nDocs = d.count() // small driver-side scalar, same value both engines
+      val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf") * lit(nDocs) / col("df")).cast("double").as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+          col("score"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+      dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, tfc.term, tf, df,
+          cast(tf * n_docs / df AS DOUBLE) AS score
+        FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n),
+      r AS (SELECT doc_id, term, tf, df, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rnk FROM scored)
+      SELECT doc_id, rnk, term, tf, df, score FROM r
+      WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
+  val all: Seq[QueryDef] = Seq(q43, q44, q47)
 }
