@@ -4,10 +4,14 @@ import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
 
-  test("registry is consistent: oracle keys ⊆ query keys, names unique") {
+  test("registry is consistent: every query oracled, names unique") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size)
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // EVERY query carries an oracle: none silently degrades to the
+    // driver's weaker rows-only check
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"unoracled: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}")
+    assert(names.size == 47)
   }
 
   test("entry returns rows") {
