@@ -91,12 +91,17 @@ object Dedup {
     */
   private val lastInv =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private[ops] def persistedInverted(s: SparkSession, dir: String): DataFrame = {
-    val inv = inverted(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastInv.getAndSet(inv)).foreach(_.unpersist(blocking = false))
-    inv
+  /** Persist df and release the ref's previous occupant. */
+  private def persistReplacing(
+      ref: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(ref.getAndSet(p)).foreach(_.unpersist(blocking = false))
+    p
   }
+
+  private[ops] def persistedInverted(s: SparkSession, dir: String): DataFrame =
+    persistReplacing(lastInv, inverted(s, dir))
 
   private[ops] def inverted(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -178,6 +183,9 @@ object Dedup {
         expr(s"md5(concat_ws(',', cast(mh${2 * bnd} AS STRING), " +
           s"cast(mh${2 * bnd + 1} AS STRING)))")
       }
+      // both self-join sides recompute the band projection over the
+      // persisted inv — measured cheaper than persisting bands too
+      // (the extra materialization costs more than it saves here)
       val bands = mh.select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
       val cand = bands.alias("a")
