@@ -54,6 +54,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(exported2.count() === exported.count())
   }
 
+  test("new source files are picked up incrementally by a later " +
+    "invocation (cron-style repeated AvailableNow)") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_incr")
+    val srcDir = base.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val events = Fixtures.table(spark, sf, "events")
+    val schema = events.schema
+
+    def stage(name: String, filter: org.apache.spark.sql.Column): Long = {
+      val part = events.where(filter)
+      part.coalesce(1).write.mode("overwrite")
+        .parquet(base.resolve(s"stage_$name").toString)
+      val f = new java.io.File(base.resolve(s"stage_$name").toString)
+        .listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, srcDir.resolve(s"$name.parquet"))
+      part.count()
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val q = stream.writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            b.write.mode("overwrite").parquet(f"$out/batch_$id%06d")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    val n1 = stage("a", col("event_id") % 2 === 0)
+    runOnce()
+    val n2 = stage("b", col("event_id") % 2 === 1)
+    runOnce()
+    val batches = new java.io.File(out).listFiles().map(_.toString).sorted
+    assert(batches.length === 2, batches.mkString(","))
+    assert(spark.read.parquet(batches(0)).count() === n1)
+    assert(spark.read.parquet(batches(1)).count() === n2) // only the new file
+  }
+
   test("flatMapGroupsWithState sessionization == batch q27 (backfill mode)") {
     import spark.implicits._
     val src = EventStream.readEvents(spark, sf)
