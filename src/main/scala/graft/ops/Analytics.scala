@@ -155,9 +155,9 @@ object Analytics {
         .orderBy("o_orderpriority")
     },
     Some("""SELECT o_orderpriority,
-      sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+      sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+      sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p,
       cast(sum(CASE WHEN o_orderstatus = 'F'
         THEN cast(o_totalprice AS DECIMAL(18,4))
         ELSE cast(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_f,

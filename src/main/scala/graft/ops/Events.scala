@@ -161,8 +161,10 @@ object Events {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       numbered AS (
         SELECT user_id, ts,
-          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) AS session_seq
+          -- ::BIGINT: DuckDB integer sum() yields HUGEINT, which the
+          -- driver's pandas hasher renders as float64 ("3.0" vs "3")
+          (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
         FROM flagged)
       SELECT user_id, session_seq, min(ts) AS session_start,
         max(ts) AS session_end, count(*) AS n_events
@@ -185,7 +187,7 @@ object Events {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy("event_type"),
     Some("""SELECT event_type, count(*) AS n,
-      sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
       min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
       max(json_extract_string(props, '$.k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))

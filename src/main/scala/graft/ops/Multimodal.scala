@@ -59,7 +59,14 @@ object Multimodal {
       val bin = Fixtures.table(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
+      // hist/sample8 serialize to canonical comma-joined strings (and
+      // n_bytes widens to int64): the gate's comparator hashes scalar
+      // cells, and list-typed cells are unhashable in pandas.
       bin.mapPartitions(decodeStub).toDF()
+        .select(col("doc_id"), col("n_bytes").cast("bigint").as("n_bytes"),
+          col("checksum"),
+          array_join(col("hist").cast("array<string>"), ",").as("hist"),
+          array_join(col("sample8").cast("array<string>"), ",").as("sample8"))
         .orderBy("doc_id")
     },
     Some(s"""WITH cl AS (SELECT doc_id, text,
@@ -69,10 +76,12 @@ object Multimodal {
         list_reduce(list_prepend(0::BIGINT,
           list_transform(chars, c -> ascii(c)::BIGINT)),
           (acc, c) -> (acc * 31 + c) % $Mod) AS checksum,
-        list_transform(range(0, 16),
-          b -> len(list_filter(chars, c -> ascii(c) % 16 = b))::INT) AS hist,
-        list_transform(range(0, 8),
-          k -> coalesce(ascii(chars[(k * strlen(text)) // 8 + 1]), 0)) AS sample8
+        array_to_string(list_transform(range(0, 16),
+          b -> len(list_filter(chars, c -> ascii(c) % 16 = b))::INT), ',')
+          AS hist,
+        array_to_string(list_transform(range(0, 8),
+          k -> coalesce(ascii(chars[(k * strlen(text)) // 8 + 1]), 0)), ',')
+          AS sample8
       FROM cl ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(q29)

@@ -88,7 +88,7 @@ object Quality {
         JOIN train_ids USING (doc_id)),
       bench AS (SELECT doc_id, h FROM inv WHERE doc_id < $NBench)
       SELECT doc_id, count(*) AS n_shingles,
-        sum(CASE WHEN train_sh.h IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+        sum(CASE WHEN train_sh.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
         sum(CASE WHEN train_sh.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
           / count(*) AS contamination
       FROM bench LEFT JOIN train_sh ON bench.h = train_sh.h

@@ -72,11 +72,11 @@ class EventsSpec extends AnyFunSuite {
     val rows = q("q29_binary_features").collect()
     assert(rows.length === 500)
     rows.foreach { r =>
-      val n = r.getAs[Int]("n_bytes")
-      val hist = r.getAs[scala.collection.Seq[Int]]("hist")
+      val n = r.getAs[Long]("n_bytes")
+      val hist = r.getAs[String]("hist").split(',').map(_.toLong)
       assert(hist.sum === n)
       assert(hist.length === 16)
-      assert(r.getAs[scala.collection.Seq[Int]]("sample8").length === 8)
+      assert(r.getAs[String]("sample8").split(',').length === 8)
     }
     // determinism: same input → same checksum on re-run
     val again = q("q29_binary_features").collect()

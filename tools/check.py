@@ -6,6 +6,18 @@ oracle SQL (OUTDIR/oracle_sql.json) in DuckDB with views over the fixture
 parquet tables, and compares: column names (sorted), row count, and a hash
 of the value matrix with columns sorted by name and rows sorted.
 
+Both sides are materialized through pandas (`.df()`), NOT `fetchall()`:
+the driver's comparator is pandas-based, so local results must inherit
+pandas dtype coercions to predict it — DuckDB HUGEINT (integer sum())
+becomes float64 ("99111.0" vs int64 "99111"), and list-typed cells are
+unhashable in pandas sort_values. Round 2 shipped 5 queries that passed
+a fetchall()-based version of this script and failed the driver for
+exactly those two reasons.
+
+A result-type lint additionally rejects oracle outputs whose declared
+DuckDB type is HUGEINT or any nested type (LIST/STRUCT/MAP/ARRAY) before
+comparison, so the failure mode is named instead of a hash mismatch.
+
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
 import sys, json, glob, os, hashlib
@@ -14,25 +26,52 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Declared oracle column types outside this set get a lint warning; the
+# BANNED subset (pandas-hostile) is a hard FAIL.
+ALLOWED_TYPES = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                 "FLOAT", "VARCHAR", "TIMESTAMP", "DATE", "BOOLEAN",
+                 "DECIMAL")
+BANNED_MARKERS = ("HUGEINT", "[]", "LIST", "STRUCT", "MAP", "ARRAY")
+
 
 def canon(v):
     if v is None:
         return "\x00NULL"
-    if isinstance(v, float):
+    if isinstance(v, float):  # includes numpy.float64 (a float subclass)
         if v != v:
-            return "NaN"
-        # 17 significant digits = exact double round-trip. The library's
-        # DECIMAL-term convention makes Spark/DuckDB doubles bit-identical,
-        # so local PASS should predict an exact driver-side value hash.
+            return "\x00NULL"  # pandas renders SQL NULL as NaN; fold both
         return f"{v:.17g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
-def table_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    mat = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+def lint_types(name, rel):
+    """Return a list of lint errors for pandas-hostile oracle types."""
+    errs = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if any(m in t for m in BANNED_MARKERS):
+            errs.append(f"{col}: {t} (cast to ::BIGINT / serialize to "
+                        f"VARCHAR — pandas mangles this type)")
+        elif not any(t.startswith(a) for a in ALLOWED_TYPES):
+            print(f"   lint-warn {name}.{col}: unusual oracle type {t}")
+    return errs
+
+
+def frame_rows(rel):
+    """Materialize a DuckDB relation the way the driver does: via pandas.
+
+    sort_values over every column reproduces the driver's row sort —
+    including its TypeError on unhashable (ndarray) cells.
+    """
+    df = rel.df()
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return list(df.columns), df.values.tolist()
+
+
+def table_hash(rows):
+    mat = sorted("\x01".join(canon(v) for v in r) for r in rows)
     h = hashlib.sha256()
     for line in mat:
         h.update(line.encode())
@@ -56,34 +95,45 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output parquet")
             n_fail += 1
             continue
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})")
-        gcols, grows = list(got.columns), got.fetchall()
         if name not in oracles:
-            print(f"SKIP {name}: no oracle ({len(grows)} rows)")
+            got = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            print(f"SKIP {name}: no oracle ({len(got.fetchall())} rows)")
             n_skip += 1
             continue
         try:
             exp = con.sql(oracles[name])
-            ecols, erows = list(exp.columns), exp.fetchall()
+            type_errs = lint_types(name, exp)
+            if type_errs:
+                print(f"FAIL {name}: oracle result-type lint:")
+                for e in type_errs:
+                    print(f"   {e}")
+                n_fail += 1
+                continue
+            ecols, erows = frame_rows(exp)
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
+            print(f"FAIL {name}: oracle err: {e}")
             n_fail += 1
             continue
-        if sorted(gcols) != sorted(ecols):
-            print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(ecols)}")
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            gcols, grows = frame_rows(got)
+        except Exception as e:
+            print(f"FAIL {name}: spark-side err: {e}")
+            n_fail += 1
+            continue
+        if gcols != ecols:
+            print(f"FAIL {name}: columns {gcols} != {ecols}")
             n_fail += 1
             continue
         if len(grows) != len(erows):
             print(f"FAIL {name}: rows {len(grows)} != {len(erows)}")
             n_fail += 1
             continue
-        gh, eh = table_hash(gcols, grows), table_hash(ecols, erows)
+        gh, eh = table_hash(grows), table_hash(erows)
         if gh != eh:
             print(f"FAIL {name}: hash mismatch ({len(grows)} rows)")
-            gorder = sorted(range(len(gcols)), key=lambda i: gcols[i])
-            eorder = sorted(range(len(ecols)), key=lambda i: ecols[i])
-            gm = sorted("\x01".join(canon(r[i]) for i in gorder) for r in grows)
-            em = sorted("\x01".join(canon(r[i]) for i in eorder) for r in erows)
+            gm = sorted("\x01".join(canon(v) for v in r) for r in grows)
+            em = sorted("\x01".join(canon(v) for v in r) for r in erows)
             shown = 0
             for a, b in zip(gm, em):
                 if a != b and shown < 3:
