@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, SelfCosineRule}
+import graft.expressions.{CosineSimilarity, LshBuckets, SelfCosineRule}
 
 /** Session extensions for the graft engine: registers the library's
   * native Catalyst expressions as SQL functions, so they are available
@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_cosine expects 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_lsh_buckets expects 3 arguments, got ${children.length}")
+        LshBuckets(children.head, children(1), children(2))
       }))
     ext.injectOptimizerRule(_ => SelfCosineRule)
   }

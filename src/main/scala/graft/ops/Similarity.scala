@@ -68,12 +68,11 @@ object Similarity {
       .mkString("[", ", ", "]")
 
   /** Per-vector plane dots as a sequential left fold (order-identical in
-    * both engines → bit-identical signs → identical buckets).
+    * both engines → bit-identical signs → identical buckets). On the
+    * Spark side the dots+signs collapse into the native codegen'd
+    * `graft_lsh_buckets` (expressions/LshBuckets.scala) — the HOF-lambda
+    * form this replaces ran interpreted and dominated the q23 runtime.
     */
-  private val dotsSpark: String =
-    s"transform($planesSpark, w -> aggregate(sequence(1, $Dim), " +
-      "cast(0 AS DOUBLE), (acc, d) -> acc + element_at(w, d) * " +
-      "cast(element_at(embedding, d) AS DOUBLE)))"
   private val dotsDuck: String =
     s"list_transform($planesDuck, w -> list_reduce(list_prepend(0.0::DOUBLE, " +
       s"list_transform(range(1, ${Dim + 1}), d -> w[d] * embedding[d]::DOUBLE)), " +
@@ -127,12 +126,10 @@ object Similarity {
     "q23_knn_lsh",
     (s, dir) => {
       val e = emb(s, dir)
-      val dotted = e.select(col("vec_id"), col("embedding"),
-        expr(dotsSpark).as("dots"))
-      val bucketCols = (0 until Tables).map(t =>
-        expr(bucketExpr(t, i => s"element_at(dots, $i)")))
-      val keys = dotted.select(col("vec_id"), col("embedding"),
-        posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+      val keys = e.select(col("vec_id"), col("embedding"),
+        posexplode(expr(
+          s"graft_lsh_buckets(embedding, $planesSpark, $PlanesPerTable)"))
+          .as(Seq("tbl", "bucket")))
       val qk = keys.where(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("tbl"), col("bucket"))
