@@ -2,8 +2,10 @@ package graft.ops
 
 import graft.{Fixtures, QueryDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoder
 
 /** Sketch / sampling / order-statistic operators.
   *
@@ -24,30 +26,54 @@ object Sketch {
 
   private val K = 64
 
+  /** KMV sketch state: distinct-hash count + the K smallest hashes. */
+  final case class KmvBuf(n: Long, mins: Seq[Long])
+
+  /** Bounded k-minimum-values partial aggregate (the TopK Aggregator
+    * pattern with ascending order): the buffer never exceeds K hashes,
+    * so map-side partials reduce each partition's contribution to ≤ K
+    * values per group BEFORE the shuffle — vs the window-sort form,
+    * which shuffles and sorts the whole distinct-hash set per group.
+    */
+  final class KmvAgg(k: Int) extends Aggregator[Long, KmvBuf, KmvBuf] {
+    private def bound(xs: Seq[Long]): Seq[Long] = xs.sorted.take(k)
+    override def zero: KmvBuf = KmvBuf(0L, Seq.empty)
+    override def reduce(b: KmvBuf, h: Long): KmvBuf =
+      KmvBuf(b.n + 1, bound(b.mins :+ h))
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+      KmvBuf(a.n + b.n, bound(a.mins ++ b.mins))
+    override def finish(r: KmvBuf): KmvBuf = r
+    override def bufferEncoder: Encoder[KmvBuf] = ExpressionEncoder[KmvBuf]()
+    override def outputEncoder: Encoder[KmvBuf] = ExpressionEncoder[KmvBuf]()
+  }
+
   /** Distinct-count estimate per order priority: keep each group's K
     * smallest distinct value-hashes; estimate = (K−1)·2³² / kth-min.
-    * Distributed shape: distinct → one window pass; at scale the
-    * k-smallest set is a partial aggregate (each partition contributes
-    * its own K minima — the TopK Aggregator pattern with reversed
-    * order), so the shuffle carries K rows per group.
+    * Distributed shape: distinct (one shuffle) → bounded k-min partial
+    * aggregation (KmvAgg above) — the shuffle after partials carries
+    * ≤ K hashes per (partition, group), never the full distinct set,
+    * which is what makes the sketch O(K·groups) at 100 TB. The estimate
+    * arithmetic stays in SQL so it is textually identical to the
+    * oracle's (same double ops, bit-exact).
     */
   private val q35 = QueryDef(
     "q35_kmv_distinct",
     (s, dir) => {
+      import s.implicits._
       val o = Fixtures.table(s, dir, "orders")
       val exact = o.groupBy(col("o_orderpriority"))
         .agg(countDistinct(col("o_custkey")).as("n_exact"))
       val h = o.select(col("o_orderpriority"),
         expr(h32Spark("cast(o_custkey AS STRING)")).as("h")).distinct()
-      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("h"))
-      val wAll = Window.partitionBy(col("o_orderpriority"))
-      val est = h
-        .withColumn("rn", row_number().over(w))
-        .withColumn("nd", count(lit(1)).over(wAll))
-        .groupBy(col("o_orderpriority"))
-        .agg(expr(s"CASE WHEN max(nd) >= $K THEN " +
-          s"${K - 1}.0 * 4294967296.0 / max(CASE WHEN rn = $K THEN h END) " +
-          "ELSE cast(max(nd) AS DOUBLE) END").as("n_est"))
+      val est = h.as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new KmvAgg(K).toColumn.name("kmv"))
+        .toDF("o_orderpriority", "kmv")
+        .select(col("o_orderpriority"), col("kmv.n").as("nd"),
+          expr(s"try_element_at(kmv.mins, $K)").as("kth"))
+        .select(col("o_orderpriority"),
+          expr(s"CASE WHEN nd >= $K THEN ${K - 1}.0 * 4294967296.0 / kth " +
+            "ELSE cast(nd AS DOUBLE) END").as("n_est"))
       exact.join(est, "o_orderpriority").orderBy("o_orderpriority")
     },
     Some(s"""WITH exact AS (SELECT o_orderpriority,
