@@ -70,3 +70,27 @@ object FileCheckpointStore {
   def apply(p: String): FileCheckpointStore =
     new FileCheckpointStore(Paths.get(p))
 }
+
+/** SSM Parameter Store checkpoint — the reference's actual store
+  * (get_parameter with decryption, db_extractor_full.py:429-436;
+  * put_parameter as SecureString overwrite, :540-551). The AWS SDK is
+  * unavailable in this offline build, so the two SSM calls are
+  * INJECTED: a deployment passes closures over its SDK client
+  * (`GetParameter(WithDecryption=true)` / `PutParameter(Type=
+  * SecureString, Overwrite=true)`); tests pass an in-memory map. All
+  * checkpoint semantics (seed on absence, JSON document shape, gated
+  * advance) live in this class and Exporter, not in the transport.
+  */
+final class SsmCheckpointStore(
+    parameterName: String,
+    getParameter: String => Option[String],
+    putParameter: (String, String) => Unit) extends CheckpointStore {
+
+  override def read(): CheckpointState =
+    getParameter(parameterName)
+      .map(CheckpointState.fromJson)
+      .getOrElse(CheckpointState.seed)
+
+  override def write(st: CheckpointState): Unit =
+    putParameter(parameterName, st.toJson)
+}

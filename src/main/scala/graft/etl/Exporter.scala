@@ -68,9 +68,31 @@ object Exporter {
       serial: Long,
       watermark: String,
       outcomes: Seq[TableOutcome],
-      checkpointAdvanced: Boolean) {
+      checkpointAdvanced: Boolean,
+      memoryLog: String) {
     def exported: Seq[Exported] =
       outcomes.collect { case e: Exported => e }
+  }
+
+  /** X7 memory telemetry (reference db_extractor_full.py:53-58, which
+    * prints `ru_maxrss` after each run): the driver process's peak RSS
+    * from /proc/self/status VmHWM, falling back to current JVM heap
+    * where /proc isn't available. Emitted (and returned on RunResult)
+    * at the end of every export run.
+    */
+  private[etl] def memoryLogLine(): String = {
+    val hwmMb: Option[Double] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/status")
+        try src.getLines()
+          .collectFirst { case l if l.startsWith("VmHWM:") =>
+            l.trim.split("\\s+")(1).toDouble / 1024.0 }
+        finally src.close()
+      } catch { case _: Exception => None }
+    val mb = hwmMb.getOrElse(
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory)
+        / 1048576.0)
+    f"graft.Exporter - DEBUG - Memory usage: $mb%.2f MB"
   }
 
   /** One export run. `runTime` is injectable for deterministic tests;
@@ -95,15 +117,29 @@ object Exporter {
     // SANITIZED name (db_extractor_full.py:377 interpolates it into
     // SQL), so a name that changes under sanitization silently breaks.
     // Here the source is read under the ORIGINAL name; sanitization
-    // only shapes the output key. Distinct protects against two
-    // originals colliding on the same sanitized output name.
-    val tables: Seq[(String, String)] = source.tableNames
+    // only shapes the output key. When two originals collide on the
+    // same sanitized output name, the first wins and the rest are
+    // surfaced as Skipped outcomes — never silently dropped (the loser
+    // would otherwise vanish from the export while the checkpoint still
+    // advanced past its data).
+    val mapped: Seq[(String, String)] = source.tableNames
       .map(t => (t, sanitize(t)))
       .filter(_._2.nonEmpty)
+    val winners: Map[String, String] =
+      mapped.distinctBy(_._2).map(_.swap).toMap
+    val collisionOutcomes: Seq[TableOutcome] = mapped
+      .filter { case (orig, clean) => winners(clean) != orig }
+      .map { case (orig, clean) =>
+        Skipped(orig, s"sanitized-name collision: '$clean' already " +
+          s"claimed by '${winners(clean)}'")
+      } ++ source.excludedTableNames.map { case (n, reason) =>
+        Skipped(n, s"excluded by source: $reason")
+      }
+    val tables: Seq[(String, String)] = mapped
       .distinctBy(_._2)
       .filterNot { case (_, clean) => ignore.contains(clean) }
 
-    val outcomes: Seq[TableOutcome] = {
+    val outcomes: Seq[TableOutcome] = collisionOutcomes ++ {
       def one(tc: (String, String)): TableOutcome = {
         val (orig, t) = tc
         try {
@@ -143,6 +179,8 @@ object Exporter {
     val advance = ok || advanceOnPartialFailure
     if (advance)
       store.write(st.copy(lastRunTime = runTime, dataSerial = serial))
-    RunResult(serial, st.lastRunTime, outcomes, advance)
+    val memLog = memoryLogLine()
+    println(memLog)
+    RunResult(serial, st.lastRunTime, outcomes, advance, memLog)
   }
 }

@@ -47,12 +47,17 @@ object JsonArraySink {
     } finally deleteRecursively(tmp)
   }
 
-  /** part-NNNNN files in partition order. */
+  /** part-NNNNN files in partition order — sorted by the PARSED part
+    * index, not the raw name: Spark widens part-%05d to 6 digits past
+    * partition 99999, where a lexicographic sort would place
+    * part-100000 before part-99999 and scramble the stitching order.
+    */
   private def partFiles(dir: Path): Seq[Path] = {
     val d = dir.toFile
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .sortBy(_.getName).map(_.toPath).toSeq
+      .sortBy(f => f.getName.split('-')(1).toLong)
+      .map(_.toPath).toSeq
   }
 
   /** Ordered completion: `[` + rows comma-joined across all parts + `]`.

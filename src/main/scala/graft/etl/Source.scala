@@ -23,6 +23,14 @@ trait TableSource {
     * is free and visible in the plan's PushedFilters).
     */
   def read(table: String): DataFrame
+
+  /** Catalog names discovered but excluded from [[tableNames]]
+    * (name → reason), e.g. unsafe identifiers. Exporter.run surfaces
+    * these as Skipped outcomes so no table vanishes invisibly (the
+    * reference would still export such a table under its sanitized
+    * name; we refuse, but record the refusal).
+    */
+  def excludedTableNames: Seq[(String, String)] = Seq.empty
 }
 
 /** Directory-of-parquet source: each `<dir>/<name>.parquet` is a table.
@@ -76,14 +84,20 @@ final class JdbcSource(
     props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
   }
 
-  override def tableNames: Seq[String] = {
+  private def catalogNames: Seq[String] = {
     import spark.implicits._
     reader.option("query",
       "SELECT table_name FROM information_schema.tables " +
         "WHERE table_schema = 'public'")
       .load().as[String].collect().toSeq
-      .filter(JdbcSource.isSafeName)
   }
+
+  override def tableNames: Seq[String] =
+    catalogNames.filter(JdbcSource.isSafeName)
+
+  override def excludedTableNames: Seq[(String, String)] =
+    catalogNames.filterNot(JdbcSource.isSafeName)
+      .map(n => (n, "unsafe catalog identifier (outside [A-Za-z0-9_])"))
 
   override def read(table: String): DataFrame = {
     // `dbtable` is interpolated into `SELECT * FROM <name>` by the JDBC

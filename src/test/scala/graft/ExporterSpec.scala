@@ -199,6 +199,79 @@ class ExporterSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampNTZType)
   }
 
+  test("sanitized-name collisions surface as Skipped, never vanish") {
+    val src = new TableSource {
+      override def tableNames: Seq[String] = Seq("Codes", "codes!")
+      override def read(table: String) = fixtureSource.read("codes")
+    }
+    val out = tmpDir("collide")
+    val store = FileCheckpointStore(s"$out/ckpt.json")
+    val r = Exporter.run(src, out, store, runTime = "2024-01-01 00:00:00")
+    assert(r.exported.map(_.table) == Seq("codes"))
+    val skips = r.outcomes.collect { case s: Exporter.Skipped => s }
+    assert(skips.exists(s => s.table == "codes!"
+      && s.reason.contains("collision") && s.reason.contains("Codes")))
+    // a collision is not a failure: the checkpoint still advances
+    assert(r.checkpointAdvanced)
+  }
+
+  test("source-excluded catalog names surface as Skipped") {
+    val src = new TableSource {
+      override def tableNames: Seq[String] = Seq("codes")
+      override def excludedTableNames: Seq[(String, String)] =
+        Seq(("bad;drop", "unsafe catalog identifier"))
+      override def read(table: String) = fixtureSource.read("codes")
+    }
+    val out = tmpDir("excl")
+    val store = FileCheckpointStore(s"$out/ckpt.json")
+    val r = Exporter.run(src, out, store, runTime = "2024-01-01 00:00:00")
+    assert(r.outcomes.collect { case s: Exporter.Skipped => s }
+      .exists(s => s.table == "bad;drop" && s.reason.contains("unsafe")))
+  }
+
+  test("X7 memory telemetry: every run reports peak memory") {
+    val out = tmpDir("mem")
+    val store = FileCheckpointStore(s"$out/ckpt.json")
+    val r = Exporter.run(fixtureSource, out, store,
+      runTime = "2024-01-01 00:00:00")
+    assert(r.memoryLog.matches(
+      """graft\.Exporter - DEBUG - Memory usage: \d+\.\d{2} MB"""),
+      r.memoryLog)
+  }
+
+  test("CloudStorage maps the reference's S3 semantics to fs.s3a.*") {
+    val opts = CloudStorage.s3aOptions()
+    assert(opts("fs.s3a.server-side-encryption-algorithm") == "AES256")
+    assert(opts("fs.s3a.multipart.size") == (50L * 1024 * 1024).toString)
+    assert(opts("fs.s3a.connection.maximum") == "64")
+    assert(opts("fs.s3a.fast.upload.active.blocks") == "4")
+    // extra overrides win (custom endpoint, per-bucket settings)
+    val custom = CloudStorage.s3aOptions(CloudStorage.S3Config(
+      extra = Map("fs.s3a.multipart.size" -> "134217728")))
+    assert(custom("fs.s3a.multipart.size") == "134217728")
+    // configure() lands the keys on the live session's Hadoop conf
+    CloudStorage.configure(spark)
+    assert(spark.sparkContext.hadoopConfiguration
+      .get("fs.s3a.server-side-encryption-algorithm") == "AES256")
+  }
+
+  test("SsmCheckpointStore: seed on absence, round-trip via transport") {
+    val params = scala.collection.mutable.Map.empty[String, String]
+    val store = new SsmCheckpointStore("/graft/checkpoint",
+      params.get, (k, v) => params(k) = v)
+    assert(store.read() == CheckpointState.seed)
+    val st = CheckpointState("2024-05-01 00:00:00", 7L, 3L, "abc")
+    store.write(st)
+    // the wire format is the reference's exact JSON document shape
+    assert(params("/graft/checkpoint").contains(""""serialNumber":7"""))
+    assert(store.read() == st)
+    // full export run against the SSM-backed store
+    val out = tmpDir("ssm")
+    val r = Exporter.run(fixtureSource, out, store,
+      runTime = "2024-06-01 00:00:00")
+    assert(r.checkpointAdvanced && store.read().dataSerial == 8L)
+  }
+
   test("parallel table export produces identical outputs") {
     val out1 = tmpDir("par1"); val out2 = tmpDir("par2")
     val s1 = FileCheckpointStore(s"$out1/ckpt.json")
