@@ -90,6 +90,11 @@ object EventStream {
 
   final case class Ev(event_id: Long, ts: java.time.LocalDateTime,
       user_id: Long)
+  /** [[Ev]] with the event time as an instant (TimestampType) — the
+    * watermark-carrying shape the continuous sessionizer groups on.
+    */
+  final case class EvW(event_id: Long, ts_evt: java.time.Instant,
+      user_id: Long)
   final case class SessionOut(user_id: Long,
       session_start: java.time.LocalDateTime,
       session_end: java.time.LocalDateTime, n_events: Long)
@@ -129,9 +134,9 @@ object EventStream {
     * micro-batch are sorted per group; the open session is carried in
     * GroupState across batches and closed either by a later event's gap
     * or — when `flushOpen` (bounded backfill mode, Trigger.AvailableNow)
-    * — at end of input. A continuous deployment would instead configure
-    * EventTimeTimeout to flush idle sessions when the watermark passes
-    * start+gap.
+    * — at end of input. A continuous deployment uses
+    * [[sessionizeContinuous]], which flushes idle sessions via
+    * EventTimeTimeout instead.
     */
   def sessionize(events: Dataset[Ev], flushOpen: Boolean): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -162,6 +167,78 @@ object EventStream {
             open.foreach(state.update)
           }
           out.iterator
+      }
+  }
+
+  /** Continuous-mode sessionization: same 30-min-gap semantics as
+    * [[sessionize]], but an idle user's open session is closed by the
+    * event-time WATERMARK, not by end-of-input — the state timeout is
+    * set to session_end + gap, so when the watermark (driven by other
+    * users' traffic) passes that point, the group fires with
+    * `hasTimedOut` and the session is emitted and evicted. This is what
+    * bounds state size on an unbounded stream: no user's state outlives
+    * its inactivity gap plus the watermark delay.
+    *
+    * The watermark column must be TimestampType; with the session
+    * timezone pinned UTC (GraftSession) the NTZ→instant cast is
+    * value-preserving, so emitted sessions match batch q27 exactly for
+    * every closed session.
+    */
+  def sessionizeContinuous(events: Dataset[Ev],
+      watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def usOf(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    events
+      .withColumn("ts_evt", col("ts").cast(TimestampType))
+      .select(col("event_id"), col("ts_evt"), col("user_id")).as[EvW]
+      .withWatermark("ts_evt", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvW], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed session_end + gap: no on-time event can
+            // extend this session any more — close and evict
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(uid, fromUs(s.startUs), fromUs(s.endUs), s.n))
+          } else {
+            val sorted = it.toIndexedSeq
+              .sortBy(e => (usOf(e.ts_evt), e.event_id))
+            var open = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val us = usOf(e.ts_evt)
+              open match {
+                case Some(s) if us - s.endUs <= GapUs =>
+                  open = Some(s.copy(endUs = us, n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(uid, fromUs(s.startUs), fromUs(s.endUs),
+                    s.n)
+                  open = Some(OpenSession(us, us, 1))
+                case None =>
+                  open = Some(OpenSession(us, us, 1))
+              }
+            }
+            open.foreach { s =>
+              val timeoutMs = (s.endUs + GapUs) / 1000L
+              if (timeoutMs <= state.getCurrentWatermarkMs()) {
+                // the batch's watermark already passed the gap (late
+                // tail-end data): close immediately — setting a timeout
+                // in the past is rejected by the API. Drop any carried
+                // state so the closed session can't re-fire at timeout.
+                if (state.exists) state.remove()
+                out += SessionOut(uid, fromUs(s.startUs), fromUs(s.endUs),
+                  s.n)
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(timeoutMs)
+              }
+            }
+            out.iterator
+          }
       }
   }
 }

@@ -94,6 +94,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(batches(1)).count() === n2) // only the new file
   }
 
+  test("continuous sessionization: idle user's session closes via " +
+    "EventTimeTimeout when the watermark passes its gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+    val input = MemoryStream[EventStream.Ev]
+    val q = EventStream.sessionizeContinuous(input.toDS())
+      .writeStream.format("memory").queryName("sess_cont")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart, then goes idle
+      input.addData(
+        EventStream.Ev(1L, t0, 1L),
+        EventStream.Ev(2L, t0.plusMinutes(10), 1L))
+      q.processAllAvailable()
+      assert(spark.table("sess_cont").isEmpty) // session still open
+      // batch 2: OTHER users' traffic 3 h later drives the watermark to
+      // t0+150min — past user 1's timeout at session_end+30min
+      input.addData(EventStream.Ev(3L, t0.plusHours(3), 2L))
+      q.processAllAvailable()
+      // the watermark computed from batch 2 is applied in the NEXT
+      // batch; trigger one more
+      input.addData(EventStream.Ev(4L, t0.plusHours(3).plusMinutes(1), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_cont")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString,
+          r.getLong(3)))
+      // user 1's session closed by TIMEOUT (no user-1 event did it) and
+      // matches batch q27 semantics: [t0, t0+10min], 2 events
+      assert(rows.contains(
+        (1L, "2024-01-01T00:00", "2024-01-01T00:10", 2L)), rows.toSeq)
+      // user 2's session is still open: no emission for it
+      assert(!rows.exists(_._1 == 2L), rows.toSeq)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization == batch q27 (backfill mode)") {
     import spark.implicits._
     val src = EventStream.readEvents(spark, sf)
