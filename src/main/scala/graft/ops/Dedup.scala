@@ -421,6 +421,81 @@ object Dedup {
       WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
       ORDER BY doc_a, doc_b"""))
 
+  // ---------- q49: near-dup cluster connected components --------------
+
+  /** Connected components over the near-dup pair graph — the correct
+    * "apply" step when duplicate pairs CHAIN (A~B, B~C without A~C):
+    * q39's greedy drop-higher-id rule is exact only for disjoint pairs;
+    * component labeling keeps exactly one canonical doc (the component's
+    * min id) per transitive cluster.
+    *
+    * Distributed shape: iterative min-label propagation expressed as
+    * DataFrame joins — each round every node takes the min of its own
+    * and its neighbors' labels (one shuffle join + one aggregate), and
+    * rounds needed = component diameter (near-dup clusters are shallow;
+    * the large-star/small-star transform halves rounds if extreme
+    * diameters ever matter). The per-round `changed` count is the
+    * standard Pregel-style driver-side convergence scalar, not a data
+    * collect; each round's labels are persisted and the previous
+    * round's released, so lineage and memory stay bounded. The final
+    * labels are localCheckpoint'ed so the returned plan doesn't carry
+    * the iteration history.
+    *
+    * Oracle: an independent DuckDB `WITH RECURSIVE` reachability
+    * closure (set-semantics UNION bounds it) — same fixpoint, entirely
+    * different algorithm, so agreement is strong evidence of
+    * correctness.
+    */
+  private val q49 = QueryDef(
+    "q49_dedup_components",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel
+      val pairs = jaccardPairs(s, dir, 0.8).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("u")).distinct()
+        .withColumn("l", col("u"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val neigh = edges
+          .join(labels.select(col("u").as("v"), col("l")), "v")
+          .select(col("u"), col("l"))
+        val next = labels.unionAll(neigh)
+          .groupBy(col("u")).agg(min(col("l")).as("l"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        changed = next
+          .join(labels.select(col("u"), col("l").as("lp")), "u")
+          .where(col("l") =!= col("lp")).count()
+        labels.unpersist(blocking = false)
+        labels = next
+        rounds += 1
+      }
+      val finalLabels = labels.localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      finalLabels
+        .select(col("u").as("doc_id"), col("l").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsDuckCte(0.8)},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, l) AS (
+        SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(l) AS cluster_id
+        FROM reach GROUP BY u)
+      SELECT doc_id, cluster_id,
+        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM comp ORDER BY doc_id"""))
+
   // ---------- q21: embedding-cosine near-dup pairs --------------------
 
   /** Cosine as three sequential left folds (dot, |a|², |b|²) so Spark's
@@ -529,5 +604,5 @@ object Dedup {
       WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
       GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q38, q39, q48)
+  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49)
 }

@@ -138,5 +138,36 @@ object Quality {
       SELECT doc_id, rnk, term, tf, df, score FROM r
       WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
 
-  val all: Seq[QueryDef] = Seq(q43, q44, q47)
+  // ---------- q50: sensitive-term scrub (PII-redaction plumbing) ------
+
+  /** Redaction pass: count and replace occurrences of a sensitive-term
+    * pattern, reporting per-doc hit counts and the digest of the
+    * scrubbed text (digest equality across engines proves the
+    * replacement text is byte-identical, not just counted alike). A
+    * real deployment swaps the dictionary for PII regexes (emails,
+    * phone numbers, ID formats) — the fixture corpus is synthetic
+    * vocabulary, so three of its words stand in; the plumbing (global
+    * regex count + global replace inside codegen, narrow projection,
+    * no shuffle) is exactly the production shape. Patterns stay inside
+    * the RE2 ∩ Java-regex common subset so both engines match
+    * identically; DuckDB's regexp_replace needs the explicit 'g' flag
+    * (Spark is global by default).
+    */
+  private val ScrubPat = "\\b(customer|vector|merge)\\b"
+
+  private val q50 = QueryDef(
+    "q50_term_scrub",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(ScrubPat)).cast("bigint").as("n_hits"),
+        md5(regexp_replace(col("text"), ScrubPat, "[REDACTED]"))
+          .as("scrub_md5"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+      len(regexp_extract_all(text, '$ScrubPat')) AS n_hits,
+      md5(regexp_replace(text, '$ScrubPat', '[REDACTED]', 'g'))
+        AS scrub_md5
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q43, q44, q47, q50)
 }

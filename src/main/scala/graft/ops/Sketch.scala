@@ -142,5 +142,35 @@ object Sketch {
       count(*) AS n
       FROM documents GROUP BY 1, 2 ORDER BY lang, split"""))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37)
+  // ---------- q51: deterministic stratified sample --------------------
+
+  /** Per-stratum (language) hash sampling at a fixed rate — how an
+    * eval/inspection subset is carved from a corpus so that membership
+    * is a pure function of the document id: re-running yields the same
+    * sample, corpus growth never reassigns existing docs, and every
+    * stratum is sampled at the same rate regardless of its size (unlike
+    * a global bernoulli sample, which under-represents small strata by
+    * chance). The salt ("sample_") decorrelates this hash from q37's
+    * split hash — a doc's sample membership is independent of its
+    * train/val/test assignment. Shuffle-free until the final tiny
+    * per-stratum count aggregation.
+    */
+  private val SampleRatePct = 10
+
+  private val q51 = QueryDef(
+    "q51_stratified_sample",
+    (s, dir) => Fixtures.table(s, dir, "documents")
+      .select(col("lang"),
+        (expr(h32Spark("concat('sample_', doc_id)")) % 100 < SampleRatePct)
+          .cast("int").as("in_sample"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("in_sample") === 1, 1)).as("n_sampled"))
+      .orderBy("lang"),
+    Some(s"""SELECT lang, count(*) AS n_docs,
+      count(CASE WHEN ${h32Duck("'sample_' || doc_id")} % 100
+        < $SampleRatePct THEN 1 END) AS n_sampled
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q51)
 }
