@@ -72,7 +72,8 @@ final class JdbcSource(
     props: Map[String, String] = Map.empty,
     fetchSize: Int = 20000,
     statementTimeoutSec: Int = 600,
-    partitionColumn: Option[(String, Long, Long, Int)] = None)
+    partitionColumn: Option[(String, Long, Long, Int)] = None,
+    passwordProvider: Option[() => String] = None)
     extends TableSource {
 
   private def reader = {
@@ -81,7 +82,10 @@ final class JdbcSource(
       .option("fetchsize", fetchSize)
       .option("sessionInitStatement",
         s"SET statement_timeout = '${statementTimeoutSec}s'")
-    props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+    val withProps = props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+    // evaluated per reader construction, so a fresh (or still-cached)
+    // token is picked up on every scan — see IamAuthTokenProvider
+    passwordProvider.fold(withProps)(p => withProps.option("password", p()))
   }
 
   private def catalogNames: Seq[String] = {
@@ -121,4 +125,34 @@ object JdbcSource {
   /** Identifier whitelist matching the reference's sanitization class. */
   def isSafeName(name: String): Boolean =
     name.nonEmpty && name.forall(c => c.isLetterOrDigit && c < 128 || c == '_')
+}
+
+/** The reference's IAM database auth (src/db_conn.py:13-29): a
+  * short-lived RDS auth token minted as the connection password. The
+  * SDK call (`generate_db_auth_token` / v2 `RdsUtilities
+  * .generateAuthenticationToken`) is INJECTED as `mint` — no SDK in
+  * this offline build — and this class adds the caching policy a
+  * long-lived Spark driver needs where the reference's Lambda mints
+  * once per 15-min invocation: the token is reused until `ttlMs`
+  * before expiry, then re-minted. Thread-safe so concurrent table
+  * exports share one token instead of hammering the STS signer.
+  */
+final class IamAuthTokenProvider(
+    mint: () => String,
+    ttlMs: Long = 14 * 60 * 1000L, // refresh 1 min before RDS's 15-min expiry
+    clock: () => Long = () => System.currentTimeMillis())
+    extends (() => String) {
+
+  private var cached: Option[(String, Long)] = None
+
+  override def apply(): String = synchronized {
+    val now = clock()
+    cached match {
+      case Some((tok, at)) if now - at < ttlMs => tok
+      case _ =>
+        val tok = mint()
+        cached = Some((tok, now))
+        tok
+    }
+  }
 }

@@ -116,7 +116,7 @@ object Dedup {
       }
     }
 
-  private[ops] def inverted(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def inverted(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     docs(s, dir)
@@ -446,39 +446,57 @@ object Dedup {
     * different algorithm, so agreement is strong evidence of
     * correctness.
     */
+  /** Min-label propagation over an undirected pair list `(a, b)`:
+    * returns one `(node, component)` row per distinct endpoint, where
+    * `component` is the smallest node id reachable from `node`. Each
+    * round is one shuffle join + one min aggregate; rounds needed =
+    * max component diameter (capped by `maxRounds`, then returned
+    * as-is — callers at extreme diameters should switch to the
+    * large-star/small-star transform). Per-round labels are persisted
+    * and the previous round's released; the result is
+    * localCheckpoint'ed so the returned plan carries no iteration
+    * history. The per-round `changed` count is the standard
+    * Pregel-style driver-side convergence scalar, not a data collect.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val Seq(a, b) = pairs.columns.toSeq.take(2)
+    val edges = pairs.select(col(a).as("u"), col(b).as("v"))
+      .unionAll(pairs.select(col(b).as("u"), col(a).as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u")).distinct()
+      .withColumn("l", col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val neigh = edges
+        .join(labels.select(col("u").as("v"), col("l")), "v")
+        .select(col("u"), col("l"))
+      val next = labels.unionAll(neigh)
+        .groupBy(col("u")).agg(min(col("l")).as("l"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("u"), col("l").as("lp")), "u")
+        .where(col("l") =!= col("lp")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out.select(col("u").as("node"), col("l").as("component"))
+  }
+
   private val q49 = QueryDef(
     "q49_dedup_components",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.storage.StorageLevel
-      val pairs = jaccardPairs(s, dir, 0.8).select(col("doc_a"), col("doc_b"))
-      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("u")).distinct()
-        .withColumn("l", col("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 50) {
-        val neigh = edges
-          .join(labels.select(col("u").as("v"), col("l")), "v")
-          .select(col("u"), col("l"))
-        val next = labels.unionAll(neigh)
-          .groupBy(col("u")).agg(min(col("l")).as("l"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        changed = next
-          .join(labels.select(col("u"), col("l").as("lp")), "u")
-          .where(col("l") =!= col("lp")).count()
-        labels.unpersist(blocking = false)
-        labels = next
-        rounds += 1
-      }
-      val finalLabels = labels.localCheckpoint(true)
-      labels.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
-      finalLabels
-        .select(col("u").as("doc_id"), col("l").as("cluster_id"))
+      connectedComponents(
+        jaccardPairs(s, dir, 0.8).select(col("doc_a"), col("doc_b")))
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .orderBy("doc_id")

