@@ -49,11 +49,13 @@ object Curate {
 
   /** Run the full pipeline over a fixture directory and write the
     * curated corpus partitioned by split. `minQuality` gates stage 1;
-    * near-dup removal keeps the lower doc_id of every ≥0.8-Jaccard
-    * pair (q39 semantics).
+    * near-dup removal keeps one canonical doc (the min doc_id) per
+    * connected ≥0.8-Jaccard component (q49 semantics — correct when
+    * pairs chain; `transitive = false` restores q39's cheaper greedy
+    * pair rule, exact for disjoint pairs).
     */
   def run(spark: SparkSession, sfDir: String, outPath: String,
-      minQuality: Double = 0.5): CurationReport = {
+      minQuality: Double = 0.5, transitive: Boolean = true): CurationReport = {
     val docs = graft.Fixtures.table(spark, sfDir, "documents")
     val input = docs.count()
 
@@ -68,7 +70,9 @@ object Curate {
       // near-dup victims from the full corpus (dedup before OR after the
       // quality gate is a policy choice; here after, so borderline dups of
       // a high-quality doc don't survive via the removed twin)
-      val victims = graft.ops.Dedup.nearDupVictims(spark, sfDir, 0.8)
+      val victims =
+        if (transitive) graft.ops.Dedup.nearDupVictimsTransitive(spark, sfDir, 0.8)
+        else graft.ops.Dedup.nearDupVictims(spark, sfDir, 0.8)
       val curated = withSplit(
         qualified.join(victims, Seq("doc_id"), "left_anti"))
         .select(col("doc_id"), col("text"), col("lang"), col("source"),

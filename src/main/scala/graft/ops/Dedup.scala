@@ -607,6 +607,19 @@ object Dedup {
       threshold: Double): DataFrame =
     jaccardPairs(s, dir, threshold).select(col("doc_b").as("doc_id")).distinct()
 
+  /** Transitive removal set: every non-canonical member of each
+    * connected near-dup component (q49 semantics). Strictly more
+    * correct than the greedy rule when pairs chain — e.g. pairs
+    * (2,3),(1,3) put {1,2,3} in one cluster, where greedy keeps both 1
+    * and 2 but only 1 is canonical.
+    */
+  private[ops] def nearDupVictimsTransitive(s: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    connectedComponents(
+      jaccardPairs(s, dir, threshold).select(col("doc_a"), col("doc_b")))
+      .where(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+
   private val q39 = QueryDef(
     "q39_dedup_apply",
     (s, dir) => {

@@ -84,8 +84,70 @@ object Multimodal {
           AS sample8
       FROM cl ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q29)
+  // ---------- q52: frame sampling (one payload → N frame rows) --------
+
+  private val Frames = 4
+
+  /** The frame-sampling decode shape: one binary payload fans out to
+    * `Frames` per-frame feature ROWS (video → frames, audio → windows)
+    * — the one-to-many complement of q29's one-to-one features. Same
+    * partition-batched stub pattern (codec init per partition; only the
+    * small per-frame features leave the stage, payload bytes never
+    * shuffle), with the fan-out inside the iterator so the row
+    * explosion happens streamingly, not as a materialized array. Frame
+    * boundaries are the same even-stride arithmetic as q29's sample8,
+    * so the oracle can verify them exactly over the ASCII fixture.
+    */
+  private[ops] def frameStub(
+      rows: Iterator[(Long, Array[Byte])]): Iterator[FrameFeatures] =
+    rows.flatMap { case (id, bytes) =>
+      val n = bytes.length
+      (0 until Frames).map { k =>
+        val from = (k.toLong * n / Frames).toInt
+        val until = ((k + 1).toLong * n / Frames).toInt
+        var cs = 0L
+        var i = from
+        while (i < until) {
+          cs = (cs * 31 + (bytes(i) & 0xff)) % Mod
+          i += 1
+        }
+        FrameFeatures(id, k.toLong, (until - from).toLong, cs)
+      }
+    }
+
+  private val q52 = QueryDef(
+    "q52_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(frameStub).toDF()
+        .orderBy("doc_id", "frame_no")
+    },
+    Some(s"""WITH f AS (SELECT doc_id, text, strlen(text) AS n, k
+        FROM documents CROSS JOIN range(0, $Frames) t(k)),
+      fr AS (SELECT doc_id, k AS frame_no,
+        ((k + 1) * n) // $Frames - (k * n) // $Frames AS n_bytes,
+        substring(text, (k * n) // $Frames + 1,
+          ((k + 1) * n) // $Frames - (k * n) // $Frames) AS frame
+        FROM f)
+      SELECT doc_id, frame_no, n_bytes,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(regexp_extract_all(frame, '.', 0),
+            c -> ascii(c)::BIGINT)),
+          (acc, c) -> (acc * 31 + c) % $Mod) AS checksum
+      FROM fr ORDER BY doc_id, frame_no"""))
+
+  val all: Seq[QueryDef] = Seq(q29, q52)
 }
+
+/** Per-frame features (the frame-sampling stub's output row). */
+final case class FrameFeatures(
+    doc_id: Long,
+    frame_no: Long,
+    n_bytes: Long,
+    checksum: Long)
 
 /** Features extracted per binary payload (the decode-stub output row). */
 final case class BinFeatures(
