@@ -192,5 +192,80 @@ object Events {
       max(json_extract_string(props, '$.k')::BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28)
+  // ---------- q53: funnel analysis (ordered step sequence) ------------
+
+  /** Per-user view → click → purchase funnel: the earliest view, the
+    * earliest click strictly after it, the earliest purchase strictly
+    * after that — the standard ordered-sequence conversion funnel.
+    * Distributed shape: one tiny aggregate per step, each joined back
+    * on user_id (broadcast-able — per-user step times are one row per
+    * user regardless of event volume); no window over raw events, so
+    * nothing corpus-wide is sorted. All comparisons are exact
+    * timestamp minima; users who never reach a step carry NULLs.
+    */
+  private val q53 = QueryDef(
+    "q53_funnel",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .orderBy("user_id")
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+        WHERE e.event_type = 'click' GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT v.user_id, t_view, t_click, t_purchase
+      FROM v LEFT JOIN c ON c.user_id = v.user_id
+      LEFT JOIN p ON p.user_id = v.user_id
+      ORDER BY v.user_id"""))
+
+  // ---------- q54: cohort retention ------------------------------------
+
+  /** Weekly cohort retention: users grouped by first-seen week, counted
+    * as retained in each later week they were active. All-integer
+    * arithmetic (epoch-day → week index), so the matrix is bit-exact:
+    * cohort_week = first active week since epoch, offset = active week
+    * − cohort week. Two aggregates (per-user first day; per (user,
+    * week) activity) then one count-distinct — shuffle keys are user
+    * and (cohort, offset), never raw events.
+    */
+  private val q54 = QueryDef(
+    "q54_cohort_retention",
+    (s, dir) => {
+      val days = ev(s, dir).select(col("user_id"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+          " div 86400000000").as("day"))
+      val first = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("day0"))
+      days.join(first, "user_id")
+        .select(col("user_id"), expr("day0 div 7").as("cohort_week"),
+          expr("(day - day0) div 7").as("offset_week"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("offset_week"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "offset_week")
+    },
+    Some("""WITH days AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      first AS (SELECT user_id, min(day) AS day0 FROM days GROUP BY 1),
+      weeks AS (SELECT DISTINCT d.user_id, day0 // 7 AS cohort_week,
+          (day - day0) // 7 AS offset_week
+        FROM days d JOIN first f ON f.user_id = d.user_id)
+      SELECT cohort_week, offset_week, count(*) AS n_users
+      FROM weeks GROUP BY 1, 2 ORDER BY cohort_week, offset_week"""))
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q53, q54)
 }

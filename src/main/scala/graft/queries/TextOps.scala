@@ -157,5 +157,64 @@ object TextOps {
         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16)
+  // ---------- q55: bigram collocations (lift-ranked) ------------------
+
+  /** Corpus-level collocation mining: adjacent token pairs ranked by
+    * lift = P(xy) / (P(x)·P(y)) — computed as the single exact-integer
+    * division (n_xy · N_uni · N_uni) / (N_bi · n_x · n_y), so the score
+    * is bit-identical across engines (PMI's log() would not be). The
+    * distributed shape is the posting-table pattern: tokens explode to
+    * rows once, bigrams come from a per-doc window `lead`, and the
+    * unigram side joins back as two broadcast-able vocab aggregates —
+    * never a corpus-wide sort. min-count filter drops rare-pair noise;
+    * the final top-20 is a TakeOrdered under a total order.
+    */
+  private val MinPair = 5
+
+  private val q55 = QueryDef(
+    "q55_collocations",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      val uni = toks.groupBy(col("w1")).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nUni = toks.count()
+      val bi = toks.withColumn("w2", lead(col("w1"), 1).over(w))
+        .where(col("w2").isNotNull)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+      val nBi = bi.agg(sum(col("n_xy"))).collect()(0).getLong(0)
+      val out = bi.where(col("n_xy") >= MinPair)
+        .join(uni.select(col("w1"), col("n").as("n_x")), "w1")
+        .join(uni.select(col("w1").as("w2"), col("n").as("n_y")), "w2")
+        .select(col("w1"), col("w2"), col("n_xy"),
+          ((col("n_xy") * nUni * nUni).cast("double")
+            / (col("n_x") * col("n_y") * nBi)).as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(20)
+      uni.unpersist(blocking = false)
+      out
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+          generate_subscripts(parts, 1) AS pos, unnest(parts) AS w1
+        FROM (SELECT doc_id, string_split(text, ' ') AS parts
+          FROM documents)),
+      uni AS (SELECT w1, count(*) AS n FROM toks GROUP BY 1),
+      nu AS (SELECT count(*) AS n_uni FROM toks),
+      bi AS (SELECT w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos)
+          AS w2 FROM toks),
+      bic AS (SELECT w1, w2, count(*) AS n_xy FROM bi
+        WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      nb AS (SELECT sum(n_xy)::BIGINT AS n_bi FROM bic)
+      SELECT bic.w1, bic.w2, n_xy,
+        (n_xy * n_uni * n_uni)::DOUBLE / (x.n * y.n * n_bi) AS lift
+      FROM bic, nu, nb
+      JOIN uni x ON x.w1 = bic.w1
+      JOIN uni y ON y.w1 = bic.w2
+      WHERE n_xy >= $MinPair
+      ORDER BY lift DESC, bic.w1, bic.w2 LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q55)
 }
