@@ -514,6 +514,60 @@ object Dedup {
         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM comp ORDER BY doc_id"""))
 
+  // ---------- q57: sparse TF-cosine similarity (IR-style) -------------
+
+  /** Document similarity over sparse term-frequency vectors — the
+    * classic information-retrieval join, complementing the dense
+    * embedding cosine (q21/q23): dot products come from an
+    * inverted-index equi-join on the term (sum of tf·tf per doc pair),
+    * norms from per-doc aggregates, cosine as ONE double division of
+    * exactly-representable integers (so the oracle hash-matches
+    * bit-exactly). Shuffle is on the term key — cost tracks posting
+    * lists, identical shape to q20; on real (Zipfian) vocabulary the
+    * lists are short, and high-df stopword terms — which dominate cost
+    * but contribute almost nothing to a normalized cosine — are the
+    * same df-cap candidates q48 demonstrates.
+    */
+  private val CosTau = 0.95
+
+  private val q57 = QueryDef(
+    "q57_sparse_cosine",
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n2 = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+      val dots = tf.alias("a")
+        .join(tf.alias("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      val out = dots
+        .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), "doc_a")
+        .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("dot").cast("double")
+            / sqrt((col("n2a") * col("n2b")).cast("double"))).as("cosine"))
+        .where(col("cosine") >= CosTau)
+        .orderBy("doc_a", "doc_b")
+      tf.unpersist(blocking = false)
+      out
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+        unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      n2 AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY 1),
+      dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          sum(a.tf * b.tf)::BIGINT AS dot
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        dot::DOUBLE / sqrt((x.n2 * y.n2)::DOUBLE) AS cosine
+      FROM dots JOIN n2 x ON x.doc_id = doc_a JOIN n2 y ON y.doc_id = doc_b
+      WHERE dot::DOUBLE / sqrt((x.n2 * y.n2)::DOUBLE) >= $CosTau
+      ORDER BY doc_a, doc_b"""))
+
   // ---------- q21: embedding-cosine near-dup pairs --------------------
 
   /** Cosine as three sequential left folds (dot, |a|², |b|²) so Spark's
@@ -635,5 +689,6 @@ object Dedup {
       WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
       GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49)
+  val all: Seq[QueryDef] =
+    Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57)
 }

@@ -267,5 +267,46 @@ object Events {
       SELECT cohort_week, offset_week, count(*) AS n_users
       FROM weeks GROUP BY 1, 2 ORDER BY cohort_week, offset_week"""))
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q53, q54)
+  // ---------- q56: native session windows -----------------------------
+
+  /** q27's sessions via Spark's NATIVE `session_window` operator — the
+    * idiomatic form (one aggregation, no explicit lag/flag/running-sum
+    * windows) and the exact plan a streaming deployment gets from the
+    * same expression. Boundary semantics differ from q27 by design:
+    * `session_window` is half-open (an event at exactly gap after the
+    * last one starts a NEW session), where q27's strict-> keeps it —
+    * so this query carries its own oracle with `>=` in the island flag
+    * rather than sharing q27's. One shuffle on (user_id, window);
+    * Spark merges overlapping per-partition sessions in the same
+    * aggregation pass.
+    */
+  private val q56 = QueryDef(
+    "q56_session_window",
+    (s, dir) => ev(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, ts,
+          (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_seq
+      ORDER BY user_id, session_start"""))
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q53, q54, q56)
 }

@@ -86,6 +86,27 @@ object EventStream {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Native session windows on the stream — the same `session_window`
+    * expression as batch q56, so the streaming deployment IS the batch
+    * query with a watermark attached: Spark merges per-batch partial
+    * sessions in state and closes a session when the watermark passes
+    * its end + gap. This is the built-in-operator counterpart of the
+    * custom-state sessionizers below (use this when min/max/count
+    * aggregates suffice; drop to flatMapGroupsWithState only for
+    * session payloads the aggregate functions can't express).
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_evt", col("ts").cast(TimestampType))
+      .withWatermark("ts_evt", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts_evt"), "30 minutes").as("sw"))
+      .agg(min(col("ts_evt")).cast(TimestampNTZType).as("session_start"),
+        max(col("ts_evt")).cast(TimestampNTZType).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+
   // ---------- stateful sessionization ---------------------------------
 
   final case class Ev(event_id: Long, ts: java.time.LocalDateTime,

@@ -94,6 +94,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(batches(1)).count() === n2) // only the new file
   }
 
+  test("streaming session_window == batch q56 (AvailableNow, complete)") {
+    val q = EventStream.sessionWindows(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("sw")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sw").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString,
+        r.getLong(3))).toSet
+    val want = SparkEntry.queries("q56_session_window")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString,
+        r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("continuous sessionization: idle user's session closes via " +
     "EventTimeTimeout when the watermark passes its gap") {
     import spark.implicits._
