@@ -516,41 +516,55 @@ object Dedup {
 
   // ---------- q57: sparse TF-cosine similarity (IR-style) -------------
 
-  /** Document similarity over sparse term-frequency vectors — the
-    * classic information-retrieval join, complementing the dense
-    * embedding cosine (q21/q23): dot products come from an
-    * inverted-index equi-join on the term (sum of tf·tf per doc pair),
-    * norms from per-doc aggregates, cosine as ONE double division of
+  /** Sparse top-k retrieval over term-frequency vectors — the classic
+    * information-retrieval scoring join, complementing the dense
+    * embedding KNN (q22/q23): a SMALL query set's tf rows broadcast
+    * against the corpus posting table, dot products aggregate per
+    * (query, doc), norms join back, cosine is ONE double division of
     * exactly-representable integers (so the oracle hash-matches
-    * bit-exactly). Shuffle is on the term key — cost tracks posting
-    * lists, identical shape to q20; on real (Zipfian) vocabulary the
-    * lists are short, and high-df stopword terms — which dominate cost
-    * but contribute almost nothing to a normalized cosine — are the
-    * same df-cap candidates q48 demonstrates.
+    * bit-exactly), then per-query top-k.
+    *
+    * The shape deliberately mirrors q22 (broadcast queries, one corpus
+    * pass, never corpus×corpus): the ALL-PAIRS formulation of this
+    * join — tf self-join on the term key — measured 113 s at sf0.1 on
+    * this fixture, because the synthetic corpus's tiny shared
+    * vocabulary makes every posting list corpus-sized (the q20 skew
+    * class with no rare-term tail to save it, and a df-cap would empty
+    * the vectors). Retrieval against a bounded query set is the form
+    * that scales regardless of vocabulary shape: cost = |query terms|
+    * × their posting lists, one shuffle on (query, doc).
     */
-  private val CosTau = 0.95
+  private val KSparse = 5
+  private val NSparseQueries = 8
 
   private val q57 = QueryDef(
-    "q57_sparse_cosine",
+    "q57_sparse_retrieval",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n2 = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
-      val dots = tf.alias("a")
-        .join(tf.alias("b"),
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      val qtf = broadcast(tf.where(col("doc_id") < NSparseQueries)
+        .select(col("doc_id").as("query_id"), col("tok"), col("tf").as("qtf")))
+      val dots = tf.join(qtf, "tok")
+        .where(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("tf") * col("qtf")).as("dot"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("doc_id"))
       val out = dots
-        .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), "doc_a")
-        .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
+        .join(n2.select(col("doc_id").as("query_id"), col("n2").as("n2q")),
+          "query_id")
+        .join(n2, "doc_id")
+        .select(col("query_id"), col("doc_id"),
           (col("dot").cast("double")
-            / sqrt((col("n2a") * col("n2b")).cast("double"))).as("cosine"))
-        .where(col("cosine") >= CosTau)
-        .orderBy("doc_a", "doc_b")
+            / sqrt((col("n2q") * col("n2")).cast("double"))).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= KSparse)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
       tf.unpersist(blocking = false)
       out
     },
@@ -558,15 +572,20 @@ object Dedup {
         unnest(string_split(text, ' ')) AS tok FROM documents),
       tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
       n2 AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY 1),
-      dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          sum(a.tf * b.tf)::BIGINT AS dot
-        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT doc_a, doc_b,
-        dot::DOUBLE / sqrt((x.n2 * y.n2)::DOUBLE) AS cosine
-      FROM dots JOIN n2 x ON x.doc_id = doc_a JOIN n2 y ON y.doc_id = doc_b
-      WHERE dot::DOUBLE / sqrt((x.n2 * y.n2)::DOUBLE) >= $CosTau
-      ORDER BY doc_a, doc_b"""))
+      dots AS (SELECT q.doc_id AS query_id, c.doc_id,
+          sum(c.tf * q.tf)::BIGINT AS dot
+        FROM tf c JOIN tf q ON q.tok = c.tok
+        WHERE q.doc_id < $NSparseQueries AND c.doc_id <> q.doc_id
+        GROUP BY 1, 2),
+      scored AS (SELECT query_id, dots.doc_id AS doc_id,
+          dot::DOUBLE / sqrt((x.n2 * y.n2)::DOUBLE) AS cosine
+        FROM dots JOIN n2 x ON x.doc_id = query_id
+        JOIN n2 y ON y.doc_id = dots.doc_id),
+      r AS (SELECT query_id, doc_id, cosine, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+        FROM scored)
+      SELECT query_id, rnk, doc_id, cosine FROM r
+      WHERE rnk <= $KSparse ORDER BY query_id, rnk"""))
 
   // ---------- q21: embedding-cosine near-dup pairs --------------------
 
