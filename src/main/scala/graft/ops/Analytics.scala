@@ -204,5 +204,89 @@ object Analytics {
     Some("""SELECT cast(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
       count(*) AS n FROM orders GROUP BY 1 ORDER BY bin"""))
 
-  val all: Seq[QueryDef] = Seq(q31, q32, q40, q41, q42, q45, q46)
+  // ---------- q58: z-score outlier detection --------------------------
+
+  /** Per-group z-score outliers over event values: mean and variance
+    * from exact DECIMAL sums (order-independent), widened to double
+    * only for the final identical-on-both-engines expression
+    * `(x − μ) / sqrt(σ²)`, so flags hash-match bit-exactly. Shape:
+    * one small per-group aggregate broadcast back over the events —
+    * the two-pass variance formulation that distributes cleanly
+    * (Welford's single-pass is execution-order-dependent and could
+    * never cross-engine match). Output: only the outliers, so result
+    * size tracks anomalies, not events.
+    */
+  private val q58 = QueryDef(
+    "q58_outliers",
+    (s, dir) => {
+      val e = Fixtures.table(s, dir, "events")
+      val stats = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(28, 6))).as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 6))).as("s2"))
+        .select(col("event_type"),
+          (col("s1").cast(DoubleType) / col("n")).as("mu"),
+          ((col("s2").cast(DoubleType) - col("s1").cast(DoubleType)
+            * col("s1").cast(DoubleType) / col("n")) / col("n")).as("variance"))
+      e.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("event_id"), col("value"),
+          ((col("value") - col("mu")) / sqrt(col("variance"))).as("z"))
+        .where(abs(col("z")) > lit(3.0))
+        .orderBy("event_type", "event_id")
+    },
+    Some("""WITH stats AS (SELECT event_type, count(*) AS n,
+        sum(cast(value AS DECIMAL(28,6))) AS s1,
+        sum(cast(value * value AS DECIMAL(28,6))) AS s2
+        FROM events GROUP BY 1),
+      m AS (SELECT event_type, s1::DOUBLE / n AS mu,
+        (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / n AS variance
+        FROM stats)
+      SELECT e.event_type, event_id, value,
+        (value - mu) / sqrt(variance) AS z
+      FROM events e JOIN m ON m.event_type = e.event_type
+      WHERE abs((value - mu) / sqrt(variance)) > 3.0
+      ORDER BY e.event_type, event_id"""))
+
+  // ---------- q59: time-series gap fill -------------------------------
+
+  /** Dense daily series per event type with explicit zero rows for
+    * silent days — the resample/gap-fill every time-series consumer
+    * needs before diffing or windowing (a missing day must read as 0,
+    * not as absent). The day spine is generated from the observed
+    * [min, max] range (integer epoch-days — exact) and cross-joined
+    * with the type dimension, then the sparse counts left-join on.
+    * Spine cardinality = days × types regardless of event volume, so
+    * the dense side stays tiny while the counts side is one hash agg.
+    */
+  private val q59 = QueryDef(
+    "q59_gapfill",
+    (s, dir) => {
+      val e = Fixtures.table(s, dir, "events")
+        .select(col("event_type"),
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+            " div 86400000000").as("day"))
+      val counts = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val range = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("day"))
+      val types = e.select(col("event_type")).distinct()
+      range.crossJoin(types)
+        .join(counts, Seq("event_type", "day"), "left_outer")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH days AS (SELECT event_type,
+        epoch_us(ts) // 86400000000 AS day FROM events),
+      counts AS (SELECT event_type, day, count(*) AS n
+        FROM days GROUP BY 1, 2),
+      spine AS (SELECT unnest(range((SELECT min(day) FROM days),
+        (SELECT max(day) FROM days) + 1)) AS day),
+      types AS (SELECT DISTINCT event_type FROM days)
+      SELECT event_type, day, coalesce(n, 0) AS n
+      FROM spine CROSS JOIN types
+      LEFT JOIN counts USING (event_type, day)
+      ORDER BY event_type, day"""))
+
+  val all: Seq[QueryDef] = Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59)
 }
