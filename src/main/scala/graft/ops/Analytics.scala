@@ -288,5 +288,98 @@ object Analytics {
       LEFT JOIN counts USING (event_type, day)
       ORDER BY event_type, day"""))
 
-  val all: Seq[QueryDef] = Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59)
+  // ---------- q60: fixed-point PageRank over the trade graph ----------
+
+  private val prScale = 1000000000000L // rank × 10¹²
+  private val prIters = 5
+
+  /** PageRank over the nation-level trade graph (customer nation →
+    * supplier nation, edge weight = lineitem count), `prIters` unrolled
+    * iterations in scaled-integer fixed point so every step is exact
+    * BIGINT arithmetic: damping 0.85 becomes the integer identity
+    * rank' = 3·S/(20·N) + 17·Σ⌊rank·w/outw⌋/20, where every operand is
+    * positive so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree. Double-precision PageRank could never cross-engine
+    * hash-match (summation order changes the low bits); fixed point
+    * makes the whole fixpoint iteration order-independent.
+    *
+    * Distributed shape: the edge build is the only large work — the
+    * lineitem⋈orders shuffle with both dimension joins broadcast —
+    * aggregated down to ≤|V|² weighted edges and persisted (PlanCache)
+    * so the 5 unrolled iterations don't replay it. Each iteration is
+    * then one join + hash aggregate over the edge list with the rank
+    * vector as the small side — the classic edge-partitioned PageRank
+    * layout: at 100 TB the edge list partitions across executors and
+    * the rank vector stays the broadcast side.
+    *
+    * Oracle: the same unrolled chain as five DuckDB CTEs, generated
+    * from the same iteration count so the dialects cannot drift.
+    */
+  private val q60 = QueryDef(
+    "q60_pagerank",
+    (s, dir) => {
+      val edges = PlanCache.getOrBuild(s, dir, "trade_edges") {
+        val cust = Fixtures.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey").cast("long").as("u"))
+        val supp = Fixtures.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey").cast("long").as("v"))
+        Fixtures.table(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+          .join(Fixtures.table(s, dir, "orders")
+            .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      }
+      val outw = edges.groupBy(col("u")).agg(sum(col("w")).as("ow"))
+      val nodes = Fixtures.table(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("node"))
+      val nv = nodes.agg(count(lit(1)).as("nv"))
+      var ranks = nodes.crossJoin(nv)
+        .select(col("node"), expr(s"$prScale div nv").as("rank"))
+      for (_ <- 1 to prIters) {
+        val contrib = ranks.withColumnRenamed("node", "u")
+          .join(edges, "u").join(outw, "u")
+          .select(col("v").as("node"), expr("(rank * w) div ow").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+        ranks = nodes.crossJoin(nv)
+          .join(contrib, Seq("node"), "left_outer")
+          .select(col("node"),
+            expr(s"${3 * prScale} div (20 * nv) " +
+              "+ (17 * coalesce(contrib, cast(0 AS BIGINT))) div 20")
+              .as("rank"))
+      }
+      ranks.select(col("node").as("nationkey"), col("rank").as("pr_fp"))
+        .orderBy("nationkey")
+    },
+    Some {
+      val step = (i: Int) =>
+        s"""pr$i AS (SELECT n.node,
+          ((${3 * prScale} // (20 * nn.n))
+            + (17 * COALESCE(c.s, 0)) // 20)::BIGINT AS rank
+        FROM nodes n CROSS JOIN nn
+        LEFT JOIN (SELECT e.v AS node, sum((p.rank * e.w) // o.ow)::BIGINT AS s
+                   FROM pr${i - 1} p JOIN edges e ON e.u = p.node
+                   JOIN outw o ON o.u = p.node GROUP BY e.v) c
+          ON c.node = n.node)"""
+      s"""WITH edges AS (
+        SELECT c.c_nationkey::BIGINT AS u, s.s_nationkey::BIGINT AS v,
+               count(*)::BIGINT AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      outw AS (SELECT u, sum(w)::BIGINT AS ow FROM edges GROUP BY u),
+      nodes AS (SELECT n_nationkey::BIGINT AS node FROM nation),
+      nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+      pr0 AS (SELECT node, ($prScale // nn.n)::BIGINT AS rank
+              FROM nodes, nn),
+      ${(1 to prIters).map(step).mkString(",\n      ")}
+      SELECT node AS nationkey, rank AS pr_fp FROM pr$prIters
+      ORDER BY nationkey"""
+    })
+
+  val all: Seq[QueryDef] =
+    Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60)
 }

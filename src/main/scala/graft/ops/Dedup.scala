@@ -84,37 +84,14 @@ object Dedup {
     * whole-stage codegen.) Docs with <3 tokens drop out naturally (no
     * row has two leads).
     */
-  /** Session-scoped posting-table cache, keyed by (session, fixture
-    * dir): q18/q20/q38/q39/q44 all consume the same inverted index, and
-    * a Verify/Bench run invokes them back-to-back — replace-on-call
-    * persistence made each query rebuild tokenize+hash from scratch.
-    * Keying by session identity (not just dir) keeps entries from a
-    * stopped test session from being served to a new one; the footprint
-    * stays bounded because a run touches at most two fixture dirs
-    * (bench warm dir + target), evicted oldest-first past 4 entries.
+  /** Session-scoped posting-table cache: q18/q20/q38/q39/q44 all
+    * consume the same inverted index, and a Verify/Bench run invokes
+    * them back-to-back — replace-on-call persistence made each query
+    * rebuild tokenize+hash from scratch. See [[PlanCache]] for the
+    * keying/eviction contract.
     */
-  private val invCache =
-    new java.util.LinkedHashMap[(Int, String), DataFrame](8, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), DataFrame]): Boolean = {
-        val evict = size() > 4
-        if (evict) e.getValue.unpersist(blocking = false)
-        evict
-      }
-    }
-
   private[ops] def persistedInverted(s: SparkSession, dir: String): DataFrame =
-    invCache.synchronized {
-      val key = (System.identityHashCode(s), dir)
-      val cached = invCache.get(key)
-      if (cached != null) cached
-      else {
-        val p = inverted(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        invCache.put(key, p)
-        p
-      }
-    }
+    PlanCache.getOrBuild(s, dir, "inverted")(inverted(s, dir))
 
   private[graft] def inverted(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -308,5 +308,54 @@ object Events {
       FROM numbered GROUP BY user_id, session_seq
       ORDER BY user_id, session_start"""))
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q53, q54, q56)
+  // ---------- q61: SCD2 versioning from a change log ------------------
+
+  /** Slowly-changing-dimension (type 2) build: compress each user's
+    * event stream into versioned rows of their "current event_type" —
+    * consecutive no-change events collapse, each surviving change opens
+    * a version `[valid_from, valid_to)` closed by the next change
+    * (`lead`), with the open version flagged current. This is the
+    * standard warehouse history-table derivation from a CDC/change
+    * stream (the consumer-side complement of the reference's
+    * incremental export).
+    *
+    * Shape: two window passes over the same (user_id → ts, event_id)
+    * partitioning — Catalyst plans ONE shuffle+sort and evaluates both
+    * windows on it, so cost is a single sort within user partitions
+    * regardless of corpus size. Ties on ts are broken by event_id in
+    * both engines, keeping the collapse deterministic.
+    */
+  private val q61 = QueryDef(
+    "q61_scd2",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev IS NULL OR prev <> event_type),
+      versioned AS (
+        SELECT user_id, event_type, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS valid_to
+        FROM changes)
+      SELECT user_id, event_type, valid_from, valid_to,
+        (valid_to IS NULL) AS is_current
+      FROM versioned ORDER BY user_id, valid_from"""))
+
+  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61)
 }

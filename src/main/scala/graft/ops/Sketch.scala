@@ -172,5 +172,61 @@ object Sketch {
         < $SampleRatePct THEN 1 END) AS n_sampled
       FROM documents GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37, q51)
+  // ---------- q63: count-min-sketch heavy hitters ----------------------
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** Heavy-hitter estimation through a count-min sketch: every token
+    * occurrence increments `CmsDepth` counters (one per hash row), the
+    * estimate for a token is the MIN of its counters, and the sketch is
+    * a FIXED 4×1024 table regardless of corpus size — that bounded
+    * state is the whole point: at 100 TB the sketch build is one
+    * map-side-combined aggregation into ≤4096 cells, and merging
+    * per-partition sketches is cell-wise addition (exactly what the
+    * hash aggregate does). Estimates are biased up only (collisions
+    * add), never down — the classic CMS guarantee, preserved here
+    * because both engines use the identical portable h32 rows.
+    *
+    * Candidates to probe are the distinct vocabulary (exact here so the
+    * oracle can replicate; a production pairing keeps a per-partition
+    * top-K heap alongside the sketch instead). Top-20 under a total
+    * (estimate DESC, token) order so LIMIT is deterministic.
+    */
+  private val q63 = QueryDef(
+    "q63_cms_heavy_hitters",
+    (s, dir) => {
+      val toks = Fixtures.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      def rows(df: DataFrame): DataFrame = df.select(col("tok"),
+        posexplode(array((0 until CmsDepth).map(r =>
+          expr(s"${h32Spark(s"concat('cms$r|', tok)")} % $CmsWidth")): _*))
+          .as(Seq("r", "bucket")))
+      val sketch = rows(toks)
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      rows(toks.distinct())
+        .join(sketch, Seq("r", "bucket"))
+        .groupBy(col("tok")).agg(min(col("c")).as("est"))
+        .orderBy(col("est").desc, col("tok")).limit(20)
+    },
+    Some {
+      val bucket = (side: String) => (0 until CmsDepth).map(r =>
+        s"SELECT tok, $r AS r, " +
+          s"${h32Duck(s"'cms$r|' || tok")} % $CmsWidth AS bucket " +
+          s"FROM $side").mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        occ AS (SELECT tok FROM toks WHERE len(tok) > 0),
+        cand AS (SELECT DISTINCT tok FROM occ),
+        srows AS (${bucket("occ")}),
+        sketch AS (SELECT r, bucket, count(*)::BIGINT AS c
+          FROM srows GROUP BY 1, 2),
+        crows AS (${bucket("cand")})
+        SELECT cr.tok, min(sk.c)::BIGINT AS est
+        FROM crows cr JOIN sketch sk USING (r, bucket)
+        GROUP BY cr.tok ORDER BY est DESC, tok LIMIT 20"""
+    })
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q51, q63)
 }

@@ -247,6 +247,50 @@ object Relational {
       substring(props, 1, 8) AS props_prefix
       FROM events WHERE event_id < 1000 ORDER BY event_id"""))
 
+  // ---------- q62: single-pass column profiler -------------------------
+
+  /** `ANALYZE TABLE`-style column statistics — per column: non-null
+    * count, distinct count, min/max (rendered as strings so one result
+    * schema covers every column type). All five columns profile in ONE
+    * scan: Spark plans the multi-distinct aggregate with a single
+    * Expand (one shuffle), and the wide single-row result is unpivoted
+    * row-side with `stack` — at 100 TB this is one pass over the table
+    * either way, where the naive per-column UNION would be five.
+    *
+    * min/max are computed in the column's native type and THEN cast to
+    * string (min of the string rendering would order "10" < "9").
+    * Doubles are excluded: the two engines' shortest-roundtrip float
+    * formatting differs, so their profile belongs to a numeric-typed
+    * variant, not this portable one.
+    */
+  private val profiledCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+      "o_orderpriority")
+
+  private val q62 = QueryDef(
+    "q62_profile",
+    (s, dir) => {
+      val aggs = profiledCols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_n"),
+          countDistinct(col(c)).as(s"${c}_d"),
+          min(col(c)).cast(StringType).as(s"${c}_min"),
+          max(col(c)).cast(StringType).as(s"${c}_max"))
+      }
+      val stackArgs = profiledCols
+        .map(c => s"'$c', ${c}_n, ${c}_d, ${c}_min, ${c}_max")
+        .mkString(", ")
+      t(s, dir, "orders")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${profiledCols.size}, $stackArgs) AS " +
+          "(column_name, n_nonnull, n_distinct, min_str, max_str)"))
+        .orderBy("column_name")
+    },
+    Some(profiledCols.map(c =>
+      s"""SELECT '$c' AS column_name, count($c)::BIGINT AS n_nonnull,
+        count(DISTINCT $c)::BIGINT AS n_distinct,
+        min($c)::VARCHAR AS min_str, max($c)::VARCHAR AS max_str
+      FROM orders""").mkString(" UNION ALL ") + " ORDER BY column_name"))
+
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q62)
 }
