@@ -107,6 +107,27 @@ object EventStream {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
 
+  /** Exactly-once delivery on top of an at-least-once feed. The
+    * reference's restart semantics are at-least-once re-export (a crash
+    * between write and checkpoint re-sends rows — SURVEY.md §2.9); this
+    * is the consumer-side key dedup that upgrades the stream to
+    * exactly-once. `dropDuplicatesWithinWatermark` keeps a key's
+    * fingerprint in state only until the watermark passes its event
+    * time — bounded state on an unbounded stream, where plain
+    * `dropDuplicates` would accumulate every key ever seen. The
+    * contract: a replay arriving within `watermarkDelay` of the
+    * original is dropped; replays later than the watermark bound are
+    * the source's exactly-once problem (file-source offsets already
+    * prevent them for the parquet feed).
+    */
+  def dedupedEvents(events: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts_evt", col("ts").cast(TimestampType))
+      .withWatermark("ts_evt", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+
   // ---------- stateful sessionization ---------------------------------
 
   final case class Ev(event_id: Long, ts: java.time.LocalDateTime,

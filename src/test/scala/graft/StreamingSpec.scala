@@ -148,6 +148,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming key dedup drops at-least-once replays with bounded " +
+    "state (dropDuplicatesWithinWatermark)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+    val input = MemoryStream[(Long, java.time.LocalDateTime, Long, String)]
+    val q = EventStream.dedupedEvents(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, t0, 1L, "view"), (2L, t0.plusMinutes(1), 1L, "click"))
+      q.processAllAvailable()
+      // batch 2 replays id 2 (at-least-once re-delivery) and adds id 3
+      input.addData((2L, t0.plusMinutes(1), 1L, "click"),
+        (3L, t0.plusMinutes(2), 2L, "view"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L)) // each key exactly once
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization == batch q27 (backfill mode)") {
     import spark.implicits._
     val src = EventStream.readEvents(spark, sf)
