@@ -279,5 +279,56 @@ object Similarity {
       SELECT query_id, cell, rnk, neighbor_id, cosine FROM r
       WHERE rnk <= $KAnn ORDER BY query_id, rnk"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34)
+  // ---------- q65: int8 embedding quantization -------------------------
+
+  /** Symmetric int8 quantization of the embedding column — the memory
+    * compression step before an ANN index is shipped (4× smaller than
+    * float32; recall loss is negligible at 64 dims). Per vector:
+    * scale = 127 / max|v|, q_d = ⌊v_d · scale⌋. Every step is
+    * deterministic IEEE arithmetic in the same order on both engines —
+    * float parquet values widen exactly to double, one max, one
+    * division, one multiply, floor — so the quantization hash-matches
+    * bit-for-bit (round() would not: Spark rounds HALF_UP, DuckDB
+    * half-even). Output is the per-vector manifest (scale, extrema,
+    * checksum) a loader validates against, not the int8 payload itself
+    * (list columns defeat the driver's comparator; the checksum pins
+    * every element).
+    *
+    * Shape: posexplode to (vec, dim) rows so the whole computation is
+    * two codegen'd hash aggregates (max|v|, then the quantized sum) —
+    * the array-HOF form would run interpreted per element. One shuffle
+    * on vec_id, output one row per vector.
+    */
+  private val q65 = QueryDef(
+    "q65_quantize_int8",
+    (s, dir) => {
+      val flat = emb(s, dir)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("v").cast("double").as("v"))
+      val scales = flat.groupBy(col("vec_id"))
+        .agg(max(abs(col("v"))).as("maxabs"))
+        .select(col("vec_id"), (lit(127.0) / col("maxabs")).as("scale"))
+      flat.join(scales, "vec_id")
+        .select(col("vec_id"), col("scale"),
+          floor(col("v") * col("scale")).cast("long").as("q"))
+        .groupBy(col("vec_id"), col("scale"))
+        .agg(count(lit(1)).as("n_dims"), sum(col("q")).as("q_sum"),
+          min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH flat AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v FROM embeddings),
+      scales AS (
+        SELECT vec_id, 127.0 / max(abs(v)) AS scale
+        FROM flat GROUP BY vec_id),
+      q AS (
+        SELECT f.vec_id, s.scale,
+          floor(f.v * s.scale)::BIGINT AS q
+        FROM flat f JOIN scales s ON s.vec_id = f.vec_id)
+      SELECT vec_id, scale, count(*) AS n_dims, sum(q)::BIGINT AS q_sum,
+        min(q) AS q_min, max(q) AS q_max
+      FROM q GROUP BY vec_id, scale ORDER BY vec_id"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Fixtures, QueryDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the LLM-data-
@@ -216,5 +217,51 @@ object TextOps {
       WHERE n_xy >= $MinPair
       ORDER BY lift DESC, bic.w1, bic.w2 LIMIT 20"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q55)
+  // ---------- q64: sequence packing (concat-then-chunk) ----------------
+
+  private val PackCap = 2048L
+
+  /** Pack the corpus into fixed-capacity training sequences: documents
+    * are laid end-to-end in deterministic (lang, doc_id) order and
+    * chunked every `PackCap` tokens — the concat-then-chunk packing
+    * most pretraining pipelines use (not per-doc padding, which wastes
+    * capacity). A document's bin is where its FIRST token lands;
+    * boundary-spanning docs belong to the bin they start in, the
+    * trainer's chunker owns the actual split. Output is the per-bin
+    * manifest (doc count, token count, doc-id span) a loader shards by.
+    *
+    * Scale: the running offset is a window PARTITIONED BY lang —
+    * packing is per language shard, so each partition sorts
+    * independently and no global total order exists anywhere in the
+    * plan (a single global pack would serialize the corpus through one
+    * partition; per-shard packing is what real pipelines do anyway —
+    * swap `lang` for the shard key of choice).
+    */
+  private val q64 = QueryDef(
+    "q64_seq_packing",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"off div $PackCap"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin")
+    },
+    Some(s"""WITH sized AS (SELECT lang, doc_id,
+        len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+      placed AS (SELECT lang, doc_id, n_tok,
+        COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM sized)
+      SELECT lang, (off // $PackCap)::BIGINT AS bin,
+        count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM placed GROUP BY 1, 2 ORDER BY lang, bin"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q55, q64)
 }
