@@ -357,5 +357,115 @@ object Events {
         (valid_to IS NULL) AS is_current
       FROM versioned ORDER BY user_id, valid_from"""))
 
-  val all: Seq[QueryDef] = Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61)
+  // ---------- q68: rolling 7-day window (RANGE frame) -----------------
+
+  /** 7-day rolling order volume per priority — a RANGE frame over the
+    * integer epoch-day, not a ROWS frame: days with no orders must
+    * still age out of the window (ROWS BETWEEN 6 PRECEDING would span
+    * 7 *observed* days, silently stretching over gaps). The rolling
+    * average is the one double division of two exact BIGINTs, computed
+    * identically on both engines.
+    *
+    * Distributed shape: raw orders collapse to one row per
+    * (priority, day) in a map-side-combined aggregate FIRST, so the
+    * window pass sorts ≤ days×priorities rows regardless of order
+    * volume — the window never sees the fact table. At 100 TB the
+    * pre-aggregate is the whole cost and the windowed daily table is
+    * driver-trivial.
+    */
+  private val q68 = QueryDef(
+    "q68_rolling_daily",
+    (s, dir) => {
+      val daily = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          expr("datediff(cast(o_orderdate AS DATE), DATE '1970-01-01')")
+            .as("day"))
+        .agg(count(lit(1)).as("n_day"))
+      val w7 = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("day")).rangeBetween(-6, 0)
+      daily
+        .withColumn("n_7d", sum(col("n_day")).over(w7))
+        .withColumn("days_present", count(lit(1)).over(w7))
+        .withColumn("avg_7d",
+          col("n_7d").cast(DoubleType) / col("days_present"))
+        .orderBy("o_orderpriority", "day")
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority,
+        (o_orderdate::DATE - DATE '1970-01-01') AS day,
+        count(*)::BIGINT AS n_day
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderpriority, day, n_day,
+        sum(n_day) OVER w::BIGINT AS n_7d,
+        count(*) OVER w::BIGINT AS days_present,
+        (sum(n_day) OVER w)::DOUBLE / (count(*) OVER w) AS avg_7d
+      FROM daily
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderpriority, day"""))
+
+  // ---------- q69: keyed snapshot diff (CDC classify) -----------------
+
+  /** Snapshot-to-snapshot change classification — the diff a CDC
+    * consumer materializes between two export watermarks: each user's
+    * "current event_type" as of Jan 15 vs. as of the full stream, full
+    * outer join on the key, rows classified added / changed / removed
+    * (removed is impossible here since the later snapshot is a
+    * superset, but the classifier carries it — real snapshots delete).
+    * Unchanged rows are FILTERED OUT, so output ∝ churn, not corpus:
+    * at 100 TB both snapshot states are per-key aggregates (one
+    * shuffle each on the same key, so the final join co-partitions),
+    * and only the changed tail survives to the result.
+    *
+    * Latest-state selection uses the same (ts, event_id) total order
+    * as q61's SCD2, keeping the two CDC views consistent.
+    */
+  private val q69 = QueryDef(
+    "q69_snapshot_diff",
+    (s, dir) => {
+      def state(df: DataFrame, alias: String): DataFrame = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as(alias))
+      }
+      val events = ev(s, dir)
+      val old = state(events.where(
+        expr("ts < TIMESTAMP_NTZ '2024-01-15 00:00:00'")), "old_type")
+      val neu = state(events, "new_type")
+      old.join(neu, Seq("user_id"), "full_outer")
+        .withColumn("change", expr(
+          """CASE WHEN old_type IS NULL THEN 'added'
+                  WHEN new_type IS NULL THEN 'removed'
+                  WHEN old_type <> new_type THEN 'changed'
+                  ELSE 'unchanged' END"""))
+        .where(col("change") =!= "unchanged")
+        .select("user_id", "old_type", "new_type", "change")
+        .orderBy("user_id")
+    },
+    Some("""WITH old_state AS (
+        SELECT user_id, event_type AS old_type FROM (
+          SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+        WHERE rn = 1),
+      new_state AS (
+        SELECT user_id, event_type AS new_type FROM (
+          SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1),
+      diff AS (
+        SELECT user_id, old_type, new_type,
+          CASE WHEN old_type IS NULL THEN 'added'
+               WHEN new_type IS NULL THEN 'removed'
+               WHEN old_type <> new_type THEN 'changed'
+               ELSE 'unchanged' END AS change
+        FROM old_state FULL JOIN new_state USING (user_id))
+      SELECT user_id, old_type, new_type, change FROM diff
+      WHERE change <> 'unchanged' ORDER BY user_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69)
 }

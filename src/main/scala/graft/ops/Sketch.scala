@@ -228,5 +228,127 @@ object Sketch {
         GROUP BY cr.tok ORDER BY est DESC, tok LIMIT 20"""
     })
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37, q51, q63)
+  // ---------- q66: Bloom-filter data skipping -------------------------
+
+  private val BloomBits = 8192
+  private val BloomK = 3
+
+  /** Bloom-filter membership pre-filter — the data-skipping shape behind
+    * runtime row-level filtering: hash the BUILDING-segment customer
+    * keys into a `BloomK`×salted, `BloomBits`-position filter, then
+    * probe every order and count, per priority, how many orders the
+    * filter passes vs. the exact semi-join — surfacing the
+    * false-positive overshoot explicitly (`n_false_pos`), which is the
+    * number every skipping layer has to budget for. The filter is built
+    * on the portable h32 so both engines compute identical positions,
+    * making even the false positives deterministic (engine-native bloom
+    * builds — Spark's BloomFilterAggregate, DuckDB's — could never
+    * cross-engine match).
+    *
+    * Distributed shape: the position table is ≤ `BloomBits` small ints
+    * built from the dimension side and broadcast; each probe row joins
+    * its `BloomK` positions against it map-side (membership = all K
+    * present), so the fact table is filtered without shuffling — the
+    * production form packs the same positions into a bitmap broadcast
+    * variable, the relational form here keeps the oracle exact.
+    */
+  private val q66 = QueryDef(
+    "q66_bloom_skipping",
+    (s, dir) => {
+      def posCols(key: String) = (0 until BloomK).map(i =>
+        expr(s"${h32Spark(s"concat('b${i}_', cast($key AS STRING))")} % $BloomBits"))
+      val seg = Fixtures.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val posTable = seg
+        .select(explode(array(posCols("c_custkey"): _*)).as("pos")).distinct()
+      val orders = Fixtures.table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+      val nBloom = orders
+        .withColumn("pos", explode(array(posCols("o_custkey"): _*)))
+        .join(broadcast(posTable), "pos")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(count(lit(1)).as("nh"))
+        .filter(col("nh") === BloomK)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_bloom"))
+      val nExact = orders
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_exact"))
+      nBloom.join(nExact, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (coalesce(col("n_bloom"), lit(0L)) -
+            coalesce(col("n_exact"), lit(0L))).as("n_false_pos"))
+        .orderBy("o_orderpriority")
+    },
+    Some {
+      val dpos = (i: Int, key: String) =>
+        s"${h32Duck(s"'b${i}_' || $key::VARCHAR")} % $BloomBits"
+      val posUnion = (0 until BloomK).map(i =>
+        s"SELECT ${dpos(i, "c_custkey")} AS pos FROM seg").mkString(" UNION ")
+      val member = (0 until BloomK).map(i =>
+        s"${dpos(i, "o_custkey")} IN (SELECT pos FROM pos)").mkString(" AND ")
+      s"""WITH seg AS (SELECT c_custkey FROM customer
+          WHERE c_mktsegment = 'BUILDING'),
+        pos AS ($posUnion),
+        bloom AS (SELECT o_orderpriority, count(*)::BIGINT AS n_bloom
+          FROM orders WHERE $member GROUP BY 1),
+        exact AS (SELECT o_orderpriority, count(*)::BIGINT AS n_exact
+          FROM orders WHERE o_custkey IN (SELECT c_custkey FROM seg)
+          GROUP BY 1)
+        SELECT o_orderpriority,
+          COALESCE(n_bloom, 0)::BIGINT AS n_bloom,
+          COALESCE(n_exact, 0)::BIGINT AS n_exact,
+          (COALESCE(n_bloom, 0) - COALESCE(n_exact, 0))::BIGINT
+            AS n_false_pos
+        FROM bloom FULL JOIN exact USING (o_orderpriority)
+        ORDER BY o_orderpriority"""
+    })
+
+  // ---------- q67: exact percentile spread ----------------------------
+
+  /** p50/p90/p99 of order value per priority — exact `percentile_disc`
+    * order statistics by row_number selection at position ⌈p·n⌉, the
+    * same selection-not-interpolation rule as q36 (interpolating
+    * percentiles mix doubles in engine-specific formulas and can never
+    * hash-match; a selected value is a value that exists in the data,
+    * bit-identical everywhere). All three percentiles come off ONE
+    * window sort — Catalyst evaluates rn and n on the same
+    * (priority → price) shuffle+sort pass, and the p-selection is a
+    * conditional aggregate over it, so adding percentiles is free.
+    * At 100 TB swap the per-group sort for the two-pass kth-selection
+    * (count, then select by global sort position) exactly as q36 notes.
+    */
+  private val q67 = QueryDef(
+    "q67_percentiles",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+      val wAll = Window.partitionBy(col("o_orderpriority"))
+      Fixtures.table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max(expr("CASE WHEN rn = (n + 1) div 2 THEN o_totalprice END"))
+            .as("p50"),
+          max(expr("CASE WHEN rn = (9 * n + 9) div 10 THEN o_totalprice END"))
+            .as("p90"),
+          max(expr("CASE WHEN rn = (99 * n + 99) div 100 THEN o_totalprice END"))
+            .as("p99"),
+          max(col("n")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH r AS (SELECT o_orderpriority, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice) AS rn,
+        count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders)
+      SELECT o_orderpriority,
+        max(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
+        max(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90,
+        max(CASE WHEN rn = (99 * n + 99) // 100 THEN o_totalprice END) AS p99,
+        max(n) AS n_orders
+      FROM r GROUP BY 1 ORDER BY o_orderpriority"""))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q51, q63, q66, q67)
 }
