@@ -380,6 +380,39 @@ object Analytics {
       ORDER BY nationkey"""
     })
 
+  // ---------- q71: order-independent table checksum -------------------
+
+  /** Replication / export validation checksum — the anti-entropy
+    * primitive: per customer segment, a row-count plus a `bit_xor` fold
+    * of the portable h32 over a canonical row rendering. XOR is
+    * commutative-associative, so the checksum is independent of row
+    * order, partitioning, AND engine — source and replica compare one
+    * tiny row per segment instead of moving data (the scalable form of
+    * the reference's per-table MD5 digest, SURVEY §2.4, which hashes a
+    * serialized whole table and so needs a total order). Doubles are
+    * excluded from the rendering: float formatting is engine-specific;
+    * checksum the exact columns, validate doubles via q58-style stats.
+    *
+    * Shape: one map-side-combined hash aggregate, output ∝ segments.
+    */
+  private val q71 = QueryDef(
+    "q71_table_checksum",
+    (s, dir) => {
+      import graft.ops.Portable.h32Spark
+      Fixtures.table(s, dir, "customer")
+        .select(col("c_mktsegment"), expr(h32Spark(
+          "concat_ws('|', c_custkey, c_name, c_nationkey)")).as("h"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_sig"))
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""SELECT c_mktsegment, count(*)::BIGINT AS n_rows,
+        bit_xor(${graft.ops.Portable.h32Duck(
+      "c_custkey::VARCHAR || '|' || c_name || '|' || c_nationkey::VARCHAR")})
+          AS xor_sig
+      FROM customer GROUP BY 1 ORDER BY c_mktsegment"""))
+
   val all: Seq[QueryDef] =
-    Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60)
+    Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71)
 }

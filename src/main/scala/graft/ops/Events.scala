@@ -466,6 +466,46 @@ object Events {
       SELECT user_id, old_type, new_type, change FROM diff
       WHERE change <> 'unchanged' ORDER BY user_id"""))
 
+  // ---------- q70: incremental view maintenance -----------------------
+
+  /** Incremental materialized-view maintenance — the consumer-side
+    * complement of the reference's incremental export (SURVEY §2.9):
+    * the daily (day, event_type) aggregate view is maintained as
+    * base-partial ⊎ delta-partial → merge, where base is everything
+    * before the watermark and delta only what arrived after. The
+    * ORACLE is the full single-pass recompute over all events — so the
+    * driver's gate proves the maintenance algebra (merge of partials ≡
+    * recompute) cross-engine, which is the property that lets a 100 TB
+    * pipeline re-aggregate only the day's delta instead of the corpus.
+    *
+    * Exactness: partial value sums stay DECIMAL through the merge and
+    * cast to double only at the end — the one representation where
+    * merge order cannot perturb low bits (QueryDef.doc).
+    */
+  private val q70 = QueryDef(
+    "q70_incremental_view",
+    (s, dir) => {
+      val day = expr("datediff(cast(ts AS DATE), DATE '1970-01-01')").as("day")
+      def partial(df: DataFrame): DataFrame = df
+        .groupBy(day, col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).as("s"))
+      val events = ev(s, dir)
+      val base = partial(events.where(
+        expr("ts < TIMESTAMP_NTZ '2024-01-25 00:00:00'")))
+      val delta = partial(events.where(
+        expr("ts >= TIMESTAMP_NTZ '2024-01-25 00:00:00'")))
+      base.unionByName(delta)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("s")).cast(DoubleType).as("sum_value"))
+        .orderBy("day", "event_type")
+    },
+    Some("""SELECT (ts::DATE - DATE '1970-01-01') AS day, event_type,
+        count(*)::BIGINT AS n,
+        cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+
   val all: Seq[QueryDef] =
-    Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69)
+    Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70)
 }

@@ -71,4 +71,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === plain)
     assert(salted.nonEmpty)
   }
+
+  test("q66 bloom probe joins the position table by broadcast, " +
+    "never a sort-merge shuffle of the fact side") {
+    val df = SparkEntry.queries("q66_bloom_skipping")(spark, sf)
+    df.collect() // let AQE finalize the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe join itself must be broadcast — the position table's
+    // own distinct may shuffle (≤ BloomBits rows, irrelevant), and the
+    // final 5-row full-outer of the priority aggregates may sort-merge
+    assert(plan.contains("BroadcastHashJoin [pos"),
+      s"position table should broadcast into the probe join:\n$plan")
+    assert(!plan.contains("SortMergeJoin [pos"),
+      s"fact side must not sort-merge on pos:\n$plan")
+  }
 }
