@@ -506,6 +506,89 @@ object Events {
         cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
 
+  // ---------- q72: event debounce (burst dedup) -----------------------
+
+  /** Burst deduplication — keep only the first event of each
+    * (user, type) burst, where a burst is a run of repeats within 60 s
+    * of the previous occurrence. This is the curation filter for
+    * repeated pings / double-fires before events enter training
+    * aggregates (the row-FILTERING complement of q27's sessionize,
+    * which labels rows). Gap is computed in integer microseconds —
+    * no double time arithmetic anywhere.
+    *
+    * Shape: one window sort per (user, type) partition, output is the
+    * surviving head rows — shuffle key is the dedup key, so at 100 TB
+    * this is one shuffle of the event stream and the comparison is a
+    * lag within sorted partitions.
+    */
+  private val q72 = QueryDef(
+    "q72_debounce",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("gap_us",
+          expr("timestampdiff(MICROSECOND, lag(ts) OVER (" +
+            "PARTITION BY user_id, event_type ORDER BY ts, event_id), ts)"))
+        .where(col("gap_us").isNull || col("gap_us") > lit(60000000L))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .orderBy("event_id")
+    },
+    Some("""WITH g AS (SELECT event_id, user_id, event_type, ts,
+        date_diff('microsecond', lag(ts) OVER (
+          PARTITION BY user_id, event_type ORDER BY ts, event_id), ts)
+          AS gap_us
+        FROM events)
+      SELECT event_id, user_id, event_type, ts FROM g
+      WHERE gap_us IS NULL OR gap_us > 60000000
+      ORDER BY event_id"""))
+
+  // ---------- q73: sweep-line max concurrency -------------------------
+
+  /** Peak interval overlap — treat each event as a 5-minute activity
+    * interval and compute, per event type, the maximum number of
+    * simultaneously open intervals. Classic sweep line as pure
+    * relational algebra: every interval contributes a +1 at its start
+    * and a −1 at its end, a running sum over the merged timeline is the
+    * live concurrency, and the answer is its max. Intervals are
+    * half-open [ts, ts+5 min): at an exact boundary instant the −1
+    * sorts before the +1 (ORDER BY t, d), so a close and an open at the
+    * same microsecond never double-count — the tie rule IS the boundary
+    * semantics, stated identically in both engines.
+    *
+    * Shape: 2 rows per event, one shuffle on event_type, one window
+    * pass — no interval self-join (the naive overlap join is O(n²) per
+    * type; the sweep line is O(n log n) and partitions cleanly).
+    */
+  private val q73 = QueryDef(
+    "q73_concurrency",
+    (s, dir) => {
+      val e = ev(s, dir).select(col("event_type"), col("ts"))
+      val deltas = e.select(col("event_type"), col("ts").as("t"),
+        lit(1).as("d"))
+        .unionByName(e.select(col("event_type"),
+          expr("timestampadd(MINUTE, 5, ts)").as("t"), lit(-1).as("d")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("d"))
+      deltas
+        .withColumn("live", sum(col("d")).over(w))
+        .groupBy(col("event_type"))
+        .agg(max(col("live")).cast("long").as("max_concurrent"),
+          (count(lit(1)) / 2).cast("long").as("n_intervals"))
+        .orderBy("event_type")
+    },
+    Some("""WITH deltas AS (
+        SELECT event_type, ts AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS d
+        FROM events),
+      swept AS (SELECT event_type,
+        sum(d) OVER (PARTITION BY event_type ORDER BY t, d) AS live
+        FROM deltas)
+      SELECT event_type, max(live)::BIGINT AS max_concurrent,
+        (count(*) / 2)::BIGINT AS n_intervals
+      FROM swept GROUP BY 1 ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
-    Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70)
+    Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72, q73)
 }
