@@ -413,6 +413,47 @@ object Analytics {
           AS xor_sig
       FROM customer GROUP BY 1 ORDER BY c_mktsegment"""))
 
+  // ---------- q74: equi-depth (quantile-bucket) histogram -------------
+
+  /** Decile histogram of order value per status — the equi-DEPTH
+    * complement of q46's equi-width bins: `ntile(10)` splits each
+    * status's orders into ten equal-count buckets and the output is
+    * each bucket's [lo, hi] value range and population. Equi-depth is
+    * what an optimizer's column statistics and a skew report actually
+    * want (equi-width collapses under heavy-tailed value
+    * distributions — most rows land in one bin). The ntile ordering is
+    * made TOTAL with the (value, key) tie-break, so bucket assignment
+    * — and therefore every bucket boundary — is deterministic and
+    * engine-independent; lo/hi are selections, never arithmetic.
+    *
+    * Shape: one window sort per status partition, then a hash
+    * aggregate on (status, bucket) — same two-exchange plan class as
+    * every order-statistic query here; at 100 TB use the two-pass
+    * count + global-sort-position selection exactly as q36 notes.
+    */
+  private val q74 = QueryDef(
+    "q74_equidepth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Fixtures.table(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("bucket", ntile(10).over(w))
+        .groupBy(col("o_orderstatus"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy("o_orderstatus", "bucket")
+    },
+    Some("""WITH b AS (SELECT o_orderstatus, o_totalprice,
+        ntile(10) OVER (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders)
+      SELECT o_orderstatus, bucket, count(*)::BIGINT AS n,
+        min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM b GROUP BY 1, 2 ORDER BY o_orderstatus, bucket"""))
+
   val all: Seq[QueryDef] =
-    Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71)
+    Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74)
 }
