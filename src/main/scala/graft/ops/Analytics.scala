@@ -454,6 +454,75 @@ object Analytics {
         min(o_totalprice) AS lo, max(o_totalprice) AS hi
       FROM b GROUP BY 1, 2 ORDER BY o_orderstatus, bucket"""))
 
+  // ---------- q75: Pearson correlation from exact moments -------------
+
+  /** Correlation between an order's value and its line-item count, per
+    * priority — computed from the five moment sums (Σx, Σy, Σxy, Σx²,
+    * Σy²) accumulated as exact DECIMALs, with the Pearson formula
+    * applied once at the end in double. Engine corr() built-ins use
+    * streaming covariance updates whose result depends on accumulation
+    * order — unmatchable across engines; exact integer/decimal moments
+    * make the aggregation order-independent, and the final formula is
+    * textually identical on both sides, so even its floating-point
+    * rounding agrees bit-for-bit (the q35 estimate-arithmetic rule).
+    *
+    * Shape: lineitem collapses to (orderkey, count) in a map-side
+    * combined aggregate, joins orders on the key, then one moments
+    * aggregate per priority — two shuffles, output 5 rows. At 100 TB
+    * the per-order count is the only large intermediate and it is
+    * one row per order.
+    */
+  private val q75 = QueryDef(
+    "q75_correlation",
+    (s, dir) => {
+      val li = Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
+      Fixtures.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast(DecimalType(18, 4)).as("x"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .selectExpr("o_orderpriority", "n",
+          // round to 12 decimals: the formula is textually identical on
+          // both engines, but the wide-DECIMAL→DOUBLE input conversions
+          // round differently in the last ulp; 12 digits is far beyond
+          // any statistical meaning of r and both engines' round()
+          // reduce to one correctly-rounded division by 10^12
+          "round((cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - " +
+            "cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) / " +
+            "(sqrt(cast(n AS DOUBLE) * cast(sxx AS DOUBLE) - " +
+            "cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) * " +
+            "sqrt(cast(n AS DOUBLE) * cast(syy AS DOUBLE) - " +
+            "cast(sy AS DOUBLE) * cast(sy AS DOUBLE))), 12) AS r")
+        .orderBy("o_orderpriority")
+    },
+    // oracle x is DECIMAL(19,4): DuckDB's product type is p1+p2 wide, so
+    // 19+19 = 38 keeps x*x inside DECIMAL(38,8) (18+18 would overflow
+    // at input width before promotion); the VALUES are identical
+    Some("""WITH pairs AS (
+        SELECT o_orderpriority, cast(o_totalprice AS DECIMAL(19,4)) AS x,
+          y FROM orders JOIN (
+            SELECT l_orderkey, count(*)::BIGINT AS y
+            FROM lineitem GROUP BY 1) li
+          ON o_orderkey = l_orderkey),
+      m AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+          sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pairs GROUP BY 1)
+      SELECT o_orderpriority, n,
+        round((cast(n AS DOUBLE) * cast(sxy AS DOUBLE) -
+          cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) /
+          (sqrt(cast(n AS DOUBLE) * cast(sxx AS DOUBLE) -
+          cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) *
+          sqrt(cast(n AS DOUBLE) * cast(syy AS DOUBLE) -
+          cast(sy AS DOUBLE) * cast(sy AS DOUBLE))), 12) AS r
+      FROM m ORDER BY o_orderpriority"""))
+
   val all: Seq[QueryDef] =
-    Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74)
+    Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75)
 }
