@@ -68,4 +68,16 @@ class DedupSpec extends SparkSpec {
       exact.map(r => (r.getLong(0), r.getLong(1))).toSet,
       s"df-cap (hot=$hot) changed the detected pair set at fixture scale")
   }
+
+  test("q76 prefix filtering is lossless: identical result set and " +
+    "scores to the exhaustive q20 join") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows("q20_ngram_jaccard")
+    val prefix = rows("q76_prefix_jaccard")
+    assert(prefix === exact,
+      "prefix-filtered candidates must recover every qualifying pair")
+    assert(exact.nonEmpty)
+  }
 }
