@@ -454,6 +454,69 @@ object Analytics {
         min(o_totalprice) AS lo, max(o_totalprice) AS hi
       FROM b GROUP BY 1, 2 ORDER BY o_orderstatus, bucket"""))
 
+  // ---------- q77: multi-way star join (regional revenue) -------------
+
+  /** Revenue by nation for intra-nation trade inside one region and one
+    * order year — the TPC-H Q5 plan shape: the lineitem fact stream
+    * joins orders on the shuffle key, while customer, supplier, nation
+    * and region are all BROADCAST dimensions (nation/region pre-joined
+    * and reduced to a nationkey list before touching the fact side).
+    * The co-nation predicate (customer's nation = supplier's nation)
+    * runs as a post-broadcast filter, never a join explosion. Revenue
+    * follows the DECIMAL-term convention: price·(1−discount) is two
+    * IEEE ops identical on both engines, the per-row product is cast to
+    * DECIMAL for the order-independent sum, and only the final sum
+    * returns to double.
+    *
+    * At 100 TB the only shuffle is lineitem⋈orders on orderkey (AQE
+    * picks SMJ or bucketed co-location); every dimension stays
+    * broadcast — the canonical star-join layout.
+    */
+  private val q77 = QueryDef(
+    "q77_regional_revenue",
+    (s, dir) => {
+      val asiaNations = Fixtures.table(s, dir, "nation")
+        .join(Fixtures.table(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Fixtures.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = Fixtures.table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(Fixtures.table(s, dir, "orders")
+          .where(expr("o_orderdate >= TIMESTAMP '1996-01-01' AND " +
+            "o_orderdate < TIMESTAMP '1997-01-01'"))
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(expr("cast(l_extendedprice * (1.0 - l_discount) " +
+          "AS DECIMAL(18,4))")).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+        cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        count(*)::BIGINT AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      GROUP BY 1 ORDER BY revenue DESC, n_name"""))
+
   // ---------- q75: Pearson correlation from exact moments -------------
 
   /** Correlation between an order's value and its line-item count, per
@@ -524,5 +587,5 @@ object Analytics {
       FROM m ORDER BY o_orderpriority"""))
 
   val all: Seq[QueryDef] =
-    Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75)
+    Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75, q77)
 }
