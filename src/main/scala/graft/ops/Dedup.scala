@@ -442,27 +442,35 @@ object Dedup {
     val edges = pairs.select(col(a).as("u"), col(b).as("v"))
       .unionAll(pairs.select(col(b).as("u"), col(a).as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u")).distinct()
+    var persisted = edges.select(col("u")).distinct()
       .withColumn("l", col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
+    val lType = persisted.schema("l").dataType
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       val neigh = edges
         .join(labels.select(col("u").as("v"), col("l")), "v")
         .select(col("u"), col("l"))
-      val next = labels.unionAll(neigh)
-        .groupBy(col("u")).agg(min(col("l")).as("l"))
+      // The node's own previous label rides along as `lp` (non-null on
+      // exactly the one labels-row per u), so convergence is read off
+      // the aggregate itself — min(l) < lp — with no join against the
+      // previous round; the count is one scan of the just-persisted
+      // aggregate, which doubles as its materialization action.
+      val next = labels.select(col("u"), col("l"), col("l").as("lp"))
+        .unionAll(neigh.select(col("u"), col("l"),
+          lit(null).cast(lType).as("lp")))
+        .groupBy(col("u")).agg(min(col("l")).as("l"), max(col("lp")).as("lp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.select(col("u"), col("l").as("lp")), "u")
-        .where(col("l") =!= col("lp")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      changed = next.where(col("l") < col("lp")).count()
+      persisted.unpersist(blocking = false)
+      persisted = next
+      labels = next.select(col("u"), col("l"))
       rounds += 1
     }
     val out = labels.localCheckpoint(true)
-    labels.unpersist(blocking = false)
+    persisted.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     out.select(col("u").as("node"), col("l").as("component"))
   }
@@ -518,10 +526,13 @@ object Dedup {
     "q57_sparse_retrieval",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val tf = docs(s, dir)
+      // PlanCache (not persist-then-unpersist, which dropped the cache
+      // before the lazy plan ever executed): the tf table is consumed
+      // three times below (norms, broadcast query side, scoring join)
+      // and materializes exactly once per run.
+      val tf = PlanCache.getOrBuild(s, dir, "q57_tf")(docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
       val n2 = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
       val qtf = broadcast(tf.where(col("doc_id") < NSparseQueries)
         .select(col("doc_id").as("query_id"), col("tok"), col("tf").as("qtf")))
@@ -542,7 +553,6 @@ object Dedup {
         .where(col("rnk") <= KSparse)
         .select(col("query_id"), col("rnk"), col("doc_id"), col("cosine"))
         .orderBy("query_id", "rnk")
-      tf.unpersist(blocking = false)
       out
     },
     Some(s"""WITH toks AS (SELECT doc_id,

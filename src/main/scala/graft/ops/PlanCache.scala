@@ -15,7 +15,7 @@ import org.apache.spark.storage.StorageLevel
   * stays bounded because a run touches at most two fixture dirs
   * (bench warm dir + target), evicted oldest-first past 8 entries.
   */
-private[ops] object PlanCache {
+private[graft] object PlanCache {
   private val entries =
     new java.util.LinkedHashMap[(Int, String, String), DataFrame](16, 0.75f, false) {
       override def removeEldestEntry(

@@ -176,27 +176,33 @@ object TextOps {
     "q55_collocations",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import graft.ops.PlanCache
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val toks = docs(s, dir)
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
-      val uni = toks.groupBy(col("w1")).agg(count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nUni = toks.count()
-      val bi = toks.withColumn("w2", lead(col("w1"), 1).over(w))
-        .where(col("w2").isNotNull)
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
-      val nBi = bi.agg(sum(col("n_xy"))).collect()(0).getLong(0)
-      val out = bi.where(col("n_xy") >= MinPair)
+      // Both vocab tables live in PlanCache for the run (persist-then-
+      // unpersist-before-action dropped the cache before it was ever
+      // used); the corpus totals N_uni / N_bi fold into the plan as
+      // 1-row aggregates over those SAME cached tables (N_uni = Σ n),
+      // so the whole query is one job with zero driver-side passes.
+      val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
+        toks.groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      val bi = PlanCache.getOrBuild(s, dir, "q55_bi")(
+        toks.withColumn("w2", lead(col("w1"), 1).over(w))
+          .where(col("w2").isNotNull)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy")))
+      val nu = uni.agg(sum(col("n")).as("n_uni"))
+      val nb = bi.agg(sum(col("n_xy")).as("n_bi"))
+      bi.where(col("n_xy") >= MinPair)
         .join(uni.select(col("w1"), col("n").as("n_x")), "w1")
         .join(uni.select(col("w1").as("w2"), col("n").as("n_y")), "w2")
+        .crossJoin(nu).crossJoin(nb)
         .select(col("w1"), col("w2"), col("n_xy"),
-          ((col("n_xy") * nUni * nUni).cast("double")
-            / (col("n_x") * col("n_y") * nBi)).as("lift"))
+          ((col("n_xy") * col("n_uni") * col("n_uni")).cast("double")
+            / (col("n_x") * col("n_y") * col("n_bi"))).as("lift"))
         .orderBy(col("lift").desc, col("w1"), col("w2"))
         .limit(20)
-      uni.unpersist(blocking = false)
-      out
     },
     Some(s"""WITH toks AS (SELECT doc_id,
           generate_subscripts(parts, 1) AS pos, unnest(parts) AS w1
