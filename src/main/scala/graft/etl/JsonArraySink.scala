@@ -52,7 +52,7 @@ object JsonArraySink {
     * partition 99999, where a lexicographic sort would place
     * part-100000 before part-99999 and scramble the stitching order.
     */
-  private def partFiles(dir: Path): Seq[Path] = {
+  private[graft] def partFiles(dir: Path): Seq[Path] = {
     val d = dir.toFile
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-"))

@@ -151,6 +151,60 @@ object Dedup {
 
   // ---------- q18: MinHash + LSH near-dup pairs -----------------------
 
+  /** (doc_id, band, bkey) LSH rows from the inverted index: all 16
+    * minhashes in one codegen'd hash aggregation over the exploded
+    * shingle table (min of an affine transform per function), then the
+    * band key = md5 over the band's two minhash rows, posexplode → the
+    * LSH shuffle key. Identical docs collide in every band; j≈0.9
+    * pairs collide in ≥1 band w.p. ~1 − (1 − 0.81)^8.
+    */
+  private[graft] def minhashBands(inv: DataFrame): DataFrame = {
+    val minCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"(h * $a + $b) % $P")).as(s"mh$i")
+    }
+    val mh = inv.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until NBands).map { bnd =>
+      expr(s"md5(concat_ws(',', cast(mh${2 * bnd} AS STRING), " +
+        s"cast(mh${2 * bnd + 1} AS STRING)))")
+    }
+    mh.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Streaming twin of [[minhashBands]]: the identical (doc_id, band,
+    * bkey) rows computed entirely ROW-LOCALLY — no window, no
+    * aggregation; the final posexplode is a stateless generator — so
+    * the projection is legal on an unbounded stream (the only stateful
+    * stage a streaming near-dup pass needs is the per-bucket
+    * membership that follows).
+    * The batch path deliberately avoids this formulation (CollapseProject
+    * inlines the token-hash array into every shingle access, re-running
+    * md5 ~3× per token, and HOF lambdas run interpreted); for a stream
+    * the per-row cost is the price of statelessness, paid once per
+    * arriving document rather than per corpus pass. StreamingSpec pins
+    * both twins row-for-row equal.
+    */
+  private[graft] def minhashBandsRowLocal(docsDf: DataFrame): DataFrame = {
+    val hts = s"transform(split(text, ' '), t -> ${h32Spark("t")})"
+    val shs = s"array_distinct(transform(sequence(0, size(hts) - 3), " +
+      s"i -> (element_at(hts, i + 1) * $C1 + element_at(hts, i + 2) * $C2" +
+      s" + element_at(hts, i + 3)) % $P))"
+    val mhs = A.zip(B).map { case (a, b) =>
+      s"array_min(transform(shs, h -> (h * $a + $b) % $P))"
+    }
+    val bandExprs = (0 until NBands).map { bnd =>
+      expr(s"md5(concat_ws(',', cast(mhs[${2 * bnd}] AS STRING), " +
+        s"cast(mhs[${2 * bnd + 1}] AS STRING)))")
+    }
+    docsDf
+      .where(expr("size(split(text, ' ')) >= 3"))
+      .withColumn("hts", expr(hts))
+      .withColumn("shs", expr(shs))
+      .withColumn("mhs", array(mhs.map(expr): _*))
+      .select(col("doc_id"),
+        posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
+  }
+
   private val q18 = QueryDef(
     "q18_minhash_lsh",
     (s, dir) => {
@@ -160,24 +214,10 @@ object Dedup {
       // this is the standard persisted/checkpointed posting table every
       // MinHash pipeline builds first.
       val inv = persistedInverted(s, dir)
-      // all 16 minhashes in one codegen'd hash aggregation over the
-      // exploded shingle table (min of an affine transform per function).
-      val minCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-        min(expr(s"(h * $a + $b) % $P")).as(s"mh$i")
-      }
-      val mh = inv.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      // band key: md5 over the band's minhash rows; posexplode → the
-      // LSH shuffle key (band, bkey). Identical docs collide in every
-      // band; j≈0.9 pairs collide in ≥1 band w.p. ~1 - (1-0.81)^8.
-      val bandCols = (0 until NBands).map { bnd =>
-        expr(s"md5(concat_ws(',', cast(mh${2 * bnd} AS STRING), " +
-          s"cast(mh${2 * bnd + 1} AS STRING)))")
-      }
       // both self-join sides recompute the band projection over the
       // persisted inv — measured cheaper than persisting bands too
       // (the extra materialization costs more than it saves here)
-      val bands = mh.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
+      val bands = minhashBands(inv)
       val cand = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")

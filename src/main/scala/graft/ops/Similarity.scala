@@ -209,9 +209,21 @@ object Similarity {
       .select(col("label"), col("pos"),
         (col("sum_val") / col("n")).as("centroid"))
 
+  /** Shared codebook materialization: q33 (dump), q34 (single-probe)
+    * and q78 (multi-probe) all start from the same centroid table; one
+    * PlanCache entry per run replaces three corpus-wide posexplode
+    * aggregations. */
+  private def persistedCentroids(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "centroids")(centroids(s, dir))
+
+  private def codebook(s: SparkSession, dir: String): DataFrame =
+    persistedCentroids(s, dir).groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, centroid))), " +
+        "s -> s.centroid)").as("cvec"))
+
   private val q33 = QueryDef(
     "q33_centroids",
-    (s, dir) => centroids(s, dir).orderBy("label", "pos"),
+    (s, dir) => persistedCentroids(s, dir).orderBy("label", "pos"),
     Some(s"""WITH $centDuckCte
       SELECT label, pos, centroid FROM cent ORDER BY label, pos"""))
 
@@ -230,9 +242,7 @@ object Similarity {
     "q34_knn_ivf",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val cvecs = centroids(s, dir).groupBy(col("label"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, centroid))), " +
-          "s -> s.centroid)").as("cvec"))
+      val cvecs = codebook(s, dir)
       val q = emb(s, dir).where(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val wCell = Window.partitionBy(col("query_id"))
@@ -272,6 +282,72 @@ object Similarity {
       scored AS (SELECT query_id, cell, b.vec_id AS neighbor_id,
           ${Dedup.cosDuck("qe", "b.embedding")} AS cosine
         FROM assign a JOIN embeddings b
+        ON b.label = a.cell AND b.vec_id <> a.query_id),
+      r AS (SELECT query_id, cell, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+      SELECT query_id, cell, rnk, neighbor_id, cosine FROM r
+      WHERE rnk <= $KAnn ORDER BY query_id, rnk"""))
+
+  // ---------- q78: IVF multi-probe ANN ---------------------------------
+
+  /** Multi-probe IVF search — the standard recall knob on q34's
+    * single-probe plan: each query probes its top-`PProbe` cells by
+    * centroid cosine instead of only the nearest, then the exact
+    * re-rank runs over the union of those cells' members. Recall
+    * approaches exhaustive as PProbe → |cells| while the scanned
+    * fraction stays PProbe/|cells|; the plan shape is unchanged
+    * (broadcast codebook cross-join for routing, equi-join on cell id
+    * for the scan — no new shuffle class), which is exactly why
+    * multi-probe is the tuning knob a deployment turns first. Each
+    * corpus vector lives in exactly one cell, so probing several cells
+    * never duplicates a (query, neighbor) pair and needs no dedup.
+    */
+  private val PProbe = 3
+
+  private val q78 = QueryDef(
+    "q78_knn_ivf_multiprobe",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = emb(s, dir).where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val wCell = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val probes = q.crossJoin(broadcast(codebook(s, dir)))
+        .select(col("query_id"), col("qe"), col("label"),
+          expr(Dedup.cosFoldSpark("qe", "cvec")).as("ccos"))
+        .withColumn("rn", row_number().over(wCell))
+        .where(col("rn") <= PProbe)
+        .select(col("query_id"), col("qe"), col("label").as("cell"))
+      val corpus = emb(s, dir).select(col("label").as("cell"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      probes.join(corpus, Seq("cell"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("cell"), col("neighbor_id"),
+          expr("graft_cosine(qe, ne)").as("cosine"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= KAnn)
+        .select(col("query_id"), col("cell"), col("rnk"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH $centDuckCte,
+      cvec AS (SELECT label, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < $NQueries),
+      cellscore AS (SELECT query_id, qe, label,
+          ${Dedup.cosDuck("qe", "cvec")} AS ccos
+        FROM q CROSS JOIN cvec),
+      probes AS (SELECT query_id, qe, label AS cell FROM (
+          SELECT query_id, qe, label, row_number() OVER (
+            PARTITION BY query_id ORDER BY ccos DESC, label) AS rn
+          FROM cellscore) WHERE rn <= $PProbe),
+      scored AS (SELECT query_id, cell, b.vec_id AS neighbor_id,
+          ${Dedup.cosDuck("qe", "b.embedding")} AS cosine
+        FROM probes a JOIN embeddings b
         ON b.label = a.cell AND b.vec_id <> a.query_id),
       r AS (SELECT query_id, cell, neighbor_id, cosine,
           row_number() OVER (PARTITION BY query_id
@@ -330,5 +406,5 @@ object Similarity {
         min(q) AS q_min, max(q) AS q_max
       FROM q GROUP BY vec_id, scale ORDER BY vec_id"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65)
+  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78)
 }

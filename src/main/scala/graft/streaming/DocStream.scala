@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection over a document stream — the
+  * streaming twin of the batch MinHash+LSH pass (q18), completing the
+  * dedup family's streaming story the way sessionization already has
+  * its continuous twin.
+  *
+  * Shape: a stateless row-local signature projection
+  * ([[Dedup.minhashBandsRowLocal]]) fans each arriving document out to
+  * its 8 (band, bkey) LSH buckets, then ONE stateful stage — keyed by
+  * bucket — holds the doc ids previously seen in that bucket and emits
+  * a candidate pair for every (new doc, prior member). That is exactly
+  * the batch band-table self-join unrolled over time: the self-join
+  * becomes membership state, so candidates appear incrementally as
+  * documents arrive instead of in a terminal corpus pass.
+  *
+  * State is bounded per bucket by [[MaxBucketMembers]] (LSH bucket
+  * population concentrates near 1 for non-duplicate content; a bucket
+  * at the cap is a degenerate key — e.g. the all-same-token document —
+  * whose candidates are already emitted pairwise up to the cap, the
+  * same df-cap reasoning as q48's hot-shingle guard). A pair that
+  * collides in several bands is emitted once per band; downstream
+  * consumers dedup with `dropDuplicates` (bounded by a watermark in a
+  * true continuous deployment) exactly as the batch path dedups its
+  * candidate list.
+  */
+object DocStream {
+
+  final case class BandRow(doc_id: Long, band: Int, bkey: String)
+  final case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Hard per-bucket membership cap — bounded state on an unbounded
+    * stream, the invariant every stateful streaming operator here
+    * maintains. */
+  val MaxBucketMembers = 1024
+
+  /** Documents as an unbounded stream from a parquet source (same
+    * single-file staging contract as [[EventStream.readEvents]]). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val streamDir =
+      if (new java.io.File(path).isFile) {
+        val src = java.nio.file.Paths.get(path)
+        val tag = java.lang.Integer.toHexString(path.hashCode)
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_stream_doc_$tag")
+        java.nio.file.Files.createDirectories(tmp)
+        val dst = tmp.resolve("part-00000.parquet")
+        val fresh = java.nio.file.Files.exists(dst) &&
+          java.nio.file.Files.size(dst) == java.nio.file.Files.size(src)
+        if (!fresh) {
+          val stage = java.nio.file.Files.createTempFile(tmp, ".stage", ".tmp")
+          java.nio.file.Files.copy(src, stage,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.move(stage, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        tmp.toString
+      } else path
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(streamDir)
+  }
+
+  /** LSH candidate pairs from a document stream: signature projection →
+    * per-bucket membership state → incremental pair emission. Emits
+    * `(doc_a, doc_b)` with `doc_a < doc_b`, one row per (pair, band)
+    * collision. Works identically on a batch DataFrame (the state
+    * function sees each bucket once) — StreamingSpec proves the
+    * AvailableNow backfill equals the batch q18 candidate set.
+    */
+  def lshCandidates(docsStream: DataFrame): Dataset[CandPair] = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    Dedup.minhashBandsRowLocal(docsStream)
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[BandRow],
+         state: GroupState[Seq[Long]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty)
+          // deterministic emission order inside a microbatch: new ids
+          // sorted, so (a, b) pairs are independent of row arrival order
+          val fresh = rows.map(_.doc_id).toArray.distinct.sorted
+            .filterNot(prev.contains)
+          val out = Seq.newBuilder[CandPair]
+          var members = prev
+          fresh.foreach { id =>
+            if (members.size < MaxBucketMembers) {
+              members.foreach { m =>
+                out += CandPair(math.min(id, m), math.max(id, m))
+              }
+              members = members :+ id
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+}

@@ -186,6 +186,20 @@ class ExporterSpec extends SparkSpec {
     assert(parsed.count() == nation.count())
   }
 
+  test("part stitching stays numeric past the 5-digit part index") {
+    // Spark's part-%05d widens to 6 digits after partition 99999; a
+    // lexicographic sort would put part-100000 before part-99999 and
+    // scramble the stitched row order at the 100 TB design scale.
+    val dir = Paths.get(tmpDir("parts6"))
+    val names = Seq("part-100001-x.txt", "part-00000-a.txt",
+      "part-99999-b.txt", "part-100000-c.txt", "part-00010-d.txt")
+    names.foreach(n => Files.writeString(dir.resolve(n), ""))
+    Files.writeString(dir.resolve("_SUCCESS"), "") // must be ignored
+    val ordered = JsonArraySink.partFiles(dir).map(_.getFileName.toString)
+    assert(ordered == Seq("part-00000-a.txt", "part-00010-d.txt",
+      "part-99999-b.txt", "part-100000-c.txt", "part-100001-x.txt"))
+  }
+
   test("parquet sink mode: sharded columnar output, same routing") {
     val out = tmpDir("pq")
     val store = FileCheckpointStore(s"$out/ckpt.json")

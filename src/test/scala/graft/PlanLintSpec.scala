@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide physical-plan lint: executes every registered query at
+  * sf0.001 and walks its AQE-final plan, failing on the two shapes that
+  * are scale-killers at 100 TB no matter how fast they run on a
+  * fixture —
+  *
+  *  - `CartesianProduct`: an unbroadcast all-pairs join; corpus² work.
+  *    Allowed only for q21, the DECLARED exact all-pairs baseline whose
+  *    scale paths (q23 LSH, q34/q78 IVF, q57 sparse) sit beside it.
+  *  - `BroadcastNestedLoopJoin` with a large build side: fine when the
+  *    broadcast side is a 1-row scalar aggregate or a bounded query
+  *    set/codebook, quadratic when something unbounded slips in. The
+  *    lint reads the build side's ACTUAL broadcast row count from the
+  *    executed exchange's metrics, so the threshold tracks runtime
+  *    reality, not a static estimate.
+  *
+  * PLANS.md shows the same plans for human review; this spec is the
+  * gate that keeps a refactor from silently reintroducing either shape.
+  */
+class PlanLintSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = GraftSession.builder("8").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose contract is explicitly all-pairs. */
+  private val cartesianAllowed = Set("q21_embedding_neardup")
+
+  /** Scalar aggregates broadcast 1 row; query sets ≤8; codebooks =
+    * |cells|; date/user spines ≤ a few hundred at any SF because they
+    * are bounded by the calendar / the declared query set, not the
+    * corpus. Anything past this is a corpus-sized relation in a
+    * nested-loop join — a bug. */
+  private val MaxNestedLoopBuildRows = 1000L
+
+  /** Full-tree walk that descends through the AQE wrappers `collect`
+    * cannot see past (QueryStageExec and ReusedExchangeExec are leaf
+    * nodes whose payload hangs off a field, not `children`). */
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(walk)
+  }
+
+  test("no registry query's final plan has a cartesian product or a " +
+    "corpus-sized nested-loop broadcast") {
+    val failures = SparkEntry.registry.flatMap { q =>
+      if (cartesianAllowed(q.name)) Seq.empty
+      else {
+        val df = q.fn(spark, sf)
+        df.queryExecution.toRdd.count() // materialize → AQE-final plan
+        val nodes = walk(df.queryExecution.executedPlan)
+        val cart = nodes.collect { case c: CartesianProductExec =>
+          s"${q.name}: CartesianProduct in final plan"
+        }
+        val bigBnlj = nodes.collect {
+          case b: BroadcastNestedLoopJoinExec => b
+        }.flatMap { b =>
+          val build = b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          }
+          val rows = walk(build).collectFirst {
+            case e: BroadcastExchangeExec =>
+              e.metrics("numOutputRows").value
+          }
+          if (rows.exists(_ <= MaxNestedLoopBuildRows)) None
+          else Some(s"${q.name}: BroadcastNestedLoopJoin build side " +
+            s"broadcast ${rows.getOrElse("?")} rows " +
+            s"(limit $MaxNestedLoopBuildRows)")
+        }
+        cart ++ bigBnlj
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

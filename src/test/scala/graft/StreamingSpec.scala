@@ -191,4 +191,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("streaming MinHash LSH candidates == batch q18 candidate pairs " +
+    "(AvailableNow)") {
+    import graft.ops.Dedup
+    import graft.streaming.DocStream
+    // the row-local signature twin agrees with the batch band table
+    // row-for-row — the precondition for stream ≡ batch candidates
+    val batchBands = Dedup.minhashBands(Dedup.inverted(spark, sf))
+    val bandSet = batchBands.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val rowLocal = Dedup.minhashBandsRowLocal(
+        Fixtures.table(spark, sf, "documents")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rowLocal === bandSet)
+
+    val q = DocStream.lshCandidates(DocStream.readDocuments(spark, sf))
+      .writeStream.format("memory").queryName("lshcand")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // per-band emission → distinct; batch emits per band via self-join
+    val got = spark.table("lshcand").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = batchBands.alias("a").join(batchBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
