@@ -159,10 +159,7 @@ object Dedup {
     * pairs collide in ≥1 band w.p. ~1 − (1 − 0.81)^8.
     */
   private[graft] def minhashBands(inv: DataFrame): DataFrame = {
-    val minCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-      min(expr(s"(h * $a + $b) % $P")).as(s"mh$i")
-    }
-    val mh = inv.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val mh = minhashSignatures(inv)
     val bandCols = (0 until NBands).map { bnd =>
       expr(s"md5(concat_ws(',', cast(mh${2 * bnd} AS STRING), " +
         s"cast(mh${2 * bnd + 1} AS STRING)))")
@@ -170,6 +167,22 @@ object Dedup {
     mh.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bkey")))
   }
+
+  /** One row per doc with its 16 minhash columns mh0..mh15 — the raw
+    * signature [[minhashBands]] bands up, also consumed directly by the
+    * q81 estimate-accuracy audit. */
+  private def minhashSignatures(inv: DataFrame): DataFrame = {
+    val minCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"(h * $a + $b) % $P")).as(s"mh$i")
+    }
+    inv.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** DuckDB twin of [[minhashSignatures]]'s aggregate list. */
+  private def minSelectsDuck: String =
+    A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS mh$i"
+    }.mkString(", ")
 
   /** Streaming twin of [[minhashBands]]: the identical (doc_id, band,
     * bkey) rows computed entirely ROW-LOCALLY — no window, no
@@ -242,9 +255,7 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
     Some {
-      val minSelects = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-        s"min((h * $a + $b) % $P) AS mh$i"
-      }.mkString(", ")
+      val minSelects = minSelectsDuck
       val bandSelects = (0 until NBands).map { bnd =>
         s"SELECT doc_id, $bnd AS band, md5(mh${2 * bnd}::VARCHAR || ',' || " +
           s"mh${2 * bnd + 1}::VARCHAR) AS bkey FROM mh"
@@ -819,6 +830,100 @@ object Dedup {
       WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
       ORDER BY doc_a, doc_b"""))
 
+  // ---------- q81: MinHash estimate accuracy audit --------------------
+
+  /** Sketch-accuracy audit: for every exact-Jaccard ≥ 0.5 pair, the
+    * MinHash ESTIMATE (fraction of the 16 signature functions that
+    * agree — the unbiased estimator LSH banding is built on) next to
+    * the exact score and the absolute error. This is the calibration
+    * query a production near-dup pipeline runs on a sample before
+    * trusting signatures at 100 TB, where only the estimate is
+    * affordable: it turns "LSH probably works on our corpus" into a
+    * measured error distribution.
+    *
+    * Cost: the signature table is one aggregate over the PlanCache'd
+    * inverted index; the pair list reuses the exact-join machinery.
+    * Both joins key on doc id — no new shuffle class. Determinism:
+    * est = k/16 with k integer; exact Jaccard is the same single
+    * double division as q20; abs-difference of two exactly-computed
+    * doubles is itself exact IEEE.
+    */
+  private val q81 = QueryDef(
+    "q81_minhash_estimate",
+    (s, dir) => {
+      val mh = minhashSignatures(persistedInverted(s, dir))
+      val agree = (0 until 16).map(i =>
+        when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      jaccardPairs(s, dir, 0.5)
+        .join(mh.alias("a"), col("doc_a") === col("a.doc_id"))
+        .join(mh.alias("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          (agree.cast("double") / 16).as("est_jaccard"))
+        .withColumn("abs_err", abs(col("jaccard") - col("est_jaccard")))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val agreeDuck = (0 until 16).map(i =>
+        s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH ${jaccardPairsDuckCte(0.5)},
+      mh AS (SELECT doc_id, $minSelectsDuck FROM inv GROUP BY doc_id)
+      SELECT doc_a, doc_b, jaccard,
+        ($agreeDuck)::DOUBLE / 16 AS est_jaccard,
+        abs(jaccard - ($agreeDuck)::DOUBLE / 16) AS abs_err
+      FROM pairs
+      JOIN mh a ON a.doc_id = doc_a
+      JOIN mh b ON b.doc_id = doc_b
+      ORDER BY doc_a, doc_b"""
+    })
+
+  // ---------- q82: triangle counting over the similarity graph --------
+
+  /** Per-node triangle counts over the near-dup graph (exact Jaccard
+    * ≥ 0.8 edges) — the classic graph statistic distinguishing a
+    * clique-like duplicate cluster (every member in many triangles)
+    * from a chain of pairwise borderline matches (zero triangles),
+    * which is exactly the signal that decides whether q39's greedy
+    * keep-one rule is safe or q49's full components are needed.
+    *
+    * Shape: edges are stored once in canonical a < b orientation, and
+    * each triangle x < y < z is found exactly once by the two-hop join
+    * e1=(x,y), e2=(y,z), closed by e3=(x,z) — the standard distributed
+    * triangle enumeration. Orienting edges by id bounds each join key's
+    * fan-out by the node's out-degree; at 100 TB scale the refinement
+    * is degree-ordering (orient low-degree → high-degree), which caps
+    * out-degree at O(√|E|) — noted, not needed at fixture diameters.
+    * The edge list is PlanCache'd: three join sides, one
+    * materialization, and broadcast-sized whenever the dup rate is low
+    * (edges ≪ corpus — AQE picks that up at runtime).
+    */
+  private val q82 = QueryDef(
+    "q82_triangles",
+    (s, dir) => {
+      val e = PlanCache.getOrBuild(s, dir, "q82_edges")(
+        jaccardPairs(s, dir, 0.8)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      val tri = e.alias("e1")
+        .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+        .join(e.alias("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("e2.b").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${jaccardPairsDuckCte(0.8)},
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      nodes AS (SELECT x AS doc_id FROM tri
+        UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      SELECT doc_id, count(*)::BIGINT AS n_triangles
+      FROM nodes GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76)
+    Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82)
 }

@@ -589,6 +589,47 @@ object Events {
         (count(*) / 2)::BIGINT AS n_intervals
       FROM swept GROUP BY 1 ORDER BY event_type"""))
 
+  // ---------- q83: inter-arrival time statistics ----------------------
+
+  /** Per-user inter-arrival gaps — the activity-cadence profile behind
+    * rate-limit tuning, bot detection (impossibly regular or
+    * impossibly fast cadence), and the gap-threshold choice q27's
+    * sessionizer depends on. All time arithmetic is integer
+    * microseconds (lag within one window sort, same shuffle key as
+    * sessionize); the mean is the single sum/count double division
+    * computed identically on both engines — no double accumulation.
+    */
+  private val q83 = QueryDef(
+    "q83_interarrival",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .where(col("prev_ts").isNotNull)
+        .withColumn("gap_us",
+          expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          (sum(col("gap_us")).cast("double")
+            / count(lit(1))).as("avg_gap_us"))
+        .orderBy("user_id")
+    },
+    Some("""WITH g AS (SELECT user_id,
+        epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id)) AS gap_us
+      FROM events)
+      SELECT user_id, count(*)::BIGINT AS n_gaps,
+        min(gap_us)::BIGINT AS min_gap_us,
+        max(gap_us)::BIGINT AS max_gap_us,
+        sum(gap_us)::DOUBLE / count(*) AS avg_gap_us
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72, q73)
+    Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
+      q73, q83)
 }

@@ -355,6 +355,38 @@ object Similarity {
       SELECT query_id, cell, rnk, neighbor_id, cosine FROM r
       WHERE rnk <= $KAnn ORDER BY query_id, rnk"""))
 
+  // ---------- q80: centroid separation matrix --------------------------
+
+  /** Pairwise cosine between all cell centroids — the cluster-quality
+    * diagnostic read before trusting an IVF index: centroids with high
+    * mutual cosine mean cell boundaries cut through dense regions and
+    * single-probe recall (q34) will suffer there, which is precisely
+    * when multi-probe (q78) earns its extra scanned fraction.
+    *
+    * Cost model: |cells|² pairs of Dim-length vectors — codebook-sized,
+    * not corpus-sized, so the quadratic join is over a relation that
+    * fits on the driver at any corpus scale (the corpus appears only
+    * through the PlanCache'd centroid aggregate). Determinism: the
+    * centroid is the q33 ordered-fold mean; the pair cosine is the same
+    * ordered zip_with fold both engines run in identical order.
+    */
+  private val q80 = QueryDef(
+    "q80_centroid_separation",
+    (s, dir) => {
+      val cb = codebook(s, dir)
+      cb.alias("a").join(cb.alias("b"), col("a.label") < col("b.label"))
+        .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+          expr(Dedup.cosFoldSpark("a.cvec", "b.cvec")).as("cosine"))
+        .orderBy("label_a", "label_b")
+    },
+    Some(s"""WITH $centDuckCte,
+      cvec AS (SELECT label, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label)
+      SELECT a.label AS label_a, b.label AS label_b,
+        ${Dedup.cosDuck("a.cvec", "b.cvec")} AS cosine
+      FROM cvec a JOIN cvec b ON a.label < b.label
+      ORDER BY label_a, label_b"""))
+
   // ---------- q65: int8 embedding quantization -------------------------
 
   /** Symmetric int8 quantization of the embedding column — the memory
@@ -406,5 +438,5 @@ object Similarity {
         min(q) AS q_min, max(q) AS q_max
       FROM q GROUP BY vec_id, scale ORDER BY vec_id"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78)
+  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80)
 }

@@ -350,5 +350,45 @@ object Sketch {
         max(n) AS n_orders
       FROM r GROUP BY 1 ORDER BY o_orderpriority"""))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37, q51, q63, q66, q67)
+  // ---------- q79: deterministic training-order shuffle ---------------
+
+  /** Sharded training-order shuffle — how a 100 TB corpus is put into
+    * "random" order for training WITHOUT a global sort: shard =
+    * hash(doc) mod NShards routes each doc to a shard (one shuffle,
+    * uniform by construction), and within a shard the read order is a
+    * second independent hash. A trainer streams shards in index order
+    * and rows in rank order and sees a deterministic, reproducible
+    * permutation; re-running the pipeline — or any engine — yields the
+    * identical order, and appending docs never reorders existing
+    * (shard, rank<new) prefixes a checkpointed trainer already
+    * consumed past. The window rank sorts per-shard partitions only —
+    * corpus/NShards rows each — never a total order over the corpus.
+    * Salts ("shard_"/"ord_") decorrelate both hashes from each other
+    * and from q37/q51's split/sample hashes.
+    */
+  private val NShards = 8
+
+  private val q79 = QueryDef(
+    "q79_train_shuffle",
+    (s, dir) => {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("sort_key"), col("doc_id"))
+      Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"),
+          (expr(h32Spark("concat('shard_', doc_id)")) % NShards).as("shard"),
+          expr(h32Spark("concat('ord_', doc_id)")).as("sort_key"))
+        .withColumn("rank", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("rank"))
+        .orderBy("shard", "rank")
+    },
+    Some(s"""WITH keyed AS (SELECT doc_id,
+        ${h32Duck("'shard_' || doc_id")} % $NShards AS shard,
+        ${h32Duck("'ord_' || doc_id")} AS sort_key
+      FROM documents)
+      SELECT doc_id, shard,
+        row_number() OVER (PARTITION BY shard
+          ORDER BY sort_key, doc_id) AS rank
+      FROM keyed ORDER BY shard, rank"""))
+
+  val all: Seq[QueryDef] = Seq(q35, q36, q37, q51, q63, q66, q67, q79)
 }

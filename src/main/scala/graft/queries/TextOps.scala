@@ -269,5 +269,49 @@ object TextOps {
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM placed GROUP BY 1, 2 ORDER BY lang, bin"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q55, q64)
+  // ---------- q84: vocabulary growth curve (Heaps-law audit) ----------
+
+  /** Cumulative vocabulary size at 10 corpus-prefix checkpoints — the
+    * Heaps-law curve (vocab ≈ K·nᵝ) data curators read to judge corpus
+    * diversity: a flattening curve means new documents stop
+    * contributing new vocabulary (duplication / narrow domain), a
+    * steep one means the corpus is still "fresh".
+    *
+    * A running set-union is inherently sequential, so the distributed
+    * form inverts it: each token's FIRST document (one min-aggregate
+    * over the exploded token table) makes "vocab after the first k
+    * docs" a plain count of tokens with first_doc < k — the prefix
+    * checkpoints become a 10-row broadcast spine joined by inequality,
+    * and the whole curve is one corpus pass + one tiny join, at any
+    * scale. Checkpoints are corpus-relative (deciles of the id space,
+    * integer arithmetic) so the query is SF-independent.
+    */
+  private val q84 = QueryDef(
+    "q84_vocab_growth",
+    (s, dir) => {
+      val first = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      val n = docs(s, dir).agg((max(col("doc_id")) + 1).as("n_docs"))
+      val spine = s.range(1, 11).select(col("id").cast("int").as("decile"))
+        .crossJoin(n)
+        .select(col("decile"),
+          expr("(decile * n_docs) div 10").as("docs_seen"))
+      first.join(broadcast(spine), col("first_doc") < col("docs_seen"))
+        .groupBy(col("decile"), col("docs_seen"))
+        .agg(count(lit(1)).as("vocab"))
+        .orderBy("decile")
+    },
+    Some("""WITH first AS (SELECT tok, min(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents) GROUP BY tok),
+      n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+      spine AS (SELECT d.decile::INTEGER AS decile,
+          (d.decile * n_docs) // 10 AS docs_seen
+        FROM generate_series(1, 10) d(decile), n)
+      SELECT decile, docs_seen, count(*)::BIGINT AS vocab
+      FROM first JOIN spine ON first_doc < docs_seen
+      GROUP BY decile, docs_seen ORDER BY decile"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q55, q64, q84)
 }
