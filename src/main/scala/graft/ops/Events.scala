@@ -629,7 +629,49 @@ object Events {
       FROM g WHERE gap_us IS NOT NULL
       GROUP BY user_id ORDER BY user_id"""))
 
+  // ---------- q87: Markov transition matrix ---------------------------
+
+  /** First-order Markov transition probabilities over per-user event
+    * sequences — P(next event type | current event type), the behavior
+    * model behind next-action prediction, anomaly scoring (improbable
+    * transitions), and funnel design. Successor pairing is one `lead`
+    * window over the same (user_id; ts, event_id) sort q27's
+    * sessionizer uses; the pair counts then aggregate on the tiny
+    * (cur, nxt) key space — map-side partials reduce each partition to
+    * ≤ |types|² rows before the exchange, so the second shuffle is
+    * O(types²) regardless of corpus size. The probability is one
+    * division of two exact int64 counts (no double accumulation), and
+    * the per-cur total comes from a window over the already-tiny
+    * transition table, not a second pass over events.
+    */
+  private val q87 = QueryDef(
+    "q87_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wc = Window.partitionBy(col("cur"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n") / sum(col("n")).over(wc))
+        .select(col("cur"), col("nxt"), col("n"), col("p"))
+        .orderBy("cur", "nxt")
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type AS cur,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS nxt
+      FROM events),
+      t AS (SELECT cur, nxt, count(*) AS n FROM seq
+        WHERE nxt IS NOT NULL GROUP BY 1, 2)
+      SELECT cur, nxt, n::BIGINT AS n,
+        n / ((sum(n) OVER (PARTITION BY cur))::BIGINT) AS p
+      FROM t ORDER BY cur, nxt"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
-      q73, q83)
+      q73, q83, q87)
 }

@@ -390,5 +390,123 @@ object Sketch {
           ORDER BY sort_key, doc_id) AS rank
       FROM keyed ORDER BY shard, rank"""))
 
-  val all: Seq[QueryDef] = Seq(q35, q36, q37, q51, q63, q66, q67, q79)
+  // ---------- q85: HyperLogLog distinct-count sketch ------------------
+
+  /** HLL distinct estimate per order priority, beside q35's KMV and the
+    * exact count — the register-based estimator (Flajolet et al. 2007)
+    * from pure relational ops on the portable hash, so the estimate is
+    * bit-reproducible on any engine (the property Spark's native
+    * approx_count_distinct HLL++ registers do not give across engines).
+    *
+    * m = 64 registers: reg = h mod 64, and the rank is the position of
+    * the leftmost 1-bit in the remaining 26 hash bits — computed as
+    * 27 - length(bin(w)), an exact string-length, never a float log2
+    * (whose last-ulp behavior differs per libm at exact powers of 2).
+    * Distributed shape: one shuffle keyed (group, reg) with map-side
+    * partial max — each partition contributes ≤ 64 rows per group
+    * before the exchange, the same bounded-state property as q35 —
+    * then a 64-row-per-group final fold. At 100 TB the sketch pass
+    * moves O(64 · groups · partitions) rows total, independent of
+    * cardinality.
+    *
+    * Double determinism: every 2^-rank term and their sum are exact
+    * (≤ 33 mantissa bits used), the raw estimate is one literal-over-
+    * exact division, and only the small-range ln() correction needs a
+    * round(…, 6) to pin libm's last ulp on both engines.
+    */
+  private val q85 = QueryDef(
+    "q85_hll_distinct",
+    (s, dir) => {
+      val o = Fixtures.table(s, dir, "orders")
+      val exact = o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      val est = o
+        .select(col("o_orderpriority"),
+          expr(h32Spark("cast(o_custkey AS STRING)")).as("h"))
+        .select(col("o_orderpriority"), (col("h") % 64).as("reg"),
+          expr("h div 64").as("w"))
+        .select(col("o_orderpriority"), col("reg"),
+          expr("CASE WHEN w > 0 THEN 27 - length(bin(w)) ELSE 27 END")
+            .as("rho"))
+        .groupBy(col("o_orderpriority"), col("reg"))
+        .agg(max(col("rho")).as("mr"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr("power(0.5, mr)")).as("zp"),
+          count(lit(1)).as("nreg"))
+        .select(col("o_orderpriority"),
+          expr("zp + (64 - nreg) * 1.0").as("z"),
+          expr("64 - nreg").as("v"))
+        .select(col("o_orderpriority"),
+          expr("CASE WHEN 0.709 * 4096.0 / z <= 160.0 AND v > 0 " +
+            "THEN round(64.0 * ln(64.0 / v), 6) " +
+            "ELSE round(0.709 * 4096.0 / z, 6) END").as("n_est"))
+      exact.join(est, "o_orderpriority").orderBy("o_orderpriority")
+    },
+    Some(s"""WITH exact AS (SELECT o_orderpriority,
+        count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1),
+      h AS (SELECT o_orderpriority,
+        ${h32Duck("o_custkey::VARCHAR")} AS h FROM orders),
+      r AS (SELECT o_orderpriority, h % 64 AS reg,
+        CASE WHEN h // 64 > 0 THEN 27 - length(bin(h // 64))
+          ELSE 27 END AS rho FROM h),
+      m AS (SELECT o_orderpriority, reg, max(rho) AS mr
+        FROM r GROUP BY 1, 2),
+      z AS (SELECT o_orderpriority,
+        sum(power(0.5, mr)) + (64 - count(*)) * 1.0 AS z,
+        64 - count(*) AS v FROM m GROUP BY 1),
+      est AS (SELECT o_orderpriority,
+        CASE WHEN 0.709 * 4096.0 / z <= 160.0 AND v > 0
+          THEN round(64.0 * ln(64.0 / v), 6)
+          ELSE round(0.709 * 4096.0 / z, 6) END AS n_est FROM z)
+      SELECT exact.o_orderpriority, n_exact, n_est
+      FROM exact JOIN est USING (o_orderpriority)
+      ORDER BY o_orderpriority"""))
+
+  // ---------- q86: weighted sample (sequential Poisson) ---------------
+
+  /** Length-weighted document sample per language — Ohlsson's
+    * sequential Poisson sampling: order by u/w (u a per-doc uniform
+    * from the portable hash, w = n_chars) and take the first K per
+    * stratum, giving inclusion probability ≈ proportional to size —
+    * the standard way a training mix over-samples long documents
+    * without replacement. The priority is ONE division of two exact
+    * int64s (correctly rounded, identical on any IEEE engine) — never
+    * the pow(u, 1/w) exponential-race form, whose libm tail could
+    * reorder near-ties differently per engine. Deterministic: same
+    * corpus → same sample, on any engine, any run.
+    *
+    * Shape: one shuffle on lang, per-partition sort for the window
+    * rank. At 100 TB replace the full window sort with q30's bounded
+    * top-k Aggregator keyed by lang (same contract, ≤ K rows per
+    * group past the partial agg); the fixture-scale window form keeps
+    * the oracle SQL textually parallel.
+    */
+  private val SpsK = 40
+
+  private val q86 = QueryDef(
+    "q86_weighted_sample",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("priority"), col("doc_id"))
+      Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (expr(h32Spark("concat('sps_', doc_id)")) / col("n_chars"))
+            .as("priority"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= SpsK)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rk")
+    },
+    Some(s"""WITH keyed AS (SELECT doc_id, lang, n_chars,
+        ${h32Duck("'sps_' || doc_id")} / n_chars AS priority
+      FROM documents),
+      ranked AS (SELECT lang, doc_id, n_chars,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY priority, doc_id) AS rk
+      FROM keyed)
+      SELECT lang, rk, doc_id, n_chars FROM ranked
+      WHERE rk <= $SpsK ORDER BY lang, rk"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86)
 }
