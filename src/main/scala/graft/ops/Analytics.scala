@@ -586,6 +586,121 @@ object Analytics {
           cast(sy AS DOUBLE) * cast(sy AS DOUBLE))), 12) AS r
       FROM m ORDER BY o_orderpriority"""))
 
+  // ---------- q88: robust outliers via MAD ----------------------------
+
+  /** Median-absolute-deviation outlier detection per event type — the
+    * robust twin of q58's z-score: a single extreme value inflates the
+    * mean AND the stddev (masking itself), while the median/MAD pair is
+    * immune to 50 % contamination. Both medians are exact lower-median
+    * rank selections (the q36 contract: row_number with an id
+    * tie-break, never interpolation — so no percentile formula can
+    * diverge between engines), deviations are exact IEEE subtractions
+    * of stored doubles, and the 3×MAD cut is one multiply both sides.
+    * Shape: two windowed rank-selection passes over the same
+    * event_type partitioning (the second over deviations), medians
+    * broadcast back — the event payload shuffles twice on the same
+    * key; at 100 TB the medians would come from a two-pass kth-select
+    * instead of a full partition sort, same contract.
+    */
+  private val q88 = QueryDef(
+    "q88_mad_outliers",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Fixtures.table(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      def lowerMedian(df: DataFrame, c: String, out: String): DataFrame = {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col(c), col("event_id"))
+        val wa = Window.partitionBy(col("event_type"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wa))
+          .where(expr("rn = (cnt + 1) div 2"))
+          .select(col("event_type"), col(c).as(out))
+      }
+      val med = lowerMedian(e, "value", "med")
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = lowerMedian(dev, "adev", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_out"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type, event_id, value FROM events),
+      r1 AS (SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY value, event_id) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS cnt FROM e),
+      med AS (SELECT event_type, value AS med FROM r1
+        WHERE rn = (cnt + 1) // 2),
+      dev AS (SELECT e.event_type, event_id,
+          abs(value - med) AS adev, med
+        FROM e JOIN med ON med.event_type = e.event_type),
+      r2 AS (SELECT event_type, adev,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY adev, event_id) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS cnt FROM dev),
+      mad AS (SELECT event_type, adev AS mad FROM r2
+        WHERE rn = (cnt + 1) // 2)
+      SELECT dev.event_type, min(dev.med) AS med, min(mad.mad) AS mad,
+        sum(CASE WHEN adev > 3.0 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+          AS n_out
+      FROM dev JOIN mad ON mad.event_type = dev.event_type
+      GROUP BY dev.event_type ORDER BY dev.event_type"""))
+
+  // ---------- q89: partition-skew report ------------------------------
+
+  /** Per-key cardinality skew diagnostics over the lineitem→supplier
+    * foreign key — the profile that decides whether a planned shuffle
+    * needs salting (`SkewJoin`) or AQE skew splitting BEFORE running
+    * the join: key count, max/mean ratio, and exact p50/p90/p99 of the
+    * per-key row counts. Two aggregations: rows → per-key counts (one
+    * shuffle, map-side partials), then the KEY-cardinality-sized count
+    * table → one global rank selection (keys ≪ rows; at 100 TB the
+    * count table for a 10 M-key fact is MBs, so the single-partition
+    * window is a deliberate, bounded driver of exact order
+    * statistics). mean is one BIGINT/BIGINT division; skew is one
+    * division of that exact pair.
+    */
+  private val q89 = QueryDef(
+    "q89_skew_report",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+      val r = counts
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("c"), col("l_suppkey"))))
+        .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
+      def pick(p: Double, out: String) =
+        max(when(col("rn") ===
+          ceil(lit(p) * col("nk")).cast("long"), col("c"))).as(out)
+      r.agg(max(col("nk")).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_c"), pick(0.5, "p50"), pick(0.9, "p90"),
+          pick(0.99, "p99"))
+        .select(col("n_keys"), col("n_rows"), col("max_c"),
+          col("p50"), col("p90"), col("p99"),
+          (col("max_c") / (col("n_rows") / col("n_keys"))).as("skew"))
+    },
+    Some("""WITH counts AS (SELECT l_suppkey, count(*) AS c
+        FROM lineitem GROUP BY 1),
+      r AS (SELECT c, row_number() OVER (ORDER BY c, l_suppkey) AS rn
+        FROM counts),
+      n AS (SELECT count(*)::BIGINT AS n_keys,
+        sum(c)::BIGINT AS n_rows, max(c)::BIGINT AS max_c FROM counts)
+      SELECT n_keys, n_rows, max_c,
+        (SELECT c FROM r, n WHERE rn = ceil(0.5 * n_keys)::BIGINT)
+          ::BIGINT AS p50,
+        (SELECT c FROM r, n WHERE rn = ceil(0.9 * n_keys)::BIGINT)
+          ::BIGINT AS p90,
+        (SELECT c FROM r, n WHERE rn = ceil(0.99 * n_keys)::BIGINT)
+          ::BIGINT AS p99,
+        max_c / (n_rows / n_keys) AS skew
+      FROM n"""))
+
   val all: Seq[QueryDef] =
-    Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75, q77)
+    Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
+      q77, q88, q89)
 }

@@ -924,6 +924,51 @@ object Dedup {
       SELECT doc_id, count(*)::BIGINT AS n_triangles
       FROM nodes GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------- q90: near-dup cluster-size histogram --------------------
+
+  /** Size distribution of the transitive near-dup clusters — the
+    * shape-of-duplication report a curation run reads before choosing
+    * a keep-one policy: many small clusters means boilerplate
+    * variation (keep-min is safe, q39/q49 remove size−1 docs each);
+    * a few giant clusters means template spam where keeping ONE doc
+    * per cluster changes corpus statistics and deserves review.
+    * Reuses q49's component labeling (same pair graph, same
+    * propagation); the extra work past the labels is two aggregates
+    * over the component table — component → size, size → cluster
+    * count — both tiny relative to the corpus, with exact
+    * removal-count arithmetic (size−1 per cluster). Oracle recomputes
+    * the components via the independent recursive closure.
+    */
+  private val q90 = QueryDef(
+    "q90_cluster_sizes",
+    (s, dir) => {
+      connectedComponents(
+        jaccardPairs(s, dir, 0.8).select(col("doc_a"), col("doc_b")))
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (sum(col("cluster_size"))).as("n_docs"),
+          sum(col("cluster_size") - 1).as("n_removable"))
+        .orderBy("cluster_size")
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsDuckCte(0.8)},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, l) AS (
+        SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(l) AS component
+        FROM reach GROUP BY u),
+      csizes AS (SELECT component, count(*) AS cluster_size
+        FROM comp GROUP BY 1)
+      SELECT cluster_size::BIGINT AS cluster_size,
+        count(*)::BIGINT AS n_clusters,
+        sum(cluster_size)::BIGINT AS n_docs,
+        sum(cluster_size - 1)::BIGINT AS n_removable
+      FROM csizes GROUP BY 1 ORDER BY cluster_size"""))
+
   val all: Seq[QueryDef] =
-    Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82)
+    Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
+      q90)
 }

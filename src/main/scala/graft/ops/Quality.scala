@@ -169,5 +169,56 @@ object Quality {
         AS scrub_md5
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q43, q44, q47, q50)
+  // ---------- q91: curriculum grid (quality decile × length bucket) ---
+
+  /** The curriculum-sampling control table: documents cross-tabulated
+    * by quality decile (q14's score, ntile(10) with a doc_id tie-break
+    * so bucket assignment is total and engine-portable) × length
+    * bucket. A staged training run reads this grid to set per-cell
+    * sampling rates ("high-quality long docs late, everything early");
+    * emitting the grid rather than per-doc labels keeps the control
+    * surface at deciles × buckets rows no matter the corpus size.
+    * Shape: one corpus pass for the score (all codegen'd string ops),
+    * a global ntile over the (score, doc_id) sort, then a tiny
+    * cross-tab aggregate. The global sort is the decile contract; at
+    * 100 TB the same grid comes from a two-pass quantile-boundary
+    * broadcast instead (boundaries from a first pass, bucket-by-range
+    * second pass — same output).
+    */
+  private val q91 = QueryDef(
+    "q91_curriculum_grid",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("n_chars"),
+          (lit(0.3) * (size(array_distinct(col("toks"))).cast("double")
+              / size(col("toks")))
+            + lit(0.3) * least(size(col("toks")).cast("double") / lit(50.0),
+              lit(1.0))).as("score"))
+      val w = Window.orderBy(col("score"), col("doc_id"))
+      scored.withColumn("decile", ntile(10).over(w).cast("long"))
+        .withColumn("len_bucket",
+          expr("CASE WHEN n_chars < 500 THEN 'short' " +
+            "WHEN n_chars < 1500 THEN 'medium' ELSE 'long' END"))
+        .groupBy(col("decile"), col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("decile", "len_bucket")
+    },
+    Some("""WITH scored AS (SELECT doc_id, n_chars,
+        0.3 * (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')))
+        + 0.3 * least(cast(len(string_split(text, ' ')) AS DOUBLE) / 50.0,
+          1.0) AS score
+      FROM documents),
+      graded AS (SELECT n_chars,
+        ntile(10) OVER (ORDER BY score, doc_id) AS decile,
+        CASE WHEN n_chars < 500 THEN 'short'
+          WHEN n_chars < 1500 THEN 'medium' ELSE 'long' END AS len_bucket
+      FROM scored)
+      SELECT decile::BIGINT AS decile, len_bucket,
+        count(*)::BIGINT AS n_docs
+      FROM graded GROUP BY 1, 2 ORDER BY decile, len_bucket"""))
+
+  val all: Seq[QueryDef] = Seq(q43, q44, q47, q50, q91)
 }
