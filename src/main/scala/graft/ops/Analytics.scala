@@ -700,7 +700,53 @@ object Analytics {
         max_c / (n_rows / n_keys) AS skew
       FROM n"""))
 
+  // ---------- q94: explicit grouping sets -----------------------------
+
+  /** GROUPING SETS ((priority, status), (priority), ()) — the
+    * middle ground rollup (q31) and cube (q45) can't express: an
+    * arbitrary, non-prefix list of aggregation levels in ONE pass
+    * (a reporting layer asks for exactly the cells it renders, not a
+    * lattice). Keys are coalesced to 'ALL' so the level marker is a
+    * plain string on both engines, plus the explicit grouping-bit gid
+    * (grouping(a)·2 + grouping(b) — engine-neutral, unlike the
+    * engines' differently-ordered native grouping_id builtins).
+    * Aggregates: exact count + DECIMAL-summed revenue cast to double
+    * once. Spark expands to a union-style Expand node feeding ONE
+    * hash aggregate — each input row contributes to all three levels
+    * in a single shuffle, the same partial-agg property as a plain
+    * groupBy; output is cells, not rows.
+    */
+  private val q94 = QueryDef(
+    "q94_grouping_sets",
+    (s, dir) => {
+      val o = Fixtures.table(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg((grouping(col("o_orderpriority")) * 2
+            + grouping(col("o_orderstatus"))).cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(28, 6)))
+            .cast("double").as("revenue"))
+        .select(col("gid"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("revenue"))
+        .orderBy("gid", "priority", "status")
+    },
+    Some("""SELECT (grouping(o_orderpriority) * 2
+          + grouping(o_orderstatus))::BIGINT AS gid,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        coalesce(o_orderstatus, 'ALL') AS status,
+        count(*)::BIGINT AS n_orders,
+        sum(cast(o_totalprice AS DECIMAL(28,6)))::DOUBLE AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        (o_orderpriority), ())
+      ORDER BY gid, priority, status"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
-      q77, q88, q89)
+      q77, q88, q89, q94)
 }

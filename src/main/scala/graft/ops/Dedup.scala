@@ -526,12 +526,24 @@ object Dedup {
     out.select(col("u").as("node"), col("l").as("component"))
   }
 
+  /** Component labels for the threshold-0.8 near-dup graph, cached per
+    * (session, dir) — q49, q90, and the transitive curation path all
+    * consume the same labeling, and the iterative loop is the most
+    * expensive subplan in the dedup family; one materialization per
+    * run serves all three (the result is already localCheckpoint'ed,
+    * so the cache holds a plan with no iteration history).
+    */
+  private[ops] def ccLabels(s: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    PlanCache.getOrBuild(s, dir, s"cc_$threshold")(
+      connectedComponents(
+        jaccardPairs(s, dir, threshold).select(col("doc_a"), col("doc_b"))))
+
   private val q49 = QueryDef(
     "q49_dedup_components",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      connectedComponents(
-        jaccardPairs(s, dir, 0.8).select(col("doc_a"), col("doc_b")))
+      ccLabels(s, dir, 0.8)
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -726,8 +738,7 @@ object Dedup {
     */
   private[ops] def nearDupVictimsTransitive(s: SparkSession, dir: String,
       threshold: Double): DataFrame =
-    connectedComponents(
-      jaccardPairs(s, dir, threshold).select(col("doc_a"), col("doc_b")))
+    ccLabels(s, dir, threshold)
       .where(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
 
@@ -942,8 +953,7 @@ object Dedup {
   private val q90 = QueryDef(
     "q90_cluster_sizes",
     (s, dir) => {
-      connectedComponents(
-        jaccardPairs(s, dir, 0.8).select(col("doc_a"), col("doc_b")))
+      ccLabels(s, dir, 0.8)
         .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"),
@@ -968,7 +978,137 @@ object Dedup {
         sum(cluster_size - 1)::BIGINT AS n_removable
       FROM csizes GROUP BY 1 ORDER BY cluster_size"""))
 
+  // ---------- q92: asymmetric containment join ------------------------
+
+  /** Directional shingle containment C(A→B) = |A∩B| / |A| ≥ 0.9 — the
+    * quote/boilerplate detector symmetric Jaccard is blind to: a short
+    * doc fully embedded in a long one scores near-zero Jaccard (union
+    * is the long doc) but containment 1.0. Training-data curation
+    * needs the direction, too — drop the contained copy, keep the
+    * superset. One inverted-index self-join computes |A∩B| once per
+    * unordered pair (a < b guard, same shuffle shape and the same
+    * PlanCache'd posting table as q20), then BOTH directions are
+    * emitted from that single intersection table and each normalizes
+    * by its own subset size — an exact int64/int64 division, so the
+    * score hash-matches bit-for-bit. Cost past q20's join is one
+    * union + one broadcast-sized join against the doc-size table.
+    */
+  private val q92 = QueryDef(
+    "q92_containment",
+    (s, dir) => {
+      val inv = persistedInverted(s, dir)
+      val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = inv.alias("a")
+        .join(inv.alias("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val both = inter
+        .select(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
+          col("n_common"))
+        .unionAll(inter.select(col("doc_b").as("doc_sub"),
+          col("doc_a").as("doc_sup"), col("n_common")))
+      both
+        .join(sizes.select(col("doc_id").as("doc_sub"), col("n")), "doc_sub")
+        .select(col("doc_sub"), col("doc_sup"),
+          (col("n_common").cast("double") / col("n")).as("containment"))
+        .where(col("containment") >= lit(0.9))
+        .orderBy("doc_sub", "doc_sup")
+    },
+    Some(s"""WITH $shingledDuckCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_common
+        FROM inv a JOIN inv b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      dirs AS (SELECT doc_a AS doc_sub, doc_b AS doc_sup, n_common
+          FROM inter
+        UNION ALL
+        SELECT doc_b AS doc_sub, doc_a AS doc_sup, n_common FROM inter)
+      SELECT doc_sub, doc_sup, n_common::DOUBLE / n AS containment
+      FROM dirs JOIN sizes ON sizes.doc_id = doc_sub
+      WHERE n_common::DOUBLE / n >= 0.9
+      ORDER BY doc_sub, doc_sup"""))
+
+  // ---------- q93: BM25 retrieval -------------------------------------
+
+  /** BM25 top-k retrieval (k1 = 1.2, b = 0.75) over the q57 tf table —
+    * the default lexical ranking function (Robertson & Spärck Jones;
+    * the Lucene +1 idf form, always positive) beside q57's TF-cosine.
+    * Determinism contract: the idf's ln() is the one libm call, pinned
+    * with round(…, 12) immediately (the q85 rule); every other
+    * per-term factor is a single IEEE operation on identical inputs;
+    * the per-(query, doc) SUM of term scores — the one place
+    * accumulation ORDER could diverge — is carried in exact
+    * DECIMAL(28,12), then cast to double once. Shape: query terms
+    * broadcast against the corpus tf table (never corpus×corpus, the
+    * q57 rationale), df and the 1-row corpus stats broadcast, one
+    * shuffle on (query, doc), top-5 per query by (score, doc_id).
+    */
+  private val q93 = QueryDef(
+    "q93_bm25",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val tf = PlanCache.getOrBuild(s, dir, "q57_tf")(docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val qterms = broadcast(tf.where(col("doc_id") < NSparseQueries)
+        .select(col("doc_id").as("query_id"), col("tok")).distinct())
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+      tf.join(qterms, "tok")
+        .where(col("doc_id") =!= col("query_id"))
+        .join(broadcast(dft), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf", round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))), 12))
+        .withColumn("ts", col("idf") * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * (col("dl") / (col("sum_dl").cast("double")
+              / col("n_docs"))))))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("ts").cast(DecimalType(28, 12))).as("sdec"))
+        .select(col("query_id"), col("doc_id"),
+          col("sdec").cast("double").as("bm25"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= KSparse)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("bm25"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+        unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      qterms AS (SELECT DISTINCT doc_id AS query_id, tok FROM tf
+        WHERE doc_id < $NSparseQueries),
+      terms AS (SELECT q.query_id, c.doc_id,
+          round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 12)
+            * (c.tf * 2.2)
+            / (c.tf + 1.2 * (0.25
+              + 0.75 * (dl.dl / (sum_dl::DOUBLE / n_docs)))) AS ts
+        FROM tf c JOIN qterms q ON q.tok = c.tok
+        JOIN dft ON dft.tok = c.tok
+        JOIN dl ON dl.doc_id = c.doc_id, corpus
+        WHERE c.doc_id <> q.query_id),
+      scored AS (SELECT query_id, doc_id,
+          sum(cast(ts AS DECIMAL(28,12)))::DOUBLE AS bm25
+        FROM terms GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, bm25, row_number() OVER (
+          PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM scored)
+      SELECT query_id, rnk, doc_id, bm25 FROM r
+      WHERE rnk <= $KSparse ORDER BY query_id, rnk"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
-      q90)
+      q90, q92, q93)
 }

@@ -671,7 +671,52 @@ object Events {
         n / ((sum(n) OVER (PARTITION BY cur))::BIGINT) AS p
       FROM t ORDER BY cur, nxt"""))
 
+  // ---------- q95: time-weighted average (TWAP) -----------------------
+
+  /** Duration-weighted mean value per event type — each observation
+    * holds until the next one, so its weight is the µs gap to the
+    * successor (the metering/pricing average where arithmetic means
+    * over-count bursts: ten readings in one second must not out-vote
+    * one reading held for an hour). Integer-µs weights come from the
+    * q83 lead/timestampdiff contract; the one value·weight product per
+    * row is a single IEEE multiply on identical inputs, carried in
+    * exact DECIMAL(38,6) so the SUM is accumulation-order-free, and
+    * the final weighted mean is one division. The last observation per
+    * type (no successor) is excluded on both engines. Shape: one
+    * shuffle on event_type for the window, map-side-combinable
+    * aggregate, output = |types| rows.
+    */
+  private val q95 = QueryDef(
+    "q95_twap",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .where(col("next_ts").isNotNull)
+        .withColumn("gap_us",
+          expr("timestampdiff(MICROSECOND, ts, next_ts)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_held"),
+          sum(col("gap_us")).as("held_us"),
+          (sum((col("value") * col("gap_us")).cast(DecimalType(38, 6)))
+            .cast("double") / sum(col("gap_us"))).as("twap"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (SELECT event_type, value,
+        epoch_us(lead(ts) OVER (PARTITION BY event_type
+          ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+      FROM events)
+      SELECT event_type, count(*)::BIGINT AS n_held,
+        sum(gap_us)::BIGINT AS held_us,
+        sum(cast(value * gap_us AS DECIMAL(38,6)))::DOUBLE
+          / sum(gap_us) AS twap
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
-      q73, q83, q87)
+      q73, q83, q87, q95)
 }
