@@ -1040,8 +1040,12 @@ object Dedup {
     * with round(…, 12) immediately (the q85 rule); every other
     * per-term factor is a single IEEE operation on identical inputs;
     * the per-(query, doc) SUM of term scores — the one place
-    * accumulation ORDER could diverge — is carried in exact
-    * DECIMAL(28,12), then cast to double once. Shape: query terms
+    * accumulation ORDER could diverge — is pinned to integer
+    * nano-units (round(score·1e9) to scale 0 — decimal-SCALE rounding
+    * of full-precision doubles is engine-divergent in the last digit,
+    * the q96 lesson; whole-number rounding of the same double is
+    * exact on both engines), summed exactly, divided once at the
+    * end. Shape: query terms
     * broadcast against the corpus tf table (never corpus×corpus, the
     * q57 rationale), df and the 1-row corpus stats broadcast, one
     * shuffle on (query, doc), top-5 per query by (score, doc_id).
@@ -1050,7 +1054,6 @@ object Dedup {
     "q93_bm25",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
       val tf = PlanCache.getOrBuild(s, dir, "q57_tf")(docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
@@ -1073,10 +1076,11 @@ object Dedup {
           / (col("tf") + lit(1.2) * (lit(0.25)
             + lit(0.75) * (col("dl") / (col("sum_dl").cast("double")
               / col("n_docs"))))))
+        .withColumn("units", round(col("ts") * lit(1e9)).cast("long"))
         .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("ts").cast(DecimalType(28, 12))).as("sdec"))
+        .agg(sum(col("units")).as("sunits"))
         .select(col("query_id"), col("doc_id"),
-          col("sdec").cast("double").as("bm25"))
+          (col("sunits").cast("double") / lit(1e9)).as("bm25"))
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= KSparse)
         .select(col("query_id"), col("rnk"), col("doc_id"), col("bm25"))
@@ -1100,7 +1104,7 @@ object Dedup {
         JOIN dl ON dl.doc_id = c.doc_id, corpus
         WHERE c.doc_id <> q.query_id),
       scored AS (SELECT query_id, doc_id,
-          sum(cast(ts AS DECIMAL(28,12)))::DOUBLE AS bm25
+          sum(round(ts * 1e9)::BIGINT)::DOUBLE / 1e9 AS bm25
         FROM terms GROUP BY 1, 2),
       r AS (SELECT query_id, doc_id, bm25, row_number() OVER (
           PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk

@@ -716,7 +716,67 @@ object Events {
       FROM g WHERE gap_us IS NOT NULL
       GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------- q98: RFM segmentation -----------------------------------
+
+  /** Recency / Frequency / Monetary quintile segmentation per user —
+    * the classic audience-targeting cut (churn risk = high R bucket,
+    * whales = top M bucket), and the event-side twin of q91's document
+    * curriculum grid. Recency is exact integer arithmetic end-to-end:
+    * µs since the user's last event relative to the corpus max
+    * timestamp (a 1-row broadcast), floor-divided to whole days — the
+    * calendar-day date_diff counts boundary crossings and diverges
+    * between engines, so it is deliberately avoided. Monetary sums in
+    * exact DECIMAL(28,6) (q58 rule) and widens to double once. The
+    * three ntile(5) windows run over the per-USER aggregate (users ≪
+    * events; the only corpus-sized pass is the first groupBy), each
+    * under a total (metric, user_id) order; at 100 TB each becomes a
+    * two-pass quantile-boundary broadcast, same buckets out.
+    */
+  private val q98 = QueryDef(
+    "q98_rfm",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val perUser = ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast(DecimalType(28, 6)))
+            .cast("double").as("monetary"))
+      val maxTs = perUser.agg(max(col("last_ts")).as("max_ts"))
+      perUser.crossJoin(broadcast(maxTs))
+        .withColumn("recency_days",
+          expr("timestampdiff(MICROSECOND, last_ts, max_ts) " +
+            "div 86400000000"))
+        .withColumn("r_bucket", ntile(5).over(
+          Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
+        .withColumn("f_bucket", ntile(5).over(
+          Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
+        .withColumn("m_bucket", ntile(5).over(
+          Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_bucket"), col("f_bucket"), col("m_bucket"))
+        .orderBy("user_id")
+    },
+    Some("""WITH per_user AS (SELECT user_id, max(ts) AS last_ts,
+        count(*) AS frequency,
+        sum(cast(value AS DECIMAL(28,6)))::DOUBLE AS monetary
+      FROM events GROUP BY 1),
+      mx AS (SELECT max(last_ts) AS max_ts FROM per_user),
+      r AS (SELECT user_id,
+        (epoch_us(max_ts) - epoch_us(last_ts)) // 86400000000
+          AS recency_days,
+        frequency, monetary FROM per_user, mx)
+      SELECT user_id, recency_days::BIGINT AS recency_days,
+        frequency::BIGINT AS frequency, monetary,
+        ntile(5) OVER (ORDER BY recency_days, user_id)::BIGINT
+          AS r_bucket,
+        ntile(5) OVER (ORDER BY frequency DESC, user_id)::BIGINT
+          AS f_bucket,
+        ntile(5) OVER (ORDER BY monetary DESC, user_id)::BIGINT
+          AS m_bucket
+      FROM r ORDER BY user_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
-      q73, q83, q87, q95)
+      q73, q83, q87, q95, q98)
 }

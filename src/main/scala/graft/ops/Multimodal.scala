@@ -139,7 +139,63 @@ object Multimodal {
           (acc, c) -> (acc * 31 + c) % $Mod) AS checksum
       FROM fr ORDER BY doc_id, frame_no"""))
 
-  val all: Seq[QueryDef] = Seq(q29, q52)
+  // ---------- q96: payload byte entropy -------------------------------
+
+  /** Shannon entropy (bits/byte) of each payload's byte distribution —
+    * the standard cheap media-triage gate: near-8 entropy means already
+    * compressed/encrypted (don't recompress, possibly junk), very low
+    * entropy means padding or a stuck sensor, and text sits in a narrow
+    * band — all decided WITHOUT decoding. Fully relational (byte
+    * explode → per-(doc, byte) counts → one aggregate), so unlike the
+    * decode stubs there's no iterator stage: the histogram aggregation
+    * is codegen'd with map-side partials and the payload never
+    * shuffles, only its ≤ 256 count rows per doc do. Determinism: p is
+    * one exact-int division; p·log2(p) is then pinned to INTEGER
+    * nano-units — round(y·1e9) to scale 0 — because decimal-SCALE
+    * rounding of a full-precision double (round(y, 12) or a
+    * DECIMAL(28,12) cast) is engine-divergent in the last digit (the
+    * two engines scale by 10^12 along different arithmetic paths),
+    * while rounding the SAME double to a whole number is exact on
+    * both. Integer units then sum exactly in any order, and the final
+    * /1e9 is one division.
+    */
+  private val q96 = QueryDef(
+    "q96_byte_entropy",
+    (s, dir) => {
+      val counts = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .where(col("ch") =!= lit(""))
+        .select(col("doc_id"), ascii(col("ch")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct_bytes"))
+      counts.join(totals, "doc_id")
+        .withColumn("p", col("c").cast("double") / col("n"))
+        .withColumn("units",
+          round(col("p") * log2(col("p")) * lit(1e9)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("n")).as("n_bytes"),
+          first(col("n_distinct_bytes")).as("n_distinct_bytes"),
+          ((-sum(col("units"))).cast("double") / lit(1e9)).as("entropy_bits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ch AS (SELECT doc_id, ascii(c) AS b
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+          FROM documents) t
+        WHERE c <> ''),
+      counts AS (SELECT doc_id, b, count(*) AS c FROM ch GROUP BY 1, 2),
+      totals AS (SELECT doc_id, sum(c) AS n, count(*) AS nd
+        FROM counts GROUP BY 1),
+      terms AS (SELECT counts.doc_id, n, nd,
+          round((c::DOUBLE / n) * log2(c::DOUBLE / n) * 1e9)::BIGINT
+            AS units
+        FROM counts JOIN totals ON totals.doc_id = counts.doc_id)
+      SELECT doc_id, min(n)::BIGINT AS n_bytes,
+        min(nd)::BIGINT AS n_distinct_bytes,
+        (-sum(units))::DOUBLE / 1e9 AS entropy_bits
+      FROM terms GROUP BY doc_id ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q29, q52, q96)
 }
 
 /** Per-frame features (the frame-sampling stub's output row). */

@@ -313,5 +313,70 @@ object TextOps {
       FROM first JOIN spine ON first_doc < docs_seen
       GROUP BY decile, docs_seen ORDER BY decile"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q55, q64, q84)
+  // ---------- q97: Zipf-law slope fit ---------------------------------
+
+  /** OLS slope of ln(freq) on ln(rank) over the top-100 corpus terms —
+    * the Zipf exponent (natural text ≈ −1): a corpus whose slope
+    * drifts is template-heavy (too steep) or boilerplate/ID-rich (too
+    * flat), the single cheapest distribution-shape alarm on a new
+    * data source, and the complement of q84's Heaps curve (type growth)
+    * and q63's heavy-hitter list (which terms, not what law).
+    * Rank is total-ordered (n desc, w1) over the PlanCache'd q55
+    * unigram table — the corpus appears only through that aggregate;
+    * the top-100 is a TakeOrdered, never a full sort. Determinism:
+    * both ln() calls are pinned round(…, 12) at the row (q85 rule),
+    * the four OLS moment terms are single IEEE products carried in
+    * DECIMAL(38,18) for order-free sums, and the closed-form slope is
+    * one identical double expression, rounded once to 12.
+    */
+  private val ZipfK = 100
+
+  private val q97 = QueryDef(
+    "q97_zipf_slope",
+    (s, dir) => {
+      import graft.ops.PlanCache
+      import org.apache.spark.sql.types.DecimalType
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
+        toks.groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      val ranked = uni
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("w1"))))
+        .where(col("rank") <= ZipfK)
+        .withColumn("x", round(log(col("rank").cast("double")), 12))
+        .withColumn("y", round(log(col("n").cast("double")), 12))
+      def d(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 18))
+      ranked
+        .agg(count(lit(1)).as("k"), sum(d(col("x"))).as("sx"),
+          sum(d(col("y"))).as("sy"), sum(d(col("x") * col("y"))).as("sxy"),
+          sum(d(col("x") * col("x"))).as("sxx"))
+        .select(col("k"),
+          round((col("k").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("k").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 12)
+            .as("zipf_slope"))
+    },
+    Some(s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w1
+        FROM documents),
+      uni AS (SELECT w1, count(*) AS n FROM toks GROUP BY 1),
+      ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, w1)
+          AS rank FROM uni),
+      pts AS (SELECT round(ln(rank::DOUBLE), 12) AS x,
+          round(ln(n::DOUBLE), 12) AS y
+        FROM ranked WHERE rank <= $ZipfK),
+      m AS (SELECT count(*) AS k,
+          sum(cast(x AS DECIMAL(38,18))) AS sx,
+          sum(cast(y AS DECIMAL(38,18))) AS sy,
+          sum(cast(x * y AS DECIMAL(38,18))) AS sxy,
+          sum(cast(x * x AS DECIMAL(38,18))) AS sxx FROM pts)
+      SELECT k::BIGINT AS k,
+        round((k::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          / (k::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 12)
+          AS zipf_slope
+      FROM m"""))
+
+  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q55, q64, q84, q97)
 }
