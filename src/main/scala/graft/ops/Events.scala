@@ -776,7 +776,89 @@ object Events {
           AS m_bucket
       FROM r ORDER BY user_id"""))
 
+  // ---------- q99: Gini concentration of activity ---------------------
+
+  /** Gini coefficient of per-user event counts, per event type — the
+    * single-number concentration alarm (bot farms and scraped-feed
+    * skew push it toward 1; organic traffic sits mid-range), and the
+    * summary statistic behind q89's shuffle-skew decisions. Computed
+    * from the rank formulation G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * counts sorted ascending with a user_id tie-break — EVERY term is
+    * exact int64 (ranks, counts, their products), so the one final
+    * double division hash-matches bit-for-bit; no Lorenz-curve
+    * interpolation anywhere. Shape: corpus pass → per-(type, user)
+    * counts, rank window + sums over the user-cardinality table
+    * (users ≪ events). At 100 TB the i·xᵢ sum outgrows int64 (n ~ 1e9
+    * × count products) — widen the two sums to DECIMAL(38,0), same
+    * contract.
+    */
+  private val q99 = QueryDef(
+    "q99_gini",
+    (s, dir) => {
+      val counts = ev(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("x"), col("user_id"))
+      counts.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("event_type"), col("n_users"), col("sx"),
+          ((lit(2L) * col("six") - (col("n_users") + 1L) * col("sx"))
+            .cast("double")
+            / (col("n_users") * col("sx")).cast("double")).as("gini"))
+        .orderBy("event_type")
+    },
+    Some("""WITH counts AS (SELECT event_type, user_id, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, x, row_number() OVER (
+          PARTITION BY event_type ORDER BY x, user_id) AS i FROM counts)
+      SELECT event_type, count(*)::BIGINT AS n_users,
+        sum(x)::BIGINT AS sx,
+        (2 * sum(i * x) - (count(*) + 1) * sum(x))::DOUBLE
+          / (count(*) * sum(x))::DOUBLE AS gini
+      FROM r GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------- q100: top user journeys ---------------------------------
+
+  /** Most common opening event paths — each user's first 4 events (by
+    * the q27 total order) joined into a '>'-delimited journey string,
+    * counted, top-20 under a (count desc, path) total order. The
+    * product-analytics "how do sessions start" query. Path assembly is
+    * the ordered-fold contract: Spark sorts the (rank, type) structs
+    * per user and folds in rank order; DuckDB string_agg's ORDER BY
+    * clause is the same fold — identical strings, exact counts, no
+    * doubles at all. Shape: one user_id shuffle for the window, first-4
+    * filter drops the corpus to ≤ 4 rows per user BEFORE the fold, and
+    * the path-count table is at most |type|⁴ rows.
+    */
+  private val q100 = QueryDef(
+    "q100_top_paths",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 4)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    },
+    Some("""WITH r AS (SELECT user_id, event_type, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
+      paths AS (SELECT user_id,
+          string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 4 GROUP BY user_id)
+      SELECT path, count(*)::BIGINT AS n_users FROM paths
+      GROUP BY path ORDER BY n_users DESC, path LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
-      q73, q83, q87, q95, q98)
+      q73, q83, q87, q95, q98, q99, q100)
 }

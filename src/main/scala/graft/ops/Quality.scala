@@ -220,5 +220,36 @@ object Quality {
         count(*)::BIGINT AS n_docs
       FROM graded GROUP BY 1, 2 ORDER BY decile, len_bucket"""))
 
-  val all: Seq[QueryDef] = Seq(q43, q44, q47, q50, q91)
+  // ---------- q101: k-anonymity audit ---------------------------------
+
+  /** Quasi-identifier re-identification audit over (lang, source,
+    * length-bucket) — the privacy gate run before releasing a corpus
+    * or its metadata: any QI combination shared by fewer than k = 5
+    * documents singles those documents out (the k-anonymity criterion,
+    * Sweeney 2002). Emits each violating cell with its size plus
+    * exact severity ordering; the integer-division length bucket
+    * (n_chars div 500) is the same engine-exact bucketing q91 uses.
+    * One hash aggregate over the corpus (map-side partials, QI-cell
+    * output cardinality), one filter — the cheapest query in the
+    * privacy family, and the one that must run at full 100 TB scale
+    * because rare cells are BY DEFINITION invisible in samples.
+    */
+  private val AnonK = 5L
+
+  private val q101 = QueryDef(
+    "q101_k_anonymity",
+    (s, dir) => docs(s, dir)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 500").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("example_doc"))
+      .where(col("n_docs") < AnonK)
+      .orderBy("lang", "source", "len_bucket"),
+    Some(s"""SELECT lang, source, n_chars // 500 AS len_bucket,
+        count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS example_doc
+      FROM documents GROUP BY 1, 2, 3
+      HAVING count(*) < $AnonK
+      ORDER BY lang, source, len_bucket"""))
+
+  val all: Seq[QueryDef] = Seq(q43, q44, q47, q50, q91, q101)
 }
