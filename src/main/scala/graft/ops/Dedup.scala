@@ -1059,9 +1059,14 @@ object Dedup {
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val qterms = broadcast(tf.where(col("doc_id") < NSparseQueries)
         .select(col("doc_id").as("query_id"), col("tok")).distinct())
+      // df restricted to QUERY tokens before aggregating: the
+      // full-vocabulary df table is corpus-vocabulary-sized (not
+      // broadcastable at 100 TB), while query-term df is |query terms|
+      // rows from exactly those tokens' posting lists.
+      val dft = tf.join(qterms.select(col("tok")).distinct(), "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("bm25").desc, col("doc_id"))
       tf.join(qterms, "tok")
