@@ -1117,7 +1117,59 @@ object Dedup {
       SELECT query_id, rnk, doc_id, bm25 FROM r
       WHERE rnk <= $KSparse ORDER BY query_id, rnk"""))
 
+  // ---------- q104: incremental near-dup (new batch vs corpus) --------
+
+  /** The INGEST-time shape of near-dup detection: an arriving batch
+    * (here the deterministic 20 % slice doc_id % 10 < 2, standing in
+    * for "today's crawl") is checked against the EXISTING corpus only
+    * — new×old on the shingle index, never old×old — which is how
+    * dedup actually runs day-to-day at 100 TB: the full q20 self-join
+    * happens once at bootstrap, then every increment costs
+    * |batch postings| × their matching corpus posting lists, and the
+    * corpus side of the join is the standing inverted index (here the
+    * same PlanCache'd posting table; in production a bucketed table
+    * keyed by shingle hash, so the join co-locates without a corpus
+    * shuffle). Jaccard and the ≥ 0.8 threshold are exactly q20's
+    * arithmetic; output pairs point each new doc at its existing
+    * near-duplicates.
+    */
+  private val q104 = QueryDef(
+    "q104_incremental_dedup",
+    (s, dir) => {
+      val inv = persistedInverted(s, dir)
+      val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = inv.where(col("doc_id") % 10 >= 2).alias("a")
+        .join(inv.where(col("doc_id") % 10 < 2).alias("b"),
+          col("a.h") === col("b.h"))
+        .groupBy(col("a.doc_id").as("doc_old"), col("b.doc_id").as("doc_new"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_old"), col("n").as("na")),
+          "doc_old")
+        .join(sizes.select(col("doc_id").as("doc_new"), col("n").as("nb")),
+          "doc_new")
+        .select(col("doc_new"), col("doc_old"),
+          (col("n_common").cast("double")
+            / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+        .where(col("jaccard") >= lit(0.8))
+        .orderBy("doc_new", "doc_old")
+    },
+    Some(s"""WITH $shingledDuckCte,
+      sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_old, b.doc_id AS doc_new,
+          count(*) AS n_common
+        FROM inv a JOIN inv b ON a.h = b.h
+        WHERE a.doc_id % 10 >= 2 AND b.doc_id % 10 < 2
+        GROUP BY 1, 2)
+      SELECT doc_new, doc_old,
+        n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_old
+      JOIN sizes sb ON sb.doc_id = doc_new
+      WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
+      ORDER BY doc_new, doc_old"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
-      q90, q92, q93)
+      q90, q92, q93, q104)
 }

@@ -858,7 +858,65 @@ object Events {
       SELECT path, count(*)::BIGINT AS n_users FROM paths
       GROUP BY path ORDER BY n_users DESC, path LIMIT 20"""))
 
+  // ---------- q103: Markov anomaly scoring ----------------------------
+
+  /** Per-user negative log-likelihood of the observed event sequence
+    * under q87's first-order transition model — the anomaly score that
+    * turns the transition matrix into a detector: a session full of
+    * improbable transitions (scripted abuse, broken client) scores
+    * high; a canonical journey scores near the corpus entropy rate.
+    * The model table is tiny (≤ |types|² rows), so ln(p) is pinned to
+    * integer nano-units ONCE per transition type (round(ln(p)·1e9),
+    * the q96 rule) and broadcast; each user's NLL is then an exact
+    * BIGINT sum of those units — order-free — with the /1e9 and /n
+    * divisions applied once at the end in a fixed sequence. Every
+    * observed transition exists in the model by construction (it was
+    * counted), so the broadcast join never drops rows. Shape: one
+    * user_id shuffle for the successor window (shared with
+    * q27/q83/q87), broadcast model join, one per-user aggregate.
+    */
+  private val q103 = QueryDef(
+    "q103_markov_anomaly",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wc = Window.partitionBy(col("cur"))
+      val pairs = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("user_id"), col("cur"), col("nxt"))
+      val model = pairs.groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n") / sum(col("n")).over(wc))
+        .select(col("cur"), col("nxt"),
+          round(log(col("p")) * lit(1e9)).cast("long").as("ln_units"))
+      pairs.join(broadcast(model), Seq("cur", "nxt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_trans"), sum(col("ln_units")).as("su"))
+        .select(col("user_id"), col("n_trans"),
+          ((-col("su")).cast("double") / lit(1e9)).as("nll"),
+          (((-col("su")).cast("double") / lit(1e9)) / col("n_trans"))
+            .as("avg_nll"))
+        .orderBy("user_id")
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type AS cur,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS nxt
+      FROM events),
+      pairs AS (SELECT user_id, cur, nxt FROM seq WHERE nxt IS NOT NULL),
+      t AS (SELECT cur, nxt, count(*) AS n FROM pairs GROUP BY 1, 2),
+      model AS (SELECT cur, nxt,
+        round(ln(n / ((sum(n) OVER (PARTITION BY cur))::BIGINT)) * 1e9)
+          ::BIGINT AS ln_units FROM t)
+      SELECT user_id, count(*)::BIGINT AS n_trans,
+        (-sum(ln_units))::DOUBLE / 1e9 AS nll,
+        ((-sum(ln_units))::DOUBLE / 1e9) / count(*) AS avg_nll
+      FROM pairs JOIN model USING (cur, nxt)
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
-      q73, q83, q87, q95, q98, q99, q100)
+      q73, q83, q87, q95, q98, q99, q100, q103)
 }

@@ -438,5 +438,59 @@ object Similarity {
         min(q) AS q_min, max(q) AS q_max
       FROM q GROUP BY vec_id, scale ORDER BY vec_id"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80)
+  // ---------- q102: quantizer fidelity (cell self-assignment) ---------
+
+  /** Fraction of vectors whose nearest codebook centroid is their OWN
+    * cell — the IVF health check run before trusting q34/q78 search:
+    * low fidelity for a cell means its members sit closer to another
+    * centroid, so single-probe recall collapses there and the
+    * codebook needs retraining (or that cell needs more probes).
+    * Routing is the q34 assignment plan applied to the WHOLE corpus:
+    * broadcast codebook nested-loop (|cells| rows — bounded by design),
+    * ordered-fold cosine per (vector, cell), argmax under a
+    * (ccos desc, label) total order, then per-cell exact counts and
+    * one int/int division. One corpus pass, |cells| output rows; the
+    * expensive part (corpus × cells cosines) is embarrassingly
+    * parallel with no shuffle until the |cells|-sized count aggregate.
+    */
+  private val q102 = QueryDef(
+    "q102_quantizer_fidelity",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cvecs = codebook(s, dir)
+        .select(col("label").as("clabel"), col("cvec"))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("clabel"))
+      emb(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding").as("e"))
+        .crossJoin(broadcast(cvecs))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          expr(Dedup.cosFoldSpark("e", "cvec")).as("ccos"))
+        .withColumn("rn", row_number().over(wCell))
+        .where(col("rn") === 1)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("clabel") === col("label"), 1L).otherwise(0L))
+            .as("n_self"))
+        .select(col("label"), col("n_vecs"), col("n_self"),
+          (col("n_self").cast("double") / col("n_vecs")).as("fidelity"))
+        .orderBy("label")
+    },
+    Some(s"""WITH $centDuckCte,
+      cb AS (SELECT label AS clabel, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label),
+      scored AS (SELECT e.vec_id, e.label, cb.clabel,
+          ${Dedup.cosDuck("e.embedding", "cb.cvec")} AS ccos
+        FROM embeddings e CROSS JOIN cb),
+      best AS (SELECT vec_id, label, clabel, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rn
+        FROM scored),
+      agg AS (SELECT label, count(*) AS n_vecs,
+          sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS n_self
+        FROM best WHERE rn = 1 GROUP BY label)
+      SELECT label, n_vecs::BIGINT AS n_vecs, n_self::BIGINT AS n_self,
+        n_self::DOUBLE / n_vecs AS fidelity
+      FROM agg ORDER BY label"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102)
 }
