@@ -5,7 +5,7 @@ package graft.ops
   * definition per contract so the Spark and DuckDB dialects — and the
   * pipeline code that composes them — can never de-synchronize.
   */
-private[ops] object Portable {
+private[graft] object Portable {
   /** 32-bit string hash: first 8 md5 hex chars as int64. */
   def h32Spark(e: String): String =
     s"cast(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"

@@ -107,6 +107,51 @@ object EventStream {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
 
+  /** Streaming HyperLogLog: per-6-hour-window distinct-user sketch
+    * registers — the streaming twin of q85, and the textbook case for
+    * sketches in streams: exact distinct counting needs per-key state
+    * proportional to CARDINALITY, while the register sketch holds a
+    * hard 64 rows per window no matter how many users flow through —
+    * the merge (max per register) is associative and commutative, so
+    * Spark runs it as an ordinary windowed agg with partial
+    * aggregation and watermark-evicted state.
+    *
+    * Emits the REGISTER table, not the estimate: folding 64 registers
+    * into the final number is a second stateful aggregation (chained
+    * stateful aggs are the one shape Structured Streaming restricts),
+    * and a consumer folds the tiny register set per window at read
+    * time — [[hllEstimate]] below, shared with the batch twin so the
+    * streaming and batch estimates are bit-identical by construction
+    * (same portable hash, same rank arithmetic — the q85 contract).
+    */
+  def hllRegisters(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_evt", col("ts").cast(TimestampType))
+      .withColumn("h",
+        expr(graft.ops.Portable.h32Spark("concat('u_', user_id)")))
+      .withColumn("reg", col("h") % 64)
+      .withColumn("rho",
+        expr("CASE WHEN h div 64 > 0 THEN 27 - length(bin(h div 64)) " +
+          "ELSE 27 END"))
+      .withWatermark("ts_evt", "1 hour")
+      .groupBy(window(col("ts_evt"), "6 hours").getField("start")
+        .cast(TimestampNTZType).as("bucket"), col("reg"))
+      .agg(max(col("rho")).as("mr"))
+
+  /** Fold a window's register rows into the q85 estimate (batch-side;
+    * runs on ≤ 64 rows per bucket).
+    */
+  def hllEstimate(registers: DataFrame): DataFrame =
+    registers
+      .groupBy(col("bucket"))
+      .agg(sum(expr("power(0.5, mr)")).as("zp"), count(lit(1)).as("nreg"))
+      .select(col("bucket"), expr("zp + (64 - nreg) * 1.0").as("z"),
+        expr("64 - nreg").as("v"))
+      .select(col("bucket"),
+        expr("CASE WHEN 0.709 * 4096.0 / z <= 160.0 AND v > 0 " +
+          "THEN round(64.0 * ln(64.0 / v), 6) " +
+          "ELSE round(0.709 * 4096.0 / z, 6) END").as("n_est"))
+
   /** Exactly-once delivery on top of an at-least-once feed. The
     * reference's restart semantics are at-least-once re-export (a crash
     * between write and checkpoint re-sends rows — SURVEY.md §2.9); this

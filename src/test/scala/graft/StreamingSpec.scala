@@ -221,4 +221,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("streaming HLL registers == batch construction; estimate within " +
+    "HLL error of exact (AvailableNow)") {
+    val q = EventStream.hllRegisters(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("hllreg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hllreg")
+    // batch twin: identical hash/register/rank arithmetic over the
+    // same windows — stream must match REGISTER-FOR-REGISTER
+    val batch = Fixtures.table(spark, sf, "events")
+      .withColumn("h", expr(
+        graft.ops.Portable.h32Spark("concat('u_', user_id)")))
+      .groupBy(window(col("ts").cast("timestamp"), "6 hours")
+        .getField("start").cast("timestamp_ntz").as("bucket"),
+        (col("h") % 64).as("reg"))
+      .agg(max(expr("CASE WHEN h div 64 > 0 THEN " +
+        "27 - length(bin(h div 64)) ELSE 27 END")).as("mr"))
+    val got = streamed.collect()
+      .map(r => (r.get(0).toString, r.getLong(1)) -> r.get(2).toString).toMap
+    val want = batch.collect()
+      .map(r => (r.get(0).toString, r.getLong(1)) -> r.get(2).toString).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the register fold is a faithful estimator: within 3σ of the
+    // standard HLL relative error (1.04/√64 = 13%) of the exact count
+    val est = EventStream.hllEstimate(streamed)
+      .collect().map(r => r.get(0).toString -> r.getDouble(1)).toMap
+    val exact = Fixtures.table(spark, sf, "events")
+      .groupBy(window(col("ts").cast("timestamp"), "6 hours")
+        .getField("start").cast("timestamp_ntz").as("bucket"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (b, n) =>
+      assert(math.abs(est(b) - n) <= math.max(3 * 0.13 * n, 8.0),
+        s"bucket $b: est ${est(b)} vs exact $n")
+    }
+  }
 }
