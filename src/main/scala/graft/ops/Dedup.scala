@@ -897,23 +897,38 @@ object Dedup {
     * which is exactly the signal that decides whether q39's greedy
     * keep-one rule is safe or q49's full components are needed.
     *
-    * Shape: edges are stored once in canonical a < b orientation, and
-    * each triangle x < y < z is found exactly once by the two-hop join
-    * e1=(x,y), e2=(y,z), closed by e3=(x,z) — the standard distributed
-    * triangle enumeration. Orienting edges by id bounds each join key's
-    * fan-out by the node's out-degree; at 100 TB scale the refinement
-    * is degree-ordering (orient low-degree → high-degree), which caps
-    * out-degree at O(√|E|) — noted, not needed at fixture diameters.
-    * The edge list is PlanCache'd: three join sides, one
-    * materialization, and broadcast-sized whenever the dup rate is low
-    * (edges ≪ corpus — AQE picks that up at runtime).
+    * Shape: each triangle is found exactly once by the two-hop join
+    * e1=(x,y), e2=(y,z), closed by e3=(x,z), over edges oriented
+    * low→high under the DEGREE-ORDERED total order ((deg, id), the
+    * Ortmann/Brandes orientation): every node's OUT-degree — the join
+    * fan-out that two-hop enumeration pays quadratically — is then
+    * capped at O(√|E|) even for hub nodes, because a hub's edges all
+    * point INTO it from its (necessarily lower-degree) neighbors. The
+    * per-node triangle membership counts are orientation-invariant,
+    * so the oracle keeps the simpler id-orientation and must agree
+    * exactly. Degrees cost two edge-list-sized aggregates — noise
+    * next to the join they bound. The oriented edge list is
+    * PlanCache'd: three join sides, one materialization, and
+    * broadcast-sized whenever the dup rate is low (edges ≪ corpus —
+    * AQE picks that up at runtime).
     */
   private val q82 = QueryDef(
     "q82_triangles",
     (s, dir) => {
-      val e = PlanCache.getOrBuild(s, dir, "q82_edges")(
-        jaccardPairs(s, dir, 0.8)
-          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      val e = PlanCache.getOrBuild(s, dir, "q82_edges")({
+        val raw = jaccardPairs(s, dir, 0.8)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val deg = raw.select(col("a").as("n")).unionAll(
+            raw.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val lowFirst = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        raw
+          .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+          .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+          .select(when(lowFirst, col("a")).otherwise(col("b")).as("a"),
+            when(lowFirst, col("b")).otherwise(col("a")).as("b"))
+      })
       val tri = e.alias("e1")
         .join(e.alias("e2"), col("e1.b") === col("e2.a"))
         .join(e.alias("e3"),
