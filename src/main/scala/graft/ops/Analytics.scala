@@ -746,7 +746,69 @@ object Analytics {
         (o_orderpriority), ())
       ORDER BY gid, priority, status"""))
 
+  // ---------- q105: PSI feature drift ---------------------------------
+
+  /** Population Stability Index between a reference slice (80 %,
+    * event_id % 10 ≥ 2) and a current slice (20 %) of the event value
+    * distribution — the standard train/serve drift alarm (PSI < 0.1
+    * stable, > 0.25 investigate). Deciles are cut on the COMBINED
+    * population by ntile(10) under a (value, event_id) total order
+    * (engine-exact, the q74 contract), so both slices are bucketed by
+    * one shared rule; per-bucket shares are exact-int divisions, the
+    * (pa−pb)·ln(pa/pb) term is pinned to integer nano-units (q96
+    * rule) with an explicit both-sides-nonzero guard standing in for
+    * the usual epsilon, and PSI is the exact unit sum — repeated per
+    * row via an unpartitioned window over the 10-row bucket table.
+    * Shape: one global sort window for the deciles (at 100 TB:
+    * two-pass quantile-boundary broadcast, q91's note), then
+    * constant-size aggregates.
+    */
+  private val q105 = QueryDef(
+    "q105_psi_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = Fixtures.table(s, dir, "events")
+        .select(col("event_id"), col("value"))
+        .withColumn("bucket", ntile(10).over(
+          Window.orderBy(col("value"), col("event_id"))).cast("long"))
+        .withColumn("cur", (col("event_id") % 10 < 2).cast("long"))
+      val agg = b.groupBy(col("bucket"))
+        .agg(sum(lit(1L) - col("cur")).as("n_ref"), sum(col("cur")).as("n_cur"))
+      val tot = agg.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+      agg.crossJoin(broadcast(tot))
+        .withColumn("pa", col("n_ref").cast("double") / col("t_ref"))
+        .withColumn("pb", col("n_cur").cast("double") / col("t_cur"))
+        .withColumn("units", when(col("n_ref") > 0 && col("n_cur") > 0,
+          round((col("pa") - col("pb")) * log(col("pa") / col("pb"))
+            * lit(1e9)).cast("long")).otherwise(0L))
+        .withColumn("psi",
+          (sum(col("units")).over(Window.partitionBy()).cast("double")
+            / lit(1e9)))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          col("pa"), col("pb"), col("psi"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (SELECT event_id, value,
+        ntile(10) OVER (ORDER BY value, event_id) AS bucket,
+        CASE WHEN event_id % 10 < 2 THEN 1 ELSE 0 END AS cur
+      FROM events),
+      agg AS (SELECT bucket, sum(1 - cur) AS n_ref, sum(cur) AS n_cur
+        FROM b GROUP BY 1),
+      tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM agg),
+      terms AS (SELECT bucket, n_ref, n_cur,
+          n_ref::DOUBLE / t_ref AS pa, n_cur::DOUBLE / t_cur AS pb,
+          CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+            round((n_ref::DOUBLE / t_ref - n_cur::DOUBLE / t_cur)
+              * ln((n_ref::DOUBLE / t_ref) / (n_cur::DOUBLE / t_cur))
+              * 1e9)::BIGINT
+          ELSE 0 END AS units
+        FROM agg, tot)
+      SELECT bucket::BIGINT AS bucket, n_ref::BIGINT AS n_ref,
+        n_cur::BIGINT AS n_cur, pa, pb,
+        (sum(units) OVER ())::DOUBLE / 1e9 AS psi
+      FROM terms ORDER BY bucket"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
-      q77, q88, q89, q94)
+      q77, q88, q89, q94, q105)
 }

@@ -291,6 +291,68 @@ object Relational {
         min($c)::VARCHAR AS min_str, max($c)::VARCHAR AS max_str
       FROM orders""").mkString(" UNION ALL ") + " ORDER BY column_name"))
 
+  // ---------- q106: referential-integrity audit -----------------------
+
+  /** Orphan counts across every foreign-key edge of the warehouse —
+    * including the cross-modal embeddings→documents edge — the
+    * load-validation query run after each ingest (the reference
+    * exports tables independently with per-table watermarks, SURVEY
+    * §2.9, so a child table CAN land rows before its parent: this
+    * audit is the detector). One row per FK edge: child rows, orphan
+    * rows (left-anti against the parent key), and the exact orphan
+    * rate. Each edge is a broadcast-able anti-join on the parent's
+    * key column only (column-pruned scan; parent key sets ≪ child
+    * row counts), and the 8 edge audits are independent — Spark runs
+    * the unioned plan's branches concurrently. At 100 TB each
+    * anti-join shuffles at most the child's key column, or none of it
+    * when the parent key set broadcasts.
+    */
+  private val fkEdges = Seq(
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+      "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+      "region", "r_regionkey"),
+    ("embeddings.vec_id->documents", "embeddings", "vec_id",
+      "documents", "doc_id"))
+
+  private val q106 = QueryDef(
+    "q106_fk_audit",
+    (s, dir) => {
+      val audits = fkEdges.map { case (edge, child, ck, parent, pk) =>
+        val c = t(s, dir, child).select(col(ck))
+        val orphans = c.join(
+          broadcast(t(s, dir, parent).select(col(pk).as(ck)).distinct()),
+          Seq(ck), "left_anti")
+        c.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(edge).as("fk_edge"), col("n_child"), col("n_orphans"),
+            (col("n_orphans").cast("double") / col("n_child"))
+              .as("orphan_rate"))
+      }
+      audits.reduce(_.unionAll(_)).orderBy("fk_edge")
+    },
+    Some(fkEdges.map { case (edge, child, ck, parent, pk) =>
+      s"""SELECT '$edge' AS fk_edge,
+        (SELECT count(*) FROM $child)::BIGINT AS n_child,
+        (SELECT count(*) FROM $child c WHERE NOT EXISTS
+          (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))::BIGINT
+          AS n_orphans,
+        (SELECT count(*) FROM $child c WHERE NOT EXISTS
+          (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))::DOUBLE
+          / (SELECT count(*) FROM $child) AS orphan_rate"""
+    }.mkString(" UNION ALL ") + " ORDER BY fk_edge"))
+
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q62)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q62,
+      q106)
 }
