@@ -916,7 +916,35 @@ object Events {
       FROM pairs JOIN model USING (cur, nxt)
       GROUP BY user_id ORDER BY user_id"""))
 
+  // ---------- q108: hopping (sliding) window aggregates ---------------
+
+  /** 6-hour windows sliding every 3 hours — the overlapping-window
+    * semantics tumbling q24 cannot express (a burst near a tumbling
+    * boundary is split across two buckets and understated in both;
+    * the hop sees it whole in the window centered on it). Spark's
+    * `window(ts, size, slide)` expands each event into size/slide = 2
+    * window memberships BEFORE the aggregate — the fan-out is a
+    * constant factor on the map side, partial aggregation still
+    * applies, and no state is held (this is the batch twin of the
+    * streaming hop). The oracle derives the same two epoch-aligned
+    * starts arithmetically (time_bucket by the SLIDE, minus k·slide
+    * for k = 0, 1 — every event lies in exactly those two windows).
+    * Counts exact, value sums in DECIMAL (q24's dsum contract).
+    */
+  private val q108 = QueryDef(
+    "q108_hopping_window",
+    (s, dir) => ev(s, dir)
+      .groupBy(window(col("ts"), "6 hours", "3 hours").getField("start")
+        .as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("bucket", "event_type"),
+    Some("""SELECT time_bucket(INTERVAL '3 hours', ts) - to_hours(3 * k)
+        AS bucket, event_type, count(*) AS n,
+      cast(sum(cast(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events CROSS JOIN range(0, 2) t(k)
+      GROUP BY 1, 2 ORDER BY bucket, event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
-      q73, q83, q87, q95, q98, q99, q100, q103)
+      q73, q83, q87, q95, q98, q99, q100, q103, q108)
 }

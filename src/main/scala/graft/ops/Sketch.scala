@@ -142,6 +142,41 @@ object Sketch {
       count(*) AS n
       FROM documents GROUP BY 1, 2 ORDER BY lang, split"""))
 
+  // ---------- q107: split token balance -------------------------------
+
+  /** Token-level balance of the q37 train/val/test assignment — the
+    * check that the 80/10/10 DOCUMENT split also holds in TOKENS
+    * (what the training job actually consumes: a split whose val
+    * slice got the long documents is 10 % of docs but not 10 % of
+    * compute). Same pure-hash split expression as q37 (Portable —
+    * the one definition both queries share), token counts are exact
+    * ints, share is one division against a 1-row broadcast total.
+    * One corpus pass, 3 output rows.
+    */
+  private val q107 = QueryDef(
+    "q107_split_token_balance",
+    (s, dir) => {
+      val perSplit = Fixtures.table(s, dir, "documents")
+        .select(expr(Portable.splitCaseSpark).as("split"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      val tot = perSplit.agg(sum(col("n_tokens")).as("t_tokens"))
+      perSplit.crossJoin(broadcast(tot))
+        .select(col("split"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("t_tokens"))
+            .as("token_share"))
+        .orderBy("split")
+    },
+    Some(s"""WITH per AS (SELECT ${Portable.splitCaseDuck} AS split,
+        count(*) AS n_docs,
+        sum(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY 1),
+      tot AS (SELECT sum(n_tokens) AS t_tokens FROM per)
+      SELECT split, n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+        n_tokens::DOUBLE / t_tokens AS token_share
+      FROM per, tot ORDER BY split"""))
+
   // ---------- q51: deterministic stratified sample --------------------
 
   /** Per-stratum (language) hash sampling at a fixed rate — how an
@@ -508,5 +543,5 @@ object Sketch {
       WHERE rk <= $SpsK ORDER BY lang, rk"""))
 
   val all: Seq[QueryDef] =
-    Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86)
+    Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107)
 }

@@ -330,8 +330,11 @@ object Relational {
     (s, dir) => {
       val audits = fkEdges.map { case (edge, child, ck, parent, pk) =>
         val c = t(s, dir, child).select(col(ck))
+        // no distinct on the parent side: anti-join semantics ignore
+        // duplicates and these are primary keys anyway — a distinct
+        // would add a shuffle per edge for nothing
         val orphans = c.join(
-          broadcast(t(s, dir, parent).select(col(pk).as(ck)).distinct()),
+          broadcast(t(s, dir, parent).select(col(pk).as(ck))),
           Seq(ck), "left_anti")
         c.agg(count(lit(1)).as("n_child"))
           .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
