@@ -251,5 +251,89 @@ object Quality {
       HAVING count(*) < $AnonK
       ORDER BY lang, source, len_bucket"""))
 
-  val all: Seq[QueryDef] = Seq(q43, q44, q47, q50, q91, q101)
+  // ---------- q109: chi-square independence (lang × source) -----------
+
+  /** Pearson χ² for independence of language and source — the
+    * balanced-corpus check: a significant statistic means sources are
+    * language-skewed, so source-level sampling decisions silently
+    * reweight languages (and vice versa). Observed counts are exact
+    * ints; each expected count E = rowN·colN/N is one exact-int
+    * multiply (≤ ~2^62 at 100 TB doc counts — the documented bound)
+    * and one division; the (O−E)²/E term is pinned to integer
+    * micro-units (q96 rule — µ units, not nano: terms can reach 1e6
+    * so nano-units would near the 2^53 exact-sum bound at big SF) and
+    * summed exactly. Output: one row — χ², degrees of freedom, N.
+    * Shape: one corpus aggregate to the cell table, two tiny
+    * re-aggregates for margins, broadcast joins — cells × nothing.
+    */
+  private val q109 = QueryDef(
+    "q109_chi2_lang_source",
+    (s, dir) => {
+      val cells = docs(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val rows_ = cells.groupBy(col("lang")).agg(sum(col("o")).as("rn"))
+      val cols_ = cells.groupBy(col("source")).agg(sum(col("o")).as("cn"))
+      val n = cells.agg(sum(col("o")).as("n"),
+        count(lit(1)).as("n_cells"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      cells.join(broadcast(rows_), "lang").join(broadcast(cols_), "source")
+        .crossJoin(broadcast(n))
+        .withColumn("e", (col("rn") * col("cn")).cast("double") / col("n"))
+        .withColumn("units", round((col("o") - col("e"))
+          * (col("o") - col("e")) / col("e") * lit(1e6)).cast("long"))
+        .groupBy()
+        .agg(first(col("n")).as("n_docs"),
+          ((first(col("n_langs")) - 1) * (first(col("n_sources")) - 1))
+            .as("dof"),
+          (sum(col("units")).cast("double") / lit(1e6)).as("chi2"))
+    },
+    Some("""WITH cells AS (SELECT lang, source, count(*) AS o
+        FROM documents GROUP BY 1, 2),
+      r AS (SELECT lang, sum(o) AS rn FROM cells GROUP BY 1),
+      c AS (SELECT source, sum(o) AS cn FROM cells GROUP BY 1),
+      n AS (SELECT sum(o) AS n, count(*) AS n_cells,
+        count(DISTINCT lang) AS n_langs,
+        count(DISTINCT source) AS n_sources FROM cells),
+      terms AS (SELECT o, (rn * cn)::DOUBLE / n.n AS e,
+          n.n AS nn, n_langs, n_sources
+        FROM cells JOIN r USING (lang) JOIN c USING (source), n)
+      SELECT min(nn)::BIGINT AS n_docs,
+        ((min(n_langs) - 1) * (min(n_sources) - 1))::BIGINT AS dof,
+        sum(round((o - e) * (o - e) / e * 1e6)::BIGINT)::DOUBLE / 1e6
+          AS chi2
+      FROM terms"""))
+
+  // ---------- q110: effective language diversity (inverse Simpson) ----
+
+  /** Inverse-Simpson diversity 1/Σpᵢ² per source — "how many languages
+    * does this source EFFECTIVELY contribute": 5 equal languages
+    * score 5.0, a 95/5 split scores barely over 1 — the number a
+    * corpus-mix planner reads instead of raw language counts (which
+    * ignore balance). Entirely exact integer arithmetic until one
+    * final division: 1/Σ(nᵢ/N)² = N²/Σnᵢ², both sides int64 (N ≤
+    * ~3 × 10⁹ docs per source before N² hits the 2^63 bound — the
+    * documented widen-to-DECIMAL point). Two nested tiny aggregates
+    * after one corpus pass.
+    */
+  private val q110 = QueryDef(
+    "q110_lang_diversity",
+    (s, dir) => docs(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("ni"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("ni")).as("n_docs"),
+        sum(col("ni") * col("ni")).as("s2"))
+      .select(col("source"), col("n_langs"), col("n_docs"),
+        ((col("n_docs") * col("n_docs")).cast("double") / col("s2"))
+          .as("effective_langs"))
+      .orderBy("source"),
+    Some("""WITH cells AS (SELECT source, lang, count(*) AS ni
+        FROM documents GROUP BY 1, 2),
+      agg AS (SELECT source, count(*) AS n_langs, sum(ni) AS n_docs,
+        sum(ni * ni) AS s2 FROM cells GROUP BY 1)
+      SELECT source, n_langs::BIGINT AS n_langs, n_docs::BIGINT AS n_docs,
+        (n_docs * n_docs)::DOUBLE / s2 AS effective_langs
+      FROM agg ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(q43, q44, q47, q50, q91, q101, q109, q110)
 }

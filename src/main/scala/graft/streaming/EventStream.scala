@@ -107,6 +107,22 @@ object EventStream {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
 
+  /** Hopping (6 h size / 3 h slide) counts per event type — the
+    * streaming twin of batch q108, and the same one-line relationship
+    * to it as windowedCounts has to q24: the slide parameter expands
+    * each event into two window memberships before the stateful
+    * aggregate, state = open windows × types (bounded by the
+    * watermark), merge stays an ordinary count.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_evt", col("ts").cast(TimestampType))
+      .withWatermark("ts_evt", "1 hour")
+      .groupBy(window(col("ts_evt"), "6 hours", "3 hours")
+        .getField("start").cast(TimestampNTZType).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming HyperLogLog: per-6-hour-window distinct-user sketch
     * registers — the streaming twin of q85, and the textbook case for
     * sketches in streams: exact distinct counting needs per-key state

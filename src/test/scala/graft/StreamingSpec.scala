@@ -222,6 +222,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming hopping counts == batch q108 counts (AvailableNow)") {
+    val q = EventStream.hoppingCounts(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("hop")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("hop")
+      .select("bucket", "event_type", "n").collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val want = SparkEntry.queries("q108_hopping_window")(spark, sf)
+      .select("bucket", "event_type", "n").collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming HLL registers == batch construction; estimate within " +
     "HLL error of exact (AvailableNow)") {
     val q = EventStream.hllRegisters(EventStream.readEvents(spark, sf))
