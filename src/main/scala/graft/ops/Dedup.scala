@@ -1184,7 +1184,61 @@ object Dedup {
       WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
       ORDER BY doc_new, doc_old"""))
 
+  // ---------- q111: dedup token savings --------------------------------
+
+  /** What near-dedup actually buys, in the unit budgets are written in:
+    * TOKENS kept vs removed per language — q39 reports documents, but
+    * training cost and corpus-mix targets are token-denominated, and
+    * duplicates skew long (boilerplate), so the doc-level and
+    * token-level pictures genuinely differ. Reuses the transitive
+    * victim set (ccLabels — already materialized once per run) and
+    * one corpus token-count pass; exact integer sums, removal share =
+    * one division. The left-anti/victim split is computed as ONE
+    * outer join with a flag, not two passes.
+    */
+  private val q111 = QueryDef(
+    "q111_dedup_savings",
+    (s, dir) => {
+      val victims = nearDupVictimsTransitive(s, dir, 0.8)
+        .withColumn("removed", lit(1L))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .join(victims, Seq("doc_id"), "left_outer")
+        .withColumn("removed", coalesce(col("removed"), lit(0L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("removed")).as("n_removed"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("removed") * col("n_toks")).as("tokens_removed"))
+        .select(col("lang"), col("n_docs"), col("n_removed"),
+          col("n_tokens"), col("tokens_removed"),
+          (col("tokens_removed").cast("double") / col("n_tokens"))
+            .as("token_removal_rate"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsDuckCte(0.8)},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, l) AS (
+        SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(l) AS component
+        FROM reach GROUP BY u),
+      victims AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+      d AS (SELECT d.doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+          CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS removed
+        FROM documents d LEFT JOIN victims v ON v.doc_id = d.doc_id)
+      SELECT lang, count(*)::BIGINT AS n_docs,
+        sum(removed)::BIGINT AS n_removed,
+        sum(n_toks)::BIGINT AS n_tokens,
+        sum(removed * n_toks)::BIGINT AS tokens_removed,
+        sum(removed * n_toks)::DOUBLE / sum(n_toks)
+          AS token_removal_rate
+      FROM d GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
-      q90, q92, q93, q104)
+      q90, q92, q93, q104, q111)
 }

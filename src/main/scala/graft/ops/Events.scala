@@ -944,7 +944,64 @@ object Events {
       FROM events CROSS JOIN range(0, 2) t(k)
       GROUP BY 1, 2 ORDER BY bucket, event_type"""))
 
+  // ---------- q113: event run-length profile --------------------------
+
+  /** Run-length structure of each user's event-type sequence —
+    * consecutive repeats collapsed to runs (the RLE view): run count,
+    * longest run, and the events-per-run compression ratio. A ratio
+    * near 1 is a user who alternates actions; a long max-run is a
+    * stuck client or scripted hammering (the q72 debounce signal,
+    * quantified per user instead of filtered). Runs are delimited by
+    * the standard gaps-and-islands flag (type ≠ lag(type) under the
+    * q27 total order), run ids are the running flag sum over the SAME
+    * window sort (no extra shuffle — one user_id exchange feeds both
+    * windows and the aggregates), and everything is exact integers
+    * except the one final ratio division.
+    */
+  private val q113 = QueryDef(
+    "q113_event_rle",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runs = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("isStart",
+          when(lag(col("event_type"), 1).over(w).isNull
+            || lag(col("event_type"), 1).over(w) =!= col("event_type"),
+            1L).otherwise(0L))
+        .withColumn("run_id", sum(col("isStart")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(count(lit(1)).as("run_len"))
+      runs.groupBy(col("user_id"))
+        .agg(sum(col("run_len")).as("n_events"),
+          count(lit(1)).as("n_runs"),
+          max(col("run_len")).as("max_run"))
+        .select(col("user_id"), col("n_events"), col("n_runs"),
+          col("max_run"),
+          (col("n_events").cast("double") / col("n_runs"))
+            .as("events_per_run"))
+        .orderBy("user_id")
+    },
+    Some("""WITH s AS (SELECT user_id, event_type,
+        CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) IS DISTINCT FROM event_type
+          THEN 1 ELSE 0 END AS is_start,
+        ts, event_id
+      FROM events),
+      r AS (SELECT user_id,
+        sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM s),
+      runs AS (SELECT user_id, run_id, count(*) AS run_len
+        FROM r GROUP BY 1, 2)
+      SELECT user_id, sum(run_len)::BIGINT AS n_events,
+        count(*)::BIGINT AS n_runs, max(run_len)::BIGINT AS max_run,
+        sum(run_len)::DOUBLE / count(*) AS events_per_run
+      FROM runs GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
-      q73, q83, q87, q95, q98, q99, q100, q103, q108)
+      q73, q83, q87, q95, q98, q99, q100, q103, q108, q113)
 }

@@ -492,5 +492,50 @@ object Similarity {
         n_self::DOUBLE / n_vecs AS fidelity
       FROM agg ORDER BY label"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102)
+  // ---------- q112: embedding norm diagnostics ------------------------
+
+  /** Per-label L2-norm profile of the embedding table — the sanity
+    * pass run BEFORE any cosine-based operator: zero vectors make
+    * cosine undefined (0/0), a wide norm spread means the vectors
+    * aren't normalized so dot-product shortcuts are invalid, and a
+    * label whose norm band differs from the rest usually marks a
+    * different encoder version. ‖v‖² is a per-ROW left fold in the
+    * q21 operation order (bit-identical on both engines), sqrt is one
+    * libm call on an identical input, min/max order statistics are
+    * exact, and the mean is pinned to integer nano-units (q96 rule)
+    * for an order-free sum. One narrow corpus pass, |labels| rows,
+    * map-side partial aggregation throughout.
+    */
+  private val q112 = QueryDef(
+    "q112_embedding_norms",
+    (s, dir) => {
+      val n2 = "aggregate(transform(embedding, " +
+        "x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)), " +
+        "cast(0 AS DOUBLE), (acc, v) -> acc + v)"
+      emb(s, dir)
+        .select(col("label"), col("vec_id"),
+          expr(s"sqrt($n2)").as("norm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"),
+          (sum(round(col("norm") * lit(1e9)).cast("long")).cast("double")
+            / lit(1e9) / count(lit(1))).as("mean_norm"))
+        .orderBy("label")
+    },
+    Some("""WITH norms AS (SELECT label, vec_id,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+          (acc, v) -> acc + v)) AS norm
+      FROM embeddings)
+      SELECT label, count(*)::BIGINT AS n_vecs,
+        sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+        min(norm) AS min_norm, max(norm) AS max_norm,
+        sum(round(norm * 1e9)::BIGINT)::DOUBLE / 1e9 / count(*)
+          AS mean_norm
+      FROM norms GROUP BY label ORDER BY label"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102,
+    q112)
 }
