@@ -808,7 +808,59 @@ object Analytics {
         (sum(units) OVER ())::DOUBLE / 1e9 AS psi
       FROM terms ORDER BY bucket"""))
 
+  // ---------- q114: two-sample Kolmogorov–Smirnov drift ----------------
+
+  /** Two-sample KS statistic between the same reference/current event
+    * slices q105 buckets (ref = event_id % 10 ≥ 2, cur = < 2), over the
+    * raw `value` distribution — the distribution-free companion to
+    * PSI: D = max |F_ref(x) − F_cur(x)| sees shape drift that decile
+    * binning smooths away, and needs no bucket-count choice at all.
+    * Exactness: per-distinct-value slice counts, one running-sum window
+    * for both CDFs, and the max gap compared as the INTEGER cross
+    * product |c_ref·n_cur − c_cur·n_ref| — every comparison exact
+    * int64 (at 100 TB widen to DECIMAL(38,0)); the only division is
+    * D itself, once, on the single surviving row. The argmax value is
+    * made deterministic by the (gap DESC, value ASC) total order.
+    * Shape: one hash agg on value, one global sort window over the
+    * distinct-value table (≪ rows; at 100 TB: the q74/q105 two-pass
+    * boundary-broadcast note applies), 1-row output.
+    */
+  private val q114 = QueryDef(
+    "q114_ks_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sl = Fixtures.table(s, dir, "events")
+        .select(col("value"), (col("event_id") % 10 < 2).cast("long").as("cur"))
+      val pv = sl.groupBy(col("value"))
+        .agg(sum(lit(1L) - col("cur")).as("da"), sum(col("cur")).as("db"))
+      val w = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = pv.agg(sum(col("da")).as("n_ref"), sum(col("db")).as("n_cur"))
+      pv.withColumn("ca", sum(col("da")).over(w))
+        .withColumn("cb", sum(col("db")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("gap", abs(col("ca") * col("n_cur") - col("cb") * col("n_ref")))
+        .orderBy(col("gap").desc, col("value"))
+        .limit(1)
+        .select(col("n_ref"), col("n_cur"), col("value").as("ks_at"),
+          (col("gap").cast("double")
+            / (col("n_ref") * col("n_cur")).cast("double")).as("d_stat"))
+    },
+    Some("""WITH sl AS (SELECT value,
+        CASE WHEN event_id % 10 < 2 THEN 1 ELSE 0 END AS cur FROM events),
+      pv AS (SELECT value, sum(1 - cur)::BIGINT AS da, sum(cur)::BIGINT AS db
+        FROM sl GROUP BY 1),
+      tot AS (SELECT sum(da)::BIGINT AS n_ref, sum(db)::BIGINT AS n_cur FROM pv),
+      cdf AS (SELECT value,
+          sum(da) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)::BIGINT AS ca,
+          sum(db) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)::BIGINT AS cb
+        FROM pv)
+      SELECT n_ref, n_cur, value AS ks_at,
+        abs(ca * n_cur - cb * n_ref)::DOUBLE / (n_ref * n_cur)::DOUBLE AS d_stat
+      FROM cdf, tot
+      ORDER BY abs(ca * n_cur - cb * n_ref) DESC, value LIMIT 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
-      q77, q88, q89, q94, q105)
+      q77, q88, q89, q94, q105, q114)
 }

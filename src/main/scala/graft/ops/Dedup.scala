@@ -1238,7 +1238,103 @@ object Dedup {
           AS token_removal_rate
       FROM d GROUP BY lang ORDER BY lang"""))
 
+  // ---------- q115: hybrid retrieval fusion (RRF) ----------------------
+
+  /** Reciprocal Rank Fusion (Cormack et al.) of the two retrieval
+    * rankings this engine already produces for the SAME query set —
+    * q57's TF-cosine and q93's BM25 — the standard way hybrid search
+    * combines lexical and vector scores WITHOUT calibrating their
+    * incomparable scales: each system contributes 1/(60 + rank), so
+    * only rank order matters. Determinism: the contribution table is
+    * tiny and fixed (rank 1..K), each unit value is round(1e9/(60+r))
+    * — one IEEE division on identical integer inputs, whole-number
+    * rounded (exact both engines, q93's rule) — and the fused score is
+    * an exact int64 sum divided once for display. A doc missing from
+    * one system's top-K contributes 0 from that system (full outer
+    * join), which is RRF's defined behavior on truncated lists.
+    * Shape: two top-K tables (each |queries|·K rows) full-outer-joined
+    * on (query, doc) — bounded by the query set regardless of corpus
+    * size; both inputs reuse the PlanCache'd tf table, so the fusion
+    * itself adds no corpus pass at all.
+    */
+  private val q115 = QueryDef(
+    "q115_rrf_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def units(rnk: org.apache.spark.sql.Column) =
+        round(lit(1e9) / (lit(60) + rnk)).cast("long")
+      val cosR = q57.fn(s, dir)
+        .select(col("query_id"), col("doc_id"), units(col("rnk")).as("u_cos"))
+      val bmR = q93.fn(s, dir)
+        .select(col("query_id"), col("doc_id"), units(col("rnk")).as("u_bm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      cosR.join(bmR, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(col("u_cos"), lit(0L)) + coalesce(col("u_bm"), lit(0L)))
+            .as("u"))
+        .select(col("query_id"), col("doc_id"),
+          (col("u").cast("double") / lit(1e9)).as("rrf"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= KSparse)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+        unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      n2 AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY 1),
+      dots AS (SELECT q.doc_id AS query_id, c.doc_id,
+          sum(c.tf * q.tf)::BIGINT AS dot
+        FROM tf c JOIN tf q ON q.tok = c.tok
+        WHERE q.doc_id < $NSparseQueries AND c.doc_id <> q.doc_id
+        GROUP BY 1, 2),
+      cscored AS (SELECT query_id, dots.doc_id AS doc_id,
+          dot::DOUBLE / sqrt((x.n2 * y.n2)::DOUBLE) AS cosine
+        FROM dots JOIN n2 x ON x.doc_id = query_id
+        JOIN n2 y ON y.doc_id = dots.doc_id),
+      cr AS (SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+        FROM cscored),
+      ctop AS (SELECT query_id, doc_id,
+          round(1e9 / (60 + rnk))::BIGINT AS u_cos
+        FROM cr WHERE rnk <= $KSparse),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      qterms AS (SELECT DISTINCT doc_id AS query_id, tok FROM tf
+        WHERE doc_id < $NSparseQueries),
+      terms AS (SELECT q.query_id, c.doc_id,
+          round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 12)
+            * (c.tf * 2.2)
+            / (c.tf + 1.2 * (0.25
+              + 0.75 * (dl.dl / (sum_dl::DOUBLE / n_docs)))) AS ts
+        FROM tf c JOIN qterms q ON q.tok = c.tok
+        JOIN dft ON dft.tok = c.tok
+        JOIN dl ON dl.doc_id = c.doc_id, corpus
+        WHERE c.doc_id <> q.query_id),
+      bscored AS (SELECT query_id, doc_id,
+          sum(round(ts * 1e9)::BIGINT) AS su
+        FROM terms GROUP BY 1, 2),
+      br AS (SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY su DESC, doc_id) AS rnk
+        FROM bscored),
+      btop AS (SELECT query_id, doc_id,
+          round(1e9 / (60 + rnk))::BIGINT AS u_bm
+        FROM br WHERE rnk <= $KSparse),
+      fused AS (SELECT coalesce(c.query_id, b.query_id) AS query_id,
+          coalesce(c.doc_id, b.doc_id) AS doc_id,
+          coalesce(u_cos, 0) + coalesce(u_bm, 0) AS u
+        FROM ctop c FULL OUTER JOIN btop b
+          ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+      fr AS (SELECT query_id, doc_id, u::DOUBLE / 1e9 AS rrf,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY u DESC, doc_id) AS rnk
+        FROM fused)
+      SELECT query_id, rnk, doc_id, rrf FROM fr
+      WHERE rnk <= $KSparse ORDER BY query_id, rnk"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
-      q90, q92, q93, q104, q111)
+      q90, q92, q93, q104, q111, q115)
 }

@@ -1001,7 +1001,59 @@ object Events {
         sum(run_len)::DOUBLE / count(*) AS events_per_run
       FROM runs GROUP BY user_id ORDER BY user_id"""))
 
+  // ---------- q117: rolling 7-day distinct users (DAU/WAU) -------------
+
+  /** Rolling 7-day distinct active users per day, plus DAU and the
+    * DAU/WAU stickiness ratio — the engagement triple every product
+    * dashboard leads with. DISTINCT-over-a-sliding-range is the one
+    * window shape SQL window frames cannot express (COUNT(DISTINCT)
+    * is illegal in a frame), so the scalable form is membership
+    * EXPANSION: each (user, day) activity row fans into the ≤ 7 report
+    * days whose trailing window contains it (map-side `sequence` +
+    * explode, the q108 hop idea pointed backwards), then one exact
+    * distinct + count per report day. Shape: dedup to user-days (one
+    * shuffle, rows = users × active days ≪ events), 7× that in flight
+    * after the explode, grouped with map-side partials; no self-join,
+    * no spine × users cross product. Days are integer epoch-days
+    * (q54's contract); the 1-row max-day bound broadcasts to clip the
+    * fan-out at the corpus edge; stickiness is one final division.
+    */
+  private val q117 = QueryDef(
+    "q117_rolling_distinct_users",
+    (s, dir) => {
+      val ud = ev(s, dir).select(col("user_id"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+          " div 86400000000").as("d"))
+        .distinct()
+      val span = ud.agg(max(col("d")).as("dmax"))
+      val mem = ud.crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(expr("sequence(d, least(d + 6, dmax))")).as("day"))
+        .distinct()
+      val wau = mem.groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+      wau.join(dau, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("wau"),
+          (coalesce(col("dau"), lit(0L)).cast("double") / col("wau"))
+            .as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+          epoch_us(ts) // 86400000000 AS d FROM events),
+      span AS (SELECT max(d) AS dmax FROM ud),
+      mem AS (SELECT DISTINCT user_id, day
+        FROM ud, span,
+          unnest(generate_series(d, least(d + 6, dmax))) AS t(day)),
+      wau AS (SELECT day, count(*) AS wau FROM mem GROUP BY 1),
+      dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1)
+      SELECT wau.day, coalesce(dau.dau, 0)::BIGINT AS dau,
+        wau.wau::BIGINT AS wau,
+        coalesce(dau.dau, 0)::DOUBLE / wau.wau AS stickiness
+      FROM wau LEFT JOIN dau ON dau.day = wau.day
+      ORDER BY wau.day"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
-      q73, q83, q87, q95, q98, q99, q100, q103, q108, q113)
+      q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117)
 }

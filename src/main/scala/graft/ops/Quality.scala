@@ -335,5 +335,57 @@ object Quality {
         (n_docs * n_docs)::DOUBLE / s2 AS effective_langs
       FROM agg ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(q43, q44, q47, q50, q91, q101, q109, q110)
+  // ---------- q116: source mixture weights (temperature sampling) ------
+
+  /** The data-mixture step every pretraining build runs after counting:
+    * per-source sampling weights under temperature α = 0.5 —
+    * wₛ ∝ tokensₛ^α — which upweights small sources relative to their
+    * natural share p (the multilingual-sampling rule; α = 1 is natural,
+    * α = 0 is uniform). √tokens is one IEEE sqrt on an exact int64
+    * (bit-identical both engines); the normalizing sum — the one place
+    * accumulation order could diverge — is pinned to integer
+    * micro-units first (round(√n·1e6), whole-number rounding, the q93
+    * rule) and summed exactly; w and the natural share are each one
+    * division; the boost factor w/p is one further IEEE division on
+    * identical inputs. Shape: token counting is one corpus pass with
+    * map-side partials into |sources| rows; everything after is
+    * constant-size (the 1-row totals broadcast back via crossJoin).
+    */
+  private val q116 = QueryDef(
+    "q116_mixture_weights",
+    (s, dir) => {
+      val src = docs(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("su", round(sqrt(col("n_tokens").cast("double"))
+          * lit(1e6)).cast("long"))
+      val tot = src.agg(sum(col("n_tokens")).as("t_tok"), sum(col("su")).as("t_su"))
+      src.crossJoin(broadcast(tot))
+        .withColumn("p_natural",
+          col("n_tokens").cast("double") / col("t_tok").cast("double"))
+        .withColumn("w_alpha",
+          col("su").cast("double") / col("t_su").cast("double"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("p_natural"), col("w_alpha"),
+          (col("w_alpha") / col("p_natural")).as("boost"))
+        .orderBy("source")
+    },
+    Some("""WITH src AS (SELECT source, count(*) AS n_docs,
+          sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        FROM documents GROUP BY 1),
+      su AS (SELECT source, n_docs, n_tokens,
+          round(sqrt(n_tokens::DOUBLE) * 1e6)::BIGINT AS su FROM src),
+      tot AS (SELECT sum(n_tokens)::BIGINT AS t_tok,
+          sum(su)::BIGINT AS t_su FROM su)
+      SELECT source, n_docs::BIGINT AS n_docs, n_tokens,
+        n_tokens::DOUBLE / t_tok::DOUBLE AS p_natural,
+        su::DOUBLE / t_su::DOUBLE AS w_alpha,
+        (su::DOUBLE / t_su::DOUBLE)
+          / (n_tokens::DOUBLE / t_tok::DOUBLE) AS boost
+      FROM su, tot ORDER BY source"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116)
 }
