@@ -1334,7 +1334,127 @@ object Dedup {
       SELECT query_id, rnk, doc_id, rrf FROM fr
       WHERE rnk <= $KSparse ORDER BY query_id, rnk"""))
 
+  // ---------- q118: canonical doc selection (quality-aware keep) -------
+
+  /** Which doc to KEEP per near-dup cluster. The min-id rule q49's
+    * labeling implies is arbitrary; real curation keeps the
+    * highest-QUALITY member (the dedup step is exactly where the
+    * quality score earns its keep — boilerplate clusters usually
+    * contain one clean original plus mangled copies). Reuses the
+    * PlanCache'd component labels and scores ONLY clustered docs
+    * (members of size ≥ 2 clusters — the quality projection runs over
+    * the small clustered subset after a semi-join-shaped inner join,
+    * not the whole corpus). Quality is q14's exact formula — an IEEE
+    * chain on identical inputs, deterministic both engines; the argmax
+    * is made total by the (quality DESC, doc_id) order. Output also
+    * flags where quality-keep disagrees with min-id-keep — the audit a
+    * pipeline runs before switching keep policies. Shape: labels ⋈
+    * docs (shuffle on doc_id), one window over cluster-sized groups.
+    */
+  private val q118 = QueryDef(
+    "q118_canonical_selection",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cl = ccLabels(s, dir, 0.8)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      val scored = docs(s, dir).join(cl, "doc_id")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop",
+          expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"))
+        .select(col("doc_id"), col("cluster_id"),
+          (lit(0.3) * (size(array_distinct(col("toks"))).cast("double")
+              / col("n_tokens"))
+            + lit(0.2) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.2) * (lit(1.0)
+              - length(regexp_replace(col("text"), "[a-z ]", ""))
+                .cast("double") / length(col("text")))
+            + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
+              lit(1.0))).as("quality"))
+      val w = Window.partitionBy(col("cluster_id"))
+      scored
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("min_id_keep", min(col("doc_id")).over(w))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("quality").desc, col("doc_id"))))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("cluster_size"),
+          col("doc_id").as("keep_doc"), col("quality"),
+          col("min_id_keep"),
+          (col("doc_id") =!= col("min_id_keep")).as("policy_differs"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsDuckCte(0.8)},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, l) AS (
+        SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(l) AS cluster_id
+        FROM reach GROUP BY u),
+      scored AS (SELECT d.doc_id, cluster_id,
+          0.3 * (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0 - cast(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0
+            - cast(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+              / length(text))
+          + 0.3 * least(cast(len(string_split(text, ' ')) AS DOUBLE) / 50.0,
+            1.0) AS quality
+        FROM documents d JOIN comp ON comp.doc_id = d.doc_id),
+      ranked AS (SELECT cluster_id,
+          count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          doc_id, quality,
+          min(doc_id) OVER (PARTITION BY cluster_id) AS min_id_keep,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY quality DESC, doc_id) AS rn
+        FROM scored)
+      SELECT cluster_id, cluster_size::BIGINT AS cluster_size,
+        doc_id AS keep_doc, quality, min_id_keep,
+        doc_id <> min_id_keep AS policy_differs
+      FROM ranked WHERE rn = 1 ORDER BY cluster_id"""))
+
+  // ---------- q120: n-gram novelty score -------------------------------
+
+  /** Per-doc novelty: the share of a document's shingles that occur in
+    * NO other document (corpus df = 1) — the memorization/boilerplate
+    * spectrum in one number (novelty 1.0 = wholly original text, ~0 =
+    * assembled entirely from corpus-shared n-grams). The complement of
+    * the dedup family's view: q20 finds documents that share MANY
+    * shingles; this scores every document by how little it shares.
+    * Shape: one df aggregate over the PlanCache'd posting table
+    * (shuffle on the 8-byte shingle key), joined back to the same
+    * posting rows — df ≤ 1 collapses to a boolean BEFORE the join-back
+    * aggregate, so the second shuffle carries (doc_id, bit) pairs;
+    * novelty is one exact int division. Docs with < 3 tokens have no
+    * shingles and drop out (q20's documented exclusion).
+    */
+  private val q120 = QueryDef(
+    "q120_ngram_novelty",
+    (s, dir) => {
+      val inv = persistedInverted(s, dir)
+      val df = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      inv.join(df, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("df") === 1L).cast("long")).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $shingledDuckCte,
+      df AS (SELECT h, count(*) AS df FROM inv GROUP BY 1),
+      j AS (SELECT doc_id, CASE WHEN df.df = 1 THEN 1 ELSE 0 END AS uniq
+        FROM inv JOIN df ON df.h = inv.h)
+      SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        sum(uniq)::BIGINT AS n_unique,
+        sum(uniq)::DOUBLE / count(*) AS novelty
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
-      q90, q92, q93, q104, q111, q115)
+      q90, q92, q93, q104, q111, q115, q118, q120)
 }

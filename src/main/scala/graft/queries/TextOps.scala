@@ -378,5 +378,79 @@ object TextOps {
           AS zipf_slope
       FROM m"""))
 
-  val all: Seq[QueryDef] = Seq(q13, q14, q15, q16, q55, q64, q84, q97)
+  // ---------- q119: bigram LM surprisal scoring ------------------------
+
+  /** Per-document average surprisal (negative log-likelihood per
+    * bigram) under the corpus's own add-one-smoothed bigram model —
+    * the cheap LM-quality signal pipelines use to flag gibberish,
+    * boilerplate, and out-of-domain text before spending real
+    * inference on it (q103's idea, pointed at text instead of event
+    * streams). Model: p(w₂|w₁) = (c(w₁w₂)+1) / (ctx(w₁)+V), with
+    * ctx(w₁) = bigram occurrences starting at w₁ (so rows sum to 1
+    * exactly) and V the unigram vocabulary size. Determinism: ln() is
+    * evaluated ONCE per distinct bigram TYPE (≤ |observed bigrams|
+    * rows, not per instance) and pinned to integer nano-units (q103's
+    * rule); each doc's NLL is then an exact int64 sum over its
+    * instances, divided once at the end. Shape: both vocab tables come
+    * from the q55 PlanCache (zero extra corpus passes for the model);
+    * scoring is one join of doc-bigram instances against the model on
+    * the bigram key — by construction every instance hits (the doc IS
+    * part of the corpus), so no smoothing fallback path is needed in
+    * the join itself.
+    */
+  private val q119 = QueryDef(
+    "q119_bigram_surprisal",
+    (s, dir) => {
+      import graft.ops.PlanCache
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
+        toks.groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      val bi = PlanCache.getOrBuild(s, dir, "q55_bi")(
+        toks.withColumn("w2", lead(col("w1"), 1).over(w))
+          .where(col("w2").isNotNull)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy")))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val ctx = bi.groupBy(col("w1")).agg(sum(col("n_xy")).as("cx"))
+      val model = bi.join(ctx, "w1").crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          (-round(log((col("n_xy") + lit(1L)).cast("double")
+            / (col("cx") + col("v")).cast("double")) * lit(1e9)))
+            .cast("long").as("nll_units"))
+      toks.withColumn("w2", lead(col("w1"), 1).over(w))
+        .where(col("w2").isNotNull)
+        .join(model, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_units")).as("su"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("su").cast("double")
+            / (col("n_bigrams").cast("double") * lit(1e9))).as("avg_nll"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          generate_subscripts(parts, 1) AS pos, unnest(parts) AS w1
+        FROM (SELECT doc_id, string_split(text, ' ') AS parts
+          FROM documents)),
+      uni AS (SELECT w1, count(*) AS n FROM toks GROUP BY 1),
+      vocab AS (SELECT count(*) AS v FROM uni),
+      inst AS (SELECT doc_id, w1,
+          lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks),
+      bic AS (SELECT w1, w2, count(*) AS n_xy FROM inst
+        WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(n_xy) AS cx FROM bic GROUP BY 1),
+      model AS (SELECT bic.w1, bic.w2,
+          -round(ln((n_xy + 1)::DOUBLE / (cx + v)::DOUBLE) * 1e9)::BIGINT
+            AS nll_units
+        FROM bic JOIN ctx ON ctx.w1 = bic.w1, vocab)
+      SELECT i.doc_id, count(*)::BIGINT AS n_bigrams,
+        sum(nll_units)::DOUBLE / (count(*)::DOUBLE * 1e9) AS avg_nll
+      FROM inst i JOIN model m ON m.w1 = i.w1 AND m.w2 = i.w2
+      WHERE i.w2 IS NOT NULL
+      GROUP BY i.doc_id ORDER BY i.doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119)
 }
