@@ -1454,7 +1454,46 @@ object Dedup {
         sum(uniq)::DOUBLE / count(*) AS novelty
       FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------- q122: similarity-graph degree distribution ---------------
+
+  /** Degree distribution of the near-dup pair graph — the structural
+    * health check behind every graph-algorithm cost model in this
+    * family: q82's orientation bound, q49's round count, and the
+    * broadcast-ability of the edge list all hinge on whether degrees
+    * are flat (boilerplate pairs) or heavy-tailed (template spam hubs).
+    * Output is the exact degree → node-count histogram with each
+    * degree's share of nodes (one int division). Shape: two edge-list-
+    * sized aggregates (endpoint explode → per-node degree → size-of-
+    * degree), then a 1-row total broadcast back — cost is bounded by
+    * |pairs|, which dedup already paid to find; the corpus never
+    * appears.
+    */
+  private val q122 = QueryDef(
+    "q122_degree_distribution",
+    (s, dir) => {
+      val raw = jaccardPairs(s, dir, 0.8)
+      val deg = raw.select(col("doc_a").as("n")).unionAll(
+          raw.select(col("doc_b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      val tot = hist.agg(sum(col("n_nodes")).as("t"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("degree"), col("n_nodes"),
+          (col("n_nodes").cast("double") / col("t").cast("double"))
+            .as("node_share"))
+        .orderBy("degree")
+    },
+    Some(s"""WITH ${jaccardPairsDuckCte(0.8)},
+      ends AS (SELECT doc_a AS n FROM pairs
+        UNION ALL SELECT doc_b FROM pairs),
+      deg AS (SELECT n, count(*) AS degree FROM ends GROUP BY 1),
+      hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+      tot AS (SELECT sum(n_nodes) AS t FROM hist)
+      SELECT degree::BIGINT AS degree, n_nodes::BIGINT AS n_nodes,
+        n_nodes::DOUBLE / t::DOUBLE AS node_share
+      FROM hist, tot ORDER BY degree"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
-      q90, q92, q93, q104, q111, q115, q118, q120)
+      q90, q92, q93, q104, q111, q115, q118, q120, q122)
 }

@@ -536,6 +536,77 @@ object Similarity {
           AS mean_norm
       FROM norms GROUP BY label ORDER BY label"""))
 
+  // ---------- q123: cross-modal length–affinity correlation ------------
+
+  /** Pearson correlation, per label, between a document's length
+    * (n_chars) and its embedding's cosine to its OWN label centroid —
+    * the cross-modal encoder diagnostic: a strong correlation means
+    * the encoder's cluster geometry is length-biased (short docs sit
+    * at cell edges), so centroid-routed search (q34/q78) and
+    * fidelity (q102) silently degrade by document length. (The naive
+    * version of this check — length vs NORM — is degenerate on any
+    * normalized encoder, this fixture included: norms are constant,
+    * r undefined; affinity to the centroid varies even on the unit
+    * sphere.) Machinery is q75's exact-moment contract: x = n_chars
+    * (int64), y = the q102 ordered-fold cosine pinned to integer
+    * micro-units, five moment sums in DECIMAL(18,0)-cast terms,
+    * Pearson applied once with a NULLIF zero-variance guard, rounded
+    * to 12. Shape: broadcast codebook join (|labels| rows) + one
+    * embeddings⋈documents FK equi-join (the q106 edge), then a
+    * moments aggregate into |labels| rows.
+    */
+  private val q123 = QueryDef(
+    "q123_length_affinity_corr",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 0))
+      emb(s, dir)
+        .select(col("label"), col("vec_id"), col("embedding").as("e"))
+        .join(broadcast(codebook(s, dir)), "label")
+        .select(col("label"), col("vec_id"),
+          round(expr(Dedup.cosFoldSpark("e", "cvec")) * lit(1e6))
+            .cast("long").as("y"))
+        .join(d, col("vec_id") === col("doc_id"))
+        .select(col("label"), dec(col("n_chars")).as("x"), dec(col("y")).as("y"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .selectExpr("label", "n",
+          "round((cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - " +
+            "cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) / " +
+            "nullif(sqrt(cast(n AS DOUBLE) * cast(sxx AS DOUBLE) - " +
+            "cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) * " +
+            "sqrt(cast(n AS DOUBLE) * cast(syy AS DOUBLE) - " +
+            "cast(sy AS DOUBLE) * cast(sy AS DOUBLE)), cast(0 AS DOUBLE)), " +
+            "12) AS r")
+        .orderBy("label")
+    },
+    Some(s"""WITH $centDuckCte,
+      cb AS (SELECT label, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label),
+      y AS (SELECT e.label, e.vec_id,
+          round(${Dedup.cosDuck("e.embedding", "cb.cvec")} * 1e6)::BIGINT
+            AS y
+        FROM embeddings e JOIN cb ON cb.label = e.label),
+      pairs AS (SELECT label, cast(n_chars AS DECIMAL(18,0)) AS x,
+          cast(y AS DECIMAL(18,0)) AS y
+        FROM y JOIN documents ON doc_id = vec_id),
+      m AS (SELECT label, count(*)::BIGINT AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+          sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pairs GROUP BY 1)
+      SELECT label, n,
+        round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          / nullif(sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE),
+            0::DOUBLE), 12) AS r
+      FROM m ORDER BY label"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102,
-    q112)
+    q112, q123)
 }

@@ -451,6 +451,59 @@ object TextOps {
       WHERE i.w2 IS NOT NULL
       GROUP BY i.doc_id ORDER BY i.doc_id"""))
 
+  // ---------- q121: packing efficiency report --------------------------
+
+  /** The acceptance check on q64's packing manifest: per-language bin
+    * utilization — tokens packed vs bin capacity consumed — plus the
+    * fill spread (min/max tokens landing in a bin). Concat-then-chunk
+    * guarantees interior bins fill to capacity, so utilization below
+    * ~1 − 1/(2·bins) means the shard key is fragmenting the corpus
+    * into too many short tails (the signal to coarsen shards before a
+    * training run wastes accelerator steps on padding). All counts
+    * exact int64; utilization and mean fill are one division each.
+    * Shape: exactly q64's per-lang window pass (same shuffle), folded
+    * to |langs| rows.
+    */
+  private val q121 = QueryDef(
+    "q121_pack_efficiency",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"off div $PackCap"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(sum(col("n_tok")).as("bin_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("bin_tokens")).as("n_tokens"),
+          min(col("bin_tokens")).as("min_fill"),
+          max(col("bin_tokens")).as("max_fill"))
+        .select(col("lang"), col("n_bins"), col("n_tokens"),
+          col("min_fill"), col("max_fill"),
+          (col("n_tokens").cast("double")
+            / (col("n_bins") * lit(PackCap)).cast("double"))
+            .as("utilization"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH sized AS (SELECT lang, doc_id,
+        len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+      placed AS (SELECT lang, doc_id, n_tok,
+        COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // $PackCap AS bin
+        FROM sized),
+      bins AS (SELECT lang, bin, sum(n_tok) AS bin_tokens
+        FROM placed GROUP BY 1, 2)
+      SELECT lang, count(*)::BIGINT AS n_bins,
+        sum(bin_tokens)::BIGINT AS n_tokens,
+        min(bin_tokens)::BIGINT AS min_fill,
+        max(bin_tokens)::BIGINT AS max_fill,
+        sum(bin_tokens)::DOUBLE / (count(*) * $PackCap)::DOUBLE
+          AS utilization
+      FROM bins GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[QueryDef] =
-    Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119)
+    Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121)
 }
