@@ -123,6 +123,36 @@ object EventStream {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream–stream interval self-join — the streaming twin of batch
+    * q26_range_join: error-event pairs per user within [0, 6 h],
+    * emitted continuously as both sides arrive. This is the one join
+    * shape Structured Streaming treats specially: BOTH sides carry a
+    * watermark and the join predicate carries a time-range bound, so
+    * Spark can (a) emit an inner-join match the micro-batch it forms
+    * (no watermark hold-back for inner joins) and (b) evict buffered
+    * state once the watermark passes a row's last possible match time
+    * — bounded state on two unbounded streams, which an unconstrained
+    * stream join cannot promise. The 6 h bound mirrors q26's band
+    * width; dt_us and the a_id < b_id dedup rule are q26's exact
+    * output contract, so the backfill run must match the batch rows
+    * one-for-one.
+    */
+  def errorPairs(left: DataFrame, right: DataFrame): DataFrame = {
+    val a = left.where(col("event_type") === "error")
+      .select(col("user_id").as("u"), col("event_id").as("a_id"),
+        col("ts").cast(TimestampType).as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val b = right.where(col("event_type") === "error")
+      .select(col("user_id").as("u2"), col("event_id").as("b_id"),
+        col("ts").cast(TimestampType).as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    a.join(b, col("u") === col("u2") && col("a_id") < col("b_id")
+        && col("b_ts") >= col("a_ts")
+        && col("b_ts") <= col("a_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("u").as("user_id"), col("a_id"), col("b_id"),
+        expr("timestampdiff(MICROSECOND, a_ts, b_ts)").as("dt_us"))
+  }
+
   /** Streaming HyperLogLog: per-6-hour-window distinct-user sketch
     * registers — the streaming twin of q85, and the textbook case for
     * sketches in streams: exact distinct counting needs per-key state

@@ -275,4 +275,23 @@ class StreamingSpec extends AnyFunSuite {
         s"bucket $b: est ${est(b)} vs exact $n")
     }
   }
+
+  test("stream-stream interval join == batch q26 range join " +
+    "(AvailableNow, append)") {
+    val q = EventStream.errorPairs(
+        EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("sspairs")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sspairs")
+      .select("user_id", "a_id", "b_id", "dt_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = SparkEntry.queries("q26_range_join")(spark, sf)
+      .select("user_id", "a_id", "b_id", "dt_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
