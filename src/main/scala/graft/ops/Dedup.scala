@@ -1493,7 +1493,55 @@ object Dedup {
         n_nodes::DOUBLE / t::DOUBLE AS node_share
       FROM hist, tot ORDER BY degree"""))
 
+  // ---------- q124: cross-source duplication matrix --------------------
+
+  /** WHERE duplication comes from: near-dup pairs rolled up by the
+    * (source, source) pair of their endpoints — the provenance
+    * question behind every dedup report ("is this self-duplication
+    * within a crawl, or does source X mirror source Y?"), which
+    * decides whether the fix is crawler config or source-level
+    * exclusion, not more dedup. Source pairs are emitted unordered
+    * (lexicographic min/max) so A→B and B→A collapse into one cell;
+    * mean Jaccard per cell comes from nano-unit-pinned sums (q112's
+    * rule — whole-number rounding of identical doubles, exact sum,
+    * two final divisions). Shape: two broadcast-able joins of the
+    * pair list against the (doc_id, source) projection, then a
+    * |sources|²-bounded aggregate — the corpus appears only through
+    * the pair list dedup already paid for.
+    */
+  private val q124 = QueryDef(
+    "q124_cross_source_dups",
+    (s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      jaccardPairs(s, dir, 0.8)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"),
+          col("jaccard"))
+        .groupBy(col("source_x"), col("source_y"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("jaccard") * lit(1e9)).cast("long")).as("ju"))
+        .select(col("source_x"), col("source_y"), col("n_pairs"),
+          (col("ju").cast("double") / lit(1e9) / col("n_pairs"))
+            .as("mean_jaccard"))
+        .orderBy("source_x", "source_y")
+    },
+    Some(s"""WITH ${jaccardPairsDuckCte(0.8)},
+      src AS (SELECT doc_id, source FROM documents),
+      cells AS (SELECT least(a.source, b.source) AS source_x,
+          greatest(a.source, b.source) AS source_y, jaccard
+        FROM pairs
+        JOIN src a ON a.doc_id = doc_a
+        JOIN src b ON b.doc_id = doc_b)
+      SELECT source_x, source_y, count(*)::BIGINT AS n_pairs,
+        sum(round(jaccard * 1e9)::BIGINT)::DOUBLE / 1e9 / count(*)
+          AS mean_jaccard
+      FROM cells GROUP BY 1, 2 ORDER BY source_x, source_y"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
-      q90, q92, q93, q104, q111, q115, q118, q120, q122)
+      q90, q92, q93, q104, q111, q115, q118, q120, q122, q124)
 }

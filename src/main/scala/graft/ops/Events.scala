@@ -1053,7 +1053,78 @@ object Events {
       FROM wau LEFT JOIN dau ON dau.day = wau.day
       ORDER BY wau.day"""))
 
+  // ---------- q126: last-touch attribution -----------------------------
+
+  /** Which channel gets credit for each purchase: the last view/click
+    * by the same user strictly before the purchase (within a 7-day
+    * lookback; none → 'direct') — last-touch attribution, the default
+    * revenue-attribution model and the business-side twin of q25's
+    * as-of join (same union trick: one running `last(ignoreNulls)`
+    * carries the most recent touch's type and time forward, so there
+    * is no per-purchase range scan, no touch×purchase join at all).
+    * "Strictly before" is the (ts, event_id) total order's 1-PRECEDING
+    * frame — same-instant touches don't claim the purchase, matching
+    * q25's tie rule. Revenue sums use the DECIMAL-term convention;
+    * the purchase share is one division against the 1-row total.
+    * Shape: one shuffle on user_id (the window), then a |channels|-row
+    * aggregate — at 100 TB identical to sessionize's cost.
+    */
+  private val q126 = QueryDef(
+    "q126_attribution",
+    (s, dir) => {
+      val LookbackUs = 604800000000L // 7 days in µs
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = ev(s, dir)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"),
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            .as("us"))
+        .withColumn("touch_type",
+          when(col("event_type") =!= "purchase", col("event_type")))
+        .withColumn("touch_us",
+          when(col("event_type") =!= "purchase", col("us")))
+      val purchases = base
+        .withColumn("lt", last(col("touch_type"), ignoreNulls = true).over(w))
+        .withColumn("lus", last(col("touch_us"), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(when(col("lt").isNotNull
+            && col("us") - col("lus") <= LookbackUs, col("lt"))
+          .otherwise(lit("direct")).as("channel"), col("value"))
+      val tot = purchases.agg(count(lit(1)).as("t"))
+      purchases.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+        .crossJoin(broadcast(tot))
+        .select(col("channel"), col("n_purchases"), col("revenue"),
+          (col("n_purchases").cast("double") / col("t")).as("purchase_share"))
+        .orderBy("channel")
+    },
+    Some("""WITH base AS (SELECT user_id, event_id, event_type, value,
+          epoch_us(ts) AS us,
+          CASE WHEN event_type <> 'purchase' THEN event_type END
+            AS touch_type,
+          CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+            AS touch_us
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      lasts AS (SELECT *,
+          last_value(touch_type IGNORE NULLS) OVER win AS lt,
+          last_value(touch_us IGNORE NULLS) OVER win AS lus
+        FROM base
+        WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      p AS (SELECT CASE WHEN lt IS NOT NULL
+            AND us - lus <= 604800000000 THEN lt
+            ELSE 'direct' END AS channel, value
+        FROM lasts WHERE event_type = 'purchase'),
+      tot AS (SELECT count(*) AS t FROM p)
+      SELECT channel, count(*)::BIGINT AS n_purchases,
+        sum(cast(value AS DECIMAL(18,4)))::DOUBLE AS revenue,
+        count(*)::DOUBLE / t AS purchase_share
+      FROM p, tot GROUP BY channel, t ORDER BY channel"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
-      q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117)
+      q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126)
 }

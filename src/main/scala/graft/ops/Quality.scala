@@ -386,6 +386,124 @@ object Quality {
           / (n_tokens::DOUBLE / t_tok::DOUBLE) AS boost
       FROM su, tot ORDER BY source"""))
 
+  // ---------- q125: per-source term-distribution divergence ------------
+
+  /** Jensen–Shannon divergence between each source's token
+    * distribution and the corpus's, over the global top-100 terms
+    * plus an OTHER bucket — the vocabulary-level drift alarm beside
+    * q109's categorical chi-square and q105's numeric PSI: a source
+    * whose common-word profile diverges is machine-generated,
+    * off-language, or template text even when its metadata looks
+    * fine. JS (not KL) because it is finite even where a source has
+    * zero count for a top term. Determinism: shares are single
+    * divisions of exact int64 counts; each bucket's
+    * ½p·ln(p/m) + ½q·ln(q/m) term (m the mixture mean, the zero
+    * cases handled by explicit CASE guards identical in both
+    * dialects) is pinned to integer nano-units and summed exactly,
+    * one final scale-back division. Shape: ONE corpus tokenize pass
+    * into a (source, term) aggregate; the top-100 spine (from the
+    * PlanCache'd unigram table, q97's ranking) broadcasts against
+    * it; everything downstream is |sources|·101 cells.
+    */
+  private val q125 = QueryDef(
+    "q125_term_divergence",
+    (s, dir) => {
+      import graft.ops.PlanCache
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("w1"))
+      val scounts = PlanCache.getOrBuild(s, dir, "q125_scounts")(
+        toks.groupBy(col("source"), col("w1")).agg(count(lit(1)).as("c")))
+      val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
+        docs(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+          .groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      val top = uni
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("w1"))))
+        .where(col("rank") <= 100)
+        .select(col("w1"), col("n"))
+      val nTot = uni.agg(sum(col("n")).as("nn"))
+      val topTot = top.agg(sum(col("n")).as("n_top"))
+      val sTot = scounts.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+      val sTop = scounts.join(broadcast(top.select(col("w1"))), "w1")
+        .groupBy(col("source"), col("w1")).agg(sum(col("c")).as("cs"))
+      // explicit spine so sources missing a top term contribute p=0 rows
+      val spine = sTot.select(col("source"), col("ts"))
+        .crossJoin(broadcast(top))
+      val cells = spine
+        .join(sTop, Seq("source", "w1"), "left_outer")
+        .select(col("source"), col("ts"),
+          coalesce(col("cs"), lit(0L)).as("cs"), col("n").as("cn"))
+      val others = sTot.crossJoin(broadcast(topTot)).crossJoin(broadcast(nTot))
+        .join(sTop.groupBy(col("source")).agg(sum(col("cs")).as("s_top")),
+          Seq("source"), "left_outer")
+        .select(col("source"), col("ts"),
+          (col("ts") - coalesce(col("s_top"), lit(0L))).as("cs"),
+          (col("nn") - col("n_top")).as("cn"))
+      val units = cells.unionAll(others)
+        .crossJoin(broadcast(nTot))
+        .select(col("source"),
+          expr("""CASE WHEN cs = 0 AND cn = 0 THEN 0 ELSE
+            round((CASE WHEN cs > 0 THEN
+              0.5 * (cast(cs AS DOUBLE) / ts)
+                * ln((cast(cs AS DOUBLE) / ts)
+                  / (0.5 * (cast(cs AS DOUBLE) / ts
+                    + cast(cn AS DOUBLE) / nn))) ELSE 0.0 END
+            + CASE WHEN cn > 0 THEN
+              0.5 * (cast(cn AS DOUBLE) / nn)
+                * ln((cast(cn AS DOUBLE) / nn)
+                  / (0.5 * (cast(cs AS DOUBLE) / ts
+                    + cast(cn AS DOUBLE) / nn))) ELSE 0.0 END) * 1e9)
+            END""").cast("long").as("u"))
+      units.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("u")).as("su"))
+        .select(col("source"), col("n_buckets"),
+          (col("su").cast("double") / lit(1e9)).as("js_divergence"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (SELECT source,
+          unnest(string_split(text, ' ')) AS w1 FROM documents),
+      scounts AS (SELECT source, w1, count(*) AS c FROM toks GROUP BY 1, 2),
+      uni AS (SELECT w1, sum(c) AS n FROM scounts GROUP BY 1),
+      ranked AS (SELECT w1, n, row_number() OVER (ORDER BY n DESC, w1)
+          AS rank FROM uni),
+      top AS (SELECT w1, n FROM ranked WHERE rank <= 100),
+      ntot AS (SELECT sum(n)::BIGINT AS nn FROM uni),
+      toptot AS (SELECT sum(n)::BIGINT AS n_top FROM top),
+      stot AS (SELECT source, sum(c)::BIGINT AS ts FROM scounts GROUP BY 1),
+      stop AS (SELECT source, s.w1, sum(c)::BIGINT AS cs
+        FROM scounts s JOIN top ON top.w1 = s.w1 GROUP BY 1, 2),
+      spine AS (SELECT source, ts, w1, n FROM stot, top),
+      cells AS (SELECT spine.source, ts, coalesce(cs, 0) AS cs,
+          n AS cn
+        FROM spine LEFT JOIN stop ON stop.source = spine.source
+          AND stop.w1 = spine.w1),
+      others AS (SELECT stot.source, ts,
+          ts - coalesce((SELECT sum(cs) FROM stop
+            WHERE stop.source = stot.source), 0) AS cs,
+          nn - n_top AS cn
+        FROM stot, toptot, ntot),
+      units AS (SELECT source,
+          CASE WHEN cs = 0 AND cn = 0 THEN 0 ELSE
+            round((CASE WHEN cs > 0 THEN
+              0.5 * (cast(cs AS DOUBLE) / ts)
+                * ln((cast(cs AS DOUBLE) / ts)
+                  / (0.5 * (cast(cs AS DOUBLE) / ts
+                    + cast(cn AS DOUBLE) / nn))) ELSE 0.0 END
+            + CASE WHEN cn > 0 THEN
+              0.5 * (cast(cn AS DOUBLE) / nn)
+                * ln((cast(cn AS DOUBLE) / nn)
+                  / (0.5 * (cast(cs AS DOUBLE) / ts
+                    + cast(cn AS DOUBLE) / nn))) ELSE 0.0 END) * 1e9)
+            END::BIGINT AS u
+        FROM (SELECT * FROM cells UNION ALL SELECT * FROM others), ntot)
+      SELECT source, count(*)::BIGINT AS n_buckets,
+        sum(u)::DOUBLE / 1e9 AS js_divergence
+      FROM units GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] =
-    Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116)
+    Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125)
 }
