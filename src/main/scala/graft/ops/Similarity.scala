@@ -607,6 +607,83 @@ object Similarity {
             0::DOUBLE), 12) AS r
       FROM m ORDER BY label"""))
 
+  // ---------- q127: ANN recall audit (LSH vs exact) --------------------
+
+  /** Recall@k of the LSH index against exact brute force — THE number
+    * an ANN deployment is tuned by (tables × planes trade recall for
+    * candidate volume; q81 is the same audit for MinHash signatures):
+    * per query, how many of the true top-3 neighbors (q22's exact
+    * ranking, cut at q23's k) did the bucketed search return? Both
+    * rankings reuse this module's existing plans — the audit itself
+    * adds only joins over |queries|·k rows, so it can run per-deploy
+    * at any corpus size (the expensive inputs are the searches a
+    * deployment runs anyway). Counts are exact; recall is one int
+    * division. Left join from the exact side so a query with zero ANN
+    * hits still reports recall 0 rather than vanishing.
+    */
+  private val q127 = QueryDef(
+    "q127_ann_recall",
+    (s, dir) => {
+      val etop = q22.fn(s, dir).where(col("rnk") <= KAnn)
+        .select(col("query_id"), col("neighbor_id"))
+      val atop = q23.fn(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = etop.join(atop, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      val ec = etop.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      val ac = atop.groupBy(col("query_id")).agg(count(lit(1)).as("n_ann"))
+      ec.join(ac, Seq("query_id"), "left_outer")
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+            .as("recall"))
+        .orderBy("query_id")
+    },
+    Some {
+      val bucketSelects = (0 until Tables).map { t =>
+        s"SELECT vec_id, embedding, $t AS tbl, " +
+          s"${bucketExpr(t, i => s"dots[$i]")} AS bucket FROM dotted"
+      }.mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < $NQueries),
+      es AS (SELECT query_id, b.vec_id AS neighbor_id,
+          ${Dedup.cosDuck("qe", "b.embedding")} AS cosine
+        FROM q JOIN embeddings b ON b.vec_id <> query_id),
+      er AS (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rnk FROM es),
+      etop AS (SELECT query_id, neighbor_id FROM er WHERE rnk <= $KAnn),
+      dotted AS (SELECT vec_id, embedding, $dotsDuck AS dots
+        FROM embeddings),
+      keys AS ($bucketSelects),
+      cand AS (SELECT DISTINCT kq.vec_id AS query_id, kq.embedding AS qe,
+          n.vec_id AS neighbor_id, n.embedding AS ne
+        FROM keys kq JOIN keys n
+        ON kq.tbl = n.tbl AND kq.bucket = n.bucket
+          AND kq.vec_id < $NQueries AND n.vec_id <> kq.vec_id),
+      ascored AS (SELECT query_id, neighbor_id,
+          ${Dedup.cosDuck("qe", "ne")} AS cosine FROM cand),
+      ar AS (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rnk FROM ascored),
+      atop AS (SELECT query_id, neighbor_id FROM ar WHERE rnk <= $KAnn),
+      hits AS (SELECT e.query_id, count(*) AS n_hit
+        FROM etop e JOIN atop a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1),
+      ec AS (SELECT query_id, count(*) AS n_exact FROM etop GROUP BY 1),
+      ac AS (SELECT query_id, count(*) AS n_ann FROM atop GROUP BY 1)
+      SELECT ec.query_id, n_exact::BIGINT AS n_exact,
+        coalesce(n_ann, 0)::BIGINT AS n_ann,
+        coalesce(n_hit, 0)::BIGINT AS n_hit,
+        coalesce(n_hit, 0)::DOUBLE / n_exact AS recall
+      FROM ec LEFT JOIN ac ON ac.query_id = ec.query_id
+      LEFT JOIN hits ON hits.query_id = ec.query_id
+      ORDER BY ec.query_id"""
+    })
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102,
-    q112, q123)
+    q112, q123, q127)
 }
