@@ -1124,7 +1124,163 @@ object Events {
         count(*)::DOUBLE / t AS purchase_share
       FROM p, tot GROUP BY channel, t ORDER BY channel"""))
 
+  // ---------- q128: session co-occurrence rules ------------------------
+
+  /** Association rules over sessions: which event-type PAIRS occur in
+    * the same session more than their marginals predict — the
+    * market-basket view of behavior (q55 is the same statistic for
+    * adjacent tokens; this is order-independent set co-occurrence,
+    * which adjacency cannot see). Support and lift are exact-integer
+    * end-to-end: lift = (n_ab·n) / (n_a·n_b) as ONE division of exact
+    * int64 products (at 100 TB widen the products to DECIMAL(38,0)).
+    * Shape: q27's sessionize pass (same user_id shuffle), distinct
+    * (session, type) memberships, then a self-join bounded by
+    * ≤ |types| rows per session — pair volume ≤ C(|types|,2) per
+    * session, output ≤ C(|types|,2) cells total; the marginals table
+    * is |types|-sized and broadcasts.
+    */
+  private val q128 = QueryDef(
+    "q128_event_cooccurrence",
+    (s, dir) => {
+      val GapUs = 1800000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mem = ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || expr("timestampdiff(MICROSECOND, prev_ts, ts)") > GapUs, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("is_new")).over(wRun))
+        .select(col("user_id"), col("session_seq"), col("event_type"))
+        .distinct()
+      val n = mem.select(col("user_id"), col("session_seq")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val marg = mem.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
+      val pairs = mem.alias("a")
+        .join(mem.alias("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.session_seq") === col("b.session_seq")
+            && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(marg.select(col("event_type").as("type_a"),
+          col("m").as("n_a"))), "type_a")
+        .join(broadcast(marg.select(col("event_type").as("type_b"),
+          col("m").as("n_b"))), "type_b")
+        .crossJoin(broadcast(n))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          (col("n_ab").cast("double") / col("n")).as("support"),
+          ((col("n_ab") * col("n")).cast("double")
+            / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH flagged AS (SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT user_id, event_type,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged),
+      mem AS (SELECT DISTINCT user_id, session_seq, event_type FROM sess),
+      n AS (SELECT count(*) AS n FROM
+        (SELECT DISTINCT user_id, session_seq FROM mem)),
+      marg AS (SELECT event_type, count(*) AS m FROM mem GROUP BY 1),
+      pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+          count(*) AS n_ab
+        FROM mem a JOIN mem b
+        ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+          AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, n_ab::BIGINT AS n_ab,
+        n_ab::DOUBLE / n AS support,
+        (n_ab * n)::DOUBLE / (ma.m * mb.m)::DOUBLE AS lift
+      FROM pairs
+      JOIN marg ma ON ma.event_type = type_a
+      JOIN marg mb ON mb.event_type = type_b, n
+      ORDER BY type_a, type_b"""))
+
+  // ---------- q129: session duration percentiles -----------------------
+
+  /** The latency-style summary of session behavior: p50/p90/p99
+    * session duration plus mean — composed from q27's sessionize pass
+    * and q67's selection-percentile contract (percentile_disc at
+    * ⌈p·n⌉ under a (duration, user, seq) total order; selection, not
+    * interpolation, so the answer is an actual observed duration and
+    * cross-engine exact). All three percentiles read off ONE window
+    * sort of the |sessions|-sized table (≪ events); the mean is an
+    * exact µs sum with one division.
+    */
+  private val q129 = QueryDef(
+    "q129_session_percentiles",
+    (s, dir) => {
+      val GapUs = 1800000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || expr("timestampdiff(MICROSECOND, prev_ts, ts)") > GapUs, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(expr("timestampdiff(MICROSECOND, min(ts), max(ts))").as("dur_us"))
+      val ranked = sess
+        .withColumn("rn", row_number().over(Window.orderBy(
+          col("dur_us"), col("user_id"), col("session_seq"))))
+      val n = sess.agg(count(lit(1)).as("n"), sum(col("dur_us")).as("su"))
+      ranked.crossJoin(broadcast(n))
+        .where(col("rn") === ceil(col("n") * lit(0.5))
+          || col("rn") === ceil(col("n") * lit(0.9))
+          || col("rn") === ceil(col("n") * lit(0.99)))
+        .groupBy(col("n"), col("su"))
+        .agg(
+          min(when(col("rn") === ceil(col("n") * lit(0.5)), col("dur_us")))
+            .as("p50_us"),
+          min(when(col("rn") === ceil(col("n") * lit(0.9)), col("dur_us")))
+            .as("p90_us"),
+          min(when(col("rn") === ceil(col("n") * lit(0.99)), col("dur_us")))
+            .as("p99_us"))
+        .select(col("n").as("n_sessions"), col("p50_us"), col("p90_us"),
+          col("p99_us"),
+          (col("su").cast("double") / col("n")).as("mean_us"))
+    },
+    Some("""WITH flagged AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (SELECT user_id,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_seq, ts
+        FROM flagged),
+      durs AS (SELECT user_id, session_seq,
+          epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        FROM sess GROUP BY 1, 2),
+      ranked AS (SELECT dur_us, row_number() OVER (
+          ORDER BY dur_us, user_id, session_seq) AS rn FROM durs),
+      n AS (SELECT count(*) AS n, sum(dur_us)::BIGINT AS su FROM durs)
+      SELECT n::BIGINT AS n_sessions,
+        min(CASE WHEN rn = ceil(n * 0.5) THEN dur_us END)::BIGINT AS p50_us,
+        min(CASE WHEN rn = ceil(n * 0.9) THEN dur_us END)::BIGINT AS p90_us,
+        min(CASE WHEN rn = ceil(n * 0.99) THEN dur_us END)::BIGINT AS p99_us,
+        su::DOUBLE / n AS mean_us
+      FROM ranked, n
+      WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.9)
+        OR rn = ceil(n * 0.99)
+      GROUP BY n, su"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
-      q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126)
+      q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
+      q128, q129)
 }

@@ -684,6 +684,60 @@ object Similarity {
       ORDER BY ec.query_id"""
     })
 
+  // ---------- q130: per-dimension embedding statistics -----------------
+
+  /** Mean and variance of every embedding DIMENSION across the corpus
+    * — the dead/dominant-dimension diagnostic run before trusting
+    * cosine geometry: near-zero-variance dims waste index width (and
+    * break whitening), while a dim whose |mean| ≫ spread biases every
+    * dot product the same direction (an encoder-version fingerprint,
+    * complementing q112's per-vector norms and q123's affinity bias).
+    * Determinism: each value is pinned to integer nano-units (v and
+    * v² are single IEEE ops on identical floats, whole-number rounded)
+    * so both moment sums are exact int64 (at 100 TB: DECIMAL(38,0));
+    * mean and variance are computed from the exact sums in one
+    * identical expression chain, rounded to 12. Shape: posexplode to
+    * (dim, units) rows — map-side combine collapses everything into
+    * |dims| cells before the one tiny shuffle; output = vector width.
+    */
+  private val q130 = QueryDef(
+    "q130_dim_stats",
+    (s, dir) => {
+      emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"),
+          round(col("v").cast("double") * lit(1e9)).cast("long").as("u"),
+          round(col("v").cast("double") * col("v").cast("double") * lit(1e9))
+            .cast("long").as("u2"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("u")).as("su"),
+          sum(col("u2")).as("su2"))
+        .select(col("dim"), col("n"),
+          round(col("su").cast("double") / lit(1e9) / col("n"), 12)
+            .as("mean"),
+          round(col("su2").cast("double") / lit(1e9) / col("n")
+            - (col("su").cast("double") / lit(1e9) / col("n"))
+              * (col("su").cast("double") / lit(1e9) / col("n")), 12)
+            .as("variance"))
+        .orderBy("dim")
+    },
+    Some("""WITH flat AS (SELECT
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS v
+        FROM embeddings),
+      units AS (SELECT dim, round(v::DOUBLE * 1e9)::BIGINT AS u,
+          round(v::DOUBLE * v::DOUBLE * 1e9)::BIGINT AS u2
+        FROM flat),
+      m AS (SELECT dim, count(*) AS n, sum(u)::BIGINT AS su,
+          sum(u2)::BIGINT AS su2
+        FROM units GROUP BY 1)
+      SELECT dim::BIGINT AS dim, n::BIGINT AS n,
+        round(su::DOUBLE / 1e9 / n, 12) AS mean,
+        round(su2::DOUBLE / 1e9 / n
+          - (su::DOUBLE / 1e9 / n) * (su::DOUBLE / 1e9 / n), 12)
+          AS variance
+      FROM m ORDER BY dim"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102,
-    q112, q123, q127)
+    q112, q123, q127, q130)
 }
