@@ -195,7 +195,53 @@ object Multimodal {
         (-sum(units))::DOUBLE / 1e9 AS entropy_bits
       FROM terms GROUP BY doc_id ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q29, q52, q96)
+  // ---------- q131: fixed-block storage dedup ratio ---------------------
+
+  /** Block-level dedup audit: chunk every payload into fixed 64-byte
+    * blocks, hash each, and report per source how much of its raw
+    * volume is duplicate blocks — the STORAGE-dedup number (what a
+    * content-addressed store or chunked object layout would actually
+    * save), which document-level dedup (q17) cannot see: two documents
+    * that share half their bytes are distinct docs but 50 % dup
+    * blocks. Fixed-offset blocking is the honest baseline
+    * (content-defined chunking additionally survives insertions — the
+    * upgrade path, same plan shape with a rolling-hash cut rule).
+    * Shape: block spine via map-side sequence+explode (no join), one
+    * (source, hash) aggregate — shuffle carries 8-byte hashes, the
+    * payload never moves; savings is one exact int division.
+    */
+  private val q131 = QueryDef(
+    "q131_block_dedup",
+    (s, dir) => {
+      val Blk = 64
+      Fixtures.table(s, dir, "documents")
+        .select(col("source"), col("text"),
+          explode(expr(
+            s"sequence(0, cast(ceil(length(text) / $Blk.0) AS INT) - 1)"))
+            .as("i"))
+        .select(col("source"),
+          expr(graft.ops.Portable.h32Spark(
+            s"substring(text, i * $Blk + 1, $Blk)")).as("h"))
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_blocks"), count(lit(1)).as("n_distinct"))
+        .select(col("source"), col("n_blocks"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_blocks"))
+            .as("dup_block_share"))
+        .orderBy("source")
+    },
+    Some(s"""WITH blocks AS (SELECT source,
+          ${graft.ops.Portable.h32Duck("substring(text, i * 64 + 1, 64)")}
+            AS h
+        FROM documents,
+          unnest(range(ceil(length(text) / 64.0)::BIGINT)) AS t(i)),
+      per AS (SELECT source, h, count(*) AS c FROM blocks GROUP BY 1, 2)
+      SELECT source, sum(c)::BIGINT AS n_blocks,
+        count(*)::BIGINT AS n_distinct,
+        1.0 - count(*)::DOUBLE / sum(c) AS dup_block_share
+      FROM per GROUP BY source ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(q29, q52, q96, q131)
 }
 
 /** Per-frame features (the frame-sampling stub's output row). */

@@ -355,7 +355,38 @@ object Relational {
           / (SELECT count(*) FROM $child) AS orphan_rate"""
     }.mkString(" UNION ALL ") + " ORDER BY fk_edge"))
 
+  // ---------- q132: predicate-pushdown filter scan (TPC-H Q6 shape) ----
+
+  /** The revenue-impact-of-discounts query — TPC-H Q6's shape, which
+    * exists in every warehouse as the canonical "filter-scan + single
+    * aggregate": three selective range predicates, two columns of
+    * arithmetic, one row out. It earns its registry slot as the
+    * pushdown showcase: all three predicates reach the parquet reader
+    * as PushedFilters and the scan reads exactly four columns
+    * (ReadSchema) — at 100 TB this query is min/max-statistics row-
+    * group skipping plus a map-side partial sum, with nothing
+    * shuffled but 1-row partials. Revenue terms are rounded to fixed
+    * point per row and summed as exact DECIMAL (the dsumRound
+    * contract), so the one number hash-matches.
+    */
+  private val q132 = QueryDef(
+    "q132_filter_scan_revenue",
+    (s, dir) => t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        dsumRound(col("l_extendedprice") * col("l_discount"))
+          .as("lost_revenue")),
+    Some("""SELECT count(*)::BIGINT AS n_items,
+        sum(cast(round(l_extendedprice * l_discount, 4)
+          AS DECIMAL(18,4)))::DOUBLE AS lost_revenue
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q62,
-      q106)
+      q106, q132)
 }
