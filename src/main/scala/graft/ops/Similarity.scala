@@ -738,6 +738,90 @@ object Similarity {
           AS variance
       FROM m ORDER BY dim"""))
 
+  // ---------- q134: one k-means (Lloyd) refinement step -----------------
+
+  /** One Lloyd iteration over the codebook: route every vector to its
+    * nearest centroid (q102's assignment plan), recompute each cell's
+    * centroid from its ASSIGNED members, and report how far each
+    * centroid moved (1 − cos(old, new)) plus the assigned count — the
+    * distributed k-means step an IVF codebook is refined by, built
+    * from the pieces this module already verifies (routing, ordered-
+    * fold centroid aggregate, codebook collect). Movement ≈ 0 with
+    * stable assignment counts is the convergence signal that says the
+    * codebook (and therefore q34/q78 recall) won't improve by
+    * retraining. A cell that attracts no vectors keeps NULL movement
+    * (both engines agree) rather than faking a zero. Shape: one
+    * corpus × |cells| routing pass (no shuffle before the argmax
+    * window keyed by vec_id), one (cell, dim) aggregate — the same
+    * two costs as q102 + q33, composed; everything after is
+    * codebook-sized.
+    */
+  private val q134 = QueryDef(
+    "q134_kmeans_step",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cvecs = codebook(s, dir)
+        .select(col("label").as("clabel"), col("cvec"))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("clabel"))
+      val assigned = emb(s, dir)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .crossJoin(broadcast(cvecs.select(col("clabel"), col("cvec"))))
+        .select(col("vec_id"), col("e"), col("clabel"),
+          expr(Dedup.cosFoldSpark("e", "cvec")).as("ccos"))
+        .withColumn("rn", row_number().over(wCell))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("clabel"))
+      val newCb = assigned
+        .select(col("clabel"), col("vec_id"),
+          posexplode(col("e")).as(Seq("pos", "val")))
+        .groupBy(col("clabel"), col("pos"))
+        .agg(expr(centSparkSum).as("sum_val"), count(lit(1)).as("n"))
+        .select(col("clabel"), col("pos"),
+          (col("sum_val") / col("n")).as("centroid"))
+        .groupBy(col("clabel"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, centroid))), " +
+          "s -> s.centroid)").as("nvec"))
+      val counts = assigned.groupBy(col("clabel"))
+        .agg(count(lit(1)).as("n_assigned"))
+      cvecs
+        .join(counts, Seq("clabel"), "left_outer")
+        .join(newCb, Seq("clabel"), "left_outer")
+        .select(col("clabel").as("label"),
+          coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+          expr(s"round(1 - ${Dedup.cosFoldSpark("cvec", "nvec")}, 12)")
+            .as("movement"))
+        .orderBy("label")
+    },
+    Some(s"""WITH $centDuckCte,
+      cb AS (SELECT label AS clabel, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label),
+      scored AS (SELECT e.vec_id, e.embedding, cb.clabel, cb.cvec,
+          ${Dedup.cosDuck("e.embedding", "cb.cvec")} AS ccos
+        FROM embeddings e CROSS JOIN cb),
+      best AS (SELECT vec_id, embedding, clabel, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rn
+        FROM scored),
+      assigned AS (SELECT vec_id, embedding, clabel FROM best WHERE rn = 1),
+      ax AS (SELECT clabel, vec_id, pos - 1 AS pos, embedding[pos] AS val
+        FROM assigned CROSS JOIN range(1, ${Dim + 1}) t(pos)),
+      ncent AS (SELECT clabel, pos,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(val::DOUBLE ORDER BY vec_id)),
+            (acc, v) -> acc + v) / count(*) AS centroid
+        FROM ax GROUP BY clabel, pos),
+      ncb AS (SELECT clabel, list(centroid ORDER BY pos) AS nvec
+        FROM ncent GROUP BY clabel),
+      cnt AS (SELECT clabel, count(*) AS n_assigned FROM assigned
+        GROUP BY clabel)
+      SELECT cb.clabel AS label,
+        coalesce(cnt.n_assigned, 0)::BIGINT AS n_assigned,
+        round(1 - ${Dedup.cosDuck("cb.cvec", "ncb.nvec")}, 12) AS movement
+      FROM cb
+      LEFT JOIN cnt ON cnt.clabel = cb.clabel
+      LEFT JOIN ncb ON ncb.clabel = cb.clabel
+      ORDER BY label"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102,
-    q112, q123, q127, q130)
+    q112, q123, q127, q130, q134)
 }

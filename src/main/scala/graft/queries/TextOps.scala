@@ -504,6 +504,56 @@ object TextOps {
           AS utilization
       FROM bins GROUP BY lang ORDER BY lang"""))
 
+  // ---------- q133: vocabulary coverage / OOV rate ----------------------
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-1000 token vocabulary — the tokenizer-fit signal: a doc with
+    * high OOV share will fragment into byte-fallback pieces under a
+    * fixed vocab (inflating its real token cost and degrading model
+    * quality on it), so corpus OOV profiles drive vocab size and
+    * retraining decisions. The vocab is the q97-style frequency
+    * ranking cut at 1000 (deterministic (n DESC, token) order, from
+    * the PlanCache'd unigram table — no extra corpus pass); scoring is
+    * one broadcast LEFT join of token instances against it, so the
+    * corpus is touched once and never shuffled on anything wider than
+    * it already was. Counts exact; oov_rate is one division.
+    */
+  private val q133 = QueryDef(
+    "q133_oov_rate",
+    (s, dir) => {
+      import graft.ops.PlanCache
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
+        toks.groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      val vocab = uni
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("w1"))))
+        .where(col("rank") <= 1000)
+        .select(col("w1"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("w1"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS w1 FROM documents),
+      uni AS (SELECT w1, count(*) AS n FROM toks GROUP BY 1),
+      ranked AS (SELECT w1, row_number() OVER (ORDER BY n DESC, w1)
+          AS rank FROM uni),
+      vocab AS (SELECT w1, 1 AS in_vocab FROM ranked WHERE rank <= 1000)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)::BIGINT
+          AS n_oov,
+        sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)::DOUBLE
+          / count(*) AS oov_rate
+      FROM toks LEFT JOIN vocab USING (w1)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121)
+    Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133)
 }
