@@ -386,7 +386,123 @@ object Relational {
       WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
 
+  // ---------- q135: shipping-delay percentiles -------------------------
+
+  /** Days from order placement to line-item shipment, p50/p90/p99 per
+    * order priority — the fulfillment-SLA query every order system
+    * reports, and the join-then-order-statistic composition (q67's
+    * selection-percentile contract on a DERIVED measure): delay is an
+    * exact integer day difference (µs floor-div, the q98 rule —
+    * calendar date_diff semantics diverge across engines), percentiles
+    * are ⌈p·n⌉ rank selection under a (delay, orderkey, linenumber)
+    * total order per priority, all three read off ONE window sort.
+    * Shape: lineitem⋈orders equi-join on the orderkey (both sides
+    * shuffle-partitioned on the same key), then a per-priority sort of
+    * the joined table; at 100 TB the two-pass quantile-boundary
+    * broadcast (q91's note) replaces the full sort.
+    */
+  private val q135 = QueryDef(
+    "q135_ship_delay_percentiles",
+    (s, dir) => {
+      val joined = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)")
+            .as("ship_us"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")
+              .as("ord_us")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), col("l_orderkey"), col("l_linenumber"),
+          expr("(ship_us - ord_us) div 86400000000").as("delay_days"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+      val ranked = joined
+        .withColumn("rn", row_number().over(w.orderBy(
+          col("delay_days"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("n", count(lit(1)).over(w))
+      ranked
+        .where(col("rn") === ceil(col("n") * lit(0.5))
+          || col("rn") === ceil(col("n") * lit(0.9))
+          || col("rn") === ceil(col("n") * lit(0.99)))
+        .groupBy(col("o_orderpriority"), col("n"))
+        .agg(
+          min(when(col("rn") === ceil(col("n") * lit(0.5)),
+            col("delay_days"))).as("p50_days"),
+          min(when(col("rn") === ceil(col("n") * lit(0.9)),
+            col("delay_days"))).as("p90_days"),
+          min(when(col("rn") === ceil(col("n") * lit(0.99)),
+            col("delay_days"))).as("p99_days"))
+        .select(col("o_orderpriority"), col("n").as("n_items"),
+          col("p50_days"), col("p90_days"), col("p99_days"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH d AS (SELECT o_orderpriority, l_orderkey, l_linenumber,
+          (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000
+            AS delay_days
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      ranked AS (SELECT *,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY delay_days, l_orderkey, l_linenumber) AS rn,
+          count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM d)
+      SELECT o_orderpriority, n::BIGINT AS n_items,
+        min(CASE WHEN rn = ceil(n * 0.5) THEN delay_days END)::BIGINT
+          AS p50_days,
+        min(CASE WHEN rn = ceil(n * 0.9) THEN delay_days END)::BIGINT
+          AS p90_days,
+        min(CASE WHEN rn = ceil(n * 0.99) THEN delay_days END)::BIGINT
+          AS p99_days
+      FROM ranked
+      WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.9)
+        OR rn = ceil(n * 0.99)
+      GROUP BY o_orderpriority, n ORDER BY o_orderpriority"""))
+
+  // ---------- q136: above-group-average (decorrelation shape) ----------
+
+  /** Customers whose total spend exceeds their NATION's average — the
+    * classic correlated-subquery reporting shape. The oracle states it
+    * AS the correlated subquery (the form analysts write); the Spark
+    * plan is the decorrelated form Catalyst would rewrite to anyway,
+    * made explicit: per-customer totals (one aggregate), the nation
+    * average as a window over that |customers|-sized table (NOT a
+    * second orders scan), filter, total order. Agreement proves the
+    * rewrite is semantics-preserving on real data. DECIMAL-exact sums;
+    * the average is one division; the comparison is on DECIMAL-derived
+    * doubles computed identically both sides. Shape: one orders
+    * shuffle on custkey + one window over customers — at 100 TB the
+    * window input is customers, never orders.
+    */
+  private val q136 = QueryDef(
+    "q136_above_avg_spenders",
+    (s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spent"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_nationkey"))
+      spend
+        .withColumn("nation_avg",
+          sum(col("spent")).over(w).cast("double")
+            / count(lit(1)).over(w))
+        .where(col("spent").cast("double") > col("nation_avg"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("spent").cast("double").as("spent"), col("nation_avg"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH spend AS (SELECT o_custkey AS c_custkey, c_nationkey,
+          sum(cast(o_totalprice AS DECIMAL(18,2))) AS spent
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1, 2)
+      SELECT c_custkey, c_nationkey, spent::DOUBLE AS spent,
+        (SELECT sum(spent)::DOUBLE / count(*) FROM spend s2
+          WHERE s2.c_nationkey = s1.c_nationkey) AS nation_avg
+      FROM spend s1
+      WHERE spent::DOUBLE > (SELECT sum(spent)::DOUBLE / count(*)
+        FROM spend s3 WHERE s3.c_nationkey = s1.c_nationkey)
+      ORDER BY c_custkey"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q62,
-      q106, q132)
+      q106, q132, q135, q136)
 }
