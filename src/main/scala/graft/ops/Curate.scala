@@ -43,6 +43,28 @@ object Curate {
   def withSplit(docs: DataFrame): DataFrame =
     docs.withColumn("split", expr(Portable.splitCaseSpark))
 
+  /** Near-dup victims under the quality-aware keep policy
+    * (q118_canonical_selection): every clustered doc EXCEPT its
+    * cluster's highest-quality member ((quality DESC, doc_id) argmax —
+    * q14's exact formula via [[withQuality]], so pipeline and registry
+    * query share one scoring definition). Same cluster labeling as the
+    * transitive min-id policy — any keep-one rule removes exactly
+    * size−1 docs per cluster, only WHICH doc survives differs.
+    */
+  def nearDupVictimsKeepBest(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val cl = Dedup.ccLabels(spark, sfDir, threshold)
+      .select(col("node").as("doc_id"), col("component"))
+    val scored = withQuality(graft.Fixtures.table(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("quality"))
+      .join(cl, "doc_id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1)
+      .select(col("doc_id"))
+  }
+
   final case class CurationReport(
       input: Long, afterQuality: Long, afterDedup: Long,
       bySplit: Map[String, Long], outPath: String)
@@ -52,10 +74,13 @@ object Curate {
     * near-dup removal keeps one canonical doc (the min doc_id) per
     * connected ≥0.8-Jaccard component (q49 semantics — correct when
     * pairs chain; `transitive = false` restores q39's cheaper greedy
-    * pair rule, exact for disjoint pairs).
+    * pair rule, exact for disjoint pairs; `keepBest = true` switches
+    * the transitive policy to keep each cluster's highest-QUALITY
+    * member instead of its min id — the q118 policy).
     */
   def run(spark: SparkSession, sfDir: String, outPath: String,
-      minQuality: Double = 0.5, transitive: Boolean = true): CurationReport = {
+      minQuality: Double = 0.5, transitive: Boolean = true,
+      keepBest: Boolean = false): CurationReport = {
     val docs = graft.Fixtures.table(spark, sfDir, "documents")
     val input = docs.count()
 
@@ -71,7 +96,9 @@ object Curate {
       // quality gate is a policy choice; here after, so borderline dups of
       // a high-quality doc don't survive via the removed twin)
       val victims =
-        if (transitive) graft.ops.Dedup.nearDupVictimsTransitive(spark, sfDir, 0.8)
+        if (keepBest) nearDupVictimsKeepBest(spark, sfDir, 0.8)
+        else if (transitive)
+          graft.ops.Dedup.nearDupVictimsTransitive(spark, sfDir, 0.8)
         else graft.ops.Dedup.nearDupVictims(spark, sfDir, 0.8)
       val curated = withSplit(
         qualified.join(victims, Seq("doc_id"), "left_anti"))

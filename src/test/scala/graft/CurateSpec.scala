@@ -41,4 +41,21 @@ class CurateSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(split")
       || scan.contains("PartitionFilters: [(split"), scan)
   }
+
+  test("keep-best dedup policy removes the same count as min-id but " +
+    "keeps each cluster's highest-quality member") {
+    import graft.ops.Curate
+    val minId = SparkEntry.queries("q49_dedup_components")(spark, sf)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val best = Curate.nearDupVictimsKeepBest(spark, sf, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    // any keep-one policy removes exactly size-1 docs per cluster
+    assert(best.size === minId.size)
+    // the survivors are exactly q118's keep_doc choices
+    val keeps = SparkEntry.queries("q118_canonical_selection")(spark, sf)
+      .select(col("keep_doc")).collect().map(_.getLong(0)).toSet
+    val clustered = minId ++ best ++ keeps
+    assert((clustered -- best) === keeps)
+  }
 }
