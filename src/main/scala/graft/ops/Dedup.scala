@@ -605,7 +605,10 @@ object Dedup {
         .agg(sum(col("tf") * col("qtf")).as("dot"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("doc_id"))
-      val out = dots
+      // the top-k table itself is cached: q115's fusion re-consumes this
+      // exact ranking, and it is |queries|·k rows — the cheapest possible
+      // thing to hold versus re-running the corpus scoring join
+      PlanCache.getOrBuild(s, dir, "q57_topk")(dots
         .join(n2.select(col("doc_id").as("query_id"), col("n2").as("n2q")),
           "query_id")
         .join(n2, "doc_id")
@@ -614,9 +617,8 @@ object Dedup {
             / sqrt((col("n2q") * col("n2")).cast("double"))).as("cosine"))
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= KSparse)
-        .select(col("query_id"), col("rnk"), col("doc_id"), col("cosine"))
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("cosine")))
         .orderBy("query_id", "rnk")
-      out
     },
     Some(s"""WITH toks AS (SELECT doc_id,
         unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -1084,7 +1086,8 @@ object Dedup {
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("bm25").desc, col("doc_id"))
-      tf.join(qterms, "tok")
+      // cached for the same reason as q57's: q115 fuses this ranking
+      PlanCache.getOrBuild(s, dir, "q93_topk")(tf.join(qterms, "tok")
         .where(col("doc_id") =!= col("query_id"))
         .join(broadcast(dft), "tok")
         .join(dl, "doc_id")
@@ -1103,7 +1106,7 @@ object Dedup {
           (col("sunits").cast("double") / lit(1e9)).as("bm25"))
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= KSparse)
-        .select(col("query_id"), col("rnk"), col("doc_id"), col("bm25"))
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("bm25")))
         .orderBy("query_id", "rnk")
     },
     Some(s"""WITH toks AS (SELECT doc_id,

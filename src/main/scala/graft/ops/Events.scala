@@ -133,9 +133,15 @@ object Events {
     * mapGroupsWithState lives in graft.streaming). One shuffle on
     * user_id; both windows reuse the same sort order.
     */
-  private val q27 = QueryDef(
-    "q27_sessionize",
-    (s, dir) => {
+  /** Shared 30-min-gap session assignment — the gaps-and-islands window
+    * pass (lag → flag → running sum) materialized ONCE per run via
+    * PlanCache: q27 (session aggregate), q128 (co-occurrence
+    * membership) and q129 (duration percentiles) all consume the same
+    * per-event (user, session_seq) labeling, and the per-user window
+    * sort it costs is the expensive part of all three.
+    */
+  private[ops] def sessionAssigned(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "sessions") {
       val GapUs = 1800000000L // 30 min
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -147,11 +153,18 @@ object Events {
             || expr("timestampdiff(MICROSECOND, prev_ts, ts)") > GapUs, 1)
             .otherwise(0))
         .withColumn("session_seq", sum(col("is_new")).over(wRun))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("session_seq"))
+    }
+
+  private val q27 = QueryDef(
+    "q27_sessionize",
+    (s, dir) =>
+      sessionAssigned(s, dir)
         .groupBy(col("user_id"), col("session_seq"))
         .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"))
-        .orderBy("user_id", "session_seq")
-    },
+        .orderBy("user_id", "session_seq"),
     Some("""WITH flagged AS (
         SELECT user_id, ts, event_id,
           CASE WHEN lag(ts) OVER w IS NULL
@@ -1142,17 +1155,7 @@ object Events {
   private val q128 = QueryDef(
     "q128_event_cooccurrence",
     (s, dir) => {
-      val GapUs = 1800000000L
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val mem = ev(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("is_new",
-          when(col("prev_ts").isNull
-            || expr("timestampdiff(MICROSECOND, prev_ts, ts)") > GapUs, 1)
-            .otherwise(0))
-        .withColumn("session_seq", sum(col("is_new")).over(wRun))
+      val mem = sessionAssigned(s, dir)
         .select(col("user_id"), col("session_seq"), col("event_type"))
         .distinct()
       val n = mem.select(col("user_id"), col("session_seq")).distinct()
@@ -1220,17 +1223,7 @@ object Events {
   private val q129 = QueryDef(
     "q129_session_percentiles",
     (s, dir) => {
-      val GapUs = 1800000000L
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = ev(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("is_new",
-          when(col("prev_ts").isNull
-            || expr("timestampdiff(MICROSECOND, prev_ts, ts)") > GapUs, 1)
-            .otherwise(0))
-        .withColumn("session_seq", sum(col("is_new")).over(wRun))
+      val sess = sessionAssigned(s, dir)
         .groupBy(col("user_id"), col("session_seq"))
         .agg(expr("timestampdiff(MICROSECOND, min(ts), max(ts))").as("dur_us"))
       val ranked = sess

@@ -13,14 +13,17 @@ import org.apache.spark.storage.StorageLevel
   * Keying by session identity (not just dir) keeps entries from a
   * stopped test session from being served to a new one; the footprint
   * stays bounded because a run touches at most two fixture dirs
-  * (bench warm dir + target), evicted oldest-first past 8 entries.
+  * (bench warm dir + target), evicted oldest-first past 16 entries
+  * (the registry currently materializes 10 distinct shared subplans
+  * per dir — a cap below that evicts live entries mid-run and every
+  * consumer after the eviction silently rebuilds).
   */
 private[graft] object PlanCache {
   private val entries =
-    new java.util.LinkedHashMap[(Int, String, String), DataFrame](16, 0.75f, false) {
+    new java.util.LinkedHashMap[(Int, String, String), DataFrame](32, 0.75f, false) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(Int, String, String), DataFrame]): Boolean = {
-        val evict = size() > 8
+        val evict = size() > 16
         if (evict) e.getValue.unpersist(blocking = false)
         evict
       }

@@ -233,7 +233,15 @@ object EventStream {
       session_end: java.time.LocalDateTime, n_events: Long)
   final case class OpenSession(startUs: Long, endUs: Long, n: Long)
 
+  /** [[Ev]] plus the event type and value — the attribution input shape. */
+  final case class EvT(event_id: Long, ts: java.time.LocalDateTime,
+      user_id: Long, event_type: String, value: Double)
+  final case class TouchState(touchType: String, touchUs: Long)
+  final case class Attribution(user_id: Long, event_id: Long,
+      channel: String, value: Double)
+
   private val GapUs = 1800000000L // 30 min
+  private val LookbackUs = 604800000000L // 7 days
 
   private def toUs(t: java.time.LocalDateTime): Long =
     t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
@@ -299,6 +307,45 @@ object EventStream {
           } else {
             open.foreach(state.update)
           }
+          out.iterator
+      }
+  }
+
+  /** Streaming last-touch attribution — batch q126 as per-user custom
+    * state: each user's state is exactly ONE (touch type, touch time)
+    * pair, overwritten by every view/click and read by every purchase
+    * (7-day lookback, else 'direct'), so purchases are attributed the
+    * micro-batch they arrive in — the real-time revenue-attribution
+    * feed, with state bounded at one row per user by construction
+    * (contrast the batch window, which must sort each user's history).
+    * Events inside a micro-batch are sorted by (ts, event_id), the
+    * same total order as the batch query, so a same-instant touch
+    * precedes its purchase iff its event_id is lower — q126's exact
+    * tie rule — and backfill over one AvailableNow batch reproduces
+    * the batch assignment purchase-for-purchase.
+    */
+  def attributeLastTouch(events: Dataset[EvT]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[TouchState]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase") {
+              val us = toUs(e.ts)
+              val ch = st match {
+                case Some(t) if us - t.touchUs <= LookbackUs => t.touchType
+                case _ => "direct"
+              }
+              out += Attribution(uid, e.event_id, ch, e.value)
+            } else {
+              st = Some(TouchState(e.event_type, toUs(e.ts)))
+            }
+          }
+          st.foreach(state.update)
           out.iterator
       }
   }

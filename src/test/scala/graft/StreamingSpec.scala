@@ -276,6 +276,28 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming last-touch attribution == batch q126 channel counts " +
+    "(AvailableNow)") {
+    import spark.implicits._
+    val src = EventStream.readEvents(spark, sf)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStream.EvT]
+    val q = EventStream.attributeLastTouch(src)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("attr")
+      .groupBy("channel").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = SparkEntry.queries("q126_attribution")(spark, sf)
+      .select("channel", "n_purchases").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.values.sum > 0)
+  }
+
   test("stream-stream interval join == batch q26 range join " +
     "(AvailableNow, append)") {
     val q = EventStream.errorPairs(
