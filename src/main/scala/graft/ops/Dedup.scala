@@ -365,7 +365,7 @@ object Dedup {
   }
 
   /** Oracle twin of [[jaccardPairs]] as a `pairs` CTE chain. */
-  private def jaccardPairsDuckCte(threshold: Double): String =
+  private[ops] def jaccardPairsDuckCte(threshold: Double): String =
     s"""$shingledDuckCte,
       sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1272,8 +1272,59 @@ object Events {
         OR rn = ceil(n * 0.99)
       GROUP BY n, su"""))
 
+  // ---------- q137: time-decayed popularity ----------------------------
+
+  /** Exponentially recency-weighted activity per event type
+    * (half-life-style decay, τ = 30 days against the corpus's max
+    * day) beside the raw count — the feature-engineering staple for
+    * ranking/trending signals, where yesterday's burst must outrank
+    * last quarter's steady drip. Determinism contract for exp(): like
+    * the ln() rule (q96/q103), the libm call is evaluated once per
+    * DISTINCT AGE (≤ day-range rows, not per event) on an identical
+    * double input (exact int age / 30.0) and pinned to integer
+    * nano-units; each type's decayed score is then the exact int64
+    * sum of count·unit products, scaled back once. Shape: one
+    * (type, day) aggregate with map-side partials (≤ types·days
+    * cells), the 1-row max-day broadcast, weights computed on the
+    * tiny cell table — the corpus is scanned once, nothing wide
+    * shuffles.
+    */
+  private val q137 = QueryDef(
+    "q137_decayed_popularity",
+    (s, dir) => {
+      val byDay = ev(s, dir)
+        .select(col("event_type"),
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+            " div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      val span = byDay.agg(max(col("day")).as("dmax"))
+      byDay.crossJoin(broadcast(span))
+        .withColumn("wu", round(
+          exp((col("day") - col("dmax")).cast("double") / lit(30.0))
+            * lit(1e9)).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n_events"),
+          sum(col("c") * col("wu")).as("su"))
+        .select(col("event_type"), col("n_events"),
+          (col("su").cast("double") / lit(1e9)).as("decayed_score"),
+          (col("su").cast("double") / lit(1e9) / col("n_events"))
+            .as("recency_ratio"))
+        .orderBy("event_type")
+    },
+    Some("""WITH byday AS (SELECT event_type,
+          epoch_us(ts) // 86400000000 AS day, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      span AS (SELECT max(day) AS dmax FROM byday),
+      w AS (SELECT event_type, c,
+          round(exp((day - dmax)::DOUBLE / 30.0) * 1e9)::BIGINT AS wu
+        FROM byday, span)
+      SELECT event_type, sum(c)::BIGINT AS n_events,
+        sum(c * wu)::DOUBLE / 1e9 AS decayed_score,
+        sum(c * wu)::DOUBLE / 1e9 / sum(c) AS recency_ratio
+      FROM w GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
-      q128, q129)
+      q128, q129, q137)
 }

@@ -504,6 +504,165 @@ object Quality {
         sum(u)::DOUBLE / 1e9 AS js_divergence
       FROM units GROUP BY source ORDER BY source"""))
 
+  // ---------- q138: cross-language quality calibration ------------------
+
+  /** Rank-normalized quality: each document's quality score replaced by
+    * its percentile WITHIN ITS LANGUAGE — the calibration step that
+    * makes one global quality threshold meaningful across languages
+    * (raw q14 scores skew by language structure — stopword lists and
+    * length norms bite differently — so a global cut silently filters
+    * some languages harder; rank-normalizing makes "keep top 60 %"
+    * mean the same thing everywhere). The percentile is the explicit
+    * (rank−1)/(n−1) formula under a (quality, doc_id) total order —
+    * written out rather than the engines' percent_rank() builtins, so
+    * the n = 1 edge is pinned by the same CASE on both sides; one
+    * exact int division per row, rounded 12. Shape: one window sort
+    * per language partition (the q64 note: shards sort independently,
+    * no global order), output is per-doc.
+    */
+  private val q138 = QueryDef(
+    "q138_quality_calibration",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop",
+          expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"))
+        .select(col("doc_id"), col("lang"),
+          (lit(0.3) * (size(array_distinct(col("toks"))).cast("double")
+              / col("n_tokens"))
+            + lit(0.2) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.2) * (lit(1.0)
+              - length(regexp_replace(col("text"), "[a-z ]", ""))
+                .cast("double") / length(col("text")))
+            + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
+              lit(1.0))).as("quality"))
+      val w = Window.partitionBy(col("lang"))
+      scored
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("quality"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("doc_id"), col("lang"), col("quality"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise(round((col("rn") - 1).cast("double")
+              / (col("n") - 1).cast("double"), 12)).as("cal_rank"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH scored AS (SELECT doc_id, lang,
+          0.3 * (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0 - cast(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0
+            - cast(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+              / length(text))
+          + 0.3 * least(cast(len(string_split(text, ' ')) AS DOUBLE) / 50.0,
+            1.0) AS quality
+        FROM documents),
+      ranked AS (SELECT doc_id, lang, quality,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY quality, doc_id) AS rn,
+          count(*) OVER (PARTITION BY lang) AS n
+        FROM scored)
+      SELECT doc_id, lang, quality,
+        CASE WHEN n = 1 THEN 0.0
+          ELSE round((rn - 1)::DOUBLE / (n - 1)::DOUBLE, 12) END
+          AS cal_rank
+      FROM ranked ORDER BY doc_id"""))
+
+  // ---------- q139: corpus datasheet -----------------------------------
+
+  /** The one-row corpus summary a dataset card leads with: volume
+    * (docs, tokens), diversity (languages, sources), duplication (docs
+    * in ≥ 0.8-Jaccard clusters, clusters, removable docs under any
+    * keep-one policy), and central quality — every number pulled from
+    * subplans other registry queries already materialize (PlanCache'd
+    * cc labels; one token/quality corpus pass), composed as 1-row
+    * aggregates crossJoined together. Mean quality is pinned to
+    * integer micro-units before the sum (q112's rule); every other
+    * field is an exact count. The point of the operator is the
+    * composition: the datasheet costs one corpus pass plus
+    * already-shared materializations, so it can run per release at
+    * any scale.
+    */
+  private val q139 = QueryDef(
+    "q139_corpus_datasheet",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop",
+          expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens").cast("long").as("n_toks"),
+          (lit(0.3) * (size(array_distinct(col("toks"))).cast("double")
+              / col("n_tokens"))
+            + lit(0.2) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.2) * (lit(1.0)
+              - length(regexp_replace(col("text"), "[a-z ]", ""))
+                .cast("double") / length(col("text")))
+            + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
+              lit(1.0))).as("quality"))
+      val vol = base.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (sum(round(col("quality") * lit(1e6)).cast("long")).cast("double")
+          / lit(1e6) / count(lit(1))).as("mean_quality"))
+      val cc = Dedup.ccLabels(s, dir, 0.8)
+      val dup = cc.agg(count(lit(1)).as("n_clustered_docs"),
+        countDistinct(col("component")).as("n_clusters"),
+        sum(when(col("node") =!= col("component"), 1L).otherwise(0L))
+          .as("n_removable"))
+      vol.crossJoin(broadcast(dup))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_sources"), col("mean_quality"), col("n_clustered_docs"),
+          col("n_clusters"), col("n_removable"),
+          (col("n_removable").cast("double") / col("n_docs"))
+            .as("removable_share"))
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.jaccardPairsDuckCte(0.8)},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, l) AS (
+        SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(l) AS component
+        FROM reach GROUP BY u),
+      dup AS (SELECT count(*) AS n_clustered_docs,
+          count(DISTINCT component) AS n_clusters,
+          sum(CASE WHEN doc_id <> component THEN 1 ELSE 0 END)
+            AS n_removable
+        FROM comp),
+      scored AS (SELECT doc_id, lang, source,
+          len(string_split(text, ' '))::BIGINT AS n_toks,
+          0.3 * (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0 - cast(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0
+            - cast(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+              / length(text))
+          + 0.3 * least(cast(len(string_split(text, ' ')) AS DOUBLE) / 50.0,
+            1.0) AS quality
+        FROM documents),
+      vol AS (SELECT count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+          count(DISTINCT lang) AS n_langs,
+          count(DISTINCT source) AS n_sources,
+          sum(round(quality * 1e6)::BIGINT)::DOUBLE / 1e6 / count(*)
+            AS mean_quality
+        FROM scored)
+      SELECT n_docs::BIGINT AS n_docs, n_tokens,
+        n_langs::BIGINT AS n_langs, n_sources::BIGINT AS n_sources,
+        mean_quality, n_clustered_docs::BIGINT AS n_clustered_docs,
+        n_clusters::BIGINT AS n_clusters, n_removable::BIGINT AS n_removable,
+        n_removable::DOUBLE / n_docs AS removable_share
+      FROM vol, dup"""))
+
   val all: Seq[QueryDef] =
-    Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125)
+    Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139)
 }
