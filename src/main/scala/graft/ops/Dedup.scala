@@ -1544,7 +1544,56 @@ object Dedup {
           AS mean_jaccard
       FROM cells GROUP BY 1, 2 ORDER BY source_x, source_y"""))
 
+  // ---------- q140: incremental component labeling ----------------------
+
+  /** q49's cluster labels maintained INCREMENTALLY: the standing
+    * corpus (doc_id % 10 ≥ 2, q104's split) is labeled once, then the
+    * arriving batch's edges — new×old from the standing index (q104's
+    * join) plus new×new within the batch — are merged by running the
+    * SAME min-label propagation over the old labeling's STAR EDGES
+    * (node → component: connectivity-preserving, one edge per old
+    * node) unioned with the new edges. Propagation cost is bounded by
+    * |old nodes| + |new edges| — the old PAIR GRAPH (the expensive
+    * part at 100 TB) is never revisited, and the star graph's
+    * diameter ≤ 2 keeps rounds minimal. The oracle recomputes the
+    * closure over ALL pairs from scratch: agreement proves
+    * merge ≡ recompute (the q70 contract, for graph state). Output =
+    * q49's exact labeling, so the equivalence is checked row-for-row
+    * by the gate itself.
+    */
+  private val q140 = QueryDef(
+    "q140_incremental_components",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = jaccardPairs(s, dir, 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val oldPairs = pairs
+        .where(col("doc_a") % 10 >= 2 && col("doc_b") % 10 >= 2)
+      val newEdges = pairs
+        .where(col("doc_a") % 10 < 2 || col("doc_b") % 10 < 2)
+      val oldLabels = connectedComponents(oldPairs)
+      val starEdges = oldLabels
+        .select(col("node").as("doc_a"), col("component").as("doc_b"))
+      connectedComponents(starEdges.unionAll(newEdges))
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsDuckCte(0.8)},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, l) AS (
+        SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(l) AS cluster_id
+        FROM reach GROUP BY u)
+      SELECT doc_id, cluster_id,
+        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM comp ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
-      q90, q92, q93, q104, q111, q115, q118, q120, q122, q124)
+      q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140)
 }

@@ -107,4 +107,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin [pos"),
       s"fact side must not sort-merge on pos:\n$plan")
   }
+
+  test("q117 rolling distinct users expands memberships map-side: " +
+    "no join anywhere in the WAU plan branch") {
+    val df = SparkEntry.queries("q117_rolling_distinct_users")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only join allowed is the final |days|-row wau⟕dau stitch and
+    // the 1-row span broadcast; the membership fan-out itself must be
+    // a generator (explode of sequence), never a spine×users join
+    assert(plan.contains("Generate explode"),
+      s"membership expansion should be a map-side explode:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join should appear at any size:\n$plan")
+  }
+
+  test("q132 pushes all three range predicates into the parquet scan " +
+    "and prunes to four columns") {
+    val df = SparkEntry.queries("q132_filter_scan_revenue")(spark, sf)
+    val scan = df.queryExecution.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .head.toString
+    assert(scan.contains("PushedFilters:") && scan.contains("l_shipdate")
+      && scan.contains("GreaterThanOrEqual"), s"shipdate range not pushed:\n$scan")
+    assert(scan.contains("l_discount") && scan.contains("l_quantity"),
+      s"discount/quantity predicates not pushed:\n$scan")
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .foreach(c => assert(scan.contains(c), s"$c missing from scan:\n$scan"))
+    assert(!scan.contains("l_comment") && !scan.contains("l_partkey"),
+      s"scan should prune unused columns:\n$scan")
+  }
 }
