@@ -1323,8 +1323,201 @@ object Events {
         sum(c * wu)::DOUBLE / 1e9 / sum(c) AS recency_ratio
       FROM w GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------- q141: conversion-lag percentiles --------------------------
+
+  /** How long conversion takes: per user, the lag from FIRST view to
+    * the first purchase AT OR AFTER it, summarized as p50/p90/p99 +
+    * mean — the time-to-convert distribution that prices retargeting
+    * windows (q53's funnel counts who converts; this measures how
+    * fast). Lags are exact µs differences of two per-user min
+    * aggregates (no event×event join — the earliest-qualifying
+    * purchase is min(purchase_ts ≥ first_view_ts) inside ONE
+    * conditional aggregate pass); percentiles are q67 selection under
+    * a (lag, user) total order; mean is an exact sum with one
+    * division. Shape: one user_id-keyed aggregate (map-side
+    * combined), then a |converters|-sized sort window.
+    */
+  private val q141 = QueryDef(
+    "q141_conversion_lag",
+    (s, dir) => {
+      val base = ev(s, dir)
+        .where(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            .as("us"))
+      val perUser = base.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("us"))).as("v0"))
+      val lag = base.where(col("event_type") === "purchase")
+        .join(perUser, "user_id")
+        .where(col("v0").isNotNull && col("us") >= col("v0"))
+        .groupBy(col("user_id"), col("v0"))
+        .agg(min(col("us")).as("p0"))
+        .select(col("user_id"), (col("p0") - col("v0")).as("lag_us"))
+      val ranked = lag.withColumn("rn", row_number().over(
+        Window.orderBy(col("lag_us"), col("user_id"))))
+      val n = lag.agg(count(lit(1)).as("n"), sum(col("lag_us")).as("su"))
+      ranked.crossJoin(broadcast(n))
+        .where(col("rn") === ceil(col("n") * lit(0.5))
+          || col("rn") === ceil(col("n") * lit(0.9))
+          || col("rn") === ceil(col("n") * lit(0.99)))
+        .groupBy(col("n"), col("su"))
+        .agg(
+          min(when(col("rn") === ceil(col("n") * lit(0.5)), col("lag_us")))
+            .as("p50_us"),
+          min(when(col("rn") === ceil(col("n") * lit(0.9)), col("lag_us")))
+            .as("p90_us"),
+          min(when(col("rn") === ceil(col("n") * lit(0.99)), col("lag_us")))
+            .as("p99_us"))
+        .select(col("n").as("n_converters"), col("p50_us"), col("p90_us"),
+          col("p99_us"),
+          (col("su").cast("double") / col("n")).as("mean_us"))
+    },
+    Some("""WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        FROM events WHERE event_type IN ('view', 'purchase')),
+      v AS (SELECT user_id,
+          min(CASE WHEN event_type = 'view' THEN us END) AS v0
+        FROM base GROUP BY 1),
+      lag AS (SELECT b.user_id, min(us) - v0 AS lag_us
+        FROM base b JOIN v ON v.user_id = b.user_id
+        WHERE event_type = 'purchase' AND v0 IS NOT NULL AND us >= v0
+        GROUP BY b.user_id, v0),
+      ranked AS (SELECT lag_us, row_number() OVER (
+          ORDER BY lag_us, user_id) AS rn FROM lag),
+      n AS (SELECT count(*) AS n, sum(lag_us)::BIGINT AS su FROM lag)
+      SELECT n::BIGINT AS n_converters,
+        min(CASE WHEN rn = ceil(n * 0.5) THEN lag_us END)::BIGINT AS p50_us,
+        min(CASE WHEN rn = ceil(n * 0.9) THEN lag_us END)::BIGINT AS p90_us,
+        min(CASE WHEN rn = ceil(n * 0.99) THEN lag_us END)::BIGINT AS p99_us,
+        su::DOUBLE / n AS mean_us
+      FROM ranked, n
+      WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.9) OR rn = ceil(n * 0.99)
+      GROUP BY n, su"""))
+
+  // ---------- q142: lag-1 autocorrelation of daily volumes --------------
+
+  /** First-order autocorrelation of the daily event-count series, per
+    * type — the "is today predicted by yesterday" number behind
+    * trend/seasonality decisions and anomaly thresholds (a series with
+    * r₁ ≈ 0 justifies q58's independent z-scores; r₁ near 1 demands
+    * the rolling baselines of q68). Built on the day spine so GAPS ARE
+    * ZEROS (a lag over observed-days-only silently skips missing days
+    * and biases r₁ upward — the q59 gap-fill lesson applied to
+    * autocorrelation); pairs are (day, day−1) via one lag window per
+    * type; the Pearson arithmetic is q75's exact-moment contract over
+    * int64 counts, rounded 12. Shape: events collapse to ≤ types·days
+    * cells, everything after is spine-sized.
+    */
+  private val q142 = QueryDef(
+    "q142_autocorrelation",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val byDay = ev(s, dir)
+        .select(col("event_type"),
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+            " div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      val span = byDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = byDay.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1)")).as("day"))
+      val filled = spine.join(byDay, Seq("event_type", "day"), "left_outer")
+        .select(col("event_type"), col("day"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val pairs = filled
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .where(col("prev").isNotNull)
+      def d(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 0))
+      pairs
+        .select(col("event_type"), d(col("c")).as("x"), d(col("prev")).as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .selectExpr("event_type", "n",
+          "round((cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - " +
+            "cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) / " +
+            "nullif(sqrt(cast(n AS DOUBLE) * cast(sxx AS DOUBLE) - " +
+            "cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) * " +
+            "sqrt(cast(n AS DOUBLE) * cast(syy AS DOUBLE) - " +
+            "cast(sy AS DOUBLE) * cast(sy AS DOUBLE)), cast(0 AS DOUBLE)), " +
+            "12) AS r1")
+        .orderBy("event_type")
+    },
+    Some("""WITH byday AS (SELECT event_type,
+          epoch_us(ts) // 86400000000 AS day, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM byday),
+      spine AS (SELECT event_type, day
+        FROM (SELECT DISTINCT event_type FROM byday), span,
+          unnest(generate_series(d0, d1)) AS t(day)),
+      filled AS (SELECT spine.event_type, spine.day,
+          coalesce(c, 0) AS c
+        FROM spine LEFT JOIN byday ON byday.event_type = spine.event_type
+          AND byday.day = spine.day),
+      pairs AS (SELECT event_type,
+          cast(c AS DECIMAL(18,0)) AS x,
+          cast(lag(c) OVER (PARTITION BY event_type ORDER BY day)
+            AS DECIMAL(18,0)) AS y
+        FROM filled),
+      m AS (SELECT event_type, count(*)::BIGINT AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+          sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pairs WHERE y IS NOT NULL GROUP BY 1)
+      SELECT event_type, n,
+        round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          / nullif(sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE),
+            0::DOUBLE), 12) AS r1
+      FROM m ORDER BY event_type"""))
+
+  // ---------- q143: seasonality profile ---------------------------------
+
+  /** Hour-of-day × day-of-week activity heat table with each cell's
+    * share of its event type — the load-shape profile behind capacity
+    * planning, anomaly baselines (q58's z-scores per cell, not
+    * globally), and bot detection (human traffic has a diurnal shape;
+    * scripted traffic is flat). Hour and weekday are integer
+    * arithmetic on epoch days/µs (1970-01-01 was a Thursday — the +4
+    * mod 7 pins Monday = 0 identically on both engines; calendar
+    * EXTRACT functions vary across engines and sessions). Exact
+    * counts, one share division per cell. Shape: one corpus pass into
+    * ≤ types·168 cells, map-side combined.
+    */
+  private val q143 = QueryDef(
+    "q143_seasonality",
+    (s, dir) => {
+      val cells = ev(s, dir)
+        .select(col("event_type"),
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            .as("us"))
+        .select(col("event_type"),
+          expr("(us div 3600000000) % 24").as("hour"),
+          expr("((us div 86400000000) + 4) % 7").as("weekday"))
+        .groupBy(col("event_type"), col("weekday"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy(col("event_type")).agg(sum(col("n")).as("t"))
+      cells.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("weekday"), col("hour"), col("n"),
+          (col("n").cast("double") / col("t")).as("share"))
+        .orderBy("event_type", "weekday", "hour")
+    },
+    Some("""WITH cells AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) % 24 AS hour,
+          ((epoch_us(ts) // 86400000000) + 4) % 7 AS weekday,
+          count(*) AS n
+        FROM events GROUP BY 1, 2, 3),
+      tot AS (SELECT event_type, sum(n) AS t FROM cells GROUP BY 1)
+      SELECT cells.event_type AS event_type, weekday, hour, n::BIGINT AS n,
+        n::DOUBLE / t AS share
+      FROM cells JOIN tot ON tot.event_type = cells.event_type
+      ORDER BY cells.event_type, weekday, hour"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
-      q128, q129, q137)
+      q128, q129, q137, q141, q142, q143)
 }
