@@ -210,18 +210,25 @@ object Multimodal {
     * (source, hash) aggregate — shuffle carries 8-byte hashes, the
     * payload never moves; savings is one exact int division.
     */
+  /** Per-payload fixed 64-byte block hashes (doc_id, source, h) —
+    * shared by q131 (storage dedup ratio) and q144 (block-minhash
+    * signatures); one substring+md5 pass per run via PlanCache.
+    */
+  private def blockHashes(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "blocks")(
+      Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          explode(expr(
+            "sequence(0, cast(ceil(length(text) / 64.0) AS INT) - 1)"))
+            .as("i"))
+        .select(col("doc_id"), col("source"),
+          expr(graft.ops.Portable.h32Spark(
+            "substring(text, i * 64 + 1, 64)")).as("h")))
+
   private val q131 = QueryDef(
     "q131_block_dedup",
     (s, dir) => {
-      val Blk = 64
-      Fixtures.table(s, dir, "documents")
-        .select(col("source"), col("text"),
-          explode(expr(
-            s"sequence(0, cast(ceil(length(text) / $Blk.0) AS INT) - 1)"))
-            .as("i"))
-        .select(col("source"),
-          expr(graft.ops.Portable.h32Spark(
-            s"substring(text, i * $Blk + 1, $Blk)")).as("h"))
+      blockHashes(s, dir)
         .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
         .groupBy(col("source"))
         .agg(sum(col("c")).as("n_blocks"), count(lit(1)).as("n_distinct"))
@@ -241,7 +248,61 @@ object Multimodal {
         1.0 - count(*)::DOUBLE / sum(c) AS dup_block_share
       FROM per GROUP BY source ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(q29, q52, q96, q131)
+  // ---------- q144: payload block-minhash signature ---------------------
+
+  /** A 4-way MinHash signature over each payload's BLOCK hashes — the
+    * binary-modality twin of q19's text SimHash: equal signatures mark
+    * payload-level near-duplicate candidates (re-encoded or
+    * tail-padded copies that exact md5 (q17) misses and text shingles
+    * never see), at a per-payload state cost of 4 int64s regardless
+    * of payload size. Minhashes are (aᵢ·h + bᵢ) mod P universal
+    * hashes over the SHARED block table (one substring+md5 pass per
+    * run, PlanCache'd with q131); the published signature folds the 4
+    * mins into one int64 with the shingle-combine constants; n_same
+    * counts signature collisions corpus-wide (the candidate-group
+    * size — exact verify is downstream's job, q18's contract).
+    * Shape: one (doc, i) min-aggregate with map-side partials, one
+    * window over the |docs|-sized signature table.
+    */
+  private val q144 = QueryDef(
+    "q144_block_minhash",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = 2147483647L
+      val A = Seq(1117L, 2971L, 3343L, 577L)
+      val B = Seq(407L, 2011L, 89L, 1777L)
+      val minAggs = A.indices.map(i =>
+        min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
+      val mins = blockHashes(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(minAggs.head, minAggs.tail: _*)
+      mins
+        .select(col("doc_id"),
+          ((col("m0") * 1000003L + col("m1") * 999983L
+            + col("m2") * 31L + col("m3")) % P).as("sig"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("sig"))))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH blocks AS (SELECT doc_id,
+          ${graft.ops.Portable.h32Duck("substring(text, i * 64 + 1, 64)")}
+            AS h
+        FROM documents,
+          unnest(range(ceil(length(text) / 64.0)::BIGINT)) AS t(i)),
+      mins AS (SELECT doc_id,
+          min((h * 1117 + 407) % 2147483647) AS m0,
+          min((h * 2971 + 2011) % 2147483647) AS m1,
+          min((h * 3343 + 89) % 2147483647) AS m2,
+          min((h * 577 + 1777) % 2147483647) AS m3
+        FROM blocks GROUP BY doc_id),
+      sigs AS (SELECT doc_id,
+          (m0 * 1000003 + m1 * 999983 + m2 * 31 + m3) % 2147483647 AS sig
+        FROM mins)
+      SELECT doc_id, sig,
+        count(*) OVER (PARTITION BY sig) AS n_same
+      FROM sigs ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(q29, q52, q96, q131, q144)
 }
 
 /** Per-frame features (the frame-sampling stub's output row). */

@@ -554,6 +554,68 @@ object TextOps {
       FROM toks LEFT JOIN vocab USING (w1)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------- q145: language keyness (distinctive terms) ----------------
+
+  /** The 3 most OVER-represented terms per language: keyness lift =
+    * (term's in-language share) / (term's corpus share) — the
+    * vocabulary fingerprint q15's language-ID heuristic rests on, and
+    * the drift check for it (a language whose key terms stop being
+    * stopword-like says the lang labels or the corpus changed). A
+    * min-count floor (≥ 5 in-language occurrences) keeps singletons
+    * from dominating the lift ranking — the standard keyness guard.
+    * Lift is one exact-int expression evaluated identically both
+    * sides ((c·N)/(T·n) as a single double division); ranking is
+    * (lift DESC, term) per language. Shape: one (lang, term) corpus
+    * aggregate ⋈ the PlanCache'd unigram table on the term key, a
+    * per-language window over the vocab-sized table, 3·|langs| rows
+    * out.
+    */
+  private val q145 = QueryDef(
+    "q145_lang_keyness",
+    (s, dir) => {
+      import graft.ops.PlanCache
+      val lcounts = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w1"))
+        .groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c"))
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
+        toks.groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      val nTot = uni.agg(sum(col("n")).as("nn"))
+      val lTot = lcounts.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("lift").desc, col("w1"))
+      lcounts.where(col("c") >= 5)
+        .join(uni, "w1")
+        .join(lTot, "lang")
+        .crossJoin(broadcast(nTot))
+        .select(col("lang"), col("w1"), col("c"),
+          ((col("c") * col("nn")).cast("double")
+            / (col("t") * col("n")).cast("double")).as("lift"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("lang"), col("rnk"), col("w1"), col("c"), col("lift"))
+        .orderBy("lang", "rnk")
+    },
+    Some("""WITH ltoks AS (SELECT lang,
+          unnest(string_split(text, ' ')) AS w1 FROM documents),
+      lcounts AS (SELECT lang, w1, count(*) AS c FROM ltoks GROUP BY 1, 2),
+      uni AS (SELECT w1, count(*) AS n FROM ltoks GROUP BY 1),
+      ntot AS (SELECT sum(n)::BIGINT AS nn FROM uni),
+      ltot AS (SELECT lang, sum(c)::BIGINT AS t FROM lcounts GROUP BY 1),
+      lifted AS (SELECT lcounts.lang, lcounts.w1, c,
+          (c * nn)::DOUBLE / (t * n)::DOUBLE AS lift
+        FROM lcounts
+        JOIN uni ON uni.w1 = lcounts.w1
+        JOIN ltot ON ltot.lang = lcounts.lang, ntot
+        WHERE c >= 5),
+      ranked AS (SELECT lang, w1, c, lift, row_number() OVER (
+          PARTITION BY lang ORDER BY lift DESC, w1) AS rnk
+        FROM lifted)
+      SELECT lang, rnk, w1, c::BIGINT AS c, lift FROM ranked
+      WHERE rnk <= 3 ORDER BY lang, rnk"""))
+
   val all: Seq[QueryDef] =
-    Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133)
+    Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145)
 }
