@@ -860,7 +860,58 @@ object Analytics {
       FROM cdf, tot
       ORDER BY abs(ca * n_cur - cb * n_ref) DESC, value LIMIT 1"""))
 
+  // ---------- q147: lognormal parameter fit ----------------------------
+
+  /** Per-priority lognormal fit of order value: μ and σ of ln(price)
+    * from exact moment sums — the distribution-parameter estimate that
+    * turns a heavy-tailed money/latency column into two numbers a
+    * monitoring bound can be derived from (the z-score machinery of
+    * q58 applied in LOG space, where multiplicative data is actually
+    * normal; fitting the raw values instead lets the tail own the
+    * variance). Per-row ln is pinned to integer nano-units the moment
+    * it is computed (same-input libm calls can differ in the last ulp
+    * ACROSS engines; whole-number rounding of the same double kills
+    * that — the q105 rule) at MICRO-unit scale (u² in nano-units
+    * overflows int64 before the sum even starts), the squared-moment
+    * sum is carried in DECIMAL(38,0) (exact at any corpus size), and
+    * μ, σ come out of one identical expression chain rounded to 12.
+    * Shape: one map-side-combined aggregate into |priorities| rows.
+    */
+  private val q147 = QueryDef(
+    "q147_lognormal_fit",
+    (s, dir) => {
+      val u = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          round(log(col("o_totalprice").cast("double")) * lit(1e6))
+            .cast("long").as("u"))
+      u.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("u")).as("su"),
+          sum((col("u") * col("u")).cast(DecimalType(38, 0))).as("su2"))
+        .select(col("o_orderpriority"), col("n"),
+          round(col("su").cast("double") / lit(1e6) / col("n"), 12)
+            .as("mu"),
+          round(
+            sqrt(col("su2").cast("double") / lit(1e12) / col("n")
+              - (col("su").cast("double") / lit(1e6) / col("n"))
+                * (col("su").cast("double") / lit(1e6) / col("n"))), 12)
+            .as("sigma"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH u AS (SELECT o_orderpriority,
+          round(ln(o_totalprice::DOUBLE) * 1e6)::BIGINT AS u
+        FROM orders),
+      m AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+          sum(u)::BIGINT AS su,
+          sum(cast(u * u AS DECIMAL(38,0))) AS su2
+        FROM u GROUP BY 1)
+      SELECT o_orderpriority, n,
+        round(su::DOUBLE / 1e6 / n, 12) AS mu,
+        round(sqrt(su2::DOUBLE / 1e12 / n
+          - (su::DOUBLE / 1e6 / n) * (su::DOUBLE / 1e6 / n)), 12)
+          AS sigma
+      FROM m ORDER BY o_orderpriority"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
-      q77, q88, q89, q94, q105, q114)
+      q77, q88, q89, q94, q105, q114, q147)
 }

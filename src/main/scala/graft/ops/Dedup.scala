@@ -1597,7 +1597,61 @@ object Dedup {
         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM comp ORDER BY doc_id"""))
 
+  // ---------- q146: source ablation of duplication mass -----------------
+
+  /** What dropping each source would do to the near-dup pair count —
+    * the ablation view q124's matrix implies but doesn't state: a
+    * pair dies if EITHER endpoint's source is removed, so each
+    * source's `pairs_touched` (pairs with ≥ 1 endpoint in it,
+    * counted once even when both endpoints share the source) is the
+    * dedup work that source brings in, and `share` ranks the
+    * worst offenders for source-level exclusion BEFORE paying for
+    * pair-level dedup. Endpoint sources come from two broadcast-able
+    * joins; a both-endpoints-same-source pair contributes 1 (distinct
+    * (pair, source) before the count); exact ints, one division.
+    * Shape: bounded by |pairs| — corpus appears only through the
+    * cached pair machinery.
+    */
+  private val q146 = QueryDef(
+    "q146_source_ablation",
+    (s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      val pairs = jaccardPairs(s, dir, 0.8)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          "doc_b")
+      val tot = pairs.agg(count(lit(1)).as("n_pairs_total"))
+      pairs
+        .select(col("doc_a"), col("doc_b"),
+          explode(array_distinct(array(col("sa"), col("sb"))))
+            .as("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("pairs_touched"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("pairs_touched"), col("n_pairs_total"),
+          (col("pairs_touched").cast("double") / col("n_pairs_total"))
+            .as("share"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${jaccardPairsDuckCte(0.8)},
+      src AS (SELECT doc_id, source FROM documents),
+      ends AS (SELECT doc_a, doc_b, a.source AS sa, b.source AS sb
+        FROM pairs
+        JOIN src a ON a.doc_id = doc_a
+        JOIN src b ON b.doc_id = doc_b),
+      tot AS (SELECT count(*) AS n_pairs_total FROM ends),
+      touched AS (SELECT DISTINCT doc_a, doc_b, source
+        FROM (SELECT doc_a, doc_b, sa AS source FROM ends
+          UNION ALL SELECT doc_a, doc_b, sb FROM ends))
+      SELECT source, count(*)::BIGINT AS pairs_touched,
+        n_pairs_total::BIGINT AS n_pairs_total,
+        count(*)::DOUBLE / n_pairs_total AS share
+      FROM touched, tot GROUP BY source, n_pairs_total
+      ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
-      q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140)
+      q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
+      q146)
 }
