@@ -1650,8 +1650,70 @@ object Dedup {
       FROM touched, tot GROUP BY source, n_pairs_total
       ORDER BY source"""))
 
+  // ---------- q148: template detection (shared prefixes) -----------------
+
+  /** Documents opening with the SAME first 128 characters, grouped —
+    * the boilerplate-header detector: generated pages, license
+    * preambles, and scraped templates share exact prefixes long
+    * before whole-document similarity fires, and the fix (strip the
+    * template, keep the bodies) is different from dedup's keep-one.
+    * One md5 per prefix (never the whole doc), one 16-byte-key
+    * shuffle — q17's exact-dedup shape applied to a prefix window;
+    * groups below 2 docs are dropped, remaining groups report span
+    * and an example doc for triage. Short docs (< 128 chars) hash
+    * their full text — they simply form their own groups.
+    */
+  private val q148 = QueryDef(
+    "q148_template_prefixes",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(substring(col("text"), 1, 128)).as("prefix_key"))
+        .groupBy(col("prefix_key"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .where(col("n_docs") >= 2)
+        .orderBy("prefix_key")
+    },
+    Some("""SELECT md5(substring(text, 1, 128)) AS prefix_key,
+        count(*)::BIGINT AS n_docs,
+        min(doc_id) AS example_doc, max(doc_id) AS last_doc
+      FROM documents
+      GROUP BY 1 HAVING count(*) >= 2
+      ORDER BY prefix_key"""))
+
+  // ---------- q150: dedup threshold sensitivity --------------------------
+
+  /** Near-dup pair counts at τ ∈ {0.7, 0.8, 0.9} from ONE candidate
+    * pass — the threshold-tuning evidence behind every q20-family
+    * parameter choice: how fast does the pair set grow as the bar
+    * drops (a cliff between 0.8 and 0.7 means the corpus has a
+    * near-miss band that MinHash banding parameters must respect).
+    * The pair scores are computed once at the loosest threshold;
+    * the three counts are conditional aggregates over that single
+    * result — no per-threshold recomputation, which is the entire
+    * point of publishing it as one operator. Exact counts; 1 row.
+    */
+  private val q150 = QueryDef(
+    "q150_threshold_sensitivity",
+    (s, dir) => {
+      jaccardPairs(s, dir, 0.7)
+        .agg(count(lit(1)).as("pairs_at_07"),
+          sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L))
+            .as("pairs_at_08"),
+          sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L))
+            .as("pairs_at_09"))
+    },
+    Some(s"""WITH ${jaccardPairsDuckCte(0.7)}
+      SELECT count(*)::BIGINT AS pairs_at_07,
+        sum(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END)::BIGINT
+          AS pairs_at_08,
+        sum(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END)::BIGINT
+          AS pairs_at_09
+      FROM pairs"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
-      q146)
+      q146, q148, q150)
 }

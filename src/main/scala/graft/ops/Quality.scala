@@ -663,6 +663,82 @@ object Quality {
         n_removable::DOUBLE / n_docs AS removable_share
       FROM vol, dup"""))
 
+  // ---------- q149: quality-ordered token budget curve -------------------
+
+  /** "If we keep only the best X % of documents, how many training
+    * tokens do we get?" — the curation planning curve, as quality
+    * deciles (ntile(10) under a (quality DESC, doc_id) total order —
+    * decile 1 = best) with per-decile and CUMULATIVE token counts and
+    * the cumulative share of the corpus budget. This is the table a
+    * data lead reads to set the q138-calibrated cut: the knee where
+    * cumulative tokens flatten is where stricter filtering stops
+    * costing budget. Quality is q14's exact chain; token counts exact
+    * int64; the running sum is a 10-row window; shares are one
+    * division per row. Shape: one corpus pass, one global sort window
+    * (at 100 TB: the two-pass quantile-boundary broadcast, q91's
+    * note), then 10-row arithmetic.
+    */
+  private val q149 = QueryDef(
+    "q149_quality_budget_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop",
+          expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_toks"),
+          (lit(0.3) * (size(array_distinct(col("toks"))).cast("double")
+              / col("n_tokens"))
+            + lit(0.2) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.2) * (lit(1.0)
+              - length(regexp_replace(col("text"), "[a-z ]", ""))
+                .cast("double") / length(col("text")))
+            + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
+              lit(1.0))).as("quality"))
+      val deciled = scored.withColumn("decile", ntile(10).over(
+          Window.orderBy(col("quality").desc, col("doc_id"))).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      val tot = deciled.agg(sum(col("n_tokens")).as("t"))
+      deciled
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_docs"), col("n_tokens"),
+          col("cum_tokens"),
+          (col("cum_tokens").cast("double") / col("t")).as("cum_share"))
+        .orderBy("decile")
+    },
+    Some("""WITH scored AS (SELECT doc_id,
+          len(string_split(text, ' '))::BIGINT AS n_toks,
+          0.3 * (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0 - cast(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0
+            - cast(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+              / length(text))
+          + 0.3 * least(cast(len(string_split(text, ' ')) AS DOUBLE) / 50.0,
+            1.0) AS quality
+        FROM documents),
+      deciled AS (SELECT ntile(10) OVER (ORDER BY quality DESC, doc_id)
+          AS decile, n_toks
+        FROM scored),
+      agg AS (SELECT decile, count(*) AS n_docs,
+          sum(n_toks)::BIGINT AS n_tokens
+        FROM deciled GROUP BY 1),
+      tot AS (SELECT sum(n_tokens)::BIGINT AS t FROM agg)
+      SELECT decile::BIGINT AS decile, n_docs::BIGINT AS n_docs, n_tokens,
+        (sum(n_tokens) OVER (ORDER BY decile
+          ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens,
+        (sum(n_tokens) OVER (ORDER BY decile
+          ROWS UNBOUNDED PRECEDING))::DOUBLE / t AS cum_share
+      FROM agg, tot ORDER BY decile"""))
+
   val all: Seq[QueryDef] =
-    Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139)
+    Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
+      q149)
 }
