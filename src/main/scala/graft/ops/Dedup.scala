@@ -1712,8 +1712,101 @@ object Dedup {
           AS pairs_at_09
       FROM pairs"""))
 
+  // ---------- q151: repeated cross-document spans ------------------------
+
+  /** The repeated 8-token windows themselves — the unit of removal in
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": duplicated SPANS, not whole
+    * documents, are what models memorize; the fix strips the span and
+    * keeps both documents). Complements the doc-level family: q120
+    * scores each doc's novelty, q148 catches shared prefixes only —
+    * this reports every 8-token window occurring in ≥ 2 documents,
+    * anywhere in the text, as a concrete strip-worklist (span, doc
+    * count, example docs). Shape: windows are built INSIDE the scan
+    * projection (one `transform` over the token array — no shuffle, no
+    * suffix array; the rolling-window hash table IS the distributed
+    * analogue of the suffix-array scan), de-duplicated per doc, then
+    * one group-by on the 16-byte md5 span key; `min(span)` rides the
+    * same map-side partial, so shuffle rows stay (16-byte key, span,
+    * int) triples bounded by distinct windows, never corpus bytes².
+    * Docs with < 8 tokens have no windows and drop out.
+    */
+  private val q151 = QueryDef(
+    "q151_repeated_spans",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("parts"))
+        .where(size(col("parts")) >= 8)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("parts")) - 7),
+            i => array_join(slice(col("parts"), i, lit(8)), " "))))
+            .as("span"))
+        .groupBy(md5(col("span")).as("span_key"))
+        .agg(min(col("span")).as("span"),
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .where(col("n_docs") >= 2)
+        .orderBy("span_key")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts
+        FROM documents),
+      spans AS (SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, len(parts) - 6),
+            i -> array_to_string(parts[i:i+7], ' ')))) AS span
+        FROM t WHERE len(parts) >= 8)
+      SELECT md5(span) AS span_key, min(span) AS span,
+        count(*)::BIGINT AS n_docs,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM spans GROUP BY 1 HAVING count(*) >= 2 ORDER BY span_key"""))
+
+  // ---------- q152: template strip (apply twin of q148) -----------------
+
+  /** The transform q148's detector implies: documents whose first 128
+    * characters are shared with ≥ 1 other document get that prefix
+    * stripped (the template is boilerplate; the BODY is the training
+    * signal), everything else passes through unchanged — detect →
+    * fix pairing, same as q20 → q39 for whole-doc dedup. Keeps every
+    * document (unlike dedup's keep-one): the output is the full
+    * corpus with before/after char counts, so the token savings are
+    * auditable per doc. Shape: re-derives q148's 16-byte prefix key,
+    * one group-by for group sizes, one equi-join back on the key —
+    * both shuffles carry the md5 key, never text (the text column
+    * stays on the probe side). Docs shorter than the 128-char
+    * template whose prefix still collides (exact dups of short docs)
+    * strip to empty — the dedup family, not this op, owns that case.
+    */
+  private val q152 = QueryDef(
+    "q152_template_strip",
+    (s, dir) => {
+      val pk = docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          md5(substring(col("text"), 1, 128)).as("k"))
+      val grp = pk.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      pk.join(grp, "k")
+        .select(col("doc_id"),
+          when(col("n") >= 2, ltrim(expr("substring(text, 129)")))
+            .otherwise(col("text")).as("text_out"),
+          (col("n") >= 2).as("was_stripped"),
+          length(col("text")).cast("long").as("n_chars_before"))
+        .withColumn("n_chars_after", length(col("text_out")).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pk AS (SELECT doc_id, text,
+          md5(substring(text, 1, 128)) AS k FROM documents),
+      grp AS (SELECT k, count(*) AS n FROM pk GROUP BY 1)
+      SELECT doc_id,
+        CASE WHEN n >= 2 THEN ltrim(substring(text, 129))
+          ELSE text END AS text_out,
+        n >= 2 AS was_stripped,
+        length(text)::BIGINT AS n_chars_before,
+        length(CASE WHEN n >= 2 THEN ltrim(substring(text, 129))
+          ELSE text END)::BIGINT AS n_chars_after
+      FROM pk JOIN grp USING (k) ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
-      q146, q148, q150)
+      q146, q148, q150, q151, q152)
 }

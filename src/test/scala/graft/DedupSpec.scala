@@ -80,4 +80,61 @@ class DedupSpec extends SparkSpec {
       "prefix-filtered candidates must recover every qualifying pair")
     assert(exact.nonEmpty)
   }
+
+  test("q151 repeated spans agree with an independent driver-side " +
+    "recomputation (span set, doc counts, example docs)") {
+    // independent formulation: Scala sliding windows over collected
+    // docs — none of the Spark-side transform/sequence/slice machinery
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val parts = r.getString(1).split(" ", -1) // keep trailing empties,
+        // matching Spark's split semantics
+        if (parts.length >= 8)
+          parts.sliding(8).map(w => (w.mkString(" "), r.getLong(0))).toSet
+        else Set.empty[(String, Long)]
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .collect { case (span, ids) if ids.length >= 2 =>
+        (span, ids.length.toLong, ids.min, ids.max)
+      }.toSet
+    val got = run("q151_repeated_spans").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+    // span_key really is md5(span), the map-side shuffle key
+    val md = run("q151_repeated_spans").collect().map { r =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(1).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (r.getString(0), d)
+    }
+    md.foreach { case (key, recomputed) => assert(key === recomputed) }
+  }
+
+  test("q150 threshold sensitivity is consistent with q20: the 0.8 " +
+    "count equals q20's pair count and counts are monotone in tau") {
+    val row = run("q150_threshold_sensitivity").collect().head
+    val (p07, p08, p09) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(p09 <= p08 && p08 <= p07, "pair counts must shrink as tau rises")
+    assert(p08 === run("q20_ngram_jaccard").count(),
+      "one-pass conditional count must match the dedicated 0.8 query")
+  }
+
+  test("q152 template strip applies exactly q148's detection and " +
+    "conserves char counts") {
+    val stripped = run("q152_template_strip").collect()
+    val nStripped = stripped.count(_.getBoolean(2))
+    val detected = run("q148_template_prefixes").collect()
+      .map(_.getLong(1)).sum // sum of group sizes = docs in a template
+    assert(nStripped.toLong === detected,
+      "every doc in a detected template group is stripped, no others")
+    stripped.foreach { r =>
+      val (before, after) = (r.getLong(3), r.getLong(4))
+      if (r.getBoolean(2))
+        assert(after <= math.max(0L, before - 128L),
+          s"doc ${r.getLong(0)}: strip must remove the 128-char template")
+      else assert(after === before)
+    }
+  }
 }
