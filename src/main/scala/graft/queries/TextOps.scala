@@ -616,6 +616,57 @@ object TextOps {
       SELECT lang, rnk, w1, c::BIGINT AS c, lift FROM ranked
       WHERE rnk <= 3 ORDER BY lang, rnk"""))
 
+  // ---------- q153: overlapping context-window chunking -----------------
+
+  /** Split every document into 32-token chunks on a 24-token stride
+    * (8-token overlap) — the other half of context-window prep: q64
+    * PACKS short documents up to the window, this SPLITS long ones
+    * down to it, and real pipelines run both. The overlap is the
+    * standard continuity margin so no sentence is ever seen only cut
+    * in half. Contract: chunk starts at every stride position ≤ the
+    * doc's token count (the tail chunk may be short — downstream
+    * packing handles it; a doc shorter than one window is exactly its
+    * own single chunk), chunk_idx = (start−1) div stride, and the
+    * chunk's identity is the md5 of its token slice, so the output
+    * stays (ids, ints, 16-byte key) — chunk TEXT never leaves the
+    * executor. Shape: explode of a per-row `sequence` of starts, then
+    * a pure projection slicing the already-split token array — no
+    * shuffle at all except the output sort; at 100 TB this is scan-
+    * bound exactly like q13.
+    */
+  private val ChunkLen = 32
+  private val ChunkStride = 24
+  private val q153 = QueryDef(
+    "q153_chunk_overlap",
+    (s, dir) => {
+      val t = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("parts"))
+        .withColumn("n", size(col("parts")))
+      t.select(col("doc_id"), col("parts"), col("n"),
+          explode(sequence(lit(1), col("n"), lit(ChunkStride))).as("start"))
+        .select(col("doc_id"),
+          expr(s"(start - 1) div $ChunkStride").cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start_tok"),
+          (least(col("start") + lit(ChunkLen - 1), col("n")) - col("start")
+            + lit(1)).cast("long").as("n_tokens"),
+          md5(array_join(slice(col("parts"), col("start"),
+            least(col("start") + lit(ChunkLen - 1), col("n"))
+              - col("start") + lit(1)), " ")).as("chunk_key"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts,
+          len(string_split(text, ' ')) AS n FROM documents),
+      starts AS (SELECT doc_id, n, parts,
+          unnest(range(1, n + 1, $ChunkStride)) AS start FROM t)
+      SELECT doc_id,
+        ((start - 1) // $ChunkStride)::BIGINT AS chunk_idx,
+        start::BIGINT AS start_tok,
+        (least(start + ${ChunkLen - 1}, n) - start + 1)::BIGINT AS n_tokens,
+        md5(array_to_string(
+          parts[start:least(start + ${ChunkLen - 1}, n)], ' ')) AS chunk_key
+      FROM starts ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[QueryDef] =
-    Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145)
+    Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
+      q153)
 }

@@ -114,4 +114,32 @@ class PropertySpec extends AnyFunSuite {
       assert(got === expect, s"wm=$wm")
     }
   }
+
+  test("q153 chunking tiles every doc exactly: stride starts, full " +
+    "coverage, correct overlap, short-doc single chunk") {
+    val sf = "/root/testdata/sf0.001"
+    val chunks = SparkEntry.queries("q153_chunk_overlap")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val nTok = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(chunks.keySet === nTok.keySet, "every doc chunks")
+    chunks.foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_._2)
+      // starts are exactly the stride grid 1, 25, 49, ... <= n
+      assert(sorted.map(_._3).toSeq === (1L to n by 24L).toSeq, s"doc=$doc")
+      // contiguous indexes; each length follows the window formula
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong))
+      sorted.foreach { c =>
+        assert(c._4 === math.min(c._3 + 31L, n) - c._3 + 1L, s"doc=$doc")
+      }
+      // the tail reaches exactly the last token — full coverage
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 === n, s"doc=$doc")
+      if (sorted.length == 1) assert(last._4 === math.min(n, 32L))
+    }
+  }
 }
