@@ -1805,8 +1805,95 @@ object Dedup {
           ELSE text END)::BIGINT AS n_chars_after
       FROM pk JOIN grp USING (k) ORDER BY doc_id"""))
 
+  // ---------- q154: span strip (apply twin of q151) ---------------------
+
+  /** The transform q151's worklist implies — exact-substring dedup's
+    * remove-all-but-one rule (Lee et al. 2022) at 8-token
+    * granularity: every token covered by a cross-doc shared span is
+    * removed from every document EXCEPT the span's owner (min doc_id
+    * — the same canonicalization q17/q39 use), so exactly one copy of
+    * each duplicated span survives the corpus. Output keeps every doc
+    * with before/removed/after token counts plus the md5 of the kept
+    * token sequence, so the rewrite is auditable AND verifiable
+    * without shipping text. Shape: window instances (ALL occurrences,
+    * not per-doc distinct — within-doc repeats of a shared span
+    * strip too, q43's repetition case) join the shared-span owner
+    * table on the 16-byte key; coverage is an ≤8× explode of MARKED
+    * instances only (bounded by duplicated text, not corpus), made
+    * distinct per (doc, pos); the kept sequence re-assembles via one
+    * doc_id shuffle — the same cost any per-doc rewrite pays, and at
+    * 100 TB the natural place to fuse the actual text rewrite.
+    * Within-owner duplicate occurrences are kept (within-doc dedup is
+    * q43's concern, not this op's).
+    */
+  private val q154 = QueryDef(
+    "q154_span_strip",
+    (s, dir) => {
+      val t = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("parts"))
+        .withColumn("n", size(col("parts")))
+      val inst = t.where(col("n") >= 8)
+        .select(col("doc_id"), col("parts"),
+          explode(sequence(lit(1), col("n") - 7)).as("i"))
+        .select(col("doc_id"), col("i"),
+          md5(array_join(slice(col("parts"), col("i"), lit(8)), " "))
+            .as("k"))
+      val shared = inst.groupBy(col("k"))
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          min(col("doc_id")).as("owner"))
+        .where(col("nd") >= 2)
+      val covered = inst.join(shared.select(col("k"), col("owner")), "k")
+        .where(col("doc_id") =!= col("owner"))
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + 7)).as("pos"))
+        .distinct()
+      val toks = t.select(col("doc_id"), col("n"),
+          posexplode(col("parts")).as(Seq("p0", "tok")))
+        .withColumn("pos", col("p0") + 1)
+      val keptAgg = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_after"),
+          expr("md5(array_join(transform(array_sort(" +
+            "collect_list(struct(pos, tok))), x -> x.tok), ' '))")
+            .as("kept_key"))
+      t.select(col("doc_id"), col("n"))
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_before"),
+          (col("n").cast("long") - coalesce(col("n_after"), lit(0L)))
+            .as("n_removed"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("kept_key"), md5(lit(""))).as("kept_key"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts,
+          len(string_split(text, ' ')) AS n FROM documents),
+      inst0 AS (SELECT doc_id, parts,
+          unnest(range(1, n - 6)) AS i FROM t WHERE n >= 8),
+      inst AS (SELECT doc_id, i,
+          md5(array_to_string(parts[i:i+7], ' ')) AS k FROM inst0),
+      shared AS (SELECT k, min(doc_id) AS owner
+        FROM (SELECT DISTINCT doc_id, k FROM inst)
+        GROUP BY k HAVING count(*) >= 2),
+      covered AS (SELECT DISTINCT m.doc_id, m.i + r.d AS pos
+        FROM inst m JOIN shared USING (k),
+          (SELECT unnest(range(0, 8)) AS d) r
+        WHERE m.doc_id <> shared.owner),
+      toks AS (SELECT doc_id, unnest(parts) AS tok,
+          generate_subscripts(parts, 1) AS pos FROM t),
+      kept AS (SELECT toks.doc_id, toks.pos, toks.tok
+        FROM toks ANTI JOIN covered USING (doc_id, pos)),
+      keptagg AS (SELECT doc_id, count(*) AS n_after,
+          md5(array_to_string(list(tok ORDER BY pos), ' ')) AS kept_key
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, n::BIGINT AS n_before,
+        (n - coalesce(n_after, 0))::BIGINT AS n_removed,
+        coalesce(n_after, 0)::BIGINT AS n_after,
+        coalesce(kept_key, md5('')) AS kept_key
+      FROM t LEFT JOIN keptagg USING (doc_id) ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
-      q146, q148, q150, q151, q152)
+      q146, q148, q150, q151, q152, q154)
 }

@@ -121,6 +121,41 @@ class DedupSpec extends SparkSpec {
       "one-pass conditional count must match the dedicated 0.8 query")
   }
 
+  test("q154 span strip matches an independent driver-side " +
+    "recomputation of the remove-all-but-one rule") {
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    // all window occurrences per doc (positions 1-based)
+    val inst = raw.toSeq.flatMap { case (id, p) =>
+      if (p.length >= 8)
+        (1 to p.length - 7).map(i => (id, i, p.slice(i - 1, i + 7)
+          .mkString(" ")))
+      else Seq.empty
+    }
+    val owners = inst.groupBy(_._3).view
+      .mapValues(_.map(_._1).distinct).toMap
+      .collect { case (span, ids) if ids.size >= 2 => span -> ids.min }
+    val expected = raw.map { case (id, p) =>
+      val covered = inst.collect {
+        case (d, i, span) if d == id &&
+          owners.get(span).exists(_ != id) => i until i + 8
+      }.flatten.toSet
+      val keptToks = p.indices.collect {
+        case j if !covered.contains(j + 1) => p(j)
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(keptToks.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      id -> (p.length.toLong, covered.size.toLong,
+        (p.length - covered.size).toLong, md)
+    }
+    val got = run("q154_span_strip").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got === expected)
+  }
+
   test("q152 template strip applies exactly q148's detection and " +
     "conserves char counts") {
     val stripped = run("q152_template_strip").collect()
