@@ -1892,8 +1892,97 @@ object Dedup {
         coalesce(kept_key, md5('')) AS kept_key
       FROM t LEFT JOIN keptagg USING (doc_id) ORDER BY doc_id"""))
 
+  // ---------- q156: near-dup leakage across the train/test split --------
+
+  /** Near-dup pairs that STRADDLE q37's train/val/test assignment —
+    * the canonical eval-contamination audit: a test document with a
+    * ≥0.8-Jaccard twin in train inflates every benchmark number, and
+    * doc-level random splits guarantee some unless dedup runs FIRST.
+    * Output is the full split×split pair matrix (off-diagonal rows
+    * are the leaks, flagged) with one deterministic example pair per
+    * cell for triage. The split expression is the shared Portable
+    * contract (one definition, q37/q107/this can't drift); examples
+    * use an arg-min on the scalar pair code doc_a·10⁹+doc_b — the
+    * same formula on both engines, unique per pair so no tie
+    * ambiguity. Cost: bounded by |pairs| (already paid by the dedup
+    * family) + two broadcast-able split-assignment joins; the corpus
+    * appears only through the cached pair machinery.
+    */
+  private val q156 = QueryDef(
+    "q156_split_leakage",
+    (s, dir) => {
+      val sp = docs(s, dir)
+        .select(col("doc_id"), expr(Portable.splitCaseSpark).as("split"))
+      jaccardPairs(s, dir, 0.8)
+        .join(sp.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), "doc_a")
+        .join(sp.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), "doc_b")
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("min_by(doc_a, doc_a * 1000000000 + doc_b)").as("example_a"),
+          expr("min_by(doc_b, doc_a * 1000000000 + doc_b)").as("example_b"))
+        .withColumn("leaks", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    },
+    Some(s"""WITH ${jaccardPairsDuckCte(0.8)},
+      sp AS (SELECT doc_id, ${Portable.splitCaseDuck} AS split
+        FROM documents),
+      j AS (SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b
+        FROM pairs
+        JOIN sp a ON a.doc_id = doc_a
+        JOIN sp b ON b.doc_id = doc_b)
+      SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+        arg_min(doc_a, doc_a * 1000000000 + doc_b) AS example_a,
+        arg_min(doc_b, doc_a * 1000000000 + doc_b) AS example_b,
+        split_a <> split_b AS leaks
+      FROM j GROUP BY split_a, split_b ORDER BY split_a, split_b"""))
+
+  // ---------- q157: shingle document-frequency spectrum -----------------
+
+  /** Log₂-bucketed histogram of shingle document frequencies — the
+    * evidence behind q48's df cap and q76's prefix ordering: the
+    * spectrum's tail says exactly how much quadratic pair mass hides
+    * in hot shingles (a shingle with df=d creates d(d−1)/2 candidate
+    * pairs), so the cap is read off this table instead of guessed.
+    * The bucket exponent is `length(bin(df)) − 1` — pure integer
+    * string length of the binary representation, identical on both
+    * engines, no float log₂ edge cases at exact powers of two. One
+    * df aggregate over the cached posting table, then a bucket
+    * aggregate over the (tiny) distinct-df spectrum and a 1-row
+    * broadcast total.
+    */
+  private val q157 = QueryDef(
+    "q157_df_spectrum",
+    (s, dir) => {
+      val dfT = persistedInverted(s, dir)
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val spec = dfT
+        .groupBy((length(expr("bin(df)")) - 1).cast("long")
+          .as("bucket_log2"))
+        .agg(count(lit(1)).as("n_shingles"), max(col("df")).as("max_df"))
+      val tot = spec.agg(sum(col("n_shingles")).as("t"))
+      spec.crossJoin(broadcast(tot))
+        .select(col("bucket_log2"),
+          expr("cast(power(2, bucket_log2) AS BIGINT)").as("bucket_lo"),
+          col("n_shingles"), col("max_df"),
+          (col("n_shingles").cast("double") / col("t").cast("double"))
+            .as("share"))
+        .orderBy("bucket_log2")
+    },
+    Some(s"""WITH $shingledDuckCte,
+      dft AS (SELECT h, count(*) AS df FROM inv GROUP BY 1),
+      spec AS (SELECT (length(bin(df)) - 1)::BIGINT AS bucket_log2,
+          count(*) AS n_shingles, max(df) AS max_df
+        FROM dft GROUP BY 1),
+      tot AS (SELECT sum(n_shingles) AS t FROM spec)
+      SELECT bucket_log2, power(2, bucket_log2)::BIGINT AS bucket_lo,
+        n_shingles::BIGINT AS n_shingles, max_df::BIGINT AS max_df,
+        n_shingles::DOUBLE / t::DOUBLE AS share
+      FROM spec, tot ORDER BY bucket_log2"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
-      q146, q148, q150, q151, q152, q154)
+      q146, q148, q150, q151, q152, q154, q156, q157)
 }

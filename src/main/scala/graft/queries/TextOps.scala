@@ -666,7 +666,63 @@ object TextOps {
           parts[start:least(start + ${ChunkLen - 1}, n)], ' ')) AS chunk_key
       FROM starts ORDER BY doc_id, chunk_idx"""))
 
+  // ---------- q155: BPE merge step (tokenizer training's inner loop) ----
+
+  /** The first BPE merge iteration over the corpus: corpus-weighted
+    * counts of adjacent character pairs inside whitespace tokens, top
+    * 20 — the candidate ranking a byte-pair-encoding tokenizer
+    * trainer computes every iteration (the argmax IS the next merge
+    * rule; q13's regex pretokenizer is the stage before this, and
+    * iterating = re-running with merges applied). Scale shape is the
+    * point: the corpus appears ONLY through the cached q55 vocab
+    * aggregate — pair generation explodes the DISTINCT vocabulary
+    * (thousands of rows) weighted by corpus frequency, never the
+    * corpus itself, so the whole step after the shared unigram pass
+    * is driver-trivial at any corpus size. Pairs come from
+    * `substring(w, i, 2)` directly — no char-array split, whose
+    * empty-delimiter semantics differ across engines. Single-char
+    * tokens have no pairs and are filtered BEFORE the sequence
+    * explode (Spark's `sequence(1, 0)` would go descending, the q20
+    * trap). Exact integer counts; ties broken by pair text. The
+    * final rank window is global but its input is the top-20 of the
+    * distinct char-bigram table (domain ≤ |alphabet|², reduced
+    * map-side; the top-20 itself is a distributed TakeOrdered) — the
+    * same bounded-scalar class as the 1-row crossJoin aggregates.
+    */
+  private val q155 = QueryDef(
+    "q155_bpe_merge",
+    (s, dir) => {
+      import graft.ops.PlanCache
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
+        toks.groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      val pairs = uni.where(length(col("w1")) >= 2)
+        .select(col("w1"), col("n"),
+          explode(sequence(lit(1), length(col("w1")) - 1)).as("i"))
+        .select(expr("substring(w1, i, 2)").as("pair"), col("n"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("n"))
+      pairs
+        .orderBy(col("n").desc, col("pair")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("pair"))))
+        .select(col("rnk").cast("long").as("rnk"), col("pair"), col("n"))
+        .orderBy("rnk")
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      uni AS (SELECT w, count(*) AS f FROM toks GROUP BY 1),
+      ex AS (SELECT w, f, unnest(range(1, length(w))) AS i
+        FROM uni WHERE length(w) >= 2),
+      agg AS (SELECT substring(w, i, 2) AS pair, sum(f) AS n
+        FROM ex GROUP BY 1),
+      ranked AS (SELECT pair, n,
+          row_number() OVER (ORDER BY n DESC, pair) AS rnk FROM agg)
+      SELECT rnk::BIGINT AS rnk, pair, n::BIGINT AS n
+      FROM ranked WHERE rnk <= 20 ORDER BY rnk"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
-      q153)
+      q153, q155)
 }

@@ -156,6 +156,30 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q156 leakage matrix partitions q20's pairs exactly and only " +
+    "off-diagonal cells are flagged") {
+    val cells = run("q156_split_leakage").collect()
+    assert(cells.map(_.getLong(2)).sum === run("q20_ngram_jaccard").count(),
+      "every near-dup pair lands in exactly one split x split cell")
+    cells.foreach { r =>
+      assert(r.getBoolean(5) === (r.getString(0) != r.getString(1)))
+    }
+  }
+
+  test("q157 spectrum conserves the distinct-shingle count and bounds " +
+    "each bucket's max_df") {
+    val spec = run("q157_df_spectrum").collect()
+    val distinctShingles = graft.ops.Dedup.inverted(spark, sf)
+      .select("h").distinct().count()
+    assert(spec.map(_.getLong(2)).sum === distinctShingles)
+    spec.foreach { r =>
+      val (k, lo, maxDf) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(lo === (1L << k))
+      assert(maxDf >= lo && maxDf < 2 * lo,
+        s"bucket $k: max_df $maxDf outside [2^$k, 2^${k + 1})")
+    }
+  }
+
   test("q152 template strip applies exactly q148's detection and " +
     "conserves char counts") {
     val stripped = run("q152_template_strip").collect()

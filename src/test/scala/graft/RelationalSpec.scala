@@ -11,7 +11,7 @@ class RelationalSpec extends SparkSpec {
     // driver's weaker rows-only check
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       s"unoracled: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}")
-    assert(names.size == 154)
+    assert(names.size == 157)
   }
 
   test("entry returns rows") {
