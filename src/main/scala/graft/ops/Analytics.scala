@@ -911,7 +911,108 @@ object Analytics {
           AS sigma
       FROM m ORDER BY o_orderpriority"""))
 
+  // ---------- q158: market-basket co-purchase lift ---------------------
+
+  /** Part pairs that co-occur in the same order, with lift against
+    * independence — the classic association-rule screen, done as one
+    * order-key-partitioned self-join instead of Apriori candidate
+    * generation: pair mass is Σ k_i(k_i−1)/2 over order sizes k_i, so
+    * it's bounded by basket size (≤7 lineitems in TPC-H) regardless of
+    * corpus scale, and the join shuffles both sides once on
+    * l_orderkey. Lift joins the pair counts against two copies of the
+    * per-part order counts — broadcast-able (|part| rows), keeping the
+    * big pair relation shuffle-free after the self-join. Top-50 by
+    * support with full (n, a, b) tiebreak so the limit is
+    * deterministic on both engines.
+    */
+  private val q158 = QueryDef(
+    "q158_copurchase",
+    (s, dir) => {
+      val li = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+      val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val tot = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_ord"))
+      pairs
+        .join(broadcast(pc.select(col("l_partkey").as("part_a"),
+          col("n").as("n_a"))), "part_a")
+        .join(broadcast(pc.select(col("l_partkey").as("part_b"),
+          col("n").as("n_b"))), "part_b")
+        .crossJoin(broadcast(tot))
+        .select(col("part_a"), col("part_b"), col("n_orders"),
+          round(col("n_orders").cast("double") * col("n_ord")
+            / (col("n_a") * col("n_b")), 12).as("lift"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(50)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pc AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+      tot AS (SELECT count(DISTINCT l_orderkey) AS n_ord FROM lineitem),
+      pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+          count(*) AS n_orders
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2)
+      SELECT part_a, part_b, n_orders::BIGINT AS n_orders,
+        round(n_orders::DOUBLE * n_ord / (pa.n * pb.n), 12) AS lift
+      FROM pr
+      JOIN pc pa ON pa.l_partkey = part_a
+      JOIN pc pb ON pb.l_partkey = part_b
+      CROSS JOIN tot
+      ORDER BY n_orders DESC, part_a, part_b LIMIT 50"""))
+
+  // ---------- q160: Benford first-digit audit --------------------------
+
+  /** First-significant-digit distribution of order totals vs Benford's
+    * law — the standard forensic screen for fabricated or truncated
+    * monetary data. The digit is extracted from the integer cents
+    * value (`round(price·100)` → BIGINT → first character), never from
+    * float formatting: integer-to-string is byte-identical across
+    * engines while double repr is not, and shifting by 10² preserves
+    * the leading significant digit. One narrow scan + 9-group
+    * aggregate; the χ² contribution per digit comes from the exact
+    * expected share ln(1+1/d)/ln 10.
+    */
+  private val q160 = QueryDef(
+    "q160_benford",
+    (s, dir) => {
+      val d = Fixtures.table(s, dir, "orders")
+        .select(substring(round(col("o_totalprice") * 100)
+          .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = d.agg(sum(col("n")).as("t"))
+      d.crossJoin(broadcast(tot))
+        .withColumn("p",
+          round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 12))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("t"), 12).as("share"),
+          col("p").as("benford"),
+          round(pow(col("n").cast("double") - col("t") * col("p"), 2)
+            / (col("t") * col("p")), 12).as("chi2_term"))
+        .orderBy("digit")
+    },
+    Some("""WITH d AS (SELECT
+          substring((round(o_totalprice * 100)::BIGINT)::VARCHAR, 1, 1)
+            ::BIGINT AS digit,
+          count(*) AS n
+        FROM orders GROUP BY 1),
+      tot AS (SELECT sum(n) AS t FROM d),
+      e AS (SELECT digit, n, t,
+          round(log10(1 + 1 / digit), 12) AS p
+        FROM d CROSS JOIN tot)
+      SELECT digit, n::BIGINT AS n,
+        round(n::DOUBLE / t, 12) AS share,
+        p AS benford,
+        round(pow(n::DOUBLE - t * p, 2) / (t * p), 12) AS chi2_term
+      FROM e ORDER BY digit"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
-      q77, q88, q89, q94, q105, q114, q147)
+      q77, q88, q89, q94, q105, q114, q147, q158, q160)
 }

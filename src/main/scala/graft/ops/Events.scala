@@ -1516,8 +1516,48 @@ object Events {
       FROM cells JOIN tot ON tot.event_type = cells.event_type
       ORDER BY cells.event_type, weekday, hour"""))
 
+  // ---------- q159: user-lifetime survival curve -----------------------
+
+  /** Kaplan–Meier-style survival over user lifetimes: lifetime = whole
+    * days between a user's first and last event (calendar-date diff —
+    * integer on both engines), S(t) = fraction of users still active at
+    * age t. One groupBy(user) pass over the corpus, then the survival
+    * accumulation runs over the DISTINCT-lifetime table (≤ the day span
+    * of the dataset, a few hundred rows) — so the unpartitioned
+    * descending window is driver-trivial by construction, never a
+    * corpus-wide single-partition sort. The 1-row total joins by
+    * broadcast.
+    */
+  private val q159 = QueryDef(
+    "q159_survival",
+    (s, dir) => {
+      val lt = ev(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("d0"),
+          max(col("ts").cast("date")).as("d1"))
+        .select(datediff(col("d1"), col("d0")).cast("long").as("t"))
+      val d = lt.groupBy(col("t")).agg(count(lit(1)).as("n_ending"))
+      val tot = d.agg(sum(col("n_ending")).as("tt"))
+      d.withColumn("n_surviving",
+          sum(col("n_ending")).over(Window.orderBy(col("t").desc)))
+        .crossJoin(broadcast(tot))
+        .select(col("t"), col("n_ending"), col("n_surviving"),
+          round(col("n_surviving").cast("double") / col("tt"), 12)
+            .as("survival"))
+        .orderBy("t")
+    },
+    Some("""WITH lt AS (SELECT user_id,
+          date_diff('day', min(ts)::DATE, max(ts)::DATE) AS t
+        FROM events GROUP BY 1),
+      d AS (SELECT t, count(*) AS n_ending FROM lt GROUP BY 1),
+      tot AS (SELECT sum(n_ending) AS tt FROM d)
+      SELECT t::BIGINT AS t, n_ending::BIGINT AS n_ending,
+        sum(n_ending) OVER (ORDER BY t DESC)::BIGINT AS n_surviving,
+        round(sum(n_ending) OVER (ORDER BY t DESC)::DOUBLE / tt, 12)
+          AS survival
+      FROM d CROSS JOIN tot ORDER BY t"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
-      q128, q129, q137, q141, q142, q143)
+      q128, q129, q137, q141, q142, q143, q159)
 }
