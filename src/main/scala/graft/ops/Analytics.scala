@@ -1012,7 +1012,105 @@ object Analytics {
         round(pow(n::DOUBLE - t * p, 2) / (t * p), 12) AS chi2_term
       FROM e ORDER BY digit"""))
 
+  // ---------- q161: blocked record linkage (entity resolution) ---------
+
+  /** Fuzzy entity resolution over part names with two-key blocking —
+    * the standard ER shape: candidate pairs are generated only inside
+    * (brand, size) blocks, so the quadratic Levenshtein step is
+    * bounded by block size (≈16 parts per block at sf0.1, invariant of
+    * corpus scale because block count grows with the data while block
+    * size stays put). The self-join shuffles once on the compound
+    * block key; per-block match stats and one deterministic example
+    * pair (arg-min on the unique a·10⁹+b pair code) aggregate in the
+    * same pass, then per-brand rollup. No all-pairs comparison
+    * anywhere — the design survives 100× the parts table.
+    */
+  private val q161 = QueryDef(
+    "q161_record_linkage",
+    (s, dir) => {
+      val p = Fixtures.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_name"))
+      val pairs = p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_size") === col("b.p_size") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_brand").as("brand"),
+          col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      pairs.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("dist") <= 12, 1L).otherwise(0L)).as("n_matches"),
+          min(when(col("dist") <= 12,
+            col("key_a") * lit(1000000000L) + col("key_b")))
+            .as("example_pair"))
+        .orderBy("brand")
+    },
+    Some("""WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part),
+      pr AS (SELECT a.p_brand AS brand, a.p_partkey AS key_a,
+          b.p_partkey AS key_b, levenshtein(a.p_name, b.p_name) AS dist
+        FROM p a JOIN p b ON a.p_brand = b.p_brand
+          AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey)
+      SELECT brand, count(*)::BIGINT AS n_candidates,
+        sum(CASE WHEN dist <= 12 THEN 1 ELSE 0 END)::BIGINT AS n_matches,
+        min(CASE WHEN dist <= 12
+          THEN key_a * 1000000000 + key_b END)::BIGINT AS example_pair
+      FROM pr GROUP BY brand ORDER BY brand"""))
+
+  // ---------- q162: Pareto revenue concentration -----------------------
+
+  /** Decile concentration curve of customer revenue (the 80/20 audit):
+    * per-customer revenue (one shuffle on custkey), customers ranked
+    * into revenue deciles, per-decile exact revenue share and the
+    * running cumulative share. The global ntile runs over the
+    * per-customer AGGREGATE (|customers| rows, ~10³× smaller than the
+    * fact table) with a total (rev desc, custkey) order so ties are
+    * deterministic; at the 100 TB north star the exact ntile is
+    * replaced by approx-quantile cutpoints — the aggregate shape is
+    * unchanged. Cumulative share is a 10-row window; revenue sums use
+    * the exact DECIMAL-term convention.
+    */
+  private val q162 = QueryDef(
+    "q162_pareto_revenue",
+    (s, dir) => {
+      val rev = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val t = rev.withColumn("decile",
+        ntile(10).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rev").desc, col("o_custkey"))))
+      val d = t.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev").cast(DecimalType(28, 4))).as("drev"))
+      val tot = d.agg(sum(col("drev")).as("trev"))
+      d.crossJoin(broadcast(tot))
+        .select(col("decile").cast("long").as("decile"),
+          col("n_customers"),
+          col("drev").cast(DoubleType).as("revenue"),
+          round(col("drev").cast(DoubleType)
+            / col("trev").cast(DoubleType), 12).as("share"),
+          round(sum(col("drev")).over(org.apache.spark.sql.expressions
+            .Window.orderBy("decile")).cast(DoubleType)
+            / col("trev").cast(DoubleType), 12).as("cum_share"))
+        .orderBy("decile")
+    },
+    Some("""WITH rev AS (SELECT o_custkey,
+          cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1),
+      t AS (SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey)
+          AS decile FROM rev),
+      d AS (SELECT decile, count(*) AS n_customers,
+          sum(cast(rev AS DECIMAL(28,4))) AS drev
+        FROM t GROUP BY 1),
+      tot AS (SELECT sum(drev) AS trev FROM d)
+      SELECT decile::BIGINT AS decile, n_customers::BIGINT AS n_customers,
+        drev::DOUBLE AS revenue,
+        round(drev::DOUBLE / trev::DOUBLE, 12) AS share,
+        round((sum(drev) OVER (ORDER BY decile))::DOUBLE / trev::DOUBLE,
+          12) AS cum_share
+      FROM d CROSS JOIN tot ORDER BY decile"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
-      q77, q88, q89, q94, q105, q114, q147, q158, q160)
+      q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162)
 }

@@ -1556,8 +1556,88 @@ object Events {
           AS survival
       FROM d CROSS JOIN tot ORDER BY t"""))
 
+  // ---------- q163: A/B Welch t-test on purchase value ------------------
+
+  /** Experiment readout: users split into variants by `user_id % 2`
+    * (deterministic, engine-portable), metric = purchase event value,
+    * compared with Welch's unequal-variance t statistic. (A
+    * two-proportion conversion z-test is degenerate on this corpus —
+    * every user purchases, pooled p = 1 — so the continuous-metric
+    * test is the meaningful readout.) One conditional-aggregation
+    * reduce over the purchase scan produces both variants' exact
+    * moments: values are lifted to fixed-point micros (q147's trick)
+    * so the order-independent integer/DECIMAL sums make mean and
+    * variance bit-identical across engines; the t arithmetic then
+    * runs on identical doubles, rounded to 12.
+    */
+  private val q163 = QueryDef(
+    "q163_ab_value_ttest",
+    (s, dir) => {
+      val pe = ev(s, dir).where(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(2L)).as("variant"),
+          round(col("value") * 1e6).cast("long").as("u"))
+      val m = pe.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 0, col("u")).otherwise(0L)).as("su_a"),
+        sum(when(col("variant") === 1, col("u")).otherwise(0L)).as("su_b"),
+        sum(when(col("variant") === 0, (col("u") * col("u"))
+          .cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0))))
+          .as("su2_a"),
+        sum(when(col("variant") === 1, (col("u") * col("u"))
+          .cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0))))
+          .as("su2_b"))
+      val ma = col("su_a").cast("double") / 1e6 / col("n_a")
+      val mb = col("su_b").cast("double") / 1e6 / col("n_b")
+      val s2a = ((col("su2_a").cast("double") / 1e12
+        - (col("su_a").cast("double") / 1e6)
+          * (col("su_a").cast("double") / 1e6) / col("n_a"))
+        / (col("n_a") - 1))
+      val s2b = ((col("su2_b").cast("double") / 1e12
+        - (col("su_b").cast("double") / 1e6)
+          * (col("su_b").cast("double") / 1e6) / col("n_b"))
+        / (col("n_b") - 1))
+      m.select(col("n_a"), col("n_b"),
+        round(ma, 12).as("mean_a"), round(mb, 12).as("mean_b"),
+        round(s2a, 12).as("var_a"), round(s2b, 12).as("var_b"),
+        round((ma - mb) / sqrt(s2a / col("n_a") + s2b / col("n_b")), 12)
+          .as("t"))
+    },
+    Some("""WITH pe AS (SELECT user_id % 2 AS variant,
+          round(value * 1e6)::BIGINT AS u
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT
+          sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+          sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+          sum(CASE WHEN variant = 0 THEN u ELSE 0 END)::BIGINT AS su_a,
+          sum(CASE WHEN variant = 1 THEN u ELSE 0 END)::BIGINT AS su_b,
+          sum(CASE WHEN variant = 0
+            THEN cast(u * u AS DECIMAL(38,0))
+            ELSE cast(0 AS DECIMAL(38,0)) END) AS su2_a,
+          sum(CASE WHEN variant = 1
+            THEN cast(u * u AS DECIMAL(38,0))
+            ELSE cast(0 AS DECIMAL(38,0)) END) AS su2_b
+        FROM pe)
+      SELECT n_a, n_b,
+        round(su_a::DOUBLE / 1e6 / n_a, 12) AS mean_a,
+        round(su_b::DOUBLE / 1e6 / n_b, 12) AS mean_b,
+        round((su2_a::DOUBLE / 1e12
+          - (su_a::DOUBLE / 1e6) * (su_a::DOUBLE / 1e6) / n_a)
+          / (n_a - 1), 12) AS var_a,
+        round((su2_b::DOUBLE / 1e12
+          - (su_b::DOUBLE / 1e6) * (su_b::DOUBLE / 1e6) / n_b)
+          / (n_b - 1), 12) AS var_b,
+        round((su_a::DOUBLE / 1e6 / n_a - su_b::DOUBLE / 1e6 / n_b)
+          / sqrt(((su2_a::DOUBLE / 1e12
+              - (su_a::DOUBLE / 1e6) * (su_a::DOUBLE / 1e6) / n_a)
+              / (n_a - 1)) / n_a
+            + ((su2_b::DOUBLE / 1e12
+              - (su_b::DOUBLE / 1e6) * (su_b::DOUBLE / 1e6) / n_b)
+              / (n_b - 1)) / n_b), 12) AS t
+      FROM m"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
-      q128, q129, q137, q141, q142, q143, q159)
+      q128, q129, q137, q141, q142, q143, q159, q163)
 }
