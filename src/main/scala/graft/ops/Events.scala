@@ -1636,8 +1636,48 @@ object Events {
               / (n_b - 1)) / n_b), 12) AS t
       FROM m"""))
 
+  // ---------- q164: seasonal-naive forecast backtest --------------------
+
+  /** Weekly-seasonal-naive backtest over daily event volume: the
+    * forecast for day d is the actual from d−7 (the strongest cheap
+    * baseline for weekly-cycled traffic), joined by calendar-date
+    * arithmetic — never row-offset lag, so holes in the date spine
+    * can't silently misalign the season. Per-day absolute percentage
+    * error is pure integer-count arithmetic lifted to double at the
+    * end (round 12); the daily aggregate is one shuffle, the
+    * self-join is on (event_type, date) against an aggregate ~10⁶×
+    * smaller than the event stream.
+    */
+  private val q164 = QueryDef(
+    "q164_seasonal_forecast",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("actual"))
+      daily.join(daily.select(col("event_type"),
+          date_add(col("d"), 7).as("d"), col("actual").as("forecast")),
+          Seq("event_type", "d"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long")
+            .as("day"),
+          col("actual"), col("forecast"),
+          round(abs(col("actual") - col("forecast")).cast("double")
+            / col("actual"), 12).as("ape"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type, ts::DATE AS d,
+          count(*) AS actual
+        FROM events GROUP BY 1, 2)
+      SELECT a.event_type AS event_type,
+        (a.d - DATE '1970-01-01')::BIGINT AS day,
+        a.actual::BIGINT AS actual, f.actual::BIGINT AS forecast,
+        round(abs(a.actual - f.actual)::DOUBLE / a.actual, 12) AS ape
+      FROM daily a JOIN daily f ON f.event_type = a.event_type
+        AND f.d + 7 = a.d
+      ORDER BY event_type, day"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
-      q128, q129, q137, q141, q142, q143, q159, q163)
+      q128, q129, q137, q141, q142, q143, q159, q163, q164)
 }

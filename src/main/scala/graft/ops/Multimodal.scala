@@ -302,7 +302,89 @@ object Multimodal {
         count(*) OVER (PARTITION BY sig) AS n_same
       FROM sigs ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(q29, q52, q96, q131, q144)
+  // ---------- q166: content-defined chunking dedup -----------------------
+
+  /** The upgrade path q131's doc promises: content-defined chunking.
+    * Cut points are where the 32-bit hash of the 8-gram ending at a
+    * position ≡ 0 (mod 32) — a pure content function, so an insertion
+    * shifts ONE chunk instead of re-aligning every fixed block after
+    * it (the whole point of CDC in a content-addressed store). Chunks
+    * are reassembled per document from the sorted cut offsets (window
+    * over the cut table, ~1/32 of positions, partitioned by doc — the
+    * full position explode stays map-side and is never shuffled),
+    * then the same per-source distinct-hash audit as q131, weighted
+    * by chunk BYTES (CDC chunks are variable-length, so block counts
+    * alone would flatter small chunks). Expected chunk length is the
+    * mask modulus (32 B) + the 7-char window floor.
+    */
+  private val q166 = QueryDef(
+    "q166_cdc_chunking",
+    (s, dir) => {
+      val d = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          length(col("text")).as("n"))
+      val cuts = d.where(col("n") >= 8)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, n - 7)")).as("i"),
+          col("text"))
+        .where(expr(
+          s"${graft.ops.Portable.h32Spark("substring(text, i, 8)")} % 32 = 0"))
+        .select(col("doc_id"), (col("i") + 7).as("e"))
+      val ends = cuts
+        .union(d.where(col("n") >= 1)
+          .select(col("doc_id"), col("n").as("e")))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("e")
+      val chunks = ends
+        .withColumn("start",
+          coalesce(lag(col("e"), 1).over(w) + 1, lit(1)))
+        .join(d.select(col("doc_id"), col("source"), col("text")),
+          "doc_id")
+        .select(col("source"),
+          (col("e") - col("start") + 1).as("len"),
+          expr(graft.ops.Portable.h32Spark(
+            "substring(text, start, e - start + 1)")).as("h"))
+      chunks.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("c"), min(col("len")).as("len"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_chunks"), count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("len")).as("total_bytes"),
+          sum(col("len")).as("distinct_bytes"))
+        .select(col("source"), col("n_chunks"), col("n_distinct"),
+          col("total_bytes"),
+          round(lit(1.0) - col("distinct_bytes").cast("double")
+            / col("total_bytes"), 12).as("dup_byte_share"))
+        .orderBy("source")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source, text, length(text) AS n
+        FROM documents),
+      cuts AS (SELECT doc_id, i + 7 AS e
+        FROM d, unnest(range(1, n - 6)) AS t(i)
+        WHERE n >= 8
+          AND ${graft.ops.Portable.h32Duck("substring(text, i::INT, 8)")}
+            % 32 = 0),
+      ends AS (SELECT DISTINCT doc_id, e FROM
+        (SELECT doc_id, e FROM cuts
+         UNION ALL SELECT doc_id, n AS e FROM d WHERE n >= 1)),
+      spans AS (SELECT doc_id, e,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e) + 1, 1)
+            AS start
+        FROM ends),
+      chunks AS (SELECT source, (e - start + 1) AS len,
+          ${graft.ops.Portable.h32Duck(
+            "substring(text, start::INT, (e - start + 1)::INT)")} AS h
+        FROM spans JOIN d USING (doc_id)),
+      per AS (SELECT source, h, count(*) AS c, min(len) AS len
+        FROM chunks GROUP BY 1, 2)
+      SELECT source, sum(c)::BIGINT AS n_chunks,
+        count(*)::BIGINT AS n_distinct,
+        sum(c * len)::BIGINT AS total_bytes,
+        round(1.0 - sum(len)::DOUBLE / sum(c * len), 12)
+          AS dup_byte_share
+      FROM per GROUP BY source ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(q29, q52, q96, q131, q144, q166)
 }
 
 /** Per-frame features (the frame-sampling stub's output row). */

@@ -722,7 +722,48 @@ object TextOps {
       SELECT rnk::BIGINT AS rnk, pair, n::BIGINT AS n
       FROM ranked WHERE rnk <= 20 ORDER BY rnk"""))
 
+  // ---------- q165: sentence segmentation stats --------------------------
+
+  /** Sentence-level corpus profile: segment on terminal punctuation
+    * runs ([.!?]+ — the regex class both engines' RE dialects read
+    * identically), drop whitespace-only fragments, and report per
+    * language the sentence count and mean words-per-sentence / chars-
+    * per-sentence. Means are exact-integer sums divided once at the
+    * end (round 12) — never a float average over an unordered stream.
+    * Shape: one explode per document (output rows ∝ corpus sentences,
+    * map-side only), one aggregate on lang — segmentation never
+    * shuffles the raw text.
+    */
+  private val q165 = QueryDef(
+    "q165_sentence_stats",
+    (s, dir) => {
+      val sent = docs(s, dir)
+        .select(col("lang"),
+          explode(split(col("text"), "[.!?]+")).as("sent"))
+        .select(col("lang"), trim(col("sent")).as("sent"))
+        .where(length(col("sent")) > 0)
+      sent.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(size(split(col("sent"), "\\s+"))).as("sw"),
+          sum(length(col("sent"))).as("sc"))
+        .select(col("lang"), col("n_sentences"),
+          round(col("sw").cast("double") / col("n_sentences"), 12)
+            .as("avg_words"),
+          round(col("sc").cast("double") / col("n_sentences"), 12)
+            .as("avg_chars"))
+        .orderBy("lang")
+    },
+    Some("""WITH sent AS (SELECT lang, trim(x.s) AS sent
+        FROM documents,
+          unnest(string_split_regex(text, '[.!?]+')) AS x(s)
+        WHERE length(trim(x.s)) > 0)
+      SELECT lang, count(*)::BIGINT AS n_sentences,
+        round(sum(length(string_split_regex(sent, '\s+')))::DOUBLE
+          / count(*), 12) AS avg_words,
+        round(sum(length(sent))::DOUBLE / count(*), 12) AS avg_chars
+      FROM sent GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
-      q153, q155)
+      q153, q155, q165)
 }
