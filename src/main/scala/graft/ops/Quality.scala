@@ -738,7 +738,119 @@ object Quality {
           ROWS UNBOUNDED PRECEDING))::DOUBLE / t AS cum_share
       FROM agg, tot ORDER BY decile"""))
 
+  // ---------- q168: mutual information (lang × source) -----------------
+
+  /** Mutual information (and normalized MI) between language and
+    * source — the information-theoretic twin of q109's χ²: how many
+    * nats knowing the source tells you about the language. The same
+    * margins/cells plan as q109 with the same exactness rule: each
+    * cell's (o/N)·ln(oN/(rn·cn)) term — and each margin's entropy
+    * term — is pinned to integer pico-units before summing (terms ≤
+    * ln 25 ≈ 3, so 1e12 scaling stays far inside int64; the rn·cn
+    * products share q109's ≤2^62 doc-count bound). NMI divides the
+    * three exact sums once at the end. Shape: one corpus aggregate,
+    * margin re-aggregates over the tiny cell table, broadcast joins.
+    */
+  private val q168 = QueryDef(
+    "q168_mutual_information",
+    (s, dir) => {
+      val cells = docs(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val rows_ = cells.groupBy(col("lang")).agg(sum(col("o")).as("rn"))
+      val cols_ = cells.groupBy(col("source")).agg(sum(col("o")).as("cn"))
+      val n1 = cells.agg(sum(col("o")).as("n"))
+      val miU = cells
+        .join(broadcast(rows_), "lang").join(broadcast(cols_), "source")
+        .crossJoin(broadcast(n1))
+        .select(round(log((col("o") * col("n")).cast("double")
+            / (col("rn") * col("cn")))
+          * col("o") / col("n") * lit(1e12)).cast("long").as("u"))
+        .agg(sum(col("u")).as("mi_u"))
+      val hlU = rows_.crossJoin(broadcast(n1))
+        .select(round(-log(col("rn").cast("double") / col("n"))
+          * col("rn") / col("n") * lit(1e12)).cast("long").as("u"))
+        .agg(sum(col("u")).as("hl_u"))
+      val hsU = cols_.crossJoin(broadcast(n1))
+        .select(round(-log(col("cn").cast("double") / col("n"))
+          * col("cn") / col("n") * lit(1e12)).cast("long").as("u"))
+        .agg(sum(col("u")).as("hs_u"))
+      miU.crossJoin(hlU).crossJoin(hsU)
+        .select((col("mi_u").cast("double") / 1e12).as("mi"),
+          (col("hl_u").cast("double") / 1e12).as("h_lang"),
+          (col("hs_u").cast("double") / 1e12).as("h_source"),
+          round(col("mi_u").cast("double")
+            / sqrt(col("hl_u").cast("double") * col("hs_u")), 12)
+            .as("nmi"))
+    },
+    Some("""WITH cells AS (SELECT lang, source, count(*) AS o
+        FROM documents GROUP BY 1, 2),
+      r AS (SELECT lang, sum(o) AS rn FROM cells GROUP BY 1),
+      c AS (SELECT source, sum(o) AS cn FROM cells GROUP BY 1),
+      n1 AS (SELECT sum(o) AS n FROM cells),
+      mi AS (SELECT sum(round(ln((o * n)::DOUBLE / (rn * cn))
+          * o / n * 1e12)::BIGINT) AS mi_u
+        FROM cells JOIN r USING (lang) JOIN c USING (source), n1),
+      hl AS (SELECT sum(round(-ln(rn::DOUBLE / n)
+          * rn / n * 1e12)::BIGINT) AS hl_u FROM r, n1),
+      hs AS (SELECT sum(round(-ln(cn::DOUBLE / n)
+          * cn / n * 1e12)::BIGINT) AS hs_u FROM c, n1)
+      SELECT mi_u::DOUBLE / 1e12 AS mi,
+        hl_u::DOUBLE / 1e12 AS h_lang,
+        hs_u::DOUBLE / 1e12 AS h_source,
+        round(mi_u::DOUBLE / sqrt(hl_u::DOUBLE * hs_u), 12) AS nmi
+      FROM mi, hl, hs"""))
+
+  // ---------- q170: Mann–Whitney AUC ------------------------------------
+
+  /** Rank-sum AUC: how well does document length separate English from
+    * non-English — the evaluation primitive for ANY scalar quality
+    * signal against ANY binary label, computed the scale-correct way:
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) from tie-corrected rank sums,
+    * never a pairwise O(n²) comparison. Ranks come from ONE window
+    * pass over the DISTINCT-score table (≤ |score domain| rows, not
+    * corpus rows; explicit ROWS frame both engines) with midrank tie
+    * handling held in integers by doubling: r₂ = 2·cumBefore + n + 1,
+    * so every quantity up to the single final division is exact int64
+    * (Σ n⁺·r₂ ≤ 2N² — the same ≤2^62 doc bound q109 documents).
+    */
+  private val q170 = QueryDef(
+    "q170_rank_auc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = docs(s, dir)
+        .groupBy(col("n_chars").as("sc"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"))
+      val w = Window.orderBy(col("sc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = g
+        .withColumn("cum", sum(col("n")).over(w) - col("n"))
+        .withColumn("r2", lit(2L) * col("cum") + col("n") + 1L)
+      ranked.agg(sum(col("np")).as("n_pos"),
+          (sum(col("n")) - sum(col("np"))).as("n_neg"),
+          sum(col("np") * col("r2")).as("sr2"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("sr2").cast("double") / 2
+            - col("n_pos").cast("double") * (col("n_pos") + 1) / 2)
+            / (col("n_pos").cast("double") * col("n_neg")), 12)
+            .as("auc"))
+    },
+    Some("""WITH g AS (SELECT n_chars AS sc, count(*) AS n,
+          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+        FROM documents GROUP BY 1),
+      ranked AS (SELECT np, n,
+          2 * (sum(n) OVER (ORDER BY sc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+            + n + 1 AS r2
+        FROM g)
+      SELECT sum(np)::BIGINT AS n_pos,
+        (sum(n) - sum(np))::BIGINT AS n_neg,
+        round((sum(np * r2)::DOUBLE / 2
+          - sum(np)::DOUBLE * (sum(np) + 1) / 2)
+          / (sum(np)::DOUBLE * (sum(n) - sum(np))), 12) AS auc
+      FROM ranked"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
-      q149)
+      q149, q168, q170)
 }

@@ -822,6 +822,55 @@ object Similarity {
       LEFT JOIN ncb ON ncb.clabel = cb.clabel
       ORDER BY label"""))
 
+  // ---------- q167: PCA power-iteration step -----------------------------
+
+  /** One power-iteration step toward the corpus's top principal
+    * direction: v₁ ∝ Σᵥ (v·v₀)·v with v₀ = 𝟙/√d — the distributed
+    * building block of PCA/spectral methods (the full algorithm
+    * repeats this map-reduce until convergence; one verified step
+    * pins the whole contract). All arithmetic is EXACT integer fixed
+    * point: components lift to micros once, v₀ = 0.125 is exactly
+    * 125 000 micros (d = 64 a perfect square), so each dot product is
+    * an integer sum and each output dimension a DECIMAL(38,0) sum —
+    * no double accumulation anywhere, hence no ordered-fold crutch.
+    * The result is published scaled by max-|component| (an exact
+    * aggregate), sidestepping the float √(Σs²) norm. Shape: two
+    * corpus passes (dot per vector — map-side; (dim) aggregate — one
+    * 64-group shuffle), output is d rows.
+    */
+  private val q167 = QueryDef(
+    "q167_pca_power_step",
+    (s, dir) => {
+      val u = emb(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("j", "x")))
+        .select(col("vec_id"), col("j"),
+          round(col("x").cast("double") * 1e6).cast("long").as("u"))
+      val dot = u.groupBy(col("vec_id"))
+        .agg(sum(col("u") * lit(125000L)).as("dot"))
+      val sD = u.join(dot, "vec_id")
+        .groupBy(col("j"))
+        .agg(sum((col("u") * col("dot"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sd"))
+      val m = sD.agg(max(abs(col("sd"))).as("m"))
+      sD.crossJoin(broadcast(m))
+        .select(col("j").cast("long").as("dim"),
+          round(col("sd").cast("double") / col("m").cast("double"), 12)
+            .as("v"))
+        .orderBy("dim")
+    },
+    Some(s"""WITH u AS (SELECT vec_id, pos - 1 AS j,
+          round(embedding[pos]::DOUBLE * 1e6)::BIGINT AS u
+        FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(pos)),
+      dot AS (SELECT vec_id, sum(u * 125000)::BIGINT AS dot
+        FROM u GROUP BY vec_id),
+      sd AS (SELECT j, sum(cast(u.u * dot.dot AS DECIMAL(38,0))) AS sd
+        FROM u JOIN dot USING (vec_id) GROUP BY j),
+      m AS (SELECT max(abs(sd)) AS m FROM sd)
+      SELECT j::BIGINT AS dim,
+        round(sd::DOUBLE / m::DOUBLE, 12) AS v
+      FROM sd CROSS JOIN m ORDER BY dim"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102,
-    q112, q123, q127, q130, q134)
+    q112, q123, q127, q130, q134, q167)
 }

@@ -502,7 +502,52 @@ object Relational {
         FROM spend s3 WHERE s3.c_nationkey = s1.c_nationkey)
       ORDER BY c_custkey"""))
 
+  // ---------- q169: cascading-delete impact audit ----------------------
+
+  /** Right-to-erasure dry run: given a deletion predicate on the root
+    * entity (customers with deeply negative balance — any predicate
+    * slots in), report how many rows each downstream table loses when
+    * the delete cascades customer → orders → lineitem. The FK walk is
+    * two semi-joins — the victim key set is tiny relative to the fact
+    * tables, so Spark broadcasts it at every hop and the fact tables
+    * are never shuffled; each hop's key set feeds the next (orders'
+    * keys for lineitem). Output is one row per affected table — the
+    * compliance-report shape — with a stable table ordering.
+    */
+  private val q169 = QueryDef(
+    "q169_cascade_delete",
+    (s, dir) => {
+      val victims = Fixtures.table(s, dir, "customer")
+        .where(col("c_acctbal") < -900)
+        .select(col("c_custkey"))
+      val vOrders = Fixtures.table(s, dir, "orders")
+        .join(broadcast(victims),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+      val vLineitem = Fixtures.table(s, dir, "lineitem")
+        .join(broadcast(vOrders.select(col("o_orderkey"))),
+          Seq("l_orderkey" -> "o_orderkey").map(t =>
+            col(t._1) === col(t._2)).reduce(_ && _), "left_semi")
+      victims.agg(count(lit(1)).as("n_rows"))
+        .select(lit("customer").as("tbl"), col("n_rows"))
+        .unionAll(vOrders.agg(count(lit(1)).as("n_rows"))
+          .select(lit("orders").as("tbl"), col("n_rows")))
+        .unionAll(vLineitem.agg(count(lit(1)).as("n_rows"))
+          .select(lit("lineitem").as("tbl"), col("n_rows")))
+        .orderBy("tbl")
+    },
+    Some("""WITH victims AS (SELECT c_custkey FROM customer
+        WHERE c_acctbal < -900),
+      vo AS (SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+      vl AS (SELECT 1 AS x FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM vo))
+      SELECT tbl, n_rows::BIGINT AS n_rows FROM (
+        SELECT 'customer' AS tbl, count(*) AS n_rows FROM victims
+        UNION ALL SELECT 'orders', count(*) FROM vo
+        UNION ALL SELECT 'lineitem', count(*) FROM vl)
+      ORDER BY tbl"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q62,
-      q106, q132, q135, q136)
+      q106, q132, q135, q136, q169)
 }
