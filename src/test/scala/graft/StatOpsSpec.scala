@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-4 statistics/chunking additions that the
+  * oracle gate can't see: conservation laws (CDC chunks partition every
+  * byte), definitional equivalence against a brute-force reference
+  * (rank-sum AUC vs all-pairs AUC), and shape laws (survival curves are
+  * monotone from 1.0; a power-iteration output is max-normalized).
+  */
+class StatOpsSpec extends SparkSpec {
+
+  test("q166 CDC chunks conserve bytes: per-source total_bytes equals " +
+    "the source's summed document length, and every doc yields a chunk") {
+    val got = run("q166_cdc_chunking").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val want = Fixtures.table(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("bytes"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === want.keySet)
+    for ((src, (nDocs, bytes)) <- want) {
+      val (nChunks, totalBytes) = got(src)
+      assert(totalBytes === bytes, s"byte conservation broken for $src")
+      assert(nChunks >= nDocs, s"fewer chunks than docs for $src")
+    }
+  }
+
+  test("q170 rank-sum AUC equals the brute-force all-pairs AUC") {
+    val rows = Fixtures.table(spark, sf, "documents")
+      .select(col("n_chars"), (col("lang") === "en").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val posS = rows.filter(_._2).map(_._1)
+    val negS = rows.filterNot(_._2).map(_._1)
+    var num = 0.0
+    for (p <- posS; n <- negS)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val want = num / (posS.length.toDouble * negS.length)
+    val r = run("q170_rank_auc").collect()(0)
+    assert(r.getLong(0) === posS.length.toLong)
+    assert(r.getLong(1) === negS.length.toLong)
+    assert(math.abs(r.getDouble(2) - want) < 1e-9,
+      s"rank AUC ${r.getDouble(2)} != brute force $want")
+  }
+
+  test("q159 survival is monotone non-increasing and starts at 1.0") {
+    val rows = run("q159_survival").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.head._2 - 1.0) < 1e-12,
+      "survival at the minimum lifetime must be 1.0")
+    rows.sliding(2).foreach {
+      case Array((t0, s0), (t1, s1)) =>
+        assert(s1 <= s0 + 1e-12, s"survival rose from t=$t0 to t=$t1")
+      case _ =>
+    }
+  }
+
+  test("q167 power-step output is max-normalized over all 64 dims") {
+    val vs = run("q167_pca_power_step").collect().map(_.getDouble(1))
+    assert(vs.length === 64)
+    assert(math.abs(vs.map(math.abs).max - 1.0) < 1e-12)
+  }
+}
