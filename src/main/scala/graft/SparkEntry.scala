@@ -8,6 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** Committed registry size — the single place the count lives.
+    * RelationalSpec asserts `queries.size == registrySize`, so adding a
+    * query without bumping this fails the suite loudly instead of the
+    * tripwire silently rotting (the round-4 157-vs-170 failure mode).
+    */
+  val registrySize: Int = 170
+
   def registry: Seq[QueryDef] =
     queries_registry
 

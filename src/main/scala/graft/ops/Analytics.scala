@@ -1028,9 +1028,12 @@ object Analytics {
     * corpus scale because block count grows with the data while block
     * size stays put). The self-join shuffles once on the compound
     * block key; per-block match stats and one deterministic example
-    * pair (arg-min on the unique a·10⁹+b pair code) aggregate in the
-    * same pass, then per-brand rollup. No all-pairs comparison
-    * anywhere — the design survives 100× the parts table.
+    * pair (arg-min on a fixed-width zero-padded "a:b" pair code, whose
+    * lexicographic min IS the numeric (a,b) min — exact for partkeys
+    * < 10¹², i.e. any realistic scale factor, where an int64 a·10⁹+b
+    * code would collide) aggregate in the same pass, then per-brand
+    * rollup. No all-pairs comparison anywhere — the design survives
+    * 100× the parts table.
     */
   private val q161 = QueryDef(
     "q161_record_linkage",
@@ -1049,7 +1052,8 @@ object Analytics {
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("dist") <= 12, 1L).otherwise(0L)).as("n_matches"),
           min(when(col("dist") <= 12,
-            col("key_a") * lit(1000000000L) + col("key_b")))
+            concat(lpad(col("key_a").cast("string"), 12, "0"), lit(":"),
+              lpad(col("key_b").cast("string"), 12, "0"))))
             .as("example_pair"))
         .orderBy("brand")
     },
@@ -1061,7 +1065,8 @@ object Analytics {
       SELECT brand, count(*)::BIGINT AS n_candidates,
         sum(CASE WHEN dist <= 12 THEN 1 ELSE 0 END)::BIGINT AS n_matches,
         min(CASE WHEN dist <= 12
-          THEN key_a * 1000000000 + key_b END)::BIGINT AS example_pair
+          THEN lpad(key_a::VARCHAR, 12, '0') || ':'
+            || lpad(key_b::VARCHAR, 12, '0') END) AS example_pair
       FROM pr GROUP BY brand ORDER BY brand"""))
 
   // ---------- q162: Pareto revenue concentration -----------------------

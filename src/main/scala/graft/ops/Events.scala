@@ -1581,12 +1581,15 @@ object Events {
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("variant") === 0, col("u")).otherwise(0L)).as("su_a"),
         sum(when(col("variant") === 1, col("u")).otherwise(0L)).as("su_b"),
-        sum(when(col("variant") === 0, (col("u") * col("u"))
-          .cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0))))
-          .as("su2_a"),
-        sum(when(col("variant") === 1, (col("u") * col("u"))
-          .cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0))))
-          .as("su2_b"))
+        // u is lifted to DECIMAL(38,0) BEFORE squaring: u² overflows
+        // int64 once a purchase value exceeds ~3034 (u > 3.03e9), and
+        // Spark non-ANSI would wrap silently where DuckDB errors.
+        sum(when(col("variant") === 0,
+          col("u").cast(DecimalType(38, 0)) * col("u"))
+          .otherwise(lit(0).cast(DecimalType(38, 0)))).as("su2_a"),
+        sum(when(col("variant") === 1,
+          col("u").cast(DecimalType(38, 0)) * col("u"))
+          .otherwise(lit(0).cast(DecimalType(38, 0)))).as("su2_b"))
       val ma = col("su_a").cast("double") / 1e6 / col("n_a")
       val mb = col("su_b").cast("double") / 1e6 / col("n_b")
       val s2a = ((col("su2_a").cast("double") / 1e12
@@ -1612,11 +1615,11 @@ object Events {
           sum(CASE WHEN variant = 0 THEN u ELSE 0 END)::BIGINT AS su_a,
           sum(CASE WHEN variant = 1 THEN u ELSE 0 END)::BIGINT AS su_b,
           sum(CASE WHEN variant = 0
-            THEN cast(u * u AS DECIMAL(38,0))
-            ELSE cast(0 AS DECIMAL(38,0)) END) AS su2_a,
+            THEN cast(u AS HUGEINT) * u
+            ELSE cast(0 AS HUGEINT) END) AS su2_a,
           sum(CASE WHEN variant = 1
-            THEN cast(u * u AS DECIMAL(38,0))
-            ELSE cast(0 AS DECIMAL(38,0)) END) AS su2_b
+            THEN cast(u AS HUGEINT) * u
+            ELSE cast(0 AS HUGEINT) END) AS su2_b
         FROM pe)
       SELECT n_a, n_b,
         round(su_a::DOUBLE / 1e6 / n_a, 12) AS mean_a,

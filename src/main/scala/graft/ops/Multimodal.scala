@@ -345,8 +345,11 @@ object Multimodal {
           (col("e") - col("start") + 1).as("len"),
           expr(graft.ops.Portable.h32Spark(
             "substring(text, start, e - start + 1)")).as("h"))
-      chunks.groupBy(col("source"), col("h"))
-        .agg(count(lit(1)).as("c"), min(col("len")).as("len"))
+      // Dedup identity is (h, len), not h alone: a 32-bit collision
+      // between different-length chunks must never merge them, or the
+      // byte accounting (and the conservation invariant) corrupts.
+      chunks.groupBy(col("source"), col("h"), col("len"))
+        .agg(count(lit(1)).as("c"))
         .groupBy(col("source"))
         .agg(sum(col("c")).as("n_chunks"), count(lit(1)).as("n_distinct"),
           sum(col("c") * col("len")).as("total_bytes"),
@@ -375,8 +378,8 @@ object Multimodal {
           ${graft.ops.Portable.h32Duck(
             "substring(text, start::INT, (e - start + 1)::INT)")} AS h
         FROM spans JOIN d USING (doc_id)),
-      per AS (SELECT source, h, count(*) AS c, min(len) AS len
-        FROM chunks GROUP BY 1, 2)
+      per AS (SELECT source, h, len, count(*) AS c
+        FROM chunks GROUP BY 1, 2, 3)
       SELECT source, sum(c)::BIGINT AS n_chunks,
         count(*)::BIGINT AS n_distinct,
         sum(c * len)::BIGINT AS total_bytes,

@@ -848,10 +848,13 @@ object Similarity {
           round(col("x").cast("double") * 1e6).cast("long").as("u"))
       val dot = u.groupBy(col("vec_id"))
         .agg(sum(col("u") * lit(125000L)).as("dot"))
+      // u is lifted to DECIMAL(38,0) BEFORE the multiply: u·dot can
+      // reach ~8e18 for unit-scale embeddings (int64 limit 9.2e18), and
+      // Spark non-ANSI would wrap silently where DuckDB raises.
       val sD = u.join(dot, "vec_id")
         .groupBy(col("j"))
-        .agg(sum((col("u") * col("dot"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sd"))
+        .agg(sum(col("u").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("dot")).as("sd"))
       val m = sD.agg(max(abs(col("sd"))).as("m"))
       sD.crossJoin(broadcast(m))
         .select(col("j").cast("long").as("dim"),
@@ -864,7 +867,7 @@ object Similarity {
         FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(pos)),
       dot AS (SELECT vec_id, sum(u * 125000)::BIGINT AS dot
         FROM u GROUP BY vec_id),
-      sd AS (SELECT j, sum(cast(u.u * dot.dot AS DECIMAL(38,0))) AS sd
+      sd AS (SELECT j, sum(cast(u.u AS HUGEINT) * dot.dot) AS sd
         FROM u JOIN dot USING (vec_id) GROUP BY j),
       m AS (SELECT max(abs(sd)) AS m FROM sd)
       SELECT j::BIGINT AS dim,

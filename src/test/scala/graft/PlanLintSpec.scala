@@ -89,4 +89,19 @@ class PlanLintSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("PlanCache cap covers 2x the live subplan key inventory") {
+    // The previous test executed every registry query, so PlanCache has
+    // seen every distinct subplan name the engine materializes for one
+    // fixture dir. A bench run touches two dirs (warm + target), so the
+    // cap must be >= 2x that inventory or live entries are evicted
+    // mid-run and silently rebuilt (the round-4 q44/q45 regression).
+    val keys = graft.ops.PlanCache.distinctKeyNames
+    assert(keys.nonEmpty, "registry run materialized no cached subplans?")
+    assert(graft.ops.PlanCache.cap >= 2 * keys.size,
+      s"PlanCache.cap=${graft.ops.PlanCache.cap} but the registry now " +
+        s"materializes ${keys.size} distinct subplan keys per dir " +
+        s"(${keys.toSeq.sorted.mkString(", ")}); raise the cap past " +
+        s"${2 * keys.size}")
+  }
 }

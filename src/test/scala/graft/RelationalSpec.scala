@@ -11,7 +11,11 @@ class RelationalSpec extends SparkSpec {
     // driver's weaker rows-only check
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       s"unoracled: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}")
-    assert(names.size == 157)
+    // Single committed constant: bump SparkEntry.registrySize with every
+    // new query; asserting against it here keeps the count from rotting.
+    assert(names.size == SparkEntry.registrySize,
+      s"registry has ${names.size} queries but SparkEntry.registrySize is " +
+        s"${SparkEntry.registrySize} — bump the constant with the new queries")
   }
 
   test("entry returns rows") {
