@@ -343,7 +343,7 @@ object Dedup {
   /** All pairs with exact hashed-shingle Jaccard ≥ `threshold`
     * (inverted-index self-join) — shared by q20, q38, q39.
     */
-  private def jaccardPairs(s: SparkSession, dir: String,
+  private[graft] def jaccardPairs(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     // three consumers (sizes + both join sides) → materialize once.
     val inv = persistedInverted(s, dir)
@@ -526,6 +526,96 @@ object Dedup {
     out.select(col("u").as("node"), col("l").as("component"))
   }
 
+  /** Connected components via alternating large-star/small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the flagged alternative to [[connectedComponents]] for
+    * HIGH-DIAMETER graphs: min-label propagation needs diameter rounds
+    * (a 10⁶-long chain of near-identical documents = 10⁶ shuffles),
+    * while the star transforms contract every component to a star in
+    * O(log²) rounds in the worst case and ~log rounds in practice,
+    * because each step rewires nodes directly to the current local
+    * minimum rather than moving labels one hop.
+    *
+    * Per round: large-star links every larger neighbor of each node to
+    * the neighborhood minimum (one groupBy + one join on the
+    * bidirected edge list), small-star does the same for smaller
+    * neighbors on the canonicalized list (one groupBy + one join).
+    * Convergence is read from a (count, hash-sum) signature of the
+    * edge set — two scalars per round, Pregel-style, never a data
+    * collect. At the fixpoint the edge set IS the star forest, so
+    * labels fall out as (leaf → root) plus (root → root) with no extra
+    * pass. Same contract as the propagation variant: one
+    * (node, component=min reachable id) row per distinct endpoint,
+    * localCheckpoint'ed so no iteration history rides the plan.
+    * DedupSpec proves label equality on chains/stars/disjoint graphs
+    * and that the round count is strictly below propagation's on a
+    * chain.
+    */
+  private[graft] def connectedComponentsStar(pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame =
+    connectedComponentsStarWithRounds(pairs, maxRounds)._1
+
+  private[graft] def connectedComponentsStarWithRounds(pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    val Seq(a, b) = pairs.columns.toSeq.take(2)
+    var edges = pairs.select(
+        least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (count, xor-of-hashes): order-independent, overflow-free under
+    // ANSI (a sum of 64-bit hashes would throw), exact on a distinct set
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = sig(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // large-star: for every node u, link each LARGER neighbor to the
+      // minimum of u's closed neighborhood. m <= u < v, so (m, v) is
+      // already canonical and never a self-loop.
+      val bi = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = bi.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = bi.where(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // small-star: on the canonical (u < v) list, group by the larger
+      // endpoint; every smaller neighbor (and the endpoint itself)
+      // links to the group minimum.
+      val g = ls.groupBy(col("v")).agg(min(col("u")).as("m"))
+      // localCheckpoint (not persist): each round's plan references the
+      // previous round's ~18 times, so lineage left in place grows
+      // exponentially in rounds; the eager checkpoint truncates it to
+      // a scan of this round's materialized edge set.
+      val ss = ls.join(g, "v")
+        .where(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .unionAll(g.select(col("m").as("u"), col("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val s = sig(ss)
+      ls.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      edges = ss
+      converged = s == prevSig
+      prevSig = s
+      rounds += 1
+    }
+    val labels = edges.select(col("v").as("node"), col("u").as("component"))
+      .unionAll(edges.select(col("u").as("node"), col("u").as("component")))
+      .groupBy(col("node")).agg(min(col("component")).as("component"))
+    val out = labels.localCheckpoint(true)
+    edges.unpersist(blocking = false)
+    (out, rounds)
+  }
+
   /** Component labels for the threshold-0.8 near-dup graph, cached per
     * (session, dir) — q49, q90, and the transitive curation path all
     * consume the same labeling, and the iterative loop is the most
@@ -535,9 +625,16 @@ object Dedup {
     */
   private[ops] def ccLabels(s: SparkSession, dir: String,
       threshold: Double): DataFrame =
-    PlanCache.getOrBuild(s, dir, s"cc_$threshold")(
-      connectedComponents(
-        jaccardPairs(s, dir, threshold).select(col("doc_a"), col("doc_b"))))
+    PlanCache.getOrBuild(s, dir, s"cc_$threshold") {
+      val pairs = jaccardPairs(s, dir, threshold)
+        .select(col("doc_a"), col("doc_b"))
+      // graft.cc.algorithm=star switches to large-star/small-star for
+      // high-diameter duplicate graphs (chain-shaped boilerplate);
+      // both produce identical (node, min-reachable-id) labels.
+      if (s.conf.getOption("graft.cc.algorithm").contains("star"))
+        connectedComponentsStar(pairs)
+      else connectedComponents(pairs)
+    }
 
   private val q49 = QueryDef(
     "q49_dedup_components",

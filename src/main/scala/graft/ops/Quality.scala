@@ -696,8 +696,17 @@ object Quality {
                 .cast("double") / length(col("text")))
             + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
               lit(1.0))).as("quality"))
-      val deciled = scored.withColumn("decile", ntile(10).over(
-          Window.orderBy(col("quality").desc, col("doc_id"))).cast("long"))
+      // graft.ntile.strategy=broadcast switches the global ntile to the
+      // two-pass quantile-boundary broadcast (RangeNtile) — per-shard
+      // sorts only, bit-identical labels; the default keeps the window
+      // form (also what the oracle runs). RangeNtileSpec proves both.
+      val sortKey = Seq(col("quality").desc, col("doc_id"))
+      val labeled =
+        if (s.conf.getOption("graft.ntile.strategy").contains("broadcast"))
+          RangeNtile.withNtile(scored, sortKey, 10, "decile")
+        else scored.withColumn("decile",
+          ntile(10).over(Window.orderBy(sortKey: _*)).cast("long"))
+      val deciled = labeled
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       val tot = deciled.agg(sum(col("n_tokens")).as("t"))

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ntile WITHOUT a single-partition sort — the 100 TB
+  * path the single-total-order consumers (q91/q98/q105/q149/q162)
+  * document: `Window.orderBy(...)` with no partition key collapses the
+  * whole input onto ONE task, which is fine for a 10-row aggregate and
+  * fatal for a corpus. This helper computes bit-identical ntile(k)
+  * labels in two distributed passes:
+  *
+  *  1. range-repartition on the sort key (Spark samples boundaries —
+  *     the "boundary broadcast"; ranges are disjoint under a total
+  *     order, so shard s holds exactly the ranks after shards < s),
+  *     then count rows per shard — a `|shards|`-row driver scalar, the
+  *     same class as Pregel's convergence count, NOT a data collect;
+  *  2. per-shard local sort + row_number, plus the broadcast shard
+  *     offset, = exact global rank; the ntile bucket is then pure
+  *     arithmetic on (rank, N, k) replicating SQL ntile's remainder
+  *     rule (first N mod k buckets get one extra row).
+  *
+  * Every operation is per-shard (the plan shows per-partition sorts
+  * only — RangeNtileSpec asserts no SinglePartition exchange), so the
+  * operator scales with executor count while agreeing with
+  * `ntile(k).over(Window.orderBy(...))` row-for-row at any size.
+  */
+private[graft] object RangeNtile {
+
+  /** Adds `bucketCol` = exact global ntile(k) under `sortCols` (must be
+    * a total order — add a tiebreak column as the window form would).
+    * `shards` bounds pass-1 parallelism; output keeps input columns.
+    */
+  def withNtile(df: DataFrame, sortCols: Seq[Column], k: Int,
+      bucketCol: String, shards: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(shards, sortCols: _*)
+      .withColumn("__shard", spark_partition_id())
+    // one narrow count pass; offsets/N broadcast back as a literal map
+    val counts = ranged.groupBy(col("__shard")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val offsets = (0 until shards).scanLeft(0L) {
+      (acc, s) => acc + counts.getOrElse(s, 0L)
+    }
+    val offsetExpr = (0 until shards).foldLeft(lit(0L)) { (e, s) =>
+      when(col("__shard") === s, lit(offsets(s))).otherwise(e)
+    }
+    val localW = Window.partitionBy(col("__shard")).orderBy(sortCols: _*)
+    val withRank = ranged.withColumn("__rank",
+      row_number().over(localW).cast("long") + offsetExpr)
+    // SQL ntile remainder rule: base = N/k rows per bucket, the first
+    // N%k buckets take one extra. `div` keeps it exact int64 (a double
+    // `/` would cap exactness at 2^53 ranks).
+    val base = total / k
+    val rem = total % k
+    val bucket =
+      if (base == 0L) col("__rank") // degenerate N < k: bucket = rank
+      else when(col("__rank") <= (base + 1) * rem,
+          expr(s"(__rank - 1) div ${base + 1} + 1"))
+        .otherwise(
+          expr(s"$rem + (__rank - 1 - ${(base + 1) * rem}) div $base + 1"))
+    withRank.withColumn(bucketCol, bucket.cast("long"))
+      .drop("__shard", "__rank")
+  }
+}

@@ -67,6 +67,70 @@ object DocStream {
     spark.readStream.schema(schema).parquet(streamDir)
   }
 
+  final case class SpanRow(doc_id: Long, span_key: String, span: String)
+  final case class SpanState(n: Long, first: Long, last: Long, span: String)
+  final case class SpanHit(span_key: String, span: String, n_docs: Long,
+      first_doc: Long, last_doc: Long)
+
+  /** Streaming twin of q151's repeated-span worklist (exact-substring
+    * dedup's unit of removal, Lee et al. 2022): each arriving document
+    * fans out to its distinct 8-token windows in a STATELESS projection
+    * (the same in-scan window build as the batch query — no shuffle of
+    * text, only (16-byte key, span, doc_id) rows), then one stateful
+    * stage keyed by span_key maintains the worklist aggregate and
+    * re-emits a span's row every microbatch its doc set grows while
+    * ≥ 2 documents contain it. Consumers keep the LATEST row per key —
+    * exactly how the batch worklist is refreshed by a nightly run, but
+    * incremental.
+    *
+    * State per key is CONSTANT SIZE — (count, min doc, max doc, min
+    * span) — unlike the LSH twin's member list there is no pair
+    * emission, so no membership needs remembering and an adversarial
+    * hot span (boilerplate in millions of docs) costs the same state
+    * as a rare one. Exactly-once per doc is the source contract
+    * (upstream replays are dropped by `dropDuplicatesWithinWatermark`,
+    * the [[EventStream.dedupedEvents]] pattern); the span string rides
+    * in state so emission needs no side lookup, capped to the 8-token
+    * window length by construction.
+    */
+  def spanWorklist(docsStream: DataFrame): Dataset[SpanHit] = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    docsStream
+      .select(col("doc_id"), split(col("text"), " ").as("parts"))
+      .where(size(col("parts")) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("parts")) - 7),
+          i => array_join(slice(col("parts"), i, lit(8)), " "))))
+          .as("span"))
+      .select(col("doc_id"), md5(col("span")).as("span_key"), col("span"))
+      .as[SpanRow]
+      .groupByKey(_.span_key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[SpanRow], state: GroupState[SpanState]) =>
+          val prev = state.getOption
+          var n = prev.map(_.n).getOrElse(0L)
+          var first = prev.map(_.first).getOrElse(Long.MaxValue)
+          var last = prev.map(_.last).getOrElse(Long.MinValue)
+          var span = prev.map(_.span).orNull
+          var grew = false
+          rows.foreach { r =>
+            n += 1
+            grew = true
+            if (r.doc_id < first) first = r.doc_id
+            if (r.doc_id > last) last = r.doc_id
+            // min(span) mirrors the batch aggregate: md5 collisions
+            // between different spans resolve identically either way
+            if (span == null || r.span < span) span = r.span
+          }
+          state.update(SpanState(n, first, last, span))
+          if (grew && n >= 2) Iterator(SpanHit(key, span, n, first, last))
+          else Iterator.empty
+      }
+  }
+
   /** LSH candidate pairs from a document stream: signature projection →
     * per-bucket membership state → incremental pair emission. Emits
     * `(doc_a, doc_b)` with `doc_a < doc_b`, one row per (pair, band)

@@ -39,6 +39,41 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(3L -> 3L, 7L -> 3L, 8L -> 3L, 9L -> 3L))
   }
 
+  test("large-star/small-star labels equal propagation labels on " +
+    "chains, disjoint components, stars, and the real near-dup graph") {
+    val cases = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      Seq((10L, 11L), (20L, 21L), (21L, 22L), (30L, 31L)),
+      Seq((7L, 3L), (3L, 8L), (9L, 3L)))
+    cases.foreach { ps =>
+      val star = graft.ops.Dedup.connectedComponentsStar(pairs(ps: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === labelsOf(ps: _*), s"star labels diverge on $ps")
+    }
+    // the real graph q49 runs on: both algorithms, identical labeling
+    val real = graft.ops.Dedup.jaccardPairs(spark, sf, 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val wantReal = graft.ops.Dedup.connectedComponents(real)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotReal = graft.ops.Dedup.connectedComponentsStar(real)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotReal === wantReal)
+    assert(gotReal.nonEmpty)
+  }
+
+  test("large-star/small-star converges in strictly fewer rounds than " +
+    "propagation on a chain (the high-diameter case it exists for)") {
+    val chain = (0L until 32L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val (starLabels, starRounds) =
+      graft.ops.Dedup.connectedComponentsStarWithRounds(pairs(chain: _*))
+    val got = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L until 32L).map(_ -> 0L).toMap)
+    // propagation moves labels one hop per round: a 32-node chain needs
+    // ~diameter rounds; the star transform contracts in ~log rounds
+    assert(starRounds <= 8,
+      s"star took $starRounds rounds on a 32-chain — expected O(log n)")
+  }
+
   test("q49 cluster sizes are consistent and include a chained cluster " +
     "the greedy q39 rule cannot represent") {
     val rows = run("q49_dedup_components").collect()

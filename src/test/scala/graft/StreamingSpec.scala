@@ -222,6 +222,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming repeated-span worklist == batch q151 (AvailableNow)") {
+    import graft.streaming.DocStream
+    val q = DocStream.spanWorklist(DocStream.readDocuments(spark, sf))
+      .writeStream.format("memory").queryName("spanwl")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // consumers keep the latest (max n_docs) row per span_key
+    val got = spark.table("spanwl").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._3) }.toSet
+    val want = SparkEntry.queries("q151_repeated_spans")(spark, sf)
+      .select("span_key", "span", "n_docs", "first_doc", "last_doc")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("span worklist grows incrementally: a later doc re-emits its " +
+    "span with the updated count") {
+    import graft.streaming.DocStream
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val span8 = "a b c d e f g h" // exactly one 8-token window
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.spanWorklist(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("spaninc")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, span8), (2L, s"$span8 extra"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("spaninc")
+        .select("span", "n_docs", "first_doc", "last_doc").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(afterB1.toSet === Set((span8, 2L, 1L, 2L)))
+      // batch 2: doc 3 repeats the span → the worklist row re-emits
+      // updated; doc 4's novel text emits nothing (n = 1)
+      input.addData((3L, span8), (4L, "i j k l m n o p"))
+      q.processAllAvailable()
+      val all = spark.table("spaninc")
+        .select("span", "n_docs", "first_doc", "last_doc").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(all.toSet === Set((span8, 2L, 1L, 2L), (span8, 3L, 1L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming hopping counts == batch q108 counts (AvailableNow)") {
     val q = EventStream.hoppingCounts(EventStream.readEvents(spark, sf))
       .writeStream.format("memory").queryName("hop")
