@@ -1679,8 +1679,80 @@ object Events {
         AND f.d + 7 = a.d
       ORDER BY event_type, day"""))
 
+  // ---------- q171: CUSUM changepoint over daily volume -----------------
+
+  /** Two-sided CUSUM changepoint detector over daily event volume — the
+    * ingestion-monitoring alarm q164's backtest doesn't give: a slow
+    * drift that never breaks a single day's seasonal forecast still
+    * accumulates in S⁺/S⁻ and trips the threshold. Page's recursion
+    * S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − k)), S⁻ symmetric, with slack
+    * k = μ/20 and alarm threshold h = 4μ (four mean-days of cumulative
+    * excess), all in exact integer micro-units: counts are int64, μ is
+    * an integer division of the int64 totals, so the recursion is
+    * bit-exact in both engines (daily counts up to ~9e12 stay inside
+    * int64 after the 1e6 lift). Shape: the distributed work is the ONE
+    * corpus pass into |days| rows; the inherently sequential recursion
+    * then runs over the collected day array via `aggregate` — bounded
+    * by the calendar (~36.5k rows even for a century), never by corpus
+    * size, the same bounded-spine argument as q59's gapfill. Oracle is
+    * an independent DuckDB `WITH RECURSIVE` formulation of the same
+    * recursion.
+    */
+  private val q171 = QueryDef(
+    "q171_cusum_changepoint",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val dev = "(x.n * 1000000L - mu_micro - k_micro)"
+      val vde = "(mu_micro - k_micro - x.n * 1000000L)"
+      val fold =
+        s"""aggregate(xs,
+          named_struct('out',
+            cast(array() AS array<struct<d:date,n:bigint,sp:bigint,sn:bigint>>),
+            'sp', 0L, 'sn', 0L),
+          (acc, x) -> named_struct(
+            'out', concat(acc.out, array(named_struct('d', x.d, 'n', x.n,
+              'sp', greatest(0L, acc.sp + $dev),
+              'sn', greatest(0L, acc.sn + $vde)))),
+            'sp', greatest(0L, acc.sp + $dev),
+            'sn', greatest(0L, acc.sn + $vde)),
+          acc -> acc.out)"""
+      daily
+        .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("xs"),
+          sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+        .withColumn("mu_micro", expr("(tot * 1000000L) div nd"))
+        .withColumn("k_micro", expr("mu_micro div 20"))
+        .select(explode(expr(fold)).as("r"), col("mu_micro"))
+        .select(col("r.d").as("d"), col("r.n").as("n"),
+          (col("r.sp").cast("double") / 1e6).as("cusum_pos"),
+          (col("r.sn").cast("double") / 1e6).as("cusum_neg"),
+          (col("r.sp") > col("mu_micro") * 4).cast("int").as("spike"),
+          (col("r.sn") > col("mu_micro") * 4).cast("int").as("dip"))
+        .orderBy("d")
+    },
+    Some("""WITH RECURSIVE
+      daily AS (SELECT ts::DATE AS d, count(*) AS n FROM events GROUP BY 1),
+      stats AS (SELECT (sum(n) * 1000000) // count(*) AS mu,
+        ((sum(n) * 1000000) // count(*)) // 20 AS k FROM daily),
+      ord AS (SELECT d, n, row_number() OVER (ORDER BY d) AS rn FROM daily),
+      c AS (
+        SELECT o.rn, o.d, o.n,
+          greatest(0, o.n * 1000000 - mu - k) AS sp,
+          greatest(0, mu - k - o.n * 1000000) AS sn
+        FROM ord o, stats WHERE o.rn = 1
+        UNION ALL
+        SELECT o.rn, o.d, o.n,
+          greatest(0, c.sp + (o.n * 1000000 - mu - k)),
+          greatest(0, c.sn + (mu - k - o.n * 1000000))
+        FROM c, ord o, stats WHERE o.rn = c.rn + 1)
+      SELECT d, n::BIGINT AS n,
+        sp::DOUBLE / 1e6 AS cusum_pos, sn::DOUBLE / 1e6 AS cusum_neg,
+        (sp > 4 * mu)::INT AS spike, (sn > 4 * mu)::INT AS dip
+      FROM c, stats ORDER BY d"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
-      q128, q129, q137, q141, q142, q143, q159, q163, q164)
+      q128, q129, q137, q141, q142, q143, q159, q163, q164, q171)
 }

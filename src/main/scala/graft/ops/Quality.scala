@@ -859,7 +859,153 @@ object Quality {
           / (sum(np)::DOUBLE * (sum(n) - sum(np))), 12) AS auc
       FROM ranked"""))
 
+  // ---------- q172: held-out unigram perplexity -------------------------
+
+  /** Per-source perplexity of the TEST split under an add-one-smoothed
+    * unigram LM fit on the TRAIN split (q37's pure-hash assignment, so
+    * train/test membership is identical in both engines) — the cheapest
+    * LM-based quality signal a data pipeline can compute without a
+    * model: sources whose held-out text the corpus's own unigram
+    * distribution can't predict are off-distribution (boilerplate,
+    * wrong language, machine noise). Per-token negative log-likelihood
+    * −ln((c+1)/(N+V)) is computed as one `ln` of a single double
+    * division of exact int64 counts (identical inputs → identical IEEE
+    * result, the q119/q125 precedent), pinned to nano-units and summed
+    * exactly; perplexity is one final `exp`, rounded to 6 decimals
+    * because JVM and DuckDB libm exp() differ in the last ulp even on
+    * identical inputs (observed at sf0.01). Shape: train counts are
+    * ONE pass over the 80 % split into a |vocab| aggregate; test tokens
+    * (10 %) LEFT-join it on the term key — a shuffle join, deliberately
+    * not a broadcast, because at 100 TB the vocab table is
+    * executor-sized, not driver-sized; OOV tokens fall through the
+    * join to the smoothing floor (c=0), so no vocab scan is ever
+    * corpus-sized.
+    */
+  private val q172 = QueryDef(
+    "q172_heldout_perplexity",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(Portable.splitCaseSpark).as("split"),
+          explode(split(col("text"), " ")).as("w"))
+      val tr = toks.where(col("split") === "train")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val trs = tr.agg(sum(col("c")).as("n_train"), count(lit(1)).as("v"))
+      toks.where(col("split") === "test")
+        .join(tr, Seq("w"), "left")
+        .crossJoin(broadcast(trs))
+        .select(col("doc_id"), col("source"),
+          expr("""CAST(round(ln(CAST(n_train + v AS DOUBLE)
+            / (coalesce(c, 0L) + 1)) * 1e9) AS BIGINT)""").as("nlp_nano"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"), sum(col("nlp_nano")).as("s_nano"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("s_nano").cast("double") / col("n_tokens").cast("double")
+            / 1e9).as("avg_nll"),
+          round(exp(col("s_nano").cast("double")
+            / col("n_tokens").cast("double") / 1e9), 6).as("perplexity"))
+        .orderBy("source")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, source,
+          ${Portable.splitCaseDuck} AS split,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+      tr AS (SELECT w, count(*) AS c FROM toks
+        WHERE split = 'train' GROUP BY 1),
+      trs AS (SELECT sum(c)::BIGINT AS n_train, count(*) AS v FROM tr),
+      sc AS (SELECT t.doc_id, t.source,
+          round(ln((n_train + v)::DOUBLE / (coalesce(c, 0) + 1))
+            * 1e9)::BIGINT AS nlp_nano
+        FROM toks t LEFT JOIN tr USING (w), trs
+        WHERE t.split = 'test')
+      SELECT source, count(DISTINCT doc_id) AS n_docs,
+        count(*) AS n_tokens,
+        sum(nlp_nano)::DOUBLE / count(*)::DOUBLE / 1e9 AS avg_nll,
+        round(exp(sum(nlp_nano)::DOUBLE / count(*)::DOUBLE / 1e9), 6)
+          AS perplexity
+      FROM sc GROUP BY 1 ORDER BY source"""))
+
+  // ---------- q173: mixture-sample apply --------------------------------
+
+  /** The APPLY twin of q116: turn the temperature-α=0.5 mixture weights
+    * into an actual deterministic document sample under a token budget
+    * B = half the corpus. Per-source accept rate r = min(1, w·B/tokens)
+    * (the expected-token-matching rate), quantized to integer
+    * micro-units; a document survives iff h32('mix_'‖doc_id) mod 1e6
+    * < r_micro — the q37 pure-hash sampling contract, so membership is
+    * a stable function of the id (adding documents never resamples
+    * existing ones, the property that makes incremental re-mixes
+    * cheap). The float chain for r is the same parenthesized
+    * (su/t_su)·B/tokens in both dialects on exact int64 inputs.
+    * Shape: two corpus passes (count, then filter+count), with the
+    * |sources|-row rate table broadcast to the second; achieved shares
+    * are ratios against a 1-row broadcast total. Upweighted small
+    * sources saturate at r=1 (can't sample more than exists) — the
+    * achieved-vs-target gap this query exists to report.
+    */
+  private val q173 = QueryDef(
+    "q173_mixture_sample",
+    (s, dir) => {
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          expr(s"${Portable.h32Spark("concat('mix_', doc_id)")} % 1000000")
+            .as("u"))
+      val src = perDoc.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("n_tokens"))
+        .withColumn("su", expr(
+          "CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)"))
+      val tot = src.agg(sum(col("n_tokens")).as("t_tok"),
+        sum(col("su")).as("t_su"))
+      val rates = src.crossJoin(broadcast(tot))
+        .select(col("source"),
+          (col("su").cast("double") / col("t_su").cast("double"))
+            .as("w_alpha"),
+          expr("""CAST(round(least(1.0d,
+            CAST(su AS DOUBLE) / CAST(t_su AS DOUBLE)
+              * CAST(t_tok div 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+            * 1e6) AS BIGINT)""").as("r_micro"))
+      val kept = perDoc
+        .join(broadcast(rates), "source")
+        .where(col("u") < col("r_micro"))
+        .groupBy(col("source"), col("w_alpha"), col("r_micro"))
+        .agg(count(lit(1)).as("n_kept_docs"),
+          sum(col("n_tok")).as("kept_tokens"))
+      val ktot = kept.agg(sum(col("kept_tokens")).as("t_kept"))
+      kept.crossJoin(broadcast(ktot))
+        .select(col("source"), col("w_alpha"),
+          (col("r_micro").cast("double") / 1e6).as("accept_rate"),
+          col("n_kept_docs"), col("kept_tokens"),
+          (col("kept_tokens").cast("double") / col("t_kept").cast("double"))
+            .as("achieved_share"))
+        .orderBy("source")
+    },
+    Some(s"""WITH per AS (SELECT doc_id, source,
+          len(string_split(text, ' '))::BIGINT AS n_tok,
+          ${Portable.h32Duck("'mix_' || doc_id")} % 1000000 AS u
+        FROM documents),
+      src AS (SELECT source, sum(n_tok)::BIGINT AS n_tokens FROM per
+        GROUP BY 1),
+      su AS (SELECT source, n_tokens,
+          round(sqrt(n_tokens::DOUBLE) * 1e6)::BIGINT AS su FROM src),
+      tot AS (SELECT sum(n_tokens)::BIGINT AS t_tok,
+          sum(su)::BIGINT AS t_su FROM su),
+      rates AS (SELECT source, su::DOUBLE / t_su::DOUBLE AS w_alpha,
+          round(least(1.0::DOUBLE, su::DOUBLE / t_su::DOUBLE
+            * (t_tok // 2)::DOUBLE / n_tokens::DOUBLE) * 1e6)::BIGINT
+            AS r_micro
+        FROM su, tot),
+      kept AS (SELECT p.source, r.w_alpha, r.r_micro,
+          count(*) AS n_kept_docs, sum(p.n_tok)::BIGINT AS kept_tokens
+        FROM per p JOIN rates r USING (source)
+        WHERE p.u < r.r_micro GROUP BY 1, 2, 3),
+      ktot AS (SELECT sum(kept_tokens)::BIGINT AS t_kept FROM kept)
+      SELECT source, w_alpha, r_micro::DOUBLE / 1e6 AS accept_rate,
+        n_kept_docs, kept_tokens,
+        kept_tokens::DOUBLE / t_kept::DOUBLE AS achieved_share
+      FROM kept, ktot ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
-      q149, q168, q170)
+      q149, q168, q170, q172, q173)
 }
