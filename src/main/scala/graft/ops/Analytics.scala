@@ -1122,7 +1122,171 @@ object Analytics {
           12) AS cum_share
       FROM d CROSS JOIN tot ORDER BY decile"""))
 
+  // ---------- q174: bilateral volume shipping (TPC-H Q7 shape) --------
+
+  /** Shipped revenue between one nation PAIR, by direction and ship
+    * year — TPC-H Q7's plan shape on the fixture schema: the lineitem
+    * fact stream carries supplier nation via a BROADCAST
+    * supplier→nation map, joins orders on the one shuffle key
+    * (orderkey) to pick up customer nation via a second broadcast map,
+    * and the pair predicate ((n1,n2) or (n2,n1)) runs as a
+    * post-broadcast filter that prunes ~92 % of rows before the
+    * 4-group aggregate. Revenue follows the DECIMAL-term convention
+    * (per-row double product, order-independent DECIMAL sum, final
+    * cast back). At 100 TB: one fact shuffle, two tiny broadcasts,
+    * output |directions|×|years| rows — the canonical bilateral-flow
+    * report.
+    */
+  private val q174 = QueryDef(
+    "q174_volume_shipping",
+    (s, dir) => {
+      val supN = Fixtures.table(s, dir, "supplier")
+        .join(Fixtures.table(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custN = Fixtures.table(s, dir, "customer")
+        .join(Fixtures.table(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Fixtures.table(s, dir, "lineitem")
+        .where(expr("l_shipdate >= TIMESTAMP '1996-01-01' AND " +
+          "l_shipdate < TIMESTAMP '1998-01-01'"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(dsum(expr("l_extendedprice * (1.0 - l_discount)"))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        year(l_shipdate)::INT AS l_year,
+        cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+          OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  // ---------- q175: product-line profit (TPC-H Q9 shape) --------------
+
+  /** Profit by supplier nation and order year for one product family
+    * (p_name containing 'widget') — TPC-H Q9's plan shape adapted to
+    * the fixture schema, which has no partsupp: supply cost is proxied
+    * as 10 % of p_retailprice (documented deviation; the PLAN is the
+    * point). The selective part filter reduces parts to a ~17 % list
+    * that BROADCASTS to the lineitem scan — at 100 TB this semi-join
+    * prunes the fact stream before its one shuffle onto orders, which
+    * is exactly where a name-filtered profit query wants its
+    * selectivity. Per-row amount is the identical 4-op IEEE chain in
+    * both dialects; the sum is order-independent DECIMAL.
+    */
+  private val q175 = QueryDef(
+    "q175_product_profit",
+    (s, dir) => {
+      val parts = Fixtures.table(s, dir, "part")
+        .where(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supN = Fixtures.table(s, dir, "supplier")
+        .join(Fixtures.table(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(dsum(expr("l_extendedprice * (1.0 - l_discount) " +
+          "- p_retailprice * 0.1 * l_quantity")).as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("nation"), col("o_year"))
+    },
+    Some("""SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+        cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+          - p_retailprice * 0.1 * l_quantity AS DECIMAL(18,4)))
+          AS DOUBLE) AS profit,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------- q176: returned-item customer ranking (TPC-H Q10) --------
+
+  /** Top-20 customers by revenue lost to returns in one order quarter —
+    * TPC-H Q10's shape: the returnflag filter prunes lineitem in the
+    * scan, the quarter filter prunes orders in ITS scan (both
+    * predicates push down to parquet), they meet on the one orderkey
+    * shuffle, and customer+nation broadcast onto the aggregated
+    * per-customer totals. The final top-20 is a TakeOrdered, never a
+    * full sort. At 100 TB the aggregate output is |customers|-sized —
+    * the ranking never materializes more than k rows past it.
+    */
+  private val q176 = QueryDef(
+    "q176_returned_items",
+    (s, dir) => {
+      val custN = Fixtures.table(s, dir, "customer")
+        .join(Fixtures.table(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name").as("nation"))
+      Fixtures.table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+        .join(Fixtures.table(s, dir, "orders")
+          .where(expr("o_orderdate >= TIMESTAMP '1996-01-01' AND " +
+            "o_orderdate < TIMESTAMP '1996-04-01'"))
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(expr("l_extendedprice * (1.0 - l_discount)"))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("nation"),
+          col("c_acctbal"), col("revenue"), col("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+        cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2, 3, 4
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
-      q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162)
+      q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
+      q174, q175, q176)
 }
