@@ -1751,8 +1751,74 @@ object Events {
         (sp > 4 * mu)::INT AS spike, (sn > 4 * mu)::INT AS dip
       FROM c, stats ORDER BY d"""))
 
+  // ---------- q179: EWMA smoothing + deviation alarm --------------------
+
+  /** Exponentially-weighted moving average of daily event volume with a
+    * ±20 % deviation alarm — the smoothing companion to q171's CUSUM:
+    * CUSUM catches slow drifts, the EWMA deviation catches single-day
+    * spikes against a decaying baseline that (unlike q164's fixed
+    * seasonal lag) adapts to level shifts. α = 1/4 keeps the recursion
+    * in EXACT int64 micro-units: e_t = (3·e_{t-1} + n_t·10⁶) div 4,
+    * dev_t = n_t·10⁶ − e_{t-1}, alarm iff 5·|dev| > e_{t-1} — no
+    * floating point inside the recursion, so both engines agree
+    * bit-for-bit (3·e stays under int64 for daily counts up to ~7·10¹¹).
+    * Shape: the q171 bounded-spine contract — one distributed pass to
+    * |days| rows, then the inherently sequential fold over the
+    * calendar-bounded day array; oracle is an independent DuckDB
+    * WITH RECURSIVE of the same recursion.
+    */
+  private val q179 = QueryDef(
+    "q179_ewma_anomaly",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val fold =
+        """aggregate(xs,
+          named_struct('out',
+            cast(array() AS
+              array<struct<d:date,n:bigint,e:bigint,dev:bigint,a:int>>),
+            'e', -1L),
+          (acc, x) -> named_struct(
+            'out', concat(acc.out, array(named_struct('d', x.d, 'n', x.n,
+              'e', CASE WHEN acc.e < 0L THEN x.n * 1000000L
+                ELSE (3L * acc.e + x.n * 1000000L) div 4 END,
+              'dev', CASE WHEN acc.e < 0L THEN 0L
+                ELSE x.n * 1000000L - acc.e END,
+              'a', CASE WHEN acc.e >= 0L
+                  AND abs(x.n * 1000000L - acc.e) * 5L > acc.e
+                THEN 1 ELSE 0 END))),
+            'e', CASE WHEN acc.e < 0L THEN x.n * 1000000L
+              ELSE (3L * acc.e + x.n * 1000000L) div 4 END),
+          acc -> acc.out)"""
+      daily
+        .agg(sort_array(collect_list(struct(col("d"), col("n")))).as("xs"))
+        .select(explode(expr(fold)).as("r"))
+        .select(col("r.d").as("d"), col("r.n").as("n"),
+          (col("r.e").cast("double") / 1e6).as("ewma"),
+          (col("r.dev").cast("double") / 1e6).as("deviation"),
+          col("r.a").as("alarm"))
+        .orderBy("d")
+    },
+    Some("""WITH RECURSIVE
+      daily AS (SELECT ts::DATE AS d, count(*) AS n FROM events GROUP BY 1),
+      ord AS (SELECT d, n, row_number() OVER (ORDER BY d) AS rn FROM daily),
+      c AS (
+        SELECT rn, d, n, n * 1000000 AS e, 0::BIGINT AS dev, 0 AS a
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.rn, o.d, o.n,
+          (3 * c.e + o.n * 1000000) // 4,
+          o.n * 1000000 - c.e,
+          CASE WHEN abs(o.n * 1000000 - c.e) * 5 > c.e
+            THEN 1 ELSE 0 END
+        FROM c JOIN ord o ON o.rn = c.rn + 1)
+      SELECT d, n::BIGINT AS n, e::DOUBLE / 1e6 AS ewma,
+        dev::DOUBLE / 1e6 AS deviation, a::INT AS alarm
+      FROM c ORDER BY d"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
-      q128, q129, q137, q141, q142, q143, q159, q163, q164, q171)
+      q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179)
 }

@@ -542,6 +542,73 @@ object Sketch {
       SELECT lang, rk, doc_id, n_chars FROM ranked
       WHERE rk <= $SpsK ORDER BY lang, rk"""))
 
+  // ---------- q178: winsorized mean -----------------------------------
+
+  /** Winsorized vs raw mean of order value per priority — the robust
+    * location estimate a metrics pipeline reports when a few huge
+    * orders would otherwise swing the mean. Boundaries are EXACT
+    * rank-statistics (q67's row_number contract, so both engines pick
+    * the identical element, no interpolation); clamping is
+    * least/greatest; both means sum DECIMAL terms so accumulation
+    * order can't perturb the double result. Shape at fixture scale:
+    * one per-priority window sort + a broadcast of the 5-row boundary
+    * table back onto the scan. At 100 TB the boundary pass switches to
+    * the q149 two-pass boundary-broadcast variant (per-shard sorts
+    * only) — the clamp-and-mean pass is unchanged, one scan either
+    * way.
+    */
+  private val q178 = QueryDef(
+    "q178_winsorized_mean",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+      val wAll = Window.partitionBy(col("o_orderpriority"))
+      val bounds = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max(expr("CASE WHEN rn = greatest(1L, (5 * n + 5) div 100) " +
+            "THEN o_totalprice END")).as("lo"),
+          max(expr("CASE WHEN rn = greatest(1L, (95 * n + 95) div 100) " +
+            "THEN o_totalprice END")).as("hi"))
+      Fixtures.table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"))
+        .join(broadcast(bounds), "o_orderpriority")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), max(col("lo")).as("lo"),
+          max(col("hi")).as("hi"),
+          sum(expr("cast(least(greatest(o_totalprice, lo), hi) " +
+            "AS DECIMAL(18,4))")).as("wsum"),
+          sum(expr("cast(o_totalprice AS DECIMAL(18,4))")).as("rsum"))
+        .select(col("o_orderpriority"), col("n_orders"), col("lo"),
+          col("hi"),
+          (col("wsum").cast("double") / col("n_orders").cast("double"))
+            .as("wins_mean"),
+          (col("rsum").cast("double") / col("n_orders").cast("double"))
+            .as("raw_mean"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH r AS (SELECT o_orderpriority, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice) AS rn,
+          count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders),
+      b AS (SELECT o_orderpriority,
+          max(CASE WHEN rn = greatest(1, (5 * n + 5) // 100)
+            THEN o_totalprice END) AS lo,
+          max(CASE WHEN rn = greatest(1, (95 * n + 95) // 100)
+            THEN o_totalprice END) AS hi
+        FROM r GROUP BY 1)
+      SELECT o.o_orderpriority, count(*) AS n_orders,
+        max(lo) AS lo, max(hi) AS hi,
+        cast(sum(cast(least(greatest(o_totalprice, lo), hi)
+          AS DECIMAL(18,4))) AS DOUBLE) / count(*)::DOUBLE AS wins_mean,
+        cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          / count(*)::DOUBLE AS raw_mean
+      FROM orders o JOIN b USING (o_orderpriority)
+      GROUP BY 1 ORDER BY o_orderpriority"""))
+
   val all: Seq[QueryDef] =
-    Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107)
+    Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178)
 }

@@ -763,7 +763,59 @@ object TextOps {
         round(sum(length(sent))::DOUBLE / count(*), 12) AS avg_chars
       FROM sent GROUP BY lang ORDER BY lang"""))
 
+  // ---------- q177: per-document tf-idf keywords ----------------------
+
+  /** Top-3 keywords per document by tf·idf — the per-doc summary a
+    * retrieval or curation UI wants next to every document. Reuses the
+    * PlanCache'd (doc, tok, tf) table the sparse-retrieval family
+    * (q57/q93/q115) already materializes, joins the |vocab|-sized df
+    * table on the token key (a shuffle join on purpose — at 100 TB the
+    * vocab is executor-sized, not driver-sized; the q172 rule), and
+    * ranks inside each doc partition only (|doc| rows each, never a
+    * global sort). idf = ln(N/df) is one ln of one double division of
+    * exact int64 counts and tf·idf one multiply, pinned round(…, 12)
+    * at the row (the q85/q97 ln rule — JVM and DuckDB libm ln differ
+    * in the last ulp) BEFORE ranking, so both engines rank identical
+    * values — with ties broken lexically so the rank is total.
+    */
+  private val q177 = QueryDef(
+    "q177_tfidf_keywords",
+    (s, dir) => {
+      val tf = graft.ops.PlanCache.getOrBuild(s, dir, "q57_tf")(
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+      val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(dfTab, "tok")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 12)
+            .as("score"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+      tfc AS (SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tfc GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, tok,
+          round(tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE), 12) AS score
+        FROM tfc JOIN df USING (tok), n),
+      ranked AS (SELECT doc_id, tok, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, tok) AS rank
+        FROM scored)
+      SELECT doc_id, rank::INT AS rank, tok, score FROM ranked
+      WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
-      q153, q155, q165)
+      q153, q155, q165, q177)
 }
