@@ -1285,8 +1285,115 @@ object Analytics {
       GROUP BY 1, 2, 3, 4
       ORDER BY revenue DESC, c_custkey LIMIT 20"""))
 
+  // ---------- q181: frequent co-purchase triples ----------------------
+
+  /** Frequent 3-itemsets over order baskets — the next A-priori level
+    * past q158's pairs. Triples generate inside the basket array via a
+    * nested-combination HOF (i<j<k over the sorted distinct parts),
+    * so the fan-out is per-basket C(b,3), bounded by the basket size
+    * the schema itself bounds (max 13 here; at 100 TB a `size(parts)
+    * <= cap` guard caps any pathological basket) — never a corpus
+    * self-join. One shuffle groups candidate triples. The DuckDB
+    * oracle is an INDEPENDENT formulation (three-way self-join with
+    * ordering predicates) — agreement checks the combination
+    * enumeration itself, not a shared code path.
+    */
+  private val q181 = QueryDef(
+    "q181_frequent_triples",
+    (s, dir) => {
+      val baskets = PlanCache.getOrBuild(s, dir, "copurchase_baskets")(
+        Fixtures.table(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts")))
+      baskets
+        .where(size(col("parts")) <= 64)
+        .select(explode(expr(
+          """flatten(transform(parts, (x, i) ->
+               flatten(transform(slice(parts, i + 2, size(parts)), (y, j) ->
+                 transform(slice(parts, i + j + 3, size(parts)),
+                   z -> struct(x AS p1, y AS p2, z AS p3))))))""")).as("t"))
+        .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"),
+          col("t.p3").as("p3"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+        .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+    },
+    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem)
+      SELECT a.p AS p1, b.p AS p2, c.p AS p3, count(*) AS support
+      FROM it a
+      JOIN it b ON a.o = b.o AND a.p < b.p
+      JOIN it c ON b.o = c.o AND b.p < c.p
+      GROUP BY 1, 2, 3 HAVING count(*) >= 2
+      ORDER BY support DESC, p1, p2, p3"""))
+
+  // ---------- q182: two-hop reach on the co-purchase graph ------------
+
+  /** Two-hop neighborhood size for the 20 highest-degree parts of the
+    * support-≥2 co-purchase graph — the "how far does a recommendation
+    * radiate" audit. Seeds are a TakeOrdered top-k (k rows cross the
+    * driver, never the graph); hop-1 and hop-2 are joins on the node
+    * key with the seed side BROADCAST, so the frontier is |seeds|×deg
+    * — at 100 TB a per-node neighbor cap (the q48 posting-cap rule)
+    * bounds the hop-2 fan-out; the fixture graph needs none. The
+    * union-distinct reach count shuffles at most frontier rows.
+    */
+  private val q182 = QueryDef(
+    "q182_two_hop_reach",
+    (s, dir) => {
+      val baskets = PlanCache.getOrBuild(s, dir, "copurchase_baskets")(
+        Fixtures.table(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts")))
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(parts, (x, i) ->
+               transform(slice(parts, i + 2, size(parts)),
+                 y -> struct(x AS p1, y AS p2))))""")).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+      val edges = pairs.select(col("p1").as("u"), col("p2").as("v"))
+        .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val seeds = deg.orderBy(col("d").desc, col("u")).limit(20)
+        .select(col("u").as("seed"), col("d").as("degree"))
+      val hop1 = edges.join(broadcast(seeds), col("u") === col("seed"))
+        .select(col("seed"), col("degree"), col("v"))
+      val hop2 = hop1.select(col("seed"), col("v").as("m"))
+        .join(edges.withColumnRenamed("u", "m"), "m")
+        .select(col("seed"), col("v"))
+      val reach = hop1.select(col("seed"), col("v"))
+        .unionAll(hop2).distinct()
+      reach.join(broadcast(seeds), "seed")
+        .where(col("v") =!= col("seed"))
+        .groupBy(col("seed"), col("degree"))
+        .agg(count(lit(1)).as("n_reach2"))
+        .select(col("seed").as("part"), col("degree"), col("n_reach2"))
+        .orderBy("part")
+    },
+    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+      pairs AS (SELECT a.p AS p1, b.p AS p2, count(*) AS n
+        FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS (SELECT p1 AS u, p2 AS v FROM pairs
+        UNION ALL SELECT p2, p1 FROM pairs),
+      deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+      seeds AS (SELECT u AS seed, d AS degree FROM deg
+        ORDER BY d DESC, u LIMIT 20),
+      hop1 AS (SELECT s.seed, e.v FROM seeds s
+        JOIN edges e ON e.u = s.seed),
+      hop2 AS (SELECT h.seed, e2.v FROM hop1 h
+        JOIN edges e2 ON e2.u = h.v),
+      reach AS (SELECT seed, v FROM hop1 UNION SELECT seed, v FROM hop2)
+      SELECT s.seed AS part, s.degree, count(*) AS n_reach2
+      FROM reach r JOIN seeds s USING (seed)
+      WHERE r.v <> s.seed
+      GROUP BY 1, 2 ORDER BY part"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
-      q174, q175, q176)
+      q174, q175, q176, q181, q182)
 }

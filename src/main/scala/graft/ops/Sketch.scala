@@ -609,6 +609,78 @@ object Sketch {
       FROM orders o JOIN b USING (o_orderpriority)
       GROUP BY 1 ORDER BY o_orderpriority"""))
 
+  // ---------- q180: reshard movement audit (mod vs rendezvous) ---------
+
+  /** How much data MOVES when the shard count grows 16 → 17, under the
+    * two assignment functions a 100 TB pipeline actually chooses
+    * between: mod-N (moves ~1−1/17 ≈ 94 % of keys — every key whose
+    * hash changes residue) and rendezvous/HRW hashing (argmax over
+    * per-shard hashes — only keys whose argmax IS the new shard move,
+    * ~1/17 ≈ 6 %). The audit computes both movement fractions exactly
+    * so the migration cost of a planned reshard is a measured number,
+    * not folklore. Shape: pure projection — mod is two residues per
+    * key; HRW explodes each key × 17 candidate shards (a narrow
+    * constant fan-out, no shuffle until the 2-row aggregate) and ranks
+    * inside the per-doc partition (17 rows) with a total tie-break
+    * (h desc, s asc). Salts decorrelate from q37/q79's hashes.
+    */
+  private val q180 = QueryDef(
+    "q180_reshard_audit",
+    (s, dir) => {
+      val ids = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(Portable.h32Spark("concat('reb_', doc_id)")).as("hm"))
+      val modMoved = ids.select(
+        ((col("hm") % 16) =!= (col("hm") % 17)).cast("long").as("moved"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("moved")).as("n_moved"))
+        .select(lit("mod").as("method"), col("n_keys"), col("n_moved"))
+      val hrw = ids
+        .select(col("doc_id"), explode(sequence(lit(0), lit(16))).as("s"))
+        .select(col("doc_id"), col("s"),
+          expr(Portable.h32Spark("concat('hrw_', doc_id, '_', s)")).as("h"))
+      val w17 = Window.partitionBy(col("doc_id"))
+        .orderBy(col("h").desc, col("s"))
+      val win17 = hrw.withColumn("rn", row_number().over(w17))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("s").as("s17"))
+      val win16 = hrw.where(col("s") < 16)
+        .withColumn("rn", row_number().over(w17))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("s").as("s16"))
+      val hrwMoved = win16.join(win17, "doc_id")
+        .select((col("s16") =!= col("s17")).cast("long").as("moved"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("moved")).as("n_moved"))
+        .select(lit("hrw").as("method"), col("n_keys"), col("n_moved"))
+      hrwMoved.unionAll(modMoved)
+        .select(col("method"), col("n_keys"), col("n_moved"),
+          (col("n_moved").cast("double") / col("n_keys").cast("double"))
+            .as("moved_frac"))
+        .orderBy("method")
+    },
+    Some(s"""WITH ids AS (SELECT doc_id,
+          ${Portable.h32Duck("'reb_' || doc_id")} AS hm FROM documents),
+      modm AS (SELECT 'mod' AS method, count(*) AS n_keys,
+          sum(CASE WHEN hm % 16 <> hm % 17 THEN 1 ELSE 0 END)::BIGINT
+            AS n_moved FROM ids),
+      cand AS (SELECT doc_id, s,
+          ${Portable.h32Duck("'hrw_' || doc_id || '_' || s")} AS h
+        FROM ids, (SELECT unnest(generate_series(0, 16)) AS s)),
+      w17 AS (SELECT doc_id, s,
+          row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+        FROM cand),
+      w16 AS (SELECT doc_id, s,
+          row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+        FROM cand WHERE s < 16),
+      hrwm AS (SELECT 'hrw' AS method, count(*) AS n_keys,
+          sum(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END)::BIGINT AS n_moved
+        FROM (SELECT doc_id, s FROM w16 WHERE rn = 1) a
+        JOIN (SELECT doc_id, s FROM w17 WHERE rn = 1) b USING (doc_id))
+      SELECT method, n_keys, n_moved,
+        n_moved::DOUBLE / n_keys::DOUBLE AS moved_frac
+      FROM (SELECT * FROM hrwm UNION ALL SELECT * FROM modm)
+      ORDER BY method"""))
+
   val all: Seq[QueryDef] =
-    Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178)
+    Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
+      q180)
 }
