@@ -2078,8 +2078,51 @@ object Dedup {
         n_shingles::DOUBLE / t::DOUBLE AS share
       FROM spec, tot ORDER BY bucket_log2"""))
 
+  // ---------- q184: near-dup cluster language purity -------------------
+
+  /** Language purity of the threshold-0.8 near-dup clusters — a
+    * histogram of clusters by how many languages they span. A
+    * multi-language near-dup cluster is a translated/templated
+    * boilerplate family, which a monolingual dedup policy would
+    * deduplicate WRONGLY (keeping one language's copy deletes the
+    * others' only instance) — this audit sizes that risk before the
+    * q118 keep-best policy runs. Reuses the PlanCache'd cc_0.8 labels
+    * (no new graph work); the lang join is a BROADCAST of the
+    * |clustered-docs|-sized label table onto the documents scan; two
+    * small aggregates follow. Oracle recomputes components
+    * independently via the recursive reachability CTE.
+    */
+  private val q184 = QueryDef(
+    "q184_cluster_lang_purity",
+    (s, dir) => {
+      val labels = ccLabels(s, dir, 0.8)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      val perCluster = docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(broadcast(labels), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"))
+      perCluster.groupBy(col("n_langs"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("n_docs")).as("n_docs"))
+        .orderBy("n_langs")
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsDuckCte(0.8)},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, l) AS (
+        SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(l) AS cluster_id
+        FROM reach GROUP BY u),
+      pc AS (SELECT cluster_id, count(*) AS n_docs,
+          count(DISTINCT lang) AS n_langs
+        FROM comp JOIN documents USING (doc_id) GROUP BY 1)
+      SELECT n_langs, count(*) AS n_clusters, sum(n_docs)::BIGINT AS n_docs
+      FROM pc GROUP BY 1 ORDER BY n_langs"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
-      q146, q148, q150, q151, q152, q154, q156, q157)
+      q146, q148, q150, q151, q152, q154, q156, q157, q184)
 }

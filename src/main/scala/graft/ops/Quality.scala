@@ -1005,7 +1005,68 @@ object Quality {
         kept_tokens::DOUBLE / t_kept::DOUBLE AS achieved_share
       FROM kept, ktot ORDER BY source"""))
 
+  // ---------- q183: decontamination APPLY -----------------------------
+
+  /** The apply twin of q44's contamination detect, pointed the
+    * direction a pretraining build actually enforces: drop TRAIN
+    * documents more than half of whose trigrams appear in the
+    * benchmark set (doc_id < 10 stands in for the eval suite), and
+    * report kept/dropped docs and tokens per source. The benchmark
+    * shingle set is |eval|-sized — BROADCAST to the corpus posting
+    * scan, so the whole decision is one pass over postings plus a
+    * |docs|-row aggregate; the threshold compare is exact integer
+    * (2·hits > shingles), no float. Docs too short to shingle fall
+    * through the left join as kept. At 100 TB this is the shape that
+    * matters: eval suites are MBs, the corpus is the only big side,
+    * and it is touched exactly once.
+    */
+  private val q183 = QueryDef(
+    "q183_decontaminate_apply",
+    (s, dir) => {
+      val inv = Dedup.persistedInverted(s, dir)
+      val benchSh = broadcast(inv.where(col("doc_id") < NBench)
+        .select(col("h")).distinct().withColumn("in_bench", lit(1)))
+      val cov = inv.where(col("doc_id") >= NBench)
+        .join(benchSh, Seq("h"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("in_bench"), lit(0))).as("n_hit"))
+        .select(col("doc_id"),
+          (col("n_hit") * 2 > col("n_sh")).cast("int").as("dropped"))
+      docs(s, dir).where(col("doc_id") >= NBench)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(cov, Seq("doc_id"), "left_outer")
+        .withColumn("dr", coalesce(col("dropped"), lit(0)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dr")).as("n_dropped"),
+          sum(expr("CASE WHEN dr = 0 THEN n_tok ELSE 0L END"))
+            .as("kept_tokens"),
+          sum(expr("CASE WHEN dr = 1 THEN n_tok ELSE 0L END"))
+            .as("dropped_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${Dedup.shingledDuckCte},
+      bench_sh AS (SELECT DISTINCT h FROM inv WHERE doc_id < $NBench),
+      cov AS (SELECT i.doc_id,
+          CASE WHEN 2 * sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+            > count(*) THEN 1 ELSE 0 END AS dropped
+        FROM inv i LEFT JOIN bench_sh b ON i.h = b.h
+        WHERE i.doc_id >= $NBench GROUP BY 1)
+      SELECT source, count(*) AS n_docs,
+        sum(coalesce(dropped, 0))::BIGINT AS n_dropped,
+        sum(CASE WHEN coalesce(dropped, 0) = 0
+          THEN len(string_split(text, ' ')) ELSE 0 END)::BIGINT
+          AS kept_tokens,
+        sum(CASE WHEN coalesce(dropped, 0) = 1
+          THEN len(string_split(text, ' ')) ELSE 0 END)::BIGINT
+          AS dropped_tokens
+      FROM documents d LEFT JOIN cov USING (doc_id)
+      WHERE d.doc_id >= $NBench
+      GROUP BY 1 ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
-      q149, q168, q170, q172, q173)
+      q149, q168, q170, q172, q173, q183)
 }
