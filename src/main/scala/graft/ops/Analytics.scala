@@ -1124,30 +1124,35 @@ object Analytics {
 
   // ---------- q174: bilateral volume shipping (TPC-H Q7 shape) --------
 
-  /** Shipped revenue between one nation PAIR, by direction and ship
+  /** Shipped revenue between one REGION pair, by direction and ship
     * year — TPC-H Q7's plan shape on the fixture schema: the lineitem
-    * fact stream carries supplier nation via a BROADCAST
-    * supplier→nation map, joins orders on the one shuffle key
-    * (orderkey) to pick up customer nation via a second broadcast map,
-    * and the pair predicate ((n1,n2) or (n2,n1)) runs as a
-    * post-broadcast filter that prunes ~92 % of rows before the
-    * 4-group aggregate. Revenue follows the DECIMAL-term convention
-    * (per-row double product, order-independent DECIMAL sum, final
-    * cast back). At 100 TB: one fact shuffle, two tiny broadcasts,
-    * output |directions|×|years| rows — the canonical bilateral-flow
-    * report.
+    * fact stream carries supplier region via a BROADCAST
+    * supplier→nation→region map, joins orders on the one shuffle key
+    * (orderkey) to pick up customer region via a second broadcast map,
+    * and the pair predicate ((EUROPE,ASIA) or (ASIA,EUROPE)) runs as
+    * a post-broadcast filter that prunes most rows before the 4-group
+    * aggregate. Region (not nation) pair because the sf0.001 fixture
+    * has 10 suppliers covering 10 of 25 nations — a nation pair is
+    * empty at smoke scale; every region keeps supplier coverage at
+    * all scales. Revenue follows the DECIMAL-term convention. At
+    * 100 TB: one fact shuffle, two tiny broadcasts, output
+    * |directions|×|years| rows — the canonical bilateral-flow report.
     */
   private val q174 = QueryDef(
     "q174_volume_shipping",
     (s, dir) => {
-      val supN = Fixtures.table(s, dir, "supplier")
+      val supR = Fixtures.table(s, dir, "supplier")
         .join(Fixtures.table(s, dir, "nation"),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-      val custN = Fixtures.table(s, dir, "customer")
+        .join(Fixtures.table(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("r_name").as("supp_region"))
+      val custR = Fixtures.table(s, dir, "customer")
         .join(Fixtures.table(s, dir, "nation"),
           col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        .join(Fixtures.table(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name").as("cust_region"))
       Fixtures.table(s, dir, "lineitem")
         .where(expr("l_shipdate >= TIMESTAMP '1996-01-01' AND " +
           "l_shipdate < TIMESTAMP '1998-01-01'"))
@@ -1157,18 +1162,18 @@ object Analytics {
         .join(Fixtures.table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
-        .where((col("supp_nation") === "NATION_1" &&
-          col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
-        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .join(broadcast(supR), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(custR), col("o_custkey") === col("c_custkey"))
+        .where((col("supp_region") === "EUROPE" &&
+          col("cust_region") === "ASIA") ||
+          (col("supp_region") === "ASIA" &&
+            col("cust_region") === "EUROPE"))
+        .groupBy(col("supp_region"), col("cust_region"), col("l_year"))
         .agg(dsum(expr("l_extendedprice * (1.0 - l_discount)"))
           .as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .orderBy("supp_region", "cust_region", "l_year")
     },
-    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+    Some("""SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
         year(l_shipdate)::INT AS l_year,
         cast(sum(cast(l_extendedprice * (1.0 - l_discount)
           AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -1177,12 +1182,14 @@ object Analytics {
       JOIN orders ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN region sr ON sn.n_regionkey = sr.r_regionkey
       JOIN customer ON o_custkey = c_custkey
       JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region cr ON cn.n_regionkey = cr.r_regionkey
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1998-01-01'
-        AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-          OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        AND ((sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA')
+          OR (sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE'))
       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
   // ---------- q175: product-line profit (TPC-H Q9 shape) --------------
