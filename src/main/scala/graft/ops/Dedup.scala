@@ -64,9 +64,9 @@ object Dedup {
     * excluded upstream (Spark `sequence` would go descending on an
     * empty range; DuckDB `range` is half-open).
     */
-  private val P = 2147483647L
-  private val C1 = 1000003L
-  private val C2 = 999983L
+  private[graft] val P = 2147483647L
+  private[graft] val C1 = 1000003L
+  private[graft] val C2 = 999983L
 
   private val shingleDuck =
     s"list_distinct(list_transform(range(1, len(hts) - 1), " +

@@ -168,4 +168,51 @@ object DocStream {
           out.result().iterator
       }
   }
+
+  final case class DocDecision(doc_id: Long, source: String, n_tok: Long,
+      dropped: Int)
+
+  /** Streaming twin of q183's decontamination APPLY — the filter-at-
+    * ingest shape: each arriving document is judged STATELESS against
+    * a driver-broadcast benchmark shingle set (eval suites are
+    * MB-sized against a 100 TB corpus, so the set rides to every
+    * executor once and the stream stays embarrassingly parallel — no
+    * state, no shuffle, no watermark). The per-doc decision is the
+    * batch contract verbatim: distinct trigram-shingle hashes
+    * ((h(t1)·C1 + h(t2)·C2 + h(t3)) mod P over h32 token hashes),
+    * dropped iff 2·|hits| > |shingles|; docs too short to shingle are
+    * kept. One MessageDigest per partition, not per row (the
+    * [[graft.ops.Multimodal]] decode-stub discipline).
+    */
+  def decontaminate(docsStream: DataFrame,
+      benchKeys: Set[Long]): Dataset[DocDecision] = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(benchKeys)
+    docsStream
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h32(t: String): Long = {
+          md.reset()
+          val d = md.digest(t.getBytes("UTF-8"))
+          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        }
+        rows.map { case (id, src, text) =>
+          val toks = text.split(" ")
+          val dropped = if (toks.length < 3) 0 else {
+            val hts = toks.map(h32)
+            val shs = (0 until hts.length - 2).iterator
+              .map(i => (hts(i) * Dedup.C1 + hts(i + 1) * Dedup.C2 +
+                hts(i + 2)) % Dedup.P)
+              .toSet
+            val hits = shs.count(bc.value.contains)
+            if (2L * hits > shs.size) 1 else 0
+          }
+          DocDecision(id, src, toks.length.toLong, dropped)
+        }
+      }
+  }
 }

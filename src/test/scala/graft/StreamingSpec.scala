@@ -272,6 +272,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate == batch q183 per-source report " +
+    "(AvailableNow)") {
+    import graft.streaming.DocStream
+    val benchKeys = graft.ops.Dedup.inverted(spark, sf)
+      .where(col("doc_id") < 10).select("h")
+      .collect().map(_.getLong(0)).toSet
+    assert(benchKeys.nonEmpty)
+    val q = DocStream.decontaminate(
+        DocStream.readDocuments(spark, sf), benchKeys)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("decon")
+      .where(col("doc_id") >= 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dropped")).as("n_dropped"),
+        sum(expr("CASE WHEN dropped = 0 THEN n_tok ELSE 0L END"))
+          .as("kept_tokens"),
+        sum(expr("CASE WHEN dropped = 1 THEN n_tok ELSE 0L END"))
+          .as("dropped_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = SparkEntry.queries("q183_decontaminate_apply")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming hopping counts == batch q108 counts (AvailableNow)") {
     val q = EventStream.hoppingCounts(EventStream.readEvents(spark, sf))
       .writeStream.format("memory").queryName("hop")
