@@ -1399,8 +1399,47 @@ object Analytics {
       WHERE r.v <> s.seed
       GROUP BY 1, 2 ORDER BY part"""))
 
+  // ---------- q186: month-over-year revenue growth --------------------
+
+  /** Monthly revenue with year-over-year growth — the standard finance
+    * trend report: one orders aggregate to |months| rows, then a
+    * lag-12 window over the month sequence. The window is a GLOBAL
+    * order but over a calendar-bounded spine (the q59 argument —
+    * ~36.5k rows for a century, driver-trivial at any corpus size);
+    * the corpus-sized work is only the first aggregate. lag-12
+    * assumes a dense month sequence (true here: orders span every
+    * month; a sparse calendar would first pass through q59's
+    * gapfill). Growth is one subtract + divide on DECIMAL-sum-derived
+    * doubles — identical IEEE ops both engines; first-year months
+    * report NULL growth.
+    */
+  private val q186 = QueryDef(
+    "q186_monthly_yoy",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("month"))
+      Fixtures.table(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("prev", lag(col("revenue"), 12).over(w))
+        .select(col("month"), col("n_orders"), col("revenue"),
+          ((col("revenue") - col("prev")) / col("prev")).as("yoy_growth"))
+        .orderBy("month")
+    },
+    Some("""WITH m AS (SELECT date_trunc('month', o_orderdate)::DATE
+          AS month, count(*) AS n_orders,
+          cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            AS revenue
+        FROM orders GROUP BY 1)
+      SELECT month, n_orders, revenue,
+        (revenue - lag(revenue, 12) OVER (ORDER BY month))
+          / lag(revenue, 12) OVER (ORDER BY month) AS yoy_growth
+      FROM m ORDER BY month"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
-      q174, q175, q176, q181, q182)
+      q174, q175, q176, q181, q182, q186)
 }

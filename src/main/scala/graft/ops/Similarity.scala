@@ -874,6 +874,63 @@ object Similarity {
         round(sd::DOUBLE / m::DOUBLE, 12) AS v
       FROM sd CROSS JOIN m ORDER BY dim"""))
 
+  // ---------- q185: IVF cell-balance audit ----------------------------
+
+  /** Assignment balance of the IVF coarse quantizer: route EVERY
+    * corpus vector to its nearest centroid (the index-BUILD pass, not
+    * q34's query-time probe) and report per-cell occupancy — the
+    * audit that predicts probe latency variance before an index
+    * ships: a cell holding 3× its share serves 3× the re-rank work
+    * for every query it catches. Complements q102 (reconstruction
+    * fidelity) and q80 (centroid separation) with the third index
+    * health axis, occupancy skew. Shape: corpus scan × BROADCAST
+    * |cells|-row codebook, argmin inside the per-vector partition
+    * (|cells| rows), one count aggregate — the build pass is one scan
+    * at any corpus size, and n_native (vecs whose source label is
+    * their assigned cell) comes free off the same rows.
+    */
+  private val q185 = QueryDef(
+    "q185_ivf_cell_balance",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cvecs = codebook(s, dir)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val assigned = emb(s, dir)
+        .select(col("vec_id"), col("label").as("native"),
+          col("embedding").as("qe"))
+        .crossJoin(broadcast(cvecs))
+        .select(col("vec_id"), col("native"), col("label"),
+          expr(Dedup.cosFoldSpark("qe", "cvec")).as("ccos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+      val tot = emb(s, dir).agg(count(lit(1)).as("n_total"))
+      assigned
+        .select(col("label").as("cell"), col("native"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_assigned"),
+          sum((col("native") === col("cell")).cast("long")).as("n_native"))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_assigned"), col("n_native"),
+          (col("n_assigned").cast("double") / col("n_total").cast("double"))
+            .as("assigned_share"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH $centDuckCte,
+      cb AS (SELECT label, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label),
+      a AS (SELECT e.vec_id, e.label AS native, c.label AS cell,
+          ${Dedup.cosDuck("e.embedding", "c.cvec")} AS ccos
+        FROM embeddings e CROSS JOIN cb c),
+      r AS (SELECT vec_id, native, cell,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY ccos DESC, cell) AS rn FROM a),
+      t AS (SELECT count(*) AS n_total FROM embeddings)
+      SELECT cell, count(*) AS n_assigned,
+        sum(CASE WHEN native = cell THEN 1 ELSE 0 END)::BIGINT AS n_native,
+        count(*)::DOUBLE / n_total::DOUBLE AS assigned_share
+      FROM r, t WHERE rn = 1 GROUP BY cell, n_total ORDER BY cell"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102,
-    q112, q123, q127, q130, q134, q167)
+    q112, q123, q127, q130, q134, q167, q185)
 }

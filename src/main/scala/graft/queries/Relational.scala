@@ -547,7 +547,60 @@ object Relational {
         UNION ALL SELECT 'lineitem', count(*) FROM vl)
       ORDER BY tbl"""))
 
+  // ---------- q187: line-sequence contiguity audit --------------------
+
+  /** Data-integrity audit of l_linenumber sequences: per order, are
+    * the line numbers the contiguous run 1..n, and how many sequence
+    * slots are missing (max − count; duplicates would drive it
+    * negative, which the audit also surfaces)? Reported per order
+    * status — the q106/q169 integrity family extended from referential
+    * to ORDINAL integrity, the check an incremental exporter needs
+    * before trusting l_linenumber as a stable dedup key. Shape: one
+    * map-side-combined aggregate of lineitem on orderkey, joined to
+    * orders ON THE SAME KEY (co-partitioned shuffles — at 100 TB with
+    * both tables bucketed by orderkey this join is shuffle-free), then
+    * a |status|-row rollup.
+    */
+  private val q187 = QueryDef(
+    "q187_line_sequence_audit",
+    (s, dir) => {
+      val per = Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          max(col("l_linenumber")).cast("long").as("max_ln"),
+          min(col("l_linenumber")).as("min_ln"))
+        .select(col("l_orderkey"),
+          ((col("max_ln") === col("n_lines")) && (col("min_ln") === 1))
+            .cast("long").as("contiguous"),
+          (col("max_ln") - col("n_lines")).as("n_missing"))
+      per.join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("contiguous")).as("n_contiguous"),
+          sum(col("n_missing")).as("total_missing"),
+          max(col("n_missing")).as("max_missing"))
+        .select(col("o_orderstatus"), col("n_orders"), col("n_contiguous"),
+          (col("n_contiguous").cast("double") / col("n_orders").cast("double"))
+            .as("contiguous_share"),
+          col("total_missing"), col("max_missing"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH per AS (SELECT l_orderkey,
+          CASE WHEN max(l_linenumber) = count(*)
+            AND min(l_linenumber) = 1 THEN 1 ELSE 0 END AS contiguous,
+          max(l_linenumber)::BIGINT - count(*) AS n_missing
+        FROM lineitem GROUP BY 1)
+      SELECT o_orderstatus, count(*) AS n_orders,
+        sum(contiguous)::BIGINT AS n_contiguous,
+        sum(contiguous)::DOUBLE / count(*)::DOUBLE AS contiguous_share,
+        sum(n_missing)::BIGINT AS total_missing,
+        max(n_missing)::BIGINT AS max_missing
+      FROM per JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderstatus"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q62,
-      q106, q132, q135, q136, q169)
+      q106, q132, q135, q136, q169, q187)
 }
