@@ -1438,8 +1438,147 @@ object Analytics {
           / lag(revenue, 12) OVER (ORDER BY month) AS yoy_growth
       FROM m ORDER BY month"""))
 
+  // ---------- q188: Theil inequality decomposition --------------------
+
+  /** Theil T index of document-length inequality, decomposed into
+    * within-source and between-source components — the decomposable
+    * inequality measure (Gini, q99, is not decomposable): T = T_within
+    * + T_between exactly, so the report says HOW MUCH of corpus length
+    * skew is source mix vs within-source spread. Per-doc terms
+    * (x/μ)·ln(x/μ) use ratios of exact int64 counts (identical doubles
+    * both engines), are pinned to int64 nano-units at the row (the
+    * q172 rule — ln differs in the last ulp across libms), and sum
+    * exactly; the 5-per-group scalar combinations pin to pico-units
+    * the same way. Shape: two corpus aggregates (total, per-source)
+    * + one per-doc projection pass against broadcast totals — no
+    * shuffle wider than |sources|.
+    */
+  private val q188 = QueryDef(
+    "q188_theil_decomposition",
+    (s, dir) => {
+      val x = Fixtures.table(s, dir, "documents")
+        .select(col("source"), col("n_chars"))
+      val tot = broadcast(x.agg(sum(col("n_chars")).as("s_all"),
+        count(lit(1)).as("n_all")))
+      val grp = x.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("s_g"), count(lit(1)).as("n_g"))
+      val nanoTot = x.crossJoin(tot)
+        .select(expr("""CAST(round(
+            (CAST(n_chars * n_all AS DOUBLE) / CAST(s_all AS DOUBLE))
+            * ln(CAST(n_chars * n_all AS DOUBLE) / CAST(s_all AS DOUBLE))
+            * 1e9) AS BIGINT)""").as("nano"))
+        .agg(sum(col("nano")).as("nano_tot"))
+      val nanoG = x.join(broadcast(grp), "source")
+        .select(col("source"), expr("""CAST(round(
+            (CAST(n_chars * n_g AS DOUBLE) / CAST(s_g AS DOUBLE))
+            * ln(CAST(n_chars * n_g AS DOUBLE) / CAST(s_g AS DOUBLE))
+            * 1e9) AS BIGINT)""").as("nano"))
+        .groupBy(col("source")).agg(sum(col("nano")).as("nano_g"))
+      val parts = grp.join(nanoG, "source").crossJoin(tot)
+        .select(
+          expr("""CAST(round(CAST(s_g AS DOUBLE) / CAST(s_all AS DOUBLE)
+              * (CAST(nano_g AS DOUBLE) / 1e9 / CAST(n_g AS DOUBLE))
+              * 1e12) AS BIGINT)""").as("w_pico"),
+          expr("""CAST(round(CAST(s_g AS DOUBLE) / CAST(s_all AS DOUBLE)
+              * ln(CAST(s_g AS DOUBLE) / CAST(s_all AS DOUBLE)
+                * CAST(n_all AS DOUBLE) / CAST(n_g AS DOUBLE))
+              * 1e12) AS BIGINT)""").as("b_pico"))
+        .agg(sum(col("w_pico")).as("w"), sum(col("b_pico")).as("b"))
+      nanoTot.crossJoin(parts).crossJoin(tot)
+        .select(col("n_all").as("n_docs"),
+          (col("nano_tot").cast("double") / 1e9 / col("n_all").cast("double"))
+            .as("theil_total"),
+          (col("w").cast("double") / 1e12).as("theil_within"),
+          (col("b").cast("double") / 1e12).as("theil_between"))
+    },
+    Some("""WITH tot AS (SELECT sum(n_chars)::BIGINT AS s_all,
+          count(*) AS n_all FROM documents),
+      grp AS (SELECT source, sum(n_chars)::BIGINT AS s_g,
+          count(*) AS n_g FROM documents GROUP BY 1),
+      nano_tot AS (SELECT sum(round(
+          ((n_chars * n_all)::DOUBLE / s_all::DOUBLE)
+          * ln((n_chars * n_all)::DOUBLE / s_all::DOUBLE)
+          * 1e9)::BIGINT)::BIGINT AS nano_tot FROM documents, tot),
+      nano_g AS (SELECT d.source, sum(round(
+          ((n_chars * n_g)::DOUBLE / s_g::DOUBLE)
+          * ln((n_chars * n_g)::DOUBLE / s_g::DOUBLE)
+          * 1e9)::BIGINT)::BIGINT AS nano_g
+        FROM documents d JOIN grp g ON g.source = d.source GROUP BY 1),
+      parts AS (SELECT
+          sum(round(s_g::DOUBLE / s_all::DOUBLE
+            * (nano_g::DOUBLE / 1e9 / n_g::DOUBLE)
+            * 1e12)::BIGINT)::BIGINT AS w,
+          sum(round(s_g::DOUBLE / s_all::DOUBLE
+            * ln(s_g::DOUBLE / s_all::DOUBLE
+              * n_all::DOUBLE / n_g::DOUBLE)
+            * 1e12)::BIGINT)::BIGINT AS b
+        FROM grp JOIN nano_g USING (source), tot)
+      SELECT n_all AS n_docs,
+        nano_tot::DOUBLE / 1e9 / n_all::DOUBLE AS theil_total,
+        w::DOUBLE / 1e12 AS theil_within,
+        b::DOUBLE / 1e12 AS theil_between
+      FROM nano_tot, parts, tot"""))
+
+  // ---------- q189: market concentration (HHI) ------------------------
+
+  /** Herfindahl–Hirschman concentration of supplier-nation revenue
+    * within each region — the antitrust-style concentration metric a
+    * marketplace reports per market: HHI = Σ share² over the region's
+    * nations (1/n = perfectly split, 1 = monopoly). Revenue sums stay
+    * DECIMAL end-to-end (never summing doubles), shares are one
+    * division of the exact sums, and the ≤|nations| share² terms pin
+    * to pico-units before summing so group iteration order can't
+    * perturb the double. Shape: one fact aggregate on (region,
+    * nation) via broadcast dims, then a |nations|-row rollup.
+    */
+  private val q189 = QueryDef(
+    "q189_market_hhi",
+    (s, dir) => {
+      val supGeo = Fixtures.table(s, dir, "supplier")
+        .join(Fixtures.table(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Fixtures.table(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("n_name"), col("r_name"))
+      val revN = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(supGeo), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(expr("cast(l_extendedprice * (1.0 - l_discount) " +
+          "AS DECIMAL(18,4))")).as("rev_n"))
+      val revR = revN.groupBy(col("r_name"))
+        .agg(sum(col("rev_n")).as("rev_r"), count(lit(1)).as("n_nations"))
+      revN.join(revR, "r_name")
+        .select(col("r_name"), col("n_nations"),
+          expr("""CAST(round(
+              CAST(rev_n AS DOUBLE) / CAST(rev_r AS DOUBLE)
+              * (CAST(rev_n AS DOUBLE) / CAST(rev_r AS DOUBLE))
+              * 1e12) AS BIGINT)""").as("pico"))
+        .groupBy(col("r_name"), col("n_nations"))
+        .agg(sum(col("pico")).as("p"))
+        .select(col("r_name"), col("n_nations"),
+          (col("p").cast("double") / 1e12).as("hhi"))
+        .orderBy("r_name")
+    },
+    Some("""WITH rev_n AS (SELECT r_name, n_name,
+          sum(cast(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,4))) AS rev_n
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+      rev_r AS (SELECT r_name, sum(rev_n) AS rev_r,
+          count(*) AS n_nations FROM rev_n GROUP BY 1)
+      SELECT r_name, n_nations,
+        sum(round(rev_n::DOUBLE / rev_r::DOUBLE
+          * (rev_n::DOUBLE / rev_r::DOUBLE) * 1e12)::BIGINT)::DOUBLE
+          / 1e12 AS hhi
+      FROM rev_n JOIN rev_r USING (r_name)
+      GROUP BY 1, 2 ORDER BY r_name"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
-      q174, q175, q176, q181, q182, q186)
+      q174, q175, q176, q181, q182, q186, q188, q189)
 }

@@ -2078,6 +2078,85 @@ object Dedup {
         n_shingles::DOUBLE / t::DOUBLE AS share
       FROM spec, tot ORDER BY bucket_log2"""))
 
+  // ---------- q190: ranker agreement (cosine vs BM25) ------------------
+
+  /** Top-k set agreement between the two sparse rankers (q57 TF-cosine
+    * and q93 BM25) per query — the retrieval-stack audit that says
+    * whether the q115 fusion is blending two OPINIONS or two copies:
+    * Jaccard of the two top-k doc sets, exact integers until the one
+    * final division. Both rankings come off their PlanCache'd top-k
+    * tables (|queries|·k rows each), so the audit costs three
+    * k-row-scale aggregates — nothing corpus-sized moves. The oracle
+    * recomputes both chains independently (the q115 dual-CTE mirror).
+    */
+  private val q190 = QueryDef(
+    "q190_ranker_overlap",
+    (s, dir) => {
+      val cosR = q57.fn(s, dir).select(col("query_id"), col("doc_id"))
+      val bmR = q93.fn(s, dir).select(col("query_id"), col("doc_id"))
+      val na = cosR.groupBy(col("query_id")).agg(count(lit(1)).as("n_cos"))
+      val nb = bmR.groupBy(col("query_id")).agg(count(lit(1)).as("n_bm25"))
+      val common = cosR.join(bmR, Seq("query_id", "doc_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("nc"))
+      na.join(nb, "query_id")
+        .join(common, Seq("query_id"), "left_outer")
+        .select(col("query_id"), col("n_cos"), col("n_bm25"),
+          coalesce(col("nc"), lit(0L)).as("n_common"),
+          (coalesce(col("nc"), lit(0L)).cast("double")
+            / (col("n_cos") + col("n_bm25") - coalesce(col("nc"), lit(0L)))
+              .cast("double")).as("jaccard"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+        unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      n2 AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY 1),
+      dots AS (SELECT q.doc_id AS query_id, c.doc_id,
+          sum(c.tf * q.tf)::BIGINT AS dot
+        FROM tf c JOIN tf q ON q.tok = c.tok
+        WHERE q.doc_id < $NSparseQueries AND c.doc_id <> q.doc_id
+        GROUP BY 1, 2),
+      cscored AS (SELECT query_id, dots.doc_id AS doc_id,
+          dot::DOUBLE / sqrt((x.n2 * y.n2)::DOUBLE) AS cosine
+        FROM dots JOIN n2 x ON x.doc_id = query_id
+        JOIN n2 y ON y.doc_id = dots.doc_id),
+      cr AS (SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+        FROM cscored),
+      ctop AS (SELECT query_id, doc_id FROM cr WHERE rnk <= $KSparse),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      qterms AS (SELECT DISTINCT doc_id AS query_id, tok FROM tf
+        WHERE doc_id < $NSparseQueries),
+      terms AS (SELECT q.query_id, c.doc_id,
+          round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 12)
+            * (c.tf * 2.2)
+            / (c.tf + 1.2 * (0.25
+              + 0.75 * (dl.dl / (sum_dl::DOUBLE / n_docs)))) AS ts
+        FROM tf c JOIN qterms q ON q.tok = c.tok
+        JOIN dft ON dft.tok = c.tok
+        JOIN dl ON dl.doc_id = c.doc_id, corpus
+        WHERE c.doc_id <> q.query_id),
+      bscored AS (SELECT query_id, doc_id,
+          sum(round(ts * 1e9)::BIGINT) AS su
+        FROM terms GROUP BY 1, 2),
+      br AS (SELECT query_id, doc_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY su DESC, doc_id) AS rnk
+        FROM bscored),
+      btop AS (SELECT query_id, doc_id FROM br WHERE rnk <= $KSparse),
+      na AS (SELECT query_id, count(*) AS n_cos FROM ctop GROUP BY 1),
+      nb AS (SELECT query_id, count(*) AS n_bm25 FROM btop GROUP BY 1),
+      cm AS (SELECT c.query_id, count(*) AS nc FROM ctop c
+        JOIN btop b ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+        GROUP BY 1)
+      SELECT query_id, n_cos, n_bm25,
+        coalesce(nc, 0)::BIGINT AS n_common,
+        coalesce(nc, 0)::DOUBLE
+          / (n_cos + n_bm25 - coalesce(nc, 0))::DOUBLE AS jaccard
+      FROM na JOIN nb USING (query_id) LEFT JOIN cm USING (query_id)
+      ORDER BY query_id"""))
+
   // ---------- q184: near-dup cluster language purity -------------------
 
   /** Language purity of the threshold-0.8 near-dup clusters — a
@@ -2124,5 +2203,5 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
-      q146, q148, q150, q151, q152, q154, q156, q157, q184)
+      q146, q148, q150, q151, q152, q154, q156, q157, q184, q190)
 }
