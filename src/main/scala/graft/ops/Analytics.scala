@@ -1577,8 +1577,63 @@ object Analytics {
       FROM rev_n JOIN rev_r USING (r_name)
       GROUP BY 1, 2 ORDER BY r_name"""))
 
+  // ---------- q192: running stock balance ------------------------------
+
+  /** Monthly cumulative shipped quantity for the 5 highest-volume
+    * parts — the running-balance ledger shape (inventory, account
+    * balances, capacity burn-down): one fact aggregate to (part,
+    * month) rows, then a cumulative window PARTITIONED BY part, so
+    * each sort is |months|-bounded and parts parallelize freely — the
+    * global-sort-free way to compute balances at any scale. Seeds are
+    * a TakeOrdered top-k. Quantities stay DECIMAL through both the
+    * monthly sum and the cumulative window sum (a window over doubles
+    * would accumulate order-dependently), cast to double only in the
+    * final projection.
+    */
+  private val q192 = QueryDef(
+    "q192_running_balance",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+          col("l_quantity"))
+      val seeds = li.groupBy(col("l_partkey"))
+        .agg(sum(expr("cast(l_quantity AS DECIMAL(18,4))")).as("tq"))
+        .orderBy(col("tq").desc, col("l_partkey")).limit(5)
+        .select(col("l_partkey"))
+      val monthly = li.join(broadcast(seeds), "l_partkey")
+        .groupBy(col("l_partkey"), col("month"))
+        .agg(sum(expr("cast(l_quantity AS DECIMAL(18,4))")).as("q_month"),
+          count(lit(1)).as("n_lines"))
+      val w = Window.partitionBy(col("l_partkey")).orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .withColumn("balance", sum(col("q_month")).over(w))
+        .select(col("l_partkey"), col("month"), col("n_lines"),
+          col("q_month").cast("double").as("q_month"),
+          col("balance").cast("double").as("balance"))
+        .orderBy("l_partkey", "month")
+    },
+    Some("""WITH li AS (SELECT l_partkey,
+          date_trunc('month', l_shipdate)::DATE AS month,
+          l_quantity FROM lineitem),
+      seeds AS (SELECT l_partkey FROM li
+        GROUP BY 1 ORDER BY sum(cast(l_quantity AS DECIMAL(18,4))) DESC,
+          l_partkey LIMIT 5),
+      monthly AS (SELECT l_partkey, month,
+          sum(cast(l_quantity AS DECIMAL(18,4))) AS q_month,
+          count(*) AS n_lines
+        FROM li JOIN seeds USING (l_partkey) GROUP BY 1, 2)
+      SELECT l_partkey, month, n_lines,
+        q_month::DOUBLE AS q_month,
+        (sum(q_month) OVER (PARTITION BY l_partkey ORDER BY month
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+          AS balance
+      FROM monthly ORDER BY l_partkey, month"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
-      q174, q175, q176, q181, q182, q186, q188, q189)
+      q174, q175, q176, q181, q182, q186, q188, q189, q192)
 }

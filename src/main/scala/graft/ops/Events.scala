@@ -1817,8 +1817,150 @@ object Events {
         dev::DOUBLE / 1e6 AS deviation, a::INT AS alarm
       FROM c ORDER BY d"""))
 
+  // ---------- q191: linear multi-touch attribution --------------------
+
+  /** Linear (equal-credit) multi-touch attribution — the fairness
+    * counterpart to q126's last-touch: each purchase splits one unit
+    * of credit (and its revenue) EQUALLY across the distinct non-
+    * purchase channels the user touched in the 7-day lookback;
+    * touchless purchases credit 'direct'. Credit quantizes to exact
+    * integer micro-units (round(1e6/n)) so channel totals sum exact
+    * int64 regardless of aggregation order — the documented cost is
+    * ≤0.5 µ-credit per purchase. Shape: purchases range-join their own
+    * user's touch rows (per-user key + lookback bound — never a
+    * corpus cross), distinct channels per purchase, two bounded
+    * aggregates. The anti-join for 'direct' reuses the same join key.
+    */
+  private val q191 = QueryDef(
+    "q191_linear_attribution",
+    (s, dir) => {
+      val LookbackUs = 604800000000L // 7 days in µs
+      val base = ev(s, dir)
+        .where(col("event_type").isin("view", "click", "signup", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"),
+          expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").as("us"))
+      val touches = base.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("us").as("t_us"))
+      val purch = base.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"), col("value"))
+      val j = purch.join(touches, "user_id")
+        .where(col("t_us") < col("us") &&
+          col("t_us") >= col("us") - LookbackUs)
+        .select(col("event_id"), col("value"), col("channel")).distinct()
+      val n = j.groupBy(col("event_id")).agg(count(lit(1)).as("n_ch"))
+      val credited = j.join(n, "event_id")
+        .select(col("channel"),
+          expr("CAST(round(1e6 / n_ch) AS BIGINT)").as("c_micro"),
+          expr("CAST(round(value * 1e6 / n_ch) AS BIGINT)").as("v_micro"))
+      val direct = purch
+        .join(j.select(col("event_id")).distinct(), Seq("event_id"),
+          "left_anti")
+        .select(lit("direct").as("channel"), lit(1000000L).as("c_micro"),
+          expr("CAST(round(value * 1e6) AS BIGINT)").as("v_micro"))
+      credited.unionAll(direct)
+        .groupBy(col("channel"))
+        .agg((sum(col("c_micro")).cast("double") / 1e6)
+          .as("credited_purchases"),
+          (sum(col("v_micro")).cast("double") / 1e6).as("credited_revenue"))
+        .orderBy("channel")
+    },
+    Some("""WITH base AS (SELECT user_id, event_id, event_type, value,
+          epoch_us(ts) AS us FROM events
+        WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+      touches AS (SELECT user_id, event_type AS channel, us AS t_us
+        FROM base WHERE event_type <> 'purchase'),
+      purch AS (SELECT user_id, event_id, us, value FROM base
+        WHERE event_type = 'purchase'),
+      j AS (SELECT DISTINCT p.event_id, p.value, t.channel
+        FROM purch p JOIN touches t ON t.user_id = p.user_id
+          AND t.t_us < p.us AND t.t_us >= p.us - 604800000000),
+      n AS (SELECT event_id, count(*) AS n_ch FROM j GROUP BY 1),
+      credited AS (SELECT channel,
+          round(1e6 / n_ch)::BIGINT AS c_micro,
+          round(value * 1e6 / n_ch)::BIGINT AS v_micro
+        FROM j JOIN n USING (event_id)),
+      direct AS (SELECT 'direct' AS channel, 1000000::BIGINT AS c_micro,
+          round(value * 1e6)::BIGINT AS v_micro
+        FROM purch WHERE event_id NOT IN (SELECT event_id FROM j))
+      SELECT channel,
+        sum(c_micro)::DOUBLE / 1e6 AS credited_purchases,
+        sum(v_micro)::DOUBLE / 1e6 AS credited_revenue
+      FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+      GROUP BY 1 ORDER BY channel"""))
+
+  // ---------- q193: time-boxed conversion funnel -----------------------
+
+  /** The q53 funnel with CONVERSION WINDOWS — the form product
+    * analytics actually reports: a click counts only within 1 hour of
+    * the user's first view, a purchase only within 24 hours of that
+    * click. Time-boxing changes the answer (q53's unbounded funnel
+    * over-counts late conversions) and the implementation: each stage
+    * is still one min-aggregate joined forward on user_id, with the
+    * window bound as a join-range predicate — per-user work, one
+    * shuffle per stage on the same key, |users| rows between stages.
+    * Output is the 3-row stage table with exact counts and one
+    * division per rate.
+    */
+  private val q193 = QueryDef(
+    "q193_timeboxed_funnel",
+    (s, dir) => {
+      val HourUs = 3600000000L
+      val DayUs = 86400000000L
+      val base = ev(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").as("us"))
+      val v = base.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      val c = base.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("us") > col("t_view") &&
+          col("us") <= col("t_view") + HourUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+      val p = base.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("us") > col("t_click") &&
+          col("us") <= col("t_click") + DayUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+      val nv = v.agg(count(lit(1)).as("n")).select(lit(1).as("stage"),
+        lit("view").as("name"), col("n"))
+      val nc = c.agg(count(lit(1)).as("n")).select(lit(2).as("stage"),
+        lit("click_1h").as("name"), col("n"))
+      val np = p.agg(count(lit(1)).as("n")).select(lit(3).as("stage"),
+        lit("purchase_24h").as("name"), col("n"))
+      val stages = nv.unionAll(nc).unionAll(np)
+      val first = nv.select(col("n").as("n0"))
+      stages.crossJoin(broadcast(first))
+        .select(col("stage"), col("name"), col("n"),
+          (col("n").cast("double") / col("n0").cast("double"))
+            .as("rate_vs_first"))
+        .orderBy("stage")
+    },
+    Some("""WITH base AS (SELECT user_id, event_type, epoch_us(ts) AS us
+          FROM events),
+      v AS (SELECT user_id, min(us) AS t_view FROM base
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT b.user_id, min(b.us) AS t_click FROM base b
+        JOIN v ON v.user_id = b.user_id AND b.us > v.t_view
+          AND b.us <= v.t_view + 3600000000
+        WHERE b.event_type = 'click' GROUP BY 1),
+      p AS (SELECT b.user_id, min(b.us) AS t_purchase FROM base b
+        JOIN c ON c.user_id = b.user_id AND b.us > c.t_click
+          AND b.us <= c.t_click + 86400000000
+        WHERE b.event_type = 'purchase' GROUP BY 1),
+      stages AS (
+        SELECT 1 AS stage, 'view' AS name, count(*) AS n FROM v
+        UNION ALL SELECT 2, 'click_1h', count(*) FROM c
+        UNION ALL SELECT 3, 'purchase_24h', count(*) FROM p),
+      f AS (SELECT n AS n0 FROM stages WHERE stage = 1)
+      SELECT stage, name, n::BIGINT AS n,
+        n::DOUBLE / n0::DOUBLE AS rate_vs_first
+      FROM stages, f ORDER BY stage"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
-      q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179)
+      q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
+      q191, q193)
 }

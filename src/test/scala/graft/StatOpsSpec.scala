@@ -63,4 +63,41 @@ class StatOpsSpec extends SparkSpec {
     assert(vs.length === 64)
     assert(math.abs(vs.map(math.abs).max - 1.0) < 1e-12)
   }
+
+  test("q188 Theil decomposition sums: within + between == total " +
+    "(up to the documented pico/nano quantization)") {
+    val r = run("q188_theil_decomposition").collect().head
+    val (total, within, between) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(total > 0.0, "length inequality should be nonzero")
+    assert(within >= -1e-9 && between >= -1e-9,
+      "Theil components are non-negative")
+    // terms are pinned at 1e-9 per doc / 1e-12 per group; the identity
+    // holds up to that quantization budget
+    assert(math.abs(total - (within + between)) < 1e-6,
+      s"decomposition broken: $total vs $within + $between")
+  }
+
+  test("q189 HHI lies in [1/n_nations, 1] for every region") {
+    val rows = run("q189_market_hhi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (region, n, hhi) =>
+      assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9,
+        s"$region: hhi $hhi outside [1/$n, 1]")
+    }
+  }
+
+  test("q180 rendezvous hashing moves ~1/17 of keys on 16->17 growth; " +
+    "mod-N moves an order of magnitude more") {
+    val rows = run("q180_reshard_audit").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val (hrw, mod) = (rows("hrw"), rows("mod"))
+    // theory: HRW moves 1/17 ~ 5.9% in expectation; mod moves 1 - 1/17
+    // of residues ~ 94%. Wide tolerances: sf0.001 has 500 keys.
+    assert(hrw < 0.15, s"HRW moved $hrw - should be near 1/17")
+    assert(mod > 0.8, s"mod-N moved only $mod - should be near 16/17")
+    assert(hrw < mod / 4,
+      "rendezvous must beat mod-N by a wide margin or the audit lies")
+  }
 }
