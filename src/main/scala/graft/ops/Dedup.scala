@@ -2157,6 +2157,54 @@ object Dedup {
       FROM na JOIN nb USING (query_id) LEFT JOIN cm USING (query_id)
       ORDER BY query_id"""))
 
+  // ---------- q194: near-dup transitivity audit ------------------------
+
+  /** How transitive is the ≥0.8 similarity relation — of all wedges
+    * (node pairs sharing a neighbor in the near-dup graph), what
+    * fraction are themselves a ≥0.8 pair? High closure says the
+    * threshold induces coherent clusters (components ≈ cliques, so
+    * q49's transitive apply deletes what a pairwise policy would);
+    * low closure says components chain unlike documents together and
+    * the q118 keep-best policy is deleting non-duplicates. Shape:
+    * the pair table is dup-scale (≪ corpus); wedges come from one
+    * self-join on the shared-neighbor key and close against the pair
+    * table itself — all |pairs|-sized work. Exact integers, one
+    * division.
+    */
+  private val q194 = QueryDef(
+    "q194_dedup_transitivity",
+    (s, dir) => {
+      val p = jaccardPairs(s, dir, 0.8).select(col("doc_a"), col("doc_b"))
+      val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val wedges = edges.select(col("v").as("mid"), col("u"))
+        .join(edges.select(col("v").as("w"), col("u").as("mid2")),
+          col("mid") === col("mid2"))
+        .where(col("u") < col("w"))
+        .select(col("u"), col("w")).distinct()
+      val closed = wedges.join(p,
+        col("u") === col("doc_a") && col("w") === col("doc_b"))
+        .agg(count(lit(1)).as("n_closed"))
+      val np = p.agg(count(lit(1)).as("n_pairs"))
+      val nw = wedges.agg(count(lit(1)).as("n_wedges"))
+      np.crossJoin(nw).crossJoin(closed)
+        .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+          (col("n_closed").cast("double") / col("n_wedges").cast("double"))
+            .as("closure_rate"))
+    },
+    Some(s"""WITH ${jaccardPairsDuckCte(0.8)},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      wedges AS (SELECT DISTINCT a.u, b.v AS w
+        FROM edges a JOIN edges b ON a.v = b.u AND a.u < b.v),
+      closed AS (SELECT count(*) AS n_closed FROM wedges
+        JOIN pairs ON u = doc_a AND w = doc_b),
+      np AS (SELECT count(*) AS n_pairs FROM pairs),
+      nw AS (SELECT count(*) AS n_wedges FROM wedges)
+      SELECT n_pairs, n_wedges, n_closed,
+        n_closed::DOUBLE / n_wedges::DOUBLE AS closure_rate
+      FROM np, nw, closed"""))
+
   // ---------- q184: near-dup cluster language purity -------------------
 
   /** Language purity of the threshold-0.8 near-dup clusters — a
@@ -2203,5 +2251,5 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
-      q146, q148, q150, q151, q152, q154, q156, q157, q184, q190)
+      q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194)
 }

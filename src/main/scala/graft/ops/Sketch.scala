@@ -680,7 +680,81 @@ object Sketch {
       FROM (SELECT * FROM hrwm UNION ALL SELECT * FROM modm)
       ORDER BY method"""))
 
+  // ---------- q195: Poisson-bootstrap confidence interval --------------
+
+  /** Bootstrap CI for the mean order value via the POISSON bootstrap —
+    * the resampling scheme that actually works distributed: instead of
+    * drawing n rows with replacement (which needs global coordination),
+    * each row independently receives a Poisson(1) replication weight
+    * per resample, giving the same asymptotics with a row-local
+    * projection. Weights are DETERMINISTIC — u = h32('boot_'‖key‖b)
+    * mod 1e6 inverted through the Poisson(1) CDF as fixed integer
+    * thresholds — so both engines draw the identical 40 resamples.
+    * Weighted sums stay DECIMAL; the CI is exact rank statistics (2nd
+    * and 39th of the 40 resample means — a ~5/95 band). Shape: a 40×
+    * row fan-out of a 2-column projection into a 40-group aggregate;
+    * the rank step sorts 40 rows. At 100 TB nothing but the scan and
+    * one 40-key shuffle.
+    */
+  private val q195 = QueryDef(
+    "q195_bootstrap_ci",
+    (s, dir) => {
+      val B = 40
+      val wCase = """CASE WHEN u < 367879 THEN 0L WHEN u < 735759 THEN 1L
+        WHEN u < 919699 THEN 2L WHEN u < 981012 THEN 3L
+        WHEN u < 996340 THEN 4L WHEN u < 999406 THEN 5L
+        WHEN u < 999917 THEN 6L WHEN u < 999990 THEN 7L ELSE 8L END"""
+      val o = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val means = o
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .select(col("b"), col("o_totalprice"),
+          expr(s"${Portable.h32Spark("concat('boot_', o_orderkey, '_', b)")}" +
+            " % 1000000").as("u"))
+        .withColumn("wt", expr(wCase))
+        .groupBy(col("b"))
+        .agg(sum(expr("cast(o_totalprice * wt AS DECIMAL(18,4))")).as("sw"),
+          sum(col("wt")).as("nw"))
+        .select(col("b"),
+          (col("sw").cast("double") / col("nw").cast("double")).as("m"))
+      val w = Window.orderBy(col("m"), col("b"))
+      val ci = means.withColumn("rn", row_number().over(w))
+        .agg(max(expr("CASE WHEN rn = 2 THEN m END")).as("boot_lo"),
+          max(expr(s"CASE WHEN rn = ${B - 1} THEN m END")).as("boot_hi"))
+      val base = o.agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(o_totalprice AS DECIMAL(18,4))")).as("sp"))
+        .select(col("n_orders"),
+          (col("sp").cast("double") / col("n_orders").cast("double"))
+            .as("mean_price"))
+      base.crossJoin(ci)
+        .select(col("n_orders"), col("mean_price"), col("boot_lo"),
+          col("boot_hi"))
+    },
+    Some(s"""WITH ex AS (SELECT o_orderkey, o_totalprice, b,
+          ${Portable.h32Duck("'boot_' || o_orderkey || '_' || b")} % 1000000
+            AS u
+        FROM orders CROSS JOIN
+          (SELECT unnest(generate_series(0, 39)) AS b)),
+      wt AS (SELECT b, o_totalprice,
+          CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+            WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+            WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+            WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7 ELSE 8 END
+            AS wt FROM ex),
+      means AS (SELECT b,
+          sum(cast(o_totalprice * wt AS DECIMAL(18,4)))::DOUBLE
+            / sum(wt)::DOUBLE AS m
+        FROM wt GROUP BY 1),
+      r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means),
+      ci AS (SELECT max(CASE WHEN rn = 2 THEN m END) AS boot_lo,
+          max(CASE WHEN rn = 39 THEN m END) AS boot_hi FROM r),
+      base AS (SELECT count(*) AS n_orders,
+          sum(cast(o_totalprice AS DECIMAL(18,4)))::DOUBLE
+            / count(*)::DOUBLE AS mean_price FROM orders)
+      SELECT n_orders, mean_price, boot_lo, boot_hi FROM base, ci"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
-      q180)
+      q180, q195)
 }
