@@ -345,6 +345,18 @@ object Dedup {
     */
   private[graft] def jaccardPairs(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
+    // The 0.8 table is the one the registry shares (q20/q38/q39/q124/
+    // q194/ccLabels/Curate all start from it) — PlanCache it so the
+    // posting self-join runs once per (session, dir); other thresholds
+    // are one-off probes (q150 sensitivity) and stay uncached.
+    if (threshold == 0.8)
+      PlanCache.getOrBuild(s, dir, "pairs_0.8")(
+        jaccardPairsUncached(s, dir, threshold))
+    else jaccardPairsUncached(s, dir, threshold)
+  }
+
+  private def jaccardPairsUncached(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     // three consumers (sizes + both join sides) → materialize once.
     val inv = persistedInverted(s, dir)
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

