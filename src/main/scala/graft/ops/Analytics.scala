@@ -1631,8 +1631,135 @@ object Analytics {
           AS balance
       FROM monthly ORDER BY l_partkey, month"""))
 
+  // ---------- q196: cohort lifetime value -------------------------------
+
+  /** Cumulative revenue per customer by acquisition-quarter cohort —
+    * the LTV curve that prices acquisition spend: cohort = quarter of
+    * the customer's FIRST order (one min-aggregate on custkey), age =
+    * quarters since, and the curve is a cumulative DECIMAL window sum
+    * per cohort divided by the cohort's customer count. The window
+    * partitions by cohort and sorts the ≤|quarters| ages — calendar-
+    * bounded per partition (the q59/q186 argument). Quarter index
+    * arithmetic (year·4 + quarter) is exact integer in both engines.
+    * Two shuffles total: first-order aggregate, (cohort, age)
+    * aggregate.
+    */
+  private val q196 = QueryDef(
+    "q196_cohort_ltv",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Fixtures.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"),
+          (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
+            .as("qi"))
+      val first = o.groupBy(col("o_custkey"))
+        .agg(min(col("qi")).as("cohort_qi"))
+      val sizes = first.groupBy(col("cohort_qi"))
+        .agg(count(lit(1)).as("n_customers"))
+      val rev = o.join(first, "o_custkey")
+        .groupBy(col("cohort_qi"), (col("qi") - col("cohort_qi")).as("age_q"))
+        .agg(sum(expr("cast(o_totalprice AS DECIMAL(18,4))")).as("rev_q"))
+      val w = Window.partitionBy(col("cohort_qi")).orderBy(col("age_q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_rev", sum(col("rev_q")).over(w))
+        .join(broadcast(sizes), "cohort_qi")
+        .select(col("cohort_qi"), col("age_q"), col("n_customers"),
+          col("rev_q").cast("double").as("rev_q"),
+          (col("cum_rev").cast("double") / col("n_customers").cast("double"))
+            .as("ltv_per_customer"))
+        .orderBy("cohort_qi", "age_q")
+    },
+    Some("""WITH o AS (SELECT o_custkey, o_totalprice,
+          year(o_orderdate) * 4 + quarter(o_orderdate) AS qi FROM orders),
+      first AS (SELECT o_custkey, min(qi) AS cohort_qi FROM o GROUP BY 1),
+      sizes AS (SELECT cohort_qi, count(*) AS n_customers FROM first
+        GROUP BY 1),
+      rev AS (SELECT cohort_qi, qi - cohort_qi AS age_q,
+          sum(cast(o_totalprice AS DECIMAL(18,4))) AS rev_q
+        FROM o JOIN first USING (o_custkey) GROUP BY 1, 2)
+      SELECT cohort_qi, age_q, n_customers,
+        rev_q::DOUBLE AS rev_q,
+        (sum(rev_q) OVER (PARTITION BY cohort_qi ORDER BY age_q
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+          / n_customers::DOUBLE AS ltv_per_customer
+      FROM rev JOIN sizes USING (cohort_qi)
+      ORDER BY cohort_qi, age_q"""))
+
+  // ---------- q197: single-source supply risk ---------------------------
+
+  /** Supply-concentration risk: for every part, how much its TOP
+    * supplier dominates, measured scale-free as concentration ratio =
+    * top_share · n_suppliers (1 = perfectly even split, n = single-
+    * sourced) and bucketed into four dependency bands — the
+    * procurement audit that finds over-reliant parts regardless of how
+    * many suppliers a part nominally has (absolute-share cutoffs
+    * degenerate when every part has ~15 suppliers, as here). Ratios
+    * divide DECIMAL quantity sums (identical doubles both engines, so
+    * band boundaries can't flip); the per-band mean pins to exact
+    * micro-units before summing. Shape: one (part, supplier)
+    * aggregate, an argmax inside the per-part partition, a 4-row
+    * rollup.
+    */
+  private val q197 = QueryDef(
+    "q197_supply_risk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ps = Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(expr("cast(l_quantity AS DECIMAL(18,4))")).as("q"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val top = ps
+        .withColumn("q_max", max(col("q")).over(w))
+        .withColumn("q_tot", sum(col("q")).over(w))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .where(col("q") === col("q_max"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("n_supp")).as("n_supp"),
+          max((col("q_max").cast("double") / col("q_tot").cast("double")))
+            .as("top_share"))
+      top
+        .withColumn("ratio",
+          col("top_share") * col("n_supp").cast("double"))
+        .select(col("l_partkey"), col("n_supp"),
+          expr("""CASE WHEN ratio > 3.0 THEN 'd_ratio>3'
+            WHEN ratio > 2.0 THEN 'c_ratio(2,3]'
+            WHEN ratio > 1.5 THEN 'b_ratio(1.5,2]'
+            ELSE 'a_ratio<=1.5' END""").as("band"),
+          expr("CAST(round(ratio * 1e6) AS BIGINT)").as("ratio_micro"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum((col("n_supp") === 1).cast("long")).as("n_single_sourced"),
+          (sum(col("ratio_micro")).cast("double")
+            / count(lit(1)).cast("double") / 1e6).as("mean_ratio"))
+        .orderBy("band")
+    },
+    Some("""WITH ps AS (SELECT l_partkey, l_suppkey,
+          sum(cast(l_quantity AS DECIMAL(18,4))) AS q
+        FROM lineitem GROUP BY 1, 2),
+      agg AS (SELECT l_partkey, q,
+          max(q) OVER (PARTITION BY l_partkey) AS q_max,
+          sum(q) OVER (PARTITION BY l_partkey) AS q_tot,
+          count(*) OVER (PARTITION BY l_partkey) AS n_supp
+        FROM ps),
+      top AS (SELECT l_partkey, max(n_supp) AS n_supp,
+          max(q_max::DOUBLE / q_tot::DOUBLE) AS top_share
+        FROM agg WHERE q = q_max GROUP BY 1),
+      banded AS (SELECT l_partkey, n_supp,
+          CASE WHEN top_share * n_supp > 3.0 THEN 'd_ratio>3'
+            WHEN top_share * n_supp > 2.0 THEN 'c_ratio(2,3]'
+            WHEN top_share * n_supp > 1.5 THEN 'b_ratio(1.5,2]'
+            ELSE 'a_ratio<=1.5' END AS band,
+          round(top_share * n_supp * 1e6)::BIGINT AS ratio_micro
+        FROM top)
+      SELECT band, count(*) AS n_parts,
+        sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END)::BIGINT
+          AS n_single_sourced,
+        sum(ratio_micro)::DOUBLE / count(*)::DOUBLE / 1e6
+          AS mean_ratio
+      FROM banded GROUP BY 1 ORDER BY band"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
-      q174, q175, q176, q181, q182, q186, q188, q189, q192)
+      q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197)
 }

@@ -815,7 +815,60 @@ object TextOps {
       SELECT doc_id, rank::INT AS rank, tok, score FROM ranked
       WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  // ---------- q198: language-ID confusion matrix ----------------------
+
+  /** Confusion matrix of the q15 stopword classifier against the
+    * labeled `lang` column — the classifier AUDIT a pipeline runs
+    * before trusting an automatic language filter: which labels leak
+    * into which predictions, and each label's recall. Reuses q15's
+    * exact prediction (same QueryDef function, so the two can never
+    * drift), collapses to |langs|² cells, and computes recall as one
+    * division of exact counts against the per-label broadcast total.
+    * One corpus pass; output is vocabulary-of-labels sized.
+    */
+  private val q198 = QueryDef(
+    "q198_langid_confusion",
+    (s, dir) => {
+      val pred = q15.fn(s, dir)
+        .select(col("lang_label"), col("lang_pred"))
+      val cells = pred.groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val perLabel = cells.groupBy(col("lang_label"))
+        .agg(sum(col("n")).as("n_label"))
+      cells.join(broadcast(perLabel), "lang_label")
+        .select(col("lang_label"), col("lang_pred"), col("n"),
+          (col("n").cast("double") / col("n_label").cast("double"))
+            .as("label_share"))
+        .orderBy("lang_label", "lang_pred")
+    },
+    Some("""WITH pred AS (SELECT lang AS lang_label,
+        CASE
+          WHEN hits_en >= hits_de AND hits_en >= hits_es
+            AND hits_en >= hits_fr THEN 'en'
+          WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+          WHEN hits_es >= hits_fr THEN 'es'
+          ELSE 'fr' END AS lang_pred
+        FROM (
+          SELECT lang,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','of','to','and','is'))) AS hits_en,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('der','die','das','und','ist'))) AS hits_de,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('el','los','las','y','es'))) AS hits_es,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('le','les','et','est','une'))) AS hits_fr
+          FROM documents)),
+      cells AS (SELECT lang_label, lang_pred, count(*) AS n
+        FROM pred GROUP BY 1, 2),
+      per_label AS (SELECT lang_label, sum(n)::BIGINT AS n_label
+        FROM cells GROUP BY 1)
+      SELECT lang_label, lang_pred, n,
+        n::DOUBLE / n_label::DOUBLE AS label_share
+      FROM cells JOIN per_label USING (lang_label)
+      ORDER BY lang_label, lang_pred"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
-      q153, q155, q165, q177)
+      q153, q155, q165, q177, q198)
 }
