@@ -757,7 +757,89 @@ object Sketch {
             / count(*)::DOUBLE AS mean_price FROM orders)
       SELECT n_orders, mean_price, boot_lo, boot_hi FROM base, ci"""))
 
+  // ---------- q200: KMV set-overlap estimate (join-size audit) ---------
+
+  /** Sketch-driven join planning audit: estimate the distinct-key
+    * overlap between orders.o_custkey (active customers) and
+    * customer.c_custkey (all customers) from two KMV sketches via
+    * inclusion–exclusion (est A + est B − est A∪B), next to the exact
+    * answer — the cardinality-estimation step a cost-based planner
+    * runs before choosing a join strategy, made auditable. All three
+    * sketches reuse q35's bounded-state KmvAgg (≤ K hashes cross any
+    * shuffle; the union sketch reads the two key streams, never a
+    * joined table). Same estimate arithmetic as q35, textually
+    * identical in both dialects; exact counts are one distinct
+    * aggregate and one semi-join.
+    */
+  private val q200 = QueryDef(
+    "q200_kmv_join_estimate",
+    (s, dir) => {
+      import s.implicits._
+      val K2 = 256
+      val ha = Fixtures.table(s, dir, "orders")
+        .select(expr(h32Spark("concat('jk_', o_custkey)")).as("h")).distinct()
+      val hb = Fixtures.table(s, dir, "customer")
+        .select(expr(h32Spark("concat('jk_', c_custkey)")).as("h")).distinct()
+      val hu = ha.unionAll(hb).distinct()
+      def est(h: DataFrame, name: String): DataFrame =
+        h.select(col("h")).as[Long].groupByKey(_ => 1)
+          .agg(new KmvAgg(K2).toColumn.name("kmv"))
+          .toDF("g", "kmv")
+          .select(col("kmv.n").as("nd"),
+            expr(s"try_element_at(kmv.mins, $K2)").as("kth"))
+          .select(expr(s"CASE WHEN nd >= $K2 THEN " +
+            s"${K2 - 1}.0 * 4294967296.0 / kth " +
+            "ELSE cast(nd AS DOUBLE) END").as(name))
+      val exactA = Fixtures.table(s, dir, "orders")
+        .agg(countDistinct(col("o_custkey")).as("exact_active"))
+      val exactB = Fixtures.table(s, dir, "customer")
+        .agg(countDistinct(col("c_custkey")).as("exact_customers"))
+      val exactC = Fixtures.table(s, dir, "customer")
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_custkey").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("exact_common"))
+      exactA.crossJoin(exactB).crossJoin(exactC)
+        .crossJoin(est(ha, "est_active"))
+        .crossJoin(est(hb, "est_customers"))
+        .crossJoin(est(hu, "est_union"))
+        .select(col("exact_active"), col("est_active"),
+          col("exact_customers"), col("est_customers"),
+          col("exact_common"),
+          ((col("est_active") + col("est_customers")) - col("est_union"))
+            .as("est_common"))
+    },
+    Some(s"""WITH ha AS (SELECT DISTINCT
+          ${h32Duck("'jk_' || o_custkey")} AS h FROM orders),
+      hb AS (SELECT DISTINCT ${h32Duck("'jk_' || c_custkey")} AS h
+        FROM customer),
+      hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+      ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+          count(*) OVER () AS nd FROM ha),
+      rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+          count(*) OVER () AS nd FROM hb),
+      ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+          count(*) OVER () AS nd FROM hu),
+      ea AS (SELECT CASE WHEN max(nd) >= 256 THEN
+          255.0 * 4294967296.0 / max(CASE WHEN rn = 256 THEN h END)
+          ELSE cast(max(nd) AS DOUBLE) END AS est_active FROM ra),
+      eb AS (SELECT CASE WHEN max(nd) >= 256 THEN
+          255.0 * 4294967296.0 / max(CASE WHEN rn = 256 THEN h END)
+          ELSE cast(max(nd) AS DOUBLE) END AS est_customers FROM rb),
+      eu AS (SELECT CASE WHEN max(nd) >= 256 THEN
+          255.0 * 4294967296.0 / max(CASE WHEN rn = 256 THEN h END)
+          ELSE cast(max(nd) AS DOUBLE) END AS est_union FROM ru),
+      xa AS (SELECT count(DISTINCT o_custkey) AS exact_active FROM orders),
+      xb AS (SELECT count(DISTINCT c_custkey) AS exact_customers
+        FROM customer),
+      xc AS (SELECT count(*) AS exact_common FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders))
+      SELECT exact_active, est_active, exact_customers, est_customers,
+        exact_common,
+        (est_active + est_customers) - est_union AS est_common
+      FROM xa, xb, xc, ea, eb, eu"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
-      q180, q195)
+      q180, q195, q200)
 }

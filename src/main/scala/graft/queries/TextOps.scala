@@ -868,7 +868,69 @@ object TextOps {
       FROM cells JOIN per_label USING (lang_label)
       ORDER BY lang_label, lang_pred"""))
 
+  // ---------- q199: quality quantile normalization by source ----------
+
+  /** Rank-normalized quality per source: map every document's q14
+    * quality score to its GLOBAL percentile (rank-1)/(N-1), then
+    * report each source's mean raw score vs mean percentile — the
+    * audit that says whether a curation threshold on the raw score
+    * would systematically favor some sources (raw means can differ
+    * while percentile means agree, and vice versa). Reuses q14's exact
+    * scoring function (same QueryDef fn, can't drift); ranks are a
+    * total order with doc_id tie-break; means pin to micro-units
+    * before the order-insensitive integer sum. The global rank is the
+    * single-total-order form; at 100 TB it switches to the q149
+    * boundary-broadcast two-pass (per-shard sorts only) like every
+    * other global-rank consumer.
+    */
+  private val q199 = QueryDef(
+    "q199_quality_quantile_norm",
+    (s, dir) => {
+      val w = Window.orderBy(col("quality"), col("doc_id"))
+      val scored = q14.fn(s, dir).select(col("doc_id"), col("quality"))
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("rn", row_number().over(w))
+      val n = scored.agg(count(lit(1)).as("n_all"))
+      scored.crossJoin(broadcast(n))
+        .select(col("source"),
+          expr("CAST(round(quality * 1e6) AS BIGINT)").as("q_micro"),
+          expr("""CAST(round(CAST(rn - 1 AS DOUBLE)
+            / CAST(n_all - 1 AS DOUBLE) * 1e6) AS BIGINT)""").as("p_micro"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("q_micro")).cast("double")
+            / count(lit(1)).cast("double") / 1e6).as("mean_quality"),
+          (sum(col("p_micro")).cast("double")
+            / count(lit(1)).cast("double") / 1e6).as("mean_percentile"))
+        .orderBy("source")
+    },
+    Some("""WITH scored AS (SELECT doc_id,
+          0.3 * ttr + 0.2 * (1.0 - stop_ratio) + 0.2 * alpha_ratio
+            + 0.3 * len_factor AS quality
+        FROM (
+          SELECT doc_id,
+            cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS ttr,
+            cast(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS stop_ratio,
+            1.0 - cast(len(regexp_replace(text, '[a-z ]', '', 'g'))
+              AS DOUBLE) / len(text) AS alpha_ratio,
+            least(cast(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+              AS len_factor
+          FROM documents)),
+      ranked AS (SELECT s.doc_id, d.source, s.quality,
+          row_number() OVER (ORDER BY s.quality, s.doc_id) AS rn
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+      n AS (SELECT count(*) AS n_all FROM ranked)
+      SELECT source, count(*) AS n_docs,
+        sum(round(quality * 1e6)::BIGINT)::DOUBLE
+          / count(*)::DOUBLE / 1e6 AS mean_quality,
+        sum(round((rn - 1)::DOUBLE / (n_all - 1)::DOUBLE * 1e6)::BIGINT)
+          ::DOUBLE / count(*)::DOUBLE / 1e6 AS mean_percentile
+      FROM ranked, n GROUP BY 1 ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
-      q153, q155, q165, q177, q198)
+      q153, q155, q165, q177, q198, q199)
 }
