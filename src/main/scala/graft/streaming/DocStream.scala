@@ -169,6 +169,45 @@ object DocStream {
       }
   }
 
+  final case class DocAdmit(doc_id: Long, source: String, n_tok: Long,
+      kept: Int)
+
+  /** Streaming twin of q173's mixture-sample APPLY — admission control
+    * at ingest: each arriving document is kept iff
+    * h32('mix_'‖doc_id) mod 1e6 < its source's accept rate (the exact
+    * batch contract, a pure function of the id), with the
+    * |sources|-row rate table broadcast as a plain map. STATELESS —
+    * membership never depends on what else arrived, so the gate
+    * scales embarrassingly and a replayed document gets the identical
+    * verdict (exactly-once admission without any state store). Rates
+    * come from a batch pass (q173); in production they refresh per
+    * epoch while the gate keeps streaming.
+    */
+  def mixtureGate(docsStream: DataFrame,
+      rateMicroBySource: Map[String, Long]): Dataset[DocAdmit] = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rateMicroBySource)
+    docsStream
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h32(t: String): Long = {
+          md.reset()
+          val d = md.digest(t.getBytes("UTF-8"))
+          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        }
+        rows.map { case (id, src, text) =>
+          val u = h32(s"mix_$id") % 1000000L
+          val r = bc.value.getOrElse(src, 0L)
+          DocAdmit(id, src, text.split(" ").length.toLong,
+            if (u < r) 1 else 0)
+        }
+      }
+  }
+
   final case class DocDecision(doc_id: Long, source: String, n_tok: Long,
       dropped: Int)
 

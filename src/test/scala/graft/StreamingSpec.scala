@@ -304,6 +304,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming mixture-sample gate == batch q173 kept set " +
+    "(AvailableNow)") {
+    import graft.streaming.DocStream
+    val batch = SparkEntry.queries("q173_mixture_sample")(spark, sf)
+      .select("source", "accept_rate", "n_kept_docs", "kept_tokens")
+      .collect()
+    val rates = batch.map(r => r.getString(0) ->
+      math.round(r.getDouble(1) * 1e6)).toMap
+    val q = DocStream.mixtureGate(
+        DocStream.readDocuments(spark, sf), rates)
+      .writeStream.format("memory").queryName("mixgate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("mixgate").where(col("kept") === 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept_docs"),
+        sum(col("n_tok")).as("kept_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = batch
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming hopping counts == batch q108 counts (AvailableNow)") {
     val q = EventStream.hoppingCounts(EventStream.readEvents(spark, sf))
       .writeStream.format("memory").queryName("hop")
