@@ -2217,6 +2217,52 @@ object Dedup {
         n_closed::DOUBLE / n_wedges::DOUBLE AS closure_rate
       FROM np, nw, closed"""))
 
+  // ---------- q201: shingle df-coverage curve --------------------------
+
+  /** How much of the corpus's shingle mass the top-k most document-
+    * frequent shingles cover (k = 10/100/1000) — the coverage curve
+    * that sizes dictionary-style optimizations (hot-shingle caches,
+    * the q48 df-cap, stop-shingle lists): a steep curve means a tiny
+    * hot set dominates the posting table and every cap/cache decision
+    * is cheap; a flat curve means none will help. One |vocab|-row
+    * aggregate off the cached posting table, one rank over the vocab
+    * (per-shard top-k + merge at scale), three conditional sums.
+    * Exact integers until the three final divisions.
+    */
+  private val q201 = QueryDef(
+    "q201_shingle_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dfs = persistedInverted(s, dir)
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val w = Window.orderBy(col("df").desc, col("h"))
+      dfs.withColumn("rn", row_number().over(w))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("df")).as("df_total"),
+          sum(expr("CASE WHEN rn <= 10 THEN df ELSE 0L END")).as("c10"),
+          sum(expr("CASE WHEN rn <= 100 THEN df ELSE 0L END")).as("c100"),
+          sum(expr("CASE WHEN rn <= 1000 THEN df ELSE 0L END")).as("c1000"))
+        .select(col("n_shingles"), col("df_total"),
+          (col("c10").cast("double") / col("df_total").cast("double"))
+            .as("cov_top10"),
+          (col("c100").cast("double") / col("df_total").cast("double"))
+            .as("cov_top100"),
+          (col("c1000").cast("double") / col("df_total").cast("double"))
+            .as("cov_top1000"))
+    },
+    Some(s"""WITH ${shingledDuckCte},
+      dfs AS (SELECT h, count(*) AS df FROM inv GROUP BY 1),
+      r AS (SELECT df, row_number() OVER (ORDER BY df DESC, h) AS rn
+        FROM dfs)
+      SELECT count(*) AS n_shingles, sum(df)::BIGINT AS df_total,
+        sum(CASE WHEN rn <= 10 THEN df ELSE 0 END)::DOUBLE
+          / sum(df)::DOUBLE AS cov_top10,
+        sum(CASE WHEN rn <= 100 THEN df ELSE 0 END)::DOUBLE
+          / sum(df)::DOUBLE AS cov_top100,
+        sum(CASE WHEN rn <= 1000 THEN df ELSE 0 END)::DOUBLE
+          / sum(df)::DOUBLE AS cov_top1000
+      FROM r"""))
+
   // ---------- q184: near-dup cluster language purity -------------------
 
   /** Language purity of the threshold-0.8 near-dup clusters — a
@@ -2263,5 +2309,6 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
-      q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194)
+      q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
+      q201)
 }

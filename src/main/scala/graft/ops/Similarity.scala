@@ -931,6 +931,67 @@ object Similarity {
         count(*)::DOUBLE / n_total::DOUBLE AS assigned_share
       FROM r, t WHERE rn = 1 GROUP BY cell, n_total ORDER BY cell"""))
 
+  // ---------- q202: effective dimensionality (participation ratio) ----
+
+  /** Participation ratio of the per-dimension variance spectrum —
+    * PR = (Σv)²/Σv², the standard effective-dimensionality measure
+    * for an embedding space: PR ≈ d means variance is spread across
+    * all d dims (healthy), PR ≪ d means a few dims carry everything
+    * (anisotropic embeddings — cosine similarity degrades and an IVF
+    * on them over-partitions the dominant axis). Builds on q130's
+    * exact nano-unit moment pipeline; the 64 per-dim variances pin to
+    * pico int64 before the two order-insensitive sums (squares
+    * accumulate in DECIMAL(38,0) — pico² ≈ 10²⁰ overflows int64), and
+    * PR is one textually-identical double expression.
+    */
+  private val q202 = QueryDef(
+    "q202_participation_ratio",
+    (s, dir) => {
+      val vars = emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"),
+          round(col("v").cast("double") * lit(1e9)).cast("long").as("u"),
+          round(col("v").cast("double") * col("v").cast("double") * lit(1e9))
+            .cast("long").as("u2"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("u")).as("su"),
+          sum(col("u2")).as("su2"))
+        .select(expr("""CAST(round((su2 / 1e9 / n
+            - (su / 1e9 / n) * (su / 1e9 / n)) * 1e12) AS BIGINT)""")
+          .as("var_pico"))
+      vars
+        .agg(count(lit(1)).as("n_dims"),
+          sum(col("var_pico")).as("sv"),
+          sum(expr("CAST(var_pico AS DECIMAL(38,0)) " +
+            "* CAST(var_pico AS DECIMAL(38,0))")).as("sv2"))
+        .select(col("n_dims"),
+          (col("sv").cast("double") / 1e12).as("total_variance"),
+          expr("""(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+            / CAST(sv2 AS DOUBLE)""").as("participation_ratio"),
+          expr("""(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+            / CAST(sv2 AS DOUBLE) / CAST(n_dims AS DOUBLE)""")
+            .as("pr_fraction"))
+    },
+    Some("""WITH flat AS (SELECT
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS v FROM embeddings),
+      units AS (SELECT dim, round(v::DOUBLE * 1e9)::BIGINT AS u,
+          round(v::DOUBLE * v::DOUBLE * 1e9)::BIGINT AS u2 FROM flat),
+      m AS (SELECT dim, count(*) AS n, sum(u)::BIGINT AS su,
+          sum(u2)::BIGINT AS su2 FROM units GROUP BY 1),
+      vars AS (SELECT round((su2 / 1e9 / n
+          - (su / 1e9 / n) * (su / 1e9 / n)) * 1e12)::BIGINT AS var_pico
+        FROM m)
+      SELECT count(*) AS n_dims,
+        sum(var_pico)::DOUBLE / 1e12 AS total_variance,
+        (sum(var_pico)::DOUBLE * sum(var_pico)::DOUBLE)
+          / sum(var_pico::HUGEINT * var_pico::HUGEINT)::DOUBLE
+          AS participation_ratio,
+        (sum(var_pico)::DOUBLE * sum(var_pico)::DOUBLE)
+          / sum(var_pico::HUGEINT * var_pico::HUGEINT)::DOUBLE
+          / count(*)::DOUBLE AS pr_fraction
+      FROM vars"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102,
-    q112, q123, q127, q130, q134, q167, q185)
+    q112, q123, q127, q130, q134, q167, q185, q202)
 }
