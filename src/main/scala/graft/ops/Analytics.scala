@@ -1758,8 +1758,68 @@ object Analytics {
           AS mean_ratio
       FROM banded GROUP BY 1 ORDER BY band"""))
 
+  // ---------- q203: substitute detection (anti-lift) -------------------
+
+  /** The NEGATIVE space of q158's co-purchase lift: among the 20 most
+    * frequently ordered parts, which pairs co-occur far BELOW their
+    * independence expectation (observed/expected lowest, including
+    * observed 0)? Those are substitute candidates — two popular parts
+    * the same order almost never contains both of. The pair table
+    * alone can't answer this (absent pairs aren't rows); the audit
+    * joins the C(20,2)=190 candidate pairs of the top set LEFT OUTER
+    * against the cached pair counts and coalesces misses to 0.
+    * Everything after the cached aggregates is |top|²-sized. Ratio is
+    * one division of exact-int-derived doubles, identical both
+    * engines.
+    */
+  private val q203 = QueryDef(
+    "q203_substitute_pairs",
+    (s, dir) => {
+      val baskets = copurchaseBaskets(s, dir)
+      val pc = baskets.select(explode(col("parts")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      val topP = pc.orderBy(col("n").desc, col("pk")).limit(20)
+      val tot = baskets.agg(count(lit(1)).as("n_ord"))
+      val cand = topP.select(col("pk").as("part_a"), col("n").as("n_a"))
+        .join(topP.select(col("pk").as("part_b"), col("n").as("n_b")),
+          col("part_a") < col("part_b"))
+      cand
+        .join(copurchasePairs(s, dir), Seq("part_a", "part_b"),
+          "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("part_a"), col("part_b"), col("n_a"), col("n_b"),
+          coalesce(col("n_orders"), lit(0L)).as("n_both"),
+          expr("""CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+            / CAST(n_ord AS DOUBLE)""").as("expected"),
+          expr("""CAST(coalesce(n_orders, 0L) AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+              / CAST(n_ord AS DOUBLE))""").as("obs_over_exp"))
+        .orderBy(col("obs_over_exp"), col("part_a"), col("part_b"))
+        .limit(25)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem),
+      pc AS (SELECT l_partkey AS pk, count(*) AS n FROM li GROUP BY 1),
+      topp AS (SELECT pk, n FROM pc ORDER BY n DESC, pk LIMIT 20),
+      tot AS (SELECT count(DISTINCT l_orderkey) AS n_ord FROM lineitem),
+      pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+          count(*) AS n_orders
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      cand AS (SELECT a.pk AS part_a, a.n AS n_a, b.pk AS part_b,
+          b.n AS n_b FROM topp a JOIN topp b ON a.pk < b.pk)
+      SELECT part_a, part_b, n_a, n_b,
+        coalesce(n_orders, 0)::BIGINT AS n_both,
+        n_a::DOUBLE * n_b::DOUBLE / n_ord::DOUBLE AS expected,
+        coalesce(n_orders, 0)::DOUBLE
+          / (n_a::DOUBLE * n_b::DOUBLE / n_ord::DOUBLE) AS obs_over_exp
+      FROM cand LEFT JOIN pr USING (part_a, part_b), tot
+      ORDER BY obs_over_exp, part_a, part_b LIMIT 25"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
-      q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197)
+      q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197,
+      q203)
 }

@@ -2263,6 +2263,79 @@ object Dedup {
           / sum(df)::DOUBLE AS cov_top1000
       FROM r"""))
 
+  // ---------- q204: cluster size vs quality interaction ----------------
+
+  /** Does duplication correlate with quality? Mean q14 quality score
+    * by near-dup cluster size band (unclustered, pair, 3–4, 5+) — if
+    * big duplicate families score systematically lower, dedup is also
+    * a quality filter and the curation budget (q149) double-counts
+    * the gain. Reuses the cached cc_0.8 labels and q14's exact scorer
+    * (both QueryDef-shared, can't drift); unclustered docs come
+    * through a left join with a null label. Quality pins to micro
+    * int64 before the order-insensitive sum. All work past the two
+    * cached/scan passes is |docs|-row.
+    */
+  private val q204 = QueryDef(
+    "q204_cluster_quality",
+    (s, dir) => {
+      val labels = ccLabels(s, dir, 0.8)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      val sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("csize"))
+      val scored = graft.queries.TextOps.q14Fn(s, dir)
+        .select(col("doc_id"),
+          expr("CAST(round(quality * 1e6) AS BIGINT)").as("q_micro"))
+      scored
+        .join(broadcast(labels.join(sizes, "cluster_id")
+          .select(col("doc_id"), col("csize"))), Seq("doc_id"),
+          "left_outer")
+        .select(col("q_micro"),
+          expr("""CASE WHEN csize IS NULL THEN 'a_unclustered'
+            WHEN csize = 2 THEN 'b_pair'
+            WHEN csize <= 4 THEN 'c_3_4'
+            ELSE 'd_5_plus' END""").as("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("q_micro")).cast("double")
+            / count(lit(1)).cast("double") / 1e6).as("mean_quality"))
+        .orderBy("band")
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsDuckCte(0.8)},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, l) AS (
+        SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(l) AS cluster_id
+        FROM reach GROUP BY u),
+      csz AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY 1),
+      mem AS (SELECT doc_id, csize FROM comp JOIN csz USING (cluster_id)),
+      scored AS (SELECT doc_id,
+          round((0.3 * ttr + 0.2 * (1.0 - stop_ratio) + 0.2 * alpha_ratio
+            + 0.3 * len_factor) * 1e6)::BIGINT AS q_micro
+        FROM (
+          SELECT doc_id,
+            cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS ttr,
+            cast(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS stop_ratio,
+            1.0 - cast(len(regexp_replace(text, '[a-z ]', '', 'g'))
+              AS DOUBLE) / len(text) AS alpha_ratio,
+            least(cast(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+              AS len_factor
+          FROM documents)),
+      banded AS (SELECT q_micro,
+          CASE WHEN csize IS NULL THEN 'a_unclustered'
+            WHEN csize = 2 THEN 'b_pair'
+            WHEN csize <= 4 THEN 'c_3_4'
+            ELSE 'd_5_plus' END AS band
+        FROM scored LEFT JOIN mem USING (doc_id))
+      SELECT band, count(*) AS n_docs,
+        sum(q_micro)::DOUBLE / count(*)::DOUBLE / 1e6 AS mean_quality
+      FROM banded GROUP BY 1 ORDER BY band"""))
+
   // ---------- q184: near-dup cluster language purity -------------------
 
   /** Language purity of the threshold-0.8 near-dup clusters — a
@@ -2310,5 +2383,5 @@ object Dedup {
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
       q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
-      q201)
+      q201, q204)
 }

@@ -930,6 +930,11 @@ object TextOps {
           ::DOUBLE / count(*)::DOUBLE / 1e6 AS mean_percentile
       FROM ranked, n GROUP BY 1 ORDER BY source"""))
 
+  /** q14's exact per-doc scorer, shared so cross-module consumers
+    * (q199, q204) can never drift from the oracled definition. */
+  private[graft] def q14Fn(s: SparkSession, dir: String): DataFrame =
+    q14.fn(s, dir)
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
       q153, q155, q165, q177, q198, q199)
