@@ -1958,9 +1958,113 @@ object Events {
         n::DOUBLE / n0::DOUBLE AS rate_vs_first
       FROM stages, f ORDER BY stage"""))
 
+  // ---------- q205: daily error rate with Wilson interval --------------
+
+  /** Daily error-event share with a 95 % Wilson score interval — the
+    * uncertainty-aware SLO report: a 2 %-error day on 50 events and
+    * one on 50 000 events are different facts, and the Wilson bounds
+    * say so. Counts are exact ints off one events pass; the interval
+    * is the textbook closed form evaluated in textually identical
+    * double arithmetic (sqrt is IEEE correctly-rounded, so unlike
+    * ln/exp it cannot diverge across engines; z = 1.96 is a shared
+    * literal). |days| output rows, calendar-bounded.
+    */
+  private val q205 = QueryDef(
+    "q205_error_rate_ci",
+    (s, dir) => {
+      val z2 = "3.8416" // 1.96^2 as a shared literal
+      val daily = ev(s, dir)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("event_type") === "error").cast("long")).as("k"))
+      daily.select(col("d"), col("n"), col("k"),
+        expr("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)").as("rate"),
+        expr(s"""(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+            + $z2 / (2.0 * CAST(n AS DOUBLE))
+            - 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+              + $z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+            / (1.0 + $z2 / CAST(n AS DOUBLE))""").as("wilson_lo"),
+        expr(s"""(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+            + $z2 / (2.0 * CAST(n AS DOUBLE))
+            + 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+              + $z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+            / (1.0 + $z2 / CAST(n AS DOUBLE))""").as("wilson_hi"))
+        .orderBy("d")
+    },
+    Some("""WITH daily AS (SELECT ts::DATE AS d, count(*) AS n,
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+            AS k
+        FROM events GROUP BY 1)
+      SELECT d, n, k, k::DOUBLE / n::DOUBLE AS rate,
+        (k::DOUBLE / n::DOUBLE + 3.8416 / (2.0 * n::DOUBLE)
+          - 1.96 * sqrt(k::DOUBLE / n::DOUBLE
+            * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+            + 3.8416 / (4.0 * n::DOUBLE * n::DOUBLE)))
+          / (1.0 + 3.8416 / n::DOUBLE) AS wilson_lo,
+        (k::DOUBLE / n::DOUBLE + 3.8416 / (2.0 * n::DOUBLE)
+          + 1.96 * sqrt(k::DOUBLE / n::DOUBLE
+            * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+            + 3.8416 / (4.0 * n::DOUBLE * n::DOUBLE)))
+          / (1.0 + 3.8416 / n::DOUBLE) AS wilson_hi
+      FROM daily ORDER BY d"""))
+
+  // ---------- q206: month-over-month churn ------------------------------
+
+  /** Weekly churn: of the users active in epoch-week w, how many have
+    * NO event in week w+1 — the retention complement of q117's
+    * DAU/WAU and q54's fixed-cohort retention (churn re-baselines
+    * every week; weekly because the events fixture spans ~one month,
+    * so a monthly grain has no m+1 to compare). Week index is pure
+    * integer epoch-day division by 7 — portable, no calendar
+    * library. One distinct (user, week) projection; churned = anti
+    * join of week-w actives against week-w+1 actives ON THE USER KEY
+    * (shuffle tracks distinct actives, not events); the last week
+    * drops out. Exact counts, one division.
+    */
+  private val q206 = QueryDef(
+    "q206_weekly_churn",
+    (s, dir) => {
+      val um = ev(s, dir)
+        .select(col("user_id"),
+          expr("""timestampdiff(MICROSECOND,
+            TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+            div 86400000000 div 7""").as("mi"))
+        .distinct()
+      val maxM = um.agg(max(col("mi")).as("max_mi"))
+      val next = um.select(col("user_id"), (col("mi") - 1).as("mi"))
+      val churned = um.join(next, Seq("user_id", "mi"), "left_anti")
+      val act = um.groupBy(col("mi")).agg(count(lit(1)).as("n_active"))
+      val chn = churned.groupBy(col("mi")).agg(count(lit(1)).as("n_churned"))
+      act.join(chn, Seq("mi"), "left_outer")
+        .crossJoin(broadcast(maxM))
+        .where(col("mi") < col("max_mi"))
+        .select(col("mi"), col("n_active"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+          (coalesce(col("n_churned"), lit(0L)).cast("double")
+            / col("n_active").cast("double")).as("churn_rate"))
+        .orderBy("mi")
+    },
+    Some("""WITH um AS (SELECT DISTINCT user_id,
+          epoch_us(ts) // 86400000000 // 7 AS mi FROM events),
+      mm AS (SELECT max(mi) AS max_mi FROM um),
+      churned AS (SELECT a.mi, count(*) AS n_churned FROM um a
+        WHERE NOT EXISTS (SELECT 1 FROM um b
+          WHERE b.user_id = a.user_id AND b.mi = a.mi + 1)
+        GROUP BY 1),
+      act AS (SELECT mi, count(*) AS n_active FROM um GROUP BY 1)
+      SELECT mi::BIGINT AS mi, n_active,
+        coalesce(n_churned, 0)::BIGINT AS n_churned,
+        coalesce(n_churned, 0)::DOUBLE / n_active::DOUBLE AS churn_rate
+      FROM act LEFT JOIN churned USING (mi), mm
+      WHERE mi < max_mi ORDER BY mi"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
-      q191, q193)
+      q191, q193, q205, q206)
 }
