@@ -1310,12 +1310,15 @@ object Analytics {
     * past q158's pairs. Triples generate inside the basket array via a
     * nested-combination HOF (i<j<k over the sorted distinct parts),
     * so the fan-out is per-basket C(b,3), bounded by the basket size
-    * the schema itself bounds (max 13 here; at 100 TB a `size(parts)
-    * <= cap` guard caps any pathological basket) — never a corpus
+    * the schema itself bounds (max 13 here; the `size(parts) <= 64`
+    * guard caps any pathological basket at 100 TB) — never a corpus
     * self-join. One shuffle groups candidate triples. The DuckDB
     * oracle is an INDEPENDENT formulation (three-way self-join with
     * ordering predicates) — agreement checks the combination
-    * enumeration itself, not a shared code path.
+    * enumeration itself, not a shared code path. The basket cap is
+    * MIRRORED in the oracle (orders with > 64 distinct parts are
+    * excluded on both sides), so the contract is scale-invariant —
+    * not an accident of the fixture's max basket size.
     */
   private val q181 = QueryDef(
     "q181_frequent_triples",
@@ -1333,8 +1336,10 @@ object Analytics {
         .where(col("support") >= 2)
         .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
     },
-    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-          FROM lineitem)
+    Some("""WITH it0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+        ok AS (SELECT o FROM it0 GROUP BY o HAVING count(*) <= 64),
+        it AS (SELECT it0.o, it0.p FROM it0 JOIN ok ON it0.o = ok.o)
       SELECT a.p AS p1, b.p AS p2, c.p AS p3, count(*) AS support
       FROM it a
       JOIN it b ON a.o = b.o AND a.p < b.p

@@ -17,16 +17,33 @@ import org.apache.spark.storage.StorageLevel
   * materializes ~16 distinct shared subplans per dir, so the live
   * working set is ~32 — the cap must sit well above it or live entries
   * are evicted mid-run and every consumer after the eviction silently
-  * rebuilds (the round-4 q44/q45 regression). PlanCacheSpec asserts
-  * cap >= 2x the distinct keys actually requested, so growth in the
-  * key inventory can't silently cross the cap again.
+  * rebuilds (the round-4 q44/q45 regression). PlanLintSpec asserts
+  * cap >= 2x [[KnownKeyNames]] (the committed key inventory) and that
+  * every key actually requested is committed there, so growth in the
+  * inventory can't silently cross the cap again.
   */
 private[graft] object PlanCache {
 
   /** Cap on live cached subplans; must stay >= 2x the distinct
-    * per-dir key inventory (enforced by PlanCacheSpec).
+    * per-dir key inventory (enforced by PlanLintSpec).
     */
   val cap: Int = 64
+
+  /** The COMMITTED per-dir subplan key inventory — every getOrBuild
+    * call site's name literal. The cap tripwire in PlanLintSpec asserts
+    * against this constant (so it holds even when the spec runs in
+    * isolation, before any registry query has populated the cache) and
+    * separately asserts every observed key is listed here (so adding a
+    * call site without updating this set fails the build). Keys of the
+    * form `cc_<threshold>` are dynamic; only cc_0.8 is cached in
+    * practice (other thresholds bypass the cache via
+    * jaccardPairsUncached) but the spec accepts the prefix.
+    */
+  val KnownKeyNames: Set[String] = Set(
+    "inverted", "pairs_0.8", "cc_0.8", "sessions", "centroids", "blocks",
+    "trade_edges", "q55_uni", "q55_bi", "q57_tf", "q57_topk", "q93_topk",
+    "q82_edges", "q125_scounts", "q140_old_labels",
+    "copurchase_baskets", "copurchase_pairs")
 
   /** Every distinct subplan name ever requested this JVM — the spec's
     * measurement of the key inventory, independent of eviction.

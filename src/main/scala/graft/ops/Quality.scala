@@ -674,9 +674,9 @@ object Quality {
     * cumulative tokens flatten is where stricter filtering stops
     * costing budget. Quality is q14's exact chain; token counts exact
     * int64; the running sum is a 10-row window; shares are one
-    * division per row. Shape: one corpus pass, one global sort window
-    * (at 100 TB: the two-pass quantile-boundary broadcast, q91's
-    * note), then 10-row arithmetic.
+    * division per row. Shape: one corpus pass, then the two-pass
+    * quantile-boundary-broadcast ntile (RangeNtile, per-shard sorts
+    * only — the default; see below), then 10-row arithmetic.
     */
   private val q149 = QueryDef(
     "q149_quality_budget_curve",
@@ -696,16 +696,18 @@ object Quality {
                 .cast("double") / length(col("text")))
             + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
               lit(1.0))).as("quality"))
-      // graft.ntile.strategy=broadcast switches the global ntile to the
-      // two-pass quantile-boundary broadcast (RangeNtile) — per-shard
-      // sorts only, bit-identical labels; the default keeps the window
-      // form (also what the oracle runs). RangeNtileSpec proves both.
+      // The global ntile runs the two-pass quantile-boundary broadcast
+      // (RangeNtile — per-shard sorts only) BY DEFAULT: the window form
+      // collapses the corpus onto one task, which is fine for DuckDB's
+      // oracle run and fatal at 100 TB. graft.ntile.strategy=window
+      // restores the window form; RangeNtileSpec proves the two produce
+      // bit-identical labels, so the choice is pure plan shape.
       val sortKey = Seq(col("quality").desc, col("doc_id"))
       val labeled =
-        if (s.conf.getOption("graft.ntile.strategy").contains("broadcast"))
-          RangeNtile.withNtile(scored, sortKey, 10, "decile")
-        else scored.withColumn("decile",
-          ntile(10).over(Window.orderBy(sortKey: _*)).cast("long"))
+        if (s.conf.getOption("graft.ntile.strategy").contains("window"))
+          scored.withColumn("decile",
+            ntile(10).over(Window.orderBy(sortKey: _*)).cast("long"))
+        else RangeNtile.withNtile(scored, sortKey, 10, "decile")
       val deciled = labeled
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))

@@ -35,8 +35,19 @@ private[graft] object RangeNtile {
   def withNtile(df: DataFrame, sortCols: Seq[Column], k: Int,
       bucketCol: String, shards: Int = 32): DataFrame = {
     val spark = df.sparkSession
+    // persist FREEZES the ranged partitioning: repartitionByRange
+    // samples its boundaries per execution, so without a
+    // materialization between them the count pass and the rank pass
+    // could each resample and land rows in DIFFERENT shards, silently
+    // corrupting the broadcast offsets. The counts collect below is
+    // the first action, so it populates the cache and the rank pass
+    // reads the SAME blocks (same boundaries, same __shard values).
+    // At fixture scale the boundary sample happens to cover the whole
+    // input (deterministic by accident); at the corpus scale this
+    // helper exists for, the freeze is load-bearing.
     val ranged = df.repartitionByRange(shards, sortCols: _*)
       .withColumn("__shard", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one narrow count pass; offsets/N broadcast back as a literal map
     val counts = ranged.groupBy(col("__shard")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -202,7 +202,9 @@ object DocStream {
         rows.map { case (id, src, text) =>
           val u = h32(s"mix_$id") % 1000000L
           val r = bc.value.getOrElse(src, 0L)
-          DocAdmit(id, src, text.split(" ").length.toLong,
+          // split(" ", -1) keeps trailing empty tokens — Spark SQL
+          // split's semantics, which the batch q173 contract counts.
+          DocAdmit(id, src, text.split(" ", -1).length.toLong,
             if (u < r) 1 else 0)
         }
       }
@@ -240,7 +242,9 @@ object DocStream {
             ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
         }
         rows.map { case (id, src, text) =>
-          val toks = text.split(" ")
+          // split(" ", -1): Spark SQL split keeps trailing empties; the
+          // batch q183 shingle/token counts are defined over that.
+          val toks = text.split(" ", -1)
           val dropped = if (toks.length < 3) 0 else {
             val hts = toks.map(h32)
             val shs = (0 until hts.length - 2).iterator

@@ -90,18 +90,28 @@ class PlanLintSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("PlanCache cap covers 2x the live subplan key inventory") {
-    // The previous test executed every registry query, so PlanCache has
-    // seen every distinct subplan name the engine materializes for one
-    // fixture dir. A bench run touches two dirs (warm + target), so the
-    // cap must be >= 2x that inventory or live entries are evicted
-    // mid-run and silently rebuilt (the round-4 q44/q45 regression).
-    val keys = graft.ops.PlanCache.distinctKeyNames
-    assert(keys.nonEmpty, "registry run materialized no cached subplans?")
-    assert(graft.ops.PlanCache.cap >= 2 * keys.size,
-      s"PlanCache.cap=${graft.ops.PlanCache.cap} but the registry now " +
-        s"materializes ${keys.size} distinct subplan keys per dir " +
-        s"(${keys.toSeq.sorted.mkString(", ")}); raise the cap past " +
-        s"${2 * keys.size}")
+  test("PlanCache cap covers 2x the committed subplan key inventory") {
+    // A bench run touches two fixture dirs (warm + target), so the cap
+    // must be >= 2x the per-dir key inventory or live entries are
+    // evicted mid-run and silently rebuilt (the round-4 q44/q45
+    // regression). The inventory asserted here is the COMMITTED
+    // constant PlanCache.KnownKeyNames — not whatever happens to be in
+    // the cache — so this test is meaningful even when run in
+    // isolation, before any registry query has populated the cache.
+    val known = graft.ops.PlanCache.KnownKeyNames
+    assert(graft.ops.PlanCache.cap >= 2 * known.size,
+      s"PlanCache.cap=${graft.ops.PlanCache.cap} but the committed key " +
+        s"inventory has ${known.size} entries; raise the cap past " +
+        s"${2 * known.size}")
+    // Drift tripwire: any key the registry actually requested (the
+    // preceding test drives all of them when the suite runs in full)
+    // must be committed in KnownKeyNames, so a new getOrBuild call site
+    // can't grow the working set without updating the constant above.
+    val unknown = graft.ops.PlanCache.distinctKeyNames
+      .filterNot(k => known.contains(k) || k.startsWith("cc_"))
+    assert(unknown.isEmpty,
+      s"PlanCache keys not committed in KnownKeyNames: " +
+        s"${unknown.toSeq.sorted.mkString(", ")} — add them and recheck " +
+        "the cap")
   }
 }

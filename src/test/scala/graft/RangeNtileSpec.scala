@@ -53,13 +53,13 @@ class RangeNtileSpec extends SparkSpec {
       s"expected a range repartition in:\n$plan")
   }
 
-  test("q149 under graft.ntile.strategy=broadcast equals the default " +
-    "window-ntile output") {
-    val want = run("q149_quality_budget_curve").collect()
+  test("q149's default (boundary-broadcast) ntile equals the " +
+    "graft.ntile.strategy=window form") {
+    val got = run("q149_quality_budget_curve").collect()
       .map(_.toString).sorted
-    spark.conf.set("graft.ntile.strategy", "broadcast")
+    spark.conf.set("graft.ntile.strategy", "window")
     try {
-      val got = run("q149_quality_budget_curve").collect()
+      val want = run("q149_quality_budget_curve").collect()
         .map(_.toString).sorted
       assert(got === want)
     } finally spark.conf.unset("graft.ntile.strategy")

@@ -329,6 +329,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("stream tokenization matches Spark SQL split on trailing and " +
+    "consecutive spaces") {
+    import graft.streaming.DocStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Texts chosen so Java's default split(" ") (drops trailing
+    // empties) and Spark SQL's split (keeps them) disagree — the batch
+    // q173/q183 contract is Spark's, and the stream must match it.
+    val texts = Seq("a b ", "a  b", " ", "", "a b  ")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = DocStream.mixtureGate(
+        input.toDF().toDF("doc_id", "source", "text"),
+        Map("web" -> 1000000L))
+      .writeStream.format("memory").queryName("toktest")
+      .outputMode("append").start()
+    try {
+      input.addData(texts.zipWithIndex.map {
+        case (t, i) => (i.toLong, "web", t)
+      })
+      q.processAllAvailable()
+      val got = spark.table("toktest").select("doc_id", "n_tok").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> spark.range(1).select(
+          size(split(lit(t), " "))).head().getInt(0).toLong
+      }.toMap
+      assert(got === want)
+      // the fixture has power: Java's trailing-empty-dropping split
+      // disagrees on at least one of these texts
+      assert(texts.exists(t => t.split(" ").length != t.split(" ", -1).length))
+    } finally q.stop()
+  }
+
   test("streaming hopping counts == batch q108 counts (AvailableNow)") {
     val q = EventStream.hoppingCounts(EventStream.readEvents(spark, sf))
       .writeStream.format("memory").queryName("hop")
