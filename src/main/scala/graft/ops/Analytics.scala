@@ -1822,9 +1822,430 @@ object Analytics {
       FROM cand LEFT JOIN pr USING (part_a, part_b), tot
       ORDER BY obs_over_exp, part_a, part_b LIMIT 25"""))
 
+  // ---------- q207: BFS hop distances on the co-purchase graph ---------
+
+  /** Hop-distance profile (how many parts sit 1, 2, 3 hops from the
+    * hub) for the highest-degree node of the support-≥2 co-purchase
+    * graph — the reachability complement of q182's reach COUNT: this
+    * one keeps the per-distance breakdown, the unit of
+    * recommendation-radius analysis. Three UNROLLED frontier
+    * expansions: each hop is one join of the current frontier against
+    * the edge list on the node key plus an anti-join against the
+    * visited set, so per-round shuffle is |frontier|×avg-degree — the
+    * textbook distributed BFS whose cost tracks the neighborhood, not
+    * the graph (a recursive/loop formulation would be the same three
+    * plans; unrolling keeps AQE per-stage). The DuckDB oracle is an
+    * INDEPENDENT recursive-CTE walk taking min(dist) per node —
+    * agreement checks the frontier/visited bookkeeping.
+    */
+  private val q207 = QueryDef(
+    "q207_bfs_distance",
+    (s, dir) => {
+      val pairs = copurchasePairs(s, dir)
+        .where(col("n_orders") >= 2)
+        .select(col("part_a").as("p1"), col("part_b").as("p2"))
+      val edges = pairs.select(col("p1").as("node"), col("p2").as("v"))
+        .unionAll(pairs.select(col("p2").as("node"), col("p1").as("v")))
+      val deg = edges.groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val seed = deg.orderBy(col("d").desc, col("node")).limit(1)
+        .select(col("node"), lit(0L).as("dist"))
+      var visited = seed
+      var frontier = seed.select(col("node"))
+      for (h <- 1 to 3) {
+        frontier = frontier.join(edges, "node")
+          .select(col("v").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+        visited = visited.unionAll(
+          frontier.select(col("node"), lit(h.toLong).as("dist")))
+      }
+      visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    },
+    Some("""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o,
+          l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS p1, b.p AS p2 FROM it a
+        JOIN it b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS (SELECT p1 AS u, p2 AS v FROM pairs
+        UNION ALL SELECT p2, p1 FROM pairs),
+      deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+      seed AS (SELECT u FROM deg ORDER BY d DESC, u LIMIT 1),
+      w(node, dist) AS (
+        SELECT u, 0 FROM seed
+        UNION ALL
+        SELECT e.v, w.dist + 1 FROM w JOIN edges e ON e.u = w.node
+        WHERE w.dist < 3),
+      walk AS (SELECT node, min(dist) AS dist FROM w GROUP BY 1)
+      SELECT dist::BIGINT AS dist, count(*) AS n_nodes FROM walk
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------- q208: small-quantity revenue (correlated-avg filter) -----
+
+  /** Revenue locked in below-average-quantity lines of one brand — the
+    * TPC-H Q17 shape: a per-part correlated average feeding a filter
+    * on the same table. Spark-first decorrelation: the brand's part
+    * keys BROADCAST-semi-join the scan (so both passes over lineitem
+    * read only the brand's lines — predicate pushdown does the rest),
+    * the per-part averages are a ~|brand parts|-row aggregate that
+    * broadcasts back onto the second pass, and the final filter +
+    * one-row aggregate never shuffles more than the brand's lines.
+    * The oracle keeps the CORRELATED subquery form — agreement checks
+    * Spark's decorrelation against DuckDB's. Averages are
+    * DECIMAL-sum/count (order-independent) on both sides.
+    */
+  private val q208 = QueryDef(
+    "q208_small_qty_revenue",
+    (s, dir) => {
+      val bkeys = Fixtures.table(s, dir, "part")
+        .where(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      val lb = Fixtures.table(s, dir, "lineitem")
+        .join(broadcast(bkeys), col("l_partkey") === col("p_partkey"))
+      val aq = lb.groupBy(col("l_partkey").as("ak"))
+        .agg((sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("aq"))
+      lb.join(broadcast(aq), col("l_partkey") === col("ak"))
+        .where(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("small_qty_revenue"))
+    },
+    Some("""SELECT count(*) AS n_lines,
+        cast(sum(cast(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+          AS small_qty_revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+        AND l_quantity < 0.2 * (
+          SELECT cast(sum(cast(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+              / count(*)::DOUBLE
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""))
+
+  // ---------- q209: sole latest shipper in multi-supplier orders -------
+
+  /** Suppliers ranked by how often they were the UNIQUE last shipper
+    * of a multi-supplier order — the TPC-H Q21 shape (the
+    * who-holds-up-the-order audit) re-expressed with one window pass:
+    * per-(order, supplier) max shipdate, then order-level max /
+    * supplier-count / achiever-count as three window aggregates over
+    * the SAME partition key (one shuffle, one sort serves all three),
+    * then a filter and a small aggregate. The oracle is the classic
+    * EXISTS / NOT-EXISTS double-correlated form — agreement checks
+    * the window reformulation against the subquery semantics.
+    */
+  private val q209 = QueryDef(
+    "q209_latest_shipper",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sl = Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("smax"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val marked = sl
+        .withColumn("omax", max(col("smax")).over(w))
+        .withColumn("nsup", count(lit(1)).over(w))
+        .withColumn("nmax",
+          sum(when(col("smax") === col("omax"), 1L).otherwise(0L)).over(w))
+      marked
+        .where(col("nsup") >= 2 && col("nmax") === 1 &&
+          col("smax") === col("omax"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .join(broadcast(Fixtures.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_orders"))
+        .orderBy(col("n_orders").desc, col("s_suppkey"))
+        .limit(10)
+    },
+    Some("""WITH sl AS (SELECT l_orderkey AS o, l_suppkey AS sk,
+          max(l_shipdate) AS smax
+        FROM lineitem GROUP BY 1, 2)
+      SELECT s_suppkey, s_name, count(*) AS n_orders
+      FROM sl a JOIN supplier ON s_suppkey = a.sk
+      WHERE EXISTS (SELECT 1 FROM sl b
+          WHERE b.o = a.o AND b.sk <> a.sk)
+        AND NOT EXISTS (SELECT 1 FROM sl c
+          WHERE c.o = a.o AND c.sk <> a.sk AND c.smax >= a.smax)
+      GROUP BY 1, 2 ORDER BY n_orders DESC, s_suppkey LIMIT 10"""))
+
+  // ---------- q210: idle high-balance customers (scalar sub + anti) ----
+
+  /** Per-segment count and balance of customers above the positive-
+    * balance average with NO order since 1999 — the TPC-H Q22 shape
+    * (lapsed high-value accounts): a global scalar subquery gating an
+    * anti join. Spark-first: the scalar average is a one-row broadcast
+    * crossJoin (never a recomputed subquery), the "no recent order"
+    * test is a LEFT ANTI join against the date-pruned o_custkey
+    * projection (the predicate reaches the parquet scan), and the
+    * segment rollup shuffles only survivors. The oracle keeps the
+    * scalar subquery + NOT EXISTS form — agreement checks Spark's
+    * decorrelation. DECIMAL-exact sums both sides.
+    */
+  private val q210 = QueryDef(
+    "q210_idle_customers",
+    (s, dir) => {
+      val cust = Fixtures.table(s, dir, "customer")
+      val ab = cust.where(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 4)))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("ab"))
+      val recent = Fixtures.table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(ab))
+        .where(col("c_acctbal") > col("ab"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_custs,
+        cast(sum(cast(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      FROM customer
+      WHERE c_acctbal > (
+          SELECT cast(sum(cast(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+              / count(*)::DOUBLE
+          FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------- q211: min-unit-price supplier per part (groupwise min) ---
+
+  /** For every size-25 part, the supplier that has sold it at the
+    * lowest observed unit price — the TPC-H Q2 groupwise-min shape.
+    * Spark-first: `min(struct(unit, suppkey))` makes the argmin a
+    * single hash aggregate (the struct's lexicographic order IS the
+    * tie-break), where the naive form would be a join back onto a
+    * per-group min. Part keys and the two dimension joins broadcast.
+    * The oracle is the NOT-EXISTS "no cheaper offer" correlated form
+    * with the same (unit, suppkey) tie-break — agreement checks the
+    * argmin encoding. Unit price is one IEEE division on both sides.
+    */
+  private val q211 = QueryDef(
+    "q211_min_cost_supplier",
+    (s, dir) => {
+      val pz = Fixtures.table(s, dir, "part")
+        .where(col("p_size") === 25)
+        .select(col("p_partkey"), col("p_name"))
+      val lu = Fixtures.table(s, dir, "lineitem")
+        .join(broadcast(pz.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit"),
+          col("l_suppkey"))
+      lu.groupBy(col("l_partkey"))
+        .agg(min(struct(col("unit"), col("l_suppkey"))).as("b"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("b.unit").as("best_unit"),
+          col("b.l_suppkey").as("s_suppkey"))
+        .join(broadcast(pz), "p_partkey")
+        .join(broadcast(Fixtures.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("best_unit"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH lu AS (SELECT l_partkey AS pk,
+          l_extendedprice / l_quantity AS unit, l_suppkey AS sk
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size = 25),
+      best AS (SELECT DISTINCT pk, unit, sk FROM lu a
+        WHERE NOT EXISTS (SELECT 1 FROM lu b
+          WHERE b.pk = a.pk AND (b.unit < a.unit
+            OR (b.unit = a.unit AND b.sk < a.sk))))
+      SELECT p_partkey, p_name, s_suppkey, s_name, unit AS best_unit
+      FROM best JOIN part ON p_partkey = pk
+        JOIN supplier ON s_suppkey = sk
+      ORDER BY p_partkey"""))
+
+  // ---------- q212: trending brands (week-over-week z-score) -----------
+
+  /** Which brands spiked in the latest week: per-brand z-score of the
+    * last week's line count against the mean/stddev of ALL prior
+    * weeks, on a ZERO-FILLED brand×week grid (a brand with no sales
+    * in a week counts 0 — dropping those rows would inflate every
+    * mean). The grid is a broadcast cross join of two tiny distinct
+    * sets; weekly counts are one shuffle of (brand, week); the
+    * z-arithmetic is textually identical closed-form sums (no
+    * avg/stddev builtins, whose float order could drift) on both
+    * sides. The same shape serves "trending tokens" on a corpus —
+    * swap the brand key for the term key; the grid then comes from a
+    * df-capped vocabulary, not a cross join.
+    */
+  private val q212 = QueryDef(
+    "q212_trending_brands",
+    (s, dir) => {
+      val lo = Fixtures.table(s, dir, "lineitem")
+        .join(Fixtures.table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("""timestampdiff(MICROSECOND,
+            TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)
+            div 86400000000 div 7""").as("wk"))
+      val counts = lo.groupBy(col("p_brand"), col("wk"))
+        .agg(count(lit(1)).as("c"))
+      val brands = Fixtures.table(s, dir, "part")
+        .select(col("p_brand")).distinct()
+      val weeks = Fixtures.table(s, dir, "orders")
+        .select(expr("""timestampdiff(MICROSECOND,
+          TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)
+          div 86400000000 div 7""").as("wk")).distinct()
+      val grid = brands.crossJoin(broadcast(weeks))
+      val filled = grid.join(counts, Seq("p_brand", "wk"), "left_outer")
+        .select(col("p_brand"), col("wk"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val lastWk = weeks.agg(max(col("wk")).as("last_wk"))
+      val wf = filled.crossJoin(broadcast(lastWk))
+      val prior = wf.where(col("wk") < col("last_wk"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("sc2"))
+      val last = wf.where(col("wk") === col("last_wk"))
+        .select(col("p_brand"), col("c").as("c_last"))
+      prior.join(last, "p_brand")
+        .select(col("p_brand"), col("c_last"),
+          (col("sc").cast("double") / col("n").cast("double"))
+            .as("mean_prev"),
+          ((col("c_last").cast("double")
+            - col("sc").cast("double") / col("n").cast("double"))
+            / sqrt((col("sc2").cast("double")
+              - col("sc").cast("double") * col("sc").cast("double")
+                / col("n").cast("double"))
+              / (col("n").cast("double") - 1.0))).as("z"))
+        .orderBy(col("z").desc, col("p_brand"))
+        .limit(10)
+    },
+    Some("""WITH lo AS (SELECT p_brand,
+          epoch_us(o_orderdate) // 86400000000 // 7 AS wk
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey),
+      counts AS (SELECT p_brand, wk, count(*) AS c FROM lo GROUP BY 1, 2),
+      brands AS (SELECT DISTINCT p_brand FROM part),
+      weeks AS (SELECT DISTINCT epoch_us(o_orderdate) // 86400000000 // 7
+          AS wk FROM orders),
+      filled AS (SELECT b.p_brand, w.wk, coalesce(c.c, 0)::BIGINT AS c
+        FROM brands b CROSS JOIN weeks w
+        LEFT JOIN counts c ON c.p_brand = b.p_brand AND c.wk = w.wk),
+      lw AS (SELECT max(wk) AS last_wk FROM weeks),
+      prior AS (SELECT p_brand, count(*) AS n, sum(c)::BIGINT AS sc,
+          sum(c * c)::BIGINT AS sc2
+        FROM filled, lw WHERE wk < last_wk GROUP BY 1),
+      lastc AS (SELECT p_brand, c AS c_last FROM filled, lw
+        WHERE wk = last_wk)
+      SELECT p_brand, c_last,
+        sc::DOUBLE / n::DOUBLE AS mean_prev,
+        (c_last::DOUBLE - sc::DOUBLE / n::DOUBLE)
+          / sqrt((sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE / n::DOUBLE)
+            / (n::DOUBLE - 1.0)) AS z
+      FROM prior JOIN lastc USING (p_brand)
+      ORDER BY z DESC, p_brand LIMIT 10"""))
+
+  // ---------- q214: Z-order vs linear layout zone-map skipping ---------
+
+  /** Data-layout audit: if orders were rewritten in Z-order on
+    * (custkey, orderdate) vs sorted by date alone, how many of 32
+    * equal-size zones (files) would a rectangle predicate
+    * (custkey band × 60-day window) have to read under min/max
+    * zone-map pruning? The Z-key interleaves 8+8 bits of the two
+    * RANGE-NORMALIZED dims (pure integer arithmetic, no UDF); zone
+    * assignment is the boundary-broadcast ntile (RangeNtile — the
+    * q149 scale path: per-shard sorts only, no global collapse); the
+    * per-zone min/max over the RAW predicate columns is exactly what
+    * a parquet footer stores. Output: one row per layout with zones
+    * scanned and rows actually matching — the number a table-format
+    * optimizer (Z-order clustering, as in public lakehouse formats)
+    * would quote as its skipping win. Oracle: same arithmetic with
+    * window ntile.
+    */
+  private val q214 = QueryDef(
+    "q214_zorder_skipping",
+    (s, dir) => {
+      val zbits = (0 until 8).map { i =>
+        (shiftright(col("x8"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
+          (shiftright(col("y8"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+      }.reduce(_ + _)
+      val raw = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("""timestampdiff(MICROSECOND,
+            TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)
+            div 86400000000""").as("day"))
+      // range-normalize both dims to 8 bits off a one-row broadcast of
+      // the dim extents (scale-invariant: works at any sf / custkey
+      // cardinality, like a table-format optimizer's column stats)
+      val stats = raw.agg((max(col("o_custkey")) + 1L).as("cdiv"),
+        min(col("day")).as("d0"),
+        (max(col("day")) - min(col("day")) + 1L).as("ddiv"))
+      val base = raw.crossJoin(broadcast(stats))
+        .withColumn("x8", expr("o_custkey * 256 div cdiv"))
+        .withColumn("y8", expr("(day - d0) * 256 div ddiv"))
+        .withColumn("zkey", zbits)
+      val layouts = Seq(
+        ("bydate", Seq(col("day"), col("o_orderkey"))),
+        ("zorder", Seq(col("zkey"), col("o_orderkey"))))
+      layouts.map { case (name, key) =>
+        RangeNtile.withNtile(base, key, 32, "zone")
+          .groupBy(col("zone"))
+          .agg(min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+            min(col("day")).as("dmin"), max(col("day")).as("dmax"),
+            sum((col("o_custkey").between(375, 749) &&
+              col("day").between(10227, 10286)).cast("long")).as("hits"))
+          .agg(count(lit(1)).as("n_zones"),
+            sum((col("cmax") >= 375 && col("cmin") <= 749 &&
+              col("dmax") >= 10227 && col("dmin") <= 10286).cast("long"))
+              .as("zones_scanned"),
+            sum(col("hits")).as("rows_matched"))
+          .select(lit(name).as("layout"), col("n_zones"),
+            col("zones_scanned"), col("rows_matched"))
+      }.reduce(_ unionAll _)
+        .orderBy("layout")
+    },
+    Some("""WITH raw AS (SELECT o_orderkey, o_custkey,
+          epoch_us(o_orderdate) // 86400000000 AS day
+        FROM orders),
+      stats AS (SELECT max(o_custkey) + 1 AS cdiv, min(day) AS d0,
+          max(day) - min(day) + 1 AS ddiv
+        FROM raw),
+      base AS (SELECT o_orderkey, o_custkey, day,
+          (o_custkey * 256) // cdiv AS x8,
+          ((day - d0) * 256) // ddiv AS y8
+        FROM raw, stats),
+      zk AS (SELECT o_orderkey, o_custkey, day,
+          (((x8 >> 0) & 1) * 2 + ((y8 >> 0) & 1) * 1
+           + ((x8 >> 1) & 1) * 8 + ((y8 >> 1) & 1) * 4
+           + ((x8 >> 2) & 1) * 32 + ((y8 >> 2) & 1) * 16
+           + ((x8 >> 3) & 1) * 128 + ((y8 >> 3) & 1) * 64
+           + ((x8 >> 4) & 1) * 512 + ((y8 >> 4) & 1) * 256
+           + ((x8 >> 5) & 1) * 2048 + ((y8 >> 5) & 1) * 1024
+           + ((x8 >> 6) & 1) * 8192 + ((y8 >> 6) & 1) * 4096
+           + ((x8 >> 7) & 1) * 32768 + ((y8 >> 7) & 1) * 16384) AS zkey
+        FROM base),
+      zoned AS (
+        SELECT 'zorder' AS layout,
+          ntile(32) OVER (ORDER BY zkey, o_orderkey) AS zone,
+          o_custkey, day FROM zk
+        UNION ALL
+        SELECT 'bydate',
+          ntile(32) OVER (ORDER BY day, o_orderkey),
+          o_custkey, day FROM zk),
+      zstats AS (SELECT layout, zone, min(o_custkey) AS cmin,
+          max(o_custkey) AS cmax, min(day) AS dmin, max(day) AS dmax,
+          sum(CASE WHEN o_custkey BETWEEN 375 AND 749
+            AND day BETWEEN 10227 AND 10286 THEN 1 ELSE 0 END)::BIGINT
+            AS hits
+        FROM zoned GROUP BY 1, 2)
+      SELECT layout, count(*) AS n_zones,
+        sum(CASE WHEN cmax >= 375 AND cmin <= 749 AND dmax >= 10227
+          AND dmin <= 10286 THEN 1 ELSE 0 END)::BIGINT AS zones_scanned,
+        sum(hits)::BIGINT AS rows_matched
+      FROM zstats GROUP BY 1 ORDER BY layout"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
       q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197,
-      q203)
+      q203, q207, q208, q209, q210, q211, q212, q214)
 }

@@ -992,6 +992,52 @@ object Similarity {
           / count(*)::DOUBLE AS pr_fraction
       FROM vars"""))
 
-  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102,
+  // ---------- q213: deterministic negative sampling ------------------
+
+  /** Contrastive-training negative sampling: for every vector, k=5
+    * pseudo-random corpus negatives drawn by a universal hash over
+    * (vec_id, slot) — the join-free construction a 100 TB pipeline
+    * needs (true random sampling would either collect ids to the
+    * driver or need a per-row RNG whose seed placement Spark doesn't
+    * guarantee across retries; an affine hash mod N is deterministic,
+    * uniform enough, and pure projection arithmetic). The candidate
+    * formula `(id + 1 + (a·id + b·slot) mod (N-1)) mod N` can never
+    * return the anchor itself, so no rejection loop. One hash join
+    * back to the corpus fetches each negative's label; `same_label`
+    * marks collisions a trainer would down-weight (false negatives).
+    * N rides in as a one-row broadcast. Output is the (anchor, slot)
+    * pair table a dataloader would consume.
+    */
+  private val q213 = QueryDef(
+    "q213_negative_sampling",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val n = e.agg(count(lit(1)).as("N"))
+      val cands = e.select(col("vec_id"), col("label"))
+        .crossJoin(broadcast(n))
+        .select(col("vec_id"), col("label"), col("N"),
+          explode(expr("sequence(0L, 4L)")).as("slot"))
+        .withColumn("neg_id",
+          pmod(col("vec_id") + 1L +
+            pmod(col("vec_id") * lit(2654435761L) + col("slot") * lit(40503L),
+              col("N") - 1L), col("N")))
+      cands.join(e.select(col("vec_id").as("neg_id"),
+          col("label").as("neg_label")), "neg_id")
+        .select(col("vec_id"), col("slot"), col("neg_id"),
+          (col("label") === col("neg_label")).cast("long").as("same_label"))
+        .orderBy("vec_id", "slot")
+    },
+    Some("""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+      cands AS (SELECT vec_id, label, slot,
+          (vec_id + 1 + (vec_id * 2654435761 + slot * 40503) % (cnt - 1))
+            % cnt AS neg_id
+        FROM embeddings, n, (SELECT unnest([0, 1, 2, 3, 4]) AS slot))
+      SELECT c.vec_id, c.slot::BIGINT AS slot, c.neg_id,
+        CASE WHEN c.label = e.label THEN 1 ELSE 0 END::BIGINT
+          AS same_label
+      FROM cands c JOIN embeddings e ON e.vec_id = c.neg_id
+      ORDER BY c.vec_id, c.slot"""))
+
+  val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
     q112, q123, q127, q130, q134, q167, q185, q202)
 }

@@ -390,22 +390,25 @@ object Relational {
 
   /** Days from order placement to line-item shipment, p50/p90/p99 per
     * order priority — the fulfillment-SLA query every order system
-    * reports, and the join-then-order-statistic composition (q67's
-    * selection-percentile contract on a DERIVED measure): delay is an
-    * exact integer day difference (µs floor-div, the q98 rule —
-    * calendar date_diff semantics diverge across engines), percentiles
-    * are ⌈p·n⌉ rank selection under a (delay, orderkey, linenumber)
-    * total order per priority, all three read off ONE window sort.
-    * Shape: lineitem⋈orders equi-join on the orderkey (both sides
-    * shuffle-partitioned on the same key), then a per-priority sort of
-    * the joined table; at 100 TB the two-pass quantile-boundary
-    * broadcast (q91's note) replaces the full sort.
+    * reports. Delay is an exact integer day difference (µs floor-div,
+    * the q98 rule — calendar date_diff semantics diverge across
+    * engines); the percentile is ⌈p·n⌉ rank selection, computed off a
+    * (priority, delay) HISTOGRAM rather than a row sort: delay has a
+    * small integer domain, so the exact value at rank r is the
+    * smallest delay whose cumulative count reaches r — a groupBy that
+    * pre-aggregates map-side to |priorities|×|delays| rows, then a
+    * cumulative window over that tiny table. Tie-break columns are
+    * unnecessary (equal delays are interchangeable AT a rank), so the
+    * 100 TB plan shuffles the histogram, never the joined rows — the
+    * low-cardinality analogue of the q149 boundary-broadcast rank.
+    * The oracle keeps the full row_number() selection form —
+    * agreement checks the histogram rank algebra against real ranks.
     */
   private val q135 = QueryDef(
     "q135_ship_delay_percentiles",
     (s, dir) => {
       val joined = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
+        .select(col("l_orderkey"),
           expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)")
             .as("ship_us"))
         .join(t(s, dir, "orders")
@@ -413,24 +416,25 @@ object Relational {
             expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")
               .as("ord_us")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_orderpriority"), col("l_orderkey"), col("l_linenumber"),
+        .select(col("o_orderpriority"),
           expr("(ship_us - ord_us) div 86400000000").as("delay_days"))
+      val hist = joined
+        .groupBy(col("o_orderpriority"), col("delay_days"))
+        .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("o_orderpriority"))
-      val ranked = joined
-        .withColumn("rn", row_number().over(w.orderBy(
-          col("delay_days"), col("l_orderkey"), col("l_linenumber"))))
-        .withColumn("n", count(lit(1)).over(w))
-      ranked
-        .where(col("rn") === ceil(col("n") * lit(0.5))
-          || col("rn") === ceil(col("n") * lit(0.9))
-          || col("rn") === ceil(col("n") * lit(0.99)))
+      val cum = hist
+        .withColumn("n", sum(col("c")).over(w))
+        .withColumn("cum", sum(col("c")).over(
+          w.orderBy(col("delay_days"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum
         .groupBy(col("o_orderpriority"), col("n"))
         .agg(
-          min(when(col("rn") === ceil(col("n") * lit(0.5)),
+          min(when(col("cum") >= ceil(col("n") * lit(0.5)),
             col("delay_days"))).as("p50_days"),
-          min(when(col("rn") === ceil(col("n") * lit(0.9)),
+          min(when(col("cum") >= ceil(col("n") * lit(0.9)),
             col("delay_days"))).as("p90_days"),
-          min(when(col("rn") === ceil(col("n") * lit(0.99)),
+          min(when(col("cum") >= ceil(col("n") * lit(0.99)),
             col("delay_days"))).as("p99_days"))
         .select(col("o_orderpriority"), col("n").as("n_items"),
           col("p50_days"), col("p90_days"), col("p99_days"))

@@ -935,7 +935,87 @@ object TextOps {
   private[graft] def q14Fn(s: SparkSession, dir: String): DataFrame =
     q14.fn(s, dir)
 
+  // ---------- q215: lang-id chance-corrected agreement (kappa) ---------
+
+  /** Cohen's kappa between the q15 predictor and the metadata label —
+    * the chance-corrected score that q198's raw confusion matrix and
+    * plain accuracy both overstate when one class (here 'en')
+    * dominates: p_exp is what agreement by marginal-frequency luck
+    * alone would score, and kappa discounts it. Reuses q15's exact
+    * QueryDef fn (predictor can't drift from what q15/q198 gate);
+    * everything after the |langs|²-cell confusion aggregate is
+    * broadcast scalar arithmetic — marginal products, one diagonal
+    * sum, three divisions — textually identical on both sides.
+    * Labels the predictor never emits ('zh') contribute zero to
+    * p_exp via the inner marginal join, matching the closed form.
+    */
+  private val q215 = QueryDef(
+    "q215_langid_kappa",
+    (s, dir) => {
+      val cells = q15.fn(s, dir)
+        .groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("n_docs"))
+      val rowm = cells.groupBy(col("lang_label").as("k"))
+        .agg(sum(col("n")).as("nr"))
+      val colm = cells.groupBy(col("lang_pred").as("k"))
+        .agg(sum(col("n")).as("nc"))
+      val pe = rowm.join(colm, "k")
+        .agg(sum(col("nr") * col("nc")).as("spc"))
+      val po = cells.where(col("lang_label") === col("lang_pred"))
+        .agg(sum(col("n")).as("diag"))
+      po.crossJoin(broadcast(pe)).crossJoin(broadcast(tot))
+        .select(col("n_docs"),
+          (col("diag").cast("double") / col("n_docs").cast("double"))
+            .as("p_obs"),
+          (col("spc").cast("double")
+            / (col("n_docs").cast("double") * col("n_docs").cast("double")))
+            .as("p_exp"),
+          ((col("diag").cast("double") / col("n_docs").cast("double")
+            - col("spc").cast("double")
+              / (col("n_docs").cast("double") * col("n_docs").cast("double")))
+            / (lit(1.0) - col("spc").cast("double")
+              / (col("n_docs").cast("double") * col("n_docs").cast("double"))))
+            .as("kappa"))
+    },
+    Some("""WITH pred AS (SELECT lang AS lang_label,
+        CASE
+          WHEN hits_en >= hits_de AND hits_en >= hits_es
+            AND hits_en >= hits_fr THEN 'en'
+          WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+          WHEN hits_es >= hits_fr THEN 'es'
+          ELSE 'fr' END AS lang_pred
+        FROM (
+          SELECT lang,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','of','to','and','is'))) AS hits_en,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('der','die','das','und','ist'))) AS hits_de,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('el','los','las','y','es'))) AS hits_es,
+            len(list_filter(string_split(text, ' '),
+              t -> t IN ('le','les','et','est','une'))) AS hits_fr
+          FROM documents)),
+      cells AS (SELECT lang_label, lang_pred, count(*) AS n
+        FROM pred GROUP BY 1, 2),
+      tot AS (SELECT sum(n)::BIGINT AS n_docs FROM cells),
+      r AS (SELECT lang_label AS k, sum(n)::BIGINT AS nr
+        FROM cells GROUP BY 1),
+      c AS (SELECT lang_pred AS k, sum(n)::BIGINT AS nc
+        FROM cells GROUP BY 1),
+      pe AS (SELECT sum(nr * nc)::BIGINT AS spc FROM r JOIN c USING (k)),
+      po AS (SELECT sum(n)::BIGINT AS diag FROM cells
+        WHERE lang_label = lang_pred)
+      SELECT n_docs,
+        diag::DOUBLE / n_docs::DOUBLE AS p_obs,
+        spc::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE) AS p_exp,
+        (diag::DOUBLE / n_docs::DOUBLE
+          - spc::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE))
+          / (1.0 - spc::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE))
+          AS kappa
+      FROM po, pe, tot"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
-      q153, q155, q165, q177, q198, q199)
+      q153, q155, q165, q177, q198, q199, q215)
 }

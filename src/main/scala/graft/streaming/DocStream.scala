@@ -131,6 +131,50 @@ object DocStream {
       }
   }
 
+  final case class KeyRow(doc_id: Long, content_key: String)
+  final case class ExactState(n: Long, canonical: Long)
+  final case class ExactRow(content_key: String, n_docs: Long,
+      canonical_id: Long)
+
+  /** Streaming twin of q17's EXACT dedup — the admit-at-ingest shape:
+    * each arriving document is hashed with the batch content key
+    * (lowercase → strip non-alnum → squeeze spaces → md5, verbatim
+    * q17) and one stateful stage keyed by content_key maintains
+    * (count, min doc id), re-emitting the key's row every microbatch
+    * it grows. Consumers keep the LATEST row per key; after an
+    * AvailableNow backfill that latest row set IS the batch q17
+    * result — min is batch-split-invariant, so the equivalence holds
+    * under any microbatch partitioning of the input. State per key is
+    * CONSTANT SIZE (two longs) — an adversarial hot key (a megacorpus
+    * of one boilerplate page) costs the same state as a singleton,
+    * the [[spanWorklist]] guarantee.
+    */
+  def exactDedup(docsStream: DataFrame): Dataset[ExactRow] = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    docsStream
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " "))).as("content_key"))
+      .as[KeyRow]
+      .groupByKey(_.content_key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyRow], state: GroupState[ExactState]) =>
+          val prev = state.getOption.getOrElse(ExactState(0L, Long.MaxValue))
+          var n = prev.n
+          var canonical = prev.canonical
+          rows.foreach { r =>
+            n += 1
+            if (r.doc_id < canonical) canonical = r.doc_id
+          }
+          state.update(ExactState(n, canonical))
+          if (n > prev.n) Iterator(ExactRow(key, n, canonical))
+          else Iterator.empty
+      }
+  }
+
   /** LSH candidate pairs from a document stream: signature projection →
     * per-bucket membership state → incremental pair emission. Emits
     * `(doc_a, doc_b)` with `doc_a < doc_b`, one row per (pair, band)

@@ -304,6 +304,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming exact dedup's latest rows == batch q17 (AvailableNow)") {
+    import graft.streaming.DocStream
+    val q = DocStream.exactDedup(DocStream.readDocuments(spark, sf))
+      .writeStream.format("memory").queryName("exdedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // latest emission per key = the one with the (strictly growing)
+    // max n_docs; its canonical_id is the final min
+    val got = spark.table("exdedup")
+      .groupBy(col("content_key"))
+      .agg(max(struct(col("n_docs"), col("canonical_id"))).as("f"))
+      .select(col("content_key"), col("f.n_docs").as("n_docs"),
+        col("f.canonical_id").as("canonical_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("q17_dedup_exact")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming mixture-sample gate == batch q173 kept set " +
     "(AvailableNow)") {
     import graft.streaming.DocStream
