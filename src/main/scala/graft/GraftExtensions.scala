@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, LshBuckets, SelfCosineRule}
+import graft.expressions.{CdcCuts, CosineSimilarity, LshBuckets, SelfCosineRule}
 
 /** Session extensions for the graft engine: registers the library's
   * native Catalyst expressions as SQL functions, so they are available
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3,
           s"graft_lsh_buckets expects 3 arguments, got ${children.length}")
         LshBuckets(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "graft_cdc_cuts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_cdc_cuts expects 3 arguments, got ${children.length}")
+        CdcCuts(children.head, children(1), children(2))
       }))
     ext.injectOptimizerRule(_ => SelfCosineRule)
   }

@@ -695,22 +695,39 @@ object Events {
     * row is a single IEEE multiply on identical inputs, carried in
     * exact DECIMAL(38,6) so the SUM is accumulation-order-free, and
     * the final weighted mean is one division. The last observation per
-    * type (no successor) is excluded on both engines. Shape: one
-    * shuffle on event_type for the window, map-side-combinable
-    * aggregate, output = |types| rows.
+    * type (no successor) is excluded on both engines. Shape: the
+    * successor gaps come from [[graft.ops.RangeLead]] BY DEFAULT —
+    * a `lead()` window partitioned by event_type has only |types|
+    * partitions, so at 100 TB one type is one straggler task holding
+    * a fifth of the corpus; RangeLead range-shards on (type, ts, id),
+    * computes gaps per shard, and stitches the ≤ shards×|types|
+    * boundary rows driver-side. `graft.lead.strategy=window` restores
+    * the window form; RangeLeadSpec proves the two produce identical
+    * gap multisets, and the DuckDB oracle runs the window form.
     */
   private val q95 = QueryDef(
     "q95_twap",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-      ev(s, dir)
+      val base = ev(s, dir)
         .select(col("event_type"), col("ts"), col("event_id"), col("value"))
-        .withColumn("next_ts", lead(col("ts"), 1).over(w))
-        .where(col("next_ts").isNotNull)
-        .withColumn("gap_us",
-          expr("timestampdiff(MICROSECOND, ts, next_ts)"))
+      val gaps =
+        if (s.conf.getOption("graft.lead.strategy").contains("window")) {
+          val w = Window.partitionBy(col("event_type"))
+            .orderBy(col("ts"), col("event_id"))
+          base
+            .withColumn("next_ts", lead(col("ts"), 1).over(w))
+            .where(col("next_ts").isNotNull)
+            .select(col("event_type"), col("value"),
+              expr("timestampdiff(MICROSECOND, ts, next_ts)").as("gap_us"))
+        } else
+          graft.ops.RangeLead.gaps(base.select(
+              col("event_type").as("key"),
+              expr("""timestampdiff(MICROSECOND,
+                TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)""").as("ts_us"),
+              col("event_id").as("tie"), col("value")))
+            .select(col("key").as("event_type"), col("value"), col("gap_us"))
+      gaps
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_held"),
           sum(col("gap_us")).as("held_us"),

@@ -305,17 +305,22 @@ object Multimodal {
   // ---------- q166: content-defined chunking dedup -----------------------
 
   /** The upgrade path q131's doc promises: content-defined chunking.
-    * Cut points are where the 32-bit hash of the 8-gram ending at a
-    * position ≡ 0 (mod 32) — a pure content function, so an insertion
-    * shifts ONE chunk instead of re-aligning every fixed block after
-    * it (the whole point of CDC in a content-addressed store). Chunks
-    * are reassembled per document from the sorted cut offsets (window
-    * over the cut table, ~1/32 of positions, partitioned by doc — the
-    * full position explode stays map-side and is never shuffled),
-    * then the same per-source distinct-hash audit as q131, weighted
-    * by chunk BYTES (CDC chunks are variable-length, so block counts
-    * alone would flatter small chunks). Expected chunk length is the
-    * mask modulus (32 B) + the 7-char window floor.
+    * Cut points are where the polynomial rolling hash of the 8-gram
+    * ending at a position ≡ 0 (mod 32) — a pure content function, so
+    * an insertion shifts ONE chunk instead of re-aligning every fixed
+    * block after it (the whole point of CDC in a content-addressed
+    * store). The cut scan is the native codegen'd
+    * `graft_cdc_cuts(text, 8, 32)` (expressions/CdcCuts.scala): ONE
+    * rolling pass per document instead of a per-position
+    * explode+md5 — O(bytes), the only shape that survives a corpus
+    * where this scan touches every byte. Chunks are reassembled per
+    * document from the sorted cut offsets (window over the cut table,
+    * ~1/32 of positions, partitioned by doc), then the same
+    * per-source distinct-hash audit as q131, weighted by chunk BYTES
+    * (CDC chunks are variable-length, so block counts alone would
+    * flatter small chunks). Expected chunk length is the mask modulus
+    * (32 B) + the 7-char window floor. The oracle evaluates the same
+    * polynomial non-rolled — agreement checks the rolling update.
     */
   private val q166 = QueryDef(
     "q166_cdc_chunking",
@@ -325,14 +330,10 @@ object Multimodal {
           length(col("text")).as("n"))
       val cuts = d.where(col("n") >= 8)
         .select(col("doc_id"),
-          explode(expr("sequence(1, n - 7)")).as("i"),
-          col("text"))
-        .where(expr(
-          s"${graft.ops.Portable.h32Spark("substring(text, i, 8)")} % 32 = 0"))
-        .select(col("doc_id"), (col("i") + 7).as("e"))
+          explode(expr("graft_cdc_cuts(text, 8, 32)")).as("e"))
       val ends = cuts
         .union(d.where(col("n") >= 1)
-          .select(col("doc_id"), col("n").as("e")))
+          .select(col("doc_id"), col("n").cast("long").as("e")))
         .distinct()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("e")
@@ -365,8 +366,15 @@ object Multimodal {
       cuts AS (SELECT doc_id, i + 7 AS e
         FROM d, unnest(range(1, n - 6)) AS t(i)
         WHERE n >= 8
-          AND ${graft.ops.Portable.h32Duck("substring(text, i::INT, 8)")}
-            % 32 = 0),
+          AND (ord(substring(text, i::INT, 1)) * 155737
+            + ord(substring(text, (i + 1)::INT, 1)) * 410923
+            + ord(substring(text, (i + 2)::INT, 1)) * 317680
+            + ord(substring(text, (i + 3)::INT, 1)) * 923521
+            + ord(substring(text, (i + 4)::INT, 1)) * 29791
+            + ord(substring(text, (i + 5)::INT, 1)) * 961
+            + ord(substring(text, (i + 6)::INT, 1)) * 31
+            + ord(substring(text, (i + 7)::INT, 1)))
+            % 1048573 % 32 = 0),
       ends AS (SELECT DISTINCT doc_id, e FROM
         (SELECT doc_id, e FROM cuts
          UNION ALL SELECT doc_id, n AS e FROM d WHERE n >= 1)),
