@@ -1834,7 +1834,10 @@ object Analytics {
     * visited set, so per-round shuffle is |frontier|×avg-degree — the
     * textbook distributed BFS whose cost tracks the neighborhood, not
     * the graph (a recursive/loop formulation would be the same three
-    * plans; unrolling keeps AQE per-stage). The DuckDB oracle is an
+    * plans; unrolling keeps AQE per-stage). Every hop's frontier is
+    * persisted and the seed/result localCheckpoint'ed — the
+    * connectedComponents iteration idiom — so no hop ever re-derives
+    * an earlier one. The DuckDB oracle is an
     * INDEPENDENT recursive-CTE walk taking min(dist) per node —
     * agreement checks the frontier/visited bookkeeping.
     */
@@ -1847,19 +1850,35 @@ object Analytics {
       val edges = pairs.select(col("p1").as("node"), col("p2").as("v"))
         .unionAll(pairs.select(col("p2").as("node"), col("p1").as("v")))
       val deg = edges.groupBy(col("node")).agg(count(lit(1)).as("d"))
+      // Each hop's frontier is PERSISTED (the connectedComponents
+      // idiom): without it the hop-3 plan re-derives hop 1 and hop 2
+      // in every branch (frontier join + anti-join + final union) and
+      // the unrolled lineage re-executes the pair aggregate ~2^hops
+      // times — measured 22 s vs ~1 s at sf0.1. The seed is
+      // localCheckpoint'ed so the limit-1 ranking runs once, and the
+      // result is localCheckpoint'ed so the returned plan carries no
+      // iteration history; intermediates are released before return.
+      import org.apache.spark.storage.StorageLevel
       val seed = deg.orderBy(col("d").desc, col("node")).limit(1)
         .select(col("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
       var visited = seed
       var frontier = seed.select(col("node"))
+      val hopFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (h <- 1 to 3) {
         frontier = frontier.join(edges, "node")
           .select(col("v").as("node")).distinct()
           .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        hopFrames += frontier
         visited = visited.unionAll(
           frontier.select(col("node"), lit(h.toLong).as("dist")))
       }
-      visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+      val out = visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
         .orderBy("dist")
+        .localCheckpoint(true)
+      hopFrames.foreach(_.unpersist(blocking = false))
+      out
     },
     Some("""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o,
           l_partkey AS p FROM lineitem),
@@ -2243,9 +2262,200 @@ object Analytics {
         sum(hits)::BIGINT AS rows_matched
       FROM zstats GROUP BY 1 ORDER BY layout"""))
 
+  // ---------- q218: top supplier of a quarter (TPC-H Q15) -------------
+
+  /** Supplier(s) achieving the maximum shipped revenue in one quarter —
+    * the TPC-H Q15 shape (aggregate view + scalar-max filter against
+    * itself). Spark-first: the per-supplier revenue aggregate is ONE
+    * lineitem shuffle (the quarter predicate pushes down to the scan);
+    * the scalar max is a 1-row broadcast crossJoin back onto the same
+    * aggregate (never a recomputed subquery — Spark materializes the
+    * aggregate once under ReusedExchange), and the equality compare is
+    * safe because both sides derive the double from the identical
+    * exact DECIMAL sum. Supplier names broadcast. The oracle keeps the
+    * view + scalar-subquery form — agreement checks the reuse
+    * reformulation. At 100 TB: one fact shuffle to a |suppliers|-row
+    * aggregate; everything after is |suppliers|-sized.
+    */
+  private val q218 = QueryDef(
+    "q218_top_supplier_quarter",
+    (s, dir) => {
+      val rev = Fixtures.table(s, dir, "lineitem")
+        .where(expr("l_shipdate >= TIMESTAMP '1998-01-01' AND " +
+          "l_shipdate < TIMESTAMP '1998-04-01'"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(expr("l_extendedprice * (1.0 - l_discount)"))
+          .as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .where(col("total_revenue") === col("max_rev"))
+        .join(broadcast(Fixtures.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH rev AS (SELECT l_suppkey,
+        cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1998-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      ORDER BY s_suppkey"""))
+
+  // ---------- q219: large-volume orders (TPC-H Q18) -------------------
+
+  /** Orders whose total line quantity exceeds 300, with their customer —
+    * the TPC-H Q18 shape (HAVING filter on a fact aggregate, joined
+    * back to the header tables). One lineitem shuffle on orderkey with
+    * map-side partials; the rare survivors join orders ON THE SAME KEY
+    * (co-partitioned — shuffle-free when both are bucketed by
+    * orderkey), customer broadcasts, and the top-20 is a TakeOrdered
+    * with full (qty desc, orderkey) tiebreak — never a global sort.
+    * Quantity sums follow the DECIMAL-term convention so the threshold
+    * compare cannot flip across engines.
+    */
+  private val BigOrderQty = 300.0
+
+  private val q219 = QueryDef(
+    "q219_large_orders",
+    (s, dir) => {
+      val big = Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > BigOrderQty)
+      big.join(Fixtures.table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Fixtures.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some(s"""WITH big AS (SELECT l_orderkey,
+        cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING cast(sum(cast(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          > $BigOrderQty)
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        total_qty
+      FROM big JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_qty DESC, o_orderkey LIMIT 20"""))
+
+  // ---------- q221: MERGE/upsert audit --------------------------------
+
+  /** The lakehouse MERGE INTO shape, audited: a standing snapshot
+    * (orders before 2000) merged with a delta batch (a hash-selected
+    * 10 % of the snapshot re-emitted with status 'U', plus every order
+    * from 2000 on as inserts), classified into insert / update /
+    * untouched with per-class row counts and a portable content digest
+    * (sum of h32(key:status) over the merged rows — verifies the
+    * merged STATE, not just the counts). The merge itself is ONE
+    * full-outer join on the key — at 100 TB with both sides bucketed
+    * by the key it is shuffle-free, and the delta side is the only
+    * small input; this is the day-to-day incremental-ingest shape
+    * (q104's dedup analogue for upserts). The update selection is the
+    * q37 pure-hash contract (salt 'upd_'), so the delta is identical
+    * in both engines.
+    */
+  private val q221 = QueryDef(
+    "q221_upsert_merge",
+    (s, dir) => {
+      val orders = Fixtures.table(s, dir, "orders")
+      val base = orders
+        .where(expr("o_orderdate < TIMESTAMP '2000-01-01'"))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val updates = base
+        .where(expr(
+          s"${Portable.h32Spark("concat('upd_', o_orderkey)")} % 10 = 0"))
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"))
+      val inserts = orders
+        .where(expr("o_orderdate >= TIMESTAMP '2000-01-01'"))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val delta = updates.unionByName(inserts)
+      base.select(col("o_orderkey").as("bk"), col("o_orderstatus").as("bs"))
+        .join(delta.select(col("o_orderkey").as("dk"),
+          col("o_orderstatus").as("ds")),
+          col("bk") === col("dk"), "full_outer")
+        .select(coalesce(col("bk"), col("dk")).as("okey"),
+          coalesce(col("ds"), col("bs")).as("status"),
+          when(col("bk").isNull, "insert")
+            .when(col("dk").isNull, "untouched")
+            .otherwise("update").as("action"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr(Portable.h32Spark("concat(okey, ':', status)")))
+            .as("digest"))
+        .orderBy("action")
+    },
+    Some(s"""WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+      upd AS (SELECT o_orderkey, 'U' AS o_orderstatus FROM base
+        WHERE ${Portable.h32Duck("'upd_' || o_orderkey")} % 10 = 0),
+      ins AS (SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+      delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      merged AS (SELECT coalesce(b.o_orderkey, d.o_orderkey) AS okey,
+          coalesce(d.o_orderstatus, b.o_orderstatus) AS status,
+          CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+            WHEN d.o_orderkey IS NULL THEN 'untouched'
+            ELSE 'update' END AS action
+        FROM base b FULL OUTER JOIN delta d
+          ON b.o_orderkey = d.o_orderkey)
+      SELECT action, count(*)::BIGINT AS n_rows,
+        sum(${Portable.h32Duck("okey || ':' || status")})::BIGINT
+          AS digest
+      FROM merged GROUP BY 1 ORDER BY action"""))
+
+  // ---------- q224: UNPIVOT (wide aggregate → long metrics) -----------
+
+  /** The per-priority order aggregate melted to (priority, metric,
+    * value) rows via Spark's native `Dataset.unpivot` — the UNPIVOT
+    * operator, the inverse of q223's PIVOT and the shape that feeds
+    * generic metric stores (one row per measure, schema fixed as
+    * metrics evolve). Unpivot is a zero-shuffle Expand over the
+    * |priorities|-row aggregate — all the distributed work is the one
+    * orders aggregate before it; counts cast to double once so the
+    * value column has the single common type unpivot requires. The
+    * oracle is an independent UNION ALL formulation.
+    */
+  private val q224 = QueryDef(
+    "q224_unpivot_metrics",
+    (s, dir) => {
+      val wide = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("n_orders"), col("revenue")),
+          "metric", "value")
+        .orderBy("o_orderpriority", "metric")
+    },
+    Some("""WITH wide AS (SELECT o_orderpriority,
+        count(*)::DOUBLE AS n_orders,
+        cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          AS revenue
+        FROM orders GROUP BY 1)
+      SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value
+        FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'revenue' AS metric, revenue AS value
+        FROM wide
+      ORDER BY o_orderpriority, metric"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
       q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197,
-      q203, q207, q208, q209, q210, q211, q212, q214)
+      q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
+      q224)
 }

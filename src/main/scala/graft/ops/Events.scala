@@ -2079,9 +2079,85 @@ object Events {
       FROM act LEFT JOIN churned USING (mi), mm
       WHERE mi < max_mi ORDER BY mi"""))
 
+  // ---------- q222: throttle dedup (alert suppression) ----------------
+
+  /** Rate-limit suppression per (user, event_type): keep an event only
+    * if the key's PREVIOUS event is more than 24 hours older — the
+    * alert-throttle / notification-dedup shape (a burst collapses to
+    * its first event; a sustained drizzle under the gap stays
+    * suppressed because every event refreshes the clock — trailing
+    * daily-digest throttle, not session-start detection, which q27's
+    * 30-min gap handles). One window pass per key with a (ts, event_id) total
+    * order; at 100 TB the shuffle is on the (user, type) key and each
+    * partition sort is that key's event count. The streaming twin
+    * ([[graft.streaming.EventStream.throttle]]) holds ONE timestamp of
+    * state per key — constant state, spec-proven equal under
+    * `Trigger.AvailableNow`.
+    */
+  private[graft] val ThrottleGapUs = 86400000000L // 24 h
+
+  private val q222 = QueryDef(
+    "q222_throttle_dedup",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"),
+          expr("""timestampdiff(MICROSECOND,
+            TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)""").as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .where(col("prev_us").isNull
+          || col("us") - col("prev_us") > ThrottleGapUs)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+        .orderBy("user_id", "event_type", "ts", "event_id")
+    },
+    Some(s"""WITH e AS (SELECT event_id, user_id, event_type, ts,
+        epoch_us(ts) AS us,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) AS prev_us
+      FROM events)
+      SELECT event_id, user_id, event_type, ts FROM e
+      WHERE prev_us IS NULL OR us - prev_us > $ThrottleGapUs
+      ORDER BY user_id, event_type, ts, event_id"""))
+
+  // ---------- q223: PIVOT (day × event-type count matrix) -------------
+
+  /** Daily event counts pivoted to one column per event type — the
+    * PIVOT relational operator (Spark `RelationalGroupedDataset.pivot`
+    * with an EXPLICIT value list: an inferred list would be a separate
+    * distinct job AND nondeterministic column order). Pivot compiles
+    * to one hash aggregate with a conditional count per column — one
+    * shuffle on the day key, |days| × |types| cells, map-side
+    * partials; empty cells are filled 0 to match the oracle's FILTER
+    * counts. The day key is pure epoch integer arithmetic (the q143
+    * rule — calendar EXTRACT is engine/session-varying). At 100 TB
+    * this is the wide-report shape: output rows are calendar-bounded,
+    * so the pivot never materializes more than |days| rows past the
+    * aggregate.
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val q223 = QueryDef(
+    "q223_pivot_counts",
+    (s, dir) => ev(s, dir)
+      .groupBy(expr("""timestampdiff(MICROSECOND,
+        TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000""")
+        .as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day"),
+    Some(s"""SELECT epoch_us(ts) // 86400000000 AS day,
+      ${EventTypes.map(t =>
+        s"count(*) FILTER (WHERE event_type = '$t')::BIGINT AS $t")
+        .mkString(",\n      ")}
+      FROM events GROUP BY 1 ORDER BY day"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
-      q191, q193, q205, q206)
+      q191, q193, q205, q206, q222, q223)
 }

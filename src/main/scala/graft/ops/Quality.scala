@@ -883,6 +883,18 @@ object Quality {
     * join to the smoothing floor (c=0), so no vocab scan is ever
     * corpus-sized.
     */
+  /** Unigram counts of the q37 TRAIN split — the smoothed-LM fit table
+    * shared by q172 (held-out perplexity) and q225 (CCNet terciles),
+    * materialized once per run. |vocab|-sized.
+    */
+  private[ops] def trainUnigram(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "train_unigram")(
+      docs(s, dir)
+        .select(col("doc_id"), expr(Portable.splitCaseSpark).as("split"),
+          explode(split(col("text"), " ")).as("w"))
+        .where(col("split") === "train")
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+
   private val q172 = QueryDef(
     "q172_heldout_perplexity",
     (s, dir) => {
@@ -890,8 +902,7 @@ object Quality {
         .select(col("doc_id"), col("source"),
           expr(Portable.splitCaseSpark).as("split"),
           explode(split(col("text"), " ")).as("w"))
-      val tr = toks.where(col("split") === "train")
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tr = trainUnigram(s, dir)
       val trs = tr.agg(sum(col("c")).as("n_train"), count(lit(1)).as("v"))
       toks.where(col("split") === "test")
         .join(tr, Seq("w"), "left")
@@ -1068,7 +1079,123 @@ object Quality {
       WHERE d.doc_id >= $NBench
       GROUP BY 1 ORDER BY source"""))
 
+  // ---------- q216: l-diversity audit ---------------------------------
+
+  /** l-diversity of the sensitive attribute (lang) within each
+    * (source, length-bucket) quasi-identifier cell — the privacy gate
+    * BEHIND q101's k-anonymity (Machanavajjhala et al. 2007): a cell
+    * can hold ≥ k documents yet still leak, because if all of them
+    * share one language, knowing a document is in the cell reveals its
+    * language. Emits cells whose distinct-language count l < 3, with
+    * the dominant language and its share (exact-int division —
+    * identical IEEE result both engines). Dominant-language argmax is
+    * `max(struct(cnt, lang))` — ONE hash aggregate over the
+    * (cell, lang) table, the q211 encoding, with the struct order as
+    * the deterministic tiebreak. Shape: one corpus aggregate to
+    * ≤ cells×langs rows; everything after is cell-table-sized — like
+    * q101 this must run at full scale because rare cells are invisible
+    * in samples.
+    */
+  private val DiversityL = 3L
+
+  private val q216 = QueryDef(
+    "q216_l_diversity",
+    (s, dir) => {
+      val cellLang = docs(s, dir)
+        .groupBy(col("source"), expr("n_chars div 500").as("len_bucket"),
+          col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+      cellLang
+        .groupBy(col("source"), col("len_bucket"))
+        .agg(sum(col("cnt")).as("n_docs"),
+          count(lit(1)).as("l_distinct"),
+          max(struct(col("cnt"), col("lang"))).as("top"))
+        .where(col("l_distinct") < DiversityL)
+        .select(col("source"), col("len_bucket"), col("n_docs"),
+          col("l_distinct"), col("top.lang").as("top_lang"),
+          (col("top.cnt").cast("double") / col("n_docs").cast("double"))
+            .as("top_share"))
+        .orderBy("source", "len_bucket")
+    },
+    Some(s"""WITH cl AS (SELECT source, n_chars // 500 AS len_bucket,
+        lang, count(*) AS cnt
+        FROM documents GROUP BY 1, 2, 3),
+      cell AS (SELECT source, len_bucket, sum(cnt) AS n_docs,
+          count(*) AS l_distinct,
+          max(struct_pack(cnt := cnt, lang := lang)) AS top
+        FROM cl GROUP BY 1, 2)
+      SELECT source, len_bucket, n_docs::BIGINT AS n_docs,
+        l_distinct::BIGINT AS l_distinct,
+        top.lang AS top_lang,
+        top.cnt::DOUBLE / n_docs::DOUBLE AS top_share
+      FROM cell WHERE l_distinct < $DiversityL
+      ORDER BY source, len_bucket"""))
+
+  // ---------- q225: CCNet-style perplexity terciles -------------------
+
+  /** Every document scored by the train-split unigram LM (per-token
+    * smoothed NLL, q172's exact formula) and bucketed into perplexity
+    * terciles WITHIN its language — the CCNet head/middle/tail split
+    * (Wenzek et al. 2020), the published curation scheme that keeps
+    * "head" text and drops or downweights "tail". Per-doc mean NLL is
+    * the exact nano-unit sum divided once and re-pinned to int64, so
+    * both engines rank identical keys; the tercile is ntile(3) under a
+    * (mean, doc_id) total order per language. Shape: the LM table is
+    * the PlanCache'd [[trainUnigram]] (shared with q172), scoring is
+    * one posting-scale shuffle join (the q172 vocab-is-executor-sized
+    * rule), the window sorts |docs-per-lang| rows — at 100 TB the
+    * tercile switches to the q149 boundary-broadcast two-pass like
+    * every other global-rank consumer. Output: |langs|×3 rows.
+    */
+  private val q225 = QueryDef(
+    "q225_ccnet_buckets",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+      val tr = trainUnigram(s, dir)
+      val trs = tr.agg(sum(col("c")).as("n_train"), count(lit(1)).as("v"))
+      val perDoc = toks
+        .join(tr, Seq("w"), "left")
+        .crossJoin(broadcast(trs))
+        .select(col("doc_id"), col("lang"),
+          expr("""CAST(round(ln(CAST(n_train + v AS DOUBLE)
+            / (coalesce(c, 0L) + 1)) * 1e9) AS BIGINT)""").as("nlp_nano"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("nlp_nano")).as("s_nano"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("CAST(round(CAST(s_nano AS DOUBLE) / n_tok) AS BIGINT)")
+            .as("mean_nano"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("mean_nano"), col("doc_id"))
+      perDoc
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("lang", "bucket")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, lang,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+      trt AS (SELECT doc_id, ${Portable.splitCaseDuck} AS split,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+      tr AS (SELECT w, count(*) AS c FROM trt
+        WHERE split = 'train' GROUP BY 1),
+      trs AS (SELECT sum(c)::BIGINT AS n_train, count(*) AS v FROM tr),
+      pd AS (SELECT t.doc_id, t.lang, count(*) AS n_tok,
+          sum(round(ln((n_train + v)::DOUBLE / (coalesce(c, 0) + 1))
+            * 1e9)::BIGINT) AS s_nano
+        FROM toks t LEFT JOIN tr USING (w), trs GROUP BY 1, 2),
+      bk AS (SELECT lang, n_tok,
+          ntile(3) OVER (PARTITION BY lang
+            ORDER BY round(s_nano::DOUBLE / n_tok)::BIGINT, doc_id)
+            AS bucket
+        FROM pd)
+      SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+        sum(n_tok)::BIGINT AS n_tokens
+      FROM bk GROUP BY 1, 2 ORDER BY lang, bucket"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
-      q149, q168, q170, q172, q173, q183)
+      q149, q168, q170, q172, q173, q183, q216, q225)
 }

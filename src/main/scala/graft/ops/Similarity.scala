@@ -1038,6 +1038,75 @@ object Similarity {
       FROM cands c JOIN embeddings e ON e.vec_id = c.neg_id
       ORDER BY c.vec_id, c.slot"""))
 
+  // ---------- q220: sampled-pair cosine histogram (hubness audit) -----
+
+  /** Distribution of cosine similarity over deterministic hash-sampled
+    * vector pairs — the embedding-space concentration audit beside
+    * q202's participation ratio: a healthy space puts random-pair
+    * cosines in a band near 0; a distribution piled toward 1 means
+    * similarities are saturated (anisotropy / hubness) and every
+    * cosine threshold downstream (q21's 0.95, IVF probe margins) stops
+    * discriminating. Pairs come from q213's join-free affine-hash
+    * construction (different multiplier/salt constants, so the two
+    * samples are decorrelated): 8 partners per vector, a pure
+    * projection fan-out + ONE hash join back to the corpus — sampled
+    * pairs scale as 8N, never N². Cosines are the codegen'd
+    * `graft_cosine`; bucket = floor((cos+1)·10) clamped to 19, exact
+    * on both engines because the doubles are bit-identical (the q22
+    * precedent); per-bucket mean pins to integer micro-units before
+    * the order-insensitive sum. Output: ≤ 20 rows.
+    */
+  private val q220 = QueryDef(
+    "q220_cosine_histogram",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val n = e.agg(count(lit(1)).as("N"))
+      val pairs = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(n))
+        .select(col("vec_id"), col("embedding"), col("N"),
+          explode(expr("sequence(0L, 7L)")).as("slot"))
+        .withColumn("partner_id",
+          pmod(col("vec_id") + 1L +
+            pmod(col("vec_id") * lit(2246822519L) + col("slot") * lit(97931L),
+              col("N") - 1L), col("N")))
+      val scored = pairs
+        .join(e.select(col("vec_id").as("partner_id"),
+          col("embedding").as("pe")), "partner_id")
+        .select(expr("graft_cosine(embedding, pe)").as("cosine"))
+      val tot = scored.agg(count(lit(1)).as("total"))
+      scored
+        .select(least(lit(19L),
+            floor((col("cosine") + lit(1.0)) * lit(10.0)).cast("long"))
+            .as("bucket"),
+          round(col("cosine") * lit(1e6)).cast("long").as("cos_micro"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          ((sum(col("cos_micro")).cast("double")
+            / count(lit(1)).cast("double")) / lit(1e6)).as("mean_cosine"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_pairs"),
+          (col("n_pairs").cast("double") / col("total").cast("double"))
+            .as("share"),
+          col("mean_cosine"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+      pairs AS (SELECT a.vec_id, a.embedding,
+          (a.vec_id + 1 + (a.vec_id * 2246822519 + s.slot * 97931)
+            % (n.cnt - 1)) % n.cnt AS partner_id
+        FROM embeddings a, n,
+          (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS slot) s),
+      scored AS (SELECT
+          ${Dedup.cosDuck("p.embedding", "b.embedding")} AS cosine
+        FROM pairs p JOIN embeddings b ON b.vec_id = p.partner_id),
+      tot AS (SELECT count(*) AS total FROM scored)
+      SELECT least(19, floor((cosine + 1.0) * 10.0))::BIGINT AS bucket,
+        count(*)::BIGINT AS n_pairs,
+        count(*)::DOUBLE / total::DOUBLE AS share,
+        (sum(round(cosine * 1e6)::BIGINT)::DOUBLE
+          / count(*)::DOUBLE) / 1e6 AS mean_cosine
+      FROM scored, tot GROUP BY 1, total ORDER BY bucket"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
-    q112, q123, q127, q130, q134, q167, q185, q202)
+    q112, q123, q127, q130, q134, q167, q185, q202, q220)
 }

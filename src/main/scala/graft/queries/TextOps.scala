@@ -1015,7 +1015,66 @@ object TextOps {
           AS kappa
       FROM po, pe, tot"""))
 
+  // ---------- q217: top-bigram fraction (Gopher repetition rule) ------
+
+  /** Per-source rollup of the "top 2-gram fraction" repetition rule
+    * (Rae et al. 2021): the share of a document's bigram occurrences
+    * taken by its single most frequent bigram — high values mean the
+    * doc is one phrase repeated, the failure mode q43's duplicate-
+    * trigram fraction under-weights (q43 asks how many DISTINCT
+    * n-grams repeat; this asks how dominant the WORST one is). Bigrams
+    * are built map-side with zip_with over two slices of the token
+    * array (rows ∝ corpus bigrams, the raw text never shuffles), one
+    * (doc, bigram) hash aggregate with map-side partials, a per-doc
+    * max/sum, then the |sources|-row report: docs with ANY repeated
+    * bigram, and the mean top-bigram share pinned to integer
+    * micro-units per doc before the order-insensitive sum (one final
+    * division chain, textually identical both engines). Docs with a
+    * single token have no bigrams and fall out of the audit (every
+    * fixture doc has hundreds).
+    */
+  private val q217 = QueryDef(
+    "q217_top_bigram",
+    (s, dir) => {
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                 slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+                 (a, b) -> concat(a, ' ', b))""")).as("bg"))
+        .groupBy(col("doc_id"), col("source"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(max(col("c")).as("top_n"), sum(col("c")).as("n_bi"))
+      perDoc
+        .select(col("source"),
+          (col("top_n") >= 2L).cast("long").as("has_rep"),
+          round(col("top_n").cast("double") / col("n_bi").cast("double")
+            * lit(1e6)).cast("long").as("share_micro"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("has_rep")).as("n_repetitive"),
+          ((sum(col("share_micro")).cast("double")
+            / count(lit(1)).cast("double")) / lit(1e6))
+            .as("mean_top_share"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (SELECT doc_id, source,
+          string_split(text, ' ') AS t FROM documents),
+      bis AS (SELECT doc_id, source, t[i] || ' ' || t[i+1] AS bg
+        FROM toks, unnest(range(1, len(t))) AS r(i)),
+      bc AS (SELECT doc_id, source, bg, count(*) AS c
+        FROM bis GROUP BY 1, 2, 3),
+      pd AS (SELECT doc_id, source, max(c) AS top_n, sum(c) AS n_bi
+        FROM bc GROUP BY 1, 2)
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN top_n >= 2 THEN 1 ELSE 0 END)::BIGINT
+          AS n_repetitive,
+        (sum(round(top_n::DOUBLE / n_bi::DOUBLE * 1e6)::BIGINT)::DOUBLE
+          / count(*)::DOUBLE) / 1e6 AS mean_top_share
+      FROM pd GROUP BY 1 ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
-      q153, q155, q165, q177, q198, q199, q215)
+      q153, q155, q165, q177, q198, q199, q215, q217)
 }

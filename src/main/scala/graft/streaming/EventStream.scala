@@ -350,6 +350,41 @@ object EventStream {
       }
   }
 
+  final case class ThrottleState(lastUs: Long)
+
+  /** Streaming twin of batch q222's throttle dedup (alert
+    * suppression): ONE timestamp of state per (user, event_type) key —
+    * an event is emitted iff the state is empty or the event sits more
+    * than `gapUs` past the stored time, and the stored time is
+    * refreshed by EVERY event, emitted or not (trailing throttle, the
+    * exact lag contract of the batch window). Constant per-key state:
+    * unlike the LSH twin's member lists there is nothing to cap —
+    * state is one long per live key regardless of traffic. Events
+    * inside a micro-batch are sorted by (ts, event_id), the same total
+    * order as the batch query, so backfill over one AvailableNow batch
+    * reproduces the batch kept-set event-for-event.
+    */
+  def throttle(events: Dataset[EvT],
+      gapUs: Long = 86400000000L): Dataset[EvT] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[ThrottleState, EvT](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), it: Iterator[EvT],
+            state: GroupState[ThrottleState]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var last = state.getOption.map(_.lastUs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[EvT]
+          sorted.foreach { e =>
+            val us = toUs(e.ts)
+            if (last.forall(l => us - l > gapUs)) out += e
+            last = Some(us)
+          }
+          last.foreach(l => state.update(ThrottleState(l)))
+          out.iterator
+      }
+  }
+
   /** Continuous-mode sessionization: same 30-min-gap semantics as
     * [[sessionize]], but an idle user's open session is closed by the
     * event-time WATERMARK, not by end-of-input — the state timeout is

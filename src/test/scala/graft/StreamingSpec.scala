@@ -477,4 +477,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("streaming throttle == batch q222 kept set (AvailableNow)") {
+    import spark.implicits._
+    val src = EventStream.readEvents(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStream.EvT]
+    val q = EventStream.throttle(src)
+      .writeStream.format("memory").queryName("throttled")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("throttled").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    val want = SparkEntry.queries("q222_throttle_dedup")(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // the throttle must actually suppress something at fixture scale
+    val total = Fixtures.table(spark, sf, "events").count()
+    assert(got.nonEmpty && got.size < total)
+  }
 }
