@@ -2452,10 +2452,70 @@ object Analytics {
         FROM wide
       ORDER BY o_orderpriority, metric"""))
 
+  // ---------- q226: degree assortativity of the co-purchase graph ----
+
+  /** Pearson degree assortativity of the support-≥2 co-purchase graph —
+    * do hubs connect to hubs (r > 0) or to leaves (r < 0)? The graph-
+    * health scalar beside q122's degree histogram and q82's triangles:
+    * disassortative graphs concentrate recommendation traffic through
+    * hubs, which is exactly where q182's fan-out caps bite. Computed
+    * over the DOUBLED edge list (each undirected edge contributes both
+    * orientations — the standard estimator, and it makes Σx = Σy so
+    * one moment pass suffices): two keyed joins pick up endpoint
+    * degrees, moments accumulate as exact DECIMAL(38,0) sums of int64
+    * products (q75's convention — engine corr() builtins float-drift),
+    * and the Pearson formula is applied once in double, rounded 12.
+    * Shape: all work is |edges|-sized off the PlanCache'd pair table;
+    * the degree table joins on the node key.
+    */
+  private val q226 = QueryDef(
+    "q226_assortativity",
+    (s, dir) => {
+      val pairs = copurchasePairs(s, dir)
+        .where(col("n_orders") >= 2)
+        .select(col("part_a"), col("part_b"))
+      val edges = pairs.select(col("part_a").as("u"), col("part_b").as("v"))
+        .unionAll(pairs.select(col("part_b").as("u"), col("part_a").as("v")))
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val dd = edges
+        .join(deg.select(col("u"), col("d").as("du")), "u")
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      dd.agg(count(lit(1)).as("n"),
+          sum(col("du").cast(DecimalType(38, 0))).as("sx"),
+          sum((col("du") * col("du")).cast(DecimalType(38, 0))).as("sxx"),
+          sum((col("du") * col("dv")).cast(DecimalType(38, 0))).as("sxy"))
+        .select((col("n") / lit(2)).cast("long").as("n_edges"),
+          round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 12)
+            .as("assortativity"))
+    },
+    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem),
+      pairs AS (SELECT a.p AS p1, b.p AS p2 FROM it a
+        JOIN it b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS (SELECT p1 AS u, p2 AS v FROM pairs
+        UNION ALL SELECT p2, p1 FROM pairs),
+      deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+      dd AS (SELECT e.u, e.v, a.d AS du, b.d AS dv FROM edges e
+        JOIN deg a ON a.u = e.u JOIN deg b ON b.u = e.v),
+      m AS (SELECT count(*) AS n,
+          sum((du)::DECIMAL(38,0)) AS sx,
+          sum((du * du)::DECIMAL(38,0)) AS sxx,
+          sum((du * dv)::DECIMAL(38,0)) AS sxy
+        FROM dd)
+      SELECT (n / 2)::BIGINT AS n_edges,
+        round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+          / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 12)
+          AS assortativity
+      FROM m"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
       q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197,
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
-      q224)
+      q224, q226)
 }

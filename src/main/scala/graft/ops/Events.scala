@@ -2155,9 +2155,74 @@ object Events {
         .mkString(",\n      ")}
       FROM events GROUP BY 1 ORDER BY day"""))
 
+  // ---------- q227: Fano-factor burstiness ----------------------------
+
+  /** Fano factor (variance / mean of daily counts) per event type — the
+    * burstiness scalar the monitoring stack reads next to q142's
+    * autocorrelation and q143's seasonality: F ≈ 1 is Poisson-like
+    * arrivals, F ≫ 1 means bursty traffic (retry storms, batch
+    * replays) where per-day alarms misfire. Days with NO events count
+    * as zeros (the q142/q212 rule — dropping them biases F down), via
+    * the broadcast type×day grid over the observed span. All moments
+    * are exact int64 sums (daily counts ≤ ~3·10⁹ keep Σc² inside
+    * DECIMAL(38,0) at any scale); F = (nΣc² − (Σc)²)/(n·Σc) is one
+    * double chain on the exact sums, rounded 12. Shape: one (type,
+    * day) shuffle, a |types|-row rollup.
+    */
+  private val q227 = QueryDef(
+    "q227_fano_burstiness",
+    (s, dir) => {
+      val days = ev(s, dir)
+        .select(expr("""timestampdiff(MICROSECOND,
+          TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+          div 86400000000""").as("day"))
+        .distinct()
+      val types = ev(s, dir).select(col("event_type")).distinct()
+      val counts = ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("""timestampdiff(MICROSECOND,
+            TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+            div 86400000000""").as("day"))
+        .agg(count(lit(1)).as("c"))
+      broadcast(types).crossJoin(broadcast(days))
+        .join(counts, Seq("event_type", "day"), "left_outer")
+        .select(col("event_type"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("c")).as("sc"),
+          sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("scc"))
+        .select(col("event_type"), col("n_days"),
+          round(col("sc").cast("double") / col("n_days").cast("double"), 12)
+            .as("mean_daily"),
+          round((col("n_days").cast("double") * col("scc").cast("double")
+            - col("sc").cast("double") * col("sc").cast("double"))
+            / (col("n_days").cast("double") * col("sc").cast("double")), 12)
+            .as("fano"))
+        .orderBy("event_type")
+    },
+    Some("""WITH days AS (SELECT DISTINCT epoch_us(ts) // 86400000000
+          AS day FROM events),
+      types AS (SELECT DISTINCT event_type FROM events),
+      counts AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          count(*) AS c
+        FROM events GROUP BY 1, 2),
+      grid AS (SELECT t.event_type, d.day, coalesce(c.c, 0) AS c
+        FROM types t CROSS JOIN days d
+        LEFT JOIN counts c ON c.event_type = t.event_type
+          AND c.day = d.day),
+      m AS (SELECT event_type, count(*) AS n_days,
+          sum(c)::BIGINT AS sc, sum((c * c)::DECIMAL(38,0)) AS scc
+        FROM grid GROUP BY 1)
+      SELECT event_type, n_days,
+        round(sc::DOUBLE / n_days::DOUBLE, 12) AS mean_daily,
+        round((n_days::DOUBLE * scc::DOUBLE - sc::DOUBLE * sc::DOUBLE)
+          / (n_days::DOUBLE * sc::DOUBLE), 12) AS fano
+      FROM m ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
-      q191, q193, q205, q206, q222, q223)
+      q191, q193, q205, q206, q222, q223, q227)
 }
