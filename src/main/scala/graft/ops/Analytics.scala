@@ -2512,10 +2512,177 @@ object Analytics {
           AS assortativity
       FROM m"""))
 
+  // ---------- q228: disjunctive-predicate revenue (TPC-H Q19 shape) --
+
+  /** Revenue under an OR-of-ANDs predicate mixing part attributes
+    * (brand, size) with fact attributes (quantity) — TPC-H Q19's plan
+    * shape. The point at 100 TB is what Catalyst does with the
+    * disjunction: the optimizer extracts the per-side unions of the
+    * disjuncts (brand/size legs → the part scan as PushedFilters;
+    * quantity ∈ [1,30] → the lineitem scan), so both scans prune
+    * BEFORE the broadcast hash join instead of evaluating the full
+    * predicate post-join. Part broadcasts (4-col projection); the fact
+    * side never shuffles — single partial-agg rollup to one row.
+    */
+  private val q228 = QueryDef(
+    "q228_disjunctive_revenue",
+    (s, dir) => {
+      val pt = Fixtures.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .where((col("p_brand") === "Brand#12" &&
+            col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" &&
+            col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dsum(expr("l_extendedprice * (1.0 - l_discount)"))
+          .as("revenue"), count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+          AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+          AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 20 AND 30)"""))
+
+  // ---------- q229: waiting suppliers (TPC-H Q21 shape) ---------------
+
+  /** Suppliers who were the SOLE late shipper on multi-supplier orders
+    * — TPC-H Q21's semantics (the fixture has no commit/receipt dates,
+    * so "late" is shipdate > orderdate + 60 days, documented
+    * deviation). Q21's textbook form is EXISTS + NOT EXISTS self-joins
+    * on lineitem — quadratic blowup risk on big orders; here it is
+    * rewritten as two cascaded aggregations: per (order, supplier)
+    * late flags, then a per-order rollup (supplier count, late count,
+    * the late supplier's key via max-over-conditional), filtered to
+    * n_supp ≥ 2 ∧ n_late = 1. At 100 TB: one fact shuffle onto
+    * orderkey (the o_orderdate pickup joins on the same key first),
+    * then strictly shrinking aggregates — no self-join ever
+    * materializes. Top 20 by wait count, suppkey-tiebroken.
+    */
+  private val q229 = QueryDef(
+    "q229_waiting_suppliers",
+    (s, dir) => {
+      val perSupp = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAY"), 1).otherwise(0))
+          .as("late"))
+      perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
+          max(when(col("late") === 1, col("l_suppkey"))).as("s_suppkey"))
+        .where(col("n_supp") >= 2 && col("n_late") === 1)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    },
+    Some("""WITH ls AS (SELECT l_orderkey, l_suppkey,
+          max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+            THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      o AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+          max(CASE WHEN late = 1 THEN l_suppkey END) AS s_suppkey
+        FROM ls GROUP BY 1)
+      SELECT s_suppkey, count(*) AS numwait FROM o
+      WHERE n_supp >= 2 AND n_late = 1
+      GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 20"""))
+
+  // ---------- q230: customer order-count distribution (TPC-H Q13) -----
+
+  /** How many customers placed exactly k qualifying orders — TPC-H
+    * Q13's two-level aggregation, zero-order customers included (the
+    * LEFT OUTER join is the semantic point; an inner join silently
+    * drops the k=0 bucket, the largest one). The priority filter
+    * stands in for Q13's comment NOT LIKE (no comment column in the
+    * fixture). At 100 TB: orders shuffles onto custkey once
+    * (pre-filtered map-side), the customer side joins on its key, and
+    * the second aggregate is over ≤ |distinct k| ≈ dozens of rows.
+    * Tie-safe total order (custdist desc, then k desc).
+    */
+  private val q230 = QueryDef(
+    "q230_custdist",
+    (s, dir) => Fixtures.table(s, dir, "customer")
+      .select(col("c_custkey"))
+      .join(Fixtures.table(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc),
+    Some("""WITH co AS (SELECT c_custkey,
+          count(o_orderkey)::BIGINT AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          AND o_orderpriority <> '1-URGENT'
+        GROUP BY 1)
+      SELECT c_count, count(*) AS custdist FROM co
+      GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""))
+
+  // ---------- q231: part supplier-variety report (TPC-H Q16 shape) ----
+
+  /** Distinct-supplier counts per (brand, type, size) for an attribute-
+    * filtered part family, excluding a supplier denylist — TPC-H Q16
+    * with lineitem's (partkey, suppkey) pairs standing in for partsupp
+    * and `s_suppkey % 10 = 7` standing in for the complaints list
+    * (documented deviations; the fixture has neither). Shape at
+    * 100 TB: the pair-distinct is the only fact shuffle (on partkey ∥
+    * suppkey), the filtered part list broadcasts (~11 % of parts:
+    * 8 sizes × non-PROMO × one brand removed), and the count-distinct
+    * rides the same hash partitioning. Catalyst plans the denylist
+    * filter BEFORE the distinct, shrinking the shuffle 10 %.
+    */
+  private val q231 = QueryDef(
+    "q231_supplier_variety",
+    (s, dir) => {
+      val ps = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .where(col("l_suppkey") % 10 =!= 7)
+        .distinct()
+      val pt = Fixtures.table(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#45" &&
+          !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      ps.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    Some("""SELECT p_brand, p_type, p_size,
+        count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        WHERE l_suppkey % 10 <> 7) ps
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'PROMO%'
+        AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
       q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197,
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
-      q224, q226)
+      q224, q226, q228, q229, q230, q231)
 }
