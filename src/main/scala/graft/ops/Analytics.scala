@@ -2679,10 +2679,230 @@ object Analytics {
       GROUP BY 1, 2, 3
       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
 
+  // ---------- q232: national market share (TPC-H Q8 shape) ------------
+
+  /** NATION_3's share of STANDARD-part revenue sold to AMERICA-region
+    * customers, per order year — TPC-H Q8's conditional-share plan.
+    * The share is a ratio of two sums over the SAME filtered join
+    * (numerator gated on supplier nation), so it costs one pass: the
+    * fact stream is pruned by the broadcast part filter (p_type =
+    * 'STANDARD', ~17 %) before its single shuffle onto orders; the
+    * supplier→nation and customer→nation→region lookups broadcast.
+    * Both sums are exact DECIMAL(18,4); the share divides once in
+    * double, rounded 12 — no float accumulation anywhere. At 100 TB
+    * the plan is Q7's (q174) with one extra broadcast: still exactly
+    * one fact shuffle.
+    */
+  private val q232 = QueryDef(
+    "q232_market_share",
+    (s, dir) => {
+      val supN = Fixtures.table(s, dir, "supplier")
+        .join(Fixtures.table(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custAmerica = Fixtures.table(s, dir, "customer")
+        .join(Fixtures.table(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Fixtures.table(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "AMERICA")
+        .select(col("c_custkey"))
+      val stdParts = Fixtures.table(s, dir, "part")
+        .where(col("p_type") === "STANDARD").select(col("p_partkey"))
+      Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAmerica), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("yr"))
+        .agg(dsum(when(col("supp_nation") === "NATION_3",
+            expr("l_extendedprice * (1.0 - l_discount)")).otherwise(0.0))
+          .as("nation_rev"),
+          dsum(expr("l_extendedprice * (1.0 - l_discount)"))
+            .as("total_rev"))
+        .select(col("yr"), col("nation_rev"), col("total_rev"),
+          round(col("nation_rev") / col("total_rev"), 12).as("mkt_share"))
+        .orderBy("yr")
+    },
+    Some("""WITH rev AS (SELECT year(o_orderdate)::INT AS yr,
+          cast(sum(cast(CASE WHEN sn.n_name = 'NATION_3'
+              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+            AS DECIMAL(18,4))) AS DOUBLE) AS nation_rev,
+          cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cr.r_name = 'AMERICA' AND p_type = 'STANDARD'
+        GROUP BY 1)
+      SELECT yr, nation_rev, total_rev,
+        round(nation_rev / total_rev, 12) AS mkt_share
+      FROM rev ORDER BY yr"""))
+
+  // ---------- q233: per-brand OLS price-on-quantity fit ----------------
+
+  /** Ordinary least squares of extendedprice on quantity per brand —
+    * slope, intercept, R² from one grouped pass. Moments follow q75's
+    * exactness convention: inputs cast to DECIMAL(18,4) (exact — the
+    * fixture's doubles carry ≤ 2 decimals), products and sums stay
+    * decimal (Spark (18,4)² → DECIMAL(37,8); DuckDB oracle uses
+    * (19,4) so its product type lands at (38,8) without input-width
+    * overflow), and the closed-form fit runs once per brand in double.
+    * Slope and R² round at 12; the intercept (magnitude ~5e4, double
+    * ulp ~7e-12) rounds at 6 so engine-specific decimal→double
+    * conversion noise in the last ulp cannot leak into the hash. Shape at 100 TB: broadcast part lookup, one
+    * map-side-combined aggregate into |brands| ≈ 25 rows — the fact
+    * table never shuffles on a data-dependent key.
+    */
+  private val q233 = QueryDef(
+    "q233_ols_price_qty",
+    (s, dir) => Fixtures.table(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        col("l_quantity").cast(DecimalType(18, 4)).as("x"),
+        col("l_extendedprice").cast(DecimalType(18, 4)).as("y"))
+      .join(broadcast(Fixtures.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr("p_brand", "n",
+        "round((cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - " +
+          "cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) / " +
+          "(cast(n AS DOUBLE) * cast(sxx AS DOUBLE) - " +
+          "cast(sx AS DOUBLE) * cast(sx AS DOUBLE)), 12) AS slope",
+        "round((cast(sy AS DOUBLE) - ((cast(n AS DOUBLE) * " +
+          "cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * " +
+          "cast(sy AS DOUBLE)) / (cast(n AS DOUBLE) * " +
+          "cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * " +
+          "cast(sx AS DOUBLE))) * cast(sx AS DOUBLE)) / " +
+          "cast(n AS DOUBLE), 6) AS intercept",
+        "round(pow((cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - " +
+          "cast(sx AS DOUBLE) * cast(sy AS DOUBLE)), 2) / " +
+          "((cast(n AS DOUBLE) * cast(sxx AS DOUBLE) - " +
+          "cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) * " +
+          "(cast(n AS DOUBLE) * cast(syy AS DOUBLE) - " +
+          "cast(sy AS DOUBLE) * cast(sy AS DOUBLE))), 12) AS r2")
+      .orderBy("p_brand"),
+    Some("""WITH xy AS (SELECT p_brand,
+          cast(l_quantity AS DECIMAL(19,4)) AS x,
+          cast(l_extendedprice AS DECIMAL(19,4)) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      m AS (SELECT p_brand, count(*)::BIGINT AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+          sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM xy GROUP BY 1)
+      SELECT p_brand, n,
+        round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 12)
+          AS slope,
+        round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE
+            - sx::DOUBLE * sy::DOUBLE)
+          / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+          * sx::DOUBLE) / n::DOUBLE, 6) AS intercept,
+        round(pow(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE, 2)
+          / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 12)
+          AS r2
+      FROM m ORDER BY p_brand"""))
+
+  // ---------- q234: Spearman rank correlation (balance vs spend) ------
+
+  /** Spearman rank correlation between a customer's account balance
+    * and their lifetime spend (zero-order customers spend 0 — the
+    * left-outer join keeps them; dropping them biases ρ upward).
+    * Ties get textbook average ranks, computed WITHOUT floats:
+    * 2·avgrank = 2·rank() + count_over_ties − 1 is an integer, and
+    * Pearson on ranks is invariant under the ×2 (affine) transform,
+    * so all moments are exact int64/DECIMAL(38,0) sums (q226's
+    * convention) and ρ is one double formula rounded 12. Scale note:
+    * the two global rank() windows are the single-total-order step —
+    * at 100 TB they go through the RangeNtile two-pass boundary-
+    * broadcast path (per-shard sort + offset broadcast), not one
+    * partition; the moment pass is partitioning-agnostic.
+    */
+  private val q234 = QueryDef(
+    "q234_spearman_balance_spend",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = Fixtures.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .join(Fixtures.table(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .as("spend_d")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          coalesce(col("spend_d"), lit(0).cast(DecimalType(18, 4)))
+            .as("spend"))
+      val ranked = spend
+        .withColumn("rx2",
+          lit(2) * rank().over(Window.orderBy(col("c_acctbal")))
+            + count(lit(1)).over(Window.partitionBy(col("c_acctbal")))
+            - lit(1))
+        .withColumn("ry2",
+          lit(2) * rank().over(Window.orderBy(col("spend")))
+            + count(lit(1)).over(Window.partitionBy(col("spend")))
+            - lit(1))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("rx2").cast("long")).as("sx"),
+          sum(col("ry2").cast("long")).as("sy"),
+          sum((col("rx2").cast("long") * col("ry2").cast("long"))
+            .cast(DecimalType(38, 0))).as("sxy"),
+          sum((col("rx2").cast("long") * col("rx2").cast("long"))
+            .cast(DecimalType(38, 0))).as("sxx"),
+          sum((col("ry2").cast("long") * col("ry2").cast("long"))
+            .cast(DecimalType(38, 0))).as("syy"))
+        .selectExpr("n",
+          "round((cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - " +
+            "cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) / " +
+            "(sqrt(cast(n AS DOUBLE) * cast(sxx AS DOUBLE) - " +
+            "cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) * " +
+            "sqrt(cast(n AS DOUBLE) * cast(syy AS DOUBLE) - " +
+            "cast(sy AS DOUBLE) * cast(sy AS DOUBLE))), 12) AS spearman")
+    },
+    Some("""WITH spend AS (SELECT c_custkey, c_acctbal,
+          coalesce(sp, cast(0 AS DECIMAL(19,4))) AS spend
+        FROM customer LEFT JOIN (
+          SELECT o_custkey,
+            sum(cast(o_totalprice AS DECIMAL(19,4))) AS sp
+          FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+      ranked AS (SELECT
+          2 * rank() OVER (ORDER BY c_acctbal)
+            + count(*) OVER (PARTITION BY c_acctbal) - 1 AS rx2,
+          2 * rank() OVER (ORDER BY spend)
+            + count(*) OVER (PARTITION BY spend) - 1 AS ry2
+        FROM spend),
+      m AS (SELECT count(*)::BIGINT AS n,
+          sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+          sum(cast(rx2 * ry2 AS DECIMAL(38,0))) AS sxy,
+          sum(cast(rx2 * rx2 AS DECIMAL(38,0))) AS sxx,
+          sum(cast(ry2 * ry2 AS DECIMAL(38,0))) AS syy
+        FROM ranked)
+      SELECT n,
+        round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+          12) AS spearman
+      FROM m"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
       q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197,
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
-      q224, q226, q228, q229, q230, q231)
+      q224, q226, q228, q229, q230, q231, q232, q233, q234)
 }
