@@ -57,11 +57,28 @@ object Bench {
           name -> (good ++ extra).min
         }
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver keeps only the LAST ~2000 chars of bench stdout and
+    // parses the JSON line out of that tail. A full per-query map for a
+    // 230+ query registry is ~8 KB — it overflowed the buffer every
+    // round since r3 and the driver recorded `parsed: null`, silently
+    // dropping the numbers. So: full detail goes to BENCH_FULL.json (a
+    // committed repo artifact), and the printed line carries the
+    // aggregate plus only the top-25 slowest queries (the heaviest-
+    // query set is what BASELINE.md tracks), 3-decimal, ≲1 KB total.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$top,"errors":$errs,"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
