@@ -2899,10 +2899,283 @@ object Analytics {
           12) AS spearman
       FROM m"""))
 
+  // ---------- q235: shipping priority (unshipped-order revenue) -------
+
+  /** Top-10 open revenue among a market segment's orders placed before
+    * a cutoff whose lines ship after it — the TPC-H Q3 shape (the
+    * order-book backlog report). Shape: the date predicates push into
+    * BOTH parquet scans (orders and lineitem each arrive pre-filtered),
+    * the segment filter rides the customer⋈orders equi-join (shuffled
+    * on custkey — the segment keeps ~1/5 of a customer table that is
+    * NOT broadcast-able at warehouse scale), then one shuffle on
+    * orderkey joins the open lines and the top-10 is a TakeOrdered,
+    * never a global sort. Revenue is the DECIMAL term-sum convention.
+    */
+  private val q235 = QueryDef(
+    "q235_shipping_priority",
+    (s, dir) => {
+      val bcust = Fixtures.table(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ords = Fixtures.table(s, dir, "orders")
+        .where(expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+        .join(bcust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Fixtures.table(s, dir, "lineitem")
+        .where(expr("l_shipdate > TIMESTAMP '1998-01-01'"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"))
+        .agg(dsum(expr("l_extendedprice * (1.0 - l_discount)"))
+          .as("revenue"), count(lit(1)).as("n_open_lines"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate::DATE AS odate,
+        cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        count(*) AS n_open_lines
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  // ---------- q236: promo revenue share per month ---------------------
+
+  /** Monthly share of revenue attributable to promotional parts — the
+    * TPC-H Q14 shape extended from one month to the full time series
+    * (the marketing-effect trend line). Shape: the part⋈lineitem join
+    * is a plain equi-join on partkey (a 100 TB part table is
+    * executor-sized, not driver-sized — AQE may still elect broadcast
+    * at fixture scale), then ONE monthly aggregate computes both the
+    * conditional promo sum and the total in the same pass (no second
+    * scan, no self-join). Both sums keep the DECIMAL term convention;
+    * the share is one double division rounded at the end.
+    */
+  private val q236 = QueryDef(
+    "q236_promo_share",
+    (s, dir) => {
+      val flag = Fixtures.table(s, dir, "part")
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+      Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(flag, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("month"))
+        .agg(
+          dsum(expr("CASE WHEN is_promo THEN " +
+            "l_extendedprice * (1.0 - l_discount) ELSE 0 END"))
+            .as("promo_revenue"),
+          dsum(expr("l_extendedprice * (1.0 - l_discount)"))
+            .as("total_revenue"))
+        .select(col("month"), col("promo_revenue"), col("total_revenue"),
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 9)
+            .as("promo_share"))
+        .orderBy("month")
+    },
+    Some("""SELECT date_trunc('month', l_shipdate)::DATE AS month,
+        cast(sum(cast(CASE WHEN p_type = 'PROMO'
+          THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END
+          AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+        cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        round(100.0 * cast(sum(cast(CASE WHEN p_type = 'PROMO'
+            THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END
+            AS DECIMAL(18,4))) AS DOUBLE)
+          / cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,4))) AS DOUBLE), 9) AS promo_share
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------- q237: order-priority count with late-line EXISTS --------
+
+  /** Orders per priority class that contain at least one slow line
+    * (shipped > 90 days after the order date) — the TPC-H Q4 shape:
+    * an EXISTS subquery that Spark should plan as a LEFT SEMI join.
+    * The semi-join runs on the orderkey equi-key with the lateness
+    * comparison as the join residual, so each order's lines are
+    * examined once and short-circuit on the first hit — never a
+    * distinct-then-join materializing the full late-line set. The
+    * oracle keeps the correlated EXISTS form, checking Spark's
+    * semi-join plan against DuckDB's subquery decorrelation.
+    */
+  private val q237 = QueryDef(
+    "q237_late_order_priority",
+    (s, dir) => {
+      val li = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      Fixtures.table(s, dir, "orders")
+        .join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > expr("o_orderdate + INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------- q238: local-supplier volume (TPC-H Q5) ------------------
+
+  /** Revenue per nation from orders where the customer and the line's
+    * supplier share the nation, restricted to one region and one
+    * order-year — the TPC-H Q5 shape (the does-local-supply-matter
+    * report) and the classic multi-join benchmark. Shape: the
+    * region-filtered supplier geography broadcasts onto the lineitem
+    * scan (q189's supGeo idiom — region cuts it to ~1/5), the
+    * date-filtered orders join on orderkey, customers join on custkey
+    * (two fact-sized shuffles, each on the natural key), and the
+    * customer=supplier nation equality is a post-join residual — the
+    * join graph Catalyst reorders freely. DECIMAL revenue convention.
+    */
+  private val q238 = QueryDef(
+    "q238_local_supplier_volume",
+    (s, dir) => {
+      val supGeo = Fixtures.table(s, dir, "supplier")
+        .join(Fixtures.table(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Fixtures.table(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "AMERICA")
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ords = Fixtures.table(s, dir, "orders")
+        .where(expr("o_orderdate >= TIMESTAMP '1996-01-01' AND " +
+          "o_orderdate < TIMESTAMP '1997-01-01'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(supGeo), col("l_suppkey") === col("s_suppkey"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(Fixtures.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(expr("l_extendedprice * (1.0 - l_discount)"))
+          .as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+        cast(sum(cast(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        count(*) AS n_lines
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1 ORDER BY revenue DESC, n_name"""))
+
+  // ---------- q239: shipping-delay bucket × priority matrix -----------
+
+  /** Order-to-ship delay distribution (30-day buckets) broken down by
+    * order priority, with each bucket's share of its priority class —
+    * the fulfillment-SLA heatmap. Shape: one orderkey shuffle joins
+    * the facts, the bucket is a pure projection (floor of one
+    * division — day arithmetic on both engines truncates the
+    * timestamp to a date first), the matrix aggregate lands on
+    * |priorities|×|buckets| rows, and the per-priority share is a
+    * window over that TINY aggregate — a global window would be a
+    * red flag on raw rows, but here it sorts dozens of rows, not the
+    * fact table. Share rounded 12 for cross-engine double identity.
+    */
+  private val q239 = QueryDef(
+    "q239_delay_matrix",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val joined = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          (floor(datediff(col("l_shipdate"), col("o_orderdate"))
+            .cast(DoubleType) / lit(30.0)) * lit(30)).cast("long")
+            .as("delay_bucket"))
+      val m = joined.groupBy(col("o_orderpriority"), col("delay_bucket"))
+        .agg(count(lit(1)).as("n_lines"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+      m.select(col("o_orderpriority"), col("delay_bucket"), col("n_lines"),
+          round(col("n_lines").cast(DoubleType)
+            / sum(col("n_lines")).over(w).cast(DoubleType), 12)
+            .as("share"))
+        .orderBy("o_orderpriority", "delay_bucket")
+    },
+    Some("""WITH m AS (SELECT o_orderpriority,
+          (floor(date_diff('day', o_orderdate::DATE, l_shipdate::DATE)::DOUBLE
+            / 30.0) * 30)::BIGINT AS delay_bucket,
+          count(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2)
+      SELECT o_orderpriority, delay_bucket, n_lines,
+        round(n_lines::DOUBLE / sum(n_lines)
+          OVER (PARTITION BY o_orderpriority), 12) AS share
+      FROM m ORDER BY o_orderpriority, delay_bucket"""))
+
+  // ---------- q240: monthly full-fulfillment rate ---------------------
+
+  /** Share of each month's orders whose EVERY line shipped within 60
+    * days — the all-or-nothing fulfillment KPI (an order is only as
+    * fast as its slowest line). Shape: one orderkey shuffle, a
+    * per-order bool_and folded as min(flag) (partial-aggregable, so
+    * the map side combines before the shuffle), then a monthly rollup
+    * of |orders| rows. The universal quantifier is an aggregate, not
+    * a NOT EXISTS anti-join — one pass instead of two.
+    */
+  private val q240 = QueryDef(
+    "q240_fulfillment_rate",
+    (s, dir) => {
+      val perOrder = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(min(when(
+          col("l_shipdate") <= expr("o_orderdate + INTERVAL 60 DAYS"), 1L)
+          .otherwise(0L)).as("all_fast"))
+      perOrder.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("all_fast")).as("n_fully_fast"))
+        .select(col("month"), col("n_orders"), col("n_fully_fast"),
+          round(col("n_fully_fast").cast(DoubleType)
+            / col("n_orders").cast(DoubleType), 12).as("fast_share"))
+        .orderBy("month")
+    },
+    Some("""WITH per_order AS (SELECT o_orderkey,
+          date_trunc('month', o_orderdate)::DATE AS month,
+          CASE WHEN bool_and(l_shipdate <= o_orderdate + INTERVAL 60 DAY)
+            THEN 1 ELSE 0 END AS all_fast
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2)
+      SELECT month, count(*) AS n_orders,
+        sum(all_fast)::BIGINT AS n_fully_fast,
+        round(sum(all_fast)::DOUBLE / count(*)::DOUBLE, 12) AS fast_share
+      FROM per_order GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
       q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197,
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
-      q224, q226, q228, q229, q230, q231, q232, q233, q234)
+      q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
+      q237, q238, q239, q240)
 }
