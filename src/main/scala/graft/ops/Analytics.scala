@@ -782,18 +782,25 @@ object Analytics {
     * rule) with an explicit both-sides-nonzero guard standing in for
     * the usual epsilon, and PSI is the exact unit sum — repeated per
     * row via an unpartitioned window over the 10-row bucket table.
-    * Shape: one global sort window for the deciles (at 100 TB:
-    * two-pass quantile-boundary broadcast, q91's note), then
+    * Shape: the decile cut over ALL events runs the two-pass
+    * quantile-boundary-broadcast ntile (RangeNtile, per-shard sorts
+    * only — the q149 default; graft.ntile.strategy=window restores
+    * the single-sort window form the spec compares against), then
     * constant-size aggregates.
     */
   private val q105 = QueryDef(
     "q105_psi_drift",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val b = Fixtures.table(s, dir, "events")
+      val vals = Fixtures.table(s, dir, "events")
         .select(col("event_id"), col("value"))
-        .withColumn("bucket", ntile(10).over(
-          Window.orderBy(col("value"), col("event_id"))).cast("long"))
+      val sortKey = Seq(col("value"), col("event_id"))
+      val labeled =
+        if (s.conf.getOption("graft.ntile.strategy").contains("window"))
+          vals.withColumn("bucket",
+            ntile(10).over(Window.orderBy(sortKey: _*)).cast("long"))
+        else RangeNtile.withNtile(vals, sortKey, 10, "bucket")
+      val b = labeled
         .withColumn("cur", (col("event_id") % 10 < 2).cast("long"))
       val agg = b.groupBy(col("bucket"))
         .agg(sum(lit(1L) - col("cur")).as("n_ref"), sum(col("cur")).as("n_cur"))
@@ -2829,10 +2836,12 @@ object Analytics {
     * Pearson on ranks is invariant under the ×2 (affine) transform,
     * so all moments are exact int64/DECIMAL(38,0) sums (q226's
     * convention) and ρ is one double formula rounded 12. Scale note:
-    * the two global rank() windows are the single-total-order step —
-    * at 100 TB they go through the RangeNtile two-pass boundary-
-    * broadcast path (per-shard sort + offset broadcast), not one
-    * partition; the moment pass is partitioning-agnostic.
+    * the two global rank()s run the RangeNtile two-pass boundary-
+    * broadcast row_number (per-shard sort + offset broadcast) with
+    * rank() recovered as min(row_number) per tie group via an ordinary
+    * hash-partitioned window — no single-partition sort anywhere
+    * (graft.ntile.strategy=window restores the window form the spec
+    * compares against); the moment pass is partitioning-agnostic.
     */
   private val q234 = QueryDef(
     "q234_spearman_balance_spend",
@@ -2848,15 +2857,33 @@ object Analytics {
         .select(col("c_custkey"), col("c_acctbal"),
           coalesce(col("spend_d"), lit(0).cast(DecimalType(18, 4)))
             .as("spend"))
-      val ranked = spend
-        .withColumn("rx2",
-          lit(2) * rank().over(Window.orderBy(col("c_acctbal")))
-            + count(lit(1)).over(Window.partitionBy(col("c_acctbal")))
-            - lit(1))
-        .withColumn("ry2",
-          lit(2) * rank().over(Window.orderBy(col("spend")))
-            + count(lit(1)).over(Window.partitionBy(col("spend")))
-            - lit(1))
+      val wx = Window.partitionBy(col("c_acctbal"))
+      val wy = Window.partitionBy(col("spend"))
+      val ranked =
+        if (s.conf.getOption("graft.ntile.strategy").contains("window"))
+          spend
+            .withColumn("rx2",
+              lit(2) * rank().over(Window.orderBy(col("c_acctbal")))
+                + count(lit(1)).over(wx) - lit(1))
+            .withColumn("ry2",
+              lit(2) * rank().over(Window.orderBy(col("spend")))
+                + count(lit(1)).over(wy) - lit(1))
+        else {
+          // rank() = min(global row_number) within the tie group; the
+          // tie-group window hashes on the key, so both passes stay
+          // distributed end-to-end.
+          val rn = RangeNtile.withRowNumber(
+            RangeNtile.withRowNumber(spend,
+              Seq(col("c_acctbal"), col("c_custkey")), "__rnx"),
+            Seq(col("spend"), col("c_custkey")), "__rny")
+          rn.withColumn("rx2",
+              lit(2) * min(col("__rnx")).over(wx)
+                + count(lit(1)).over(wx) - lit(1))
+            .withColumn("ry2",
+              lit(2) * min(col("__rny")).over(wy)
+                + count(lit(1)).over(wy) - lit(1))
+            .drop("__rnx", "__rny")
+        }
       ranked.agg(count(lit(1)).as("n"),
           sum(col("rx2").cast("long")).as("sx"),
           sum(col("ry2").cast("long")).as("sy"),

@@ -757,10 +757,13 @@ object Events {
     * calendar-day date_diff counts boundary crossings and diverges
     * between engines, so it is deliberately avoided. Monetary sums in
     * exact DECIMAL(28,6) (q58 rule) and widens to double once. The
-    * three ntile(5) windows run over the per-USER aggregate (users ≪
-    * events; the only corpus-sized pass is the first groupBy), each
-    * under a total (metric, user_id) order; at 100 TB each becomes a
-    * two-pass quantile-boundary broadcast, same buckets out.
+    * three ntile(5) quintile labels run over the per-USER aggregate
+    * (users ≪ events; the only corpus-sized pass is the first groupBy),
+    * each under a total (metric, user_id) order — and each through the
+    * two-pass quantile-boundary-broadcast ntile (RangeNtile, per-shard
+    * sorts only — the q149 default; graft.ntile.strategy=window
+    * restores the single-sort window form the spec compares against):
+    * a per-user table is corpus-sized at 1e9 users.
     */
   private val q98 = QueryDef(
     "q98_rfm",
@@ -773,16 +776,22 @@ object Events {
           sum(col("value").cast(DecimalType(28, 6)))
             .cast("double").as("monetary"))
       val maxTs = perUser.agg(max(col("last_ts")).as("max_ts"))
-      perUser.crossJoin(broadcast(maxTs))
+      val base = perUser.crossJoin(broadcast(maxTs))
         .withColumn("recency_days",
           expr("timestampdiff(MICROSECOND, last_ts, max_ts) " +
             "div 86400000000"))
-        .withColumn("r_bucket", ntile(5).over(
-          Window.orderBy(col("recency_days"), col("user_id"))).cast("long"))
-        .withColumn("f_bucket", ntile(5).over(
-          Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
-        .withColumn("m_bucket", ntile(5).over(
-          Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
+      val useWindow =
+        s.conf.getOption("graft.ntile.strategy").contains("window")
+      def quintile(df: DataFrame,
+          sortKey: Seq[org.apache.spark.sql.Column], name: String) =
+        if (useWindow) df.withColumn(name,
+          ntile(5).over(Window.orderBy(sortKey: _*)).cast("long"))
+        else RangeNtile.withNtile(df, sortKey, 5, name)
+      val labeled = quintile(quintile(quintile(base,
+          Seq(col("recency_days"), col("user_id")), "r_bucket"),
+          Seq(col("frequency").desc, col("user_id")), "f_bucket"),
+          Seq(col("monetary").desc, col("user_id")), "m_bucket")
+      labeled
         .select(col("user_id"), col("recency_days"), col("frequency"),
           col("monetary"), col("r_bucket"), col("f_bucket"), col("m_bucket"))
         .orderBy("user_id")
@@ -1352,7 +1361,11 @@ object Events {
     * conditional aggregate pass); percentiles are q67 selection under
     * a (lag, user) total order; mean is an exact sum with one
     * division. Shape: one user_id-keyed aggregate (map-side
-    * combined), then a |converters|-sized sort window.
+    * combined), then the rank pass over converters — through the
+    * RangeNtile boundary-broadcast row_number (per-shard sorts only;
+    * graft.ntile.strategy=window restores the single-sort window form
+    * the spec compares against), because |converters| grows with the
+    * user base.
     */
   private val q141 = QueryDef(
     "q141_conversion_lag",
@@ -1370,8 +1383,12 @@ object Events {
         .groupBy(col("user_id"), col("v0"))
         .agg(min(col("us")).as("p0"))
         .select(col("user_id"), (col("p0") - col("v0")).as("lag_us"))
-      val ranked = lag.withColumn("rn", row_number().over(
-        Window.orderBy(col("lag_us"), col("user_id"))))
+      val sortKey = Seq(col("lag_us"), col("user_id"))
+      val ranked =
+        if (s.conf.getOption("graft.ntile.strategy").contains("window"))
+          lag.withColumn("rn",
+            row_number().over(Window.orderBy(sortKey: _*)).cast("long"))
+        else RangeNtile.withRowNumber(lag, sortKey, "rn")
       val n = lag.agg(count(lit(1)).as("n"), sum(col("lag_us")).as("su"))
       ranked.crossJoin(broadcast(n))
         .where(col("rn") === ceil(col("n") * lit(0.5))

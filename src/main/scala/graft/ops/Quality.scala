@@ -179,11 +179,10 @@ object Quality {
     * emitting the grid rather than per-doc labels keeps the control
     * surface at deciles × buckets rows no matter the corpus size.
     * Shape: one corpus pass for the score (all codegen'd string ops),
-    * a global ntile over the (score, doc_id) sort, then a tiny
-    * cross-tab aggregate. The global sort is the decile contract; at
-    * 100 TB the same grid comes from a two-pass quantile-boundary
-    * broadcast instead (boundaries from a first pass, bucket-by-range
-    * second pass — same output).
+    * then the two-pass quantile-boundary-broadcast ntile (RangeNtile,
+    * per-shard sorts only — the q149 default; graft.ntile.strategy=
+    * window restores the single-sort window form the spec compares
+    * against), then a tiny cross-tab aggregate.
     */
   private val q91 = QueryDef(
     "q91_curriculum_grid",
@@ -196,8 +195,13 @@ object Quality {
               / size(col("toks")))
             + lit(0.3) * least(size(col("toks")).cast("double") / lit(50.0),
               lit(1.0))).as("score"))
-      val w = Window.orderBy(col("score"), col("doc_id"))
-      scored.withColumn("decile", ntile(10).over(w).cast("long"))
+      val sortKey = Seq(col("score"), col("doc_id"))
+      val labeled =
+        if (s.conf.getOption("graft.ntile.strategy").contains("window"))
+          scored.withColumn("decile",
+            ntile(10).over(Window.orderBy(sortKey: _*)).cast("long"))
+        else RangeNtile.withNtile(scored, sortKey, 10, "decile")
+      labeled
         .withColumn("len_bucket",
           expr("CASE WHEN n_chars < 500 THEN 'short' " +
             "WHEN n_chars < 1500 THEN 'medium' ELSE 'long' END"))

@@ -4,12 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact global ntile WITHOUT a single-partition sort — the 100 TB
-  * path the single-total-order consumers (q91/q98/q105/q149/q162)
-  * document: `Window.orderBy(...)` with no partition key collapses the
-  * whole input onto ONE task, which is fine for a 10-row aggregate and
-  * fatal for a corpus. This helper computes bit-identical ntile(k)
-  * labels in two distributed passes:
+/** Exact global ntile / row_number WITHOUT a single-partition sort —
+  * the 100 TB path for every corpus-sized single-total-order consumer
+  * (q91/q98/q105/q141/q149/q199/q214/q234): `Window.orderBy(...)` with
+  * no partition key collapses the whole input onto ONE task, which is
+  * fine for a 10-row aggregate and fatal for a corpus. This helper
+  * computes bit-identical labels in two distributed passes:
   *
   *  1. range-repartition on the sort key (Spark samples boundaries —
   *     the "boundary broadcast"; ranges are disjoint under a total
@@ -28,13 +28,13 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object RangeNtile {
 
-  /** Adds `bucketCol` = exact global ntile(k) under `sortCols` (must be
-    * a total order — add a tiebreak column as the window form would).
-    * `shards` bounds pass-1 parallelism; output keeps input columns.
+  /** The shared two-pass core: (input + `__shard` + `__rank`, N).
+    * `__rank` is the exact global row_number under `sortCols` (1-based,
+    * int64); callers drop the working columns. Kept private-to-object so
+    * the freeze rule below can't be bypassed.
     */
-  def withNtile(df: DataFrame, sortCols: Seq[Column], k: Int,
-      bucketCol: String, shards: Int = 32): DataFrame = {
-    val spark = df.sparkSession
+  private def globalRank(df: DataFrame, sortCols: Seq[Column],
+      shards: Int): (DataFrame, Long) = {
     // persist FREEZES the ranged partitioning: repartitionByRange
     // samples its boundaries per execution, so without a
     // materialization between them the count pass and the rank pass
@@ -61,6 +61,28 @@ private[graft] object RangeNtile {
     val localW = Window.partitionBy(col("__shard")).orderBy(sortCols: _*)
     val withRank = ranged.withColumn("__rank",
       row_number().over(localW).cast("long") + offsetExpr)
+    (withRank, total)
+  }
+
+  /** Adds `rankCol` = exact global row_number() under `sortCols` (must
+    * be a total order — add a tiebreak column as the window form would)
+    * without a single-partition sort; output keeps input columns.
+    * rank()-with-ties consumers derive 1 + min(row_number) per tie group
+    * via an ordinary partitionBy window on top of this (distributed —
+    * the tie key hashes across executors).
+    */
+  def withRowNumber(df: DataFrame, sortCols: Seq[Column],
+      rankCol: String, shards: Int = 32): DataFrame = {
+    val (withRank, _) = globalRank(df, sortCols, shards)
+    withRank.withColumn(rankCol, col("__rank")).drop("__shard", "__rank")
+  }
+
+  /** Adds `bucketCol` = exact global ntile(k) under `sortCols` (total
+    * order required as above). `shards` bounds pass-1 parallelism.
+    */
+  def withNtile(df: DataFrame, sortCols: Seq[Column], k: Int,
+      bucketCol: String, shards: Int = 32): DataFrame = {
+    val (withRank, total) = globalRank(df, sortCols, shards)
     // SQL ntile remainder rule: base = N/k rows per bucket, the first
     // N%k buckets take one extra. `div` keeps it exact int64 (a double
     // `/` would cap exactness at 2^53 ranks).

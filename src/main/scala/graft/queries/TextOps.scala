@@ -878,18 +878,23 @@ object TextOps {
     * while percentile means agree, and vice versa). Reuses q14's exact
     * scoring function (same QueryDef fn, can't drift); ranks are a
     * total order with doc_id tie-break; means pin to micro-units
-    * before the order-insensitive integer sum. The global rank is the
-    * single-total-order form; at 100 TB it switches to the q149
-    * boundary-broadcast two-pass (per-shard sorts only) like every
-    * other global-rank consumer.
+    * before the order-insensitive integer sum. The global rank runs
+    * the q149 boundary-broadcast two-pass row_number (RangeNtile,
+    * per-shard sorts only; graft.ntile.strategy=window restores the
+    * single-sort window form the spec compares against) — the ranked
+    * table here is the whole corpus.
     */
   private val q199 = QueryDef(
     "q199_quality_quantile_norm",
     (s, dir) => {
-      val w = Window.orderBy(col("quality"), col("doc_id"))
-      val scored = q14.fn(s, dir).select(col("doc_id"), col("quality"))
+      val joined = q14.fn(s, dir).select(col("doc_id"), col("quality"))
         .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
-        .withColumn("rn", row_number().over(w))
+      val sortKey = Seq(col("quality"), col("doc_id"))
+      val scored =
+        if (s.conf.getOption("graft.ntile.strategy").contains("window"))
+          joined.withColumn("rn",
+            row_number().over(Window.orderBy(sortKey: _*)).cast("long"))
+        else graft.ops.RangeNtile.withRowNumber(joined, sortKey, "rn")
       val n = scored.agg(count(lit(1)).as("n_all"))
       scored.crossJoin(broadcast(n))
         .select(col("source"),

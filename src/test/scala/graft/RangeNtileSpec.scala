@@ -53,6 +53,17 @@ class RangeNtileSpec extends SparkSpec {
       s"expected a range repartition in:\n$plan")
   }
 
+  test("withRowNumber equals row_number() over the global window") {
+    val df = scoredDocs
+    val sortKey = Seq(col("score").desc, col("doc_id"))
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(sortKey: _*)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = RangeNtile.withRowNumber(df, sortKey, "rn")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
   test("q149's default (boundary-broadcast) ntile equals the " +
     "graft.ntile.strategy=window form") {
     val got = run("q149_quality_budget_curve").collect()
@@ -63,5 +74,20 @@ class RangeNtileSpec extends SparkSpec {
         .map(_.toString).sorted
       assert(got === want)
     } finally spark.conf.unset("graft.ntile.strategy")
+  }
+
+  test("every migrated global-window consumer (q91/q98/q105/q141/" +
+    "q199/q234) matches its graft.ntile.strategy=window form") {
+    val names = Seq("q91_curriculum_grid", "q98_rfm", "q105_psi_drift",
+      "q141_conversion_lag", "q199_quality_quantile_norm",
+      "q234_spearman_balance_spend")
+    names.foreach { n =>
+      val got = run(n).collect().map(_.toString).sorted
+      spark.conf.set("graft.ntile.strategy", "window")
+      try {
+        val want = run(n).collect().map(_.toString).sorted
+        assert(got === want, n)
+      } finally spark.conf.unset("graft.ntile.strategy")
+    }
   }
 }
