@@ -424,10 +424,10 @@ object Quality {
           .select(col("doc_id"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
           .groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      // the rank is only a membership cut — TakeOrdered (per-partition
+      // top-100 + merge) replaces the former vocab-sized rank window
       val top = uni
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n").desc, col("w1"))))
-        .where(col("rank") <= 100)
+        .orderBy(col("n").desc, col("w1")).limit(100)
         .select(col("w1"), col("n"))
       val nTot = uni.agg(sum(col("n")).as("nn"))
       val topTot = top.agg(sum(col("n")).as("n_top"))

@@ -47,6 +47,35 @@ object TopK {
       ExpressionEncoder[Seq[Scored]]()
   }
 
+  /** One scored string-id candidate within a string group, with an
+    * int64 payload carried through (q145: the in-language count). */
+  final case class GScored(grp: String, id: String, score: Double, c: Long)
+  /** A kept candidate inside the bounded buffer. */
+  final case class GTop(id: String, score: Double, c: Long)
+
+  /** Bounded per-group top-k by (score desc, id asc) over string ids —
+    * the scale path for per-group windows whose groups are few but
+    * vocab-sized (q145's per-language keyness): the window form sorts
+    * one language's whole vocabulary on one task; this buffer caps the
+    * map-side contribution at k rows per (partition, group) before the
+    * shuffle.
+    */
+  final class TopKStrAgg(k: Int)
+      extends Aggregator[GScored, Seq[GTop], Seq[GTop]] {
+    private def bound(xs: Seq[GTop]): Seq[GTop] =
+      xs.sortBy(t => (-t.score, t.id)).take(k)
+    override def zero: Seq[GTop] = Seq.empty
+    override def reduce(b: Seq[GTop], a: GScored): Seq[GTop] =
+      bound(b :+ GTop(a.id, a.score, a.c))
+    override def merge(b1: Seq[GTop], b2: Seq[GTop]): Seq[GTop] =
+      bound(b1 ++ b2)
+    override def finish(r: Seq[GTop]): Seq[GTop] = r
+    override def bufferEncoder: Encoder[Seq[GTop]] =
+      ExpressionEncoder[Seq[GTop]]()
+    override def outputEncoder: Encoder[Seq[GTop]] =
+      ExpressionEncoder[Seq[GTop]]()
+  }
+
   // same query-set contract as q22 (the shared oracle requires it)
   private val K = Similarity.K
   private val NQueries = Similarity.NQueries

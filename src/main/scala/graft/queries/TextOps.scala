@@ -341,10 +341,13 @@ object TextOps {
           posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
       val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
         toks.groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      // TakeOrdered first (per-partition top-K + merge, never a full
+      // sort of the vocab table); the rank window then runs over ≤ K
+      // rows — the q159 tiny-aggregate class, not a vocab-sized sort.
       val ranked = uni
+        .orderBy(col("n").desc, col("w1")).limit(ZipfK)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("n").desc, col("w1"))))
-        .where(col("rank") <= ZipfK)
         .withColumn("x", round(log(col("rank").cast("double")), 12))
         .withColumn("y", round(log(col("n").cast("double")), 12))
       def d(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 18))
@@ -527,10 +530,10 @@ object TextOps {
           posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
       val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
         toks.groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      // the rank is only a membership cut — TakeOrdered (per-partition
+      // top-1000 + merge) replaces the former vocab-sized rank window
       val vocab = uni
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n").desc, col("w1"))))
-        .where(col("rank") <= 1000)
+        .orderBy(col("n").desc, col("w1")).limit(1000)
         .select(col("w1"), lit(1L).as("in_vocab"))
       toks.join(broadcast(vocab), Seq("w1"), "left_outer")
         .groupBy(col("doc_id"))
@@ -566,14 +569,17 @@ object TextOps {
     * Lift is one exact-int expression evaluated identically both
     * sides ((c·N)/(T·n) as a single double division); ranking is
     * (lift DESC, term) per language. Shape: one (lang, term) corpus
-    * aggregate ⋈ the PlanCache'd unigram table on the term key, a
-    * per-language window over the vocab-sized table, 3·|langs| rows
-    * out.
+    * aggregate ⋈ the PlanCache'd unigram table on the term key, then
+    * the q30 bounded top-k Aggregator per language (map-side buffers
+    * cap each partition's contribution at 3 rows per lang BEFORE the
+    * shuffle — the window form would sort one language's whole
+    * vocabulary on one task), 3·|langs| rows out.
     */
   private val q145 = QueryDef(
     "q145_lang_keyness",
     (s, dir) => {
-      import graft.ops.PlanCache
+      import graft.ops.{PlanCache, TopK}
+      import s.implicits._
       val lcounts = docs(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("w1"))
         .groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c"))
@@ -584,18 +590,23 @@ object TextOps {
         toks.groupBy(col("w1")).agg(count(lit(1)).as("n")))
       val nTot = uni.agg(sum(col("n")).as("nn"))
       val lTot = lcounts.groupBy(col("lang")).agg(sum(col("c")).as("t"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("lift").desc, col("w1"))
       lcounts.where(col("c") >= 5)
         .join(uni, "w1")
         .join(lTot, "lang")
         .crossJoin(broadcast(nTot))
-        .select(col("lang"), col("w1"), col("c"),
+        .select(col("lang").as("grp"), col("w1").as("id"),
           ((col("c") * col("nn")).cast("double")
-            / (col("t") * col("n")).cast("double")).as("lift"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 3)
-        .select(col("lang"), col("rnk"), col("w1"), col("c"), col("lift"))
+            / (col("t") * col("n")).cast("double")).as("score"),
+          col("c"))
+        .as[TopK.GScored]
+        .groupByKey(_.grp)
+        .agg(new TopK.TopKStrAgg(3).toColumn.name("topk"))
+        .flatMap { case (lang, top) =>
+          top.zipWithIndex.map { case (t, i) =>
+            (lang, i + 1, t.id, t.c, t.score)
+          }
+        }
+        .toDF("lang", "rnk", "w1", "c", "lift")
         .orderBy("lang", "rnk")
     },
     Some("""WITH ltoks AS (SELECT lang,
