@@ -3198,11 +3198,154 @@ object Analytics {
         round(sum(all_fast)::DOUBLE / count(*)::DOUBLE, 12) AS fast_share
       FROM per_order GROUP BY 1 ORDER BY 1"""))
 
+  // ---------- q241: significant parts (revenue share HAVING) ---------
+
+  /** Parts whose lifetime revenue exceeds 0.07 % of TOTAL lineitem
+    * revenue — the TPC-H Q11 shape (group-by with a HAVING against a
+    * global scalar; Q11's partsupp table is not in the fixture set, so
+    * the same shape runs on lineitem revenue). The threshold compare
+    * is EXACT: both sides stay DECIMAL (value·1000 > total) rather
+    * than comparing against a double fraction, so boundary rows can't
+    * flip between engines. Shape: one partkey-keyed aggregate
+    * (map-side combined), a 1-row global total broadcast back, and a
+    * filter — the HAVING never shuffles the fact table twice; output
+    * is the surviving parts only.
+    */
+  private val q241 = QueryDef(
+    "q241_significant_parts",
+    (s, dir) => {
+      val perPart = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          expr("l_extendedprice * (1.0 - l_discount)")
+            .cast(DecimalType(18, 4)).as("rev"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("rev")).as("value_d"), count(lit(1)).as("n_lines"))
+      val tot = perPart.agg(sum(col("value_d")).as("t"))
+      perPart.crossJoin(broadcast(tot))
+        .where(col("value_d") * lit(10000) > col("t") * lit(7))
+        .select(col("l_partkey"),
+          col("value_d").cast(DoubleType).as("value"), col("n_lines"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+    Some("""WITH per_part AS (SELECT l_partkey,
+          sum(cast(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,4))) AS value_d,
+          count(*) AS n_lines
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT sum(value_d) AS t FROM per_part)
+      SELECT l_partkey, value_d::DOUBLE AS value, n_lines::BIGINT AS n_lines
+      FROM per_part, tot WHERE value_d * 10000 > t * 7
+      ORDER BY value DESC, l_partkey"""))
+
+  // ---------- q242: priority class by return flag (Q12 shape) ---------
+
+  /** Lines shipped in 1996 split per return flag into high-priority
+    * (URGENT/HIGH orders) vs low-priority line counts — the TPC-H Q12
+    * shape (two-class conditional aggregation over a line-side
+    * dimension after an orders join; the fixture lineitem has no
+    * shipmode/receiptdate, so returnflag and shipdate stand in).
+    * Shape: the date range pushes into the lineitem scan, the join
+    * shuffles on orderkey only (two narrow columns from orders), and
+    * both classes fold in ONE conditional aggregate pass — never two
+    * scans. Share rounded 12 for cross-engine double identity.
+    */
+  private val q242 = QueryDef(
+    "q242_priority_class",
+    (s, dir) => {
+      Fixtures.table(s, dir, "lineitem")
+        .where(expr("l_shipdate >= TIMESTAMP '1996-01-01' " +
+          "AND l_shipdate < TIMESTAMP '1997-01-01'"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .select(col("l_returnflag"), col("high_line_count"),
+          col("low_line_count"),
+          round(col("high_line_count").cast(DoubleType)
+            / (col("high_line_count") + col("low_line_count"))
+              .cast(DoubleType), 12).as("high_share"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END)::BIGINT AS low_line_count,
+        round(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END)::DOUBLE
+          / count(*)::DOUBLE, 12) AS high_share
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1 ORDER BY l_returnflag"""))
+
+  // ---------- q243: dominant small-part suppliers (Q20 shape) ---------
+
+  /** Suppliers who shipped MORE THAN 30 % of some 'small'-named part's
+    * total 1996 volume — the TPC-H Q20 shape (a nested semi-join chain
+    * whose inner threshold is CORRELATED per part; Q20's partsupp
+    * availqty is not in the fixture set, so the per-part volume share
+    * is the correlated quantity). The dominance compare is exact
+    * decimal (sq·10 > pq·3 — never a double fraction). Shape: the
+    * part-name filter semi-joins into the lineitem scan as a
+    * broadcast (parts ≪ lines), quantities aggregate once per
+    * (part, supplier) with the per-part total derived from THAT
+    * aggregate (no second fact scan), the qualifying supplier set
+    * enters supplier as a LEFT SEMI join, and nation broadcasts.
+    */
+  private val q243 = QueryDef(
+    "q243_dominant_supplier",
+    (s, dir) => {
+      val smallParts = Fixtures.table(s, dir, "part")
+        .where(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))
+      val pair = Fixtures.table(s, dir, "lineitem")
+        .where(expr("l_shipdate >= TIMESTAMP '1996-01-01' " +
+          "AND l_shipdate < TIMESTAMP '1997-01-01'"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast(DecimalType(18, 4)).as("q"))
+        .join(broadcast(smallParts),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("q")).as("sq"))
+      val ptot = pair.groupBy(col("l_partkey")).agg(sum(col("sq")).as("pq"))
+      val dominant = pair.join(ptot, "l_partkey")
+        .where(col("sq") * lit(10) > col("pq") * lit(3))
+        .select(col("l_suppkey"))
+      Fixtures.table(s, dir, "supplier")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Fixtures.table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"), col("s_acctbal"))
+        .orderBy("s_name")
+    },
+    Some("""WITH li AS (SELECT l_partkey, l_suppkey,
+          cast(l_quantity AS DECIMAL(18,4)) AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part
+            WHERE p_name LIKE 'small%')),
+      pair AS (SELECT l_partkey, l_suppkey, sum(q) AS sq
+        FROM li GROUP BY 1, 2),
+      ptot AS (SELECT l_partkey, sum(sq) AS pq FROM pair GROUP BY 1)
+      SELECT s_name, n_name, s_acctbal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_suppkey IN (SELECT l_suppkey
+        FROM pair JOIN ptot USING (l_partkey) WHERE sq * 10 > pq * 3)
+      ORDER BY s_name"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
       q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197,
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
-      q237, q238, q239, q240)
+      q237, q238, q239, q240, q241, q242, q243)
 }
