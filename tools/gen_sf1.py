@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Generate an sf1-equivalent fixture set (10x sf0.1) for SCALING
+measurements only (BASELINE.md "sf1 validation"): correctness oracles
+stay at sf0.01 — this data never feeds the driver gate.
+
+Construction (deterministic, no RNG):
+  - fact tables (orders, lineitem, events, documents) are replicated
+    10x with key offsets so joins fan out linearly, never 100x;
+  - events timestamps shift i ms per replica so per-key event
+    sequences stay strict total orders (sessionize/lead shapes);
+  - document text gets a per-replica token suffix ("a b" -> "a_r1
+    b_r1"), so the shingle/vocab space scales with the corpus and
+    cross-replica texts are NOT near-duplicates — within-replica dup
+    structure is preserved, keeping dedup candidate counts linear
+    (replicating verbatim would make every doc a 10-way dup cluster
+    and quadratically inflate every pair join, which says nothing
+    about real 10x corpora);
+  - dimension tables and embeddings stay 1x (TPC-H dims scale
+    sub-linearly; embedding queries are benched at their own scale).
+
+Usage: python3 tools/gen_sf1.py [/tmp/sf1]
+"""
+import duckdb, os, shutil, sys
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+R = 10
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+
+for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+    shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+KO = con.execute(f"SELECT max(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+KE = con.execute(f"SELECT max(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
+KD = con.execute(f"SELECT max(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
+
+con.execute(f"""COPY (SELECT o_orderkey + i*{KO} AS o_orderkey, o_custkey,
+    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM '{SRC}/orders.parquet', range({R}) r(i))
+  TO '{DST}/orders.parquet' (FORMAT PARQUET)""")
+
+con.execute(f"""COPY (SELECT l_orderkey + i*{KO} AS l_orderkey, l_partkey,
+    l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+    l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM '{SRC}/lineitem.parquet', range({R}) r(i))
+  TO '{DST}/lineitem.parquet' (FORMAT PARQUET)""")
+
+# ts written as BIGINT nanos — the same physical shape the driver's
+# TIMESTAMP(NANOS) takes through Fixtures' nanosAsLong path
+con.execute(f"""COPY (SELECT event_id + i*{KE} AS event_id,
+    epoch_ns(ts)::BIGINT + i*1000000 AS ts, user_id, event_type, value, props
+  FROM '{SRC}/events.parquet', range({R}) r(i))
+  TO '{DST}/events.parquet' (FORMAT PARQUET)""")
+
+con.execute(f"""COPY (SELECT doc_id + i*{KD} AS doc_id,
+    CASE WHEN i = 0 THEN text
+         ELSE replace(text, ' ', '_r'||i||' ') || '_r'||i END AS text,
+    lang, source,
+    CASE WHEN i = 0 THEN n_chars
+         ELSE length(replace(text, ' ', '_r'||i||' ') || '_r'||i)
+         END AS n_chars
+  FROM '{SRC}/documents.parquet', range({R}) r(i))
+  TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
+
+for t in ["orders", "lineitem", "events", "documents"]:
+    n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+    print(t, n)
+print("wrote", DST)
