@@ -2225,9 +2225,12 @@ object Dedup {
     * the q48 df-cap, stop-shingle lists): a steep curve means a tiny
     * hot set dominates the posting table and every cap/cache decision
     * is cheap; a flat curve means none will help. One |vocab|-row
-    * aggregate off the cached posting table, one rank over the vocab
-    * (per-shard top-k + merge at scale), three conditional sums.
-    * Exact integers until the three final divisions.
+    * aggregate off the cached posting table; ranks only exist ≤ 1000,
+    * so the top set comes from a TakeOrdered (per-partition top-k +
+    * merge — never a vocab-sized single-task sort; rows past 1000
+    * feed only the two rank-free totals), then three conditional sums
+    * over the ≤ 1000 survivors. Exact integers until the three final
+    * divisions.
     */
   private val q201 = QueryDef(
     "q201_shingle_coverage",
@@ -2235,13 +2238,15 @@ object Dedup {
       import org.apache.spark.sql.expressions.Window
       val dfs = persistedInverted(s, dir)
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val w = Window.orderBy(col("df").desc, col("h"))
-      dfs.withColumn("rn", row_number().over(w))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(col("df")).as("df_total"),
-          sum(expr("CASE WHEN rn <= 10 THEN df ELSE 0L END")).as("c10"),
+      val tot = dfs.agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("df_total"))
+      val top = dfs.orderBy(col("df").desc, col("h")).limit(1000)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("df").desc, col("h"))))
+        .agg(sum(expr("CASE WHEN rn <= 10 THEN df ELSE 0L END")).as("c10"),
           sum(expr("CASE WHEN rn <= 100 THEN df ELSE 0L END")).as("c100"),
-          sum(expr("CASE WHEN rn <= 1000 THEN df ELSE 0L END")).as("c1000"))
+          sum(col("df")).as("c1000"))
+      tot.crossJoin(broadcast(top))
         .select(col("n_shingles"), col("df_total"),
           (col("c10").cast("double") / col("df_total").cast("double"))
             .as("cov_top10"),

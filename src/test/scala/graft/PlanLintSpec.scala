@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -85,6 +85,36 @@ class PlanLintSpec extends AnyFunSuite {
             s"(limit $MaxNestedLoopBuildRows)")
         }
         cart ++ bigBnlj
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  /** A tiny aggregate (decile curves, survival tables, monthly series)
+    * may legitimately collapse to one partition; a corpus-sized input
+    * must not. 2000 rows at sf0.001 separates the two by an order of
+    * magnitude on each side (bucket tables are ≤ a few hundred rows;
+    * the fact tables are ≥ 6000). */
+  private val MaxSinglePartitionRows = 2000L
+
+  test("no registry query's final plan moves more than " +
+    s"$MaxSinglePartitionRows rows through a single-partition shuffle " +
+    "(unpartitioned windows / global collapses)") {
+    // The round-8 migration class: Window.orderBy with no partition key
+    // plans a numPartitions=1 ShuffleExchange below the WindowExec, so
+    // gating single-partition shuffle volume machine-enforces "no
+    // corpus-sized single-task sort" for every current and future query
+    // — the runtime metric, not a static estimate, decides.
+    val failures = SparkEntry.registry.flatMap { q =>
+      val df = q.fn(spark, sf)
+      df.queryExecution.toRdd.count() // materialize → AQE-final plan
+      walk(df.queryExecution.executedPlan).collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      }.filter(_ > MaxSinglePartitionRows).map { rows =>
+        s"${q.name}: single-partition shuffle carries $rows rows " +
+          s"(limit $MaxSinglePartitionRows)"
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
