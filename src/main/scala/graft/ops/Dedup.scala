@@ -2384,9 +2384,71 @@ object Dedup {
       SELECT n_langs, count(*) AS n_clusters, sum(n_docs)::BIGINT AS n_docs
       FROM pc GROUP BY 1 ORDER BY n_langs"""))
 
+  // ---------- q246: LSH candidate precision/recall audit ----------------
+
+  /** Measured precision and recall of q18's MinHash band-bucket
+    * candidate generation against the EXACT Jaccard-≥0.5 pair set —
+    * the near-dup twin of q127's ANN recall audit, and the table that
+    * justifies (or re-tunes) the 16-hash/8-band configuration before
+    * anyone trusts the q49 components built on it: precision prices
+    * the verify stage (wasted exact-Jaccard work per kept pair),
+    * recall bounds what banding silently drops. Truth comes from the
+    * posting self-join (complete above any positive threshold — a
+    * J≥0.5 pair must share shingles), candidates from the band
+    * self-join, the intersection from ONE semi-join on the pair key;
+    * all three counts are 1-row broadcasts and every shuffle is on
+    * shingle/band/pair keys — nothing is ever |docs|².
+    */
+  private val q246 = QueryDef(
+    "q246_lsh_audit",
+    (s, dir) => {
+      val inv = persistedInverted(s, dir)
+      val bands = minhashBands(inv)
+      val cand = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val truth = jaccardPairs(s, dir, 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nc.crossJoin(broadcast(nt)).crossJoin(broadcast(hit))
+        .select(col("n_cand"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_cand").cast("double"))
+            .as("precision"),
+          (col("n_hit").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+    },
+    Some {
+      val minSelects = minSelectsDuck
+      val bandSelects = (0 until NBands).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, md5(mh${2 * bnd}::VARCHAR || ',' || " +
+          s"mh${2 * bnd + 1}::VARCHAR) AS bkey FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH ${jaccardPairsDuckCte(0.5)},
+      mh AS (SELECT doc_id, $minSelects FROM inv GROUP BY doc_id),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      nc AS (SELECT count(*) AS n_cand FROM cand),
+      nt AS (SELECT count(*) AS n_true FROM pairs),
+      hit AS (SELECT count(*) AS n_hit FROM cand
+        WHERE (doc_a, doc_b) IN (SELECT (doc_a, doc_b) FROM pairs))
+      SELECT n_cand::BIGINT AS n_cand, n_true::BIGINT AS n_true,
+        n_hit::BIGINT AS n_hit,
+        n_hit::DOUBLE / n_cand::DOUBLE AS precision,
+        n_hit::DOUBLE / n_true::DOUBLE AS recall
+      FROM nc, nt, hit"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
       q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
-      q201, q204)
+      q201, q204, q246)
 }

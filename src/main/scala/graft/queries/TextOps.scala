@@ -1090,7 +1090,145 @@ object TextOps {
           / count(*)::DOUBLE) / 1e6 AS mean_top_share
       FROM pd GROUP BY 1 ORDER BY source"""))
 
+  // ---------- q244: DSIR-style importance weights -----------------------
+
+  /** Data Selection with Importance Resampling (Xie et al. 2023) over
+    * hashed-unigram features: per-document log importance weight
+    * log p_target(doc) − log p_corpus(doc) under add-one-smoothed
+    * unigram LMs, with the English slice standing in for the target
+    * domain, reported per source as mean log-weight and the share of
+    * documents a DSIR selection would favor (weight > 0). This is the
+    * table a curation run reads to resample a raw crawl toward a
+    * target domain without training a classifier. Determinism: the
+    * per-TYPE log-ratio is computed once per vocab entry and pinned
+    * to integer nano-units (q119's rule); each doc's weight is then
+    * an exact int64 sum over its instances; per-source means divide
+    * once. Shape: both LMs are vocab-sized aggregates off the cached
+    * unigram table (the target adds one lang-filtered corpus pass);
+    * scoring is one token-key join of instances against the model —
+    * the corpus shuffles only its (doc_id, token-hash) projection,
+    * exactly the q119 scoring shape.
+    */
+  private val q244 = QueryDef(
+    "q244_dsir_importance",
+    (s, dir) => {
+      import graft.ops.PlanCache
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("w1"))
+      val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
+        docs(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+          .groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      val tgt = toks.where(col("lang") === "en")
+        .groupBy(col("w1")).agg(count(lit(1)).as("nt"))
+      val scal = uni.agg(count(lit(1)).as("v"), sum(col("n")).as("nc"))
+        .crossJoin(broadcast(
+          tgt.agg(sum(col("nt")).as("ntot"))))
+      val model = uni.join(tgt, Seq("w1"), "left_outer")
+        .crossJoin(broadcast(scal))
+        .select(col("w1"),
+          round((log((coalesce(col("nt"), lit(0L)) + lit(1L)).cast("double")
+              / (col("ntot") + col("v")).cast("double"))
+            - log((col("n") + lit(1L)).cast("double")
+              / (col("nc") + col("v")).cast("double"))) * lit(1e9))
+            .cast("long").as("lw_units"))
+      toks.join(model, "w1")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("lw_units")).as("lw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lw") > 0L, 1L).otherwise(0L)).as("n_favored"),
+          (sum(col("lw")).cast("double")
+            / count(lit(1)).cast("double") / lit(1e9)).as("mean_log_w"))
+        .select(col("source"), col("n_docs"), col("n_favored"),
+          col("mean_log_w"),
+          (col("n_favored").cast("double") / col("n_docs").cast("double"))
+            .as("favored_share"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (SELECT doc_id, source, lang,
+          unnest(string_split(text, ' ')) AS w1 FROM documents),
+      uni AS (SELECT w1, count(*) AS n FROM toks GROUP BY 1),
+      tgt AS (SELECT w1, count(*) AS nt FROM toks
+        WHERE lang = 'en' GROUP BY 1),
+      scal AS (SELECT (SELECT count(*) FROM uni) AS v,
+        (SELECT sum(n) FROM uni) AS nc,
+        (SELECT sum(nt) FROM tgt) AS ntot),
+      model AS (SELECT uni.w1,
+          round((ln((coalesce(nt, 0) + 1)::DOUBLE / (ntot + v)::DOUBLE)
+            - ln((n + 1)::DOUBLE / (nc + v)::DOUBLE)) * 1e9)::BIGINT
+            AS lw_units
+        FROM uni LEFT JOIN tgt ON tgt.w1 = uni.w1, scal),
+      perdoc AS (SELECT doc_id, source, sum(lw_units) AS lw
+        FROM toks JOIN model ON model.w1 = toks.w1 GROUP BY 1, 2)
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN lw > 0 THEN 1 ELSE 0 END)::BIGINT AS n_favored,
+        sum(lw)::DOUBLE / count(*)::DOUBLE / 1e9 AS mean_log_w,
+        sum(CASE WHEN lw > 0 THEN 1 ELSE 0 END)::DOUBLE
+          / count(*)::DOUBLE AS favored_share
+      FROM perdoc GROUP BY 1 ORDER BY source"""))
+
+  // ---------- q245: tokenizer fertility ---------------------------------
+
+  /** Sub-word fertility (pieces per whitespace word) per language
+    * under the corpus's own top-1000 vocabulary, with OOV words
+    * costing ceil(len/3) byte-fallback pieces — the tokenizer-fit
+    * number a vocab-size decision reads next to q133's OOV rate
+    * (fertility says how much MORE compute an ill-fitting vocab burns
+    * per word, not just how often it misses; cf. the fertility metric
+    * in multilingual-tokenizer audits, e.g. Rust et al. 2021). The
+    * piece rule is pure integer arithmetic ((len+2) div 3 — exact in
+    * both engines); counts are exact int64; fertility is one final
+    * division. Shape: the vocab comes from a TakeOrdered over the
+    * cached unigram table (never a vocab-sized sort, the q133 rule)
+    * and broadcasts against one token-instance pass.
+    */
+  private val q245 = QueryDef(
+    "q245_tokenizer_fertility",
+    (s, dir) => {
+      import graft.ops.PlanCache
+      val words = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w1"))
+      val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
+        docs(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+          .groupBy(col("w1")).agg(count(lit(1)).as("n")))
+      val vocab = uni.orderBy(col("n").desc, col("w1")).limit(1000)
+        .select(col("w1"), lit(1L).as("in_vocab"))
+      words.join(broadcast(vocab), Seq("w1"), "left_outer")
+        .select(col("lang"),
+          when(col("in_vocab").isNotNull, 1L)
+            .otherwise(expr("(length(w1) + 2) div 3")).as("pieces"),
+          when(col("in_vocab").isNull, 1L).otherwise(0L).as("oov"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_pieces"),
+          sum(col("oov")).as("n_oov_words"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          col("n_oov_words"),
+          (col("n_pieces").cast("double") / col("n_words").cast("double"))
+            .as("fertility"))
+        .orderBy("lang")
+    },
+    Some("""WITH words AS (SELECT lang,
+          unnest(string_split(text, ' ')) AS w1 FROM documents),
+      uni AS (SELECT w1, count(*) AS n FROM words GROUP BY 1),
+      vocab AS (SELECT w1, 1 AS in_vocab FROM uni
+        ORDER BY n DESC, w1 LIMIT 1000),
+      pieces AS (SELECT lang,
+          CASE WHEN in_vocab IS NOT NULL THEN 1
+            ELSE (length(w1) + 2) // 3 END AS pieces,
+          CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END AS oov
+        FROM words LEFT JOIN vocab USING (w1))
+      SELECT lang, count(*)::BIGINT AS n_words,
+        sum(pieces)::BIGINT AS n_pieces,
+        sum(oov)::BIGINT AS n_oov_words,
+        sum(pieces)::DOUBLE / count(*)::DOUBLE AS fertility
+      FROM pieces GROUP BY 1 ORDER BY lang"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
-      q153, q155, q165, q177, q198, q199, q215, q217)
+      q153, q155, q165, q177, q198, q199, q215, q217, q244, q245)
 }
