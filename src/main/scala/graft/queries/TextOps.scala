@@ -1109,32 +1109,43 @@ object TextOps {
     * the corpus shuffles only its (doc_id, token-hash) projection,
     * exactly the q119 scoring shape.
     */
+  /** q244's per-token log-importance model (w1, lw_units), shared with
+    * the streaming twin ([[graft.streaming.DocStream.dsirScore]]) so
+    * the batch and at-ingest scorers can never drift. Vocab-sized —
+    * broadcastable to a stream the way production DSIR ships its
+    * hashed-feature ratios to ingest workers.
+    */
+  private[graft] def dsirModel(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.PlanCache
+    val toks = docs(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w1"))
+    val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+        .groupBy(col("w1")).agg(count(lit(1)).as("n")))
+    val tgt = toks.where(col("lang") === "en")
+      .groupBy(col("w1")).agg(count(lit(1)).as("nt"))
+    val scal = uni.agg(count(lit(1)).as("v"), sum(col("n")).as("nc"))
+      .crossJoin(broadcast(
+        tgt.agg(sum(col("nt")).as("ntot"))))
+    uni.join(tgt, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(scal))
+      .select(col("w1"),
+        round((log((coalesce(col("nt"), lit(0L)) + lit(1L)).cast("double")
+            / (col("ntot") + col("v")).cast("double"))
+          - log((col("n") + lit(1L)).cast("double")
+            / (col("nc") + col("v")).cast("double"))) * lit(1e9))
+          .cast("long").as("lw_units"))
+  }
+
   private val q244 = QueryDef(
     "q244_dsir_importance",
     (s, dir) => {
-      import graft.ops.PlanCache
       val toks = docs(s, dir)
-        .select(col("doc_id"), col("source"), col("lang"),
+        .select(col("doc_id"), col("source"),
           explode(split(col("text"), " ")).as("w1"))
-      val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
-        docs(s, dir)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
-          .groupBy(col("w1")).agg(count(lit(1)).as("n")))
-      val tgt = toks.where(col("lang") === "en")
-        .groupBy(col("w1")).agg(count(lit(1)).as("nt"))
-      val scal = uni.agg(count(lit(1)).as("v"), sum(col("n")).as("nc"))
-        .crossJoin(broadcast(
-          tgt.agg(sum(col("nt")).as("ntot"))))
-      val model = uni.join(tgt, Seq("w1"), "left_outer")
-        .crossJoin(broadcast(scal))
-        .select(col("w1"),
-          round((log((coalesce(col("nt"), lit(0L)) + lit(1L)).cast("double")
-              / (col("ntot") + col("v")).cast("double"))
-            - log((col("n") + lit(1L)).cast("double")
-              / (col("nc") + col("v")).cast("double"))) * lit(1e9))
-            .cast("long").as("lw_units"))
-      toks.join(model, "w1")
+      toks.join(dsirModel(s, dir), "w1")
         .groupBy(col("doc_id"), col("source"))
         .agg(sum(col("lw_units")).as("lw"))
         .groupBy(col("source"))

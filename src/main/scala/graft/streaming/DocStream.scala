@@ -254,6 +254,44 @@ object DocStream {
       }
   }
 
+  final case class DocDsir(doc_id: Long, source: String, n_tok: Long,
+      lw_units: Long)
+
+  /** Streaming twin of q244's DSIR scorer — the score-at-ingest shape:
+    * each arriving document is scored STATELESS against a
+    * driver-broadcast per-token log-importance model
+    * ([[graft.queries.TextOps.dsirModel]], vocab-sized nano-unit
+    * ratios; in production the model refreshes per epoch while the
+    * scorer keeps streaming). Tokens the model has never seen score
+    * `unseenUnits` (a stream can see vocabulary the corpus pass did
+    * not; the batch path never hits this arm because its docs ARE the
+    * corpus). No state, no shuffle, no watermark — the per-doc weight
+    * is one exact int64 sum, so a replayed document gets the identical
+    * score. split(" ", -1) keeps trailing empty tokens — Spark SQL
+    * split's semantics, which the batch explode counts.
+    */
+  def dsirScore(docsStream: DataFrame, lwUnitsByToken: Map[String, Long],
+      unseenUnits: Long): Dataset[DocDsir] = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(lwUnitsByToken)
+    docsStream
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, src, text) =>
+          val toks = text.split(" ", -1)
+          var lw = 0L
+          var i = 0
+          while (i < toks.length) {
+            lw += bc.value.getOrElse(toks(i), unseenUnits)
+            i += 1
+          }
+          DocDsir(id, src, toks.length.toLong, lw)
+        }
+      }
+  }
+
   final case class DocDecision(doc_id: Long, source: String, n_tok: Long,
       dropped: Int)
 

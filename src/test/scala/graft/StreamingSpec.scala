@@ -349,6 +349,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming DSIR scorer == batch q244 per-source report " +
+    "(AvailableNow)") {
+    import graft.streaming.DocStream
+    // the broadcast model is the SAME DataFrame q244 joins against
+    val model = graft.queries.TextOps.dsirModel(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(model.nonEmpty)
+    val q = DocStream.dsirScore(
+        DocStream.readDocuments(spark, sf), model, unseenUnits = 0L)
+      .writeStream.format("memory").queryName("dsir")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dsir")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lw_units") > 0L, 1L).otherwise(0L)).as("n_favored"),
+        (sum(col("lw_units")).cast("double")
+          / count(lit(1)).cast("double") / lit(1e9)).as("mean_log_w"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = SparkEntry.queries("q244_dsir_importance")(spark, sf)
+      .select("source", "n_docs", "n_favored", "mean_log_w")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("stream tokenization matches Spark SQL split on trailing and " +
     "consecutive spaces") {
     import graft.streaming.DocStream
