@@ -3341,11 +3341,76 @@ object Analytics {
         FROM pair JOIN ptot USING (l_partkey) WHERE sq * 10 > pq * 3)
       ORDER BY s_name"""))
 
+  // ---------- q248: order-total reconciliation audit ------------------
+
+  /** Does the order header's total agree with the sum of its lines
+    * (extendedprice discounted and taxed)? — the classic warehouse
+    * reconciliation invariant, run after every load beside q106's FK
+    * audit (keys can all resolve while the MONEY is still wrong).
+    * Reports, per order status: orders with no lines at all, orders
+    * reconciling exactly, and the mean/max absolute discrepancy.
+    * Every delta is exact DECIMAL end-to-end (terms cast before the
+    * sum, header cast to the same scale, subtraction exact) and is
+    * pinned to integer ten-thousandths BEFORE any double appears —
+    * engines round the decimal→double conversion differently at the
+    * last ulp, and a reconciliation that rounds before comparing
+    * would miss the one-cent drifts it exists to catch. Shape: one
+    * orderkey-keyed line aggregate (map-side
+    * combined) LEFT-joined back to orders on the SAME key, then a
+    * |statuses|-row rollup.
+    */
+  private val q248 = QueryDef(
+    "q248_order_reconciliation",
+    (s, dir) => {
+      // every factor is an exact 2-decimal value — cast EACH to a
+      // small-scale decimal BEFORE multiplying, so the product is
+      // exact rational arithmetic at scale 6 (a double product cast
+      // to decimal lands on rounding ties the two engines break
+      // differently)
+      val lines = Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("cast(l_extendedprice AS DECIMAL(12,2)) * " +
+          "(1 - cast(l_discount AS DECIMAL(6,2))) * " +
+          "(1 + cast(l_tax AS DECIMAL(6,2)))")).as("computed"))
+      Fixtures.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("header"))
+        .join(lines, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .select(col("o_orderstatus"),
+          col("computed").isNull.cast("long").as("no_lines"),
+          (abs(col("header") - coalesce(col("computed"), lit(0)))
+            * lit(1000000)).cast("long").as("au"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("no_lines")).as("n_no_lines"),
+          sum(when(col("au") === 0L, 1L).otherwise(0L)).as("n_exact"),
+          (sum(col("au")).cast(DoubleType) / lit(1e6)
+            / count(lit(1)).cast(DoubleType)).as("mean_abs_delta"),
+          (max(col("au")).cast(DoubleType) / lit(1e6)).as("max_abs_delta"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH lines AS (SELECT l_orderkey,
+          sum(cast(l_extendedprice AS DECIMAL(12,2))
+            * (1 - cast(l_discount AS DECIMAL(6,2)))
+            * (1 + cast(l_tax AS DECIMAL(6,2)))) AS computed
+        FROM lineitem GROUP BY 1),
+      recon AS (SELECT o_orderstatus,
+          CASE WHEN computed IS NULL THEN 1 ELSE 0 END AS no_lines,
+          (abs(cast(o_totalprice AS DECIMAL(12,2))
+            - coalesce(computed, 0)) * 1000000)::BIGINT AS au
+        FROM orders LEFT JOIN lines ON o_orderkey = l_orderkey)
+      SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        sum(no_lines)::BIGINT AS n_no_lines,
+        sum(CASE WHEN au = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+        sum(au)::DOUBLE / 1e6 / count(*)::DOUBLE AS mean_abs_delta,
+        max(au)::DOUBLE / 1e6 AS max_abs_delta
+      FROM recon GROUP BY 1 ORDER BY o_orderstatus"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
       q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197,
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
-      q237, q238, q239, q240, q241, q242, q243)
+      q237, q238, q239, q240, q241, q242, q243, q248)
 }

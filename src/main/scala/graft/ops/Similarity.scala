@@ -1107,6 +1107,69 @@ object Similarity {
           / count(*)::DOUBLE) / 1e6 AS mean_cosine
       FROM scored, tot GROUP BY 1, total ORDER BY bucket"""))
 
+  // ---------- q247: Matryoshka truncation audit -------------------------
+
+  /** Retained embedding energy under prefix truncation to 8/16/32/64
+    * dims — the Matryoshka-representation audit (Kusupati et al.
+    * 2022): MRL-trained encoders concentrate energy in the leading
+    * dims, so ANN tiers can search a truncated prefix and re-rank
+    * with the full vector; a FLAT retention curve says truncation
+    * would destroy this encoder's geometry (the q202 participation
+    * ratio's actionable cousin — PR says how many dims carry energy,
+    * this says whether they are the FIRST ones). Per prefix: mean
+    * retained norm fraction (micro-pinned before the
+    * order-insensitive sum) and the share of vectors retaining ≥ 90 %
+    * (compared on the pinned integer, so the cut can't flip between
+    * engines); zero vectors retain 1.0 by definition. Shape: one
+    * corpus pass fanned ×4 by a literal prefix array — narrow,
+    * shuffle-free until the 4-row aggregate; the per-element folds
+    * are the q112 ordered-fold idiom, bit-identical across engines.
+    */
+  private val q247 = QueryDef(
+    "q247_mrl_truncation",
+    (s, dir) => {
+      def en(arr: String) =
+        s"aggregate(transform($arr, x -> cast(x AS DOUBLE) * " +
+          s"cast(x AS DOUBLE)), cast(0 AS DOUBLE), (acc, v) -> acc + v)"
+      emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          explode(array(lit(8), lit(16), lit(32), lit(64))).as("d"))
+        .withColumn("retained_micro",
+          expr(s"""CAST(round((CASE WHEN ${en("embedding")} > 0 THEN
+              sqrt(${en("slice(embedding, 1, d)")})
+                / sqrt(${en("embedding")})
+              ELSE 1.0 END) * 1e6) AS BIGINT)"""))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("retained_micro")).cast("double")
+            / count(lit(1)).cast("double") / lit(1e6)).as("mean_retained"),
+          sum(when(col("retained_micro") >= 900000L, 1L).otherwise(0L))
+            .as("n_ge90"))
+        .select(col("d").cast("long").as("dim_prefix"), col("n_vecs"),
+          col("mean_retained"),
+          (col("n_ge90").cast("double") / col("n_vecs").cast("double"))
+            .as("ge90_share"))
+        .orderBy("dim_prefix")
+    },
+    Some("""WITH pref AS (SELECT vec_id, d,
+        round((CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+            (acc, v) -> acc + v) > 0 THEN
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(embedding[1:d], x -> x::DOUBLE * x::DOUBLE)),
+            (acc, v) -> acc + v))
+          / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+            (acc, v) -> acc + v))
+          ELSE 1.0 END) * 1e6)::BIGINT AS retained_micro
+        FROM embeddings, unnest([8, 16, 32, 64]) AS t(d))
+      SELECT d::BIGINT AS dim_prefix, count(*)::BIGINT AS n_vecs,
+        sum(retained_micro)::DOUBLE / count(*)::DOUBLE / 1e6
+          AS mean_retained,
+        sum(CASE WHEN retained_micro >= 900000 THEN 1 ELSE 0 END)::DOUBLE
+          / count(*)::DOUBLE AS ge90_share
+      FROM pref GROUP BY 1 ORDER BY dim_prefix"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
-    q112, q123, q127, q130, q134, q167, q185, q202, q220)
+    q112, q123, q127, q130, q134, q167, q185, q202, q220, q247)
 }
