@@ -1199,7 +1199,107 @@ object Quality {
         sum(n_tok)::BIGINT AS n_tokens
       FROM bk GROUP BY 1, 2 ORDER BY lang, bucket"""))
 
+  // ---------- q249: DoReMi-style domain reweighting step ----------------
+
+  /** One mirror-descent step of DoReMi domain reweighting (Xie et al.
+    * 2023): each source's mixture weight is its token share boosted by
+    * exp(η·excess_loss) with η = 1, where excess loss is the source's
+    * held-out avg NLL (q172's model — same cached train-unigram LM,
+    * same test split, can't drift) minus the corpus-wide average, then
+    * renormalized. Sources the reference LM predicts WORSE than
+    * average get upweighted — DoReMi's "train more where the proxy
+    * struggles" signal — and well-predicted boilerplate gets cut.
+    * Determinism: per-source and global avg NLL pin to integer
+    * nano-units BEFORE the subtraction (exact int64 excess); the exp
+    * boost rounds to integer micro-units (JVM/DuckDB libm exp differ
+    * in the last ulp — q172's rule); the unnormalized weight is then
+    * an exact int64 product (token count × micro-boost; at 100 TB
+    * widen to DECIMAL(38,0) — same contract) and the normalization is
+    * one identical double division of exact integers. Shape: one
+    * corpus pass for token counts, the q172 scoring join for losses,
+    * then |sources|-row arithmetic with 1-row broadcast totals.
+    */
+  private val q249 = QueryDef(
+    "q249_doremi_step",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(Portable.splitCaseSpark).as("split"),
+          explode(split(col("text"), " ")).as("w"))
+      val tr = trainUnigram(s, dir)
+      val trs = tr.agg(sum(col("c")).as("n_train"), count(lit(1)).as("v"))
+      val loss = toks.where(col("split") === "test")
+        .join(tr, Seq("w"), "left")
+        .crossJoin(broadcast(trs))
+        .select(col("source"),
+          expr("""CAST(round(ln(CAST(n_train + v AS DOUBLE)
+            / (coalesce(c, 0L) + 1)) * 1e9) AS BIGINT)""").as("nlp_nano"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_test_tokens"),
+          sum(col("nlp_nano")).as("s_nano"))
+        .withColumn("avg_nano",
+          expr("CAST(round(CAST(s_nano AS DOUBLE) " +
+            "/ CAST(n_test_tokens AS DOUBLE)) AS BIGINT)"))
+      val glob = loss.agg(sum(col("s_nano")).as("g_nano"),
+          sum(col("n_test_tokens")).as("g_tokens"))
+        .select(expr("CAST(round(CAST(g_nano AS DOUBLE) " +
+          "/ CAST(g_tokens AS DOUBLE)) AS BIGINT)").as("gavg_nano"))
+      val sizes = docs(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      val pre = sizes.join(loss, "source").crossJoin(broadcast(glob))
+        .select(col("source"), col("n_tokens"), col("avg_nano"),
+          col("gavg_nano"),
+          (col("n_tokens") * expr("""CAST(round(
+            exp(CAST(avg_nano - gavg_nano AS DOUBLE) / 1e9) * 1e6)
+            AS BIGINT)""")).as("pre"))
+      val tot = pre.agg(sum(col("pre")).as("t_pre"),
+        sum(col("n_tokens")).as("t_tok"))
+      pre.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("t_tok").cast("double"))
+            .as("base_share"),
+          (col("avg_nano").cast("double") / lit(1e9)).as("avg_nll"),
+          ((col("avg_nano") - col("gavg_nano")).cast("double") / lit(1e9))
+            .as("excess_nll"),
+          (col("pre").cast("double") / col("t_pre").cast("double"))
+            .as("new_weight"))
+        .orderBy("source")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, source,
+          ${Portable.splitCaseDuck} AS split,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+      tr AS (SELECT w, count(*) AS c FROM toks
+        WHERE split = 'train' GROUP BY 1),
+      trs AS (SELECT sum(c)::BIGINT AS n_train, count(*) AS v FROM tr),
+      loss AS (SELECT source, count(*) AS n_test_tokens,
+          sum(round(ln((n_train + v)::DOUBLE / (coalesce(c, 0) + 1))
+            * 1e9)::BIGINT) AS s_nano
+        FROM toks t LEFT JOIN tr USING (w), trs
+        WHERE t.split = 'test' GROUP BY 1),
+      lavg AS (SELECT source, n_test_tokens, s_nano,
+          round(s_nano::DOUBLE / n_test_tokens::DOUBLE)::BIGINT AS avg_nano
+        FROM loss),
+      gavg AS (SELECT round(sum(s_nano)::DOUBLE
+          / sum(n_test_tokens)::DOUBLE)::BIGINT AS gavg_nano FROM loss),
+      sizes AS (SELECT source,
+          sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        FROM documents GROUP BY 1),
+      pre AS (SELECT s.source, n_tokens, avg_nano, gavg_nano,
+          n_tokens * round(exp((avg_nano - gavg_nano)::DOUBLE / 1e9)
+            * 1e6)::BIGINT AS pre
+        FROM sizes s JOIN lavg USING (source), gavg),
+      tot AS (SELECT sum(pre)::BIGINT AS t_pre,
+        sum(n_tokens)::BIGINT AS t_tok FROM pre)
+      SELECT source, n_tokens,
+        n_tokens::DOUBLE / t_tok::DOUBLE AS base_share,
+        avg_nano::DOUBLE / 1e9 AS avg_nll,
+        (avg_nano - gavg_nano)::DOUBLE / 1e9 AS excess_nll,
+        pre::DOUBLE / t_pre::DOUBLE AS new_weight
+      FROM pre, tot ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
-      q149, q168, q170, q172, q173, q183, q216, q225)
+      q149, q168, q170, q172, q173, q183, q216, q225, q249)
 }
