@@ -1299,7 +1299,90 @@ object Quality {
         pre::DOUBLE / t_pre::DOUBLE AS new_weight
       FROM pre, tot ORDER BY source"""))
 
+  // ---------- q250: Neyman allocation for a stratified eval set ---------
+
+  /** Neyman-optimal allocation of a 1000-document eval budget across
+    * sources: n_h ∝ N_h·S_h (stratum size × within-stratum quality
+    * std-dev) against proportional allocation — the survey-sampling
+    * answer to "which sources deserve more eval slots": high-variance
+    * sources need more samples for the same confidence, uniform ones
+    * fewer (Neyman 1934; the same allocation a labeling-budget
+    * planner runs before an annotation round). Variance comes from
+    * q14's exact scorer via the q75 moment convention (micro-pinned
+    * scores, exact int64/DECIMAL(38,0) sums); S_h is one IEEE sqrt on
+    * an identical double and is immediately re-pinned to micro-units,
+    * so the N_h·S_h weight is an exact int64 product and every share
+    * is one double division of exact integers. Shape: one scored
+    * corpus pass to a |sources|-row moment table; everything after is
+    * broadcast-scalar arithmetic.
+    */
+  private val q250 = QueryDef(
+    "q250_neyman_allocation",
+    (s, dir) => {
+      val scored = graft.queries.TextOps.q14Fn(s, dir)
+        .select(col("doc_id"),
+          expr("CAST(round(quality * 1e6) AS BIGINT)").as("qm"))
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      val m = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("nh"),
+          sum(col("qm")).as("sq"),
+          sum((col("qm") * col("qm"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sqq"))
+        // sample variance in micro² units: (n·Σq² − (Σq)²) / (n·(n−1));
+        // the formula is one textually identical double expression on
+        // exact integer inputs, its sqrt is correctly-rounded IEEE, and
+        // the result re-pins to micro-units before any further use
+        .withColumn("s_micro",
+          expr("""CAST(round(CASE WHEN nh > 1 THEN
+              sqrt((CAST(nh AS DOUBLE) * CAST(sqq AS DOUBLE)
+                - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))) / 1e6
+            ELSE 0.0 END * 1e6) AS BIGINT)"""))
+        .withColumn("w", col("nh") * col("s_micro"))
+      val tot = m.agg(sum(col("nh")).as("t_n"), sum(col("w")).as("t_w"))
+      m.crossJoin(broadcast(tot))
+        .select(col("source"), col("nh").as("n_docs"),
+          (col("s_micro").cast("double") / lit(1e6)).as("quality_std"),
+          (col("nh").cast("double") / col("t_n").cast("double"))
+            .as("proportional_share"),
+          (col("w").cast("double") / col("t_w").cast("double"))
+            .as("neyman_share"),
+          expr("""CAST(round(1000 * CAST(w AS DOUBLE)
+            / CAST(t_w AS DOUBLE)) AS BIGINT)""").as("n_alloc"))
+        .orderBy("source")
+    },
+    Some("""WITH scored AS (SELECT doc_id,
+          round((0.3 * (cast(len(list_distinct(string_split(text, ' ')))
+              AS DOUBLE) / len(string_split(text, ' ')))
+            + 0.2 * (1.0 - cast(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+              / len(string_split(text, ' ')))
+            + 0.2 * (1.0
+              - cast(len(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                / len(text))
+            + 0.3 * least(cast(len(string_split(text, ' ')) AS DOUBLE)
+              / 50.0, 1.0)) * 1e6)::BIGINT AS qm,
+          source
+        FROM documents),
+      m AS (SELECT source, count(*) AS nh, sum(qm)::BIGINT AS sq,
+          sum(cast(qm * qm AS DECIMAL(38,0))) AS sqq
+        FROM scored GROUP BY 1),
+      sm AS (SELECT source, nh, sq, sqq,
+          round(CASE WHEN nh > 1 THEN
+              sqrt((nh::DOUBLE * sqq::DOUBLE - sq::DOUBLE * sq::DOUBLE)
+                / (nh::DOUBLE * (nh - 1)::DOUBLE)) / 1e6
+            ELSE 0.0 END * 1e6)::BIGINT AS s_micro
+        FROM m),
+      w AS (SELECT source, nh, s_micro, nh * s_micro AS w FROM sm),
+      tot AS (SELECT sum(nh)::BIGINT AS t_n, sum(w)::BIGINT AS t_w FROM w)
+      SELECT source, nh::BIGINT AS n_docs,
+        s_micro::DOUBLE / 1e6 AS quality_std,
+        nh::DOUBLE / t_n::DOUBLE AS proportional_share,
+        w::DOUBLE / t_w::DOUBLE AS neyman_share,
+        round(1000 * w::DOUBLE / t_w::DOUBLE)::BIGINT AS n_alloc
+      FROM w, tot ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
-      q149, q168, q170, q172, q173, q183, q216, q225, q249)
+      q149, q168, q170, q172, q173, q183, q216, q225, q249, q250)
 }
