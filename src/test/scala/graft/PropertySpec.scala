@@ -115,6 +115,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("RangeNtile withNtile/withRowNumber == window forms on random " +
+    "tie-heavy datasets across k and shard counts (8 sampled cases)") {
+    import graft.ops.RangeNtile
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(43)
+    (1 to 8).foreach { _ =>
+      // sizes span the degenerate (< k), the sub-shard, and the
+      // multi-shard regimes; scores are drawn from a tiny range so tie
+      // groups straddle shard boundaries — the case the tiebreak column
+      // and the offset broadcast must get right together
+      val n = 1 + rnd.nextInt(2000)
+      val rows = (1 to n).map(i => (rnd.nextInt(7).toLong, i.toLong))
+      val df = spark.createDataFrame(rows).toDF("score", "id")
+      val sortKey = Seq(col("score"), col("id"))
+      val k = 1 + rnd.nextInt(12)
+      val shards = 1 + rnd.nextInt(40)
+      val wantN = df.withColumn("b",
+          ntile(k).over(Window.orderBy(sortKey: _*)).cast("long"))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val gotN = RangeNtile.withNtile(df, sortKey, k, "b", shards)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(gotN === wantN, s"ntile n=$n k=$k shards=$shards")
+      val wantR = df.withColumn("rn",
+          row_number().over(Window.orderBy(sortKey: _*)).cast("long"))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val gotR = RangeNtile.withRowNumber(df, sortKey, "rn", shards)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(gotR === wantR, s"row_number n=$n shards=$shards")
+    }
+  }
+
   test("q153 chunking tiles every doc exactly: stride starts, full " +
     "coverage, correct overlap, short-doc single chunk") {
     val sf = "/root/testdata/sf0.001"
