@@ -370,6 +370,58 @@ object Events {
         (valid_to IS NULL) AS is_current
       FROM versioned ORDER BY user_id, valid_from"""))
 
+  // ---------- q251: SCD2 point-in-time (AS OF) state --------------------
+
+  /** Every user's state AS OF a fixed instant (2024-01-15 mid-corpus)
+    * — the time-travel query run against q61's versioned table, but
+    * implemented the Spark-first way: the point-in-time state is just
+    * the LATEST change ≤ T per user, which is ONE argmax aggregate
+    * (`max(struct(ts, event_id, event_type))` over the pre-filtered
+    * scan — the q211 encoding, struct order IS the tiebreak), so the
+    * engine never materializes version intervals, never runs a
+    * window, and the T-predicate pushes into the parquet scan. The
+    * ORACLE deliberately keeps the SCD2-interval form (build q61's
+    * versioned CTE, filter valid_from ≤ T < valid_to) — agreement
+    * proves the argmax shortcut equals interval semantics, including
+    * consecutive-duplicate collapsing (the latest EVENT's type equals
+    * the open version's type precisely because repeats collapse) and
+    * users with no event before T (absent from both sides). The
+    * version's valid_from is deliberately NOT emitted: it is a
+    * property of the interval representation (run start), not of the
+    * point-in-time STATE the two formulations agree on.
+    */
+  private val q251 = QueryDef(
+    "q251_scd2_asof",
+    (s, dir) => {
+      val asOf = "TIMESTAMP_NTZ '2024-01-15 00:00:00'"
+      ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .where(expr(s"ts <= $asOf"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("last"))
+        .select(col("user_id"), col("last.event_type").as("state"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev IS NULL OR prev <> event_type),
+      versioned AS (
+        SELECT user_id, event_type, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS valid_to
+        FROM changes)
+      SELECT user_id, event_type AS state
+      FROM versioned
+      WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+      ORDER BY user_id"""))
+
   // ---------- q68: rolling 7-day window (RANGE frame) -----------------
 
   /** 7-day rolling order volume per priority — a RANGE frame over the
@@ -2241,5 +2293,5 @@ object Events {
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
-      q191, q193, q205, q206, q222, q223, q227)
+      q191, q193, q205, q206, q222, q223, q227, q251)
 }
