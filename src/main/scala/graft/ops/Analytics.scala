@@ -805,15 +805,18 @@ object Analytics {
       val agg = b.groupBy(col("bucket"))
         .agg(sum(lit(1L) - col("cur")).as("n_ref"), sum(col("cur")).as("n_cur"))
       val tot = agg.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
-      agg.crossJoin(broadcast(tot))
+      val units = agg.crossJoin(broadcast(tot))
         .withColumn("pa", col("n_ref").cast("double") / col("t_ref"))
         .withColumn("pb", col("n_cur").cast("double") / col("t_cur"))
         .withColumn("units", when(col("n_ref") > 0 && col("n_cur") > 0,
           round((col("pa") - col("pb")) * log(col("pa") / col("pb"))
             * lit(1e9)).cast("long")).otherwise(0L))
-        .withColumn("psi",
-          (sum(col("units")).over(Window.partitionBy()).cast("double")
-            / lit(1e9)))
+      // the PSI total repeats on every row: a 1-row broadcast scalar
+      // (exact int sum), not an unpartitioned window — same values,
+      // no single-partition WindowExec even over the 10-row table
+      val psum = units.agg(sum(col("units")).as("su"))
+      units.crossJoin(broadcast(psum))
+        .withColumn("psi", col("su").cast("double") / lit(1e9))
         .select(col("bucket"), col("n_ref"), col("n_cur"),
           col("pa"), col("pb"), col("psi"))
         .orderBy("bucket")
