@@ -3409,11 +3409,197 @@ object Analytics {
         max(au)::DOUBLE / 1e6 AS max_abs_delta
       FROM recon GROUP BY 1 ORDER BY o_orderstatus"""))
 
+  // ---------- q252: functional-dependency discovery audit -------------
+
+  /** Data-profiling pass: for a fixed battery of candidate functional
+    * dependencies (determinant → dependent), does the data actually
+    * satisfy them? Reports, per candidate: distinct determinant
+    * values, how many of those map to MORE than one dependent value
+    * (violations), the worst fan-out, and how many base rows sit under
+    * a violating determinant. Warehouse teams run exactly this after
+    * every load to validate assumed keys and denormalization
+    * invariants before queries start silently double-counting.
+    * Distributed shape: each candidate is ONE determinant-keyed
+    * aggregate (map-side combined — the per-group state is a distinct
+    * set of dependents, bounded by the dependent's cardinality) whose
+    * result re-aggregates to a single verdict row; candidates union to
+    * a |battery|-row table, so output never scales with the data.
+    */
+  private def fdAudit(df: DataFrame, det: String, dep: String): DataFrame =
+    df.groupBy(col(det))
+      .agg(countDistinct(col(dep)).as("n_dep"), count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_det"),
+        sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("n_dep")).as("max_fanout"),
+        sum(when(col("n_dep") > 1, col("n_rows")).otherwise(0L))
+          .as("n_rows_violating"))
+      .select(lit(s"$det->$dep").as("fd"), col("n_det"),
+        col("n_violating"), col("max_fanout"), col("n_rows_violating"))
+
+  private def fdOracle(table: String, det: String, dep: String): String =
+    s"""SELECT '$det->$dep' AS fd, count(*)::BIGINT AS n_det,
+      sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+      max(n_dep)::BIGINT AS max_fanout,
+      sum(CASE WHEN n_dep > 1 THEN n_rows ELSE 0 END)::BIGINT
+        AS n_rows_violating
+    FROM (SELECT $det, count(DISTINCT $dep)::BIGINT AS n_dep,
+        count(*)::BIGINT AS n_rows
+      FROM $table GROUP BY 1)"""
+
+  private val FdBattery: Seq[(String, String, String)] = Seq(
+    ("part", "p_brand", "p_type"),
+    ("part", "p_name", "p_brand"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_name", "c_mktsegment"),
+    ("nation", "n_name", "n_regionkey"))
+
+  private val q252 = QueryDef(
+    "q252_fd_discovery",
+    (s, dir) => FdBattery
+      .map { case (t, det, dep) => fdAudit(Fixtures.table(s, dir, t), det, dep) }
+      .reduce(_ union _)
+      .orderBy("fd"),
+    Some(FdBattery
+      .map { case (t, det, dep) => fdOracle(t, det, dep) }
+      .mkString("", " UNION ALL ", " ORDER BY fd")))
+
+  // ---------- q253: smoothed target encoding --------------------------
+
+  /** ML feature engineering: encode the categorical p_brand by the
+    * empirical rate of a binary label (line was returned), smoothed
+    * toward the global prior so rare categories don't memorize noise —
+    * enc = (n_pos + α·prior) / (n + α), α = 50 (the standard
+    * additive-smoothing form of mean target encoding). Shape: the
+    * label lives on the fact table, the category on a broadcast-sized
+    * dim — one broadcast hash join, one 25-group aggregate (map-side
+    * combined), and the global prior re-aggregates the 25 brand rows
+    * on the driver-side plan (a 1-row broadcast crossJoin), so nothing
+    * after the fact scan scales with the data.
+    */
+  private val q253 = QueryDef(
+    "q253_target_encoding",
+    (s, dir) => {
+      val byBrand = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      val prior = byBrand.agg(
+        (sum(col("n_pos")).cast(DoubleType)
+          / sum(col("n")).cast(DoubleType)).as("prior"))
+      byBrand.crossJoin(broadcast(prior))
+        .select(col("p_brand"), col("n"), col("n_pos"),
+          round(col("prior"), 12).as("prior"),
+          round((col("n_pos").cast(DoubleType) + lit(50.0) * col("prior"))
+            / (col("n").cast(DoubleType) + lit(50.0)), 12).as("enc"))
+        .orderBy("p_brand")
+    },
+    Some("""WITH b AS (SELECT p_brand, count(*)::BIGINT AS n,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS n_pos
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      g AS (SELECT sum(n_pos)::DOUBLE / sum(n)::DOUBLE AS prior FROM b)
+      SELECT p_brand, n, n_pos, round(prior, 12) AS prior,
+        round((n_pos::DOUBLE + 50.0 * prior) / (n::DOUBLE + 50.0), 12)
+          AS enc
+      FROM b, g ORDER BY p_brand"""))
+
+  // ---------- q254: Mann-Whitney U from a value histogram -------------
+
+  /** Nonparametric two-sample test per brand: do returned lines
+    * ('R') ship in different quantities than kept lines? Mann-Whitney
+    * U with midranks and the tie-corrected normal approximation. The
+    * scale design is the point: quantity is a small-domain integer
+    * (1..50), so instead of ranking individual lines (a corpus-sized
+    * sort), the test is computed EXACTLY from a (brand × quantity)
+    * count histogram — midranks fall out of a running sum over ≤50
+    * rows per brand, and every rank-sum term stays in integer
+    * arithmetic (2·R keeps midrank halves exact) until the final
+    * z-score. One fact-scan aggregate, windows only over the ≤50-row
+    * histogram, |brands| output rows.
+    */
+  private val q254 = QueryDef(
+    "q254_mannwhitney",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("isa"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("qty"))
+        .agg(sum(col("isa")).as("ca"),
+          sum(lit(1L) - col("isa")).as("cb"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("qty"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = hist
+        .withColumn("t", col("ca") + col("cb"))
+        .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+      ranked
+        .groupBy(col("p_brand"))
+        // rank-sum terms are exact but EXCEED int64 at warehouse row
+        // counts (ca·2cum ≈ 1e8·8e9 per term, summed) — every sum that
+        // mixes counts with cumulative ranks lifts to DECIMAL(38,0)
+        // (exact integer arithmetic both engines share) before summing
+        .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+          // 2·Σ ca·midrank with midrank = cum + (t+1)/2 — kept doubled
+          // so tie midranks (halves) stay in exact integer arithmetic
+          sum((col("ca") * (lit(2L) * col("cum") + col("t") + 1L))
+            .cast(DecimalType(38, 0))).as("two_r_a"),
+          sum(col("t").cast(DecimalType(38, 0)) * col("t") * col("t")
+            - col("t")).as("tie3"))
+        .select(col("p_brand"), col("n_a"), col("n_b"), col("tie3"),
+          ((col("two_r_a") - col("n_a").cast(DecimalType(38, 0))
+            * (col("n_a") + 1L)).cast(DoubleType) / 2.0).as("u_a"),
+          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType) / 2.0)
+            .as("mu"))
+        .select(col("p_brand"), col("n_a"), col("n_b"),
+          col("u_a"), round(col("mu"), 12).as("mu"),
+          round((col("u_a") - col("mu"))
+            / sqrt(col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)
+              / 12.0
+              * ((col("n_a") + col("n_b") + 1L).cast(DoubleType)
+                - col("tie3").cast(DoubleType)
+                  / ((col("n_a") + col("n_b")).cast(DoubleType)
+                    * (col("n_a") + col("n_b") - 1L).cast(DoubleType)))),
+            12).as("z"))
+        .orderBy("p_brand")
+    },
+    Some("""WITH hist AS (SELECT p_brand, l_quantity::BIGINT AS qty,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS ca,
+          sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT
+            AS cb
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+      ranked AS (SELECT p_brand, ca, cb, ca + cb AS t,
+          coalesce(sum(ca + cb) OVER (PARTITION BY p_brand ORDER BY qty
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM hist),
+      m AS (SELECT p_brand, sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+          sum(ca * (2 * cum + t + 1)) AS two_r_a,
+          sum(t::HUGEINT * t * t - t) AS tie3
+        FROM ranked GROUP BY 1)
+      SELECT p_brand, n_a, n_b,
+        (two_r_a - n_a * (n_a + 1))::DOUBLE / 2.0 AS u_a,
+        round(n_a::DOUBLE * n_b::DOUBLE / 2.0, 12) AS mu,
+        round(((two_r_a - n_a * (n_a + 1))::DOUBLE / 2.0
+            - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+          / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+            * ((n_a + n_b + 1)::DOUBLE
+              - tie3::DOUBLE / ((n_a + n_b)::DOUBLE
+                * (n_a + n_b - 1)::DOUBLE))), 12) AS z
+      FROM m ORDER BY p_brand"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
       q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197,
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
-      q237, q238, q239, q240, q241, q242, q243, q248)
+      q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254)
 }

@@ -2289,9 +2289,206 @@ object Events {
           / (n_days::DOUBLE * sc::DOUBLE), 12) AS fano
       FROM m ORDER BY event_type"""))
 
+  // ---------- q255: difference-in-differences -------------------------
+
+  /** Quasi-experimental readout: purchase value in treated vs control
+    * (the q163 hash-arm convention, user_id % 2) across a mid-corpus
+    * policy cutoff — DiD = (post_t − pre_t) − (post_c − pre_c), the
+    * causal estimate when arms share a pre-trend. One conditional
+    * aggregate over the fact stream (map-side combined to four
+    * (arm × period) cells), one output row; values go through the
+    * round-to-integer-micros convention (q163) so the cell sums are
+    * exact and order-independent on both engines.
+    */
+  private val q255 = QueryDef(
+    "q255_diff_in_diff",
+    (s, dir) => {
+      val cut = "TIMESTAMP_NTZ '2024-01-16 00:00:00'"
+      val pe = ev(s, dir).where(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(2L)).as("arm"),
+          expr(s"ts >= $cut").as("post"),
+          round(col("value") * 1e6).cast("long").as("u"))
+      val cells = pe.agg(
+        sum(when(col("arm") === 0 && !col("post"), 1L).otherwise(0L))
+          .as("n_pre_c"),
+        sum(when(col("arm") === 0 && col("post"), 1L).otherwise(0L))
+          .as("n_post_c"),
+        sum(when(col("arm") === 1 && !col("post"), 1L).otherwise(0L))
+          .as("n_pre_t"),
+        sum(when(col("arm") === 1 && col("post"), 1L).otherwise(0L))
+          .as("n_post_t"),
+        sum(when(col("arm") === 0 && !col("post"), col("u")).otherwise(0L))
+          .as("su_pre_c"),
+        sum(when(col("arm") === 0 && col("post"), col("u")).otherwise(0L))
+          .as("su_post_c"),
+        sum(when(col("arm") === 1 && !col("post"), col("u")).otherwise(0L))
+          .as("su_pre_t"),
+        sum(when(col("arm") === 1 && col("post"), col("u")).otherwise(0L))
+          .as("su_post_t"))
+      def m(su: String, n: String) =
+        col(su).cast(DoubleType) / 1e6 / col(n).cast(DoubleType)
+      cells.select(
+        col("n_pre_c"), col("n_post_c"), col("n_pre_t"), col("n_post_t"),
+        round(m("su_pre_c", "n_pre_c"), 12).as("mean_pre_c"),
+        round(m("su_post_c", "n_post_c"), 12).as("mean_post_c"),
+        round(m("su_pre_t", "n_pre_t"), 12).as("mean_pre_t"),
+        round(m("su_post_t", "n_post_t"), 12).as("mean_post_t"),
+        round((m("su_post_t", "n_post_t") - m("su_pre_t", "n_pre_t"))
+          - (m("su_post_c", "n_post_c") - m("su_pre_c", "n_pre_c")), 12)
+          .as("did"))
+    },
+    Some("""WITH pe AS (SELECT user_id % 2 AS arm,
+          ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+          round(value * 1e6)::BIGINT AS u
+        FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT
+          sum(CASE WHEN arm = 0 AND NOT post THEN 1 ELSE 0 END)::BIGINT
+            AS n_pre_c,
+          sum(CASE WHEN arm = 0 AND post THEN 1 ELSE 0 END)::BIGINT
+            AS n_post_c,
+          sum(CASE WHEN arm = 1 AND NOT post THEN 1 ELSE 0 END)::BIGINT
+            AS n_pre_t,
+          sum(CASE WHEN arm = 1 AND post THEN 1 ELSE 0 END)::BIGINT
+            AS n_post_t,
+          sum(CASE WHEN arm = 0 AND NOT post THEN u ELSE 0 END)::BIGINT
+            AS su_pre_c,
+          sum(CASE WHEN arm = 0 AND post THEN u ELSE 0 END)::BIGINT
+            AS su_post_c,
+          sum(CASE WHEN arm = 1 AND NOT post THEN u ELSE 0 END)::BIGINT
+            AS su_pre_t,
+          sum(CASE WHEN arm = 1 AND post THEN u ELSE 0 END)::BIGINT
+            AS su_post_t
+        FROM pe)
+      SELECT n_pre_c, n_post_c, n_pre_t, n_post_t,
+        round(su_pre_c::DOUBLE / 1e6 / n_pre_c::DOUBLE, 12) AS mean_pre_c,
+        round(su_post_c::DOUBLE / 1e6 / n_post_c::DOUBLE, 12)
+          AS mean_post_c,
+        round(su_pre_t::DOUBLE / 1e6 / n_pre_t::DOUBLE, 12) AS mean_pre_t,
+        round(su_post_t::DOUBLE / 1e6 / n_post_t::DOUBLE, 12)
+          AS mean_post_t,
+        round((su_post_t::DOUBLE / 1e6 / n_post_t::DOUBLE
+            - su_pre_t::DOUBLE / 1e6 / n_pre_t::DOUBLE)
+          - (su_post_c::DOUBLE / 1e6 / n_post_c::DOUBLE
+            - su_pre_c::DOUBLE / 1e6 / n_pre_c::DOUBLE), 12) AS did
+      FROM c"""))
+
+  // ---------- q256: CUPED variance reduction ---------------------------
+
+  /** Experiment-analysis workhorse: adjust each arm's post-period
+    * purchase metric by the user's PRE-period spend (the covariate a
+    * controlled experiment gets for free), θ = pooled cov(pre, post) /
+    * var(pre). By linearity the adjusted arm mean needs only arm-level
+    * aggregates — mean_post − θ·(mean_pre_arm − mean_pre_pooled) — so
+    * the plan is one user-keyed aggregate (the only shuffle), a 2-row
+    * arm rollup carrying exact integer-micro sums and DECIMAL-lifted
+    * second moments (the q163 overflow discipline), and a 1-row pooled
+    * broadcast. Also reports the realized per-arm variance reduction
+    * 1 − var(post − θ·pre)/var(post), the number CUPED exists to
+    * deliver.
+    */
+  private val q256 = QueryDef(
+    "q256_cuped",
+    (s, dir) => {
+      val cut = "TIMESTAMP_NTZ '2024-01-16 00:00:00'"
+      val perUser = ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" && expr(s"ts < $cut"),
+            round(col("value") * 1e6).cast("long")).otherwise(0L))
+            .as("pre_u"),
+          sum(when(col("event_type") === "purchase" && expr(s"ts >= $cut"),
+            round(col("value") * 1e6).cast("long")).otherwise(0L))
+            .as("post_u"))
+        .select(pmod(col("user_id"), lit(2L)).as("arm"),
+          col("pre_u"), col("post_u"))
+      val arms = perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pre_u")).as("sp"), sum(col("post_u")).as("so"),
+          sum(col("pre_u").cast(DecimalType(38, 0)) * col("pre_u"))
+            .as("spp"),
+          sum(col("pre_u").cast(DecimalType(38, 0)) * col("post_u"))
+            .as("spo"),
+          sum(col("post_u").cast(DecimalType(38, 0)) * col("post_u"))
+            .as("soo"))
+      val pooled = arms.agg(
+        sum(col("n")).as("tn"), sum(col("sp")).as("tsp"),
+        sum(col("so")).as("tso"), sum(col("spp")).as("tspp"),
+        sum(col("spo")).as("tspo"))
+        .select(
+          round((col("tn").cast(DoubleType) * col("tspo").cast(DoubleType)
+            - col("tsp").cast(DoubleType) * col("tso").cast(DoubleType))
+            / (col("tn").cast(DoubleType) * col("tspp").cast(DoubleType)
+              - col("tsp").cast(DoubleType) * col("tsp").cast(DoubleType)),
+            12).as("theta"),
+          (col("tsp").cast(DoubleType) / 1e6 / col("tn").cast(DoubleType))
+            .as("gm_pre"))
+      val nD = col("n").cast(DoubleType)
+      val mPre = col("sp").cast(DoubleType) / 1e6 / nD
+      val mPost = col("so").cast(DoubleType) / 1e6 / nD
+      val varPost = (col("soo").cast(DoubleType) / 1e12
+        - (col("so").cast(DoubleType) / 1e6)
+          * (col("so").cast(DoubleType) / 1e6) / nD) / (nD - 1)
+      val varPre = (col("spp").cast(DoubleType) / 1e12
+        - (col("sp").cast(DoubleType) / 1e6)
+          * (col("sp").cast(DoubleType) / 1e6) / nD) / (nD - 1)
+      val covPP = (col("spo").cast(DoubleType) / 1e12
+        - (col("sp").cast(DoubleType) / 1e6)
+          * (col("so").cast(DoubleType) / 1e6) / nD) / (nD - 1)
+      val varAdj = (varPost - lit(2.0) * col("theta") * covPP
+        + col("theta") * col("theta") * varPre)
+      arms.crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n").as("n_users"),
+          round(mPost, 12).as("raw_mean"),
+          round(mPost - col("theta") * (mPre - col("gm_pre")), 12)
+            .as("adjusted_mean"),
+          col("theta"),
+          round(lit(1.0) - varAdj / varPost, 12).as("var_reduction"))
+        .orderBy("arm")
+    },
+    Some("""WITH pu AS (SELECT user_id,
+          sum(CASE WHEN event_type = 'purchase'
+              AND ts < TIMESTAMP '2024-01-16 00:00:00'
+            THEN round(value * 1e6)::BIGINT ELSE 0 END)::BIGINT AS pre_u,
+          sum(CASE WHEN event_type = 'purchase'
+              AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+            THEN round(value * 1e6)::BIGINT ELSE 0 END)::BIGINT AS post_u
+        FROM events GROUP BY 1),
+      arms AS (SELECT user_id % 2 AS arm, count(*)::BIGINT AS n,
+          sum(pre_u)::BIGINT AS sp, sum(post_u)::BIGINT AS so,
+          sum(pre_u::HUGEINT * pre_u) AS spp,
+          sum(pre_u::HUGEINT * post_u) AS spo,
+          sum(post_u::HUGEINT * post_u) AS soo
+        FROM pu GROUP BY 1),
+      pooled AS (SELECT
+          round((sum(n)::DOUBLE * sum(spo)::DOUBLE
+            - sum(sp)::DOUBLE * sum(so)::DOUBLE)
+            / (sum(n)::DOUBLE * sum(spp)::DOUBLE
+              - sum(sp)::DOUBLE * sum(sp)::DOUBLE), 12) AS theta,
+          sum(sp)::DOUBLE / 1e6 / sum(n)::DOUBLE AS gm_pre
+        FROM arms)
+      SELECT arm, n AS n_users,
+        round(so::DOUBLE / 1e6 / n::DOUBLE, 12) AS raw_mean,
+        round(so::DOUBLE / 1e6 / n::DOUBLE
+          - theta * (sp::DOUBLE / 1e6 / n::DOUBLE - gm_pre), 12)
+          AS adjusted_mean,
+        theta,
+        round(1.0 - ((soo::DOUBLE / 1e12
+            - (so::DOUBLE / 1e6) * (so::DOUBLE / 1e6) / n::DOUBLE)
+              / (n::DOUBLE - 1)
+          - 2.0 * theta * ((spo::DOUBLE / 1e12
+            - (sp::DOUBLE / 1e6) * (so::DOUBLE / 1e6) / n::DOUBLE)
+              / (n::DOUBLE - 1))
+          + theta * theta * ((spp::DOUBLE / 1e12
+            - (sp::DOUBLE / 1e6) * (sp::DOUBLE / 1e6) / n::DOUBLE)
+              / (n::DOUBLE - 1)))
+          / ((soo::DOUBLE / 1e12
+            - (so::DOUBLE / 1e6) * (so::DOUBLE / 1e6) / n::DOUBLE)
+              / (n::DOUBLE - 1)), 12) AS var_reduction
+      FROM arms, pooled ORDER BY arm"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
-      q191, q193, q205, q206, q222, q223, q227, q251)
+      q191, q193, q205, q206, q222, q223, q227, q251, q255, q256)
 }

@@ -1382,7 +1382,86 @@ object Quality {
         round(1000 * w::DOUBLE / t_w::DOUBLE)::BIGINT AS n_alloc
       FROM w, tot ORDER BY source"""))
 
+  // ---------- q257: Gopher-style filter battery -----------------------
+
+  /** The pretraining gatekeeper: the four-rule document filter battery
+    * in the Gopher/MassiveText style — minimum word count, mean word
+    * length band, stop-word presence, and duplicate-trigram fraction —
+    * reported as per-source pass counts so a curation run can see WHICH
+    * source fails WHICH rule before anything is dropped (the same
+    * reporting posture as q139's datasheet). Thresholds are scaled to
+    * the synthetic corpus (≥50 words, mean length 3–5, ≥2 distinct
+    * stop words, ≤1 % duplicate trigrams); every rule is evaluated in
+    * INTEGER arithmetic (cross-multiplied bounds, count×100 ≤ total)
+    * so pass/fail can never straddle an engine's last-ulp double.
+    * Shape: one projection pass over the scan + the dedup family's
+    * shared posting aggregate (Dedup.inverted, already cached by
+    * q43/q44), then a |sources|-row rollup — no new shuffle class.
+    */
+  private val q257 = QueryDef(
+    "q257_gopher_rules",
+    (s, dir) => {
+      val nd = Dedup.inverted(s, dir)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+      val flags = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_words"),
+          size(array_intersect(split(col("text"), " "),
+            array(lit("a"), lit("the"), lit("key"), lit("value"))))
+            .as("n_stop"),
+          length(col("text")).as("len_chars"))
+        .withColumn("chars", col("len_chars") - (col("n_words") - 1))
+        .join(nd, Seq("doc_id"))
+        .select(col("source"),
+          when(col("n_words").between(50, 100000), 1L).otherwise(0L)
+            .as("r_count"),
+          when(lit(3) * col("n_words") <= col("chars")
+            && col("chars") <= lit(5) * col("n_words"), 1L).otherwise(0L)
+            .as("r_len"),
+          when(col("n_stop") >= 2, 1L).otherwise(0L).as("r_stop"),
+          when((col("n_words") - 2 - col("n_distinct")) * 100
+            <= col("n_words") - 2, 1L).otherwise(0L).as("r_rep"))
+      flags.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r_count")).as("n_pass_count"),
+          sum(col("r_len")).as("n_pass_len"),
+          sum(col("r_stop")).as("n_pass_stop"),
+          sum(col("r_rep")).as("n_pass_rep"),
+          sum(col("r_count") * col("r_len") * col("r_stop") * col("r_rep"))
+            .as("n_pass_all"))
+        .withColumn("pass_rate",
+          round(col("n_pass_all").cast("double")
+            / col("n_docs").cast("double"), 12))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${Dedup.shingledDuckCte},
+      nd AS (SELECT doc_id, count(*) AS n_distinct FROM inv GROUP BY 1),
+      base AS (SELECT doc_id, source,
+          len(string_split(text, ' ')) AS n_words,
+          len(list_intersect(string_split(text, ' '),
+            ['a', 'the', 'key', 'value'])) AS n_stop,
+          len(text) - (len(string_split(text, ' ')) - 1) AS chars
+        FROM documents),
+      flags AS (SELECT source,
+          CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+            AS r_count,
+          CASE WHEN 3 * n_words <= chars AND chars <= 5 * n_words
+            THEN 1 ELSE 0 END AS r_len,
+          CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop,
+          CASE WHEN (n_words - 2 - n_distinct) * 100 <= n_words - 2
+            THEN 1 ELSE 0 END AS r_rep
+        FROM base JOIN nd USING (doc_id))
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(r_count)::BIGINT AS n_pass_count,
+        sum(r_len)::BIGINT AS n_pass_len,
+        sum(r_stop)::BIGINT AS n_pass_stop,
+        sum(r_rep)::BIGINT AS n_pass_rep,
+        sum(r_count * r_len * r_stop * r_rep)::BIGINT AS n_pass_all,
+        round(sum(r_count * r_len * r_stop * r_rep)::DOUBLE
+          / count(*)::DOUBLE, 12) AS pass_rate
+      FROM flags GROUP BY 1 ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
-      q149, q168, q170, q172, q173, q183, q216, q225, q249, q250)
+      q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257)
 }

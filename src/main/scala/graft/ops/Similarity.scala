@@ -1170,6 +1170,139 @@ object Similarity {
           / count(*)::DOUBLE AS ge90_share
       FROM pref GROUP BY 1 ORDER BY dim_prefix"""))
 
+  // ---------- q258: SemDeDup (semantic dedup inside quantizer cells) --
+
+  /** SemDeDup (Abbas et al. 2023, public): cluster the embedding
+    * space, then call two documents semantic duplicates only when they
+    * land in the SAME cell and their cosine clears the near-dup
+    * threshold (the 0.3 house convention, q21) — the cell structure
+    * turns a corpus² search into Σ(cell²). Routing reuses the q34
+    * codebook (broadcast cross-join + per-vector argmax over a
+    * |cells|-row window); the in-cell pass is an equi-join on cell id.
+    * At 100 TB the codebook is trained with k ∝ N/target_cell_size so
+    * cell populations stay bounded and the quadratic in-cell term is a
+    * design CONSTANT per cell — exactly the published recipe; the keep
+    * rule (drop the higher vec_id of any qualifying pair) matches the
+    * q18/q21 family. Output: per-cell audit (assigned / dropped /
+    * kept), |cells| rows.
+    */
+  private val q258 = QueryDef(
+    "q258_semdedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val assign = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(codebook(s, dir)))
+        .select(col("vec_id"), col("embedding"), col("label"),
+          expr(Dedup.cosFoldSpark("embedding", "cvec")).as("ccos"))
+        .withColumn("rn", row_number().over(wCell))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("label").as("cell"))
+      val a = assign.select(col("cell"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"))
+      val b = assign.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"))
+      val dropped = a.join(b, Seq("cell"))
+        .where(col("id_a") < col("id_b")
+          && expr("graft_cosine(ea, eb)") >= 0.3)
+        .groupBy(col("cell"))
+        .agg(countDistinct(col("id_b")).as("n_dropped"))
+      assign.groupBy(col("cell")).agg(count(lit(1)).as("n_assigned"))
+        .join(dropped, Seq("cell"), "left_outer")
+        .select(col("cell").cast("long").as("cell"), col("n_assigned"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_assigned") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_kept"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH $centDuckCte,
+      cvec AS (SELECT label, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label),
+      cellscore AS (SELECT vec_id, embedding, cvec.label AS clabel,
+          ${Dedup.cosDuck("embedding", "cvec")} AS ccos
+        FROM embeddings CROSS JOIN cvec),
+      assign AS (SELECT vec_id, embedding, cell FROM (
+          SELECT vec_id, embedding, clabel AS cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rn
+          FROM cellscore) WHERE rn = 1),
+      dropped AS (SELECT a.cell, count(DISTINCT b.vec_id) AS n_dropped
+        FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${Dedup.cosDuck("a.embedding", "b.embedding")} >= 0.3
+        GROUP BY 1),
+      sizes AS (SELECT cell, count(*)::BIGINT AS n_assigned
+        FROM assign GROUP BY 1)
+      SELECT s.cell::BIGINT AS cell, n_assigned,
+        coalesce(n_dropped, 0)::BIGINT AS n_dropped,
+        (n_assigned - coalesce(n_dropped, 0))::BIGINT AS n_kept
+      FROM sizes s LEFT JOIN dropped d ON s.cell = d.cell
+      ORDER BY cell"""))
+
+  // ---------- q259: cross-lingual bitext candidate mining -------------
+
+  /** Parallel-corpus mining: surface candidate translation pairs as
+    * documents in DIFFERENT languages whose embeddings are near-dups —
+    * the LASER/CCMatrix recipe reduced to its Spark plan. Candidate
+    * generation is the q23 banded-LSH self-join (shuffle carries only
+    * (table, bucket) keys and ids, never the corpus²); the exact
+    * cosine re-check runs codegen'd (`graft_cosine`) on the candidate
+    * set only, and the language inequality halves the pair space
+    * before scoring. Output: scored candidate pairs above the 0.3
+    * house threshold, the table a translation-alignment stage
+    * consumes.
+    */
+  private val q259 = QueryDef(
+    "q259_bitext_mining",
+    (s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .join(Fixtures.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+      val keys = e.select(col("doc_id"), col("lang"), col("embedding"),
+        posexplode(expr(
+          s"graft_lsh_buckets(embedding, $planesSpark, $PlanesPerTable)"))
+          .as(Seq("tbl", "bucket")))
+      val ka = keys.select(col("tbl"), col("bucket"),
+        col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+        col("embedding").as("ea"))
+      val kb = keys.select(col("tbl"), col("bucket"),
+        col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("embedding").as("eb"))
+      ka.join(kb, Seq("tbl", "bucket"))
+        .where(col("doc_a") < col("doc_b")
+          && col("lang_a") =!= col("lang_b"))
+        .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+          col("ea"), col("eb"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+          expr("graft_cosine(ea, eb)").as("cosine"))
+        .where(col("cosine") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some {
+      val bucketSelects = (0 until Tables).map { t =>
+        s"SELECT doc_id, lang, embedding, $t AS tbl, " +
+          s"${bucketExpr(t, i => s"dots[$i]")} AS bucket FROM dotted"
+      }.mkString(" UNION ALL ")
+      s"""WITH joined AS (SELECT d.doc_id, d.lang, e.embedding
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+      dotted AS (SELECT doc_id, lang, embedding, $dotsDuck AS dots
+        FROM joined),
+      keys AS ($bucketSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.lang AS lang_a, b.lang AS lang_b,
+          a.embedding AS ea, b.embedding AS eb
+        FROM keys a JOIN keys b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id AND a.lang <> b.lang)
+      SELECT doc_a, doc_b, lang_a, lang_b,
+        ${Dedup.cosDuck("ea", "eb")} AS cosine
+      FROM cand
+      WHERE ${Dedup.cosDuck("ea", "eb")} >= 0.3
+      ORDER BY doc_a, doc_b"""
+    })
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
-    q112, q123, q127, q130, q134, q167, q185, q202, q220, q247)
+    q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259)
 }
