@@ -340,4 +340,58 @@ object DocStream {
         }
       }
   }
+
+  final case class DocGopher(doc_id: Long, source: String, n_words: Long,
+      r_count: Long, r_len: Long, r_stop: Long, r_rep: Long, pass_all: Long)
+
+  /** Streaming twin of q257's Gopher-style filter battery — the
+    * judge-at-ingest shape: all four rules are pure per-document
+    * functions (word count band, mean-word-length band via
+    * cross-multiplied integer bounds, distinct-stop-word presence,
+    * duplicate-trigram fraction over the SAME hashed-shingle contract
+    * as the batch posting table: (h32·C1 + h32·C2 + h32) mod P,
+    * distinct), so the stream needs no state, no shuffle, and no
+    * watermark, and a replayed document gets the identical verdict.
+    * Docs too short to shingle pass the repetition rule (no evidence
+    * of repetition), mirroring the batch inner join that only ever
+    * sees ≥3-token docs. split(" ", -1) keeps trailing empty tokens —
+    * the batch `size(split(text, ' '))` counts them.
+    */
+  def gopherFlags(docsStream: DataFrame): Dataset[DocGopher] = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    val stops = Set("a", "the", "key", "value")
+    docsStream
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h32(t: String): Long = {
+          md.reset()
+          val d = md.digest(t.getBytes("UTF-8"))
+          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        }
+        rows.map { case (id, src, text) =>
+          val toks = text.split(" ", -1)
+          val n = toks.length.toLong
+          val chars = text.length.toLong - (n - 1)
+          val rCount = if (n >= 50 && n <= 100000) 1L else 0L
+          val rLen = if (3 * n <= chars && chars <= 5 * n) 1L else 0L
+          val rStop =
+            if (toks.iterator.filter(stops).toSet.size >= 2) 1L else 0L
+          val rRep = if (n < 3) 1L else {
+            val hts = toks.map(h32)
+            val nd = (0 until hts.length - 2).iterator
+              .map(i => (hts(i) * Dedup.C1 + hts(i + 1) * Dedup.C2 +
+                hts(i + 2)) % Dedup.P)
+              .toSet.size.toLong
+            val total = n - 2
+            if ((total - nd) * 100 <= total) 1L else 0L
+          }
+          DocGopher(id, src, n, rCount, rLen, rStop, rRep,
+            rCount * rLen * rStop * rRep)
+        }
+      }
+  }
 }

@@ -379,6 +379,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming Gopher battery == batch q257 per-source pass counts " +
+    "(AvailableNow)") {
+    import graft.streaming.DocStream
+    val q = DocStream.gopherFlags(DocStream.readDocuments(spark, sf))
+      .writeStream.format("memory").queryName("gopher")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("gopher")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_count")).as("n_pass_count"),
+        sum(col("r_len")).as("n_pass_len"),
+        sum(col("r_stop")).as("n_pass_stop"),
+        sum(col("r_rep")).as("n_pass_rep"),
+        sum(col("pass_all")).as("n_pass_all"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val want = SparkEntry.queries("q257_gopher_rules")(spark, sf)
+      .select("source", "n_docs", "n_pass_count", "n_pass_len",
+        "n_pass_stop", "n_pass_rep", "n_pass_all")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("stream tokenization matches Spark SQL split on trailing and " +
     "consecutive spaces") {
     import graft.streaming.DocStream
