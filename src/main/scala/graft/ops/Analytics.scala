@@ -3595,11 +3595,156 @@ object Analytics {
                 * (n_a + n_b - 1)::DOUBLE))), 12) AS z
       FROM m ORDER BY p_brand"""))
 
+  // ---------- q261: k-core peel (one iteration) ------------------------
+
+  /** Graph pruning for the co-purchase graph: one peeling iteration of
+    * k-core decomposition (k = 3) — drop every part whose co-purchase
+    * degree is below k, keep only edges whose BOTH endpoints survive,
+    * and report the post-peel degree histogram (survivors stranded at
+    * degree 0 included, which a naive edges-only recount would lose).
+    * The full decomposition iterates this to a fixed point; each
+    * iteration is what ships here — two degree aggregates and two
+    * node-keyed semi-joins over the shared co-purchase pair cache, all
+    * linear in |edges|, with the 1-row peel summary broadcast onto the
+    * histogram (a |degrees|-row table) rather than recomputed.
+    */
+  private val q261 = QueryDef(
+    "q261_kcore_peel",
+    (s, dir) => {
+      val KCore = 3
+      val edges = copurchasePairs(s, dir)
+        .select(col("part_a"), col("part_b"))
+      val deg0 = edges.select(col("part_a").as("node")).union(
+          edges.select(col("part_b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val survivors = deg0.where(col("deg") >= KCore).select(col("node"))
+      val edges1 = edges
+        .join(survivors.select(col("node").as("part_a")), Seq("part_a"),
+          "left_semi")
+        .join(survivors.select(col("node").as("part_b")), Seq("part_b"),
+          "left_semi")
+      val deg1 = edges1.select(col("part_a").as("node")).union(
+          edges1.select(col("part_b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val hist = survivors.join(deg1, Seq("node"), "left_outer")
+        .select(coalesce(col("deg"), lit(0L)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      val summary = deg0.agg(count(lit(1)).as("n_initial"),
+        sum(when(col("deg") < KCore, 1L).otherwise(0L)).as("n_peeled"))
+      hist.crossJoin(broadcast(summary))
+        .select(col("degree"), col("n_nodes"), col("n_initial"),
+          col("n_peeled"))
+        .orderBy("degree")
+    },
+    Some("""WITH baskets AS (SELECT l_orderkey,
+          list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY 1),
+      pairs AS (SELECT DISTINCT part_a, part_b FROM (
+        SELECT l_orderkey, a.part_a, b.part_b FROM (
+          SELECT l_orderkey, unnest(parts) AS part_a FROM baskets) a
+        JOIN (SELECT l_orderkey, unnest(parts) AS part_b FROM baskets) b
+        USING (l_orderkey) WHERE a.part_a < b.part_b)),
+      deg0 AS (SELECT node, count(*)::BIGINT AS deg FROM (
+          SELECT part_a AS node FROM pairs
+          UNION ALL SELECT part_b FROM pairs) GROUP BY 1),
+      survivors AS (SELECT node FROM deg0 WHERE deg >= 3),
+      edges1 AS (SELECT part_a, part_b FROM pairs
+        WHERE part_a IN (SELECT node FROM survivors)
+          AND part_b IN (SELECT node FROM survivors)),
+      deg1 AS (SELECT node, count(*)::BIGINT AS deg FROM (
+          SELECT part_a AS node FROM edges1
+          UNION ALL SELECT part_b FROM edges1) GROUP BY 1),
+      hist AS (SELECT coalesce(deg, 0) AS degree,
+          count(*)::BIGINT AS n_nodes
+        FROM survivors s LEFT JOIN deg1 d ON s.node = d.node GROUP BY 1),
+      summary AS (SELECT count(*)::BIGINT AS n_initial,
+          sum(CASE WHEN deg < 3 THEN 1 ELSE 0 END)::BIGINT AS n_peeled
+        FROM deg0)
+      SELECT degree, n_nodes, n_initial, n_peeled
+      FROM hist, summary ORDER BY degree"""))
+
+  // ---------- q263: Simpson's-paradox audit ----------------------------
+
+  /** Aggregation-reversal detector: the OLS slope of extended price on
+    * quantity, pooled across the whole fact table, versus the same
+    * slope within each brand — Simpson's paradox is a within-group
+    * sign that contradicts the pooled sign, and any metrics layer
+    * serving both drill-down and rollup views needs to KNOW when its
+    * data does this. The slope's sign is decided entirely by the
+    * numerator n·Σxy − Σx·Σy (the denominator is a positive variance),
+    * and with DECIMAL-lifted sums that numerator is EXACT — so the
+    * reversal verdict is integer-arithmetic-certain, never a last-ulp
+    * coin flip; only the reported pooled slope itself is a (rounded)
+    * double. One fact scan into a 25-group aggregate, pooled moments
+    * re-aggregated from the group rows, one output row.
+    */
+  private val q263 = QueryDef(
+    "q263_simpson_audit",
+    (s, dir) => {
+      val byBrand = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("x"),
+          col("l_extendedprice").cast(DecimalType(18, 4)).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("y") * col("x")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val num = (col("n").cast(DecimalType(38, 4)) * col("sxy")
+        - col("sx").cast(DecimalType(38, 4)) * col("sy"))
+      val flags = byBrand.select(
+        when(num > 0, 1L).otherwise(0L).as("pos"),
+        when(num < 0, 1L).otherwise(0L).as("neg"),
+        col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"))
+      flags.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+        sum(col("sy")).as("tsy"), sum(col("sxy")).as("tsxy"),
+        sum(col("sxx")).as("tsxx"))
+        .select(col("n_groups"), col("n_pos"), col("n_neg"),
+          round((col("tn").cast("double") * col("tsxy").cast("double")
+            - col("tsx").cast("double") * col("tsy").cast("double"))
+            / (col("tn").cast("double") * col("tsxx").cast("double")
+              - col("tsx").cast("double") * col("tsx").cast("double")), 12)
+            .as("pooled_slope"),
+          when((col("tn").cast(DecimalType(38, 4)) * col("tsxy")
+            - col("tsx").cast(DecimalType(38, 4)) * col("tsy")) > 0,
+            col("n_neg")).otherwise(col("n_pos")).as("n_reversed"))
+    },
+    Some("""WITH b AS (SELECT p_brand, count(*)::BIGINT AS n,
+          sum(l_quantity::BIGINT)::BIGINT AS sx,
+          sum(cast(l_extendedprice AS DECIMAL(18,4))) AS sy,
+          sum(cast(l_extendedprice AS DECIMAL(18,4)) * l_quantity::BIGINT)
+            AS sxy,
+          sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS sxx
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      f AS (SELECT
+          CASE WHEN n * sxy - sx * sy > 0 THEN 1 ELSE 0 END AS pos,
+          CASE WHEN n * sxy - sx * sy < 0 THEN 1 ELSE 0 END AS neg,
+          n, sx, sy, sxy, sxx FROM b),
+      m AS (SELECT count(*)::BIGINT AS n_groups,
+          sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+          sum(n)::BIGINT AS tn, sum(sx)::BIGINT AS tsx,
+          sum(sy) AS tsy, sum(sxy) AS tsxy, sum(sxx)::BIGINT AS tsxx
+        FROM f)
+      SELECT n_groups, n_pos, n_neg,
+        round((tn::DOUBLE * tsxy::DOUBLE - tsx::DOUBLE * tsy::DOUBLE)
+          / (tn::DOUBLE * tsxx::DOUBLE - tsx::DOUBLE * tsx::DOUBLE), 12)
+          AS pooled_slope,
+        CASE WHEN tn * tsxy - tsx * tsy > 0 THEN n_neg ELSE n_pos END
+          AS n_reversed
+      FROM m"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
       q174, q175, q176, q181, q182, q186, q188, q189, q192, q196, q197,
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
-      q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254)
+      q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
+      q261, q263)
 }

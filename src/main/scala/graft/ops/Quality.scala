@@ -1461,7 +1461,82 @@ object Quality {
           / count(*)::DOUBLE, 12) AS pass_rate
       FROM flags GROUP BY 1 ORDER BY source"""))
 
+  // ---------- q262: logistic-probe gradient (one exact batch step) ----
+
+  /** Distributed ML training step, reduced to its exact core: the
+    * first full-batch gradient of a logistic-regression probe
+    * predicting `lang = 'en'` from three cheap per-doc features
+    * (word count, stop-word tokens, characters) plus a bias. At
+    * w = 0 the sigmoid is exactly ½, so the gradient Σ xⱼ·(σ−y)
+    * doubles to Σ xⱼ·(1−2y) — PURE INTEGER arithmetic, summed with a
+    * DECIMAL(38,0) lift (feature·count products pass int64 at
+    * warehouse scale), which makes a distributed first training step
+    * bit-reproducible across engines and run orders — the property
+    * every data-parallel trainer wants and float gradient reduction
+    * denies. Shape: one corpus-pass conditional aggregate (map-side
+    * combined) → a 4-row (feature, mean-gradient, next-weight) table.
+    */
+  private val q262 = QueryDef(
+    "q262_logreg_gradient",
+    (s, dir) => {
+      val feats = docs(s, dir).select(
+        size(split(col("text"), " ")).cast("long").as("x_words"),
+        size(filter(split(col("text"), " "),
+          t => t === "a" || t === "the" || t === "key" || t === "value"))
+          .cast("long").as("x_stop"),
+        length(col("text")).cast("long").as("x_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .withColumn("s", lit(1L) - lit(2L) * col("y"))
+      val m = feats.agg(count(lit(1)).as("n"),
+        sum(col("s").cast("decimal(38,0)")).as("g_bias2"),
+        sum((col("x_words") * col("s")).cast("decimal(38,0)"))
+          .as("g_words2"),
+        sum((col("x_stop") * col("s")).cast("decimal(38,0)"))
+          .as("g_stop2"),
+        sum((col("x_chars") * col("s")).cast("decimal(38,0)"))
+          .as("g_chars2"))
+      def row(name: String, g2: String) =
+        m.select(lit(name).as("feature"),
+          round(col(g2).cast("double") / 2.0 / col("n").cast("double"), 12)
+            .as("grad_mean"),
+          round(col(g2).cast("double") / -20.0 / col("n").cast("double"),
+            12).as("w_next"))
+      row("bias", "g_bias2")
+        .union(row("chars", "g_chars2"))
+        .union(row("stop", "g_stop2"))
+        .union(row("words", "g_words2"))
+        .orderBy("feature")
+    },
+    Some("""WITH f AS (SELECT
+          len(string_split(text, ' '))::BIGINT AS x_words,
+          len(list_filter(string_split(text, ' '),
+            t -> t IN ('a', 'the', 'key', 'value')))::BIGINT AS x_stop,
+          len(text)::BIGINT AS x_chars,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y
+        FROM documents),
+      g AS (SELECT count(*)::BIGINT AS n,
+          sum(1 - 2 * y) AS g_bias2,
+          sum(x_words * (1 - 2 * y)) AS g_words2,
+          sum(x_stop * (1 - 2 * y)) AS g_stop2,
+          sum(x_chars * (1 - 2 * y)) AS g_chars2
+        FROM f)
+      SELECT feature, grad_mean, w_next FROM (
+        SELECT 'bias' AS feature,
+          round(g_bias2::DOUBLE / 2.0 / n::DOUBLE, 12) AS grad_mean,
+          round(g_bias2::DOUBLE / -20.0 / n::DOUBLE, 12) AS w_next FROM g
+        UNION ALL SELECT 'chars',
+          round(g_chars2::DOUBLE / 2.0 / n::DOUBLE, 12),
+          round(g_chars2::DOUBLE / -20.0 / n::DOUBLE, 12) FROM g
+        UNION ALL SELECT 'stop',
+          round(g_stop2::DOUBLE / 2.0 / n::DOUBLE, 12),
+          round(g_stop2::DOUBLE / -20.0 / n::DOUBLE, 12) FROM g
+        UNION ALL SELECT 'words',
+          round(g_words2::DOUBLE / 2.0 / n::DOUBLE, 12),
+          round(g_words2::DOUBLE / -20.0 / n::DOUBLE, 12) FROM g)
+      ORDER BY feature"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
-      q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257)
+      q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
+      q262)
 }

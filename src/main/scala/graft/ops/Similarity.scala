@@ -1303,6 +1303,93 @@ object Similarity {
       ORDER BY doc_a, doc_b"""
     })
 
+  // ---------- q260: product-quantization reconstruction audit ---------
+
+  /** Product quantization (Jégou et al. 2011, public): split the
+    * 64-dim space into 8 contiguous 8-dim subspaces, quantize each
+    * subvector to its nearest sub-codeword, and audit what the
+    * compression costs — per-subspace MSE and codebook utilization
+    * (inverse-Simpson effective codes, the q110 integer-exact form —
+    * NOT an entropy sum, whose float accumulation order would diverge
+    * across engines). Sub-codewords are slices of the q33 centroid
+    * codebook, so the codebook stays a broadcast table; the quantize
+    * step is the q34 routing idiom per (vector × subspace) with
+    * |codes|-row argmin windows; per-row reconstruction error rounds
+    * to integer nanos BEFORE summation (exact, order-independent) and
+    * the nano sums lift to DECIMAL(38,0) — at warehouse scale Σd²·1e9
+    * exceeds int64. Output: 8 audit rows no matter the corpus size.
+    */
+  private val q260 = QueryDef(
+    "q260_pq_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val subcode = persistedCentroids(s, dir)
+        .groupBy(col("label"), expr("pos div 8").cast("int").as("m"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, centroid))), " +
+          "s -> s.centroid)").as("scvec"))
+      val subs = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          explode(expr("sequence(0, 7)")).as("m"))
+        .select(col("vec_id"), col("m"),
+          expr("slice(embedding, m * 8 + 1, 8)").as("sv"))
+      val d2 = "aggregate(zip_with(sv, scvec, " +
+        "(x, y) -> (cast(x AS DOUBLE) - y) * (cast(x AS DOUBLE) - y)), " +
+        "cast(0 AS DOUBLE), (acc, v) -> acc + v)"
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2").asc, col("label"))
+      val assign = subs.join(broadcast(subcode), Seq("m"))
+        .select(col("vec_id"), col("m"), col("label"),
+          expr(d2).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("label").as("code"),
+          round(col("d2") * 1e9).cast("long").as("d2_nano"))
+      assign.groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("d2_nano").cast("decimal(38,0)")).as("sd"))
+        .groupBy(col("m"))
+        .agg(sum(col("cnt")).as("n_vecs"), count(lit(1)).as("codes_used"),
+          sum(col("cnt") * col("cnt")).as("s2"), sum(col("sd")).as("sd"))
+        .select(col("m").cast("long").as("subspace"), col("n_vecs"),
+          col("codes_used"),
+          // int64 is safe to ~3e9 vectors per code (q110's documented
+          // widen-to-DECIMAL point)
+          round((col("n_vecs") * col("n_vecs")).cast("double")
+            / col("s2").cast("double"), 12).as("effective_codes"),
+          round(col("sd").cast("double") / 1e9
+            / col("n_vecs").cast("double"), 12).as("mse"))
+        .orderBy("subspace")
+    },
+    Some(s"""WITH $centDuckCte,
+      subcode AS (SELECT label, (pos // 8) AS m,
+          list(centroid ORDER BY pos) AS scvec
+        FROM cent GROUP BY 1, 2),
+      subs AS (SELECT vec_id, m,
+          embedding[m * 8 + 1 : m * 8 + 8] AS sv
+        FROM embeddings CROSS JOIN range(0, 8) t(m)),
+      scored AS (SELECT vec_id, s.m AS m, label,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, 9),
+              i -> (sv[i]::DOUBLE - scvec[i]) * (sv[i]::DOUBLE - scvec[i]))),
+            (acc, v) -> acc + v) AS d2
+        FROM subs s JOIN subcode c ON s.m = c.m),
+      assign AS (SELECT vec_id, m, code, d2_nano FROM (
+          SELECT vec_id, m, label AS code,
+            round(d2 * 1e9)::BIGINT AS d2_nano,
+            row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d2, label) AS rn
+          FROM scored) WHERE rn = 1),
+      bycode AS (SELECT m, code, count(*)::BIGINT AS cnt,
+          sum(d2_nano) AS sd
+        FROM assign GROUP BY 1, 2)
+      SELECT m::BIGINT AS subspace, sum(cnt)::BIGINT AS n_vecs,
+        count(*)::BIGINT AS codes_used,
+        round((sum(cnt) * sum(cnt))::DOUBLE / sum(cnt * cnt)::DOUBLE, 12)
+          AS effective_codes,
+        round(sum(sd)::DOUBLE / 1e9 / sum(cnt)::DOUBLE, 12) AS mse
+      FROM bycode GROUP BY 1 ORDER BY subspace"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
-    q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259)
+    q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259,
+    q260)
 }
