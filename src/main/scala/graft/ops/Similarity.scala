@@ -1389,7 +1389,86 @@ object Similarity {
         round(sum(sd)::DOUBLE / 1e9 / sum(cnt)::DOUBLE, 12) AS mse
       FROM bycode GROUP BY 1 ORDER BY subspace"""))
 
+  // ---------- q265: cross-dimension correlation (whitening audit) ----
+
+  /** Decorrelation audit for the embedding space — the input a
+    * whitening/ZCA step needs and the diagnosis beside q202's
+    * participation ratio and q220's anisotropy: the strongest
+    * off-diagonal Pearson correlations between embedding dimensions.
+    * The covariance needs Σxᵢxⱼ for all i<j — an unavoidable but
+    * CONSTANT ×C(64,2)=2016 per-row fan-out, fully map-side
+    * combinable, so the shuffle carries at most 2016 cells regardless
+    * of corpus size. float×float products are exact in double (24-bit
+    * mantissas), each per-row term is pinned to integer nanos before
+    * summation (order-independent exact sums, the q112 rule) with a
+    * DECIMAL(38,0) lift, and the 2016-row correlation table reduces to
+    * a deterministic top-10 by |r|. Dimensions are reported 1-based.
+    */
+  private val q265 = QueryDef(
+    "q265_whitening_audit",
+    (s, dir) => {
+      val dims = emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("p", "x")))
+        .select((col("p") + 1).as("i"),
+          expr("cast(round(cast(x AS DOUBLE) * 1e9) AS BIGINT)").as("xn"),
+          expr("cast(round(cast(x AS DOUBLE) * cast(x AS DOUBLE) * 1e9) " +
+            "AS BIGINT)").as("x2n"))
+      val mom = dims.groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("xn")).as("sx"),
+          sum(col("x2n").cast("decimal(38,0)")).as("sxx"))
+      val pairs = emb(s, dir)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, 63), i ->
+               transform(sequence(i + 1, 64), j -> struct(i AS i, j AS j,
+                 cast(round(cast(element_at(embedding, i) AS DOUBLE)
+                   * cast(element_at(embedding, j) AS DOUBLE) * 1e9)
+                   AS BIGINT) AS pn))))""")).as("t"))
+        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.pn").as("pn"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("pn").cast("decimal(38,0)")).as("sxy"))
+      val mi = mom.select(col("i"), col("n"), col("sx").as("sx_i"),
+        col("sxx").as("sxx_i"))
+      val mj = mom.select(col("i").as("j"), col("sx").as("sx_j"),
+        col("sxx").as("sxx_j"))
+      val nD = col("n").cast("double")
+      def d(c: String) = col(c).cast("double") / 1e9
+      val num = nD * d("sxy") - d("sx_i") * d("sx_j")
+      val den = sqrt((nD * d("sxx_i") - d("sx_i") * d("sx_i"))
+        * (nD * d("sxx_j") - d("sx_j") * d("sx_j")))
+      pairs.join(broadcast(mi), Seq("i")).join(broadcast(mj), Seq("j"))
+        .select(col("i").cast("long").as("dim_i"),
+          col("j").cast("long").as("dim_j"),
+          round(num / den, 12).as("corr"))
+        .orderBy(abs(col("corr")).desc, col("dim_i"), col("dim_j"))
+        .limit(10)
+        .orderBy(abs(col("corr")).desc, col("dim_i"), col("dim_j"))
+    },
+    Some("""WITH dims AS (SELECT i,
+          round(embedding[i]::DOUBLE * 1e9)::BIGINT AS xn,
+          round(embedding[i]::DOUBLE * embedding[i]::DOUBLE
+            * 1e9)::BIGINT AS x2n
+        FROM embeddings, range(1, 65) t(i)),
+      mom AS (SELECT i, count(*)::BIGINT AS n, sum(xn)::BIGINT AS sx,
+          sum(x2n) AS sxx
+        FROM dims GROUP BY 1),
+      pairs AS (SELECT a.i AS i, b.i AS j,
+          sum(round(embedding[a.i]::DOUBLE * embedding[b.i]::DOUBLE
+            * 1e9)::BIGINT) AS sxy
+        FROM embeddings, range(1, 65) a(i), range(1, 65) b(i)
+        WHERE a.i < b.i GROUP BY 1, 2),
+      corr AS (SELECT p.i AS dim_i, p.j AS dim_j,
+          round((mi.n::DOUBLE * (p.sxy::DOUBLE / 1e9)
+              - (mi.sx::DOUBLE / 1e9) * (mj.sx::DOUBLE / 1e9))
+            / sqrt((mi.n::DOUBLE * (mi.sxx::DOUBLE / 1e9)
+                - (mi.sx::DOUBLE / 1e9) * (mi.sx::DOUBLE / 1e9))
+              * (mi.n::DOUBLE * (mj.sxx::DOUBLE / 1e9)
+                - (mj.sx::DOUBLE / 1e9) * (mj.sx::DOUBLE / 1e9))),
+            12) AS corr
+        FROM pairs p JOIN mom mi ON mi.i = p.i JOIN mom mj ON mj.i = p.j)
+      SELECT dim_i::BIGINT AS dim_i, dim_j::BIGINT AS dim_j, corr
+      FROM corr ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT 10"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
     q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259,
-    q260)
+    q260, q265)
 }

@@ -839,7 +839,69 @@ object Sketch {
         (est_active + est_customers) - est_union AS est_common
       FROM xa, xb, xc, ea, eb, eu"""))
 
+  // ---------- q264: CMS error audit -----------------------------------
+
+  /** Accuracy audit for q63's Count-Min sketch — the sketch-audit
+    * family beside q127 (ANN recall), q246 (LSH precision/recall) and
+    * q66's explicit false-positive count: for the top-20 tokens by CMS
+    * estimate, report the EXACT count next to the estimate, the
+    * overestimate (≥ 0 always — the one-sided CMS guarantee, which
+    * this audit would expose as violated if the hashing ever broke)
+    * and the relative error a capacity planner budgets for. Same
+    * bounded 4×1024 sketch build (map-side combined cell counts); the
+    * exact side is one token-keyed aggregate the probe join reuses —
+    * nothing here is new shuffle shape, the VALUE is putting the
+    * sketch's promised error bound next to a measured number.
+    */
+  private val q264 = QueryDef(
+    "q264_cms_error_audit",
+    (s, dir) => {
+      val toks = Fixtures.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      def rows(df: DataFrame): DataFrame = df.select(col("tok"),
+        posexplode(array((0 until CmsDepth).map(r =>
+          expr(s"${h32Spark(s"concat('cms$r|', tok)")} % $CmsWidth")): _*))
+          .as(Seq("r", "bucket")))
+      val sketch = rows(toks)
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      rows(exact.select(col("tok")))
+        .join(sketch, Seq("r", "bucket"))
+        .groupBy(col("tok")).agg(min(col("c")).as("est"))
+        .join(exact, Seq("tok"))
+        .orderBy(col("est").desc, col("tok")).limit(20)
+        .select(col("tok"), col("n_exact"), col("est"),
+          (col("est") - col("n_exact")).as("overestimate"),
+          round((col("est") - col("n_exact")).cast("double")
+            / col("n_exact").cast("double"), 12).as("rel_err"))
+        .orderBy(col("est").desc, col("tok"))
+    },
+    Some {
+      val bucket = (side: String) => (0 until CmsDepth).map(r =>
+        s"SELECT tok, $r AS r, " +
+          s"${h32Duck(s"'cms$r|' || tok")} % $CmsWidth AS bucket " +
+          s"FROM $side").mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        occ AS (SELECT tok FROM toks WHERE len(tok) > 0),
+        exact AS (SELECT tok, count(*)::BIGINT AS n_exact FROM occ
+          GROUP BY 1),
+        srows AS (${bucket("occ")}),
+        sketch AS (SELECT r, bucket, count(*)::BIGINT AS c
+          FROM srows GROUP BY 1, 2),
+        crows AS (${bucket("(SELECT tok FROM exact)")}),
+        est AS (SELECT cr.tok, min(sk.c)::BIGINT AS est
+          FROM crows cr JOIN sketch sk USING (r, bucket) GROUP BY cr.tok),
+        top AS (SELECT e.tok, n_exact, est FROM est e
+          JOIN exact x ON e.tok = x.tok
+          ORDER BY est DESC, e.tok LIMIT 20)
+        SELECT tok, n_exact, est, (est - n_exact)::BIGINT AS overestimate,
+          round((est - n_exact)::DOUBLE / n_exact::DOUBLE, 12) AS rel_err
+        FROM top ORDER BY est DESC, tok"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
-      q180, q195, q200)
+      q180, q195, q200, q264)
 }

@@ -456,4 +456,23 @@ object EventStream {
           }
       }
   }
+
+  /** Streaming twin of q255's DiD cell table — the live experiment
+    * dashboard: purchase counts and exact integer-micro value sums per
+    * (arm × period) cell, maintained as a four-row complete-mode
+    * aggregate (state is the four cells, bounded forever — no
+    * watermark needed because the groupBy domain is finite). The DiD
+    * estimate itself is a four-number formula the dashboard computes
+    * from this table; keeping the stream at the CELL level means a
+    * replayed batch can only converge the cells toward the q255
+    * values, never double-count a mean.
+    */
+  def didCells(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type") === "purchase")
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        expr("ts >= TIMESTAMP_NTZ '2024-01-16 00:00:00'").as("post"),
+        expr("cast(round(value * 1e6) AS BIGINT)").as("u"))
+      .groupBy(col("arm"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("su"))
 }

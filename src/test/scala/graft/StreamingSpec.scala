@@ -379,6 +379,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming DiD cells reproduce batch q255 means (AvailableNow, " +
+    "complete mode)") {
+    val q = EventStream.didCells(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("didcells")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val cells = spark.table("didcells").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(cells.size === 4)
+    val b = SparkEntry.queries("q255_diff_in_diff")(spark, sf).collect().head
+    def mean(arm: Long, post: Boolean): Double = {
+      val (n, su) = cells((arm, post))
+      su.toDouble / 1e6 / n.toDouble
+    }
+    assert(cells((0L, false))._1 === b.getLong(0))  // n_pre_c
+    assert(cells((0L, true))._1 === b.getLong(1))   // n_post_c
+    assert(cells((1L, false))._1 === b.getLong(2))  // n_pre_t
+    assert(cells((1L, true))._1 === b.getLong(3))   // n_post_t
+    assert(math.abs(mean(0, false) - b.getDouble(4)) < 1e-9)
+    assert(math.abs(mean(0, true) - b.getDouble(5)) < 1e-9)
+    assert(math.abs(mean(1, false) - b.getDouble(6)) < 1e-9)
+    assert(math.abs(mean(1, true) - b.getDouble(7)) < 1e-9)
+  }
+
   test("streaming Gopher battery == batch q257 per-source pass counts " +
     "(AvailableNow)") {
     import graft.streaming.DocStream
