@@ -3739,6 +3739,177 @@ object Analytics {
           AS n_reversed
       FROM m"""))
 
+  // ---------- q266: join-cardinality estimator audit -------------------
+
+  /** The optimizer's blind spot, measured: for the three core FK joins,
+    * the EXACT join output size Σₖ aₖ·bₖ next to the textbook
+    * uniformity estimate |A|·|B| / max(dA, dB) every cost-based
+    * optimizer falls back to — the ratio is the skew-driven
+    * misestimate that turns a planned broadcast into an OOM or a
+    * shuffle into a nested loop at 100 TB. Each audit is two per-key
+    * count aggregates (map-side combined) joined on the key — the
+    * exact product sum DECIMAL-lifted (aₖ·bₖ sums pass int64 under
+    * skew) — and a 1-row verdict; the battery unions to 3 rows.
+    */
+  private def cardAudit(name: String, left: DataFrame, lk: String,
+      right: DataFrame, rk: String): DataFrame = {
+    val la = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("a"))
+    val lb = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("b"))
+    val sides = la.agg(sum(col("a")).as("n_left"),
+        count(lit(1)).as("d_left"))
+      .crossJoin(lb.agg(sum(col("b")).as("n_right"),
+        count(lit(1)).as("d_right")))
+    val exact = la.join(lb, Seq("k"))
+      .agg(coalesce(sum((col("a") * col("b")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("n_exact"))
+    sides.crossJoin(exact)
+      .select(lit(name).as("join_key"), col("n_left"), col("n_right"),
+        col("d_left"), col("d_right"),
+        col("n_exact").cast("long").as("n_exact"),
+        round(col("n_left").cast("double") * col("n_right").cast("double")
+          / greatest(col("d_left"), col("d_right")).cast("double"), 3)
+          .as("n_est"),
+        round(col("n_exact").cast("double")
+          / (col("n_left").cast("double") * col("n_right").cast("double")
+            / greatest(col("d_left"), col("d_right")).cast("double")), 12)
+          .as("ratio"))
+  }
+
+  private def cardOracle(name: String, lt: String, lk: String,
+      rt: String, rk: String): String =
+    s"""SELECT '$name' AS join_key,
+      (SELECT count(*) FROM $lt)::BIGINT AS n_left,
+      (SELECT count(*) FROM $rt)::BIGINT AS n_right,
+      (SELECT count(DISTINCT $lk) FROM $lt)::BIGINT AS d_left,
+      (SELECT count(DISTINCT $rk) FROM $rt)::BIGINT AS d_right,
+      coalesce((SELECT sum(a * b) FROM
+        (SELECT $lk AS k, count(*)::BIGINT AS a FROM $lt GROUP BY 1) la
+        JOIN (SELECT $rk AS k, count(*)::BIGINT AS b FROM $rt GROUP BY 1)
+          lb USING (k)), 0)::BIGINT AS n_exact,
+      round((SELECT count(*) FROM $lt)::DOUBLE
+        * (SELECT count(*) FROM $rt)::DOUBLE
+        / greatest((SELECT count(DISTINCT $lk) FROM $lt),
+            (SELECT count(DISTINCT $rk) FROM $rt))::DOUBLE, 3) AS n_est,
+      round(coalesce((SELECT sum(a * b) FROM
+          (SELECT $lk AS k, count(*)::BIGINT AS a FROM $lt GROUP BY 1) la
+          JOIN (SELECT $rk AS k, count(*)::BIGINT AS b FROM $rt GROUP BY 1)
+            lb USING (k)), 0)::DOUBLE
+        / ((SELECT count(*) FROM $lt)::DOUBLE
+          * (SELECT count(*) FROM $rt)::DOUBLE
+          / greatest((SELECT count(DISTINCT $lk) FROM $lt),
+              (SELECT count(DISTINCT $rk) FROM $rt))::DOUBLE), 12)
+        AS ratio"""
+
+  private val q266 = QueryDef(
+    "q266_join_cardinality_audit",
+    (s, dir) => Seq(
+      cardAudit("custkey", Fixtures.table(s, dir, "customer"), "c_custkey",
+        Fixtures.table(s, dir, "orders"), "o_custkey"),
+      cardAudit("orderkey", Fixtures.table(s, dir, "orders"), "o_orderkey",
+        Fixtures.table(s, dir, "lineitem"), "l_orderkey"),
+      cardAudit("partkey", Fixtures.table(s, dir, "part"), "p_partkey",
+        Fixtures.table(s, dir, "lineitem"), "l_partkey"))
+      .reduce(_ union _)
+      .orderBy("join_key"),
+    Some(Seq(
+      cardOracle("custkey", "customer", "c_custkey", "orders", "o_custkey"),
+      cardOracle("orderkey", "orders", "o_orderkey", "lineitem",
+        "l_orderkey"),
+      cardOracle("partkey", "part", "p_partkey", "lineitem", "l_partkey"))
+      .mkString("", " UNION ALL ", " ORDER BY join_key")))
+
+  // ---------- q267: propensity decile lift table -----------------------
+
+  /** The campaign-targeting readout: customers deciled by a train-period
+    * score (1995 spend), each decile's holdout response rate (placed a
+    * 1996 order) and the cumulative lift over the base rate — the
+    * gains table every propensity model ships with. The decile is a
+    * CORPUS-SIZED global ntile, so it runs on the RangeNtile
+    * boundary-broadcast two-pass by default (per-shard sorts only;
+    * `graft.ntile.strategy=window` restores the window form the oracle
+    * uses, spec-proven bit-identical). Spend ties (the no-train-order
+    * mass at 0) are totalized by the custkey tiebreak. After labeling,
+    * everything is a 10-row aggregate with cumulative windows over 10
+    * rows.
+    */
+  private val q267 = QueryDef(
+    "q267_decile_lift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = Fixtures.table(s, dir, "orders")
+      val train = orders
+        .where(expr("o_orderdate < TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("spend"))
+      val resp = orders
+        .where(expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'" +
+          " AND o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        .select(col("o_custkey").as("rk")).distinct()
+      val cust = Fixtures.table(s, dir, "customer")
+        .select(col("c_custkey"))
+        .join(train, col("c_custkey") === col("o_custkey"), "left_outer")
+        .join(resp, col("c_custkey") === col("rk"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("spend"), lit(0).cast(DecimalType(18, 4)))
+            .as("spend"),
+          when(col("rk").isNotNull, 1L).otherwise(0L).as("resp"))
+      val sortKey = Seq(col("spend").desc, col("c_custkey"))
+      val labeled =
+        if (s.conf.getOption("graft.ntile.strategy").contains("window"))
+          cust.withColumn("decile",
+            ntile(10).over(Window.orderBy(sortKey: _*)).cast("long"))
+        else RangeNtile.withNtile(cust, sortKey, 10, "decile")
+      val d = labeled.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("resp")).as("n_resp"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = d.agg(sum(col("n_cust")).as("tn"),
+        sum(col("n_resp")).as("tr"))
+      d.withColumn("cum_cust", sum(col("n_cust")).over(wCum))
+        .withColumn("cum_resp", sum(col("n_resp")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_cust"), col("n_resp"),
+          round(col("n_resp").cast("double") / col("n_cust").cast("double"),
+            12).as("resp_rate"),
+          round((col("cum_resp").cast("double")
+              / col("cum_cust").cast("double"))
+            / (col("tr").cast("double") / col("tn").cast("double")), 12)
+            .as("cum_lift"))
+        .orderBy("decile")
+    },
+    Some("""WITH train AS (SELECT o_custkey,
+          sum(cast(o_totalprice AS DECIMAL(18,4))) AS spend
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY 1),
+      resp AS (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      cust AS (SELECT c_custkey,
+          coalesce(spend, cast(0 AS DECIMAL(18,4))) AS spend,
+          CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS resp
+        FROM customer
+        LEFT JOIN train t ON c_custkey = t.o_custkey
+        LEFT JOIN resp r ON c_custkey = r.o_custkey),
+      lab AS (SELECT c_custkey, resp,
+          ntile(10) OVER (ORDER BY spend DESC, c_custkey) AS decile
+        FROM cust),
+      d AS (SELECT decile, count(*)::BIGINT AS n_cust,
+          sum(resp)::BIGINT AS n_resp
+        FROM lab GROUP BY 1),
+      tot AS (SELECT sum(n_cust)::BIGINT AS tn, sum(n_resp)::BIGINT AS tr
+        FROM d),
+      c AS (SELECT decile, n_cust, n_resp,
+          sum(n_cust) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cust,
+          sum(n_resp) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_resp
+        FROM d)
+      SELECT decile::BIGINT AS decile, n_cust, n_resp,
+        round(n_resp::DOUBLE / n_cust::DOUBLE, 12) AS resp_rate,
+        round((cum_resp::DOUBLE / cum_cust::DOUBLE)
+          / (tr::DOUBLE / tn::DOUBLE), 12) AS cum_lift
+      FROM c, tot ORDER BY decile"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -3746,5 +3917,5 @@ object Analytics {
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
-      q261, q263)
+      q261, q263, q266, q267)
 }

@@ -2486,9 +2486,88 @@ object Events {
               / (n::DOUBLE - 1)), 12) AS var_reduction
       FROM arms, pooled ORDER BY arm"""))
 
+  // ---------- q268: binary-segmentation changepoint --------------------
+
+  /** Optimal single changepoint per event type — the first step of
+    * binary segmentation over the daily count series, complementing
+    * q171's CUSUM (which detects THAT drift happened; binseg says
+    * WHERE to cut): the split maximizing the between-segment variance
+    * reduction R(t) = nₗ·nᵣ/n · (meanₗ − meanᵣ)². The series
+    * collapses to |types| × |days| rows at the first aggregate, so
+    * every window below runs on ≤31-row partitions — prefix sums give
+    * every candidate split's two means from ONE pass, R is evaluated
+    * for all splits simultaneously, and the argmax ties break on the
+    * earliest day. Integer count sums keep both engines' R inputs
+    * identical; R itself is one rounded double per candidate.
+    */
+  private val q268 = QueryDef(
+    "q268_binseg_changepoint",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("datediff(cast(ts AS DATE), DATE '1970-01-01')").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val pre = daily
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("s_t", sum(col("c")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_days", count(lit(1)).over(wAll))
+        .withColumn("s_all", sum(col("c")).over(wAll))
+      val cand = pre.where(col("t") < col("n_days"))
+      val meanL = col("s_t").cast("double") / col("t").cast("double")
+      val meanR = (col("s_all") - col("s_t")).cast("double") /
+        (col("n_days") - col("t")).cast("double")
+      val gain = (col("t").cast("double")
+        * (col("n_days") - col("t")).cast("double")
+        / col("n_days").cast("double"))
+        .*( (meanL - meanR) * (meanL - meanR) )
+      val scored = cand.select(col("event_type"), col("day"), col("t"),
+        round(meanL, 12).as("mean_left"), round(meanR, 12).as("mean_right"),
+        round(gain, 12).as("gain"))
+      val wBest = Window.partitionBy(col("event_type"))
+        .orderBy(col("gain").desc, col("day"))
+      scored.withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          col("t").as("n_days_left"), col("mean_left"), col("mean_right"),
+          col("gain"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+          (ts::DATE - DATE '1970-01-01') AS day, count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      pre AS (SELECT event_type, day, c,
+          row_number() OVER (PARTITION BY event_type ORDER BY day)
+            ::BIGINT AS t,
+          sum(c) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t,
+          count(*) OVER (PARTITION BY event_type)::BIGINT AS n_days,
+          sum(c) OVER (PARTITION BY event_type) AS s_all
+        FROM daily),
+      scored AS (SELECT event_type, day, t,
+          round(s_t::DOUBLE / t::DOUBLE, 12) AS mean_left,
+          round((s_all - s_t)::DOUBLE / (n_days - t)::DOUBLE, 12)
+            AS mean_right,
+          round((t::DOUBLE * (n_days - t)::DOUBLE / n_days::DOUBLE)
+            * ((s_t::DOUBLE / t::DOUBLE
+                - (s_all - s_t)::DOUBLE / (n_days - t)::DOUBLE)
+              * (s_t::DOUBLE / t::DOUBLE
+                - (s_all - s_t)::DOUBLE / (n_days - t)::DOUBLE)), 12)
+            AS gain
+        FROM pre WHERE t < n_days),
+      best AS (SELECT event_type, day, t, mean_left, mean_right, gain,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY gain DESC, day) AS rn
+        FROM scored)
+      SELECT event_type, day AS split_day, t AS n_days_left,
+        mean_left, mean_right, gain
+      FROM best WHERE rn = 1 ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
-      q191, q193, q205, q206, q222, q223, q227, q251, q255, q256)
+      q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268)
 }
