@@ -249,7 +249,7 @@ object Similarity {
         .orderBy(col("ccos").desc, col("label"))
       val assign = q.crossJoin(broadcast(cvecs))
         .select(col("query_id"), col("qe"), col("label"),
-          expr(Dedup.cosFoldSpark("qe", "cvec")).as("ccos"))
+          expr("graft_cosine(qe, cvec)").as("ccos"))
         .withColumn("rn", row_number().over(wCell))
         .where(col("rn") === 1)
         .select(col("query_id"), col("qe"), col("label").as("cell"))
@@ -315,7 +315,7 @@ object Similarity {
         .orderBy(col("ccos").desc, col("label"))
       val probes = q.crossJoin(broadcast(codebook(s, dir)))
         .select(col("query_id"), col("qe"), col("label"),
-          expr(Dedup.cosFoldSpark("qe", "cvec")).as("ccos"))
+          expr("graft_cosine(qe, cvec)").as("ccos"))
         .withColumn("rn", row_number().over(wCell))
         .where(col("rn") <= PProbe)
         .select(col("query_id"), col("qe"), col("label").as("cell"))
@@ -376,7 +376,7 @@ object Similarity {
       val cb = codebook(s, dir)
       cb.alias("a").join(cb.alias("b"), col("a.label") < col("b.label"))
         .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
-          expr(Dedup.cosFoldSpark("a.cvec", "b.cvec")).as("cosine"))
+          expr("graft_cosine(a.cvec, b.cvec)").as("cosine"))
         .orderBy("label_a", "label_b")
     },
     Some(s"""WITH $centDuckCte,
@@ -465,7 +465,7 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("embedding").as("e"))
         .crossJoin(broadcast(cvecs))
         .select(col("vec_id"), col("label"), col("clabel"),
-          expr(Dedup.cosFoldSpark("e", "cvec")).as("ccos"))
+          expr("graft_cosine(e, cvec)").as("ccos"))
         .withColumn("rn", row_number().over(wCell))
         .where(col("rn") === 1)
         .groupBy(col("label"))
@@ -566,7 +566,7 @@ object Similarity {
         .select(col("label"), col("vec_id"), col("embedding").as("e"))
         .join(broadcast(codebook(s, dir)), "label")
         .select(col("label"), col("vec_id"),
-          round(expr(Dedup.cosFoldSpark("e", "cvec")) * lit(1e6))
+          round(expr("graft_cosine(e, cvec)") * lit(1e6))
             .cast("long").as("y"))
         .join(d, col("vec_id") === col("doc_id"))
         .select(col("label"), dec(col("n_chars")).as("x"), dec(col("y")).as("y"))
@@ -768,7 +768,7 @@ object Similarity {
         .select(col("vec_id"), col("embedding").as("e"))
         .crossJoin(broadcast(cvecs.select(col("clabel"), col("cvec"))))
         .select(col("vec_id"), col("e"), col("clabel"),
-          expr(Dedup.cosFoldSpark("e", "cvec")).as("ccos"))
+          expr("graft_cosine(e, cvec)").as("ccos"))
         .withColumn("rn", row_number().over(wCell))
         .where(col("rn") === 1)
         .select(col("vec_id"), col("e"), col("clabel"))
@@ -789,7 +789,7 @@ object Similarity {
         .join(newCb, Seq("clabel"), "left_outer")
         .select(col("clabel").as("label"),
           coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
-          expr(s"round(1 - ${Dedup.cosFoldSpark("cvec", "nvec")}, 12)")
+          expr("round(1 - graft_cosine(cvec, nvec), 12)")
             .as("movement"))
         .orderBy("label")
     },
@@ -901,7 +901,7 @@ object Similarity {
           col("embedding").as("qe"))
         .crossJoin(broadcast(cvecs))
         .select(col("vec_id"), col("native"), col("label"),
-          expr(Dedup.cosFoldSpark("qe", "cvec")).as("ccos"))
+          expr("graft_cosine(qe, cvec)").as("ccos"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
       val tot = emb(s, dir).agg(count(lit(1)).as("n_total"))
@@ -1195,7 +1195,7 @@ object Similarity {
       val assign = emb(s, dir).select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(codebook(s, dir)))
         .select(col("vec_id"), col("embedding"), col("label"),
-          expr(Dedup.cosFoldSpark("embedding", "cvec")).as("ccos"))
+          expr("graft_cosine(embedding, cvec)").as("ccos"))
         .withColumn("rn", row_number().over(wCell))
         .where(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("label").as("cell"))

@@ -31,6 +31,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_cosine double-array and mixed overloads match the " +
+    "sequential fold bit-exactly") {
+    val e = Fixtures.table(spark, sf, "embeddings").limit(50)
+      .select(col("vec_id"),
+        col("embedding"),
+        expr("transform(embedding, x -> cast(x AS DOUBLE))").as("d"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("fa"),
+      col("d").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("d").as("eb"))
+    val both = a.join(b, col("va") < col("vb"))
+      .select(expr("graft_cosine(ea, eb)").as("dd"),
+        expr("graft_cosine(fa, eb)").as("fd"),
+        expr(graft.ops.Dedup.cosSpark).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    }
+  }
+
   test("graft_cosine interpreted eval matches codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
