@@ -3910,6 +3910,202 @@ object Analytics {
           / (tr::DOUBLE / tn::DOUBLE), 12) AS cum_lift
       FROM c, tot ORDER BY decile"""))
 
+
+  // ---------- q269: partition modularity of the co-purchase graph -----
+
+  /** Community-quality audit: Newman modularity Q = Σ_c (e_c/m −
+    * (d_c/2m)²) of the co-purchase graph under the BRAND partition —
+    * "do parts of a brand actually get bought together?", the number
+    * that says whether brand is a real community structure or just a
+    * label, complementing q226's assortativity (which correlates
+    * degrees, not communities). All inputs are exact integer counts
+    * (within-community edge count, community degree sums, |edges|)
+    * from two broadcast-dim joins over the cached pair table and two
+    * tiny rollups; only the final contribution is a rounded double.
+    * Output: per-brand contribution rows with the graph total
+    * broadcast onto each.
+    */
+  private val q269 = QueryDef(
+    "q269_modularity",
+    (s, dir) => {
+      val brand = broadcast(Fixtures.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand")))
+      val edges = copurchasePairs(s, dir)
+        .select(col("part_a"), col("part_b"))
+        .join(brand.select(col("p_partkey").as("part_a"),
+          col("p_brand").as("brand_a")), Seq("part_a"))
+        .join(brand.select(col("p_partkey").as("part_b"),
+          col("p_brand").as("brand_b")), Seq("part_b"))
+      val m = edges.agg(count(lit(1)).as("m"))
+      val within = edges.where(col("brand_a") === col("brand_b"))
+        .groupBy(col("brand_a").as("p_brand"))
+        .agg(count(lit(1)).as("e_within"))
+      val degree = edges.select(col("brand_a").as("p_brand")).union(
+          edges.select(col("brand_b").as("p_brand")))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("d_c"))
+      val nodes = Fixtures.table(s, dir, "part")
+        .join(copurchasePairs(s, dir)
+          .select(col("part_a").as("p_partkey")).union(
+            copurchasePairs(s, dir).select(col("part_b").as("p_partkey")))
+          .distinct(), Seq("p_partkey"), "left_semi")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_nodes"))
+      val contrib = (col("e_within").cast("double") / col("m").cast("double")
+        - (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double")))
+          * (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double"))))
+      // per-brand contribution pinned to integer pico-units BEFORE the
+      // graph total sums them (a float sum over brands would be
+      // accumulation-order-dependent across engines)
+      val perBrand = nodes
+        .join(degree, Seq("p_brand"), "left_outer")
+        .join(within, Seq("p_brand"), "left_outer")
+        .select(col("p_brand"), col("n_nodes"),
+          coalesce(col("d_c"), lit(0L)).as("d_c"),
+          coalesce(col("e_within"), lit(0L)).as("e_within"))
+        .crossJoin(broadcast(m))
+        .select(col("p_brand"), col("n_nodes"), col("d_c"),
+          col("e_within"),
+          round(contrib * lit(1e12)).cast("long").as("pico"))
+      val qTot = perBrand.agg(
+        (sum(col("pico")).cast("double") / 1e12).as("q_modularity"))
+      perBrand.crossJoin(broadcast(qTot))
+        .select(col("p_brand"), col("n_nodes"), col("d_c"),
+          col("e_within"),
+          (col("pico").cast("double") / 1e12).as("contribution"),
+          col("q_modularity"))
+        .orderBy("p_brand")
+    },
+    Some("""WITH baskets AS (SELECT l_orderkey,
+          list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY 1),
+      pairs AS (SELECT DISTINCT part_a, part_b FROM (
+        SELECT l_orderkey, a.part_a, b.part_b FROM (
+          SELECT l_orderkey, unnest(parts) AS part_a FROM baskets) a
+        JOIN (SELECT l_orderkey, unnest(parts) AS part_b FROM baskets) b
+        USING (l_orderkey) WHERE a.part_a < b.part_b)),
+      lab AS (SELECT part_a, part_b, pa.p_brand AS brand_a,
+          pb.p_brand AS brand_b
+        FROM pairs JOIN part pa ON part_a = pa.p_partkey
+        JOIN part pb ON part_b = pb.p_partkey),
+      m AS (SELECT count(*)::BIGINT AS m FROM lab),
+      w AS (SELECT brand_a AS p_brand, count(*)::BIGINT AS e_within
+        FROM lab WHERE brand_a = brand_b GROUP BY 1),
+      deg AS (SELECT p_brand, count(*)::BIGINT AS d_c FROM (
+          SELECT brand_a AS p_brand FROM lab
+          UNION ALL SELECT brand_b FROM lab) GROUP BY 1),
+      nodes AS (SELECT p_brand, count(*)::BIGINT AS n_nodes FROM part
+        WHERE p_partkey IN (SELECT part_a FROM pairs
+          UNION SELECT part_b FROM pairs)
+        GROUP BY 1),
+      pb AS (SELECT n.p_brand, n_nodes, coalesce(d_c, 0) AS d_c,
+          coalesce(e_within, 0) AS e_within,
+          round((coalesce(e_within, 0)::DOUBLE / m::DOUBLE
+            - (coalesce(d_c, 0)::DOUBLE / (2.0 * m::DOUBLE))
+              * (coalesce(d_c, 0)::DOUBLE / (2.0 * m::DOUBLE))) * 1e12)
+            ::BIGINT AS pico
+        FROM nodes n
+        LEFT JOIN deg d ON n.p_brand = d.p_brand
+        LEFT JOIN w ON n.p_brand = w.p_brand, m),
+      qt AS (SELECT sum(pico)::DOUBLE / 1e12 AS q_modularity FROM pb)
+      SELECT p_brand, n_nodes, d_c::BIGINT AS d_c,
+        e_within::BIGINT AS e_within, pico::DOUBLE / 1e12 AS contribution,
+        q_modularity
+      FROM pb, qt ORDER BY p_brand"""))
+
+  // ---------- q270: split-conformal prediction interval ----------------
+
+  /** Distribution-free uncertainty for a warehouse predictor: predict a
+    * line's price by its brand's TRAIN-period mean, take the
+    * ceil(0.9·(n+1))-th smallest calibration-period absolute residual
+    * as the conformal radius q̂ (the split-conformal guarantee:
+    * ≥ 90 % coverage on exchangeable data, no model assumptions), then
+    * MEASURE the coverage on the held-out test period. Everything is
+    * integer-exact: prices in cents, the per-brand mean in micro-cents
+    * by integer division, residuals as int64 — so the order statistic
+    * is over integers and coverage can't wobble on an ulp. The k-th
+    * order statistic runs on the RangeNtile boundary-broadcast
+    * row_number (per-shard sorts; `graft.ntile.strategy=window`
+    * restores the single-partition window the oracle uses,
+    * RangeNtileSpec-proven identical) — exact quantile selection
+    * WITHOUT a corpus sort, the primitive an assumption-free
+    * prediction layer needs at 100 TB.
+    */
+  private val q270 = QueryDef(
+    "q270_conformal_interval",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_shipdate"),
+          expr("cast(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      def period(lo: String, hi: String) = {
+        val loC = if (lo.isEmpty) lit(true)
+          else expr(s"l_shipdate >= TIMESTAMP_NTZ '$lo'")
+        val hiC = if (hi.isEmpty) lit(true)
+          else expr(s"l_shipdate < TIMESTAMP_NTZ '$hi'")
+        li.where(loC && hiC)
+      }
+      val mean = period("", "1996-01-01 00:00:00")
+        .groupBy(col("p_brand"))
+        .agg(expr("(sum(cents) * 1000000) div count(*)").as("mean_micro"))
+      def resid(df: DataFrame) = df.join(broadcast(mean), Seq("p_brand"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("cents") * lit(1000000L) - col("mean_micro")).as("r"))
+      val cal = resid(period("1996-01-01 00:00:00", "1997-01-01 00:00:00"))
+      val nCal = cal.agg(count(lit(1)).as("n_cal"),
+        expr("cast(ceil(0.9 * (count(*) + 1)) AS BIGINT)").as("k"))
+      val sortKey = Seq(col("r").asc, col("l_orderkey"), col("l_linenumber"))
+      val ranked =
+        if (s.conf.getOption("graft.ntile.strategy").contains("window"))
+          cal.withColumn("rk",
+            row_number().over(Window.orderBy(sortKey: _*)).cast("long"))
+        else RangeNtile.withRowNumber(cal, sortKey, "rk")
+      val qHat = ranked.crossJoin(broadcast(nCal))
+        .where(col("rk") === col("k"))
+        .select(col("n_cal"), col("k"), col("r").as("q_hat_micro"))
+      val test = resid(period("1997-01-01 00:00:00", ""))
+      test.crossJoin(broadcast(qHat))
+        .agg(first(col("n_cal")).as("n_cal"), first(col("k")).as("k"),
+          first(col("q_hat_micro")).as("q_hat_micro"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("q_hat_micro"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .select(col("n_cal"), col("k"), col("q_hat_micro"), col("n_test"),
+          col("n_covered"),
+          round(col("n_covered").cast("double")
+            / col("n_test").cast("double"), 12).as("coverage"))
+    },
+    Some("""WITH li AS (SELECT l_orderkey, l_linenumber, l_shipdate,
+          p_brand, round(l_extendedprice * 100)::BIGINT AS cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      mean AS (SELECT p_brand,
+          (sum(cents) * 1000000) // count(*) AS mean_micro
+        FROM li WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY 1),
+      cal AS (SELECT l_orderkey, l_linenumber,
+          abs(cents * 1000000 - mean_micro) AS r
+        FROM li JOIN mean USING (p_brand)
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+      nc AS (SELECT count(*)::BIGINT AS n_cal,
+          ceil(0.9 * (count(*) + 1))::BIGINT AS k FROM cal),
+      ranked AS (SELECT r, row_number() OVER (
+          ORDER BY r, l_orderkey, l_linenumber) AS rk FROM cal),
+      qh AS (SELECT n_cal, k, r AS q_hat_micro FROM ranked, nc
+        WHERE rk = k),
+      test AS (SELECT abs(cents * 1000000 - mean_micro) AS r
+        FROM li JOIN mean USING (p_brand)
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+      SELECT n_cal, k, q_hat_micro::BIGINT AS q_hat_micro,
+        count(*)::BIGINT AS n_test,
+        sum(CASE WHEN r <= q_hat_micro THEN 1 ELSE 0 END)::BIGINT
+          AS n_covered,
+        round(sum(CASE WHEN r <= q_hat_micro THEN 1 ELSE 0 END)::DOUBLE
+          / count(*)::DOUBLE, 12) AS coverage
+      FROM test, qh GROUP BY 1, 2, 3"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -3917,5 +4113,5 @@ object Analytics {
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
-      q261, q263, q266, q267)
+      q261, q263, q266, q267, q269, q270)
 }

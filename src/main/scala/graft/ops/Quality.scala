@@ -1535,8 +1535,64 @@ object Quality {
           round(g_words2::DOUBLE / -20.0 / n::DOUBLE, 12) FROM g)
       ORDER BY feature"""))
 
+  // ---------- q271: importance-weight effective sample size ------------
+
+  /** The resampling health check DSIR (q244) needs before anyone
+    * trusts its weights: per source, the effective sample size
+    * ESS = (Σw)²/Σw² of the per-document importance weights
+    * w = exp(log-weight) — when a few documents hog the weight mass,
+    * ESS/n collapses and the resampled corpus is secretly tiny. The
+    * per-doc log-weight is q244's exact int64 nano sum; w pins to
+    * integer micro-units through one libm exp (identical input bits →
+    * identical output bits, the q249 rule), so Σw and Σw² are exact
+    * integer sums (DECIMAL(38,0) — micro² passes int64) and ESS is a
+    * single double division. One token join + two nested aggregates,
+    * |sources| output rows.
+    */
+  private val q271 = QueryDef(
+    "q271_importance_ess",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w1"))
+      val perDoc = toks
+        .join(graft.queries.TextOps.dsirModel(s, dir), "w1")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("lw_units")).as("lw"))
+        .select(col("source"),
+          expr("CAST(round(exp(CAST(lw AS DOUBLE) / 1e9) * 1e6) AS BIGINT)")
+            .as("w_micro"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w_micro").cast("decimal(38,0)")).as("sw"),
+          sum((col("w_micro") * col("w_micro")).cast("decimal(38,0)"))
+            .as("sww"))
+        .select(col("source"), col("n_docs"),
+          round(col("sw").cast("double") * col("sw").cast("double")
+            / col("sww").cast("double"), 12).as("ess"),
+          round(col("sw").cast("double") * col("sw").cast("double")
+            / col("sww").cast("double") / col("n_docs").cast("double"), 12)
+            .as("ess_ratio"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ${graft.queries.TextOps.dsirModelDuckCte},
+      toks AS (SELECT doc_id, source,
+          unnest(string_split(text, ' ')) AS w1
+        FROM documents),
+      perdoc AS (SELECT doc_id, any_value(source) AS source,
+          round(exp(sum(lw_units)::DOUBLE / 1e9) * 1e6)::BIGINT AS w_micro
+        FROM toks JOIN model USING (w1) GROUP BY doc_id),
+      agg AS (SELECT source, count(*)::BIGINT AS n_docs,
+          sum(w_micro) AS sw, sum(w_micro::HUGEINT * w_micro) AS sww
+        FROM perdoc GROUP BY 1)
+      SELECT source, n_docs,
+        round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE, 12) AS ess,
+        round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE / n_docs::DOUBLE, 12)
+          AS ess_ratio
+      FROM agg ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
-      q262)
+      q262, q271)
 }

@@ -1139,6 +1139,26 @@ object TextOps {
           .cast("long").as("lw_units"))
   }
 
+  /** DuckDB mirror of [[dsirModel]] — one definition shared by q244 and
+    * q271 so the two oracles can never de-synchronize from the model
+    * contract. Yields a `model(w1, lw_units)` CTE; internal CTE names
+    * are prefixed `m` to avoid colliding with consumers' own `toks`.
+    */
+  private[graft] val dsirModelDuckCte: String =
+    """mtoks AS (SELECT lang, unnest(string_split(text, ' ')) AS w1
+        FROM documents),
+      uni AS (SELECT w1, count(*) AS n FROM mtoks GROUP BY 1),
+      tgt AS (SELECT w1, count(*) AS nt FROM mtoks
+        WHERE lang = 'en' GROUP BY 1),
+      scal AS (SELECT (SELECT count(*) FROM uni) AS v,
+        (SELECT sum(n) FROM uni) AS nc,
+        (SELECT sum(nt) FROM tgt) AS ntot),
+      model AS (SELECT uni.w1,
+          round((ln((coalesce(nt, 0) + 1)::DOUBLE / (ntot + v)::DOUBLE)
+            - ln((n + 1)::DOUBLE / (nc + v)::DOUBLE)) * 1e9)::BIGINT
+            AS lw_units
+        FROM uni LEFT JOIN tgt ON tgt.w1 = uni.w1, scal)"""
+
   private val q244 = QueryDef(
     "q244_dsir_importance",
     (s, dir) => {
@@ -1159,19 +1179,9 @@ object TextOps {
             .as("favored_share"))
         .orderBy("source")
     },
-    Some("""WITH toks AS (SELECT doc_id, source, lang,
+    Some(s"""WITH $dsirModelDuckCte,
+      toks AS (SELECT doc_id, source,
           unnest(string_split(text, ' ')) AS w1 FROM documents),
-      uni AS (SELECT w1, count(*) AS n FROM toks GROUP BY 1),
-      tgt AS (SELECT w1, count(*) AS nt FROM toks
-        WHERE lang = 'en' GROUP BY 1),
-      scal AS (SELECT (SELECT count(*) FROM uni) AS v,
-        (SELECT sum(n) FROM uni) AS nc,
-        (SELECT sum(nt) FROM tgt) AS ntot),
-      model AS (SELECT uni.w1,
-          round((ln((coalesce(nt, 0) + 1)::DOUBLE / (ntot + v)::DOUBLE)
-            - ln((n + 1)::DOUBLE / (nc + v)::DOUBLE)) * 1e9)::BIGINT
-            AS lw_units
-        FROM uni LEFT JOIN tgt ON tgt.w1 = uni.w1, scal),
       perdoc AS (SELECT doc_id, source, sum(lw_units) AS lw
         FROM toks JOIN model ON model.w1 = toks.w1 GROUP BY 1, 2)
       SELECT source, count(*)::BIGINT AS n_docs,
