@@ -4106,6 +4106,95 @@ object Analytics {
           / count(*)::DOUBLE, 12) AS coverage
       FROM test, qh GROUP BY 1, 2, 3"""))
 
+  // ---------- q272: expected calibration error -------------------------
+
+  /** Is the q253 target encoding honest as a PROBABILITY? Reliability
+    * table + expected calibration error: each line's predicted return
+    * probability (its brand's smoothed encoding, pinned once per brand
+    * to integer micro-units) against the realized return rate, in
+    * fixed-width 2 % confidence bins — ECE = Σ nᵦ/N·|accᵦ − confᵦ|, the
+    * number that separates a useful score from a well-ranked but
+    * miscalibrated one (q170's AUC can be perfect while this is
+    * terrible). Per-bin gaps pin to nano-units before the N-weighted
+    * total (exact integer products, DECIMAL-lifted), so ECE is
+    * bit-stable across engines and run orders. Shape: one 25-row
+    * encoding broadcast, one fact pass into ten bins.
+    */
+  private val q272 = QueryDef(
+    "q272_calibration_ece",
+    (s, dir) => {
+      val byBrand = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      val prior = byBrand.agg(
+        (sum(col("n_pos")).cast("double") / sum(col("n")).cast("double"))
+          .as("prior"))
+      val enc = byBrand.crossJoin(broadcast(prior))
+        .select(col("p_brand"),
+          expr("""CAST(round((CAST(n_pos AS DOUBLE) + 50.0 * prior)
+            / (CAST(n AS DOUBLE) + 50.0) * 1e6) AS BIGINT)""")
+            .as("conf_micro"))
+      val binned = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(enc), Seq("p_brand"))
+        .select(col("y"), col("conf_micro"),
+          least(expr("conf_micro div 20000"), lit(49L)).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("conf_micro").cast("decimal(38,0)")).as("sconf"))
+        .select(col("bin"), col("n"), col("sy"),
+          expr("""CAST(round(abs(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(sconf AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) * 1e9)
+            AS BIGINT)""").as("gap_nano"))
+      val ece = binned.agg(
+        (sum((col("n") * col("gap_nano")).cast("decimal(38,0)"))
+          .cast("double") / sum(col("n")).cast("double") / 1e9).as("ece"))
+      binned.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("sy").as("n_returned"),
+          round(col("sy").cast("double") / col("n").cast("double"), 12)
+            .as("acc"),
+          (col("gap_nano").cast("double") / 1e9).as("gap"),
+          round(col("ece"), 12).as("ece"))
+        .orderBy("bin")
+    },
+    Some("""WITH b AS (SELECT p_brand, count(*)::BIGINT AS n,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS n_pos
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      g AS (SELECT sum(n_pos)::DOUBLE / sum(n)::DOUBLE AS prior FROM b),
+      enc AS (SELECT p_brand,
+          round((n_pos::DOUBLE + 50.0 * prior) / (n::DOUBLE + 50.0)
+            * 1e6)::BIGINT AS conf_micro
+        FROM b, g),
+      binned AS (SELECT bin, count(*)::BIGINT AS n,
+          sum(y)::BIGINT AS sy, sum(conf_micro) AS sconf
+        FROM (SELECT least(conf_micro // 20000, 49) AS bin,
+            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+            conf_micro
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN enc USING (p_brand))
+        GROUP BY 1),
+      gaps AS (SELECT bin, n, sy,
+          round(abs(sy::DOUBLE / n::DOUBLE
+            - sconf::DOUBLE / 1e6 / n::DOUBLE) * 1e9)::BIGINT AS gap_nano
+        FROM binned),
+      e AS (SELECT sum(n::HUGEINT * gap_nano)::DOUBLE / sum(n)::DOUBLE
+          / 1e9 AS ece
+        FROM gaps)
+      SELECT bin::BIGINT AS bin, n, sy AS n_returned,
+        round(sy::DOUBLE / n::DOUBLE, 12) AS acc,
+        gap_nano::DOUBLE / 1e9 AS gap, round(ece, 12) AS ece
+      FROM gaps, e ORDER BY bin"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -4113,5 +4202,5 @@ object Analytics {
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
-      q261, q263, q266, q267, q269, q270)
+      q261, q263, q266, q267, q269, q270, q272)
 }

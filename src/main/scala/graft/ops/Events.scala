@@ -2565,9 +2565,132 @@ object Events {
         mean_left, mean_right, gain
       FROM best WHERE rn = 1 ORDER BY event_type"""))
 
+  // ---------- q273: exact Shapley channel attribution ------------------
+
+  /** Game-theoretic attribution over the four non-purchase channels —
+    * the fair-division answer beside q126's last-touch and q191's
+    * linear rules: each user contributes their PRE-first-purchase
+    * touch-set (a 4-bit mask) and a conversion flag; the coalition
+    * value v(S) is the conversion rate of users whose touch-set fits
+    * inside S, and each channel's Shapley value is the
+    * factorially-weighted average of its marginal contributions. The
+    * corpus work is ONE user-keyed aggregate; everything after runs on
+    * a 16-row signature table × 16 literal subsets × 4 channels —
+    * constant-size no matter the event volume. Determinism: v(S) pins
+    * to nano-units, the Shapley sum multiplies pinned integers by the
+    * integer weight numerators |S|!·(3−|S|)! ∈ {6,2,2,6} and divides
+    * ONCE by 24·1e9 — no float accumulates across subsets. The
+    * efficiency identity Σφ = v(full) − v(∅) ships in the output as
+    * its own audit columns.
+    */
+  private val q273 = QueryDef(
+    "q273_shapley_attribution",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val firstBuy = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fb"))
+      val perUser = e
+        .join(firstBuy, Seq("user_id"), "left_outer")
+        .select(col("user_id"),
+          when(col("event_type") === "click"
+            && (col("fb").isNull || col("ts") < col("fb")), 1L)
+            .when(col("event_type") === "error"
+              && (col("fb").isNull || col("ts") < col("fb")), 2L)
+            .when(col("event_type") === "signup"
+              && (col("fb").isNull || col("ts") < col("fb")), 4L)
+            .when(col("event_type") === "view"
+              && (col("fb").isNull || col("ts") < col("fb")), 8L)
+            .otherwise(0L).as("bit"),
+          when(col("fb").isNotNull, 1L).otherwise(0L).as("conv"))
+        .groupBy(col("user_id"))
+        .agg(expr("CAST(bit_or(bit) AS BIGINT)").as("mask"),
+          max(col("conv")).as("conv"))
+      val sig = perUser.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_u"), sum(col("conv")).as("n_c"))
+      val subsets = s.range(16).select(col("id").as("ss"))
+      val v = subsets.join(broadcast(sig),
+          expr("(mask & ~ss) = 0"), "left_outer")
+        .groupBy(col("ss"))
+        .agg(coalesce(sum(col("n_u")), lit(0L)).as("nu"),
+          coalesce(sum(col("n_c")), lit(0L)).as("nc"))
+        .select(col("ss"),
+          when(col("nu") > 0,
+            expr("CAST(round(CAST(nc AS DOUBLE) / CAST(nu AS DOUBLE) " +
+              "* 1e9) AS BIGINT)")).otherwise(0L).as("v_nano"))
+      val channels = s.range(4)
+        .select(expr("CAST(1 << id AS BIGINT)").as("bit"),
+          expr("element_at(array('click','error','signup','view'), " +
+            "CAST(id AS INT) + 1)").as("channel"))
+      val phi = broadcast(channels)
+        .join(v.select(col("ss").as("s0"), col("v_nano").as("v_without")),
+          expr("(s0 & bit) = 0"))
+        .join(broadcast(v.select(col("ss").as("s1"),
+          col("v_nano").as("v_with"))), expr("s1 = (s0 | bit)"))
+        .select(col("channel"),
+          (expr("""CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2
+             WHEN 2 THEN 2 ELSE 6 END""")
+            * (col("v_with") - col("v_without"))).as("term"))
+        .groupBy(col("channel"))
+        .agg((sum(col("term")).cast("double") / 24.0 / 1e9).as("phi_raw"))
+      val audit = v.agg(
+        (max(when(col("ss") === 15, col("v_nano"))).cast("double") / 1e9)
+          .as("v_full"),
+        (max(when(col("ss") === 0, col("v_nano"))).cast("double") / 1e9)
+          .as("v_empty"))
+      phi.crossJoin(broadcast(audit))
+        .select(col("channel"), round(col("phi_raw"), 12).as("phi"),
+          round(col("v_full"), 12).as("v_full"),
+          round(col("v_empty"), 12).as("v_empty"))
+        .orderBy("channel")
+    },
+    Some("""WITH fb AS (SELECT user_id, min(ts) AS fb FROM events
+        WHERE event_type = 'purchase' GROUP BY 1),
+      pu AS (SELECT e.user_id,
+          bit_or(CASE
+            WHEN event_type = 'click'
+              AND (fb IS NULL OR ts < fb) THEN 1
+            WHEN event_type = 'error'
+              AND (fb IS NULL OR ts < fb) THEN 2
+            WHEN event_type = 'signup'
+              AND (fb IS NULL OR ts < fb) THEN 4
+            WHEN event_type = 'view'
+              AND (fb IS NULL OR ts < fb) THEN 8
+            ELSE 0 END)::BIGINT AS mask,
+          max(CASE WHEN fb IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS conv
+        FROM events e LEFT JOIN fb ON e.user_id = fb.user_id
+        GROUP BY 1),
+      sig AS (SELECT mask, count(*)::BIGINT AS n_u,
+          sum(conv)::BIGINT AS n_c
+        FROM pu GROUP BY 1),
+      v AS (SELECT ss,
+          CASE WHEN coalesce(sum(n_u), 0) > 0
+            THEN round(coalesce(sum(n_c), 0)::DOUBLE
+              / coalesce(sum(n_u), 0)::DOUBLE * 1e9)::BIGINT
+            ELSE 0 END AS v_nano
+        FROM range(0, 16) t(ss) LEFT JOIN sig ON (mask & ~ss) = 0
+        GROUP BY 1),
+      ch AS (SELECT (1 << i)::BIGINT AS bit,
+          ['click', 'error', 'signup', 'view'][i + 1] AS channel
+        FROM range(0, 4) t(i)),
+      phi AS (SELECT channel,
+          sum((CASE bit_count(s0.ss) WHEN 0 THEN 6 WHEN 1 THEN 2
+              WHEN 2 THEN 2 ELSE 6 END)
+            * (s1.v_nano - s0.v_nano))::DOUBLE / 24.0 / 1e9 AS phi_raw
+        FROM ch JOIN v s0 ON (s0.ss & bit) = 0
+        JOIN v s1 ON s1.ss = (s0.ss | bit)
+        GROUP BY 1),
+      audit AS (SELECT
+          max(CASE WHEN ss = 15 THEN v_nano END)::DOUBLE / 1e9 AS v_full,
+          max(CASE WHEN ss = 0 THEN v_nano END)::DOUBLE / 1e9 AS v_empty
+        FROM v)
+      SELECT channel, round(phi_raw, 12) AS phi,
+        round(v_full, 12) AS v_full, round(v_empty, 12) AS v_empty
+      FROM phi, audit ORDER BY channel"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
-      q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268)
+      q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
+      q273)
 }

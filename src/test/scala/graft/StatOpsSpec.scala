@@ -45,6 +45,44 @@ class StatOpsSpec extends SparkSpec {
       s"rank AUC ${r.getDouble(2)} != brute force $want")
   }
 
+  test("q254 histogram Mann-Whitney U equals the brute-force all-pairs " +
+    "U with half-credit ties, per brand") {
+    val rows = Fixtures.table(spark, sf, "lineitem")
+      .join(Fixtures.table(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_quantity").cast("long"),
+        (col("l_returnflag") === "R").as("isa"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val want = rows.groupBy(_._1).map { case (brand, rs) =>
+      val a = rs.filter(_._3).map(_._2)
+      val b = rs.filterNot(_._3).map(_._2)
+      var u = 0.0
+      for (x <- a; y <- b)
+        u += (if (x > y) 1.0 else if (x == y) 0.5 else 0.0)
+      brand -> (a.length.toLong, b.length.toLong, u)
+    }
+    val got = run("q254_mannwhitney").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (na, nb, u) = want(r.getString(0))
+      assert(r.getLong(1) === na)
+      assert(r.getLong(2) === nb)
+      assert(math.abs(r.getDouble(3) - u) < 1e-6,
+        s"${r.getString(0)}: U ${r.getDouble(3)} != brute force $u")
+    }
+  }
+
+  test("q273 Shapley values satisfy efficiency: sum(phi) == v(full) - " +
+    "v(empty)") {
+    val got = run("q273_shapley_attribution").collect()
+    assert(got.length === 4)
+    val sumPhi = got.map(_.getDouble(1)).sum
+    val vFull = got.head.getDouble(2)
+    val vEmpty = got.head.getDouble(3)
+    assert(math.abs(sumPhi - (vFull - vEmpty)) < 1e-8,
+      s"sum(phi) $sumPhi != v_full - v_empty ${vFull - vEmpty}")
+  }
+
   test("q159 survival is monotone non-increasing and starts at 1.0") {
     val rows = run("q159_survival").collect()
       .map(r => (r.getLong(0), r.getDouble(3)))
