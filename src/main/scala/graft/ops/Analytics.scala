@@ -4195,6 +4195,77 @@ object Analytics {
         gap_nano::DOUBLE / 1e9 AS gap, round(ece, 12) AS ece
       FROM gaps, e ORDER BY bin"""))
 
+
+  // ---------- q275: price indices (Laspeyres / Paasche / Fisher) -------
+
+  /** Did prices move, holding the BASKET fixed? The three classic
+    * bilateral price indices between 1995 (base) and 1996 (current)
+    * over parts traded in BOTH years: Laspeyres weights price
+    * relatives by base-year quantities, Paasche by current-year,
+    * Fisher is their geometric mean. Per part-year unit prices pin to
+    * integer micro-cents by INTEGER DIVISION of exact cent/quantity
+    * sums (deterministic, no float mean), index numerators and
+    * denominators are then exact integer dot products (DECIMAL-lifted
+    * — price·quantity sums pass int64 at warehouse volume), and each
+    * index is one final division. Shape: one fact pass into per
+    * (part, year) cells, a self-join on partkey, one verdict row.
+    */
+  private val q275 = QueryDef(
+    "q275_price_index",
+    (s, dir) => {
+      val cells = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          expr("year(l_shipdate)").as("yr"),
+          expr("cast(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          col("l_quantity").cast("long").as("q"))
+        .where(col("yr").isin(1995, 1996))
+        .groupBy(col("l_partkey"), col("yr"))
+        .agg(sum(col("cents")).as("sc"), sum(col("q")).as("sq"))
+        .select(col("l_partkey"), col("yr"),
+          expr("(sc * 10000) div sq").as("p_micro"), col("sq"))
+      val base = cells.where(col("yr") === 1995)
+        .select(col("l_partkey"), col("p_micro").as("p0"),
+          col("sq").as("q0"))
+      val cur = cells.where(col("yr") === 1996)
+        .select(col("l_partkey"), col("p_micro").as("p1"),
+          col("sq").as("q1"))
+      base.join(cur, Seq("l_partkey"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum((col("p1") * col("q0")).cast("decimal(38,0)")).as("l_num"),
+          sum((col("p0") * col("q0")).cast("decimal(38,0)")).as("l_den"),
+          sum((col("p1") * col("q1")).cast("decimal(38,0)")).as("p_num"),
+          sum((col("p0") * col("q1")).cast("decimal(38,0)")).as("p_den"))
+        .select(col("n_parts"),
+          round(col("l_num").cast("double") / col("l_den").cast("double"),
+            12).as("laspeyres"),
+          round(col("p_num").cast("double") / col("p_den").cast("double"),
+            12).as("paasche"),
+          round(sqrt((col("l_num").cast("double")
+              / col("l_den").cast("double"))
+            * (col("p_num").cast("double") / col("p_den").cast("double"))),
+            12).as("fisher"))
+    },
+    Some("""WITH cells AS (SELECT l_partkey, year(l_shipdate) AS yr,
+          (sum(round(l_extendedprice * 100)::BIGINT) * 10000)
+            // sum(l_quantity::BIGINT) AS p_micro,
+          sum(l_quantity::BIGINT)::BIGINT AS sq
+        FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        GROUP BY 1, 2),
+      base AS (SELECT l_partkey, p_micro AS p0, sq AS q0 FROM cells
+        WHERE yr = 1995),
+      cur AS (SELECT l_partkey, p_micro AS p1, sq AS q1 FROM cells
+        WHERE yr = 1996),
+      j AS (SELECT count(*)::BIGINT AS n_parts,
+          sum(p1::HUGEINT * q0) AS l_num, sum(p0::HUGEINT * q0) AS l_den,
+          sum(p1::HUGEINT * q1) AS p_num, sum(p0::HUGEINT * q1) AS p_den
+        FROM base JOIN cur USING (l_partkey))
+      SELECT n_parts,
+        round(l_num::DOUBLE / l_den::DOUBLE, 12) AS laspeyres,
+        round(p_num::DOUBLE / p_den::DOUBLE, 12) AS paasche,
+        round(sqrt((l_num::DOUBLE / l_den::DOUBLE)
+          * (p_num::DOUBLE / p_den::DOUBLE)), 12) AS fisher
+      FROM j"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -4202,5 +4273,5 @@ object Analytics {
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
-      q261, q263, q266, q267, q269, q270, q272)
+      q261, q263, q266, q267, q269, q270, q272, q275)
 }

@@ -2687,10 +2687,69 @@ object Events {
         round(v_full, 12) AS v_full, round(v_empty, 12) AS v_empty
       FROM phi, audit ORDER BY channel"""))
 
+  // ---------- q276: per-user feature-store materialization -------------
+
+  /** The feature-assembly deliverable an ML platform schedules nightly:
+    * one wide per-user feature vector — activity counts, exact
+    * integer-micro monetary sum, first/last activity days, distinct
+    * active days, recency against the corpus horizon, and error share
+    * — materialized in ONE conditional aggregate pass over the event
+    * stream (no joins: every feature is an aggregate of the same
+    * user-keyed shuffle, which is what keeps a 100 TB feature refresh
+    * a single-stage job). All features are integer-exact except the
+    * one final share division; day arithmetic is integer days since
+    * epoch (the q68 idiom).
+    */
+  private val q276 = QueryDef(
+    "q276_feature_store",
+    (s, dir) => {
+      val horizon = lit(19754L) // 2024-01-31 as days since 1970-01-01
+      ev(s, dir)
+        .select(col("user_id"),
+          expr("datediff(cast(ts AS DATE), DATE '1970-01-01')")
+            .cast("long").as("day"),
+          col("event_type"),
+          when(col("event_type") === "purchase",
+            expr("cast(round(value * 1e6) AS BIGINT)")).otherwise(0L)
+            .as("u"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          sum(col("u")).as("value_micro"),
+          min(col("day")).as("first_day"),
+          max(col("day")).as("last_day"),
+          countDistinct(col("day")).as("active_days"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+        .select(col("user_id"), col("n_events"), col("n_purchases"),
+          col("value_micro"), col("first_day"), col("last_day"),
+          col("active_days"),
+          (horizon - col("last_day")).as("recency_days"),
+          round(col("n_errors").cast("double")
+            / col("n_events").cast("double"), 12).as("error_share"))
+        .orderBy("user_id")
+    },
+    Some("""WITH f AS (SELECT user_id,
+          (ts::DATE - DATE '1970-01-01') AS day, event_type,
+          CASE WHEN event_type = 'purchase'
+            THEN round(value * 1e6)::BIGINT ELSE 0 END AS u
+        FROM events)
+      SELECT user_id, count(*)::BIGINT AS n_events,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+          AS n_purchases,
+        sum(u)::BIGINT AS value_micro,
+        min(day)::BIGINT AS first_day, max(day)::BIGINT AS last_day,
+        count(DISTINCT day)::BIGINT AS active_days,
+        (19754 - max(day))::BIGINT AS recency_days,
+        round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE
+          / count(*)::DOUBLE, 12) AS error_share
+      FROM f GROUP BY 1 ORDER BY user_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
-      q273)
+      q273, q276)
 }

@@ -1591,8 +1591,81 @@ object Quality {
           AS ess_ratio
       FROM agg ORDER BY source"""))
 
+  // ---------- q274: earth-mover drift (1-D Wasserstein) ----------------
+
+  /** Per-source distribution drift as 1-D earth-mover's distance
+    * between each source's document-length distribution and the whole
+    * corpus — the metric that sees HOW FAR mass moved where q114's KS
+    * sees only the largest gap and q105's PSI explodes on empty bins.
+    * On bucketed support, W₁ = Σᵦ |CDFₛ(b) − CDF₉(b)|, and with the
+    * common-denominator trick the numerator is PURE INTEGER:
+    * Σᵦ |cumₛ(b)·n₉ − cum₉(b)·nₛ| (DECIMAL-lifted — cum·n products
+    * pass int64 at corpus counts) divided ONCE by nₛ·n₉ — no float
+    * accumulates across buckets. Shape: one |sources|×|buckets|
+    * histogram pass, cumulative windows over ≤|buckets| rows per
+    * source, |sources| verdict rows.
+    */
+  private val q274 = QueryDef(
+    "q274_emd_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = docs(s, dir)
+        .select(col("source"), expr("n_chars div 100").as("bucket"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val grid = hist.select(col("source")).distinct()
+        .crossJoin(broadcast(hist.select(col("bucket")).distinct()))
+        .join(hist, Seq("source", "bucket"), "left_outer")
+        .select(col("source"), col("bucket"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cums = grid.withColumn("cum_s", sum(col("c")).over(wCum))
+      val glob = hist.groupBy(col("bucket")).agg(sum(col("c")).as("cg"))
+        .withColumn("cum_g", sum(col("cg")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("bucket"), col("cum_g"))
+      val totals = hist.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val ng = hist.agg(sum(col("c")).as("n_g"))
+      cums.join(glob, Seq("bucket"))
+        .join(broadcast(totals), Seq("source"))
+        .crossJoin(broadcast(ng))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"),
+          sum(abs(col("cum_s").cast("decimal(38,0)") * col("n_g")
+            - col("cum_g").cast("decimal(38,0)") * col("n_s")))
+            .as("num"),
+          max(col("n_s").cast("decimal(38,0)") * col("n_g")).as("den"))
+        .select(col("source"), col("n_docs"),
+          round(col("num").cast("double") / col("den").cast("double"), 12)
+            .as("emd_buckets"))
+        .orderBy("source")
+    },
+    Some("""WITH hist AS (SELECT source, n_chars // 100 AS bucket,
+          count(*)::BIGINT AS c
+        FROM documents GROUP BY 1, 2),
+      grid AS (SELECT s.source, b.bucket, coalesce(c, 0) AS c
+        FROM (SELECT DISTINCT source FROM hist) s
+        CROSS JOIN (SELECT DISTINCT bucket FROM hist) b
+        LEFT JOIN hist h ON h.source = s.source AND h.bucket = b.bucket),
+      cums AS (SELECT source, bucket, sum(c) OVER (PARTITION BY source
+          ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+          ROW) AS cum_s
+        FROM grid),
+      gcum AS (SELECT bucket, sum(cg) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+        FROM (SELECT bucket, sum(c) AS cg FROM hist GROUP BY 1)),
+      tot AS (SELECT source, sum(c)::BIGINT AS n_s FROM hist GROUP BY 1),
+      ng AS (SELECT sum(c)::BIGINT AS n_g FROM hist)
+      SELECT source, max(n_s)::BIGINT AS n_docs,
+        round(sum(abs(cum_s::HUGEINT * n_g - cum_g::HUGEINT * n_s))::DOUBLE
+          / (max(n_s)::DOUBLE * max(n_g)::DOUBLE), 12) AS emd_buckets
+      FROM cums JOIN gcum USING (bucket) JOIN tot USING (source), ng
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
-      q262, q271)
+      q262, q271, q274)
 }
