@@ -4266,6 +4266,827 @@ object Analytics {
           * (p_num::DOUBLE / p_den::DOUBLE)), 12) AS fisher
       FROM j"""))
 
+  // ---------- q277: isotonic calibration (PAV via bounded-bin minimax) -
+
+  /** The repair step for what q272 diagnoses: monotone (isotonic)
+    * regression of realized return rate on the q253 brand encoding —
+    * the pool-adjacent-violators calibration map every production
+    * scorer ships behind its raw output. The corpus collapses to the
+    * same fact pass as q272, folded into 0.2 %-wide confidence bins; the PAV fit
+    * is then computed on the bin sequence via the minimax identity
+    * g(t) = max_{lo≤t} min_{hi≥t} avg(lo..hi) — equivalent to PAV's
+    * pooled blocks, but expressible as two range joins over the
+    * bounded bin table (≤500 bins ⇒ ≤500³ tuples worst case; observed
+    * bins are further capped by distinct encodings) instead of a
+    * sequential merge loop, which keeps BOTH engines on the identical
+    * declarative formula. Determinism: every block average is one IEEE
+    * division of exact int64 prefix-sum differences; correctly-rounded
+    * division is monotone in the real value, so min/max over those
+    * doubles equals the double of the rational minimax — bit-stable
+    * across engines and join orders. Shape at 100 TB: the only
+    * corpus-sized work is the binning aggregate; everything after runs
+    * on the bounded bin table (broadcast nested-loop joins with a
+    * ≤500-row build side, inside PlanLint's bound).
+    */
+  private val q277 = QueryDef(
+    "q277_isotonic_calibration",
+    (s, dir) => {
+      val byBrand = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      val prior = byBrand.agg(
+        (sum(col("n_pos")).cast("double") / sum(col("n")).cast("double"))
+          .as("prior"))
+      val enc = byBrand.crossJoin(broadcast(prior))
+        .select(col("p_brand"),
+          expr("""CAST(round((CAST(n_pos AS DOUBLE) + 50.0 * prior)
+            / (CAST(n AS DOUBLE) + 50.0) * 1e6) AS BIGINT)""")
+            .as("conf_micro"))
+      val binned = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(enc), Seq("p_brand"))
+        .select(when(expr("conf_micro div 2000") > 499L, 499L)
+          .otherwise(expr("conf_micro div 2000")).as("bin"), col("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      // bounded-bin prefix sums; the single-partition window is
+      // bin-sized, never corpus-sized (the q159 tiny-aggregate class).
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      val pre = binned
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cs", sum(col("sy")).over(w))
+      val lo = pre.select(col("bin").as("lo"), col("n").as("lo_n"),
+        col("sy").as("lo_sy"), col("cn").as("lo_cn"), col("cs").as("lo_cs"))
+      val hi = pre.select(col("bin").as("hi"), col("cn").as("hi_cn"),
+        col("cs").as("hi_cs"))
+      val pairs = lo.join(broadcast(hi), col("lo") <= col("hi"))
+        .select(col("lo"), col("hi"),
+          ((col("hi_cs") - col("lo_cs") + col("lo_sy")).cast("double")
+            / (col("hi_cn") - col("lo_cn") + col("lo_n")).cast("double"))
+            .as("avgv"))
+      val ts = pre.select(col("bin").as("t"))
+      val inner = pairs.join(broadcast(ts),
+          col("lo") <= col("t") && col("hi") >= col("t"))
+        .groupBy(col("lo"), col("t")).agg(min(col("avgv")).as("mn"))
+      val fit = inner.groupBy(col("t")).agg(max(col("mn")).as("fitted"))
+      binned.join(broadcast(fit), col("bin") === col("t"))
+        .select(col("bin"), col("n"), col("sy").as("n_returned"),
+          round(col("sy").cast("double") / col("n").cast("double"), 12)
+            .as("rate"),
+          round(col("fitted"), 12).as("fitted"))
+        .orderBy("bin")
+    },
+    Some("""WITH b AS (SELECT p_brand, count(*)::BIGINT AS n,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS n_pos
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      g AS (SELECT sum(n_pos)::DOUBLE / sum(n)::DOUBLE AS prior FROM b),
+      enc AS (SELECT p_brand,
+          round((n_pos::DOUBLE + 50.0 * prior) / (n::DOUBLE + 50.0)
+            * 1e6)::BIGINT AS conf_micro
+        FROM b, g),
+      binned AS (SELECT least(conf_micro // 2000, 499) AS bin,
+          count(*)::BIGINT AS n,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS sy
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        JOIN enc USING (p_brand) GROUP BY 1),
+      pre AS (SELECT bin, n, sy,
+          sum(n) OVER (ORDER BY bin)::BIGINT AS cn,
+          sum(sy) OVER (ORDER BY bin)::BIGINT AS cs
+        FROM binned),
+      pairs AS (SELECT a.bin AS lo, c.bin AS hi,
+          (c.cs - a.cs + a.sy)::DOUBLE
+            / (c.cn - a.cn + a.n)::DOUBLE AS avgv
+        FROM pre a JOIN pre c ON a.bin <= c.bin),
+      inn AS (SELECT p.lo, t.bin AS t, min(avgv) AS mn
+        FROM pairs p JOIN pre t ON p.lo <= t.bin AND p.hi >= t.bin
+        GROUP BY 1, 2),
+      fit AS (SELECT t, max(mn) AS fitted FROM inn GROUP BY 1)
+      SELECT bin::BIGINT AS bin, n, sy AS n_returned,
+        round(sy::DOUBLE / n::DOUBLE, 12) AS rate,
+        round(fitted, 12) AS fitted
+      FROM binned JOIN fit ON bin = t ORDER BY bin"""))
+
+  // ---------- q281: data-contract expectations battery -----------------
+
+  /** The Great-Expectations-style contract gate a warehouse runs before
+    * promoting a load: a battery of declarative rules — range, domain,
+    * positivity, cross-column and referential — each reported as
+    * (rule, n_checked, n_violations, violation_rate). Engineering
+    * shape, not per-rule scans: the six single-table lineitem rules
+    * fold into ONE conditional-aggregate pass (map-side partials, one
+    * row out), the referential rule is the q106 anti-join idiom
+    * (LEFT ANTI on the FK), and the cross-table ordering rule is one
+    * equi-join pass — so the battery costs two lineitem scans + one
+    * orders broadcast at any corpus size, not |rules| scans. All
+    * counts exact int64; the rate is one division rounded to 12.
+    */
+  private val q281 = QueryDef(
+    "q281_expectations_audit",
+    (s, dir) => {
+      val li = Fixtures.table(s, dir, "lineitem")
+      val ord = Fixtures.table(s, dir, "orders")
+      def viol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sum(when(c, 1L).otherwise(0L))
+      val single = li.agg(
+        count(lit(1)).as("n"),
+        viol(!(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0))
+          .as("v1"),
+        viol(!(col("l_discount") >= 0.0 && col("l_discount") <= 0.10))
+          .as("v2"),
+        viol(!col("l_returnflag").isin("A", "N", "R")).as("v3"),
+        viol(!col("l_linestatus").isin("O", "F")).as("v4"),
+        viol(!(col("l_extendedprice") > 0.0)).as("v5"),
+        viol(!(col("l_tax") >= 0.0 && col("l_tax") <= 0.08)).as("v6"))
+        .selectExpr("""stack(6,
+          'quantity_in_1_50',   n, v1,
+          'discount_in_0_010',  n, v2,
+          'returnflag_domain',  n, v3,
+          'linestatus_domain',  n, v4,
+          'extendedprice_pos',  n, v5,
+          'tax_in_0_008',       n, v6) AS (rule, n_checked, n_viol)""")
+      val orphan = li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("n_viol"))
+        .select(lit("lineitem_has_order").as("rule"), col("n_checked"),
+          col("n_viol"))
+      val shipAfter = li.select(col("l_orderkey"), col("l_shipdate"))
+        .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+            .otherwise(0L)).as("n_viol"))
+        .select(lit("ship_after_order").as("rule"), col("n_checked"),
+          col("n_viol"))
+      single.unionAll(orphan).unionAll(shipAfter)
+        .select(col("rule"), col("n_checked"), col("n_viol"),
+          round(col("n_viol").cast("double")
+            / col("n_checked").cast("double"), 12).as("viol_rate"))
+        .orderBy("rule")
+    },
+    Some("""WITH single AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(CASE WHEN NOT (l_quantity >= 1.0 AND l_quantity <= 50.0)
+            THEN 1 ELSE 0 END)::BIGINT AS v1,
+          sum(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.10)
+            THEN 1 ELSE 0 END)::BIGINT AS v2,
+          sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+            THEN 1 ELSE 0 END)::BIGINT AS v3,
+          sum(CASE WHEN l_linestatus NOT IN ('O', 'F')
+            THEN 1 ELSE 0 END)::BIGINT AS v4,
+          sum(CASE WHEN NOT (l_extendedprice > 0.0)
+            THEN 1 ELSE 0 END)::BIGINT AS v5,
+          sum(CASE WHEN NOT (l_tax >= 0.0 AND l_tax <= 0.08)
+            THEN 1 ELSE 0 END)::BIGINT AS v6
+        FROM lineitem),
+      rules AS (
+        SELECT 'quantity_in_1_50' AS rule, n AS n_checked, v1 AS n_viol
+          FROM single
+        UNION ALL SELECT 'discount_in_0_010', n, v2 FROM single
+        UNION ALL SELECT 'returnflag_domain', n, v3 FROM single
+        UNION ALL SELECT 'linestatus_domain', n, v4 FROM single
+        UNION ALL SELECT 'extendedprice_pos', n, v5 FROM single
+        UNION ALL SELECT 'tax_in_0_008', n, v6 FROM single
+        UNION ALL SELECT 'lineitem_has_order', count(*)::BIGINT,
+            sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+          FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL SELECT 'ship_after_order', count(*)::BIGINT,
+            sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0
+              END)::BIGINT
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT rule, n_checked, n_viol,
+        round(n_viol::DOUBLE / n_checked::DOUBLE, 12) AS viol_rate
+      FROM rules ORDER BY rule"""))
+
+  // ---------- q284: decision-stump split search ------------------------
+
+  /** The depth-1 CART fit — per feature, the threshold that maximizes
+    * Gini impurity reduction on the return outcome — which is both the
+    * first boosting iteration and the standard "is this feature worth
+    * anything" screen a feature platform runs before training. The
+    * distributed shape is what matters at 100 TB: the fact table folds
+    * in ONE pass into (feature × bounded-bin) cells (a stack unpivot
+    * feeding map-side partial aggregation — never one scan per
+    * feature), every candidate threshold's left/right counts then come
+    * from prefix sums over that ≤4×51-row table, and the per-feature
+    * argmax tie-breaks on the bin. Counts are exact int64; the Gini
+    * expressions are the identical IEEE tree over those ints on both
+    * engines, so the argmax is deterministic.
+    */
+  private val q284 = QueryDef(
+    "q284_decision_stump",
+    (s, dir) => {
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("feature")).orderBy(col("bin"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("feature"))
+      val cells = Fixtures.table(s, dir, "lineitem")
+        .select(
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+          col("l_quantity").cast("long").as("qbin"),
+          round(col("l_discount") * 100).cast("long").as("dbin"),
+          round(col("l_tax") * 100).cast("long").as("tbin"),
+          least(expr("cast(floor(l_extendedprice) AS BIGINT) div 10000"),
+            lit(9L)).as("pbin"))
+        .selectExpr("y", """stack(4,
+          'quantity',  qbin,
+          'discount',  dbin,
+          'tax',       tbin,
+          'price_10k', pbin) AS (feature, bin)""")
+        .groupBy(col("feature"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val gains = cells
+        .withColumn("nl", sum(col("n")).over(wf))
+        .withColumn("posl", sum(col("pos")).over(wf))
+        .withColumn("ntot", sum(col("n")).over(wt))
+        .withColumn("postot", sum(col("pos")).over(wt))
+        .where(col("ntot") > col("nl"))
+        .selectExpr("feature", "bin", "nl", "ntot - nl AS nr",
+          """1.0 - (CAST(postot AS DOUBLE) * CAST(postot AS DOUBLE)
+              + CAST(ntot - postot AS DOUBLE)
+                * CAST(ntot - postot AS DOUBLE))
+              / (CAST(ntot AS DOUBLE) * CAST(ntot AS DOUBLE))
+            - (CAST(nl AS DOUBLE) * (1.0
+                - (CAST(posl AS DOUBLE) * CAST(posl AS DOUBLE)
+                  + CAST(nl - posl AS DOUBLE) * CAST(nl - posl AS DOUBLE))
+                / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)))
+              + CAST(ntot - nl AS DOUBLE) * (1.0
+                - (CAST(postot - posl AS DOUBLE)
+                    * CAST(postot - posl AS DOUBLE)
+                  + CAST((ntot - nl) - (postot - posl) AS DOUBLE)
+                    * CAST((ntot - nl) - (postot - posl) AS DOUBLE))
+                / (CAST(ntot - nl AS DOUBLE)
+                  * CAST(ntot - nl AS DOUBLE))))
+              / CAST(ntot AS DOUBLE) AS gain""")
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("feature"))
+        .orderBy(col("gain").desc, col("bin"))
+      gains.withColumn("rk", row_number().over(wr))
+        .where(col("rk") === 1)
+        .select(col("feature"), col("bin").as("split_bin"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          round(col("gain"), 12).as("gini_gain"))
+        .orderBy("feature")
+    },
+    Some("""WITH cells AS (SELECT feature, bin, count(*)::BIGINT AS n,
+          sum(y)::BIGINT AS pos
+        FROM (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+            unnest(['quantity', 'discount', 'tax', 'price_10k'])
+              AS feature,
+            unnest([l_quantity::BIGINT,
+              round(l_discount * 100)::BIGINT,
+              round(l_tax * 100)::BIGINT,
+              least(floor(l_extendedprice)::BIGINT // 10000, 9)]) AS bin
+          FROM lineitem)
+        GROUP BY 1, 2),
+      gains AS (SELECT feature, bin, nl, ntot - nl AS nr,
+          1.0 - (postot::DOUBLE * postot::DOUBLE
+              + (ntot - postot)::DOUBLE * (ntot - postot)::DOUBLE)
+              / (ntot::DOUBLE * ntot::DOUBLE)
+            - (nl::DOUBLE * (1.0
+                - (posl::DOUBLE * posl::DOUBLE
+                  + (nl - posl)::DOUBLE * (nl - posl)::DOUBLE)
+                / (nl::DOUBLE * nl::DOUBLE))
+              + (ntot - nl)::DOUBLE * (1.0
+                - ((postot - posl)::DOUBLE * (postot - posl)::DOUBLE
+                  + ((ntot - nl) - (postot - posl))::DOUBLE
+                    * ((ntot - nl) - (postot - posl))::DOUBLE)
+                / ((ntot - nl)::DOUBLE * (ntot - nl)::DOUBLE)))
+              / ntot::DOUBLE AS gain
+        FROM (SELECT feature, bin,
+            sum(n) OVER (PARTITION BY feature ORDER BY bin)::BIGINT AS nl,
+            sum(pos) OVER (PARTITION BY feature ORDER BY bin)::BIGINT
+              AS posl,
+            sum(n) OVER (PARTITION BY feature)::BIGINT AS ntot,
+            sum(pos) OVER (PARTITION BY feature)::BIGINT AS postot
+          FROM cells)
+        WHERE ntot > nl)
+      SELECT feature, bin AS split_bin, nl AS n_left, nr AS n_right,
+        round(gain, 12) AS gini_gain
+      FROM (SELECT *, row_number() OVER (PARTITION BY feature
+          ORDER BY gain DESC, bin) AS rk FROM gains)
+      WHERE rk = 1 ORDER BY feature"""))
+
+  // ---------- q285: Mantel–Haenszel adjusted odds ratio ----------------
+
+  /** The FIX for what q263 detects: when strata (user activity bands)
+    * confound an exposure→outcome table, the crude odds ratio lies;
+    * Cochran–Mantel–Haenszel pools the per-stratum 2×2 tables into the
+    * stratum-adjusted OR_MH = Σₖ(aₖdₖ/nₖ) / Σₖ(bₖcₖ/nₖ) — the
+    * epidemiology-standard adjusted effect, here applied to the q255
+    * arm assignment (user_id mod 2) → purchase outcome with users
+    * stratified by total activity band. Exactness: all 2×2 cells are
+    * exact int64 from ONE user-keyed aggregate; each stratum's aₖdₖ/nₖ
+    * term is one double division of exact ints pinned to nano, the CMH
+    * numerator/denominator are exact integer sums of those, and the
+    * final OR is one division. Per-stratum ORs and the crude OR ship
+    * beside it so the confounding gap is visible. Shape: one
+    * corpus-sized groupBy(user); everything after is |strata| rows.
+    */
+  private val q285 = QueryDef(
+    "q285_mantel_haenszel",
+    (s, dir) => {
+      val users = Fixtures.table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_pur"))
+        .select(pmod(col("user_id"), lit(2L)).as("exposed"),
+          when(col("n_pur") >= 14L, 1L).otherwise(0L).as("outcome"),
+          least(greatest(expr("(n_ev - 50) div 10"), lit(0L)), lit(3L))
+            .as("stratum"))
+      val cells = users.groupBy(col("stratum"))
+        .agg(
+          sum(when(col("exposed") === 1L && col("outcome") === 1L, 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("exposed") === 1L && col("outcome") === 0L, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("exposed") === 0L && col("outcome") === 1L, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("exposed") === 0L && col("outcome") === 0L, 1L)
+            .otherwise(0L)).as("d"))
+        .withColumn("nk", col("a") + col("b") + col("c") + col("d"))
+      val mh = cells.agg(
+        sum(round(col("a").cast("double") * col("d").cast("double")
+          / col("nk").cast("double") * lit(1e9)).cast("long"))
+          .as("num_nano"),
+        sum(round(col("b").cast("double") * col("c").cast("double")
+          / col("nk").cast("double") * lit(1e9)).cast("long"))
+          .as("den_nano"),
+        sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+        sum(col("c")).as("tc"), sum(col("d")).as("td"))
+        .select(
+          round(col("num_nano").cast("double")
+            / expr("nullif(CAST(den_nano AS DOUBLE), 0.0)"), 12)
+            .as("or_mh"),
+          round(col("ta").cast("double") * col("td").cast("double")
+            / expr("nullif(CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE), 0.0)"),
+            12).as("or_crude"))
+      cells.crossJoin(broadcast(mh))
+        .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+          round(col("a").cast("double") * col("d").cast("double")
+            / expr("nullif(CAST(b AS DOUBLE) * CAST(c AS DOUBLE), 0.0)"),
+            12).as("or_stratum"),
+          col("or_mh"), col("or_crude"))
+        .orderBy("stratum")
+    },
+    Some("""WITH users AS (SELECT user_id % 2 AS exposed,
+          CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+            END) >= 14 THEN 1 ELSE 0 END AS outcome,
+          least(greatest((count(*) - 50) // 10, 0), 3) AS stratum
+        FROM events GROUP BY user_id),
+      cells AS (SELECT stratum,
+          sum(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0
+            END)::BIGINT AS a,
+          sum(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0
+            END)::BIGINT AS b,
+          sum(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0
+            END)::BIGINT AS c,
+          sum(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0
+            END)::BIGINT AS d
+        FROM users GROUP BY 1),
+      ck AS (SELECT *, a + b + c + d AS nk FROM cells),
+      mh AS (SELECT
+          sum(round(a::DOUBLE * d::DOUBLE / nk::DOUBLE * 1e9)::BIGINT)
+            ::BIGINT AS num_nano,
+          sum(round(b::DOUBLE * c::DOUBLE / nk::DOUBLE * 1e9)::BIGINT)
+            ::BIGINT AS den_nano,
+          sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb,
+          sum(c)::BIGINT AS tc, sum(d)::BIGINT AS td
+        FROM ck)
+      SELECT stratum, a, b, c, d,
+        round(a::DOUBLE * d::DOUBLE
+          / nullif(b::DOUBLE * c::DOUBLE, 0.0), 12) AS or_stratum,
+        round(num_nano::DOUBLE / nullif(den_nano::DOUBLE, 0.0), 12)
+          AS or_mh,
+        round(ta::DOUBLE * td::DOUBLE
+          / nullif(tb::DOUBLE * tc::DOUBLE, 0.0), 12) AS or_crude
+      FROM ck, mh ORDER BY stratum"""))
+
+  // ---------- q288: out-of-fold target encoding ------------------------
+
+  /** The leakage-SAFE version of q253: a row's own outcome must not
+    * leak into the feature that encodes it, so production target
+    * encoding is fit out-of-fold — fold f's encoding for a brand uses
+    * the OTHER folds' counts, enc_f = ((pos − pos_f) + 50·prior) /
+    * ((n − n_f) + 50). One fact pass into (brand × fold) cells is the
+    * only corpus-sized work; per-brand totals re-aggregate from the
+    * tiny cell table, so the whole fit costs the same single scan as
+    * the leaky version. The leak gap (full-fit minus OOF encoding,
+    * exact difference of micro-pinned ints) ships per cell — the
+    * measured size of the bias q253 silently bakes in. Deterministic
+    * fold = l_orderkey mod 5 (hash-free: orderkey is already
+    * uniform), prior from the full table (documented convention).
+    */
+  private val q288 = QueryDef(
+    "q288_oof_target_encoding",
+    (s, dir) => {
+      val cells = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"), pmod(col("l_orderkey"), lit(5L)).as("fold"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("fold"))
+        .agg(count(lit(1)).as("nf"), sum(col("y")).as("posf"))
+      val byBrand = cells.groupBy(col("p_brand"))
+        .agg(sum(col("nf")).as("n"), sum(col("posf")).as("pos"))
+      val prior = byBrand.agg(
+        (sum(col("pos")).cast("double") / sum(col("n")).cast("double"))
+          .as("prior"))
+      cells.join(byBrand, "p_brand").crossJoin(broadcast(prior))
+        .select(col("p_brand"), col("fold"), col("nf"),
+          expr("""CAST(round((CAST(pos - posf AS DOUBLE) + 50.0 * prior)
+            / (CAST(n - nf AS DOUBLE) + 50.0) * 1e6) AS BIGINT)""")
+            .as("enc_oof_micro"),
+          (expr("""CAST(round((CAST(pos AS DOUBLE) + 50.0 * prior)
+            / (CAST(n AS DOUBLE) + 50.0) * 1e6) AS BIGINT)""")
+            - expr("""CAST(round((CAST(pos - posf AS DOUBLE)
+              + 50.0 * prior)
+            / (CAST(n - nf AS DOUBLE) + 50.0) * 1e6) AS BIGINT)"""))
+            .as("leak_gap_micro"))
+        .orderBy("p_brand", "fold")
+    },
+    Some("""WITH cells AS (SELECT p_brand, l_orderkey % 5 AS fold,
+          count(*)::BIGINT AS nf,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS posf
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+      b AS (SELECT p_brand, sum(nf)::BIGINT AS n,
+          sum(posf)::BIGINT AS pos FROM cells GROUP BY 1),
+      g AS (SELECT sum(pos)::DOUBLE / sum(n)::DOUBLE AS prior FROM b)
+      SELECT p_brand, fold, nf,
+        round(((pos - posf)::DOUBLE + 50.0 * prior)
+          / ((n - nf)::DOUBLE + 50.0) * 1e6)::BIGINT AS enc_oof_micro,
+        round((pos::DOUBLE + 50.0 * prior) / (n::DOUBLE + 50.0)
+            * 1e6)::BIGINT
+          - round(((pos - posf)::DOUBLE + 50.0 * prior)
+            / ((n - nf)::DOUBLE + 50.0) * 1e6)::BIGINT
+          AS leak_gap_micro
+      FROM cells JOIN b USING (p_brand), g
+      ORDER BY p_brand, fold"""))
+
+  // ---------- q289: pinball-loss evaluation of a quantile predictor ----
+
+  /** Closes the loop q135 opens: the per-priority P90 ship-delay
+    * "predictor" is only as good as its measured quantile loss, and
+    * pinball (check) loss at τ = 0.9 is the proper scoring rule for a
+    * quantile — under-prediction costs 9×, so the minimizer IS the
+    * true P90. Both the predictor AND its evaluation run off the same
+    * (priority × delay-day) HISTOGRAM (the q135 bounded-domain trick):
+    * P90 is the smallest delay whose cumulative count reaches ⌈0.9n⌉,
+    * and the loss sum Σ c·max(9·(d−ŷ), ŷ−d) is an EXACT integer in
+    * tenth-day units computed from the same histogram cells — the
+    * corpus is scanned once, and nothing downstream exceeds
+    * |priorities|×|delays| rows. One division per priority at the end.
+    */
+  private val q289 = QueryDef(
+    "q289_pinball_eval",
+    (s, dir) => {
+      val hist = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("""timestampdiff(MICROSECOND,
+            TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)""")
+            .as("ship_us"))
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("""timestampdiff(MICROSECOND,
+              TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)""")
+              .as("ord_us")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          expr("(ship_us - ord_us) div 86400000000").as("d"))
+        .groupBy(col("o_orderpriority"), col("d"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+      val cum = hist
+        .withColumn("n", sum(col("c")).over(w))
+        .withColumn("cum", sum(col("c")).over(w.orderBy(col("d"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+      val p90 = cum
+        .groupBy(col("o_orderpriority").as("prio"), col("n"))
+        .agg(min(when(col("cum") >= ceil(col("n") * lit(0.9)), col("d")))
+          .as("yhat"))
+      hist.join(p90, col("o_orderpriority") === col("prio"))
+        .groupBy(col("o_orderpriority"), col("n"), col("yhat"))
+        .agg(sum(col("c") * greatest(lit(9L) * (col("d") - col("yhat")),
+          col("yhat") - col("d"))).as("loss_tenths"))
+        .select(col("o_orderpriority"), col("n").as("n_items"),
+          col("yhat").as("p90_days"), col("loss_tenths"),
+          round(col("loss_tenths").cast("double") / lit(10.0)
+            / col("n").cast("double"), 12).as("mean_pinball"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH h AS (SELECT o_orderpriority,
+          (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000
+            AS d, count(*)::BIGINT AS c
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1, 2),
+      cum AS (SELECT o_orderpriority, d, c,
+          sum(c) OVER (PARTITION BY o_orderpriority)::BIGINT AS n,
+          sum(c) OVER (PARTITION BY o_orderpriority ORDER BY d)::BIGINT
+            AS cum
+        FROM h),
+      p90 AS (SELECT o_orderpriority, n,
+          min(CASE WHEN cum >= ceil(n * 0.9) THEN d END)::BIGINT AS yhat
+        FROM cum GROUP BY 1, 2)
+      SELECT h.o_orderpriority, n AS n_items, yhat AS p90_days,
+        sum(c * greatest(9 * (d - yhat), yhat - d))::BIGINT
+          AS loss_tenths,
+        round(sum(c * greatest(9 * (d - yhat), yhat - d))::DOUBLE / 10.0
+          / n::DOUBLE, 12) AS mean_pinball
+      FROM h JOIN p90 USING (o_orderpriority)
+      GROUP BY 1, 2, 3 ORDER BY o_orderpriority"""))
+
+  // ---------- q291: directed association rules -------------------------
+
+  /** The rule-mining deliverable q158's symmetric lift table stops
+    * short of: DIRECTED rules A→B with the four standard measures —
+    * confidence n_AB/n_A (the recommender's conditional), lift,
+    * leverage (observed-minus-expected support) and conviction
+    * ((1−supp_B)/(1−conf), the implication-strength odds) — filtered
+    * by minimum support and ranked by confidence. Each undirected
+    * co-purchase pair fans into exactly two candidate rules (a ×2 map
+    * on the cached pair table — zero new corpus passes; baskets,
+    * pairs and part counts all come from the PlanCache). Measures are
+    * single divisions of exact int64 counts in identical textual
+    * order; conviction NULLIF-guards confidence = 1. TakeOrdered
+    * top-30, tie-broken on (antecedent, consequent).
+    */
+  private val q291 = QueryDef(
+    "q291_association_rules",
+    (s, dir) => {
+      val baskets = copurchaseBaskets(s, dir)
+      val pairs = copurchasePairs(s, dir)
+      val pc = baskets.select(explode(col("parts")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      val tot = baskets.agg(count(lit(1)).as("n_ord"))
+      val directed = pairs.select(col("part_a").as("ante"),
+          col("part_b").as("cons"), col("n_orders").as("n_both"))
+        .unionAll(pairs.select(col("part_b").as("ante"),
+          col("part_a").as("cons"), col("n_orders").as("n_both")))
+      directed
+        .where(col("n_both") >= 3L)
+        .join(broadcast(pc.select(col("pk").as("ante"),
+          col("n").as("n_a"))), "ante")
+        .join(broadcast(pc.select(col("pk").as("cons"),
+          col("n").as("n_c"))), "cons")
+        .crossJoin(broadcast(tot))
+        .selectExpr("ante", "cons", "n_both", "n_a", "n_c",
+          """round(CAST(n_both AS DOUBLE) / CAST(n_a AS DOUBLE), 12)
+            AS confidence""",
+          """round(CAST(n_both AS DOUBLE) * CAST(n_ord AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) * CAST(n_c AS DOUBLE)), 12) AS lift""",
+          """round(CAST(n_both AS DOUBLE) / CAST(n_ord AS DOUBLE)
+            - (CAST(n_a AS DOUBLE) / CAST(n_ord AS DOUBLE))
+              * (CAST(n_c AS DOUBLE) / CAST(n_ord AS DOUBLE)), 12)
+            AS leverage""",
+          """round((1.0 - CAST(n_c AS DOUBLE) / CAST(n_ord AS DOUBLE))
+            / nullif(1.0 - CAST(n_both AS DOUBLE) / CAST(n_a AS DOUBLE),
+              0.0), 12) AS conviction""")
+        .orderBy(col("confidence").desc, col("ante"), col("cons"))
+        .limit(30)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem),
+      pc AS (SELECT l_partkey, count(*)::BIGINT AS n FROM li
+        GROUP BY 1),
+      tot AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_ord
+        FROM lineitem),
+      pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+          count(*)::BIGINT AS n_both
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      directed AS (
+        SELECT part_a AS ante, part_b AS cons, n_both FROM pr
+        UNION ALL
+        SELECT part_b AS ante, part_a AS cons, n_both FROM pr)
+      SELECT ante, cons, n_both, pa.n AS n_a, pb.n AS n_c,
+        round(n_both::DOUBLE / pa.n::DOUBLE, 12) AS confidence,
+        round(n_both::DOUBLE * n_ord::DOUBLE
+          / (pa.n::DOUBLE * pb.n::DOUBLE), 12) AS lift,
+        round(n_both::DOUBLE / n_ord::DOUBLE
+          - (pa.n::DOUBLE / n_ord::DOUBLE)
+            * (pb.n::DOUBLE / n_ord::DOUBLE), 12) AS leverage,
+        round((1.0 - pb.n::DOUBLE / n_ord::DOUBLE)
+          / nullif(1.0 - n_both::DOUBLE / pa.n::DOUBLE, 0.0), 12)
+          AS conviction
+      FROM directed
+      JOIN pc pa ON pa.l_partkey = ante
+      JOIN pc pb ON pb.l_partkey = cons
+      CROSS JOIN tot
+      WHERE n_both >= 3
+      ORDER BY confidence DESC, ante, cons LIMIT 30"""))
+
+  // ---------- q292: Benjamini–Hochberg FDR over per-brand tests --------
+
+  /** Which brands have a return rate GENUINELY different from the
+    * corpus, after multiple-testing correction? 25 simultaneous
+    * one-sample z-tests at α = 0.05 would expect ~1.25 false alarms;
+    * Benjamini–Hochberg controls the false-discovery rate instead:
+    * sort p-values, find the largest i with p₍ᵢ₎ ≤ i·α/m, reject
+    * everything at or below it. Neither engine ships a normal CDF, so
+    * the p-value runs through [[graft.ops.Portable.normCdfUpper]] —
+    * the A&S 26.2.17 polynomial as ONE dialect-free expression text,
+    * bit-identical on both engines (the portability contract is the
+    * polynomial itself). Shape: one fact pass into |brands| cells;
+    * the sort, rank and step-up scan are windows over 25 rows.
+    */
+  private val q292 = QueryDef(
+    "q292_bh_fdr",
+    (s, dir) => {
+      val cells = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_b"), sum(col("y")).as("pos_b"))
+      val glob = cells.agg(sum(col("n_b")).as("n"),
+        sum(col("pos_b")).as("pos"))
+      val scored = cells.crossJoin(broadcast(glob))
+        .selectExpr("p_brand", "n_b", "pos_b",
+          """(CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+             - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+            / sqrt((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n_b AS DOUBLE)) AS z""")
+        .selectExpr("p_brand", "n_b", "pos_b", "z",
+          s"2.0 * ${graft.ops.Portable.normCdfUpper("abs(z)")} AS p")
+      val m = 25
+      val wRank = org.apache.spark.sql.expressions.Window
+        .orderBy(col("p"), col("p_brand"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy(col("p"), col("p_brand"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)
+      scored
+        .withColumn("i", row_number().over(wRank).cast("long"))
+        .withColumn("thr", col("i").cast("double") * lit(0.05) / lit(m))
+        .withColumn("kmax", max(when(col("p") <= col("thr"), col("i")))
+          .over(wAll))
+        .select(col("p_brand"), col("n_b"), col("pos_b"),
+          round(col("z"), 12).as("z"), round(col("p"), 12).as("p_value"),
+          col("i").as("p_rank"),
+          round(col("thr"), 12).as("bh_threshold"),
+          (col("i") <= coalesce(col("kmax"), lit(0L))).as("rejected"))
+        .orderBy("p_rank")
+    },
+    Some(s"""WITH cells AS (SELECT p_brand, count(*)::BIGINT AS n_b,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS pos_b
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      g AS (SELECT sum(n_b)::BIGINT AS n, sum(pos_b)::BIGINT AS pos
+        FROM cells),
+      scored AS (SELECT p_brand, n_b, pos_b,
+          (pos_b::DOUBLE / n_b::DOUBLE - pos::DOUBLE / n::DOUBLE)
+            / sqrt((pos::DOUBLE / n::DOUBLE)
+              * (1.0 - pos::DOUBLE / n::DOUBLE) / n_b::DOUBLE) AS z
+        FROM cells, g),
+      pv AS (SELECT *,
+          2.0 * ${graft.ops.Portable.normCdfUpper("abs(z)")} AS p
+        FROM scored),
+      ranked AS (SELECT *,
+          row_number() OVER (ORDER BY p, p_brand) AS i FROM pv),
+      thr AS (SELECT *, i::DOUBLE * 0.05 / 25 AS thr FROM ranked),
+      k AS (SELECT max(CASE WHEN p <= thr THEN i END) AS kmax FROM thr)
+      SELECT p_brand, n_b, pos_b, round(z, 12) AS z,
+        round(p, 12) AS p_value, i::BIGINT AS p_rank,
+        round(thr, 12) AS bh_threshold,
+        i <= coalesce(kmax, 0) AS rejected
+      FROM thr, k ORDER BY p_rank"""))
+
+  // ---------- q293: Brier-score (Murphy) decomposition -----------------
+
+  /** The third calibration lens beside q272's ECE and q277's isotonic
+    * repair: Murphy's decomposition Brier = REL − RES + UNC splits the
+    * quadratic score of the q253 brand encoding into reliability (how
+    * far predicted probabilities sit from realized rates — what
+    * calibration can fix), resolution (how much the bins separate
+    * outcomes — what only a better MODEL can improve) and the
+    * outcome's inherent uncertainty. Per-bin and base rates come from
+    * the same q272 bin cells; every squared-gap term pins to integer
+    * nano-units BEFORE the N-weighted total (exact DECIMAL-lifted
+    * integer sums), so all three components and their recombination
+    * are bit-stable. Shape: one fact pass into ≤50 bins, constant
+    * work after.
+    */
+  private val q293 = QueryDef(
+    "q293_brier_decomposition",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val byBrand = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      val prior = byBrand.agg(
+        (sum(col("n_pos")).cast("double") / sum(col("n")).cast("double"))
+          .as("prior"))
+      val enc = byBrand.crossJoin(broadcast(prior))
+        .select(col("p_brand"),
+          expr("""CAST(round((CAST(n_pos AS DOUBLE) + 50.0 * prior)
+            / (CAST(n AS DOUBLE) + 50.0) * 1e6) AS BIGINT)""")
+            .as("conf_micro"))
+      val binned = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(enc), Seq("p_brand"))
+        .select(col("y"), col("conf_micro"),
+          least(expr("conf_micro div 20000"), lit(49L)).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("conf_micro").cast("decimal(38,0)")).as("sconf"))
+      val base = binned.agg((sum(col("sy")).cast("double")
+        / sum(col("n")).cast("double")).as("base"),
+        sum(col("n")).as("ntot"))
+      binned.crossJoin(broadcast(base))
+        .selectExpr("n", "ntot", "base",
+          """CAST(round(power(CAST(sconf AS DOUBLE) / 1e6
+              / CAST(n AS DOUBLE)
+            - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2) * 1e9)
+            AS BIGINT) AS rel_nano""",
+          """CAST(round(power(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+            - base, 2) * 1e9) AS BIGINT) AS res_nano""")
+        .groupBy(col("ntot"), col("base"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum((col("n") * col("rel_nano"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("srel"),
+          sum((col("n") * col("res_nano"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sres"))
+        .selectExpr("n_bins",
+          """round(CAST(srel AS DOUBLE) / CAST(ntot AS DOUBLE) / 1e9, 12)
+            AS reliability""",
+          """round(CAST(sres AS DOUBLE) / CAST(ntot AS DOUBLE) / 1e9, 12)
+            AS resolution""",
+          "round(base * (1.0 - base), 12) AS uncertainty",
+          """round(CAST(srel AS DOUBLE) / CAST(ntot AS DOUBLE) / 1e9
+            - CAST(sres AS DOUBLE) / CAST(ntot AS DOUBLE) / 1e9
+            + base * (1.0 - base), 12) AS brier""")
+    },
+    Some("""WITH b AS (SELECT p_brand, count(*)::BIGINT AS n,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS n_pos
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      g AS (SELECT sum(n_pos)::DOUBLE / sum(n)::DOUBLE AS prior FROM b),
+      enc AS (SELECT p_brand,
+          round((n_pos::DOUBLE + 50.0 * prior) / (n::DOUBLE + 50.0)
+            * 1e6)::BIGINT AS conf_micro
+        FROM b, g),
+      binned AS (SELECT bin, count(*)::BIGINT AS n,
+          sum(y)::BIGINT AS sy, sum(conf_micro) AS sconf
+        FROM (SELECT least(conf_micro // 20000, 49) AS bin,
+            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+            conf_micro
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN enc USING (p_brand))
+        GROUP BY 1),
+      base AS (SELECT sum(sy)::DOUBLE / sum(n)::DOUBLE AS base,
+          sum(n)::BIGINT AS ntot FROM binned),
+      terms AS (SELECT n, ntot, base,
+          round(power(sconf::DOUBLE / 1e6 / n::DOUBLE
+            - sy::DOUBLE / n::DOUBLE, 2) * 1e9)::BIGINT AS rel_nano,
+          round(power(sy::DOUBLE / n::DOUBLE - base, 2)
+            * 1e9)::BIGINT AS res_nano
+        FROM binned, base)
+      SELECT count(*)::BIGINT AS n_bins,
+        round(sum(n::HUGEINT * rel_nano)::DOUBLE / ntot::DOUBLE / 1e9,
+          12) AS reliability,
+        round(sum(n::HUGEINT * res_nano)::DOUBLE / ntot::DOUBLE / 1e9,
+          12) AS resolution,
+        round(base * (1.0 - base), 12) AS uncertainty,
+        round(sum(n::HUGEINT * rel_nano)::DOUBLE / ntot::DOUBLE / 1e9
+          - sum(n::HUGEINT * res_nano)::DOUBLE / ntot::DOUBLE / 1e9
+          + base * (1.0 - base), 12) AS brier
+      FROM terms GROUP BY ntot, base"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -4273,5 +5094,6 @@ object Analytics {
       q203, q207, q208, q209, q210, q211, q212, q214, q218, q219, q221,
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
-      q261, q263, q266, q267, q269, q270, q272, q275)
+      q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
+      q285, q288, q289, q291, q292, q293)
 }

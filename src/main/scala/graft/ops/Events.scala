@@ -2746,10 +2746,328 @@ object Events {
           / count(*)::DOUBLE, 12) AS error_share
       FROM f GROUP BY 1 ORDER BY user_id"""))
 
+  // ---------- q282: SPRT error-rate monitor -----------------------------
+
+  /** Wald's sequential probability ratio test on the daily error rate —
+    * the release-health monitor that is allowed to STOP EARLY: unlike
+    * q205's fixed-horizon CI, the SPRT walks a cumulative
+    * log-likelihood ratio (H₀: p = 0.18 vs H₁: p = 0.22, α = β = 0.05)
+    * and declares the moment the walk crosses ln((1−β)/α) (reject H₀ —
+    * error rate has regressed) or ln(β/(1−α)) (accept H₀), with exact
+    * error-rate guarantees at any peeking cadence — the fix for the
+    * peeking problem that invalidates naive daily re-testing of a CI.
+    * Determinism: both per-observation log-LR increments are constants
+    * computed by one ln() each and pinned to integer nano-units; a
+    * day's increment is then x·A + (n−x)·B exact int64, the cumulative
+    * walk is an integer prefix sum over the ≤|days| daily table, and
+    * the boundary compare is integer-vs-integer. Shape: one
+    * corpus-sized conditional aggregate into |days| rows; the window
+    * runs on the tiny daily table.
+    */
+  private val q282 = QueryDef(
+    "q282_sprt_monitor",
+    (s, dir) => {
+      val a = round(log(lit(0.22) / lit(0.18)) * lit(1e9)).cast("long")
+      val b = round(log(lit(0.78) / lit(0.82)) * lit(1e9)).cast("long")
+      val up = round(log(lit(0.95) / lit(0.05)) * lit(1e9)).cast("long")
+      val lo = round(log(lit(0.05) / lit(0.95)) * lit(1e9)).cast("long")
+      val wd = Window.orderBy(col("day"))
+      ev(s, dir)
+        .select(col("ts").cast("date").as("day"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("e")).as("x"))
+        .withColumn("llr_nano",
+          sum(col("x") * a + (col("n") - col("x")) * b).over(wd))
+        .select(col("day"), col("n"), col("x"),
+          round(col("llr_nano").cast("double") / lit(1e9), 12).as("llr"),
+          when(col("llr_nano") >= up, "reject_h0")
+            .when(col("llr_nano") <= lo, "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n,
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+            AS x
+        FROM events GROUP BY 1),
+      c AS (SELECT round(ln(0.22 / 0.18) * 1e9)::BIGINT AS a,
+          round(ln(0.78 / 0.82) * 1e9)::BIGINT AS b,
+          round(ln(0.95 / 0.05) * 1e9)::BIGINT AS up,
+          round(ln(0.05 / 0.95) * 1e9)::BIGINT AS lo),
+      walk AS (SELECT day, n, x,
+          sum(x * a + (n - x) * b) OVER (ORDER BY day)::BIGINT
+            AS llr_nano, up, lo
+        FROM daily, c)
+      SELECT day, n, x,
+        round(llr_nano::DOUBLE / 1e9, 12) AS llr,
+        CASE WHEN llr_nano >= up THEN 'reject_h0'
+          WHEN llr_nano <= lo THEN 'accept_h0'
+          ELSE 'continue' END AS decision
+      FROM walk ORDER BY day"""))
+
+  // ---------- q283: Markov entropy rate ---------------------------------
+
+  /** How predictable is user behavior? The entropy rate of q87's
+    * empirical Markov chain — H = −Σᵢ πᵢ Σⱼ Pᵢⱼ ln Pᵢⱼ, with πᵢ the
+    * empirical share of transitions leaving state i — plus each
+    * state's conditional entropy H(next|cur = i): the single number
+    * that says whether a next-action model can possibly beat chance,
+    * and which states drive the uncertainty. Determinism: ln runs once
+    * per (cur, nxt) CELL of the |types|² transition table (never per
+    * event) and pins to nano-units; every weighted sum after that is
+    * exact integer arithmetic (DECIMAL-lifted products), divided once
+    * per output row. Shape: the corpus collapses through q87's lead
+    * window + |types|²-row aggregate; everything downstream is
+    * constant-size.
+    */
+  private val q283 = QueryDef(
+    "q283_entropy_rate",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val perCur = trans.groupBy(col("cur"))
+        .agg(sum(col("n")).as("ncur"),
+          sum((col("n") * round(log(col("n").cast("double"))
+              * lit(1e9)).cast("long")).cast(DecimalType(38, 0)))
+            .as("s_nlogn"))
+        .select(col("cur"), col("ncur"),
+          // H_i = ln(n_i·) − Σ n_ij ln n_ij / n_i·  (exact ints + 2 ln)
+          (round(log(col("ncur").cast("double")) * lit(1e9))
+            .cast("long").cast("double") / lit(1e9)
+            - col("s_nlogn").cast("double")
+              / col("ncur").cast("double") / lit(1e9)).as("h_cond"))
+      val total = perCur.agg(sum(col("ncur")).as("ntot"),
+        sum((col("ncur") * round(col("h_cond") * lit(1e9)).cast("long"))
+          .cast(DecimalType(38, 0))).as("s_wh"))
+        .select(col("ntot"),
+          (col("s_wh").cast("double") / col("ntot").cast("double")
+            / lit(1e9)).as("h_rate"))
+      perCur.crossJoin(broadcast(total))
+        .select(col("cur"), col("ncur").as("n_out"),
+          round(col("ncur").cast("double") / col("ntot").cast("double"),
+            12).as("pi"),
+          round(col("h_cond"), 12).as("h_cond"),
+          round(col("h_rate"), 12).as("h_rate"))
+        .orderBy("cur")
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type AS cur,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS nxt
+        FROM events),
+      t AS (SELECT cur, nxt, count(*)::BIGINT AS n FROM seq
+        WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      pc AS (SELECT cur, sum(n)::BIGINT AS ncur,
+          sum(n::HUGEINT * round(ln(n::DOUBLE) * 1e9)::BIGINT) AS s_nlogn
+        FROM t GROUP BY 1),
+      hc AS (SELECT cur, ncur,
+          round(ln(ncur::DOUBLE) * 1e9)::BIGINT::DOUBLE / 1e9
+            - s_nlogn::DOUBLE / ncur::DOUBLE / 1e9 AS h_cond
+        FROM pc),
+      tot AS (SELECT sum(ncur)::BIGINT AS ntot,
+          sum(ncur::HUGEINT * round(h_cond * 1e9)::BIGINT)::DOUBLE
+            / sum(ncur)::DOUBLE / 1e9 AS h_rate
+        FROM hc)
+      SELECT cur, ncur AS n_out,
+        round(ncur::DOUBLE / ntot::DOUBLE, 12) AS pi,
+        round(h_cond, 12) AS h_cond, round(h_rate, 12) AS h_rate
+      FROM hc, tot ORDER BY cur"""))
+
+  // ---------- q286: finite-horizon absorption probabilities ------------
+
+  /** "From each state, how likely is a user to PURCHASE within k steps
+    * before hitting an ERROR?" — the absorbing-chain read of q87's
+    * transition matrix that turns next-step probabilities into an
+    * actionable funnel metric (which states are k steps from revenue,
+    * which are error traps). fₖ(s) is the exact k-step recursion
+    * f₀ = [s=purchase], fₖ₊₁(s) = [s=purchase] + [s transient]·Σₜ
+    * P(s→t)·fₖ(t), unrolled four fixed iterations — a deterministic,
+    * SQL-expressible quantity (no convergence loop). Exactness: the
+    * transition probabilities pin once to nano-units, each iteration's
+    * matrix–vector product is an exact integer dot product
+    * (DECIMAL-lifted: pₙₐₙₒ·fₙₐₙₒ ≈ 1e18 per term) renormalized by the
+    * SAME integer-rounding division on both engines, so all four
+    * vectors are bit-identical. Shape: the corpus collapses through
+    * q87's window+aggregate into a |types|²-row matrix; the four
+    * chained joins run on constant-size tables (broadcast).
+    */
+  private val q286 = QueryDef(
+    "q286_absorption_horizon",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val matrix = trans
+        .withColumn("ncur", sum(col("n"))
+          .over(Window.partitionBy(col("cur"))))
+        .select(col("cur"), col("nxt"),
+          round(col("n").cast("double") / col("ncur").cast("double")
+            * lit(1e9)).cast("long").as("p_nano"))
+      val states = matrix.select(col("cur").as("state")).distinct()
+      // f0: 1e9 at the purchase state, 0 elsewhere
+      val f0 = states.select(col("state"),
+        when(col("state") === "purchase", lit(1000000000L)).otherwise(0L)
+          .as("f"))
+      def step(fk: DataFrame): DataFrame =
+        matrix.join(broadcast(fk), col("nxt") === col("state"))
+          .groupBy(col("cur"))
+          .agg(expr("""(CAST(sum(CAST(p_nano AS DECIMAL(38,0))
+              * CAST(f AS DECIMAL(38,0))) + 500000000
+              AS DECIMAL(38,0))) div 1000000000""").as("acc"))
+          .join(broadcast(states), col("cur") === col("state"), "right")
+          .select(col("state"),
+            when(col("state") === "purchase", lit(1000000000L))
+              .when(col("state") === "error", lit(0L))
+              .otherwise(coalesce(col("acc"), lit(0L))).as("f"))
+      val f1 = step(f0); val f2 = step(f1)
+      val f3 = step(f2); val f4 = step(f3)
+      def named(df: DataFrame, c: String): DataFrame =
+        df.select(col("state"),
+          round(col("f").cast("double") / lit(1e9), 9).as(c))
+      named(f1, "p_hit_1")
+        .join(named(f2, "p_hit_2"), "state")
+        .join(named(f3, "p_hit_3"), "state")
+        .join(named(f4, "p_hit_4"), "state")
+        .orderBy("state")
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type AS cur,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS nxt
+        FROM events),
+      t AS (SELECT cur, nxt, count(*)::BIGINT AS n FROM seq
+        WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      m AS (SELECT cur, nxt,
+          round(n::DOUBLE / (sum(n) OVER (PARTITION BY cur))::DOUBLE
+            * 1e9)::BIGINT AS p_nano
+        FROM t),
+      states AS (SELECT DISTINCT cur AS state FROM m),
+      f0 AS (SELECT state, CASE WHEN state = 'purchase'
+          THEN 1000000000 ELSE 0 END::BIGINT AS f FROM states),
+      f1 AS (SELECT s.state, CASE WHEN s.state = 'purchase'
+            THEN 1000000000 WHEN s.state = 'error' THEN 0
+            ELSE coalesce(a.acc, 0) END::BIGINT AS f
+        FROM states s LEFT JOIN (SELECT cur,
+            (sum(p_nano::HUGEINT * f::HUGEINT) + 500000000)
+              // 1000000000 AS acc
+          FROM m JOIN f0 ON nxt = state GROUP BY cur) a
+          ON a.cur = s.state),
+      f2 AS (SELECT s.state, CASE WHEN s.state = 'purchase'
+            THEN 1000000000 WHEN s.state = 'error' THEN 0
+            ELSE coalesce(a.acc, 0) END::BIGINT AS f
+        FROM states s LEFT JOIN (SELECT cur,
+            (sum(p_nano::HUGEINT * f::HUGEINT) + 500000000)
+              // 1000000000 AS acc
+          FROM m JOIN f1 ON nxt = state GROUP BY cur) a
+          ON a.cur = s.state),
+      f3 AS (SELECT s.state, CASE WHEN s.state = 'purchase'
+            THEN 1000000000 WHEN s.state = 'error' THEN 0
+            ELSE coalesce(a.acc, 0) END::BIGINT AS f
+        FROM states s LEFT JOIN (SELECT cur,
+            (sum(p_nano::HUGEINT * f::HUGEINT) + 500000000)
+              // 1000000000 AS acc
+          FROM m JOIN f2 ON nxt = state GROUP BY cur) a
+          ON a.cur = s.state),
+      f4 AS (SELECT s.state, CASE WHEN s.state = 'purchase'
+            THEN 1000000000 WHEN s.state = 'error' THEN 0
+            ELSE coalesce(a.acc, 0) END::BIGINT AS f
+        FROM states s LEFT JOIN (SELECT cur,
+            (sum(p_nano::HUGEINT * f::HUGEINT) + 500000000)
+              // 1000000000 AS acc
+          FROM m JOIN f3 ON nxt = state GROUP BY cur) a
+          ON a.cur = s.state)
+      SELECT f1.state, round(f1.f::DOUBLE / 1e9, 9) AS p_hit_1,
+        round(f2.f::DOUBLE / 1e9, 9) AS p_hit_2,
+        round(f3.f::DOUBLE / 1e9, 9) AS p_hit_3,
+        round(f4.f::DOUBLE / 1e9, 9) AS p_hit_4
+      FROM f1 JOIN f2 USING (state) JOIN f3 USING (state)
+        JOIN f4 USING (state)
+      ORDER BY state"""))
+
+  // ---------- q290: Hill tail-index of per-user spend -------------------
+
+  /** HOW heavy is the whale tail? q162's Pareto table says the top 20 %
+    * hold X % of revenue; the Hill estimator gives the tail EXPONENT
+    * α̂ = 1 + k/Σᵢ ln(xᵢ/x₍ₖ₊₁₎) over the k largest per-user
+    * spends (k = 50, degrading to n/2 on tiny fixtures)
+    * — the number that says whether mean spend even CONVERGES (α ≤ 2:
+    * plan for single users moving aggregate metrics). Scale shape: the
+    * corpus folds into per-user integer-micro spend (one shuffle), the
+    * k+1 head comes from a TakeOrdered limit (per-shard heads, no
+    * global sort), and everything after runs on 51 rows. Exactness:
+    * spends are exact int64 micro; each ln(xᵢ/x₍ₖ₊₁₎) is one libm call
+    * on an identical double ratio, pinned to nano; the Σ is an exact
+    * integer sum; α̂ is one guarded division. Ties at the boundary are
+    * broken by user_id — the same total order on both engines.
+    */
+  private val q290 = QueryDef(
+    "q290_hill_tail_index",
+    (s, dir) => {
+      val wTop = Window.orderBy(col("spend_micro").desc, col("user_id"))
+      val spend = ev(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(expr("cast(round(value * 1e6) AS BIGINT)"))
+          .as("spend_micro"))
+      // adaptive k: 50 at corpus scale, n/2 on tiny fixtures, so the
+      // estimator is defined at any SF
+      val kk = spend.agg(least(lit(50L),
+        (count(lit(1)) / 2).cast("long")).as("kv"))
+      val top = spend
+        .orderBy(col("spend_micro").desc, col("user_id"))
+        .limit(51)
+        // 51-row table from here on: the single-partition window is
+        // k-sized by construction, never corpus-sized
+        .withColumn("rn", row_number().over(wTop))
+        .crossJoin(broadcast(kk))
+      val xk = top.where(col("rn") === col("kv") + 1)
+        .select(col("spend_micro").as("xk"))
+      top.where(col("rn") <= col("kv"))
+        .crossJoin(broadcast(xk))
+        .select(round(log(col("spend_micro").cast("double")
+          / col("xk").cast("double")) * lit(1e9)).cast("long")
+          .as("t_nano"), col("xk"))
+        .groupBy(col("xk"))
+        .agg(count(lit(1)).as("k"), sum(col("t_nano")).as("sum_log_nano"))
+        .select(col("k"), col("xk").as("xk_micro"), col("sum_log_nano"),
+          round(lit(1.0) + col("k").cast("double") * lit(1e9)
+            / expr("nullif(CAST(sum_log_nano AS DOUBLE), 0.0)"), 12)
+            .as("alpha"))
+    },
+    Some("""WITH spend AS (SELECT user_id,
+          sum(round(value * 1e6)::BIGINT)::BIGINT AS spend_micro
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      kk AS (SELECT least(50, count(*) // 2)::BIGINT AS kv FROM spend),
+      ranked AS (SELECT spend_micro, row_number() OVER
+          (ORDER BY spend_micro DESC, user_id) AS rn FROM spend),
+      xk AS (SELECT spend_micro AS xk FROM ranked, kk
+        WHERE rn = kv + 1),
+      t AS (SELECT round(ln(spend_micro::DOUBLE / xk::DOUBLE)
+            * 1e9)::BIGINT AS t_nano, xk
+        FROM ranked, xk, kk WHERE rn <= kv)
+      SELECT count(*)::BIGINT AS k, xk AS xk_micro,
+        sum(t_nano)::BIGINT AS sum_log_nano,
+        round(1.0 + count(*)::DOUBLE * 1e9
+          / nullif(sum(t_nano)::DOUBLE, 0.0), 12) AS alpha
+      FROM t GROUP BY xk"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
-      q273, q276)
+      q273, q276, q282, q283, q286, q290)
 }

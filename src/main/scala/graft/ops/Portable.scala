@@ -25,4 +25,25 @@ private[graft] object Portable {
     s"CASE WHEN ${h32Duck("'doc_' || doc_id")} % 100 < 80 THEN 'train' " +
       s"WHEN ${h32Duck("'doc_' || doc_id")} % 100 < 90 THEN 'val' " +
       "ELSE 'test' END"
+
+  /** Standard normal CDF Φ(z) for z ≥ 0 as ONE SQL expression —
+    * Abramowitz & Stegun 26.2.17 (|ε| < 7.5e-8): Φ(z) = 1 − φ(z)·
+    * (b₁t + b₂t² + b₃t³ + b₄t⁴ + b₅t⁵), t = 1/(1 + 0.2316419·z).
+    * Neither Spark nor DuckDB ships Φ/erf as a builtin, so the
+    * polynomial IS the portability contract: the same literal
+    * arithmetic (plus one libm exp on an identical input) evaluates
+    * bit-identically on both engines. `z` must be a non-negative
+    * expression (callers pass abs(z) and double for two-sided tests).
+    * Dialect-free: only arithmetic, exp() and literals — the returned
+    * text is valid in BOTH Spark SQL and DuckDB.
+    */
+  def normCdfUpper(z: String): String = {
+    // upper tail Q(z) = 1 − Φ(z); callers build p-values directly
+    val t = s"(1.0 / (1.0 + 0.2316419 * ($z)))"
+    val poly = s"(0.319381530 * $t - 0.356563782 * $t * $t " +
+      s"+ 1.781477937 * $t * $t * $t " +
+      s"- 1.821255978 * $t * $t * $t * $t " +
+      s"+ 1.330274429 * $t * $t * $t * $t * $t)"
+    s"(exp(-(($z) * ($z)) / 2.0) / 2.5066282746310002 * $poly)"
+  }
 }

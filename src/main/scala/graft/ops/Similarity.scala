@@ -1468,7 +1468,106 @@ object Similarity {
       SELECT dim_i::BIGINT AS dim_i, dim_j::BIGINT AS dim_j, corr
       FROM corr ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT 10"""))
 
+  // ---------- q280: random-projection (JL) distortion audit -----------
+
+  /** Does a cheap ±1 random projection (Achlioptas 2003 /
+    * Johnson–Lindenstrauss) preserve this corpus's distances well
+    * enough to run ANN on 16 dims instead of 64? The audit projects
+    * every embedding through a DETERMINISTIC sign matrix s(i,j) =
+    * ±1 from a portable integer hash ((i·73856093 + j·19349663) mod 97
+    * < 48 — pure int64 arithmetic, identical on both engines), then
+    * measures the distortion ratio ‖Rv₁−Rv₂‖²/(k·‖v₁−v₂‖²) on the
+    * deterministic consecutive-id pair sample (vec_id, vec_id+1).
+    * Exactness: coordinates pin once to integer 1e-7 units, so
+    * projections are exact int64 dot products with ±1 (sum order
+    * free), both squared distances are exact integers (DECIMAL-lifted
+    * where the square can pass int64), and each pair's ratio is ONE
+    * double division pinned to nano before the per-label mean.
+    * Shape at 100 TB: the projection is a narrow per-row pass (a
+    * 1024-row broadcast sign table, map-side aggregate per (vec, j));
+    * the pair sample joins on an equi-key; output is |labels| rows.
+    */
+  private val q280 = QueryDef(
+    "q280_jl_distortion",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val elems = emb(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("label"), col("i").cast("long").as("i"),
+          round(col("x").cast("double") * lit(1e7)).cast("long").as("v"))
+      val signs = s.range(64).select(col("id").as("i"))
+        .crossJoin(s.range(16).select(col("id").as("j")))
+        .select(col("i"), col("j"),
+          when((col("i") * 73856093L + col("j") * 19349663L) % 97 < 48,
+            1L).otherwise(-1L).as("sgn"))
+      val proj = elems.join(broadcast(signs), "i")
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("v") * col("sgn")).as("p"))
+      val od2 = elems.alias("a")
+        .join(elems.alias("b"),
+          col("a.vec_id") + 1 === col("b.vec_id")
+            && col("a.i") === col("b.i"))
+        .groupBy(col("a.vec_id").as("vec_id"), col("a.label").as("label"))
+        .agg(sum((col("a.v") - col("b.v")) * (col("a.v") - col("b.v")))
+          .as("od2"))
+      val pd2 = proj.alias("a")
+        .join(proj.alias("b"),
+          col("a.vec_id") + 1 === col("b.vec_id")
+            && col("a.j") === col("b.j"))
+        .groupBy(col("a.vec_id").as("vec_id"))
+        .agg(sum(((col("a.p") - col("b.p")).cast(DecimalType(38, 0))
+            * (col("a.p") - col("b.p")).cast(DecimalType(38, 0))))
+          .as("pd2"))
+      od2.join(pd2, "vec_id")
+        .where(col("od2") > 0L)
+        .select(col("label"),
+          round(col("pd2").cast("double")
+            / (lit(16.0) * col("od2").cast("double")) * lit(1e9))
+            .cast("long").as("r_nano"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("r_nano")).cast("double")
+            / count(lit(1)).cast("double") / lit(1e9), 12)
+            .as("mean_ratio"),
+          round(min(col("r_nano")).cast("double") / lit(1e9), 12)
+            .as("min_ratio"),
+          round(max(col("r_nano")).cast("double") / lit(1e9), 12)
+            .as("max_ratio"))
+        .orderBy("label")
+    },
+    Some("""WITH elems AS (SELECT vec_id, label,
+          generate_subscripts(embedding, 1) - 1 AS i,
+          round(unnest(embedding)::DOUBLE * 1e7)::BIGINT AS v
+        FROM embeddings),
+      signs AS (SELECT i.range::BIGINT AS i, j.range::BIGINT AS j,
+          CASE WHEN (i.range::BIGINT * 73856093 + j.range::BIGINT
+            * 19349663) % 97 < 48 THEN 1 ELSE -1 END AS sgn
+        FROM range(64) i, range(16) j),
+      proj AS (SELECT vec_id, j, sum(v * sgn)::BIGINT AS p
+        FROM elems JOIN signs USING (i) GROUP BY 1, 2),
+      od2 AS (SELECT a.vec_id, a.label,
+          sum((a.v - b.v) * (a.v - b.v))::BIGINT AS od2
+        FROM elems a JOIN elems b
+          ON a.vec_id + 1 = b.vec_id AND a.i = b.i
+        GROUP BY 1, 2),
+      pd2 AS (SELECT a.vec_id,
+          sum((a.p - b.p)::HUGEINT * (a.p - b.p)::HUGEINT) AS pd2
+        FROM proj a JOIN proj b
+          ON a.vec_id + 1 = b.vec_id AND a.j = b.j
+        GROUP BY 1),
+      ratios AS (SELECT label,
+          round(pd2::DOUBLE / (16.0 * od2::DOUBLE) * 1e9)::BIGINT
+            AS r_nano
+        FROM od2 JOIN pd2 USING (vec_id) WHERE od2 > 0)
+      SELECT label, count(*)::BIGINT AS n_pairs,
+        round(sum(r_nano)::DOUBLE / count(*)::DOUBLE / 1e9, 12)
+          AS mean_ratio,
+        round(min(r_nano)::DOUBLE / 1e9, 12) AS min_ratio,
+        round(max(r_nano)::DOUBLE / 1e9, 12) AS max_ratio
+      FROM ratios GROUP BY label ORDER BY label"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
     q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259,
-    q260, q265)
+    q260, q265, q280)
 }

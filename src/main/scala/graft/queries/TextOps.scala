@@ -1249,7 +1249,246 @@ object TextOps {
         sum(pieces)::DOUBLE / count(*)::DOUBLE AS fertility
       FROM pieces GROUP BY 1 ORDER BY lang"""))
 
+  // ---------- q278: trained Naive Bayes language ID ---------------------
+
+  /** A TRAINED language classifier beside q15's fixed heuristic and
+    * q198's confusion audit of it: multinomial Naive Bayes with add-one
+    * smoothing, fit on the deterministic 80 % train split (doc_id % 5
+    * ≠ 0, the q37 idiom) and evaluated on the held-out 20 % — the
+    * fastText-style quality/language gate pipelines train from their
+    * own corpus rather than hard-coding. Model: per-(lang, token)
+    * log P(w|lang) = ln((c+1)/(N_lang+V)) with V the train vocabulary;
+    * log prior = ln(docs_lang/docs). Determinism: every ln() is
+    * evaluated once per (token, lang) TYPE and pinned to integer
+    * nano-units (q119's rule); each test doc's score is then an exact
+    * int64 sum, and the argmax tie-breaks on lang. Shape at 100 TB:
+    * the model is VOCAB-sized, so scoring is a plain shuffle join on
+    * the token key (never a broadcast); the only fan-out is token ×
+    * |langs| (×4, narrow); unseen-token defaults come from a |langs|-row
+    * broadcast. Output is the |langs|² confusion matrix.
+    */
+  private val q278 = QueryDef(
+    "q278_nb_langid",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+      val train = toks.where(col("doc_id") % 5 =!= 0)
+      val counts = train.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val nLang = counts.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+      val vocab = counts.select(col("w")).distinct()
+        .agg(count(lit(1)).as("v"))
+      val model = counts.join(nLang, "lang").crossJoin(broadcast(vocab))
+        .select(col("lang").as("m_lang"), col("w"),
+          round(log((col("c") + lit(1L)).cast("double")
+            / (col("nl") + col("v")).cast("double")) * lit(1e9))
+            .cast("long").as("lp_nano"))
+      val defaults = nLang.crossJoin(broadcast(vocab))
+        .select(col("lang").as("m_lang"),
+          round(log(lit(1.0) / (col("nl") + col("v")).cast("double"))
+            * lit(1e9)).cast("long").as("def_nano"))
+      val docsTrain = docs(s, dir).where(col("doc_id") % 5 =!= 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      val totTrain = docsTrain.agg(sum(col("nd")).as("ndocs"))
+      val priors = docsTrain.crossJoin(broadcast(totTrain))
+        .select(col("lang").as("m_lang"),
+          round(log(col("nd").cast("double") / col("ndocs").cast("double"))
+            * lit(1e9)).cast("long").as("prior_nano"))
+      val test = toks.where(col("doc_id") % 5 === 0)
+      // token × |langs| fan-out, then vocab-keyed left join to the model
+      val fanned = test.crossJoin(broadcast(
+          defaults.select(col("m_lang"), col("def_nano"))))
+        .join(model, Seq("m_lang", "w"), "left")
+        .select(col("doc_id"), col("lang"), col("m_lang"),
+          coalesce(col("lp_nano"), col("def_nano")).as("t_nano"))
+        .groupBy(col("doc_id"), col("lang"), col("m_lang"))
+        .agg(sum(col("t_nano")).as("s_nano"))
+        .join(broadcast(priors), "m_lang")
+        .select(col("doc_id"), col("lang"),
+          col("m_lang"), (col("s_nano") + col("prior_nano")).as("score"))
+      val pred = fanned
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(min(struct((-col("score")).as("neg"), col("m_lang").as("l")))
+          .as("best"))
+        .select(col("lang").as("true_lang"), col("best.l").as("pred_lang"))
+      pred.groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    },
+    Some("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text,
+          ' ')) AS w FROM documents),
+      train AS (SELECT * FROM toks WHERE doc_id % 5 != 0),
+      counts AS (SELECT lang, w, count(*)::BIGINT AS c FROM train
+        GROUP BY 1, 2),
+      nl AS (SELECT lang, sum(c)::BIGINT AS nl FROM counts GROUP BY 1),
+      vocab AS (SELECT count(DISTINCT w)::BIGINT AS v FROM counts),
+      model AS (SELECT counts.lang AS m_lang, w,
+          round(ln((c + 1)::DOUBLE / (nl + v)::DOUBLE) * 1e9)::BIGINT
+            AS lp_nano
+        FROM counts JOIN nl USING (lang), vocab),
+      defaults AS (SELECT lang AS m_lang,
+          round(ln(1.0 / (nl + v)::DOUBLE) * 1e9)::BIGINT AS def_nano
+        FROM nl, vocab),
+      dt AS (SELECT lang, count(*)::BIGINT AS nd FROM documents
+        WHERE doc_id % 5 != 0 GROUP BY 1),
+      tt AS (SELECT sum(nd)::BIGINT AS ndocs FROM dt),
+      priors AS (SELECT lang AS m_lang,
+          round(ln(nd::DOUBLE / ndocs::DOUBLE) * 1e9)::BIGINT
+            AS prior_nano
+        FROM dt, tt),
+      test AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+      fanned AS (SELECT t.doc_id, t.lang, d.m_lang,
+          sum(coalesce(m.lp_nano, d.def_nano))::BIGINT AS s_nano
+        FROM test t CROSS JOIN defaults d
+        LEFT JOIN model m ON m.m_lang = d.m_lang AND m.w = t.w
+        GROUP BY 1, 2, 3),
+      scored AS (SELECT f.doc_id, f.lang, f.m_lang,
+          f.s_nano + p.prior_nano AS score
+        FROM fanned f JOIN priors p USING (m_lang)),
+      pred AS (SELECT lang AS true_lang, m_lang AS pred_lang
+        FROM (SELECT lang, m_lang, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, m_lang) AS rk FROM scored)
+        WHERE rk = 1)
+      SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
+      FROM pred GROUP BY 1, 2 ORDER BY true_lang, pred_lang"""))
+
+  // ---------- q279: Kneser–Ney smoothed bigram model --------------------
+
+  /** The standard n-gram LM smoothing beside q119's add-one: absolute
+    * discounting (d = 0.75) with the Kneser–Ney continuation
+    * distribution — P(w₂|w₁) = max(c−d,0)/c(w₁) + d·N₁₊(w₁·)/c(w₁) ·
+    * N₁₊(·w₂)/N₁₊(··), where the continuation counts ask "how many
+    * distinct contexts" rather than "how often" (the reason KN survives
+    * high-frequency but context-locked tokens). Novel distributed
+    * pieces vs q119 are the three continuation aggregates — distinct
+    * successors per w₁, distinct predecessors per w₂, total distinct
+    * bigram types — all exact int64 counts off the q55 PlanCache bigram
+    * table (zero extra corpus passes). Determinism: the probability is
+    * the identical IEEE expression tree over exact ints on both
+    * engines, rounded once to 12 places. Output: top 50 bigrams by
+    * count (TakeOrdered — per-shard heads, no global sort) with the
+    * smoothed probability and its two components.
+    */
+  private val q279 = QueryDef(
+    "q279_kneser_ney",
+    (s, dir) => {
+      import graft.ops.PlanCache
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      val bi = PlanCache.getOrBuild(s, dir, "q55_bi")(
+        toks.withColumn("w2", lead(col("w1"), 1).over(w))
+          .where(col("w2").isNotNull)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy")))
+      val ctx = bi.groupBy(col("w1")).agg(sum(col("n_xy")).as("cx"),
+        count(lit(1)).as("n1f"))
+      val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+      val totalTypes = bi.agg(count(lit(1)).as("nb"))
+      bi.join(ctx, "w1").join(cont, "w2")
+        .crossJoin(broadcast(totalTypes))
+        .select(col("w1"), col("w2"), col("n_xy"),
+          col("n1f"), col("n1b"),
+          round(greatest(col("n_xy").cast("double") - lit(0.75), lit(0.0))
+              / col("cx").cast("double")
+            + lit(0.75) * col("n1f").cast("double")
+              / col("cx").cast("double")
+              * (col("n1b").cast("double") / col("nb").cast("double")),
+            12).as("p_kn"))
+        .orderBy(col("n_xy").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          generate_subscripts(parts, 1) AS pos, unnest(parts) AS w1
+        FROM (SELECT doc_id, string_split(text, ' ') AS parts
+          FROM documents)),
+      inst AS (SELECT doc_id, w1,
+          lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks),
+      bi AS (SELECT w1, w2, count(*)::BIGINT AS n_xy FROM inst
+        WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(n_xy)::BIGINT AS cx,
+          count(*)::BIGINT AS n1f FROM bi GROUP BY 1),
+      cont AS (SELECT w2, count(*)::BIGINT AS n1b FROM bi GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT AS nb FROM bi)
+      SELECT w1, w2, n_xy, n1f, n1b,
+        round(greatest(n_xy::DOUBLE - 0.75, 0.0) / cx::DOUBLE
+          + 0.75 * n1f::DOUBLE / cx::DOUBLE
+            * (n1b::DOUBLE / nb::DOUBLE), 12) AS p_kn
+      FROM bi JOIN ctx USING (w1) JOIN cont USING (w2), tot
+      ORDER BY n_xy DESC, w1, w2 LIMIT 50"""))
+
+  // ---------- q287: Good–Turing frequency smoothing --------------------
+
+  /** The frequency-of-frequencies table and Good–Turing discounted
+    * counts r* = (r+1)·N_{r+1}/N_r for the low-count band r ≤ 10 —
+    * the classical answer to "how much probability mass belongs to
+    * n-grams we have NOT seen" (p₀ = N₁/N), which calibrates every
+    * OOV/smoothing decision (q133's OOV rate, q279's discount) with a
+    * measured number instead of a convention. Runs on TRIGRAM types
+    * (the unit LM smoothing actually targets — and the sparse regime
+    * where GT is meaningful; this fixture's 31-word unigram vocab has
+    * no rare words at all, which is itself why real pipelines smooth
+    * n-grams, not words). Corpus-sized work is one per-doc window
+    * pass + one type-count aggregate; N_r is a count over the type
+    * table and everything after runs on ≤|distinct counts| rows. r*,
+    * p₀ are single divisions of exact int64 counts, rounded once;
+    * N_{r+1} gaps surface as NULL (the signal to switch to a smoothed
+    * fit, not a value to invent).
+    */
+  private val q287 = QueryDef(
+    "q287_good_turing",
+    (s, dir) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tri = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+        .withColumn("w2", lead(col("w1"), 1).over(w))
+        .withColumn("w3", lead(col("w1"), 2).over(w))
+        .where(col("w3").isNotNull)
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("n"))
+      val ff = tri.groupBy(col("n").as("r"))
+        .agg(count(lit(1)).as("n_r"))
+      val tot = tri.agg(sum(col("n")).as("n_grams"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n1"))
+      ff.alias("a")
+        .join(ff.alias("b"), col("a.r") + 1 === col("b.r"), "left")
+        .where(col("a.r") <= 10)
+        .crossJoin(broadcast(tot))
+        .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+          col("b.n_r").as("n_r_next"),
+          round((col("a.r") + 1).cast("double")
+            * col("b.n_r").cast("double") / col("a.n_r").cast("double"),
+            12).as("r_star"),
+          round(col("n1").cast("double") / col("n_grams").cast("double"),
+            12).as("p_unseen"))
+        .orderBy("r")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          generate_subscripts(parts, 1) AS pos, unnest(parts) AS w1
+        FROM (SELECT doc_id, string_split(text, ' ') AS parts
+          FROM documents)),
+      tri AS (SELECT w1, w2, w3, count(*)::BIGINT AS n
+        FROM (SELECT w1,
+            lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+            lead(w1, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+          FROM toks)
+        WHERE w3 IS NOT NULL GROUP BY 1, 2, 3),
+      ff AS (SELECT n AS r, count(*)::BIGINT AS n_r FROM tri
+        GROUP BY 1),
+      tot AS (SELECT sum(n)::BIGINT AS n_grams,
+          sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n1 FROM tri)
+      SELECT a.r::BIGINT AS r, a.n_r, b.n_r AS n_r_next,
+        round((a.r + 1)::DOUBLE * b.n_r::DOUBLE / a.n_r::DOUBLE, 12)
+          AS r_star,
+        round(n1::DOUBLE / n_grams::DOUBLE, 12) AS p_unseen
+      FROM ff a LEFT JOIN ff b ON a.r + 1 = b.r, tot
+      WHERE a.r <= 10 ORDER BY r"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
-      q153, q155, q165, q177, q198, q199, q215, q217, q244, q245)
+      q153, q155, q165, q177, q198, q199, q215, q217, q244, q245, q278,
+      q279, q287)
 }

@@ -475,4 +475,66 @@ object EventStream {
         expr("cast(round(value * 1e6) AS BIGINT)").as("u"))
       .groupBy(col("arm"), col("post"))
       .agg(count(lit(1)).as("n"), sum(col("u")).as("su"))
+
+  // ---------- streaming feature store (q276 twin) ----------------------
+
+  /** Running per-user feature accumulator — every q276 feature is a
+    * commutative fold over that user's events, so it carries as ONE
+    * bounded state row per user; `days` holds the distinct active
+    * epoch-days (bounded by the calendar, not the event volume — a
+    * year of activity is ≤ 366 longs regardless of corpus size).
+    */
+  final case class FeatureState(n: Long, np: Long, vu: Long,
+      first: Long, last: Long, nerr: Long, days: Seq[Long])
+  final case class FeatureAccum(user_id: Long, n_events: Long,
+      n_purchases: Long, value_micro: Long, first_day: Long,
+      last_day: Long, active_days: Long, n_errors: Long)
+
+  /** Streaming twin of q276's nightly feature refresh — the upsert feed
+    * a live feature store consumes instead of recomputing the batch
+    * join: per-user counters, exact integer-micro monetary sum,
+    * first/last/distinct active days and error count fold into
+    * flatMapGroupsWithState (state = one [[FeatureState]] row per user,
+    * bounded by construction), and each micro-batch emits the UPDATED
+    * feature rows only — arrival order inside a batch doesn't matter
+    * because every feature is commutative. The final projection
+    * (recency vs the fixed horizon, error share) reuses the exact q276
+    * expressions, so a single AvailableNow backfill reproduces the
+    * batch table row-for-row (StreamingSpec gate).
+    */
+  def featureStore(events: Dataset[EvT]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FeatureState, FeatureAccum](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[FeatureState]) =>
+          var st = state.getOption.getOrElse(
+            FeatureState(0L, 0L, 0L, Long.MaxValue, Long.MinValue, 0L,
+              Seq.empty))
+          it.foreach { e =>
+            val day = e.ts.toLocalDate.toEpochDay
+            st = FeatureState(
+              st.n + 1L,
+              st.np + (if (e.event_type == "purchase") 1L else 0L),
+              // BigDecimal HALF_UP = Spark round(), not math.round's
+              // floor(x+0.5) — keeps the twin bit-equal to q276
+              st.vu + (if (e.event_type == "purchase")
+                BigDecimal(e.value * 1e6)
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              else 0L),
+              math.min(st.first, day), math.max(st.last, day),
+              st.nerr + (if (e.event_type == "error") 1L else 0L),
+              if (st.days.contains(day)) st.days else st.days :+ day)
+          }
+          state.update(st)
+          Iterator.single(FeatureAccum(uid, st.n, st.np, st.vu, st.first,
+            st.last, st.days.size.toLong, st.nerr))
+      }
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("value_micro"), col("first_day"), col("last_day"),
+        col("active_days"),
+        (lit(19754L) - col("last_day")).as("recency_days"),
+        round(col("n_errors").cast("double")
+          / col("n_events").cast("double"), 12).as("error_share"))
+  }
 }

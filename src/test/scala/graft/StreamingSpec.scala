@@ -580,4 +580,31 @@ class StreamingSpec extends AnyFunSuite {
     val total = Fixtures.table(spark, sf, "events").count()
     assert(got.nonEmpty && got.size < total)
   }
+
+  test("streaming feature store == batch q276 per-user features " +
+    "(AvailableNow backfill, last emitted row per user)") {
+    import spark.implicits._
+    val src = EventStream.readEvents(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStream.EvT]
+    val q = EventStream.featureStore(src)
+      .writeStream.format("memory").queryName("feat")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // one AvailableNow batch → exactly one emitted row per user = final
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8))
+    val cols = Seq("user_id", "n_events", "n_purchases", "value_micro",
+      "first_day", "last_day", "active_days", "recency_days",
+      "error_share")
+    val got = spark.table("feat")
+      .select(cols.map(col): _*).collect().map(key).toSet
+    val want = SparkEntry.queries("q276_feature_store")(spark, sf)
+      .select(cols.map(col): _*).collect().map(key).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
