@@ -5087,6 +5087,330 @@ object Analytics {
           + base * (1.0 - base), 12) AS brier
       FROM terms GROUP BY ntot, base"""))
 
+  // ---------- q294: Adamic–Adar link prediction ------------------------
+
+  /** Adamic–Adar link prediction over the co-purchase graph: for every
+    * part pair NOT directly co-purchased, score the likelihood of a
+    * future association as Σ_w 1/ln(deg(w)) over common neighbors w —
+    * the classic common-neighbor weight that discounts promiscuous
+    * hubs (Adamic & Adar 2003). Scale shape: the candidate generator
+    * is a self-join of the adjacency list on the CENTER node, so the
+    * blow-up is Σ_w C(deg(w),2) — quadratic in hub degree — and is
+    * bounded the q48 way with an explicit df-cap: centers with more
+    * than 64 distinct partners are excluded from evidence (stated in
+    * both dialects, so the cap is semantics, not an engine accident).
+    * Per-center fan-out ≤ C(64,2); everything is an equi-join that
+    * hash-partitions on the center key, never a cartesian. Each
+    * 1/ln(deg) term pins to integer pico-units before the sum, so the
+    * score, its total order, and the LIMIT cutoff are bit-stable
+    * across engines; the direct-edge exclusion is one LEFT ANTI join
+    * against the observed pair list.
+    */
+  private val q294 = QueryDef(
+    "q294_adamic_adar",
+    (s, dir) => {
+      val pairs = copurchasePairs(s, dir)
+        .select(col("part_a"), col("part_b"))
+      val adj = pairs.select(col("part_a").as("node"), col("part_b").as("nbr"))
+        .union(pairs.select(col("part_b").as("node"), col("part_a").as("nbr")))
+      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val adjW = adj.join(deg, "node")
+        .where(col("deg") >= 2 && col("deg") <= 64)
+        .select(col("node"), col("nbr"),
+          expr("CAST(round(1e12 / ln(CAST(deg AS DOUBLE))) AS BIGINT)")
+            .as("w_pico"))
+      val a = adjW.select(col("node"), col("nbr").as("cand_a"),
+        col("w_pico"))
+      val b = adjW.select(col("node"), col("nbr").as("cand_b"))
+      val scored = a.join(b, Seq("node"))
+        .where(col("cand_a") < col("cand_b"))
+        .groupBy(col("cand_a"), col("cand_b"))
+        .agg(count(lit(1)).as("n_common"), sum(col("w_pico")).as("aa_pico"))
+      scored
+        .join(pairs, scored("cand_a") === pairs("part_a")
+          && scored("cand_b") === pairs("part_b"), "left_anti")
+        .select(col("cand_a").as("part_a"), col("cand_b").as("part_b"),
+          col("n_common"), col("aa_pico"),
+          round(col("aa_pico").cast("double") / 1e12, 12).as("aa_score"))
+        .orderBy(col("aa_pico").desc, col("part_a"), col("part_b"))
+        .limit(40)
+        .drop("aa_pico")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      adj AS (SELECT part_a AS node, part_b AS nbr FROM pr
+        UNION ALL SELECT part_b, part_a FROM pr),
+      deg AS (SELECT node, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+      adjw AS (SELECT a.node, a.nbr,
+          round(1e12 / ln(deg::DOUBLE))::BIGINT AS w_pico
+        FROM adj a JOIN deg d ON a.node = d.node
+        WHERE deg BETWEEN 2 AND 64),
+      cand AS (SELECT a.nbr AS cand_a, b.nbr AS cand_b,
+          count(*)::BIGINT AS n_common, sum(a.w_pico)::BIGINT AS aa_pico
+        FROM adjw a JOIN adjw b ON a.node = b.node AND a.nbr < b.nbr
+        GROUP BY 1, 2)
+      SELECT cand_a AS part_a, cand_b AS part_b, n_common,
+        round(aa_pico::DOUBLE / 1e12, 12) AS aa_score
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pr
+        WHERE part_a = c.cand_a AND part_b = c.cand_b)
+      ORDER BY aa_pico DESC, part_a, part_b LIMIT 40"""))
+
+  // ---------- q295: binned Kendall tau-b --------------------------------
+
+  /** Kendall's τ-b between customer account balance and realized spend,
+    * computed the way a rank correlation CAN be computed at corpus
+    * scale: exact pair counting is O(n²) (or an n·log n inversion
+    * merge that still needs one total order), so the variables are
+    * first discretized onto fixed engine-exact grids — balance into 10
+    * equal-width bands, spend into 20 fixed-width bands — and τ-b is
+    * then EXACT for the binned variables from the contingency table
+    * alone: concordant/discordant/tie pair counts are sums of n_ij ×
+    * n_i'j' products over ≤200 occupied cells. Shape: one per-customer
+    * aggregate (the only corpus-sized pass), one ≤200-row cell table,
+    * and a bounded cell×cell join (the q277 tiny-broadcast class);
+    * every pair count is exact int64, the final τ is one sqrt.
+    */
+  private val q295 = QueryDef(
+    "q295_kendall_binned",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val spend = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .cast("double").as("spend"))
+      val cells = Fixtures.table(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .select(
+          least(greatest(expr(
+            "CAST(floor((c_acctbal + 1000.0) / 1100.0) AS BIGINT)"),
+            lit(0L)), lit(9L)).as("bx"),
+          least(greatest(expr(
+            "CAST(floor(spend / 350000.0) AS BIGINT)"),
+            lit(0L)), lit(19L)).as("by"))
+        .groupBy(col("bx"), col("by")).agg(count(lit(1)).as("nij"))
+      val a = cells.select(col("bx").as("ax"), col("by").as("ay"),
+        col("nij").as("na"))
+      val b = cells.select(col("bx").as("cx"), col("by").as("cy"),
+        col("nij").as("nb"))
+      val nTot = cells.agg(sum(col("nij")).as("n"))
+      val cross = a.join(broadcast(b), lit(true))
+      val counts = cross.agg(
+        sum(when(col("cx") > col("ax") && col("cy") > col("ay"),
+          col("na") * col("nb")).otherwise(0L)).as("concordant"),
+        sum(when(col("cx") > col("ax") && col("cy") < col("ay"),
+          col("na") * col("nb")).otherwise(0L)).as("discordant"),
+        sum(when(col("cx") === col("ax") && col("cy") === col("ay"),
+          expr("na * (nb - 1) div 2")).otherwise(0L)).as("same_cell"),
+        sum(when(col("cx") === col("ax") && col("cy") > col("ay"),
+          col("na") * col("nb")).otherwise(0L)).as("tx_only"),
+        sum(when(col("cy") === col("ay") && col("cx") > col("ax"),
+          col("na") * col("nb")).otherwise(0L)).as("ty_only"))
+      counts.crossJoin(broadcast(nTot))
+        .select(col("n"), col("concordant"), col("discordant"),
+          (col("same_cell") + col("tx_only")).as("ties_x"),
+          (col("same_cell") + col("ty_only")).as("ties_y"),
+          round((col("concordant") - col("discordant")).cast("double")
+            / sqrt(
+              ((expr("n * (n - 1) div 2") - col("same_cell")
+                - col("tx_only"))
+                * (expr("n * (n - 1) div 2") - col("same_cell")
+                  - col("ty_only"))).cast("double")), 12).as("tau_b"))
+    },
+    Some("""WITH spend AS (SELECT o_custkey,
+          sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE AS spend
+        FROM orders GROUP BY 1),
+      cells AS (SELECT
+          least(greatest(floor((c_acctbal + 1000.0) / 1100.0)::BIGINT,
+            0), 9) AS bx,
+          least(greatest(floor(spend / 350000.0)::BIGINT,
+            0), 19) AS by,
+          count(*)::BIGINT AS nij
+        FROM customer JOIN spend ON c_custkey = o_custkey
+        GROUP BY 1, 2),
+      tot AS (SELECT sum(nij)::BIGINT AS n FROM cells),
+      x AS (SELECT
+          sum(CASE WHEN b.bx > a.bx AND b.by > a.by
+            THEN a.nij * b.nij ELSE 0 END)::BIGINT AS concordant,
+          sum(CASE WHEN b.bx > a.bx AND b.by < a.by
+            THEN a.nij * b.nij ELSE 0 END)::BIGINT AS discordant,
+          sum(CASE WHEN b.bx = a.bx AND b.by = a.by
+            THEN a.nij * (b.nij - 1) // 2 ELSE 0 END)::BIGINT AS same_cell,
+          sum(CASE WHEN b.bx = a.bx AND b.by > a.by
+            THEN a.nij * b.nij ELSE 0 END)::BIGINT AS tx_only,
+          sum(CASE WHEN b.by = a.by AND b.bx > a.bx
+            THEN a.nij * b.nij ELSE 0 END)::BIGINT AS ty_only
+        FROM cells a CROSS JOIN cells b)
+      SELECT n, concordant, discordant,
+        (same_cell + tx_only)::BIGINT AS ties_x,
+        (same_cell + ty_only)::BIGINT AS ties_y,
+        round((concordant - discordant)::DOUBLE
+          / sqrt((((n * (n - 1)) // 2 - same_cell - tx_only)
+            * ((n * (n - 1)) // 2 - same_cell - ty_only))::DOUBLE),
+          12) AS tau_b
+      FROM x CROSS JOIN tot"""))
+
+  // ---------- q296: NDCG@10 ranker evaluation ---------------------------
+
+  /** NDCG@10 per brand for the "rank parts by revenue" ranker scored
+    * against realized demand (total quantity) as graded relevance —
+    * the standard offline ranking-quality gate before a ranker ships.
+    * DCG@10 = Σ_{r≤10} rel_r / log2(r+1) under the ranker's order;
+    * IDCG@10 is the same sum under the relevance-ideal order; NDCG is
+    * their ratio. Shape: one lineitem pass into a per-part aggregate
+    * (revenue and demand both DECIMAL-lifted so the two orderings are
+    * exact, not float-tie-dependent), then two windows PARTITIONED BY
+    * brand — per-group top-10 sorts that hash across executors, never
+    * a global collapse — and a ≤10-term DCG sum per brand pinned to
+    * integer micro-units before summing so the ratio is bit-stable.
+    */
+  private val q296 = QueryDef(
+    "q296_ndcg_at_10",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val perPart = Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 6)))
+            .as("revenue"),
+          sum(col("l_quantity").cast(DecimalType(18, 6))).as("demand"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      val wPred = Window.partitionBy(col("p_brand"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+      val wIdeal = Window.partitionBy(col("p_brand"))
+        .orderBy(col("demand").desc, col("l_partkey"))
+      val ranked = perPart
+        .withColumn("r_pred", row_number().over(wPred))
+        .withColumn("r_ideal", row_number().over(wIdeal))
+      val dcgTerm = (r: String) =>
+        sum(when(col(r) <= 10, expr(
+          s"""CAST(round(CAST(demand AS DOUBLE)
+             / (ln(CAST($r AS DOUBLE) + 1.0) / ln(2.0)) * 1e6)
+             AS BIGINT)""")).otherwise(0L))
+      ranked.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          dcgTerm("r_pred").as("dcg_micro"),
+          dcgTerm("r_ideal").as("idcg_micro"))
+        .select(col("p_brand"), col("n_items"),
+          round(col("dcg_micro").cast("double") / 1e6, 6).as("dcg10"),
+          round(col("idcg_micro").cast("double") / 1e6, 6).as("idcg10"),
+          round(col("dcg_micro").cast("double")
+            / col("idcg_micro").cast("double"), 12).as("ndcg10"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""WITH pp AS (SELECT l_partkey,
+          sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS revenue,
+          sum(CAST(l_quantity AS DECIMAL(18,6))) AS demand
+        FROM lineitem GROUP BY 1),
+      ranked AS (SELECT p_brand, demand,
+          row_number() OVER (PARTITION BY p_brand
+            ORDER BY revenue DESC, l_partkey) AS r_pred,
+          row_number() OVER (PARTITION BY p_brand
+            ORDER BY demand DESC, l_partkey) AS r_ideal
+        FROM pp JOIN part ON l_partkey = p_partkey),
+      agg AS (SELECT p_brand, count(*)::BIGINT AS n_items,
+          sum(CASE WHEN r_pred <= 10 THEN round(demand::DOUBLE
+            / (ln(r_pred::DOUBLE + 1.0) / ln(2.0)) * 1e6)::BIGINT
+            ELSE 0 END)::BIGINT AS dcg_micro,
+          sum(CASE WHEN r_ideal <= 10 THEN round(demand::DOUBLE
+            / (ln(r_ideal::DOUBLE + 1.0) / ln(2.0)) * 1e6)::BIGINT
+            ELSE 0 END)::BIGINT AS idcg_micro
+        FROM ranked GROUP BY 1)
+      SELECT p_brand, n_items,
+        round(dcg_micro::DOUBLE / 1e6, 6) AS dcg10,
+        round(idcg_micro::DOUBLE / 1e6, 6) AS idcg10,
+        round(dcg_micro::DOUBLE / idcg_micro::DOUBLE, 12) AS ndcg10
+      FROM agg ORDER BY p_brand"""))
+
+  // ---------- q297: weight-of-evidence / information value --------------
+
+  /** Weight-of-evidence and information value — the credit-scoring
+    * standard feature screen (Siddiqi 2006) — for two candidate
+    * predictors of the return event: part size (5 bands) and line
+    * quantity (5 bands). WoE_i = ln((good_i/G)/(bad_i/B)) with a +0.5
+    * Laplace guard on both numerators so an empty band is defined, and
+    * IV = Σ_i (good_i/G − bad_i/B)·WoE_i grades the whole feature
+    * (<0.02 useless, >0.3 strong). Shape: ONE fact pass — the part
+    * join is a broadcast dimension, both features come off the same
+    * scan via an in-scan stack() unpivot (map-side, no second shuffle)
+    * — into a 10-cell aggregate; the per-feature totals and the IV
+    * roll-up are windows over the BOUNDED band table partitioned by
+    * feature (the q159 tiny-aggregate class). WoE/IV terms pin to
+    * integer nano-units before summation for cross-engine stability.
+    */
+  private val q297 = QueryDef(
+    "q297_woe_iv",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bands = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("bad"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(expr("(p_size - 1) div 10").cast("long").as("size_band"),
+          expr("(CAST(l_quantity AS BIGINT) - 1) div 10").as("qty_band"),
+          col("bad"))
+        .select(expr(
+          "stack(2, 'p_size', size_band, 'l_quantity', qty_band)")
+          .as(Seq("feature", "band")), col("bad"))
+        .groupBy(col("feature"), col("band"))
+        .agg(sum(lit(1L) - col("bad")).as("n_good"),
+          sum(col("bad")).as("n_bad"))
+      val w = Window.partitionBy(col("feature"))
+      val woe = bands
+        .withColumn("tg", sum(col("n_good")).over(w))
+        .withColumn("tb", sum(col("n_bad")).over(w))
+        .withColumn("woe_nano", expr(
+          """CAST(round(ln(((CAST(n_good AS DOUBLE) + 0.5)
+             / CAST(tg AS DOUBLE))
+             / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(tb AS DOUBLE)))
+             * 1e9) AS BIGINT)"""))
+        .withColumn("iv_term_nano", expr(
+          """CAST(round((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
+             - CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))
+             * (CAST(woe_nano AS DOUBLE) / 1e9) * 1e9) AS BIGINT)"""))
+      woe
+        .withColumn("iv_nano", sum(col("iv_term_nano")).over(w))
+        .select(col("feature"), col("band"), col("n_good"), col("n_bad"),
+          round(col("woe_nano").cast("double") / 1e9, 12).as("woe"),
+          round(col("iv_nano").cast("double") / 1e9, 12).as("iv"))
+        .orderBy(col("feature"), col("band"))
+    },
+    Some("""WITH base AS (SELECT (p_size - 1) // 10 AS size_band,
+          (CAST(l_quantity AS BIGINT) - 1) // 10 AS qty_band,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      unp AS (SELECT 'p_size' AS feature, size_band AS band, bad
+          FROM base
+        UNION ALL SELECT 'l_quantity', qty_band, bad FROM base),
+      cells AS (SELECT feature, band::BIGINT AS band,
+          sum(1 - bad)::BIGINT AS n_good, sum(bad)::BIGINT AS n_bad
+        FROM unp GROUP BY 1, 2),
+      tot AS (SELECT *, sum(n_good) OVER (PARTITION BY feature)::BIGINT
+            AS tg,
+          sum(n_bad) OVER (PARTITION BY feature)::BIGINT AS tb
+        FROM cells),
+      terms AS (SELECT *,
+          round(ln(((n_good::DOUBLE + 0.5) / tg::DOUBLE)
+            / ((n_bad::DOUBLE + 0.5) / tb::DOUBLE)) * 1e9)::BIGINT
+            AS woe_nano
+        FROM tot),
+      iv AS (SELECT *,
+          round((n_good::DOUBLE / tg::DOUBLE - n_bad::DOUBLE / tb::DOUBLE)
+            * (woe_nano::DOUBLE / 1e9) * 1e9)::BIGINT AS iv_term_nano
+        FROM terms)
+      SELECT feature, band, n_good, n_bad,
+        round(woe_nano::DOUBLE / 1e9, 12) AS woe,
+        round(sum(iv_term_nano) OVER (PARTITION BY feature)::DOUBLE / 1e9,
+          12) AS iv
+      FROM iv ORDER BY feature, band"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -5095,5 +5419,5 @@ object Analytics {
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
-      q285, q288, q289, q291, q292, q293)
+      q285, q288, q289, q291, q292, q293, q294, q295, q296, q297)
 }
