@@ -5411,6 +5411,88 @@ object Analytics {
           12) AS iv
       FROM iv ORDER BY feature, band"""))
 
+  // ---------- q301: inclusion-dependency discovery ---------------------
+
+  /** Unary inclusion-dependency discovery — the schema-profiling pass
+    * (SPIDER/Binder family) that finds FOREIGN-KEY CANDIDATES by
+    * measuring value containment A ⊆ B between declared column pairs:
+    * the complement of q106's FK violation audit (which checks a KNOWN
+    * key) and q252's FD discovery (intra-table). For each candidate,
+    * containment = |distinct(A) ∩ distinct(B)| / |distinct(A)|; a
+    * ratio of 1 certifies the inclusion holds. Shape: each side
+    * reduces to its DISTINCT value set FIRST (one narrow shuffle per
+    * column — at 100 TB the dedup happens before the join, so the
+    * join never sees fact-table volume), then one LEFT join per pair
+    * on the dedup'd sets; six bounded results union driver-cheap.
+    * Four true FKs, one decoy (nationkey ⊄ regionkey) keeps the audit
+    * honest.
+    */
+  private val q301 = QueryDef(
+    "q301_inclusion_deps",
+    (s, dir) => {
+      def side(table: String, c: String): DataFrame =
+        Fixtures.table(s, dir, table)
+          .select(col(c).cast("long").as("k")).distinct()
+      def dep(name: String, ta: String, ca: String, tb: String,
+          cb: String): DataFrame =
+        side(ta, ca).join(side(tb, cb).withColumn("hit", lit(1)),
+            Seq("k"), "left")
+          .agg(count(lit(1)).as("n_distinct"),
+            sum(coalesce(col("hit"), lit(0))).as("n_contained"))
+          .select(lit(name).as("dependency"), col("n_distinct"),
+            col("n_contained"),
+            round(col("n_contained").cast("double")
+              / col("n_distinct").cast("double"), 12).as("containment"),
+            (col("n_contained") === col("n_distinct")).as("holds"))
+      dep("lineitem.l_orderkey -> orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey")
+        .union(dep("lineitem.l_partkey -> part.p_partkey",
+          "lineitem", "l_partkey", "part", "p_partkey"))
+        .union(dep("lineitem.l_suppkey -> supplier.s_suppkey",
+          "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+        .union(dep("orders.o_custkey -> customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"))
+        .union(dep("supplier.s_nationkey -> nation.n_nationkey",
+          "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .union(dep("customer.c_nationkey -> region.r_regionkey",
+          "customer", "c_nationkey", "region", "r_regionkey"))
+        .orderBy(col("dependency"))
+    },
+    Some("""WITH
+      d1 AS (SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS dep,
+          a.k, b.k AS bk
+        FROM (SELECT DISTINCT l_orderkey::BIGINT AS k FROM lineitem) a
+        LEFT JOIN (SELECT DISTINCT o_orderkey::BIGINT AS k FROM orders) b
+          ON a.k = b.k),
+      d2 AS (SELECT 'lineitem.l_partkey -> part.p_partkey', a.k, b.k
+        FROM (SELECT DISTINCT l_partkey::BIGINT AS k FROM lineitem) a
+        LEFT JOIN (SELECT DISTINCT p_partkey::BIGINT AS k FROM part) b
+          ON a.k = b.k),
+      d3 AS (SELECT 'lineitem.l_suppkey -> supplier.s_suppkey', a.k, b.k
+        FROM (SELECT DISTINCT l_suppkey::BIGINT AS k FROM lineitem) a
+        LEFT JOIN (SELECT DISTINCT s_suppkey::BIGINT AS k FROM supplier) b
+          ON a.k = b.k),
+      d4 AS (SELECT 'orders.o_custkey -> customer.c_custkey', a.k, b.k
+        FROM (SELECT DISTINCT o_custkey::BIGINT AS k FROM orders) a
+        LEFT JOIN (SELECT DISTINCT c_custkey::BIGINT AS k FROM customer) b
+          ON a.k = b.k),
+      d5 AS (SELECT 'supplier.s_nationkey -> nation.n_nationkey', a.k, b.k
+        FROM (SELECT DISTINCT s_nationkey::BIGINT AS k FROM supplier) a
+        LEFT JOIN (SELECT DISTINCT n_nationkey::BIGINT AS k FROM nation) b
+          ON a.k = b.k),
+      d6 AS (SELECT 'customer.c_nationkey -> region.r_regionkey', a.k, b.k
+        FROM (SELECT DISTINCT c_nationkey::BIGINT AS k FROM customer) a
+        LEFT JOIN (SELECT DISTINCT r_regionkey::BIGINT AS k FROM region) b
+          ON a.k = b.k),
+      u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d4
+        UNION ALL SELECT * FROM d5 UNION ALL SELECT * FROM d6)
+      SELECT dep AS dependency, count(*)::BIGINT AS n_distinct,
+        count(bk)::BIGINT AS n_contained,
+        round(count(bk)::DOUBLE / count(*)::DOUBLE, 12) AS containment,
+        count(bk) = count(*) AS holds
+      FROM u GROUP BY dep ORDER BY dependency"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -5419,5 +5501,5 @@ object Analytics {
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
-      q285, q288, q289, q291, q292, q293, q294, q295, q296, q297)
+      q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301)
 }

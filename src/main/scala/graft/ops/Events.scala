@@ -3064,10 +3064,79 @@ object Events {
           / nullif(sum(t_nano)::DOUBLE, 0.0), 12) AS alpha
       FROM t GROUP BY xk"""))
 
+  // ---------- q300: DFT spectral periodicity --------------------------
+
+  /** Single-frequency DFT power scan over the daily event-count series
+    * — the spectral twin of q142's autocorrelation and q143's fixed
+    * weekly seasonality: instead of assuming period 7, it MEASURES
+    * which candidate period (2–10 days) carries the most energy, the
+    * way a periodicity detector screens telemetry before fitting a
+    * seasonal model. Power(p) = Re² + Im² of Σ_d ĉ_d·e^{−2πi·d/p}
+    * over mean-centered daily counts ĉ. Shape: the only corpus-sized
+    * work is the per-day count aggregate; the series is
+    * calendar-bounded (|days| rows at ANY corpus size), the candidate
+    * spine is 9 rows, and their join is a bounded broadcast. The mean
+    * pins to integer micro-units and every cos/sin term to micro-units
+    * before the sum, so Re/Im/power are bit-stable; cos and sin get
+    * bit-identical arguments on both engines (exact int64 day and
+    * period into one libm call).
+    */
+  private val q300 = QueryDef(
+    "q300_spectral_period",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val stats = daily.agg(min(col("day")).as("d0"),
+        count(lit(1)).as("n_days"),
+        expr("CAST(round(sum(c) * 1e6 / count(1)) AS BIGINT)")
+          .as("mean_micro"))
+      val periods = s.range(2, 11).select(col("id").as("period"))
+      daily.crossJoin(broadcast(stats))
+        .crossJoin(broadcast(periods))
+        .select(col("period"), col("n_days"),
+          expr("""CAST(round((CAST(c AS DOUBLE) - mean_micro / 1e6)
+            * cos(2.0 * pi() * CAST(day - d0 AS DOUBLE) / period) * 1e6)
+            AS BIGINT)""").as("re_micro"),
+          expr("""CAST(round((CAST(c AS DOUBLE) - mean_micro / 1e6)
+            * sin(2.0 * pi() * CAST(day - d0 AS DOUBLE) / period) * 1e6)
+            AS BIGINT)""").as("im_micro"))
+        .groupBy(col("period"))
+        .agg(first(col("n_days")).as("n_days"),
+          sum(col("re_micro")).as("re_micro"),
+          sum(col("im_micro")).as("im_micro"))
+        .select(col("period"), col("n_days"),
+          round(pow(col("re_micro").cast("double") / 1e6, 2)
+            + pow(col("im_micro").cast("double") / 1e6, 2), 6)
+            .as("power"))
+        .orderBy(col("period"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT AS c
+        FROM events GROUP BY 1),
+      st AS (SELECT min(day) AS d0, count(*)::BIGINT AS n_days,
+          round(sum(c)::BIGINT * 1e6 / count(*))::BIGINT AS mean_micro
+        FROM daily),
+      periods AS (SELECT unnest(range(2, 11))::BIGINT AS period),
+      terms AS (SELECT period, n_days,
+          round((c::DOUBLE - mean_micro / 1e6)
+            * cos(2.0 * pi() * (day - d0)::DOUBLE / period) * 1e6)::BIGINT
+            AS re_micro,
+          round((c::DOUBLE - mean_micro / 1e6)
+            * sin(2.0 * pi() * (day - d0)::DOUBLE / period) * 1e6)::BIGINT
+            AS im_micro
+        FROM daily, st, periods)
+      SELECT period, any_value(n_days) AS n_days,
+        round(pow(sum(re_micro)::DOUBLE / 1e6, 2)
+          + pow(sum(im_micro)::DOUBLE / 1e6, 2), 6) AS power
+      FROM terms GROUP BY period ORDER BY period"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
-      q273, q276, q282, q283, q286, q290)
+      q273, q276, q282, q283, q286, q290, q300)
 }

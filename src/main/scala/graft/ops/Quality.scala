@@ -1664,8 +1664,67 @@ object Quality {
       FROM cums JOIN gcum USING (bucket) JOIN tot USING (source), ng
       GROUP BY source ORDER BY source"""))
 
+  // ---------- q299: t-closeness audit ---------------------------------
+
+  /** t-closeness privacy audit (Li, Li & Venkatasubramanian 2007) —
+    * the gate past q101's k-anonymity and q216's l-diversity: even a
+    * large, l-diverse QI cell leaks if its SENSITIVE-attribute
+    * distribution sits far from the global one. Sensitive attribute =
+    * document length class (3 fixed engine-exact bands, the q91
+    * bucket rule); distance = Earth Mover's over the ordered classes,
+    * which for k ordered buckets is Σ|cumulative gap|/(k−1). Shape:
+    * one corpus pass into a (lang, source)-cell × 3-band conditional
+    * aggregate (map-side partials, dense bands so empty classes count
+    * as 0), the global distribution is a 1-row broadcast, and every
+    * share is an exact int64 ratio so the EMD and its breach flag are
+    * bit-stable. Like q101, this audit only means anything at full
+    * corpus scale — rare cells vanish in samples.
+    */
+  private val q299 = QueryDef(
+    "q299_t_closeness",
+    (s, dir) => {
+      def bandCounts(df: DataFrame): DataFrame = df
+        .select(col("lang"), col("source"),
+          least(expr("n_chars div 700"), lit(2L)).as("band"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("band") === 0, 1L).otherwise(0L)).as("b0"),
+          sum(when(col("band") === 1, 1L).otherwise(0L)).as("b1"))
+      val cells = bandCounts(docs(s, dir))
+      val global = cells.agg(sum(col("n_docs")).as("gn"),
+        sum(col("b0")).as("g0"), sum(col("b1")).as("g1"))
+      cells.crossJoin(broadcast(global))
+        .select(col("lang"), col("source"), col("n_docs"),
+          expr("""CAST(round((abs(CAST(b0 AS DOUBLE) / n_docs
+              - CAST(g0 AS DOUBLE) / gn)
+            + abs(CAST(b0 + b1 AS DOUBLE) / n_docs
+              - CAST(g0 + g1 AS DOUBLE) / gn)) / 2.0 * 1e9)
+            AS BIGINT)""").as("emd_nano"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          round(col("emd_nano").cast("double") / 1e9, 12).as("t_dist"),
+          (col("emd_nano") > lit(150000000L)).as("breach"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""WITH cells AS (SELECT lang, source, count(*)::BIGINT AS n_docs,
+          sum(CASE WHEN least(n_chars // 700, 2) = 0 THEN 1 ELSE 0
+            END)::BIGINT AS b0,
+          sum(CASE WHEN least(n_chars // 700, 2) = 1 THEN 1 ELSE 0
+            END)::BIGINT AS b1
+        FROM documents GROUP BY 1, 2),
+      g AS (SELECT sum(n_docs)::BIGINT AS gn, sum(b0)::BIGINT AS g0,
+          sum(b1)::BIGINT AS g1 FROM cells),
+      d AS (SELECT lang, source, n_docs,
+          round((abs(b0::DOUBLE / n_docs - g0::DOUBLE / gn)
+            + abs((b0 + b1)::DOUBLE / n_docs
+              - (g0 + g1)::DOUBLE / gn)) / 2.0 * 1e9)::BIGINT AS emd_nano
+        FROM cells, g)
+      SELECT lang, source, n_docs,
+        round(emd_nano::DOUBLE / 1e9, 12) AS t_dist,
+        emd_nano > 150000000 AS breach
+      FROM d ORDER BY lang, source"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
-      q262, q271, q274)
+      q262, q271, q274, q299)
 }

@@ -1487,8 +1487,53 @@ object TextOps {
       FROM ff a LEFT JOIN ff b ON a.r + 1 = b.r, tot
       WHERE a.r <= 10 ORDER BY r"""))
 
+  // ---------- q298: Flesch readability profile ------------------------
+
+  /** Flesch reading-ease profile per (lang, source) — the classic
+    * surface readability screen (Flesch 1948) used to route corpora
+    * toward grade-level buckets before mixing: 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/word). Syllables use the standard
+    * cheap proxy (maximal vowel-run count, `[aeiouy]+` on lowercased
+    * text) and sentences the terminal-punctuation-run count with a
+    * floor of 1 — both regex counts are codegen'd in-scan work, so the
+    * whole query is ONE corpus pass into a ≤|lang×source| aggregate.
+    * Each per-doc score pins to integer micro-units before the cell
+    * sum (exact int64, order-independent), so the per-cell mean is
+    * bit-stable across engines.
+    */
+  private val q298 = QueryDef(
+    "q298_flesch_readability",
+    (s, dir) => {
+      val perDoc = docs(s, dir).select(col("lang"), col("source"),
+        expr("size(split(text, ' '))").cast("double").as("w"),
+        expr("CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)" +
+          " AS DOUBLE)").as("sent"),
+        expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))" +
+          " AS DOUBLE)").as("syl"))
+      perDoc
+        .select(col("lang"), col("source"),
+          expr("""CAST(round((206.835 - 1.015 * (w / sent)
+            - 84.6 * (syl / w)) * 1e6) AS BIGINT)""").as("f_micro"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("f_micro")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("flesch_avg"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""WITH perdoc AS (SELECT lang, source,
+          round((206.835
+            - 1.015 * (len(string_split(text, ' '))::DOUBLE
+              / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE)
+            - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+              / len(string_split(text, ' '))::DOUBLE)) * 1e6)::BIGINT
+            AS f_micro
+        FROM documents)
+      SELECT lang, source, count(*)::BIGINT AS n_docs,
+        round(sum(f_micro)::DOUBLE / count(*) / 1e6, 6) AS flesch_avg
+      FROM perdoc GROUP BY 1, 2 ORDER BY lang, source"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
       q153, q155, q165, q177, q198, q199, q215, q217, q244, q245, q278,
-      q279, q287)
+      q279, q287, q298)
 }
