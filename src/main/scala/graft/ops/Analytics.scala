@@ -5493,6 +5493,204 @@ object Analytics {
         count(bk) = count(*) AS holds
       FROM u GROUP BY dep ORDER BY dependency"""))
 
+  // ---------- q302: propensity-stratified ATE --------------------------
+
+  /** Observational causal estimate of "does a deep discount cause
+    * returns": treatment = discount ≥ 6 %, outcome = returned, and
+    * because discount assignment correlates with brand, the naive
+    * treated-minus-control gap is confounded. The estimator is
+    * classic propensity STRATIFICATION (Rosenbaum & Rubin 1983,
+    * subclassification form): within each brand stratum the
+    * treated/control outcome means are compared, and strata average
+    * with weights n_s/N — equivalent to IPW with the stratum-exact
+    * propensity, and the form that needs NO iterative model fit.
+    * Completes the q255 DiD / q256 CUPED causal family. Shape: one
+    * fact pass (part is a broadcast dimension) into a |brands|-row
+    * conditional aggregate; strata lacking either arm are excluded
+    * (reported), per-stratum gaps pin to nano-units weighted by exact
+    * int64 n_s, and the final division happens once.
+    */
+  private val q302 = QueryDef(
+    "q302_stratified_ate",
+    (s, dir) => {
+      val strata = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_discount") >= 0.06, 1L).otherwise(0L).as("t"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("t")).as("nt"),
+          sum(lit(1L) - col("t")).as("nc"),
+          sum(col("t") * col("y")).as("yt"),
+          sum((lit(1L) - col("t")) * col("y")).as("yc"))
+      val usable = strata.where(col("nt") > 0 && col("nc") > 0)
+      usable.agg(
+          count(lit(1)).as("n_strata"),
+          sum(col("n")).as("n"),
+          sum(col("yt")).as("syt"), sum(col("nt")).as("snt"),
+          sum(col("yc")).as("syc"), sum(col("nc")).as("snc"),
+          sum(col("n") * expr(
+            """CAST(round((CAST(yt AS DOUBLE) / nt
+               - CAST(yc AS DOUBLE) / nc) * 1e9) AS BIGINT)"""))
+            .as("wsum_nano"))
+        .select(col("n_strata"), col("n"),
+          round(col("syt").cast("double") / col("snt")
+            - col("syc").cast("double") / col("snc"), 12)
+            .as("naive_diff"),
+          round(col("wsum_nano").cast("double") / col("n") / 1e9, 12)
+            .as("stratified_ate"))
+    },
+    Some("""WITH s AS (SELECT p_brand, count(*)::BIGINT AS n,
+          sum(t)::BIGINT AS nt, sum(1 - t)::BIGINT AS nc,
+          sum(t * y)::BIGINT AS yt, sum((1 - t) * y)::BIGINT AS yc
+        FROM (SELECT l_partkey,
+            CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS t,
+            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          FROM lineitem) li JOIN part ON l_partkey = p_partkey
+        GROUP BY 1),
+      u AS (SELECT * FROM s WHERE nt > 0 AND nc > 0)
+      SELECT count(*)::BIGINT AS n_strata, sum(n)::BIGINT AS n,
+        round(sum(yt)::DOUBLE / sum(nt) - sum(yc)::DOUBLE / sum(nc),
+          12) AS naive_diff,
+        round(sum(n * round((yt::DOUBLE / nt - yc::DOUBLE / nc)
+            * 1e9)::BIGINT)::DOUBLE / sum(n) / 1e9, 12)
+          AS stratified_ate
+      FROM u"""))
+
+  // ---------- q303: label-propagation step -----------------------------
+
+  /** One synchronous label-propagation step (Raghavan 2007) over the
+    * co-purchase graph with BRAND as the seed labeling — the
+    * semi-supervised community primitive between q49's connected
+    * components (pure structure) and q269's modularity (evaluation):
+    * each part adopts the majority brand among its co-purchase
+    * neighbors (ties → lexicographically smallest), and the emitted
+    * old-brand × adopted-label transition matrix shows how much the
+    * purchase graph agrees with the catalog taxonomy. Shape: the
+    * neighbor-label count is one shuffle keyed on the node (part ids,
+    * never baskets); the argmax is a window PARTITIONED by node —
+    * per-node label counts are ≤ |brands|, hashed across executors —
+    * and the output is a bounded |brands|² matrix. Every count is
+    * exact int64; no floats anywhere.
+    */
+  private val q303 = QueryDef(
+    "q303_label_propagation",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = copurchasePairs(s, dir)
+        .select(col("part_a"), col("part_b"))
+      val adj = pairs.select(col("part_a").as("node"), col("part_b").as("nbr"))
+        .union(pairs.select(col("part_b").as("node"), col("part_a").as("nbr")))
+      val brands = Fixtures.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val cnt = adj
+        .join(broadcast(brands.select(col("p_partkey").as("nbr"),
+          col("p_brand").as("nbr_brand"))), Seq("nbr"))
+        .groupBy(col("node"), col("nbr_brand"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("nbr_brand"))
+      val adopted = cnt.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("node"), col("nbr_brand").as("new_label"))
+      adopted
+        .join(broadcast(brands), col("node") === col("p_partkey"))
+        .groupBy(col("p_brand").as("old_brand"), col("new_label"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("old_brand"), col("new_label"))
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      adj AS (SELECT part_a AS node, part_b AS nbr FROM pr
+        UNION ALL SELECT part_b, part_a FROM pr),
+      cnt AS (SELECT node, p.p_brand AS nbr_brand, count(*)::BIGINT AS c
+        FROM adj JOIN part p ON nbr = p.p_partkey GROUP BY 1, 2),
+      win AS (SELECT node, nbr_brand,
+          row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, nbr_brand) AS rn
+        FROM cnt)
+      SELECT p.p_brand AS old_brand, w.nbr_brand AS new_label,
+        count(*)::BIGINT AS n_parts
+      FROM win w JOIN part p ON w.node = p.p_partkey
+      WHERE rn = 1
+      GROUP BY 1, 2 ORDER BY old_brand, new_label"""))
+
+  // ---------- q304: Horvitz–Thompson estimator audit -------------------
+
+  /** Horvitz–Thompson estimation under deterministic unequal-
+    * probability sampling — the survey-sampling workhorse behind every
+    * "estimate the full-corpus total from a biased sample" shortcut:
+    * orders are sampled at band-dependent rates (small 10 %, medium
+    * 50 %, large 100 % — large orders dominate the total, so they are
+    * taken with certainty) via the q37 portable-hash coin, and the HT
+    * estimator Σ y_i/π_i is compared against the TRUE total the audit
+    * can still afford to compute. Inverse weights are the exact
+    * integers 10/2/1, revenue sums are DECIMAL-lifted, so estimate,
+    * truth, and relative error are all bit-stable. Shape: one orders
+    * pass, |bands| output rows plus exact integer arithmetic — the
+    * sample membership is a pure hash predicate that pushes into the
+    * scan.
+    */
+  private val q304 = QueryDef(
+    "q304_horvitz_thompson",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val banded = Fixtures.table(s, dir, "orders")
+        .select(col("o_totalprice"),
+          when(col("o_totalprice") < 250000.0, "1_small")
+            .when(col("o_totalprice") < 420000.0, "2_medium")
+            .otherwise("3_large").as("band"),
+          when(col("o_totalprice") < 250000.0, 10L)
+            .when(col("o_totalprice") < 420000.0, 2L)
+            .otherwise(1L).as("inv_w"),
+          (expr(Portable.h32Spark("concat('ht_', o_orderkey)"))
+            % 1000).as("coin"))
+        .withColumn("sampled",
+          when(col("coin") < lit(1000L) / col("inv_w"), 1L).otherwise(0L))
+      banded.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_pop"),
+          sum(col("sampled")).as("n_sampled"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 6)))
+            .cast("double"), 2).as("true_total"),
+          round(sum(when(col("sampled") === 1,
+              col("o_totalprice").cast(DecimalType(18, 6)) * col("inv_w"))
+            .otherwise(lit(0).cast(DecimalType(18, 6))))
+            .cast("double"), 2).as("ht_total"))
+        .select(col("band"), col("n_pop"), col("n_sampled"),
+          col("true_total"), col("ht_total"),
+          round((col("ht_total") - col("true_total"))
+            / col("true_total"), 12).as("rel_err"))
+        .orderBy(col("band"))
+    },
+    Some(s"""WITH banded AS (SELECT o_totalprice,
+          CASE WHEN o_totalprice < 250000.0 THEN '1_small'
+            WHEN o_totalprice < 420000.0 THEN '2_medium'
+            ELSE '3_large' END AS band,
+          CASE WHEN o_totalprice < 250000.0 THEN 10
+            WHEN o_totalprice < 420000.0 THEN 2 ELSE 1 END AS inv_w,
+          ${Portable.h32Duck("'ht_' || o_orderkey")} % 1000 AS coin
+        FROM orders),
+      f AS (SELECT *, CASE WHEN coin < 1000 / inv_w THEN 1 ELSE 0 END
+          AS sampled
+        FROM banded),
+      agg AS (SELECT band, count(*)::BIGINT AS n_pop,
+          sum(sampled)::BIGINT AS n_sampled,
+          round(sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE, 2)
+            AS true_total,
+          round(sum(CASE WHEN sampled = 1
+              THEN CAST(o_totalprice AS DECIMAL(18,6)) * inv_w
+              ELSE CAST(0 AS DECIMAL(18,6)) END)::DOUBLE, 2) AS ht_total
+        FROM f GROUP BY 1)
+      SELECT band, n_pop, n_sampled, true_total, ht_total,
+        round((ht_total - true_total) / true_total, 12) AS rel_err
+      FROM agg ORDER BY band"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -5501,5 +5699,6 @@ object Analytics {
       q224, q226, q228, q229, q230, q231, q232, q233, q234, q235, q236,
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
-      q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301)
+      q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
+      q302, q303, q304)
 }

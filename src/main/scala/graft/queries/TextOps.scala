@@ -1532,8 +1532,104 @@ object TextOps {
         round(sum(f_micro)::DOUBLE / count(*) / 1e6, 6) AS flesch_avg
       FROM perdoc GROUP BY 1, 2 ORDER BY lang, source"""))
 
+  // ---------- q305: Burrows' delta stylometry --------------------------
+
+  /** Burrows' delta (Burrows 2002) between every source pair — the
+    * standard stylometric authorship distance: each source is a
+    * vector of relative frequencies over the corpus's top-30 most
+    * frequent words ("function words"), z-scored per word across
+    * sources, and delta(a,b) = mean |z_a − z_b|. Near-zero delta
+    * flags two "sources" that are really the same generator — a
+    * provenance check for crawled corpora. Shape: ONE corpus token
+    * pass feeds both the top-30 vocabulary (TakeOrdered under a total
+    * (count, word) order — never a global sort) and, against that
+    * 30-word broadcast, the per-source counts; everything after is
+    * bounded |sources|×30. The frequency grid is DENSIFIED (spine
+    * cross-join, zeros count) so missing words depress similarity;
+    * frequencies pin to micro-units, the per-word variance test is
+    * exact integer (words a z-score cannot be defined for are
+    * excluded exactly), and |z|-gaps pin to nano-units before the
+    * pair mean.
+    */
+  private val q305 = QueryDef(
+    "q305_burrows_delta",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      val top = toks.groupBy(col("word")).agg(count(lit(1)).as("tc"))
+        .orderBy(col("tc").desc, col("word")).limit(30)
+        .select(col("word"))
+      val totals = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_toks"))
+      val cnts = toks.join(broadcast(top), Seq("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("c"))
+      val spine = totals.select(col("source"), col("n_toks"))
+        .crossJoin(broadcast(top))
+      val freq = spine.join(cnts, Seq("source", "word"), "left")
+        .select(col("source"), col("word"),
+          expr("""CAST(round(coalesce(c, 0) * 1e6
+            / CAST(n_toks AS DOUBLE)) AS BIGINT)""").as("f_micro"))
+      val stats = freq.groupBy(col("word"))
+        .agg(count(lit(1)).as("ns"), sum(col("f_micro")).as("sf"),
+          sum(col("f_micro") * col("f_micro")).as("sff"))
+        .where(expr("ns * sff - sf * sf") > 0)
+        .select(col("word"),
+          (col("sf").cast("double") / col("ns")).as("mean_f"),
+          (sqrt(expr("CAST(ns * sff - sf * sf AS DOUBLE)"))
+            / col("ns")).as("sd_f"))
+      val z = freq.join(broadcast(stats), Seq("word"))
+        .select(col("word"), col("source"),
+          ((col("f_micro") - col("mean_f")) / col("sd_f")).as("z"))
+      val a = z.select(col("word"), col("source").as("source_a"),
+        col("z").as("za"))
+      val b = z.select(col("word"), col("source").as("source_b"),
+        col("z").as("zb"))
+      a.join(b, Seq("word"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(expr("CAST(round(abs(za - zb) * 1e9) AS BIGINT)"))
+            .as("d_nano"))
+        .select(col("source_a"), col("source_b"), col("n_words"),
+          round(col("d_nano").cast("double") / col("n_words") / 1e9, 9)
+            .as("delta"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' '))
+          AS word FROM documents),
+      top AS (SELECT word FROM (SELECT word, count(*) AS tc FROM toks
+          GROUP BY 1)
+        ORDER BY tc DESC, word LIMIT 30),
+      totals AS (SELECT source, count(*)::BIGINT AS n_toks FROM toks
+        GROUP BY 1),
+      cnts AS (SELECT source, word, count(*)::BIGINT AS c
+        FROM toks JOIN top USING (word) GROUP BY 1, 2),
+      freq AS (SELECT t.source, p.word,
+          round(coalesce(c, 0) * 1e6 / t.n_toks::DOUBLE)::BIGINT
+            AS f_micro
+        FROM totals t CROSS JOIN top p
+        LEFT JOIN cnts ON cnts.source = t.source AND cnts.word = p.word),
+      stats AS (SELECT word, count(*)::BIGINT AS ns,
+          sum(f_micro)::BIGINT AS sf,
+          sum(f_micro * f_micro)::BIGINT AS sff
+        FROM freq GROUP BY 1),
+      ok AS (SELECT word, sf::DOUBLE / ns AS mean_f,
+          sqrt((ns * sff - sf * sf)::DOUBLE) / ns AS sd_f
+        FROM stats WHERE ns * sff - sf * sf > 0),
+      z AS (SELECT f.word, f.source, (f_micro - mean_f) / sd_f AS z
+        FROM freq f JOIN ok USING (word)),
+      pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+          count(*)::BIGINT AS n_words,
+          sum(round(abs(a.z - b.z) * 1e9)::BIGINT)::BIGINT AS d_nano
+        FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, n_words,
+        round(d_nano::DOUBLE / n_words / 1e9, 9) AS delta
+      FROM pairs ORDER BY source_a, source_b"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
       q153, q155, q165, q177, q198, q199, q215, q217, q244, q245, q278,
-      q279, q287, q298)
+      q279, q287, q298, q305)
 }
