@@ -5691,6 +5691,172 @@ object Analytics {
         round((ht_total - true_total) / true_total, 12) AS rel_err
       FROM agg ORDER BY band"""))
 
+  // ---------- q306: MCC / F1 threshold sweep ---------------------------
+
+  /** Confusion-matrix threshold sweep for the q253 brand-rate return
+    * scorer: at every distinct score cutoff, the full (TP, FP, FN, TN)
+    * plus Matthews correlation and F1 — the operating-point picker
+    * that complements q170's threshold-free AUC and q267's decile
+    * lift. Because the score is a brand-level encoding it takes at
+    * most |brands| distinct values, so after ONE fact pass the sweep
+    * table is brand-sized: cumulative TP/FP come from a window over
+    * the ≤|score| bounded cutoff table (q159 tiny-aggregate class,
+    * never corpus-sized). MCC's numerator stays exact int64; the
+    * four-factor denominator product would overflow int64, so it is
+    * evaluated in double from exact counts — bit-stable since both
+    * engines convert and multiply identically.
+    */
+  private val q306 = QueryDef(
+    "q306_mcc_sweep",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      val prior = base.agg(
+        (sum(col("n_pos")).cast("double") / sum(col("n")).cast("double"))
+          .as("prior"))
+      val scored = base.crossJoin(broadcast(prior))
+        .select(
+          expr("""CAST(round((CAST(n_pos AS DOUBLE) + 50.0 * prior)
+            / (CAST(n AS DOUBLE) + 50.0) * 1e6) AS BIGINT)""")
+            .as("conf_micro"),
+          col("n"), col("n_pos"))
+        .groupBy(col("conf_micro"))
+        .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("pos"))
+      val w = Window.orderBy(col("conf_micro").desc)
+      val tot = scored.agg(sum(col("n")).as("nn"),
+        sum(col("pos")).as("npos"))
+      scored
+        .withColumn("tp", sum(col("pos")).over(w))
+        .withColumn("pp", sum(col("n")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("conf_micro"),
+          col("tp"), (col("pp") - col("tp")).as("fp"),
+          (col("npos") - col("tp")).as("fn"),
+          (col("nn") - col("pp") - col("npos") + col("tp")).as("tn"))
+        .select(col("conf_micro"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          // undefined-denominator convention: MCC = 0 when any
+          // confusion margin is empty (the all-positive cutoff)
+          round(when(col("tp") + col("fp") === 0
+              || col("tp") + col("fn") === 0
+              || col("tn") + col("fp") === 0
+              || col("tn") + col("fn") === 0,
+              lit(0.0))
+            .otherwise((col("tp") * col("tn") - col("fp") * col("fn"))
+              .cast("double")
+              / sqrt((col("tp") + col("fp")).cast("double")
+                * (col("tp") + col("fn")).cast("double")
+                * (col("tn") + col("fp")).cast("double")
+                * (col("tn") + col("fn")).cast("double"))), 12)
+            .as("mcc"),
+          round((lit(2L) * col("tp")).cast("double")
+            / (lit(2L) * col("tp") + col("fp") + col("fn"))
+              .cast("double"), 12).as("f1"))
+        .orderBy(col("conf_micro"))
+    },
+    Some("""WITH b AS (SELECT p_brand, count(*)::BIGINT AS n,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS n_pos
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      g AS (SELECT sum(n_pos)::DOUBLE / sum(n)::DOUBLE AS prior FROM b),
+      sc AS (SELECT round((n_pos::DOUBLE + 50.0 * prior)
+            / (n::DOUBLE + 50.0) * 1e6)::BIGINT AS conf_micro,
+          sum(n)::BIGINT AS n, sum(n_pos)::BIGINT AS pos
+        FROM b, g GROUP BY 1),
+      tot AS (SELECT sum(n)::BIGINT AS nn, sum(pos)::BIGINT AS npos
+        FROM sc),
+      cum AS (SELECT conf_micro,
+          sum(pos) OVER (ORDER BY conf_micro DESC)::BIGINT AS tp,
+          sum(n) OVER (ORDER BY conf_micro DESC)::BIGINT AS pp
+        FROM sc),
+      cm AS (SELECT conf_micro, tp, pp - tp AS fp, npos - tp AS fn,
+          nn - pp - npos + tp AS tn
+        FROM cum, tot)
+      SELECT conf_micro, tp, fp, fn, tn,
+        round(CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0
+            OR tn + fn = 0 THEN 0.0
+          ELSE (tp * tn - fp * fn)::DOUBLE
+            / sqrt((tp + fp)::DOUBLE * (tp + fn)::DOUBLE
+              * (tn + fp)::DOUBLE * (tn + fn)::DOUBLE) END, 12) AS mcc,
+        round((2 * tp)::DOUBLE / (2 * tp + fp + fn)::DOUBLE, 12) AS f1
+      FROM cm ORDER BY conf_micro"""))
+
+  // ---------- q307: Levene's test -------------------------------------
+
+  /** Levene's test for variance homogeneity of order totals across the
+    * five order priorities — the assumption gate run BEFORE trusting
+    * an ANOVA or pooled t-test (q163): W is the one-way ANOVA F
+    * statistic applied to absolute deviations z = |x − x̄_g| from the
+    * group mean. Two passes, both map-side-combining aggregates: one
+    * for exact group means (DECIMAL sums), one for the z moments with
+    * the means joined back as a ≤5-row broadcast. z pins to integer
+    * cents and z² sums in DECIMAL(38,0), so every sum of squares is
+    * exact and W is bit-stable. Output is one row — the statistic,
+    * its degrees of freedom, and the decision against the
+    * conservative F(4, ∞) = 4.62 upper-0.1 % critical value.
+    */
+  private val q307 = QueryDef(
+    "q307_levene",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val means = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mean_g"))
+      val z = Fixtures.table(s, dir, "orders")
+        .join(broadcast(means), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"),
+          expr("CAST(round(abs(o_totalprice - mean_g) * 100.0) AS BIGINT)")
+            .as("z_cents"))
+      val g = z.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_g"), sum(col("z_cents")).as("sz"),
+          sum((col("z_cents") * col("z_cents"))
+            .cast(DecimalType(38, 0))).as("szz"))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("sz")).as("tz"),
+          sum(col("szz")).cast(DecimalType(38, 0)).as("tzz"),
+          sum(expr("""CAST(round(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+            / CAST(n_g AS DOUBLE)) AS BIGINT)""")).as("sgm"))
+        .select(col("k"), col("n"),
+          round((((col("sgm").cast("double")
+              - col("tz").cast("double") * col("tz").cast("double")
+                / col("n").cast("double")) / (col("k") - 1))
+            / ((col("tzz").cast("double") - col("sgm").cast("double"))
+              / (col("n") - col("k")))) / 1.0, 9).as("w_stat"))
+        .select(col("k"), col("n"), col("w_stat"),
+          (col("w_stat") > 4.62).as("heteroscedastic"))
+    },
+    Some("""WITH means AS (SELECT o_orderpriority,
+          sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE / count(*)
+            AS mean_g
+        FROM orders GROUP BY 1),
+      z AS (SELECT o.o_orderpriority,
+          round(abs(o_totalprice - mean_g) * 100.0)::BIGINT AS z_cents
+        FROM orders o JOIN means m
+          ON o.o_orderpriority = m.o_orderpriority),
+      g AS (SELECT o_orderpriority, count(*)::BIGINT AS n_g,
+          sum(z_cents)::BIGINT AS sz,
+          sum(z_cents::HUGEINT * z_cents) AS szz
+        FROM z GROUP BY 1),
+      t AS (SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+          sum(sz)::BIGINT AS tz, sum(szz) AS tzz,
+          sum(round(sz::DOUBLE * sz::DOUBLE / n_g::DOUBLE)::BIGINT)
+            ::BIGINT AS sgm
+        FROM g)
+      SELECT k, n,
+        round((((sgm - tz::DOUBLE * tz::DOUBLE / n::DOUBLE) / (k - 1))
+          / ((tzz::DOUBLE - sgm) / (n - k))), 9) AS w_stat,
+        (((sgm - tz::DOUBLE * tz::DOUBLE / n::DOUBLE) / (k - 1))
+          / ((tzz::DOUBLE - sgm) / (n - k))) > 4.62 AS heteroscedastic
+      FROM t"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -5700,5 +5866,5 @@ object Analytics {
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
-      q302, q303, q304)
+      q302, q303, q304, q306, q307)
 }

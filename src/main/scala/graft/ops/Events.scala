@@ -3133,10 +3133,81 @@ object Events {
           + pow(sum(im_micro)::DOUBLE / 1e6, 2), 6) AS power
       FROM terms GROUP BY period ORDER BY period"""))
 
+  // ---------- q308: Gumbel block maxima -------------------------------
+
+  /** Extreme-value analysis of daily event VALUE totals by the block-
+    * maxima method: weekly maxima fit to a Gumbel distribution via the
+    * method of moments (β = s·√6/π, μ = m − γ·β, γ Euler–Mascheroni),
+    * then return levels x_T = μ − β·ln(−ln(1 − 1/T)) — "the biggest
+    * day we should expect every T weeks" — the capacity-planning twin
+    * of q290's Hill tail index (which fits the tail SHAPE; this fits
+    * the block EXTREMES). Shape: the only corpus-sized pass is the
+    * per-day total (exact DECIMAL cents); days and weeks are
+    * calendar-bounded at any corpus size, maxima land in hecto-unit
+    * int64 so the two block moments are exact integer sums, and the
+    * fit plus return levels are one deterministic expression over a
+    * 1-row aggregate.
+    */
+  private val q308 = QueryDef(
+    "q308_gumbel_extremes",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("tot"))
+      val weekly = daily
+        .groupBy(expr("day div 7").as("week"))
+        .agg(expr("CAST(round(max(tot) * 100.0) AS BIGINT) div 100")
+          .as("m"))
+      weekly.agg(count(lit(1)).as("n_blocks"), sum(col("m")).as("sm"),
+          sum(col("m") * col("m")).as("smm"))
+        .select(col("n_blocks"),
+          (col("sm").cast("double") / col("n_blocks")).as("mean_m"),
+          (sqrt((col("n_blocks") * col("smm") - col("sm") * col("sm"))
+            .cast("double")) / col("n_blocks")).as("sd_m"),
+          col("n_blocks").as("nb"))
+        .select(col("n_blocks"),
+          round(col("mean_m"), 2).as("block_mean"),
+          round(col("sd_m") * 0.7796968012336093, 4).as("beta"),
+          round(col("mean_m")
+            - lit(0.5772156649015329) * col("sd_m")
+              * 0.7796968012336093, 4)
+            .as("mu"))
+        .select(col("n_blocks"), col("block_mean"), col("beta"),
+          col("mu"),
+          round(col("mu") - col("beta")
+            * math.log(-math.log(0.5)), 4).as("rl_2"),
+          round(col("mu") - col("beta")
+            * math.log(-math.log(0.9)), 4).as("rl_10"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          sum(CAST(value AS DECIMAL(18,4))) AS tot
+        FROM events GROUP BY 1),
+      weekly AS (SELECT day // 7 AS week,
+          round(max(tot) * 100.0)::BIGINT // 100 AS m
+        FROM daily GROUP BY 1),
+      st AS (SELECT count(*)::BIGINT AS n_blocks, sum(m)::BIGINT AS sm,
+          sum(m * m)::BIGINT AS smm FROM weekly),
+      fit AS (SELECT n_blocks, sm::DOUBLE / n_blocks AS mean_m,
+          sqrt((n_blocks * smm - sm * sm)::DOUBLE) / n_blocks AS sd_m
+        FROM st),
+      p AS (SELECT n_blocks, round(mean_m, 2) AS block_mean,
+          round(sd_m * 0.7796968012336093, 4) AS beta,
+          round(mean_m
+            - 0.5772156649015329 * sd_m * 0.7796968012336093, 4) AS mu
+        FROM fit)
+      SELECT n_blocks, block_mean, beta, mu,
+        round(mu - beta * ln(-ln(0.5)), 4) AS rl_2,
+        round(mu - beta * ln(-ln(0.9)), 4) AS rl_10
+      FROM p"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
-      q273, q276, q282, q283, q286, q290, q300)
+      q273, q276, q282, q283, q286, q290, q300, q308)
 }

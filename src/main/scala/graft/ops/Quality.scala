@@ -1723,8 +1723,135 @@ object Quality {
         emd_nano > 150000000 AS breach
       FROM d ORDER BY lang, source"""))
 
+  // ---------- q309: sample-ratio-mismatch gate ------------------------
+
+  /** Sample-ratio-mismatch (SRM) gate over the q37 deterministic
+    * 80/10/10 split — the first thing an experimentation platform
+    * checks before trusting ANY downstream split metric: if the
+    * realized train/val/test counts diverge from the declared ratios
+    * beyond chance, the assignment hash is biased or the corpus was
+    * filtered after splitting, and every eval on it is suspect. The
+    * χ² goodness-of-fit statistic against expected 0.8/0.1/0.1·N is
+    * compared to the 2-df upper-0.1 % critical value 13.816. Shape:
+    * one corpus pass into a 3-row aggregate; expected counts and χ²
+    * terms are exact arithmetic on int64 totals.
+    */
+  private val q309 = QueryDef(
+    "q309_srm_check",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .select(expr(graft.ops.Portable.splitCaseSpark).as("split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("obs"))
+      val tot = counts.agg(sum(col("obs")).as("n"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("split"), col("obs"), col("n"),
+          expr("""CASE WHEN split = 'train' THEN n * 0.8
+            ELSE n * 0.1 END""").as("exp_n"))
+        .agg(sum(col("obs")).as("n_docs"),
+          sum(when(col("split") === "train", col("obs")).otherwise(0L))
+            .as("n_train"),
+          sum(when(col("split") === "val", col("obs")).otherwise(0L))
+            .as("n_val"),
+          sum(when(col("split") === "test", col("obs")).otherwise(0L))
+            .as("n_test"),
+          sum(expr("""CAST(round((obs - exp_n) * (obs - exp_n) / exp_n
+            * 1e9) AS BIGINT)""")).as("chi2_nano"))
+        .select(col("n_docs"), col("n_train"), col("n_val"),
+          col("n_test"),
+          round(col("chi2_nano").cast("double") / 1e9, 9).as("chi2"),
+          (col("chi2_nano") > lit(13816000000L)).as("srm_detected"))
+    },
+    Some(s"""WITH counts AS (SELECT ${graft.ops.Portable.splitCaseDuck}
+          AS split, count(*)::BIGINT AS obs
+        FROM documents GROUP BY 1),
+      t AS (SELECT sum(obs)::BIGINT AS n FROM counts),
+      e AS (SELECT split, obs, n,
+          CASE WHEN split = 'train' THEN n * 0.8 ELSE n * 0.1 END
+            AS exp_n
+        FROM counts, t)
+      SELECT sum(obs)::BIGINT AS n_docs,
+        sum(CASE WHEN split = 'train' THEN obs ELSE 0 END)::BIGINT
+          AS n_train,
+        sum(CASE WHEN split = 'val' THEN obs ELSE 0 END)::BIGINT
+          AS n_val,
+        sum(CASE WHEN split = 'test' THEN obs ELSE 0 END)::BIGINT
+          AS n_test,
+        round(sum(round((obs - exp_n) * (obs - exp_n) / exp_n
+          * 1e9)::BIGINT)::DOUBLE / 1e9, 9) AS chi2,
+        sum(round((obs - exp_n) * (obs - exp_n) / exp_n
+          * 1e9)::BIGINT) > 13816000000 AS srm_detected
+      FROM e"""))
+
+  // ---------- q310: raking (IPF) step ---------------------------------
+
+  /** One iterative-proportional-fitting (raking) step toward UNIFORM
+    * lang × source margins — the survey-weighting primitive (Deming &
+    * Stephan 1940) a corpus builder runs to rebalance a crawl: scale
+    * every (lang, source) cell so language margins hit 1/|langs|
+    * exactly, then source margins hit 1/|sources| (which perturbs the
+    * language fit — the residual row-margin error emitted per cell is
+    * the convergence signal a second sweep would drive down). Shape:
+    * one corpus pass into a ≤|langs×sources| cell table; both scaling
+    * sweeps are windows PARTITIONED by the margin key over that
+    * bounded table. Weights pin to micro-units after each sweep, so
+    * the emitted weights and residuals are bit-stable.
+    */
+  private val q310 = QueryDef(
+    "q310_raking_step",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = docs(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).as("nn"),
+        countDistinct(col("lang")).as("nl"),
+        countDistinct(col("source")).as("ns"))
+      val wl = Window.partitionBy(col("lang"))
+      val ws = Window.partitionBy(col("source"))
+      val rowScaled = cells.crossJoin(broadcast(tot))
+        .withColumn("lang_n", sum(col("n")).over(wl))
+        .withColumn("w1_micro", expr(
+          """CAST(round(CAST(n AS DOUBLE) * (CAST(nn AS DOUBLE) / nl)
+             / CAST(lang_n AS DOUBLE) * 1e6) AS BIGINT)"""))
+      val colScaled = rowScaled
+        .withColumn("src_w1", sum(col("w1_micro")).over(ws))
+        .withColumn("w2_micro", expr(
+          """CAST(round(CAST(w1_micro AS DOUBLE)
+             * (CAST(nn AS DOUBLE) * 1e6 / ns)
+             / CAST(src_w1 AS DOUBLE)) AS BIGINT)"""))
+      colScaled
+        .withColumn("lang_w2", sum(col("w2_micro")).over(wl))
+        .select(col("lang"), col("source"), col("n"),
+          round(col("w2_micro").cast("double") / 1e6, 6).as("weight"),
+          round(abs(col("lang_w2").cast("double") / 1e6
+            - col("nn").cast("double") / col("nl"))
+            / (col("nn").cast("double") / col("nl")), 9)
+            .as("row_resid"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""WITH cells AS (SELECT lang, source, count(*)::BIGINT AS n
+        FROM documents GROUP BY 1, 2),
+      t AS (SELECT sum(n)::BIGINT AS nn,
+          count(DISTINCT lang)::BIGINT AS nl,
+          count(DISTINCT source)::BIGINT AS ns FROM cells),
+      r AS (SELECT lang, source, n, nn, nl, ns,
+          round(n::DOUBLE * (nn::DOUBLE / nl)
+            / (sum(n) OVER (PARTITION BY lang))::DOUBLE * 1e6)::BIGINT
+            AS w1_micro
+        FROM cells, t),
+      c AS (SELECT *, round(w1_micro::DOUBLE
+            * (nn::DOUBLE * 1e6 / ns)
+            / (sum(w1_micro) OVER (PARTITION BY source))::DOUBLE)::BIGINT
+            AS w2_micro
+        FROM r)
+      SELECT lang, source, n,
+        round(w2_micro::DOUBLE / 1e6, 6) AS weight,
+        round(abs((sum(w2_micro) OVER (PARTITION BY lang))::DOUBLE / 1e6
+          - nn::DOUBLE / nl) / (nn::DOUBLE / nl), 9) AS row_resid
+      FROM c ORDER BY lang, source"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
-      q262, q271, q274, q299)
+      q262, q271, q274, q299, q309, q310)
 }
