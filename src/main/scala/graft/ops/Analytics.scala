@@ -5857,6 +5857,148 @@ object Analytics {
           / ((tzz::DOUBLE - sgm) / (n - k))) > 4.62 AS heteroscedastic
       FROM t"""))
 
+  // ---------- q311: capture–recapture population estimate --------------
+
+  /** Lincoln–Petersen capture–recapture (Chapman-corrected) estimate of
+    * the active-customer population from two INDEPENDENT deterministic
+    * 10 % order samples — the ecology-borrowed estimator a pipeline
+    * uses when the full distinct-count is too expensive but two cheap
+    * overlapping samples are not: N̂ = (n₁+1)(n₂+1)/(m+1) − 1, where m
+    * is the recapture overlap. Sits beside the sketch family (q35 KMV,
+    * q85 HLL) as the SAMPLE-based alternative, and the audit emits the
+    * true count and relative error because the fixture can still
+    * afford the truth. Shape: two hash-coin predicates push into one
+    * orders scan; each sample reduces to a distinct-customer set (one
+    * narrow shuffle each, the q301 dedup-before-join rule), the
+    * overlap is one equi-join on customer, and everything after is
+    * exact integer arithmetic on three scalars.
+    */
+  private val q311 = QueryDef(
+    "q311_capture_recapture",
+    (s, dir) => {
+      val ord = Fixtures.table(s, dir, "orders")
+        .select(col("o_custkey"),
+          (expr(Portable.h32Spark("concat('cap1_', o_orderkey)"))
+            % 10 === 0).as("in_a"),
+          (expr(Portable.h32Spark("concat('cap2_', o_orderkey)"))
+            % 10 === 0).as("in_b"))
+      val sa = ord.where(col("in_a")).select(col("o_custkey")).distinct()
+      val sb = ord.where(col("in_b")).select(col("o_custkey")).distinct()
+      val n1 = sa.agg(count(lit(1)).as("n1"))
+      val n2 = sb.agg(count(lit(1)).as("n2"))
+      val m = sa.join(sb, Seq("o_custkey")).agg(count(lit(1)).as("m"))
+      val truth = ord.select(col("o_custkey")).distinct()
+        .agg(count(lit(1)).as("true_n"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+        .crossJoin(broadcast(truth))
+        .select(col("n1"), col("n2"), col("m"), col("true_n"),
+          round((col("n1") + 1).cast("double") * (col("n2") + 1)
+            / (col("m") + 1) - 1.0, 4).as("est_n"))
+        .select(col("n1"), col("n2"), col("m"), col("true_n"),
+          col("est_n"),
+          round((col("est_n") - col("true_n"))
+            / col("true_n").cast("double"), 9).as("rel_err"))
+    },
+    Some(s"""WITH ord AS (SELECT o_custkey,
+          ${Portable.h32Duck("'cap1_' || o_orderkey")} % 10 = 0 AS in_a,
+          ${Portable.h32Duck("'cap2_' || o_orderkey")} % 10 = 0 AS in_b
+        FROM orders),
+      sa AS (SELECT DISTINCT o_custkey FROM ord WHERE in_a),
+      sb AS (SELECT DISTINCT o_custkey FROM ord WHERE in_b),
+      x AS (SELECT (SELECT count(*) FROM sa)::BIGINT AS n1,
+          (SELECT count(*) FROM sb)::BIGINT AS n2,
+          (SELECT count(*) FROM sa JOIN sb USING (o_custkey))::BIGINT
+            AS m,
+          (SELECT count(DISTINCT o_custkey) FROM ord)::BIGINT AS true_n),
+      e AS (SELECT *, round((n1 + 1)::DOUBLE * (n2 + 1) / (m + 1) - 1.0,
+          4) AS est_n FROM x)
+      SELECT n1, n2, m, true_n, est_n,
+        round((est_n - true_n) / true_n::DOUBLE, 9) AS rel_err
+      FROM e"""))
+
+  // ---------- q314: weighted quantiles from a biased sample ------------
+
+  /** Design-weighted quantile estimation — the q304 companion: given
+    * the SAME band-rate sample (small 10 %, medium 50 %, large 100 %)
+    * with exact inverse-probability weights 10/2/1, estimate the
+    * population's order-total median and P90 per market segment.
+    * Unweighted sample quantiles would skew high (large orders are
+    * oversampled); HT weighting undoes the design bias. Exactness at
+    * scale: the quantile is computed over FIXED $5 000 price cells —
+    * a weighted cumulative over a ≤|cells| bounded table per segment
+    * (window PARTITIONED by segment, q159 class), never a
+    * corpus-sized per-group sort — and the answer is the lower edge
+    * of the first cell whose cumulative weight crosses the target,
+    * exact for the binned distribution in both engines (all weights
+    * int64). The true binned quantiles ride along for the audit.
+    */
+  private val q314 = QueryDef(
+    "q314_weighted_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Fixtures.table(s, dir, "orders")
+        .join(broadcast(Fixtures.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          expr("CAST(o_totalprice AS BIGINT) div 5000").as("cell"),
+          when(col("o_totalprice") < 250000.0, 10L)
+            .when(col("o_totalprice") < 420000.0, 2L)
+            .otherwise(1L).as("inv_w"),
+          (expr(Portable.h32Spark("concat('ht_', o_orderkey)"))
+            % 1000).as("coin"))
+        .withColumn("sampled",
+          when(col("coin") < lit(1000L) / col("inv_w"), 1L).otherwise(0L))
+      val cells = base.groupBy(col("segment"), col("cell"))
+        .agg(sum(when(col("sampled") === 1, col("inv_w")).otherwise(0L))
+          .as("w"), count(lit(1)).as("n_true"))
+      val wseg = Window.partitionBy(col("segment"))
+      val wcum = Window.partitionBy(col("segment")).orderBy(col("cell"))
+      val cum = cells
+        .withColumn("tw", sum(col("w")).over(wseg))
+        .withColumn("tn", sum(col("n_true")).over(wseg))
+        .withColumn("cw", sum(col("w")).over(wcum))
+        .withColumn("cn", sum(col("n_true")).over(wcum))
+      def pick(c: String, t: String, frac: Double, out: String) =
+        cum.where(col(c) * 100 >= col(t) * math.round(frac * 100))
+          .groupBy(col("segment"))
+          .agg((min(col("cell")) * 5000).as(out))
+      pick("cw", "tw", 0.5, "est_p50")
+        .join(pick("cw", "tw", 0.9, "est_p90"), Seq("segment"))
+        .join(pick("cn", "tn", 0.5, "true_p50"), Seq("segment"))
+        .join(pick("cn", "tn", 0.9, "true_p90"), Seq("segment"))
+        .orderBy(col("segment"))
+    },
+    Some(s"""WITH base AS (SELECT c_mktsegment AS segment,
+          CAST(o_totalprice AS BIGINT) // 5000 AS cell,
+          CASE WHEN o_totalprice < 250000.0 THEN 10
+            WHEN o_totalprice < 420000.0 THEN 2 ELSE 1 END AS inv_w,
+          ${Portable.h32Duck("'ht_' || o_orderkey")} % 1000 AS coin
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      cells AS (SELECT segment, cell,
+          sum(CASE WHEN coin < 1000 / inv_w THEN inv_w ELSE 0
+            END)::BIGINT AS w,
+          count(*)::BIGINT AS n_true
+        FROM base GROUP BY 1, 2),
+      cum AS (SELECT segment, cell, w, n_true,
+          sum(w) OVER (PARTITION BY segment)::BIGINT AS tw,
+          sum(n_true) OVER (PARTITION BY segment)::BIGINT AS tn,
+          sum(w) OVER (PARTITION BY segment ORDER BY cell)::BIGINT AS cw,
+          sum(n_true) OVER (PARTITION BY segment ORDER BY cell)::BIGINT
+            AS cn
+        FROM cells)
+      SELECT segment,
+        (SELECT min(cell) FROM cum c2 WHERE c2.segment = c.segment
+          AND c2.cw * 100 >= c2.tw * 50) * 5000 AS est_p50,
+        (SELECT min(cell) FROM cum c2 WHERE c2.segment = c.segment
+          AND c2.cw * 100 >= c2.tw * 90) * 5000 AS est_p90,
+        (SELECT min(cell) FROM cum c2 WHERE c2.segment = c.segment
+          AND c2.cn * 100 >= c2.tn * 50) * 5000 AS true_p50,
+        (SELECT min(cell) FROM cum c2 WHERE c2.segment = c.segment
+          AND c2.cn * 100 >= c2.tn * 90) * 5000 AS true_p90
+      FROM (SELECT DISTINCT segment FROM cum) c
+      ORDER BY segment"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -5866,5 +6008,5 @@ object Analytics {
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
-      q302, q303, q304, q306, q307)
+      q302, q303, q304, q306, q307, q311, q314)
 }

@@ -3204,10 +3204,91 @@ object Events {
         round(mu - beta * ln(-ln(0.9)), 4) AS rl_10
       FROM p"""))
 
+  // ---------- q312: Bayesian A/B posterior ----------------------------
+
+  /** Bayesian A/B read-out on a binary conversion metric — the
+    * decision layer beside q163's frequentist t-test and q282's SPRT:
+    * users split 50/50 by the portable hash coin, conversion = "the
+    * user's total purchase value cleared 600", and the emitted
+    * quantity is P(p_B > p_A | data) under independent Beta(1,1)
+    * priors via the normal approximation to the posterior difference
+    * — Φ evaluated with the shared A&S polynomial (Portable
+    * .normCdfUpper), the project's engine-portable Φ contract. Shape:
+    * one events pass into a per-user aggregate (the only corpus-sized
+    * shuffle, keyed on user), then a 2-row arm aggregate and pure
+    * scalar arithmetic; posterior means/variances are exact-ratio
+    * doubles from int64 counts.
+    */
+  private val q312 = QueryDef(
+    "q312_bayes_ab",
+    (s, dir) => {
+      val perUser = ev(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          .as("purch"))
+        .select(
+          when(expr(graft.ops.Portable.h32Spark(
+            "concat('ab_', user_id)")) % 2 === 0, "A").otherwise("B")
+            .as("arm"),
+          when(col("purch") > 600.0, 1L).otherwise(0L).as("conv"))
+      val arms = perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      val wide = arms.agg(
+        sum(when(col("arm") === "A", col("n")).otherwise(0L)).as("na"),
+        sum(when(col("arm") === "A", col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === "B", col("n")).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === "B", col("c")).otherwise(0L)).as("cb"))
+      // Beta(1,1) posterior moments; z = (mB - mA)/sqrt(vA + vB)
+      val z = """((CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + 2.0)
+          - (CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + 2.0))
+        / sqrt((CAST(ca AS DOUBLE) + 1.0) * (CAST(na - ca AS DOUBLE) + 1.0)
+            / ((CAST(na AS DOUBLE) + 2.0) * (CAST(na AS DOUBLE) + 2.0)
+              * (CAST(na AS DOUBLE) + 3.0))
+          + (CAST(cb AS DOUBLE) + 1.0) * (CAST(nb - cb AS DOUBLE) + 1.0)
+            / ((CAST(nb AS DOUBLE) + 2.0) * (CAST(nb AS DOUBLE) + 2.0)
+              * (CAST(nb AS DOUBLE) + 3.0)))"""
+      val phiUpperAbs = graft.ops.Portable.normCdfUpper(s"abs($z)")
+      wide.select(col("na"), col("ca"), col("nb"), col("cb"),
+        round(expr("(CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + 2.0)"), 9).as("post_mean_a"),
+        round(expr("(CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + 2.0)"), 9).as("post_mean_b"),
+        round(expr(s"""CASE WHEN $z >= 0 THEN 1.0 - $phiUpperAbs
+          ELSE $phiUpperAbs END"""), 9).as("prob_b_beats_a"))
+    },
+    Some {
+      val z = """((CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + 2.0)
+          - (CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + 2.0))
+        / sqrt((CAST(ca AS DOUBLE) + 1.0) * (CAST(na - ca AS DOUBLE) + 1.0)
+            / ((CAST(na AS DOUBLE) + 2.0) * (CAST(na AS DOUBLE) + 2.0)
+              * (CAST(na AS DOUBLE) + 3.0))
+          + (CAST(cb AS DOUBLE) + 1.0) * (CAST(nb - cb AS DOUBLE) + 1.0)
+            / ((CAST(nb AS DOUBLE) + 2.0) * (CAST(nb AS DOUBLE) + 2.0)
+              * (CAST(nb AS DOUBLE) + 3.0)))"""
+      val phiUpperAbs = graft.ops.Portable.normCdfUpper(s"abs($z)")
+      s"""WITH pu AS (SELECT
+          CASE WHEN ${graft.ops.Portable.h32Duck("'ab_' || user_id")}
+            % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+          CASE WHEN sum(CAST(value AS DECIMAL(18,4)))::DOUBLE > 600.0
+            THEN 1 ELSE 0 END AS conv
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      wide AS (SELECT
+          sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS na,
+          sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END)::BIGINT AS ca,
+          sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS nb,
+          sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END)::BIGINT AS cb
+        FROM pu)
+      SELECT na, ca, nb, cb,
+        round((CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + 2.0), 9) AS post_mean_a,
+        round((CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + 2.0), 9) AS post_mean_b,
+        round(CASE WHEN $z >= 0 THEN 1.0 - $phiUpperAbs
+          ELSE $phiUpperAbs END, 9) AS prob_b_beats_a
+      FROM wide"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
-      q273, q276, q282, q283, q286, q290, q300, q308)
+      q273, q276, q282, q283, q286, q290, q300, q308, q312)
 }

@@ -1628,8 +1628,69 @@ object TextOps {
         round(d_nano::DOUBLE / n_words / 1e9, 9) AS delta
       FROM pairs ORDER BY source_a, source_b"""))
 
+  // ---------- q313: chunked type-token lexical diversity ---------------
+
+  /** Moving-window type-token ratio (the MATTR idea, Covington &
+    * McFall 2010, in its scalable non-overlapping-chunk form): raw TTR
+    * collapses as documents grow (Heaps' law — q84), so diversity is
+    * measured as the mean TTR over fixed 50-token chunks, which is
+    * length-invariant and comparable across languages and sources.
+    * Only FULL chunks score (a short tail chunk would inflate TTR).
+    * Shape: one posexplode token pass — the chunk id is in-scan
+    * integer arithmetic on the token position — into a (doc, chunk)
+    * distinct-count aggregate keyed on doc×chunk (hashes across
+    * executors; no per-doc collection), then a ≤|lang| roll-up with
+    * micro-pinned TTRs. Output: per-lang chunk count, mean chunked
+    * TTR, and the naive whole-corpus TTR it corrects.
+    */
+  private val q313 = QueryDef(
+    "q313_chunked_ttr",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      val chunks = toks
+        .groupBy(col("lang"), col("doc_id"),
+          expr("pos div 50").as("chunk"))
+        .agg(count(lit(1)).as("n_tok"),
+          countDistinct(col("word")).as("n_type"))
+        .where(col("n_tok") === 50)
+      val naive = toks.groupBy(col("lang"))
+        .agg((countDistinct(col("word")).cast("double")
+          / count(lit(1))).as("naive_ttr"))
+      chunks
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(expr("CAST(round(n_type * 1e6 / 50.0) AS BIGINT)"))
+            .as("ttr_micro"))
+        .join(broadcast(naive), Seq("lang"))
+        .select(col("lang"), col("n_chunks"),
+          round(col("ttr_micro").cast("double") / col("n_chunks") / 1e6,
+            9).as("mattr"),
+          round(col("naive_ttr"), 9).as("naive_ttr"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, lang,
+          unnest(string_split(text, ' ')) AS word,
+          generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM documents),
+      chunks AS (SELECT lang, doc_id, pos // 50 AS chunk,
+          count(*)::BIGINT AS n_tok,
+          count(DISTINCT word)::BIGINT AS n_type
+        FROM toks GROUP BY 1, 2, 3),
+      full_c AS (SELECT * FROM chunks WHERE n_tok = 50),
+      naive AS (SELECT lang,
+          count(DISTINCT word)::DOUBLE / count(*) AS naive_ttr
+        FROM toks GROUP BY 1)
+      SELECT f.lang, count(*)::BIGINT AS n_chunks,
+        round(sum(round(n_type * 1e6 / 50.0)::BIGINT)::DOUBLE
+          / count(*) / 1e6, 9) AS mattr,
+        round(any_value(naive_ttr), 9) AS naive_ttr
+      FROM full_c f JOIN naive n ON f.lang = n.lang
+      GROUP BY f.lang ORDER BY f.lang"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
       q153, q155, q165, q177, q198, q199, q215, q217, q244, q245, q278,
-      q279, q287, q298, q305)
+      q279, q287, q298, q305, q313)
 }
