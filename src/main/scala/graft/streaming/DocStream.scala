@@ -394,4 +394,22 @@ object DocStream {
         }
       }
   }
+
+  /** Streaming twin of q309's sample-ratio-mismatch gate: the running
+    * train/val/test counts of the q37 deterministic split, maintained
+    * as a 3-group running aggregate (complete mode — state is three
+    * rows at ANY corpus size) while a backfill or live ingest runs.
+    * An experimentation platform watches this feed and trips the SRM
+    * alarm the moment the realized ratios drift from 80/10/10 —
+    * BEFORE a biased assignment contaminates downstream metrics; the
+    * batch query then recomputes the full χ² on the settled corpus.
+    * The split expression is byte-identical to the batch side
+    * (Portable.splitCaseSpark), so StreamingSpec proves count
+    * equality under AvailableNow.
+    */
+  def srmCounts(docsStream: DataFrame): DataFrame =
+    docsStream
+      .select(expr(graft.ops.Portable.splitCaseSpark).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("obs"))
 }

@@ -581,6 +581,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < total)
   }
 
+  test("streaming SRM counts == batch q309 split counts (AvailableNow, " +
+    "complete mode)") {
+    import graft.streaming.DocStream
+    val q = DocStream.srmCounts(DocStream.readDocuments(spark, sf))
+      .writeStream.format("memory").queryName("srm")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("srm").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = SparkEntry.queries("q309_srm_check")(spark, sf).collect().head
+    assert(got.values.sum === b.getLong(0))           // n_docs
+    assert(got.getOrElse("train", 0L) === b.getLong(1))
+    assert(got.getOrElse("val", 0L) === b.getLong(2))
+    assert(got.getOrElse("test", 0L) === b.getLong(3))
+    assert(got.values.sum > 0L)
+  }
+
   test("streaming feature store == batch q276 per-user features " +
     "(AvailableNow backfill, last emitted row per user)") {
     import spark.implicits._
