@@ -5999,6 +5999,238 @@ object Analytics {
       FROM (SELECT DISTINCT segment FROM cum) c
       ORDER BY segment"""))
 
+  // ---------- q315: quantile treatment effects -------------------------
+
+  /** Quantile treatment effects — where q302's ATE answers "does a deep
+    * discount shift the MEAN", this answers "WHERE in the outcome
+    * distribution does it act": the P25/P50/P75 of line revenue under
+    * treatment (discount ≥ 6 %) minus the same quantiles under
+    * control, the standard heterogeneity read-out when an effect is
+    * suspected to live in one tail. Same scale discipline as q314:
+    * quantiles are exact over fixed $2 000 revenue cells — cumulative
+    * windows over a ≤|cells| bounded table PARTITIONED by arm — so no
+    * corpus-sized per-arm sort exists at any scale, and every count
+    * is int64. Output: one row per quantile with both arm values and
+    * the effect.
+    */
+  private val q315 = QueryDef(
+    "q315_quantile_effects",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Fixtures.table(s, dir, "lineitem")
+        .select(
+          when(col("l_discount") >= 0.06, 1L).otherwise(0L).as("arm"),
+          expr("CAST(l_extendedprice AS BIGINT) div 2000").as("cell"))
+        .groupBy(col("arm"), col("cell")).agg(count(lit(1)).as("n"))
+      val wa = Window.partitionBy(col("arm"))
+      val wc = Window.partitionBy(col("arm")).orderBy(col("cell"))
+      val cum = cells
+        .withColumn("tn", sum(col("n")).over(wa))
+        .withColumn("cn", sum(col("n")).over(wc))
+      val qs = s.createDataFrame(Seq((25, "p25"), (50, "p50"),
+        (75, "p75"))).toDF("pct", "q")
+      val picked = cum.crossJoin(broadcast(qs))
+        .where(col("cn") * 100 >= col("tn") * col("pct"))
+        .groupBy(col("q"), col("pct"), col("arm"))
+        .agg((min(col("cell")) * 2000).as("v"))
+      picked
+        .groupBy(col("q"), col("pct"))
+        .agg(sum(when(col("arm") === 1, col("v")).otherwise(0L))
+          .as("treated"),
+          sum(when(col("arm") === 0, col("v")).otherwise(0L))
+            .as("control"))
+        .select(col("q").as("quantile"), col("treated"), col("control"),
+          (col("treated") - col("control")).as("qte"))
+        .orderBy(col("quantile"))
+    },
+    Some("""WITH cells AS (SELECT
+          CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS arm,
+          CAST(l_extendedprice AS BIGINT) // 2000 AS cell,
+          count(*)::BIGINT AS n
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (SELECT arm, cell, n,
+          sum(n) OVER (PARTITION BY arm)::BIGINT AS tn,
+          sum(n) OVER (PARTITION BY arm ORDER BY cell)::BIGINT AS cn
+        FROM cells),
+      qs AS (SELECT * FROM (VALUES (25, 'p25'), (50, 'p50'),
+        (75, 'p75')) AS t(pct, q)),
+      picked AS (SELECT q, pct, arm, min(cell) * 2000 AS v
+        FROM cum CROSS JOIN qs
+        WHERE cn * 100 >= tn * pct
+        GROUP BY 1, 2, 3)
+      SELECT q AS quantile,
+        sum(CASE WHEN arm = 1 THEN v ELSE 0 END)::BIGINT AS treated,
+        sum(CASE WHEN arm = 0 THEN v ELSE 0 END)::BIGINT AS control,
+        (sum(CASE WHEN arm = 1 THEN v ELSE 0 END)
+          - sum(CASE WHEN arm = 0 THEN v ELSE 0 END))::BIGINT AS qte
+      FROM picked GROUP BY q ORDER BY quantile"""))
+
+  // ---------- q316: Moran's I network autocorrelation ------------------
+
+  /** Moran's I of part retail price over the co-purchase graph — "are
+    * co-purchased parts similarly priced?" — the ATTRIBUTE
+    * autocorrelation that complements q226's structural (degree)
+    * assortativity: I = (n/W)·Σ_ij w_ij z_i z_j / Σ z_i² with w = 1
+    * on co-purchase edges, z the price deviation from the graph-node
+    * mean. I > 0 means baskets cluster by price tier (bundling);
+    * I < 0 means cross-tier attachment (accessories with big-ticket
+    * items). Shape: the node set and its exact moments come from one
+    * bounded aggregate over parts WITH edges (z pinned to integer
+    * cents); the numerator is ONE equi-join of the edge list against
+    * the z table on each endpoint — shuffle ∝ |edges|, never degree².
+    * All sums exact int64 at fixture scale with DECIMAL-lift on the
+    * product sum for 100× headroom.
+    */
+  private val q316 = QueryDef(
+    "q316_moran_i",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val pairs = copurchasePairs(s, dir)
+        .select(col("part_a"), col("part_b"))
+      val nodes = pairs.select(col("part_a").as("pk"))
+        .union(pairs.select(col("part_b").as("pk"))).distinct()
+        .join(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice")),
+          col("pk") === col("p_partkey"))
+        .select(col("pk"),
+          expr("CAST(round(p_retailprice * 100.0) AS BIGINT)")
+            .as("price_cents"))
+      val mean = nodes.agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(price_cents) * 1.0 / count(1)) AS BIGINT)")
+          .as("mean_cents"))
+      val z = nodes.crossJoin(broadcast(mean))
+        .select(col("pk"), col("n"),
+          (col("price_cents") - col("mean_cents")).as("zc"))
+      val denom = z.agg(first(col("n")).as("n"),
+        sum((col("zc") * col("zc")).cast(DecimalType(38, 0)))
+          .cast("double").as("szz"))
+      val num = pairs
+        .join(z.select(col("pk").as("part_a"), col("zc").as("za")),
+          Seq("part_a"))
+        .join(z.select(col("pk").as("part_b"), col("zc").as("zb")),
+          Seq("part_b"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum((col("za") * col("zb")).cast(DecimalType(38, 0)))
+            .cast("double").as("szazb"))
+      num.crossJoin(broadcast(denom))
+        .select(col("n").as("n_nodes"), col("n_edges"),
+          round((col("n").cast("double")
+            / (lit(2.0) * col("n_edges")))
+            * (lit(2.0) * col("szazb") / col("szz")), 9).as("moran_i"))
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      nodes AS (SELECT pk, round(p_retailprice * 100.0)::BIGINT
+            AS price_cents
+        FROM (SELECT part_a AS pk FROM pr
+          UNION SELECT part_b FROM pr) n
+        JOIN part ON pk = p_partkey),
+      m AS (SELECT count(*)::BIGINT AS n,
+          round(sum(price_cents) * 1.0 / count(*))::BIGINT AS mean_cents
+        FROM nodes),
+      z AS (SELECT pk, n, price_cents - mean_cents AS zc
+        FROM nodes, m),
+      den AS (SELECT any_value(n) AS n,
+          sum(zc::HUGEINT * zc)::DOUBLE AS szz FROM z),
+      num AS (SELECT count(*)::BIGINT AS n_edges,
+          sum(za.zc::HUGEINT * zb.zc)::DOUBLE AS szazb
+        FROM pr JOIN z za ON pr.part_a = za.pk
+        JOIN z zb ON pr.part_b = zb.pk)
+      SELECT n AS n_nodes, n_edges,
+        round((n::DOUBLE / (2.0 * n_edges)) * (2.0 * szazb / szz), 9)
+          AS moran_i
+      FROM num, den"""))
+
+  // ---------- q317: partial correlation --------------------------------
+
+  /** Partial correlation r(balance, spend | activity): the raw
+    * balance↔spend correlation (q75's moment machinery) confounded by
+    * order COUNT — active customers both spend more and hold
+    * different balances — and the first-order partialling-out
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) that removes
+    * the linear activity effect. The emitted gap between raw and
+    * partial is the confounding share. Shape: one orders pass into a
+    * per-customer aggregate, one joined customer pass into a single
+    * 1-row moment vector (all sums of cent-pinned int64 products,
+    * DECIMAL-lifted for 100× headroom); the three Pearson r's and the
+    * partial are scalar arithmetic.
+    */
+  private val q317 = QueryDef(
+    "q317_partial_correlation",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val per = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))" +
+          " * 100.0) AS BIGINT) div 100000").as("y"),
+          count(lit(1)).as("z"))
+      val base = Fixtures.table(s, dir, "customer")
+        .join(per, col("c_custkey") === col("o_custkey"))
+        .select(expr("CAST(round(c_acctbal * 100.0) AS BIGINT) div 100")
+          .as("x"), col("y"), col("z"))
+      def d(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val mom = base.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(d(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(d(col("y") * col("y"))).cast("double").as("syy"),
+        sum(d(col("z") * col("z"))).cast("double").as("szz"),
+        sum(d(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(d(col("x") * col("z"))).cast("double").as("sxz"),
+        sum(d(col("y") * col("z"))).cast("double").as("syz"))
+      val r = (sab: String, sa: String, sb: String, saa: String,
+          sbb: String) =>
+        s"""(($sab - CAST($sa AS DOUBLE) * $sb / n)
+           / sqrt(($saa - CAST($sa AS DOUBLE) * $sa / n)
+             * ($sbb - CAST($sb AS DOUBLE) * $sb / n)))"""
+      val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+      val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+      val ryz = r("syz", "sy", "sz", "syy", "szz")
+      mom.select(col("n"),
+        round(expr(rxy), 9).as("r_xy"),
+        round(expr(rxz), 9).as("r_xz"),
+        round(expr(ryz), 9).as("r_yz"),
+        round(expr(s"""(($rxy) - ($rxz) * ($ryz))
+          / sqrt((1.0 - ($rxz) * ($rxz)) * (1.0 - ($ryz) * ($ryz)))"""),
+          9).as("r_xy_given_z"))
+    },
+    Some {
+      val r = (sab: String, sa: String, sb: String, saa: String,
+          sbb: String) =>
+        s"""(($sab - $sa::DOUBLE * $sb / n)
+           / sqrt(($saa - $sa::DOUBLE * $sa / n)
+             * ($sbb - $sb::DOUBLE * $sb / n)))"""
+      val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+      val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+      val ryz = r("syz", "sy", "sz", "syy", "szz")
+      s"""WITH per AS (SELECT o_custkey,
+          round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100.0)::BIGINT
+            // 100000 AS y,
+          count(*)::BIGINT AS z
+        FROM orders GROUP BY 1),
+      base AS (SELECT round(c_acctbal * 100.0)::BIGINT // 100 AS x, y, z
+        FROM customer JOIN per ON c_custkey = o_custkey),
+      mom AS (SELECT count(*)::BIGINT AS n,
+          sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+          sum(z)::BIGINT AS sz,
+          sum(x::HUGEINT * x)::DOUBLE AS sxx,
+          sum(y::HUGEINT * y)::DOUBLE AS syy,
+          sum(z::HUGEINT * z)::DOUBLE AS szz,
+          sum(x::HUGEINT * y)::DOUBLE AS sxy,
+          sum(x::HUGEINT * z)::DOUBLE AS sxz,
+          sum(y::HUGEINT * z)::DOUBLE AS syz
+        FROM base)
+      SELECT n, round($rxy, 9) AS r_xy, round($rxz, 9) AS r_xz,
+        round($ryz, 9) AS r_yz,
+        round((($rxy) - ($rxz) * ($ryz))
+          / sqrt((1.0 - ($rxz) * ($rxz)) * (1.0 - ($ryz) * ($ryz))),
+          9) AS r_xy_given_z
+      FROM mom"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -6008,5 +6240,5 @@ object Analytics {
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
-      q302, q303, q304, q306, q307, q311, q314)
+      q302, q303, q304, q306, q307, q311, q314, q315, q316, q317)
 }

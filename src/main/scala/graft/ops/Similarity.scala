@@ -1567,7 +1567,91 @@ object Similarity {
         round(max(r_nano)::DOUBLE / 1e9, 12) AS max_ratio
       FROM ratios GROUP BY label ORDER BY label"""))
 
+  // ---------- q318: split centroid drift -------------------------------
+
+  /** Embedding-space distribution shift between a deterministic 80/20
+    * train/eval split, per label cell: the cosine between the cell's
+    * train centroid and its eval centroid, plus the norm ratio. Near-1
+    * cosine certifies the split didn't shear the embedding geometry
+    * (what q37 certifies for counts, this certifies for VECTORS);
+    * a low-cosine cell flags a label whose eval slice sits in a
+    * different region — the silent cause of "val loss fine, prod
+    * drifted". Shape: one posexplode pass into (label, split, pos)
+    * ordered-fold sums (the q33 determinism contract — a plain double
+    * SUM is execution-order-dependent), then per-label dot/norms as a
+    * second ordered fold over the 64 dims; shuffle keys are
+    * label×split×dim, never vectors. Centroids pin per-dim to the
+    * exact fold; output is |labels| rows.
+    */
+  private val q318 = QueryDef(
+    "q318_centroid_drift",
+    (s, dir) => {
+      val ex = emb(s, dir)
+        .select(col("label"), col("vec_id"),
+          when(expr(graft.ops.Portable.h32Spark(
+            "concat('vec_', vec_id)")) % 10 < 8, "train")
+            .otherwise("eval").as("split"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+      val cent = ex.groupBy(col("label"), col("split"), col("pos"))
+        .agg(expr(centSparkSum).as("sum_val"), count(lit(1)).as("n"))
+        .select(col("label"), col("split"), col("pos"),
+          (col("sum_val") / col("n")).as("c"), col("n"))
+      val tr = cent.where(col("split") === "train")
+        .select(col("label"), col("pos"), col("c").as("ct"),
+          col("n").as("n_train"))
+      val ev = cent.where(col("split") === "eval")
+        .select(col("label"), col("pos"), col("c").as("ce"),
+          col("n").as("n_eval"))
+      tr.join(ev, Seq("label", "pos"))
+        .groupBy(col("label"))
+        .agg(first(col("n_train")).as("n_train"),
+          first(col("n_eval")).as("n_eval"),
+          expr("""aggregate(transform(sort_array(collect_list(
+              struct(pos, ct * ce))), s -> s.col2),
+            cast(0 AS DOUBLE), (acc, v) -> acc + v)""").as("dot"),
+          expr("""aggregate(transform(sort_array(collect_list(
+              struct(pos, ct * ct))), s -> s.col2),
+            cast(0 AS DOUBLE), (acc, v) -> acc + v)""").as("ntt"),
+          expr("""aggregate(transform(sort_array(collect_list(
+              struct(pos, ce * ce))), s -> s.col2),
+            cast(0 AS DOUBLE), (acc, v) -> acc + v)""").as("nee"))
+        .select(col("label"), col("n_train"), col("n_eval"),
+          round(col("dot") / (sqrt(col("ntt")) * sqrt(col("nee"))), 9)
+            .as("cosine"),
+          round(sqrt(col("ntt")) / sqrt(col("nee")), 9).as("norm_ratio"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH ex AS (SELECT label, vec_id,
+          CASE WHEN ${graft.ops.Portable.h32Duck("'vec_' || vec_id")}
+            % 10 < 8 THEN 'train' ELSE 'eval' END AS split,
+          pos - 1 AS pos, embedding[pos] AS val
+        FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(pos)),
+      cent AS (SELECT label, split, pos,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(val::DOUBLE ORDER BY vec_id)), (acc, v) -> acc + v)
+            / count(*) AS c,
+          count(*)::BIGINT AS n
+        FROM ex GROUP BY label, split, pos),
+      tr AS (SELECT label, pos, c AS ct, n AS n_train FROM cent
+        WHERE split = 'train'),
+      ev AS (SELECT label, pos, c AS ce, n AS n_eval FROM cent
+        WHERE split = 'eval'),
+      j AS (SELECT label, any_value(n_train) AS n_train,
+          any_value(n_eval) AS n_eval,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(ct * ce ORDER BY pos)), (acc, v) -> acc + v) AS dot,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(ct * ct ORDER BY pos)), (acc, v) -> acc + v) AS ntt,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(ce * ce ORDER BY pos)), (acc, v) -> acc + v) AS nee
+        FROM tr JOIN ev USING (label, pos)
+        GROUP BY label)
+      SELECT label, n_train, n_eval,
+        round(dot / (sqrt(ntt) * sqrt(nee)), 9) AS cosine,
+        round(sqrt(ntt) / sqrt(nee), 9) AS norm_ratio
+      FROM j ORDER BY label"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
     q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259,
-    q260, q265, q280)
+    q260, q265, q280, q318)
 }
