@@ -6231,6 +6231,94 @@ object Analytics {
       FROM mom"""
     })
 
+  // ---------- q323: upper tail dependence ------------------------------
+
+  /** Upper-tail dependence λ_U between customer balance and spend:
+    * q234's Spearman and q317's partial correlation measure BODY
+    * association; risk lives in the JOINT TAIL — λ_U = P(spend >
+    * Q90(spend) | balance > Q90(balance)) ≈ 0.1 under independence,
+    * → 1 under comonotone extremes, the copula diagnostic that
+    * decides whether "whale balance" predicts "whale spend" where it
+    * matters. Completes the EVT family (q290 Hill, q308 Gumbel) on
+    * the JOINT side. Scale shape: both Q90 thresholds are exact over
+    * fixed cells — cumulative windows over BOUNDED cell tables (q314
+    * rule, ≤ a few hundred rows even at 100 TB) — broadcast back as
+    * 1-row scalars; the exceedance count is one conditional aggregate
+    * over the per-customer pass. All counts int64.
+    */
+  private val q323 = QueryDef(
+    "q323_tail_dependence",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val per = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))" +
+          " * 100.0) AS BIGINT)").as("y_cents"))
+      val base = Fixtures.table(s, dir, "customer")
+        .join(per, col("c_custkey") === col("o_custkey"))
+        .select(expr("CAST(round(c_acctbal * 100.0) AS BIGINT)")
+          .as("x_cents"), col("y_cents"))
+      def q90(c: String, width: Long, out: String): DataFrame = {
+        val cells = base.select((col(c) - (col(c) % width)).as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("cell"))
+        cells.withColumn("cn", sum(col("n")).over(w))
+          .crossJoin(broadcast(cells.agg(sum(col("n")).as("tn"))))
+          .where(col("cn") * 10 >= col("tn") * 9)
+          .agg(min(col("cell")).as(out))
+      }
+      val tx = q90("x_cents", 10000L, "x90")
+      val ty = q90("y_cents", 10000000L, "y90")
+      base.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x_cents") > col("x90"), 1L).otherwise(0L))
+            .as("n_x_exceed"),
+          sum(when(col("y_cents") > col("y90"), 1L).otherwise(0L))
+            .as("n_y_exceed"),
+          sum(when(col("x_cents") > col("x90")
+            && col("y_cents") > col("y90"), 1L).otherwise(0L))
+            .as("n_joint"))
+        .select(col("n"), col("n_x_exceed"), col("n_y_exceed"),
+          col("n_joint"),
+          round(col("n_joint").cast("double") / col("n_x_exceed"), 9)
+            .as("lambda_u"),
+          round(col("n_x_exceed").cast("double") * col("n_y_exceed")
+            / col("n") / col("n"), 9).as("independent_baseline"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+          round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100.0)::BIGINT
+            AS y_cents
+        FROM orders GROUP BY 1),
+      base AS (SELECT round(c_acctbal * 100.0)::BIGINT AS x_cents,
+          y_cents
+        FROM customer JOIN per ON c_custkey = o_custkey),
+      xc AS (SELECT x_cents - (x_cents % 10000) AS cell,
+          count(*)::BIGINT AS n FROM base GROUP BY 1),
+      xq AS (SELECT min(cell) AS x90 FROM (SELECT cell,
+          sum(n) OVER (ORDER BY cell) AS cn, sum(n) OVER () AS tn
+        FROM xc) WHERE cn * 10 >= tn * 9),
+      yc AS (SELECT y_cents - (y_cents % 10000000) AS cell,
+          count(*)::BIGINT AS n FROM base GROUP BY 1),
+      yq AS (SELECT min(cell) AS y90 FROM (SELECT cell,
+          sum(n) OVER (ORDER BY cell) AS cn, sum(n) OVER () AS tn
+        FROM yc) WHERE cn * 10 >= tn * 9)
+      SELECT count(*)::BIGINT AS n,
+        sum(CASE WHEN x_cents > x90 THEN 1 ELSE 0 END)::BIGINT
+          AS n_x_exceed,
+        sum(CASE WHEN y_cents > y90 THEN 1 ELSE 0 END)::BIGINT
+          AS n_y_exceed,
+        sum(CASE WHEN x_cents > x90 AND y_cents > y90 THEN 1 ELSE 0
+          END)::BIGINT AS n_joint,
+        round(sum(CASE WHEN x_cents > x90 AND y_cents > y90 THEN 1
+            ELSE 0 END)::DOUBLE
+          / sum(CASE WHEN x_cents > x90 THEN 1 ELSE 0 END), 9)
+          AS lambda_u,
+        round(sum(CASE WHEN x_cents > x90 THEN 1 ELSE 0 END)::DOUBLE
+          * sum(CASE WHEN y_cents > y90 THEN 1 ELSE 0 END)
+          / count(*) / count(*), 9) AS independent_baseline
+      FROM base, xq, yq"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -6240,5 +6328,5 @@ object Analytics {
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
-      q302, q303, q304, q306, q307, q311, q314, q315, q316, q317)
+      q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323)
 }

@@ -2446,9 +2446,134 @@ object Dedup {
       FROM nc, nt, hit"""
     })
 
+  // ---------- q321: LSH parameter planner ------------------------------
+
+  /** The banding-parameter planner for the q18 MinHash pipeline: before
+    * committing a 100 TB dedup run to one (bands b × rows r)
+    * configuration, score the candidate-probability S-curve
+    * P(cand | s) = 1 − (1 − s^r)^b for every b·r = 16 layout against
+    * the corpus's OWN pair-similarity distribution — the exact n-gram
+    * Jaccard of a deterministic pseudo-random pair sample (the q220
+    * partner construction: 4 affine partners per doc, so the sample is
+    * linear in the corpus, reproducible, and engine-portable). Output:
+    * one row per observed similarity band with its pair mass and the
+    * four layouts' candidate probabilities — read it to pick the curve
+    * whose knee sits on the dup/background boundary the histogram
+    * shows. Shape: the pair sample is |docs|×4 rows; the intersection
+    * count is one (pair, shingle) aggregate — shuffle ∝ sampled pairs
+    * × shingles/doc, linear like q18 itself, never pairs².
+    */
+  private val q321 = QueryDef(
+    "q321_lsh_planner",
+    (s, dir) => {
+      val inv = persistedInverted(s, dir)
+      val sizes = inv.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("N"))
+      val randomPairs = docs(s, dir).select(col("doc_id"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("N"),
+          explode(expr("sequence(0L, 3L)")).as("slot"))
+        .select(col("doc_id"),
+          pmod(col("doc_id") + 1L
+            + pmod(col("doc_id") * lit(2246822519L)
+              + col("slot") * lit(97931L), col("N") - 1L), col("N"))
+            .as("partner"))
+        .select(least(col("doc_id"), col("partner")).as("doc_a"),
+          greatest(col("doc_id"), col("partner")).as("doc_b"))
+        .where(col("doc_a") < col("doc_b"))
+      // the random sample grounds the background mass; the band-
+      // colliding candidates ground the dup tail the curve must catch
+      val bands = minhashBands(inv)
+      val candPairs = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band") === col("b.band")
+            && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val pairMap = randomPairs.union(candPairs).distinct()
+      val withId = pairMap.select(col("doc_a"), col("doc_b"),
+        expr(h32Spark("concat('pair_', doc_a, '_', doc_b)")).as("pid"))
+      val members = withId.select(col("pid"), col("doc_a").as("doc_id"))
+        .union(withId.select(col("pid"), col("doc_b").as("doc_id")))
+      val inter = members.join(inv, Seq("doc_id"))
+        .groupBy(col("pid"), col("h")).agg(count(lit(1)).as("c"))
+        .where(col("c") === 2)
+        .groupBy(col("pid")).agg(count(lit(1)).as("n_int"))
+      val jacc = withId
+        .join(sizes.select(col("doc_id").as("doc_a"),
+          col("n_sh").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"),
+          col("n_sh").as("nb")), Seq("doc_b"))
+        .join(inter, Seq("pid"), "left")
+        .select(expr("""(coalesce(n_int, 0L) * 100)
+          div (na + nb - coalesce(n_int, 0L))""").as("pct"))
+        .select(least(expr("pct div 5"), lit(19L)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      def pCand(b: Int, r: Int): org.apache.spark.sql.Column =
+        round(expr(s"""1.0 - pow(1.0 - pow((CAST(bucket AS DOUBLE)
+          * 5.0 + 2.5) / 100.0, $r.0), $b.0)"""), 9)
+      jacc.select(col("bucket"),
+          (col("bucket") * 5).as("s_lo_pct"), col("n_pairs"),
+          pCand(8, 2).as("p_b8_r2"), pCand(4, 4).as("p_b4_r4"),
+          pCand(16, 1).as("p_b16_r1"), pCand(2, 8).as("p_b2_r8"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      def pc(b: Int, r: Int): String =
+        s"""round(1.0 - pow(1.0 - pow((bucket::DOUBLE * 5.0 + 2.5)
+           / 100.0, $r.0), $b.0), 9)"""
+      val bandSelects = (0 until NBands).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, md5(mh${2 * bnd}::VARCHAR || ',' " +
+          s"|| mh${2 * bnd + 1}::VARCHAR) AS bkey FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shingledDuckCte,
+      sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM inv
+        GROUP BY 1),
+      nd AS (SELECT count(*)::BIGINT AS N FROM documents),
+      mh AS (SELECT doc_id, $minSelectsDuck FROM inv GROUP BY doc_id),
+      bands AS ($bandSelects),
+      cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      pm AS (SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT least(doc_id, partner) AS doc_a,
+            greatest(doc_id, partner) AS doc_b
+          FROM (SELECT doc_id,
+              (doc_id + 1 + (doc_id * 2246822519 + slot * 97931)
+                % (N - 1)) % N AS partner
+            FROM documents CROSS JOIN nd
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS slot))
+          WHERE least(doc_id, partner) < greatest(doc_id, partner)
+        UNION ALL SELECT doc_a, doc_b FROM cp)),
+      wid AS (SELECT doc_a, doc_b,
+          ${h32Duck("'pair_' || doc_a || '_' || doc_b")} AS pid
+        FROM pm),
+      mem AS (SELECT pid, doc_a AS doc_id FROM wid
+        UNION ALL SELECT pid, doc_b FROM wid),
+      inter AS (SELECT pid, count(*)::BIGINT AS n_int
+        FROM (SELECT pid, h, count(*) AS c
+          FROM mem JOIN inv USING (doc_id) GROUP BY 1, 2)
+        WHERE c = 2 GROUP BY 1),
+      jc AS (SELECT least(((coalesce(n_int, 0) * 100)
+            // (sa.n_sh + sb.n_sh - coalesce(n_int, 0))) // 5, 19)
+            AS bucket
+        FROM wid
+        JOIN sizes sa ON wid.doc_a = sa.doc_id
+        JOIN sizes sb ON wid.doc_b = sb.doc_id
+        LEFT JOIN inter USING (pid)),
+      h AS (SELECT bucket, count(*)::BIGINT AS n_pairs FROM jc
+        GROUP BY 1)
+      SELECT bucket, bucket * 5 AS s_lo_pct, n_pairs,
+        ${pc(8, 2)} AS p_b8_r2, ${pc(4, 4)} AS p_b4_r4,
+        ${pc(16, 1)} AS p_b16_r1, ${pc(2, 8)} AS p_b2_r8
+      FROM h ORDER BY bucket"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
       q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
-      q201, q204, q246)
+      q201, q204, q246, q321)
+
 }

@@ -3285,10 +3285,92 @@ object Events {
       FROM wide"""
     })
 
+  // ---------- q322: partial autocorrelation ---------------------------
+
+  /** PACF of the daily event-count series at lags 1–3 via the
+    * Durbin–Levinson recursion — the model-order tool q142's plain ACF
+    * cannot provide: ACF at lag 2 conflates direct dependence with
+    * lag-1 flow-through; the partial coefficient φ_kk isolates the
+    * direct effect, and the lag where PACF cuts off IS the AR order a
+    * forecaster should fit. φ11 = r1; φ22 = (r2 − r1²)/(1 − r1²);
+    * φ33 from one more DL step — all closed-form scalar arithmetic on
+    * the three ACF values. Shape: per-day counts (the only
+    * corpus-sized pass), mean-centered deviations pinned to milli
+    * units, lag products via THREE bounded self-equi-joins on day+k
+    * (|days| rows each at any corpus size), one 1-row moment
+    * aggregate, then pure expression math.
+    */
+  private val q322 = QueryDef(
+    "q322_pacf",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val st = daily.agg(
+        expr("CAST(round(sum(c) * 1000.0 / count(1)) AS BIGINT)")
+          .as("mean_milli"))
+      val dev = daily.crossJoin(broadcast(st))
+        .select(col("day"), (col("c") * 1000 - col("mean_milli"))
+          .as("d"))
+      def lagged(k: Int) = dev.select((col("day") - k).as("day"),
+        col("d").as(s"d$k"))
+      val moments = dev
+        .join(lagged(1), Seq("day"), "left")
+        .join(lagged(2), Seq("day"), "left")
+        .join(lagged(3), Seq("day"), "left")
+        .agg(sum(col("d") * col("d")).as("s0"),
+          sum(col("d") * coalesce(col("d1"), lit(0L))).as("s1"),
+          sum(col("d") * coalesce(col("d2"), lit(0L))).as("s2"),
+          sum(col("d") * coalesce(col("d3"), lit(0L))).as("s3"))
+      val rs = moments.select(
+        (col("s1").cast("double") / col("s0")).as("r1"),
+        (col("s2").cast("double") / col("s0")).as("r2"),
+        (col("s3").cast("double") / col("s0")).as("r3"))
+      rs.withColumn("p2", (col("r2") - col("r1") * col("r1"))
+          / (lit(1.0) - col("r1") * col("r1")))
+        .withColumn("p21", col("r1") - col("p2") * col("r1"))
+        .select(round(col("r1"), 9).as("r1"),
+          round(col("r2"), 9).as("r2"),
+          round(col("r3"), 9).as("r3"),
+          round(col("r1"), 9).as("pacf1"),
+          round(col("p2"), 9).as("pacf2"),
+          round((col("r3") - col("p21") * col("r2")
+            - col("p2") * col("r1"))
+            / (lit(1.0) - col("p21") * col("r1")
+              - col("p2") * col("r2")), 9).as("pacf3"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT AS c
+        FROM events GROUP BY 1),
+      st AS (SELECT round(sum(c)::BIGINT * 1000.0 / count(*))::BIGINT
+          AS mean_milli FROM daily),
+      dev AS (SELECT day, c * 1000 - mean_milli AS d FROM daily, st),
+      mom AS (SELECT sum(a.d * a.d)::BIGINT AS s0,
+          sum(a.d * coalesce(l1.d, 0))::BIGINT AS s1,
+          sum(a.d * coalesce(l2.d, 0))::BIGINT AS s2,
+          sum(a.d * coalesce(l3.d, 0))::BIGINT AS s3
+        FROM dev a
+        LEFT JOIN dev l1 ON l1.day = a.day + 1
+        LEFT JOIN dev l2 ON l2.day = a.day + 2
+        LEFT JOIN dev l3 ON l3.day = a.day + 3),
+      rs AS (SELECT s1::DOUBLE / s0 AS r1, s2::DOUBLE / s0 AS r2,
+          s3::DOUBLE / s0 AS r3 FROM mom),
+      p AS (SELECT r1, r2, r3, r1 AS p1,
+          (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+        FROM rs),
+      p2 AS (SELECT *, r1 - p2 * r1 AS p21 FROM p)
+      SELECT round(r1, 9) AS r1, round(r2, 9) AS r2, round(r3, 9) AS r3,
+        round(p1, 9) AS pacf1, round(p2, 9) AS pacf2,
+        round((r3 - p21 * r2 - p2 * r1)
+          / (1.0 - p21 * r1 - p2 * r2), 9) AS pacf3
+      FROM p2"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
-      q273, q276, q282, q283, q286, q290, q300, q308, q312)
+      q273, q276, q282, q283, q286, q290, q300, q308, q312, q322)
 }

@@ -1850,8 +1850,110 @@ object Quality {
           - nn::DOUBLE / nl) / (nn::DOUBLE / nl), 9) AS row_resid
       FROM c ORDER BY lang, source"""))
 
+  // ---------- q319: k-anonymity generalization ladder ------------------
+
+  /** The generalization ladder k-anonymity audit: q101 asks "does the
+    * FULL quasi-identifier violate k?"; this asks the operational
+    * follow-up — HOW MUCH generalization buys compliance — by scoring
+    * three nested QI levels (lang×source×length-band ⊃ lang×source ⊃
+    * lang) in ONE pass via ROLLUP (a single Expand + hash aggregate;
+    * each level is a prefix, exactly the rollup lattice). Per level:
+    * cell count, cells under k = 5, and the share of documents that
+    * would need suppression at that level — the privacy/utility curve
+    * a release policy reads. All counts exact int64; level names are
+    * derived from grouping_id so the two engines label identically.
+    */
+  private val q319 = QueryDef(
+    "q319_anonymity_ladder",
+    (s, dir) => {
+      val cells = docs(s, dir)
+        .select(col("lang"), col("source"),
+          least(expr("n_chars div 700"), lit(2L)).as("len_band"))
+        .rollup(col("lang"), col("source"), col("len_band"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .where(col("gid") < 7)
+      cells
+        .select(expr("""CASE gid WHEN 0 THEN '1_lang_source_len'
+            WHEN 1 THEN '2_lang_source' ELSE '3_lang' END""")
+            .as("level"), col("n"))
+        .groupBy(col("level"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L))
+            .as("n_suppressed"),
+          sum(col("n")).as("n_docs"))
+        .select(col("level"), col("n_cells"), col("n_violating"),
+          col("n_suppressed"),
+          round(col("n_suppressed").cast("double") / col("n_docs"), 9)
+            .as("suppression_rate"))
+        .orderBy(col("level"))
+    },
+    Some("""WITH cells AS (SELECT lang, source,
+          least(n_chars // 700, 2) AS len_band,
+          count(*)::BIGINT AS n,
+          GROUPING(lang, source, least(n_chars // 700, 2)) AS gid
+        FROM documents
+        GROUP BY ROLLUP (lang, source, least(n_chars // 700, 2))),
+      lv AS (SELECT CASE gid WHEN 0 THEN '1_lang_source_len'
+            WHEN 1 THEN '2_lang_source' ELSE '3_lang' END AS level, n
+        FROM cells WHERE gid < 7)
+      SELECT level, count(*)::BIGINT AS n_cells,
+        sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+        sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS n_suppressed,
+        round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE
+          / sum(n)::DOUBLE, 9) AS suppression_rate
+      FROM lv GROUP BY level ORDER BY level"""))
+
+  // ---------- q320: differentially-private release audit ---------------
+
+  /** ε-differentially-private histogram release with a utility audit:
+    * per (lang, source) cell, the true count plus Laplace(1/ε) noise
+    * (ε = 1) drawn DETERMINISTICALLY by inverse-CDF over the portable
+    * hash's uniform — u = (h mod 10⁵ + 0.5)/10⁵, noise = −(1/ε)·
+    * sign(u−½)·ln(1−2|u−½|) — so both engines release the SAME noisy
+    * table and the audit is reproducible (a production release would
+    * use a real RNG; the mechanism, sensitivity-1 counting query, and
+    * post-processing clamp-at-0 are exactly the production shape).
+    * Emits per-cell released counts and absolute error, the
+    * privacy/utility trade the q319 ladder is weighed against. One
+    * corpus pass into bounded cells; noise arithmetic is one libm ln
+    * on identical rational inputs.
+    */
+  private val q320 = QueryDef(
+    "q320_dp_release",
+    (s, dir) => {
+      val noisy = docs(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("u", (expr(graft.ops.Portable.h32Spark(
+          "concat('dp_', lang, '_', source)")) % 100000
+          + lit(0.5)) / 100000.0)
+        .withColumn("noise", expr(
+          """-1.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+             * ln(1.0 - 2.0 * abs(u - 0.5))"""))
+        .withColumn("released",
+          greatest(expr("CAST(round(n + noise) AS BIGINT)"), lit(0L)))
+      noisy.select(col("lang"), col("source"), col("released"),
+          abs(col("released") - col("n")).as("abs_err"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some(s"""WITH noisy AS (SELECT lang, source, count(*)::BIGINT AS n,
+          (${graft.ops.Portable.h32Duck("'dp_' || lang || '_' || source")}
+            % 100000 + 0.5) / 100000.0 AS u
+        FROM documents GROUP BY 1, 2),
+      r AS (SELECT lang, source, n,
+          -1.0 * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+            * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+        FROM noisy),
+      rel AS (SELECT lang, source, n,
+          greatest(round(n + noise)::BIGINT, 0) AS released
+        FROM r)
+      SELECT lang, source, released,
+        abs(released - n)::BIGINT AS abs_err
+      FROM rel ORDER BY lang, source"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
-      q262, q271, q274, q299, q309, q310)
+      q262, q271, q274, q299, q309, q310, q319, q320)
 }
