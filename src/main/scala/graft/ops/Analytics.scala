@@ -6319,6 +6319,245 @@ object Analytics {
           / count(*) / count(*), 9) AS independent_baseline
       FROM base, xq, yq"""))
 
+  // ---------- q325: histogram selectivity-error audit ------------------
+
+  /** Optimizer-statistics quality audit: how well does the 20-bucket
+    * equi-width histogram an optimizer keeps (q46's statistic) predict
+    * range-predicate selectivity? For ten $50 000-wide probe ranges,
+    * the histogram estimate (full buckets + linear interpolation in
+    * the edge buckets — the textbook uniform-within-bucket
+    * assumption) is compared to the TRUE row count, and the relative
+    * error is emitted per probe. Exactly the number a cost model's
+    * row estimates are wrong by — the cause of every bad join order.
+    * Shape: one pass builds the bounded histogram; one pass computes
+    * all ten true counts as conditional aggregates; the estimate math
+    * is a bounded bucket×probe join. Counts int64; interpolation
+    * double from exact ints.
+    */
+  private val q325 = QueryDef(
+    "q325_selectivity_error",
+    (s, dir) => {
+      val width = 25000L
+      val hist = Fixtures.table(s, dir, "orders")
+        .select(least(expr(s"CAST(o_totalprice AS BIGINT) div $width"),
+          lit(19L)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      val probes = s.range(0, 10)
+        .select(col("id").as("probe"),
+          (col("id") * 50000L).as("lo"),
+          (col("id") * 50000L + 50000L).as("hi"))
+      val est = hist.crossJoin(broadcast(probes))
+        .select(col("probe"), col("lo"), col("hi"),
+          // overlap of bucket [b*w, (b+1)*w) with [lo, hi) under the
+          // uniform-within-bucket assumption, in exact micro-fractions
+          expr(s"""CAST(round(n * 1e6 * greatest(0.0,
+              (CAST(least(hi, (b + 1) * $width) AS DOUBLE)
+               - CAST(greatest(lo, b * $width) AS DOUBLE)) / $width))
+            AS BIGINT)""").as("est_micro"))
+        .groupBy(col("probe"))
+        .agg(sum(col("est_micro")).as("est_micro"))
+      val truth = Fixtures.table(s, dir, "orders")
+        .crossJoin(broadcast(probes))
+        .groupBy(col("probe"))
+        .agg(sum(when(col("o_totalprice") >= col("lo")
+          && col("o_totalprice") < col("hi"), 1L).otherwise(0L))
+          .as("true_n"))
+      est.join(truth, Seq("probe"))
+        .select(col("probe"),
+          round(col("est_micro").cast("double") / 1e6, 3).as("est_n"),
+          col("true_n"),
+          round(when(col("true_n") === 0, lit(0.0))
+            .otherwise((col("est_micro").cast("double") / 1e6
+              - col("true_n")) / col("true_n")), 6).as("rel_err"))
+        .orderBy(col("probe"))
+    },
+    Some("""WITH hist AS (SELECT least(CAST(o_totalprice AS BIGINT)
+            // 25000, 19) AS b, count(*)::BIGINT AS n
+        FROM orders GROUP BY 1),
+      probes AS (SELECT p AS probe, p * 50000 AS lo,
+          p * 50000 + 50000 AS hi
+        FROM (SELECT unnest(range(0, 10)) AS p)),
+      est AS (SELECT probe,
+          sum(round(n * 1e6 * greatest(0.0,
+            (least(hi, (b + 1) * 25000)::DOUBLE
+             - greatest(lo, b * 25000)::DOUBLE) / 25000))::BIGINT)
+            ::BIGINT AS est_micro
+        FROM hist CROSS JOIN probes GROUP BY 1),
+      tr AS (SELECT probe,
+          sum(CASE WHEN o_totalprice >= lo AND o_totalprice < hi
+            THEN 1 ELSE 0 END)::BIGINT AS true_n
+        FROM orders CROSS JOIN probes GROUP BY 1)
+      SELECT probe, round(est_micro::DOUBLE / 1e6, 3) AS est_n, true_n,
+        round(CASE WHEN true_n = 0 THEN 0.0
+          ELSE (est_micro::DOUBLE / 1e6 - true_n) / true_n END, 6)
+          AS rel_err
+      FROM est JOIN tr USING (probe) ORDER BY probe"""))
+
+  // ---------- q326: rich-club coefficient ------------------------------
+
+  /** Rich-club coefficient of the co-purchase graph at degree
+    * thresholds k ∈ {2,4,8,16}: among the nodes of degree > k, the
+    * realized edge density φ(k) = 2·E_k / (N_k(N_k−1)) — do the
+    * best-connected parts preferentially co-occur with EACH OTHER
+    * (φ rising with k: a hub "club" — bundle anchors), or do hubs
+    * only bridge the periphery? Completes the graph-structure family
+    * (q122 degrees, q226 assortativity, q261 k-core, q269
+    * modularity). Shape: degrees are one aggregate over the edge
+    * list; each edge is checked against both endpoints' degrees via
+    * two equi-joins, the four thresholds fold into conditional
+    * aggregates (no per-k passes); all counts exact int64.
+    */
+  private val q326 = QueryDef(
+    "q326_rich_club",
+    (s, dir) => {
+      val pairs = copurchasePairs(s, dir)
+        .select(col("part_a"), col("part_b"))
+      val adj = pairs.select(col("part_a").as("node"), col("part_b").as("nbr"))
+        .union(pairs.select(col("part_b").as("node"), col("part_a").as("nbr")))
+      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val edges = pairs
+        .join(deg.select(col("node").as("part_a"), col("deg").as("da")),
+          Seq("part_a"))
+        .join(deg.select(col("node").as("part_b"), col("deg").as("db")),
+          Seq("part_b"))
+      val ks = s.createDataFrame(Seq(Tuple1(2L), Tuple1(4L), Tuple1(8L),
+        Tuple1(16L))).toDF("k")
+      val ek = edges.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(sum(when(col("da") > col("k") && col("db") > col("k"), 1L)
+          .otherwise(0L)).as("n_edges"))
+      val nk = deg.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(sum(when(col("deg") > col("k"), 1L).otherwise(0L))
+          .as("n_nodes"))
+      ek.join(nk, Seq("k"))
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          round(when(col("n_nodes") < 2, lit(0.0))
+            .otherwise(lit(2.0) * col("n_edges")
+              / (col("n_nodes") * (col("n_nodes") - 1)).cast("double")),
+            9).as("phi"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      adj AS (SELECT part_a AS node, part_b AS nbr FROM pr
+        UNION ALL SELECT part_b, part_a FROM pr),
+      deg AS (SELECT node, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+      e AS (SELECT part_a, part_b, da.deg AS da, db.deg AS db
+        FROM pr JOIN deg da ON part_a = da.node
+        JOIN deg db ON part_b = db.node),
+      ks AS (SELECT unnest([2, 4, 8, 16])::BIGINT AS k),
+      ek AS (SELECT k, sum(CASE WHEN da > k AND db > k THEN 1 ELSE 0
+          END)::BIGINT AS n_edges
+        FROM e CROSS JOIN ks GROUP BY 1),
+      nk AS (SELECT k, sum(CASE WHEN deg > k THEN 1 ELSE 0 END)::BIGINT
+          AS n_nodes
+        FROM deg CROSS JOIN ks GROUP BY 1)
+      SELECT k, n_nodes, n_edges,
+        round(CASE WHEN n_nodes < 2 THEN 0.0
+          ELSE 2.0 * n_edges / (n_nodes * (n_nodes - 1))::DOUBLE END,
+          9) AS phi
+      FROM ek JOIN nk USING (k) ORDER BY k"""))
+
+  // ---------- q327: delta-method ratio-metric SE -----------------------
+
+  /** The ratio-metric standard error done RIGHT — the most common A/B
+    * analysis mistake: revenue-per-order is a ratio of PER-USER sums
+    * (users are the randomization unit), so the naive per-order SE
+    * that treats orders as independent understates the variance
+    * wherever users cluster. Per market segment, the delta-method SE
+    * of R = Σy/Σx (Fieller/Taylor expansion: Var ≈ (s_y² + R²s_x² −
+    * 2R·s_xy)/(n·x̄²)) is compared with the naive per-order SE, and
+    * the emitted design effect (ratio of the two) is the correction
+    * factor every clustered experiment needs. Shape: per-customer
+    * aggregate (corpus pass), then a per-segment moment vector of
+    * cent-pinned int64 products (DECIMAL lift); scalar math after.
+    */
+  private val q327 = QueryDef(
+    "q327_ratio_metric_se",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val perUser = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"),
+          expr("""CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+            * 100.0) AS BIGINT) div 100""").as("y"))
+      val perOrder = Fixtures.table(s, dir, "orders")
+        .join(broadcast(Fixtures.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT) div 100"))
+            .as("s_ord"),
+          sum((expr("CAST(round(o_totalprice * 100.0) AS BIGINT) div 100")
+            * expr("CAST(round(o_totalprice * 100.0) AS BIGINT) div 100"))
+            .cast(DecimalType(38, 0))).cast("double").as("s_ord2"))
+      def d(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val mom = perUser
+        .join(broadcast(Fixtures.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(d(col("x") * col("x"))).cast("double").as("sxx"),
+          sum(d(col("y") * col("y"))).cast("double").as("syy"),
+          sum(d(col("x") * col("y"))).cast("double").as("sxy"))
+      mom.join(perOrder, Seq("c_mktsegment"))
+        .select(col("c_mktsegment").as("segment"), col("n"),
+          col("n_orders"),
+          round(col("sy").cast("double") / col("sx"), 6).as("ratio"),
+          round(expr("""sqrt(((syy - CAST(sy AS DOUBLE) * sy / n)
+              / (n - 1)
+            + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+              * ((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+            - 2.0 * (CAST(sy AS DOUBLE) / sx)
+              * ((sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1)))
+            / n) / (CAST(sx AS DOUBLE) / n)"""), 6).as("se_delta"),
+          round(expr("""sqrt(((s_ord2 - CAST(s_ord AS DOUBLE) * s_ord
+              / n_orders) / (n_orders - 1)) / n_orders)"""), 6)
+            .as("se_naive"))
+        .select(col("segment"), col("n"), col("n_orders"), col("ratio"),
+          col("se_delta"), col("se_naive"),
+          round(col("se_delta") / col("se_naive"), 6).as("design_effect"))
+        .orderBy(col("segment"))
+    },
+    Some("""WITH pu AS (SELECT o_custkey, count(*)::BIGINT AS x,
+          round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100.0)::BIGINT
+            // 100 AS y
+        FROM orders GROUP BY 1),
+      po AS (SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+          sum(round(o_totalprice * 100.0)::BIGINT // 100)::BIGINT
+            AS s_ord,
+          sum((round(o_totalprice * 100.0)::BIGINT // 100)::HUGEINT
+            * (round(o_totalprice * 100.0)::BIGINT // 100))::DOUBLE
+            AS s_ord2
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      mom AS (SELECT c_mktsegment, count(*)::BIGINT AS n,
+          sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+          sum(x::HUGEINT * x)::DOUBLE AS sxx,
+          sum(y::HUGEINT * y)::DOUBLE AS syy,
+          sum(x::HUGEINT * y)::DOUBLE AS sxy
+        FROM pu JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      pre AS (SELECT c_mktsegment AS segment, n, n_orders,
+          round(sy::DOUBLE / sx, 6) AS ratio,
+          round(sqrt(((syy - sy::DOUBLE * sy / n) / (n - 1)
+            + (sy::DOUBLE / sx) * (sy::DOUBLE / sx)
+              * ((sxx - sx::DOUBLE * sx / n) / (n - 1))
+            - 2.0 * (sy::DOUBLE / sx)
+              * ((sxy - sx::DOUBLE * sy / n) / (n - 1)))
+            / n) / (sx::DOUBLE / n), 6) AS se_delta,
+          round(sqrt(((s_ord2 - s_ord::DOUBLE * s_ord / n_orders)
+            / (n_orders - 1)) / n_orders), 6) AS se_naive
+        FROM mom JOIN po USING (c_mktsegment))
+      SELECT segment, n, n_orders, ratio, se_delta, se_naive,
+        round(se_delta / se_naive, 6) AS design_effect
+      FROM pre ORDER BY segment"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -6328,5 +6567,6 @@ object Analytics {
       q237, q238, q239, q240, q241, q242, q243, q248, q252, q253, q254,
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
-      q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323)
+      q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
+      q325, q326, q327)
 }

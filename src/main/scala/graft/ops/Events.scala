@@ -3367,10 +3367,66 @@ object Events {
           / (1.0 - p21 * r1 - p2 * r2), 9) AS pacf3
       FROM p2"""))
 
+  // ---------- q324: compaction planner --------------------------------
+
+  /** Small-files compaction planner — the table-maintenance pass every
+    * lakehouse runs: daily event partitions (sized here as rows × a
+    * 64-byte estimated width) are packed in day order into target-
+    * sized output files by the cumulative-fill rule (a partition
+    * starts a new bin when the running total crosses the target), and
+    * the plan is emitted as bin → (days, bytes, fill ratio) so the
+    * rewrite job is pure mechanical IO. Day-ordered packing preserves
+    * time-range pruning in the compacted layout — the reason not to
+    * bin-pack optimally. Shape: the per-day size table is the only
+    * corpus-sized pass; the packing is a cumulative window over the
+    * calendar-bounded day table (q159 class) and exact integer
+    * arithmetic.
+    */
+  private val q324 = QueryDef(
+    "q324_compaction_planner",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val target = 131072L // 128 KiB target bins at fixture scale
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day"))
+        .agg((count(lit(1)) * 64L).as("bytes"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      daily
+        .withColumn("cum_before", coalesce(sum(col("bytes")).over(w),
+          lit(0L)))
+        .withColumn("bin", expr(s"cum_before div ${target}L"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_partitions"),
+          min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+          sum(col("bytes")).as("total_bytes"))
+        .select(col("bin"), col("n_partitions"), col("first_day"),
+          col("last_day"), col("total_bytes"),
+          round(col("total_bytes").cast("double") / target, 6)
+            .as("fill_ratio"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT * 64 AS bytes
+        FROM events GROUP BY 1),
+      packed AS (SELECT day, bytes,
+          coalesce(sum(bytes) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 131072 AS bin
+        FROM daily)
+      SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_partitions,
+        min(day) AS first_day, max(day) AS last_day,
+        sum(bytes)::BIGINT AS total_bytes,
+        round(sum(bytes)::DOUBLE / 131072, 6) AS fill_ratio
+      FROM packed GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
-      q273, q276, q282, q283, q286, q290, q300, q308, q312, q322)
+      q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324)
 }
