@@ -5941,7 +5941,7 @@ object Analytics {
           .select(col("c_custkey"), col("c_mktsegment"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"),
-          expr("CAST(o_totalprice AS BIGINT) div 5000").as("cell"),
+          expr("CAST(floor(o_totalprice / 5000.0) AS BIGINT)").as("cell"),
           when(col("o_totalprice") < 250000.0, 10L)
             .when(col("o_totalprice") < 420000.0, 2L)
             .otherwise(1L).as("inv_w"),
@@ -5970,7 +5970,7 @@ object Analytics {
         .orderBy(col("segment"))
     },
     Some(s"""WITH base AS (SELECT c_mktsegment AS segment,
-          CAST(o_totalprice AS BIGINT) // 5000 AS cell,
+          floor(o_totalprice / 5000.0)::BIGINT AS cell,
           CASE WHEN o_totalprice < 250000.0 THEN 10
             WHEN o_totalprice < 420000.0 THEN 2 ELSE 1 END AS inv_w,
           ${Portable.h32Duck("'ht_' || o_orderkey")} % 1000 AS coin
@@ -6020,7 +6020,7 @@ object Analytics {
       val cells = Fixtures.table(s, dir, "lineitem")
         .select(
           when(col("l_discount") >= 0.06, 1L).otherwise(0L).as("arm"),
-          expr("CAST(l_extendedprice AS BIGINT) div 2000").as("cell"))
+          expr("CAST(floor(l_extendedprice / 2000.0) AS BIGINT)").as("cell"))
         .groupBy(col("arm"), col("cell")).agg(count(lit(1)).as("n"))
       val wa = Window.partitionBy(col("arm"))
       val wc = Window.partitionBy(col("arm")).orderBy(col("cell"))
@@ -6045,7 +6045,7 @@ object Analytics {
     },
     Some("""WITH cells AS (SELECT
           CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS arm,
-          CAST(l_extendedprice AS BIGINT) // 2000 AS cell,
+          floor(l_extendedprice / 2000.0)::BIGINT AS cell,
           count(*)::BIGINT AS n
         FROM lineitem GROUP BY 1, 2),
       cum AS (SELECT arm, cell, n,
@@ -6339,7 +6339,7 @@ object Analytics {
     (s, dir) => {
       val width = 25000L
       val hist = Fixtures.table(s, dir, "orders")
-        .select(least(expr(s"CAST(o_totalprice AS BIGINT) div $width"),
+        .select(least(expr(s"CAST(floor(o_totalprice / $width.0) AS BIGINT)"),
           lit(19L)).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("n"))
       val probes = s.range(0, 10)
@@ -6371,8 +6371,8 @@ object Analytics {
               - col("true_n")) / col("true_n")), 6).as("rel_err"))
         .orderBy(col("probe"))
     },
-    Some("""WITH hist AS (SELECT least(CAST(o_totalprice AS BIGINT)
-            // 25000, 19) AS b, count(*)::BIGINT AS n
+    Some("""WITH hist AS (SELECT least(floor(o_totalprice / 25000.0)::BIGINT, 19) AS b,
+          count(*)::BIGINT AS n
         FROM orders GROUP BY 1),
       probes AS (SELECT p AS probe, p * 50000 AS lo,
           p * 50000 + 50000 AS hi
@@ -6558,6 +6558,92 @@ object Analytics {
         round(se_delta / se_naive, 6) AS design_effect
       FROM pre ORDER BY segment"""))
 
+  // ---------- q330: 1-D Gaussian-mixture EM step -----------------------
+
+  /** One EM step of a two-component 1-D Gaussian mixture over order
+    * totals — the soft-clustering primitive behind "is this price
+    * distribution one population or two" (the 1-D, closed-form member
+    * of the family whose k-means hard-assignment step is q134): from
+    * a fixed symmetric init (μ = 150 k / 350 k, σ = 100 k, w = ½),
+    * E-step responsibilities and the full M-step update (w, μ, σ per
+    * component). A production fit iterates this to convergence; ONE
+    * deterministic step is what a SQL engine should expose (the q134
+    * precedent). Scale discipline: the fact table first folds into ≤20
+    * fixed $25 k cells, so the E-step's exp() runs on BOUNDED cell
+    * midpoints (identical literal inputs on both engines),
+    * responsibilities pin to nano ints, and every M-step sum is a
+    * DECIMAL-lifted exact integer product over the cell table.
+    */
+  private val q330 = QueryDef(
+    "q330_em_step",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cells = Fixtures.table(s, dir, "orders")
+        .select(least(expr("CAST(floor(o_totalprice / 25000.0) AS BIGINT)"),
+          lit(19L)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .withColumn("x", col("b") * 25000L + 12500L)
+      val resp = cells.withColumn("r1_nano", expr(
+        """CAST(round(
+          exp(-pow((CAST(x AS DOUBLE) - 150000.0) / 100000.0, 2) / 2.0)
+          / (exp(-pow((CAST(x AS DOUBLE) - 150000.0) / 100000.0, 2)
+              / 2.0)
+            + exp(-pow((CAST(x AS DOUBLE) - 350000.0) / 100000.0, 2)
+              / 2.0)) * 1e9) AS BIGINT)"""))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val m = resp.agg(sum(col("n")).as("nn"),
+        sum(dl(col("n") * col("r1_nano"))).cast("double").as("s1"),
+        sum(dl(col("n") * (lit(1000000000L) - col("r1_nano"))))
+          .cast("double").as("s2"),
+        sum(dl(col("n") * col("r1_nano")) * dl(col("x")))
+          .cast("double").as("sx1"),
+        sum(dl(col("n") * (lit(1000000000L) - col("r1_nano")))
+          * dl(col("x"))).cast("double").as("sx2"),
+        sum(dl(col("n") * col("r1_nano")) * dl(col("x") * col("x")))
+          .cast("double").as("sxx1"),
+        sum(dl(col("n") * (lit(1000000000L) - col("r1_nano")))
+          * dl(col("x") * col("x"))).cast("double").as("sxx2"))
+      m.select(col("nn").as("n"),
+          round(col("s1") / 1e9 / col("nn"), 9).as("w1_new"),
+          round(col("sx1") / col("s1"), 3).as("mu1_new"),
+          round(sqrt(col("sxx1") / col("s1")
+            - (col("sx1") / col("s1")) * (col("sx1") / col("s1"))), 3)
+            .as("sigma1_new"),
+          round(col("sx2") / col("s2"), 3).as("mu2_new"),
+          round(sqrt(col("sxx2") / col("s2")
+            - (col("sx2") / col("s2")) * (col("sx2") / col("s2"))), 3)
+            .as("sigma2_new"))
+    },
+    Some("""WITH cells AS (SELECT b, count(*)::BIGINT AS n,
+          b * 25000 + 12500 AS x
+        FROM (SELECT least(floor(o_totalprice / 25000.0)::BIGINT, 19)
+            AS b FROM orders)
+        GROUP BY b),
+      resp AS (SELECT *, round(
+          exp(-pow((x::DOUBLE - 150000.0) / 100000.0, 2) / 2.0)
+          / (exp(-pow((x::DOUBLE - 150000.0) / 100000.0, 2) / 2.0)
+            + exp(-pow((x::DOUBLE - 350000.0) / 100000.0, 2) / 2.0))
+          * 1e9)::BIGINT AS r1_nano
+        FROM cells),
+      m AS (SELECT sum(n)::BIGINT AS nn,
+          sum(n::HUGEINT * r1_nano)::DOUBLE AS s1,
+          sum(n::HUGEINT * (1000000000 - r1_nano))::DOUBLE AS s2,
+          sum(n::HUGEINT * r1_nano * x)::DOUBLE AS sx1,
+          sum(n::HUGEINT * (1000000000 - r1_nano) * x)::DOUBLE AS sx2,
+          sum(n::HUGEINT * r1_nano * x * x)::DOUBLE AS sxx1,
+          sum(n::HUGEINT * (1000000000 - r1_nano) * x * x)::DOUBLE
+            AS sxx2
+        FROM resp)
+      SELECT nn AS n,
+        round(s1 / 1e9 / nn, 9) AS w1_new,
+        round(sx1 / s1, 3) AS mu1_new,
+        round(sqrt(sxx1 / s1 - (sx1 / s1) * (sx1 / s1)), 3)
+          AS sigma1_new,
+        round(sx2 / s2, 3) AS mu2_new,
+        round(sqrt(sxx2 / s2 - (sx2 / s2) * (sx2 / s2)), 3)
+          AS sigma2_new
+      FROM m"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -6568,5 +6654,5 @@ object Analytics {
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
-      q325, q326, q327)
+      q325, q326, q327, q330)
 }

@@ -3423,10 +3423,138 @@ object Events {
         round(sum(bytes)::DOUBLE / 131072, 6) AS fill_ratio
       FROM packed GROUP BY bin ORDER BY bin"""))
 
+  // ---------- q329: negative-binomial overdispersion fit ---------------
+
+  /** Overdispersion diagnosis of per-user purchase counts: a Poisson
+    * user model (the default assumption behind every "events ~ rate ×
+    * time" capacity estimate) is checked against the moment-fitted
+    * negative binomial — r = m²/(v−m), p₀ = (r/(r+m))^r — and the
+    * verdict is read off the zero class: if the OBSERVED share of
+    * never-purchasing users matches NB and not Poisson e^{−m}, per-
+    * user heterogeneity is real and downstream models need the NB (or
+    * a mixed) rate. Complements q227 (Fano over TIME windows) with
+    * the PER-USER dispersion cut. Shape: the user spine LEFT-joins
+    * purchase counts so zeros COUNT (the whole point); one bounded
+    * moment aggregate (counts int64, squares DECIMAL-lifted); the fit
+    * is scalar math with one pow.
+    */
+  private val q329 = QueryDef(
+    "q329_overdispersion_fit",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val users = ev(s, dir).select(col("user_id")).distinct()
+      val pc = ev(s, dir).where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val counts = users.join(pc, Seq("user_id"), "left")
+        .select(coalesce(col("c"), lit(0L)).as("c"))
+      counts.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum((col("c") * col("c")).cast(DecimalType(38, 0)))
+            .cast("double").as("scc"),
+          sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_zero"))
+        .select(col("n"), col("n_zero"),
+          (col("sc").cast("double") / col("n")).as("m"),
+          ((col("scc") - col("sc").cast("double") * col("sc")
+            / col("n")) / (col("n") - 1)).as("v"))
+        .select(col("n"), col("n_zero"),
+          round(col("m"), 9).as("mean_c"),
+          round(col("v"), 9).as("var_c"),
+          round(col("v") / col("m"), 9).as("dispersion"),
+          round(col("n_zero").cast("double") / col("n"), 9).as("p0_obs"),
+          round(exp(-col("m")), 9).as("p0_poisson"),
+          round(when(col("v") <= col("m"), lit(null))
+            .otherwise(pow(
+              (col("m") * col("m") / (col("v") - col("m")))
+                / (col("m") * col("m") / (col("v") - col("m"))
+                  + col("m")),
+              col("m") * col("m") / (col("v") - col("m")))), 9)
+            .as("p0_negbin"))
+    },
+    Some("""WITH users AS (SELECT DISTINCT user_id FROM events),
+      pc AS (SELECT user_id, count(*)::BIGINT AS c FROM events
+        WHERE event_type = 'purchase' GROUP BY 1),
+      counts AS (SELECT coalesce(c, 0) AS c FROM users
+        LEFT JOIN pc USING (user_id)),
+      mom AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS sc,
+          sum(c::HUGEINT * c)::DOUBLE AS scc,
+          sum(CASE WHEN c = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+        FROM counts),
+      mv AS (SELECT n, n_zero, sc::DOUBLE / n AS m,
+          (scc - sc::DOUBLE * sc / n) / (n - 1) AS v
+        FROM mom)
+      SELECT n, n_zero, round(m, 9) AS mean_c, round(v, 9) AS var_c,
+        round(v / m, 9) AS dispersion,
+        round(n_zero::DOUBLE / n, 9) AS p0_obs,
+        round(exp(-m), 9) AS p0_poisson,
+        round(CASE WHEN v <= m THEN NULL
+          ELSE pow((m * m / (v - m)) / (m * m / (v - m) + m),
+            m * m / (v - m)) END, 9) AS p0_negbin
+      FROM mv"""))
+
+  // ---------- q331: experiment power / MDE calculator ------------------
+
+  /** Sample-size calculator grounded in the corpus's own base rate —
+    * the pre-registration step before any q163/q282/q312 test: for
+    * minimum detectable effects of 1/2/5/10 percentage points on the
+    * purchase-conversion rate, the required users per arm at 80 %
+    * power / 5 % two-sided α, n = 2(z_{0.975}+z_{0.8})²·p(1−p)/δ²,
+    * and whether the CURRENT user population could even staff the two
+    * arms — the feasibility bit that kills underpowered tests before
+    * they run. Shape: one per-user pass for the base rate (the only
+    * corpus-sized work), a 4-row MDE spine, scalar math; z constants
+    * are shared literals.
+    */
+  private val q331 = QueryDef(
+    "q331_power_mde",
+    (s, dir) => {
+      val base = ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      val mdes = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L),
+        Tuple1(5L), Tuple1(10L))).toDF("mde_pp")
+      base.crossJoin(broadcast(mdes))
+        .select(col("mde_pp"), col("n_users"),
+          round(col("n_conv").cast("double") / col("n_users"), 9)
+            .as("base_rate"),
+          expr("""CAST(ceil(2.0 * 7.849033973655844
+            * (CAST(n_conv AS DOUBLE) / n_users)
+            * (1.0 - CAST(n_conv AS DOUBLE) / n_users)
+            / ((CAST(mde_pp AS DOUBLE) / 100.0)
+              * (CAST(mde_pp AS DOUBLE) / 100.0))) AS BIGINT)""")
+            .as("n_per_arm"))
+        .select(col("mde_pp"), col("base_rate"), col("n_per_arm"),
+          col("n_users"),
+          (col("n_per_arm") * 2 <= col("n_users")).as("feasible"))
+        .orderBy(col("mde_pp"))
+    },
+    // (z_{0.975} + z_{0.8})² = (1.959963985 + 0.8416212336)² —
+    // the shared literal 7.849033973655844 in both dialects
+    Some("""WITH base AS (SELECT count(*)::BIGINT AS n_users,
+          sum(conv)::BIGINT AS n_conv
+        FROM (SELECT user_id,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS conv
+          FROM events GROUP BY 1)),
+      mdes AS (SELECT unnest([1, 2, 5, 10])::BIGINT AS mde_pp)
+      SELECT mde_pp,
+        round(n_conv::DOUBLE / n_users, 9) AS base_rate,
+        ceil(2.0 * 7.849033973655844
+          * (n_conv::DOUBLE / n_users) * (1.0 - n_conv::DOUBLE / n_users)
+          / ((mde_pp::DOUBLE / 100.0) * (mde_pp::DOUBLE / 100.0)))
+          ::BIGINT AS n_per_arm,
+        n_users,
+        ceil(2.0 * 7.849033973655844
+          * (n_conv::DOUBLE / n_users) * (1.0 - n_conv::DOUBLE / n_users)
+          / ((mde_pp::DOUBLE / 100.0) * (mde_pp::DOUBLE / 100.0)))
+          ::BIGINT * 2 <= n_users AS feasible
+      FROM base CROSS JOIN mdes ORDER BY mde_pp"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
-      q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324)
+      q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
+      q329, q331)
 }

@@ -1651,7 +1651,64 @@ object Similarity {
         round(sqrt(ntt) / sqrt(nee), 9) AS norm_ratio
       FROM j ORDER BY label"""))
 
+  // ---------- q332: nearest-centroid classifier accuracy ---------------
+
+  /** Rocchio (nearest-centroid) classification accuracy per label —
+    * the cheapest embedding-quality END-METRIC: q127 audits whether
+    * ANN retrieval finds the true neighbors; this audits whether the
+    * embedding GEOMETRY separates the label cells at all, by
+    * classifying every vector to its nearest cell centroid (cosine)
+    * and scoring the confusion against the true label. Accuracy ≈ 1
+    * with tight well-separated cells; a label whose vectors leak to
+    * another centroid flags entangled classes before any model
+    * trains. Shape: the codebook is the SAME PlanCache'd q33/q34
+    * centroid table (10-row broadcast); one corpus pass scores
+    * |labels| cosines per vector with the codegen'd `graft_cosine`;
+    * the argmax is a window over ≤|labels| rows per vector. No
+    * corpus-sized shuffle anywhere.
+    */
+  private val q332 = QueryDef(
+    "q332_rocchio_accuracy",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = emb(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .crossJoin(broadcast(codebook(s, dir)
+          .select(col("label").as("cand"), col("cvec"))))
+        .select(col("vec_id"), col("label"), col("cand"),
+          expr("graft_cosine(embedding, cvec)").as("cos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cand"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cand") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("label"), col("n"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n"), 9)
+            .as("accuracy"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH $centDuckCte,
+      cb AS (SELECT label AS cand, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label),
+      scored AS (SELECT vec_id, label, cand,
+          ${Dedup.cosDuck("embedding", "cvec")} AS cos
+        FROM embeddings CROSS JOIN cb),
+      win AS (SELECT vec_id, label, cand,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, cand) AS rn
+        FROM scored)
+      SELECT label, count(*)::BIGINT AS n,
+        sum(CASE WHEN cand = label THEN 1 ELSE 0 END)::BIGINT
+          AS n_correct,
+        round(sum(CASE WHEN cand = label THEN 1 ELSE 0 END)::DOUBLE
+          / count(*), 9) AS accuracy
+      FROM win WHERE rn = 1
+      GROUP BY label ORDER BY label"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
     q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259,
-    q260, q265, q280, q318)
+    q260, q265, q280, q318, q332)
 }

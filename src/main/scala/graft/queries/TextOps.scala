@@ -1689,8 +1689,73 @@ object TextOps {
       FROM full_c f JOIN naive n ON f.lang = n.lang
       GROUP BY f.lang ORDER BY f.lang"""))
 
+  // ---------- q328: term burstiness (Church–Gale) ----------------------
+
+  /** Church–Gale term burstiness for the top-50 vocabulary: a word's
+    * occurrences are NOT Poisson — once a document mentions a term it
+    * tends to repeat it — and the adaptation ratio P(≥2 | ≥1) observed
+    * vs Poisson-expected is the canonical measure (Church & Gale
+    * 1995). Function words score ≈1 (Poisson-like); topical/content
+    * words score ≫1 — the signal that separates them better than raw
+    * frequency, and a direct input to q177's keyword weighting.
+    * Doc-level Fano (q227) measures TIME burstiness; this measures
+    * WITHIN-DOCUMENT adaptation. Shape: one token pass against the
+    * broadcast top-50 vocabulary into (term, doc) counts keyed across
+    * executors, then a ≤50-row term aggregate; Poisson terms are one
+    * libm exp on exact-ratio doubles.
+    */
+  private val q328 = QueryDef(
+    "q328_term_burstiness",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val top = toks.groupBy(col("word")).agg(count(lit(1)).as("tc"))
+        .orderBy(col("tc").desc, col("word")).limit(50)
+        .select(col("word"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("nd"))
+      val perDoc = toks.join(broadcast(top), Seq("word"))
+        .groupBy(col("word"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      perDoc.groupBy(col("word"))
+        .agg(sum(col("c")).as("occ"),
+          count(lit(1)).as("d1"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("d2"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("word"), col("occ"), col("d1"), col("d2"),
+          round(col("d2").cast("double") / col("d1"), 9).as("obs_adapt"),
+          round(expr("""(1.0 - exp(-(CAST(occ AS DOUBLE) / nd))
+            - (CAST(occ AS DOUBLE) / nd)
+              * exp(-(CAST(occ AS DOUBLE) / nd)))
+            / (1.0 - exp(-(CAST(occ AS DOUBLE) / nd)))"""), 9)
+            .as("poisson_adapt"))
+        .select(col("word"), col("occ"), col("d1"), col("d2"),
+          col("obs_adapt"), col("poisson_adapt"),
+          round(col("obs_adapt") / col("poisson_adapt"), 6)
+            .as("burstiness"))
+        .orderBy(col("word"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS word FROM documents),
+      top AS (SELECT word FROM (SELECT word, count(*) AS tc FROM toks
+          GROUP BY 1) ORDER BY tc DESC, word LIMIT 50),
+      nd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+      pd AS (SELECT word, doc_id, count(*)::BIGINT AS c
+        FROM toks JOIN top USING (word) GROUP BY 1, 2),
+      t AS (SELECT word, sum(c)::BIGINT AS occ, count(*)::BIGINT AS d1,
+          sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS d2
+        FROM pd GROUP BY 1),
+      p AS (SELECT word, occ, d1, d2,
+          round(d2::DOUBLE / d1, 9) AS obs_adapt,
+          round((1.0 - exp(-(occ::DOUBLE / nd))
+            - (occ::DOUBLE / nd) * exp(-(occ::DOUBLE / nd)))
+            / (1.0 - exp(-(occ::DOUBLE / nd))), 9) AS poisson_adapt
+        FROM t, nd)
+      SELECT word, occ, d1, d2, obs_adapt, poisson_adapt,
+        round(obs_adapt / poisson_adapt, 6) AS burstiness
+      FROM p ORDER BY word"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
       q153, q155, q165, q177, q198, q199, q215, q217, q244, q245, q278,
-      q279, q287, q298, q305, q313)
+      q279, q287, q298, q305, q313, q328)
 }
