@@ -6644,6 +6644,79 @@ object Analytics {
           AS sigma2_new
       FROM m"""))
 
+  // ---------- q333: Jarque–Bera normality test -------------------------
+
+  /** Jarque–Bera normality screen of order totals per priority — the
+    * assumption gate beside q307's Levene: JB = n/6·(S² + (K−3)²/4)
+    * from sample skewness and kurtosis, against the 2-df upper-0.1 %
+    * critical value. A fat-tailed or skewed group invalidates the
+    * normal-theory intervals q163/q205 hand out — this query says so
+    * BEFORE they run. Shape: two map-side passes (exact DECIMAL
+    * means, then central moments with the ≤5-row mean broadcast
+    * back); deviations pin to integer cents and the z²/z³/z⁴ sums are
+    * DECIMAL(38)-lifted exact products, so S, K and JB are bit-stable
+    * scalar math per group.
+    */
+  private val q333 = QueryDef(
+    "q333_jarque_bera",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val means = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mean_g"))
+      val z = Fixtures.table(s, dir, "orders")
+        .join(broadcast(means), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"),
+          expr("CAST(round((o_totalprice - mean_g) * 100.0) AS BIGINT)")
+            .as("zc"))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val mom = z.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (sum(dl(col("zc")) * dl(col("zc"))).cast("double")
+            / count(lit(1))).as("m2"),
+          (sum(dl(col("zc")) * dl(col("zc")) * dl(col("zc")))
+            .cast("double") / count(lit(1))).as("m3"),
+          (sum(dl(col("zc")) * dl(col("zc")) * dl(col("zc"))
+            * dl(col("zc"))).cast("double") / count(lit(1))).as("m4"))
+      mom.select(col("o_orderpriority"), col("n"),
+          round(col("m3") / pow(col("m2"), 1.5), 9).as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")), 9).as("kurtosis"))
+        .select(col("o_orderpriority"), col("n"), col("skewness"),
+          col("kurtosis"),
+          round(col("n") / 6.0 * (col("skewness") * col("skewness")
+            + (col("kurtosis") - 3.0) * (col("kurtosis") - 3.0) / 4.0),
+            6).as("jb_stat"),
+          (col("n") / 6.0 * (col("skewness") * col("skewness")
+            + (col("kurtosis") - 3.0) * (col("kurtosis") - 3.0) / 4.0)
+            > 13.816).as("non_normal"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH means AS (SELECT o_orderpriority,
+          sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE / count(*)
+            AS mean_g
+        FROM orders GROUP BY 1),
+      z AS (SELECT o.o_orderpriority,
+          round((o_totalprice - mean_g) * 100.0)::BIGINT AS zc
+        FROM orders o JOIN means m
+          ON o.o_orderpriority = m.o_orderpriority),
+      mom AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+          sum(zc::HUGEINT * zc)::DOUBLE / count(*) AS m2,
+          sum(zc::HUGEINT * zc * zc)::DOUBLE / count(*) AS m3,
+          sum(zc::HUGEINT * zc * zc * zc)::DOUBLE / count(*) AS m4
+        FROM z GROUP BY 1),
+      sk AS (SELECT o_orderpriority, n,
+          round(m3 / pow(m2, 1.5), 9) AS skewness,
+          round(m4 / (m2 * m2), 9) AS kurtosis
+        FROM mom)
+      SELECT o_orderpriority, n, skewness, kurtosis,
+        round(n / 6.0 * (skewness * skewness
+          + (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0), 6) AS jb_stat,
+        (n / 6.0 * (skewness * skewness
+          + (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0)) > 13.816
+          AS non_normal
+      FROM sk ORDER BY o_orderpriority"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -6654,5 +6727,5 @@ object Analytics {
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
-      q325, q326, q327, q330)
+      q325, q326, q327, q330, q333)
 }

@@ -2570,10 +2570,82 @@ object Dedup {
       FROM h ORDER BY bucket"""
     })
 
+  // ---------- q336: SimHash bit-balance audit --------------------------
+
+  /** Signature-quality audit for the q19 SimHash family: a healthy
+    * 32-bit SimHash sets each bit on ~half the corpus (the hyperplane
+    * through a balanced hash), and a biased bit carries less than one
+    * bit of discriminating information — enough biased bits and the
+    * q144 byte-block banding collides everything into few buckets.
+    * Emits per-bit set-rates with their bias plus the corpus-level
+    * verdict (max |bias| and the count of bits beyond a 2 % tolerance)
+    * — the audit to run BEFORE trusting Hamming-distance thresholds at
+    * 100 TB. Shape: reuses the cached posting table; one aggregation
+    * computes all 32 per-doc bit counts (same codegen'd shape as q19),
+    * a second bounded pass folds the ≤|docs|×1 signature rows into 32
+    * cells via an in-scan stack; all counts exact int64.
+    */
+  private val q336 = QueryDef(
+    "q336_simhash_bits",
+    (s, dir) => {
+      val cnts = persistedInverted(s, dir).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          (0 until 32).map { b =>
+            sum(expr(s"CASE WHEN (h div ${1L << b}) % 2 = 1 THEN 1 " +
+              "ELSE 0 END")).as(s"c$b")
+          }: _*)
+      val bitCols = (0 until 32).map { b =>
+        s"'$b', CASE WHEN 2 * c$b > n THEN 1L ELSE 0L END"
+      }.mkString(", ")
+      val perBit = cnts
+        .select(expr(s"stack(32, $bitCols)").as(Seq("bit", "set")))
+        .groupBy(col("bit").cast("long").as("bit"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("set")).as("n_set"))
+      val verdict = perBit.agg(
+        max(abs(col("n_set").cast("double") / col("n_docs") - 0.5))
+          .as("max_bias"),
+        sum(when(abs(col("n_set").cast("double") / col("n_docs") - 0.5)
+          > 0.02, 1L).otherwise(0L)).as("n_biased"))
+      perBit.crossJoin(broadcast(verdict))
+        .select(col("bit"), col("n_set"),
+          round(col("n_set").cast("double") / col("n_docs"), 9)
+            .as("set_rate"),
+          round(col("n_set").cast("double") / col("n_docs") - 0.5, 9)
+            .as("bias"),
+          round(col("max_bias"), 9).as("max_bias"), col("n_biased"))
+        .orderBy(col("bit"))
+    },
+    Some {
+      val bitSelects = (0 until 32).map { b =>
+        s"SELECT $b AS bit, CASE WHEN 2 * c$b > n THEN 1 ELSE 0 END " +
+          s"AS bset FROM cnts"
+      }.mkString(" UNION ALL ")
+      val cbits = (0 until 32).map { b =>
+        s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE 0 " +
+          s"END)::BIGINT AS c$b"
+      }.mkString(", ")
+      s"""WITH $shingledDuckCte,
+      cnts AS (SELECT doc_id, count(*)::BIGINT AS n, $cbits
+        FROM inv GROUP BY doc_id),
+      bits AS ($bitSelects),
+      pb AS (SELECT bit::BIGINT AS bit, count(*)::BIGINT AS n_docs,
+          sum(bset)::BIGINT AS n_set
+        FROM bits GROUP BY 1),
+      v AS (SELECT max(abs(n_set::DOUBLE / n_docs - 0.5)) AS max_bias,
+          sum(CASE WHEN abs(n_set::DOUBLE / n_docs - 0.5) > 0.02
+            THEN 1 ELSE 0 END)::BIGINT AS n_biased
+        FROM pb)
+      SELECT bit, n_set,
+        round(n_set::DOUBLE / n_docs, 9) AS set_rate,
+        round(n_set::DOUBLE / n_docs - 0.5, 9) AS bias,
+        round(max_bias, 9) AS max_bias, n_biased
+      FROM pb, v ORDER BY bit"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
       q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
-      q201, q204, q246, q321)
+      q201, q204, q246, q321, q336)
 
 }

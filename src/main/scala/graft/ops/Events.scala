@@ -3550,11 +3550,198 @@ object Events {
           ::BIGINT * 2 <= n_users AS feasible
       FROM base CROSS JOIN mdes ORDER BY mde_pp"""))
 
+  // ---------- q334: Mann–Kendall trend test ---------------------------
+
+  /** Mann–Kendall monotonic-trend test on daily event counts — the
+    * NONPARAMETRIC growth detector: S = Σ_{i<j} sign(c_j − c_i) needs
+    * no linearity or normality assumption (q233's OLS needs both),
+    * the tie-corrected variance gives an exact z, and the p-value
+    * comes from the shared portable Φ. The question it answers —
+    * "is traffic actually trending or just noisy?" — gates every
+    * capacity extrapolation. Shape: per-day counts (corpus pass),
+    * then a BOUNDED day-pair self-join (≤ |days|²/2 rows at any
+    * corpus size — the calendar, not the corpus), a tie-group
+    * aggregate, and scalar math. All counts exact int64.
+    */
+  private val q334 = QueryDef(
+    "q334_mann_kendall",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val a = daily.select(col("day").as("di"), col("c").as("ci"))
+      val b = daily.select(col("day").as("dj"), col("c").as("cj"))
+      val sStat = a.join(b, col("di") < col("dj"))
+        .agg(sum(when(col("cj") > col("ci"), 1L)
+          .when(col("cj") < col("ci"), -1L).otherwise(0L)).as("s"))
+      val ties = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_corr"))
+      val nDays = daily.agg(count(lit(1)).as("n"))
+      val z = """CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+          / sqrt(var_s)
+        WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+        ELSE 0.0 END"""
+      val phiUpper = graft.ops.Portable.normCdfUpper(s"abs($z)")
+      sStat.crossJoin(broadcast(ties)).crossJoin(broadcast(nDays))
+        .select(col("n"), col("s").as("s_stat"),
+          expr("""(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+            - coalesce(tie_corr, 0)) / 18.0""").as("var_s"))
+        .select(col("n"), col("s_stat"), round(col("var_s"), 6)
+            .as("var_s"),
+          round(expr(z), 9).as("z"))
+        .select(col("n"), col("s_stat"), col("var_s"), col("z"),
+          round(expr("2.0 * " + graft.ops.Portable.normCdfUpper(
+            "abs(z)")), 9).as("p_value"),
+          expr("""CASE WHEN abs(z) < 1.959963985 THEN 'no_trend'
+            WHEN z > 0 THEN 'increasing' ELSE 'decreasing' END""")
+            .as("trend"))
+    },
+    Some {
+      val z = """CASE WHEN s > 0 THEN (s::DOUBLE - 1.0) / sqrt(var_s)
+        WHEN s < 0 THEN (s::DOUBLE + 1.0) / sqrt(var_s)
+        ELSE 0.0 END"""
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT AS c
+        FROM events GROUP BY 1),
+      ss AS (SELECT sum(CASE WHEN b.c > a.c THEN 1
+          WHEN b.c < a.c THEN -1 ELSE 0 END)::BIGINT AS s
+        FROM daily a JOIN daily b ON a.day < b.day),
+      ties AS (SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_corr
+        FROM (SELECT c, count(*)::BIGINT AS t FROM daily GROUP BY 1)),
+      nd AS (SELECT count(*)::BIGINT AS n FROM daily),
+      v AS (SELECT n, s,
+          (n::DOUBLE * (n - 1) * (2 * n + 5) - coalesce(tie_corr, 0))
+            / 18.0 AS var_s
+        FROM ss, ties, nd),
+      zz AS (SELECT n, s AS s_stat, round(var_s, 6) AS var_s,
+          round($z, 9) AS z
+        FROM v)
+      SELECT n, s_stat, var_s, z,
+        round(2.0 * ${graft.ops.Portable.normCdfUpper("abs(z)")}, 9)
+          AS p_value,
+        CASE WHEN abs(z) < 1.959963985 THEN 'no_trend'
+          WHEN z > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+      FROM zz"""
+    })
+
+  // ---------- q335: Hurst exponent (R/S) ------------------------------
+
+  /** Hurst exponent of daily event counts by rescaled-range analysis:
+    * for block sizes k = 5/10/15 days, each block's range of
+    * cumulative deviations over its standard deviation, averaged per
+    * k, and H = the log–log slope — H ≈ 0.5 is memoryless, H > 0.5
+    * long-range persistent (busy days cluster, so capacity must plan
+    * for RUNS of peaks, not independent ones). Completes the
+    * dependence family: q142 ACF (linear, fixed lag), q322 PACF
+    * (direct effect), q334 trend — this measures SCALING of memory.
+    * Shape: after the per-day count pass everything is calendar-
+    * bounded: per-block windows (PARTITIONED by block), a ≤|blocks|
+    * aggregate, R/S pinned nano before the per-k mean, and a 3-point
+    * OLS slope in scalar math.
+    */
+  private val q335 = QueryDef(
+    "q335_hurst_rs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val d0 = daily.agg(min(col("day")).as("d0"))
+      val ks = s.createDataFrame(Seq(Tuple1(5L), Tuple1(10L),
+        Tuple1(15L))).toDF("k")
+      val blocks = daily.crossJoin(broadcast(d0))
+        .crossJoin(broadcast(ks))
+        .select(col("k"), expr("(day - d0) div k").as("blk"),
+          col("day"), col("c"))
+      val wb = Window.partitionBy(col("k"), col("blk"))
+      val wcum = Window.partitionBy(col("k"), col("blk"))
+        .orderBy(col("day"))
+      val rs = blocks
+        .withColumn("n_b", count(lit(1)).over(wb))
+        .where(col("n_b") === col("k")) // full blocks only
+        .withColumn("sum_b", sum(col("c")).over(wb))
+        .withColumn("cum_milli", sum(col("c") * 1000L
+          - expr("CAST(round(sum_b * 1000.0 / k) AS BIGINT)")).over(wcum))
+        .groupBy(col("k"), col("blk"))
+        .agg((max(col("cum_milli")) - min(col("cum_milli")))
+            .as("r_milli"),
+          first(col("k")).as("kk"),
+          sum(col("c") * col("c")).as("scc"),
+          first(col("sum_b")).as("sb"))
+        .select(col("k"), col("r_milli"),
+          sqrt((col("scc").cast("double")
+            - col("sb").cast("double") * col("sb") / col("k"))
+            / col("k")).as("s_b"))
+        .where(col("s_b") > 0)
+        .select(col("k"),
+          expr("CAST(round(r_milli / 1000.0 / s_b * 1e9) AS BIGINT)")
+            .as("rs_nano"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_blocks"),
+          (sum(col("rs_nano")).cast("double") / count(lit(1)) / 1e9)
+            .as("rs_mean"))
+      val pts = rs.select(col("k"), col("n_blocks"),
+        expr("ln(CAST(k AS DOUBLE))").as("lx"),
+        expr("ln(rs_mean)").as("ly"))
+      val fit = pts.agg(count(lit(1)).as("np"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"))
+      pts.select(col("k"), col("n_blocks"),
+          round(exp(col("ly")), 6).as("rs_mean"))
+        .crossJoin(broadcast(fit.select(
+          round((col("np") * col("sxy") - col("sx") * col("sy"))
+            / (col("np") * col("sxx") - col("sx") * col("sx")), 9)
+            .as("hurst"))))
+        .orderBy(col("k"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT AS c
+        FROM events GROUP BY 1),
+      d0 AS (SELECT min(day) AS d0 FROM daily),
+      ks AS (SELECT unnest([5, 10, 15])::BIGINT AS k),
+      blocks AS (SELECT k, (day - d0) // k AS blk, day, c
+        FROM daily, d0, ks),
+      fullb AS (SELECT * FROM (SELECT *,
+          count(*) OVER (PARTITION BY k, blk) AS n_b,
+          sum(c) OVER (PARTITION BY k, blk)::BIGINT AS sum_b
+        FROM blocks) WHERE n_b = k),
+      cum AS (SELECT k, blk, sum_b,
+          sum(c * 1000 - round(sum_b * 1000.0 / k)::BIGINT)
+            OVER (PARTITION BY k, blk ORDER BY day)::BIGINT AS cum_milli,
+          c
+        FROM fullb),
+      perblk AS (SELECT k, blk,
+          (max(cum_milli) - min(cum_milli))::BIGINT AS r_milli,
+          sum(c * c)::BIGINT AS scc, any_value(sum_b) AS sb
+        FROM cum GROUP BY 1, 2),
+      sb2 AS (SELECT k, r_milli,
+          sqrt((scc::DOUBLE - sb::DOUBLE * sb / k) / k) AS s_b
+        FROM perblk),
+      rsn AS (SELECT k,
+          round(r_milli / 1000.0 / s_b * 1e9)::BIGINT AS rs_nano
+        FROM sb2 WHERE s_b > 0),
+      rs AS (SELECT k, count(*)::BIGINT AS n_blocks,
+          sum(rs_nano)::DOUBLE / count(*) / 1e9 AS rs_mean
+        FROM rsn GROUP BY 1),
+      pts AS (SELECT k, n_blocks, ln(k::DOUBLE) AS lx,
+          ln(rs_mean) AS ly FROM rs),
+      fit AS (SELECT round((count(*) * sum(lx * ly)
+            - sum(lx) * sum(ly))
+          / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 9) AS hurst
+        FROM pts)
+      SELECT k, n_blocks, round(exp(ly), 6) AS rs_mean, hurst
+      FROM pts, fit ORDER BY k"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
-      q329, q331)
+      q329, q331, q334, q335)
 }
