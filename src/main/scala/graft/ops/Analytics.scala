@@ -6717,6 +6717,155 @@ object Analytics {
           AS non_normal
       FROM sk ORDER BY o_orderpriority"""))
 
+  // ---------- q338: one ALS sweep (rank-1) -----------------------------
+
+  /** One alternating-least-squares sweep of the rank-1 implicit-
+    * feedback factorization of the customer × brand purchase matrix —
+    * the recommender primitive in its deterministic, closed-form
+    * slice (the q134/q330 "one exact step, no convergence loop"
+    * contract): from v ≡ 1, the user-factor solve is u_c = Σ_b r_cb /
+    * n_b(c), and the brand update v_b = Σ_c r_cb·u_c / Σ_c u_c² is
+    * one least-squares division per brand. The emitted v is the
+    * first-iteration "brand strength" — already the popularity-
+    * debiased ordering a cold-start ranker uses. Shape: the rating
+    * table is one fact pass (broadcast part dim, shuffle on customer
+    * × brand); each solve is a keyed aggregate; u pins to micro ints
+    * and the v numerator/denominator are DECIMAL-lifted exact sums.
+    */
+  private val q338 = QueryDef(
+    "q338_als_sweep",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val r = Fixtures.table(s, dir, "lineitem")
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("p_brand"))
+        .agg(count(lit(1)).as("r"))
+      val u = r.groupBy(col("o_custkey"))
+        .agg(expr("CAST(round(sum(r) * 1e6 / count(1)) AS BIGINT)")
+          .as("u_micro"))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      r.join(u, Seq("o_custkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dl(col("r") * col("u_micro"))).cast("double").as("num"),
+          sum(dl(col("u_micro")) * dl(col("u_micro"))).cast("double")
+            .as("den"))
+        .select(col("p_brand"), col("n_customers"),
+          round(col("num") * 1e6 / col("den"), 9).as("v_strength"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""WITH r AS (SELECT o_custkey, p_brand, count(*)::BIGINT AS r
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      u AS (SELECT o_custkey,
+          round(sum(r)::BIGINT * 1e6 / count(*))::BIGINT AS u_micro
+        FROM r GROUP BY 1)
+      SELECT p_brand, count(*)::BIGINT AS n_customers,
+        round(sum(r::HUGEINT * u_micro)::DOUBLE * 1e6
+          / sum(u_micro::HUGEINT * u_micro)::DOUBLE, 9) AS v_strength
+      FROM r JOIN u USING (o_custkey)
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  // ---------- q340: hub-attack robustness ------------------------------
+
+  /** Targeted-attack robustness of the co-purchase graph: remove the
+    * top-decile-degree hubs and measure what survives — edge loss and
+    * newly-isolated nodes. A network whose connectivity collapses
+    * under hub removal routes everything through few products (q326's
+    * rich club made concrete as a failure mode); a robust one keeps
+    * its periphery connected. The 90th-percentile degree cut is exact
+    * over the BOUNDED degree histogram (q314 rule — a cumulative
+    * window over ≤|distinct degrees| rows). Shape: degrees from one
+    * edge-list aggregate; the survival check is two broadcast-scalar
+    * comparisons per edge; isolation = nodes whose every edge died,
+    * one LEFT ANTI against surviving endpoints. All counts exact.
+    */
+  private val q340 = QueryDef(
+    "q340_hub_attack",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = copurchasePairs(s, dir)
+        .select(col("part_a"), col("part_b"))
+      val adj = pairs.select(col("part_a").as("node"), col("part_b").as("nbr"))
+        .union(pairs.select(col("part_b").as("node"), col("part_a").as("nbr")))
+      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n"))
+      val wc = Window.orderBy(col("deg"))
+      val cut = hist
+        .withColumn("cn", sum(col("n")).over(wc))
+        .crossJoin(broadcast(hist.agg(sum(col("n")).as("tn"))))
+        .where(col("cn") * 10 >= col("tn") * 9)
+        .agg(min(col("deg")).as("deg_cut"))
+      val edges = pairs
+        .join(deg.select(col("node").as("part_a"), col("deg").as("da")),
+          Seq("part_a"))
+        .join(deg.select(col("node").as("part_b"), col("deg").as("db")),
+          Seq("part_b"))
+        .crossJoin(broadcast(cut))
+      val stats = edges.agg(count(lit(1)).as("n_edges"),
+        sum(when(col("da") < col("deg_cut")
+          && col("db") < col("deg_cut"), 1L).otherwise(0L))
+          .as("n_surviving"))
+      val surviving = edges
+        .where(col("da") < col("deg_cut") && col("db") < col("deg_cut"))
+      val aliveNodes = surviving.select(col("part_a").as("node"))
+        .union(surviving.select(col("part_b").as("node"))).distinct()
+      val isolated = deg.crossJoin(broadcast(cut))
+        .where(col("deg") < col("deg_cut"))
+        .join(aliveNodes, Seq("node"), "left_anti")
+        .agg(count(lit(1)).as("n_isolated"))
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      stats.crossJoin(broadcast(isolated)).crossJoin(broadcast(nNodes))
+        .crossJoin(broadcast(cut))
+        .select(col("n_nodes"), col("deg_cut"), col("n_edges"),
+          col("n_surviving"),
+          round(lit(1.0) - col("n_surviving").cast("double")
+            / col("n_edges"), 9).as("edge_loss"),
+          col("n_isolated"),
+          round(col("n_isolated").cast("double") / col("n_nodes"), 9)
+            .as("isolation_rate"))
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      adj AS (SELECT part_a AS node, part_b AS nbr FROM pr
+        UNION ALL SELECT part_b, part_a FROM pr),
+      deg AS (SELECT node, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+      hist AS (SELECT deg, count(*)::BIGINT AS n FROM deg GROUP BY 1),
+      cut AS (SELECT min(deg) AS deg_cut FROM (SELECT deg,
+          sum(n) OVER (ORDER BY deg) AS cn, sum(n) OVER () AS tn
+        FROM hist) WHERE cn * 10 >= tn * 9),
+      e AS (SELECT part_a, part_b, da.deg AS da, db.deg AS db
+        FROM pr JOIN deg da ON part_a = da.node
+        JOIN deg db ON part_b = db.node),
+      st AS (SELECT count(*)::BIGINT AS n_edges,
+          sum(CASE WHEN da < deg_cut AND db < deg_cut THEN 1 ELSE 0
+            END)::BIGINT AS n_surviving
+        FROM e, cut),
+      alive AS (SELECT DISTINCT node FROM (
+        SELECT part_a AS node FROM e, cut
+          WHERE da < deg_cut AND db < deg_cut
+        UNION ALL SELECT part_b FROM e, cut
+          WHERE da < deg_cut AND db < deg_cut)),
+      iso AS (SELECT count(*)::BIGINT AS n_isolated
+        FROM deg, cut WHERE deg < deg_cut
+          AND node NOT IN (SELECT node FROM alive)),
+      nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg)
+      SELECT n_nodes, deg_cut, n_edges, n_surviving,
+        round(1.0 - n_surviving::DOUBLE / n_edges, 9) AS edge_loss,
+        n_isolated,
+        round(n_isolated::DOUBLE / n_nodes, 9) AS isolation_rate
+      FROM st, iso, nn, cut"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -6727,5 +6876,5 @@ object Analytics {
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
-      q325, q326, q327, q330, q333)
+      q325, q326, q327, q330, q333, q338, q340)
 }

@@ -3737,11 +3737,171 @@ object Events {
       SELECT k, n_blocks, round(exp(ly), 6) AS rs_mean, hurst
       FROM pts, fit ORDER BY k"""))
 
+  // ---------- q337: Bass diffusion fit --------------------------------
+
+  /** Bass diffusion coefficients from the adoption curve — the product-
+    * growth decomposition into innovation (p: adopters arriving
+    * independently of installed base) vs imitation (q: adopters
+    * recruited by existing ones): the discrete Bass identity
+    * n_t/(M−N_{t−1}) = p + q·N_{t−1}/M is LINEAR in (p, q), so one
+    * bounded two-parameter OLS over the daily adoption series fits it
+    * with no iteration. q ≫ p means word-of-mouth dynamics (expect an
+    * S-curve and a peak); p ≫ q means advertising-driven flat uptake.
+    * Shape: first-purchase day per user is the only corpus-sized pass
+    * (one shuffle on user); the adoption series is calendar-bounded,
+    * the hazard/penetration points pin to nano ints, and the OLS is
+    * scalar math on bounded sums.
+    */
+  private val q337 = QueryDef(
+    "q337_bass_diffusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = ev(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000"))
+          .as("day"))
+      val m = firstDay.agg(count(lit(1)).as("m"))
+      val adopt = firstDay.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pts = adopt
+        .withColumn("n_prev", coalesce(sum(col("n_new")).over(w), lit(0L)))
+        .crossJoin(broadcast(m))
+        .where(col("n_prev") < col("m"))
+        .select(
+          expr("""CAST(round(CAST(n_new AS DOUBLE) / (m - n_prev) * 1e9)
+            AS BIGINT)""").as("z_nano"),
+          expr("CAST(round(CAST(n_prev AS DOUBLE) / m * 1e9) AS BIGINT)")
+            .as("w_nano"))
+      val fit = pts.agg(count(lit(1)).as("np"),
+        sum(col("w_nano")).as("sw"), sum(col("z_nano")).as("sz"),
+        sum(expr("""CAST(round(CAST(w_nano AS DOUBLE) * w_nano / 1e9)
+          AS BIGINT)""")).as("sww"),
+        sum(expr("""CAST(round(CAST(w_nano AS DOUBLE) * z_nano / 1e9)
+          AS BIGINT)""")).as("swz"))
+      fit.crossJoin(broadcast(m))
+        .select(col("m").as("n_adopters"), col("np").as("n_days"),
+          ((col("np") * col("swz") - expr(
+            "CAST(round(CAST(sw AS DOUBLE) * sz / 1e9) AS BIGINT)"))
+            .cast("double")
+            / (col("np") * col("sww") - expr(
+              "CAST(round(CAST(sw AS DOUBLE) * sw / 1e9) AS BIGINT)"))
+              .cast("double")).as("q_raw"))
+        .crossJoin(broadcast(pts.agg(
+          (sum(col("z_nano")).cast("double") / count(lit(1)) / 1e9)
+            .as("zbar"),
+          (sum(col("w_nano")).cast("double") / count(lit(1)) / 1e9)
+            .as("wbar"))))
+        .select(col("n_adopters"), col("n_days"),
+          round(col("q_raw"), 9).as("q_imitation"),
+          round(col("zbar") - col("q_raw") * col("wbar"), 9)
+            .as("p_innovation"))
+    },
+    Some("""WITH fd AS (SELECT user_id,
+          min(epoch_us(ts) // 86400000000) AS day
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      m AS (SELECT count(*)::BIGINT AS m FROM fd),
+      ad AS (SELECT day, count(*)::BIGINT AS n_new FROM fd GROUP BY 1),
+      pts AS (SELECT
+          round(n_new::DOUBLE / (m - n_prev) * 1e9)::BIGINT AS z_nano,
+          round(n_prev::DOUBLE / m * 1e9)::BIGINT AS w_nano
+        FROM (SELECT day, n_new,
+            coalesce(sum(n_new) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS n_prev
+          FROM ad), m
+        WHERE n_prev < m),
+      fit AS (SELECT count(*)::BIGINT AS np, sum(w_nano)::BIGINT AS sw,
+          sum(z_nano)::BIGINT AS sz,
+          sum(round(w_nano::DOUBLE * w_nano / 1e9)::BIGINT)::BIGINT
+            AS sww,
+          sum(round(w_nano::DOUBLE * z_nano / 1e9)::BIGINT)::BIGINT
+            AS swz
+        FROM pts),
+      zb AS (SELECT sum(z_nano)::DOUBLE / count(*) / 1e9 AS zbar,
+          sum(w_nano)::DOUBLE / count(*) / 1e9 AS wbar FROM pts),
+      qq AS (SELECT m AS n_adopters, np AS n_days,
+          (np * swz - round(sw::DOUBLE * sz / 1e9)::BIGINT)::DOUBLE
+            / (np * sww - round(sw::DOUBLE * sw / 1e9)::BIGINT)::DOUBLE
+            AS q_raw
+        FROM fit, m)
+      SELECT n_adopters, n_days, round(q_raw, 9) AS q_imitation,
+        round(zbar - q_raw * wbar, 9) AS p_innovation
+      FROM qq, zb"""))
+
+  // ---------- q339: Ljung–Box whiteness test --------------------------
+
+  /** Ljung–Box portmanteau test on daily event counts — "is the series
+    * white noise?" asked jointly over lags 1–5 rather than one lag at
+    * a time: Q = n(n+2)·Σ_k r_k²/(n−k), against the 5-df upper-0.1 %
+    * χ² critical value 20.515. The go/no-go BEFORE fitting any of the
+    * q164/q322/q335 time-series machinery — white noise means there is
+    * nothing to model. Shape: identical scale discipline to q322 (the
+    * milli-pinned deviation table, five bounded lag self-joins, a
+    * 1-row moment vector); the statistic is scalar math.
+    */
+  private val q339 = QueryDef(
+    "q339_ljung_box",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val st = daily.agg(
+        expr("CAST(round(sum(c) * 1000.0 / count(1)) AS BIGINT)")
+          .as("mean_milli"))
+      val dev = daily.crossJoin(broadcast(st))
+        .select(col("day"), (col("c") * 1000 - col("mean_milli"))
+          .as("d"))
+      def lagged(k: Int) = dev.select((col("day") - k).as("day"),
+        col("d").as(s"d$k"))
+      val mom = (1 to 5).foldLeft(dev) { (df, k) =>
+          df.join(lagged(k), Seq("day"), "left")
+        }
+        .agg(count(lit(1)).as("n"),
+          (sum(col("d") * col("d")).as("s0") +:
+            (1 to 5).map(k => sum(col("d") * coalesce(col(s"d$k"),
+              lit(0L))).as(s"s$k"))): _*)
+      val rTerm = (1 to 5).map(k =>
+        s"""(CAST(s$k AS DOUBLE) / s0) * (CAST(s$k AS DOUBLE) / s0)
+           / (n - $k)""").mkString(" + ")
+      mom.select(col("n"),
+          round(expr(s"n * (n + 2.0) * ($rTerm)"), 9).as("q_stat"))
+        .select(col("n"), col("q_stat"),
+          (col("q_stat") > 20.515).as("serially_dependent"))
+    },
+    Some {
+      val joins = (1 to 5).map(k =>
+        s"LEFT JOIN dev l$k ON l$k.day = a.day + $k").mkString(" ")
+      val sums = (1 to 5).map(k =>
+        s"sum(a.d * coalesce(l$k.d, 0))::BIGINT AS s$k").mkString(", ")
+      val rTerm = (1 to 5).map(k =>
+        s"(s$k::DOUBLE / s0) * (s$k::DOUBLE / s0) / (n - $k)")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT AS c
+        FROM events GROUP BY 1),
+      st AS (SELECT round(sum(c)::BIGINT * 1000.0 / count(*))::BIGINT
+          AS mean_milli FROM daily),
+      dev AS (SELECT day, c * 1000 - mean_milli AS d FROM daily, st),
+      mom AS (SELECT count(*)::BIGINT AS n,
+          sum(a.d * a.d)::BIGINT AS s0, $sums
+        FROM dev a $joins),
+      qs AS (SELECT n, round(n * (n + 2.0) * ($rTerm), 9) AS q_stat
+        FROM mom)
+      SELECT n, q_stat, q_stat > 20.515 AS serially_dependent
+      FROM qs"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
-      q329, q331, q334, q335)
+      q329, q331, q334, q335, q337, q339)
 }
