@@ -6866,6 +6866,168 @@ object Analytics {
         round(n_isolated::DOUBLE / n_nodes, 9) AS isolation_rate
       FROM st, iso, nn, cut"""))
 
+  // ---------- q341: Qini uplift curve ----------------------------------
+
+  /** Qini uplift curve — the eval that decides whether a TARGETING
+    * model targets: rank lineitems by the q253 brand return-score,
+    * and per score decile compare the return rate of the treated
+    * (deep-discount) vs control arm; the cumulative treated-minus-
+    * scaled-control gap IS the Qini curve, and a model with no uplift
+    * signal flatlines even when its outcome AUC (q170) looks fine —
+    * uplift ≠ prediction. Shape: the score is brand-level (bounded);
+    * deciles come from the cumulative score-cell table (bounded
+    * window, q306 class); per-decile arms are conditional aggregates
+    * off ONE fact pass; the cumulative Qini is a second bounded
+    * window. Rates pinned nano; counts exact int64.
+    */
+  private val q341 = QueryDef(
+    "q341_qini_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byBrand = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      val prior = byBrand.agg(
+        (sum(col("n_pos")).cast("double") / sum(col("n")).cast("double"))
+          .as("prior"))
+      val enc = byBrand.crossJoin(broadcast(prior))
+        .select(col("p_brand"),
+          expr("""CAST(round((CAST(n_pos AS DOUBLE) + 50.0 * prior)
+            / (CAST(n AS DOUBLE) + 50.0) * 1e6) AS BIGINT)""")
+            .as("conf_micro"), col("n"))
+      // decile boundaries over the bounded brand-score table
+      val wd = Window.orderBy(col("conf_micro").desc, col("p_brand"))
+      val deciled = enc
+        .withColumn("cum_n", sum(col("n")).over(wd))
+        .crossJoin(broadcast(enc.agg(sum(col("n")).as("tn"))))
+        .select(col("p_brand"),
+          least(expr("(cum_n - 1) * 10 div tn"), lit(9L)).as("decile"))
+      val cells = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          when(col("l_discount") >= 0.06, 1L).otherwise(0L).as("t"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(deciled), Seq("p_brand"))
+        .groupBy(col("decile"))
+        .agg(sum(col("t")).as("nt"),
+          sum(col("t") * col("y")).as("yt"),
+          sum(lit(1L) - col("t")).as("nc"),
+          sum((lit(1L) - col("t")) * col("y")).as("yc"))
+      val wq = Window.orderBy(col("decile"))
+      cells
+        .withColumn("cyt", sum(col("yt")).over(wq))
+        .withColumn("cnt", sum(col("nt")).over(wq))
+        .withColumn("cyc", sum(col("yc")).over(wq))
+        .withColumn("cnc", sum(col("nc")).over(wq))
+        .select(col("decile"), col("nt"), col("nc"),
+          round(col("yt").cast("double") / col("nt")
+            - col("yc").cast("double") / col("nc"), 9).as("uplift"),
+          round(col("cyt").cast("double")
+            - col("cyc").cast("double") * col("cnt") / col("cnc"), 6)
+            .as("qini"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH b AS (SELECT p_brand, count(*)::BIGINT AS n,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS n_pos
+        FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      g AS (SELECT sum(n_pos)::DOUBLE / sum(n)::DOUBLE AS prior FROM b),
+      enc AS (SELECT p_brand,
+          round((n_pos::DOUBLE + 50.0 * prior) / (n::DOUBLE + 50.0)
+            * 1e6)::BIGINT AS conf_micro, n
+        FROM b, g),
+      tn AS (SELECT sum(n)::BIGINT AS tn FROM enc),
+      dec AS (SELECT p_brand,
+          least((sum(n) OVER (ORDER BY conf_micro DESC, p_brand) - 1)
+            * 10 // tn, 9) AS decile
+        FROM enc, tn),
+      cells AS (SELECT decile,
+          sum(t)::BIGINT AS nt, sum(t * y)::BIGINT AS yt,
+          sum(1 - t)::BIGINT AS nc, sum((1 - t) * y)::BIGINT AS yc
+        FROM (SELECT l_partkey,
+            CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS t,
+            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+          FROM lineitem) li
+        JOIN part ON l_partkey = p_partkey
+        JOIN dec USING (p_brand)
+        GROUP BY 1)
+      SELECT decile::BIGINT AS decile, nt, nc,
+        round(yt::DOUBLE / nt - yc::DOUBLE / nc, 9) AS uplift,
+        round(sum(yt) OVER (ORDER BY decile)::DOUBLE
+          - sum(yc) OVER (ORDER BY decile)::DOUBLE
+            * sum(nt) OVER (ORDER BY decile)
+            / sum(nc) OVER (ORDER BY decile), 6) AS qini
+      FROM cells ORDER BY decile"""))
+
+  // ---------- q342: unit-price consistency audit -----------------------
+
+  /** Unit-price consistency audit: the same part should sell at
+    * (roughly) one unit price — a part whose extendedprice/quantity
+    * spread across lines is wide signals data corruption, unmodeled
+    * discount tiers, or price discrimination, and it is the first
+    * thing a revenue-integrity review pulls. Per part: exact min/max/
+    * spread of the cent-pinned unit price and the line count; emitted
+    * are the top 25 widest-spread parts (TakeOrdered under a total
+    * (spread, partkey) order — never a global sort) plus each one's
+    * brand. Shape: unit price is in-scan arithmetic; one hash
+    * aggregate keyed on partkey; broadcast dim for the brand.
+    */
+  private val q342 = QueryDef(
+    "q342_price_consistency",
+    (s, dir) => {
+      val per = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          expr("""CAST(round(l_extendedprice / l_quantity * 100.0)
+            AS BIGINT)""").as("unit_cents"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          min(col("unit_cents")).as("min_cents"),
+          max(col("unit_cents")).as("max_cents"))
+        .where(col("n_lines") >= 3)
+        .select(col("l_partkey"), col("n_lines"), col("min_cents"),
+          col("max_cents"),
+          (col("max_cents") - col("min_cents")).as("spread_cents"))
+      per
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey").as("partkey"), col("p_brand"),
+          col("n_lines"),
+          round(col("min_cents").cast("double") / 100.0, 2)
+            .as("min_price"),
+          round(col("max_cents").cast("double") / 100.0, 2)
+            .as("max_price"),
+          col("spread_cents"))
+        .orderBy(col("spread_cents").desc, col("partkey"))
+        .limit(25)
+        .select(col("partkey"), col("p_brand"), col("n_lines"),
+          col("min_price"), col("max_price"),
+          round(col("spread_cents").cast("double") / 100.0, 2)
+            .as("spread"))
+    },
+    Some("""WITH per AS (SELECT l_partkey, count(*)::BIGINT AS n_lines,
+          min(round(l_extendedprice / l_quantity * 100.0)::BIGINT)
+            AS min_cents,
+          max(round(l_extendedprice / l_quantity * 100.0)::BIGINT)
+            AS max_cents
+        FROM lineitem GROUP BY 1 HAVING count(*) >= 3),
+      top AS (SELECT l_partkey AS partkey, p_brand, n_lines, min_cents,
+          max_cents, max_cents - min_cents AS spread_cents
+        FROM per JOIN part ON l_partkey = p_partkey
+        ORDER BY spread_cents DESC, partkey LIMIT 25)
+      SELECT partkey, p_brand, n_lines,
+        round(min_cents::DOUBLE / 100.0, 2) AS min_price,
+        round(max_cents::DOUBLE / 100.0, 2) AS max_price,
+        round(spread_cents::DOUBLE / 100.0, 2) AS spread
+      FROM top ORDER BY spread_cents DESC, partkey"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -6876,5 +7038,5 @@ object Analytics {
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
-      q325, q326, q327, q330, q333, q338, q340)
+      q325, q326, q327, q330, q333, q338, q340, q341, q342)
 }

@@ -3897,11 +3897,78 @@ object Events {
       FROM qs"""
     })
 
+  // ---------- q343: ratio-to-moving-average seasonal index -------------
+
+  /** Classical ratio-to-moving-average seasonal indices — the
+    * decomposition method behind every "deseasonalized" business
+    * series: each day's count over its CENTERED 7-day moving average
+    * isolates the seasonal+noise component with trend removed (q143's
+    * raw weekday means conflate trend into the index when traffic
+    * grows), and averaging those ratios per weekday, then normalizing
+    * the seven indices to mean 1, yields the multiplicative index a
+    * deseasonalizer divides by. Shape: after the per-day count pass
+    * everything is calendar-bounded — the centered MA is a ±3-row
+    * window over the day table, ratios pin to nano, and the
+    * normalization is a 7-row aggregate broadcast back.
+    */
+  private val q343 = QueryDef(
+    "q343_seasonal_index",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val wma = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val ratios = daily
+        .withColumn("n_win", count(lit(1)).over(wma))
+        .withColumn("sum_win", sum(col("c")).over(wma))
+        .where(col("n_win") === 7) // full centered windows only
+        .select(expr("((day % 7) + 7) % 7").as("weekday"),
+          expr("""CAST(round(CAST(c AS DOUBLE) * 7.0 / sum_win * 1e9)
+            AS BIGINT)""").as("ratio_nano"))
+      val perDay = ratios.groupBy(col("weekday"))
+        .agg(count(lit(1)).as("n_obs"),
+          expr("CAST(round(sum(ratio_nano) * 1.0 / count(1)) AS BIGINT)")
+            .as("idx_nano"))
+      val norm = perDay.agg(
+        expr("CAST(round(sum(idx_nano) * 1.0 / count(1)) AS BIGINT)")
+          .as("mean_nano"))
+      perDay.crossJoin(broadcast(norm))
+        .select(col("weekday"), col("n_obs"),
+          round(col("idx_nano").cast("double") / 1e9, 9).as("raw_index"),
+          round(col("idx_nano").cast("double")
+            / col("mean_nano"), 9).as("seasonal_index"))
+        .orderBy(col("weekday"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT AS c
+        FROM events GROUP BY 1),
+      win AS (SELECT day, c,
+          count(*) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n_win,
+          sum(c) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS sum_win
+        FROM daily),
+      ratios AS (SELECT ((day % 7) + 7) % 7 AS weekday,
+          round(c::DOUBLE * 7.0 / sum_win * 1e9)::BIGINT AS ratio_nano
+        FROM win WHERE n_win = 7),
+      pd AS (SELECT weekday, count(*)::BIGINT AS n_obs,
+          round(sum(ratio_nano) * 1.0 / count(*))::BIGINT AS idx_nano
+        FROM ratios GROUP BY 1),
+      nm AS (SELECT round(sum(idx_nano) * 1.0 / count(*))::BIGINT
+          AS mean_nano FROM pd)
+      SELECT weekday, n_obs,
+        round(idx_nano::DOUBLE / 1e9, 9) AS raw_index,
+        round(idx_nano::DOUBLE / mean_nano, 9) AS seasonal_index
+      FROM pd, nm ORDER BY weekday"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
-      q329, q331, q334, q335, q337, q339)
+      q329, q331, q334, q335, q337, q339, q343)
 }
