@@ -6803,27 +6803,30 @@ object Analytics {
         .crossJoin(broadcast(hist.agg(sum(col("n")).as("tn"))))
         .where(col("cn") * 10 >= col("tn") * 9)
         .agg(min(col("deg")).as("deg_cut"))
-      val edges = pairs
-        .join(deg.select(col("node").as("part_a"), col("deg").as("da")),
-          Seq("part_a"))
-        .join(deg.select(col("node").as("part_b"), col("deg").as("db")),
-          Seq("part_b"))
+      // every metric folds out of ONE node-level stats table: per node
+      // its degree, own-hub flag, and hub-neighbor count — the edge
+      // list is touched exactly once (edges halve back out of the
+      // doubled adjacency), instead of rebuilding the pair⋈deg⋈deg
+      // pipeline per metric (measured 4× the cost at sf0.1)
+      val nodeStats = adj
+        .join(deg.select(col("node").as("nbr"), col("deg").as("nbr_deg")),
+          Seq("nbr"))
         .crossJoin(broadcast(cut))
-      val stats = edges.agg(count(lit(1)).as("n_edges"),
-        sum(when(col("da") < col("deg_cut")
-          && col("db") < col("deg_cut"), 1L).otherwise(0L))
-          .as("n_surviving"))
-      val surviving = edges
-        .where(col("da") < col("deg_cut") && col("db") < col("deg_cut"))
-      val aliveNodes = surviving.select(col("part_a").as("node"))
-        .union(surviving.select(col("part_b").as("node"))).distinct()
-      val isolated = deg.crossJoin(broadcast(cut))
-        .where(col("deg") < col("deg_cut"))
-        .join(aliveNodes, Seq("node"), "left_anti")
-        .agg(count(lit(1)).as("n_isolated"))
-      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-      stats.crossJoin(broadcast(isolated)).crossJoin(broadcast(nNodes))
-        .crossJoin(broadcast(cut))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("deg"),
+          sum(when(col("nbr_deg") >= col("deg_cut"), 1L).otherwise(0L))
+            .as("n_hub_nbrs"),
+          first(col("deg_cut")).as("deg_cut"))
+        .withColumn("is_hub", col("deg") >= col("deg_cut"))
+      nodeStats.agg(
+          count(lit(1)).as("n_nodes"),
+          first(col("deg_cut")).as("deg_cut"),
+          expr("sum(deg) div 2").as("n_edges"),
+          expr("""sum(CASE WHEN NOT is_hub THEN deg - n_hub_nbrs
+            ELSE 0 END) div 2""").as("n_surviving"),
+          sum(when(!col("is_hub")
+            && col("n_hub_nbrs") === col("deg"), 1L).otherwise(0L))
+            .as("n_isolated"))
         .select(col("n_nodes"), col("deg_cut"), col("n_edges"),
           col("n_surviving"),
           round(lit(1.0) - col("n_surviving").cast("double")
