@@ -5797,7 +5797,8 @@ object Analytics {
     * group mean. Two passes, both map-side-combining aggregates: one
     * for exact group means (DECIMAL sums), one for the z moments with
     * the means joined back as a ≤5-row broadcast. z pins to integer
-    * cents and z² sums in DECIMAL(38,0), so every sum of squares is
+    * dollars (W is scale-invariant; dollar units keep sz²/n_g inside
+    * int64 through sf100) and z² sums in DECIMAL(38,0), so every sum is
     * exact and W is bit-stable. Output is one row — the statistic,
     * its degrees of freedom, and the decision against the
     * conservative F(4, ∞) = 4.62 upper-0.1 % critical value.
@@ -5813,7 +5814,9 @@ object Analytics {
       val z = Fixtures.table(s, dir, "orders")
         .join(broadcast(means), Seq("o_orderpriority"))
         .select(col("o_orderpriority"),
-          expr("CAST(round(abs(o_totalprice - mean_g) * 100.0) AS BIGINT)")
+          // whole-dollar units: W is scale-invariant, and dollar
+          // deviations keep sz²/n_g inside int64 through sf100
+          expr("CAST(round(abs(o_totalprice - mean_g)) AS BIGINT)")
             .as("z_cents"))
       val g = z.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_g"), sum(col("z_cents")).as("sz"),
@@ -5838,7 +5841,7 @@ object Analytics {
             AS mean_g
         FROM orders GROUP BY 1),
       z AS (SELECT o.o_orderpriority,
-          round(abs(o_totalprice - mean_g) * 100.0)::BIGINT AS z_cents
+          round(abs(o_totalprice - mean_g))::BIGINT AS z_cents
         FROM orders o JOIN means m
           ON o.o_orderpriority = m.o_orderpriority),
       g AS (SELECT o_orderpriority, count(*)::BIGINT AS n_g,
