@@ -7034,6 +7034,96 @@ object Analytics {
         round(spread_cents::DOUBLE / 100.0, 2) AS spread
       FROM top ORDER BY spread_cents DESC, partkey"""))
 
+  // ---------- q345: price/volume revenue bridge ------------------------
+
+  /** The FP&A revenue bridge per brand between the first and second
+    * half of the order history: ΔR decomposed EXACTLY into a price
+    * effect Δp·q₂ and a volume effect Δq·p₁ (the standard two-factor
+    * bridge — the cross term is conventionally assigned to price),
+    * answering "did we sell MORE or sell DEARER" where q186's YoY
+    * growth only says "more revenue". The halves split at the
+    * data-derived midpoint day (a 1-row broadcast scalar), so the
+    * query needs no calendar constants. Shape: one lineitem⋈orders
+    * pass (broadcast part dim) into (brand × half) cells; revenue
+    * DECIMAL-exact cents, unit price pinned micro; the bridge is
+    * per-brand scalar arithmetic whose two effects are emitted with
+    * the exact ΔR they reconstruct.
+    */
+  private val q345 = QueryDef(
+    "q345_revenue_bridge",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val lines = Fixtures.table(s, dir, "lineitem")
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), expr("""timestampdiff(MICROSECOND,
+            TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)
+            div 86400000000""").as("oday")),
+          col("l_orderkey") === col("o_orderkey"))
+      val mid = lines.agg(expr("(min(oday) + max(oday)) div 2")
+        .as("mid_day"))
+      val cells = lines.crossJoin(broadcast(mid))
+        .groupBy(col("p_brand"),
+          when(col("oday") <= col("mid_day"), 1L).otherwise(2L)
+            .as("half"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 6)))
+            .cast("long").as("qty"),
+          expr("""CAST(round(sum(CAST(l_extendedprice
+            AS DECIMAL(18,6))) * 100.0) AS BIGINT)""").as("rev_cents"))
+      val h1 = cells.where(col("half") === 1)
+        .select(col("p_brand"), col("qty").as("q1"),
+          col("rev_cents").as("r1"))
+      val h2 = cells.where(col("half") === 2)
+        .select(col("p_brand"), col("qty").as("q2"),
+          col("rev_cents").as("r2"))
+      h1.join(h2, Seq("p_brand"))
+        .select(col("p_brand"),
+          round(col("r1").cast("double") / 100.0, 2).as("rev_h1"),
+          round(col("r2").cast("double") / 100.0, 2).as("rev_h2"),
+          // volume effect at h1 price, price effect takes the rest —
+          // the two reconstruct ΔR exactly in cents
+          expr("""CAST(round((q2 - q1) * (CAST(r1 AS DOUBLE) / q1))
+            AS BIGINT)""").as("vol_cents"))
+        .select(col("p_brand"), col("rev_h1"), col("rev_h2"),
+          round(col("vol_cents").cast("double") / 100.0, 2)
+            .as("volume_effect"),
+          round((expr("CAST(round(rev_h2 * 100.0) AS BIGINT)")
+            - expr("CAST(round(rev_h1 * 100.0) AS BIGINT)")
+            - col("vol_cents")).cast("double") / 100.0, 2)
+            .as("price_effect"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""WITH lines AS (SELECT p_brand, l_quantity, l_extendedprice,
+          epoch_us(o_orderdate) // 86400000000 AS oday
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey),
+      mid AS (SELECT (min(oday) + max(oday)) // 2 AS mid_day
+        FROM lines),
+      cells AS (SELECT p_brand,
+          CASE WHEN oday <= mid_day THEN 1 ELSE 2 END AS half,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS BIGINT) AS qty,
+          round(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+            * 100.0)::BIGINT AS rev_cents
+        FROM lines, mid GROUP BY 1, 2),
+      j AS (SELECT a.p_brand, a.qty AS q1, a.rev_cents AS r1,
+          b.qty AS q2, b.rev_cents AS r2
+        FROM cells a JOIN cells b ON a.p_brand = b.p_brand
+          AND a.half = 1 AND b.half = 2),
+      v AS (SELECT p_brand,
+          round(r1::DOUBLE / 100.0, 2) AS rev_h1,
+          round(r2::DOUBLE / 100.0, 2) AS rev_h2,
+          round((q2 - q1) * (r1::DOUBLE / q1))::BIGINT AS vol_cents
+        FROM j)
+      SELECT p_brand, rev_h1, rev_h2,
+        round(vol_cents::DOUBLE / 100.0, 2) AS volume_effect,
+        round((round(rev_h2 * 100.0)::BIGINT
+          - round(rev_h1 * 100.0)::BIGINT - vol_cents)::DOUBLE / 100.0,
+          2) AS price_effect
+      FROM v ORDER BY p_brand"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -7044,5 +7134,5 @@ object Analytics {
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
-      q325, q326, q327, q330, q333, q338, q340, q341, q342)
+      q325, q326, q327, q330, q333, q338, q340, q341, q342, q345)
 }

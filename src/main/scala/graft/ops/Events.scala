@@ -3964,11 +3964,221 @@ object Events {
         round(idx_nano::DOUBLE / mean_nano, 9) AS seasonal_index
       FROM pd, nm ORDER BY weekday"""))
 
+  // ---------- q344: retention decay exponent --------------------------
+
+  /** Power-law fit of the retention curve — q54 emits the cohort
+    * retention TABLE; this fits the single number product teams
+    * actually steer by: pooling cohorts, the share of users still
+    * PURCHASING k weeks after their first purchase week decays ≈ r_k = r_1·k^{−α},
+    * and α (the log–log OLS slope over k ≥ 1) IS the "how leaky is
+    * the bucket" constant — α near 0 = habit, α > 1 = churn-dominated.
+    * Shape: per-user first-week and active-weeks come from one
+    * distinct (user, week) pass; the pooled k-offset table is
+    * calendar-bounded; shares pin to nano; the OLS is scalar math on
+    * ≤|weeks| points.
+    */
+  private val q344 = QueryDef(
+    "q344_retention_decay",
+    (s, dir) => {
+      val weeks = ev(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) " +
+            "div 604800000000").as("week"))
+        .distinct()
+      val first = weeks.groupBy(col("user_id"))
+        .agg(min(col("week")).as("week0"))
+      val offsets = weeks.join(first, Seq("user_id"))
+        .select(col("user_id"), (col("week") - col("week0")).as("k"))
+      val cohortSize = first.agg(count(lit(1)).as("n_users"))
+      val curve = offsets.where(col("k") >= 1)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_active"))
+        .crossJoin(broadcast(cohortSize))
+        .select(col("k"), col("n_active"), col("n_users"),
+          expr("""CAST(round(CAST(n_active AS DOUBLE) / n_users * 1e9)
+            AS BIGINT)""").as("r_nano"))
+      val pts = curve.select(col("k"), col("n_active"), col("r_nano"),
+        expr("ln(CAST(k AS DOUBLE))").as("lx"),
+        expr("ln(CAST(r_nano AS DOUBLE) / 1e9)").as("ly"))
+      val fit = pts.agg(count(lit(1)).as("np"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"))
+      pts.crossJoin(broadcast(fit.select(
+          (round(-(col("np") * col("sxy") - col("sx") * col("sy"))
+            / (col("np") * col("sxx") - col("sx") * col("sx")), 9)
+            + lit(0.0)).as("decay_alpha"))))
+        .select(col("k"), col("n_active"),
+          round(col("r_nano").cast("double") / 1e9, 9).as("retention"),
+          col("decay_alpha"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH weeks AS (SELECT DISTINCT user_id,
+          epoch_us(ts) // 604800000000 AS week
+        FROM events WHERE event_type = 'purchase'),
+      first AS (SELECT user_id, min(week) AS week0 FROM weeks
+        GROUP BY 1),
+      offs AS (SELECT w.user_id, week - week0 AS k
+        FROM weeks w JOIN first f ON w.user_id = f.user_id),
+      cs AS (SELECT count(*)::BIGINT AS n_users FROM first),
+      curve AS (SELECT k, count(*)::BIGINT AS n_active, n_users,
+          round(count(*)::DOUBLE / n_users * 1e9)::BIGINT AS r_nano
+        FROM offs, cs WHERE k >= 1 GROUP BY k, n_users),
+      pts AS (SELECT k, n_active, r_nano, ln(k::DOUBLE) AS lx,
+          ln(r_nano::DOUBLE / 1e9) AS ly
+        FROM curve),
+      fit AS (SELECT round(-(count(*) * sum(lx * ly)
+            - sum(lx) * sum(ly))
+          / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 9) + 0.0
+          AS decay_alpha
+        FROM pts)
+      SELECT k, n_active, round(r_nano::DOUBLE / 1e9, 9) AS retention,
+        decay_alpha
+      FROM pts, fit ORDER BY k"""))
+
+  // ---------- q346: McNemar paired test -------------------------------
+
+  /** McNemar's test on paired user behavior — did purchase propensity
+    * CHANGE between the first and last week, asked the PAIRED way:
+    * each user is their own control, so only the discordant pairs
+    * (purchased week 1 but not week 4, or vice versa) carry
+    * information, and χ² = (|b−c|−1)²/(b+c) with continuity
+    * correction. The unpaired q163/q312 machinery would throw away
+    * the within-user pairing and drown the signal in between-user
+    * variance. Shape: one events pass into per-user (week1, week4)
+    * purchase flags (conditional max aggregates — no joins), a 2×2
+    * aggregate, scalar χ² vs the 1-df upper-0.1 % critical 10.828.
+    */
+  private val q346 = QueryDef(
+    "q346_mcnemar",
+    (s, dir) => {
+      val wk = ev(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) " +
+            "div 604800000000").as("week"))
+      val bounds = wk.agg(min(col("week")).as("wmin"),
+        max(col("week")).as("wmax"))
+      val flags = wk.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "purchase"
+            && col("week") === col("wmin"), 1L).otherwise(0L))
+            .as("w_first"),
+          max(when(col("event_type") === "purchase"
+            && col("week") === col("wmax"), 1L).otherwise(0L))
+            .as("w_last"))
+      flags.agg(count(lit(1)).as("n_users"),
+          sum(when(col("w_first") === 1 && col("w_last") === 0, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("w_first") === 0 && col("w_last") === 1, 1L)
+            .otherwise(0L)).as("c"))
+        .select(col("n_users"), col("b"), col("c"),
+          round(when(col("b") + col("c") === 0, lit(0.0))
+            .otherwise(pow(abs(col("b") - col("c"))
+              .cast("double") - 1.0, 2)
+              / (col("b") + col("c")).cast("double")), 9)
+            .as("chi2"),
+          (when(col("b") + col("c") === 0, lit(0.0))
+            .otherwise(pow(abs(col("b") - col("c"))
+              .cast("double") - 1.0, 2)
+              / (col("b") + col("c")).cast("double")) > 10.828)
+            .as("changed"))
+    },
+    Some("""WITH wk AS (SELECT user_id, event_type,
+          epoch_us(ts) // 604800000000 AS week
+        FROM events),
+      bounds AS (SELECT min(week) AS wmin, max(week) AS wmax FROM wk),
+      flags AS (SELECT user_id,
+          max(CASE WHEN event_type = 'purchase' AND week = wmin
+            THEN 1 ELSE 0 END) AS w_first,
+          max(CASE WHEN event_type = 'purchase' AND week = wmax
+            THEN 1 ELSE 0 END) AS w_last
+        FROM wk, bounds GROUP BY 1),
+      x AS (SELECT count(*)::BIGINT AS n_users,
+          sum(CASE WHEN w_first = 1 AND w_last = 0 THEN 1 ELSE 0
+            END)::BIGINT AS b,
+          sum(CASE WHEN w_first = 0 AND w_last = 1 THEN 1 ELSE 0
+            END)::BIGINT AS c
+        FROM flags)
+      SELECT n_users, b, c,
+        round(CASE WHEN b + c = 0 THEN 0.0
+          ELSE pow(abs(b - c)::DOUBLE - 1.0, 2) / (b + c)::DOUBLE END,
+          9) AS chi2,
+        (CASE WHEN b + c = 0 THEN 0.0
+          ELSE pow(abs(b - c)::DOUBLE - 1.0, 2) / (b + c)::DOUBLE END)
+          > 10.828 AS changed
+      FROM x"""))
+
+  // ---------- q347: VaR / CVaR of daily revenue ------------------------
+
+  /** Value-at-risk and conditional VaR (expected shortfall) of daily
+    * event revenue at the 5 % level — the LOWER-tail risk twins of
+    * q308's upper-tail Gumbel: VaR₉₅ = the worst-5 % daily-total
+    * threshold, CVaR₉₅ = the mean of the days at or below it (the
+    * coherent risk measure Basel moved to, because VaR alone ignores
+    * HOW BAD the bad days are). Shape: per-day DECIMAL totals
+    * (corpus pass) land in exact cents; the 5 % cut is an exact rank
+    * over the calendar-bounded day table (q159 class), and the
+    * shortfall mean is one conditional aggregate of exact cents.
+    */
+  private val q347 = QueryDef(
+    "q347_cvar",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(expr("""CAST(round(sum(CAST(value AS DECIMAL(18,4)))
+          * 100.0) AS BIGINT)""").as("tot_cents"))
+      val w = Window.orderBy(col("tot_cents"), col("day"))
+      val ranked = daily.withColumn("rnk", row_number().over(w))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+      val varRow = ranked
+        .where(col("rnk") * 20 >= col("nd"))
+        .agg(min(col("tot_cents")).as("var_cents"))
+      ranked.crossJoin(broadcast(varRow))
+        .agg(first(col("nd")).as("n_days"),
+          first(col("var_cents")).as("vc"),
+          sum(when(col("tot_cents") <= col("var_cents"),
+            col("tot_cents")).otherwise(0L)).as("short_cents"),
+          sum(when(col("tot_cents") <= col("var_cents"), 1L)
+            .otherwise(0L)).as("n_tail"))
+        .select(col("n_days"), col("n_tail"),
+          round(col("vc").cast("double") / 100.0, 2).as("var_95"),
+          round(col("short_cents").cast("double") / col("n_tail")
+            / 100.0, 2).as("cvar_95"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          round(sum(CAST(value AS DECIMAL(18,4))) * 100.0)::BIGINT
+            AS tot_cents
+        FROM events GROUP BY 1),
+      ranked AS (SELECT day, tot_cents,
+          row_number() OVER (ORDER BY tot_cents, day) AS rnk,
+          count(*) OVER () AS nd
+        FROM daily),
+      v AS (SELECT min(tot_cents) AS var_cents FROM ranked
+        WHERE rnk * 20 >= nd)
+      SELECT any_value(nd) AS n_days,
+        sum(CASE WHEN tot_cents <= var_cents THEN 1 ELSE 0 END)::BIGINT
+          AS n_tail,
+        round(any_value(var_cents)::DOUBLE / 100.0, 2) AS var_95,
+        round(sum(CASE WHEN tot_cents <= var_cents THEN tot_cents
+            ELSE 0 END)::DOUBLE
+          / sum(CASE WHEN tot_cents <= var_cents THEN 1 ELSE 0 END)
+          / 100.0, 2) AS cvar_95
+      FROM ranked, v"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
-      q329, q331, q334, q335, q337, q339, q343)
+      q329, q331, q334, q335, q337, q339, q343, q344, q346, q347)
 }
