@@ -7124,6 +7124,267 @@ object Analytics {
           2) AS price_effect
       FROM v ORDER BY p_brand"""))
 
+  // ---------- q348: shrunken per-brand elasticity ----------------------
+
+  /** Per-brand log-log price elasticity with James–Stein / empirical-
+    * Bayes shrinkage — the panel version of q233's single OLS: a
+    * thin brand's raw slope is noise, so each slope shrinks toward
+    * the pooled slope by its reliability w = τ²/(τ² + se²), where τ²
+    * (the TRUE between-brand slope variance) is the method-of-moments
+    * estimate var(slopes) − mean(se²) floored at 0 — exactly the
+    * partial pooling a hierarchical model would fit, in closed form.
+    * Shape: ln(price)/ln(qty) pin to micro ints in-scan; per-brand
+    * moment vectors are one aggregate (DECIMAL-lifted products); the
+    * shrinkage stage runs on the bounded ≤|brands| table with its own
+    * 1-row moment broadcast. Emitted: raw slope, se, weight, shrunk
+    * slope per brand.
+    */
+  private val q348 = QueryDef(
+    "q348_shrunk_elasticity",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val pts = Fixtures.table(s, dir, "lineitem")
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("""CAST(round(ln(l_extendedprice / l_quantity) * 1e6)
+            AS BIGINT)""").as("x"),
+          expr("CAST(round(ln(l_quantity) * 1e6) AS BIGINT)").as("y"))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val mom = pts.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(dl(col("x")) * dl(col("x"))).cast("double").as("sxx"),
+          sum(dl(col("x")) * dl(col("y"))).cast("double").as("sxy"),
+          sum(dl(col("y")) * dl(col("y"))).cast("double").as("syy"))
+      val per = mom.select(col("p_brand"), col("n"),
+          (col("sxx") - col("sx").cast("double") * col("sx") / col("n"))
+            .as("vxx"),
+          (col("sxy") - col("sx").cast("double") * col("sy") / col("n"))
+            .as("vxy"),
+          (col("syy") - col("sy").cast("double") * col("sy") / col("n"))
+            .as("vyy"))
+        .select(col("p_brand"), col("n"),
+          (col("vxy") / col("vxx")).as("slope"),
+          // se² = (SSE/(n-2)) / Sxx, SSE = Syy − Sxy²/Sxx
+          (((col("vyy") - col("vxy") * col("vxy") / col("vxx"))
+            / (col("n") - 2)) / col("vxx")).as("se2"))
+      val pool = per.agg(count(lit(1)).as("k"),
+        (sum(col("slope")) / count(lit(1))).as("slope_bar"),
+        (sum(col("slope") * col("slope")) / count(lit(1))).as("s2bar"),
+        (sum(col("se2")) / count(lit(1))).as("se2_bar"))
+      per.crossJoin(broadcast(pool))
+        .select(col("p_brand"), col("n"),
+          round(col("slope"), 9).as("slope"),
+          round(sqrt(col("se2")), 9).as("se"),
+          greatest(col("s2bar") - col("slope_bar") * col("slope_bar")
+            - col("se2_bar"), lit(0.0)).as("tau2"),
+          col("slope_bar"), col("slope").as("raw"), col("se2"))
+        .select(col("p_brand"), col("n"), col("slope"), col("se"),
+          round(col("tau2") / (col("tau2") + col("se2")), 9).as("w"),
+          round((col("tau2") / (col("tau2") + col("se2"))) * col("raw")
+            + (lit(1.0) - col("tau2") / (col("tau2") + col("se2")))
+              * col("slope_bar"), 9).as("slope_shrunk"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""WITH pts AS (SELECT p_brand,
+          round(ln(l_extendedprice / l_quantity) * 1e6)::BIGINT AS x,
+          round(ln(l_quantity) * 1e6)::BIGINT AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      mom AS (SELECT p_brand, count(*)::BIGINT AS n,
+          sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+          sum(x::HUGEINT * x)::DOUBLE AS sxx,
+          sum(x::HUGEINT * y)::DOUBLE AS sxy,
+          sum(y::HUGEINT * y)::DOUBLE AS syy
+        FROM pts GROUP BY 1),
+      per AS (SELECT p_brand, n, vxy / vxx AS slope,
+          ((vyy - vxy * vxy / vxx) / (n - 2)) / vxx AS se2
+        FROM (SELECT p_brand, n,
+            sxx - sx::DOUBLE * sx / n AS vxx,
+            sxy - sx::DOUBLE * sy / n AS vxy,
+            syy - sy::DOUBLE * sy / n AS vyy
+          FROM mom)),
+      pool AS (SELECT count(*)::BIGINT AS k,
+          sum(slope) / count(*) AS slope_bar,
+          sum(slope * slope) / count(*) AS s2bar,
+          sum(se2) / count(*) AS se2_bar
+        FROM per),
+      shr AS (SELECT p_brand, n, slope, se2, slope_bar,
+          greatest(s2bar - slope_bar * slope_bar - se2_bar, 0.0) AS tau2
+        FROM per, pool)
+      SELECT p_brand, n, round(slope, 9) AS slope,
+        round(sqrt(se2), 9) AS se,
+        round(tau2 / (tau2 + se2), 9) AS w,
+        round((tau2 / (tau2 + se2)) * slope
+          + (1.0 - tau2 / (tau2 + se2)) * slope_bar, 9) AS slope_shrunk
+      FROM shr ORDER BY p_brand"""))
+
+  // ---------- q349: distribution-free median CI ------------------------
+
+  /** Order-statistic confidence interval for the median per market
+    * segment — the distribution-free answer to "how sure is this
+    * median": ranks ⌊n/2 − z√n/2⌋ and ⌈n/2 + 1 + z√n/2⌉ bracket the
+    * true median with ≈95 % coverage REGARDLESS of the distribution
+    * (binomial order-statistic argument) — no normality, no
+    * bootstrap resampling (q195's heavier hammer). Values at those
+    * ranks are exact over the q314 fixed $5 000 cells: per-segment
+    * cumulative windows over a BOUNDED cell table, three rank picks.
+    * All counts int64; the rank bounds are one sqrt.
+    */
+  private val q349 = QueryDef(
+    "q349_median_ci",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Fixtures.table(s, dir, "orders")
+        .join(broadcast(Fixtures.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          expr("CAST(floor(o_totalprice / 5000.0) AS BIGINT)").as("cell"))
+        .groupBy(col("segment"), col("cell")).agg(count(lit(1)).as("n"))
+      val wseg = Window.partitionBy(col("segment"))
+      val wcum = Window.partitionBy(col("segment")).orderBy(col("cell"))
+      val cum = cells
+        .withColumn("tn", sum(col("n")).over(wseg))
+        .withColumn("cn", sum(col("n")).over(wcum))
+        .withColumn("r_lo", expr(
+          "CAST(floor(tn / 2.0 - 1.959963985 * sqrt(CAST(tn AS DOUBLE))" +
+            " / 2.0) AS BIGINT)"))
+        .withColumn("r_hi", expr(
+          "CAST(ceil(tn / 2.0 + 1.0 + 1.959963985 * " +
+            "sqrt(CAST(tn AS DOUBLE)) / 2.0) AS BIGINT)"))
+      def pick(rankCond: org.apache.spark.sql.Column, out: String) =
+        cum.where(rankCond)
+          .groupBy(col("segment"))
+          .agg((min(col("cell")) * 5000).as(out))
+      val med = pick(col("cn") * 2 >= col("tn"), "median")
+      val lo = pick(col("cn") >= col("r_lo"), "ci_lo")
+      val hi = pick(col("cn") >= col("r_hi"), "ci_hi")
+      cells.groupBy(col("segment")).agg(sum(col("n")).as("n"))
+        .join(med, Seq("segment")).join(lo, Seq("segment"))
+        .join(hi, Seq("segment"))
+        .orderBy(col("segment"))
+    },
+    Some("""WITH cells AS (SELECT c_mktsegment AS segment,
+          floor(o_totalprice / 5000.0)::BIGINT AS cell,
+          count(*)::BIGINT AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      cum AS (SELECT segment, cell, n,
+          sum(n) OVER (PARTITION BY segment)::BIGINT AS tn,
+          sum(n) OVER (PARTITION BY segment ORDER BY cell)::BIGINT
+            AS cn
+        FROM cells),
+      r AS (SELECT *,
+          floor(tn / 2.0 - 1.959963985 * sqrt(tn::DOUBLE) / 2.0)::BIGINT
+            AS r_lo,
+          ceil(tn / 2.0 + 1.0 + 1.959963985 * sqrt(tn::DOUBLE)
+            / 2.0)::BIGINT AS r_hi
+        FROM cum)
+      SELECT segment, any_value(tn) AS n,
+        (SELECT min(cell) FROM r r2 WHERE r2.segment = r.segment
+          AND cn * 2 >= tn) * 5000 AS median,
+        (SELECT min(cell) FROM r r2 WHERE r2.segment = r.segment
+          AND cn >= r_lo) * 5000 AS ci_lo,
+        (SELECT min(cell) FROM r r2 WHERE r2.segment = r.segment
+          AND cn >= r_hi) * 5000 AS ci_hi
+      FROM r GROUP BY segment ORDER BY segment"""))
+
+  // ---------- q350: two-way fixed-effects within estimator -------------
+
+  /** The panel-data workhorse: does a bigger discount move quantity,
+    * net of WHAT is sold (brand fixed effects) and WHEN (order-month
+    * fixed effects)? The within (TWFE) estimator double-demeans both
+    * variables — x̃ = x − x̄_brand − x̄_month + x̄ — and regresses the
+    * residuals, absorbing both confounders without building dummy
+    * columns; the naive no-FE slope rides along so the emitted gap IS
+    * the confounding. Shape: one fact pass pins x (discount) and y
+    * (quantity) to micro ints; the three mean tables are bounded
+    * (|brands|, |months|, 1) broadcasts joined back; demeaned
+    * products are DECIMAL-lifted exact; two scalar divisions finish.
+    */
+  private val q350 = QueryDef(
+    "q350_twfe_within",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val base = Fixtures.table(s, dir, "lineitem")
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), expr("""timestampdiff(MICROSECOND,
+            TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)
+            div 86400000000 div 30""").as("month")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("p_brand"), col("month"),
+          expr("CAST(round(l_discount * 1e6) AS BIGINT)").as("x"),
+          expr("CAST(round(l_quantity * 1e6) AS BIGINT)").as("y"))
+      def means(k: Seq[String], px: String) = {
+        val g = if (k.isEmpty) base.groupBy() else base.groupBy(
+          k.map(col): _*)
+        g.agg(expr("CAST(round(sum(x) * 1.0 / count(1)) AS BIGINT)")
+            .as(s"mx_$px"),
+          expr("CAST(round(sum(y) * 1.0 / count(1)) AS BIGINT)")
+            .as(s"my_$px"))
+      }
+      val mb = means(Seq("p_brand"), "b")
+      val mm = means(Seq("month"), "m")
+      val mg = means(Seq.empty, "g")
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val dem = base
+        .join(broadcast(mb), Seq("p_brand"))
+        .join(broadcast(mm), Seq("month"))
+        .crossJoin(broadcast(mg))
+        .select(
+          (col("x") - col("mx_b") - col("mx_m") + col("mx_g")).as("xt"),
+          (col("y") - col("my_b") - col("my_m") + col("my_g")).as("yt"),
+          col("x"), col("y"))
+      dem.agg(count(lit(1)).as("n"),
+          sum(dl(col("xt")) * dl(col("yt"))).cast("double").as("sxy"),
+          sum(dl(col("xt")) * dl(col("xt"))).cast("double").as("sxx"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(dl(col("x")) * dl(col("y"))).cast("double").as("rxy"),
+          sum(dl(col("x")) * dl(col("x"))).cast("double").as("rxx"))
+        .select(col("n"),
+          round(col("sxy") / col("sxx"), 9).as("twfe_slope"),
+          round((col("rxy") - col("sx").cast("double") * col("sy")
+              / col("n"))
+            / (col("rxx") - col("sx").cast("double") * col("sx")
+              / col("n")), 9).as("naive_slope"))
+    },
+    Some("""WITH base AS (SELECT p_brand,
+          epoch_us(o_orderdate) // 86400000000 // 30 AS month,
+          round(l_discount * 1e6)::BIGINT AS x,
+          round(l_quantity * 1e6)::BIGINT AS y
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey),
+      mb AS (SELECT p_brand,
+          round(sum(x) * 1.0 / count(*))::BIGINT AS mx_b,
+          round(sum(y) * 1.0 / count(*))::BIGINT AS my_b
+        FROM base GROUP BY 1),
+      mm AS (SELECT month,
+          round(sum(x) * 1.0 / count(*))::BIGINT AS mx_m,
+          round(sum(y) * 1.0 / count(*))::BIGINT AS my_m
+        FROM base GROUP BY 1),
+      mg AS (SELECT round(sum(x) * 1.0 / count(*))::BIGINT AS mx_g,
+          round(sum(y) * 1.0 / count(*))::BIGINT AS my_g
+        FROM base),
+      dem AS (SELECT x - mx_b - mx_m + mx_g AS xt,
+          y - my_b - my_m + my_g AS yt, x, y
+        FROM base
+        JOIN mb USING (p_brand) JOIN mm USING (month)
+        CROSS JOIN mg)
+      SELECT count(*)::BIGINT AS n,
+        round(sum(xt::HUGEINT * yt)::DOUBLE
+          / sum(xt::HUGEINT * xt)::DOUBLE, 9) AS twfe_slope,
+        round((sum(x::HUGEINT * y)::DOUBLE
+            - sum(x)::DOUBLE * sum(y) / count(*))
+          / (sum(x::HUGEINT * x)::DOUBLE
+            - sum(x)::DOUBLE * sum(x) / count(*)), 9) AS naive_slope
+      FROM dem"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -7134,5 +7395,6 @@ object Analytics {
       q261, q263, q266, q267, q269, q270, q272, q275, q277, q281, q284,
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
-      q325, q326, q327, q330, q333, q338, q340, q341, q342, q345)
+      q325, q326, q327, q330, q333, q338, q340, q341, q342, q345, q348,
+      q349, q350)
 }
