@@ -476,6 +476,27 @@ object EventStream {
       .groupBy(col("arm"), col("post"))
       .agg(count(lit(1)).as("n"), sum(col("u")).as("su"))
 
+  // ---------- streaming daily revenue (q347 twin) ----------------------
+
+  /** Streaming twin of q347's risk inputs: the per-day exact-cent
+    * revenue totals maintained as a running aggregate (complete mode —
+    * state is one row per calendar day at ANY corpus size), the feed a
+    * live VaR/CVaR monitor reads instead of rescanning history. The
+    * cent pinning is byte-identical to the batch side, so
+    * StreamingSpec proves the day totals equal under AvailableNow;
+    * the quantile/shortfall tail math stays a bounded batch read over
+    * this table.
+    */
+  def dailyRevenueCents(events: DataFrame): DataFrame =
+    events
+      .select(expr("timestampdiff(MICROSECOND, " +
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+        .as("day"),
+        expr("CAST(round(value * 10000.0) AS BIGINT)").as("v4"))
+      .groupBy(col("day"))
+      .agg(expr("CAST(round(sum(v4) / 100.0) AS BIGINT)")
+        .as("tot_cents"))
+
   // ---------- streaming feature store (q276 twin) ----------------------
 
   /** Running per-user feature accumulator — every q276 feature is a

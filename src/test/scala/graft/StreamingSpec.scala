@@ -598,6 +598,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.sum > 0L)
   }
 
+  test("streaming daily revenue cents == batch q347 day totals " +
+    "(AvailableNow, complete mode)") {
+    val q = EventStream.dailyRevenueCents(
+      EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("dailyrev")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dailyrev").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute the batch day totals with the exact q347 pinning
+    val want = Fixtures.table(spark, sf, "events")
+      .select(expr("timestampdiff(MICROSECOND, " +
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+        .as("day"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          .as("v"))
+      .groupBy(col("day"))
+      .agg(expr("CAST(round(sum(v) * 100.0) AS BIGINT)").as("tot_cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // and the batch q347 runs off the same totals: its n_days agrees
+    val b = SparkEntry.queries("q347_cvar")(spark, sf).collect().head
+    assert(b.getLong(0) === got.size.toLong)
+  }
+
   test("streaming feature store == batch q276 per-user features " +
     "(AvailableNow backfill, last emitted row per user)") {
     import spark.implicits._
