@@ -7385,6 +7385,268 @@ object Analytics {
             - sum(x)::DOUBLE * sum(x) / count(*)), 9) AS naive_slope
       FROM dem"""))
 
+  // ---------- q351: logistic Newton (IRLS) step ------------------------
+
+  /** One Newton–Raphson step of the logistic regression of "returned"
+    * on discount — the exact IRLS update q262's gradient stops short
+    * of: from β = 0 (where p ≡ ½, so the weight matrix is ¼·I and
+    * both gradient and Hessian are CLOSED-FORM moment sums), Δβ =
+    * H⁻¹g with the 2×2 intercept+slope Hessian inverted in scalar
+    * math. This is the deterministic one-step slice of the fit every
+    * GLM library iterates (the q134/q330/q338 contract); the emitted
+    * β₁ after one step already has the right sign and scale for a
+    * screening read. Shape: ONE fact pass into five moment sums
+    * (x pinned micro, DECIMAL-lifted squares), then pure arithmetic.
+    */
+  private val q351 = QueryDef(
+    "q351_logit_newton_step",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val base = Fixtures.table(s, dir, "lineitem")
+        .select(expr("CAST(round(l_discount * 1e6) AS BIGINT)").as("x"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      base.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(dl(col("x")) * dl(col("x"))).cast("double").as("sxx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n"), col("sy").as("n_returned"),
+          // g = Σ(y−½)·[1,x]; H = ¼·[[n, Σx],[Σx, Σx²]] (x in units
+          // of 1e6 — β₁ is per unit discount after rescaling)
+          (col("sy").cast("double") - col("n") / 2.0).as("g0"),
+          (col("sxy").cast("double")
+            - col("sx").cast("double") / 2.0).as("g1"),
+          (col("n").cast("double") / 4.0).as("h00"),
+          (col("sx").cast("double") / 4.0).as("h01"),
+          (col("sxx") / 4.0).as("h11"))
+        .select(col("n"), col("n_returned"),
+          round((col("h11") * col("g0") - col("h01") * col("g1"))
+            / (col("h00") * col("h11") - col("h01") * col("h01")), 9)
+            .as("beta0_step"),
+          round((col("h00") * col("g1") - col("h01") * col("g0"))
+            / (col("h00") * col("h11") - col("h01") * col("h01"))
+            * 1e6, 9).as("beta1_step"))
+    },
+    Some("""WITH base AS (SELECT
+          round(l_discount * 1e6)::BIGINT AS x,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem),
+      mom AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(x::HUGEINT * x)::DOUBLE AS sxx, sum(y)::BIGINT AS sy,
+          sum(x * y)::BIGINT AS sxy
+        FROM base),
+      g AS (SELECT n, sy AS n_returned,
+          sy::DOUBLE - n / 2.0 AS g0,
+          sxy::DOUBLE - sx::DOUBLE / 2.0 AS g1,
+          n::DOUBLE / 4.0 AS h00, sx::DOUBLE / 4.0 AS h01,
+          sxx / 4.0 AS h11
+        FROM mom)
+      SELECT n, n_returned,
+        round((h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 9)
+          AS beta0_step,
+        round((h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) * 1e6,
+          9) AS beta1_step
+      FROM g"""))
+
+  // ---------- q352: intraclass correlation -----------------------------
+
+  /** ICC(1) of order totals within customers — the variance-
+    * components number that JUSTIFIES q327's design effect: how much
+    * of order-value variance is BETWEEN customers (a stable per-
+    * customer level) vs within? One-way random-effects ANOVA: MSB
+    * and MSW from exact cent-pinned sums, the unequal-group-size
+    * correction k₀ = (N − Σn_g²/N)/(G−1), and ICC = (MSB − MSW)/
+    * (MSB + (k₀−1)·MSW). ICC ≈ 0 means orders are exchangeable
+    * (cluster-robust machinery is overkill); high ICC means every
+    * per-order analysis MUST cluster by customer. Shape: one
+    * per-customer aggregate (corpus pass), per-group squared terms
+    * DECIMAL-lifted, a 1-row combine, scalar math.
+    */
+  private val q352 = QueryDef(
+    "q352_icc",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val per = Fixtures.table(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice) AS BIGINT)").as("y"))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val grp = per.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_g"), sum(col("y")).as("sy_g"),
+          sum(dl(col("y")) * dl(col("y"))).cast("double").as("syy_g"))
+      grp.agg(count(lit(1)).as("g"), sum(col("n_g")).as("n"),
+          sum(col("sy_g")).as("sy"),
+          sum(col("syy_g")).as("syy"),
+          sum(dl(col("n_g")) * dl(col("n_g"))).cast("double").as("snn"),
+          sum(expr("""CAST(round(CAST(sy_g AS DOUBLE) * sy_g / n_g)
+            AS BIGINT)""")).as("sbg"))
+        .select(col("g"), col("n"),
+          ((col("sbg").cast("double")
+            - col("sy").cast("double") * col("sy") / col("n"))
+            / (col("g") - 1)).as("msb"),
+          ((col("syy") - col("sbg").cast("double"))
+            / (col("n") - col("g"))).as("msw"),
+          ((col("n") - col("snn") / col("n")) / (col("g") - 1))
+            .as("k0"))
+        .select(col("g").as("n_customers"), col("n").as("n_orders"),
+          round(col("msb"), 3).as("msb"), round(col("msw"), 3)
+            .as("msw"),
+          round(col("k0"), 6).as("k0"),
+          round((col("msb") - col("msw"))
+            / (col("msb") + (col("k0") - 1.0) * col("msw")), 9)
+            .as("icc"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+          round(o_totalprice)::BIGINT AS y
+        FROM orders),
+      grp AS (SELECT o_custkey, count(*)::BIGINT AS n_g,
+          sum(y)::BIGINT AS sy_g,
+          sum(y::HUGEINT * y)::DOUBLE AS syy_g
+        FROM per GROUP BY 1),
+      c AS (SELECT count(*)::BIGINT AS g, sum(n_g)::BIGINT AS n,
+          sum(sy_g)::BIGINT AS sy, sum(syy_g) AS syy,
+          sum(n_g::HUGEINT * n_g)::DOUBLE AS snn,
+          sum(round(sy_g::DOUBLE * sy_g / n_g)::BIGINT)::BIGINT AS sbg
+        FROM grp),
+      m AS (SELECT g, n,
+          (sbg::DOUBLE - sy::DOUBLE * sy / n) / (g - 1) AS msb,
+          (syy - sbg::DOUBLE) / (n - g) AS msw,
+          (n - snn / n) / (g - 1) AS k0
+        FROM c)
+      SELECT g AS n_customers, n AS n_orders,
+        round(msb, 3) AS msb, round(msw, 3) AS msw,
+        round(k0, 6) AS k0,
+        round((msb - msw) / (msb + (k0 - 1.0) * msw), 9) AS icc
+      FROM m"""))
+
+  // ---------- q353: Ledoit–Wolf covariance shrinkage -------------------
+
+  /** Ledoit–Wolf shrinkage of the per-customer feature covariance —
+    * the estimator every portfolio/embedding pipeline uses when the
+    * sample covariance is noisy: S shrinks toward the scaled identity
+    * μI with the DATA-DRIVEN intensity λ* = min(1, (b²/n)/d²), where
+    * d² = ‖S − μI‖²_F and b² is the average squared per-sample
+    * deviation ‖x xᵀ − S‖²_F — both computable from second and FOURTH
+    * cross-moments, so the whole estimator is one moment pass + scalar
+    * math (no resampling). Features: order count, spend (10 k$ units),
+    * balance (100 $ units) — integer-pinned so the fourth moments stay
+    * exact int64 with DECIMAL lift. Emitted: each covariance entry raw
+    * and shrunk, with λ — the regularized matrix a downstream whitener
+    * (q265) should use.
+    */
+  private val q353 = QueryDef(
+    "q353_ledoit_wolf",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val feats = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x1"),
+          expr("""CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+            / 10000.0) AS BIGINT)""").as("x2"))
+        .join(Fixtures.table(s, dir, "customer")
+          .select(col("c_custkey"),
+            expr("CAST(round(c_acctbal / 100.0) AS BIGINT)").as("x3")),
+          col("o_custkey") === col("c_custkey"))
+      val xs = Seq("x1", "x2", "x3")
+      val means = feats.agg(
+        expr("CAST(round(sum(x1) * 1.0 / count(1)) AS BIGINT)").as("m1"),
+        expr("CAST(round(sum(x2) * 1.0 / count(1)) AS BIGINT)").as("m2"),
+        expr("CAST(round(sum(x3) * 1.0 / count(1)) AS BIGINT)").as("m3"))
+      val cent = feats.crossJoin(broadcast(means))
+        .select((col("x1") - col("m1")).as("x1"),
+          (col("x2") - col("m2")).as("x2"),
+          (col("x3") - col("m3")).as("x3"))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val aggCols: Seq[org.apache.spark.sql.Column] =
+        count(lit(1)).as("n") +:
+          ((for (a <- xs; b <- xs if a <= b)
+            yield sum(dl(col(a)) * dl(col(b))).cast("double")
+              .as(s"s_${a}_$b")) ++
+          (for (a <- xs; b <- xs if a <= b)
+            yield sum(dl(col(a)) * dl(col(a)) * dl(col(b)) * dl(col(b)))
+              .cast("double").as(s"q_${a}_$b")))
+      val mom = cent.agg(aggCols.head, aggCols.tail: _*)
+      def cov(a: String, b: String): String = {
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        s"(s_${lo}_$hi / n)"
+      }
+      def q4(a: String, b: String): String = {
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        s"(q_${lo}_$hi / n)"
+      }
+      val mu = s"((${cov("x1", "x1")} + ${cov("x2", "x2")} " +
+        s"+ ${cov("x3", "x3")}) / 3.0)"
+      val d2 = xs.flatMap(a => xs.map(b =>
+        if (a == b) s"(${cov(a, b)} - $mu) * (${cov(a, b)} - $mu)"
+        else s"${cov(a, b)} * ${cov(a, b)}")).mkString(" + ")
+      // b̄² = (1/n)·(Σ_ab q_ab/n − Σ_ab S_ab²): the average squared
+      // Frobenius deviation ‖x xᵀ − S‖² of one CENTERED sample
+      val b2 = "((" + xs.flatMap(a => xs.map(b =>
+          s"${q4(a, b)} - ${cov(a, b)} * ${cov(a, b)}"))
+        .mkString(" + ") + ") / n)"
+      val lam = s"least(1.0, greatest(0.0, ($b2) / ($d2)))"
+      val pairs = for (a <- xs; b <- xs if a <= b) yield (a, b)
+      mom.select(expr(s"""explode(array(${pairs.map { case (a, b) =>
+          s"""struct('${a}_$b' AS pair, CAST(round(${cov(a, b)}, 9)
+            AS DOUBLE) AS s_raw, CAST(round($lam
+            * (CASE WHEN '$a' = '$b' THEN $mu ELSE 0.0 END)
+            + (1.0 - $lam) * ${cov(a, b)}, 9) AS DOUBLE) AS s_shrunk,
+            CAST(round($lam, 9) AS DOUBLE) AS lambda)"""
+        }.mkString(", ")}))""").as("r"))
+        .select(col("r.pair").as("pair"), col("r.s_raw").as("s_raw"),
+          col("r.s_shrunk").as("s_shrunk"), col("r.lambda").as("lambda"))
+        .orderBy(col("pair"))
+    },
+    Some {
+      val xs = Seq("x1", "x2", "x3")
+      def cov(a: String, b: String): String = {
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        s"(s_${lo}_$hi / n)"
+      }
+      def q4(a: String, b: String): String = {
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        s"(q_${lo}_$hi / n)"
+      }
+      val mu = s"((${cov("x1", "x1")} + ${cov("x2", "x2")} " +
+        s"+ ${cov("x3", "x3")}) / 3.0)"
+      val d2 = xs.flatMap(a => xs.map(b =>
+        if (a == b) s"(${cov(a, b)} - $mu) * (${cov(a, b)} - $mu)"
+        else s"${cov(a, b)} * ${cov(a, b)}")).mkString(" + ")
+      val b2 = "((" + xs.flatMap(a => xs.map(b =>
+          s"${q4(a, b)} - ${cov(a, b)} * ${cov(a, b)}"))
+        .mkString(" + ") + ") / n)"
+      val lam = s"least(1.0, greatest(0.0, ($b2) / ($d2)))"
+      val pairs = for (a <- xs; b <- xs if a <= b) yield (a, b)
+      val selects = pairs.map { case (a, b) =>
+        s"""SELECT '${a}_$b' AS pair,
+          round(${cov(a, b)}, 9) AS s_raw,
+          round($lam * (CASE WHEN '$a' = '$b' THEN $mu ELSE 0.0 END)
+            + (1.0 - $lam) * ${cov(a, b)}, 9) AS s_shrunk,
+          round($lam, 9) AS lambda
+        FROM mom"""
+      }.mkString(" UNION ALL ")
+      val sums =
+        (for (a <- xs; b <- xs if a <= b)
+          yield s"sum($a::HUGEINT * $b)::DOUBLE AS s_${a}_$b") ++
+        (for (a <- xs; b <- xs if a <= b)
+          yield s"sum($a::HUGEINT * $a * $b * $b)::DOUBLE AS q_${a}_$b")
+      s"""WITH feats AS (SELECT o.o_custkey,
+          count(*)::BIGINT AS x1,
+          round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+            / 10000.0)::BIGINT AS x2,
+          any_value(round(c_acctbal / 100.0)::BIGINT) AS x3
+        FROM orders o JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1),
+      means AS (SELECT round(sum(x1) * 1.0 / count(*))::BIGINT AS m1,
+          round(sum(x2) * 1.0 / count(*))::BIGINT AS m2,
+          round(sum(x3) * 1.0 / count(*))::BIGINT AS m3
+        FROM feats),
+      cent AS (SELECT x1 - m1 AS x1, x2 - m2 AS x2, x3 - m3 AS x3
+        FROM feats, means),
+      mom AS (SELECT count(*)::BIGINT AS n, ${sums.mkString(", ")}
+        FROM cent)
+      SELECT * FROM ($selects) ORDER BY pair"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -7396,5 +7658,5 @@ object Analytics {
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
       q325, q326, q327, q330, q333, q338, q340, q341, q342, q345, q348,
-      q349, q350)
+      q349, q350, q351, q352, q353)
 }

@@ -1952,8 +1952,86 @@ object Quality {
         abs(released - n)::BIGINT AS abs_err
       FROM rel ORDER BY lang, source"""))
 
+  // ---------- q354: Cronbach's alpha of the quality battery ------------
+
+  /** Cronbach's α over the three q14-family quality subscores
+    * (lexical diversity, length adequacy, stopword grounding) — the
+    * psychometric internal-consistency check a COMPOSITE score owes
+    * its users: α = k/(k−1)·(1 − Σσᵢ²/σ_total²) says whether the
+    * items measure one construct (α ≥ 0.7) or should never have been
+    * summed (α ≈ 0 — report them separately). Low α here is a design
+    * finding about the q14 composite itself. Shape: one corpus pass
+    * pins the three item scores to micro ints in-scan; variances come
+    * from one moment aggregate (DECIMAL-lifted squares of the items
+    * AND their sum); α is scalar math.
+    */
+  private val q354 = QueryDef(
+    "q354_cronbach_alpha",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val items = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          expr("""CAST(round(CAST(size(array_distinct(toks)) AS DOUBLE)
+            / size(toks) * 1e6) AS BIGINT)""").as("i1"),
+          expr("""CAST(round(least(CAST(size(toks) AS DOUBLE) / 50.0,
+            1.0) * 1e6) AS BIGINT)""").as("i2"),
+          expr("""CAST(round(CAST(size(filter(toks,
+            t -> t IN ('a', 'the', 'key', 'value'))) AS DOUBLE)
+            / size(toks) * 1e6) AS BIGINT)""").as("i3"))
+        .withColumn("tot", col("i1") + col("i2") + col("i3"))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      def v(c: String) = s"(s2_$c / n - (CAST(s_$c AS DOUBLE) / n) " +
+        s"* (CAST(s_$c AS DOUBLE) / n))"
+      items.agg(count(lit(1)).as("n"),
+          sum(col("i1")).as("s_i1"), sum(col("i2")).as("s_i2"),
+          sum(col("i3")).as("s_i3"), sum(col("tot")).as("s_tot"),
+          sum(dl(col("i1")) * dl(col("i1"))).cast("double").as("s2_i1"),
+          sum(dl(col("i2")) * dl(col("i2"))).cast("double").as("s2_i2"),
+          sum(dl(col("i3")) * dl(col("i3"))).cast("double").as("s2_i3"),
+          sum(dl(col("tot")) * dl(col("tot"))).cast("double")
+            .as("s2_tot"))
+        .select(col("n"),
+          round(expr(s"${v("i1")} / 1e12"), 9).as("var_diversity"),
+          round(expr(s"${v("i2")} / 1e12"), 9).as("var_length"),
+          round(expr(s"${v("i3")} / 1e12"), 9).as("var_stopword"),
+          round(expr(s"${v("tot")} / 1e12"), 9).as("var_total"),
+          round(expr(s"""(3.0 / 2.0) * (1.0 - (${v("i1")} + ${v("i2")}
+            + ${v("i3")}) / (${v("tot")}))"""), 9).as("alpha"))
+    },
+    Some {
+      def v(c: String) =
+        s"(s2_$c / n - (s_$c::DOUBLE / n) * (s_$c::DOUBLE / n))"
+      s"""WITH items AS (SELECT
+          round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / len(string_split(text, ' ')) * 1e6)::BIGINT AS i1,
+          round(least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0)
+            * 1e6)::BIGINT AS i2,
+          round(len(list_filter(string_split(text, ' '),
+            t -> t IN ('a', 'the', 'key', 'value')))::DOUBLE
+            / len(string_split(text, ' ')) * 1e6)::BIGINT AS i3
+        FROM documents),
+      wt AS (SELECT i1, i2, i3, i1 + i2 + i3 AS tot FROM items),
+      mom AS (SELECT count(*)::BIGINT AS n,
+          sum(i1)::BIGINT AS s_i1, sum(i2)::BIGINT AS s_i2,
+          sum(i3)::BIGINT AS s_i3, sum(tot)::BIGINT AS s_tot,
+          sum(i1::HUGEINT * i1)::DOUBLE AS s2_i1,
+          sum(i2::HUGEINT * i2)::DOUBLE AS s2_i2,
+          sum(i3::HUGEINT * i3)::DOUBLE AS s2_i3,
+          sum(tot::HUGEINT * tot)::DOUBLE AS s2_tot
+        FROM wt)
+      SELECT n,
+        round(${v("i1")} / 1e12, 9) AS var_diversity,
+        round(${v("i2")} / 1e12, 9) AS var_length,
+        round(${v("i3")} / 1e12, 9) AS var_stopword,
+        round(${v("tot")} / 1e12, 9) AS var_total,
+        round((3.0 / 2.0) * (1.0 - (${v("i1")} + ${v("i2")}
+          + ${v("i3")}) / (${v("tot")})), 9) AS alpha
+      FROM mom"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
-      q262, q271, q274, q299, q309, q310, q319, q320)
+      q262, q271, q274, q299, q309, q310, q319, q320, q354)
 }
