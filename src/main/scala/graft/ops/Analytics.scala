@@ -7647,6 +7647,146 @@ object Analytics {
       SELECT * FROM ($selects) ORDER BY pair"""
     })
 
+  // ---------- q355: newsvendor stock level -----------------------------
+
+  /** Newsvendor stocking per brand: the profit-optimal stock equals
+    * the critical-ratile quantile of weekly demand — here the 80 %
+    * service target (underage:overage = 4:1) — and the classic error
+    * is computing it over weeks WITH demand only: the zero weeks are
+    * exactly what overstocking protects against, so the demand
+    * distribution is densified over the full brand × calendar-week
+    * spine before the quantile. Shape: weekly demand is one fact
+    * pass; the spine is bounded |brands| × |weeks| (broadcast week
+    * list); the quantile is exact over the per-brand demand-value
+    * histogram (bounded cumulative window, q314 rule). Output: the
+    * stock level with the mean demand and realized service level it
+    * implies.
+    */
+  private val q355 = QueryDef(
+    "q355_newsvendor",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val demand = Fixtures.table(s, dir, "lineitem")
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          expr("""timestampdiff(MICROSECOND,
+            TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)
+            div 604800000000""").as("week"))
+        .agg(expr("CAST(round(sum(l_quantity)) AS BIGINT)").as("d"))
+      val weeks = demand.select(col("week")).distinct()
+      val brands = Fixtures.table(s, dir, "part")
+        .select(col("p_brand")).distinct()
+      val dense = brands.crossJoin(weeks)
+        .join(demand, Seq("p_brand", "week"), "left")
+        .select(col("p_brand"), coalesce(col("d"), lit(0L)).as("d"))
+      val hist = dense.groupBy(col("p_brand"), col("d"))
+        .agg(count(lit(1)).as("n"))
+      val wb = Window.partitionBy(col("p_brand"))
+      val wc = Window.partitionBy(col("p_brand")).orderBy(col("d"))
+      val cum = hist
+        .withColumn("tn", sum(col("n")).over(wb))
+        .withColumn("cn", sum(col("n")).over(wc))
+      val stock = cum.where(col("cn") * 5 >= col("tn") * 4)
+        .groupBy(col("p_brand")).agg(min(col("d")).as("stock"))
+      val stats = dense.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_weeks"),
+          round(sum(col("d")).cast("double") / count(lit(1)), 6)
+            .as("mean_demand"))
+      val served = dense.join(broadcast(stock), Seq("p_brand"))
+        .groupBy(col("p_brand"))
+        .agg(first(col("stock")).as("stock"),
+          round(sum(when(col("d") <= col("stock"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("service_level"))
+      stats.join(served, Seq("p_brand"))
+        .select(col("p_brand"), col("n_weeks"), col("mean_demand"),
+          col("stock"), col("service_level"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""WITH demand AS (SELECT p_brand,
+          epoch_us(l_shipdate) // 604800000000 AS week,
+          round(sum(l_quantity))::BIGINT AS d
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      weeks AS (SELECT DISTINCT week FROM demand),
+      brands AS (SELECT DISTINCT p_brand FROM part),
+      dense AS (SELECT b.p_brand, coalesce(d, 0) AS d
+        FROM brands b CROSS JOIN weeks w
+        LEFT JOIN demand dm ON dm.p_brand = b.p_brand
+          AND dm.week = w.week),
+      hist AS (SELECT p_brand, d, count(*)::BIGINT AS n FROM dense
+        GROUP BY 1, 2),
+      cum AS (SELECT p_brand, d, n,
+          sum(n) OVER (PARTITION BY p_brand)::BIGINT AS tn,
+          sum(n) OVER (PARTITION BY p_brand ORDER BY d)::BIGINT AS cn
+        FROM hist),
+      stock AS (SELECT p_brand, min(d) AS stock FROM cum
+        WHERE cn * 5 >= tn * 4 GROUP BY 1),
+      stats AS (SELECT p_brand, count(*)::BIGINT AS n_weeks,
+          round(sum(d)::DOUBLE / count(*), 6) AS mean_demand
+        FROM dense GROUP BY 1),
+      served AS (SELECT d2.p_brand, any_value(stock) AS stock,
+          round(sum(CASE WHEN d <= stock THEN 1 ELSE 0 END)::DOUBLE
+            / count(*), 6) AS service_level
+        FROM dense d2 JOIN stock st ON d2.p_brand = st.p_brand
+        GROUP BY 1)
+      SELECT p_brand, n_weeks, mean_demand, stock, service_level
+      FROM stats JOIN served USING (p_brand) ORDER BY p_brand"""))
+
+  // ---------- q357: price-point clustering audit -----------------------
+
+  /** Price-point forensics: real retail prices cluster at charm
+    * endings (.99, .49, .00); synthetic, corrupted, or
+    * currency-converted data does not. The audit measures the share
+    * of line extended prices at each cent ending against the uniform
+    * 1 % baseline and emits the top-10 endings by lift plus the χ²
+    * against uniformity — a Benford-family (q160) screen on the OTHER
+    * end of the number. Shape: one in-scan cents-ending projection
+    * into a ≤100-cell aggregate; exact counts, scalar χ².
+    */
+  private val q357 = QueryDef(
+    "q357_price_points",
+    (s, dir) => {
+      val ends = Fixtures.table(s, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)" +
+          " % 100").as("ending"))
+        .groupBy(col("ending")).agg(count(lit(1)).as("n"))
+      val chi = ends.crossJoin(broadcast(ends.agg(sum(col("n"))
+          .as("tn"))))
+        .select(col("ending"), col("n"), col("tn"),
+          expr("""CAST(round((n - tn / 100.0) * (n - tn / 100.0)
+            / (tn / 100.0) * 1e6) AS BIGINT)""").as("chi_micro"))
+      val chiTot = chi.agg(
+        round(sum(col("chi_micro")).cast("double") / 1e6, 6)
+          .as("chi2_uniform"))
+      chi.crossJoin(broadcast(chiTot))
+        .select(col("ending"), col("n"),
+          round(col("n").cast("double") / col("tn"), 9).as("share"),
+          round(col("n").cast("double") / col("tn") * 100.0, 6)
+            .as("lift_vs_uniform"),
+          col("chi2_uniform"))
+        .orderBy(col("n").desc, col("ending"))
+        .limit(10)
+    },
+    Some("""WITH ends AS (SELECT
+          round(l_extendedprice * 100.0)::BIGINT % 100 AS ending,
+          count(*)::BIGINT AS n
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT sum(n)::BIGINT AS tn FROM ends),
+      chi AS (SELECT ending, n, tn,
+          round((n - tn / 100.0) * (n - tn / 100.0) / (tn / 100.0)
+            * 1e6)::BIGINT AS chi_micro
+        FROM ends, tot),
+      ct AS (SELECT round(sum(chi_micro)::DOUBLE / 1e6, 6)
+          AS chi2_uniform FROM chi)
+      SELECT ending, n,
+        round(n::DOUBLE / tn, 9) AS share,
+        round(n::DOUBLE / tn * 100.0, 6) AS lift_vs_uniform,
+        chi2_uniform
+      FROM chi, ct
+      ORDER BY n DESC, ending LIMIT 10"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -7658,5 +7798,5 @@ object Analytics {
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
       q325, q326, q327, q330, q333, q338, q340, q341, q342, q345, q348,
-      q349, q350, q351, q352, q353)
+      q349, q350, q351, q352, q353, q355, q357)
 }

@@ -4174,11 +4174,65 @@ object Events {
           / 100.0, 2) AS cvar_95
       FROM ranked, v"""))
 
+  // ---------- q356: MASE forecast evaluation --------------------------
+
+  /** Mean absolute SCALED error of the seasonal-naive forecast — the
+    * forecast-eval metric that fixed MAPE's divide-by-zero and
+    * scale-dependence problems (Hyndman & Koehler 2006): the 7-day-
+    * lag forecast's MAE over the 1-day-lag random-walk's MAE, per
+    * event type. MASE < 1 means the weekly pattern q164 exploits
+    * genuinely beats persistence; ≥ 1 means the "seasonal" model is
+    * worse than doing nothing — the go/no-go on shipping q164.
+    * Shape: per-(type, day) counts are the corpus pass; both lag
+    * joins are bounded calendar self-joins keyed on (type, day);
+    * absolute errors are exact int64 sums; one division per type.
+    */
+  private val q356 = QueryDef(
+    "q356_mase_eval",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+            .as("day"))
+        .agg(count(lit(1)).as("c"))
+      def lagged(k: Int, out: String) = daily.select(col("event_type"),
+        (col("day") + k).as("day"), col("c").as(out))
+      daily
+        .join(lagged(7, "f7"), Seq("event_type", "day"))
+        .join(lagged(1, "f1"), Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("c") - col("f7"))).as("ae7"),
+          sum(abs(col("c") - col("f1"))).as("ae1"))
+        .select(col("event_type"), col("n_days"),
+          round(col("ae7").cast("double") / col("n_days"), 6)
+            .as("mae_seasonal"),
+          round(col("ae1").cast("double") / col("n_days"), 6)
+            .as("mae_naive"),
+          round(col("ae7").cast("double") / col("ae1"), 9).as("mase"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (SELECT event_type,
+          epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      j AS (SELECT d.event_type, d.day, d.c, f7.c AS f7, f1.c AS f1
+        FROM daily d
+        JOIN daily f7 ON f7.event_type = d.event_type
+          AND f7.day = d.day - 7
+        JOIN daily f1 ON f1.event_type = d.event_type
+          AND f1.day = d.day - 1)
+      SELECT event_type, count(*)::BIGINT AS n_days,
+        round(sum(abs(c - f7))::DOUBLE / count(*), 6) AS mae_seasonal,
+        round(sum(abs(c - f1))::DOUBLE / count(*), 6) AS mae_naive,
+        round(sum(abs(c - f7))::DOUBLE / sum(abs(c - f1)), 9) AS mase
+      FROM j GROUP BY 1 ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
-      q329, q331, q334, q335, q337, q339, q343, q344, q346, q347)
+      q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356)
 }
