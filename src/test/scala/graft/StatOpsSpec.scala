@@ -138,4 +138,83 @@ class StatOpsSpec extends SparkSpec {
     assert(hrw < mod / 4,
       "rendezvous must beat mod-N by a wide margin or the audit lies")
   }
+
+  test("q295 binned tau-b equals the brute-force pair count over the " +
+    "same binned variables") {
+    val row = run("q295_kendall_binned").collect().head
+    // rebuild the binned pairs driver-side from the same definition
+    val spend = Fixtures.table(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("spend"))
+    val pts = Fixtures.table(spark, sf, "customer")
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(
+        least(greatest(expr(
+          "CAST(floor((c_acctbal + 1000.0) / 1100.0) AS BIGINT)"),
+          lit(0L)), lit(9L)).as("bx"),
+        least(greatest(expr(
+          "CAST(floor(spend / 350000.0) AS BIGINT)"), lit(0L)),
+          lit(19L)).as("by"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val ((x1, y1), (x2, y2)) = (pts(i), pts(j))
+      val sx = java.lang.Long.signum(x2 - x1)
+      val sy = java.lang.Long.signum(y2 - y1)
+      if (sx != 0 && sy != 0) { if (sx == sy) conc += 1 else disc += 1 }
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+    }
+    assert(row.getLong(1) === conc, "concordant")
+    assert(row.getLong(2) === disc, "discordant")
+    assert(row.getLong(3) === tx, "ties_x")
+    assert(row.getLong(4) === ty, "ties_y")
+    val n = pts.length.toLong
+    val want = (conc - disc).toDouble / math.sqrt(
+      (n * (n - 1) / 2 - tx).toDouble * (n * (n - 1) / 2 - ty))
+    assert(math.abs(row.getDouble(5) - want) < 1e-9, "tau_b")
+  }
+
+  test("q351 one-step Newton update equals the driver-side closed form") {
+    val row = run("q351_logit_newton_step").collect().head
+    val pts = Fixtures.table(spark, sf, "lineitem")
+      .select(expr("CAST(round(l_discount * 1e6) AS BIGINT)").as("x"),
+        (col("l_returnflag") === "R").as("y"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val n = pts.length.toDouble
+    val g0 = pts.count(_._2) - n / 2.0
+    val g1 = pts.map { case (x, y) => x * ((if (y) 1.0 else 0.0) - 0.5) }
+      .sum
+    val h00 = n / 4.0
+    val h01 = pts.map(_._1.toDouble).sum / 4.0
+    val h11 = pts.map(p => p._1.toDouble * p._1).sum / 4.0
+    val det = h00 * h11 - h01 * h01
+    val b0 = (h11 * g0 - h01 * g1) / det
+    val b1 = (h00 * g1 - h01 * g0) / det * 1e6
+    assert(math.abs(row.getDouble(2) - b0) < 1e-6, "beta0")
+    assert(math.abs(row.getDouble(3) - b1) < 1e-6, "beta1")
+  }
+
+  test("q349 order-statistic CI brackets the binned median per segment") {
+    run("q349_median_ci").collect().foreach { r =>
+      val (lo, med, hi) = (r.getLong(3), r.getLong(2), r.getLong(4))
+      assert(lo <= med && med <= hi,
+        s"CI [${lo}, ${hi}] must bracket the median $med " +
+          s"for ${r.getString(0)}")
+    }
+  }
+
+  test("q340 hub-attack invariants: surviving <= edges; isolation only " +
+    "among non-hubs; rates in [0,1]") {
+    val r = run("q340_hub_attack").collect().head
+    val (nNodes, nEdges, nSurv) = (r.getLong(0), r.getLong(2),
+      r.getLong(3))
+    val (loss, nIso, isoRate) = (r.getDouble(4), r.getLong(5),
+      r.getDouble(6))
+    assert(nSurv <= nEdges)
+    assert(nIso <= nNodes)
+    assert(loss >= 0.0 && loss <= 1.0)
+    assert(isoRate >= 0.0 && isoRate <= 1.0)
+    assert(math.abs(loss - (1.0 - nSurv.toDouble / nEdges)) < 1e-8)
+  }
 }
