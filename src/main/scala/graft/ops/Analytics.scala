@@ -681,11 +681,14 @@ object Analytics {
     * the join: key count, max/mean ratio, and exact p50/p90/p99 of the
     * per-key row counts. Two aggregations: rows → per-key counts (one
     * shuffle, map-side partials), then the KEY-cardinality-sized count
-    * table → one global rank selection (keys ≪ rows; at 100 TB the
-    * count table for a 10 M-key fact is MBs, so the single-partition
-    * window is a deliberate, bounded driver of exact order
-    * statistics). mean is one BIGINT/BIGINT division; skew is one
-    * division of that exact pair.
+    * table → one exact global rank selection through the RangeNtile
+    * boundary-broadcast row_number (per-shard sorts only — a 10 M+-key
+    * fact's count table no longer funnels through one task;
+    * graft.ntile.strategy=window restores the single-sort window form
+    * the equality spec compares against). The key count rides a 1-row
+    * broadcast scalar instead of an unpartitioned count window. mean
+    * is one BIGINT/BIGINT division; skew is one division of that
+    * exact pair.
     */
   private val q89 = QueryDef(
     "q89_skew_report",
@@ -693,10 +696,14 @@ object Analytics {
       import org.apache.spark.sql.expressions.Window
       val counts = Fixtures.table(s, dir, "lineitem")
         .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
-      val r = counts
-        .withColumn("rn",
-          row_number().over(Window.orderBy(col("c"), col("l_suppkey"))))
-        .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
+      val sortKey = Seq(col("c"), col("l_suppkey"))
+      val ranked =
+        if (s.conf.getOption("graft.ntile.strategy").contains("window"))
+          counts.withColumn("rn",
+            row_number().over(Window.orderBy(sortKey: _*)).cast("long"))
+        else RangeNtile.withRowNumber(counts, sortKey, "rn")
+      val nkAgg = counts.agg(count(lit(1)).as("nk"))
+      val r = ranked.crossJoin(broadcast(nkAgg))
       def pick(p: Double, out: String) =
         max(when(col("rn") ===
           ceil(lit(p) * col("nk")).cast("long"), col("c"))).as(out)
@@ -854,9 +861,12 @@ object Analytics {
     * int64 (at 100 TB widen to DECIMAL(38,0)); the only division is
     * D itself, once, on the single surviving row. The argmax value is
     * made deterministic by the (gap DESC, value ASC) total order.
-    * Shape: one hash agg on value, one global sort window over the
-    * distinct-value table (≪ rows; at 100 TB: the q74/q105 two-pass
-    * boundary-broadcast note applies), 1-row output.
+    * Shape: one hash agg on value, then — because `value` is a
+    * continuous double, so distinct values ≈ rows at corpus scale —
+    * the running CDF rides RangeNtile.withRunningSums (range shards on
+    * value + broadcast per-shard prefix offsets; per-shard sorts only;
+    * graft.ntile.strategy=window restores the single-sort window form
+    * the equality spec compares against), 1-row output.
     */
   private val q114 = QueryDef(
     "q114_ks_drift",
@@ -866,12 +876,16 @@ object Analytics {
         .select(col("value"), (col("event_id") % 10 < 2).cast("long").as("cur"))
       val pv = sl.groupBy(col("value"))
         .agg(sum(lit(1L) - col("cur")).as("da"), sum(col("cur")).as("db"))
-      val w = Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = pv.agg(sum(col("da")).as("n_ref"), sum(col("db")).as("n_cur"))
-      pv.withColumn("ca", sum(col("da")).over(w))
-        .withColumn("cb", sum(col("db")).over(w))
-        .crossJoin(broadcast(tot))
+      val cdf =
+        if (s.conf.getOption("graft.ntile.strategy").contains("window")) {
+          val w = Window.orderBy(col("value"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          pv.withColumn("ca", sum(col("da")).over(w))
+            .withColumn("cb", sum(col("db")).over(w))
+        } else RangeNtile.withRunningSums(pv, Seq(col("value")),
+          Seq("da" -> "ca", "db" -> "cb"))
+      cdf.crossJoin(broadcast(tot))
         .withColumn("gap", abs(col("ca") * col("n_cur") - col("cb") * col("n_ref")))
         .orderBy(col("gap").desc, col("value"))
         .limit(1)

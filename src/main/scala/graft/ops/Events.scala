@@ -1294,9 +1294,12 @@ object Events {
     * and q67's selection-percentile contract (percentile_disc at
     * ⌈p·n⌉ under a (duration, user, seq) total order; selection, not
     * interpolation, so the answer is an actual observed duration and
-    * cross-engine exact). All three percentiles read off ONE window
-    * sort of the |sessions|-sized table (≪ events); the mean is an
-    * exact µs sum with one division.
+    * cross-engine exact). The mean is an exact µs sum with one
+    * division. Shape: sessions scale with users × activity, so the
+    * rank pass rides the RangeNtile boundary-broadcast row_number
+    * (per-shard sorts only; graft.ntile.strategy=window restores the
+    * single-sort window form the equality spec compares against) —
+    * the q141 migration class.
     */
   private val q129 = QueryDef(
     "q129_session_percentiles",
@@ -1304,9 +1307,12 @@ object Events {
       val sess = sessionAssigned(s, dir)
         .groupBy(col("user_id"), col("session_seq"))
         .agg(expr("timestampdiff(MICROSECOND, min(ts), max(ts))").as("dur_us"))
-      val ranked = sess
-        .withColumn("rn", row_number().over(Window.orderBy(
-          col("dur_us"), col("user_id"), col("session_seq"))))
+      val sortKey = Seq(col("dur_us"), col("user_id"), col("session_seq"))
+      val ranked =
+        if (s.conf.getOption("graft.ntile.strategy").contains("window"))
+          sess.withColumn("rn",
+            row_number().over(Window.orderBy(sortKey: _*)).cast("long"))
+        else RangeNtile.withRowNumber(sess, sortKey, "rn")
       val n = sess.agg(count(lit(1)).as("n"), sum(col("dur_us")).as("su"))
       ranked.crossJoin(broadcast(n))
         .where(col("rn") === ceil(col("n") * lit(0.5))

@@ -520,9 +520,17 @@ object Quality {
     * (rank−1)/(n−1) formula under a (quality, doc_id) total order —
     * written out rather than the engines' percent_rank() builtins, so
     * the n = 1 edge is pinned by the same CASE on both sides; one
-    * exact int division per row, rounded 12. Shape: one window sort
-    * per language partition (the q64 note: shards sort independently,
-    * no global order), output is per-doc.
+    * exact int division per row, rounded 12. Shape: language is a
+    * heavily skewed key (a majority-English corpus puts most docs in
+    * ONE window partition), so the default path ranks under the
+    * (lang, quality, doc_id) TOTAL order via the RangeNtile
+    * boundary-broadcast row_number — ranges are disjoint, so each
+    * language occupies a contiguous rank run and the within-language
+    * rank is just global_rank − min(global_rank per lang) + 1, with
+    * the per-lang (min-rank, count) table broadcast (|langs| rows).
+    * Per-shard sorts only; no task ever holds a language's full share.
+    * graft.ntile.strategy=window restores the per-language window
+    * form the equality spec compares against.
     */
   private val q138 = QueryDef(
     "q138_quality_calibration",
@@ -542,11 +550,22 @@ object Quality {
                 .cast("double") / length(col("text")))
             + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
               lit(1.0))).as("quality"))
-      val w = Window.partitionBy(col("lang"))
-      scored
-        .withColumn("rn", row_number().over(
-          w.orderBy(col("quality"), col("doc_id"))))
-        .withColumn("n", count(lit(1)).over(w))
+      val ranked =
+        if (s.conf.getOption("graft.ntile.strategy").contains("window")) {
+          val w = Window.partitionBy(col("lang"))
+          scored
+            .withColumn("rn", row_number().over(
+              w.orderBy(col("quality"), col("doc_id"))).cast("long"))
+            .withColumn("n", count(lit(1)).over(w))
+        } else {
+          val g = RangeNtile.withRowNumber(scored,
+            Seq(col("lang"), col("quality"), col("doc_id")), "grn")
+          val perLang = g.groupBy(col("lang"))
+            .agg(min(col("grn")).as("g0"), count(lit(1)).as("n"))
+          g.join(broadcast(perLang), "lang")
+            .withColumn("rn", col("grn") - col("g0") + lit(1L))
+        }
+      ranked
         .select(col("doc_id"), col("lang"), col("quality"),
           when(col("n") === 1, lit(0.0))
             .otherwise(round((col("rn") - 1).cast("double")

@@ -77,6 +77,50 @@ private[graft] object RangeNtile {
     withRank.withColumn(rankCol, col("__rank")).drop("__shard", "__rank")
   }
 
+  /** Adds one exact global running sum per `(inCol, outCol)` pair under
+    * `sortCols` — the distributed form of
+    * `sum(inCol).over(Window.orderBy(sortCols).rowsBetween(
+    * unboundedPreceding, currentRow))` — without the single-partition
+    * sort that form plans. `sortCols` must be a total order (one row
+    * per key), so ROWS and RANGE framing agree and the prefix is
+    * well-defined; the CDF consumers (q114) key by distinct value, which
+    * satisfies this by construction. Same two passes as [[globalRank]]:
+    * range-repartition + per-shard TOTALS collected (a `|shards|`-row
+    * driver scalar per column), then per-shard local running sums plus
+    * the broadcast exclusive-prefix offset of the preceding shards'
+    * totals. Input columns must be integral (the offsets ride int64);
+    * exactness therefore matches the window form bit-for-bit.
+    */
+  def withRunningSums(df: DataFrame, sortCols: Seq[Column],
+      sums: Seq[(String, String)], shards: Int = 32): DataFrame = {
+    // same freeze rationale as globalRank: persist pins the sampled
+    // range boundaries so the totals pass and the prefix pass read the
+    // SAME shard assignment.
+    val ranged = df.repartitionByRange(shards, sortCols: _*)
+      .withColumn("__shard", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aggs = sums.map { case (in, _) => sum(col(in)).cast("long").as(in) }
+    val totals = ranged.groupBy(col("__shard"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> sums.indices.map(i => r.getLong(i + 1)))
+      .toMap
+    val localW = Window.partitionBy(col("__shard")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = sums.zipWithIndex.foldLeft(ranged) {
+      case (d, ((in, outCol), i)) =>
+        val offsets = (0 until shards).scanLeft(0L) { (acc, s) =>
+          acc + totals.get(s).map(_(i)).getOrElse(0L)
+        }
+        val offsetExpr = (0 until shards).foldLeft(lit(0L)) { (e, s) =>
+          when(col("__shard") === s, lit(offsets(s))).otherwise(e)
+        }
+        d.withColumn(outCol,
+          sum(col(in)).over(localW).cast("long") + offsetExpr)
+    }
+    out.drop("__shard")
+  }
+
   /** Adds `bucketCol` = exact global ntile(k) under `sortCols` (total
     * order required as above). `shards` bounds pass-1 parallelism.
     */

@@ -92,21 +92,28 @@ class PlanLintSpec extends AnyFunSuite {
 
   /** A tiny aggregate (decile curves, survival tables, monthly series)
     * may legitimately collapse to one partition; a corpus-sized input
-    * must not. 2000 rows at sf0.001 separates the two by an order of
-    * magnitude on each side (bucket tables are ≤ a few hundred rows;
-    * the fact tables are ≥ 6000). */
+    * must not. The round-8 gate ran at sf0.001, where tables that are
+    * corpus-PROPORTIONAL but key-compressed (sessions, distinct
+    * doubles, converters) are only a few hundred rows and slipped
+    * under the threshold (the round-8 q129/q114 blind spot). Running
+    * the volume gate at sf0.01 keeps bounded tables bounded (they do
+    * not grow with SF) while every corpus-proportional table crosses
+    * 2000 rows by an order of magnitude — reverting any RangeNtile
+    * migration back to an unpartitioned window now turns this test
+    * red. */
   private val MaxSinglePartitionRows = 2000L
+  private val sfVolume = "/root/testdata/sf0.01"
 
   test("no registry query's final plan moves more than " +
     s"$MaxSinglePartitionRows rows through a single-partition shuffle " +
-    "(unpartitioned windows / global collapses)") {
+    "at sf0.01 (unpartitioned windows / global collapses)") {
     // The round-8 migration class: Window.orderBy with no partition key
     // plans a numPartitions=1 ShuffleExchange below the WindowExec, so
     // gating single-partition shuffle volume machine-enforces "no
     // corpus-sized single-task sort" for every current and future query
     // — the runtime metric, not a static estimate, decides.
     val failures = SparkEntry.registry.flatMap { q =>
-      val df = q.fn(spark, sf)
+      val df = q.fn(spark, sfVolume)
       df.queryExecution.toRdd.count() // materialize → AQE-final plan
       walk(df.queryExecution.executedPlan).collect {
         case e: ShuffleExchangeExec

@@ -76,11 +76,13 @@ class RangeNtileSpec extends SparkSpec {
     } finally spark.conf.unset("graft.ntile.strategy")
   }
 
-  test("every migrated global-window consumer (q91/q98/q105/q141/" +
-    "q199/q234) matches its graft.ntile.strategy=window form") {
-    val names = Seq("q91_curriculum_grid", "q98_rfm", "q105_psi_drift",
-      "q141_conversion_lag", "q199_quality_quantile_norm",
-      "q234_spearman_balance_spend")
+  test("every migrated global-window consumer (q89/q91/q98/q105/q114/" +
+    "q129/q138/q141/q199/q234) matches its graft.ntile.strategy=window " +
+    "form") {
+    val names = Seq("q89_skew_report", "q91_curriculum_grid", "q98_rfm",
+      "q105_psi_drift", "q114_ks_drift", "q129_session_percentiles",
+      "q138_quality_calibration", "q141_conversion_lag",
+      "q199_quality_quantile_norm", "q234_spearman_balance_spend")
     names.foreach { n =>
       val got = run(n).collect().map(_.toString).sorted
       spark.conf.set("graft.ntile.strategy", "window")
