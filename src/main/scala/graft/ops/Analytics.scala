@@ -6800,9 +6800,12 @@ object Analytics {
     * its periphery connected. The 90th-percentile degree cut is exact
     * over the BOUNDED degree histogram (q314 rule — a cumulative
     * window over ≤|distinct degrees| rows). Shape: degrees from one
-    * edge-list aggregate; the survival check is two broadcast-scalar
-    * comparisons per edge; isolation = nodes whose every edge died,
-    * one LEFT ANTI against surviving endpoints. All counts exact.
+    * edge-list aggregate, then ONE node-level stats pass (per node:
+    * degree, own-hub flag, hub-neighbor count) from which every output
+    * folds — surviving edges = Σ non-hub (deg − hub_nbrs) / 2, and
+    * isolation is the folded condition n_hub_nbrs = deg (every
+    * neighbor was a hub), no second pass over the edge list. The
+    * DuckDB twin keeps the equivalent NOT IN form. All counts exact.
     */
   private val q340 = QueryDef(
     "q340_hub_attack",

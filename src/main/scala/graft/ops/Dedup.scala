@@ -218,6 +218,28 @@ object Dedup {
         posexplode(array(bandExprs: _*)).as(Seq("band", "bkey")))
   }
 
+  /** Row-local twin of [[inverted]]: the identical exploded
+    * (doc_id, n_sh, h) posting rows — n_sh is the doc's distinct
+    * shingle count, carried so a downstream Jaccard needs no second
+    * aggregate over the stream side — computed without windows or
+    * aggregation, so the projection is legal on an unbounded document
+    * stream (the ingest-time near-dup twin). Same interpreted-HOF cost
+    * caveat as [[minhashBandsRowLocal]]: per arriving document, not per
+    * corpus pass.
+    */
+  private[graft] def shinglesRowLocal(docsDf: DataFrame): DataFrame = {
+    val hts = s"transform(split(text, ' '), t -> ${h32Spark("t")})"
+    val shs = s"array_distinct(transform(sequence(0, size(hts) - 3), " +
+      s"i -> (element_at(hts, i + 1) * $C1 + element_at(hts, i + 2) * $C2" +
+      s" + element_at(hts, i + 3)) % $P))"
+    docsDf
+      .where(expr("size(split(text, ' ')) >= 3"))
+      .withColumn("hts", expr(hts))
+      .withColumn("shs", expr(shs))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("h"))
+  }
+
   private val q18 = QueryDef(
     "q18_minhash_lsh",
     (s, dir) => {

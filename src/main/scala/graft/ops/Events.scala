@@ -3304,7 +3304,18 @@ object Events {
     * corpus-sized pass), mean-centered deviations pinned to milli
     * units, lag products via THREE bounded self-equi-joins on day+k
     * (|days| rows each at any corpus size), one 1-row moment
-    * aggregate, then pure expression math.
+    * aggregate, then pure expression math. Gap convention (both
+    * dialects, deliberately shared): a calendar day with NO events has
+    * no row, and coalesce(d_k, 0) treats a lag term across the gap as
+    * zero-deviation while n counts only OBSERVED days — on a gappy
+    * series this deviates from the textbook ACF over a densified
+    * spine (a zero-count day's true deviation is −mean). Event fixture
+    * days are dense, and the convention is the one a missing-data ACF
+    * ("available-case" products) uses; densify upstream if exact
+    * textbook semantics over gaps are needed. Moment products ride
+    * DECIMAL(38,0)/HUGEINT (the q333/q352 headroom convention):
+    * d ≈ count·10³ can reach ~10⁹ at corpus scale, so Σd² crowds
+    * int64.
     */
   private val q322 = QueryDef(
     "q322_pacf",
@@ -3322,14 +3333,15 @@ object Events {
           .as("d"))
       def lagged(k: Int) = dev.select((col("day") - k).as("day"),
         col("d").as(s"d$k"))
+      val dDec = col("d").cast("decimal(38,0)")
       val moments = dev
         .join(lagged(1), Seq("day"), "left")
         .join(lagged(2), Seq("day"), "left")
         .join(lagged(3), Seq("day"), "left")
-        .agg(sum(col("d") * col("d")).as("s0"),
-          sum(col("d") * coalesce(col("d1"), lit(0L))).as("s1"),
-          sum(col("d") * coalesce(col("d2"), lit(0L))).as("s2"),
-          sum(col("d") * coalesce(col("d3"), lit(0L))).as("s3"))
+        .agg(sum(dDec * col("d")).as("s0"),
+          sum(dDec * coalesce(col("d1"), lit(0L))).as("s1"),
+          sum(dDec * coalesce(col("d2"), lit(0L))).as("s2"),
+          sum(dDec * coalesce(col("d3"), lit(0L))).as("s3"))
       val rs = moments.select(
         (col("s1").cast("double") / col("s0")).as("r1"),
         (col("s2").cast("double") / col("s0")).as("r2"),
@@ -3353,10 +3365,10 @@ object Events {
       st AS (SELECT round(sum(c)::BIGINT * 1000.0 / count(*))::BIGINT
           AS mean_milli FROM daily),
       dev AS (SELECT day, c * 1000 - mean_milli AS d FROM daily, st),
-      mom AS (SELECT sum(a.d * a.d)::BIGINT AS s0,
-          sum(a.d * coalesce(l1.d, 0))::BIGINT AS s1,
-          sum(a.d * coalesce(l2.d, 0))::BIGINT AS s2,
-          sum(a.d * coalesce(l3.d, 0))::BIGINT AS s3
+      mom AS (SELECT sum(a.d::HUGEINT * a.d) AS s0,
+          sum(a.d::HUGEINT * coalesce(l1.d, 0)) AS s1,
+          sum(a.d::HUGEINT * coalesce(l2.d, 0)) AS s2,
+          sum(a.d::HUGEINT * coalesce(l3.d, 0)) AS s3
         FROM dev a
         LEFT JOIN dev l1 ON l1.day = a.day + 1
         LEFT JOIN dev l2 ON l2.day = a.day + 2
@@ -3847,7 +3859,10 @@ object Events {
     * q164/q322/q335 time-series machinery — white noise means there is
     * nothing to model. Shape: identical scale discipline to q322 (the
     * milli-pinned deviation table, five bounded lag self-joins, a
-    * 1-row moment vector); the statistic is scalar math.
+    * 1-row moment vector); the statistic is scalar math. Shares q322's
+    * documented gap convention (missing calendar days contribute
+    * zero-deviation lag terms, n counts observed days — see q322) and
+    * its DECIMAL(38,0)/HUGEINT lift on the Σd·d_k products.
     */
   private val q339 = QueryDef(
     "q339_ljung_box",
@@ -3865,12 +3880,13 @@ object Events {
           .as("d"))
       def lagged(k: Int) = dev.select((col("day") - k).as("day"),
         col("d").as(s"d$k"))
+      val dDec = col("d").cast("decimal(38,0)")
       val mom = (1 to 5).foldLeft(dev) { (df, k) =>
           df.join(lagged(k), Seq("day"), "left")
         }
         .agg(count(lit(1)).as("n"),
-          (sum(col("d") * col("d")).as("s0") +:
-            (1 to 5).map(k => sum(col("d") * coalesce(col(s"d$k"),
+          (sum(dDec * col("d")).as("s0") +:
+            (1 to 5).map(k => sum(dDec * coalesce(col(s"d$k"),
               lit(0L))).as(s"s$k"))): _*)
       val rTerm = (1 to 5).map(k =>
         s"""(CAST(s$k AS DOUBLE) / s0) * (CAST(s$k AS DOUBLE) / s0)
@@ -3884,7 +3900,7 @@ object Events {
       val joins = (1 to 5).map(k =>
         s"LEFT JOIN dev l$k ON l$k.day = a.day + $k").mkString(" ")
       val sums = (1 to 5).map(k =>
-        s"sum(a.d * coalesce(l$k.d, 0))::BIGINT AS s$k").mkString(", ")
+        s"sum(a.d::HUGEINT * coalesce(l$k.d, 0)) AS s$k").mkString(", ")
       val rTerm = (1 to 5).map(k =>
         s"(s$k::DOUBLE / s0) * (s$k::DOUBLE / s0) / (n - $k)")
         .mkString(" + ")
@@ -3895,7 +3911,7 @@ object Events {
           AS mean_milli FROM daily),
       dev AS (SELECT day, c * 1000 - mean_milli AS d FROM daily, st),
       mom AS (SELECT count(*)::BIGINT AS n,
-          sum(a.d * a.d)::BIGINT AS s0, $sums
+          sum(a.d::HUGEINT * a.d) AS s0, $sums
         FROM dev a $joins),
       qs AS (SELECT n, round(n * (n + 2.0) * ($rTerm), 9) AS q_stat
         FROM mom)
@@ -3912,7 +3928,10 @@ object Events {
     * raw weekday means conflate trend into the index when traffic
     * grows), and averaging those ratios per weekday, then normalizing
     * the seven indices to mean 1, yields the multiplicative index a
-    * deseasonalizer divides by. Shape: after the per-day count pass
+    * deseasonalizer divides by. Windows must be full (7 rows) AND
+    * calendar-contiguous (max−min day = 6): a gapped day spine would
+    * otherwise let a 7-row window span >7 days and mix weekday phases
+    * into the ratio. Shape: after the per-day count pass
     * everything is calendar-bounded — the centered MA is a ±3-row
     * window over the day table, ratios pin to nano, and the
     * normalization is a 7-row aggregate broadcast back.
@@ -3930,7 +3949,12 @@ object Events {
       val ratios = daily
         .withColumn("n_win", count(lit(1)).over(wma))
         .withColumn("sum_win", sum(col("c")).over(wma))
-        .where(col("n_win") === 7) // full centered windows only
+        .withColumn("span_win", max(col("day")).over(wma)
+          - min(col("day")).over(wma))
+        // full centered windows only, AND calendar-contiguous: a 7-ROW
+        // window spanning more than 7 days (a gap in the day spine)
+        // would mix weekday phases into the ratio-to-MA index
+        .where(col("n_win") === 7 && col("span_win") === 6)
         .select(expr("((day % 7) + 7) % 7").as("weekday"),
           expr("""CAST(round(CAST(c AS DOUBLE) * 7.0 / sum_win * 1e9)
             AS BIGINT)""").as("ratio_nano"))
@@ -3955,11 +3979,15 @@ object Events {
           count(*) OVER (ORDER BY day
             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n_win,
           sum(c) OVER (ORDER BY day
-            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS sum_win
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT AS sum_win,
+          max(day) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+          - min(day) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS span_win
         FROM daily),
       ratios AS (SELECT ((day % 7) + 7) % 7 AS weekday,
           round(c::DOUBLE * 7.0 / sum_win * 1e9)::BIGINT AS ratio_nano
-        FROM win WHERE n_win = 7),
+        FROM win WHERE n_win = 7 AND span_win = 6),
       pd AS (SELECT weekday, count(*)::BIGINT AS n_obs,
           round(sum(ratio_nano) * 1.0 / count(*))::BIGINT AS idx_nano
         FROM ratios GROUP BY 1),

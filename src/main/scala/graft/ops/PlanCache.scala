@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped persisted-DataFrame cache keyed by (session, fixture
@@ -23,6 +23,20 @@ import org.apache.spark.storage.StorageLevel
   * inventory can't silently cross the cap again.
   */
 private[graft] object PlanCache {
+
+  /** Persist `df` unless a logically-equal plan is already cached —
+    * `Dataset.storageLevel` consults the session CacheManager by
+    * canonicalized-plan equality, the same lookup that makes a second
+    * `persist` log `CacheManager: Asked to cache already cached data`.
+    * Re-running a query whose operator persists an intermediate (the
+    * RangeNtile/RangeLead freeze, the Jaccard posting table, bench
+    * best-of-2 passes) hits this constantly; reusing the live cache
+    * entry is both the intent and warning-free.
+    */
+  def freeze[T](ds: Dataset[T]): Dataset[T] =
+    if (ds.storageLevel == StorageLevel.NONE)
+      ds.persist(StorageLevel.MEMORY_AND_DISK)
+    else ds
 
   /** Cap on live cached subplans; must stay >= 2x the distinct
     * per-dir key inventory (enforced by PlanLintSpec).
@@ -70,7 +84,7 @@ private[graft] object PlanCache {
       val cached = entries.get(key)
       if (cached != null) cached
       else {
-        val p = build.persist(StorageLevel.MEMORY_AND_DISK)
+        val p = freeze(build)
         entries.put(key, p)
         p
       }

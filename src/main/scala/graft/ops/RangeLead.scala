@@ -46,13 +46,12 @@ private[graft] object RangeLead {
   def gaps(df: DataFrame, shards: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ranged = df
+    val ranged = PlanCache.freeze(df
       .select(col("key").as("k"), col("ts_us").as("ts"),
         col("tie"), col("value").as("v"))
       .as[InRow]
       .repartitionByRange(shards, col("k"), col("ts"), col("tie"))
-      .sortWithinPartitions(col("k"), col("ts"), col("tie"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sortWithinPartitions(col("k"), col("ts"), col("tie")))
     val inner: Dataset[GapRow] = ranged.mapPartitions { it =>
       new Iterator[GapRow] {
         private var prev: InRow = null

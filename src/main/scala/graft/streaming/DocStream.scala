@@ -412,4 +412,68 @@ object DocStream {
       .select(expr(graft.ops.Portable.splitCaseSpark).as("split"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("obs"))
+
+  final case class IngestHit(doc_new: Long, n_new: Long, doc_old: Long,
+      n_old: Long)
+  final case class IngestDup(doc_new: Long, doc_old: Long, n_common: Long,
+      jaccard: Double)
+
+  /** Streaming twin of q104's incremental near-dup INGEST join — the
+    * day-to-day 100 TB dedup shape: each arriving document is shingled
+    * row-locally ([[Dedup.shinglesRowLocal]], the exact batch trigram
+    * hash) and stream-static joined against the STANDING corpus
+    * inverted index on shingle hash — new×old only, never old×old, the
+    * same contract as the batch query. The join fans a new doc out to
+    * its matching corpus posting lists; one stateful stage keyed by
+    * (doc_new, doc_old) accumulates the intersection size and emits the
+    * pair's row whenever it grows past the exact-Jaccard threshold
+    * (q20 arithmetic: n∩ / (n_old + n_new − n∩); both set sizes ride
+    * the join rows, so no second aggregate touches the stream).
+    *
+    * A document's rows arrive atomically (one stream row explodes to
+    * all its shingles inside one microbatch), so a pair's count is
+    * complete at its first group invocation; the state — three longs
+    * per COLLIDING pair, not per pair of docs — exists to keep
+    * re-emission monotone if the same doc id is ever re-crawled, and in
+    * a continuous deployment would carry a TTL the same way the batch
+    * side re-bootstraps. Consumers keep the LATEST row per pair; after
+    * an AvailableNow backfill that set filtered at `threshold` IS the
+    * batch q104 result (StreamingSpec pins it).
+    *
+    * `standingInv` is a BATCH posting table (doc_id, h) — in production
+    * a bucketed table keyed by shingle hash, so the per-microbatch join
+    * co-locates against it without shuffling the corpus.
+    */
+  def ingestNearDups(newDocsStream: DataFrame, standingInv: DataFrame,
+      threshold: Double = 0.8): Dataset[IngestDup] = {
+    val spark = newDocsStream.sparkSession
+    import spark.implicits._
+    val sizes = standingInv.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_old"))
+    val old = standingInv.select(col("doc_id").as("doc_old"), col("h"))
+      .join(sizes.select(col("doc_id").as("doc_old"), col("n_old")),
+        "doc_old")
+    Dedup.shinglesRowLocal(newDocsStream)
+      .select(col("doc_id").as("doc_new"), col("n_sh").as("n_new"),
+        col("h"))
+      .join(old, "h") // stream-static inner join: append-legal
+      .select(col("doc_new"), col("n_new"), col("doc_old"), col("n_old"))
+      .as[IngestHit]
+      .groupByKey(r => (r.doc_new, r.doc_old))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), rows: Iterator[IngestHit],
+         state: GroupState[Long]) =>
+          var nNew = 0L
+          var nOld = 0L
+          var fresh = 0L
+          rows.foreach { r => nNew = r.n_new; nOld = r.n_old; fresh += 1 }
+          val n = state.getOption.getOrElse(0L) + fresh
+          state.update(n)
+          val j = n.toDouble / (nOld + nNew - n)
+          if (j >= threshold)
+            Iterator(IngestDup(key._1, key._2, n, j))
+          else Iterator.empty
+      }
+  }
 }

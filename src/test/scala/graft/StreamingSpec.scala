@@ -650,4 +650,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("streaming ingest near-dup (stream-static index join) == batch " +
+    "q104 (AvailableNow)") {
+    import graft.ops.Dedup
+    import graft.streaming.DocStream
+    // the standing corpus index: the batch posting table minus the
+    // arriving slice — exactly the old side of batch q104's new×old join
+    val standing = Dedup.inverted(spark, sf)
+      .where(col("doc_id") % 10 >= 2)
+    val newDocs = DocStream.readDocuments(spark, sf)
+      .where(col("doc_id") % 10 < 2)
+    val q = DocStream.ingestNearDups(newDocs, standing)
+      .writeStream.format("memory").queryName("ingestdup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // keep the latest row per pair (the re-emission contract), then
+    // compare (doc_new, doc_old, jaccard) against the batch query
+    val latest = spark.table("ingestdup")
+      .groupBy(col("doc_new"), col("doc_old"))
+      .agg(max(col("n_common")).as("n_common"), max(col("jaccard")).as("j"))
+    val got = latest.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val want = SparkEntry.queries("q104_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }

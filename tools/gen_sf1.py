@@ -15,8 +15,14 @@ Construction (deterministic, no RNG):
     (replicating verbatim would make every doc a 10-way dup cluster
     and quadratically inflate every pair join, which says nothing
     about real 10x corpora);
-  - dimension tables and embeddings stay 1x (TPC-H dims scale
-    sub-linearly; embedding queries are benched at their own scale).
+  - dimension tables stay 1x (TPC-H dims scale sub-linearly);
+  - embeddings are replicated 10x with a deterministic per-replica
+    perturbation (amplitude 0.085/component, ~cos 0.9 vs the source
+    vector) and re-normalized to unit length: copies land in the same
+    cluster/bucket REGIONS (realistic LSH/IVF occupancy growth) but
+    sit below the near-dup cosine band, so candidate pairs grow with
+    collisions, not 10-way duplicate cliques (same reasoning as the
+    document-text suffixing above).
 
 Usage: python3 tools/gen_sf1.py [/tmp/sf1]
 """
@@ -29,8 +35,28 @@ R = 10
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
-for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+for t in ["region", "nation", "customer", "supplier", "part"]:
     shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+KV = con.execute(f"SELECT max(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+
+# replica 0 stays the source vectors verbatim; replicas 1..9 add a
+# deterministic sin-phase perturbation per (replica, dim, vec_id) and
+# re-normalize, keeping unit norms (the cosine operators assume them)
+# while dropping cosine-vs-source to ~0.9 — inside the same bucket
+# regions, outside the near-dup band
+con.execute(f"""COPY (
+  WITH pert AS (SELECT vec_id + i*{KV} AS vec_id, i, embedding, label,
+      list_transform(range(1, 65), j -> embedding[j]::DOUBLE
+        + 0.085 * sin(0.7*i + 0.31*j + 0.011*vec_id)) AS e
+    FROM '{SRC}/embeddings.parquet', range({R}) r(i)),
+  nrm AS (SELECT vec_id, i, embedding, e,
+      sqrt(list_sum(list_transform(e, x -> x*x))) AS n, label FROM pert)
+  SELECT vec_id,
+    CASE WHEN i = 0 THEN embedding
+    ELSE list_transform(e, x -> (x / n)::FLOAT) END AS embedding, label
+  FROM nrm ORDER BY vec_id
+) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")
 
 KO = con.execute(f"SELECT max(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
 KE = con.execute(f"SELECT max(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
