@@ -7804,6 +7804,438 @@ object Analytics {
       FROM chi, ct
       ORDER BY n DESC, ending LIMIT 10"""))
 
+  // ---------- q358: one-way ANOVA F across priority classes -----------
+
+  /** One-way ANOVA F on order value across the five priority classes —
+    * the MEAN-shift companion to q307's Levene VARIANCE test on the
+    * same grouping: together they answer "do priorities pay
+    * differently, and with different spread?". Values are centered on
+    * the broadcast grand mean and pinned to whole dollars (F is
+    * shift-invariant, and dollar deviations keep sd²/n_g inside int64
+    * through sf100 — the q307 rule), per-group moments ride
+    * BIGINT/DECIMAL(38) exact sums, and the between/within split folds
+    * from k=5 group rows into one moment row, so the statistic is pure
+    * single-row expression math. Shape: one broadcast scalar + one
+    * grouped pass over orders; shuffle carries k rows at any corpus
+    * size.
+    */
+  private val q358 = QueryDef(
+    "q358_anova_f",
+    (s, dir) => {
+      val gm = Fixtures.table(s, dir, "orders")
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("gmean"))
+      val d = Fixtures.table(s, dir, "orders")
+        .crossJoin(broadcast(gm))
+        .select(col("o_orderpriority"),
+          expr("CAST(round(o_totalprice - gmean) AS BIGINT)").as("d"))
+      val g = d.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_g"), sum(col("d")).as("sd"),
+          sum((col("d") * col("d")).cast(DecimalType(38, 0))).as("sdd"))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("sd")).as("td"),
+          sum(col("sdd")).cast(DecimalType(38, 0)).as("tdd"),
+          sum(expr("""CAST(round(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+            / CAST(n_g AS DOUBLE)) AS BIGINT)""")).as("sgm"))
+        .select(col("k"), col("n"),
+          round(((col("sgm").cast("double")
+              - col("td").cast("double") * col("td").cast("double")
+                / col("n").cast("double")) / (col("k") - 1))
+            / ((col("tdd").cast("double") - col("sgm").cast("double"))
+              / (col("n") - col("k"))), 9).as("f_stat"))
+        .select(col("k"), col("n"), col("f_stat"),
+          (col("f_stat") > 2.372).as("mean_shift"))
+    },
+    Some("""WITH gm AS (SELECT
+          sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE / count(*)
+            AS gmean FROM orders),
+      d AS (SELECT o_orderpriority,
+          round(o_totalprice - gmean)::BIGINT AS d
+        FROM orders, gm),
+      g AS (SELECT o_orderpriority, count(*)::BIGINT AS n_g,
+          sum(d)::BIGINT AS sd, sum(d::HUGEINT * d) AS sdd
+        FROM d GROUP BY 1),
+      t AS (SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+          sum(sd)::BIGINT AS td, sum(sdd) AS tdd,
+          sum(round(sd::DOUBLE * sd::DOUBLE / n_g::DOUBLE)::BIGINT)
+            ::BIGINT AS sgm
+        FROM g)
+      SELECT k, n,
+        round(((sgm - td::DOUBLE * td::DOUBLE / n::DOUBLE) / (k - 1))
+          / ((tdd::DOUBLE - sgm) / (n - k)), 9) AS f_stat,
+        (((sgm - td::DOUBLE * td::DOUBLE / n::DOUBLE) / (k - 1))
+          / ((tdd::DOUBLE - sgm) / (n - k))) > 2.372 AS mean_shift
+      FROM t"""))
+
+  // ---------- q360: instrumental-variable (Wald) elasticity ------------
+
+  /** Wald/IV estimate of the discount→quantity response with a
+    * supplier-side cost-shifter instrument, next to the naive OLS
+    * slope — the textbook cure when the regressor is endogenous
+    * (discounts are SET in response to demand, so OLS mixes the two
+    * directions; an instrument that moves discount but not demand
+    * recovers the causal slope). The instrument here is the synthetic
+    * supplier-parity coin (documented as a stand-in for any cost-side
+    * shifter). Both estimators fold from ONE pass of exact integer
+    * moments — discount pinned to basis points, quantity already
+    * integral, cross-products DECIMAL(38)-lifted — into single-row
+    * expression math: β_OLS from (n·Σxy − ΣxΣy)/(n·Σxx − Σx²), β_IV
+    * from the two instrument-group mean differences (Wald form).
+    * Shape: one scan, a 1-row aggregate, zero joins.
+    */
+  private val q360 = QueryDef(
+    "q360_iv_wald",
+    (s, dir) => {
+      val li = Fixtures.table(s, dir, "lineitem")
+        .select(
+          expr("CAST(round(l_discount * 10000) AS BIGINT)").as("x_bp"),
+          expr("CAST(l_quantity AS BIGINT)").as("y"),
+          (col("l_suppkey") % 2 === 0).as("z"))
+      val mom = li.agg(count(lit(1)).as("n"),
+        sum(col("x_bp")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x_bp") * col("x_bp")).cast(DecimalType(38, 0)))
+          .as("sxx"),
+        sum((col("x_bp") * col("y")).cast(DecimalType(38, 0)))
+          .as("sxy"),
+        sum(when(col("z"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("z"), col("x_bp")).otherwise(0L)).as("sx1"),
+        sum(when(col("z"), col("y")).otherwise(0L)).as("sy1"))
+      mom.select(col("n"), col("n1"),
+          (col("sx1").cast("double") / col("n1")
+            - (col("sx") - col("sx1")).cast("double")
+              / (col("n") - col("n1"))).as("dx_bp"),
+          (col("sy1").cast("double") / col("n1")
+            - (col("sy") - col("sy1")).cast("double")
+              / (col("n") - col("n1"))).as("dy"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
+            .as("b_bp"))
+        .select(col("n"), col("n1"),
+          round(col("b_bp") * 10000.0, 9).as("beta_ols"),
+          round(col("dy") / col("dx_bp") * 10000.0, 9).as("beta_iv"),
+          round(col("dx_bp") / 10000.0, 9).as("first_stage"))
+    },
+    Some("""WITH li AS (SELECT
+          round(l_discount * 10000)::BIGINT AS x_bp,
+          l_quantity::BIGINT AS y,
+          l_suppkey % 2 = 0 AS z
+        FROM lineitem),
+      mom AS (SELECT count(*)::BIGINT AS n,
+          sum(x_bp)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+          sum(x_bp::HUGEINT * x_bp) AS sxx,
+          sum(x_bp::HUGEINT * y) AS sxy,
+          sum(CASE WHEN z THEN 1 ELSE 0 END)::BIGINT AS n1,
+          sum(CASE WHEN z THEN x_bp ELSE 0 END)::BIGINT AS sx1,
+          sum(CASE WHEN z THEN y ELSE 0 END)::BIGINT AS sy1
+        FROM li),
+      e AS (SELECT n, n1,
+          sx1::DOUBLE / n1 - (sx - sx1)::DOUBLE / (n - n1) AS dx_bp,
+          sy1::DOUBLE / n1 - (sy - sy1)::DOUBLE / (n - n1) AS dy,
+          (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            AS b_bp
+        FROM mom)
+      SELECT n, n1,
+        round(b_bp * 10000.0, 9) AS beta_ols,
+        round(dy / dx_bp * 10000.0, 9) AS beta_iv,
+        round(dx_bp / 10000.0, 9) AS first_stage
+      FROM e"""))
+
+  // ---------- q361: regression-discontinuity effect --------------------
+
+  /** Sharp regression-discontinuity estimate at the zero-balance
+    * cutoff: customers just below vs just above acctbal 0, outcome =
+    * lifetime spend, local-linear fit on each side inside a ±$2000
+    * bandwidth, effect = the jump between the two intercepts AT the
+    * cutoff — the design a pipeline uses to measure a
+    * threshold-triggered policy (credit hold, eligibility) without an
+    * experiment. Running variable pinned to cents, outcome to whole
+    * dollars (keeps r·y products well inside DECIMAL(38) at sf100);
+    * each side's closed-form OLS folds from when()-pivoted exact
+    * moments in ONE aggregate row, so the whole query is one
+    * broadcast-join pass over customers plus single-row math. Orders
+    * aggregate first (the q301 dedup-before-join rule), then join the
+    * bounded customer dimension.
+    */
+  private val q361 = QueryDef(
+    "q361_rdd_effect",
+    (s, dir) => {
+      val spend = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .cast("double").as("spend"))
+      val pts = Fixtures.table(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("r"),
+          expr("CAST(round(coalesce(spend, 0.0)) AS BIGINT)").as("y"))
+        .where(abs(col("r")) <= 200000L)
+        .withColumn("rt", (col("r") >= 0L).cast("long"))
+      val mom = pts.agg(
+        sum(when(col("rt") === 0L, 1L).otherwise(0L)).as("nl"),
+        sum(when(col("rt") === 0L, col("r")).otherwise(0L)).as("srl"),
+        sum(when(col("rt") === 0L, col("y")).otherwise(0L)).as("syl"),
+        sum(when(col("rt") === 0L, col("r") * col("r")).otherwise(0L)
+          .cast(DecimalType(38, 0))).as("srrl"),
+        sum(when(col("rt") === 0L, col("r") * col("y")).otherwise(0L)
+          .cast(DecimalType(38, 0))).as("sryl"),
+        sum(when(col("rt") === 1L, 1L).otherwise(0L)).as("nr"),
+        sum(when(col("rt") === 1L, col("r")).otherwise(0L)).as("srr"),
+        sum(when(col("rt") === 1L, col("y")).otherwise(0L)).as("syr"),
+        sum(when(col("rt") === 1L, col("r") * col("r")).otherwise(0L)
+          .cast(DecimalType(38, 0))).as("srrr"),
+        sum(when(col("rt") === 1L, col("r") * col("y")).otherwise(0L)
+          .cast(DecimalType(38, 0))).as("sryr"))
+      mom.select(col("nl").as("n_left"), col("nr").as("n_right"),
+          ((col("nl").cast("double") * col("sryl").cast("double")
+            - col("srl").cast("double") * col("syl").cast("double"))
+            / (col("nl").cast("double") * col("srrl").cast("double")
+              - col("srl").cast("double") * col("srl").cast("double")))
+            .as("bl"),
+          ((col("nr").cast("double") * col("sryr").cast("double")
+            - col("srr").cast("double") * col("syr").cast("double"))
+            / (col("nr").cast("double") * col("srrr").cast("double")
+              - col("srr").cast("double") * col("srr").cast("double")))
+            .as("br"),
+          col("srl"), col("syl"), col("nl"),
+          col("srr"), col("syr"), col("nr"))
+        .select(col("n_left"), col("n_right"),
+          ((col("syl").cast("double")
+            - col("bl") * col("srl").cast("double"))
+            / col("nl").cast("double")).as("il"),
+          ((col("syr").cast("double")
+            - col("br") * col("srr").cast("double"))
+            / col("nr").cast("double")).as("ir"))
+        .select(col("n_left"), col("n_right"),
+          round(col("il"), 6).as("int_left"),
+          round(col("ir"), 6).as("int_right"),
+          round(col("ir") - col("il"), 6).as("rd_effect"))
+    },
+    Some("""WITH spend AS (SELECT o_custkey,
+          sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE AS spend
+        FROM orders GROUP BY 1),
+      pts AS (SELECT round(c_acctbal * 100)::BIGINT AS r,
+          round(coalesce(spend, 0.0))::BIGINT AS y,
+          CASE WHEN round(c_acctbal * 100)::BIGINT >= 0
+            THEN 1 ELSE 0 END AS rt
+        FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+        WHERE abs(round(c_acctbal * 100)::BIGINT) <= 200000),
+      mom AS (SELECT
+          sum(CASE WHEN rt = 0 THEN 1 ELSE 0 END)::BIGINT AS nl,
+          sum(CASE WHEN rt = 0 THEN r ELSE 0 END)::BIGINT AS srl,
+          sum(CASE WHEN rt = 0 THEN y ELSE 0 END)::BIGINT AS syl,
+          sum(CASE WHEN rt = 0 THEN r::HUGEINT * r ELSE 0 END) AS srrl,
+          sum(CASE WHEN rt = 0 THEN r::HUGEINT * y ELSE 0 END) AS sryl,
+          sum(CASE WHEN rt = 1 THEN 1 ELSE 0 END)::BIGINT AS nr,
+          sum(CASE WHEN rt = 1 THEN r ELSE 0 END)::BIGINT AS srr,
+          sum(CASE WHEN rt = 1 THEN y ELSE 0 END)::BIGINT AS syr,
+          sum(CASE WHEN rt = 1 THEN r::HUGEINT * r ELSE 0 END) AS srrr,
+          sum(CASE WHEN rt = 1 THEN r::HUGEINT * y ELSE 0 END) AS sryr
+        FROM pts),
+      sl AS (SELECT nl, nr, srl, syl, srr, syr,
+          (nl::DOUBLE * sryl::DOUBLE - srl::DOUBLE * syl::DOUBLE)
+            / (nl::DOUBLE * srrl::DOUBLE - srl::DOUBLE * srl::DOUBLE)
+            AS bl,
+          (nr::DOUBLE * sryr::DOUBLE - srr::DOUBLE * syr::DOUBLE)
+            / (nr::DOUBLE * srrr::DOUBLE - srr::DOUBLE * srr::DOUBLE)
+            AS br
+        FROM mom),
+      ic AS (SELECT nl AS n_left, nr AS n_right,
+          (syl::DOUBLE - bl * srl::DOUBLE) / nl::DOUBLE AS il,
+          (syr::DOUBLE - br * srr::DOUBLE) / nr::DOUBLE AS ir
+        FROM sl)
+      SELECT n_left, n_right,
+        round(il, 6) AS int_left, round(ir, 6) AS int_right,
+        round(ir - il, 6) AS rd_effect
+      FROM ic"""))
+
+  // ---------- q362: Theil–Sen robust slope (binned) --------------------
+
+  /** Theil–Sen robust slope of spend on account balance next to the
+    * OLS slope it robustifies — the median of pairwise slopes shrugs
+    * off the outlier customers that drag OLS around. Exact pairwise
+    * slopes over a corpus are pairs², so this runs the ESTIMATOR over
+    * the q295 bounded grid (10×20 balance×spend cells with counts):
+    * the slope multiset between cell centers weighted by nᵢ·nⱼ is a
+    * ≤C(200,2) CONSTANT-size table at any corpus size, its weighted
+    * median is exact over that table, and the only corpus-sized work
+    * is the grid-build aggregate. The weighted-median prefix scan
+    * rides RangeNtile.withRunningSums (per-shard prefix sums + a
+    * boundary broadcast — no single-partition sort even though the
+    * pair table is constant-bounded). Slopes pinned to micro units;
+    * the weighted OLS twin folds from exact integer cell moments.
+    */
+  private val q362 = QueryDef(
+    "q362_theil_sen",
+    (s, dir) => {
+      val spend = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .cast("double").as("spend"))
+      val cells = Fixtures.table(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .select(
+          least(greatest(expr(
+            "CAST(floor((c_acctbal + 1000.0) / 1100.0) AS BIGINT)"),
+            lit(0L)), lit(9L)).as("bx"),
+          least(greatest(expr(
+            "CAST(floor(spend / 350000.0) AS BIGINT)"),
+            lit(0L)), lit(19L)).as("by"))
+        .groupBy(col("bx"), col("by")).agg(count(lit(1)).as("nij"))
+      val a = cells.select(col("bx").as("ax"), col("by").as("ay"),
+        col("nij").as("na"))
+      val b = cells.select(col("bx").as("cx"), col("by").as("cy"),
+        col("nij").as("nb"))
+      val slopes = a.join(broadcast(b), col("cx") > col("ax"))
+        .select(
+          expr("""CAST(round((cy - ay) * 350000.0 / ((cx - ax) * 1100.0)
+            * 1e6) AS BIGINT)""").as("slope_micro"),
+          (col("na") * col("nb")).as("w"),
+          col("ax"), col("ay"), col("cx"), col("cy"))
+      val tot = slopes.agg(sum(col("w")).as("tw"),
+        count(lit(1)).as("n_pairs"))
+      val cum = RangeNtile.withRunningSums(slopes,
+        Seq(col("slope_micro"), col("ax"), col("ay"), col("cx"),
+          col("cy")),
+        Seq("w" -> "cw"))
+      val olsm = cells.select(col("nij"),
+          (col("bx") * 1100L - 450L).as("xc"),
+          (col("by") * 350000L + 175000L).as("yc"))
+        .agg(sum(col("nij")).as("sw"),
+          sum(col("nij") * col("xc")).as("swx"),
+          sum((col("nij") * col("yc")).cast(DecimalType(38, 0)))
+            .as("swy"),
+          sum((col("nij") * col("xc") * col("xc"))
+            .cast(DecimalType(38, 0))).as("swxx"),
+          sum((col("nij") * col("xc") * col("yc"))
+            .cast(DecimalType(38, 0))).as("swxy"))
+      cum.crossJoin(broadcast(tot))
+        .where(col("cw") * 2 >= col("tw")
+          && (col("cw") - col("w")) * 2 < col("tw"))
+        .crossJoin(broadcast(olsm))
+        .select(col("n_pairs"), col("tw").as("w_pairs"),
+          round(col("slope_micro").cast("double") / 1e6, 9)
+            .as("slope_ts"),
+          round((col("sw").cast("double") * col("swxy").cast("double")
+            - col("swx").cast("double") * col("swy").cast("double"))
+            / (col("sw").cast("double") * col("swxx").cast("double")
+              - col("swx").cast("double") * col("swx").cast("double")),
+            9).as("slope_ols"))
+    },
+    Some("""WITH spend AS (SELECT o_custkey,
+          sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE AS spend
+        FROM orders GROUP BY 1),
+      cells AS (SELECT
+          least(greatest(floor((c_acctbal + 1000.0) / 1100.0)::BIGINT,
+            0), 9) AS bx,
+          least(greatest(floor(spend / 350000.0)::BIGINT, 0), 19)
+            AS by,
+          count(*)::BIGINT AS nij
+        FROM customer JOIN spend ON c_custkey = o_custkey
+        GROUP BY 1, 2),
+      slopes AS (SELECT
+          round((b.by - a.by) * 350000.0 / ((b.bx - a.bx) * 1100.0)
+            * 1e6)::BIGINT AS slope_micro,
+          (a.nij * b.nij)::BIGINT AS w,
+          a.bx AS ax, a.by AS ay, b.bx AS cx, b.by AS cy
+        FROM cells a JOIN cells b ON b.bx > a.bx),
+      tot AS (SELECT sum(w)::BIGINT AS tw, count(*)::BIGINT AS n_pairs
+        FROM slopes),
+      cum AS (SELECT slope_micro, w,
+          sum(w) OVER (ORDER BY slope_micro, ax, ay, cx, cy
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS cw
+        FROM slopes),
+      med AS (SELECT slope_micro FROM cum, tot
+        WHERE cw * 2 >= tw AND (cw - w) * 2 < tw),
+      olsm AS (SELECT sum(nij)::BIGINT AS sw,
+          sum(nij * (bx * 1100 - 450))::BIGINT AS swx,
+          sum(nij::HUGEINT * (by * 350000 + 175000)) AS swy,
+          sum(nij::HUGEINT * (bx * 1100 - 450) * (bx * 1100 - 450))
+            AS swxx,
+          sum(nij::HUGEINT * (bx * 1100 - 450) * (by * 350000 + 175000))
+            AS swxy
+        FROM cells)
+      SELECT n_pairs, tw AS w_pairs,
+        round(slope_micro::DOUBLE / 1e6, 9) AS slope_ts,
+        round((sw::DOUBLE * swxy::DOUBLE - swx::DOUBLE * swy::DOUBLE)
+          / (sw::DOUBLE * swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE), 9)
+          AS slope_ols
+      FROM med, tot, olsm"""))
+
+  // ---------- q363: Cochran–Armitage trend test ------------------------
+
+  /** Cochran–Armitage trend test of return rate across the ORDERED
+    * priority ladder (1-URGENT … 5-LOW, scored by their leading
+    * digit) — the right test when the question is "does the rate rise
+    * MONOTONICALLY with priority", where an unordered chi² (q109's
+    * class) throws the ordering away. The binary outcome is "order
+    * contains a returned line", built by aggregating lineitem to
+    * distinct returned order keys BEFORE the join (the q301 rule —
+    * the join carries one row per returned order, not one per line).
+    * Per-class counts collapse to k=5 rows; the z statistic folds
+    * from exact integer sums (scores are single digits, so every
+    * product stays tiny) in single-row math. Shape: one lineitem
+    * semi-reduction, one orders pass, k-row shuffle.
+    */
+  private val q363 = QueryDef(
+    "q363_cochran_armitage",
+    (s, dir) => {
+      val ret = Fixtures.table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct()
+        .withColumn("is_ret", lit(1L))
+      val byClass = Fixtures.table(s, dir, "orders")
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(
+          expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+            .as("s_i"),
+          coalesce(col("is_ret"), lit(0L)).as("ret"))
+        .groupBy(col("s_i"))
+        .agg(count(lit(1)).as("n_i"), sum(col("ret")).as("k_i"))
+      val mom = byClass.agg(sum(col("n_i")).as("n"),
+        sum(col("k_i")).as("kk"),
+        sum(col("s_i") * col("k_i")).as("sk"),
+        sum(col("s_i") * col("n_i")).as("sn"),
+        sum(col("s_i") * col("s_i") * col("n_i")).as("ssn"))
+      mom.select(col("n"), col("kk").as("k_ret"),
+          (col("sk").cast("double") - col("kk").cast("double")
+            * col("sn").cast("double") / col("n").cast("double"))
+            .as("num"),
+          (col("kk").cast("double") / col("n")
+            * (lit(1.0) - col("kk").cast("double") / col("n"))
+            * (col("ssn").cast("double") - col("sn").cast("double")
+              * col("sn").cast("double") / col("n").cast("double")))
+            .as("vr"))
+        .select(col("n"), col("k_ret"),
+          round(col("num") / sqrt(col("vr")), 6).as("z_trend"),
+          (abs(col("num") / sqrt(col("vr"))) > 1.96).as("monotone"))
+    },
+    Some("""WITH ret AS (SELECT DISTINCT l_orderkey, 1::BIGINT AS is_ret
+        FROM lineitem WHERE l_returnflag = 'R'),
+      byc AS (SELECT
+          CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s_i,
+          count(*)::BIGINT AS n_i,
+          sum(coalesce(is_ret, 0))::BIGINT AS k_i
+        FROM orders o LEFT JOIN ret r ON o.o_orderkey = r.l_orderkey
+        GROUP BY 1),
+      mom AS (SELECT sum(n_i)::BIGINT AS n, sum(k_i)::BIGINT AS kk,
+          sum(s_i * k_i)::BIGINT AS sk, sum(s_i * n_i)::BIGINT AS sn,
+          sum(s_i * s_i * n_i)::BIGINT AS ssn
+        FROM byc),
+      e AS (SELECT n, kk,
+          sk::DOUBLE - kk::DOUBLE * sn::DOUBLE / n::DOUBLE AS num,
+          kk::DOUBLE / n * (1.0 - kk::DOUBLE / n)
+            * (ssn::DOUBLE - sn::DOUBLE * sn::DOUBLE / n::DOUBLE)
+            AS vr
+        FROM mom)
+      SELECT n, kk AS k_ret,
+        round(num / sqrt(vr), 6) AS z_trend,
+        abs(num / sqrt(vr)) > 1.96 AS monotone
+      FROM e"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -7815,5 +8247,6 @@ object Analytics {
       q285, q288, q289, q291, q292, q293, q294, q295, q296, q297, q301,
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
       q325, q326, q327, q330, q333, q338, q340, q341, q342, q345, q348,
-      q349, q350, q351, q352, q353, q355, q357)
+      q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
+      q363)
 }

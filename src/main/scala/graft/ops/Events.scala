@@ -4262,11 +4262,701 @@ object Events {
         round(sum(abs(c - f7))::DOUBLE / sum(abs(c - f1)), 9) AS mase
       FROM j GROUP BY 1 ORDER BY event_type"""))
 
+  // ---------- q359: Newey–West (HAC) standard error --------------------
+
+  /** Newey–West / HAC standard error of the daily-traffic mean with a
+    * Bartlett kernel at lag 3, reported against the iid standard
+    * error it corrects — daily counts are autocorrelated (q142
+    * measures exactly that), so the iid SE understates uncertainty
+    * and every "is traffic up" test built on it over-rejects; the
+    * HAC ratio is the calibration factor. Shares q322's machinery
+    * verbatim: milli-pinned deviations from the broadcast mean, THREE
+    * bounded day+k self-equi-joins (|days| rows each at any corpus
+    * size — the day table is calendar-bounded), DECIMAL(38)/HUGEINT
+    * lag products, q322's documented gap convention, then one moment
+    * row and pure expression math: lrv = γ₀ + 2Σ(1 − k/4)γ_k,
+    * se = √(lrv/n).
+    */
+  private val q359 = QueryDef(
+    "q359_newey_west",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val st = daily.agg(
+        expr("CAST(round(sum(c) * 1000.0 / count(1)) AS BIGINT)")
+          .as("mean_milli"))
+      val dev = daily.crossJoin(broadcast(st))
+        .select(col("day"), (col("c") * 1000 - col("mean_milli"))
+          .as("d"), col("mean_milli"))
+      def lagged(k: Int) = dev.select((col("day") - k).as("day"),
+        col("d").as(s"d$k"))
+      val dDec = col("d").cast("decimal(38,0)")
+      val mom = dev
+        .join(lagged(1), Seq("day"), "left")
+        .join(lagged(2), Seq("day"), "left")
+        .join(lagged(3), Seq("day"), "left")
+        .agg(count(lit(1)).as("n"), max(col("mean_milli")).as("mm"),
+          sum(dDec * col("d")).as("s0"),
+          sum(dDec * coalesce(col("d1"), lit(0L))).as("s1"),
+          sum(dDec * coalesce(col("d2"), lit(0L))).as("s2"),
+          sum(dDec * coalesce(col("d3"), lit(0L))).as("s3"))
+      val g = mom.select(col("n"), col("mm"),
+        (col("s0").cast("double") / 1e6 / col("n")).as("g0"),
+        (col("s1").cast("double") / 1e6 / col("n")).as("g1"),
+        (col("s2").cast("double") / 1e6 / col("n")).as("g2"),
+        (col("s3").cast("double") / 1e6 / col("n")).as("g3"))
+      g.select(col("n"),
+          round(col("mm").cast("double") / 1e3, 6).as("mean_daily"),
+          round(sqrt(col("g0") / col("n")), 9).as("se_iid"),
+          round(sqrt((col("g0") + lit(2.0) * (lit(0.75) * col("g1")
+            + lit(0.5) * col("g2") + lit(0.25) * col("g3")))
+            / col("n")), 9).as("se_hac"))
+        .select(col("n"), col("mean_daily"), col("se_iid"),
+          col("se_hac"),
+          round(col("se_hac") / col("se_iid"), 6).as("hac_ratio"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT AS c
+        FROM events GROUP BY 1),
+      st AS (SELECT round(sum(c)::BIGINT * 1000.0 / count(*))::BIGINT
+          AS mean_milli FROM daily),
+      dev AS (SELECT day, c * 1000 - mean_milli AS d, mean_milli
+        FROM daily, st),
+      mom AS (SELECT count(*)::BIGINT AS n, max(a.mean_milli) AS mm,
+          sum(a.d::HUGEINT * a.d) AS s0,
+          sum(a.d::HUGEINT * coalesce(l1.d, 0)) AS s1,
+          sum(a.d::HUGEINT * coalesce(l2.d, 0)) AS s2,
+          sum(a.d::HUGEINT * coalesce(l3.d, 0)) AS s3
+        FROM dev a
+        LEFT JOIN dev l1 ON l1.day = a.day + 1
+        LEFT JOIN dev l2 ON l2.day = a.day + 2
+        LEFT JOIN dev l3 ON l3.day = a.day + 3),
+      g AS (SELECT n, mm,
+          s0::DOUBLE / 1e6 / n AS g0, s1::DOUBLE / 1e6 / n AS g1,
+          s2::DOUBLE / 1e6 / n AS g2, s3::DOUBLE / 1e6 / n AS g3
+        FROM mom),
+      e AS (SELECT n, round(mm::DOUBLE / 1e3, 6) AS mean_daily,
+          round(sqrt(g0 / n), 9) AS se_iid,
+          round(sqrt((g0 + 2.0 * (0.75 * g1 + 0.5 * g2 + 0.25 * g3))
+            / n), 9) AS se_hac
+        FROM g)
+      SELECT n, mean_daily, se_iid, se_hac,
+        round(se_hac / se_iid, 6) AS hac_ratio
+      FROM e"""))
+
+  // ---------- q364: Wilcoxon signed-rank (paired pre/post) -------------
+
+  /** Wilcoxon signed-rank test of per-user mean event value, first
+    * half of the window vs second half — the nonparametric paired
+    * test a launch review uses when per-user deltas are skewed and a
+    * paired t-test's normality assumption fails. Users are
+    * corpus-proportional, so the rank machinery must not
+    * single-partition: |Δ| ranks come from the tie-group table
+    * (distinct |Δ| values, counts) put through
+    * RangeNtile.withRunningSums — per-shard prefix sums plus the
+    * boundary broadcast — and joined back by |Δ| (hash-distributed).
+    * Average ranks for ties ride the integer form 2r̄ = 2·cnt_less +
+    * cnt_eq + 1, so W⁺/W⁻ accumulate exactly in int64 halves; the
+    * normal approximation applies the standard tie correction
+    * Σ(t³−t)/48. Deltas pinned to micro units; zero deltas dropped
+    * (the standard convention).
+    */
+  private val q364 = QueryDef(
+    "q364_signed_rank",
+    (s, dir) => {
+      val d0 = ev(s, dir).agg(
+        expr("""min(timestampdiff(MICROSECOND,
+          TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+          div 86400000000)""").as("d0"))
+      val byUser = ev(s, dir).crossJoin(broadcast(d0))
+        .select(col("user_id"),
+          (expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+            " div 86400000000") - col("d0") < 15).as("pre"),
+          col("value"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("pre"), 1L).otherwise(0L)).as("n_pre"),
+          sum(when(col("pre"), col("value").cast(DecimalType(18, 6)))
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).as("s_pre"),
+          sum(when(!col("pre"), 1L).otherwise(0L)).as("n_post"),
+          sum(when(!col("pre"), col("value").cast(DecimalType(18, 6)))
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).as("s_post"))
+        .where(col("n_pre") > 0 && col("n_post") > 0)
+        .select(col("user_id"),
+          expr("""CAST(round((CAST(s_post AS DOUBLE) / n_post
+            - CAST(s_pre AS DOUBLE) / n_pre) * 1e6) AS BIGINT)""")
+            .as("dd"))
+        .where(col("dd") =!= 0L)
+        .withColumn("absd", abs(col("dd")))
+      val ties = byUser.groupBy(col("absd"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = RangeNtile.withRunningSums(ties, Seq(col("absd")),
+        Seq("cnt" -> "cum"))
+        .select(col("absd"), col("cnt"),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
+            .as("r2"))
+      val w = byUser.join(cum, Seq("absd"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dd") > 0, col("r2")).otherwise(0L)).as("w2p"),
+          sum(when(col("dd") < 0, col("r2")).otherwise(0L)).as("w2m"))
+      val tc = cum.agg(sum(col("cnt") * col("cnt") * col("cnt")
+        - col("cnt")).as("tsum"))
+      w.crossJoin(broadcast(tc))
+        .select(col("n").as("n_pairs"),
+          (col("w2p").cast("double") / 2.0).as("w_plus"),
+          (col("w2m").cast("double") / 2.0).as("w_minus"),
+          col("w2p"), col("tsum"))
+        .select(col("n_pairs"), col("w_plus"), col("w_minus"),
+          round((col("w2p").cast("double") / 2.0
+            - col("n_pairs").cast("double") * (col("n_pairs") + 1)
+              / 4.0)
+            / sqrt(col("n_pairs").cast("double") * (col("n_pairs") + 1)
+              * (col("n_pairs") * 2 + 1) / 24.0
+              - col("tsum").cast("double") / 48.0), 6).as("z_stat"))
+    },
+    Some("""WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0
+        FROM events),
+      bu AS (SELECT user_id,
+          sum(CASE WHEN epoch_us(ts) // 86400000000 - d0 < 15
+            THEN 1 ELSE 0 END)::BIGINT AS n_pre,
+          sum(CASE WHEN epoch_us(ts) // 86400000000 - d0 < 15
+            THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS s_pre,
+          sum(CASE WHEN epoch_us(ts) // 86400000000 - d0 >= 15
+            THEN 1 ELSE 0 END)::BIGINT AS n_post,
+          sum(CASE WHEN epoch_us(ts) // 86400000000 - d0 >= 15
+            THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS s_post
+        FROM events, d0 GROUP BY 1),
+      dd AS (SELECT user_id,
+          round((s_post::DOUBLE / n_post - s_pre::DOUBLE / n_pre)
+            * 1e6)::BIGINT AS dd
+        FROM bu WHERE n_pre > 0 AND n_post > 0),
+      nz AS (SELECT user_id, dd, abs(dd) AS absd FROM dd
+        WHERE dd <> 0),
+      ties AS (SELECT absd, count(*)::BIGINT AS cnt FROM nz GROUP BY 1),
+      cum AS (SELECT absd, cnt,
+          2 * (sum(cnt) OVER (ORDER BY absd
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - cnt)::BIGINT + cnt + 1 AS r2
+        FROM ties),
+      w AS (SELECT count(*)::BIGINT AS n,
+          sum(CASE WHEN dd > 0 THEN r2 ELSE 0 END)::BIGINT AS w2p,
+          sum(CASE WHEN dd < 0 THEN r2 ELSE 0 END)::BIGINT AS w2m
+        FROM nz JOIN cum USING (absd)),
+      tc AS (SELECT sum(cnt * cnt * cnt - cnt)::BIGINT AS tsum
+        FROM ties)
+      SELECT n AS n_pairs,
+        w2p::DOUBLE / 2.0 AS w_plus, w2m::DOUBLE / 2.0 AS w_minus,
+        round((w2p::DOUBLE / 2.0 - n::DOUBLE * (n + 1) / 4.0)
+          / sqrt(n::DOUBLE * (n + 1) * (2 * n + 1) / 24.0
+            - tsum::DOUBLE / 48.0), 6) AS z_stat
+      FROM w, tc"""))
+
+  // ---------- q365: Cramér–von Mises drift (binned) --------------------
+
+  /** Binned two-sample Cramér–von Mises statistic between the value
+    * distributions of purchase and view events — the integral-of-
+    * squared-ECDF-gap drift test that weights the WHOLE distribution,
+    * complementing q114's KS (supremum gap, tail-sensitive) and q105's
+    * PSI (log-ratio, bin-mass-sensitive). Both samples bin into 40
+    * equal-width cells of the broadcast global [min,max] range, so the
+    * corpus-sized work is one grouped pass and everything after is a
+    * CONSTANT 40-row table; the ECDF prefix is a bounded-window scan
+    * and each bin's contribution is pinned to nano units before the
+    * exact integer total (order-independent — the 40-term double sum
+    * would be associativity-dependent otherwise).
+    */
+  private val q365 = QueryDef(
+    "q365_cvm_drift",
+    (s, dir) => {
+      val vals = ev(s, dir)
+        .where(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("is_a"),
+          col("value"))
+      val rng = vals.agg(min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      val bins = vals.crossJoin(broadcast(rng))
+        .select(least(lit(39L), greatest(lit(0L),
+          expr("CAST(floor((value - mn) * 40.0 / (mx - mn)) AS BIGINT)")))
+          .as("bin"), col("is_a"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = bins.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val terms = bins.crossJoin(broadcast(tot))
+        .withColumn("ca", sum(col("na")).over(w))
+        .withColumn("cb", sum(col("nb")).over(w))
+        .select(col("ta"), col("tb"), col("na"), col("nb"),
+          expr("""CAST(round((na + nb) *
+            (CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb) *
+            (CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb) * 1e9)
+            AS BIGINT)""").as("t_nano"))
+      terms.groupBy(col("ta"), col("tb"))
+        .agg(sum(col("t_nano")).as("tsum"))
+        .select(col("ta").as("n_a"), col("tb").as("n_b"),
+          round(col("ta").cast("double") * col("tb")
+            / ((col("ta") + col("tb")).cast("double")
+              * (col("ta") + col("tb")))
+            * col("tsum").cast("double") / 1e9, 9).as("t_stat"))
+        .select(col("n_a"), col("n_b"), col("t_stat"),
+          (col("t_stat") > 0.461).as("drift"))
+    },
+    Some("""WITH vals AS (SELECT event_type = 'purchase' AS is_a, value
+        FROM events WHERE event_type IN ('purchase', 'view')),
+      rng AS (SELECT min(value) AS mn, max(value) AS mx FROM vals),
+      bins AS (SELECT least(39, greatest(0,
+            floor((value - mn) * 40.0 / (mx - mn))))::BIGINT AS bin,
+          sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+          sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS nb
+        FROM vals, rng GROUP BY 1),
+      tot AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb
+        FROM bins),
+      cum AS (SELECT bin, na, nb, ta, tb,
+          sum(na) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS ca,
+          sum(nb) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS cb
+        FROM bins, tot),
+      terms AS (SELECT ta, tb,
+          round((na + nb) * (ca::DOUBLE / ta - cb::DOUBLE / tb)
+            * (ca::DOUBLE / ta - cb::DOUBLE / tb) * 1e9)::BIGINT
+            AS t_nano
+        FROM cum),
+      e AS (SELECT ta AS n_a, tb AS n_b,
+          round(ta::DOUBLE * tb / ((ta + tb)::DOUBLE * (ta + tb))
+            * sum(t_nano)::DOUBLE / 1e9, 9) AS t_stat
+        FROM terms GROUP BY ta, tb)
+      SELECT n_a, n_b, t_stat, t_stat > 0.461 AS drift
+      FROM e"""))
+
+  // ---------- q366: maximum drawdown of cumulative revenue -------------
+
+  /** Maximum drawdown of the cumulative purchase-revenue curve — the
+    * worst peak-to-trough give-back, the risk statistic a revenue
+    * dashboard pairs with q347's VaR/CVaR (those bound the DAILY tail;
+    * drawdown bounds the CUMULATIVE one). Revenue pinned to cents at
+    * the daily aggregate; the equity curve, running peak, and
+    * drawdown are three windows over the calendar-BOUNDED day table
+    * (≤|days| rows at any corpus size — the q68 class), and the
+    * trough row is a deterministic argmax (drawdown desc, earliest
+    * day ties).
+    */
+  private val q366 = QueryDef(
+    "q366_max_drawdown",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(expr("""CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+          * 100.0) AS BIGINT)""").as("rev_cents"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("equity", sum(col("rev_cents")).over(w))
+        .withColumn("peak", max(col("equity")).over(w))
+        .withColumn("dd_cents", col("peak") - col("equity"))
+      val nd = daily.agg(count(lit(1)).as("n_days"))
+      dd.crossJoin(broadcast(nd))
+        .orderBy(col("dd_cents").desc, col("day"))
+        .limit(1)
+        .select(col("n_days"), col("day").as("trough_day"),
+          round(col("dd_cents").cast("double") / 100.0, 2)
+            .as("max_drawdown"),
+          round(col("dd_cents").cast("double")
+            / col("peak").cast("double"), 9).as("dd_frac"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          round(sum(CAST(value AS DECIMAL(18,6))) * 100.0)::BIGINT
+            AS rev_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      cum AS (SELECT day, rev_cents,
+          sum(rev_cents) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS equity
+        FROM daily),
+      pk AS (SELECT day, equity,
+          max(equity) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS peak
+        FROM cum),
+      dd AS (SELECT day, peak - equity AS dd_cents, peak FROM pk),
+      nd AS (SELECT count(*)::BIGINT AS n_days FROM daily)
+      SELECT n_days, day AS trough_day,
+        round(dd_cents::DOUBLE / 100.0, 2) AS max_drawdown,
+        round(dd_cents::DOUBLE / peak::DOUBLE, 9) AS dd_frac
+      FROM dd, nd
+      ORDER BY dd_cents DESC, day LIMIT 1"""))
+
+  // ---------- q367: Granger-style lead–lag F test ----------------------
+
+  /** Granger-style lead–lag test: do yesterday's CLICKS predict
+    * today's PURCHASES beyond what yesterday's purchases already do?
+    * Restricted (AR(1)) vs unrestricted (AR(1) + click lag) daily
+    * regressions, F on the RSS drop — the causal-ordering screen a
+    * funnel team runs before attributing conversions. Both daily
+    * series are calendar-bounded; lags come from inner day+1
+    * self-joins (observed-triple sample — gaps drop, q322's
+    * convention noted), the joined sample is centered on ITS OWN
+    * broadcast means (milli-pinned), second moments ride
+    * DECIMAL(38)/HUGEINT, and both closed-form regressions fold from
+    * ONE moment row — no iteration, no matrix solver.
+    */
+  private val q367 = QueryDef(
+    "q367_granger_lite",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"),
+          (col("event_type") === "purchase").as("is_a"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("b"))
+      val lag = daily.select((col("day") + 1).as("day"),
+        col("a").as("a1"), col("b").as("b1"))
+      val tri = daily.join(lag, Seq("day"))
+        .select((col("a") * 1000).as("y"), (col("a1") * 1000).as("x1"),
+          (col("b1") * 1000).as("x2"))
+      val means = tri.agg(
+        expr("CAST(round(avg(y)) AS BIGINT)").as("my"),
+        expr("CAST(round(avg(x1)) AS BIGINT)").as("m1"),
+        expr("CAST(round(avg(x2)) AS BIGINT)").as("m2"))
+      val c = tri.crossJoin(broadcast(means))
+        .select((col("y") - col("my")).as("cy"),
+          (col("x1") - col("m1")).as("c1"),
+          (col("x2") - col("m2")).as("c2"))
+      val dec = (x: org.apache.spark.sql.Column) =>
+        x.cast("decimal(38,0)")
+      val mom = c.agg(count(lit(1)).as("n"),
+        sum(dec(col("cy")) * col("cy")).as("syy"),
+        sum(dec(col("c1")) * col("c1")).as("s11"),
+        sum(dec(col("c2")) * col("c2")).as("s22"),
+        sum(dec(col("c1")) * col("c2")).as("s12"),
+        sum(dec(col("c1")) * col("cy")).as("s1y"),
+        sum(dec(col("c2")) * col("cy")).as("s2y"))
+      val e = mom.select(col("n"),
+        col("syy").cast("double").as("syy"),
+        col("s11").cast("double").as("s11"),
+        col("s22").cast("double").as("s22"),
+        col("s12").cast("double").as("s12"),
+        col("s1y").cast("double").as("s1y"),
+        col("s2y").cast("double").as("s2y"))
+      e.select(col("n"),
+          (col("syy") - col("s1y") * col("s1y") / col("s11"))
+            .as("rss_r"),
+          (col("syy") - (col("s1y") * col("s1y") * col("s22")
+            - lit(2.0) * col("s1y") * col("s2y") * col("s12")
+            + col("s2y") * col("s2y") * col("s11"))
+            / (col("s11") * col("s22") - col("s12") * col("s12")))
+            .as("rss_u"),
+          ((col("s2y") * col("s11") - col("s1y") * col("s12"))
+            / (col("s11") * col("s22") - col("s12") * col("s12")))
+            .as("beta_b"))
+        .select(col("n"),
+          round((col("rss_r") - col("rss_u"))
+            / (col("rss_u") / (col("n") - 3)), 6).as("f_stat"),
+          round(col("beta_b"), 9).as("beta_click_lag"),
+          round((col("rss_r") - col("rss_u")) / col("rss_r"), 9)
+            .as("r2_gain"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+            END)::BIGINT AS a,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+            END)::BIGINT AS b
+        FROM events WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1),
+      tri AS (SELECT d.a * 1000 AS y, l.a * 1000 AS x1,
+          l.b * 1000 AS x2
+        FROM daily d JOIN daily l ON d.day = l.day + 1),
+      means AS (SELECT round(avg(y))::BIGINT AS my,
+          round(avg(x1))::BIGINT AS m1, round(avg(x2))::BIGINT AS m2
+        FROM tri),
+      c AS (SELECT y - my AS cy, x1 - m1 AS c1, x2 - m2 AS c2
+        FROM tri, means),
+      mom AS (SELECT count(*)::BIGINT AS n,
+          sum(cy::HUGEINT * cy) AS syy, sum(c1::HUGEINT * c1) AS s11,
+          sum(c2::HUGEINT * c2) AS s22, sum(c1::HUGEINT * c2) AS s12,
+          sum(c1::HUGEINT * cy) AS s1y, sum(c2::HUGEINT * cy) AS s2y
+        FROM c),
+      e AS (SELECT n, syy::DOUBLE AS syy, s11::DOUBLE AS s11,
+          s22::DOUBLE AS s22, s12::DOUBLE AS s12, s1y::DOUBLE AS s1y,
+          s2y::DOUBLE AS s2y
+        FROM mom),
+      f AS (SELECT n,
+          syy - s1y * s1y / s11 AS rss_r,
+          syy - (s1y * s1y * s22 - 2.0 * s1y * s2y * s12
+            + s2y * s2y * s11) / (s11 * s22 - s12 * s12) AS rss_u,
+          (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS beta_b
+        FROM e)
+      SELECT n,
+        round((rss_r - rss_u) / (rss_u / (n - 3)), 6) AS f_stat,
+        round(beta_b, 9) AS beta_click_lag,
+        round((rss_r - rss_u) / rss_r, 9) AS r2_gain
+      FROM f"""))
+
+  // ---------- q368: Page–Hinkley drift monitor -------------------------
+
+  /** Page–Hinkley drift monitor over the daily mean event value — the
+    * sequential mean-shift detector a data-quality pipeline runs on
+    * every numeric feed (CUSUM's one-sided cousin; q171 covers CUSUM
+    * changepoints, this is the alarm-threshold form λ=10 value
+    * units, δ=0). The PH path needs the running mean at EACH step, so
+    * it is a cumulative of a cumulative — all of it windows over the
+    * calendar-BOUNDED day table, never the event corpus: daily means
+    * pinned to micro units, per-day terms re-pinned after the
+    * running-mean subtraction, then a second prefix and a running
+    * minimum give the excess statistic PH_t − min PH; the report is
+    * the max-excess row and the first alarm day.
+    */
+  private val q368 = QueryDef(
+    "q368_page_hinkley",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(expr("""CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+          AS DOUBLE) / count(1) * 1e6) AS BIGINT)""").as("x_micro"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ph = daily
+        .withColumn("t", count(lit(1)).over(w))
+        .withColumn("cx", sum(col("x_micro")).over(w))
+        .withColumn("term", expr("""CAST(round(x_micro
+          - CAST(cx AS DOUBLE) / t) AS BIGINT)"""))
+        .withColumn("ph", sum(col("term")).over(w))
+        .withColumn("ph_min", min(col("ph")).over(w))
+        .withColumn("excess", col("ph") - col("ph_min"))
+      val alarm = ph.where(col("excess") > 10000000L)
+        .agg(min(col("day")).as("first_alarm"))
+      ph.orderBy(col("excess").desc, col("day")).limit(1)
+        .crossJoin(broadcast(alarm))
+        .select(col("day").as("peak_day"),
+          round(col("excess").cast("double") / 1e6, 6)
+            .as("max_excess"),
+          coalesce(col("first_alarm"), lit(-1L)).as("first_alarm"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE / count(*)
+            * 1e6)::BIGINT AS x_micro
+        FROM events GROUP BY 1),
+      c1 AS (SELECT day, x_micro,
+          count(*) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ::BIGINT AS t,
+          sum(x_micro) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ::BIGINT AS cx
+        FROM daily),
+      tm AS (SELECT day,
+          round(x_micro - cx::DOUBLE / t)::BIGINT AS term
+        FROM c1),
+      c2 AS (SELECT day,
+          sum(term) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ::BIGINT AS ph
+        FROM tm),
+      c3 AS (SELECT day, ph,
+          min(ph) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ::BIGINT AS ph_min
+        FROM c2),
+      ex AS (SELECT day, ph - ph_min AS excess FROM c3),
+      al AS (SELECT min(day) AS first_alarm FROM ex
+        WHERE excess > 10000000)
+      SELECT day AS peak_day,
+        round(excess::DOUBLE / 1e6, 6) AS max_excess,
+        coalesce(first_alarm, -1) AS first_alarm
+      FROM ex, al
+      ORDER BY excess DESC, day LIMIT 1"""))
+
+  // ---------- q369: Kupiec proportion-of-failures VaR backtest ---------
+
+  /** Kupiec POF backtest of a daily-revenue VaR model: fit the 10 %
+    * VaR on the first 20 days (exact interpolated percentile — both
+    * engines' type-7), count test-window days breaching it, and run
+    * the likelihood-ratio test of "breach rate = 10 %" — the
+    * regulator-standard check that a risk threshold is calibrated,
+    * completing the q347 (VaR/CVaR) family with its VALIDATION step.
+    * Revenue pinned to cents; the train percentile aggregates 20
+    * bounded rows; the test count is one filtered aggregate; the LR
+    * statistic is single-row math with the 0·ln0 = 0 convention
+    * guarded explicitly.
+    */
+  private val q369 = QueryDef(
+    "q369_kupiec_pof",
+    (s, dir) => {
+      val d0 = ev(s, dir).agg(
+        expr("""min(timestampdiff(MICROSECOND,
+          TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+          div 86400000000)""").as("d0"))
+      val daily = ev(s, dir)
+        .where(col("event_type") === "purchase")
+        .crossJoin(broadcast(d0))
+        .select((expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+          " div 86400000000") - col("d0")).as("rel_day"), col("value"))
+        .groupBy(col("rel_day"))
+        .agg(expr("""CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+          * 100.0) AS BIGINT)""").as("rev_cents"))
+      val varT = daily.where(col("rel_day") < 20)
+        .agg(expr("percentile(rev_cents, 0.1)").as("var_cents"))
+      val test = daily.where(col("rel_day") >= 20)
+        .crossJoin(broadcast(varT))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("rev_cents").cast("double") < col("var_cents"),
+            1L).otherwise(0L)).as("x_viol"),
+          max(col("var_cents")).as("var_cents"))
+      test.select(col("n_test"), col("x_viol"),
+          round(col("var_cents") / 100.0, 6).as("var_thresh"),
+          (col("x_viol").cast("double") / col("n_test")).as("phat"))
+        .select(col("n_test"), col("x_viol"), col("var_thresh"),
+          round(lit(-2.0) * ((col("n_test") - col("x_viol"))
+            * log(lit(0.9)) + col("x_viol") * log(lit(0.1))
+            - when(col("x_viol") === col("n_test"), lit(0.0))
+              .otherwise((col("n_test") - col("x_viol"))
+                * log(lit(1.0) - col("phat")))
+            - when(col("x_viol") === 0L, lit(0.0))
+              .otherwise(col("x_viol") * log(col("phat")))), 6)
+            .as("lr_pof"))
+        .select(col("n_test"), col("x_viol"), col("var_thresh"),
+          col("lr_pof"), (col("lr_pof") > 3.841).as("reject"))
+    },
+    Some("""WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0
+        FROM events),
+      daily AS (SELECT epoch_us(ts) // 86400000000 - d0 AS rel_day,
+          round(sum(CAST(value AS DECIMAL(18,6))) * 100.0)::BIGINT
+            AS rev_cents
+        FROM events, d0 WHERE event_type = 'purchase' GROUP BY 1),
+      vt AS (SELECT quantile_cont(rev_cents, 0.1) AS var_cents
+        FROM daily WHERE rel_day < 20),
+      test AS (SELECT count(*)::BIGINT AS n_test,
+          sum(CASE WHEN rev_cents::DOUBLE < var_cents THEN 1 ELSE 0
+            END)::BIGINT AS x_viol,
+          max(var_cents) AS var_cents
+        FROM daily, vt WHERE rel_day >= 20),
+      e AS (SELECT n_test, x_viol,
+          round(var_cents / 100.0, 6) AS var_thresh,
+          x_viol::DOUBLE / n_test AS phat
+        FROM test),
+      lr AS (SELECT n_test, x_viol, var_thresh,
+          round(-2.0 * ((n_test - x_viol) * ln(0.9)
+            + x_viol * ln(0.1)
+            - CASE WHEN x_viol = n_test THEN 0.0
+              ELSE (n_test - x_viol) * ln(1.0 - phat) END
+            - CASE WHEN x_viol = 0 THEN 0.0
+              ELSE x_viol * ln(phat) END), 6) AS lr_pof
+        FROM e)
+      SELECT n_test, x_viol, var_thresh, lr_pof,
+        lr_pof > 3.841 AS reject
+      FROM lr"""))
+
+  // ---------- q370: Friedman rank test across event types --------------
+
+  /** Friedman rank test of event-type intensity across days — each
+    * day is a BLOCK, the five event types are TREATMENTS ranked
+    * within the day by count, and the statistic asks whether any type
+    * systematically out-ranks the others once day-level traffic shifts
+    * are blocked out (the nonparametric repeated-measures ANOVA; the
+    * parametric q358 cousin assumes normal residuals). The (day,type)
+    * grid is densified by a bounded cross join so absent cells rank
+    * as zero-count days; within-day ranks are 5-row window
+    * partitions (hash-distributed by day); ties break
+    * deterministically by type name (documented convention — both
+    * dialects identical). Per-type rank sums are exact integers; the
+    * χ²_F fold pins each type's squared deviation to micro units
+    * before the k-term total.
+    */
+  private val q370 = QueryDef(
+    "q370_friedman_ranks",
+    (s, dir) => {
+      val counts = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"), col("event_type"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val days = counts.select(col("day")).distinct()
+      val types = counts.select(col("event_type")).distinct()
+      val dense = days.crossJoin(broadcast(types))
+        .join(counts, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val wd = Window.partitionBy(col("day"))
+        .orderBy(col("c"), col("event_type"))
+      val ranked = dense.withColumn("r", rank().over(wd).cast("long"))
+      val perType = ranked.groupBy(col("event_type"))
+        .agg(sum(col("r")).as("sr"), count(lit(1)).as("n"))
+      val kk = perType.agg(count(lit(1)).as("k"),
+        max(col("n")).as("n_blocks"))
+      val chi = perType.crossJoin(broadcast(kk))
+        .select(col("event_type"), col("sr"), col("n"), col("k"),
+          expr("""CAST(round((CAST(sr AS DOUBLE) / n - (k + 1) / 2.0)
+            * (CAST(sr AS DOUBLE) / n - (k + 1) / 2.0) * 1e6)
+            AS BIGINT)""").as("dev_micro"))
+      val stat = chi.agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("dev_micro")).as("devsum"))
+        .select(round(lit(12.0) * col("n")
+          / (col("k") * (col("k") + 1))
+          * col("devsum").cast("double") / 1e6, 6).as("chi2_f"))
+      chi.crossJoin(broadcast(stat))
+        .select(col("event_type"),
+          round(col("sr").cast("double") / col("n"), 6)
+            .as("mean_rank"),
+          col("chi2_f"), (col("chi2_f") > 9.488).as("signif"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH counts AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          event_type, count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      days AS (SELECT DISTINCT day FROM counts),
+      types AS (SELECT DISTINCT event_type FROM counts),
+      dense AS (SELECT d.day, t.event_type,
+          coalesce(c.c, 0)::BIGINT AS c
+        FROM days d CROSS JOIN types t
+        LEFT JOIN counts c ON c.day = d.day
+          AND c.event_type = t.event_type),
+      ranked AS (SELECT day, event_type,
+          rank() OVER (PARTITION BY day ORDER BY c, event_type)
+            ::BIGINT AS r
+        FROM dense),
+      pt AS (SELECT event_type, sum(r)::BIGINT AS sr,
+          count(*)::BIGINT AS n
+        FROM ranked GROUP BY 1),
+      kk AS (SELECT count(*)::BIGINT AS k, max(n)::BIGINT AS n
+        FROM pt),
+      chi AS (SELECT event_type, sr, pt.n, k,
+          round((sr::DOUBLE / pt.n - (k + 1) / 2.0)
+            * (sr::DOUBLE / pt.n - (k + 1) / 2.0) * 1e6)::BIGINT
+            AS dev_micro
+        FROM pt, kk),
+      stat AS (SELECT round(12.0 * max(n) / (max(k) * (max(k) + 1))
+          * sum(dev_micro)::DOUBLE / 1e6, 6) AS chi2_f
+        FROM chi)
+      SELECT event_type, round(sr::DOUBLE / n, 6) AS mean_rank,
+        chi2_f, chi2_f > 9.488 AS signif
+      FROM chi, stat
+      ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
       q128, q129, q137, q141, q142, q143, q159, q163, q164, q171, q179,
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
-      q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356)
+      q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
+      q359, q364, q365, q366, q367, q368, q369, q370)
 }
