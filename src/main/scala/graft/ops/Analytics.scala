@@ -8236,6 +8236,428 @@ object Analytics {
         abs(num / sqrt(vr)) > 1.96 AS monotone
       FROM e"""))
 
+  // ---------- q371: HITS hubs/authorities ------------------------------
+
+  /** HITS hub/authority scores over the customer→supplier purchase
+    * bipartite graph (2.5 mutual-reinforcement rounds): authorities
+    * are suppliers bought by high-hub customers, hubs are customers
+    * buying from high-authority suppliers — the ranking q60's
+    * PageRank cannot express because it needs BOTH roles at once.
+    * Every iteration is two hash-distributed edge aggregates (the
+    * edge list is the distinct customer–supplier pair table, one
+    * corpus-sized distinct then reused from cache); scores are pinned
+    * to integer nano after each L1 normalization (the broadcast 1-row
+    * total), so the fixed-point arithmetic is bit-identical across
+    * engines and partitionings. Top-10 authorities via TakeOrdered.
+    */
+  private val q371 = QueryDef(
+    "q371_hits",
+    (s, dir) => {
+      val edges = PlanCache.getOrBuild(s, dir, "cust_supp_edges")(
+        Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Fixtures.table(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct())
+      def l1norm(df: DataFrame, key: String, v: String): DataFrame = {
+        val tot = df.agg(sum(col(v)).cast(DecimalType(38, 0)).as("tot"))
+        df.crossJoin(broadcast(tot))
+          .select(col(key),
+            expr(s"""CAST(round(CAST($v AS DOUBLE) * 1e9
+              / CAST(tot AS DOUBLE)) AS BIGINT)""").as(v))
+      }
+      // h0 = 1 per customer → a1_s ∝ in-degree
+      val a1 = l1norm(edges.groupBy(col("sp"))
+        .agg(count(lit(1)).as("a")), "sp", "a")
+      val h1 = l1norm(edges.join(a1, Seq("sp"))
+        .groupBy(col("c")).agg(sum(col("a")).as("h")), "c", "h")
+      val a2 = l1norm(edges.join(h1, Seq("c"))
+        .groupBy(col("sp")).agg(sum(col("h")).as("a")), "sp", "a")
+      val h2 = l1norm(edges.join(a2, Seq("sp"))
+        .groupBy(col("c")).agg(sum(col("a")).as("h")), "c", "h")
+      val a3 = l1norm(edges.join(h2, Seq("c"))
+        .groupBy(col("sp")).agg(sum(col("h")).as("a")), "sp", "a")
+      a3.select(col("sp").as("suppkey"),
+          round(col("a").cast("double") / 1e9, 9).as("authority"))
+        .orderBy(col("authority").desc, col("suppkey"))
+        .limit(10)
+    },
+    Some("""WITH edges AS (SELECT DISTINCT o_custkey AS c,
+          l_suppkey AS sp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      a1r AS (SELECT sp, count(*)::BIGINT AS a FROM edges GROUP BY 1),
+      a1 AS (SELECT sp, round(a::DOUBLE * 1e9
+          / (SELECT sum(a)::DOUBLE FROM a1r))::BIGINT AS a FROM a1r),
+      h1r AS (SELECT c, sum(a)::BIGINT AS h
+        FROM edges JOIN a1 USING (sp) GROUP BY 1),
+      h1 AS (SELECT c, round(h::DOUBLE * 1e9
+          / (SELECT sum(h)::DOUBLE FROM h1r))::BIGINT AS h FROM h1r),
+      a2r AS (SELECT sp, sum(h)::BIGINT AS a
+        FROM edges JOIN h1 USING (c) GROUP BY 1),
+      a2 AS (SELECT sp, round(a::DOUBLE * 1e9
+          / (SELECT sum(a)::DOUBLE FROM a2r))::BIGINT AS a FROM a2r),
+      h2r AS (SELECT c, sum(a)::BIGINT AS h
+        FROM edges JOIN a2 USING (sp) GROUP BY 1),
+      h2 AS (SELECT c, round(h::DOUBLE * 1e9
+          / (SELECT sum(h)::DOUBLE FROM h2r))::BIGINT AS h FROM h2r),
+      a3r AS (SELECT sp, sum(h)::BIGINT AS a
+        FROM edges JOIN h2 USING (c) GROUP BY 1),
+      a3 AS (SELECT sp, round(a::DOUBLE * 1e9
+          / (SELECT sum(a)::DOUBLE FROM a3r))::BIGINT AS a FROM a3r)
+      SELECT sp AS suppkey, round(a::DOUBLE / 1e9, 9) AS authority
+      FROM a3
+      ORDER BY authority DESC, suppkey LIMIT 10"""))
+
+  // ---------- q372: closeness centrality from sampled sources ----------
+
+  /** Closeness and harmonic centrality of 8 hash-sampled seed parts
+    * over the co-purchase graph, BFS truncated at 4 hops — the
+    * sampled-sources approximation that makes centrality affordable
+    * when exact all-pairs BFS is |V|·|E| (the standard
+    * Eppstein–Wang trade). Multi-source BFS carries (seed, node)
+    * frontier rows — one shared traversal, per-hop dedup +
+    * anti-join, each hop persisted (the q207 idiom, or the unrolled
+    * lineage re-executes every prior hop per branch). Harmonic terms
+    * pin 1/dist to exact micro integers, so the per-seed fold is
+    * order-independent. Truncation is a documented horizon: scores
+    * are "within-4-hops" centralities, the form monitoring uses.
+    */
+  private val q372 = QueryDef(
+    "q372_closeness_sampled",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val pairs = copurchasePairs(s, dir)
+        .where(col("n_orders") >= 2)
+        .select(col("part_a").as("p1"), col("part_b").as("p2"))
+      val edges = pairs.select(col("p1").as("node"), col("p2").as("v"))
+        .unionAll(pairs.select(col("p2").as("node"), col("p1").as("v")))
+      val seeds = edges.select(col("node")).distinct()
+        .where(expr(Portable.h32Spark("concat('close_', node)"))
+          % 10 === 0)
+        .orderBy(col("node")).limit(8)
+        .select(col("node").as("seed"), col("node"),
+          lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var visited = seeds
+      var frontier = seeds.select(col("seed"), col("node"))
+      val hopFrames =
+        scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (h <- 1 to 4) {
+        frontier = frontier.join(edges, "node")
+          .select(col("seed"), col("v").as("node")).distinct()
+          .join(visited.select(col("seed"), col("node")),
+            Seq("seed", "node"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        hopFrames += frontier
+        visited = visited.unionAll(
+          frontier.select(col("seed"), col("node"),
+            lit(h.toLong).as("dist")))
+      }
+      val out = visited.where(col("dist") > 0)
+        .groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(col("dist")).as("sum_dist"),
+          sum(expr("1000000 div dist")).as("harm_micro"))
+        .select(col("seed"), col("n_reached"), col("sum_dist"),
+          round(col("n_reached").cast("double") / col("sum_dist"), 9)
+            .as("closeness"),
+          round(col("harm_micro").cast("double") / 1e6, 6)
+            .as("harmonic"))
+        .orderBy(col("seed"))
+        .localCheckpoint(true)
+      hopFrames.foreach(_.unpersist(blocking = false))
+      out
+    },
+    Some(s"""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o,
+          l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS p1, b.p AS p2 FROM it a
+        JOIN it b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS (SELECT p1 AS u, p2 AS v FROM pairs
+        UNION ALL SELECT p2, p1 FROM pairs),
+      seeds AS (SELECT u AS seed FROM (SELECT DISTINCT u FROM edges)
+        WHERE ${Portable.h32Duck("'close_' || u")} % 10 = 0
+        ORDER BY u LIMIT 8),
+      w(seed, node, dist) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION ALL
+        SELECT w.seed, e.v, w.dist + 1
+        FROM w JOIN edges e ON e.u = w.node
+        WHERE w.dist < 4),
+      walk AS (SELECT seed, node, min(dist) AS dist FROM w
+        GROUP BY 1, 2)
+      SELECT seed, count(*)::BIGINT AS n_reached,
+        sum(dist)::BIGINT AS sum_dist,
+        round(count(*)::DOUBLE / sum(dist), 9) AS closeness,
+        round(sum(1000000 // dist)::DOUBLE / 1e6, 6) AS harmonic
+      FROM walk WHERE dist > 0
+      GROUP BY seed ORDER BY seed"""))
+
+  // ---------- q373: local clustering-coefficient distribution ----------
+
+  /** Local clustering coefficient distribution over the co-purchase
+    * graph — per node, the fraction of its neighbor pairs that are
+    * themselves connected, binned into deciles: the
+    * community-structure fingerprint that separates tight product
+    * families (cc→1) from accessory hubs bridging unrelated baskets
+    * (cc→0); complements q82 (triangle counts on the DOC graph) and
+    * q226 (assortativity). Triangles enumerate once via the
+    * degree-ordered orientation (the q82 Ortmann–Brandes shape —
+    * two-hop fan-out bounded by O(√|E|) per node); per-node
+    * membership counts explode the 3 corners; cc = 2T/(d(d−1)) stays
+    * in EXACT integer arithmetic for the decile binning
+    * ((20·T) div (d(d−1))), so no float crosses the bin edge
+    * differently per engine. Zero-triangle nodes enter bin 0 via the
+    * degree-side left join.
+    */
+  private val q373 = QueryDef(
+    "q373_local_clustering",
+    (s, dir) => {
+      val pairs = copurchasePairs(s, dir)
+        .where(col("n_orders") >= 2)
+        .select(col("part_a").as("a"), col("part_b").as("b"))
+      val deg = pairs.select(col("a").as("n")).unionAll(
+          pairs.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val e = pairs
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(when(lowFirst, col("a")).otherwise(col("b")).as("a"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("b"))
+      val tri = e.alias("e1")
+        .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+        .join(e.alias("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("e2.b").as("z"))
+      val perNode = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("t"))
+      deg.where(col("d") >= 2)
+        .join(perNode, Seq("n"), "left")
+        .select(col("n"), col("d"), coalesce(col("t"), lit(0L)).as("t"))
+        .select(least(lit(9L), expr("(20 * t) div (d * (d - 1))"))
+          .as("cc_decile"),
+          expr("""CAST(round(CAST(2 * t AS DOUBLE) / (d * (d - 1))
+            * 1e6) AS BIGINT)""").as("cc_micro"))
+        .groupBy(col("cc_decile"))
+        .agg(count(lit(1)).as("n_nodes"),
+          round(sum(col("cc_micro")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("avg_cc"))
+        .orderBy(col("cc_decile"))
+    },
+    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem),
+      pairs AS (SELECT a.p AS a, b.p AS b FROM it a
+        JOIN it b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+          SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs)
+        GROUP BY 1),
+      e AS (SELECT CASE WHEN da.d < db.d
+            OR (da.d = db.d AND p.a < p.b) THEN p.a ELSE p.b END AS a,
+          CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+            THEN p.b ELSE p.a END AS b
+        FROM pairs p
+        JOIN deg da ON da.n = p.a JOIN deg db ON db.n = p.b),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pn AS (SELECT n, count(*)::BIGINT AS t FROM (
+          SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        GROUP BY 1),
+      cc AS (SELECT deg.n, deg.d, coalesce(pn.t, 0)::BIGINT AS t
+        FROM deg LEFT JOIN pn ON pn.n = deg.n
+        WHERE deg.d >= 2)
+      SELECT least(9, (20 * t) // (d * (d - 1)))::BIGINT AS cc_decile,
+        count(*)::BIGINT AS n_nodes,
+        round(sum(round((2 * t)::DOUBLE / (d * (d - 1)) * 1e6)::BIGINT)
+          ::DOUBLE / count(*) / 1e6, 6) AS avg_cc
+      FROM cc
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------- q374: empirical-Bayes rate shrinkage ---------------------
+
+  /** Empirical-Bayes (method-of-moments) shrinkage of per-supplier
+    * return rates toward the pooled rate — the small-sample fix for
+    * every per-key rate leaderboard: a supplier with 3 lines and one
+    * return is NOT a 33 % returner, and the shrunk estimate
+    * (k + M·p̄)/(n + M) with prior strength M = p̄(1−p̄)/τ̂² says by
+    * how much. τ̂² is the unweighted between-supplier variance of the
+    * micro-pinned raw rates minus the average binomial sampling
+    * variance (both folded from ONE exact-integer moment row;
+    * reciprocals of n pinned to nano). The report is the ten largest
+    * movers — where the prior changed the answer most — ordered by
+    * pinned move size. Shape: one grouped pass over lineitem, a
+    * 1-row broadcast, a second bounded pass over the supplier-rate
+    * table.
+    */
+  private val q374 = QueryDef(
+    "q374_eb_shrinkage",
+    (s, dir) => {
+      val rates = Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("k"))
+        .select(col("l_suppkey"), col("n"), col("k"),
+          expr("CAST(round(CAST(k AS DOUBLE) * 1e6 / n) AS BIGINT)")
+            .as("p_micro"),
+          expr("1000000000 div n").as("inv_nano"))
+      val mom = rates.agg(count(lit(1)).as("g"),
+        sum(col("n")).as("tn"), sum(col("k")).as("tk"),
+        sum(col("p_micro")).as("sp"),
+        sum((col("p_micro") * col("p_micro"))
+          .cast(DecimalType(38, 0))).as("spp"),
+        sum(col("inv_nano")).as("sinv"))
+      val prior = mom.select(
+        (col("tk").cast("double") / col("tn")).as("pbar"),
+        ((col("spp").cast("double")
+          - col("sp").cast("double") * col("sp").cast("double")
+            / col("g")) / (col("g") - 1) / 1e12).as("s2u"),
+        (col("sinv").cast("double") / 1e9 / col("g")).as("invbar"))
+        .select(col("pbar"),
+          greatest(col("s2u") - col("pbar") * (lit(1.0) - col("pbar"))
+            * col("invbar"), lit(1e-9)).as("tau2"))
+        .select(col("pbar"),
+          (col("pbar") * (lit(1.0) - col("pbar")) / col("tau2"))
+            .as("m"))
+      rates.crossJoin(broadcast(prior))
+        .select(col("l_suppkey").as("suppkey"), col("n").as("n_lines"),
+          round(col("p_micro").cast("double") / 1e6, 9).as("raw_rate"),
+          round((col("k").cast("double") + col("m") * col("pbar"))
+            / (col("n").cast("double") + col("m")), 9)
+            .as("shrunk_rate"),
+          expr("""CAST(round(abs((CAST(k AS DOUBLE) + m * pbar)
+            / (CAST(n AS DOUBLE) + m) - CAST(p_micro AS DOUBLE) / 1e6)
+            * 1e9) AS BIGINT)""").as("move_nano"))
+        .select(col("suppkey"), col("n_lines"), col("raw_rate"),
+          col("shrunk_rate"),
+          round(col("move_nano").cast("double") / 1e9, 9).as("move"))
+        .orderBy(col("move").desc, col("suppkey"))
+        .limit(10)
+    },
+    Some("""WITH rates AS (SELECT l_suppkey, count(*)::BIGINT AS n,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS k,
+          round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+            END)::DOUBLE * 1e6 / count(*))::BIGINT AS p_micro,
+          1000000000 // count(*) AS inv_nano
+        FROM lineitem GROUP BY 1),
+      mom AS (SELECT count(*)::BIGINT AS g, sum(n)::BIGINT AS tn,
+          sum(k)::BIGINT AS tk, sum(p_micro)::BIGINT AS sp,
+          sum(p_micro::HUGEINT * p_micro) AS spp,
+          sum(inv_nano)::BIGINT AS sinv
+        FROM rates),
+      pr AS (SELECT tk::DOUBLE / tn AS pbar,
+          (spp::DOUBLE - sp::DOUBLE * sp::DOUBLE / g) / (g - 1) / 1e12
+            AS s2u,
+          sinv::DOUBLE / 1e9 / g AS invbar
+        FROM mom),
+      pm AS (SELECT pbar,
+          pbar * (1.0 - pbar)
+            / greatest(s2u - pbar * (1.0 - pbar) * invbar, 1e-9) AS m
+        FROM pr),
+      sh AS (SELECT l_suppkey AS suppkey, n AS n_lines,
+          round(p_micro::DOUBLE / 1e6, 9) AS raw_rate,
+          round((k::DOUBLE + m * pbar) / (n::DOUBLE + m), 9)
+            AS shrunk_rate,
+          round(abs((k::DOUBLE + m * pbar) / (n::DOUBLE + m)
+            - p_micro::DOUBLE / 1e6) * 1e9)::BIGINT AS move_nano
+        FROM rates, pm)
+      SELECT suppkey, n_lines, raw_rate, shrunk_rate,
+        round(move_nano::DOUBLE / 1e9, 9) AS move
+      FROM sh
+      ORDER BY move DESC, suppkey LIMIT 10"""))
+
+  // ---------- q375: physical-layout (sort-key) planner -----------------
+
+  /** Sort/cluster-key planner: for four candidate layout keys, the
+    * total number of per-group distinct values each co-accessed
+    * column would collapse to — the zone-map/RLE proxy that predicts
+    * how well min-max file skipping (q214's z-order audit measures
+    * the CHOSEN layout; this ranks the CANDIDATES first) and
+    * run-length encoding would work if the table were
+    * bucketed+sorted by that key. Σ_groups distinct(col) is exactly
+    * the number of value runs a group-sorted layout yields, so
+    * rows/Σruns is the mean run length. Each candidate costs one
+    * grouped two-distinct aggregate (hash-distributed; partial
+    * aggregation applies), all four union into a 4-row report —
+    * nothing here is ever larger than |groups|.
+    */
+  private val q375 = QueryDef(
+    "q375_layout_planner",
+    (s, dir) => {
+      val li = Fixtures.table(s, dir, "lineitem")
+      def cand(name: String, key: org.apache.spark.sql.Column)
+          : DataFrame =
+        li.select(key.as("k"), col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("k"))
+          .agg(countDistinct(col("l_orderkey")).as("r_ok"),
+            countDistinct(col("l_partkey")).as("r_pk"),
+            count(lit(1)).as("rows_g"))
+          .agg(lit(name).as("candidate"),
+            count(lit(1)).as("n_groups"),
+            sum(col("r_ok")).as("runs_orderkey"),
+            sum(col("r_pk")).as("runs_partkey"),
+            sum(col("rows_g")).as("n_rows"))
+      val rep = cand("flag_status",
+          concat(col("l_returnflag"), col("l_linestatus")))
+        .unionAll(cand("part_bucket", expr("l_partkey div 100")))
+        .unionAll(cand("ship_month",
+          expr("year(l_shipdate) * 100 + month(l_shipdate)")))
+        .unionAll(cand("supplier", col("l_suppkey")))
+      rep.select(col("candidate"), col("n_groups"),
+          col("runs_orderkey"), col("runs_partkey"),
+          round(col("n_rows").cast("double") * 2.0
+            / (col("runs_orderkey") + col("runs_partkey")), 6)
+            .as("mean_run_len"))
+        .orderBy(col("candidate"))
+    },
+    Some("""WITH c1 AS (SELECT 'flag_status' AS candidate,
+          count(*)::BIGINT AS n_groups,
+          sum(r_ok)::BIGINT AS runs_orderkey,
+          sum(r_pk)::BIGINT AS runs_partkey,
+          sum(rows_g)::BIGINT AS n_rows
+        FROM (SELECT l_returnflag || l_linestatus AS k,
+            count(DISTINCT l_orderkey)::BIGINT AS r_ok,
+            count(DISTINCT l_partkey)::BIGINT AS r_pk,
+            count(*)::BIGINT AS rows_g
+          FROM lineitem GROUP BY 1)),
+      c2 AS (SELECT 'part_bucket', count(*)::BIGINT,
+          sum(r_ok)::BIGINT, sum(r_pk)::BIGINT, sum(rows_g)::BIGINT
+        FROM (SELECT l_partkey // 100 AS k,
+            count(DISTINCT l_orderkey)::BIGINT AS r_ok,
+            count(DISTINCT l_partkey)::BIGINT AS r_pk,
+            count(*)::BIGINT AS rows_g
+          FROM lineitem GROUP BY 1)),
+      c3 AS (SELECT 'ship_month', count(*)::BIGINT,
+          sum(r_ok)::BIGINT, sum(r_pk)::BIGINT, sum(rows_g)::BIGINT
+        FROM (SELECT year(l_shipdate) * 100 + month(l_shipdate) AS k,
+            count(DISTINCT l_orderkey)::BIGINT AS r_ok,
+            count(DISTINCT l_partkey)::BIGINT AS r_pk,
+            count(*)::BIGINT AS rows_g
+          FROM lineitem GROUP BY 1)),
+      c4 AS (SELECT 'supplier', count(*)::BIGINT,
+          sum(r_ok)::BIGINT, sum(r_pk)::BIGINT, sum(rows_g)::BIGINT
+        FROM (SELECT l_suppkey AS k,
+            count(DISTINCT l_orderkey)::BIGINT AS r_ok,
+            count(DISTINCT l_partkey)::BIGINT AS r_pk,
+            count(*)::BIGINT AS rows_g
+          FROM lineitem GROUP BY 1)),
+      u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+      SELECT candidate, n_groups, runs_orderkey, runs_partkey,
+        round(n_rows::DOUBLE * 2.0 / (runs_orderkey + runs_partkey), 6)
+          AS mean_run_len
+      FROM u ORDER BY candidate"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -8248,5 +8670,5 @@ object Analytics {
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
       q325, q326, q327, q330, q333, q338, q340, q341, q342, q345, q348,
       q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
-      q363)
+      q363, q371, q372, q373, q374, q375)
 }
