@@ -1752,7 +1752,166 @@ object Similarity {
       FROM win WHERE rn = 1
       GROUP BY label ORDER BY label"""))
 
+  // ---------- q376: SRP signature fidelity audit ----------------------
+
+  /** Sign-random-projection signature fidelity: how well does the
+    * 24-bit SRP signature (the SAME 4×6 hyperplane construction q23's
+    * LSH buckets use) approximate true cosine? Hamming distance
+    * between two vectors' signatures is Σ_tables popcount(bucket ⊕
+    * bucket) — the packed sign bits ARE the buckets — and the linear
+    * proxy sim ≈ 1 − 2h/24 is compared against exact cosine over a
+    * deterministic shift-pairing sample (vec_id ↔ vec_id+17: a
+    * bijective, linear-in-corpus pair set via one co-partitioned
+    * equi-join, never pairs²). Per-hamming-bin means pin cosines to
+    * nano before the fold. This audit is what justifies (or indicts)
+    * q23's table×plane budget — read next to q127's recall and q321's
+    * Jaccard-side planner.
+    */
+  private val q376 = QueryDef(
+    "q376_srp_fidelity",
+    (s, dir) => {
+      val sig = emb(s, dir).select(col("vec_id"),
+        col("embedding"),
+        expr(s"graft_lsh_buckets(embedding, $planesSpark, " +
+          s"$PlanesPerTable)").as("bks"))
+      val pairs = sig.alias("a")
+        .join(sig.alias("b"),
+          col("a.vec_id") + 17 === col("b.vec_id"))
+        .select(
+          expr("""aggregate(zip_with(a.bks, b.bks,
+            (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)""")
+            .as("ham"),
+          expr("""CAST(round(graft_cosine(a.embedding, b.embedding)
+            * 1e9) AS BIGINT)""").as("cos_nano"))
+        .withColumn("est_nano",
+          // CAST ham to DOUBLE first: a bare `ham / 12.0` parses the
+          // literal as DECIMAL and divides in truncating decimal scale
+          // (the documented cross-engine literal trap)
+          expr("""CAST(round((1.0 - CAST(ham AS DOUBLE) / 12.0) * 1e9)
+            AS BIGINT)"""))
+      pairs.groupBy(col("ham"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cos_nano")).as("scos"),
+          sum(abs(col("cos_nano") - col("est_nano"))).as("serr"))
+        .select(col("ham"), col("n_pairs"),
+          round(col("scos").cast("double") / col("n_pairs") / 1e9, 9)
+            .as("mean_cos"),
+          round(lit(1.0) - col("ham") / 12.0, 9).as("est_sim"),
+          round(col("serr").cast("double") / col("n_pairs") / 1e9, 9)
+            .as("mean_abs_err"))
+        .orderBy(col("ham"))
+    },
+    Some {
+      val bksDuck = (0 until Tables).map(t =>
+        bucketExpr(t, i => s"dots[$i]")).mkString("[", ", ", "]")
+      val hamDuck = (1 to Tables).map(t =>
+        s"bit_count(xor(a.bks[$t], b.bks[$t]))").mkString(" + ")
+      s"""WITH dotted AS (SELECT vec_id, embedding, $dotsDuck AS dots
+        FROM embeddings),
+      sig AS (SELECT vec_id, embedding, $bksDuck AS bks FROM dotted),
+      pairs AS (SELECT ($hamDuck)::BIGINT AS ham,
+          round(${Dedup.cosDuck("a.embedding", "b.embedding")}
+            * 1e9)::BIGINT AS cos_nano
+        FROM sig a JOIN sig b ON a.vec_id + 17 = b.vec_id),
+      pe AS (SELECT ham, cos_nano,
+          round((1.0 - ham / 12.0) * 1e9)::BIGINT AS est_nano
+        FROM pairs)
+      SELECT ham, count(*)::BIGINT AS n_pairs,
+        round(sum(cos_nano)::DOUBLE / count(*) / 1e9, 9) AS mean_cos,
+        round(1.0 - ham / 12.0, 9) AS est_sim,
+        round(sum(abs(cos_nano - est_nano))::DOUBLE / count(*) / 1e9,
+          9) AS mean_abs_err
+      FROM pe
+      GROUP BY ham ORDER BY ham"""
+    })
+
+  // ---------- q377: embedding-space label-margin audit ----------------
+
+  /** Label-margin audit over LSH candidates: for each vector, the
+    * best same-label and best different-label cosine among its bucket
+    * collisions, and the fraction of vectors whose nearest
+    * cross-label neighbor beats their nearest same-label neighbor
+    * minus a 0.05 margin — the triplet-loss health check a
+    * labeled-embedding pipeline runs to find label noise or collapsed
+    * clusters, reported per label. Candidates come from the q23
+    * bucket join (shuffle ∝ collisions, never pairs²); the per-anchor
+    * fold is one grouped max over same/diff cosines pinned to nano
+    * (exact comparisons); anchors lacking either side drop (both
+    * sides needed for a margin). Scales as the candidate join does —
+    * measured 10.0–10.2× on 10× vectors (BASELINE.md round 9).
+    */
+  private val q377 = QueryDef(
+    "q377_triplet_margin",
+    (s, dir) => {
+      val keys = emb(s, dir).select(col("vec_id"), col("embedding"),
+        col("label"),
+        posexplode(expr(
+          s"graft_lsh_buckets(embedding, $planesSpark, $PlanesPerTable)"))
+          .as(Seq("tbl", "bucket")))
+      val cand = keys.alias("a")
+        .join(keys.alias("b"),
+          col("a.tbl") === col("b.tbl")
+            && col("a.bucket") === col("b.bucket")
+            && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("anchor"),
+          col("a.label").as("label"),
+          (col("a.label") === col("b.label")).as("same"),
+          col("a.embedding").as("ae"), col("b.vec_id").as("nid"),
+          col("b.embedding").as("ne"))
+        .distinct()
+      val perAnchor = cand
+        .select(col("anchor"), col("label"), col("same"),
+          expr("CAST(round(graft_cosine(ae, ne) * 1e9) AS BIGINT)")
+            .as("cos_nano"))
+        .groupBy(col("anchor"), col("label"))
+        .agg(max(when(col("same"), col("cos_nano"))).as("pos_nano"),
+          max(when(!col("same"), col("cos_nano"))).as("neg_nano"))
+        .where(col("pos_nano").isNotNull && col("neg_nano").isNotNull)
+      perAnchor.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_anchors"),
+          sum(when(col("neg_nano") > col("pos_nano") - 50000000L, 1L)
+            .otherwise(0L)).as("n_violations"),
+          sum(col("pos_nano") - col("neg_nano")).as("smargin"))
+        .select(col("label"), col("n_anchors"), col("n_violations"),
+          round(col("n_violations").cast("double") / col("n_anchors"),
+            9).as("viol_rate"),
+          round(col("smargin").cast("double") / col("n_anchors") / 1e9,
+            9).as("mean_margin"))
+        .orderBy(col("label"))
+    },
+    Some {
+      val bucketSelects = (0 until Tables).map { t =>
+        s"SELECT vec_id, embedding, label, $t AS tbl, " +
+          s"${bucketExpr(t, i => s"dots[$i]")} AS bucket FROM dotted"
+      }.mkString(" UNION ALL ")
+      s"""WITH dotted AS (SELECT vec_id, embedding, label,
+          $dotsDuck AS dots
+        FROM embeddings),
+      keys AS ($bucketSelects),
+      cand AS (SELECT DISTINCT a.vec_id AS anchor, a.label AS label,
+          a.label = b.label AS same, b.vec_id AS nid,
+          round(${Dedup.cosDuck("a.embedding", "b.embedding")}
+            * 1e9)::BIGINT AS cos_nano
+        FROM keys a JOIN keys b ON a.tbl = b.tbl
+          AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      pa AS (SELECT anchor, label,
+          max(CASE WHEN same THEN cos_nano END) AS pos_nano,
+          max(CASE WHEN NOT same THEN cos_nano END) AS neg_nano
+        FROM cand GROUP BY 1, 2),
+      ok AS (SELECT * FROM pa
+        WHERE pos_nano IS NOT NULL AND neg_nano IS NOT NULL)
+      SELECT label, count(*)::BIGINT AS n_anchors,
+        sum(CASE WHEN neg_nano > pos_nano - 50000000 THEN 1 ELSE 0
+          END)::BIGINT AS n_violations,
+        round(sum(CASE WHEN neg_nano > pos_nano - 50000000 THEN 1
+          ELSE 0 END)::DOUBLE / count(*), 9) AS viol_rate,
+        round(sum(pos_nano - neg_nano)::DOUBLE / count(*) / 1e9, 9)
+          AS mean_margin
+      FROM ok
+      GROUP BY label ORDER BY label"""
+    })
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
     q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259,
-    q260, q265, q280, q318, q332)
+    q260, q265, q280, q318, q332, q376, q377)
 }

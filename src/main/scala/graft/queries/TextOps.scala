@@ -1754,8 +1754,150 @@ object TextOps {
         round(obs_adapt / poisson_adapt, 6) AS burstiness
       FROM p ORDER BY word"""))
 
+  // ---------- q378: mean segmental type-token ratio --------------------
+
+  /** Mean Segmental TTR (MSTTR-50) per language next to the naive
+    * whole-doc TTR it corrects: naive TTR collapses as documents get
+    * longer (more repetition opportunities), so cross-language or
+    * cross-length diversity comparisons on it are confounded; slicing
+    * every document into fixed 50-token segments and averaging the
+    * per-segment TTR removes the length artifact — the standard
+    * lexical-diversity measure a corpus datasheet reports. Shape:
+    * posexplode → (doc, pos div 50) group → per-segment distinct
+    * counts; only FULL segments enter (documented convention);
+    * per-segment TTR is the exact integer d·20000 micro (d/50 scaled),
+    * so the per-language fold never sums floats. Everything is one
+    * corpus pass plus bounded per-language aggregates.
+    */
+  private val q378 = QueryDef(
+    "q378_msttr",
+    (s, dir) => {
+      val segs = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("lang"),
+          expr("pos div 50").as("seg"), col("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("seg"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("tok")).as("d"))
+        .where(col("n") === 50)
+      val msttr = segs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("d") * 20000L).as("sttr_micro"))
+      val naive = docs(s, dir)
+        .select(col("lang"),
+          expr("""CAST(round(CAST(size(array_distinct(split(text, ' ')))
+            AS DOUBLE) * 1e6 / size(split(text, ' '))) AS BIGINT)""")
+            .as("ttr_micro"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ttr_micro")).as("snaive"))
+      msttr.join(naive, Seq("lang"))
+        .select(col("lang"), col("n_segments"),
+          round(col("sttr_micro").cast("double") / col("n_segments")
+            / 1e6, 6).as("msttr"),
+          round(col("snaive").cast("double") / col("n_docs") / 1e6, 6)
+            .as("naive_ttr"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH tk AS (SELECT doc_id, lang,
+          string_split(text, ' ') AS parts FROM documents),
+      pos AS (SELECT doc_id, lang,
+          (generate_subscripts(parts, 1) - 1) // 50 AS seg,
+          unnest(parts) AS tok
+        FROM tk),
+      segs AS (SELECT doc_id, lang, seg, count(*)::BIGINT AS n,
+          count(DISTINCT tok)::BIGINT AS d
+        FROM pos GROUP BY 1, 2, 3 HAVING count(*) = 50),
+      ms AS (SELECT lang, count(*)::BIGINT AS n_segments,
+          sum(d * 20000)::BIGINT AS sttr_micro
+        FROM segs GROUP BY 1),
+      nv AS (SELECT lang, count(*)::BIGINT AS n_docs,
+          sum(round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+            * 1e6 / len(string_split(text, ' ')))::BIGINT)::BIGINT
+            AS snaive
+        FROM documents GROUP BY 1)
+      SELECT lang, n_segments,
+        round(sttr_micro::DOUBLE / n_segments / 1e6, 6) AS msttr,
+        round(snaive::DOUBLE / n_docs / 1e6, 6) AS naive_ttr
+      FROM ms JOIN nv USING (lang)
+      ORDER BY lang"""))
+
+  // ---------- q379: PMI collocation pairs ------------------------------
+
+  /** Top PMI collocations among the 200 highest-df terms — pointwise
+    * mutual information over document co-occurrence, the association
+    * score that finds "terms that travel together" after q168's MI
+    * (event-level) and q217's raw bigram counts (adjacency-level);
+    * PMI is doc-level and order-free. The vocabulary cap is the scale
+    * contract: term pairs only ever form WITHIN the broadcast top-200
+    * vocabulary (TakeOrdered over the df aggregate), so the self-join
+    * on doc_id fans out at most C(200,2) per doc and the pair space
+    * is constant-bounded; support ≥ 5 prunes noise and ln() runs on
+    * exact integer counts in single-row-per-pair math. Top-20 by
+    * micro-pinned PMI via TakeOrdered.
+    */
+  private val q379 = QueryDef(
+    "q379_pmi_pairs",
+    (s, dir) => {
+      val inc = docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+      val vocab = broadcast(inc.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(200))
+      val vinc = inc.join(vocab.select(col("term")), Seq("term"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("nd"))
+      val pairs = vinc.alias("a")
+        .join(vinc.alias("b"),
+          col("a.doc_id") === col("b.doc_id")
+            && col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 5)
+      pairs
+        .join(vocab.select(col("term").as("t1"), col("df").as("df1")),
+          Seq("t1"))
+        .join(vocab.select(col("term").as("t2"), col("df").as("df2")),
+          Seq("t2"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("t1"), col("t2"), col("n_ab"), col("df1"),
+          col("df2"),
+          expr("""CAST(round(ln(CAST(n_ab AS DOUBLE) * nd
+            / (CAST(df1 AS DOUBLE) * df2)) * 1e6) AS BIGINT)""")
+            .as("pmi_micro"))
+        .select(col("t1"), col("t2"), col("n_ab"), col("df1"),
+          col("df2"),
+          round(col("pmi_micro").cast("double") / 1e6, 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("t1"), col("t2"))
+        .limit(20)
+    },
+    Some("""WITH inc AS (SELECT doc_id,
+          unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents),
+      vocab AS (SELECT term, count(*)::BIGINT AS df FROM inc
+        GROUP BY 1 ORDER BY df DESC, term LIMIT 200),
+      vinc AS (SELECT doc_id, term FROM inc
+        WHERE term IN (SELECT term FROM vocab)),
+      nd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+      pairs AS (SELECT a.term AS t1, b.term AS t2,
+          count(*)::BIGINT AS n_ab
+        FROM vinc a JOIN vinc b ON a.doc_id = b.doc_id
+          AND a.term < b.term
+        GROUP BY 1, 2 HAVING count(*) >= 5),
+      pm AS (SELECT t1, t2, n_ab, v1.df AS df1, v2.df AS df2,
+          round(ln(n_ab::DOUBLE * nd / (v1.df::DOUBLE * v2.df)) * 1e6)
+            ::BIGINT AS pmi_micro
+        FROM pairs
+        JOIN vocab v1 ON v1.term = t1
+        JOIN vocab v2 ON v2.term = t2, nd)
+      SELECT t1, t2, n_ab, df1, df2,
+        round(pmi_micro::DOUBLE / 1e6, 6) AS pmi
+      FROM pm
+      ORDER BY pmi DESC, t1, t2 LIMIT 20"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
       q153, q155, q165, q177, q198, q199, q215, q217, q244, q245, q278,
-      q279, q287, q298, q305, q313, q328)
+      q279, q287, q298, q305, q313, q328, q378, q379)
 }
