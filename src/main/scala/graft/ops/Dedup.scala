@@ -2664,10 +2664,81 @@ object Dedup {
       FROM pb, v ORDER BY bit"""
     })
 
+  // ---------- q381: dedup-aware training sample weights ----------------
+
+  /** Cluster-debiased sampling weights: every doc in a near-dup
+    * cluster of size s trains with weight 1/s, so a 40-copy template
+    * contributes ONE document's worth of gradient instead of forty —
+    * the soft alternative to q39's hard keep-one drop, and the weights
+    * a sampling-based loader actually consumes. Reuses the
+    * once-per-run component labels (ccLabels); the per-source report
+    * gives the weight mass (= effective deduped doc count), the
+    * Kish effective sample size (Σw)²/Σw² (how much the weight
+    * spread itself costs), and the dup share. Weights pin to exact
+    * nano integers (1e9 div s), second moments DECIMAL-lifted. Shape:
+    * labels + one size aggregate + one broadcast-joined docs pass.
+    */
+  private val q381 = QueryDef(
+    "q381_dedup_weights",
+    (s, dir) => {
+      val labels = ccLabels(s, dir, 0.8)
+      val sizes = labels.groupBy(col("component"))
+        .agg(count(lit(1)).as("csize"))
+      val weighted = Fixtures.table(s, dir, "documents")
+        .join(labels.select(col("node").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .join(sizes, Seq("component"), "left")
+        .select(col("source"),
+          coalesce(col("csize"), lit(1L)).as("csize"))
+        .withColumn("w_nano", expr("1000000000 div csize"))
+      weighted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("csize") > 1L, 1L).otherwise(0L))
+            .as("n_dup_docs"),
+          sum(col("w_nano")).as("sw"),
+          sum((col("w_nano") * col("w_nano"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sww"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          round(col("sw").cast("double") / 1e9, 6).as("weight_mass"),
+          round(col("sw").cast("double") * col("sw").cast("double")
+            / col("sww").cast("double"), 6).as("ess"),
+          round(col("n_dup_docs").cast("double") / col("n_docs"), 9)
+            .as("dup_share"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsDuckCte(0.8)},
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs),
+      reach(u, l) AS (
+        SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+      comp AS (SELECT u AS doc_id, min(l) AS cluster_id
+        FROM reach GROUP BY u),
+      sz AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM comp
+        GROUP BY 1),
+      wd AS (SELECT d.source,
+          coalesce(sz.csize, 1)::BIGINT AS csize,
+          1000000000 // coalesce(sz.csize, 1) AS w_nano
+        FROM documents d
+        LEFT JOIN comp ON comp.doc_id = d.doc_id
+        LEFT JOIN sz ON sz.cluster_id = comp.cluster_id)
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END)::BIGINT
+          AS n_dup_docs,
+        round(sum(w_nano)::DOUBLE / 1e9, 6) AS weight_mass,
+        round(sum(w_nano)::DOUBLE * sum(w_nano)::DOUBLE
+          / sum(w_nano::HUGEINT * w_nano)::DOUBLE, 6) AS ess,
+        round(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END)::DOUBLE
+          / count(*), 9) AS dup_share
+      FROM wd
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
       q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
-      q201, q204, q246, q321, q336)
+      q201, q204, q246, q321, q336, q381)
 
 }

@@ -395,7 +395,105 @@ object Multimodal {
           AS dup_byte_share
       FROM per GROUP BY source ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(q29, q52, q96, q131, q144, q166)
+  // ---------- q382: perceptual dHash near-dup --------------------------
+
+  /** Perceptual difference-hash near-dup over binary payloads — the
+    * image-dedup pattern (dHash: downsample to a 9×7 luminance grid,
+    * one bit per horizontal gradient sign, 56-bit signature, hamming
+    * ≤ threshold ⇒ perceptual duplicate) run through the multimodal
+    * decode-stub convention: the "decoder" maps each payload to grid
+    * cells by integer byte-averaging over 63 even slices (swap in a
+    * real image resampler and nothing downstream changes). Candidate
+    * pairs come from an 8-bit BAND equi-join on the signature's 7
+    * bytes (the q19 SimHash discipline: shuffle ∝ band collisions,
+    * never corpus² — a real dup shares ≥1 exact band at hamming ≤ 12
+    * with high probability), then exact hamming via xor+popcount on
+    * the 56-bit key. All grid/bit arithmetic is pure int64, so both
+    * engines agree bit-for-bit. Output: hamming histogram of
+    * candidate pairs within distance 12.
+    */
+  private val q382 = QueryDef(
+    "q382_dhash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val bin = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val sig = bin.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val cells = new Array[Long](63)
+          var k = 0
+          while (k < 63) {
+            val s0 = (k.toLong * n / 63).toInt
+            val e0 = ((k + 1).toLong * n / 63).toInt
+            if (e0 > s0) {
+              var sum = 0L
+              var i = s0
+              while (i < e0) { sum += bytes(i) & 0xff; i += 1 }
+              cells(k) = sum / (e0 - s0)
+            }
+            k += 1
+          }
+          var h = 0L
+          var i = 0
+          while (i < 56) {
+            val r = i / 8
+            val c = i % 8
+            if (cells(r * 9 + c + 1) > cells(r * 9 + c)) h |= 1L << i
+            i += 1
+          }
+          (id, h)
+        }
+      }.toDF("doc_id", "h")
+      val bands = sig.select(col("doc_id"), col("h"),
+        posexplode(expr(
+          "transform(sequence(0, 6), i -> (h div CAST(pow(2, i * 8) " +
+            "AS BIGINT)) % 256)")).as(Seq("band", "bval")))
+      bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band") === col("b.band")
+            && col("a.bval") === col("b.bval")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.h ^ b.h)").as("ham"))
+        .distinct()
+        .where(col("ham") <= 12)
+        .groupBy(col("ham")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("ham"))
+    },
+    Some("""WITH cl AS (SELECT doc_id,
+          list_transform(regexp_extract_all(text, '.', 0),
+            c -> ascii(c)::BIGINT) AS bytes,
+          strlen(text)::BIGINT AS n
+        FROM documents),
+      cells AS (SELECT doc_id,
+          list_transform(range(0, 63), k -> CASE
+            WHEN ((k + 1) * n) // 63 > (k * n) // 63
+            THEN list_sum(bytes[((k * n) // 63 + 1)
+              :(((k + 1) * n) // 63)])
+              // (((k + 1) * n) // 63 - (k * n) // 63)
+            ELSE 0 END) AS g
+        FROM cl),
+      sig AS (SELECT doc_id,
+          list_sum(list_transform(range(0, 56), i -> CASE
+            WHEN g[(i // 8) * 9 + (i % 8) + 2]
+              > g[(i // 8) * 9 + (i % 8) + 1]
+            THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS h
+        FROM cells),
+      bands AS (SELECT doc_id, h, band,
+          (h // (1::BIGINT << (band * 8))) % 256 AS bval
+        FROM sig, unnest(range(0, 7)) AS u(band)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          bit_count(xor(a.h, b.h))::BIGINT AS ham
+        FROM bands a JOIN bands b ON a.band = b.band
+          AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      SELECT ham, count(*)::BIGINT AS n_pairs
+      FROM cand WHERE ham <= 12
+      GROUP BY ham ORDER BY ham"""))
+
+  val all: Seq[QueryDef] = Seq(q29, q52, q96, q131, q144, q166, q382)
 }
 
 /** Per-frame features (the frame-sampling stub's output row). */

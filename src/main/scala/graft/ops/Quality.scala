@@ -2049,8 +2049,67 @@ object Quality {
       FROM mom"""
     })
 
+  // ---------- q380: average precision of a ranking ---------------------
+
+  /** Average precision (and precision@100) of the length-ranked
+    * document list against the lang='en' relevance label — the
+    * rank-position-weighted companion to q170's AUC on the SAME
+    * ranking task: AUC counts pairwise orderings anywhere in the
+    * list, AP concentrates mass at the top, which is what a
+    * retrieval/filter pipeline actually consumes. AP needs per-item
+    * ranks and cumulative relevance under one global order — both
+    * come from ONE RangeNtile.withRunningSums pass (per-shard prefix
+    * sums + boundary broadcast; no single-partition sort even though
+    * the ranking is corpus-sized). Each relevant item's P@k term is
+    * pinned to nano before the exact integer fold, so the AP sum is
+    * order-independent. Ties break by doc_id (total order, both
+    * dialects identical).
+    */
+  private val q380 = QueryDef(
+    "q380_avg_precision",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("rel"),
+          lit(1L).as("one"))
+      val cum = RangeNtile.withRunningSums(base,
+        Seq(col("n_chars").desc, col("doc_id")),
+        Seq("one" -> "rn", "rel" -> "cum_rel"))
+      val terms = cum.where(col("rel") === 1L)
+        .select(expr("""CAST(round(CAST(cum_rel AS DOUBLE) * 1e9 / rn)
+          AS BIGINT)""").as("p_nano"))
+        .agg(count(lit(1)).as("n_pos"), sum(col("p_nano")).as("sp"))
+      val p100 = cum.where(col("rn") === 100L)
+        .select(col("cum_rel").as("rel_at_100"))
+      val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      terms.crossJoin(broadcast(p100)).crossJoin(broadcast(nd))
+        .select(col("n_pos"), col("n_docs"),
+          round(col("sp").cast("double") / col("n_pos") / 1e9, 6)
+            .as("avg_precision"),
+          round(col("rel_at_100").cast("double") / 100.0, 6)
+            .as("p_at_100"))
+    },
+    Some("""WITH base AS (SELECT doc_id, n_chars,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+        FROM documents),
+      cum AS (SELECT doc_id, rel,
+          row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+          sum(rel) OVER (ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS cum_rel
+        FROM base),
+      terms AS (SELECT count(*)::BIGINT AS n_pos,
+          sum(round(cum_rel::DOUBLE * 1e9 / rn)::BIGINT)::BIGINT AS sp
+        FROM cum WHERE rel = 1),
+      p1 AS (SELECT cum_rel AS rel_at_100 FROM cum WHERE rn = 100),
+      nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+      SELECT n_pos, n_docs,
+        round(sp::DOUBLE / n_pos / 1e9, 6) AS avg_precision,
+        round(rel_at_100::DOUBLE / 100.0, 6) AS p_at_100
+      FROM terms, p1, nd"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
-      q262, q271, q274, q299, q309, q310, q319, q320, q354)
+      q262, q271, q274, q299, q309, q310, q319, q320, q354, q380)
 }
