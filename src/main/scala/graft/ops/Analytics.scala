@@ -8658,6 +8658,332 @@ object Analytics {
           AS mean_run_len
       FROM u ORDER BY candidate"""))
 
+  // ---------- q383: covariate-balance (SMD) diagnostics ----------------
+
+  /** Standardized-mean-difference balance table: within each market
+    * segment, do high-priority and normal orders differ on price and
+    * customer balance? — the diagnostic an observational-causal
+    * pipeline (q302's stratified ATE, q255's DiD) runs FIRST, because
+    * an ATE over unbalanced strata is confounded no matter the
+    * estimator. SMD = (m₁−m₀)/√((v₁+v₀)/2), flagged at the standard
+    * 0.1 threshold. One grouped pass per stratum with
+    * treatment-pivoted exact moments (cents-pinned, DECIMAL(38)
+    * second moments); the fold to SMDs is per-row math on k=5
+    * bounded stratum rows.
+    */
+  private val q383 = QueryDef(
+    "q383_smd_balance",
+    (s, dir) => {
+      val base = Fixtures.table(s, dir, "orders")
+        .join(Fixtures.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("stratum"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("tr"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pr"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("ab"))
+      def mom(v: String, t: Int, out: String) = Seq(
+        sum(when(col("tr") === t, col(v)).otherwise(0L)).as(s"s_$out"),
+        sum(when(col("tr") === t, col(v) * col(v)).otherwise(0L)
+          .cast(DecimalType(38, 0))).as(s"ss_$out"))
+      val aggs = Seq(sum(col("tr")).as("n1"),
+        (count(lit(1)) - sum(col("tr"))).as("n0")) ++
+        mom("pr", 1, "pr1") ++ mom("pr", 0, "pr0") ++
+        mom("ab", 1, "ab1") ++ mom("ab", 0, "ab0")
+      val g = base.groupBy(col("stratum"))
+        .agg(aggs.head, aggs.tail: _*)
+      def smd(a: String, b: String) = {
+        val m1 = col(s"s_$a").cast("double") / col("n1")
+        val m0 = col(s"s_$b").cast("double") / col("n0")
+        val v1 = (col(s"ss_$a").cast("double")
+          - col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+            / col("n1")) / (col("n1") - 1)
+        val v0 = (col(s"ss_$b").cast("double")
+          - col(s"s_$b").cast("double") * col(s"s_$b").cast("double")
+            / col("n0")) / (col("n0") - 1)
+        (m1 - m0) / sqrt((v1 + v0) / 2.0)
+      }
+      g.select(col("stratum"), col("n1"), col("n0"),
+          round(smd("pr1", "pr0"), 6).as("smd_price"),
+          round(smd("ab1", "ab0"), 6).as("smd_balance"))
+        .select(col("stratum"), col("n1"), col("n0"), col("smd_price"),
+          col("smd_balance"),
+          (abs(col("smd_price")) < 0.1
+            && abs(col("smd_balance")) < 0.1).as("balanced"))
+        .orderBy(col("stratum"))
+    },
+    Some("""WITH base AS (SELECT c_mktsegment AS stratum,
+          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END AS tr,
+          round(o_totalprice * 100)::BIGINT AS pr,
+          round(c_acctbal * 100)::BIGINT AS ab
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      g AS (SELECT stratum, sum(tr)::BIGINT AS n1,
+          (count(*) - sum(tr))::BIGINT AS n0,
+          sum(CASE WHEN tr = 1 THEN pr ELSE 0 END)::BIGINT AS s_pr1,
+          sum(CASE WHEN tr = 1 THEN pr::HUGEINT * pr ELSE 0 END)
+            AS ss_pr1,
+          sum(CASE WHEN tr = 0 THEN pr ELSE 0 END)::BIGINT AS s_pr0,
+          sum(CASE WHEN tr = 0 THEN pr::HUGEINT * pr ELSE 0 END)
+            AS ss_pr0,
+          sum(CASE WHEN tr = 1 THEN ab ELSE 0 END)::BIGINT AS s_ab1,
+          sum(CASE WHEN tr = 1 THEN ab::HUGEINT * ab ELSE 0 END)
+            AS ss_ab1,
+          sum(CASE WHEN tr = 0 THEN ab ELSE 0 END)::BIGINT AS s_ab0,
+          sum(CASE WHEN tr = 0 THEN ab::HUGEINT * ab ELSE 0 END)
+            AS ss_ab0
+        FROM base GROUP BY 1),
+      e AS (SELECT stratum, n1, n0,
+          round((s_pr1::DOUBLE / n1 - s_pr0::DOUBLE / n0)
+            / sqrt(((ss_pr1::DOUBLE - s_pr1::DOUBLE * s_pr1::DOUBLE
+              / n1) / (n1 - 1)
+              + (ss_pr0::DOUBLE - s_pr0::DOUBLE * s_pr0::DOUBLE / n0)
+                / (n0 - 1)) / 2.0), 6) AS smd_price,
+          round((s_ab1::DOUBLE / n1 - s_ab0::DOUBLE / n0)
+            / sqrt(((ss_ab1::DOUBLE - s_ab1::DOUBLE * s_ab1::DOUBLE
+              / n1) / (n1 - 1)
+              + (ss_ab0::DOUBLE - s_ab0::DOUBLE * s_ab0::DOUBLE / n0)
+                / (n0 - 1)) / 2.0), 6) AS smd_balance
+        FROM g)
+      SELECT stratum, n1, n0, smd_price, smd_balance,
+        (abs(smd_price) < 0.1 AND abs(smd_balance) < 0.1) AS balanced
+      FROM e ORDER BY stratum"""))
+
+  // ---------- q385: Cliff's delta effect size --------------------------
+
+  /** Cliff's delta between purchase-event and view-event value
+    * distributions — the ordinal effect size that answers "HOW MUCH
+    * do purchases run higher", where q254's Mann–Whitney only answers
+    * "do they". δ = P(a>b) − P(a<b) over all cross-pairs, computed
+    * EXACTLY over the bounded 40-bin grid the q295/q365 discipline
+    * prescribes (within-bin pairs count as ties — the documented
+    * binned approximation): dominance sums are products of bin
+    * counts, so the corpus-sized work is one grouped pass and the
+    * cross-pair fold is a constant 40×40 broadcast join in exact
+    * int64/DECIMAL arithmetic. Magnitude labels use the standard
+    * 0.147/0.33/0.474 cuts.
+    */
+  private val q385 = QueryDef(
+    "q385_cliffs_delta",
+    (s, dir) => {
+      val vals = Fixtures.table(s, dir, "events")
+        .where(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("is_a"),
+          col("value"))
+      val rng = vals.agg(min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      val bins = vals.crossJoin(broadcast(rng))
+        .select(least(lit(39L), greatest(lit(0L),
+          expr("CAST(floor((value - mn) * 40.0 / (mx - mn)) AS BIGINT)")))
+          .as("bin"), col("is_a"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      val a = bins.select(col("bin").as("ba"), col("na"))
+      val b = bins.select(col("bin").as("bb"), col("nb"))
+      val dom = a.join(broadcast(b), lit(true))
+        .agg(
+          sum(when(col("ba") > col("bb"), col("na") * col("nb"))
+            .otherwise(0L).cast(DecimalType(38, 0))).as("gt"),
+          sum(when(col("ba") < col("bb"), col("na") * col("nb"))
+            .otherwise(0L).cast(DecimalType(38, 0))).as("lt"),
+          sum((col("na") * col("nb")).cast(DecimalType(38, 0)))
+            .as("tot"))
+      dom.select(
+          round((col("gt").cast("double") - col("lt").cast("double"))
+            / col("tot").cast("double"), 9).as("delta"))
+        .select(col("delta"),
+          when(abs(col("delta")) < 0.147, "negligible")
+            .when(abs(col("delta")) < 0.33, "small")
+            .when(abs(col("delta")) < 0.474, "medium")
+            .otherwise("large").as("magnitude"))
+    },
+    Some("""WITH vals AS (SELECT event_type = 'purchase' AS is_a, value
+        FROM events WHERE event_type IN ('purchase', 'view')),
+      rng AS (SELECT min(value) AS mn, max(value) AS mx FROM vals),
+      bins AS (SELECT least(39, greatest(0,
+            floor((value - mn) * 40.0 / (mx - mn))))::BIGINT AS bin,
+          sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+          sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS nb
+        FROM vals, rng GROUP BY 1),
+      dom AS (SELECT
+          sum(CASE WHEN a.bin > b.bin
+            THEN a.na::HUGEINT * b.nb ELSE 0 END) AS gt,
+          sum(CASE WHEN a.bin < b.bin
+            THEN a.na::HUGEINT * b.nb ELSE 0 END) AS lt,
+          sum(a.na::HUGEINT * b.nb) AS tot
+        FROM bins a CROSS JOIN bins b),
+      e AS (SELECT round((gt::DOUBLE - lt::DOUBLE) / tot::DOUBLE, 9)
+          AS delta FROM dom)
+      SELECT delta,
+        CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+          WHEN abs(delta) < 0.33 THEN 'small'
+          WHEN abs(delta) < 0.474 THEN 'medium'
+          ELSE 'large' END AS magnitude
+      FROM e"""))
+
+  // ---------- q388: regression leverage audit --------------------------
+
+  /** Leverage audit of the spend-on-balance regression: hat values
+    * hᵢ = 1/n + (xᵢ−x̄)²/Sxx say which customers' balance positions
+    * give them outsized pull on the fitted slope — the influence
+    * screen run BEFORE trusting q233-style OLS coefficients (q58
+    * flags outliers in y; leverage flags extremity in x, which is
+    * invisible to residual checks). The moment row broadcasts; hᵢ is
+    * per-row expression math flagged at the 2·p/n = 4/n rule; the
+    * report is one fold plus the top-5 by pinned hat value. Balance
+    * pinned to cents; Sxx DECIMAL-lifted.
+    */
+  private val q388 = QueryDef(
+    "q388_leverage_audit",
+    (s, dir) => {
+      val spend = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .cast("double").as("spend"))
+      val pts = Fixtures.table(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("x"))
+      val mom = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"))
+      val hat = pts.crossJoin(broadcast(mom))
+        .select(col("c_custkey"), col("n"),
+          expr("""CAST(round((1.0 / n
+            + (x - CAST(sx AS DOUBLE) / n) * (x - CAST(sx AS DOUBLE)
+              / n)
+              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / n)) * 1e12) AS BIGINT)""")
+            .as("h_pico"))
+      val rep = hat.agg(max(col("n")).as("n"),
+        // h·n compared in double: the pico-pinned product would cross
+        // int64 once n reaches corpus scale
+        sum(when(col("h_pico").cast("double")
+            > lit(4e12) / col("n"), 1L)
+          .otherwise(0L)).as("n_flagged"),
+        max(col("h_pico")).as("max_pico"),
+        sum(col("h_pico")).as("sh"))
+      rep.select(col("n"), col("n_flagged"),
+        round(col("max_pico").cast("double") / 1e12, 9).as("max_h"),
+        round(col("sh").cast("double") / col("n") / 1e12, 9)
+          .as("mean_h"))
+    },
+    Some("""WITH spend AS (SELECT o_custkey,
+          sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE AS spend
+        FROM orders GROUP BY 1),
+      pts AS (SELECT c_custkey, round(c_acctbal * 100)::BIGINT AS x
+        FROM customer JOIN spend ON c_custkey = o_custkey),
+      mom AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(x::HUGEINT * x) AS sxx
+        FROM pts),
+      hat AS (SELECT c_custkey, n,
+          round((1.0 / n + (x - sx::DOUBLE / n) * (x - sx::DOUBLE / n)
+            / (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n)) * 1e12)
+            ::BIGINT AS h_pico
+        FROM pts, mom)
+      SELECT max(n) AS n,
+        sum(CASE WHEN h_pico::DOUBLE > 4e12 / n THEN 1 ELSE 0
+          END)::BIGINT AS n_flagged,
+        round(max(h_pico)::DOUBLE / 1e12, 9) AS max_h,
+        round(sum(h_pico)::DOUBLE / max(n) / 1e12, 9) AS mean_h
+      FROM hat"""))
+
+  // ---------- q389: Breusch–Pagan heteroscedasticity test --------------
+
+  /** Breusch–Pagan LM test on the spend-on-balance regression — do
+    * the residuals' VARIANCES move with the regressor? If yes, every
+    * q233-style OLS standard error is miscalibrated and q359's
+    * HAC-class corrections are mandatory, so this is the gate between
+    * the two. Two passes: the broadcast moment row fixes (α, β);
+    * residuals square per row (whole-dollar pinning keeps e² and its
+    * cross-moments inside DECIMAL(38) at sf100), and the auxiliary
+    * e²-on-x regression's R² folds from one exact moment row;
+    * LM = n·R² against χ²₁.
+    */
+  private val q389 = QueryDef(
+    "q389_breusch_pagan",
+    (s, dir) => {
+      val spend = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .cast("double").as("spend"))
+      val pts = Fixtures.table(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .select(expr("CAST(round(c_acctbal) AS BIGINT)").as("x"),
+          expr("CAST(round(spend) AS BIGINT)").as("y"))
+      val m1 = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"))
+      val ab = m1.select(col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("beta"), col("sx"), col("sy"))
+        .select(col("n"), col("beta"),
+          ((col("sy").cast("double") - col("beta")
+            * col("sx").cast("double")) / col("n")).as("alpha"))
+      val e2 = pts.crossJoin(broadcast(ab))
+        .select(col("x"),
+          expr("""CAST(round((y - alpha - beta * x)
+            * (y - alpha - beta * x)) AS DECIMAL(38,0))""").as("e2"))
+      val m2 = e2.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum(col("e2")).as("se"),
+        sum((col("e2") * col("e2"))).as("see"),
+        sum((col("e2") * col("x"))).as("sxe"))
+      m2.select(col("n"),
+          (((col("n").cast("double") * col("sxe").cast("double")
+            - col("sx").cast("double") * col("se").cast("double"))
+            * (col("n").cast("double") * col("sxe").cast("double")
+              - col("sx").cast("double") * col("se").cast("double")))
+            / ((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n").cast("double") * col("see").cast("double")
+                - col("se").cast("double")
+                  * col("se").cast("double")))).as("r2"))
+        .select(col("n"), round(col("r2"), 9).as("r2_aux"),
+          round(col("n") * col("r2"), 6).as("lm_stat"),
+          (col("n") * col("r2") > 3.841).as("heteroscedastic"))
+    },
+    Some("""WITH spend AS (SELECT o_custkey,
+          sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE AS spend
+        FROM orders GROUP BY 1),
+      pts AS (SELECT round(c_acctbal)::BIGINT AS x,
+          round(spend)::BIGINT AS y
+        FROM customer JOIN spend ON c_custkey = o_custkey),
+      m1 AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS sxx,
+          sum(x::HUGEINT * y) AS sxy
+        FROM pts),
+      ab AS (SELECT n,
+          (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            AS beta, sx, sy
+        FROM m1),
+      ab2 AS (SELECT n, beta,
+          (sy::DOUBLE - beta * sx::DOUBLE) / n AS alpha
+        FROM ab),
+      e2 AS (SELECT x,
+          round((y - alpha - beta * x) * (y - alpha - beta * x))
+            ::HUGEINT AS e2
+        FROM pts, ab2),
+      m2 AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(x::HUGEINT * x) AS sxx, sum(e2) AS se,
+          sum(e2 * e2) AS see, sum(e2 * x) AS sxe
+        FROM e2),
+      r AS (SELECT n,
+          ((n::DOUBLE * sxe::DOUBLE - sx::DOUBLE * se::DOUBLE)
+            * (n::DOUBLE * sxe::DOUBLE - sx::DOUBLE * se::DOUBLE))
+            / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+              * (n::DOUBLE * see::DOUBLE - se::DOUBLE * se::DOUBLE))
+            AS r2
+        FROM m2)
+      SELECT n, round(r2, 9) AS r2_aux, round(n * r2, 6) AS lm_stat,
+        (n * r2 > 3.841) AS heteroscedastic
+      FROM r"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -8670,5 +8996,5 @@ object Analytics {
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
       q325, q326, q327, q330, q333, q338, q340, q341, q342, q345, q348,
       q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
-      q363, q371, q372, q373, q374, q375)
+      q363, q371, q372, q373, q374, q375, q383, q385, q388, q389)
 }

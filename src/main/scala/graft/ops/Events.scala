@@ -4951,6 +4951,532 @@ object Events {
       FROM chi, stat
       ORDER BY event_type"""))
 
+  // ---------- q386: generalized-ESD outlier rounds ---------------------
+
+  /** Three rounds of the generalized extreme studentized deviate
+    * (ESD) procedure over daily purchase revenue — the
+    * multiple-outlier test that fixes Grubbs' masking problem (one
+    * big outlier inflates the SD and hides the second; ESD removes
+    * and re-tests). Each round recomputes cents-pinned moments over
+    * the REMAINING calendar-bounded day table, pins the studentized
+    * deviate to nano, takes the deterministic argmax (deviate desc,
+    * earliest day), and anti-joins it out. The fixed 3.0 flag
+    * threshold approximates the n≈30, α=0.05 critical values
+    * (documented simplification — the exact λᵢ need a t-quantile).
+    */
+  private val q386 = QueryDef(
+    "q386_esd_outliers",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(expr("""CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+          * 100.0) AS BIGINT)""").as("x"))
+      var cur = daily
+      var out: DataFrame = null
+      for (i <- 1 to 3) {
+        val mom = cur.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum((col("x") * col("x"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("sxx"))
+        val top = cur.crossJoin(broadcast(mom))
+          .select(col("day"), col("x"),
+            expr("""CAST(round(abs(x - CAST(sx AS DOUBLE) / n)
+              / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / n) / (n - 1)) * 1e9)
+              AS BIGINT)""").as("r_nano"))
+          .orderBy(col("r_nano").desc, col("day")).limit(1)
+          .select(lit(i.toLong).as("round"), col("day"),
+            col("r_nano"))
+        out = if (out == null) top else out.unionAll(top)
+        cur = cur.join(top.select(col("day")), Seq("day"), "left_anti")
+      }
+      out.select(col("round"), col("day"),
+          round(col("r_nano").cast("double") / 1e9, 6).as("r_stat"),
+          (col("r_nano") > 3000000000L).as("outlier"))
+        .orderBy(col("round"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          round(sum(CAST(value AS DECIMAL(18,6))) * 100.0)::BIGINT
+            AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      m1 AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(x::HUGEINT * x) AS sxx FROM daily),
+      r1 AS (SELECT day, x, round(abs(x - sx::DOUBLE / n)
+          / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1))
+          * 1e9)::BIGINT AS r_nano
+        FROM daily, m1),
+      t1 AS (SELECT 1::BIGINT AS round, day, r_nano FROM r1
+        ORDER BY r_nano DESC, day LIMIT 1),
+      d2 AS (SELECT day, x FROM daily
+        WHERE day NOT IN (SELECT day FROM t1)),
+      m2 AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(x::HUGEINT * x) AS sxx FROM d2),
+      r2 AS (SELECT day, x, round(abs(x - sx::DOUBLE / n)
+          / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1))
+          * 1e9)::BIGINT AS r_nano
+        FROM d2, m2),
+      t2 AS (SELECT 2::BIGINT AS round, day, r_nano FROM r2
+        ORDER BY r_nano DESC, day LIMIT 1),
+      d3 AS (SELECT day, x FROM d2
+        WHERE day NOT IN (SELECT day FROM t2)),
+      m3 AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(x::HUGEINT * x) AS sxx FROM d3),
+      r3 AS (SELECT day, x, round(abs(x - sx::DOUBLE / n)
+          / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1))
+          * 1e9)::BIGINT AS r_nano
+        FROM d3, m3),
+      t3 AS (SELECT 3::BIGINT AS round, day, r_nano FROM r3
+        ORDER BY r_nano DESC, day LIMIT 1),
+      u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+        UNION ALL SELECT * FROM t3)
+      SELECT round, day, round(r_nano::DOUBLE / 1e9, 6) AS r_stat,
+        r_nano > 3000000000 AS outlier
+      FROM u ORDER BY round"""))
+
+  // ---------- q387: seasonal-strength feature --------------------------
+
+  /** Wang–Hyndman seasonal-strength feature of daily traffic:
+    * 1 − Var(remainder)/Var(detrended), where trend is the q343
+    * centered 7-day MA (full AND calendar-contiguous windows only)
+    * and the seasonal component is the per-weekday mean of the
+    * detrended series — the single number that says whether the
+    * weekday cycle is load-bearing (≈1) or noise (≈0), gating
+    * whether a forecaster needs q343's index at all. Every window is
+    * calendar-bounded; deviations pin to milli, weekday means pin
+    * before subtraction, and both variances fold from one exact
+    * moment row.
+    */
+  private val q387 = QueryDef(
+    "q387_seasonal_strength",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val wma = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val detr = daily
+        .withColumn("n_win", count(lit(1)).over(wma))
+        .withColumn("sum_win", sum(col("c")).over(wma))
+        .withColumn("span_win", max(col("day")).over(wma)
+          - min(col("day")).over(wma))
+        .where(col("n_win") === 7 && col("span_win") === 6)
+        .select(expr("((day % 7) + 7) % 7").as("weekday"),
+          (col("c") * 1000
+            - expr("CAST(round(sum_win * 1000.0 / 7) AS BIGINT)"))
+            .as("d"))
+      val sw = detr.groupBy(col("weekday"))
+        .agg(expr("CAST(round(avg(d)) AS BIGINT)").as("s_w"))
+      val r = detr.join(broadcast(sw), Seq("weekday"))
+        .select(col("d"), (col("d") - col("s_w")).as("r"))
+      val dec = (x: org.apache.spark.sql.Column) =>
+        x.cast("decimal(38,0)")
+      val mom = r.agg(count(lit(1)).as("n"),
+        sum(col("d")).as("sd"), sum(dec(col("d")) * col("d")).as("sdd"),
+        sum(col("r")).as("sr"), sum(dec(col("r")) * col("r")).as("srr"))
+      mom.select(col("n"),
+          ((col("sdd").cast("double") - col("sd").cast("double")
+            * col("sd").cast("double") / col("n")) / (col("n") - 1)
+            / 1e6).as("vd"),
+          ((col("srr").cast("double") - col("sr").cast("double")
+            * col("sr").cast("double") / col("n")) / (col("n") - 1)
+            / 1e6).as("vr"))
+        .select(col("n").as("n_days_used"),
+          round(col("vd"), 6).as("var_detrended"),
+          round(col("vr"), 6).as("var_remainder"),
+          round(greatest(lit(0.0), lit(1.0) - col("vr") / col("vd")),
+            9).as("seasonal_strength"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT AS c
+        FROM events GROUP BY 1),
+      win AS (SELECT day, c,
+          count(*) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n_win,
+          sum(c) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::BIGINT
+            AS sum_win,
+          max(day) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+          - min(day) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS span_win
+        FROM daily),
+      detr AS (SELECT ((day % 7) + 7) % 7 AS weekday,
+          c * 1000 - round(sum_win * 1000.0 / 7)::BIGINT AS d
+        FROM win WHERE n_win = 7 AND span_win = 6),
+      sw AS (SELECT weekday, round(avg(d))::BIGINT AS s_w
+        FROM detr GROUP BY 1),
+      r AS (SELECT d, d - s_w AS r
+        FROM detr JOIN sw USING (weekday)),
+      mom AS (SELECT count(*)::BIGINT AS n, sum(d)::BIGINT AS sd,
+          sum(d::HUGEINT * d) AS sdd, sum(r)::BIGINT AS sr,
+          sum(r::HUGEINT * r) AS srr
+        FROM r),
+      e AS (SELECT n,
+          (sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE / n) / (n - 1) / 1e6
+            AS vd,
+          (srr::DOUBLE - sr::DOUBLE * sr::DOUBLE / n) / (n - 1) / 1e6
+            AS vr
+        FROM mom)
+      SELECT n AS n_days_used, round(vd, 6) AS var_detrended,
+        round(vr, 6) AS var_remainder,
+        round(greatest(0.0, 1.0 - vr / vd), 9) AS seasonal_strength
+      FROM e"""))
+
+  // ---------- q390: Durbin–Watson serial-correlation test --------------
+
+  /** Durbin–Watson statistic of the residuals from the daily-revenue
+    * trend regression — the canonical "are my regression errors
+    * serially correlated" check (DW ≈ 2 means none; < ~1.35 at n≈30
+    * flags positive autocorrelation, which silently shrinks OLS
+    * standard errors — the same disease q359's HAC corrects for the
+    * MEAN). The trend fit folds from one exact moment row; residuals
+    * pin to cents per day; the first-difference sum is one bounded
+    * day+1 self-join over the calendar-bounded table.
+    */
+  private val q390 = QueryDef(
+    "q390_durbin_watson",
+    (s, dir) => {
+      val d0 = ev(s, dir).agg(
+        expr("""min(timestampdiff(MICROSECOND,
+          TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+          div 86400000000)""").as("d0"))
+      val daily = ev(s, dir)
+        .where(col("event_type") === "purchase")
+        .crossJoin(broadcast(d0))
+        .select((expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+          " div 86400000000") - col("d0")).as("t"), col("value"))
+        .groupBy(col("t"))
+        .agg(expr("""CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+          * 100.0) AS BIGINT)""").as("y"))
+      val dec = (x: org.apache.spark.sql.Column) =>
+        x.cast("decimal(38,0)")
+      val mom = daily.agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("y")).as("sy"), sum(dec(col("t")) * col("t")).as("stt"),
+        sum(dec(col("t")) * col("y")).as("sty"))
+      val ab = mom.select(col("n"),
+        ((col("n").cast("double") * col("sty").cast("double")
+          - col("st").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("stt").cast("double")
+            - col("st").cast("double") * col("st").cast("double")))
+          .as("beta"), col("st"), col("sy"))
+        .select(col("n"), col("beta"),
+          ((col("sy").cast("double") - col("beta")
+            * col("st").cast("double")) / col("n")).as("alpha"))
+      val res = daily.crossJoin(broadcast(ab))
+        .select(col("t"),
+          expr("CAST(round(y - alpha - beta * t) AS BIGINT)").as("e"))
+      val lag = res.select((col("t") + 1).as("t"), col("e").as("e1"))
+      val dw = res.join(lag, Seq("t"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("e")) * col("e")).as("see"),
+          sum(when(col("e1").isNotNull,
+            dec(col("e") - col("e1")) * (col("e") - col("e1")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("sdd"))
+      dw.select(col("n"),
+          round(col("sdd").cast("double") / col("see").cast("double"),
+            6).as("dw_stat"))
+        .select(col("n"), col("dw_stat"),
+          (col("dw_stat") < 1.35).as("positive_autocorr"))
+    },
+    Some("""WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0
+        FROM events),
+      daily AS (SELECT epoch_us(ts) // 86400000000 - d0 AS t,
+          round(sum(CAST(value AS DECIMAL(18,6))) * 100.0)::BIGINT
+            AS y
+        FROM events, d0 WHERE event_type = 'purchase' GROUP BY 1),
+      mom AS (SELECT count(*)::BIGINT AS n, sum(t)::BIGINT AS st,
+          sum(y)::BIGINT AS sy, sum(t::HUGEINT * t) AS stt,
+          sum(t::HUGEINT * y) AS sty
+        FROM daily),
+      ab AS (SELECT n,
+          (n::DOUBLE * sty::DOUBLE - st::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * stt::DOUBLE - st::DOUBLE * st::DOUBLE)
+            AS beta, st, sy
+        FROM mom),
+      ab2 AS (SELECT n, beta,
+          (sy::DOUBLE - beta * st::DOUBLE) / n AS alpha
+        FROM ab),
+      res AS (SELECT t,
+          round(y - alpha - beta * t)::BIGINT AS e
+        FROM daily, ab2),
+      dw AS (SELECT count(*)::BIGINT AS n,
+          sum(a.e::HUGEINT * a.e) AS see,
+          sum(CASE WHEN l.e IS NOT NULL
+            THEN (a.e - l.e)::HUGEINT * (a.e - l.e) ELSE 0 END)
+            AS sdd
+        FROM res a LEFT JOIN res l ON a.t = l.t + 1)
+      SELECT n, round(sdd::DOUBLE / see::DOUBLE, 6) AS dw_stat,
+        (sdd::DOUBLE / see::DOUBLE < 1.35) AS positive_autocorr
+      FROM dw"""))
+
+  // ---------- q391: Chow structural-break test -------------------------
+
+  /** Chow test for a structural break in the daily-traffic trend at
+    * mid-window (day 15): does one line fit the whole month, or do
+    * the two halves demand different intercept/slope? — the
+    * regime-change check a forecaster runs before pooling history
+    * (q268's binary-segmentation finds WHERE a break is; Chow tests
+    * a KNOWN candidate with an F sampling distribution). Counts pin
+    * to milli; per-segment raw moments come from ONE
+    * conditionally-pivoted pass; the three residual sums of squares
+    * and the F fold are single-row closed-form math.
+    */
+  private val q391 = QueryDef(
+    "q391_chow_break",
+    (s, dir) => {
+      val d0 = ev(s, dir).agg(
+        expr("""min(timestampdiff(MICROSECOND,
+          TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+          div 86400000000)""").as("d0"))
+      val daily = ev(s, dir).crossJoin(broadcast(d0))
+        .select((expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+          " div 86400000000") - col("d0")).as("t"))
+        .groupBy(col("t")).agg((count(lit(1)) * 1000).as("y"))
+        .withColumn("g", (col("t") >= 15).cast("long"))
+      val dec = (x: org.apache.spark.sql.Column) =>
+        x.cast("decimal(38,0)")
+      def seg(g: Int, suf: String) = Seq(
+        sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n$suf"),
+        sum(when(col("g") === g, col("t")).otherwise(0L))
+          .as(s"st$suf"),
+        sum(when(col("g") === g, col("y")).otherwise(0L))
+          .as(s"sy$suf"),
+        sum(when(col("g") === g, col("t") * col("t")).otherwise(0L)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as(s"stt$suf"),
+        sum(when(col("g") === g, col("t") * col("y")).otherwise(0L)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as(s"sty$suf"),
+        sum(when(col("g") === g, dec(col("y")) * col("y"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as(s"syy$suf"))
+      val aggs = seg(0, "0") ++ seg(1, "1")
+      val mom = daily.agg(aggs.head, aggs.tail: _*)
+      def ssr(n: String, st: String, sy: String, stt: String,
+          sty: String, syy: String) = {
+        val nn = col(n).cast("double")
+        val sxx = col(stt).cast("double") -
+          col(st).cast("double") * col(st).cast("double") / nn
+        val sxy = col(sty).cast("double") -
+          col(st).cast("double") * col(sy).cast("double") / nn
+        val syyC = col(syy).cast("double") -
+          col(sy).cast("double") * col(sy).cast("double") / nn
+        syyC - sxy * sxy / sxx
+      }
+      val pooled = mom.select(
+        (col("n0") + col("n1")).as("n"),
+        (col("st0") + col("st1")).as("st"),
+        (col("sy0") + col("sy1")).as("sy"),
+        (col("stt0") + col("stt1")).as("stt"),
+        (col("sty0") + col("sty1")).as("sty"),
+        (col("syy0") + col("syy1")).as("syy"),
+        ssr("n0", "st0", "sy0", "stt0", "sty0", "syy0").as("ssr0"),
+        ssr("n1", "st1", "sy1", "stt1", "sty1", "syy1").as("ssr1"))
+      pooled.select(col("n"),
+          ssr("n", "st", "sy", "stt", "sty", "syy").as("ssr_p"),
+          col("ssr0"), col("ssr1"))
+        .select(col("n"),
+          round(((col("ssr_p") - col("ssr0") - col("ssr1")) / 2.0)
+            / ((col("ssr0") + col("ssr1")) / (col("n") - 4)), 6)
+            .as("f_stat"))
+        .select(col("n"), col("f_stat"),
+          (col("f_stat") > 3.37).as("structural_break"))
+    },
+    Some("""WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d0
+        FROM events),
+      daily AS (SELECT epoch_us(ts) // 86400000000 - d0 AS t,
+          count(*)::BIGINT * 1000 AS y
+        FROM events, d0 GROUP BY 1),
+      dg AS (SELECT t, y, CASE WHEN t >= 15 THEN 1 ELSE 0 END AS g
+        FROM daily),
+      mom AS (SELECT
+          sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+          sum(CASE WHEN g = 0 THEN t ELSE 0 END)::BIGINT AS st0,
+          sum(CASE WHEN g = 0 THEN y ELSE 0 END)::BIGINT AS sy0,
+          sum(CASE WHEN g = 0 THEN t::HUGEINT * t ELSE 0 END) AS stt0,
+          sum(CASE WHEN g = 0 THEN t::HUGEINT * y ELSE 0 END) AS sty0,
+          sum(CASE WHEN g = 0 THEN y::HUGEINT * y ELSE 0 END) AS syy0,
+          sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+          sum(CASE WHEN g = 1 THEN t ELSE 0 END)::BIGINT AS st1,
+          sum(CASE WHEN g = 1 THEN y ELSE 0 END)::BIGINT AS sy1,
+          sum(CASE WHEN g = 1 THEN t::HUGEINT * t ELSE 0 END) AS stt1,
+          sum(CASE WHEN g = 1 THEN t::HUGEINT * y ELSE 0 END) AS sty1,
+          sum(CASE WHEN g = 1 THEN y::HUGEINT * y ELSE 0 END) AS syy1
+        FROM dg),
+      e AS (SELECT n0 + n1 AS n,
+          ((syy0::DOUBLE - sy0::DOUBLE * sy0::DOUBLE / n0)
+            - (sty0::DOUBLE - st0::DOUBLE * sy0::DOUBLE / n0)
+              * (sty0::DOUBLE - st0::DOUBLE * sy0::DOUBLE / n0)
+              / (stt0::DOUBLE - st0::DOUBLE * st0::DOUBLE / n0))
+            AS ssr0,
+          ((syy1::DOUBLE - sy1::DOUBLE * sy1::DOUBLE / n1)
+            - (sty1::DOUBLE - st1::DOUBLE * sy1::DOUBLE / n1)
+              * (sty1::DOUBLE - st1::DOUBLE * sy1::DOUBLE / n1)
+              / (stt1::DOUBLE - st1::DOUBLE * st1::DOUBLE / n1))
+            AS ssr1,
+          (((syy0 + syy1)::DOUBLE
+            - (sy0 + sy1)::DOUBLE * (sy0 + sy1)::DOUBLE / (n0 + n1))
+            - ((sty0 + sty1)::DOUBLE - (st0 + st1)::DOUBLE
+              * (sy0 + sy1)::DOUBLE / (n0 + n1))
+              * ((sty0 + sty1)::DOUBLE - (st0 + st1)::DOUBLE
+                * (sy0 + sy1)::DOUBLE / (n0 + n1))
+              / ((stt0 + stt1)::DOUBLE - (st0 + st1)::DOUBLE
+                * (st0 + st1)::DOUBLE / (n0 + n1))) AS ssr_p
+        FROM mom)
+      SELECT n,
+        round(((ssr_p - ssr0 - ssr1) / 2.0)
+          / ((ssr0 + ssr1) / (n - 4)), 6) AS f_stat,
+        (((ssr_p - ssr0 - ssr1) / 2.0)
+          / ((ssr0 + ssr1) / (n - 4)) > 3.37) AS structural_break
+      FROM e"""))
+
+  // ---------- q392: Hampel rolling-median outlier filter ---------------
+
+  /** Hampel filter over daily mean event value: a ±3-day rolling
+    * median and MAD flag days deviating more than 3·1.4826·MAD — the
+    * robust cousin of z-score spike detection (q179's EWMA reacts to
+    * level shifts; Hampel is immune to the outlier polluting its own
+    * baseline, because median and MAD ignore it). Daily means pin to
+    * micro; the 7-element window materializes as an ordered array
+    * (full + calendar-contiguous windows only, the q343 gates), the
+    * median/MAD are exact element picks on the sorted 7-array, and
+    * the flag comparison is pure integer arithmetic
+    * (|x−med|·10⁴ > 44478·MAD replicates the 3·1.4826 constant with
+    * zero float boundary risk).
+    */
+  private val q392 = QueryDef(
+    "q392_hampel_filter",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(expr("""CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+          AS DOUBLE) / count(1) * 1e6) AS BIGINT)""").as("x"))
+      val wma = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      daily
+        .withColumn("arr", collect_list(col("x")).over(wma))
+        .withColumn("n_win", count(lit(1)).over(wma))
+        .withColumn("span_win", max(col("day")).over(wma)
+          - min(col("day")).over(wma))
+        .where(col("n_win") === 7 && col("span_win") === 6)
+        .withColumn("med", expr("element_at(array_sort(arr), 4)"))
+        .withColumn("mad", expr(
+          "element_at(array_sort(transform(arr, v -> abs(v - med))), 4)"))
+        .select(col("day"),
+          round(col("x").cast("double") / 1e6, 6).as("x_val"),
+          round(col("med").cast("double") / 1e6, 6).as("med_val"),
+          round(col("mad").cast("double") / 1e6, 6).as("mad_val"),
+          (abs(col("x") - col("med")) * 10000L
+            > col("mad") * 44478L).as("outlier"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE / count(*)
+            * 1e6)::BIGINT AS x
+        FROM events GROUP BY 1),
+      win AS (SELECT day, x,
+          list(x) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr,
+          count(*) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n_win,
+          max(day) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+          - min(day) OVER (ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS span_win
+        FROM daily),
+      md AS (SELECT day, x, list_sort(arr)[4] AS med, arr
+        FROM win WHERE n_win = 7 AND span_win = 6),
+      hm AS (SELECT day, x, med,
+          list_sort(list_transform(arr, v -> abs(v - med)))[4] AS mad
+        FROM md)
+      SELECT day, round(x::DOUBLE / 1e6, 6) AS x_val,
+        round(med::DOUBLE / 1e6, 6) AS med_val,
+        round(mad::DOUBLE / 1e6, 6) AS mad_val,
+        (abs(x - med) * 10000 > mad * 44478) AS outlier
+      FROM hm ORDER BY day"""))
+
+  // ---------- q393: kernel MMD drift (binned) --------------------------
+
+  /** Binned kernel maximum-mean-discrepancy between purchase and view
+    * value distributions — the RBF-kernel drift statistic that sees
+    * SHAPE differences even when every moment matches, rounding out
+    * the drift family (q105 PSI, q114 KS, q274 EMD, q365 CvM): each
+    * has blind spots, a monitoring suite runs several. Both samples
+    * bin into the shared broadcast 40-cell grid (corpus work = one
+    * grouped pass); MMD² = Σᵢⱼ dᵢdⱼK(i,j) folds over the CONSTANT
+    * 40×40 grid with probability gaps pinned to nano and the kernel
+    * pinned to micro BEFORE the product (exp() differs in the last
+    * ulp across engines — q172's precedent — so the kernel is
+    * quantized first and every product is exact DECIMAL).
+    */
+  private val q393 = QueryDef(
+    "q393_mmd_drift",
+    (s, dir) => {
+      val vals = ev(s, dir)
+        .where(col("event_type").isin("purchase", "view"))
+        .select((col("event_type") === "purchase").as("is_a"),
+          col("value"))
+      val rng = vals.agg(min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      val bins = vals.crossJoin(broadcast(rng))
+        .select(least(lit(39L), greatest(lit(0L),
+          expr("CAST(floor((value - mn) * 40.0 / (mx - mn)) AS BIGINT)")))
+          .as("bin"), col("is_a"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      val tot = bins.agg(sum(col("na")).as("ta"),
+        sum(col("nb")).as("tb"))
+      val d = bins.crossJoin(broadcast(tot))
+        .select(col("bin"),
+          expr("""CAST(round((CAST(na AS DOUBLE) / ta
+            - CAST(nb AS DOUBLE) / tb) * 1e9) AS BIGINT)""")
+            .as("d_nano"), col("ta"), col("tb"))
+      val terms = d.alias("a").join(broadcast(d.alias("b")), lit(true))
+        .select(col("a.ta").as("ta"), col("a.tb").as("tb"),
+          (col("a.d_nano").cast("decimal(38,0)") * col("b.d_nano")
+            * expr("""CAST(round(exp(-CAST((a.bin - b.bin)
+              * (a.bin - b.bin) AS DOUBLE) / 50.0) * 1e6) AS BIGINT)"""))
+            .as("term"))
+      terms.groupBy(col("ta"), col("tb"))
+        .agg(sum(col("term")).as("tsum"))
+        .select(col("ta").as("n_a"), col("tb").as("n_b"),
+          round(col("tsum").cast("double") / 1e24, 12).as("mmd2"))
+        .select(col("n_a"), col("n_b"), col("mmd2"),
+          (col("mmd2") > 0.001).as("drift"))
+    },
+    Some("""WITH vals AS (SELECT event_type = 'purchase' AS is_a, value
+        FROM events WHERE event_type IN ('purchase', 'view')),
+      rng AS (SELECT min(value) AS mn, max(value) AS mx FROM vals),
+      bins AS (SELECT least(39, greatest(0,
+            floor((value - mn) * 40.0 / (mx - mn))))::BIGINT AS bin,
+          sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+          sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS nb
+        FROM vals, rng GROUP BY 1),
+      tot AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb
+        FROM bins),
+      d AS (SELECT bin,
+          round((na::DOUBLE / ta - nb::DOUBLE / tb) * 1e9)::BIGINT
+            AS d_nano, ta, tb
+        FROM bins, tot),
+      terms AS (SELECT a.ta, a.tb,
+          a.d_nano::HUGEINT * b.d_nano
+            * round(exp(-((a.bin - b.bin) * (a.bin - b.bin))::DOUBLE
+              / 50.0) * 1e6)::BIGINT AS term
+        FROM d a CROSS JOIN d b)
+      SELECT ta AS n_a, tb AS n_b,
+        round(sum(term)::DOUBLE / 1e24, 12) AS mmd2,
+        (round(sum(term)::DOUBLE / 1e24, 12) > 0.001) AS drift
+      FROM terms GROUP BY ta, tb"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -4958,5 +5484,6 @@ object Events {
       q191, q193, q205, q206, q222, q223, q227, q251, q255, q256, q268,
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
-      q359, q364, q365, q366, q367, q368, q369, q370)
+      q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
+      q391, q392, q393)
 }

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Fixtures, QueryDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-quality operators beyond the per-doc scoring of q14:
   * intra-document repetition and benchmark contamination — the two
@@ -2108,8 +2109,78 @@ object Quality {
         round(rel_at_100::DOUBLE / 100.0, 6) AS p_at_100
       FROM terms, p1, nd"""))
 
+  // ---------- q384: quadratic-weighted kappa ---------------------------
+
+  /** Quadratic-weighted Cohen's kappa between two ordinal quality
+    * raters — the length-based bucket (n_chars) and the
+    * lexical-diversity bucket (distinct/total tokens), both on a 0–4
+    * scale: ordinal labels make plain kappa (q215's class) too harsh,
+    * since "4 vs 3" is near-agreement while "4 vs 0" is not;
+    * quadratic weights charge disagreements by (i−j)². κ_w folds
+    * ENTIRELY in exact integer arithmetic — observed disagreement
+    * N·ΣOᵢⱼ(i−j)² vs chance disagreement Σrᵢcⱼ(i−j)² over the
+    * bounded 5×5 contingency/margin tables (one corpus pass, then
+    * constant-size folds, DECIMAL-lifted) — so the statistic is one
+    * exact rational cast to double at the end.
+    */
+  private val q384 = QueryDef(
+    "q384_weighted_kappa",
+    (s, dir) => {
+      val rated = docs(s, dir).select(
+        least(lit(4L), expr("n_chars div 400")).as("ra"),
+        least(lit(4L), expr(
+          """(size(array_distinct(split(text, ' '))) * 5)
+            div size(split(text, ' '))""")).as("rb"))
+      val cells = rated.groupBy(col("ra"), col("rb"))
+        .agg(count(lit(1)).as("o"))
+      val nTot = cells.agg(sum(col("o")).as("n"))
+      val rm = cells.groupBy(col("ra")).agg(sum(col("o")).as("r"))
+      val cm = cells.groupBy(col("rb")).agg(sum(col("o")).as("c"))
+      val num = cells.agg(sum(col("o") * (col("ra") - col("rb"))
+        * (col("ra") - col("rb"))).as("od"))
+      val den = rm.join(broadcast(cm), lit(true))
+        .agg(sum((col("r") * col("c")).cast(DecimalType(38, 0))
+          * ((col("ra") - col("rb")) * (col("ra") - col("rb"))))
+          .as("ed"))
+      nTot.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+        .select(col("n").as("n_docs"),
+          round(lit(1.0) - col("n").cast("double")
+            * col("od").cast("double") / col("ed").cast("double"), 9)
+            .as("kappa_w"))
+        .select(col("n_docs"), col("kappa_w"),
+          when(col("kappa_w") < 0.2, "poor")
+            .when(col("kappa_w") < 0.4, "fair")
+            .when(col("kappa_w") < 0.6, "moderate")
+            .otherwise("substantial").as("agreement"))
+    },
+    Some("""WITH rated AS (SELECT
+          least(4, n_chars // 400) AS ra,
+          least(4, (len(list_distinct(string_split(text, ' '))) * 5)
+            // len(string_split(text, ' '))) AS rb
+        FROM documents),
+      cells AS (SELECT ra, rb, count(*)::BIGINT AS o FROM rated
+        GROUP BY 1, 2),
+      nt AS (SELECT sum(o)::BIGINT AS n FROM cells),
+      rm AS (SELECT ra, sum(o)::BIGINT AS r FROM cells GROUP BY 1),
+      cm AS (SELECT rb, sum(o)::BIGINT AS c FROM cells GROUP BY 1),
+      num AS (SELECT sum(o * (ra - rb) * (ra - rb))::BIGINT AS od
+        FROM cells),
+      den AS (SELECT sum(r::HUGEINT * c * (ra - rb) * (ra - rb)) AS ed
+        FROM rm CROSS JOIN cm)
+      SELECT n AS n_docs,
+        round(1.0 - n::DOUBLE * od::DOUBLE / ed::DOUBLE, 9)
+          AS kappa_w,
+        CASE WHEN 1.0 - n::DOUBLE * od::DOUBLE / ed::DOUBLE < 0.2
+            THEN 'poor'
+          WHEN 1.0 - n::DOUBLE * od::DOUBLE / ed::DOUBLE < 0.4
+            THEN 'fair'
+          WHEN 1.0 - n::DOUBLE * od::DOUBLE / ed::DOUBLE < 0.6
+            THEN 'moderate'
+          ELSE 'substantial' END AS agreement
+      FROM nt, num, den"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
-      q262, q271, q274, q299, q309, q310, q319, q320, q354, q380)
+      q262, q271, q274, q299, q309, q310, q319, q320, q354, q380, q384)
 }
