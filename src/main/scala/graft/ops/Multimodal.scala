@@ -457,7 +457,7 @@ object Multimodal {
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"),
           col("b.doc_id").as("doc_b"),
-          expr("bit_count(a.h ^ b.h)").as("ham"))
+          expr("CAST(bit_count(a.h ^ b.h) AS BIGINT)").as("ham"))
         .distinct()
         .where(col("ham") <= 12)
         .groupBy(col("ham")).agg(count(lit(1)).as("n_pairs"))

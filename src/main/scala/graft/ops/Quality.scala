@@ -2080,8 +2080,10 @@ object Quality {
         .select(expr("""CAST(round(CAST(cum_rel AS DOUBLE) * 1e9 / rn)
           AS BIGINT)""").as("p_nano"))
         .agg(count(lit(1)).as("n_pos"), sum(col("p_nano")).as("sp"))
-      val p100 = cum.where(col("rn") === 100L)
-        .select(col("cum_rel").as("rel_at_100"))
+      // aggregate form (not a filter): stays 1-row (NULL) when the
+      // corpus has fewer than 100 docs, so the final join never empties
+      val p100 = cum.agg(max(when(col("rn") === 100L, col("cum_rel")))
+        .as("rel_at_100"))
       val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       terms.crossJoin(broadcast(p100)).crossJoin(broadcast(nd))
         .select(col("n_pos"), col("n_docs"),
@@ -2102,7 +2104,8 @@ object Quality {
       terms AS (SELECT count(*)::BIGINT AS n_pos,
           sum(round(cum_rel::DOUBLE * 1e9 / rn)::BIGINT)::BIGINT AS sp
         FROM cum WHERE rel = 1),
-      p1 AS (SELECT cum_rel AS rel_at_100 FROM cum WHERE rn = 100),
+      p1 AS (SELECT max(CASE WHEN rn = 100 THEN cum_rel END)
+          AS rel_at_100 FROM cum),
       nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
       SELECT n_pos, n_docs,
         round(sp::DOUBLE / n_pos / 1e9, 6) AS avg_precision,
