@@ -8262,8 +8262,14 @@ object Analytics {
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
           .distinct())
       def l1norm(df: DataFrame, key: String, v: String): DataFrame = {
-        val tot = df.agg(sum(col(v)).cast(DecimalType(38, 0)).as("tot"))
-        df.crossJoin(broadcast(tot))
+        // freeze BEFORE the total: the normalization reads df twice
+        // (total + scale-back), and each of the 5 chained iterations
+        // would otherwise DOUBLE the unrolled lineage — measured 30
+        // re-executions of the edge join (15.8 s) without this, 5
+        // with (1.6 s). Same idiom as q207's per-hop persist.
+        val f = PlanCache.freeze(df)
+        val tot = f.agg(sum(col(v)).cast(DecimalType(38, 0)).as("tot"))
+        f.crossJoin(broadcast(tot))
           .select(col(key),
             expr(s"""CAST(round(CAST($v AS DOUBLE) * 1e9
               / CAST(tot AS DOUBLE)) AS BIGINT)""").as(v))

@@ -1837,8 +1837,11 @@ object Similarity {
     * bucket join (shuffle ∝ collisions, never pairs²); the per-anchor
     * fold is one grouped max over same/diff cosines pinned to nano
     * (exact comparisons); anchors lacking either side drop (both
-    * sides needed for a margin). Scales as the candidate join does —
-    * measured 10.0–10.2× on 10× vectors (BASELINE.md round 9).
+    * sides needed for a margin). Anchors are a 1-in-8 hash sample:
+    * unlike q23 (fixed query set), this is a bucket SELF-join whose
+    * candidates grow with Σ occupancy², so the audit reads a sampled
+    * slice and the production note is to scale planes ~log|corpus|
+    * (measured and recorded in BASELINE.md round 9).
     */
   private val q377 = QueryDef(
     "q377_triplet_margin",
@@ -1848,7 +1851,17 @@ object Similarity {
         posexplode(expr(
           s"graft_lsh_buckets(embedding, $planesSpark, $PlanesPerTable)"))
           .as(Seq("tbl", "bucket")))
-      val cand = keys.alias("a")
+      // anchors are a deterministic 1-in-8 hash sample: the bucket
+      // SELF-join's candidate count grows with Σ occupancy² (measured
+      // ×118 on 10× vectors with the fixed 4×6-plane tables), so the
+      // audit reads a sampled anchor slice — the estimate it reports
+      // is rate-based and unbiased under the hash coin. A production
+      // deployment additionally scales planes ~log|corpus| to hold
+      // occupancy flat (the q23 tuning note).
+      val anchors = keys
+        .where(expr(Portable.h32Spark("concat('tm_', vec_id)"))
+          % 8 === 0)
+      val cand = anchors.alias("a")
         .join(keys.alias("b"),
           col("a.tbl") === col("b.tbl")
             && col("a.bucket") === col("b.bucket")
@@ -1888,11 +1901,13 @@ object Similarity {
           $dotsDuck AS dots
         FROM embeddings),
       keys AS ($bucketSelects),
+      anchors AS (SELECT * FROM keys
+        WHERE ${Portable.h32Duck("'tm_' || vec_id")} % 8 = 0),
       cand AS (SELECT DISTINCT a.vec_id AS anchor, a.label AS label,
           a.label = b.label AS same, b.vec_id AS nid,
           round(${Dedup.cosDuck("a.embedding", "b.embedding")}
             * 1e9)::BIGINT AS cos_nano
-        FROM keys a JOIN keys b ON a.tbl = b.tbl
+        FROM anchors a JOIN keys b ON a.tbl = b.tbl
           AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
       pa AS (SELECT anchor, label,
           max(CASE WHEN same THEN cos_nano END) AS pos_nano,
