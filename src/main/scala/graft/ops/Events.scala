@@ -5477,6 +5477,87 @@ object Events {
         (round(sum(term)::DOUBLE / 1e24, 12) > 0.001) AS drift
       FROM terms GROUP BY ta, tb"""))
 
+  // ---------- q395: peaks-over-threshold GPD tail fit ------------------
+
+  /** Peaks-over-threshold tail model of daily revenue: exceedances
+    * over the empirical 20th-percentile floor (low-revenue risk) fit
+    * a generalized Pareto by method of moments, yielding the shape ξ
+    * (heavy vs bounded tail) and a 90-day return level — the EVT
+    * cousin of q308's block-maxima Gumbel fit (POT uses every
+    * exceedance; block maxima discard all but one per block, which at
+    * 30 days means almost everything). Threshold = exact interpolated
+    * percentile over the calendar-bounded day table; exceedance
+    * moments pin to cents; MoM ξ̂ = (ȳ²/s² − 1)/2,
+    * σ̂ = ȳ(ȳ²/s² + 1)/2 and the return level are single-row math.
+    * Deficits (u − x for x below u) make the fit one-sided on the
+    * LOW tail, matching the q347 VaR orientation.
+    */
+  private val q395 = QueryDef(
+    "q395_pot_gpd",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(expr("""CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+          * 100.0) AS BIGINT)""").as("x"))
+      val th = daily.agg(expr("percentile(x, 0.2)").as("u"),
+        count(lit(1)).as("n_days"))
+      val exc = daily.crossJoin(broadcast(th))
+        .where(col("x").cast("double") < col("u"))
+        .select(expr("CAST(round(u - x) AS BIGINT)").as("y"), col("u"),
+          col("n_days"))
+      val mom = exc.groupBy(col("u"), col("n_days"))
+        .agg(count(lit(1)).as("k"), sum(col("y")).as("sy"),
+          sum((col("y") * col("y"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("syy"))
+      val fit = mom.select(col("u"), col("n_days"), col("k"),
+          (col("sy").cast("double") / col("k")).as("m"),
+          ((col("syy").cast("double") - col("sy").cast("double")
+            * col("sy").cast("double") / col("k")) / (col("k") - 1))
+            .as("s2"))
+        .select(col("u"), col("n_days"), col("k"), col("m"),
+          ((col("m") * col("m") / col("s2") - 1.0) / 2.0).as("xi"),
+          (col("m") * (col("m") * col("m") / col("s2") + 1.0) / 2.0)
+            .as("sigma"))
+      fit.select(col("k").as("n_exceed"),
+          round(col("u") / 100.0, 6).as("threshold"),
+          round(col("xi"), 6).as("xi"),
+          round(col("sigma") / 100.0, 6).as("sigma"),
+          // 90-day return level of the LOW tail: u minus the GPD
+          // quantile at the 1/(90*zeta) exceedance rate
+          round((col("u") - col("sigma") / col("xi")
+            * (pow(lit(90.0) * col("k") / col("n_days"), col("xi"))
+              - 1.0)) / 100.0, 6).as("return_level_90d"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          round(sum(CAST(value AS DECIMAL(18,6))) * 100.0)::BIGINT
+            AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      th AS (SELECT quantile_cont(x, 0.2) AS u,
+          count(*)::BIGINT AS n_days FROM daily),
+      exc AS (SELECT round(u - x)::BIGINT AS y, u, n_days
+        FROM daily, th WHERE x::DOUBLE < u),
+      mom AS (SELECT u, n_days, count(*)::BIGINT AS k,
+          sum(y)::BIGINT AS sy, sum(y::HUGEINT * y) AS syy
+        FROM exc GROUP BY u, n_days),
+      fit AS (SELECT u, n_days, k, sy::DOUBLE / k AS m,
+          (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / k) / (k - 1) AS s2
+        FROM mom),
+      gp AS (SELECT u, n_days, k, m,
+          (m * m / s2 - 1.0) / 2.0 AS xi,
+          m * (m * m / s2 + 1.0) / 2.0 AS sigma
+        FROM fit)
+      SELECT k AS n_exceed, round(u / 100.0, 6) AS threshold,
+        round(xi, 6) AS xi, round(sigma / 100.0, 6) AS sigma,
+        round((u - sigma / xi
+          * (pow(90.0 * k / n_days, xi) - 1.0)) / 100.0, 6)
+          AS return_level_90d
+      FROM gp"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -5485,5 +5566,5 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393)
+      q391, q392, q393, q395)
 }

@@ -2182,8 +2182,65 @@ object Quality {
           ELSE 'substantial' END AS agreement
       FROM nt, num, den"""))
 
+  // ---------- q396: selection-rate fairness audit ----------------------
+
+  /** Four-fifths-rule fairness audit of a quality filter: per
+    * language, the selection rate of the "keep" decision (lexical
+    * diversity ≥ 0.55 and length in [100, 2000] chars — a
+    * representative q14-style gate), each language's rate ratio to
+    * the most-selected language, and the 80 %-rule pass flag — the
+    * disparate-impact screen a curation pipeline runs before shipping
+    * a filter, because a threshold tuned on English quietly guts
+    * other languages (exactly what q138's calibration then has to
+    * repair). Selection rates pin to micro from exact counts; the
+    * reference max is a broadcast scalar off the bounded per-language
+    * table. One corpus pass, k-row everything after.
+    */
+  private val q396 = QueryDef(
+    "q396_fairness_audit",
+    (s, dir) => {
+      val rated = docs(s, dir).select(col("lang"),
+        (expr("""(size(array_distinct(split(text, ' '))) * 1000000)
+            div size(split(text, ' '))""") >= 550000L
+          && col("n_chars").between(100L, 2000L)).as("keep"))
+      val byLang = rated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+        .withColumn("rate_micro",
+          expr("CAST(round(CAST(k AS DOUBLE) * 1e6 / n) AS BIGINT)"))
+      val mx = byLang.agg(max(col("rate_micro")).as("max_micro"))
+      byLang.crossJoin(broadcast(mx))
+        .select(col("lang"), col("n"), col("k").as("n_kept"),
+          round(col("rate_micro").cast("double") / 1e6, 6)
+            .as("sel_rate"),
+          round(col("rate_micro").cast("double") / col("max_micro"),
+            6).as("ratio_to_max"),
+          (col("rate_micro").cast("double") / col("max_micro") >= 0.8)
+            .as("four_fifths_pass"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH rated AS (SELECT lang,
+          ((len(list_distinct(string_split(text, ' '))) * 1000000)
+            // len(string_split(text, ' ')) >= 550000
+           AND n_chars BETWEEN 100 AND 2000) AS keep
+        FROM documents),
+      bl AS (SELECT lang, count(*)::BIGINT AS n,
+          sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS k
+        FROM rated GROUP BY 1),
+      br AS (SELECT lang, n, k,
+          round(k::DOUBLE * 1e6 / n)::BIGINT AS rate_micro
+        FROM bl),
+      mx AS (SELECT max(rate_micro)::BIGINT AS max_micro FROM br)
+      SELECT lang, n, k AS n_kept,
+        round(rate_micro::DOUBLE / 1e6, 6) AS sel_rate,
+        round(rate_micro::DOUBLE / max_micro, 6) AS ratio_to_max,
+        (rate_micro::DOUBLE / max_micro >= 0.8) AS four_fifths_pass
+      FROM br, mx
+      ORDER BY lang"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
-      q262, q271, q274, q299, q309, q310, q319, q320, q354, q380, q384)
+      q262, q271, q274, q299, q309, q310, q319, q320, q354, q380, q384,
+      q396)
 }

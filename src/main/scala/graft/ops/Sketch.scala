@@ -901,7 +901,96 @@ object Sketch {
         FROM top ORDER BY est DESC, tok"""
     })
 
+  // ---------- q394: mergeable-histogram quantile fidelity --------------
+
+  /** Quantile fidelity of the mergeable fixed-bin histogram sketch —
+    * the audit behind every "approximate percentile over 100 TB"
+    * dashboard: per-partition 64-bin histograms merge associatively
+    * (the groupBy's partial aggregation IS the sketch merge, which is
+    * the whole point — constant state per executor, one tiny
+    * shuffle), and the question is how much the within-bin linear
+    * interpolation costs at each quantile vs the exact order
+    * statistic. Exact side: type-7 interpolated percentile over
+    * cents-pinned prices (both engines' exact form, the q369
+    * convention). Estimated side: broadcast [min,max] range, bin
+    * counts, bounded 64-row cumulative, interpolate at p·N. Reports
+    * est/exact/error for the four operating quantiles.
+    */
+  private val q394 = QueryDef(
+    "q394_histogram_quantile_audit",
+    (s, dir) => {
+      val x = Fixtures.table(s, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+          .as("x"))
+      val rng = x.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).as("n"))
+      val bins = x.crossJoin(broadcast(rng))
+        .select(least(lit(63L), greatest(lit(0L),
+          expr("""CAST(floor(CAST(x - mn AS DOUBLE) * 64.0
+            / (mx - mn)) AS BIGINT)"""))).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bins.withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(rng))
+      val qs = cum.sparkSession.range(1).select(
+        explode(expr("array(0.25D, 0.5D, 0.9D, 0.99D)")).as("q"))
+      val est = cum.join(broadcast(qs),
+          col("cum") >= col("q") * col("n")
+            && (col("cum") - col("c")) < col("q") * col("n"))
+        .select(col("q"),
+          (col("mn").cast("double") + (col("bin").cast("double")
+            + (col("q") * col("n") - (col("cum") - col("c")))
+              / col("c"))
+            * (col("mx") - col("mn")).cast("double") / 64.0)
+            .as("est_cents"))
+      val exact = x.agg(
+        expr("percentile(x, array(0.25D, 0.5D, 0.9D, 0.99D))")
+          .as("ex"))
+        .select(posexplode(col("ex")).as(Seq("i", "exact_cents")))
+        .select(expr("element_at(array(0.25D, 0.5D, 0.9D, 0.99D), " +
+          "i + 1)").as("q"), col("exact_cents"))
+      est.join(exact, Seq("q"))
+        .select(col("q"),
+          round(col("est_cents") / 100.0, 6).as("est"),
+          round(col("exact_cents") / 100.0, 6).as("exact"),
+          round(abs(col("est_cents") - col("exact_cents")) / 100.0, 6)
+            .as("abs_err"))
+        .orderBy(col("q"))
+    },
+    Some("""WITH x AS (SELECT round(l_extendedprice * 100)::BIGINT
+          AS x FROM lineitem),
+      rng AS (SELECT min(x)::BIGINT AS mn, max(x)::BIGINT AS mx,
+          count(*)::BIGINT AS n FROM x),
+      bins AS (SELECT least(63, greatest(0,
+            floor((x - mn)::DOUBLE * 64.0 / (mx - mn))))::BIGINT
+            AS bin,
+          count(*)::BIGINT AS c
+        FROM x, rng GROUP BY 1),
+      cum AS (SELECT bin, c,
+          sum(c) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS cum
+        FROM bins),
+      qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99])::DOUBLE AS q),
+      est AS (SELECT q,
+          mn::DOUBLE + (bin::DOUBLE + (q * n - (cum - c)) / c)
+            * (mx - mn)::DOUBLE / 64.0 AS est_cents
+        FROM cum, rng, qs
+        WHERE cum >= q * n AND (cum - c) < q * n),
+      exact AS (
+        SELECT 0.25::DOUBLE AS q, quantile_cont(x, 0.25) AS exact_cents
+          FROM x
+        UNION ALL SELECT 0.5, quantile_cont(x, 0.5) FROM x
+        UNION ALL SELECT 0.9, quantile_cont(x, 0.9) FROM x
+        UNION ALL SELECT 0.99, quantile_cont(x, 0.99) FROM x)
+      SELECT q, round(est_cents / 100.0, 6) AS est,
+        round(exact_cents / 100.0, 6) AS exact,
+        round(abs(est_cents - exact_cents) / 100.0, 6) AS abs_err
+      FROM est JOIN exact USING (q)
+      ORDER BY q"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
-      q180, q195, q200, q264)
+      q180, q195, q200, q264, q394)
 }
