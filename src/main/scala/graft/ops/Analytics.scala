@@ -8990,6 +8990,267 @@ object Analytics {
         (n * r2 > 3.841) AS heteroscedastic
       FROM r"""))
 
+  // ---------- q397: blocking-strategy evaluation -----------------------
+
+  /** Blocking-strategy evaluation for record linkage: for three
+    * candidate blocking keys, the REDUCTION RATIO (how many of the
+    * all-pairs comparisons the blocking avoids — computed purely from
+    * block-size aggregates, Σ C(bᵢ,2), so no pair set ever
+    * materializes) against PAIR COMPLETENESS (what fraction of the
+    * q161 ground-truth matches the blocking keeps co-blocked) — the
+    * precision/recall tradeoff of entity-resolution candidate
+    * generation, decided BEFORE paying the q161 comparison join. The
+    * truth set is q161's brand+size-blocked Levenshtein matches
+    * (documented proxy); completeness joins it against each
+    * strategy's key pair. Everything is |part|-dimension-sized.
+    */
+  private val q397 = QueryDef(
+    "q397_blocking_eval",
+    (s, dir) => {
+      val p = Fixtures.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_name"),
+          substring(col("p_name"), 1, 4).as("pfx"))
+      val truth = p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_size") === col("b.p_size") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 12)
+        .select(col("a.p_partkey").as("ka"),
+          col("b.p_partkey").as("kb"))
+      val nTruth = truth.agg(count(lit(1)).as("nt"))
+      val nAll = p.agg((count(lit(1)) * (count(lit(1)) - 1) / 2)
+        .as("all_pairs"))
+      def strat(name: String, key: org.apache.spark.sql.Column)
+          : DataFrame = {
+        val keyed = p.select(col("p_partkey"), key.as("blk"))
+        val cand = keyed.groupBy(col("blk"))
+          .agg(count(lit(1)).as("b"))
+          .agg(sum(expr("b * (b - 1) div 2")).as("n_cand"))
+        val kept = truth
+          .join(keyed.select(col("p_partkey").as("ka"),
+            col("blk").as("blka")), Seq("ka"))
+          .join(keyed.select(col("p_partkey").as("kb"),
+            col("blk").as("blkb")), Seq("kb"))
+          .agg(sum(when(col("blka") === col("blkb"), 1L).otherwise(0L))
+            .as("n_kept"))
+        cand.crossJoin(broadcast(kept))
+          .select(lit(name).as("strategy"), col("n_cand"),
+            col("n_kept"))
+      }
+      strat("brand", col("p_brand"))
+        .unionAll(strat("name_prefix4", col("pfx")))
+        .unionAll(strat("size", col("p_size").cast("string")))
+        .crossJoin(broadcast(nTruth)).crossJoin(broadcast(nAll))
+        .select(col("strategy"), col("n_cand"),
+          round(lit(1.0) - col("n_cand").cast("double")
+            / col("all_pairs"), 9).as("reduction_ratio"),
+          round(col("n_kept").cast("double") / col("nt"), 9)
+            .as("pair_completeness"))
+        .orderBy(col("strategy"))
+    },
+    Some("""WITH p AS (SELECT p_partkey, p_brand, p_size, p_name,
+          substring(p_name, 1, 4) AS pfx FROM part),
+      truth AS (SELECT a.p_partkey AS ka, b.p_partkey AS kb
+        FROM p a JOIN p b ON a.p_brand = b.p_brand
+          AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 12),
+      nt AS (SELECT count(*)::BIGINT AS nt FROM truth),
+      na AS (SELECT (count(*) * (count(*) - 1) // 2)::BIGINT
+          AS all_pairs FROM p),
+      s1c AS (SELECT sum(b * (b - 1) // 2)::BIGINT AS n_cand FROM
+        (SELECT p_brand, count(*)::BIGINT AS b FROM p GROUP BY 1)),
+      s1k AS (SELECT count(*)::BIGINT AS n_kept FROM truth t
+        JOIN p a ON a.p_partkey = t.ka
+        JOIN p b ON b.p_partkey = t.kb
+        WHERE a.p_brand = b.p_brand),
+      s2c AS (SELECT sum(b * (b - 1) // 2)::BIGINT AS n_cand FROM
+        (SELECT pfx, count(*)::BIGINT AS b FROM p GROUP BY 1)),
+      s2k AS (SELECT count(*)::BIGINT AS n_kept FROM truth t
+        JOIN p a ON a.p_partkey = t.ka
+        JOIN p b ON b.p_partkey = t.kb
+        WHERE a.pfx = b.pfx),
+      s3c AS (SELECT sum(b * (b - 1) // 2)::BIGINT AS n_cand FROM
+        (SELECT p_size, count(*)::BIGINT AS b FROM p GROUP BY 1)),
+      s3k AS (SELECT count(*)::BIGINT AS n_kept FROM truth t
+        JOIN p a ON a.p_partkey = t.ka
+        JOIN p b ON b.p_partkey = t.kb
+        WHERE a.p_size = b.p_size),
+      u AS (
+        SELECT 'brand' AS strategy, s1c.n_cand, s1k.n_kept
+          FROM s1c, s1k
+        UNION ALL SELECT 'name_prefix4', s2c.n_cand, s2k.n_kept
+          FROM s2c, s2k
+        UNION ALL SELECT 'size', s3c.n_cand, s3k.n_kept
+          FROM s3c, s3k)
+      SELECT strategy, n_cand,
+        round(1.0 - n_cand::DOUBLE / all_pairs, 9) AS reduction_ratio,
+        round(n_kept::DOUBLE / nt, 9) AS pair_completeness
+      FROM u, nt, na
+      ORDER BY strategy"""))
+
+  // ---------- q398: shuffle-partition skew audit -----------------------
+
+  /** Hash-partition skew audit: for four candidate shuffle keys, the
+    * row distribution across 200 model partitions (the portable h32
+    * coin standing in for the engine's partitioner) — max/mean skew
+    * factor, occupancy, and the p99 partition — the pre-flight a
+    * pipeline runs before keying a corpus-sized shuffle on a column,
+    * because a 37× skew on l_returnflag means one straggler task
+    * carries 37 tasks' worth of a 100 TB shuffle (the q89 key-
+    * cardinality report says HOW MANY keys; this says where the ROWS
+    * land). Each candidate is one grouped count (hash-distributed,
+    * partial-agg combinable) into a bounded 200-row histogram; the
+    * skew fold is constant-size.
+    */
+  private val q398 = QueryDef(
+    "q398_shuffle_skew_audit",
+    (s, dir) => {
+      val li = Fixtures.table(s, dir, "lineitem")
+      def cand(name: String, key: org.apache.spark.sql.Column)
+          : DataFrame =
+        li.select(key.cast("string").as("k"))
+          .select(expr(Portable.h32Spark("concat('pt_', k)") + " % 200")
+            .as("pid"))
+          .groupBy(col("pid")).agg(count(lit(1)).as("c"))
+          .agg(lit(name).as("shuffle_key"), sum(col("c")).as("n_rows"),
+            count(lit(1)).as("n_used"), max(col("c")).as("max_rows"))
+      cand("orderkey", col("l_orderkey"))
+        .unionAll(cand("partkey", col("l_partkey")))
+        .unionAll(cand("returnflag", col("l_returnflag")))
+        .unionAll(cand("suppkey", col("l_suppkey")))
+        .select(col("shuffle_key"), col("n_used"), col("max_rows"),
+          round(col("max_rows").cast("double")
+            / (col("n_rows").cast("double") / 200.0), 6)
+            .as("skew_factor"))
+        .orderBy(col("shuffle_key"))
+    },
+    Some(s"""WITH
+      c1 AS (SELECT 'orderkey' AS shuffle_key, sum(c)::BIGINT AS n_rows,
+          count(*)::BIGINT AS n_used, max(c)::BIGINT AS max_rows FROM
+        (SELECT ${Portable.h32Duck("'pt_' || l_orderkey::VARCHAR")}
+            % 200 AS pid, count(*)::BIGINT AS c
+          FROM lineitem GROUP BY 1)),
+      c2 AS (SELECT 'partkey', sum(c)::BIGINT, count(*)::BIGINT,
+          max(c)::BIGINT FROM
+        (SELECT ${Portable.h32Duck("'pt_' || l_partkey::VARCHAR")}
+            % 200 AS pid, count(*)::BIGINT AS c
+          FROM lineitem GROUP BY 1)),
+      c3 AS (SELECT 'returnflag', sum(c)::BIGINT, count(*)::BIGINT,
+          max(c)::BIGINT FROM
+        (SELECT ${Portable.h32Duck("'pt_' || l_returnflag")}
+            % 200 AS pid, count(*)::BIGINT AS c
+          FROM lineitem GROUP BY 1)),
+      c4 AS (SELECT 'suppkey', sum(c)::BIGINT, count(*)::BIGINT,
+          max(c)::BIGINT FROM
+        (SELECT ${Portable.h32Duck("'pt_' || l_suppkey::VARCHAR")}
+            % 200 AS pid, count(*)::BIGINT AS c
+          FROM lineitem GROUP BY 1)),
+      u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+      SELECT shuffle_key, n_used, max_rows,
+        round(max_rows::DOUBLE / (n_rows::DOUBLE / 200.0), 6)
+          AS skew_factor
+      FROM u ORDER BY shuffle_key"""))
+
+  // ---------- q400: one-step LAD (median) regression -------------------
+
+  /** One IRLS step from OLS toward least-absolute-deviations (median)
+    * regression of spend on balance — the robust-slope move when
+    * q388's leverage audit or q58's outliers indict the OLS fit:
+    * reweight each point by 1/max(|residual|, $1) (the guarded LAD
+    * weight) and refit in closed form. Two passes, both broadcast
+    * moment rows: (α,β) from exact pinned moments, then micro-pinned
+    * weights with DECIMAL-lifted weighted cross-moments — the q351
+    * "one deterministic step, no loop" discipline applied to
+    * quantile-flavored regression (q289 EVALUATES pinball loss; this
+    * FITS toward its minimizer).
+    */
+  private val q400 = QueryDef(
+    "q400_lad_step",
+    (s, dir) => {
+      val spend = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6)))
+          .cast("double").as("spend"))
+      val pts = Fixtures.table(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .select(expr("CAST(round(c_acctbal) AS BIGINT)").as("x"),
+          expr("CAST(round(spend) AS BIGINT)").as("y"))
+      val m1 = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"))
+      val ab = m1.select(col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("b0"), col("sx"), col("sy"))
+        .select(col("n"), col("b0"),
+          ((col("sy").cast("double") - col("b0")
+            * col("sx").cast("double")) / col("n")).as("a0"))
+      val wtd = pts.crossJoin(broadcast(ab))
+        .select(col("x"), col("y"), col("n"), col("a0"), col("b0"),
+          expr("""CAST(round(1e6 / greatest(abs(y - a0 - b0 * x), 1.0))
+            AS BIGINT)""").as("w"))
+      val m2 = wtd.groupBy(col("n"), col("a0"), col("b0"))
+        .agg(sum(col("w")).as("sw"),
+          sum((col("w") * col("x")).cast(DecimalType(38, 0))).as("swx"),
+          sum((col("w") * col("y")).cast(DecimalType(38, 0))).as("swy"),
+          sum((col("w") * col("x") * col("x"))
+            .cast(DecimalType(38, 0))).as("swxx"),
+          sum((col("w") * col("x") * col("y"))
+            .cast(DecimalType(38, 0))).as("swxy"))
+      m2.select(col("n"), round(col("b0"), 9).as("beta_ols"),
+          ((col("sw").cast("double") * col("swxy").cast("double")
+            - col("swx").cast("double") * col("swy").cast("double"))
+            / (col("sw").cast("double") * col("swxx").cast("double")
+              - col("swx").cast("double") * col("swx").cast("double")))
+            .as("b1"), col("swy"), col("swx"), col("sw"))
+        .select(col("n"), col("beta_ols"),
+          round(col("b1"), 9).as("beta_lad1"),
+          round((col("swy").cast("double") - col("b1")
+            * col("swx").cast("double")) / col("sw").cast("double"), 6)
+            .as("alpha_lad1"))
+    },
+    Some("""WITH spend AS (SELECT o_custkey,
+          sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE AS spend
+        FROM orders GROUP BY 1),
+      pts AS (SELECT round(c_acctbal)::BIGINT AS x,
+          round(spend)::BIGINT AS y
+        FROM customer JOIN spend ON c_custkey = o_custkey),
+      m1 AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS sxx,
+          sum(x::HUGEINT * y) AS sxy
+        FROM pts),
+      ab AS (SELECT n,
+          (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            AS b0, sx, sy
+        FROM m1),
+      ab2 AS (SELECT n, b0,
+          (sy::DOUBLE - b0 * sx::DOUBLE) / n AS a0
+        FROM ab),
+      wtd AS (SELECT x, y, n, a0, b0,
+          round(1e6 / greatest(abs(y - a0 - b0 * x), 1.0))::BIGINT
+            AS w
+        FROM pts, ab2),
+      m2 AS (SELECT n, a0, b0, sum(w)::BIGINT AS sw,
+          sum(w::HUGEINT * x) AS swx, sum(w::HUGEINT * y) AS swy,
+          sum(w::HUGEINT * x * x) AS swxx,
+          sum(w::HUGEINT * x * y) AS swxy
+        FROM wtd GROUP BY n, a0, b0),
+      f AS (SELECT n, b0,
+          (sw::DOUBLE * swxy::DOUBLE - swx::DOUBLE * swy::DOUBLE)
+            / (sw::DOUBLE * swxx::DOUBLE - swx::DOUBLE * swx::DOUBLE)
+            AS b1, swy, swx, sw
+        FROM m2)
+      SELECT n, round(b0, 9) AS beta_ols, round(b1, 9) AS beta_lad1,
+        round((swy::DOUBLE - b1 * swx::DOUBLE) / sw::DOUBLE, 6)
+          AS alpha_lad1
+      FROM f"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -9002,5 +9263,6 @@ object Analytics {
       q302, q303, q304, q306, q307, q311, q314, q315, q316, q317, q323,
       q325, q326, q327, q330, q333, q338, q340, q341, q342, q345, q348,
       q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
-      q363, q371, q372, q373, q374, q375, q383, q385, q388, q389)
+      q363, q371, q372, q373, q374, q375, q383, q385, q388, q389, q397,
+      q398, q400)
 }

@@ -5558,6 +5558,86 @@ object Events {
           AS return_level_90d
       FROM gp"""))
 
+  // ---------- q399: sessionization gap-threshold sensitivity -----------
+
+  /** Sensitivity of the session count to the inactivity-gap
+    * threshold: the 5/15/30/60-minute session totals and mean
+    * events-per-session from ONE pass over the per-user
+    * inter-arrival gaps — the tuning curve behind q27's fixed
+    * 30-minute rule (a knee in this curve is where the threshold
+    * belongs; a flat curve means the choice doesn't matter). Gaps
+    * come from a per-user window (user_id is high-cardinality, so
+    * partitions stay small at any corpus size — the documented
+    * RangeLead boundary: windows for high-cardinality keys, the
+    * boundary-broadcast pass for low); all four thresholds are
+    * conditional sums over the SAME gap table, so sensitivity costs
+    * one corpus pass, not four. Sessions(g) = users + gaps > g,
+    * exact integers throughout.
+    */
+  private val q399 = QueryDef(
+    "q399_session_gap_sensitivity",
+    (s, dir) => {
+      val ts = ev(s, dir)
+        .select(col("user_id"),
+          expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").as("us"),
+          col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = ts
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("gap") > 5L * 60000000L, 1L).otherwise(0L))
+            .as("g5"),
+          sum(when(col("gap") > 15L * 60000000L, 1L).otherwise(0L))
+            .as("g15"),
+          sum(when(col("gap") > 30L * 60000000L, 1L).otherwise(0L))
+            .as("g30"),
+          sum(when(col("gap") > 60L * 60000000L, 1L).otherwise(0L))
+            .as("g60"))
+      gaps.select(explode(expr(
+          """array(struct(5L AS gap_min, n_users + g5 AS n_sessions,
+                   n_events AS n_events),
+                 struct(15L AS gap_min, n_users + g15 AS n_sessions,
+                   n_events AS n_events),
+                 struct(30L AS gap_min, n_users + g30 AS n_sessions,
+                   n_events AS n_events),
+                 struct(60L AS gap_min, n_users + g60 AS n_sessions,
+                   n_events AS n_events))""")).as("r"))
+        .select(col("r.gap_min"), col("r.n_sessions"),
+          round(col("r.n_events").cast("double") / col("r.n_sessions"),
+            6).as("mean_events_per_session"))
+        .orderBy(col("gap_min"))
+    },
+    Some("""WITH ts AS (SELECT user_id, epoch_us(ts) AS us, event_id
+        FROM events),
+      gaps AS (SELECT user_id,
+          us - lag(us) OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS gap
+        FROM ts),
+      agg AS (SELECT count(*)::BIGINT AS n_events,
+          count(DISTINCT user_id)::BIGINT AS n_users,
+          sum(CASE WHEN gap > 5::BIGINT * 60000000 THEN 1 ELSE 0 END)::BIGINT
+            AS g5,
+          sum(CASE WHEN gap > 15::BIGINT * 60000000 THEN 1 ELSE 0 END)::BIGINT
+            AS g15,
+          sum(CASE WHEN gap > 30::BIGINT * 60000000 THEN 1 ELSE 0 END)::BIGINT
+            AS g30,
+          sum(CASE WHEN gap > 60::BIGINT * 60000000 THEN 1 ELSE 0 END)::BIGINT
+            AS g60
+        FROM gaps),
+      u AS (
+        SELECT 5::BIGINT AS gap_min, n_users + g5 AS n_sessions,
+            n_events FROM agg
+        UNION ALL SELECT 15, n_users + g15, n_events FROM agg
+        UNION ALL SELECT 30, n_users + g30, n_events FROM agg
+        UNION ALL SELECT 60, n_users + g60, n_events FROM agg)
+      SELECT gap_min, n_sessions,
+        round(n_events::DOUBLE / n_sessions, 6)
+          AS mean_events_per_session
+      FROM u ORDER BY gap_min"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -5566,5 +5646,5 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393, q395)
+      q391, q392, q393, q395, q399)
 }
