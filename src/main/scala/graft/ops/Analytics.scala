@@ -9251,6 +9251,173 @@ object Analytics {
           AS alpha_lad1
       FROM f"""))
 
+  // ---------- q401: k-truss edge-support peel --------------------------
+
+  /** One peeling iteration of k-truss decomposition (k = 4) over the
+    * co-purchase graph: per-EDGE triangle support, drop every edge
+    * supported by fewer than k−2 = 2 triangles, and report the support
+    * histogram with the peel summary — the edge-level sibling of q261's
+    * k-core (node-degree peel): trusses isolate cohesive product
+    * communities that degree alone can't see (a hub with many weak
+    * one-off neighbors survives a k-core but none of its edges survive
+    * the truss). Triangles enumerate once via the degree-ordered
+    * orientation (q373's Ortmann–Brandes shape — two-hop fan-out
+    * bounded by O(√|E|) per node); each triangle then explodes into
+    * its 3 canonical (least, greatest) edges for ONE integer-keyed
+    * support aggregate, and zero-triangle edges enter the histogram at
+    * support 0 via the pair-side left join. Everything is linear in
+    * |edges| + |triangle corners|; the 1-row summary joins by
+    * broadcast onto the bounded support histogram. The full
+    * decomposition iterates this to a fixed point — one verified
+    * iteration pins the contract.
+    */
+  private val q401 = QueryDef(
+    "q401_ktruss_peel",
+    (s, dir) => {
+      val pairs = copurchasePairs(s, dir)
+        .where(col("n_orders") >= 2)
+        .select(col("part_a").as("a"), col("part_b").as("b"))
+      val deg = pairs.select(col("a").as("n")).unionAll(
+          pairs.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val e = pairs
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(when(lowFirst, col("a")).otherwise(col("b")).as("a"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("b"))
+      val tri = e.alias("e1")
+        .join(e.alias("e2"), col("e1.b") === col("e2.a"))
+        .join(e.alias("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("e2.b").as("z"))
+      val sup = tri.select(explode(array(
+          struct(least(col("x"), col("y")).as("u"),
+            greatest(col("x"), col("y")).as("v")),
+          struct(least(col("y"), col("z")).as("u"),
+            greatest(col("y"), col("z")).as("v")),
+          struct(least(col("x"), col("z")).as("u"),
+            greatest(col("x"), col("z")).as("v")))).as("ed"))
+        .select(col("ed.u").as("u"), col("ed.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
+      val edgeSupp = pairs
+        .join(sup, col("a") === col("u") && col("b") === col("v"),
+          "left_outer")
+        .select(coalesce(col("supp"), lit(0L)).as("supp"))
+      val summary = edgeSupp.agg(count(lit(1)).as("n_edges"),
+        sum(when(col("supp") >= 2, 1L).otherwise(0L)).as("n_kept"))
+      edgeSupp.groupBy(col("supp")).agg(count(lit(1)).as("n_at_supp"))
+        .crossJoin(broadcast(summary))
+        .select(col("supp"), col("n_at_supp"), col("n_edges"),
+          col("n_kept"))
+        .orderBy("supp")
+    },
+    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem),
+      pairs AS (SELECT a.p AS a, b.p AS b FROM it a
+        JOIN it b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+          SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs)
+        GROUP BY 1),
+      e AS (SELECT CASE WHEN da.d < db.d
+            OR (da.d = db.d AND p.a < p.b) THEN p.a ELSE p.b END AS a,
+          CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+            THEN p.b ELSE p.a END AS b
+        FROM pairs p
+        JOIN deg da ON da.n = p.a JOIN deg db ON db.n = p.b),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      sup AS (SELECT u, v, count(*)::BIGINT AS supp FROM (
+          SELECT least(x, y) AS u, greatest(x, y) AS v FROM tri
+          UNION ALL SELECT least(y, z), greatest(y, z) FROM tri
+          UNION ALL SELECT least(x, z), greatest(x, z) FROM tri)
+        GROUP BY 1, 2),
+      es AS (SELECT coalesce(sup.supp, 0)::BIGINT AS supp
+        FROM pairs LEFT JOIN sup ON pairs.a = sup.u AND pairs.b = sup.v),
+      summary AS (SELECT count(*)::BIGINT AS n_edges,
+          sum(CASE WHEN supp >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        FROM es)
+      SELECT supp, count(*)::BIGINT AS n_at_supp, n_edges, n_kept
+      FROM es, summary GROUP BY supp, n_edges, n_kept
+      ORDER BY supp"""))
+
+  // ---------- q403: one IRLS step of Poisson regression ----------------
+
+  /** One IRLS (Fisher-scoring) step of a Poisson log-linear regression
+    * of per-customer order counts on account balance, from the
+    * intercept-only MLE start β = (ln ȳ, 0) — the GLM count-model
+    * sibling of q351 (logit Newton step) and q400 (LAD step): the full
+    * fit iterates this to convergence; one deterministic verified step
+    * pins the contract. At the intercept-only start the working
+    * weights are the constant μ₀ = ȳ, so the weighted normal
+    * equations fold to CLOSED FORM over five exact integer/DECIMAL
+    * moments (n, Σx, Σy, Σx², Σxy — x = whole-dollar balance,
+    * y = order count): β₁ = (nΣxy−ΣxΣy)/(μ₀(nΣx²−(Σx)²)) and
+    * β₀ = ln μ₀ − β₁·Σx/n. The same moment row also yields the
+    * Pearson dispersion Σ(y−μ₀)²/μ₀/(n−1) — the overdispersion
+    * screen that says whether Poisson is even the right family
+    * (q329 then fits the negative-binomial alternative). Shape: one
+    * grouped count over orders, one broadcast join onto customer, one
+    * moment reduce, one output row — no iteration, no collect.
+    */
+  private val q403 = QueryDef(
+    "q403_poisson_irls_step",
+    (s, dir) => {
+      val cnt = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("y"))
+      val pts = Fixtures.table(s, dir, "customer")
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(expr("CAST(round(c_acctbal) AS BIGINT)").as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val m = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      m.select(col("n"),
+          (col("sy").cast("double") / col("n")).as("mu0"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
+            .as("b_ols"),
+          col("sx"), col("sy"), col("syy"))
+        .select(col("n"), round(col("mu0"), 9).as("mu0"),
+          round((col("b_ols") / col("mu0")), 12).as("beta1_step1"),
+          round(expr("ln(mu0)") - (col("b_ols") / col("mu0"))
+            * col("sx").cast("double") / col("n"), 9).as("beta0_step1"),
+          round((col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")
+              / col("n"))
+            / col("mu0") / (col("n") - 1), 6).as("pearson_dispersion"))
+    },
+    Some("""WITH cnt AS (SELECT o_custkey, count(*)::BIGINT AS y
+        FROM orders GROUP BY 1),
+      pts AS (SELECT round(c_acctbal)::BIGINT AS x,
+          coalesce(y, 0)::BIGINT AS y
+        FROM customer LEFT JOIN cnt ON c_custkey = o_custkey),
+      m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS sxx,
+          sum(x::HUGEINT * y) AS sxy, sum(y::HUGEINT * y) AS syy
+        FROM pts),
+      b AS (SELECT n, sy::DOUBLE / n AS mu0,
+          (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            AS b_ols, sx, sy, syy
+        FROM m)
+      SELECT n, round(mu0, 9) AS mu0,
+        round(b_ols / mu0, 12) AS beta1_step1,
+        round(ln(mu0) - (b_ols / mu0) * sx::DOUBLE / n, 9)
+          AS beta0_step1,
+        round((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n) / mu0
+          / (n - 1), 6) AS pearson_dispersion
+      FROM b"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -9264,5 +9431,5 @@ object Analytics {
       q325, q326, q327, q330, q333, q338, q340, q341, q342, q345, q348,
       q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
       q363, q371, q372, q373, q374, q375, q383, q385, q388, q389, q397,
-      q398, q400)
+      q398, q400, q401, q403)
 }

@@ -5638,6 +5638,180 @@ object Events {
           AS mean_events_per_session
       FROM u ORDER BY gap_min"""))
 
+  // ---------- q402: two-group log-rank survival test -------------------
+
+  /** Log-rank (Mantel–Cox) test comparing the user-lifetime survival
+    * curves of two deterministic user cohorts (`user_id % 2`, the q163
+    * split): at each distinct lifetime t the observed cohort-A deaths
+    * are compared against the hypergeometric expectation d·n_A/n from
+    * the shared at-risk sets, and the standardized sum is the chi-free
+    * z statistic — the hypothesis-test companion to q159's single
+    * Kaplan–Meier curve (all lifetimes fully observed in this corpus,
+    * i.e. no censoring — the same convention q159 states). Scale
+    * shape: one groupBy(user) pass over the corpus reduces to the
+    * distinct-lifetime table (≤ the day span, a few hundred rows), so
+    * the descending at-risk window is driver-trivial by construction
+    * (q159's argument); per-row expectations and variances are pinned
+    * to nano-unit integers BEFORE the final sum, so the reduce is
+    * exact-integer and order-free. Output is one row.
+    */
+  private val q402 = QueryDef(
+    "q402_logrank_test",
+    (s, dir) => {
+      val lt = ev(s, dir).groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("d0"),
+          max(col("ts").cast("date")).as("d1"))
+        .select(pmod(col("user_id"), lit(2L)).as("grp"),
+          datediff(col("d1"), col("d0")).cast("long").as("t"))
+      val d = lt.groupBy(col("t")).agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("d_a"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("d_b"))
+      val w = Window.orderBy(col("t").desc)
+      val tab = d
+        .withColumn("n_a", sum(col("d_a")).over(w))
+        .withColumn("n_b", sum(col("d_b")).over(w))
+        .select(col("d_a"),
+          (col("d_a") + col("d_b")).as("d"),
+          (col("n_a") + col("n_b")).as("n"), col("n_a"), col("n_b"))
+        .select(col("d_a"),
+          expr("""CAST(round(CAST(d AS DOUBLE) * n_a / n * 1e9)
+            AS BIGINT)""").as("e_a_nano"),
+          expr("""CAST(round(CASE WHEN n > 1 THEN
+              CAST(d AS DOUBLE) * n_a / n * n_b / n * (n - d) / (n - 1)
+            ELSE 0.0 END * 1e9) AS BIGINT)""").as("v_nano"))
+      val mom = tab.agg(sum(col("d_a")).as("o_a"),
+        sum(col("e_a_nano")).as("se"), sum(col("v_nano")).as("sv"))
+      val nTot = lt.agg(count(lit(1)).as("n_users"))
+      mom.crossJoin(broadcast(nTot))
+        .select(col("n_users"), col("o_a"),
+          round(col("se").cast("double") / 1e9, 6).as("e_a"),
+          round((col("o_a").cast("double") - col("se").cast("double")
+            / 1e9) / expr("sqrt(CAST(sv AS DOUBLE) / 1e9)"), 9)
+            .as("z"))
+        .select(col("n_users"), col("o_a"), col("e_a"), col("z"),
+          round(expr("2.0 * " + graft.ops.Portable.normCdfUpper(
+            "abs(z)")), 9).as("p_value"))
+    },
+    Some(s"""WITH lt AS (SELECT user_id % 2 AS grp,
+          date_diff('day', min(ts)::DATE, max(ts)::DATE) AS t
+        FROM events GROUP BY user_id),
+      d AS (SELECT t,
+          sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS d_a,
+          sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS d_b
+        FROM lt GROUP BY 1),
+      ar AS (SELECT d_a, d_a + d_b AS d,
+          sum(d_a + d_b) OVER (ORDER BY t DESC)::BIGINT AS n,
+          sum(d_a) OVER (ORDER BY t DESC)::BIGINT AS n_a,
+          sum(d_b) OVER (ORDER BY t DESC)::BIGINT AS n_b
+        FROM d),
+      pin AS (SELECT d_a,
+          round(d::DOUBLE * n_a / n * 1e9)::BIGINT AS e_a_nano,
+          round(CASE WHEN n > 1 THEN
+              d::DOUBLE * n_a / n * n_b / n * (n - d) / (n - 1)
+            ELSE 0.0 END * 1e9)::BIGINT AS v_nano
+        FROM ar),
+      mom AS (SELECT sum(d_a)::BIGINT AS o_a, sum(e_a_nano)::BIGINT AS se,
+          sum(v_nano)::BIGINT AS sv FROM pin),
+      nt AS (SELECT count(*)::BIGINT AS n_users FROM lt),
+      zz AS (SELECT n_users, o_a, round(se::DOUBLE / 1e9, 6) AS e_a,
+          round((o_a::DOUBLE - se::DOUBLE / 1e9)
+            / sqrt(sv::DOUBLE / 1e9), 9) AS z
+        FROM mom, nt)
+      SELECT n_users, o_a, e_a, z,
+        round(2.0 * ${graft.ops.Portable.normCdfUpper("abs(z)")}, 9)
+          AS p_value
+      FROM zz"""))
+
+  // ---------- q405: Dickey–Fuller unit-root test -----------------------
+
+  /** Dickey–Fuller unit-root regression Δc_t = α + ρ·c_{t−1} + ε over
+    * the daily event-count series, reporting ρ̂ and its t statistic
+    * against the constant-only 5 % critical value (−2.86) — the
+    * stationarity screen that decides whether q334's trend test and
+    * q142's autocorrelations are even well-posed (a unit root makes
+    * both spurious), and the missing member of the time-series-health
+    * family (q334 monotone trend, q390 residual autocorrelation, q335
+    * long-memory). Only CONSECUTIVE observed-day pairs enter (the lag
+    * join is on day−1; q322's documented gap convention, stated here
+    * as "gaps drop the pair"). All five regression moments are exact
+    * integer/DECIMAL sums from one bounded daily table (≤ the day
+    * span); slope, intercept, RSS, and the t statistic are closed-form
+    * doubles computed once from exact sums. Output is one row.
+    */
+  private val q405 = QueryDef(
+    "q405_df_unit_root",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val pairsD = daily.alias("t")
+        .join(daily.alias("p"), col("t.day") === col("p.day") + 1)
+        .select((col("t.c") - col("p.c")).as("dy"),
+          col("p.c").as("yl"))
+      val m = pairsD.agg(count(lit(1)).as("n"), sum(col("yl")).as("sx"),
+        sum(col("dy")).as("sy"),
+        sum((col("yl") * col("yl")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("yl") * col("dy")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("dy") * col("dy")).cast(DecimalType(38, 0))).as("syy"))
+      m.select(col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
+            .as("rho"),
+          col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
+        .select(col("n"), col("rho"),
+          ((col("sy").cast("double") - col("rho")
+            * col("sx").cast("double")) / col("n")).as("alpha"),
+          col("sxx"), col("sxy"), col("syy"), col("sx"), col("sy"))
+        .select(col("n"), col("rho"), col("alpha"),
+          (col("syy").cast("double") - col("alpha")
+            * col("sy").cast("double") - col("rho")
+            * col("sxy").cast("double")).as("rss"),
+          (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            .as("dxx"))
+        .select(col("n"), round(col("rho"), 12).as("rho"),
+          round(col("alpha"), 9).as("alpha"),
+          round((col("rho") / expr("""sqrt(rss / (n - 2)
+            * CAST(n AS DOUBLE) / dxx)""")).as("t_df"), 9).as("t_df"))
+        .select(col("n"), col("rho"), col("alpha"), col("t_df"),
+          expr("CASE WHEN t_df < -2.86 THEN 'stationary' " +
+            "ELSE 'unit_root' END").as("verdict"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT AS c
+        FROM events GROUP BY 1),
+      pr AS (SELECT t.c - p.c AS dy, p.c AS yl
+        FROM daily t JOIN daily p ON t.day = p.day + 1),
+      m AS (SELECT count(*)::BIGINT AS n, sum(yl)::BIGINT AS sx,
+          sum(dy)::BIGINT AS sy, sum(yl::HUGEINT * yl) AS sxx,
+          sum(yl::HUGEINT * dy) AS sxy, sum(dy::HUGEINT * dy) AS syy
+        FROM pr),
+      b AS (SELECT n,
+          (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            AS rho, sx, sy, sxx, sxy, syy
+        FROM m),
+      b2 AS (SELECT n, rho,
+          (sy::DOUBLE - rho * sx::DOUBLE) / n AS alpha,
+          sxx, sxy, syy, sx, sy
+        FROM b),
+      f AS (SELECT n, rho, alpha,
+          syy::DOUBLE - alpha * sy::DOUBLE - rho * sxy::DOUBLE AS rss,
+          n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS dxx
+        FROM b2),
+      z AS (SELECT n, round(rho, 12) AS rho, round(alpha, 9) AS alpha,
+          round(rho / sqrt(rss / (n - 2) * n::DOUBLE / dxx), 9)
+            AS t_df
+        FROM f)
+      SELECT n, rho, alpha, t_df,
+        CASE WHEN t_df < -2.86 THEN 'stationary' ELSE 'unit_root' END
+          AS verdict
+      FROM z"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -5646,5 +5820,5 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393, q395, q399)
+      q391, q392, q393, q395, q399, q402, q405)
 }

@@ -1926,7 +1926,79 @@ object Similarity {
       GROUP BY label ORDER BY label"""
     })
 
+  // ---------- q404: simplified-silhouette cluster audit ----------------
+
+  /** Simplified (centroid-based) silhouette per cluster: for every
+    * vector, a = cosine distance to its OWN (nearest) centroid and
+    * b = distance to the runner-up centroid, s = (b−a)/max(a,b) — the
+    * geometric cluster-separation audit that complements q80 (centroid
+    * separation: how far apart the CENTERS are) and q204 (near-dup
+    * cluster quality) by measuring how cleanly each POINT is claimed.
+    * Mean silhouette near 0 flags clusters that IVF routing (q34/q78)
+    * will split across cells. The full silhouette is O(n²) pairwise;
+    * the simplified form is the standard linear-scan surrogate — one
+    * broadcast of the k-row codebook against the corpus, a
+    * per-vector top-2 (the vec_id-partitioned window every ANN query
+    * here uses), and one bounded groupBy. Per-point s is pinned to
+    * micro-units BEFORE the mean so the reduce is exact-integer and
+    * order-free.
+    */
+  private val q404 = QueryDef(
+    "q404_silhouette_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cvecs = codebook(s, dir)
+        .select(col("label").as("clabel"), col("cvec"))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("clabel"))
+      val top2 = emb(s, dir)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .crossJoin(broadcast(cvecs))
+        .select(col("vec_id"), col("clabel"),
+          expr("graft_cosine(e, cvec)").as("ccos"))
+        .withColumn("rn", row_number().over(wCell))
+        .where(col("rn") <= 2)
+      val sil = top2.groupBy(col("vec_id")).agg(
+          max(when(col("rn") === 1, col("clabel"))).as("own"),
+          max(when(col("rn") === 1, col("ccos"))).as("c1"),
+          max(when(col("rn") === 2, col("ccos"))).as("c2"))
+        .select(col("own"),
+          expr("""CAST(round(((1 - c2) - (1 - c1))
+            / greatest(1 - c1, 1 - c2, CAST(1e-12 AS DOUBLE)) * 1e6)
+            AS BIGINT)""").as("sil_micro"))
+      sil.groupBy(col("own"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("sil_micro")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("avg_silhouette"))
+        .select(col("own").as("label"), col("n_vectors"),
+          col("avg_silhouette"))
+        .orderBy("label")
+    },
+    Some(s"""WITH $centDuckCte,
+      cb AS (SELECT label AS clabel, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label),
+      scored AS (SELECT e.vec_id, cb.clabel,
+          ${Dedup.cosDuck("e.embedding", "cb.cvec")} AS ccos
+        FROM embeddings e CROSS JOIN cb),
+      rk AS (SELECT vec_id, clabel, ccos, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, clabel) AS rn
+        FROM scored),
+      agg AS (SELECT vec_id,
+          max(CASE WHEN rn = 1 THEN clabel END) AS own,
+          max(CASE WHEN rn = 1 THEN ccos END) AS c1,
+          max(CASE WHEN rn = 2 THEN ccos END) AS c2
+        FROM rk WHERE rn <= 2 GROUP BY vec_id),
+      sil AS (SELECT own,
+          round(((1 - c2) - (1 - c1))
+            / greatest(1 - c1, 1 - c2, 1e-12::DOUBLE) * 1e6)::BIGINT
+            AS sil_micro
+        FROM agg)
+      SELECT own AS label, count(*)::BIGINT AS n_vectors,
+        round(sum(sil_micro)::DOUBLE / count(*) / 1e6, 6)
+          AS avg_silhouette
+      FROM sil GROUP BY own ORDER BY own"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
     q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259,
-    q260, q265, q280, q318, q332, q376, q377)
+    q260, q265, q280, q318, q332, q376, q377, q404)
 }

@@ -1896,8 +1896,60 @@ object TextOps {
       FROM pm
       ORDER BY pmi DESC, t1, t2 LIMIT 20"""))
 
+  // ---------- q406: Yule's K vocabulary-richness index ------------------
+
+  /** Yule's characteristic K per language,
+    * K = 10⁴·(Σ m²·V_m − N)/N² with V_m = number of types occurring
+    * exactly m times — the length-invariant lexical-richness constant
+    * that complements q84 (Heaps type GROWTH), q97 (Zipf rank SLOPE)
+    * and q313/q378 (windowed TTR, which K replaces when documents vary
+    * in length): K rises when a few types dominate (template/
+    * boilerplate text), falls for diverse natural prose, and is
+    * comparable across corpora of different sizes — the cross-language
+    * richness leaderboard a mixture designer reads next to q110's
+    * diversity share. Shape: one token scan into the (lang, token)
+    * frequency aggregate, folded to the frequency-of-frequencies
+    * table (|distinct m| rows per language — log-scale small), then a
+    * per-language reduce; Σm²V_m is DECIMAL-lifted (m ≤ N makes the
+    * term ≤ N², past int64 at corpus scale) while N and V stay exact
+    * int64. Output is one bounded row per language.
+    */
+  private val q406 = QueryDef(
+    "q406_yule_k",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val f = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("m"))
+      val vm = f.groupBy(col("lang"), col("m"))
+        .agg(count(lit(1)).as("v"))
+      vm.groupBy(col("lang"))
+        .agg(sum(col("m") * col("v")).as("n_tokens"),
+          sum(col("v")).as("n_types"),
+          sum((col("m") * col("m") * col("v"))
+            .cast(DecimalType(38, 0))).as("smm"))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          round((col("smm").cast("double")
+            - col("n_tokens").cast("double")) * 1e4
+            / (col("n_tokens").cast("double")
+              * col("n_tokens").cast("double")), 9).as("yule_k"))
+        .orderBy("lang")
+    },
+    Some("""WITH f AS (SELECT lang, tok, count(*)::BIGINT AS m
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents) GROUP BY 1, 2),
+      vm AS (SELECT lang, m, count(*)::BIGINT AS v FROM f GROUP BY 1, 2),
+      k AS (SELECT lang, sum(m * v)::BIGINT AS n_tokens,
+          sum(v)::BIGINT AS n_types,
+          sum(m::HUGEINT * m * v) AS smm
+        FROM vm GROUP BY 1)
+      SELECT lang, n_tokens, n_types,
+        round((smm::DOUBLE - n_tokens::DOUBLE) * 1e4
+          / (n_tokens::DOUBLE * n_tokens::DOUBLE), 9) AS yule_k
+      FROM k ORDER BY lang"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
       q153, q155, q165, q177, q198, q199, q215, q217, q244, q245, q278,
-      q279, q287, q298, q305, q313, q328, q378, q379)
+      q279, q287, q298, q305, q313, q328, q378, q379, q406)
 }
