@@ -9418,6 +9418,624 @@ object Analytics {
           / (n - 1), 6) AS pearson_dispersion
       FROM b"""))
 
+  // ---------- q407: Kruskal–Wallis k-group rank test --------------------
+
+  /** Kruskal–Wallis H across the five order-priority groups on binned
+    * order value — the k-group nonparametric location test missing
+    * between q254 (Mann–Whitney, 2 groups), q358 (ANOVA F, parametric)
+    * and q370 (Friedman, repeated measures): it asks whether ANY
+    * priority class has shifted order values without assuming
+    * normality or equal variances (q307's Levene result decides which
+    * of F or H to trust). Values ride the binned-rank convention
+    * (q295): $1000 bins bound the distinct-value table by the PRICE
+    * RANGE (~600 bins), never the corpus, so the rank prefix-sum
+    * window is over a bounded spine and the massive ties that binning
+    * creates are handled EXACTLY by average ranks (doubled to stay
+    * integer) plus the Σ(t³−t) tie correction. Per-group rank sums
+    * are exact DECIMAL integers; the 5 per-group H terms are pinned
+    * to DECIMAL(38,6) before the k-row reduce so the sum is
+    * order-free. df = k−1 = 4 gives the closed-form chi-square
+    * survival exp(−H/2)(1+H/2) — no CDF table needed. One scan, one
+    * bounded shuffle, 1-row output.
+    */
+  private val q407 = QueryDef(
+    "q407_kruskal_wallis",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          expr("CAST(floor(o_totalprice / 1000.0) AS BIGINT)").as("bin"))
+      val bt = b.groupBy(col("bin")).agg(count(lit(1)).as("nb"))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rk = bt.withColumn("r2",
+        lit(2L) * (sum(col("nb")).over(w) - col("nb")) + col("nb") + 1)
+      val gr = b.groupBy(col("grp"), col("bin"))
+        .agg(count(lit(1)).as("ngb"))
+        .join(rk, "bin")
+        .groupBy(col("grp"))
+        .agg(sum(col("ngb")).as("ng"),
+          sum((col("ngb").cast(DecimalType(38, 0)) * col("r2")))
+            .as("r2g"))
+      val nt = gr.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"))
+      val tp = gr.select(
+          round((col("r2g").cast("double") / 2.0)
+            * (col("r2g").cast("double") / 2.0) / col("ng"), 6)
+            .cast(DecimalType(38, 6)).as("t"))
+        .agg(sum(col("t")).as("st"))
+      val tie = bt.agg(sum(col("nb").cast(DecimalType(38, 0))
+        * col("nb") * col("nb") - col("nb")).as("tadj"))
+      nt.crossJoin(broadcast(tp)).crossJoin(broadcast(tie))
+        .select(col("k"), col("n"),
+          ((lit(12.0) / (col("n").cast("double")
+              * (col("n") + 1).cast("double")) * col("st").cast("double")
+            - lit(3.0) * (col("n") + 1).cast("double"))
+            / (lit(1.0) - col("tadj").cast("double")
+              / (col("n").cast("double") * col("n").cast("double")
+                * col("n").cast("double") - col("n").cast("double"))))
+            .as("hc"))
+        .select(col("k"), col("n"), round(col("hc"), 9).as("h_stat"),
+          round(exp(-col("hc") / 2.0) * (lit(1.0) + col("hc") / 2.0), 9)
+            .as("p_value"),
+          when(col("hc") > 9.488, "reject_equal").otherwise("no_shift")
+            .as("verdict"))
+    },
+    Some("""WITH b AS (SELECT o_orderpriority AS grp,
+          CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin
+        FROM orders),
+      bt AS (SELECT bin, count(*)::BIGINT AS nb FROM b GROUP BY 1),
+      rk AS (SELECT bin, nb,
+          2 * (sum(nb) OVER (ORDER BY bin) - nb) + nb + 1 AS r2
+        FROM bt),
+      gr AS (SELECT grp, sum(ngb)::BIGINT AS ng,
+          sum(ngb::HUGEINT * r2) AS r2g
+        FROM (SELECT grp, bin, count(*)::BIGINT AS ngb
+            FROM b GROUP BY 1, 2) gc
+        JOIN rk USING (bin) GROUP BY 1),
+      nt AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k FROM gr),
+      tp AS (SELECT sum(round((r2g::DOUBLE / 2.0) * (r2g::DOUBLE / 2.0)
+          / ng, 6)::DECIMAL(38,6)) AS st FROM gr),
+      tie AS (SELECT sum(nb::HUGEINT * nb * nb - nb) AS tadj FROM bt),
+      h AS (SELECT n, k,
+          (12.0 / (n::DOUBLE * (n + 1)::DOUBLE) * st::DOUBLE
+            - 3.0 * (n + 1)::DOUBLE)
+            / (1.0 - tadj::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+              - n::DOUBLE)) AS hc
+        FROM nt, tp, tie)
+      SELECT k, n, round(hc, 9) AS h_stat,
+        round(exp(-hc / 2.0) * (1.0 + hc / 2.0), 9) AS p_value,
+        CASE WHEN hc > 9.488 THEN 'reject_equal' ELSE 'no_shift' END
+          AS verdict
+      FROM h"""))
+
+  // ---------- q408: ridge regression shrinkage path --------------------
+
+  /** Closed-form ridge path for the two-predictor regression of
+    * customer spend on account balance and order count — the
+    * REGULARIZED member the regression family lacks (q233 OLS, q400
+    * LAD, q351 logit, q403 Poisson, q362 Theil–Sen are all
+    * unpenalized): in correlation form the 2×2 system (R+λI)β = r_y
+    * inverts by hand, so the whole λ grid {0, 0.1, 0.5, 1, 10} is
+    * pure expression arithmetic over ONE row of exact moments — the
+    * classic coefficient-shrinkage trace (and, when predictors
+    * correlate, the variance-trading crossover) a feature-selection
+    * pass reads before fitting anything iterative. Scale shape: one
+    * grouped pass over orders, one broadcast-joined pass over
+    * customer, nine DECIMAL-lifted raw moments in a 1-row reduce,
+    * then a 5-row explode of the λ grid. Nothing downstream of the
+    * moment row touches the corpus.
+    */
+  private val q408 = QueryDef(
+    "q408_ridge_path",
+    (s, dir) => {
+      val sp = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x2o"),
+          expr("CAST(round(sum(o_totalprice)) AS BIGINT)").as("yv"))
+      val pts = Fixtures.table(s, dir, "customer")
+        .join(sp, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(expr("CAST(round(c_acctbal) AS BIGINT)").as("x1"),
+          coalesce(col("x2o"), lit(0L)).as("x2"),
+          coalesce(col("yv"), lit(0L)).as("y"))
+      val m = pts.agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+        sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+        sum((col("x1") * col("x1")).cast(DecimalType(38, 0))).as("s11"),
+        sum((col("x2") * col("x2")).cast(DecimalType(38, 0))).as("s22"),
+        sum((col("x1") * col("x2")).cast(DecimalType(38, 0))).as("s12"),
+        sum((col("x1") * col("y")).cast(DecimalType(38, 0))).as("s1y"),
+        sum((col("x2") * col("y")).cast(DecimalType(38, 0))).as("s2y"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      val c = m.select(col("n"),
+        (col("n").cast("double") * col("s11").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double")).as("c11"),
+        (col("n").cast("double") * col("s22").cast("double")
+          - col("s2").cast("double") * col("s2").cast("double")).as("c22"),
+        (col("n").cast("double") * col("s12").cast("double")
+          - col("s1").cast("double") * col("s2").cast("double")).as("c12"),
+        (col("n").cast("double") * col("s1y").cast("double")
+          - col("s1").cast("double") * col("sy").cast("double")).as("c1y"),
+        (col("n").cast("double") * col("s2y").cast("double")
+          - col("s2").cast("double") * col("sy").cast("double")).as("c2y"),
+        (col("n").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")).as("cyy"))
+      val r = c.select(col("n"),
+        (col("c12") / sqrt(col("c11") * col("c22"))).as("r12"),
+        (col("c1y") / sqrt(col("c11") * col("cyy"))).as("r1y"),
+        (col("c2y") / sqrt(col("c22") * col("cyy"))).as("r2y"))
+      r.select(col("n"), col("r12"), col("r1y"), col("r2y"),
+          explode(array(lit(0.0), lit(0.1), lit(0.5), lit(1.0),
+            lit(10.0))).as("lambda"))
+        .select(col("lambda"), col("n"), round(col("r12"), 6).as("r12"),
+          round(((lit(1.0) + col("lambda")) * col("r1y")
+            - col("r12") * col("r2y"))
+            / ((lit(1.0) + col("lambda")) * (lit(1.0) + col("lambda"))
+              - col("r12") * col("r12")), 9).as("beta1_std"),
+          round(((lit(1.0) + col("lambda")) * col("r2y")
+            - col("r12") * col("r1y"))
+            / ((lit(1.0) + col("lambda")) * (lit(1.0) + col("lambda"))
+              - col("r12") * col("r12")), 9).as("beta2_std"))
+        .orderBy(col("lambda"))
+    },
+    Some("""WITH sp AS (SELECT o_custkey, count(*)::BIGINT AS x2o,
+          CAST(round(sum(o_totalprice)) AS BIGINT) AS yv
+        FROM orders GROUP BY 1),
+      pts AS (SELECT CAST(round(c_acctbal) AS BIGINT) AS x1,
+          coalesce(x2o, 0)::BIGINT AS x2, coalesce(yv, 0)::BIGINT AS y
+        FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+      m AS (SELECT count(*)::BIGINT AS n, sum(x1)::BIGINT AS s1,
+          sum(x2)::BIGINT AS s2, sum(y)::BIGINT AS sy,
+          sum(x1::HUGEINT * x1) AS s11, sum(x2::HUGEINT * x2) AS s22,
+          sum(x1::HUGEINT * x2) AS s12, sum(x1::HUGEINT * y) AS s1y,
+          sum(x2::HUGEINT * y) AS s2y, sum(y::HUGEINT * y) AS syy
+        FROM pts),
+      c AS (SELECT n,
+          n::DOUBLE * s11::DOUBLE - s1::DOUBLE * s1::DOUBLE AS c11,
+          n::DOUBLE * s22::DOUBLE - s2::DOUBLE * s2::DOUBLE AS c22,
+          n::DOUBLE * s12::DOUBLE - s1::DOUBLE * s2::DOUBLE AS c12,
+          n::DOUBLE * s1y::DOUBLE - s1::DOUBLE * sy::DOUBLE AS c1y,
+          n::DOUBLE * s2y::DOUBLE - s2::DOUBLE * sy::DOUBLE AS c2y,
+          n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS cyy
+        FROM m),
+      r AS (SELECT n, c12 / sqrt(c11 * c22) AS r12,
+          c1y / sqrt(c11 * cyy) AS r1y, c2y / sqrt(c22 * cyy) AS r2y
+        FROM c),
+      g AS (SELECT unnest([0.0, 0.1, 0.5, 1.0, 10.0]) AS lambda)
+      SELECT lambda, n, round(r12, 6) AS r12,
+        round(((1.0 + lambda) * r1y - r12 * r2y)
+          / ((1.0 + lambda) * (1.0 + lambda) - r12 * r12), 9)
+          AS beta1_std,
+        round(((1.0 + lambda) * r2y - r12 * r1y)
+          / ((1.0 + lambda) * (1.0 + lambda) - r12 * r12), 9)
+          AS beta2_std
+      FROM r, g ORDER BY lambda"""))
+
+  // ---------- q409: PRESS / leave-one-out cross-validation --------------
+
+  /** PRESS statistic and predicted R² for the order-frequency
+    * regression (y = per-customer order count on x = account balance,
+    * q403's point set) — the MODEL-VALIDATION member the regression
+    * family lacks: q388 stops at leverage (which points COULD distort
+    * the fit), PRESS = Σ(eᵢ/(1−hᵢᵢ))² turns the hat values into the
+    * exact leave-one-out prediction error WITHOUT refitting n models,
+    * and R²_pred = 1 − PRESS/TSS < R² quantifies how much of the
+    * in-sample fit is real versus memorized. Shape: one exact-moment
+    * reduce gives slope/intercept/x̄/Sxx, one broadcast of that 1-row
+    * result back over the points computes each deleted residual in a
+    * single codegen'd projection, and both quadratic sums are pinned
+    * to DECIMAL(38,6) micro-units before the reduce (order-free,
+    * overflow-free at any corpus size). Two linear passes, 1-row
+    * output.
+    */
+  private val q409 = QueryDef(
+    "q409_press_loocv",
+    (s, dir) => {
+      val cnt = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("y"))
+      val pts = Fixtures.table(s, dir, "customer")
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(expr("CAST(round(c_acctbal) AS BIGINT)").as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val m = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+      val b = m.select(col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")))
+            .as("slope"), col("sx"), col("sy"), col("sxx"), col("syy"))
+        .select(col("n"), col("slope"),
+          ((col("sy").cast("double") - col("slope")
+            * col("sx").cast("double")) / col("n").cast("double"))
+            .as("icept"),
+          (col("sx").cast("double") / col("n").cast("double")).as("xbar"),
+          (col("sxx").cast("double") - col("sx").cast("double")
+            * col("sx").cast("double") / col("n").cast("double"))
+            .as("sxxc"),
+          (col("syy").cast("double") - col("sy").cast("double")
+            * col("sy").cast("double") / col("n").cast("double"))
+            .as("tss"))
+      val e = col("y").cast("double") - col("icept")
+        - col("slope") * col("x").cast("double")
+      val h = (lit(1.0) / col("n").cast("double")) +
+        ((col("x").cast("double") - col("xbar")) *
+          (col("x").cast("double") - col("xbar")) / col("sxxc"))
+      val res = pts.crossJoin(broadcast(b))
+        .groupBy(col("n"), col("slope"), col("icept"), col("tss"))
+        .agg(sum(round(e * e, 6).cast(DecimalType(38, 6))).as("rss"),
+          sum(round((e / (lit(1.0) - h)) * (e / (lit(1.0) - h)), 6)
+            .cast(DecimalType(38, 6))).as("press"))
+      res.select(col("n"), round(col("slope"), 12).as("slope"),
+        round(col("icept"), 9).as("intercept"),
+        round(col("rss").cast("double"), 3).as("rss"),
+        round(col("press").cast("double"), 3).as("press"),
+        round(lit(1.0) - col("rss").cast("double") / col("tss"), 9)
+          .as("r2"),
+        round(lit(1.0) - col("press").cast("double") / col("tss"), 9)
+          .as("r2_pred"))
+    },
+    Some("""WITH cnt AS (SELECT o_custkey, count(*)::BIGINT AS y
+        FROM orders GROUP BY 1),
+      pts AS (SELECT CAST(round(c_acctbal) AS BIGINT) AS x,
+          coalesce(y, 0)::BIGINT AS y
+        FROM customer LEFT JOIN cnt ON c_custkey = o_custkey),
+      m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS sxx,
+          sum(x::HUGEINT * y) AS sxy, sum(y::HUGEINT * y) AS syy
+        FROM pts),
+      b AS (SELECT n,
+          (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            AS slope, sx, sy, sxx, syy
+        FROM m),
+      b2 AS (SELECT n, slope,
+          (sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE AS icept,
+          sx::DOUBLE / n::DOUBLE AS xbar,
+          sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE AS sxxc,
+          syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS tss
+        FROM b),
+      res AS (SELECT n, slope, icept, tss,
+          sum(round((y::DOUBLE - icept - slope * x::DOUBLE)
+            * (y::DOUBLE - icept - slope * x::DOUBLE), 6)
+            ::DECIMAL(38,6)) AS rss,
+          sum(round(((y::DOUBLE - icept - slope * x::DOUBLE)
+              / (1.0 - (1.0 / n::DOUBLE + (x::DOUBLE - xbar)
+                * (x::DOUBLE - xbar) / sxxc)))
+            * ((y::DOUBLE - icept - slope * x::DOUBLE)
+              / (1.0 - (1.0 / n::DOUBLE + (x::DOUBLE - xbar)
+                * (x::DOUBLE - xbar) / sxxc))), 6)::DECIMAL(38,6))
+            AS press
+        FROM pts, b2 GROUP BY 1, 2, 3, 4)
+      SELECT n, round(slope, 12) AS slope, round(icept, 9) AS intercept,
+        round(rss::DOUBLE, 3) AS rss, round(press::DOUBLE, 3) AS press,
+        round(1.0 - rss::DOUBLE / tss, 9) AS r2,
+        round(1.0 - press::DOUBLE / tss, 9) AS r2_pred
+      FROM res"""))
+
+  // ---------- q410: zero-inflation score test --------------------------
+
+  /** Van den Broek score test for zero inflation in per-customer
+    * order counts over ONE year (1995) — the distribution-family
+    * screen between q403 (Poisson step: assumes the family) and q329
+    * (negative-binomial fit: one specific alternative): excess zeros
+    * are a DIFFERENT failure than overdispersion (a dormant-customer
+    * mixture inflates P(y=0) without fattening the tail), and the
+    * score statistic S = (n₀/p̃₀ − n)² / (n(1−p̃₀)/p̃₀ − nȳ) with
+    * p̃₀ = e^(−ȳ) detects it from THREE plain moments (n, n₀, Σy) —
+    * no model fit, no iteration. The one-year window is what makes
+    * the test live: lifetime counts have no zeros by construction
+    * (every customer row exists because it ordered), while a bounded
+    * window exposes the dormant mass. S is χ²(1) under H₀, so
+    * p = 2·Q(√S) via the shared normal-tail polynomial. One filtered
+    * grouped pass + one broadcast left join + a 1-row reduce.
+    */
+  private val q410 = QueryDef(
+    "q410_zero_inflation",
+    (s, dir) => {
+      val cnt = Fixtures.table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("date")
+          && col("o_orderdate") < lit("1996-01-01").cast("date"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("y"))
+      val pts = Fixtures.table(s, dir, "customer")
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("y"), lit(0L)).as("y"))
+      val m = pts.agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(col("y")).as("sy"))
+      m.select(col("n"), col("n0"),
+          (col("sy").cast("double") / col("n").cast("double")).as("ybar"),
+          exp(-(col("sy").cast("double") / col("n").cast("double")))
+            .as("p0"))
+        .select(col("n"), col("n0"), col("ybar"), col("p0"),
+          (col("n0").cast("double") / col("n").cast("double"))
+            .as("p0_obs"),
+          ((col("n0").cast("double") / col("p0") - col("n").cast("double"))
+            * (col("n0").cast("double") / col("p0")
+              - col("n").cast("double"))
+            / (col("n").cast("double") * (lit(1.0) - col("p0"))
+              / col("p0") - col("n").cast("double") * col("ybar")))
+            .as("score"))
+        .select(col("n"), col("n0"), round(col("ybar"), 9)
+            .as("mean_orders"),
+          round(col("p0_obs"), 9).as("p0_obs"),
+          round(col("p0"), 9).as("p0_poisson"),
+          round(col("score"), 6).as("score_stat"),
+          round(expr("2.0 * " + graft.ops.Portable.normCdfUpper(
+            "sqrt(score)")), 9).as("p_value"),
+          when(col("score") > 3.841, "zero_inflated")
+            .otherwise("poisson_ok").as("verdict"))
+    },
+    Some(s"""WITH cnt AS (SELECT o_custkey, count(*)::BIGINT AS y
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1996-01-01'
+        GROUP BY 1),
+      pts AS (SELECT coalesce(y, 0)::BIGINT AS y
+        FROM customer LEFT JOIN cnt ON c_custkey = o_custkey),
+      m AS (SELECT count(*)::BIGINT AS n,
+          sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+          sum(y)::BIGINT AS sy FROM pts),
+      s AS (SELECT n, n0, sy::DOUBLE / n::DOUBLE AS ybar,
+          exp(-(sy::DOUBLE / n::DOUBLE)) AS p0 FROM m),
+      st AS (SELECT n, n0, ybar, p0,
+          n0::DOUBLE / n::DOUBLE AS p0_obs,
+          (n0::DOUBLE / p0 - n::DOUBLE) * (n0::DOUBLE / p0 - n::DOUBLE)
+            / (n::DOUBLE * (1.0 - p0) / p0 - n::DOUBLE * ybar) AS score
+        FROM s)
+      SELECT n, n0, round(ybar, 9) AS mean_orders,
+        round(p0_obs, 9) AS p0_obs, round(p0, 9) AS p0_poisson,
+        round(score, 6) AS score_stat,
+        round(2.0 * ${graft.ops.Portable.normCdfUpper("sqrt(score)")}, 9)
+          AS p_value,
+        CASE WHEN score > 3.841 THEN 'zero_inflated' ELSE 'poisson_ok'
+          END AS verdict
+      FROM st"""))
+
+  // ---------- q411: Atkinson inequality indices -------------------------
+
+  /** Atkinson inequality indices A(ε=1) and A(ε=2) of customer
+    * lifetime spend per nation — the WELFARE-WEIGHTED members of the
+    * inequality family (q99 Gini is rank-based, q188 Theil is
+    * entropy-based): A(1) = 1 − geomean/mean and A(2) = 1 −
+    * harmonic/mean make the inequality-aversion parameter explicit,
+    * and A(2) > A(1) everywhere quantifies how much of each nation's
+    * revenue concentration sits in the LOW tail (small accounts) that
+    * Gini underweights — the read a market-coverage planner wants
+    * next to q189's HHI. Both reduce to three per-row terms (cents,
+    * ln cents pinned to nano, 10¹⁵/cents pinned integer) summed
+    * DECIMAL-exact and order-free; scale-invariance of A makes the
+    * cent units safe. One grouped pass over orders, two broadcast
+    * dimension joins, one bounded (≤|nations|) reduce.
+    */
+  private val q411 = QueryDef(
+    "q411_atkinson_index",
+    (s, dir) => {
+      val sp = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+          .as("cents"))
+      val pts = sp
+        .join(Fixtures.table(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Fixtures.table(s, dir, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"), col("cents"))
+      pts.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("sc"),
+          sum(expr("CAST(round(ln(CAST(cents AS DOUBLE)) " +
+            "* 1000000000.0) AS BIGINT)").cast(DecimalType(38, 0)))
+            .as("sln"),
+          sum(expr("CAST(round(CAST(1000000000000000 AS DOUBLE) " +
+            "/ CAST(cents AS DOUBLE)) AS BIGINT)")
+            .cast(DecimalType(38, 0))).as("sinv"))
+        .select(col("n_name"), col("n"),
+          round(col("sc").cast("double") / col("n").cast("double")
+            / 100.0, 2).as("mean_spend"),
+          round(lit(1.0) - exp(col("sln").cast("double") / 1.0e9
+            / col("n").cast("double"))
+            / (col("sc").cast("double") / col("n").cast("double")), 9)
+            .as("atkinson_1"),
+          round(lit(1.0) - (col("n").cast("double")
+            / (col("sinv").cast("double") / 1.0e15))
+            / (col("sc").cast("double") / col("n").cast("double")), 9)
+            .as("atkinson_2"))
+        .orderBy(col("n_name"))
+    },
+    Some("""WITH sp AS (SELECT o_custkey,
+          sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT
+            AS cents
+        FROM orders GROUP BY 1),
+      pts AS (SELECT n_name, cents FROM sp
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey),
+      agg AS (SELECT n_name, count(*)::BIGINT AS n,
+          sum(cents::HUGEINT) AS sc,
+          sum(CAST(round(ln(cents::DOUBLE) * 1000000000.0) AS BIGINT)
+            ::HUGEINT) AS sln,
+          sum(CAST(round(CAST(1000000000000000 AS DOUBLE)
+            / cents::DOUBLE) AS BIGINT)::HUGEINT) AS sinv
+        FROM pts GROUP BY 1)
+      SELECT n_name, n,
+        round(sc::DOUBLE / n::DOUBLE / 100.0, 2) AS mean_spend,
+        round(1.0 - exp(sln::DOUBLE / 1.0e9 / n::DOUBLE)
+          / (sc::DOUBLE / n::DOUBLE), 9) AS atkinson_1,
+        round(1.0 - (n::DOUBLE / (sinv::DOUBLE / 1.0e15))
+          / (sc::DOUBLE / n::DOUBLE), 9) AS atkinson_2
+      FROM agg ORDER BY n_name"""))
+
+  // ---------- q412: binned distance correlation -------------------------
+
+  /** Distance correlation over two column pairs — the
+    * NONLINEAR-dependence audit the association family lacks (q75
+    * Pearson and q234/q295 rank measures only see monotone trends;
+    * q168 MI needs a grid too but loses the [0,1] "0 iff independent"
+    * calibration dCor carries): pair `qty_vs_price` asks whether line
+    * quantity predicts line price (the business expectation), pair
+    * `items_vs_totalqty` (order width vs order volume, mechanically
+    * coupled) is the positive control proving the estimator isn't
+    * just returning zero. Values ride the q295 binned convention, so
+    * the cell table is bounded by the VALUE RANGES (≤ ~130 cells),
+    * never the corpus; the V-statistic then expands EXACTLY as
+    * S₁ − 2S₂ + S₃ where every Sᵢ is an integer sum over cell pairs
+    * (DECIMAL-lifted — w·ra·rb crosses int64 fast), so no double
+    * centering matrix, no per-point n² work, and the reduce is
+    * order-free. Per pair: one corpus scan into cells, one broadcast
+    * cell self-join (≤ 130² rows), three exact moments; Pearson from
+    * the same cells for the linear-vs-total contrast. 2-row output.
+    */
+  private val q412 = QueryDef(
+    "q412_distance_correlation",
+    (s, dir) => {
+      def dcor(cells0: DataFrame, label: String): DataFrame = {
+        val cells = cells0.groupBy(col("bx"), col("by"))
+          .agg(count(lit(1)).as("w"))
+        val c2 = cells.select(col("bx").as("bx2"), col("by").as("by2"),
+          col("w").as("w2"))
+        val pr = cells.crossJoin(broadcast(c2))
+          .select(col("bx"), col("by"), col("w"), col("w2"),
+            abs(col("bx") - col("bx2")).as("a"),
+            abs(col("by") - col("by2")).as("b"))
+        val rws = pr.groupBy(col("bx"), col("by"), col("w"))
+          .agg(sum((col("w2") * col("a")).cast(DecimalType(38, 0)))
+            .as("ra"),
+            sum((col("w2") * col("b")).cast(DecimalType(38, 0)))
+            .as("rb"))
+        val tot = rws.agg(sum(col("w")).as("n"),
+          count(lit(1)).as("n_cells"),
+          sum(col("w").cast(DecimalType(38, 0)) * col("ra")).as("ta"),
+          sum(col("w").cast(DecimalType(38, 0)) * col("rb")).as("tb"))
+        val s1 = pr.agg(
+          sum(col("w").cast(DecimalType(38, 0)) * col("w2") * col("a")
+            * col("b")).as("sab"),
+          sum(col("w").cast(DecimalType(38, 0)) * col("w2") * col("a")
+            * col("a")).as("saa"),
+          sum(col("w").cast(DecimalType(38, 0)) * col("w2") * col("b")
+            * col("b")).as("sbb"))
+        val s2 = rws.agg(
+          sum(col("w").cast(DecimalType(38, 0)) * col("ra") * col("rb"))
+            .as("qab"),
+          sum(col("w").cast(DecimalType(38, 0)) * col("ra") * col("ra"))
+            .as("qaa"),
+          sum(col("w").cast(DecimalType(38, 0)) * col("rb") * col("rb"))
+            .as("qbb"))
+        val p = cells.agg(sum(col("w")).as("np"),
+          sum(col("w") * col("bx")).as("sx"),
+          sum(col("w") * col("by")).as("sy"),
+          sum((col("w") * col("bx") * col("bx"))
+            .cast(DecimalType(38, 0))).as("sxx"),
+          sum((col("w") * col("by") * col("by"))
+            .cast(DecimalType(38, 0))).as("syy"),
+          sum((col("w") * col("bx") * col("by"))
+            .cast(DecimalType(38, 0))).as("sxy"))
+        val nD = col("n").cast("double")
+        def term(x: String, q: String, t1: String, t2: String) =
+          (col(x).cast("double") / nD / nD) -
+            (lit(2.0) * col(q).cast("double") / nD / nD / nD) +
+            (col(t1).cast("double") * col(t2).cast("double") /
+              nD / nD / nD / nD)
+        tot.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+          .crossJoin(broadcast(p))
+          .select(lit(label).as("pair"), col("n"), col("n_cells"),
+            round(sqrt(greatest(term("sab", "qab", "ta", "tb"),
+              lit(0.0)) / sqrt(term("saa", "qaa", "ta", "ta")
+                * term("sbb", "qbb", "tb", "tb"))), 9).as("dcor"),
+            round((col("np").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+              / sqrt((col("np").cast("double")
+                  * col("sxx").cast("double") - col("sx").cast("double")
+                  * col("sx").cast("double"))
+                * (col("np").cast("double") * col("syy").cast("double")
+                  - col("sy").cast("double") * col("sy").cast("double"))),
+              9).as("pearson_r"))
+      }
+      val li = Fixtures.table(s, dir, "lineitem")
+      val pair1 = li.select(
+        expr("CAST(l_quantity AS BIGINT) div 5").as("bx"),
+        expr("CAST(floor(l_extendedprice / 10000.0) AS BIGINT)")
+          .as("by"))
+      val pair2 = li.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("ni"),
+          expr("CAST(sum(l_quantity) AS BIGINT)").as("sq"))
+        .select(col("ni").as("bx"), expr("sq div 20").as("by"))
+      dcor(pair1, "qty_vs_price")
+        .unionAll(dcor(pair2, "items_vs_totalqty"))
+        .orderBy(col("pair"))
+    },
+    Some("""WITH p1 AS (SELECT CAST(l_quantity AS BIGINT) // 5 AS bx,
+          CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS by
+        FROM lineitem),
+      p2 AS (SELECT count(*)::BIGINT AS bx,
+          CAST(sum(l_quantity) AS BIGINT) // 20 AS by
+        FROM lineitem GROUP BY l_orderkey),
+      c1 AS (SELECT bx, by, count(*)::BIGINT AS w FROM p1 GROUP BY 1, 2),
+      c2 AS (SELECT bx, by, count(*)::BIGINT AS w FROM p2 GROUP BY 1, 2),
+      pr1 AS (SELECT a.bx, a.by, a.w, b.w AS w2,
+          abs(a.bx - b.bx)::BIGINT AS a, abs(a.by - b.by)::BIGINT AS b
+        FROM c1 a, c1 b),
+      pr2 AS (SELECT a.bx, a.by, a.w, b.w AS w2,
+          abs(a.bx - b.bx)::BIGINT AS a, abs(a.by - b.by)::BIGINT AS b
+        FROM c2 a, c2 b),
+      rw1 AS (SELECT bx, by, w, sum(w2::HUGEINT * a) AS ra,
+          sum(w2::HUGEINT * b) AS rb FROM pr1 GROUP BY 1, 2, 3),
+      rw2 AS (SELECT bx, by, w, sum(w2::HUGEINT * a) AS ra,
+          sum(w2::HUGEINT * b) AS rb FROM pr2 GROUP BY 1, 2, 3),
+      one AS (
+        SELECT 'qty_vs_price' AS pair,
+          (SELECT sum(w)::BIGINT FROM rw1) AS n,
+          (SELECT count(*)::BIGINT FROM rw1) AS n_cells,
+          (SELECT sum(w::HUGEINT * ra) FROM rw1) AS ta,
+          (SELECT sum(w::HUGEINT * rb) FROM rw1) AS tb,
+          (SELECT sum(w::HUGEINT * w2 * a * b) FROM pr1) AS sab,
+          (SELECT sum(w::HUGEINT * w2 * a * a) FROM pr1) AS saa,
+          (SELECT sum(w::HUGEINT * w2 * b * b) FROM pr1) AS sbb,
+          (SELECT sum(w::HUGEINT * ra * rb) FROM rw1) AS qab,
+          (SELECT sum(w::HUGEINT * ra * ra) FROM rw1) AS qaa,
+          (SELECT sum(w::HUGEINT * rb * rb) FROM rw1) AS qbb,
+          (SELECT sum(w * bx)::BIGINT FROM c1) AS sx,
+          (SELECT sum(w * by)::BIGINT FROM c1) AS sy,
+          (SELECT sum(w::HUGEINT * bx * bx) FROM c1) AS sxx,
+          (SELECT sum(w::HUGEINT * by * by) FROM c1) AS syy,
+          (SELECT sum(w::HUGEINT * bx * by) FROM c1) AS sxy
+        UNION ALL
+        SELECT 'items_vs_totalqty',
+          (SELECT sum(w)::BIGINT FROM rw2),
+          (SELECT count(*)::BIGINT FROM rw2),
+          (SELECT sum(w::HUGEINT * ra) FROM rw2),
+          (SELECT sum(w::HUGEINT * rb) FROM rw2),
+          (SELECT sum(w::HUGEINT * w2 * a * b) FROM pr2),
+          (SELECT sum(w::HUGEINT * w2 * a * a) FROM pr2),
+          (SELECT sum(w::HUGEINT * w2 * b * b) FROM pr2),
+          (SELECT sum(w::HUGEINT * ra * rb) FROM rw2),
+          (SELECT sum(w::HUGEINT * ra * ra) FROM rw2),
+          (SELECT sum(w::HUGEINT * rb * rb) FROM rw2),
+          (SELECT sum(w * bx)::BIGINT FROM c2),
+          (SELECT sum(w * by)::BIGINT FROM c2),
+          (SELECT sum(w::HUGEINT * bx * bx) FROM c2),
+          (SELECT sum(w::HUGEINT * by * by) FROM c2),
+          (SELECT sum(w::HUGEINT * bx * by) FROM c2))
+      SELECT pair, n, n_cells,
+        round(sqrt(greatest(
+            sab::DOUBLE / n::DOUBLE / n::DOUBLE
+              - 2.0 * qab::DOUBLE / n::DOUBLE / n::DOUBLE / n::DOUBLE
+              + ta::DOUBLE * tb::DOUBLE / n::DOUBLE / n::DOUBLE
+                / n::DOUBLE / n::DOUBLE, 0.0)
+          / sqrt((saa::DOUBLE / n::DOUBLE / n::DOUBLE
+              - 2.0 * qaa::DOUBLE / n::DOUBLE / n::DOUBLE / n::DOUBLE
+              + ta::DOUBLE * ta::DOUBLE / n::DOUBLE / n::DOUBLE
+                / n::DOUBLE / n::DOUBLE)
+            * (sbb::DOUBLE / n::DOUBLE / n::DOUBLE
+              - 2.0 * qbb::DOUBLE / n::DOUBLE / n::DOUBLE / n::DOUBLE
+              + tb::DOUBLE * tb::DOUBLE / n::DOUBLE / n::DOUBLE
+                / n::DOUBLE / n::DOUBLE))), 9) AS dcor,
+        round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+          / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 9)
+          AS pearson_r
+      FROM one ORDER BY pair"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -9431,5 +10049,5 @@ object Analytics {
       q325, q326, q327, q330, q333, q338, q340, q341, q342, q345, q348,
       q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
       q363, q371, q372, q373, q374, q375, q383, q385, q388, q389, q397,
-      q398, q400, q401, q403)
+      q398, q400, q401, q403, q407, q408, q409, q410, q411, q412)
 }
