@@ -9,6 +9,11 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Tripwire for Scala's semicolon inference silently discarding a
+// continuation line (e.g. `val e = a - b\n  - c * d` drops `- c * d`
+// as a dead statement — this shipped a wrong PRESS statistic in q409).
+// Intentional value discards are annotated `: Unit` at the call site.
+Compile / scalacOptions += "-Wnonunit-statement"
 Test / fork := true
 run / fork := true
 // Pass the forked run's stdout straight through (no "[info] " logger

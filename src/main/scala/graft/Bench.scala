@@ -29,7 +29,7 @@ object Bench {
         dir: String): Long =
       fn(spark, dir).queryExecution.toRdd.count()
 
-    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.range(1000000).selectExpr("sum(id)").collect(): Unit
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -44,7 +44,7 @@ object Bench {
         def timed(): Double = {
           val t0 = System.nanoTime()
           val ok =
-            try { run(fn, sfDir); true }
+            try { run(fn, sfDir): Unit; true }
             catch { case _: Throwable => false }
           if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
         }

@@ -28,7 +28,7 @@ object CandProbe {
     for (n <- names; d <- dirs) {
       val df = SparkEntry.queries(n)(spark, d)
       val t0 = System.nanoTime()
-      df.queryExecution.toRdd.count()
+      df.queryExecution.toRdd.count(): Unit
       val sec = (System.nanoTime() - t0) / 1e9
       val joins = walk(df.queryExecution.executedPlan)
         .filter(p => p.nodeName.contains("Join"))

@@ -9657,8 +9657,8 @@ object Analytics {
           (col("syy").cast("double") - col("sy").cast("double")
             * col("sy").cast("double") / col("n").cast("double"))
             .as("tss"))
-      val e = col("y").cast("double") - col("icept")
-        - col("slope") * col("x").cast("double")
+      val e = (col("y").cast("double") - col("icept")
+        - col("slope") * col("x").cast("double"))
       val h = (lit(1.0) / col("n").cast("double")) +
         ((col("x").cast("double") - col("xbar")) *
           (col("x").cast("double") - col("xbar")) / col("sxxc"))

@@ -112,6 +112,6 @@ object Curate {
         .groupBy("split").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       CurationReport(input, afterQuality, bySplit.values.sum, bySplit, outPath)
-    } finally qualified.unpersist(blocking = false)
+    } finally qualified.unpersist(blocking = false): Unit
   }
 }

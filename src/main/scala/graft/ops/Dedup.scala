@@ -549,14 +549,14 @@ object Dedup {
         .groupBy(col("u")).agg(min(col("l")).as("l"), max(col("lp")).as("lp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.where(col("l") < col("lp")).count()
-      persisted.unpersist(blocking = false)
+      persisted.unpersist(blocking = false): Unit
       persisted = next
       labels = next.select(col("u"), col("l"))
       rounds += 1
     }
     val out = labels.localCheckpoint(true)
-    persisted.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
+    persisted.unpersist(blocking = false): Unit
+    edges.unpersist(blocking = false): Unit
     out.select(col("u").as("node"), col("l").as("component"))
   }
 
@@ -635,8 +635,8 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       val s = sig(ss)
-      ls.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
+      ls.unpersist(blocking = false): Unit
+      edges.unpersist(blocking = false): Unit
       edges = ss
       converged = s == prevSig
       prevSig = s
@@ -646,7 +646,7 @@ object Dedup {
       .unionAll(edges.select(col("u").as("node"), col("u").as("component")))
       .groupBy(col("node")).agg(min(col("component")).as("component"))
     val out = labels.localCheckpoint(true)
-    edges.unpersist(blocking = false)
+    edges.unpersist(blocking = false): Unit
     (out, rounds)
   }
 

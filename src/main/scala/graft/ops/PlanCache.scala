@@ -72,7 +72,7 @@ private[graft] object PlanCache {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(Int, String, String), DataFrame]): Boolean = {
         val evict = size() > cap
-        if (evict) e.getValue.unpersist(blocking = false)
+        if (evict) e.getValue.unpersist(blocking = false): Unit
         evict
       }
     }
