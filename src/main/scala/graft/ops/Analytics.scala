@@ -27,7 +27,7 @@ object Analytics {
     * family's most expensive aggregate (Σ C(b,2) exploded rows through
     * one shuffle); q158's lift report and q182's graph both start
     * here, so it materializes once per run. */
-  private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+  private[ops] def copurchasePairs(s: SparkSession, dir: String): DataFrame =
     PlanCache.getOrBuild(s, dir, "copurchase_pairs")(
       copurchaseBaskets(s, dir)
         .select(explode(expr(

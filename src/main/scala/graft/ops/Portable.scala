@@ -37,6 +37,29 @@ private[graft] object Portable {
     * Dialect-free: only arithmetic, exp() and literals — the returned
     * text is valid in BOTH Spark SQL and DuckDB.
     */
+  /** Upper-tail χ²(k) p-value via the Wilson–Hilferty cube-root
+    * normal approximation (|ε| < 1e-3 for k ≥ 3, the regime the
+    * k-group tests use; the χ²(1) callers keep the exact 2·Q(√x)
+    * identity instead). Same dialect-free contract as
+    * [[normCdfUpper]]: arithmetic + pow/sqrt/exp only, evaluates
+    * bit-identically in Spark SQL and DuckDB. `x` and `k` must be
+    * non-negative expressions.
+    */
+  def chi2UpperP(x: String, k: String): String = {
+    // 1.0e0/3.0e0, NOT 1.0/3.0: Spark parses plain decimal literals as
+    // DECIMAL and 1.0/3.0 becomes a 6-digit DECIMAL quotient (0.333333),
+    // skewing the cube root by 1e-6 relative; the e0 suffix forces
+    // DOUBLE in both dialects (caught by the q419 oracle gate). The df
+    // is CAST to DOUBLE for the same reason: a caller passing a literal
+    // k ("2.0") would otherwise make 2.0/(9.0*k) a DECIMAL quotient
+    // (caught by the q436 oracle gate).
+    val kd = s"(CAST(($k) AS DOUBLE))"
+    val z = s"((pow(($x) / $kd, 1.0e0 / 3.0e0)" +
+      s" - (1.0 - 2.0 / (9.0 * $kd))) / sqrt(2.0 / (9.0 * $kd)))"
+    s"(CASE WHEN $z >= 0.0 THEN ${normCdfUpper(z)} " +
+      s"ELSE 1.0 - ${normCdfUpper(s"(0.0 - ($z))")} END)"
+  }
+
   def normCdfUpper(z: String): String = {
     // upper tail Q(z) = 1 − Φ(z); callers build p-values directly
     val t = s"(1.0 / (1.0 + 0.2316419 * ($z)))"
