@@ -2479,7 +2479,645 @@ object Inference {
         round(c_obs / c_null, 6) AS lift_over_null
       FROM st"""))
 
+  // ---------- q440: Dunn post-hoc rank comparisons ----------------------
+
+  /** Dunn's post-hoc pairwise rank test after Kruskal–Wallis — the
+    * nonparametric sibling of q424 (Tukey follows q358's F exactly as
+    * Dunn follows q407's H): which priority PAIRS differ in order
+    * value when only ranks can be trusted. Average ranks come exactly
+    * from the bounded $4000-bin table (rank of a bin = count below +
+    * (w+1)/2 — a cumulative window over ≤700 cells, the q420
+    * geometry), the tie-corrected variance term Σ(t³−t) folds from
+    * the same bins, and the 10 pairwise z's ride a ≤k² broadcast join
+    * with Bonferroni-adjusted p-values. One corpus counting pass;
+    * everything after is dimension-bounded.
+    */
+  private val q440 = QueryDef(
+    "q440_dunn_posthoc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Fixtures.table(s, dir, "orders")
+        .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+            .as("g"),
+          expr("CAST(round(o_totalprice) AS BIGINT) div 4000").as("v"))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("w"))
+      val bins = cells.groupBy(col("v")).agg(sum(col("w")).as("t"))
+      val wv = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = bins
+        .withColumn("below", coalesce(sum(col("t")).over(wv), lit(0L)))
+        .select(col("v"), col("t"),
+          (col("below").cast("double")
+            + (col("t").cast("double") + 1.0) / 2.0).as("rk"))
+      val tots = ranked.agg(sum(col("t")).as("n"),
+        sum((col("t") * col("t") * col("t") - col("t"))
+          .cast(DecimalType(38, 0))).as("tie3"))
+      val gr = cells.join(broadcast(ranked), "v")
+        .groupBy(col("g"))
+        .agg(sum(col("w")).as("ng"),
+          sum(expr("CAST(round(w * rk * 1e6) AS BIGINT)")
+            .cast(DecimalType(38, 0))).as("srk_micro"))
+        .select(col("g"), col("ng"),
+          (col("srk_micro").cast("double") / 1e6
+            / col("ng").cast("double")).as("rbar"))
+      val g2 = gr.select(col("g").as("g2"), col("ng").as("ng2"),
+        col("rbar").as("rbar2"))
+      gr.crossJoin(broadcast(g2)).where(col("g") < col("g2"))
+        .crossJoin(broadcast(tots))
+        .select(col("g").as("group_a"), col("g2").as("group_b"),
+          round(col("rbar") - col("rbar2"), 6).as("rank_diff"),
+          round((col("rbar") - col("rbar2"))
+            / sqrt((col("n").cast("double")
+                * (col("n").cast("double") + 1.0) / 12.0
+              - col("tie3").cast("double")
+                / (lit(12.0) * (col("n").cast("double") - 1.0)))
+              * (lit(1.0) / col("ng").cast("double")
+                + lit(1.0) / col("ng2").cast("double"))), 6)
+            .as("z_stat"))
+        .withColumn("p_bonferroni",
+          round(least(lit(1.0), expr("20.0 * "
+            + Portable.normCdfUpper("abs(z_stat)"))), 9))
+        .withColumn("significant", col("p_bonferroni") < 0.05)
+        .orderBy(col("group_a"), col("group_b"))
+    },
+    Some(s"""WITH cells AS (SELECT
+          CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+          CAST(round(o_totalprice) AS BIGINT) // 4000 AS v,
+          count(*)::BIGINT AS w
+        FROM orders GROUP BY 1, 2),
+      bins AS (SELECT v, sum(w)::BIGINT AS t FROM cells GROUP BY 1),
+      ranked AS (SELECT v, t,
+          coalesce(sum(t) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            ::DOUBLE + (t::DOUBLE + 1.0) / 2.0 AS rk
+        FROM bins),
+      tots AS (SELECT sum(t)::BIGINT AS n,
+          sum((t * t * t - t)::HUGEINT) AS tie3 FROM ranked),
+      gr AS (SELECT g, sum(w)::BIGINT AS ng,
+          sum(CAST(round(w * rk * 1e6) AS BIGINT)::HUGEINT)::DOUBLE
+            / 1e6 / sum(w)::DOUBLE AS rbar
+        FROM cells JOIN ranked USING (v) GROUP BY 1),
+      pairs AS (SELECT a.g AS group_a, b.g AS group_b,
+          a.rbar - b.rbar AS rd,
+          (a.rbar - b.rbar) / sqrt((n::DOUBLE * (n + 1.0) / 12.0
+            - tie3::DOUBLE / (12.0 * (n - 1.0)))
+            * (1.0 / a.ng + 1.0 / b.ng)) AS z
+        FROM gr a, gr b, tots WHERE a.g < b.g)
+      SELECT group_a, group_b, round(rd, 6) AS rank_diff,
+        round(z, 6) AS z_stat,
+        round(least(1.0,
+          20.0 * ${Portable.normCdfUpper("abs(round(z, 6))")}), 9)
+          AS p_bonferroni,
+        round(least(1.0,
+          20.0 * ${Portable.normCdfUpper("abs(round(z, 6))")}), 9) < 0.05
+          AS significant
+      FROM pairs ORDER BY group_a, group_b"""))
+
+  // ---------- q441: Mood scale (dispersion) rank test -------------------
+
+  /** Mood's rank-based SCALE test between open and finished orders —
+    * the nonparametric member of the variance family (q307 Levene is
+    * robust-parametric, q419 Bartlett normal-parametric; Mood's
+    * T = Σ(rank − (N+1)/2)² needs no moments at all): do order
+    * values DISPERSE differently while the books are open? Exact
+    * under ties: per $4000-bin, the sum of squared centered ranks
+    * over the bin's rank range [a+1, a+w] is a closed-form arithmetic
+    * series (Σr², Σr — same literals in both dialects), so T and the
+    * permutation moments E[T] = n₁·S̄ and Var[T] =
+    * n₁n₂/(N(N−1))·(N·ΣS² − (ΣS)²)/N fold exactly from the bounded
+    * bin table. One corpus counting pass; bounded math; 1-row
+    * output.
+    */
+  private val q441 = QueryDef(
+    "q441_mood_scale",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderstatus").as("g"),
+          expr("CAST(round(o_totalprice) AS BIGINT) div 4000").as("v"))
+        .where(col("g").isin("O", "F"))
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("w"))
+      val bins = cells.groupBy(col("v")).agg(sum(col("w")).as("t"))
+      val nn = bins.agg(sum(col("t")).as("n"))
+      val wv = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // per-bin Σ score and Σ score² of (r − (N+1)/2)² over the rank
+      // range (a, a+t]: closed-form power sums
+      val scored = bins.crossJoin(broadcast(nn))
+        .withColumn("a", coalesce(sum(col("t")).over(wv), lit(0L)))
+        .select(col("v"), col("t"), col("n"),
+          expr("""(CAST(a + t AS DOUBLE) * (a + t + 1) * (2 * (a + t) + 1)
+              - CAST(a AS DOUBLE) * (a + 1) * (2 * a + 1)) / 6.0
+            - (n + 1.0) * (CAST(a + t AS DOUBLE) * (a + t + 1)
+              - CAST(a AS DOUBLE) * (a + 1)) / 2.0
+            + t * (n + 1.0) * (n + 1.0) / 4.0""").as("s_sum"),
+          expr("""t * pow((n + 1.0) / 2.0, 4.0)
+            + ((pow(CAST(a + t AS DOUBLE), 5.0) - pow(CAST(a AS DOUBLE), 5.0)) / 5.0
+              + (pow(CAST(a + t AS DOUBLE), 4.0) - pow(CAST(a AS DOUBLE), 4.0)) / 2.0
+              + (pow(CAST(a + t AS DOUBLE), 3.0) - pow(CAST(a AS DOUBLE), 3.0)) / 3.0
+              - (CAST(t AS DOUBLE)) / 30.0)
+            - 4.0 * ((n + 1.0) / 2.0)
+              * ((pow(CAST(a + t AS DOUBLE), 4.0) - pow(CAST(a AS DOUBLE), 4.0)) / 4.0
+                + (pow(CAST(a + t AS DOUBLE), 3.0) - pow(CAST(a AS DOUBLE), 3.0)) / 2.0
+                + (pow(CAST(a + t AS DOUBLE), 2.0) - pow(CAST(a AS DOUBLE), 2.0)) / 4.0)
+            + 6.0 * pow((n + 1.0) / 2.0, 2.0)
+              * ((pow(CAST(a + t AS DOUBLE), 3.0) - pow(CAST(a AS DOUBLE), 3.0)) / 3.0
+                + (pow(CAST(a + t AS DOUBLE), 2.0) - pow(CAST(a AS DOUBLE), 2.0)) / 2.0
+                + (CAST(t AS DOUBLE)) / 6.0)
+            - 4.0 * pow((n + 1.0) / 2.0, 3.0)
+              * ((pow(CAST(a + t AS DOUBLE), 2.0) - pow(CAST(a AS DOUBLE), 2.0)) / 2.0
+                + (CAST(t AS DOUBLE)) / 2.0)""").as("s2_sum"))
+      val tot = scored.agg(max(col("n")).as("n"),
+        sum(expr("CAST(round(s_sum * 1e3) AS BIGINT)")
+          .cast(DecimalType(38, 0))).as("ss_milli"),
+        sum(expr("CAST(round(s2_sum * 1e-3) AS BIGINT)")
+          .cast(DecimalType(38, 0))).as("ss2_kilo"))
+      val tstat = cells.join(broadcast(
+          scored.select(col("v"), col("t"),
+            (col("s_sum") / col("t").cast("double")).as("mean_score"))),
+          "v")
+        .groupBy(col("g"))
+        .agg(sum(col("w")).as("ng"),
+          sum(expr("CAST(round(w * mean_score * 1e3) AS BIGINT)")
+            .cast(DecimalType(38, 0))).as("t_milli"))
+      val t1 = tstat.where(col("g") === "O")
+        .select(col("ng").as("n1"),
+          (col("t_milli").cast("double") / 1e3).as("t_obs"))
+      val t2 = tstat.where(col("g") === "F")
+        .select(col("ng").as("n2"))
+      t1.crossJoin(broadcast(t2)).crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"), col("n"), col("t_obs"),
+          round(col("t_obs"), 3).as("t_stat"),
+          ((col("n1").cast("double")
+            * (col("ss_milli").cast("double") / 1e3)
+            / col("n").cast("double"))).as("et"),
+          ((col("n1").cast("double") * col("n2").cast("double")
+            / (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+            * ((col("ss2_kilo").cast("double") * 1e3)
+              - (col("ss_milli").cast("double") / 1e3)
+                * (col("ss_milli").cast("double") / 1e3)
+                / col("n").cast("double"))).as("vt"))
+        .select(col("n1"), col("n2"),
+          col("t_stat"), round(col("et"), 3).as("expected_t"),
+          round((col("t_obs") - col("et")) / sqrt(col("vt")), 6)
+            .as("z_stat"),
+          round(expr("2.0 * " + Portable.normCdfUpper(
+            "abs((t_obs - et) / sqrt(vt))")), 9).as("p_value"))
+    },
+    Some(s"""WITH cells AS (SELECT o_orderstatus AS g,
+          CAST(round(o_totalprice) AS BIGINT) // 4000 AS v,
+          count(*)::BIGINT AS w
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+        GROUP BY 1, 2),
+      bins AS (SELECT v, sum(w)::BIGINT AS t FROM cells GROUP BY 1),
+      nn AS (SELECT sum(t)::BIGINT AS n FROM bins),
+      pre AS (SELECT v, t, n,
+          coalesce(sum(t) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            ::BIGINT AS a
+        FROM bins, nn),
+      scored AS (SELECT v, t, n,
+          ((a + t)::DOUBLE * (a + t + 1) * (2 * (a + t) + 1)
+            - a::DOUBLE * (a + 1) * (2 * a + 1)) / 6.0
+          - (n + 1.0) * ((a + t)::DOUBLE * (a + t + 1)
+            - a::DOUBLE * (a + 1)) / 2.0
+          + t * (n + 1.0) * (n + 1.0) / 4.0 AS s_sum,
+          t * pow((n + 1.0) / 2.0, 4.0)
+          + ((pow((a + t)::DOUBLE, 5.0) - pow(a::DOUBLE, 5.0)) / 5.0
+            + (pow((a + t)::DOUBLE, 4.0) - pow(a::DOUBLE, 4.0)) / 2.0
+            + (pow((a + t)::DOUBLE, 3.0) - pow(a::DOUBLE, 3.0)) / 3.0
+            - (t::DOUBLE) / 30.0)
+          - 4.0 * ((n + 1.0) / 2.0)
+            * ((pow((a + t)::DOUBLE, 4.0) - pow(a::DOUBLE, 4.0)) / 4.0
+              + (pow((a + t)::DOUBLE, 3.0) - pow(a::DOUBLE, 3.0)) / 2.0
+              + (pow((a + t)::DOUBLE, 2.0) - pow(a::DOUBLE, 2.0)) / 4.0)
+          + 6.0 * pow((n + 1.0) / 2.0, 2.0)
+            * ((pow((a + t)::DOUBLE, 3.0) - pow(a::DOUBLE, 3.0)) / 3.0
+              + (pow((a + t)::DOUBLE, 2.0) - pow(a::DOUBLE, 2.0)) / 2.0
+              + (t::DOUBLE) / 6.0)
+          - 4.0 * pow((n + 1.0) / 2.0, 3.0)
+            * ((pow((a + t)::DOUBLE, 2.0) - pow(a::DOUBLE, 2.0)) / 2.0
+              + (t::DOUBLE) / 2.0) AS s2_sum
+        FROM pre),
+      tot AS (SELECT max(n) AS n,
+          sum(CAST(round(s_sum * 1e3) AS BIGINT)::HUGEINT) AS ss_milli,
+          sum(CAST(round(s2_sum * 1e-3) AS BIGINT)::HUGEINT)
+            AS ss2_kilo
+        FROM scored),
+      tst AS (SELECT g, sum(w)::BIGINT AS ng,
+          sum(CAST(round(w * (s_sum / t::DOUBLE) * 1e3) AS BIGINT)
+            ::HUGEINT) AS t_milli
+        FROM cells JOIN scored USING (v) GROUP BY 1),
+      t1 AS (SELECT ng AS n1, t_milli::DOUBLE / 1e3 AS t_obs
+        FROM tst WHERE g = 'O'),
+      t2 AS (SELECT ng AS n2 FROM tst WHERE g = 'F'),
+      st AS (SELECT n1, n2, n, t_obs,
+          n1::DOUBLE * (ss_milli::DOUBLE / 1e3) / n::DOUBLE AS et,
+          (n1::DOUBLE * n2::DOUBLE / (n::DOUBLE * (n::DOUBLE - 1.0)))
+            * ((ss2_kilo::DOUBLE * 1e3)
+              - (ss_milli::DOUBLE / 1e3) * (ss_milli::DOUBLE / 1e3)
+                / n::DOUBLE) AS vt
+        FROM t1, t2, tot)
+      SELECT n1, n2, round(t_obs, 3) AS t_stat,
+        round(et, 3) AS expected_t,
+        round((t_obs - et) / sqrt(vt), 6) AS z_stat,
+        round(2.0 * ${Portable.normCdfUpper(
+          "abs((t_obs - et) / sqrt(vt))")}, 9) AS p_value
+      FROM st"""))
+
+  // ---------- q442: ANOVA effect-size panel -----------------------------
+
+  /** Effect sizes for the priority → order-value ANOVA — the
+    * magnitude read q358's F deliberately is not: at corpus N
+    * everything is "significant", and η² = SSB/SST, the
+    * bias-corrected ω², Cohen's f, and the largest pairwise
+    * Cohen's d say whether the differences MATTER. All four fold
+    * closed-form from the same per-group exact moments (n, Σcents,
+    * Σcents²) the q358/q419/q424 family already reduces — one
+    * grouped corpus pass, bounded group math (pairwise d over the
+    * ≤k² broadcast), 1-row output.
+    */
+  private val q442 = QueryDef(
+    "q442_effect_sizes",
+    (s, dir) => {
+      val g = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("y"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum((col("y").cast(DecimalType(38, 0)) * col("y"))).as("syy"))
+      val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        sum(col("sy").cast(DecimalType(38, 0))).as("syt"),
+        sum(col("syy")).as("syyt"),
+        sum(expr("CAST(round(CAST(sy AS DOUBLE) * sy / n) AS BIGINT)")
+          .cast(DecimalType(38, 0))).as("ssb_raw"))
+      val base = tot.select(col("k"), col("nt"),
+        (col("ssb_raw").cast("double") - col("syt").cast("double")
+          * col("syt").cast("double") / col("nt").cast("double"))
+          .as("ssb"),
+        (col("syyt").cast("double") - col("syt").cast("double")
+          * col("syt").cast("double") / col("nt").cast("double"))
+          .as("sst"))
+        .select(col("k"), col("nt"), col("ssb"), col("sst"),
+          ((col("sst") - col("ssb"))
+            / (col("nt").cast("double") - col("k").cast("double")))
+            .as("mse"))
+      val pairs = g.select(col("grp"), col("n"), col("sy"))
+      val p2 = pairs.select(col("grp").as("g2"), col("n").as("n2"),
+        col("sy").as("sy2"))
+      val maxd = pairs.crossJoin(broadcast(p2))
+        .where(col("grp") < col("g2"))
+        .crossJoin(broadcast(base.select(col("mse"))))
+        .agg(max(abs(col("sy").cast("double") / col("n").cast("double")
+          - col("sy2").cast("double") / col("n2").cast("double"))
+          / sqrt(col("mse"))).as("max_d"))
+      base.crossJoin(broadcast(maxd))
+        .select(col("k").as("k_groups"), col("nt").as("n_total"),
+          round(col("ssb") / col("sst"), 9).as("eta_sq"),
+          round((col("ssb") - (col("k").cast("double") - 1.0)
+            * col("mse")) / (col("sst") + col("mse")), 9).as("omega_sq"),
+          round(sqrt((col("ssb") / col("sst"))
+            / (lit(1.0) - col("ssb") / col("sst"))), 9).as("cohens_f"),
+          round(col("max_d"), 9).as("max_pairwise_d"))
+    },
+    Some("""WITH g AS (SELECT o_orderpriority AS grp,
+          count(*)::BIGINT AS n,
+          sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS sy,
+          sum(CAST(round(o_totalprice * 100.0) AS BIGINT)::HUGEINT
+            * CAST(round(o_totalprice * 100.0) AS BIGINT)) AS syy
+        FROM orders GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nt,
+          sum(sy::HUGEINT) AS syt, sum(syy) AS syyt,
+          sum(CAST(round(sy::DOUBLE * sy / n) AS BIGINT)::HUGEINT)
+            AS ssb_raw
+        FROM g),
+      base AS (SELECT k, nt,
+          ssb_raw::DOUBLE - syt::DOUBLE * syt::DOUBLE / nt::DOUBLE
+            AS ssb,
+          syyt::DOUBLE - syt::DOUBLE * syt::DOUBLE / nt::DOUBLE AS sst
+        FROM tot),
+      base2 AS (SELECT k, nt, ssb, sst,
+          (sst - ssb) / (nt::DOUBLE - k::DOUBLE) AS mse FROM base),
+      maxd AS (SELECT max(abs(a.sy::DOUBLE / a.n - b.sy::DOUBLE / b.n)
+            / sqrt(mse)) AS max_d
+        FROM g a, g b, base2 WHERE a.grp < b.grp)
+      SELECT k AS k_groups, nt AS n_total,
+        round(ssb / sst, 9) AS eta_sq,
+        round((ssb - (k::DOUBLE - 1.0) * mse) / (sst + mse), 9)
+          AS omega_sq,
+        round(sqrt((ssb / sst) / (1.0 - ssb / sst)), 9) AS cohens_f,
+        round(max_d, 9) AS max_pairwise_d
+      FROM base2, maxd"""))
+
+  // ---------- q443: Deming and SMA measurement-error regression ---------
+
+  /** Deming (λ = 1) and standardized-major-axis slopes for the
+    * log-quantity → log-revenue relation, next to the OLS estimate —
+    * the MEASUREMENT-ERROR corner of the slope family (q233 OLS
+    * assumes x exact; q362 Theil–Sen fixes outliers, not attenuation;
+    * q360 IV needs an instrument): when both variables carry noise,
+    * OLS biases toward zero and the errors-in-variables slopes are
+    * the honest fit, with OLS/Deming disagreement itself measuring
+    * attenuation. Both alternatives are CLOSED-FORM in the centered
+    * second moments (Deming: ((Syy−Sxx) + √((Syy−Sxx)² + 4Sxy²)) /
+    * 2Sxy; SMA: sign(Sxy)·√(Syy/Sxx)), so the whole panel costs the
+    * one micro-pinned moment scan q348 already demonstrates. 1-row
+    * output.
+    */
+  private val q443 = QueryDef(
+    "q443_deming_sma",
+    (s, dir) => {
+      val pts = Fixtures.table(s, dir, "lineitem").select(
+        expr("CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1e6) " +
+          "AS BIGINT)").as("x"),
+        expr("CAST(round(ln(l_extendedprice) * 1e6) AS BIGINT)")
+          .as("y"))
+      val m = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x").cast(DecimalType(38, 0)) * col("x"))).as("sxx"),
+        sum((col("x").cast(DecimalType(38, 0)) * col("y"))).as("sxy"),
+        sum((col("y").cast(DecimalType(38, 0)) * col("y"))).as("syy"))
+      val c = m.select(col("n"),
+        ((col("sxx").cast("double") - col("sx").cast("double")
+          * col("sx").cast("double") / col("n").cast("double")) / 1e12)
+          .as("cxx"),
+        ((col("sxy").cast("double") - col("sx").cast("double")
+          * col("sy").cast("double") / col("n").cast("double")) / 1e12)
+          .as("cxy"),
+        ((col("syy").cast("double") - col("sy").cast("double")
+          * col("sy").cast("double") / col("n").cast("double")) / 1e12)
+          .as("cyy"))
+      c.select(col("n"),
+          round(col("cxy") / col("cxx"), 9).as("ols_slope"),
+          round(((col("cyy") - col("cxx"))
+            + sqrt((col("cyy") - col("cxx")) * (col("cyy") - col("cxx"))
+              + lit(4.0) * col("cxy") * col("cxy")))
+            / (lit(2.0) * col("cxy")), 9).as("deming_slope"),
+          round(signum(col("cxy")) * sqrt(col("cyy") / col("cxx")), 9)
+            .as("sma_slope"),
+          round(col("cxy") / sqrt(col("cxx") * col("cyy")), 9)
+            .as("pearson_r"))
+        .withColumn("attenuation_ratio",
+          round(col("ols_slope") / col("deming_slope"), 9))
+    },
+    Some("""WITH pts AS (SELECT
+          CAST(round(ln(l_quantity::DOUBLE) * 1e6) AS BIGINT) AS x,
+          CAST(round(ln(l_extendedprice) * 1e6) AS BIGINT) AS y
+        FROM lineitem),
+      m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS sxx,
+          sum(x::HUGEINT * y) AS sxy, sum(y::HUGEINT * y) AS syy
+        FROM pts),
+      c AS (SELECT n,
+          (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) / 1e12
+            AS cxx,
+          (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e12
+            AS cxy,
+          (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE) / 1e12
+            AS cyy
+        FROM m),
+      r AS (SELECT n,
+          round(cxy / cxx, 9) AS ols_slope,
+          round(((cyy - cxx) + sqrt((cyy - cxx) * (cyy - cxx)
+            + 4.0 * cxy * cxy)) / (2.0 * cxy), 9) AS deming_slope,
+          round(sign(cxy) * sqrt(cyy / cxx), 9) AS sma_slope,
+          round(cxy / sqrt(cxx * cyy), 9) AS pearson_r
+        FROM c)
+      SELECT n, ols_slope, deming_slope, sma_slope, pearson_r,
+        round(ols_slope / deming_slope, 9) AS attenuation_ratio
+      FROM r"""))
+
+  // ---------- q444: Fieller ratio confidence interval -------------------
+
+  /** Fieller CI for the ratio of mean order values between the
+    * AUTOMOBILE and BUILDING segments — the correct interval for a
+    * RATIO of means, which the naive delta-method band gets wrong
+    * exactly when it matters (denominator mean near its own noise):
+    * Fieller inverts the t-test on m₁ − ρm₂ and goes unbounded when
+    * the denominator is not significantly nonzero — reported via the
+    * g statistic. Per-segment (n, Σcents, Σcents²) moments from one
+    * grouped corpus pass; all interval math on the 2-row bounded
+    * frame. 1-row output.
+    */
+  private val q444 = QueryDef(
+    "q444_fieller_ratio",
+    (s, dir) => {
+      val seg = Fixtures.table(s, dir, "orders")
+        .join(Fixtures.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .select(col("c_mktsegment").as("g"),
+          expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("y"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum((col("y").cast(DecimalType(38, 0)) * col("y"))).as("syy"))
+      val a = seg.where(col("g") === "AUTOMOBILE")
+        .select(col("n").as("n1"),
+          (col("sy").cast("double") / col("n").cast("double"))
+            .as("m1"),
+          (expr("""(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+            / (n - 1.0)""") / col("n").cast("double")).as("v1"))
+      val b = seg.where(col("g") === "BUILDING")
+        .select(col("n").as("n2"),
+          (col("sy").cast("double") / col("n").cast("double"))
+            .as("m2"),
+          (expr("""(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+            / (n - 1.0)""") / col("n").cast("double")).as("v2"))
+      a.crossJoin(broadcast(b))
+        .select(col("n1"), col("n2"),
+          (col("m1") / col("m2")).as("ratio"),
+          (lit(3.8416) * col("v2") / (col("m2") * col("m2"))).as("gg"),
+          col("m1"), col("m2"), col("v1"), col("v2"))
+        .select(col("n1"), col("n2"), round(col("ratio"), 9).as("ratio"),
+          round(col("gg"), 9).as("g_stat"),
+          round((col("ratio") - lit(1.96) / col("m2")
+            * sqrt(col("v1") + col("ratio") * col("ratio") * col("v2")
+              - col("gg") * col("v1"))) / (lit(1.0) - col("gg")), 9)
+            .as("ci_lo"),
+          round((col("ratio") + lit(1.96) / col("m2")
+            * sqrt(col("v1") + col("ratio") * col("ratio") * col("v2")
+              - col("gg") * col("v1"))) / (lit(1.0) - col("gg")), 9)
+            .as("ci_hi"),
+          (col("gg") < 1.0).as("interval_finite"))
+    },
+    Some("""WITH seg AS (SELECT c_mktsegment AS g,
+          count(*)::BIGINT AS n,
+          sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS sy,
+          sum(CAST(round(o_totalprice * 100.0) AS BIGINT)::HUGEINT
+            * CAST(round(o_totalprice * 100.0) AS BIGINT)) AS syy
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        GROUP BY 1),
+      a AS (SELECT n AS n1, sy::DOUBLE / n AS m1,
+          ((syy::DOUBLE - sy::DOUBLE * sy / n) / (n - 1.0)) / n AS v1
+        FROM seg WHERE g = 'AUTOMOBILE'),
+      b AS (SELECT n AS n2, sy::DOUBLE / n AS m2,
+          ((syy::DOUBLE - sy::DOUBLE * sy / n) / (n - 1.0)) / n AS v2
+        FROM seg WHERE g = 'BUILDING'),
+      st AS (SELECT n1, n2, m1 / m2 AS ratio,
+          3.8416 * v2 / (m2 * m2) AS gg, m1, m2, v1, v2
+        FROM a, b)
+      SELECT n1, n2, round(ratio, 9) AS ratio,
+        round(gg, 9) AS g_stat,
+        round((ratio - 1.96 / m2 * sqrt(v1 + ratio * ratio * v2
+          - gg * v1)) / (1.0 - gg), 9) AS ci_lo,
+        round((ratio + 1.96 / m2 * sqrt(v1 + ratio * ratio * v2
+          - gg * v1)) / (1.0 - gg), 9) AS ci_hi,
+        gg < 1.0 AS interval_finite
+      FROM st"""))
+
+  // ---------- q445: Poisson rate-ratio test -----------------------------
+
+  /** Weekend-vs-weekday error-event rate ratio with its log-scale
+    * test — the TWO-SAMPLE member of the count family (q403 fits one
+    * Poisson regression; q410 screens one sample for zero inflation;
+    * operations wants the simpler sharper question "is the error
+    * RATE different on weekends?"): RR = (e₁/t₁)/(e₂/t₂), with
+    * se(ln RR) = √(1/e₁ + 1/e₂) and exposure measured in observed
+    * days of each stratum. One filtered counting pass over events +
+    * the bounded day census; all test math scalar. 1-row output.
+    */
+  private val q445 = QueryDef(
+    "q445_rate_ratio",
+    (s, dir) => {
+      val ed = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+            .as("day"),
+          col("event_type"))
+      val byDay = ed.groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errs"))
+        .select(col("day"), col("errs"),
+          (expr("((day % 7) + 7) % 7") >= 5).as("is_wkend"))
+      val m = byDay.groupBy(col("is_wkend"))
+        .agg(count(lit(1)).as("days"), sum(col("errs")).as("errs"))
+      val we = m.where(col("is_wkend"))
+        .select(col("days").as("d1"), col("errs").as("e1"))
+      val wd = m.where(!col("is_wkend"))
+        .select(col("days").as("d2"), col("errs").as("e2"))
+      we.crossJoin(broadcast(wd))
+        .select(col("e1").as("weekend_errors"),
+          col("d1").as("weekend_days"),
+          col("e2").as("weekday_errors"), col("d2").as("weekday_days"),
+          ((col("e1").cast("double") / col("d1").cast("double"))
+            / (col("e2").cast("double") / col("d2").cast("double")))
+            .as("rr"),
+          sqrt(lit(1.0) / col("e1").cast("double")
+            + lit(1.0) / col("e2").cast("double")).as("se"))
+        .select(col("weekend_errors"), col("weekend_days"),
+          col("weekday_errors"), col("weekday_days"),
+          round(col("rr"), 9).as("rate_ratio"),
+          round(exp(log(col("rr")) - lit(1.96) * col("se")), 9)
+            .as("ci_lo"),
+          round(exp(log(col("rr")) + lit(1.96) * col("se")), 9)
+            .as("ci_hi"),
+          round(abs(log(col("rr"))) / col("se"), 6).as("z_stat"),
+          round(expr("2.0 * " + Portable.normCdfUpper(
+            "abs(ln(rr)) / se")), 9).as("p_value"))
+    },
+    Some(s"""WITH ed AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          event_type FROM events),
+      byday AS (SELECT day,
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+            AS errs,
+          ((day % 7) + 7) % 7 >= 5 AS is_wkend
+        FROM ed GROUP BY 1),
+      m AS (SELECT is_wkend, count(*)::BIGINT AS days,
+          sum(errs)::BIGINT AS errs
+        FROM byday GROUP BY 1),
+      we AS (SELECT days AS d1, errs AS e1 FROM m WHERE is_wkend),
+      wd AS (SELECT days AS d2, errs AS e2 FROM m WHERE NOT is_wkend),
+      st AS (SELECT e1 AS weekend_errors, d1 AS weekend_days,
+          e2 AS weekday_errors, d2 AS weekday_days,
+          (e1::DOUBLE / d1) / (e2::DOUBLE / d2) AS rr,
+          sqrt(1.0 / e1::DOUBLE + 1.0 / e2::DOUBLE) AS se
+        FROM we, wd)
+      SELECT weekend_errors, weekend_days, weekday_errors, weekday_days,
+        round(rr, 9) AS rate_ratio,
+        round(exp(ln(rr) - 1.96 * se), 9) AS ci_lo,
+        round(exp(ln(rr) + 1.96 * se), 9) AS ci_hi,
+        round(abs(ln(rr)) / se, 6) AS z_stat,
+        round(2.0 * ${Portable.normCdfUpper("abs(ln(rr)) / se")}, 9)
+          AS p_value
+      FROM st"""))
+
+  // ---------- q446: E-value confounding sensitivity ---------------------
+
+  /** VanderWeele–Ding E-value for the discount → return association —
+    * the SENSITIVITY read the causal family (q255 DiD, q302
+    * stratified ATE, q350 TWFE) should always ship with: an observed
+    * risk ratio can be explained away by an unmeasured confounder
+    * only if that confounder is associated with BOTH treatment and
+    * outcome at strength ≥ E = RR + √(RR(RR−1)); a small E means the
+    * finding is fragile, and computing E for the CI bound nearer 1
+    * says whether even the conservative estimate survives. Treatment:
+    * discount > 5 %; outcome: returned. One 2×2 counting pass, scalar
+    * math, 1-row output (RR < 1 handled by the standard 1/RR
+    * transform, same CASE in both dialects).
+    */
+  private val q446 = QueryDef(
+    "q446_evalue_sensitivity",
+    (s, dir) => {
+      val m = Fixtures.table(s, dir, "lineitem")
+        .select((col("l_discount") > 0.05).as("trt"),
+          (col("l_returnflag") === "R").cast("long").as("y"))
+        .groupBy(col("trt"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("r"))
+      val t1 = m.where(col("trt")).select(col("n").as("n1"),
+        col("r").as("r1"))
+      val t0 = m.where(!col("trt")).select(col("n").as("n0"),
+        col("r").as("r0"))
+      val rr = t1.crossJoin(broadcast(t0))
+        .select(col("n1"), col("r1"), col("n0"), col("r0"),
+          ((col("r1").cast("double") / col("n1").cast("double"))
+            / (col("r0").cast("double") / col("n0").cast("double")))
+            .as("rr"),
+          sqrt(lit(1.0) / col("r1").cast("double")
+            - lit(1.0) / col("n1").cast("double")
+            + lit(1.0) / col("r0").cast("double")
+            - lit(1.0) / col("n0").cast("double")).as("se"))
+      val star = rr.select(col("n1"), col("n0"), col("rr"),
+        expr("CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END")
+          .as("rr_star"),
+        expr("""CASE WHEN rr >= 1.0
+            THEN exp(ln(rr) - 1.96 * se)
+            ELSE 1.0 / exp(ln(rr) + 1.96 * se) END""").as("ci_star"))
+      star.select(col("n1").as("n_treated"), col("n0").as("n_control"),
+        round(col("rr"), 9).as("risk_ratio"),
+        round(col("rr_star") + sqrt(col("rr_star")
+          * (col("rr_star") - 1.0)), 9).as("evalue_point"),
+        round(expr("""CASE WHEN ci_star > 1.0
+          THEN ci_star + sqrt(ci_star * (ci_star - 1.0))
+          ELSE 1.0 END"""), 9).as("evalue_ci"))
+    },
+    Some("""WITH m AS (SELECT l_discount > 0.05 AS trt,
+          count(*)::BIGINT AS n,
+          sum((l_returnflag = 'R')::BIGINT)::BIGINT AS r
+        FROM lineitem GROUP BY 1),
+      t1 AS (SELECT n AS n1, r AS r1 FROM m WHERE trt),
+      t0 AS (SELECT n AS n0, r AS r0 FROM m WHERE NOT trt),
+      rr AS (SELECT n1, r1, n0, r0,
+          (r1::DOUBLE / n1) / (r0::DOUBLE / n0) AS rr,
+          sqrt(1.0 / r1::DOUBLE - 1.0 / n1::DOUBLE
+            + 1.0 / r0::DOUBLE - 1.0 / n0::DOUBLE) AS se
+        FROM t1, t0),
+      star AS (SELECT n1, n0, rr,
+          CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END AS rr_star,
+          CASE WHEN rr >= 1.0 THEN exp(ln(rr) - 1.96 * se)
+            ELSE 1.0 / exp(ln(rr) + 1.96 * se) END AS ci_star
+        FROM rr)
+      SELECT n1 AS n_treated, n0 AS n_control,
+        round(rr, 9) AS risk_ratio,
+        round(rr_star + sqrt(rr_star * (rr_star - 1.0)), 9)
+          AS evalue_point,
+        round(CASE WHEN ci_star > 1.0
+          THEN ci_star + sqrt(ci_star * (ci_star - 1.0))
+          ELSE 1.0 END, 9) AS evalue_ci
+      FROM star"""))
+
   val all: Seq[QueryDef] = Seq(q413, q414, q415, q416, q417, q418, q419,
     q420, q421, q422, q423, q424, q425, q426, q427, q428, q429, q430,
-    q431, q432, q433, q434, q435, q436, q437, q438, q439)
+    q431, q432, q433, q434, q435, q436, q437, q438, q439, q440, q441,
+    q442, q443, q444, q445, q446)
 }
