@@ -275,8 +275,9 @@ object Inference {
     * observed days only — a calendar gap drops the pair rather than
     * fabricating one; same documented convention as q322/q339), one
     * 1-row moment reduce. Headroom: Σ(z²)² stays under 10³⁸ for daily
-    * deviations up to ~3·10⁸ over ~10⁵ days — beyond the fixture's
-    * corpus-growth envelope by construction.
+    * deviations up to ~1.7·10⁸ over ~10⁵ days ((1.7e8)⁴·10⁵ ≈
+    * 8.4·10³⁷) — beyond the fixture's corpus-growth envelope by
+    * construction.
     */
   private val q415 = QueryDef(
     "q415_arch_lm",
@@ -1507,7 +1508,14 @@ object Inference {
     * lift ratio — the separation read that picks the predictor. All
     * per-pair scores pin to pico/micro integers; the label join is a
     * broadcast-able equi-join; output is a 3-row panel at any corpus
-    * size.
+    * size. Convention: cn counts only common neighbors reachable
+    * through capped centers (deg ∈ [2,64]) while deg_a/deg_b in the
+    * Jaccard denominator are FULL degrees — Jaccard/RA are therefore
+    * computed on the capped graph's common neighbors against full
+    * degrees, deliberately (identically in both dialects): the cap is
+    * a candidate-generation bound, and dividing by full degree keeps
+    * hub-adjacent scores conservatively small rather than inflating
+    * them by pretending the hub's pruned edges don't exist.
     */
   private val q429 = QueryDef(
     "q429_link_prediction_eval",
@@ -2735,7 +2743,10 @@ object Inference {
     * closed-form from the same per-group exact moments (n, Σcents,
     * Σcents²) the q358/q419/q424 family already reduces — one
     * grouped corpus pass, bounded group math (pairwise d over the
-    * ≤k² broadcast), 1-row output.
+    * ≤k² broadcast), 1-row output. The per-group SSB term sy²/n
+    * exceeds int64 above ~sf0.05 (sy is total cents), so it
+    * accumulates in DECIMAL(38,0) with no BIGINT intermediate —
+    * the q333/q350/q352 wide-moment convention.
     */
   private val q442 = QueryDef(
     "q442_effect_sizes",
@@ -2749,8 +2760,8 @@ object Inference {
       val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
         sum(col("sy").cast(DecimalType(38, 0))).as("syt"),
         sum(col("syy")).as("syyt"),
-        sum(expr("CAST(round(CAST(sy AS DOUBLE) * sy / n) AS BIGINT)")
-          .cast(DecimalType(38, 0))).as("ssb_raw"))
+        sum(expr("CAST(round(CAST(sy AS DOUBLE) * sy / n) " +
+          "AS DECIMAL(38,0))")).as("ssb_raw"))
       val base = tot.select(col("k"), col("nt"),
         (col("ssb_raw").cast("double") - col("syt").cast("double")
           * col("syt").cast("double") / col("nt").cast("double"))
@@ -2788,7 +2799,7 @@ object Inference {
         FROM orders GROUP BY 1),
       tot AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nt,
           sum(sy::HUGEINT) AS syt, sum(syy) AS syyt,
-          sum(CAST(round(sy::DOUBLE * sy / n) AS BIGINT)::HUGEINT)
+          sum(CAST(round(sy::DOUBLE * sy / n) AS DECIMAL(38,0)))
             AS ssb_raw
         FROM g),
       base AS (SELECT k, nt,
@@ -2989,7 +3000,10 @@ object Inference {
         .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .as("errs"))
         .select(col("day"), col("errs"),
-          (expr("((day % 7) + 7) % 7") >= 5).as("is_wkend"))
+          // epoch day 0 = Thursday; (day+4)%7 has 0=Sunday (the q143
+          // convention), so weekend {Sun,Sat} = (day+4)%7 IN (0,6),
+          // i.e. day%7 IN (2,3) for the non-negative days here.
+          (expr("((day % 7) + 7) % 7 IN (2, 3)")).as("is_wkend"))
       val m = byDay.groupBy(col("is_wkend"))
         .agg(count(lit(1)).as("days"), sum(col("errs")).as("errs"))
       val we = m.where(col("is_wkend"))
@@ -3021,7 +3035,7 @@ object Inference {
       byday AS (SELECT day,
           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
             AS errs,
-          ((day % 7) + 7) % 7 >= 5 AS is_wkend
+          ((day % 7) + 7) % 7 IN (2, 3) AS is_wkend
         FROM ed GROUP BY 1),
       m AS (SELECT is_wkend, count(*)::BIGINT AS days,
           sum(errs)::BIGINT AS errs

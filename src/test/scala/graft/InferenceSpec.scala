@@ -177,4 +177,56 @@ class InferenceSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - maxD) < 1e-5)
     assert(math.abs(r.getDouble(4) - meanD) < 1e-6)
   }
+
+  test("q445 weekend stratum matches java.time Sat/Sun classification") {
+    val perDay = Fixtures.table(spark, sf, "events")
+      .select(day("ts").as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L))
+        .as("errs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    import java.time.{DayOfWeek, LocalDate}
+    def isWkend(d: Long): Boolean = {
+      val dow = LocalDate.ofEpochDay(d).getDayOfWeek
+      dow == DayOfWeek.SATURDAY || dow == DayOfWeek.SUNDAY
+    }
+    val (we, wd) = perDay.partition(p => isWkend(p._1))
+    val r = run("q445_rate_ratio").collect()(0)
+    assert(r.getLong(0) === we.map(_._2).sum)
+    assert(r.getLong(1) === we.length.toLong)
+    assert(r.getLong(2) === wd.map(_._2).sum)
+    assert(r.getLong(3) === wd.length.toLong)
+    val rr = (we.map(_._2).sum.toDouble / we.length) /
+      (wd.map(_._2).sum.toDouble / wd.length)
+    assert(math.abs(r.getDouble(4) - rr) < 1e-6)
+  }
+
+  test("q442 effect sizes equal direct double evaluation (and the " +
+    "DECIMAL SSB path carries no BIGINT intermediate to overflow)") {
+    val rows = Fixtures.table(spark, sf, "orders")
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = rows.groupBy(_._1).map { case (g, vs) =>
+      val ys = vs.map(_._2)
+      (g, ys.length.toLong, ys.sum, ys.map(y => BigInt(y) * y).sum)
+    }.toSeq
+    val nt = groups.map(_._2).sum.toDouble
+    val syt = groups.map(_._3).sum.toDouble
+    val syyt = groups.map(_._4).sum.toDouble
+    // same pinning as the query: round(sy^2/n) per group — computed in
+    // doubles, never through an int64 (the overflow the fix removed)
+    val ssbRaw = groups.map(g =>
+      math.rint(g._3.toDouble * g._3 / g._2)).sum
+    val k = groups.length.toDouble
+    val ssb = ssbRaw - syt * syt / nt
+    val sst = syyt - syt * syt / nt
+    val mse = (sst - ssb) / (nt - k)
+    val r = run("q442_effect_sizes").collect()(0)
+    assert(r.getLong(0) === groups.length.toLong)
+    assert(r.getLong(1) === nt.toLong)
+    assert(math.abs(r.getDouble(2) - ssb / sst) < 1e-6)
+    assert(math.abs(r.getDouble(3)
+      - (ssb - (k - 1.0) * mse) / (sst + mse)) < 1e-6)
+  }
 }
