@@ -38,6 +38,67 @@ object Analytics {
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_orders")))
 
+  /** Doubled (undirected) adjacency of the co-purchase graph — a
+    * narrow projection over the cached pair list, so it carries no
+    * cache entry of its own; the aggregates built on it below do.
+    */
+  private[ops] def copurchaseAdj(s: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairs(s, dir).select(col("part_a"), col("part_b"))
+    pairs.select(col("part_a").as("node"), col("part_b").as("nbr"))
+      .union(pairs.select(col("part_b").as("node"), col("part_a").as("nbr")))
+  }
+
+  /** Per-node degree table (node, deg) of the co-purchase graph — one
+    * 2|E|-row aggregate shared by every graph query on the unfiltered
+    * graph (q294/q326/q340/q429/q439), materialized once per run.
+    */
+  private[ops] def copurchaseDegrees(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "copurchase_degree")(
+      copurchaseAdj(s, dir).groupBy(col("node"))
+        .agg(count(lit(1)).as("deg")))
+
+  /** Adjacency annotated with the CENTER node's degree (node, nbr,
+    * deg) — the df-cap filter input every capped wedge/candidate join
+    * starts from (q294 [2,64], q429 [2,64], q439 <=64); sharing the
+    * adj⋈deg join here saves each consumer a 2|E|-row shuffle.
+    */
+  private[ops] def copurchaseAdjDeg(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "copurchase_adj_deg")(
+      copurchaseAdj(s, dir).join(copurchaseDegrees(s, dir), "node"))
+
+  /** Degree table (n, d) of the REPEAT co-purchase graph (pairs with
+    * n_orders >= 2) — the q373/q401 triangle family's graph.
+    */
+  private[ops] def copurchaseDeg2(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "copurchase_deg_min2")({
+      val pairs = copurchasePairs(s, dir).where(col("n_orders") >= 2)
+        .select(col("part_a").as("a"), col("part_b").as("b"))
+      pairs.select(col("a").as("n")).unionAll(
+          pairs.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    })
+
+  /** Degree-ordered (Ortmann–Brandes) oriented edge list (a, b) over
+    * the repeat co-purchase graph: edges point low→high under the
+    * (deg, id) total order, so two-hop triangle enumeration's fan-out
+    * is bounded O(√|E|) per node even at hubs. Three join sides per
+    * consumer (q373, q401) and two consumers per run — one
+    * materialization.
+    */
+  private[ops] def copurchaseOriented(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "copurchase_oriented")({
+      val pairs = copurchasePairs(s, dir).where(col("n_orders") >= 2)
+        .select(col("part_a").as("a"), col("part_b").as("b"))
+      val deg = copurchaseDeg2(s, dir)
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      pairs
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(when(lowFirst, col("a")).otherwise(col("b")).as("a"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("b"))
+    })
+
   /** ROLLUP (priority, status): detail + subtotal + grand-total rows in
     * one pass (Spark plans a single Expand + hash aggregate — each input
     * row is replicated per grouping set map-side, still one shuffle).
@@ -5125,10 +5186,7 @@ object Analytics {
     (s, dir) => {
       val pairs = copurchasePairs(s, dir)
         .select(col("part_a"), col("part_b"))
-      val adj = pairs.select(col("part_a").as("node"), col("part_b").as("nbr"))
-        .union(pairs.select(col("part_b").as("node"), col("part_a").as("nbr")))
-      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val adjW = adj.join(deg, "node")
+      val adjW = copurchaseAdjDeg(s, dir)
         .where(col("deg") >= 2 && col("deg") <= 64)
         .select(col("node"), col("nbr"),
           expr("CAST(round(1e12 / ln(CAST(deg AS DOUBLE))) AS BIGINT)")
@@ -6429,9 +6487,7 @@ object Analytics {
     (s, dir) => {
       val pairs = copurchasePairs(s, dir)
         .select(col("part_a"), col("part_b"))
-      val adj = pairs.select(col("part_a").as("node"), col("part_b").as("nbr"))
-        .union(pairs.select(col("part_b").as("node"), col("part_a").as("nbr")))
-      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val deg = copurchaseDegrees(s, dir)
       val edges = pairs
         .join(deg.select(col("node").as("part_a"), col("deg").as("da")),
           Seq("part_a"))
@@ -6811,11 +6867,8 @@ object Analytics {
     "q340_hub_attack",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val pairs = copurchasePairs(s, dir)
-        .select(col("part_a"), col("part_b"))
-      val adj = pairs.select(col("part_a").as("node"), col("part_b").as("nbr"))
-        .union(pairs.select(col("part_b").as("node"), col("part_a").as("nbr")))
-      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val adj = copurchaseAdj(s, dir)
+      val deg = copurchaseDegrees(s, dir)
       val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n"))
       val wc = Window.orderBy(col("deg"))
       val cut = hist
@@ -8421,19 +8474,8 @@ object Analytics {
   private val q373 = QueryDef(
     "q373_local_clustering",
     (s, dir) => {
-      val pairs = copurchasePairs(s, dir)
-        .where(col("n_orders") >= 2)
-        .select(col("part_a").as("a"), col("part_b").as("b"))
-      val deg = pairs.select(col("a").as("n")).unionAll(
-          pairs.select(col("b").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val lowFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      val e = pairs
-        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
-        .select(when(lowFirst, col("a")).otherwise(col("b")).as("a"),
-          when(lowFirst, col("b")).otherwise(col("a")).as("b"))
+      val deg = copurchaseDeg2(s, dir)
+      val e = copurchaseOriented(s, dir)
       val tri = e.alias("e1")
         .join(e.alias("e2"), col("e1.b") === col("e2.a"))
         .join(e.alias("e3"),
@@ -9277,16 +9319,7 @@ object Analytics {
       val pairs = copurchasePairs(s, dir)
         .where(col("n_orders") >= 2)
         .select(col("part_a").as("a"), col("part_b").as("b"))
-      val deg = pairs.select(col("a").as("n")).unionAll(
-          pairs.select(col("b").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      val lowFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      val e = pairs
-        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
-        .select(when(lowFirst, col("a")).otherwise(col("b")).as("a"),
-          when(lowFirst, col("b")).otherwise(col("a")).as("b"))
+      val e = copurchaseOriented(s, dir)
       val tri = e.alias("e1")
         .join(e.alias("e2"), col("e1.b") === col("e2.a"))
         .join(e.alias("e3"),

@@ -1522,12 +1522,8 @@ object Inference {
     (s, dir) => {
       val pairs = Analytics.copurchasePairs(s, dir)
         .select(col("part_a"), col("part_b"))
-      val adj = pairs.select(col("part_a").as("node"),
-          col("part_b").as("nbr"))
-        .union(pairs.select(col("part_b").as("node"),
-          col("part_a").as("nbr")))
-      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val adjW = adj.join(deg, "node")
+      val deg = Analytics.copurchaseDegrees(s, dir)
+      val adjW = Analytics.copurchaseAdjDeg(s, dir)
         .where(col("deg") >= 2 && col("deg") <= 64)
         .select(col("node"), col("nbr"),
           expr("CAST(round(1e12 / deg) AS BIGINT)").as("ra_pico"))
@@ -2414,16 +2410,13 @@ object Inference {
     (s, dir) => {
       val pairs = Analytics.copurchasePairs(s, dir)
         .select(col("part_a"), col("part_b"))
-      val adj = pairs.select(col("part_a").as("node"),
-          col("part_b").as("nbr"))
-        .union(pairs.select(col("part_b").as("node"),
-          col("part_a").as("nbr")))
-      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val deg = Analytics.copurchaseDegrees(s, dir)
       val degm = deg.agg(count(lit(1)).as("n_nodes"),
         sum(col("deg")).as("sk"),
         sum((col("deg") * col("deg")).cast(DecimalType(38, 0)))
           .as("sk2"))
-      val adjC = adj.join(deg, "node").where(col("deg") <= 64)
+      val adjC = Analytics.copurchaseAdjDeg(s, dir)
+        .where(col("deg") <= 64)
         .select(col("node"), col("nbr"))
       val wa = adjC.select(col("node"), col("nbr").as("end_a"))
       val wb = adjC.select(col("node"), col("nbr").as("end_b"))

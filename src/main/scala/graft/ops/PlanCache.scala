@@ -57,8 +57,9 @@ private[graft] object PlanCache {
     "inverted", "pairs_0.8", "cc_0.8", "sessions", "centroids", "blocks",
     "trade_edges", "q55_uni", "q55_bi", "q57_tf", "q57_topk", "q93_topk",
     "q82_edges", "q125_scounts", "q140_old_labels",
-    "copurchase_baskets", "copurchase_pairs", "train_unigram",
-    "cust_supp_edges")
+    "copurchase_baskets", "copurchase_pairs", "copurchase_degree",
+    "copurchase_adj_deg", "copurchase_deg_min2", "copurchase_oriented",
+    "train_unigram", "cust_supp_edges")
 
   /** Every distinct subplan name ever requested this JVM — the spec's
     * measurement of the key inventory, independent of eviction.
