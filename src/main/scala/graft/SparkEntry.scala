@@ -13,7 +13,7 @@ object SparkEntry {
     * query without bumping this fails the suite loudly instead of the
     * tripwire silently rotting (the round-4 157-vs-170 failure mode).
     */
-  val registrySize: Int = 446
+  val registrySize: Int = 458
 
   def registry: Seq[QueryDef] =
     queries_registry
@@ -28,6 +28,7 @@ object SparkEntry {
       graft.ops.TopK.all ++
       graft.ops.Analytics.all ++
       graft.ops.Inference.all ++
+      graft.ops.Planning.all ++
       graft.ops.Sketch.all ++
       graft.ops.Quality.all
 

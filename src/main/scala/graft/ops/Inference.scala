@@ -2163,22 +2163,33 @@ object Inference {
         sum(col("p")).as("cp"),
         sum((col("v") + col("c") + col("p"))
           * (col("v") + col("c") + col("p"))).as("sr2"))
+      // kT − ΣR² = ΣR(k−R) is zero when every user adopts all-or-nothing
+      // (the saturated-density regime — at high corpus density all users
+      // clear the threshold for all three types); Q is then undefined,
+      // and the guard reports that verdict instead of dividing by zero
       m.select(col("n_users"), col("cv"), col("cc"), col("cp"),
           ((col("cv") + col("cc") + col("cp")).cast("double")).as("t"),
           col("sr2").cast("double").as("sr2d"))
         .select(col("n_users"), col("cv").as("n_view"),
           col("cc").as("n_click"), col("cp").as("n_purchase"),
-          round(expr("""3.0 * 2.0 * ((cv - t / 3.0) * (cv - t / 3.0)
+          round(expr("""CASE WHEN 3.0 * t - sr2d <= 0.0 THEN 0.0
+            ELSE 3.0 * 2.0 * ((cv - t / 3.0) * (cv - t / 3.0)
             + (cc - t / 3.0) * (cc - t / 3.0)
             + (cp - t / 3.0) * (cp - t / 3.0))
-            / (3.0 * t - sr2d)"""), 6).as("q_stat"),
-          round(expr(Portable.chi2UpperP(
+            / (3.0 * t - sr2d) END"""), 6).as("q_stat"),
+          round(expr("CASE WHEN 3.0 * t - sr2d <= 0.0 THEN 1.0 ELSE "
+            + Portable.chi2UpperP(
             """(3.0 * 2.0 * ((cv - t / 3.0) * (cv - t / 3.0)
               + (cc - t / 3.0) * (cc - t / 3.0)
               + (cp - t / 3.0) * (cp - t / 3.0)) / (3.0 * t - sr2d))""",
-            "2.0")), 9).as("p_value"))
-        .withColumn("verdict", when(col("p_value") < 0.01,
-          "adoption_differs").otherwise("uniform_adoption"))
+            "2.0") + " END"), 9).as("p_value"),
+          expr("""CASE WHEN 3.0 * t - sr2d <= 0.0
+              THEN 'no_within_user_variation' ELSE '' END""")
+            .as("vflag"))
+        .withColumn("verdict", when(col("vflag") =!= "", col("vflag"))
+          .otherwise(when(col("p_value") < 0.01, "adoption_differs")
+            .otherwise("uniform_adoption")))
+        .drop("vflag")
     },
     Some(s"""WITH per AS (SELECT user_id,
           (sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
@@ -2197,20 +2208,24 @@ object Inference {
       st AS (SELECT n_users, cv, cc, cp,
           (cv + cc + cp)::DOUBLE AS t, sr2::DOUBLE AS sr2d FROM m)
       SELECT n_users, cv AS n_view, cc AS n_click, cp AS n_purchase,
-        round(3.0 * 2.0 * ((cv - t / 3.0) * (cv - t / 3.0)
+        round(CASE WHEN 3.0 * t - sr2d <= 0.0 THEN 0.0
+          ELSE 3.0 * 2.0 * ((cv - t / 3.0) * (cv - t / 3.0)
           + (cc - t / 3.0) * (cc - t / 3.0)
-          + (cp - t / 3.0) * (cp - t / 3.0)) / (3.0 * t - sr2d), 6)
+          + (cp - t / 3.0) * (cp - t / 3.0)) / (3.0 * t - sr2d) END, 6)
           AS q_stat,
-        round(${Portable.chi2UpperP(
+        round(CASE WHEN 3.0 * t - sr2d <= 0.0 THEN 1.0
+          ELSE ${Portable.chi2UpperP(
           """(3.0 * 2.0 * ((cv - t / 3.0) * (cv - t / 3.0)
             + (cc - t / 3.0) * (cc - t / 3.0)
             + (cp - t / 3.0) * (cp - t / 3.0)) / (3.0 * t - sr2d))""",
-          "2.0")}, 9) AS p_value,
-        CASE WHEN ${Portable.chi2UpperP(
+          "2.0")} END, 9) AS p_value,
+        CASE WHEN 3.0 * t - sr2d <= 0.0 THEN 'no_within_user_variation'
+          WHEN round(CASE WHEN 3.0 * t - sr2d <= 0.0 THEN 1.0
+            ELSE ${Portable.chi2UpperP(
           """(3.0 * 2.0 * ((cv - t / 3.0) * (cv - t / 3.0)
             + (cc - t / 3.0) * (cc - t / 3.0)
             + (cp - t / 3.0) * (cp - t / 3.0)) / (3.0 * t - sr2d))""",
-          "2.0")} < 0.01
+          "2.0")} END, 9) < 0.01
           THEN 'adoption_differs' ELSE 'uniform_adoption' END AS verdict
       FROM st"""))
 
@@ -2628,19 +2643,21 @@ object Inference {
             - 4.0 * pow((n + 1.0) / 2.0, 3.0)
               * ((pow(CAST(a + t AS DOUBLE), 2.0) - pow(CAST(a AS DOUBLE), 2.0)) / 2.0
                 + (CAST(t AS DOUBLE)) / 2.0)""").as("s2_sum"))
+      // the pinned per-bin score sums cross int64 above ~sf0.3 (score²
+      // ~ N⁴/16), so they go straight to DECIMAL(38,0) — no BIGINT hop
       val tot = scored.agg(max(col("n")).as("n"),
-        sum(expr("CAST(round(s_sum * 1e3) AS BIGINT)")
-          .cast(DecimalType(38, 0))).as("ss_milli"),
-        sum(expr("CAST(round(s2_sum * 1e-3) AS BIGINT)")
-          .cast(DecimalType(38, 0))).as("ss2_kilo"))
+        sum(expr("CAST(round(s_sum * 1e3) AS DECIMAL(38,0))"))
+          .as("ss_milli"),
+        sum(expr("CAST(round(s2_sum * 1e-3) AS DECIMAL(38,0))"))
+          .as("ss2_kilo"))
       val tstat = cells.join(broadcast(
           scored.select(col("v"), col("t"),
             (col("s_sum") / col("t").cast("double")).as("mean_score"))),
           "v")
         .groupBy(col("g"))
         .agg(sum(col("w")).as("ng"),
-          sum(expr("CAST(round(w * mean_score * 1e3) AS BIGINT)")
-            .cast(DecimalType(38, 0))).as("t_milli"))
+          sum(expr("CAST(round(w * mean_score * 1e3) AS DECIMAL(38,0))"))
+            .as("t_milli"))
       val t1 = tstat.where(col("g") === "O")
         .select(col("ng").as("n1"),
           (col("t_milli").cast("double") / 1e3).as("t_obs"))
@@ -2701,13 +2718,13 @@ object Inference {
               + (t::DOUBLE) / 2.0) AS s2_sum
         FROM pre),
       tot AS (SELECT max(n) AS n,
-          sum(CAST(round(s_sum * 1e3) AS BIGINT)::HUGEINT) AS ss_milli,
-          sum(CAST(round(s2_sum * 1e-3) AS BIGINT)::HUGEINT)
+          sum(CAST(round(s_sum * 1e3) AS DECIMAL(38,0))) AS ss_milli,
+          sum(CAST(round(s2_sum * 1e-3) AS DECIMAL(38,0)))
             AS ss2_kilo
         FROM scored),
       tst AS (SELECT g, sum(w)::BIGINT AS ng,
-          sum(CAST(round(w * (s_sum / t::DOUBLE) * 1e3) AS BIGINT)
-            ::HUGEINT) AS t_milli
+          sum(CAST(round(w * (s_sum / t::DOUBLE) * 1e3)
+            AS DECIMAL(38,0))) AS t_milli
         FROM cells JOIN scored USING (v) GROUP BY 1),
       t1 AS (SELECT ng AS n1, t_milli::DOUBLE / 1e3 AS t_obs
         FROM tst WHERE g = 'O'),

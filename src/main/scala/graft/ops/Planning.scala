@@ -1,0 +1,888 @@
+package graft.ops
+
+import graft.{Fixtures, QueryDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-11 planning wave: the capacity-planning, data-engineering and
+  * residual classical-testing members the registry still lacked. No
+  * reference counterpart (the reference is an ETL Lambda — SURVEY.md
+  * §2.11a extension contract): each query pairs a Spark plan with an
+  * independent DuckDB oracle and follows the standing exactness
+  * convention (integer/DECIMAL-pinned term sums, double math only on
+  * 1-row / bounded frames, total ORDER BY).
+  *
+  * Scale design shared by the file: every query reduces the corpus in
+  * one (occasionally two) linear grouped passes to a FIXED-size or
+  * dimension-bounded frame; grids fan in-projection via explode, never
+  * via joins; windows run only over bounded aggregate tables (the
+  * PlanLint 2000-row single-partition gate). Nothing materializes a
+  * corpus-sized sort or collects to the driver.
+  */
+object Planning {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Fixtures.table(s, dir, "events")
+
+  // ---------- q447: Welch's heteroscedastic one-way ANOVA ---------------
+
+  /** Welch's F over the priority → order-value groups — the
+    * UNEQUAL-VARIANCE member of the location family: q358's classical
+    * F assumes homoscedasticity that q307/q419 exist to test, and when
+    * they reject, Welch's w_i = n_i/s_i² weighting with its
+    * Satterthwaite df is the test that stays valid. All inputs fold
+    * from the same per-group exact moments (n, Σcents, Σcents²) as
+    * q358/q442; the per-group Welch terms (w, w·m, the A and B
+    * summands) are femto/nano-pinned BEFORE the ≤k-row sums so the
+    * bounded reduces are order-free in both engines. p-value uses the
+    * χ²(k−1) limit of (k−1)·F (documented large-df2 approximation —
+    * df2 here is in the thousands). One grouped corpus pass, 1-row
+    * output.
+    */
+  private val q447 = QueryDef(
+    "q447_welch_anova",
+    (s, dir) => {
+      val g = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("y"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
+      val t = g.select(col("n"),
+        expr("CAST(sy AS DOUBLE) / n").as("m"),
+        expr("""(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+          * CAST(sy AS DOUBLE) / n) / (CAST(n AS DOUBLE) - 1.0)""")
+          .as("s2"))
+        .select(col("n"), col("m"),
+          expr("CAST(round(n / s2 * 1e15) AS BIGINT)").as("w_femto"),
+          expr("CAST(round(n / s2 * m * 1e9) AS BIGINT)").as("wm_nano"))
+      val s1 = t.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        sum(col("w_femto")).as("sw"), sum(col("wm_nano")).as("swm"))
+      val terms = t.crossJoin(broadcast(s1))
+        .select(col("k"), col("nt"),
+          expr("w_femto / 1e15").as("w"),
+          expr("sw / 1e15").as("bw"),
+          expr("(swm / 1e9) / (sw / 1e15)").as("mw"),
+          col("n"), col("m"))
+        .select(col("k"), col("nt"),
+          expr("CAST(round(w * (m - mw) * (m - mw) * 1e9) AS BIGINT)")
+            .as("a_nano"),
+          expr("""CAST(round((1.0 - w / bw) * (1.0 - w / bw)
+            / (CAST(n AS DOUBLE) - 1.0) * 1e15) AS BIGINT)""")
+            .as("b_femto"))
+      terms.groupBy(col("k"), col("nt"))
+        .agg(sum(col("a_nano")).as("sa"), sum(col("b_femto")).as("sb"))
+        .select(col("k"), col("nt"),
+          expr("(sa / 1e9) / (CAST(k AS DOUBLE) - 1.0)").as("aa"),
+          expr("sb / 1e15").as("bs"))
+        .select(col("k").as("k_groups"), col("nt").as("n_total"),
+          round(expr("""aa / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+            / (CAST(k AS DOUBLE) * k - 1.0) * bs)"""), 6).as("f_welch"),
+          (col("k") - 1).as("df1"),
+          round(expr("(CAST(k AS DOUBLE) * k - 1.0) / (3.0 * bs)"), 3)
+            .as("df2"),
+          round(expr(Portable.chi2UpperP(
+            """(CAST(k AS DOUBLE) - 1.0) * (aa / (1.0 + 2.0
+              * (CAST(k AS DOUBLE) - 2.0)
+              / (CAST(k AS DOUBLE) * k - 1.0) * bs))""",
+            "CAST(k AS DOUBLE) - 1.0")), 9).as("p_approx"))
+    },
+    Some(s"""WITH g AS (SELECT o_orderpriority AS grp,
+          count(*)::BIGINT AS n,
+          sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS sy,
+          sum(CAST(round(o_totalprice * 100.0) AS BIGINT)::HUGEINT
+            * CAST(round(o_totalprice * 100.0) AS BIGINT)) AS syy
+        FROM orders GROUP BY 1),
+      t AS (SELECT n, CAST(sy AS DOUBLE) / n AS m,
+          (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+            * CAST(sy AS DOUBLE) / n) / (CAST(n AS DOUBLE) - 1.0) AS s2
+        FROM g),
+      tp AS (SELECT n, m,
+          CAST(round(n / s2 * 1e15) AS BIGINT) AS w_femto,
+          CAST(round(n / s2 * m * 1e9) AS BIGINT) AS wm_nano
+        FROM t),
+      s1 AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nt,
+          sum(w_femto)::BIGINT AS sw, sum(wm_nano)::BIGINT AS swm
+        FROM tp),
+      terms AS (SELECT k, nt,
+          CAST(round((w_femto / 1e15) * (m - (swm / 1e9) / (sw / 1e15))
+            * (m - (swm / 1e9) / (sw / 1e15)) * 1e9) AS BIGINT) AS a_nano,
+          CAST(round((1.0 - (w_femto / 1e15) / (sw / 1e15))
+            * (1.0 - (w_femto / 1e15) / (sw / 1e15))
+            / (CAST(n AS DOUBLE) - 1.0) * 1e15) AS BIGINT) AS b_femto
+        FROM tp, s1),
+      red AS (SELECT k, nt, sum(a_nano)::BIGINT AS sa,
+          sum(b_femto)::BIGINT AS sb
+        FROM terms GROUP BY 1, 2),
+      fin AS (SELECT k, nt,
+          (sa / 1e9) / (CAST(k AS DOUBLE) - 1.0) AS aa,
+          sb / 1e15 AS bs
+        FROM red)
+      SELECT k AS k_groups, nt AS n_total,
+        round(aa / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+          / (CAST(k AS DOUBLE) * k - 1.0) * bs), 6) AS f_welch,
+        k - 1 AS df1,
+        round((CAST(k AS DOUBLE) * k - 1.0) / (3.0 * bs), 3) AS df2,
+        round(${Portable.chi2UpperP(
+          """(CAST(k AS DOUBLE) - 1.0) * (aa / (1.0 + 2.0
+            * (CAST(k AS DOUBLE) - 2.0)
+            / (CAST(k AS DOUBLE) * k - 1.0) * bs))""",
+          "CAST(k AS DOUBLE) - 1.0")}, 9) AS p_approx
+      FROM fin"""))
+
+  // ---------- q448: KPSS stationarity test -------------------------------
+
+  /** KPSS level-stationarity test on the daily event-count series —
+    * the COMPLEMENT of q405's ADF: ADF's null is a unit root (failing
+    * to reject proves nothing), KPSS's null is stationarity, and
+    * running both brackets the answer (reject-ADF + accept-KPSS is
+    * the only clean "stationary" verdict). η = n⁻²ΣS_t² / s²(l) with
+    * S_t the partial sums of milli-pinned exact deviations and s²(l)
+    * the Bartlett-window (l = 4) long-run variance from the lag
+    * autocovariances. Convention: the series is the OBSERVED-day
+    * sequence (row-indexed; calendar gaps collapse — the q418 runs
+    * convention, stated in both dialects). The per-day reduce is the
+    * only corpus-sized pass; partial sums, lags and all test math run
+    * on the bounded ≤|days| frame (PlanLint's single-partition-window
+    * class). 1-row output vs the 0.463 5 % critical value.
+    */
+  private val q448 = QueryDef(
+    "q448_kpss_stationarity",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val st = daily.agg(count(lit(1)).as("n"),
+        expr("CAST(round(sum(c) * 1000.0 / count(1)) AS BIGINT)")
+          .as("mean_milli"))
+      val e = daily.crossJoin(broadcast(st))
+        .select(col("day"), col("n"),
+          (col("c") * 1000 - col("mean_milli")).as("e_milli"))
+      val w = Window.orderBy(col("day"))
+      val withS = e
+        .withColumn("s_t", sum(col("e_milli")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("e1", lag(col("e_milli"), 1).over(w))
+        .withColumn("e2", lag(col("e_milli"), 2).over(w))
+        .withColumn("e3", lag(col("e_milli"), 3).over(w))
+        .withColumn("e4", lag(col("e_milli"), 4).over(w))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val red = withS.groupBy(col("n")).agg(
+        sum(dl(col("s_t")) * col("s_t")).as("ss2"),
+        sum(dl(col("e_milli")) * col("e_milli")).as("g0"),
+        sum(dl(col("e_milli")) * coalesce(col("e1"), lit(0L))).as("g1"),
+        sum(dl(col("e_milli")) * coalesce(col("e2"), lit(0L))).as("g2"),
+        sum(dl(col("e_milli")) * coalesce(col("e3"), lit(0L))).as("g3"),
+        sum(dl(col("e_milli")) * coalesce(col("e4"), lit(0L))).as("g4"))
+      red.select(col("n").as("n_days"),
+        round(expr("""(CAST(ss2 AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+          / ((CAST(g0 AS DOUBLE) + 2.0 * (0.8e0 * CAST(g1 AS DOUBLE)
+            + 0.6e0 * CAST(g2 AS DOUBLE) + 0.4e0 * CAST(g3 AS DOUBLE)
+            + 0.2e0 * CAST(g4 AS DOUBLE))) / n)"""), 9).as("kpss_eta"),
+        round(expr("""(CAST(g0 AS DOUBLE) + 2.0 * (0.8e0
+          * CAST(g1 AS DOUBLE) + 0.6e0 * CAST(g2 AS DOUBLE)
+          + 0.4e0 * CAST(g3 AS DOUBLE) + 0.2e0 * CAST(g4 AS DOUBLE)))
+          / n / 1e6"""), 6).as("longrun_var"),
+        expr("""(CAST(ss2 AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+          / ((CAST(g0 AS DOUBLE) + 2.0 * (0.8e0 * CAST(g1 AS DOUBLE)
+            + 0.6e0 * CAST(g2 AS DOUBLE) + 0.4e0 * CAST(g3 AS DOUBLE)
+            + 0.2e0 * CAST(g4 AS DOUBLE))) / n) < 0.463e0""")
+          .as("stationary_5pct"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT AS c
+        FROM events GROUP BY 1),
+      st AS (SELECT count(*)::BIGINT AS n,
+          CAST(round(sum(c) * 1000.0 / count(*)) AS BIGINT) AS mean_milli
+        FROM daily),
+      e AS (SELECT day, n, c * 1000 - mean_milli AS e_milli
+        FROM daily, st),
+      ws AS (SELECT n, e_milli,
+          sum(e_milli) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t,
+          lag(e_milli, 1) OVER (ORDER BY day) AS e1,
+          lag(e_milli, 2) OVER (ORDER BY day) AS e2,
+          lag(e_milli, 3) OVER (ORDER BY day) AS e3,
+          lag(e_milli, 4) OVER (ORDER BY day) AS e4
+        FROM e),
+      red AS (SELECT n,
+          sum(s_t::HUGEINT * s_t) AS ss2,
+          sum(e_milli::HUGEINT * e_milli) AS g0,
+          sum(e_milli::HUGEINT * coalesce(e1, 0)) AS g1,
+          sum(e_milli::HUGEINT * coalesce(e2, 0)) AS g2,
+          sum(e_milli::HUGEINT * coalesce(e3, 0)) AS g3,
+          sum(e_milli::HUGEINT * coalesce(e4, 0)) AS g4
+        FROM ws GROUP BY 1)
+      SELECT n AS n_days,
+        round((CAST(ss2 AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+          / ((CAST(g0 AS DOUBLE) + 2.0 * (0.8e0 * CAST(g1 AS DOUBLE)
+            + 0.6e0 * CAST(g2 AS DOUBLE) + 0.4e0 * CAST(g3 AS DOUBLE)
+            + 0.2e0 * CAST(g4 AS DOUBLE))) / n), 9) AS kpss_eta,
+        round((CAST(g0 AS DOUBLE) + 2.0 * (0.8e0 * CAST(g1 AS DOUBLE)
+          + 0.6e0 * CAST(g2 AS DOUBLE) + 0.4e0 * CAST(g3 AS DOUBLE)
+          + 0.2e0 * CAST(g4 AS DOUBLE))) / n / 1e6, 6) AS longrun_var,
+        (CAST(ss2 AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+          / ((CAST(g0 AS DOUBLE) + 2.0 * (0.8e0 * CAST(g1 AS DOUBLE)
+            + 0.6e0 * CAST(g2 AS DOUBLE) + 0.4e0 * CAST(g3 AS DOUBLE)
+            + 0.2e0 * CAST(g4 AS DOUBLE))) / n) < 0.463e0
+          AS stationary_5pct
+      FROM red"""))
+
+  // ---------- q449: Theil's U2 forecast-quality ratio --------------------
+
+  /** Theil's U2 for the daily event-count series: RMSE of the
+    * seasonal-naive forecast (ŷ_t = y_{t−7}, q143's weekly cycle) over
+    * RMSE of the last-value naive (ŷ_t = y_{t−1}) — the scale-free
+    * eval that says whether the seasonal structure q143/q343 model is
+    * worth USING for prediction (U < 1) or the series is better
+    * forecast by pure persistence (U ≥ 1); complements q356's MASE
+    * (which grades one model against in-sample naive). Lags are
+    * CALENDAR joins on day−1 / day−7 and only days with BOTH lags
+    * observed score (gaps drop the day — the q426 convention, stated
+    * in both dialects). Squared errors are exact integers
+    * DECIMAL-summed; one per-day pass + two bounded equi-joins; 1-row
+    * output.
+    */
+  private val q449 = QueryDef(
+    "q449_theil_u_forecast",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val l1 = daily.select((col("day") + 1).as("day"), col("c").as("c1"))
+      val l7 = daily.select((col("day") + 7).as("day"), col("c").as("c7"))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      daily.join(l1, "day").join(l7, "day")
+        .select(col("day"),
+          (col("c") - col("c7")).as("es"), (col("c") - col("c1")).as("en"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(dl(col("es")) * col("es")).as("sss"),
+          sum(dl(col("en")) * col("en")).as("ssn"))
+        .select(col("n_scored"),
+          round(expr("sqrt(CAST(sss AS DOUBLE) / n_scored)"), 6)
+            .as("rmse_seasonal"),
+          round(expr("sqrt(CAST(ssn AS DOUBLE) / n_scored)"), 6)
+            .as("rmse_naive"),
+          round(expr("sqrt(CAST(sss AS DOUBLE) / CAST(ssn AS DOUBLE))"),
+            9).as("theil_u2"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          count(*)::BIGINT AS c
+        FROM events GROUP BY 1),
+      sc AS (SELECT d.day, d.c - l7.c AS es, d.c - l1.c AS en
+        FROM daily d
+        JOIN daily l1 ON l1.day = d.day - 1
+        JOIN daily l7 ON l7.day = d.day - 7),
+      red AS (SELECT count(*)::BIGINT AS n_scored,
+          sum(es::HUGEINT * es) AS sss, sum(en::HUGEINT * en) AS ssn
+        FROM sc)
+      SELECT n_scored,
+        round(sqrt(CAST(sss AS DOUBLE) / n_scored), 6) AS rmse_seasonal,
+        round(sqrt(CAST(ssn AS DOUBLE) / n_scored), 6) AS rmse_naive,
+        round(sqrt(CAST(sss AS DOUBLE) / CAST(ssn AS DOUBLE)), 9)
+          AS theil_u2
+      FROM red"""))
+
+  // ---------- q450: Bloom-filter join-prefilter audit ---------------------
+
+  /** Realized vs expected false-positive rate of a Bloom-filter join
+    * prefilter — the runtime-filter sizing audit behind every
+    * large-join pushdown (Spark's own runtime bloom filters, DPP-style
+    * probe pruning): build the m = 4096-bit, k = 3 filter over the
+    * customers that HAVE orders (the build side of the q07 anti-join),
+    * probe it with the customers that have none, and compare the
+    * measured FP share against the closed-form (1−e^(−kn/m))^k. The
+    * fixture-scaled m demonstrates saturation as n grows past m/10 —
+    * production sizes m ∝ n at ~10 bits/key for 1 % FP (documented).
+    * Hash positions are the portable md5-based h32 per (hash index,
+    * key), so both engines build bit-identical filters; membership is
+    * exact set logic (distinct bit list ⋈ probe positions), never
+    * engine-native bloom primitives. Two distinct-aggregates + one
+    * broadcast-sized join; 1-row output.
+    */
+  private val q450 = QueryDef(
+    "q450_bloom_prefilter_audit",
+    (s, dir) => {
+      val m = 4096
+      val build = Fixtures.table(s, dir, "orders")
+        .select(col("o_custkey").as("k")).distinct()
+      val buildBits = build.select(explode(array((1 to 3).map(j =>
+          expr(s"${Portable.h32Spark(s"concat('bf${j}_', k)")} % $m"))
+          : _*)).as("bit"))
+        .distinct()
+      val probe = Fixtures.table(s, dir, "customer")
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_custkey").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey").as("k"))
+      val probePos = probe.select(col("k"), explode(array((1 to 3).map(j =>
+          expr(s"${Portable.h32Spark(s"concat('bf${j}_', k)")} % $m"))
+          : _*)).as("bit"))
+        .distinct()
+      val hits = probePos
+        .join(buildBits.select(col("bit"), lit(1L).as("hit")),
+          Seq("bit"), "left_outer")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pos"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      val probeAgg = hits.agg(count(lit(1)).as("n_probe_neg"),
+        sum(when(col("n_hit") === col("n_pos"), 1L).otherwise(0L))
+          .as("n_fp"))
+      val buildAgg = build.agg(count(lit(1)).as("n_build"))
+        .crossJoin(broadcast(buildBits.agg(count(lit(1)).as("bits_set"))))
+      buildAgg.crossJoin(broadcast(probeAgg))
+        .select(col("n_build"), lit(m.toLong).as("m_bits"),
+          lit(3L).as("k_hashes"), col("bits_set"),
+          col("n_probe_neg"),
+          round(expr("CAST(n_fp AS DOUBLE) / n_probe_neg"), 9)
+            .as("fp_observed"),
+          round(expr(s"""pow(1.0 - exp(-(3.0 * n_build) / $m.0e0),
+            3.0)"""), 9).as("fp_expected"))
+    },
+    Some(s"""WITH build AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      bbits AS (SELECT DISTINCT bit FROM (
+        SELECT ${Portable.h32Duck("'bf1_' || k")} % 4096 AS bit FROM build
+        UNION ALL
+        SELECT ${Portable.h32Duck("'bf2_' || k")} % 4096 FROM build
+        UNION ALL
+        SELECT ${Portable.h32Duck("'bf3_' || k")} % 4096 FROM build)),
+      probe AS (SELECT c_custkey AS k FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM build)),
+      ppos AS (SELECT DISTINCT k, bit FROM (
+        SELECT k, ${Portable.h32Duck("'bf1_' || k")} % 4096 AS bit
+          FROM probe
+        UNION ALL
+        SELECT k, ${Portable.h32Duck("'bf2_' || k")} % 4096 FROM probe
+        UNION ALL
+        SELECT k, ${Portable.h32Duck("'bf3_' || k")} % 4096 FROM probe)),
+      hits AS (SELECT k, count(*)::BIGINT AS n_pos,
+          sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+            AS n_hit
+        FROM ppos p LEFT JOIN bbits b ON p.bit = b.bit
+        GROUP BY 1),
+      pa AS (SELECT count(*)::BIGINT AS n_probe_neg,
+          sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END)::BIGINT AS n_fp
+        FROM hits),
+      ba AS (SELECT (SELECT count(*)::BIGINT FROM build) AS n_build,
+          (SELECT count(*)::BIGINT FROM bbits) AS bits_set)
+      SELECT n_build, 4096::BIGINT AS m_bits, 3::BIGINT AS k_hashes,
+        bits_set, n_probe_neg,
+        round(CAST(n_fp AS DOUBLE) / n_probe_neg, 9) AS fp_observed,
+        round(pow(1.0 - exp(-(3.0 * n_build) / 4096.0e0), 3.0), 9)
+          AS fp_expected
+      FROM ba, pa"""))
+
+  // ---------- q451: data-constrained scaling (repeat-epoch value) --------
+
+  /** Effective-data curve for repeated training epochs over the
+    * document corpus — the data-constrained scaling read (Muennighoff
+    * et al. 2023: repeated tokens decay in value with R* ≈ 15.39, so
+    * effective data D' = U·(1 + R*·(1 − e^(−R/R*))) with R = epochs−1
+    * repeat passes): for epochs ∈ {1,2,4,8,16}, the raw token budget,
+    * the effective unique-token equivalent, and the marginal utility
+    * of the LAST epoch (e^(−R/R*) — the number that says when to stop
+    * repeating and go buy data instead). The corpus contributes ONE
+    * token-count reduce (the standing whitespace tokenizer); the whole
+    * curve is scalar math fanned over a 5-row grid. 5-row output.
+    */
+  private val q451 = QueryDef(
+    "q451_data_constrained_epochs",
+    (s, dir) => {
+      val u = Fixtures.table(s, dir, "documents")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("u"))
+      u.select(col("u"),
+          explode(array(lit(1L), lit(2L), lit(4L), lit(8L), lit(16L)))
+            .as("epochs"))
+        .select(col("epochs"), col("u").as("unique_tokens"),
+          (col("epochs") * col("u")).as("raw_tokens"),
+          expr("""CAST(round(u * (1.0 + 15.39e0
+            * (1.0 - exp(-(CAST(epochs - 1 AS DOUBLE)) / 15.39e0))))
+            AS BIGINT)""").as("effective_tokens"),
+          round(expr(
+            "exp(-(CAST(epochs - 1 AS DOUBLE)) / 15.39e0)"), 9)
+            .as("marginal_utility"))
+        .orderBy(col("epochs"))
+    },
+    Some("""WITH u AS (SELECT sum(len(string_split(text, ' ')))::BIGINT
+          AS u FROM documents),
+      grid AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS epochs)
+      SELECT epochs, u AS unique_tokens,
+        epochs * u AS raw_tokens,
+        CAST(round(u * (1.0 + 15.39e0
+          * (1.0 - exp(-(CAST(epochs - 1 AS DOUBLE)) / 15.39e0))))
+          AS BIGINT) AS effective_tokens,
+        round(exp(-(CAST(epochs - 1 AS DOUBLE)) / 15.39e0), 9)
+          AS marginal_utility
+      FROM u, grid ORDER BY epochs"""))
+
+  // ---------- q452: Chinchilla compute allocation ------------------------
+
+  /** Compute-optimal (N, D) allocation against THIS corpus's token
+    * supply — the planning read in front of q451: under the Chinchilla
+    * rule (Hoffmann et al. 2022, D_opt ≈ 20·N_opt with C = 6·N·D, so
+    * N_opt = √(C/120)), each compute budget implies a token demand
+    * D_opt, and dividing by the corpus's unique tokens says how many
+    * epochs the data must stretch — the single-epoch / mild-repeat /
+    * heavy-repeat / data-bound verdict (bands at 1/4/16 epochs, the
+    * q451 repeat-value cliff). One corpus token reduce + scalar grid
+    * math; 3-row output.
+    */
+  private val q452 = QueryDef(
+    "q452_chinchilla_allocation",
+    (s, dir) => {
+      val u = Fixtures.table(s, dir, "documents")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("u"))
+      u.select(col("u"),
+          explode(array(lit(1e19), lit(1e21), lit(1e23)))
+            .as("compute_flops"))
+        .select(col("compute_flops"),
+          expr("CAST(round(sqrt(compute_flops / 120.0e0)) AS BIGINT)")
+            .as("n_opt_params"),
+          expr("""CAST(round(20.0e0 * sqrt(compute_flops / 120.0e0))
+            AS BIGINT)""").as("d_opt_tokens"),
+          round(expr("20.0e0 * sqrt(compute_flops / 120.0e0) / u"), 3)
+            .as("epochs_needed"),
+          expr("""CASE
+            WHEN 20.0e0 * sqrt(compute_flops / 120.0e0) / u <= 1.0
+              THEN 'single_epoch'
+            WHEN 20.0e0 * sqrt(compute_flops / 120.0e0) / u <= 4.0
+              THEN 'mild_repeat'
+            WHEN 20.0e0 * sqrt(compute_flops / 120.0e0) / u <= 16.0
+              THEN 'heavy_repeat'
+            ELSE 'data_bound' END""").as("regime"))
+        .orderBy(col("compute_flops"))
+    },
+    Some("""WITH u AS (SELECT sum(len(string_split(text, ' ')))::BIGINT
+          AS u FROM documents),
+      grid AS (SELECT unnest([1e19, 1e21, 1e23]) AS compute_flops)
+      SELECT compute_flops,
+        CAST(round(sqrt(compute_flops / 120.0e0)) AS BIGINT)
+          AS n_opt_params,
+        CAST(round(20.0e0 * sqrt(compute_flops / 120.0e0)) AS BIGINT)
+          AS d_opt_tokens,
+        round(20.0e0 * sqrt(compute_flops / 120.0e0) / u, 3)
+          AS epochs_needed,
+        CASE
+          WHEN 20.0e0 * sqrt(compute_flops / 120.0e0) / u <= 1.0
+            THEN 'single_epoch'
+          WHEN 20.0e0 * sqrt(compute_flops / 120.0e0) / u <= 4.0
+            THEN 'mild_repeat'
+          WHEN 20.0e0 * sqrt(compute_flops / 120.0e0) / u <= 16.0
+            THEN 'heavy_repeat'
+          ELSE 'data_bound' END AS regime
+      FROM u, grid ORDER BY compute_flops"""))
+
+  // ---------- q453: Cochran–Armitage trend test ---------------------------
+
+  /** Cochran–Armitage test for a LINEAR trend in return rate across
+    * the 11 ordered discount levels — the standard ordered-proportions
+    * test the association family still lacked: q423's Somers' D
+    * measures the ordinal association's SIZE, χ² (q109) ignores the
+    * ordering entirely; CA pools all its power into the one-df linear
+    * contrast z = (Σw·r − p̄Σw·n) / √(p̄(1−p̄)(Σn·w² − (Σn·w)²/N))
+    * with scores w = discount points. Every sum is an exact int64
+    * line-level reduce (w ≤ 10 keeps all products tiny); z and the
+    * two-sided p are scalar math on the 1-row frame. One corpus pass.
+    */
+  private val q453 = QueryDef(
+    "q453_cochran_armitage",
+    (s, dir) => {
+      val red = Fixtures.table(s, dir, "lineitem")
+        .select(expr("CAST(round(l_discount * 100.0) AS BIGINT)").as("w"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("rr"),
+          sum(col("w") * col("r")).as("swr"),
+          sum(col("w")).as("sw"),
+          sum(col("w") * col("w")).as("sw2"))
+      red.select(col("n").as("n_lines"), col("rr").as("n_returned"),
+        round(expr("""(swr - (CAST(rr AS DOUBLE) / n) * sw)
+          / sqrt((CAST(rr AS DOUBLE) / n) * (1.0 - CAST(rr AS DOUBLE) / n)
+            * (sw2 - CAST(sw AS DOUBLE) * sw / n))"""), 6).as("z_trend"),
+        round(expr("2.0 * " + Portable.normCdfUpper(
+          """abs((swr - (CAST(rr AS DOUBLE) / n) * sw)
+            / sqrt((CAST(rr AS DOUBLE) / n)
+              * (1.0 - CAST(rr AS DOUBLE) / n)
+              * (sw2 - CAST(sw AS DOUBLE) * sw / n)))""")), 9)
+          .as("p_value"))
+    },
+    Some(s"""WITH red AS (SELECT count(*)::BIGINT AS n,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS rr,
+          sum(CAST(round(l_discount * 100.0) AS BIGINT)
+            * CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS swr,
+          sum(CAST(round(l_discount * 100.0) AS BIGINT))::BIGINT AS sw,
+          sum(CAST(round(l_discount * 100.0) AS BIGINT)
+            * CAST(round(l_discount * 100.0) AS BIGINT))::BIGINT AS sw2
+        FROM lineitem)
+      SELECT n AS n_lines, rr AS n_returned,
+        round((swr - (CAST(rr AS DOUBLE) / n) * sw)
+          / sqrt((CAST(rr AS DOUBLE) / n) * (1.0 - CAST(rr AS DOUBLE) / n)
+            * (sw2 - CAST(sw AS DOUBLE) * sw / n)), 6) AS z_trend,
+        round(2.0 * ${Portable.normCdfUpper(
+          """abs((swr - (CAST(rr AS DOUBLE) / n) * sw)
+            / sqrt((CAST(rr AS DOUBLE) / n)
+              * (1.0 - CAST(rr AS DOUBLE) / n)
+              * (sw2 - CAST(sw AS DOUBLE) * sw / n)))""")}, 9)
+          AS p_value
+      FROM red"""))
+
+  // ---------- q454: skew salt-factor planner ------------------------------
+
+  /** Salt-factor plan for the l_partkey join key — the mitigation step
+    * that turns q398's skew DIAGNOSIS into an executable plan: given a
+    * per-task row target T (32 at fixture scale; production uses ~10⁵
+    * — the constant scales with executor memory, not the corpus), the
+    * planner reports the hottest key's row count, the salt factor
+    * ceil(max/T) that bounds any single (key, salt) cell, the post-salt
+    * max cell size, how many keys even need salting, and the dim-side
+    * duplication bill (hot keys × salt — selective salting replicates
+    * the small side only for hot keys, the SkewJoin contract). One
+    * grouped count over the fact table + one bounded reduce; 1-row
+    * output, all exact integers.
+    */
+  private val q454 = QueryDef(
+    "q454_salt_factor_planner",
+    (s, dir) => {
+      val cnts = Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      cnts.agg(count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_key_rows"),
+          sum(when(col("cnt") > 32, 1L).otherwise(0L))
+            .as("keys_over_target"))
+        .select(col("n_keys"), col("max_key_rows"),
+          lit(32L).as("target_rows"),
+          expr("(max_key_rows + 31) div 32").as("salt_factor"),
+          expr("""(max_key_rows + (max_key_rows + 31) div 32 - 1)
+            div ((max_key_rows + 31) div 32)""").as("post_salt_max"),
+          col("keys_over_target"),
+          (expr("(max_key_rows + 31) div 32") * col("keys_over_target"))
+            .as("dim_dup_rows"))
+    },
+    Some("""WITH cnts AS (SELECT l_partkey, count(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY 1),
+      red AS (SELECT count(*)::BIGINT AS n_keys,
+          max(cnt)::BIGINT AS max_key_rows,
+          sum(CASE WHEN cnt > 32 THEN 1 ELSE 0 END)::BIGINT
+            AS keys_over_target
+        FROM cnts)
+      SELECT n_keys, max_key_rows, 32::BIGINT AS target_rows,
+        (max_key_rows + 31) // 32 AS salt_factor,
+        (max_key_rows + (max_key_rows + 31) // 32 - 1)
+          // ((max_key_rows + 31) // 32) AS post_salt_max,
+        keys_over_target,
+        ((max_key_rows + 31) // 32) * keys_over_target AS dim_dup_rows
+      FROM red"""))
+
+  // ---------- q455: broadcast-join threshold planner ----------------------
+
+  /** Estimated in-memory size of every dimension table against the
+    * 10 MB default broadcast threshold — the plan-shape decision that
+    * matters most at 100 TB (a dim that fits broadcasts and deletes a
+    * fact-table shuffle; one that doesn't forces sort-merge): per
+    * table, rows and a byte estimate from the standing width model
+    * (8 bytes per fixed-width column + 4 + length per string — the
+    * UnsafeRow-flavored convention, stated identically in both
+    * dialects). Five single-table aggregates unioned (dimension scans
+    * are noise next to any fact pass); 5-row output ordered by name.
+    */
+  private val q455 = QueryDef(
+    "q455_broadcast_planner",
+    (s, dir) => {
+      def one(name: String, bytesExpr: String): DataFrame =
+        Fixtures.table(s, dir, name)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr(bytesExpr)).as("est_bytes"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("est_bytes"))
+      one("customer",
+          "CAST(32 + length(c_name) + length(c_mktsegment) AS BIGINT)")
+        .unionAll(one("nation", "CAST(20 + length(n_name) AS BIGINT)"))
+        .unionAll(one("part",
+          "CAST(36 + length(p_name) + length(p_brand) + length(p_type)"
+            + " AS BIGINT)"))
+        .unionAll(one("region", "CAST(12 + length(r_name) AS BIGINT)"))
+        .unionAll(one("supplier", "CAST(28 + length(s_name) AS BIGINT)"))
+        .select(col("table_name"), col("n_rows"), col("est_bytes"),
+          round(expr("est_bytes / 1048576.0e0"), 6).as("est_mb"),
+          (col("est_bytes") < 10485760L).as("fits_10mb"))
+        .orderBy(col("table_name"))
+    },
+    Some("""WITH sizes AS (
+        SELECT 'customer' AS table_name, count(*)::BIGINT AS n_rows,
+          sum(CAST(32 + length(c_name) + length(c_mktsegment) AS BIGINT))
+            ::BIGINT AS est_bytes FROM customer
+        UNION ALL
+        SELECT 'nation', count(*)::BIGINT,
+          sum(CAST(20 + length(n_name) AS BIGINT))::BIGINT FROM nation
+        UNION ALL
+        SELECT 'part', count(*)::BIGINT,
+          sum(CAST(36 + length(p_name) + length(p_brand)
+            + length(p_type) AS BIGINT))::BIGINT FROM part
+        UNION ALL
+        SELECT 'region', count(*)::BIGINT,
+          sum(CAST(12 + length(r_name) AS BIGINT))::BIGINT FROM region
+        UNION ALL
+        SELECT 'supplier', count(*)::BIGINT,
+          sum(CAST(28 + length(s_name) AS BIGINT))::BIGINT FROM supplier)
+      SELECT table_name, n_rows, est_bytes,
+        round(est_bytes / 1048576.0e0, 6) AS est_mb,
+        est_bytes < 10485760 AS fits_10mb
+      FROM sizes ORDER BY table_name"""))
+
+  // ---------- q456: watermark-lag re-export cost ---------------------------
+
+  /** Re-export volume as a function of checkpoint lag — the cost model
+    * behind the reference's incremental contract (strict `>` watermark,
+    * SURVEY §2.2/P2): if the stored watermark trails the table's true
+    * max event time by {1, 6, 24} hours (a failed run, a paused
+    * schedule), the next incremental pass re-sends every row above the
+    * stale mark. Per lag: rows re-sent, their payload-byte estimate
+    * (the q455 width model on the string columns), and the share of
+    * the table — the number that decides between tighter checkpoint
+    * cadence and cheap idempotent sinks. ONE events scan fanned across
+    * the 3-lag grid in-projection against the broadcast max-ts row;
+    * 3-row output.
+    */
+  private val q456 = QueryDef(
+    "q456_watermark_lag_cost",
+    (s, dir) => {
+      val wm = ev(s, dir).agg(max(expr("timestampdiff(MICROSECOND, " +
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")).as("wm_us"),
+        count(lit(1)).as("n_total"))
+      ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").as("ts_us"),
+          expr("CAST(32 + length(event_type) + length(props) AS BIGINT)")
+            .as("row_bytes"))
+        .crossJoin(broadcast(wm))
+        .select(col("ts_us"), col("row_bytes"), col("wm_us"),
+          col("n_total"),
+          explode(array(lit(1L), lit(6L), lit(24L))).as("lag_hours"))
+        .groupBy(col("lag_hours"), col("n_total"))
+        .agg(sum(when(col("ts_us") > col("wm_us")
+            - col("lag_hours") * 3600000000L, 1L).otherwise(0L))
+            .as("rows_resent"),
+          sum(when(col("ts_us") > col("wm_us")
+            - col("lag_hours") * 3600000000L, col("row_bytes"))
+            .otherwise(0L)).as("est_bytes"))
+        .select(col("lag_hours"), col("rows_resent"), col("est_bytes"),
+          round(expr("CAST(rows_resent AS DOUBLE) / n_total"), 9)
+            .as("pct_of_table"))
+        .orderBy(col("lag_hours"))
+    },
+    Some("""WITH wm AS (SELECT max(epoch_us(ts))::BIGINT AS wm_us,
+          count(*)::BIGINT AS n_total FROM events),
+      fan AS (SELECT epoch_us(ts)::BIGINT AS ts_us,
+          CAST(32 + length(event_type) + length(props) AS BIGINT)
+            AS row_bytes,
+          wm_us, n_total, lag_hours
+        FROM events, wm,
+          (SELECT CAST(unnest([1, 6, 24]) AS BIGINT) AS lag_hours)),
+      red AS (SELECT lag_hours, n_total,
+          sum(CASE WHEN ts_us > wm_us - lag_hours * 3600000000
+            THEN 1 ELSE 0 END)::BIGINT AS rows_resent,
+          sum(CASE WHEN ts_us > wm_us - lag_hours * 3600000000
+            THEN row_bytes ELSE 0 END)::BIGINT AS est_bytes
+        FROM fan GROUP BY 1, 2)
+      SELECT lag_hours, rows_resent, est_bytes,
+        round(CAST(rows_resent AS DOUBLE) / n_total, 9) AS pct_of_table
+      FROM red ORDER BY lag_hours"""))
+
+  // ---------- q457: Taylor's power law (fluctuation scaling) --------------
+
+  /** Taylor's power-law exponent over per-brand daily demand — the
+    * fluctuation-scaling read on top of q227's per-type Fano factors:
+    * across brands, daily-quantity variance grows as mean^b, and b
+    * (the slope of ln var on ln mean across the bounded brand frame)
+    * is the one number separating Poisson-like demand (b ≈ 1, safety
+    * stock ∝ √mean) from synchronized/bursty demand (b → 2, safety
+    * stock ∝ mean — a different warehouse). Per-(brand, day) integer
+    * quantity sums are the only corpus-sized pass; per-brand moments,
+    * the nano-pinned logs, and the DECIMAL-lifted OLS over ≤|brands|
+    * rows are all dimension-bounded. 1-row output (slope, intercept,
+    * R²).
+    */
+  private val q457 = QueryDef(
+    "q457_taylor_power_law",
+    (s, dir) => {
+      val bd = Fixtures.table(s, dir, "lineitem")
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          expr("CAST(l_shipdate AS DATE)").as("d"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val br = bd.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("nd"), sum(col("q")).as("sq"),
+          sum(dl(col("q")) * col("q")).as("sqq"))
+        .where(col("nd") >= 2)
+        .select(expr("CAST(sq AS DOUBLE) / nd").as("mv"),
+          expr("""(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / nd)
+            / (CAST(nd AS DOUBLE) - 1.0)""").as("vv"))
+        // degenerate brands (constant daily demand -> var 0) carry no
+        // log-scale information and would blow up ln; both dialects drop
+        .where(col("vv") > 0.0)
+        .select(
+          expr("CAST(round(ln(mv) * 1e9) AS BIGINT)").as("x"),
+          expr("CAST(round(ln(vv) * 1e9) AS BIGINT)").as("y"))
+      val m = br.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(dl(col("x")) * col("x")).as("sxx"),
+        sum(dl(col("x")) * col("y")).as("sxy"),
+        sum(dl(col("y")) * col("y")).as("syy"))
+      m.select(col("n").as("n_brands"),
+        round(expr("""(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)"""), 9)
+          .as("taylor_b"),
+        round(expr("""(CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * sy) / (n * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * sx) * sx) / n / 1e9"""), 9)
+          .as("intercept_ln_a"),
+        round(expr("""((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+          * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy))
+          / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))"""),
+          9).as("r2"))
+    },
+    Some("""WITH bd AS (SELECT p_brand, l_shipdate::DATE AS d,
+          sum(CAST(l_quantity AS BIGINT))::BIGINT AS q
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      mv AS (SELECT CAST(sq AS DOUBLE) / nd AS mv,
+          (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / nd)
+            / (CAST(nd AS DOUBLE) - 1.0) AS vv
+        FROM (SELECT p_brand, count(*)::BIGINT AS nd,
+            sum(q)::BIGINT AS sq, sum(q::HUGEINT * q) AS sqq
+          FROM bd GROUP BY 1)
+        WHERE nd >= 2),
+      br AS (SELECT
+          CAST(round(ln(mv) * 1e9) AS BIGINT) AS x,
+          CAST(round(ln(vv) * 1e9) AS BIGINT) AS y
+        FROM mv WHERE vv > 0.0),
+      m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS sxx,
+          sum(x::HUGEINT * y) AS sxy, sum(y::HUGEINT * y) AS syy
+        FROM br)
+      SELECT n AS n_brands,
+        round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 9)
+          AS taylor_b,
+        round((CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * sy) / (n * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * sx) * sx) / n / 1e9, 9)
+          AS intercept_ln_a,
+        round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+          * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy))
+          / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 9)
+          AS r2
+      FROM m"""))
+
+  // ---------- q458: Benjamini–Yekutieli FDR under dependence --------------
+
+  /** BH vs BY multiplicity control over the per-brand return-rate
+    * screen — the DEPENDENCE-ROBUST member next to q292's plain BH:
+    * brand tests share the pooled rate (positively dependent), and BY
+    * divides each BH threshold by c(m) = Σ1/i, the price of arbitrary
+    * dependence; reporting both reject sets shows what that insurance
+    * costs in discoveries. Per-brand z vs the pooled rate is the
+    * standard one-sample screen; p-values are nano-pinned, ranked by
+    * (p, brand) over the bounded ≤|brands| frame, c(m) folds from
+    * nano-pinned 1/i terms (order-free), and both step-up thresholds
+    * compare in EXACT integer arithmetic (p·m ≤ i·α·10⁹, lifted to
+    * DECIMAL for the BY product). One grouped corpus pass; bounded
+    * window math; one row per brand ordered by p.
+    */
+  private val q458 = QueryDef(
+    "q458_benjamini_yekutieli",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Fixtures.table(s, dir, "lineitem")
+        .join(broadcast(Fixtures.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("r"))
+      val tot = g.agg(sum(col("n")).as("nt"), sum(col("r")).as("rt"),
+        count(lit(1)).as("m"))
+      val p = g.crossJoin(broadcast(tot))
+        .select(col("p_brand"), col("n"), col("m"),
+          expr("CAST(round(2.0 * " + Portable.normCdfUpper(
+            """abs((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
+              / sqrt((CAST(rt AS DOUBLE) / nt)
+                * (1.0 - CAST(rt AS DOUBLE) / nt) / n))""") +
+            " * 1e9) AS BIGINT)").as("p_nano"))
+      val w = Window.orderBy(col("p_nano"), col("p_brand"))
+      val ranked = p
+        .withColumn("i", row_number().over(w))
+        .withColumn("c_nano",
+          sum(expr("CAST(round(1e9 / i) AS BIGINT)")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .withColumn("bh_ok", col("p_nano") * col("m")
+          <= col("i") * 50000000L)
+        .withColumn("by_ok",
+          col("p_nano").cast(DecimalType(38, 0)) * col("m")
+            * col("c_nano")
+          <= col("i").cast(DecimalType(38, 0)) * 50000000L
+            * 1000000000L)
+      val cut = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      ranked
+        .withColumn("bh_imax",
+          max(when(col("bh_ok"), col("i"))).over(cut))
+        .withColumn("by_imax",
+          max(when(col("by_ok"), col("i"))).over(cut))
+        .select(col("p_brand"), col("n").as("n_lines"),
+          round(col("p_nano") / lit(1e9), 9).as("p_value"),
+          (col("i") <= coalesce(col("bh_imax"), lit(0))).as("bh_reject"),
+          (col("i") <= coalesce(col("by_imax"), lit(0))).as("by_reject"))
+        .orderBy(col("p_value"), col("p_brand"))
+    },
+    Some(s"""WITH g AS (SELECT p_brand, count(*)::BIGINT AS n,
+          sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+            AS r
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1),
+      tot AS (SELECT sum(n)::BIGINT AS nt, sum(r)::BIGINT AS rt,
+          count(*)::BIGINT AS m FROM g),
+      p AS (SELECT p_brand, n, m,
+          CAST(round(2.0 * ${Portable.normCdfUpper(
+            """abs((CAST(r AS DOUBLE) / n - CAST(rt AS DOUBLE) / nt)
+              / sqrt((CAST(rt AS DOUBLE) / nt)
+                * (1.0 - CAST(rt AS DOUBLE) / nt) / n))""")}
+            * 1e9) AS BIGINT) AS p_nano
+        FROM g, tot),
+      ranked AS (SELECT p_brand, n, m, p_nano,
+          row_number() OVER (ORDER BY p_nano, p_brand) AS i
+        FROM p),
+      withc AS (SELECT *,
+          sum(CAST(round(1e9 / i) AS BIGINT)) OVER () AS c_nano
+        FROM ranked),
+      flags AS (SELECT *,
+          p_nano * m <= i * 50000000 AS bh_ok,
+          p_nano::HUGEINT * m * c_nano
+            <= i::HUGEINT * 50000000 * 1000000000 AS by_ok
+        FROM withc),
+      cuts AS (SELECT *,
+          max(CASE WHEN bh_ok THEN i END) OVER () AS bh_imax,
+          max(CASE WHEN by_ok THEN i END) OVER () AS by_imax
+        FROM flags)
+      SELECT p_brand, n AS n_lines,
+        round(p_nano / 1e9, 9) AS p_value,
+        i <= coalesce(bh_imax, 0) AS bh_reject,
+        i <= coalesce(by_imax, 0) AS by_reject
+      FROM cuts ORDER BY p_value, p_brand"""))
+
+  val all: Seq[QueryDef] = Seq(q447, q448, q449, q450, q451, q452,
+    q453, q454, q455, q456, q457, q458)
+}
