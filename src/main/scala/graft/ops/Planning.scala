@@ -332,15 +332,16 @@ object Planning {
         .agg(count(lit(1)).as("n_pos"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       val probeAgg = hits.agg(count(lit(1)).as("n_probe_neg"),
-        sum(when(col("n_hit") === col("n_pos"), 1L).otherwise(0L))
-          .as("n_fp"))
+        coalesce(sum(when(col("n_hit") === col("n_pos"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_fp"))
       val buildAgg = build.agg(count(lit(1)).as("n_build"))
         .crossJoin(broadcast(buildBits.agg(count(lit(1)).as("bits_set"))))
       buildAgg.crossJoin(broadcast(probeAgg))
         .select(col("n_build"), lit(m.toLong).as("m_bits"),
           lit(3L).as("k_hashes"), col("bits_set"),
           col("n_probe_neg"),
-          round(expr("CAST(n_fp AS DOUBLE) / n_probe_neg"), 9)
+          round(expr("""CASE WHEN n_probe_neg = 0 THEN 0.0
+            ELSE CAST(n_fp AS DOUBLE) / n_probe_neg END"""), 9)
             .as("fp_observed"),
           round(expr(s"""pow(1.0 - exp(-(3.0 * n_build) / $m.0e0),
             3.0)"""), 9).as("fp_expected"))
@@ -367,13 +368,15 @@ object Planning {
         FROM ppos p LEFT JOIN bbits b ON p.bit = b.bit
         GROUP BY 1),
       pa AS (SELECT count(*)::BIGINT AS n_probe_neg,
-          sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END)::BIGINT AS n_fp
+          coalesce(sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END), 0)
+            ::BIGINT AS n_fp
         FROM hits),
       ba AS (SELECT (SELECT count(*)::BIGINT FROM build) AS n_build,
           (SELECT count(*)::BIGINT FROM bbits) AS bits_set)
       SELECT n_build, 4096::BIGINT AS m_bits, 3::BIGINT AS k_hashes,
         bits_set, n_probe_neg,
-        round(CAST(n_fp AS DOUBLE) / n_probe_neg, 9) AS fp_observed,
+        round(CASE WHEN n_probe_neg = 0 THEN 0.0
+          ELSE CAST(n_fp AS DOUBLE) / n_probe_neg END, 9) AS fp_observed,
         round(pow(1.0 - exp(-(3.0 * n_build) / 4096.0e0), 3.0), 9)
           AS fp_expected
       FROM ba, pa"""))
