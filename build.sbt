@@ -14,6 +14,7 @@ libraryDependencies ++= Seq(
 // as a dead statement — this shipped a wrong PRESS statistic in q409).
 // Intentional value discards are annotated `: Unit` at the call site.
 Compile / scalacOptions += "-Wnonunit-statement"
+Test / scalacOptions += "-Wnonunit-statement"
 Test / fork := true
 run / fork := true
 // Pass the forked run's stdout straight through (no "[info] " logger

@@ -886,6 +886,473 @@ object Planning {
         i <= coalesce(by_imax, 0) AS by_reject
       FROM cuts ORDER BY p_value, p_brand"""))
 
+  // ---------- q459: two-way ANOVA (unweighted means) ----------------------
+
+  /** Two-way factorial ANOVA of order value on priority × market
+    * segment via the UNWEIGHTED-MEANS analysis — the factorial member
+    * the location family lacked (q358/q447 are one-way; q302
+    * stratifies but doesn't test interaction): with unbalanced cells
+    * the unweighted-means method (each cell mean counts once,
+    * effective n = harmonic mean of cell sizes) is the classical
+    * closed-form decomposition into SSA (priority), SSB (segment) and
+    * SSAB (interaction), each tested against the pooled within-cell
+    * MSE. Everything folds from the bounded p×q cell-moment table
+    * (n, Σcents, Σcents² per cell — one corpus pass through two
+    * broadcast-joined dims); cell means and the three effect sums are
+    * nano-pinned before the ≤25-row reduces. p-values via the χ²
+    * limit of df1·F (denominator df in the thousands — documented).
+    * 3-row output, one per effect.
+    */
+  private val q459 = QueryDef(
+    "q459_two_way_anova",
+    (s, dir) => {
+      val cells = Fixtures.table(s, dir, "orders")
+        .join(broadcast(Fixtures.table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderpriority").as("a"),
+          col("c_mktsegment").as("b"),
+          expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("y"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
+      val m = cells.select(col("a"), col("b"), col("n"),
+        expr("CAST(round(CAST(sy AS DOUBLE) / n * 1e3) AS BIGINT)")
+          .as("m_milli"),
+        expr("""CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+          * CAST(sy AS DOUBLE) / n""").as("ssw"),
+        expr("CAST(round(1e12 / n) AS BIGINT)").as("inv_pico"))
+      val tot = m.agg(count(lit(1)).as("cells"), sum(col("n")).as("nt"),
+        sum(expr("CAST(round(ssw * 1e-3) AS DECIMAL(38,0))"))
+          .as("ssw_kilo"),
+        sum(col("inv_pico")).as("sinv"),
+        sum(col("m_milli")).as("sm"))
+      val ra = m.groupBy(col("a"))
+        .agg(count(lit(1)).as("q"), sum(col("m_milli")).as("sma"))
+      val rb = m.groupBy(col("b"))
+        .agg(count(lit(1)).as("p"), sum(col("m_milli")).as("smb"))
+      val ga = ra.crossJoin(broadcast(tot))
+        .select(col("q"), col("cells"),
+          expr("""CAST(round((sma / CAST(q AS DOUBLE)
+            - sm / CAST(cells AS DOUBLE))
+            * (sma / CAST(q AS DOUBLE) - sm / CAST(cells AS DOUBLE))
+            * 1e-3) AS DECIMAL(38,0))""").as("da_kilo"))
+        .agg(max(col("q")).as("q"), sum(col("da_kilo")).as("ssa_kilo"))
+      val gb = rb.crossJoin(broadcast(tot))
+        .select(col("p"), col("cells"),
+          expr("""CAST(round((smb / CAST(p AS DOUBLE)
+            - sm / CAST(cells AS DOUBLE))
+            * (smb / CAST(p AS DOUBLE) - sm / CAST(cells AS DOUBLE))
+            * 1e-3) AS DECIMAL(38,0))""").as("db_kilo"))
+        .agg(max(col("p")).as("p"), sum(col("db_kilo")).as("ssb_kilo"))
+      val gab = m
+        .join(broadcast(ra.select(col("a"), col("q"), col("sma"))), "a")
+        .join(broadcast(rb.select(col("b"), col("p"), col("smb"))), "b")
+        .crossJoin(broadcast(tot))
+        .select(expr("""CAST(round((m_milli - sma / CAST(q AS DOUBLE)
+          - smb / CAST(p AS DOUBLE) + sm / CAST(cells AS DOUBLE))
+          * (m_milli - sma / CAST(q AS DOUBLE) - smb / CAST(p AS DOUBLE)
+          + sm / CAST(cells AS DOUBLE)) * 1e-3) AS DECIMAL(38,0))""")
+          .as("dab_kilo"))
+        .agg(sum(col("dab_kilo")).as("ssab_kilo"))
+      val base = tot.crossJoin(broadcast(ga)).crossJoin(broadcast(gb))
+        .crossJoin(broadcast(gab))
+        .select(col("cells"), col("nt"), col("p"), col("q"),
+          // harmonic-mean cell size; ssw is already cents^2 (kilo-pinned),
+          // the effect sums are milli-cents^2 (kilo-pinned) -> /1e6 to cents^2
+          expr("CAST(cells AS DOUBLE) / (sinv / 1e12)").as("nh"),
+          expr("CAST(ssw_kilo AS DOUBLE) * 1e3").as("ssw_c2"),
+          expr("CAST(ssa_kilo AS DOUBLE) * 1e3 / 1e6").as("ssa_m2"),
+          expr("CAST(ssb_kilo AS DOUBLE) * 1e3 / 1e6").as("ssb_m2"),
+          expr("CAST(ssab_kilo AS DOUBLE) * 1e3 / 1e6").as("ssab_m2"))
+        .select(col("cells"), col("nt"), col("p"), col("q"), col("nh"),
+          expr("ssw_c2 / (CAST(nt AS DOUBLE) - cells)").as("mse"),
+          col("ssa_m2"), col("ssb_m2"), col("ssab_m2"))
+      base.select(explode(array(
+          struct(lit("priority").as("effect"),
+            expr("nh * q * ssa_m2 / (CAST(p AS DOUBLE) - 1.0)")
+              .as("ms"),
+            (col("p") - 1).as("df1")),
+          struct(lit("segment").as("effect"),
+            expr("nh * p * ssb_m2 / (CAST(q AS DOUBLE) - 1.0)")
+              .as("ms"),
+            (col("q") - 1).as("df1")),
+          struct(lit("interaction").as("effect"),
+            expr("""nh * ssab_m2 / ((CAST(p AS DOUBLE) - 1.0)
+              * (CAST(q AS DOUBLE) - 1.0))""").as("ms"),
+            ((col("p") - 1) * (col("q") - 1)).as("df1")))).as("e"),
+          col("mse"))
+        .select(col("e.effect").as("effect"), col("e.df1").as("df1"),
+          round(expr("e.ms / mse"), 6).as("f_stat"),
+          round(expr(Portable.chi2UpperP(
+            "CAST(e.df1 AS DOUBLE) * (e.ms / mse)",
+            "CAST(e.df1 AS DOUBLE)")), 9).as("p_approx"))
+        .orderBy(col("effect"))
+    },
+    Some(s"""WITH cells AS (SELECT o_orderpriority AS a,
+          c_mktsegment AS b, count(*)::BIGINT AS n,
+          sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS sy,
+          sum(CAST(round(o_totalprice * 100.0) AS BIGINT)::HUGEINT
+            * CAST(round(o_totalprice * 100.0) AS BIGINT)) AS syy
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      m AS (SELECT a, b, n,
+          CAST(round(CAST(sy AS DOUBLE) / n * 1e3) AS BIGINT) AS m_milli,
+          CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+            * CAST(sy AS DOUBLE) / n AS ssw,
+          CAST(round(1e12 / n) AS BIGINT) AS inv_pico
+        FROM cells),
+      tot AS (SELECT count(*)::BIGINT AS cells, sum(n)::BIGINT AS nt,
+          sum(CAST(round(ssw * 1e-3) AS DECIMAL(38,0))) AS ssw_kilo,
+          sum(inv_pico)::BIGINT AS sinv, sum(m_milli)::BIGINT AS sm
+        FROM m),
+      ra AS (SELECT a, count(*)::BIGINT AS q, sum(m_milli)::BIGINT
+          AS sma FROM m GROUP BY 1),
+      rb AS (SELECT b, count(*)::BIGINT AS p, sum(m_milli)::BIGINT
+          AS smb FROM m GROUP BY 1),
+      ga AS (SELECT max(q)::BIGINT AS q,
+          sum(CAST(round((sma / CAST(q AS DOUBLE)
+            - sm / CAST(cells AS DOUBLE))
+            * (sma / CAST(q AS DOUBLE) - sm / CAST(cells AS DOUBLE))
+            * 1e-3) AS DECIMAL(38,0))) AS ssa_kilo
+        FROM ra, tot),
+      gb AS (SELECT max(p)::BIGINT AS p,
+          sum(CAST(round((smb / CAST(p AS DOUBLE)
+            - sm / CAST(cells AS DOUBLE))
+            * (smb / CAST(p AS DOUBLE) - sm / CAST(cells AS DOUBLE))
+            * 1e-3) AS DECIMAL(38,0))) AS ssb_kilo
+        FROM rb, tot),
+      gab AS (SELECT sum(CAST(round((m_milli - sma / CAST(q AS DOUBLE)
+            - smb / CAST(p AS DOUBLE) + sm / CAST(cells AS DOUBLE))
+            * (m_milli - sma / CAST(q AS DOUBLE)
+              - smb / CAST(p AS DOUBLE) + sm / CAST(cells AS DOUBLE))
+            * 1e-3) AS DECIMAL(38,0))) AS ssab_kilo
+        FROM m JOIN ra USING (a) JOIN rb USING (b), tot),
+      base AS (SELECT cells, nt, p, q,
+          CAST(cells AS DOUBLE) / (sinv / 1e12) AS nh,
+          (CAST(ssw_kilo AS DOUBLE) * 1e3)
+            / (CAST(nt AS DOUBLE) - cells) AS mse,
+          CAST(ssa_kilo AS DOUBLE) * 1e3 / 1e6 AS ssa_m2,
+          CAST(ssb_kilo AS DOUBLE) * 1e3 / 1e6 AS ssb_m2,
+          CAST(ssab_kilo AS DOUBLE) * 1e3 / 1e6 AS ssab_m2
+        FROM tot, ga, gb, gab),
+      rows3 AS (
+        SELECT 'priority' AS effect, p - 1 AS df1,
+          nh * q * ssa_m2 / (CAST(p AS DOUBLE) - 1.0) AS ms, mse
+          FROM base
+        UNION ALL
+        SELECT 'segment', q - 1,
+          nh * p * ssb_m2 / (CAST(q AS DOUBLE) - 1.0), mse FROM base
+        UNION ALL
+        SELECT 'interaction', (p - 1) * (q - 1),
+          nh * ssab_m2 / ((CAST(p AS DOUBLE) - 1.0)
+            * (CAST(q AS DOUBLE) - 1.0)), mse FROM base)
+      SELECT effect, df1, round(ms / mse, 6) AS f_stat,
+        round(${Portable.chi2UpperP("CAST(df1 AS DOUBLE) * (ms / mse)",
+          "CAST(df1 AS DOUBLE)")}, 9) AS p_approx
+      FROM rows3 ORDER BY effect"""))
+
+  // ---------- q460: Wilson score intervals --------------------------------
+
+  /** Wilson score 95 % intervals for the per-priority rate of 'F'
+    * (finished) orders, next to the naive Wald interval — the
+    * PROPORTION-interval member the family lacked (q205 does Wald
+    * error-rate CIs; q312 is Bayesian): Wilson inverts the score test,
+    * never leaves [0,1], and stays honest at extreme rates where Wald
+    * collapses; the emitted wald_defective flag marks exactly those
+    * rows (Wald bound outside [0,1]). One grouped counting pass, all
+    * interval math on the bounded ≤k-row frame. 5-row output.
+    */
+  private val q460 = QueryDef(
+    "q460_wilson_ci",
+    (s, dir) => {
+      val g = Fixtures.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("r"))
+      g.select(col("o_orderpriority").as("priority"), col("n"),
+          col("r"), expr("CAST(r AS DOUBLE) / n").as("ph"))
+        .select(col("priority"), col("n"), col("r"),
+          round(col("ph"), 9).as("rate"),
+          round(expr("""(ph + 1.9208e0 / n - 1.96e0
+            * sqrt(ph * (1.0 - ph) / n + 0.9604e0 / (n * CAST(n AS
+            DOUBLE)))) / (1.0 + 3.8416e0 / n)"""), 9).as("wilson_lo"),
+          round(expr("""(ph + 1.9208e0 / n + 1.96e0
+            * sqrt(ph * (1.0 - ph) / n + 0.9604e0 / (n * CAST(n AS
+            DOUBLE)))) / (1.0 + 3.8416e0 / n)"""), 9).as("wilson_hi"),
+          round(expr("ph - 1.96e0 * sqrt(ph * (1.0 - ph) / n)"), 9)
+            .as("wald_lo"),
+          round(expr("ph + 1.96e0 * sqrt(ph * (1.0 - ph) / n)"), 9)
+            .as("wald_hi"),
+          expr("""ph - 1.96e0 * sqrt(ph * (1.0 - ph) / n) < 0.0
+            OR ph + 1.96e0 * sqrt(ph * (1.0 - ph) / n) > 1.0""")
+            .as("wald_defective"))
+        .orderBy(col("priority"))
+    },
+    Some("""WITH g AS (SELECT o_orderpriority AS priority,
+          count(*)::BIGINT AS n,
+          sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+            AS r
+        FROM orders GROUP BY 1),
+      ph AS (SELECT priority, n, r, CAST(r AS DOUBLE) / n AS ph FROM g)
+      SELECT priority, n, r, round(ph, 9) AS rate,
+        round((ph + 1.9208e0 / n - 1.96e0 * sqrt(ph * (1.0 - ph) / n
+          + 0.9604e0 / (n * CAST(n AS DOUBLE)))) / (1.0 + 3.8416e0 / n),
+          9) AS wilson_lo,
+        round((ph + 1.9208e0 / n + 1.96e0 * sqrt(ph * (1.0 - ph) / n
+          + 0.9604e0 / (n * CAST(n AS DOUBLE)))) / (1.0 + 3.8416e0 / n),
+          9) AS wilson_hi,
+        round(ph - 1.96e0 * sqrt(ph * (1.0 - ph) / n), 9) AS wald_lo,
+        round(ph + 1.96e0 * sqrt(ph * (1.0 - ph) / n), 9) AS wald_hi,
+        (ph - 1.96e0 * sqrt(ph * (1.0 - ph) / n) < 0.0
+          OR ph + 1.96e0 * sqrt(ph * (1.0 - ph) / n) > 1.0)
+          AS wald_defective
+      FROM ph ORDER BY priority"""))
+
+  // ---------- q461: two-sample Cramér–von Mises (binned) ------------------
+
+  /** Two-sample Cramér–von Mises ω² between open ('O') and finished
+    * ('F') order values — the INTEGRAL-metric sibling of q114's KS
+    * (which sees only the single largest ECDF gap; CvM integrates the
+    * squared gap over the whole distribution and catches spread-out
+    * differences KS dilutes). Values ride the $4000-bin convention
+    * (q441 geometry), so both ECDFs are exact cumulative shares over
+    * the bounded bin table, the per-bin (F₁−F₂)² mass is nano-pinned
+    * before the bounded sum, and T = n₁n₂/N² Σ t_bin·Δ² follows the
+    * ties-as-bins convention (stated in both dialects). One corpus
+    * counting pass, bounded window math, 1-row output against the
+    * 0.461 asymptotic 5 % critical value.
+    */
+  private val q461 = QueryDef(
+    "q461_cvm_two_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Fixtures.table(s, dir, "orders")
+        .where(col("o_orderstatus").isin("O", "F"))
+        .select(col("o_orderstatus").as("g"),
+          expr("CAST(round(o_totalprice) AS BIGINT) div 4000").as("v"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("g") === "O", 1L).otherwise(0L)).as("w1"),
+          sum(when(col("g") === "F", 1L).otherwise(0L)).as("w2"))
+      val nn = cells.agg(sum(col("w1")).as("n1"), sum(col("w2")).as("n2"))
+      val wv = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = cells.crossJoin(broadcast(nn))
+        .withColumn("c1", sum(col("w1")).over(wv))
+        .withColumn("c2", sum(col("w2")).over(wv))
+        .select(col("n1"), col("n2"), (col("w1") + col("w2")).as("t"),
+          expr("""CAST(round((CAST(c1 AS DOUBLE) / n1
+            - CAST(c2 AS DOUBLE) / n2) * (CAST(c1 AS DOUBLE) / n1
+            - CAST(c2 AS DOUBLE) / n2) * 1e9) AS BIGINT)""")
+            .as("d2_nano"))
+      scored.groupBy(col("n1"), col("n2"))
+        .agg(sum(col("t").cast(DecimalType(38, 0)) * col("d2_nano"))
+          .as("sd2"))
+        .select(col("n1"), col("n2"),
+          round(expr("""CAST(n1 AS DOUBLE) * n2
+            / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2))
+            * (CAST(sd2 AS DOUBLE) / 1e9)"""), 9).as("cvm_t"),
+          expr("""CAST(n1 AS DOUBLE) * n2
+            / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2))
+            * (CAST(sd2 AS DOUBLE) / 1e9) > 0.461e0""")
+            .as("reject_5pct"))
+    },
+    Some("""WITH cells AS (SELECT
+          CAST(round(o_totalprice) AS BIGINT) // 4000 AS v,
+          sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT
+            AS w1,
+          sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+            AS w2
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+        GROUP BY 1),
+      nn AS (SELECT sum(w1)::BIGINT AS n1, sum(w2)::BIGINT AS n2
+        FROM cells),
+      scored AS (SELECT n1, n2, w1 + w2 AS t,
+          CAST(round((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+            * (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+            * 1e9) AS BIGINT) AS d2_nano
+        FROM (SELECT v, w1, w2, n1, n2,
+            sum(w1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+            sum(w2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+          FROM cells, nn)),
+      red AS (SELECT n1, n2, sum(t::HUGEINT * d2_nano) AS sd2
+        FROM scored GROUP BY 1, 2)
+      SELECT n1, n2,
+        round(CAST(n1 AS DOUBLE) * n2
+          / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2))
+          * (CAST(sd2 AS DOUBLE) / 1e9), 9) AS cvm_t,
+        CAST(n1 AS DOUBLE) * n2
+          / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2))
+          * (CAST(sd2 AS DOUBLE) / 1e9) > 0.461e0 AS reject_5pct
+      FROM red"""))
+
+  // ---------- q462: one-lag Granger causality ------------------------------
+
+  /** One-lag Granger test of "do yesterday's error events predict
+    * today's purchases beyond purchases' own history?" — the
+    * cross-series CAUSALITY read the time-series family lacked (q142
+    * autocorrelates ONE series; q75-style correlations are
+    * contemporaneous): restricted model y_t ~ y_{t−1}, unrestricted
+    * adds x_{t−1}, F = (RSS_r − RSS_u)/(RSS_u/(n−3)). Both RSS fold
+    * CLOSED-FORM from one exact integer moment vector over the day−1
+    * lag join (observed consecutive days only — gaps drop the pair,
+    * the standing q405/q426 convention): the 2-predictor normal
+    * equations are 2×2 by hand exactly as q414. One per-day pass +
+    * one lag join; every moment DECIMAL-lifted; 1-row output with the
+    * χ²(1) p (the F(1, n−3) large-n limit, documented).
+    */
+  private val q462 = QueryDef(
+    "q462_granger_one_lag",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000")
+          .as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("x"))
+      val lagd = daily.select((col("day") + 1).as("day"),
+        col("y").as("yl"), col("x").as("xl"))
+      def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val m = daily.join(lagd, "day")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("yl")).as("syl"), sum(col("xl")).as("sxl"),
+          sum(dl(col("y")) * col("y")).as("syy"),
+          sum(dl(col("yl")) * col("yl")).as("sylyl"),
+          sum(dl(col("xl")) * col("xl")).as("sxlxl"),
+          sum(dl(col("y")) * col("yl")).as("syyl"),
+          sum(dl(col("y")) * col("xl")).as("syxl"),
+          sum(dl(col("yl")) * col("xl")).as("sylxl"))
+      // centered second moments (doubles from exact sums — identical
+      // IEEE folds in both dialects)
+      val c = m.select(col("n"),
+        expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n")
+          .as("cyy"),
+        expr("CAST(sylyl AS DOUBLE) - CAST(syl AS DOUBLE) * syl / n")
+          .as("c11"),
+        expr("CAST(sxlxl AS DOUBLE) - CAST(sxl AS DOUBLE) * sxl / n")
+          .as("c22"),
+        expr("CAST(syyl AS DOUBLE) - CAST(sy AS DOUBLE) * syl / n")
+          .as("c1y"),
+        expr("CAST(syxl AS DOUBLE) - CAST(sy AS DOUBLE) * sxl / n")
+          .as("c2y"),
+        expr("CAST(sylxl AS DOUBLE) - CAST(syl AS DOUBLE) * sxl / n")
+          .as("c12"))
+      c.select(col("n").as("n_pairs"),
+          expr("cyy - c1y * c1y / c11").as("rss_r"),
+          expr("""cyy - (c22 * c1y * c1y - 2.0 * c12 * c1y * c2y
+            + c11 * c2y * c2y) / (c11 * c22 - c12 * c12)""")
+            .as("rss_u"))
+        .select(col("n_pairs"),
+          round(col("rss_r"), 3).as("rss_restricted"),
+          round(col("rss_u"), 3).as("rss_unrestricted"),
+          round(expr("""(rss_r - rss_u)
+            / (rss_u / (CAST(n_pairs AS DOUBLE) - 3.0))"""), 6)
+            .as("f_stat"),
+          round(expr("2.0 * " + Portable.normCdfUpper(
+            """sqrt((rss_r - rss_u)
+              / (rss_u / (CAST(n_pairs AS DOUBLE) - 3.0)))""")), 9)
+            .as("p_value"))
+    },
+    Some(s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            ::BIGINT AS y,
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+            AS x
+        FROM events GROUP BY 1),
+      j AS (SELECT d.y, l.y AS yl, l.x AS xl
+        FROM daily d JOIN daily l ON l.day = d.day - 1),
+      m AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+          sum(yl)::BIGINT AS syl, sum(xl)::BIGINT AS sxl,
+          sum(y::HUGEINT * y) AS syy, sum(yl::HUGEINT * yl) AS sylyl,
+          sum(xl::HUGEINT * xl) AS sxlxl, sum(y::HUGEINT * yl) AS syyl,
+          sum(y::HUGEINT * xl) AS syxl, sum(yl::HUGEINT * xl) AS sylxl
+        FROM j),
+      c AS (SELECT n,
+          CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+          CAST(sylyl AS DOUBLE) - CAST(syl AS DOUBLE) * syl / n AS c11,
+          CAST(sxlxl AS DOUBLE) - CAST(sxl AS DOUBLE) * sxl / n AS c22,
+          CAST(syyl AS DOUBLE) - CAST(sy AS DOUBLE) * syl / n AS c1y,
+          CAST(syxl AS DOUBLE) - CAST(sy AS DOUBLE) * sxl / n AS c2y,
+          CAST(sylxl AS DOUBLE) - CAST(syl AS DOUBLE) * sxl / n AS c12
+        FROM m),
+      r AS (SELECT n AS n_pairs,
+          cyy - c1y * c1y / c11 AS rss_r,
+          cyy - (c22 * c1y * c1y - 2.0 * c12 * c1y * c2y
+            + c11 * c2y * c2y) / (c11 * c22 - c12 * c12) AS rss_u
+        FROM c)
+      SELECT n_pairs, round(rss_r, 3) AS rss_restricted,
+        round(rss_u, 3) AS rss_unrestricted,
+        round((rss_r - rss_u)
+          / (rss_u / (CAST(n_pairs AS DOUBLE) - 3.0)), 6) AS f_stat,
+        round(2.0 * ${Portable.normCdfUpper(
+          """sqrt((rss_r - rss_u)
+            / (rss_u / (CAST(n_pairs AS DOUBLE) - 3.0)))""")}, 9)
+          AS p_value
+      FROM r"""))
+
+  // ---------- q463: cross-language vocabulary overlap ----------------------
+
+  /** Pairwise top-200 vocabulary Jaccard between languages — the
+    * tokenizer-sharing read a multilingual pipeline makes before
+    * sizing a shared vocab (q433 sizes ONE language's budget; q110/
+    * q125 compare corpus shares and term keyness, not the head-vocab
+    * SETS a tokenizer actually allocates): high head overlap means a
+    * shared vocabulary is cheap, low overlap means per-language merges
+    * compete for slots. Shape: one tokenize+count pass into the
+    * (lang, token) table, per-language top-200 by (count, token)
+    * window (lang-partitioned — bounded output, deterministic ties),
+    * then the pairwise intersection equi-join on token over the
+    * ≤200·|langs| head table with |∪| = 400 − |∩| exact. Output one
+    * row per language pair, ordered.
+    */
+  private val q463 = QueryDef(
+    "q463_vocab_overlap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tc = Fixtures.table(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("tok"))
+      val top = tc.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 200)
+        .select(col("lang"), col("tok"))
+      val a = top.select(col("lang").as("lang_a"), col("tok"))
+      val b = top.select(col("lang").as("lang_b"), col("tok"))
+      a.join(b, Seq("tok"))
+        .where(col("lang_a") < col("lang_b"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("lang_a"), col("lang_b"), col("n_shared"),
+          round(expr("""CAST(n_shared AS DOUBLE)
+            / (400.0 - n_shared)"""), 9).as("jaccard"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    },
+    Some("""WITH tc AS (SELECT lang, tok, count(*)::BIGINT AS c
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        WHERE length(tok) > 0
+        GROUP BY 1, 2),
+      top AS (SELECT lang, tok FROM (SELECT lang, tok,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY c DESC, tok) AS rk
+        FROM tc) WHERE rk <= 200),
+      pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+          count(*)::BIGINT AS n_shared
+        FROM top a JOIN top b ON a.tok = b.tok AND a.lang < b.lang
+        GROUP BY 1, 2)
+      SELECT lang_a, lang_b, n_shared,
+        round(CAST(n_shared AS DOUBLE) / (400.0 - n_shared), 9)
+          AS jaccard
+      FROM pr ORDER BY lang_a, lang_b"""))
+
   val all: Seq[QueryDef] = Seq(q447, q448, q449, q450, q451, q452,
-    q453, q454, q455, q456, q457, q458)
+    q453, q454, q455, q456, q457, q458, q459, q460, q461, q462, q463)
 }

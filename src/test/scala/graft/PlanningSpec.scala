@@ -117,6 +117,104 @@ class PlanningSpec extends SparkSpec {
     }
   }
 
+  test("q459 unweighted-means two-way F values equal the textbook " +
+    "cell-mean computation") {
+    val rows = Fixtures.table(spark, sf, "orders")
+      .join(broadcast(Fixtures.table(spark, sf, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderpriority"), col("c_mktsegment"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("y"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2).toDouble))
+    val cells = rows.groupBy(_._1).map { case (k, vs) =>
+      val ys = vs.map(_._2)
+      val n = ys.length; val m = ys.sum / n
+      (k._1, k._2, n, m, ys.map(y => (y - m) * (y - m)).sum)
+    }.toSeq
+    val p = cells.map(_._1).distinct.length
+    val q = cells.map(_._2).distinct.length
+    val nc = cells.length
+    val nh = nc / cells.map(1.0 / _._3).sum
+    val u = cells.map(_._4).sum / nc
+    val ua = cells.groupBy(_._1).map(_._2.map(_._4).sum / q)
+    val ub = cells.groupBy(_._2).map(_._2.map(_._4).sum / p)
+    val ssa = nh * q * ua.map(x => (x - u) * (x - u)).sum
+    val ssb = nh * p * ub.map(x => (x - u) * (x - u)).sum
+    val uaM = cells.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._4).sum / q }
+    val ubM = cells.groupBy(_._2)
+      .map { case (k, v) => k -> v.map(_._4).sum / p }
+    val ssab = nh * cells.map(c =>
+      math.pow(c._4 - uaM(c._1) - ubM(c._2) + u, 2)).sum
+    val nt = cells.map(_._3).sum
+    val mse = cells.map(_._5).sum / (nt - nc)
+    val fs = Map(
+      "priority" -> ssa / (p - 1) / mse,
+      "segment" -> ssb / (q - 1) / mse,
+      "interaction" -> ssab / ((p - 1) * (q - 1)) / mse)
+    val got = run("q459_two_way_anova").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    fs.foreach { case (k, f) =>
+      assert(math.abs(got(k) - f) / math.max(f, 1e-9) < 1e-2,
+        s"$k F ${got(k)} != brute $f")
+    }
+  }
+
+  test("q462 Granger F equals direct restricted/unrestricted OLS over " +
+    "collected daily pairs") {
+    val daily = Fixtures.table(spark, sf, "events")
+      .select(expr("""timestampdiff(MICROSECOND,
+        TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 86400000000""")
+        .as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("y"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val byDay = daily.map(d => d._1 -> (d._2, d._3)).toMap
+    val pairs = daily.flatMap { case (d, y, _) =>
+      byDay.get(d - 1).map { case (yl, xl) =>
+        (y.toDouble, yl.toDouble, xl.toDouble) }
+    }
+    def rss(preds: Seq[Array[Double]], ys: Seq[Double]): Double = {
+      // normal equations for up to 2 predictors + intercept, by hand
+      val n = ys.length.toDouble
+      val k = preds.head.length
+      if (k == 1) {
+        val x = preds.map(_(0))
+        val sxy =
+          x.zip(ys).map(p => p._1 * p._2).sum - x.sum * ys.sum / n
+        val sxx = x.map(v => v * v).sum - x.sum * x.sum / n
+        val syy = ys.map(v => v * v).sum - ys.sum * ys.sum / n
+        syy - sxy * sxy / sxx
+      } else {
+        val x1 = preds.map(_(0)); val x2 = preds.map(_(1))
+        val c11 = x1.map(v => v * v).sum - x1.sum * x1.sum / n
+        val c22 = x2.map(v => v * v).sum - x2.sum * x2.sum / n
+        val c12 =
+          x1.zip(x2).map(p => p._1 * p._2).sum - x1.sum * x2.sum / n
+        val c1y =
+          x1.zip(ys).map(p => p._1 * p._2).sum - x1.sum * ys.sum / n
+        val c2y =
+          x2.zip(ys).map(p => p._1 * p._2).sum - x2.sum * ys.sum / n
+        val syy = ys.map(v => v * v).sum - ys.sum * ys.sum / n
+        syy - (c22 * c1y * c1y - 2 * c12 * c1y * c2y
+          + c11 * c2y * c2y) / (c11 * c22 - c12 * c12)
+      }
+    }
+    val ys = pairs.map(_._1)
+    val rssR = rss(pairs.map(p => Array(p._2)), ys)
+    val rssU = rss(pairs.map(p => Array(p._2, p._3)), ys)
+    val f = (rssR - rssU) / (rssU / (pairs.length - 3.0))
+    val r = run("q462_granger_one_lag").collect()(0)
+    assert(r.getLong(0) === pairs.length.toLong)
+    assert(math.abs(r.getDouble(3) - f) < 1e-3,
+      s"F ${r.getDouble(3)} != brute $f")
+  }
+
   test("q450 Bloom observed FP equals a hand-built bit-set simulation") {
     import graft.ops.Portable.h32Spark
     val m = 4096
