@@ -1941,11 +1941,17 @@ object Inference {
     * "antihubs" appear in nobody's, silently degrading retrieval
     * diversity and recall; the in-degree distribution of the k-NN
     * digraph (k = 5) is the standard diagnostic (Radovanović et al.
-    * 2010). Shape: neighbor lists are computed INSIDE the label cells
-    * (the q34 IVF partitions — candidate pairs ∝ Σ|cell|², the
-    * standing bucketed-ANN contract, never corpus²), in-degrees by
-    * one counting pass over the ≤ n·k top-k edges, and the per-cell
-    * summary is dimension-bounded. Per-label output (10 rows), all
+    * 2010). Shape: neighbor lists are computed INSIDE hash-quarter
+    * sub-cells of the label cells ((label, h32(vec_id)%4) — the q34
+    * IVF partitions refined by a deterministic random quarter), so
+    * candidate pairs are Σ|cell|²/4 at EVERY scale instead of the
+    * raw Σ|cell|² that round-11's sf1 canary measured at 40 s (the
+    * q377 class: quadratic in cell size at fixed cell count;
+    * production sizes cells ∝ corpus). The sub-sampled k-NN graph is
+    * the standard hubness surrogate — each anchor still takes k = 5
+    * neighbors, so E[in-degree] = k is preserved and the hub/antihub
+    * thresholds keep their meaning. In-degrees by one counting pass
+    * over the ≤ n·k top-k edges; per-label output (10 rows), all
     * counts exact integers.
     */
   private val q434 = QueryDef(
@@ -1953,13 +1959,17 @@ object Inference {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = Fixtures.table(s, dir, "embeddings")
-      val a = e.select(col("label"), col("vec_id").as("a"),
-        col("embedding").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("b"),
-        col("embedding").as("eb"))
+      val a = e.select(col("label"),
+        expr(s"${Portable.h32Spark("concat('hub_', vec_id)")} % 4")
+          .as("sub"),
+        col("vec_id").as("a"), col("embedding").as("ea"))
+      val b = e.select(col("label"),
+        expr(s"${Portable.h32Spark("concat('hub_', vec_id)")} % 4")
+          .as("sub"),
+        col("vec_id").as("b"), col("embedding").as("eb"))
       val wTop = Window.partitionBy(col("a"))
         .orderBy(col("cos").desc, col("b"))
-      val topk = a.join(b, Seq("label"))
+      val topk = a.join(b, Seq("label", "sub"))
         .where(col("a") =!= col("b"))
         .select(col("label"), col("a"), col("b"),
           expr("graft_cosine(ea, eb)").as("cos"))
@@ -1989,7 +1999,10 @@ object Inference {
           b.vec_id AS b,
           ${Dedup.cosDuck("a.embedding", "b.embedding")} AS cos
         FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id <> b.vec_id),
+          ON a.label = b.label
+          AND ${Portable.h32Duck("'hub_' || a.vec_id")} % 4
+            = ${Portable.h32Duck("'hub_' || b.vec_id")} % 4
+          AND a.vec_id <> b.vec_id),
       topk AS (SELECT label, a, b FROM (
           SELECT label, a, b,
             row_number() OVER (PARTITION BY a
