@@ -123,7 +123,7 @@ object Dedup {
     1231, 2689, 353, 1511, 2017, 761, 3821, 1433)
   private val B = Seq(407, 2011, 89, 1777, 563, 3229, 1399, 241,
     3089, 677, 1901, 2503, 131, 3581, 827, 2273)
-  private val NBands = 8 // × 2 rows per band = 16 hashes
+  private[ops] val NBands = 8 // × 2 rows per band = 16 hashes
 
   // ---------- q17: exact dedup on normalized content ------------------
 
@@ -179,7 +179,7 @@ object Dedup {
   }
 
   /** DuckDB twin of [[minhashSignatures]]'s aggregate list. */
-  private def minSelectsDuck: String =
+  private[ops] def minSelectsDuck: String =
     A.zip(B).zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $P) AS mh$i"
     }.mkString(", ")

@@ -1353,6 +1353,364 @@ object Planning {
           AS jaccard
       FROM pr ORDER BY lang_a, lang_b"""))
 
+  // ---------- q464: streaming session-state planner ------------------------
+
+  /** Peak concurrent session STATE of the 30-minute sessionizer — the
+    * executor-memory planning read behind the graft.streaming
+    * mapGroupsWithState twin: each open session holds state from its
+    * first event until the inactivity timeout fires (end + 30 min),
+    * so peak concurrent open sessions bounds the state store. Sessions
+    * come from the PlanCache'd q27 assignment; lifetimes sweep at
+    * HOURLY resolution (starts minus frees per hour, running sum over
+    * the calendar-bounded hour frame — the documented convention: a
+    * session freed within hour h counts closed by h's end, and the
+    * upper-bound column re-adds hour-h frees). One bounded window; the
+    * corpus cost is the shared session assignment. 1-row output.
+    */
+  private val q464 = QueryDef(
+    "q464_session_state_planner",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val GapUs = 1800000000L
+      val sess = Events.sessionAssigned(s, dir)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")).as("s_us"),
+          max(expr("timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")).as("e_us"))
+        .select(expr("s_us div 3600000000").as("sh"),
+          expr(s"(e_us + $GapUs) div 3600000000").as("eh"))
+      val deltas = sess.select(col("sh").as("h"), lit(1L).as("d"))
+        .unionAll(sess.select(col("eh").as("h"), lit(-1L).as("d")))
+        .groupBy(col("h")).agg(sum(col("d")).as("net"),
+          sum(when(col("d") === 1L, 1L).otherwise(0L)).as("starts"),
+          sum(when(col("d") === -1L, 1L).otherwise(0L)).as("frees"))
+      val w = Window.orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val open = deltas
+        .withColumn("open_end", sum(col("net")).over(w))
+        .select(col("h"), col("open_end"),
+          (col("open_end") + col("frees")).as("open_upper"))
+      val tot = sess.agg(count(lit(1)).as("n_sessions"))
+      open.agg(count(lit(1)).as("n_hours"),
+          max(col("open_end")).as("peak_open"),
+          max(col("open_upper")).as("peak_open_upper"),
+          expr("CAST(round(sum(open_end) * 1e6 / count(1)) AS BIGINT)")
+            .as("mean_open_micro"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_sessions"), col("n_hours"), col("peak_open"),
+          col("peak_open_upper"),
+          round(col("mean_open_micro") / lit(1e6), 6).as("mean_open"))
+    },
+    Some("""WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      numbered AS (
+        SELECT user_id, ts,
+          (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+        FROM flagged),
+      sess AS (SELECT min(epoch_us(ts)) // 3600000000 AS sh,
+          (max(epoch_us(ts)) + 1800000000) // 3600000000 AS eh
+        FROM numbered GROUP BY user_id, session_seq),
+      deltas AS (SELECT h, sum(d)::BIGINT AS net,
+          sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS starts,
+          sum(CASE WHEN d = -1 THEN 1 ELSE 0 END)::BIGINT AS frees
+        FROM (SELECT sh AS h, 1 AS d FROM sess
+          UNION ALL SELECT eh, -1 FROM sess)
+        GROUP BY 1),
+      open_t AS (SELECT h,
+          (sum(net) OVER (ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+            AS open_end,
+          frees
+        FROM deltas),
+      tot AS (SELECT count(*)::BIGINT AS n_sessions FROM sess),
+      red AS (SELECT count(*)::BIGINT AS n_hours,
+          max(open_end)::BIGINT AS peak_open,
+          max(open_end + frees)::BIGINT AS peak_open_upper,
+          CAST(round(sum(open_end) * 1e6 / count(*)) AS BIGINT)
+            AS mean_open_micro
+        FROM open_t)
+      SELECT n_sessions, n_hours, peak_open, peak_open_upper,
+        round(mean_open_micro / 1e6, 6) AS mean_open
+      FROM red, tot"""))
+
+  // ---------- q465: contamination n-gram-width sweep -----------------------
+
+  /** Benchmark-contamination rate as a function of shingle width
+    * (n ∈ {4, 8}) — the sensitivity sweep in front of q44's fixed-n
+    * contamination check and q183's apply step: short shingles
+    * over-flag (common phrases), long shingles under-flag (any edit
+    * breaks the match), and the n-sweep shows where the rate
+    * stabilizes — how decontamination n is actually chosen. Test docs
+    * are the standing q37 hash split; per n, the test set's distinct
+    * n-gram hashes form the (broadcast-sized) probe set and train
+    * docs sharing ≥ 1 hash are flagged. Shingle hash = the rolling
+    * (((h·K + h)·K…) mod P) chain over the per-token md5 hashes (K, P
+    * = the q18 constants; mod applied per step so products stay
+    * exact, stated identically in both dialects). Two window passes
+    * over the posting rows (lead chains share one per-doc sort); the
+    * candidate join is an equi-join on the hash. 2-row output.
+    */
+  private val q465 = QueryDef(
+    "q465_contamination_sweep",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = Dedup.C1
+      val P = Dedup.P
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val base = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), expr(Portable.splitCaseSpark).as("split"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("split"), col("pos"),
+          expr(Portable.h32Spark("tok")).as("h0"))
+      val withLeads = (1 to 7).foldLeft(base) { (df, i) =>
+        df.withColumn(s"h$i", lead(col("h0"), i).over(w))
+      }
+      def gram(n: Int): String =
+        (1 until n).foldLeft("h0") { (acc, i) =>
+          s"pmod(($acc) * $K + h$i, $P)"
+        }
+      def leak(n: Int): DataFrame = {
+        val sh = withLeads.where(col(s"h${n - 1}").isNotNull)
+          .select(col("doc_id"), col("split"),
+            expr(gram(n)).as("g")).distinct()
+        val testSet = sh.where(col("split") === "test")
+          .select(col("g")).distinct()
+        val trainDocs = sh.where(col("split") === "train")
+        val hit = trainDocs.join(testSet, Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("n_train_docs_hit"))
+        val stats = trainDocs.select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("n_train_docs"))
+          .crossJoin(broadcast(testSet.agg(count(lit(1))
+            .as("n_test_shingles"))))
+        stats.crossJoin(broadcast(hit))
+          .select(lit(n.toLong).as("n_gram"), col("n_test_shingles"),
+            col("n_train_docs"), col("n_train_docs_hit"),
+            round(expr("CAST(n_train_docs_hit AS DOUBLE) / n_train_docs"),
+              9).as("hit_rate"))
+      }
+      leak(4).unionAll(leak(8)).orderBy(col("n_gram"))
+    },
+    Some {
+      val K = Dedup.C1
+      val P = Dedup.P
+      def gramDuck(n: Int): String =
+        (1 until n).foldLeft("hts[i]") { (acc, i) =>
+          s"(($acc) * $K + hts[i + $i]) % $P"
+        }
+      def oneN(n: Int): String =
+        s"""SELECT $n::BIGINT AS n_gram,
+          (SELECT count(DISTINCT g) FROM sh$n WHERE split = 'test')
+            ::BIGINT AS n_test_shingles,
+          (SELECT count(DISTINCT doc_id) FROM sh$n WHERE split = 'train')
+            ::BIGINT AS n_train_docs,
+          (SELECT count(DISTINCT doc_id) FROM sh$n
+            WHERE split = 'train' AND g IN
+              (SELECT g FROM sh$n WHERE split = 'test'))::BIGINT
+            AS n_train_docs_hit,
+          round((SELECT count(DISTINCT doc_id) FROM sh$n
+              WHERE split = 'train' AND g IN
+                (SELECT g FROM sh$n WHERE split = 'test'))::DOUBLE
+            / (SELECT count(DISTINCT doc_id) FROM sh$n
+              WHERE split = 'train'), 9) AS hit_rate"""
+      s"""WITH toks AS (SELECT doc_id, ${Portable.splitCaseDuck} AS split,
+          string_split(text, ' ') AS toks FROM documents),
+      hts AS (SELECT doc_id, split,
+          list_transform(toks, t -> ${Portable.h32Duck("t")}) AS hts
+        FROM toks),
+      sh4 AS (SELECT DISTINCT doc_id, split, g FROM (
+        SELECT doc_id, split,
+          unnest(list_transform(range(1, len(hts) - 2),
+            i -> ${gramDuck(4)})) AS g
+        FROM hts WHERE len(hts) >= 4)),
+      sh8 AS (SELECT DISTINCT doc_id, split, g FROM (
+        SELECT doc_id, split,
+          unnest(list_transform(range(1, len(hts) - 6),
+            i -> ${gramDuck(8)})) AS g
+        FROM hts WHERE len(hts) >= 8))
+      ${oneN(4)} UNION ALL ${oneN(8)} ORDER BY n_gram"""
+    })
+
+  // ---------- q466: quality-gate Venn census --------------------------------
+
+  /** Joint census of three independent quality gates — the
+    * filter-correlation read a curation pipeline makes before stacking
+    * gates (if two gates reject the same docs, the second buys
+    * nothing; if they're independent, the stack multiplies): gate A =
+    * length (≥ 50 tokens), gate B = lexical diversity (distinct/total
+    * ≥ 0.3, compared in exact integers as 10·distinct ≥ 3·total),
+    * gate C = mean token length in [3, 10] chars (token chars = len −
+    * spaces under the single-space convention, again exact integers).
+    * One projection pass; the census is the 8-cell (a, b, c) group
+    * with shares, plus each gate's marginal pass rate folded from the
+    * same cells. ≤8-row output, ordered.
+    */
+  private val q466 = QueryDef(
+    "q466_quality_filter_venn",
+    (s, dir) => {
+      val flags = Fixtures.table(s, dir, "documents")
+        .select(
+          (size(split(col("text"), " ")) >= 50).as("pass_len"),
+          (size(array_distinct(split(col("text"), " "))) * 10
+            >= size(split(col("text"), " ")) * 3).as("pass_ttr"),
+          expr("""length(text) - (size(split(text, ' ')) - 1)
+              BETWEEN 3 * size(split(text, ' '))
+              AND 10 * size(split(text, ' '))""").as("pass_wlen"))
+      val tot = flags.agg(count(lit(1)).as("n_docs"))
+      flags.groupBy(col("pass_len"), col("pass_ttr"), col("pass_wlen"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("pass_len"), col("pass_ttr"), col("pass_wlen"),
+          col("n"),
+          round(expr("CAST(n AS DOUBLE) / n_docs"), 9).as("share"))
+        .orderBy(col("pass_len"), col("pass_ttr"), col("pass_wlen"))
+    },
+    Some("""WITH flags AS (SELECT
+          len(string_split(text, ' ')) >= 50 AS pass_len,
+          len(list_distinct(string_split(text, ' '))) * 10
+            >= len(string_split(text, ' ')) * 3 AS pass_ttr,
+          length(text) - (len(string_split(text, ' ')) - 1)
+            BETWEEN 3 * len(string_split(text, ' '))
+            AND 10 * len(string_split(text, ' ')) AS pass_wlen
+        FROM documents),
+      tot AS (SELECT count(*)::BIGINT AS n_docs FROM flags)
+      SELECT pass_len, pass_ttr, pass_wlen, count(*)::BIGINT AS n,
+        round(count(*)::DOUBLE / n_docs, 9) AS share
+      FROM flags, tot
+      GROUP BY pass_len, pass_ttr, pass_wlen, n_docs
+      ORDER BY pass_len, pass_ttr, pass_wlen"""))
+
+  // ---------- q467: length-stratified duplicate rate -------------------------
+
+  /** Exact-duplicate rate by document-length class — the WHERE of
+    * duplication q17's flat count hides: template spam concentrates in
+    * specific length bands (short boilerplate, fixed-form pages), and
+    * a curation pass reads this before deciding whether dedup should
+    * gate on length at all. Doc → q17's normalized md5 content key,
+    * reduced ONCE to (key, len_class, n) cells — both the key totals
+    * and the census fold from that cell table, so the expensive
+    * regex+md5 scan runs once and the cell exchange is reused across
+    * the join's two sides (the plan-level point: joining raw keyed
+    * rows to key counts would rescan the corpus per side). Strata =
+    * n_chars div 500 capped at 9. 10-row output.
+    */
+  private val q467 = QueryDef(
+    "q467_length_dup_strata",
+    (s, dir) => {
+      val cells = Fixtures.table(s, dir, "documents")
+        .select(least(expr("n_chars div 500"), lit(9L)).as("len_class"),
+          md5(trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " "))).as("k"))
+        .groupBy(col("k"), col("len_class"))
+        .agg(count(lit(1)).as("n"))
+      val kc = cells.groupBy(col("k")).agg(sum(col("n")).as("nk"))
+      cells.join(kc, "k")
+        .groupBy(col("len_class"))
+        .agg(sum(col("n")).as("n_docs"),
+          sum(when(col("nk") > 1, col("n")).otherwise(0L))
+            .as("n_dup_docs"))
+        .select(col("len_class"), col("n_docs"), col("n_dup_docs"),
+          round(expr("CAST(n_dup_docs AS DOUBLE) / n_docs"), 9)
+            .as("dup_rate"))
+        .orderBy(col("len_class"))
+    },
+    Some("""WITH cells AS (SELECT
+          least(n_chars // 500, 9)::BIGINT AS len_class,
+          md5(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            ' +', ' ', 'g'))) AS k,
+          count(*)::BIGINT AS n
+        FROM documents GROUP BY 1, 2),
+      kc AS (SELECT k, sum(n)::BIGINT AS nk FROM cells GROUP BY 1)
+      SELECT len_class, sum(n)::BIGINT AS n_docs,
+        sum(CASE WHEN nk > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_docs,
+        round(sum(CASE WHEN nk > 1 THEN n ELSE 0 END)::DOUBLE
+          / sum(n), 9) AS dup_rate
+      FROM cells JOIN kc USING (k)
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ---------- q468: cross-split LSH leakage --------------------------------
+
+  /** Near-duplicate leakage between the train and test splits via
+    * MinHash-LSH bands — the SCALE path of q156's exact shingle-overlap
+    * leakage check: at corpus scale the exact cross-split join is a
+    * full posting-table self-join, while band collisions cost shuffle
+    * ∝ collisions (the q18 contract) and candidates are verified
+    * downstream by q156's exact pass on the flagged pairs only. Bands
+    * ride the PlanCache'd inverted index and the q18 signature
+    * pipeline; the split is the standing q37 hash assignment; the
+    * cross join is train-side × test-side on (band, bkey) — never
+    * within-split. 1-row output: candidate pairs + flagged-test-doc
+    * share.
+    */
+  private val q468 = QueryDef(
+    "q468_split_leakage_lsh",
+    (s, dir) => {
+      val splits = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), expr(Portable.splitCaseSpark).as("split"))
+      val bands = Dedup.minhashBands(Dedup.persistedInverted(s, dir))
+        .join(splits, "doc_id")
+      val tr = bands.where(col("split") === "train")
+        .select(col("band"), col("bkey"), col("doc_id").as("train_doc"))
+      val te = bands.where(col("split") === "test")
+        .select(col("band"), col("bkey"), col("doc_id").as("test_doc"))
+      val cand = tr.join(te, Seq("band", "bkey"))
+        .select(col("train_doc"), col("test_doc")).distinct()
+      val nTest = splits.where(col("split") === "test")
+        .agg(count(lit(1)).as("n_test_docs"))
+      val nTrain = splits.where(col("split") === "train")
+        .agg(count(lit(1)).as("n_train_docs"))
+      cand.agg(count(lit(1)).as("n_candidate_pairs"),
+          countDistinct(col("test_doc")).as("n_test_docs_flagged"))
+        .crossJoin(broadcast(nTest)).crossJoin(broadcast(nTrain))
+        .select(col("n_train_docs"), col("n_test_docs"),
+          col("n_candidate_pairs"), col("n_test_docs_flagged"),
+          round(expr("CAST(n_test_docs_flagged AS DOUBLE) / n_test_docs"),
+            9).as("flagged_rate"))
+    },
+    Some {
+      val bandSelects = (0 until Dedup.NBands).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, md5(mh${2 * bnd}::VARCHAR || ','" +
+          s" || mh${2 * bnd + 1}::VARCHAR) AS bkey FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH ${Dedup.shingledDuckCte},
+      mh AS (SELECT doc_id, ${Dedup.minSelectsDuck} FROM inv
+        GROUP BY doc_id),
+      bands AS ($bandSelects),
+      splits AS (SELECT doc_id, ${Portable.splitCaseDuck} AS split
+        FROM documents),
+      sb AS (SELECT b.doc_id, band, bkey, split
+        FROM bands b JOIN splits s ON s.doc_id = b.doc_id),
+      cand AS (SELECT DISTINCT tr.doc_id AS train_doc,
+          te.doc_id AS test_doc
+        FROM sb tr JOIN sb te
+          ON tr.band = te.band AND tr.bkey = te.bkey
+          AND tr.split = 'train' AND te.split = 'test'),
+      red AS (SELECT count(*)::BIGINT AS n_candidate_pairs,
+          count(DISTINCT test_doc)::BIGINT AS n_test_docs_flagged
+        FROM cand),
+      nt AS (SELECT
+          sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT
+            AS n_test_docs,
+          sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT
+            AS n_train_docs
+        FROM splits)
+      SELECT n_train_docs, n_test_docs, n_candidate_pairs,
+        n_test_docs_flagged,
+        round(CAST(n_test_docs_flagged AS DOUBLE) / n_test_docs, 9)
+          AS flagged_rate
+      FROM red, nt"""
+    })
+
   val all: Seq[QueryDef] = Seq(q447, q448, q449, q450, q451, q452,
-    q453, q454, q455, q456, q457, q458, q459, q460, q461, q462, q463)
+    q453, q454, q455, q456, q457, q458, q459, q460, q461, q462, q463,
+    q464, q465, q466, q467, q468)
 }
