@@ -1710,7 +1710,294 @@ object Planning {
       FROM red, nt"""
     })
 
+  // ---------- q469: supplier Pareto skyline ---------------------------------
+
+  /** Skyline (Pareto-dominance) operator over suppliers on (ship
+    * delay ↓, revenue ↑) — the classic multi-criteria DB operator the
+    * registry lacked: a supplier is on the skyline iff no other is at
+    * least as good on both objectives and strictly better on one;
+    * top-k by any single score (q06 et al.) can't surface these
+    * trade-offs. Objectives pin exactly (mean delay to micro-days
+    * from integer day sums, revenue to cents), so dominance is
+    * exact-integer in both dialects. The dominance test is a
+    * self-join of the BOUNDED per-supplier frame (≤|suppliers|² —
+    * dimension-sized, never the fact table; at huge |S| the standard
+    * grid/sort-filter prefilter applies, documented). One fact pass
+    * for the per-supplier aggregate; skyline rows ordered by
+    * supplier.
+    */
+  private val q469 = QueryDef(
+    "q469_skyline_suppliers",
+    (s, dir) => {
+      val per = Fixtures.table(s, dir, "lineitem")
+        .join(Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("""timestampdiff(MICROSECOND, o_orderdate,
+            l_shipdate) div 86400000000""")).as("sdelay"),
+          sum(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)"))
+            .as("rev_cents"))
+        .select(col("l_suppkey").as("suppkey"), col("n_lines"),
+          expr("CAST(round(CAST(sdelay AS DOUBLE) * 1e6 / n_lines) " +
+            "AS BIGINT)").as("delay_micro"), col("rev_cents"))
+      val other = per.select(col("delay_micro").as("d2"),
+        col("rev_cents").as("r2"))
+      val dominated = per.join(other,
+          (col("d2") <= col("delay_micro")) && (col("r2") >= col("rev_cents"))
+            && ((col("d2") < col("delay_micro"))
+              || (col("r2") > col("rev_cents"))),
+          "left_semi")
+      per.join(dominated.select(col("suppkey")), Seq("suppkey"),
+          "left_anti")
+        .select(col("suppkey"), col("n_lines"),
+          round(col("delay_micro") / lit(1e6), 6).as("avg_delay_days"),
+          col("rev_cents"))
+        .orderBy(col("suppkey"))
+    },
+    Some("""WITH per AS (SELECT l_suppkey AS suppkey,
+          count(*)::BIGINT AS n_lines,
+          CAST(round(CAST(sum((epoch_us(l_shipdate)
+              - epoch_us(o_orderdate)) // 86400000000) AS DOUBLE)
+            * 1e6 / count(*)) AS BIGINT) AS delay_micro,
+          sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT
+            AS rev_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1),
+      sky AS (SELECT * FROM per p WHERE NOT EXISTS (
+        SELECT 1 FROM per q
+        WHERE q.delay_micro <= p.delay_micro
+          AND q.rev_cents >= p.rev_cents
+          AND (q.delay_micro < p.delay_micro
+            OR q.rev_cents > p.rev_cents)))
+      SELECT suppkey, n_lines,
+        round(delay_micro / 1e6, 6) AS avg_delay_days, rev_cents
+      FROM sky ORDER BY suppkey"""))
+
+  // ---------- q470: Chao1 vocabulary estimate -------------------------------
+
+  /** Chao1 species-richness estimate of the corpus vocabulary from a
+    * 10 % document hash-sample, audited against the exact distinct
+    * count — the sample-based sizing read behind every "how big will
+    * the vocab get" decision (q84's Heaps fit EXTRAPOLATES a growth
+    * law; Chao1 lower-bounds the asymptote from one sample's
+    * singleton/doubleton counts: D + f1(f1−1)/(2(f2+1)), the
+    * bias-corrected form defined even at f2 = 0). Shape: one token
+    * pass over the hash-sampled docs into per-token counts, a
+    * frequency-of-frequencies fold (bounded), and one full-corpus
+    * distinct count as ground truth. 1-row output with the relative
+    * error — the audit that says whether sampling the vocab census at
+    * 100 TB is safe.
+    */
+  private val q470 = QueryDef(
+    "q470_chao1_vocab_estimate",
+    (s, dir) => {
+      val toks = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val sample = toks
+        .where(expr(s"${Portable.h32Spark("concat('smp_', doc_id)")} % 10")
+          === 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val fof = sample.agg(count(lit(1)).as("d_sample"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      val truth = toks.agg(countDistinct(col("tok")).as("d_true"))
+      fof.crossJoin(broadcast(truth))
+        .select(col("d_sample"), col("f1"), col("f2"),
+          expr("""CAST(round(d_sample + CAST(f1 AS DOUBLE) * (f1 - 1)
+            / (2.0 * (f2 + 1))) AS BIGINT)""").as("chao1"),
+          col("d_true"),
+          round(expr("""(d_sample + CAST(f1 AS DOUBLE) * (f1 - 1)
+            / (2.0 * (f2 + 1)) - d_true) / d_true"""), 9)
+            .as("rel_error"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS tok FROM documents),
+      toksf AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+      sample AS (SELECT tok, count(*)::BIGINT AS c FROM toksf
+        WHERE ${Portable.h32Duck("'smp_' || doc_id")} % 10 = 0
+        GROUP BY 1),
+      fof AS (SELECT count(*)::BIGINT AS d_sample,
+          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+          sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        FROM sample),
+      truth AS (SELECT count(DISTINCT tok)::BIGINT AS d_true FROM toksf)
+      SELECT d_sample, f1, f2,
+        CAST(round(d_sample + CAST(f1 AS DOUBLE) * (f1 - 1)
+          / (2.0 * (f2 + 1))) AS BIGINT) AS chao1,
+        d_true,
+        round((d_sample + CAST(f1 AS DOUBLE) * (f1 - 1)
+          / (2.0 * (f2 + 1)) - d_true) / d_true, 9) AS rel_error
+      FROM fof, truth"""))
+
+  // ---------- q471: shuffle-partition sizer ---------------------------------
+
+  /** Rows-per-partition profile of the orders⋈lineitem shuffle key at
+    * candidate partition counts P ∈ {32, 200, 2000} — the
+    * spark.sql.shuffle.partitions sizing read q398's skew audit stops
+    * short of: per P, the max/mean partition load and the skew ratio
+    * under the portable hash say which P keeps every partition under
+    * the spill target (32 768 rows at fixture scale; production
+    * targets bytes — same arithmetic on the q455 width model).
+    * Shape: one grouped per-key count (the only fact pass), the key
+    * table fans across the P grid in-projection, and the partition
+    * census is ≤ ΣP cells. 3-row output.
+    */
+  private val q471 = QueryDef(
+    "q471_shuffle_partition_sizer",
+    (s, dir) => {
+      val keys = Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      val fan2 = keys.select(col("l_orderkey"), col("cnt"),
+          explode(array(lit(32L), lit(200L), lit(2000L))).as("p"))
+        .select(col("p"), col("cnt"),
+          expr(s"pmod(${Portable.h32Spark("concat('sp_', l_orderkey)")}, p)")
+            .as("part"))
+      val cells = fan2.groupBy(col("p"), col("part"))
+        .agg(sum(col("cnt")).as("rows_in_part"))
+      cells.groupBy(col("p"))
+        .agg(count(lit(1)).as("n_parts_hit"),
+          max(col("rows_in_part")).as("max_rows"),
+          expr("CAST(round(sum(rows_in_part) * 1e6 / count(1)) " +
+            "AS BIGINT)").as("mean_rows_micro"))
+        .select(col("p").as("n_partitions"), col("n_parts_hit"),
+          col("max_rows"),
+          round(col("mean_rows_micro") / lit(1e6), 6).as("mean_rows"),
+          round(expr("max_rows * 1e6 / mean_rows_micro"), 6)
+            .as("skew_ratio"),
+          (col("max_rows") <= 32768L).as("meets_target"))
+        .orderBy(col("n_partitions"))
+    },
+    Some(s"""WITH keys AS (SELECT l_orderkey, count(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY 1),
+      fan AS (SELECT p, cnt,
+          ${Portable.h32Duck("'sp_' || l_orderkey")} % p AS part
+        FROM keys, (SELECT CAST(unnest([32, 200, 2000]) AS BIGINT)
+          AS p)),
+      cells AS (SELECT p, part, sum(cnt)::BIGINT AS rows_in_part
+        FROM fan GROUP BY 1, 2),
+      red AS (SELECT p, count(*)::BIGINT AS n_parts_hit,
+          max(rows_in_part)::BIGINT AS max_rows,
+          CAST(round(sum(rows_in_part) * 1e6 / count(*)) AS BIGINT)
+            AS mean_rows_micro
+        FROM cells GROUP BY 1)
+      SELECT p AS n_partitions, n_parts_hit, max_rows,
+        round(mean_rows_micro / 1e6, 6) AS mean_rows,
+        round(max_rows * 1e6 / mean_rows_micro, 6) AS skew_ratio,
+        max_rows <= 32768 AS meets_target
+      FROM red ORDER BY n_partitions"""))
+
+  // ---------- q472: join-strategy planning matrix ----------------------------
+
+  /** Strategy decision table for the schema's four standing fact⋈dim
+    * joins — the plan-shape read that matters most at 100 TB, folded
+    * from measured statistics instead of guessed: per join, the dim's
+    * estimated bytes (q455 width model) against the 10 MB broadcast
+    * default, the fact side's hottest-key multiplicity against the
+    * 32× mean skew bound (q454's trigger), and the resulting verdict
+    * (broadcast / sort-merge / sort-merge+salt). Each fact pass is
+    * one grouped count; dim sizes are dimension scans; the matrix is
+    * a 4-row union of bounded aggregates.
+    */
+  private val q472 = QueryDef(
+    "q472_join_strategy_matrix",
+    (s, dir) => {
+      def factStats(df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("fact_rows"),
+            count(lit(1)).as("n_keys"), max(col("cnt")).as("max_key"))
+      def dimStats(df: DataFrame, bytesExpr: String): DataFrame =
+        df.agg(count(lit(1)).as("dim_rows"),
+          sum(expr(bytesExpr)).as("dim_bytes"))
+      def one(name: String, fact: DataFrame, key: String,
+          dim: DataFrame, bytesExpr: String): DataFrame =
+        factStats(fact, key).crossJoin(broadcast(
+            dimStats(dim, bytesExpr)))
+          .select(lit(name).as("join_name"), col("fact_rows"),
+            col("n_keys"), col("max_key"), col("dim_rows"),
+            col("dim_bytes"))
+      val li = Fixtures.table(s, dir, "lineitem")
+      val rows =
+        one("lineitem_x_part", li, "l_partkey",
+          Fixtures.table(s, dir, "part"),
+          "CAST(36 + length(p_name) + length(p_brand) + length(p_type)"
+            + " AS BIGINT)")
+        .unionAll(one("lineitem_x_supplier", li, "l_suppkey",
+          Fixtures.table(s, dir, "supplier"),
+          "CAST(28 + length(s_name) AS BIGINT)"))
+        .unionAll(one("orders_x_customer",
+          Fixtures.table(s, dir, "orders"), "o_custkey",
+          Fixtures.table(s, dir, "customer"),
+          "CAST(32 + length(c_name) + length(c_mktsegment) AS BIGINT)"))
+        .unionAll(one("lineitem_x_orders", li, "l_orderkey",
+          Fixtures.table(s, dir, "orders"),
+          "CAST(40 + length(o_orderstatus) + length(o_orderpriority)"
+            + " AS BIGINT)"))
+      rows.select(col("join_name"), col("fact_rows"), col("dim_rows"),
+          col("dim_bytes"),
+          (col("max_key") * col("n_keys") > col("fact_rows") * 32L)
+            .as("skewed"),
+          expr("""CASE WHEN dim_bytes < 10485760 THEN 'broadcast'
+            WHEN max_key * n_keys > fact_rows * 32 THEN
+              'sort_merge_salted'
+            ELSE 'sort_merge' END""").as("strategy"))
+        .orderBy(col("join_name"))
+    },
+    Some("""WITH
+      fp AS (SELECT sum(c)::BIGINT AS fact_rows, count(*)::BIGINT
+          AS n_keys, max(c)::BIGINT AS max_key
+        FROM (SELECT count(*)::BIGINT AS c FROM lineitem
+          GROUP BY l_partkey)),
+      fsu AS (SELECT sum(c)::BIGINT AS fact_rows, count(*)::BIGINT
+          AS n_keys, max(c)::BIGINT AS max_key
+        FROM (SELECT count(*)::BIGINT AS c FROM lineitem
+          GROUP BY l_suppkey)),
+      foc AS (SELECT sum(c)::BIGINT AS fact_rows, count(*)::BIGINT
+          AS n_keys, max(c)::BIGINT AS max_key
+        FROM (SELECT count(*)::BIGINT AS c FROM orders
+          GROUP BY o_custkey)),
+      flo AS (SELECT sum(c)::BIGINT AS fact_rows, count(*)::BIGINT
+          AS n_keys, max(c)::BIGINT AS max_key
+        FROM (SELECT count(*)::BIGINT AS c FROM lineitem
+          GROUP BY l_orderkey)),
+      dp AS (SELECT count(*)::BIGINT AS dim_rows,
+          sum(CAST(36 + length(p_name) + length(p_brand)
+            + length(p_type) AS BIGINT))::BIGINT AS dim_bytes
+        FROM part),
+      dsu AS (SELECT count(*)::BIGINT AS dim_rows,
+          sum(CAST(28 + length(s_name) AS BIGINT))::BIGINT AS dim_bytes
+        FROM supplier),
+      dc AS (SELECT count(*)::BIGINT AS dim_rows,
+          sum(CAST(32 + length(c_name) + length(c_mktsegment)
+            AS BIGINT))::BIGINT AS dim_bytes
+        FROM customer),
+      dor AS (SELECT count(*)::BIGINT AS dim_rows,
+          sum(CAST(40 + length(o_orderstatus) + length(o_orderpriority)
+            AS BIGINT))::BIGINT AS dim_bytes
+        FROM orders),
+      rows4 AS (
+        SELECT 'lineitem_x_part' AS join_name, fact_rows, n_keys,
+          max_key, dim_rows, dim_bytes FROM fp, dp
+        UNION ALL
+        SELECT 'lineitem_x_supplier', fact_rows, n_keys, max_key,
+          dim_rows, dim_bytes FROM fsu, dsu
+        UNION ALL
+        SELECT 'orders_x_customer', fact_rows, n_keys, max_key,
+          dim_rows, dim_bytes FROM foc, dc
+        UNION ALL
+        SELECT 'lineitem_x_orders', fact_rows, n_keys, max_key,
+          dim_rows, dim_bytes FROM flo, dor)
+      SELECT join_name, fact_rows, dim_rows, dim_bytes,
+        max_key * n_keys > fact_rows * 32 AS skewed,
+        CASE WHEN dim_bytes < 10485760 THEN 'broadcast'
+          WHEN max_key * n_keys > fact_rows * 32 THEN
+            'sort_merge_salted'
+          ELSE 'sort_merge' END AS strategy
+      FROM rows4 ORDER BY join_name"""))
+
   val all: Seq[QueryDef] = Seq(q447, q448, q449, q450, q451, q452,
     q453, q454, q455, q456, q457, q458, q459, q460, q461, q462, q463,
-    q464, q465, q466, q467, q468)
+    q464, q465, q466, q467, q468, q469, q470, q471, q472)
 }
