@@ -54,6 +54,10 @@ object Planning {
         expr("""(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
           * CAST(sy AS DOUBLE) / n) / (CAST(n AS DOUBLE) - 1.0)""")
           .as("s2"))
+        // zero-variance group ⇒ w = n/s2 is infinite; drop it identically
+        // in both dialects (q457's `vv > 0` convention) so Spark's
+        // Inf→Long cast and DuckDB's cast error can never diverge
+        .where(col("s2") > 0.0)
         .select(col("n"), col("m"),
           expr("CAST(round(n / s2 * 1e15) AS BIGINT)").as("w_femto"),
           expr("CAST(round(n / s2 * m * 1e9) AS BIGINT)").as("wm_nano"))
@@ -101,7 +105,7 @@ object Planning {
       tp AS (SELECT n, m,
           CAST(round(n / s2 * 1e15) AS BIGINT) AS w_femto,
           CAST(round(n / s2 * m * 1e9) AS BIGINT) AS wm_nano
-        FROM t),
+        FROM t WHERE s2 > 0.0),
       s1 AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nt,
           sum(w_femto)::BIGINT AS sw, sum(wm_nano)::BIGINT AS swm
         FROM tp),
@@ -922,32 +926,34 @@ object Planning {
         expr("""CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
           * CAST(sy AS DOUBLE) / n""").as("ssw"),
         expr("CAST(round(1e12 / n) AS BIGINT)").as("inv_pico"))
+      // p and q come from GLOBAL distinct level counts of the two dims —
+      // per-group counts (levels present per a / per b) would silently
+      // diverge from these if any p×q cell were empty, mixing
+      // inconsistent level counts into SSA/SSB/MS
       val tot = m.agg(count(lit(1)).as("cells"), sum(col("n")).as("nt"),
+        countDistinct(col("a")).as("p"),
+        countDistinct(col("b")).as("q"),
         sum(expr("CAST(round(ssw * 1e-3) AS DECIMAL(38,0))"))
           .as("ssw_kilo"),
         sum(col("inv_pico")).as("sinv"),
         sum(col("m_milli")).as("sm"))
-      val ra = m.groupBy(col("a"))
-        .agg(count(lit(1)).as("q"), sum(col("m_milli")).as("sma"))
-      val rb = m.groupBy(col("b"))
-        .agg(count(lit(1)).as("p"), sum(col("m_milli")).as("smb"))
+      val ra = m.groupBy(col("a")).agg(sum(col("m_milli")).as("sma"))
+      val rb = m.groupBy(col("b")).agg(sum(col("m_milli")).as("smb"))
       val ga = ra.crossJoin(broadcast(tot))
-        .select(col("q"), col("cells"),
-          expr("""CAST(round((sma / CAST(q AS DOUBLE)
+        .select(expr("""CAST(round((sma / CAST(q AS DOUBLE)
             - sm / CAST(cells AS DOUBLE))
             * (sma / CAST(q AS DOUBLE) - sm / CAST(cells AS DOUBLE))
             * 1e-3) AS DECIMAL(38,0))""").as("da_kilo"))
-        .agg(max(col("q")).as("q"), sum(col("da_kilo")).as("ssa_kilo"))
+        .agg(sum(col("da_kilo")).as("ssa_kilo"))
       val gb = rb.crossJoin(broadcast(tot))
-        .select(col("p"), col("cells"),
-          expr("""CAST(round((smb / CAST(p AS DOUBLE)
+        .select(expr("""CAST(round((smb / CAST(p AS DOUBLE)
             - sm / CAST(cells AS DOUBLE))
             * (smb / CAST(p AS DOUBLE) - sm / CAST(cells AS DOUBLE))
             * 1e-3) AS DECIMAL(38,0))""").as("db_kilo"))
-        .agg(max(col("p")).as("p"), sum(col("db_kilo")).as("ssb_kilo"))
+        .agg(sum(col("db_kilo")).as("ssb_kilo"))
       val gab = m
-        .join(broadcast(ra.select(col("a"), col("q"), col("sma"))), "a")
-        .join(broadcast(rb.select(col("b"), col("p"), col("smb"))), "b")
+        .join(broadcast(ra.select(col("a"), col("sma"))), "a")
+        .join(broadcast(rb.select(col("b"), col("smb"))), "b")
         .crossJoin(broadcast(tot))
         .select(expr("""CAST(round((m_milli - sma / CAST(q AS DOUBLE)
           - smb / CAST(p AS DOUBLE) + sm / CAST(cells AS DOUBLE))
@@ -1003,20 +1009,19 @@ object Planning {
           CAST(round(1e12 / n) AS BIGINT) AS inv_pico
         FROM cells),
       tot AS (SELECT count(*)::BIGINT AS cells, sum(n)::BIGINT AS nt,
+          count(DISTINCT a)::BIGINT AS p, count(DISTINCT b)::BIGINT AS q,
           sum(CAST(round(ssw * 1e-3) AS DECIMAL(38,0))) AS ssw_kilo,
           sum(inv_pico)::BIGINT AS sinv, sum(m_milli)::BIGINT AS sm
         FROM m),
-      ra AS (SELECT a, count(*)::BIGINT AS q, sum(m_milli)::BIGINT
-          AS sma FROM m GROUP BY 1),
-      rb AS (SELECT b, count(*)::BIGINT AS p, sum(m_milli)::BIGINT
-          AS smb FROM m GROUP BY 1),
-      ga AS (SELECT max(q)::BIGINT AS q,
+      ra AS (SELECT a, sum(m_milli)::BIGINT AS sma FROM m GROUP BY 1),
+      rb AS (SELECT b, sum(m_milli)::BIGINT AS smb FROM m GROUP BY 1),
+      ga AS (SELECT
           sum(CAST(round((sma / CAST(q AS DOUBLE)
             - sm / CAST(cells AS DOUBLE))
             * (sma / CAST(q AS DOUBLE) - sm / CAST(cells AS DOUBLE))
             * 1e-3) AS DECIMAL(38,0))) AS ssa_kilo
         FROM ra, tot),
-      gb AS (SELECT max(p)::BIGINT AS p,
+      gb AS (SELECT
           sum(CAST(round((smb / CAST(p AS DOUBLE)
             - sm / CAST(cells AS DOUBLE))
             * (smb / CAST(p AS DOUBLE) - sm / CAST(cells AS DOUBLE))
@@ -1308,8 +1313,10 @@ object Planning {
     * (lang, token) table, per-language top-200 by (count, token)
     * window (lang-partitioned — bounded output, deterministic ties),
     * then the pairwise intersection equi-join on token over the
-    * ≤200·|langs| head table with |∪| = 400 − |∩| exact. Output one
-    * row per language pair, ordered.
+    * ≤200·|langs| head table with |∪| = |A| + |B| − |∩| from measured
+    * per-language head sizes (a language with < 200 distinct tokens
+    * gets its true head size, not an assumed 200). Output one row per
+    * language pair, ordered.
     */
   private val q463 = QueryDef(
     "q463_vocab_overlap",
@@ -1324,15 +1331,24 @@ object Planning {
       val top = tc.withColumn("rk", row_number().over(w))
         .where(col("rk") <= 200)
         .select(col("lang"), col("tok"))
+      // actual head size per language — a language with < 200 distinct
+      // tokens would make the hardcoded |∪| = 400 − shared wrong, so
+      // |∪| = |A| + |B| − shared with measured |A|, |B| (bounded table,
+      // broadcast both sides of the size join)
+      val hs = top.groupBy(col("lang")).agg(count(lit(1)).as("hn"))
       val a = top.select(col("lang").as("lang_a"), col("tok"))
       val b = top.select(col("lang").as("lang_b"), col("tok"))
       a.join(b, Seq("tok"))
         .where(col("lang_a") < col("lang_b"))
         .groupBy(col("lang_a"), col("lang_b"))
         .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(hs.select(col("lang").as("lang_a"),
+          col("hn").as("na"))), Seq("lang_a"))
+        .join(broadcast(hs.select(col("lang").as("lang_b"),
+          col("hn").as("nb"))), Seq("lang_b"))
         .select(col("lang_a"), col("lang_b"), col("n_shared"),
           round(expr("""CAST(n_shared AS DOUBLE)
-            / (400.0 - n_shared)"""), 9).as("jaccard"))
+            / (CAST(na AS DOUBLE) + nb - n_shared)"""), 9).as("jaccard"))
         .orderBy(col("lang_a"), col("lang_b"))
     },
     Some("""WITH tc AS (SELECT lang, tok, count(*)::BIGINT AS c
@@ -1344,14 +1360,17 @@ object Planning {
           row_number() OVER (PARTITION BY lang
             ORDER BY c DESC, tok) AS rk
         FROM tc) WHERE rk <= 200),
+      hs AS (SELECT lang, count(*)::BIGINT AS hn FROM top GROUP BY 1),
       pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
           count(*)::BIGINT AS n_shared
         FROM top a JOIN top b ON a.tok = b.tok AND a.lang < b.lang
         GROUP BY 1, 2)
       SELECT lang_a, lang_b, n_shared,
-        round(CAST(n_shared AS DOUBLE) / (400.0 - n_shared), 9)
-          AS jaccard
-      FROM pr ORDER BY lang_a, lang_b"""))
+        round(CAST(n_shared AS DOUBLE)
+          / (CAST(ha.hn AS DOUBLE) + hb.hn - n_shared), 9) AS jaccard
+      FROM pr JOIN hs ha ON pr.lang_a = ha.lang
+        JOIN hs hb ON pr.lang_b = hb.lang
+      ORDER BY lang_a, lang_b"""))
 
   // ---------- q464: streaming session-state planner ------------------------
 
@@ -1383,11 +1402,19 @@ object Planning {
       val deltas = sess.select(col("sh").as("h"), lit(1L).as("d"))
         .unionAll(sess.select(col("eh").as("h"), lit(-1L).as("d")))
         .groupBy(col("h")).agg(sum(col("d")).as("net"),
-          sum(when(col("d") === 1L, 1L).otherwise(0L)).as("starts"),
           sum(when(col("d") === -1L, 1L).otherwise(0L)).as("frees"))
+      // densify to EVERY hour in the calendar span (idle hours where the
+      // open count stays constant still count toward n_hours/mean_open —
+      // the "hourly resolution" the docstring promises)
+      val frame = deltas.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      val dense = frame.join(deltas, Seq("h"), "left")
+        .select(col("h"),
+          coalesce(col("net"), lit(0L)).as("net"),
+          coalesce(col("frees"), lit(0L)).as("frees"))
       val w = Window.orderBy(col("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val open = deltas
+      val open = dense
         .withColumn("open_end", sum(col("net")).over(w))
         .select(col("h"), col("open_end"),
           (col("open_end") + col("frees")).as("open_upper"))
@@ -1418,17 +1445,22 @@ object Planning {
           (max(epoch_us(ts)) + 1800000000) // 3600000000 AS eh
         FROM numbered GROUP BY user_id, session_seq),
       deltas AS (SELECT h, sum(d)::BIGINT AS net,
-          sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS starts,
           sum(CASE WHEN d = -1 THEN 1 ELSE 0 END)::BIGINT AS frees
         FROM (SELECT sh AS h, 1 AS d FROM sess
           UNION ALL SELECT eh, -1 FROM sess)
         GROUP BY 1),
+      frame AS (SELECT unnest(range(h0, h1 + 1)) AS h
+        FROM (SELECT min(h) AS h0, max(h) AS h1 FROM deltas)),
+      dense AS (SELECT f.h,
+          coalesce(d.net, 0)::BIGINT AS net,
+          coalesce(d.frees, 0)::BIGINT AS frees
+        FROM frame f LEFT JOIN deltas d ON f.h = d.h),
       open_t AS (SELECT h,
           (sum(net) OVER (ORDER BY h
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
             AS open_end,
           frees
-        FROM deltas),
+        FROM dense),
       tot AS (SELECT count(*)::BIGINT AS n_sessions FROM sess),
       red AS (SELECT count(*)::BIGINT AS n_hours,
           max(open_end)::BIGINT AS peak_open,
