@@ -240,6 +240,27 @@ object Dedup {
         explode(col("shs")).as("h"))
   }
 
+  /** Distinct full-corpus LSH band-collision candidate pairs — the
+    * (doc_a < doc_b) self-join of the band table, materialized ONCE per
+    * run via PlanCache: q18 (the dedup pass itself), q246 (the recall
+    * audit) and q321 (the banding planner) all rebuild exactly this
+    * minhash-agg + band self-join otherwise, and the pair table is tiny
+    * (∝ collisions) so persisting it is far cheaper than persisting the
+    * band rows (measured: banding from the persisted inv beats a
+    * persisted band table, but sharing the JOINED pair set wins over
+    * recomputing the join per consumer).
+    */
+  private[ops] def lshCandPairs(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "lsh_cand_pairs") {
+      val bands = minhashBands(persistedInverted(s, dir))
+      bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
+
   private val q18 = QueryDef(
     "q18_minhash_lsh",
     (s, dir) => {
@@ -249,16 +270,7 @@ object Dedup {
       // this is the standard persisted/checkpointed posting table every
       // MinHash pipeline builds first.
       val inv = persistedInverted(s, dir)
-      // both self-join sides recompute the band projection over the
-      // persisted inv — measured cheaper than persisting bands too
-      // (the extra materialization costs more than it saves here)
-      val bands = minhashBands(inv)
-      val cand = bands.alias("a")
-        .join(bands.alias("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val cand = lshCandPairs(s, dir)
       // exact-Jaccard verify of the candidates only, straight off the
       // inverted index: |A∩B| by joining both sides' postings.
       val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -1317,6 +1329,124 @@ object Dedup {
       JOIN sizes sb ON sb.doc_id = doc_new
       WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
       ORDER BY doc_new, doc_old"""))
+
+  // ---------- q473: ingest-batch LSH dedup vs standing band table ------
+
+  /** The standing per-dir corpus BAND table — the persisted LSH index an
+    * incremental pipeline maintains between ingests: (doc_id, band,
+    * bkey) over the existing corpus (q104's old/new convention:
+    * doc_id % 10 >= 2 is the corpus, % 10 < 2 stands in for the
+    * watermark window's arriving batch — `etl/Watermark` produces that
+    * window in the real pipeline). Built once per run via PlanCache; at
+    * 100 TB this is a bucketed table keyed by (band, bkey), rebuilt
+    * only at bootstrap and appended per ingest.
+    */
+  private[graft] def corpusBands(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "corpus_bands")(
+      minhashBands(persistedInverted(s, dir)
+        .where(expr("doc_id % 10 >= 2"))))
+
+  /** Cross-snapshot INGEST dedup via the asymmetric LSH band join — the
+    * missing half of the incremental story: q104 probes the full
+    * shingle POSTING index per new doc (cost ∝ |batch postings| × their
+    * corpus posting lists), while real day-to-day dedup probes the far
+    * smaller standing BAND table ([[corpusBands]], 8 fixed-width rows
+    * per corpus doc) and pays the exact-Jaccard posting join ONLY for
+    * banded candidates. New×old only, never old×old (q104's contract —
+    * intra-batch and bootstrap dedup are q18's self-join). Per NEW doc
+    * the verdict is emitted keep/drop: drop iff some corpus doc's
+    * verified Jaccard ≥ 0.5 (q18's threshold), with the minimal such
+    * corpus id as the canonical `dup_of`; docs with no banded candidate
+    * (including <3-token docs, which have no shingles) keep with
+    * n_cand = 0. Scale shape: the batch's 8·|batch| band rows either
+    * broadcast (daily batch ≪ corpus) or shuffle on (band, bkey)
+    * against the bucketed standing table — the corpus itself never
+    * shuffles; verify joins touch candidates' posting lists only, so
+    * total cost ∝ batch size + band collisions, never corpus².
+    * Streaming twin: [[graft.streaming.DocStream.ingestLshCandidates]]
+    * (stream-static band join, row-parity pinned by StreamingSpec).
+    */
+  private val q473 = QueryDef(
+    "q473_ingest_lsh_dedup",
+    (s, dir) => {
+      val inv = persistedInverted(s, dir)
+      val oldBands = corpusBands(s, dir)
+      val newBands = minhashBands(inv.where(expr("doc_id % 10 < 2")))
+      val cand = newBands.alias("n")
+        .join(oldBands.alias("o"),
+          col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+        .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
+        .distinct()
+      val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val j = cand
+        .join(inv.select(col("doc_id").as("doc_new"), col("h")), "doc_new")
+        .join(inv.select(col("doc_id").as("doc_old"), col("h")),
+          Seq("doc_old", "h"))
+        .groupBy(col("doc_new"), col("doc_old"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("doc_new"), col("n").as("nn")),
+          "doc_new")
+        .join(sizes.select(col("doc_id").as("doc_old"), col("n").as("no")),
+          "doc_old")
+        .select(col("doc_new"), col("doc_old"),
+          (col("n_common").cast("double")
+            / (col("nn") + col("no") - col("n_common"))).as("jaccard"))
+      val cagg = cand.groupBy(col("doc_new"))
+        .agg(count(lit(1)).as("n_cand"))
+      val dagg = j.where(col("jaccard") >= 0.5)
+        .groupBy(col("doc_new"))
+        .agg(count(lit(1)).as("n_dups"),
+          max(col("jaccard")).as("best_jaccard"),
+          min(col("doc_old")).as("dup_of"))
+      docs(s, dir).where(expr("doc_id % 10 < 2")).select(col("doc_id"))
+        .join(cagg.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"),
+          "left_outer")
+        .join(dagg.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"),
+          "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("best_jaccard"), col("dup_of"),
+          when(col("dup_of").isNull, "keep").otherwise("drop")
+            .as("verdict"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val minSelects = minSelectsDuck
+      val bandSelects = (0 until NBands).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, md5(mh${2 * bnd}::VARCHAR || ',' || " +
+          s"mh${2 * bnd + 1}::VARCHAR) AS bkey FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shingledDuckCte,
+      mh AS (SELECT doc_id, $minSelects FROM inv GROUP BY doc_id),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+        FROM bands n JOIN bands o
+        ON n.band = o.band AND n.bkey = o.bkey
+        WHERE n.doc_id % 10 < 2 AND o.doc_id % 10 >= 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
+      jac AS (SELECT c.doc_new, c.doc_old,
+          count(*)::DOUBLE / (sn.n + so.n - count(*)) AS jaccard
+        FROM cand c
+        JOIN inv a ON a.doc_id = c.doc_new
+        JOIN inv b ON b.doc_id = c.doc_old AND b.h = a.h
+        JOIN sizes sn ON sn.doc_id = c.doc_new
+        JOIN sizes so ON so.doc_id = c.doc_old
+        GROUP BY c.doc_new, c.doc_old, sn.n, so.n),
+      cagg AS (SELECT doc_new, count(*)::BIGINT AS n_cand
+        FROM cand GROUP BY 1),
+      dagg AS (SELECT doc_new, count(*)::BIGINT AS n_dups,
+          max(jaccard) AS best_jaccard, min(doc_old)::BIGINT AS dup_of
+        FROM jac WHERE jaccard >= 0.5 GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_cand, 0)::BIGINT AS n_cand,
+        coalesce(n_dups, 0)::BIGINT AS n_dups, best_jaccard, dup_of,
+        CASE WHEN dup_of IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+      FROM documents d
+      LEFT JOIN cagg ON cagg.doc_new = d.doc_id
+      LEFT JOIN dagg ON dagg.doc_new = d.doc_id
+      WHERE d.doc_id % 10 < 2
+      ORDER BY d.doc_id"""
+    })
 
   // ---------- q111: dedup token savings --------------------------------
 
@@ -2424,14 +2554,7 @@ object Dedup {
   private val q246 = QueryDef(
     "q246_lsh_audit",
     (s, dir) => {
-      val inv = persistedInverted(s, dir)
-      val bands = minhashBands(inv)
-      val cand = bands.alias("a")
-        .join(bands.alias("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val cand = lshCandPairs(s, dir)
       val truth = jaccardPairs(s, dir, 0.5)
         .select(col("doc_a"), col("doc_b"))
       val nc = cand.agg(count(lit(1)).as("n_cand"))
@@ -2506,13 +2629,8 @@ object Dedup {
         .where(col("doc_a") < col("doc_b"))
       // the random sample grounds the background mass; the band-
       // colliding candidates ground the dup tail the curve must catch
-      val bands = minhashBands(inv)
-      val candPairs = bands.alias("a")
-        .join(bands.alias("b"),
-          col("a.band") === col("b.band")
-            && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // (the PlanCache'd pair table q18/q246 already materialize)
+      val candPairs = lshCandPairs(s, dir)
       val pairMap = randomPairs.union(candPairs).distinct()
       val withId = pairMap.select(col("doc_a"), col("doc_b"),
         expr(h32Spark("concat('pair_', doc_a, '_', doc_b)")).as("pid"))
@@ -2739,6 +2857,6 @@ object Dedup {
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
       q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
-      q201, q204, q246, q321, q336, q381)
+      q201, q204, q246, q321, q336, q381, q473)
 
 }

@@ -444,6 +444,33 @@ object DocStream {
     * a bucketed table keyed by shingle hash, so the per-microbatch join
     * co-locates against it without shuffling the corpus.
     */
+  /** Streaming twin of q473's asymmetric LSH band join — candidate
+    * generation for cross-snapshot ingest dedup: each arriving document
+    * computes its 8 (band, bkey) LSH rows ROW-LOCALLY
+    * ([[Dedup.minhashBandsRowLocal]], byte-identical to the batch band
+    * projection) and stream-static joins them against the STANDING
+    * corpus band table ([[graft.ops.Dedup.corpusBands]] in the batch
+    * run; in production the persisted bucketed band index). The join is
+    * completely STATELESS — new×old candidate pairs append as documents
+    * arrive, 8 fixed-width probe rows per doc regardless of document
+    * length (vs [[ingestNearDups]]'s per-shingle posting probes) — and
+    * a pair colliding in several bands is emitted once per band, the
+    * standing DocStream convention (consumers `dropDuplicates`, bounded
+    * by a watermark in a continuous deployment). The exact-Jaccard
+    * verify stage composes downstream exactly as in batch: feed the
+    * distinct candidates to [[ingestNearDups]]'s stateful intersection
+    * or to a per-batch posting join. StreamingSpec pins the collected
+    * distinct candidate set equal to the batch q473 `cand` set.
+    */
+  def ingestLshCandidates(newDocsStream: DataFrame,
+      standingBands: DataFrame): DataFrame =
+    Dedup.minhashBandsRowLocal(newDocsStream)
+      .select(col("doc_id").as("doc_new"), col("band"), col("bkey"))
+      .join(standingBands
+          .select(col("doc_id").as("doc_old"), col("band"), col("bkey")),
+        Seq("band", "bkey")) // stream-static inner join: append-legal
+      .select(col("doc_new"), col("doc_old"))
+
   def ingestNearDups(newDocsStream: DataFrame, standingInv: DataFrame,
       threshold: Double = 0.8): Dataset[IngestDup] = {
     val spark = newDocsStream.sparkSession

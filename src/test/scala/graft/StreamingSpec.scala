@@ -677,4 +677,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("streaming ingest LSH candidates (stream-static band join) == " +
+    "batch q473 candidate set (AvailableNow)") {
+    import graft.ops.Dedup
+    import graft.streaming.DocStream
+    // the standing corpus band table: the batch band projection over the
+    // old slice — exactly the old side of batch q473's asymmetric join
+    val standingBands = Dedup.minhashBands(
+      Dedup.inverted(spark, sf).where(col("doc_id") % 10 >= 2))
+    val newDocs = DocStream.readDocuments(spark, sf)
+      .where(col("doc_id") % 10 < 2)
+    val q = DocStream.ingestLshCandidates(newDocs, standingBands)
+      .writeStream.format("memory").queryName("ingestlsh")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // per-band emissions dedup in the collected set (the DocStream
+    // convention), then compare against the batch band self-join
+    val got = spark.table("ingestlsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newBands = Dedup.minhashBands(
+      Dedup.inverted(spark, sf).where(col("doc_id") % 10 < 2))
+    val want = newBands.alias("n").join(standingBands.alias("o"),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+      .select(col("n.doc_id"), col("o.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
