@@ -3678,28 +3678,29 @@ object Analytics {
     * and report the post-peel degree histogram (survivors stranded at
     * degree 0 included, which a naive edges-only recount would lose).
     * The full decomposition iterates this to a fixed point; each
-    * iteration is what ships here — two degree aggregates and two
-    * node-keyed semi-joins over the shared co-purchase pair cache, all
-    * linear in |edges|, with the 1-row peel summary broadcast onto the
-    * histogram (a |degrees|-row table) rather than recomputed.
+    * iteration is what ships here — the pre-peel degrees ARE the shared
+    * degree cache (copurchase_degree), the survivor-induced recount is
+    * one semi-join + aggregate over the shared adj⋈deg materialization
+    * (copurchase_adj_deg), all linear in |edges|, with the 1-row peel
+    * summary broadcast onto the histogram (a |degrees|-row table)
+    * rather than recomputed.
     */
   private val q261 = QueryDef(
     "q261_kcore_peel",
     (s, dir) => {
       val KCore = 3
-      val edges = copurchasePairs(s, dir)
-        .select(col("part_a"), col("part_b"))
-      val deg0 = edges.select(col("part_a").as("node")).union(
-          edges.select(col("part_b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // deg0 IS the shared degree table (copurchase_degree) and the
+      // survivor-filtered adjacency rides the shared adj⋈deg
+      // materialization (copurchase_adj_deg) — q261 previously rebuilt
+      // both from the pair list (two 2|E|-row shuffles per run)
+      val deg0 = copurchaseDegrees(s, dir)
       val survivors = deg0.where(col("deg") >= KCore).select(col("node"))
-      val edges1 = edges
-        .join(survivors.select(col("node").as("part_a")), Seq("part_a"),
+      // post-peel degree: directed adjacency rows whose CENTER survives
+      // (deg >= k rides the cached adj⋈deg) and whose neighbor survives
+      val deg1 = copurchaseAdjDeg(s, dir)
+        .where(col("deg") >= KCore)
+        .join(survivors.select(col("node").as("nbr")), Seq("nbr"),
           "left_semi")
-        .join(survivors.select(col("node").as("part_b")), Seq("part_b"),
-          "left_semi")
-      val deg1 = edges1.select(col("part_a").as("node")).union(
-          edges1.select(col("part_b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val hist = survivors.join(deg1, Seq("node"), "left_outer")
         .select(coalesce(col("deg"), lit(0L)).as("degree"))
@@ -8375,13 +8376,20 @@ object Analytics {
     * over the co-purchase graph, BFS truncated at 4 hops — the
     * sampled-sources approximation that makes centrality affordable
     * when exact all-pairs BFS is |V|·|E| (the standard
-    * Eppstein–Wang trade). Multi-source BFS carries (seed, node)
-    * frontier rows — one shared traversal, per-hop dedup +
-    * anti-join, each hop persisted (the q207 idiom, or the unrolled
-    * lineage re-executes every prior hop per branch). Harmonic terms
-    * pin 1/dist to exact micro integers, so the per-seed fold is
-    * order-independent. Truncation is a documented horizon: scores
-    * are "within-4-hops" centralities, the form monitoring uses.
+    * Eppstein–Wang trade). BIT-PARALLEL multi-source BFS (the MS-BFS
+    * idiom): the frontier is node-keyed with an 8-bit seed MASK, not
+    * (seed, node) pairs — 8× fewer frontier rows, per-hop dedup is one
+    * `bit_or` aggregate instead of distinct + anti-join, and
+    * already-visited suppression is mask arithmetic
+    * (`reached & ~visited`) inside the node-keyed merge join. The
+    * adjacency is repartitioned on the join key once and persisted, so
+    * each hop shuffles only the frontier side — at 100 TB that is 1
+    * corpus shuffle instead of 4. Per-seed hop counts (8 rows/hop via
+    * a broadcast bit-test join) are all the final fold needs:
+    * n = Σcnt, Σdist = Σ h·cnt, harmonic pinned to exact micro
+    * integers so the fold is order-independent. Truncation is a
+    * documented horizon: scores are "within-4-hops" centralities, the
+    * form monitoring uses.
     */
   private val q372 = QueryDef(
     "q372_closeness_sampled",
@@ -8392,33 +8400,60 @@ object Analytics {
         .select(col("part_a").as("p1"), col("part_b").as("p2"))
       val edges = pairs.select(col("p1").as("node"), col("p2").as("v"))
         .unionAll(pairs.select(col("p2").as("node"), col("p1").as("v")))
-      val seeds = edges.select(col("node")).distinct()
+        .repartition(col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val seedBits = edges.select(col("node")).distinct()
         .where(expr(Portable.h32Spark("concat('close_', node)"))
           % 10 === 0)
         .orderBy(col("node")).limit(8)
-        .select(col("node").as("seed"), col("node"),
-          lit(0L).as("dist"))
+        .select(col("node").as("seed"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("node"))) - 1).as("bit"))
         .localCheckpoint(true)
-      var visited = seeds
-      var frontier = seeds.select(col("seed"), col("node"))
-      val hopFrames =
-        scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val seedMasks = seedBits.select(col("seed").as("node"),
+        expr("shiftleft(CAST(1 AS BIGINT), bit)").as("mask"))
+      // each hop's state is localCheckpoint(true)-truncated: the
+      // newv/visited recursion otherwise grows the LOGICAL plan
+      // Fibonacci-style (hop 4's analysis alone cost seconds on a
+      // 2-row frontier when measured with lazy persist)
+      var visited = seedMasks.select(col("node"),
+        col("mask").as("vmask")).localCheckpoint(true)
+      var frontier = seedMasks
+      var hopStats = seedBits.select(col("seed"), lit(0L).as("dist"),
+        lit(0L).as("cnt")).where(lit(false))
       for (h <- 1 to 4) {
-        frontier = frontier.join(edges, "node")
-          .select(col("seed"), col("v").as("node")).distinct()
-          .join(visited.select(col("seed"), col("node")),
-            Seq("seed", "node"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        hopFrames += frontier
-        visited = visited.unionAll(
-          frontier.select(col("seed"), col("node"),
-            lit(h.toLong).as("dist")))
+        // reached-this-hop masks: one bit_or aggregate dedups both the
+        // multi-edge fanout and the multi-seed overlap in one shuffle
+        val reached = frontier.join(edges, "node")
+          .groupBy(col("v").as("node"))
+          .agg(expr("bit_or(mask)").as("rmask"))
+        // newly-set bits only: mask arithmetic replaces the anti-join
+        val newv = reached
+          .join(visited, Seq("node"), "left_outer")
+          .select(col("node"), expr(
+            "rmask & ~coalesce(vmask, CAST(0 AS BIGINT))").as("mask"))
+          .where(col("mask") =!= 0L)
+          .localCheckpoint(true)
+        hopStats = hopStats.unionAll(newv
+          .join(broadcast(seedBits),
+            expr("(mask & shiftleft(CAST(1 AS BIGINT), bit)) <> 0"))
+          .groupBy(col("seed"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("seed"), lit(h.toLong).as("dist"), col("cnt")))
+        // visited merge: union + bit_or re-group (ONE node-keyed
+        // shuffle; a full-outer join would shuffle both sides)
+        visited = visited
+          .unionAll(newv.select(col("node"), col("mask").as("vmask")))
+          .groupBy(col("node"))
+          .agg(expr("bit_or(vmask)").as("vmask"))
+          .localCheckpoint(true)
+        frontier = newv.select(col("node"), col("mask"))
       }
-      val out = visited.where(col("dist") > 0)
+      val out = hopStats
         .groupBy(col("seed"))
-        .agg(count(lit(1)).as("n_reached"),
-          sum(col("dist")).as("sum_dist"),
-          sum(expr("1000000 div dist")).as("harm_micro"))
+        .agg(sum(col("cnt")).as("n_reached"),
+          sum(col("dist") * col("cnt")).as("sum_dist"),
+          sum(expr("cnt * (1000000 div dist)")).as("harm_micro"))
         .select(col("seed"), col("n_reached"), col("sum_dist"),
           round(col("n_reached").cast("double") / col("sum_dist"), 9)
             .as("closeness"),
@@ -8426,7 +8461,7 @@ object Analytics {
             .as("harmonic"))
         .orderBy(col("seed"))
         .localCheckpoint(true)
-      hopFrames.foreach(_.unpersist(blocking = false))
+      edges.unpersist(blocking = false): Unit
       out
     },
     Some(s"""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o,

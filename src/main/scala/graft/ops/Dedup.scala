@@ -572,6 +572,63 @@ object Dedup {
     out.select(col("u").as("node"), col("l").as("component"))
   }
 
+  /** Connected components for BATCH-BOUNDED graphs (long-typed ids):
+    * when the edge set fits one task (≤ `smallLimit` edges — memory is
+    * edges × two longs plus map overhead, a few MB at the default),
+    * run a path-compressed min-root union-find inside ONE
+    * `mapPartitions` task instead of paying diameter-many
+    * shuffle-join-count rounds: the iterative propagation's per-round
+    * job overhead is the entire cost on a small graph (measured: a
+    * 96-edge contracted graph spent ~3 s in round scheduling at
+    * sf0.1). Above the threshold it falls back to the distributed
+    * [[connectedComponents]] — the caller's graph must be bounded by
+    * something (q140: the ingest batch's contracted component graph)
+    * for the single-task path to be the common case; this is the
+    * bounded-frame convention, not a collect (rows never reach the
+    * driver). Union-by-min-root keeps the [[connectedComponents]]
+    * contract: component = min reachable id.
+    */
+  private[graft] def connectedComponentsBounded(pairs: DataFrame,
+      smallLimit: Long = 100000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val Seq(a, b) = pairs.columns.toSeq.take(2)
+    val e = pairs.select(col(a).cast("long").as("u"),
+        col(b).cast("long").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    val out =
+      if (n > smallLimit) connectedComponents(e)
+      else {
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        e.as[(Long, Long)].repartition(1).mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != r) {
+              val nx = parent(c); parent(c) = r; c = nx
+            }
+            r
+          }
+          it.foreach { case (u, v) =>
+            parent.getOrElseUpdate(u, u)
+            parent.getOrElseUpdate(v, v)
+            val ru = find(u); val rv = find(v)
+            if (ru != rv) {
+              if (ru < rv) parent(rv) = ru else parent(ru) = rv
+            }
+          }
+          parent.keysIterator.map(k => (k, find(k)))
+            .toArray.iterator
+        }.toDF("node", "component")
+      }
+    val res = out.localCheckpoint(true)
+    e.unpersist(blocking = false): Unit
+    res
+  }
+
   /** Connected components via alternating large-star/small-star edge
     * rewriting (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") — the flagged alternative to [[connectedComponents]] for
@@ -1810,17 +1867,25 @@ object Dedup {
   /** q49's cluster labels maintained INCREMENTALLY: the standing
     * corpus (doc_id % 10 ≥ 2, q104's split) is labeled once, then the
     * arriving batch's edges — new×old from the standing index (q104's
-    * join) plus new×new within the batch — are merged by running the
-    * SAME min-label propagation over the old labeling's STAR EDGES
-    * (node → component: connectivity-preserving, one edge per old
-    * node) unioned with the new edges. Propagation cost is bounded by
-    * |old nodes| + |new edges| — the old PAIR GRAPH (the expensive
-    * part at 100 TB) is never revisited, and the star graph's
-    * diameter ≤ 2 keeps rounds minimal. The oracle recomputes the
-    * closure over ALL pairs from scratch: agreement proves
-    * merge ≡ recompute (the q70 contract, for graph state). Output =
-    * q49's exact labeling, so the equivalence is checked row-for-row
-    * by the gate itself.
+    * join) plus new×new within the batch — are merged by CONTRACTING
+    * each new-edge endpoint to its standing component id (identity for
+    * endpoints the standing labeling doesn't cover) and labeling that
+    * contracted graph only ([[connectedComponentsBounded]]: one-task
+    * union-find under the batch-bounded limit, distributed min-label
+    * propagation above it): |contracted edges| = |new edges|, and a
+    * chain of k touched components is k contracted hops instead of
+    * ~2k star-graph hops, so the merge cost is bounded by the BATCH,
+    * never the corpus.
+    * A standing component id is its component's min member id, so the
+    * contracted fixpoint's min-label IS the merged graph's min member —
+    * the final labeling is two bounded joins (remap touched old
+    * components; emit contracted-graph labels for endpoints the
+    * standing labeling didn't cover). The old PAIR GRAPH (the
+    * expensive part at 100 TB) is never revisited. The oracle
+    * recomputes the closure over ALL pairs from scratch: agreement
+    * proves merge ≡ recompute (the q70 contract, for graph state).
+    * Output = q49's exact labeling, so the equivalence is checked
+    * row-for-row by the gate itself.
     */
   private val q140 = QueryDef(
     "q140_incremental_components",
@@ -1837,10 +1902,32 @@ object Dedup {
       // cost measures what ingest actually pays: the merge propagation
       val oldLabels = PlanCache.getOrBuild(s, dir, "q140_old_labels")(
         connectedComponents(oldPairs))
-      val starEdges = oldLabels
-        .select(col("node").as("doc_a"), col("component").as("doc_b"))
-      connectedComponents(starEdges.unionAll(newEdges))
-        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      // contract: endpoint -> standing component id (or itself when the
+      // standing labeling doesn't cover it: new docs, plus old docs
+      // whose only edges arrived with the batch)
+      val contracted = newEdges
+        .join(oldLabels.select(col("node").as("doc_a"),
+          col("component").as("ca")), Seq("doc_a"), "left_outer")
+        .join(oldLabels.select(col("node").as("doc_b"),
+          col("component").as("cb")), Seq("doc_b"), "left_outer")
+        .select(coalesce(col("ca"), col("doc_a")).as("u"),
+          coalesce(col("cb"), col("doc_b")).as("v"))
+      // batch-bounded graph -> the single-task union-find path is the
+      // common case; the distributed propagation is the >100k fallback
+      val compLabels = connectedComponentsBounded(contracted)
+      val remap = compLabels
+        .select(col("node").as("l"), col("component").as("merged"))
+      // per-node base label: standing nodes keep their component;
+      // endpoints outside the standing labeling label themselves
+      val endp = newEdges.select(col("doc_a").as("node"))
+        .unionAll(newEdges.select(col("doc_b").as("node"))).distinct()
+      val base = oldLabels.select(col("node"), col("component").as("l"))
+        .unionAll(endp.join(oldLabels.select(col("node")), Seq("node"),
+            "left_anti")
+          .select(col("node"), col("node").as("l")))
+      base.join(remap, Seq("l"), "left_outer")
+        .select(col("node").as("doc_id"),
+          coalesce(col("merged"), col("l")).as("cluster_id"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .orderBy("doc_id")
