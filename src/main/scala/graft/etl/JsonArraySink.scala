@@ -30,20 +30,41 @@ object JsonArraySink {
   /** Write `df` as a single JSON-array file at `outPath`. Rows appear in
     * partition order, then row order within each partition — matching the
     * reference's `next_to_write` submission-order stitching
-    * (db_extractor_full.py:243-258).
+    * (db_extractor_full.py:243-258). Completion strategy per
+    * [[Composer]]: local byte-splice (default, golden byte shape) or
+    * object-store part-list completion (framing baked into the
+    * distributed encode; zero fragment bytes through the driver).
     */
   def write(df: DataFrame, outPath: String,
-      uuidCols: Set[String] = Set.empty): Unit = {
+      uuidCols: Set[String] = Set.empty,
+      composer: Composer = Composer.LocalByteSplice): Unit = {
     val out = Paths.get(outPath)
     Files.createDirectories(out.toAbsolutePath.getParent)
     val tmp = Files.createTempDirectory(
       out.toAbsolutePath.getParent, ".json_parts_")
     try {
-      // distributed encode: one text line per row object
-      Coercions.jsonRow(df, uuidCols)
-        .write.mode("overwrite").text(tmp.resolve("parts").toString)
-      val parts = partFiles(tmp.resolve("parts"))
-      compose(parts, out)
+      val rows = Coercions.jsonRow(df, uuidCols)
+      composer match {
+        case Composer.LocalByteSplice =>
+          // distributed encode: one text line per bare row object
+          rows.write.mode("overwrite").text(tmp.resolve("parts").toString)
+          compose(partFiles(tmp.resolve("parts")), out)
+        case Composer.PartList(store) =>
+          // framing baked in distributedly: every row `,{obj}` —
+          // uniform, so the projection stays one codegen'd concat and
+          // no partition needs global first-ness
+          rows.select(org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit(","),
+              rows.col("json")).as("json"))
+            .write.mode("overwrite").text(tmp.resolve("parts").toString)
+          val frags = partFiles(tmp.resolve("parts"))
+            .filter(p => Files.size(p) > 0)
+          val specs = PartSpec.lit("[") +:
+            frags.zipWithIndex.map { case (p, i) =>
+              PartSpec.fragment(p, skipLeadingByte = i == 0)
+            } :+ PartSpec.lit("]")
+          store.completeByParts(out, specs)
+      }
     } finally deleteRecursively(tmp)
   }
 

@@ -186,6 +186,58 @@ class ExporterSpec extends SparkSpec {
     assert(parsed.count() == nation.count())
   }
 
+  test("PartList composer: one part-list call, ordered, no driver reads") {
+    // recording fake: captures the completion call shape and proves the
+    // SINK issued exactly one completeByParts with fragments in
+    // partition order — the reference's single complete_multipart_upload
+    // (db_extractor_full.py:289-296). Fragment bytes never move through
+    // the sink: the store receives PATHS (UploadPartCopy refs in the
+    // real S3 binding), and this fake never opens them.
+    var calls = List.empty[(java.nio.file.Path, Seq[PartSpec])]
+    val recorder = new PartStore {
+      def completeByParts(out: java.nio.file.Path,
+          parts: Seq[PartSpec]): Unit = calls ::= (out, parts)
+    }
+    val out = tmpDir("partlist")
+    val nation = Fixtures.table(spark, sf, "nation").repartition(4)
+    JsonArraySink.write(nation, s"$out/nation.json",
+      composer = Composer.PartList(recorder))
+    assert(calls.length == 1)
+    val specs = calls.head._2
+    // framing literals bracket the list; fragments between, in order
+    assert(specs.head.literal.contains("[")
+      && specs.last.literal.contains("]"))
+    val frags = specs.filter(_.path.isDefined)
+    assert(frags.nonEmpty)
+    // exactly the first fragment drops its baked-in framing comma
+    // (UploadPartCopy byte-range offset 1 in the real binding)
+    assert(frags.head.skipLeadingByte
+      && frags.tail.forall(!_.skipLeadingByte))
+    // partition order: the part-index sort partFiles guarantees
+    val idx = frags.map(_.path.get.getFileName.toString
+      .split('-')(1).toLong)
+    assert(idx == idx.sorted)
+  }
+
+  test("PartList completion parses to the same array as LocalByteSplice") {
+    val out = tmpDir("partlist_eq")
+    val nation = Fixtures.table(spark, sf, "nation").repartition(3)
+    JsonArraySink.write(nation, s"$out/splice.json")
+    JsonArraySink.write(nation, s"$out/parts.json",
+      composer = Composer.PartList(LocalConcatStore))
+    // byte shapes differ only by interstitial newlines (legal JSON
+    // whitespace); the parsed arrays must be identical
+    def parse(p: String) = spark.read
+      .option("multiLine", "true").json(p)
+      .orderBy("n_nationkey").collect().toSeq
+    assert(parse(s"$out/splice.json") == parse(s"$out/parts.json"))
+    // empty table: completion list is just the framing -> literal []
+    val empty = Fixtures.table(spark, sf, "nation").where("n_nationkey < 0")
+    JsonArraySink.write(empty, s"$out/empty.json",
+      composer = Composer.PartList(LocalConcatStore))
+    assert(Files.readString(Paths.get(s"$out/empty.json")) == "[]")
+  }
+
   test("part stitching stays numeric past the 5-digit part index") {
     // Spark's part-%05d widens to 6 digits after partition 99999; a
     // lexicographic sort would put part-100000 before part-99999 and

@@ -24,13 +24,16 @@ Construction (deterministic, no RNG):
     collisions, not 10-way duplicate cliques (same reasoning as the
     document-text suffixing above).
 
-Usage: python3 tools/gen_sf1.py [/tmp/sf1]
+Usage: python3 tools/gen_sf1.py [/tmp/sf1 [R]]
+  R = replica count (default 10 = sf1; 30 = sf3 for the second
+  scaling point — two measured points distinguish capped-linear
+  from quietly-quadratic).
 """
 import duckdb, os, shutil, sys
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-R = 10
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
