@@ -45,6 +45,12 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // split single-file fixtures across the local cores: the default
+      // 128 MB put a 113 MB sf1 lineitem into ONE scan task and made
+      // every consumer of the basket build serial (q373 measured 3x
+      // slower at sf1 than sf3 purely from this); production tunes the
+      // same knob against executor memory, SURVEY §7.4
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

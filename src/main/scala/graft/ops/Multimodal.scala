@@ -446,11 +446,19 @@ object Multimodal {
           (id, h)
         }
       }.toDF("doc_id", "h")
-      val bands = sig.select(col("doc_id"), col("h"),
-        posexplode(expr(
-          "transform(sequence(0, 6), i -> (h div CAST(pow(2, i * 8) " +
-            "AS BIGINT)) % 256)")).as(Seq("band", "bval")))
-      bands.alias("a")
+      // frozen + merge-hinted: the band table is corpus-sized, so the
+      // self-join must be one shared shuffle (exchange-reused SMJ),
+      // never a broadcast — AQE picks broadcast on mid-size fixtures
+      // (the bands slice sits under the threshold at 10x sf0.1) and
+      // that plan cliffs: 27 s vs 5.5 s measured at sf1/sf3, because
+      // the build and probe subtrees each recompute the non-codegen
+      // signature stage and replica-clique hot buckets skew the probe
+      val bands = graft.ops.PlanCache.freeze(
+        sig.select(col("doc_id"), col("h"),
+          posexplode(expr(
+            "transform(sequence(0, 6), i -> (h div CAST(pow(2, i * 8) " +
+              "AS BIGINT)) % 256)")).as(Seq("band", "bval"))))
+      bands.alias("a").hint("merge")
         .join(bands.alias("b"),
           col("a.band") === col("b.band")
             && col("a.bval") === col("b.bval")

@@ -2238,9 +2238,125 @@ object Quality {
       FROM br, mx
       ORDER BY lang"""))
 
+  // ---------- q477: ingest-batch quality gate (frozen-edge PSI) --------
+
+  /** Quality drift of an ingest batch against the STANDING corpus with
+    * FROZEN bin edges — the production form of q105's PSI: decile
+    * edges are cut on the standing corpus only (the reference
+    * distribution a gate is calibrated against), the batch is bucketed
+    * by those frozen edges, and the top bucket is open-ended so
+    * batch docs better than anything standing still land in decile 10
+    * instead of inventing a bin. Edge assignment compares the full
+    * (quality, doc_id) sort key against each boundary, so ties break
+    * identically in both engines. Per-doc quality is q14's scoring
+    * formula verbatim. Shape: the standing decile cut rides
+    * RangeNtile (per-shard sorts + broadcast offsets — no
+    * corpus-sized single-partition window), the 9 boundaries
+    * broadcast onto the batch, PSI is q105's pinned integer-unit sum.
+    */
+  private val q477 = QueryDef(
+    "q477_ingest_quality_psi",
+    (s, dir) => {
+      val scored = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop", expr(
+          "size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"))
+        .select(col("doc_id"),
+          (lit(0.3) * (size(array_distinct(col("toks"))).cast("double")
+              / col("n_tokens"))
+            + lit(0.2) * (lit(1.0) - col("n_stop").cast("double")
+              / col("n_tokens"))
+            + lit(0.2) * (lit(1.0)
+              - length(regexp_replace(col("text"), "[a-z ]", ""))
+                .cast("double") / length(col("text")))
+            + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
+              lit(1.0))).as("quality"))
+      val standing = scored.where(col("doc_id") % 10 >= 2)
+      val batch = scored.where(col("doc_id") % 10 < 2)
+      val labeled = RangeNtile.withNtile(standing,
+        Seq(col("quality"), col("doc_id")), 10, "bucket")
+      val bounds = labeled.groupBy(col("bucket"))
+        .agg(max(struct(col("quality"), col("doc_id"))).as("hi"))
+        .where(col("bucket") <= 9)
+        .select(col("bucket").as("bb"), col("hi.quality").as("hq"),
+          col("hi.doc_id").as("hd"))
+      val assigned = batch.join(broadcast(bounds),
+          col("quality") < col("hq")
+            || (col("quality") === col("hq") && col("doc_id") <= col("hd")),
+          "left_outer")
+        .groupBy(col("doc_id")).agg(min(col("bb")).as("b"))
+        .select(coalesce(col("b"), lit(10L)).as("bucket"))
+      val refCnt = labeled.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_ref"))
+      val batCnt = assigned.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_batch"))
+      val agg = refCnt.join(batCnt, Seq("bucket"), "left_outer")
+        .select(col("bucket"), col("n_ref"),
+          coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+      val tot = agg.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_batch")).as("t_bat"))
+      val units = agg.crossJoin(broadcast(tot))
+        .withColumn("pa", col("n_ref").cast("double") / col("t_ref"))
+        .withColumn("pb", col("n_batch").cast("double") / col("t_bat"))
+        .withColumn("units", when(col("n_ref") > 0 && col("n_batch") > 0,
+          round((col("pa") - col("pb")) * log(col("pa") / col("pb"))
+            * lit(1e9)).cast("long")).otherwise(0L))
+      val psum = units.agg(sum(col("units")).as("su"))
+      units.crossJoin(broadcast(psum))
+        .withColumn("psi", col("su").cast("double") / lit(1e9))
+        .select(col("bucket"), col("n_ref"), col("n_batch"),
+          col("pa"), col("pb"), col("psi"))
+        .orderBy("bucket")
+    },
+    Some("""WITH scored AS (SELECT doc_id,
+          0.3 * (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0 - cast(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0 - cast(length(regexp_replace(text, '[a-z ]', '', 'g'))
+              AS DOUBLE) / length(text))
+          + 0.3 * least(cast(len(string_split(text, ' ')) AS DOUBLE) / 50.0,
+              1.0) AS quality
+        FROM documents),
+      labeled AS (SELECT doc_id, quality,
+          ntile(10) OVER (ORDER BY quality, doc_id) AS bucket
+        FROM scored WHERE doc_id % 10 >= 2),
+      bounds AS (SELECT bucket AS bb, quality AS hq, doc_id AS hd FROM (
+          SELECT bucket, quality, doc_id, row_number() OVER (
+            PARTITION BY bucket ORDER BY quality DESC, doc_id DESC) AS rn
+          FROM labeled) WHERE rn = 1 AND bucket <= 9),
+      batch AS (SELECT doc_id, quality FROM scored WHERE doc_id % 10 < 2),
+      assigned AS (SELECT b.doc_id,
+          coalesce(min(bo.bb), 10)::BIGINT AS bucket
+        FROM batch b LEFT JOIN bounds bo
+          ON (b.quality < bo.hq
+            OR (b.quality = bo.hq AND b.doc_id <= bo.hd))
+        GROUP BY 1),
+      refc AS (SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_ref
+        FROM labeled GROUP BY 1),
+      batc AS (SELECT bucket, count(*)::BIGINT AS n_batch
+        FROM assigned GROUP BY 1),
+      agg AS (SELECT r.bucket, r.n_ref,
+          coalesce(b.n_batch, 0)::BIGINT AS n_batch
+        FROM refc r LEFT JOIN batc b ON b.bucket = r.bucket),
+      tot AS (SELECT sum(n_ref) AS t_ref, sum(n_batch) AS t_bat FROM agg),
+      terms AS (SELECT bucket, n_ref, n_batch,
+          n_ref::DOUBLE / t_ref AS pa, n_batch::DOUBLE / t_bat AS pb,
+          CASE WHEN n_ref > 0 AND n_batch > 0 THEN
+            round((n_ref::DOUBLE / t_ref - n_batch::DOUBLE / t_bat)
+              * ln((n_ref::DOUBLE / t_ref) / (n_batch::DOUBLE / t_bat))
+              * 1e9)::BIGINT
+          ELSE 0 END AS units
+        FROM agg, tot)
+      SELECT bucket, n_ref, n_batch, pa, pb,
+        (sum(units) OVER ())::DOUBLE / 1e9 AS psi
+      FROM terms ORDER BY bucket"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
       q262, q271, q274, q299, q309, q310, q319, q320, q354, q380, q384,
-      q396)
+      q396, q477)
 }

@@ -1998,7 +1998,167 @@ object Similarity {
           AS avg_silhouette
       FROM sil GROUP BY own ORDER BY own"""))
 
+  // ---------- q474: ingest-batch ANN assignment ------------------------
+
+  /** The vector-side twin of q473's ingest dedup: route each ARRIVING
+    * vector (vec_id % 10 < 2, q104's batch split) through the STANDING
+    * index — coarse-quantize against the standing codebook (centroids
+    * computed from standing members only; the batch must not move the
+    * codebook it is being routed by), then exact top-k against
+    * standing members of the assigned cell only. Asymmetric by
+    * construction: new×old, never new×new or old×old — probe cost is
+    * |batch| × cell occupancy and the standing corpus never shuffles
+    * (in production it is bucketed by cell id, so the probe co-locates;
+    * the codebook is a broadcast). This is the search path an index
+    * serves BETWEEN rebuilds; q476 is the maintenance diagnostic that
+    * decides when a rebuild is due.
+    */
+  private val q474 = QueryDef(
+    "q474_ingest_ann_assign",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val standCvec = emb(s, dir).where(col("vec_id") % 10 >= 2)
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy(col("label"), col("pos"))
+        .agg(expr(centSparkSum).as("sum_val"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          (col("sum_val") / col("n")).as("centroid"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, " +
+          "centroid))), s -> s.centroid)").as("cvec"))
+      val batch = emb(s, dir).where(col("vec_id") % 10 < 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val wCell = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val assign = batch.crossJoin(broadcast(standCvec))
+        .select(col("query_id"), col("qe"), col("label"),
+          expr("graft_cosine(qe, cvec)").as("ccos"))
+        .withColumn("rn", row_number().over(wCell))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("qe"), col("label").as("cell"))
+      val standing = emb(s, dir).where(col("vec_id") % 10 >= 2)
+        .select(col("label").as("cell"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      assign.join(standing, Seq("cell"))
+        .select(col("query_id"), col("cell"), col("neighbor_id"),
+          expr("graft_cosine(qe, ne)").as("cosine"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= KAnn)
+        .select(col("query_id"), col("cell"), col("rnk"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH ex AS (SELECT label, vec_id, pos - 1 AS pos,
+          embedding[pos] AS val
+        FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(pos)
+        WHERE vec_id % 10 >= 2),
+      cent AS (SELECT label, pos,
+        list_reduce(list_prepend(0.0::DOUBLE,
+            list(val::DOUBLE ORDER BY vec_id)),
+          (acc, v) -> acc + v) / count(*) AS centroid
+        FROM ex GROUP BY label, pos),
+      cvec AS (SELECT label, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id % 10 < 2),
+      cellscore AS (SELECT query_id, qe, label,
+          ${Dedup.cosDuck("qe", "cvec")} AS ccos
+        FROM q CROSS JOIN cvec),
+      assign AS (SELECT query_id, qe, label AS cell FROM (
+          SELECT query_id, qe, label, row_number() OVER (
+            PARTITION BY query_id ORDER BY ccos DESC, label) AS rn
+          FROM cellscore) WHERE rn = 1),
+      scored AS (SELECT query_id, cell, b.vec_id AS neighbor_id,
+          ${Dedup.cosDuck("qe", "b.embedding")} AS cosine
+        FROM assign a JOIN embeddings b
+        ON b.label = a.cell AND b.vec_id % 10 >= 2),
+      r AS (SELECT query_id, cell, neighbor_id, cosine,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+      SELECT query_id, cell, rnk, neighbor_id, cosine FROM r
+      WHERE rnk <= $KAnn ORDER BY query_id, rnk"""))
+
+  // ---------- q476: ingest-batch centroid drift ------------------------
+
+  /** IVF index-maintenance diagnostic after an ingest batch: for each
+    * cell, merge the batch members into the standing centroid
+    * INCREMENTALLY — merged = (standing_sum + batch_sum) /
+    * (n_standing + n_batch), the streaming-mean update; the standing
+    * corpus contributes only its per-cell (sum, count) state, never a
+    * rescan — and report how far the centroid moved (cosine between
+    * standing and merged centroid vectors) plus the member growth.
+    * Cells whose centroid shifts below the cos ≥ 0.9999 band are due
+    * for re-clustering; q474 keeps serving the old codebook until
+    * then. Per-component sums fold in vec_id order on both sides
+    * (the centSparkSum discipline), so old/new sums and the division
+    * are bit-equal across engines. Shape: two posexplode aggregates
+    * (batch one is batch-bounded), a |cells|×Dim merge, |cells|-row
+    * output.
+    */
+  private val q476 = QueryDef(
+    "q476_ingest_centroid_drift",
+    (s, dir) => {
+      def sums(side: DataFrame) = side
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy(col("label"), col("pos"))
+        .agg(expr(centSparkSum).as("sv"), count(lit(1)).as("n"))
+      val old = sums(emb(s, dir).where(col("vec_id") % 10 >= 2))
+        .select(col("label"), col("pos"), col("sv").as("so"),
+          col("n").as("no"))
+      val bat = sums(emb(s, dir).where(col("vec_id") % 10 < 2))
+        .select(col("label"), col("pos"), col("sv").as("sb"),
+          col("n").as("nb"))
+      val merged = old.join(bat, Seq("label", "pos"), "left_outer")
+        .select(col("label"), col("pos"),
+          (col("so") / col("no")).as("c_old"),
+          ((col("so") + coalesce(col("sb"), lit(0.0)))
+            / (col("no") + coalesce(col("nb"), lit(0L)))).as("c_new"),
+          col("no"), coalesce(col("nb"), lit(0L)).as("nb"))
+      merged.groupBy(col("label"))
+        .agg(
+          expr("transform(sort_array(collect_list(struct(pos, c_old))), " +
+            "s -> s.c_old)").as("vo"),
+          expr("transform(sort_array(collect_list(struct(pos, c_new))), " +
+            "s -> s.c_new)").as("vn"),
+          max(col("no")).as("n_standing"), max(col("nb")).as("n_batch"))
+        .select(col("label"), col("n_standing"), col("n_batch"),
+          round(expr("graft_cosine(vo, vn)"), 9).as("cos_shift"),
+          (round(expr("graft_cosine(vo, vn)"), 9) >= lit(0.9999))
+            .as("stable"))
+        .orderBy("label")
+    },
+    Some(s"""WITH ex AS (SELECT label, vec_id, pos - 1 AS pos,
+          embedding[pos] AS val,
+          CASE WHEN vec_id % 10 < 2 THEN 1 ELSE 0 END AS isb
+        FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(pos)),
+      so AS (SELECT label, pos,
+          list_reduce(list_prepend(0.0::DOUBLE,
+              list(val::DOUBLE ORDER BY vec_id) FILTER (isb = 0)),
+            (acc, v) -> acc + v) AS so,
+          count(*) FILTER (isb = 0) AS no,
+          coalesce(list_reduce(list_prepend(0.0::DOUBLE,
+              list(val::DOUBLE ORDER BY vec_id) FILTER (isb = 1)),
+            (acc, v) -> acc + v), 0.0) AS sb,
+          count(*) FILTER (isb = 1) AS nb
+        FROM ex GROUP BY label, pos),
+      m AS (SELECT label, pos, so / no AS c_old,
+          (so + sb) / (no + nb) AS c_new, no, nb
+        FROM so),
+      v AS (SELECT label, list(c_old ORDER BY pos) AS vo,
+          list(c_new ORDER BY pos) AS vn,
+          max(no) AS n_standing, max(nb) AS n_batch
+        FROM m GROUP BY label)
+      SELECT label, n_standing::BIGINT AS n_standing,
+        n_batch::BIGINT AS n_batch,
+        round(${Dedup.cosDuck("vo", "vn")}, 9) AS cos_shift,
+        (round(${Dedup.cosDuck("vo", "vn")}, 9) >= 0.9999) AS stable
+      FROM v ORDER BY label"""))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
     q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259,
-    q260, q265, q280, q318, q332, q376, q377, q404)
+    q260, q265, q280, q318, q332, q376, q377, q404, q474, q476)
 }

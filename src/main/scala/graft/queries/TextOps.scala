@@ -1948,8 +1948,73 @@ object TextOps {
           / (n_tokens::DOUBLE * n_tokens::DOUBLE), 9) AS yule_k
       FROM k ORDER BY lang"""))
 
+  // ---------- q475: ingest-batch vocabulary delta ----------------------
+
+  /** Tokenizer-maintenance view of an ingest batch (doc_id % 10 < 2,
+    * q104's split): per language, how much NEW vocabulary the batch
+    * brings relative to the STANDING corpus — distinct batch tokens,
+    * out-of-vocabulary share (both type- and token-weighted), and how
+    * many OOV tokens clear the frequency bar for admission into the
+    * next tokenizer build (count ≥ 3, the rare-token floor). The OOV
+    * token rate is the number a pipeline alarms on: a spike means the
+    * batch's domain drifted from what the tokenizer was trained on.
+    * Shape: the standing VOCABULARY (distinct (lang, token) — already
+    * aggregate-compressed, ≪ corpus) joins the batch's token counts on
+    * (lang, token); the batch side is batch-bounded, the standing side
+    * shuffles its vocab once. Integer counts end-to-end; the two
+    * shares are single pinned divisions.
+    */
+  private val q475 = QueryDef(
+    "q475_ingest_vocab_delta",
+    (s, dir) => {
+      def toks(side: DataFrame) = side
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val standingVocab = toks(docs(s, dir).where(col("doc_id") % 10 >= 2))
+        .distinct()
+      val batchCounts = toks(docs(s, dir).where(col("doc_id") % 10 < 2))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val flagged = batchCounts
+        .join(standingVocab.withColumn("known", lit(1L)),
+          Seq("lang", "tok"), "left_outer")
+        .select(col("lang"), col("c"),
+          when(col("known").isNull, 1L).otherwise(0L).as("oov"))
+      flagged.groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_batch_tokens"),
+          count(lit(1)).as("n_batch_distinct"),
+          sum(col("oov")).as("oov_distinct"),
+          sum(col("oov") * col("c")).as("oov_occurrences"),
+          sum(when(col("oov") === 1L && col("c") >= 3L, 1L)
+            .otherwise(0L)).as("n_admitted"))
+        .select(col("lang"), col("n_batch_tokens"), col("n_batch_distinct"),
+          col("oov_distinct"), col("oov_occurrences"), col("n_admitted"),
+          round(col("oov_occurrences").cast("double")
+            / col("n_batch_tokens"), 9).as("oov_token_rate"),
+          round(col("oov_distinct").cast("double")
+            / col("n_batch_distinct"), 9).as("oov_type_rate"))
+        .orderBy("lang")
+    },
+    Some("""WITH sv AS (SELECT DISTINCT lang, tok FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE doc_id % 10 >= 2)),
+      bc AS (SELECT lang, tok, count(*) AS c FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE doc_id % 10 < 2) GROUP BY 1, 2),
+      fl AS (SELECT bc.lang, bc.c,
+          CASE WHEN sv.tok IS NULL THEN 1 ELSE 0 END AS oov
+        FROM bc LEFT JOIN sv ON sv.lang = bc.lang AND sv.tok = bc.tok)
+      SELECT lang, sum(c)::BIGINT AS n_batch_tokens,
+        count(*)::BIGINT AS n_batch_distinct,
+        sum(oov)::BIGINT AS oov_distinct,
+        sum(oov * c)::BIGINT AS oov_occurrences,
+        sum(CASE WHEN oov = 1 AND c >= 3 THEN 1 ELSE 0 END)::BIGINT
+          AS n_admitted,
+        round(sum(oov * c)::DOUBLE / sum(c), 9) AS oov_token_rate,
+        round(sum(oov)::DOUBLE / count(*), 9) AS oov_type_rate
+      FROM fl GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[QueryDef] =
     Seq(q13, q14, q15, q16, q55, q64, q84, q97, q119, q121, q133, q145,
       q153, q155, q165, q177, q198, q199, q215, q217, q244, q245, q278,
-      q279, q287, q298, q305, q313, q328, q378, q379, q406)
+      q279, q287, q298, q305, q313, q328, q378, q379, q406, q475)
 }

@@ -7,9 +7,9 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExc
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Registry-wide physical-plan lint: executes every registered query at
-  * sf0.001 and walks its AQE-final plan, failing on the two shapes that
-  * are scale-killers at 100 TB no matter how fast they run on a
+/** Registry-wide physical-plan lint: executes every registered query
+  * ONCE at sf0.01 and walks its AQE-final plan, failing on the shapes
+  * that are scale-killers at 100 TB no matter how fast they run on a
   * fixture —
   *
   *  - `CartesianProduct`: an unbroadcast all-pairs join; corpus² work.
@@ -32,8 +32,6 @@ class PlanLintSpec extends AnyFunSuite {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  private val sf = "/root/testdata/sf0.001"
-
   /** Queries whose contract is explicitly all-pairs. */
   private val cartesianAllowed = Set("q21_embedding_neardup")
 
@@ -57,38 +55,8 @@ class PlanLintSpec extends AnyFunSuite {
     p +: kids.flatMap(walk)
   }
 
-  test("no registry query's final plan has a cartesian product or a " +
-    "corpus-sized nested-loop broadcast") {
-    val failures = SparkEntry.registry.flatMap { q =>
-      if (cartesianAllowed(q.name)) Seq.empty
-      else {
-        val df = q.fn(spark, sf)
-        df.queryExecution.toRdd.count() // materialize → AQE-final plan
-        val nodes = walk(df.queryExecution.executedPlan)
-        val cart = nodes.collect { case c: CartesianProductExec =>
-          s"${q.name}: CartesianProduct in final plan"
-        }
-        val bigBnlj = nodes.collect {
-          case b: BroadcastNestedLoopJoinExec => b
-        }.flatMap { b =>
-          val build = b.buildSide match {
-            case BuildLeft => b.left
-            case BuildRight => b.right
-          }
-          val rows = walk(build).collectFirst {
-            case e: BroadcastExchangeExec =>
-              e.metrics("numOutputRows").value
-          }
-          if (rows.exists(_ <= MaxNestedLoopBuildRows)) None
-          else Some(s"${q.name}: BroadcastNestedLoopJoin build side " +
-            s"broadcast ${rows.getOrElse("?")} rows " +
-            s"(limit $MaxNestedLoopBuildRows)")
-        }
-        cart ++ bigBnlj
-      }
-    }
-    assert(failures.isEmpty, failures.mkString("\n"))
-  }
+  // (The cartesian/BNLJ gate runs inside the single consolidated sweep
+  // below — one execution of the registry serves all three lints.)
 
   /** A tiny aggregate (decile curves, survival tables, monthly series)
     * may legitimately collapse to one partition; a corpus-sized input
@@ -104,18 +72,53 @@ class PlanLintSpec extends AnyFunSuite {
   private val MaxSinglePartitionRows = 2000L
   private val sfVolume = "/root/testdata/sf0.01"
 
-  test("no registry query's final plan moves more than " +
-    s"$MaxSinglePartitionRows rows through a single-partition shuffle " +
-    "at sf0.01 (unpartitioned windows / global collapses)") {
-    // The round-8 migration class: Window.orderBy with no partition key
-    // plans a numPartitions=1 ShuffleExchange below the WindowExec, so
-    // gating single-partition shuffle volume machine-enforces "no
-    // corpus-sized single-task sort" for every current and future query
-    // — the runtime metric, not a static estimate, decides.
+  test("registry sweep at sf0.01: every query returns rows; no " +
+    "cartesian product, corpus-sized nested-loop broadcast, or " +
+    s">$MaxSinglePartitionRows-row single-partition shuffle") {
+    // ONE execution of the registry serves all three gates (the suite
+    // previously ran three full sweeps — cartesian at sf0.001, volume
+    // at sf0.01, rows>0 in RelationalSpec — for no added coverage):
+    //  - rows > 0: the smoke check formerly in RelationalSpec;
+    //  - cartesian/BNLJ: corpus² shapes, judged by the ACTUAL broadcast
+    //    row count from the executed exchange's metrics (at sf0.01 a
+    //    corpus-sized build side is 10x more visible than at the old
+    //    sf0.001 gate, while declared-bounded build sides — scalar
+    //    aggregates, ≤8-row query sets, codebooks, calendar spines —
+    //    do not grow with SF at all);
+    //  - single-partition shuffle volume: the round-8 migration class
+    //    (Window.orderBy with no partition key plans a numPartitions=1
+    //    exchange below the WindowExec) — the runtime metric, not a
+    //    static estimate, decides.
     val failures = SparkEntry.registry.flatMap { q =>
       val df = q.fn(spark, sfVolume)
-      df.queryExecution.toRdd.count() // materialize → AQE-final plan
-      walk(df.queryExecution.executedPlan).collect {
+      val n = df.queryExecution.toRdd.count() // materialize → AQE-final
+      val nodes = walk(df.queryExecution.executedPlan)
+      val empty = if (n > 0) Seq.empty
+        else Seq(s"${q.name}: returned 0 rows at sf0.01")
+      val cart =
+        if (cartesianAllowed(q.name)) Seq.empty
+        else nodes.collect { case c: CartesianProductExec =>
+          s"${q.name}: CartesianProduct in final plan"
+        }
+      val bigBnlj =
+        if (cartesianAllowed(q.name)) Seq.empty
+        else nodes.collect {
+          case b: BroadcastNestedLoopJoinExec => b
+        }.flatMap { b =>
+          val build = b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          }
+          val rows = walk(build).collectFirst {
+            case e: BroadcastExchangeExec =>
+              e.metrics("numOutputRows").value
+          }
+          if (rows.exists(_ <= MaxNestedLoopBuildRows)) None
+          else Some(s"${q.name}: BroadcastNestedLoopJoin build side " +
+            s"broadcast ${rows.getOrElse("?")} rows " +
+            s"(limit $MaxNestedLoopBuildRows)")
+        }
+      val volume = nodes.collect {
         case e: ShuffleExchangeExec
             if e.outputPartitioning.numPartitions == 1 =>
           e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
@@ -123,6 +126,7 @@ class PlanLintSpec extends AnyFunSuite {
         s"${q.name}: single-partition shuffle carries $rows rows " +
           s"(limit $MaxSinglePartitionRows)"
       }
+      empty ++ cart ++ bigBnlj ++ volume
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

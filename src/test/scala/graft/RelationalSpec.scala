@@ -22,12 +22,9 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every registered query runs on sf0.001 and is non-empty") {
-    SparkEntry.queries.keys.foreach { n =>
-      val c = run(n).count()
-      assert(c > 0, s"$n returned 0 rows")
-    }
-  }
+  // (The "every query runs and returns rows" sweep lives in
+  // PlanLintSpec's consolidated sf0.01 registry execution — one sweep
+  // serves the rows>0 smoke check and both plan lints.)
 
   test("q01 projects exactly two pruned columns") {
     val df = run("q01_scan_project")
