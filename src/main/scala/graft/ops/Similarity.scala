@@ -2013,20 +2013,28 @@ object Similarity {
     * serves BETWEEN rebuilds; q476 is the maintenance diagnostic that
     * decides when a rebuild is due.
     */
+  /** The STANDING-members-only codebook (label, cvec) q474 routes by —
+    * public to graft so the streaming twin's spec can collect it into
+    * the row-local routing map ([[graft.streaming.VecStream]]).
+    */
+  private[graft] def standingCodebook(s: SparkSession,
+      dir: String): DataFrame =
+    emb(s, dir).where(col("vec_id") % 10 >= 2)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr(centSparkSum).as("sum_val"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sum_val") / col("n")).as("centroid"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, " +
+        "centroid))), s -> s.centroid)").as("cvec"))
+
   private val q474 = QueryDef(
     "q474_ingest_ann_assign",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val standCvec = emb(s, dir).where(col("vec_id") % 10 >= 2)
-        .select(col("label"), col("vec_id"),
-          posexplode(col("embedding")).as(Seq("pos", "val")))
-        .groupBy(col("label"), col("pos"))
-        .agg(expr(centSparkSum).as("sum_val"), count(lit(1)).as("n"))
-        .select(col("label"), col("pos"),
-          (col("sum_val") / col("n")).as("centroid"))
-        .groupBy(col("label"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, " +
-          "centroid))), s -> s.centroid)").as("cvec"))
+      val standCvec = standingCodebook(s, dir)
       val batch = emb(s, dir).where(col("vec_id") % 10 < 2)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val wCell = Window.partitionBy(col("query_id"))

@@ -705,4 +705,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("streaming ingest ANN candidates equal batch q474's scored set " +
+    "(AvailableNow)") {
+    import graft.streaming.VecStream
+    // the standing codebook as the driver-held routing map — the
+    // dsirScore side-input convention, collected from the same
+    // standing-members-only aggregation batch q474 routes by
+    val codebook = graft.ops.Similarity.standingCodebook(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val newVecs = VecStream.readEmbeddings(spark, sf)
+      .where(col("vec_id") % 10 < 2)
+    val standing = Fixtures.table(spark, sf, "embeddings")
+      .where(col("vec_id") % 10 >= 2)
+    val q = VecStream.ingestAnnCandidates(newVecs, codebook, standing)
+      .writeStream.format("memory").queryName("ingestann")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ingestann").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // batch re-derivation: q474's assign ⋈ standing scored set BEFORE
+    // the top-k rank (the rank is the consumer's job in the stream)
+    import org.apache.spark.sql.expressions.Window
+    val standCvec = graft.ops.Similarity.standingCodebook(spark, sf)
+    val batch = Fixtures.table(spark, sf, "embeddings")
+      .where(col("vec_id") % 10 < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val want = batch.crossJoin(broadcast(standCvec))
+      .select(col("query_id"), col("qe"), col("label"),
+        expr("graft_cosine(qe, cvec)").as("ccos"))
+      .withColumn("rn", row_number().over(wCell))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("qe"), col("label").as("cell"))
+      .join(standing.select(col("label").as("cell"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+        Seq("cell"))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        expr("graft_cosine(qe, ne)").as("cosine"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
