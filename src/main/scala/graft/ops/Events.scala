@@ -5812,6 +5812,112 @@ object Events {
           AS verdict
       FROM z"""))
 
+  // ---------- q479: incremental sessionization merge -------------------
+
+  /** Session-state maintenance across an ingest boundary — the batch
+    * form of what `mapGroupsWithState` keeps live in the streaming
+    * twin family: events split at a TIME watermark (cut = min +
+    * 4/5·range, integer-µs arithmetic — the shape the ETL layer's
+    * incremental scan produces), the STANDING window is sessionized
+    * once, the arriving window is sessionized alone, and the only
+    * cross-boundary work is one per-user comparison: a user's first
+    * batch event within the session gap of their last standing event
+    * FUSES the two edge sessions (q27's strict-> rule, so fuse is
+    * <= gap). The gap here is 6 h — the daily-activity session
+    * definition (q24's window width), chosen so the fixture actually
+    * exercises the fuse path (16 spanned users at sf0.01; a 30-min
+    * gap never spans the cut on this corpus and would gate nothing). Sessions merged incrementally = standing + batch −
+    * fused, and the query carries the full-recompute count beside it:
+    * `merge_equals_full` is the q70 merge≡recompute contract for
+    * session state. The identity is exact because the time split
+    * makes every standing event of a user precede every batch event —
+    * per user, only the edge pair can interact. Shape: three
+    * user-partitioned window passes (standing, batch, full-audit) +
+    * one per-user boundary aggregate; 1-row output.
+    */
+  private val q479 = QueryDef(
+    "q479_ingest_session_merge",
+    (s, dir) => {
+      val GapUs = 21600000000L
+      val evu = ev(s, dir).select(col("user_id"), col("event_id"),
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").as("us"))
+      val mm = evu.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val cut = evu.crossJoin(broadcast(mm))
+        .withColumn("isb",
+          (col("us") >= col("lo") + expr("(hi - lo) * 4 div 5"))
+            .cast("long"))
+        .select(col("user_id"), col("event_id"), col("us"), col("isb"))
+      val w = Window.partitionBy(col("user_id"), col("isb"))
+        .orderBy(col("us"), col("event_id"))
+      val sides = cut
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("is_new", when(col("prev").isNull
+          || col("us") - col("prev") > GapUs, 1L).otherwise(0L))
+      val nSide = sides.groupBy(col("isb"))
+        .agg(sum(col("is_new")).as("n"))
+      val nStanding = nSide.where(col("isb") === 0)
+        .select(col("n").as("n_standing"))
+      val nBatch = nSide.where(col("isb") === 1)
+        .select(col("n").as("n_batch"))
+      val edges = cut.groupBy(col("user_id"))
+        .agg(max(when(col("isb") === 0, col("us"))).as("last_old"),
+          min(when(col("isb") === 1, col("us"))).as("first_new"))
+        .where(col("last_old").isNotNull && col("first_new").isNotNull
+          && col("first_new") - col("last_old") <= GapUs)
+      val nSpanned = edges.agg(
+        count(lit(1)).as("n_spanned"))
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val nFull = cut
+        .withColumn("prev", lag(col("us"), 1).over(wf))
+        .withColumn("is_new", when(col("prev").isNull
+          || col("us") - col("prev") > GapUs, 1L).otherwise(0L))
+        .agg(sum(col("is_new")).as("n_full"))
+      nStanding.crossJoin(nBatch).crossJoin(nSpanned).crossJoin(nFull)
+        .select(col("n_standing"), col("n_batch"), col("n_spanned"),
+          (col("n_standing") + col("n_batch") - col("n_spanned"))
+            .as("n_incremental"),
+          col("n_full"),
+          (col("n_standing") + col("n_batch") - col("n_spanned")
+            === col("n_full")).as("merge_equals_full"))
+    },
+    Some("""WITH evu AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        FROM events),
+      mm AS (SELECT min(us) AS lo, max(us) AS hi FROM evu),
+      cut AS (SELECT user_id, event_id, us,
+          CASE WHEN us >= lo + (hi - lo) * 4 // 5 THEN 1 ELSE 0 END
+            AS isb
+        FROM evu, mm),
+      sides AS (SELECT isb, CASE WHEN lag(us) OVER w IS NULL
+            OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END
+            AS is_new
+        FROM cut
+        WINDOW w AS (PARTITION BY user_id, isb ORDER BY us, event_id)),
+      ns AS (SELECT sum(CASE WHEN isb = 0 THEN is_new ELSE 0 END)::BIGINT
+            AS n_standing,
+          sum(CASE WHEN isb = 1 THEN is_new ELSE 0 END)::BIGINT
+            AS n_batch
+        FROM sides),
+      sp AS (SELECT count(*)::BIGINT AS n_spanned FROM (
+          SELECT user_id,
+            max(CASE WHEN isb = 0 THEN us END) AS last_old,
+            min(CASE WHEN isb = 1 THEN us END) AS first_new
+          FROM cut GROUP BY user_id)
+        WHERE last_old IS NOT NULL AND first_new IS NOT NULL
+          AND first_new - last_old <= 21600000000),
+      fl AS (SELECT CASE WHEN lag(us) OVER wf IS NULL
+            OR us - lag(us) OVER wf > 21600000000 THEN 1 ELSE 0 END
+            AS is_new
+        FROM cut
+        WINDOW wf AS (PARTITION BY user_id ORDER BY us, event_id)),
+      nf AS (SELECT sum(is_new)::BIGINT AS n_full FROM fl)
+      SELECT n_standing, n_batch, n_spanned,
+        (n_standing + n_batch - n_spanned)::BIGINT AS n_incremental,
+        n_full,
+        (n_standing + n_batch - n_spanned = n_full) AS merge_equals_full
+      FROM ns, sp, nf"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -5820,5 +5926,5 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393, q395, q399, q402, q405)
+      q391, q392, q393, q395, q399, q402, q405, q479)
 }

@@ -990,7 +990,114 @@ object Sketch {
       FROM est JOIN exact USING (q)
       ORDER BY q"""))
 
+  // ---------- q478: ingest-batch KMV sketch-state merge ----------------
+
+  /** The sketch-state form of incremental distinct counting: the
+    * STANDING corpus contributes only its per-group KMV state (the K
+    * minimum distinct hashes — bounded, mergeable), an ingest batch
+    * (o_orderkey % 10 < 2) contributes its own state, and the merged
+    * estimate is computed from `firstK(sort(distinct(mins_a ∪
+    * mins_b)))` — no rescan of standing data, ever. KMV union is
+    * EXACT-equivalent to recomputation (the K smallest of the two
+    * K-smallest sets are the K smallest overall), and the query
+    * proves it operationally: `merge_equals_full` compares the merged
+    * estimate against an independent full-corpus sketch, the q70
+    * merge≡recompute contract for sketch state. Exact distinct counts
+    * ride alongside as the audit truth. Shape: two bounded typed
+    * aggregations (state is ≤ K longs per group) + an array merge on
+    * the |groups|-row frame; integer hash arithmetic end-to-end, one
+    * double division per estimate.
+    */
+  private val q478 = QueryDef(
+    "q478_ingest_kmv_merge",
+    (s, dir) => {
+      import s.implicits._
+      val o = Fixtures.table(s, dir, "orders")
+      def kmv(side: DataFrame, est: String) = side
+        .select(col("o_orderpriority"),
+          expr(h32Spark("cast(o_custkey AS STRING)")).as("h")).distinct()
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new KmvAgg(K).toColumn.name("kmv"))
+        .toDF("o_orderpriority", "kmv")
+        .select(col("o_orderpriority"), col("kmv.mins").as(s"mins_$est"),
+          expr(s"CASE WHEN kmv.n >= $K THEN ${K - 1}.0 * 4294967296.0 " +
+            s"/ try_element_at(kmv.mins, $K) " +
+            "ELSE cast(kmv.n AS DOUBLE) END").as(s"est_$est"))
+      val a = kmv(o.where(col("o_orderkey") % 10 >= 2), "standing")
+      val b = kmv(o.where(col("o_orderkey") % 10 < 2), "batch")
+      val f = kmv(o, "full")
+      val exact = o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      a.join(b, "o_orderpriority").join(f, "o_orderpriority")
+        .withColumn("merged", expr(
+          s"slice(array_sort(array_distinct(" +
+            s"concat(mins_standing, mins_batch))), 1, $K)"))
+        .withColumn("est_merged", expr(
+          s"CASE WHEN size(merged) >= $K THEN ${K - 1}.0 * 4294967296.0 " +
+            s"/ element_at(merged, $K) " +
+            "ELSE cast(size(merged) AS DOUBLE) END"))
+        .join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_exact"),
+          col("est_standing"), col("est_batch"), col("est_merged"),
+          col("est_full"),
+          (col("est_merged") === col("est_full")).as("merge_equals_full"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""WITH h AS (SELECT DISTINCT o_orderpriority,
+          ${h32Duck("o_custkey::VARCHAR")} AS h,
+          CASE WHEN o_orderkey % 10 < 2 THEN 1 ELSE 0 END AS isb
+        FROM orders),
+      side AS (SELECT o_orderpriority, isb, h,
+          row_number() OVER (PARTITION BY o_orderpriority, isb
+            ORDER BY h) AS rn,
+          count(*) OVER (PARTITION BY o_orderpriority, isb) AS nd
+        FROM h),
+      est_side AS (SELECT o_orderpriority, isb,
+          CASE WHEN max(nd) >= $K THEN ${K - 1}.0 * 4294967296.0
+            / max(CASE WHEN rn = $K THEN h END)
+          ELSE cast(max(nd) AS DOUBLE) END AS est
+        FROM side GROUP BY 1, 2),
+      hf AS (SELECT DISTINCT o_orderpriority, h FROM h),
+      fullr AS (SELECT o_orderpriority, h,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY h)
+            AS rn,
+          count(*) OVER (PARTITION BY o_orderpriority) AS nd
+        FROM hf),
+      est_full AS (SELECT o_orderpriority,
+          CASE WHEN max(nd) >= $K THEN ${K - 1}.0 * 4294967296.0
+            / max(CASE WHEN rn = $K THEN h END)
+          ELSE cast(max(nd) AS DOUBLE) END AS est_full
+        FROM fullr GROUP BY 1),
+      mu AS (SELECT o_orderpriority, h FROM side WHERE rn <= $K),
+      mdist AS (SELECT DISTINCT o_orderpriority, h FROM mu),
+      mr AS (SELECT o_orderpriority, h,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY h)
+            AS rn,
+          count(*) OVER (PARTITION BY o_orderpriority) AS nm
+        FROM mdist),
+      est_merged AS (SELECT o_orderpriority,
+          CASE WHEN max(nm) >= $K THEN ${K - 1}.0 * 4294967296.0
+            / max(CASE WHEN rn = $K THEN h END)
+          ELSE cast(max(nm) AS DOUBLE) END AS est_merged
+        FROM mr WHERE rn <= $K GROUP BY 1),
+      exact AS (SELECT o_orderpriority,
+          count(DISTINCT o_custkey)::BIGINT AS n_exact
+        FROM orders GROUP BY 1)
+      SELECT e.o_orderpriority, n_exact,
+        sa.est AS est_standing, sb.est AS est_batch,
+        em.est_merged, ef.est_full,
+        (em.est_merged = ef.est_full) AS merge_equals_full
+      FROM exact e
+      JOIN est_side sa ON sa.o_orderpriority = e.o_orderpriority
+        AND sa.isb = 0
+      JOIN est_side sb ON sb.o_orderpriority = e.o_orderpriority
+        AND sb.isb = 1
+      JOIN est_merged em ON em.o_orderpriority = e.o_orderpriority
+      JOIN est_full ef ON ef.o_orderpriority = e.o_orderpriority
+      ORDER BY e.o_orderpriority"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
-      q180, q195, q200, q264, q394)
+      q180, q195, q200, q264, q394, q478)
 }
