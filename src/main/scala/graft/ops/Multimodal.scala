@@ -501,7 +501,98 @@ object Multimodal {
       FROM cand WHERE ham <= 12
       GROUP BY ham ORDER BY ham"""))
 
-  val all: Seq[QueryDef] = Seq(q29, q52, q96, q131, q144, q166, q382)
+  // ---------- q480: shot-boundary detection ----------------------------
+
+  /** Shot-boundary detection over binary payloads — the video-segment
+    * pattern (cut where consecutive frame luminance jumps past a
+    * threshold): each payload is "decoded" to 32 fixed-stride frame
+    * luminances (integer byte-average per even slice — the decode-stub
+    * convention; swap in a real decoder + perceptual frame feature and
+    * nothing downstream changes), boundaries counted ROW-LOCALLY in
+    * the same loop, so the stage is a narrow map — payload bytes never
+    * shuffle, only the 4-int summary per doc flows to one small
+    * per-source aggregate. Shot count = boundaries + 1 (a payload is
+    * at least one shot). All arithmetic integer (floor-div slice
+    * bounds, floor-div luminance, abs-diff threshold), so both engines
+    * agree bit-for-bit; the mean shots/doc is the single pinned
+    * division.
+    */
+  private val q480 = QueryDef(
+    "q480_shot_boundaries",
+    (s, dir) => {
+      import s.implicits._
+      val NF = 32
+      val Jump = 16L
+      val bin = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, String, Array[Byte])]
+      val per = bin.mapPartitions { it =>
+        it.map { case (id, src, bytes) =>
+          val n = bytes.length
+          var prev = -1L
+          var shots = 1L
+          var maxJump = 0L
+          var k = 0
+          while (k < NF) {
+            val s0 = (k.toLong * n / NF).toInt
+            val e0 = ((k + 1).toLong * n / NF).toInt
+            if (e0 > s0) {
+              var sum = 0L
+              var i = s0
+              while (i < e0) { sum += bytes(i) & 0xff; i += 1 }
+              val lum = sum / (e0 - s0)
+              if (prev >= 0) {
+                val d = math.abs(lum - prev)
+                if (d > maxJump) maxJump = d
+                if (d > Jump) shots += 1
+              }
+              prev = lum
+            }
+            k += 1
+          }
+          (id, src, shots, maxJump)
+        }
+      }.toDF("doc_id", "source", "n_shots", "max_jump")
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_shots")).as("total_shots"),
+          max(col("max_jump")).as("max_jump"),
+          sum(when(col("n_shots") > 1, 1L).otherwise(0L)).as("n_multi"))
+        .select(col("source"), col("n_docs"), col("total_shots"),
+          round(col("total_shots").cast("double") / col("n_docs"), 9)
+            .as("shots_per_doc"),
+          col("max_jump"), col("n_multi"))
+        .orderBy("source")
+    },
+    Some("""WITH cl AS (SELECT doc_id, source,
+          list_transform(regexp_extract_all(text, '.', 0),
+            c -> ascii(c)::BIGINT) AS bytes,
+          strlen(text)::BIGINT AS n
+        FROM documents),
+      lums AS (SELECT doc_id, source,
+          list_filter(list_transform(range(0, 32), k -> CASE
+            WHEN ((k + 1) * n) // 32 > (k * n) // 32 THEN
+              list_reduce(list_prepend(0::BIGINT,
+                bytes[(k * n) // 32 + 1 : ((k + 1) * n) // 32]),
+                (a, b) -> a + b)
+              // (((k + 1) * n) // 32 - (k * n) // 32)
+            ELSE NULL END), x -> x IS NOT NULL) AS lum
+        FROM cl),
+      per AS (SELECT doc_id, source,
+          1 + len(list_filter(range(2, len(lum) + 1),
+            i -> abs(lum[i] - lum[i - 1]) > 16)) AS n_shots,
+          coalesce(list_max(list_transform(range(2, len(lum) + 1),
+            i -> abs(lum[i] - lum[i - 1]))), 0) AS max_jump
+        FROM lums)
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(n_shots)::BIGINT AS total_shots,
+        round(sum(n_shots)::DOUBLE / count(*), 9) AS shots_per_doc,
+        max(max_jump)::BIGINT AS max_jump,
+        sum(CASE WHEN n_shots > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi
+      FROM per GROUP BY source ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(q29, q52, q96, q131, q144, q166, q382, q480)
 }
 
 /** Per-frame features (the frame-sampling stub's output row). */

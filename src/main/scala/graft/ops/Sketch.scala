@@ -1035,7 +1035,7 @@ object Sketch {
             s"concat(mins_standing, mins_batch))), 1, $K)"))
         .withColumn("est_merged", expr(
           s"CASE WHEN size(merged) >= $K THEN ${K - 1}.0 * 4294967296.0 " +
-            s"/ element_at(merged, $K) " +
+            s"/ try_element_at(merged, $K) " +
             "ELSE cast(size(merged) AS DOUBLE) END"))
         .join(exact, "o_orderpriority")
         .select(col("o_orderpriority"), col("n_exact"),
