@@ -4006,12 +4006,15 @@ object Analytics {
     (s, dir) => {
       val brand = broadcast(Fixtures.table(s, dir, "part")
         .select(col("p_partkey"), col("p_brand")))
-      val edges = copurchasePairs(s, dir)
+      // frozen: three aggregates (m, within, degree) consume the
+      // brand-annotated edge list — one materialization, not three
+      // re-joins over the cached pair table
+      val edges = PlanCache.freeze(copurchasePairs(s, dir)
         .select(col("part_a"), col("part_b"))
         .join(brand.select(col("p_partkey").as("part_a"),
           col("p_brand").as("brand_a")), Seq("part_a"))
         .join(brand.select(col("p_partkey").as("part_b"),
-          col("p_brand").as("brand_b")), Seq("part_b"))
+          col("p_brand").as("brand_b")), Seq("part_b")))
       val m = edges.agg(count(lit(1)).as("m"))
       val within = edges.where(col("brand_a") === col("brand_b"))
         .groupBy(col("brand_a").as("p_brand"))
@@ -4019,11 +4022,11 @@ object Analytics {
       val degree = edges.select(col("brand_a").as("p_brand")).union(
           edges.select(col("brand_b").as("p_brand")))
         .groupBy(col("p_brand")).agg(count(lit(1)).as("d_c"))
+      // the graph's node set IS the shared degree table's key set
       val nodes = Fixtures.table(s, dir, "part")
-        .join(copurchasePairs(s, dir)
-          .select(col("part_a").as("p_partkey")).union(
-            copurchasePairs(s, dir).select(col("part_b").as("p_partkey")))
-          .distinct(), Seq("p_partkey"), "left_semi")
+        .join(copurchaseDegrees(s, dir)
+          .select(col("node").as("p_partkey")), Seq("p_partkey"),
+          "left_semi")
         .groupBy(col("p_brand")).agg(count(lit(1)).as("n_nodes"))
       val contrib = (col("e_within").cast("double") / col("m").cast("double")
         - (col("d_c").cast("double") / (lit(2.0) * col("m").cast("double")))

@@ -2272,10 +2272,15 @@ object Quality {
                 .cast("double") / length(col("text")))
             + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
               lit(1.0))).as("quality"))
-      val standing = scored.where(col("doc_id") % 10 >= 2)
-      val batch = scored.where(col("doc_id") % 10 < 2)
-      val labeled = RangeNtile.withNtile(standing,
-        Seq(col("quality"), col("doc_id")), 10, "bucket")
+      // frozen: scored feeds both split branches (one corpus scan, not
+      // two) and the standing decile labeling feeds both the boundary
+      // extraction and the reference counts (one RangeNtile pass, not
+      // two) — the PlanCache.freeze dedup idiom
+      val scoredF = PlanCache.freeze(scored)
+      val standing = scoredF.where(col("doc_id") % 10 >= 2)
+      val batch = scoredF.where(col("doc_id") % 10 < 2)
+      val labeled = PlanCache.freeze(RangeNtile.withNtile(standing,
+        Seq(col("quality"), col("doc_id")), 10, "bucket"))
       val bounds = labeled.groupBy(col("bucket"))
         .agg(max(struct(col("quality"), col("doc_id"))).as("hi"))
         .where(col("bucket") <= 9)

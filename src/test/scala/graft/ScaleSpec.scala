@@ -137,4 +137,50 @@ class ScaleSpec extends AnyFunSuite {
     assert(!scan.contains("l_comment") && !scan.contains("l_partkey"),
       s"scan should prune unused columns:\n$scan")
   }
+
+  test("bucketed standing band table makes the q473 ingest join " +
+    "corpus-shuffle-free, with unchanged candidates") {
+    // The production claim in q473's docstring made checkable: persist
+    // the STANDING corpus band table bucketed by the join key, and the
+    // per-ingest asymmetric band join no longer exchanges the corpus
+    // side at all — only the (8 rows/doc) batch side shuffles. This is
+    // the layout a 100 TB deployment maintains between ingests.
+    import graft.ops.Dedup
+    val inv = Dedup.inverted(spark, sf)
+    val standing = Dedup.minhashBands(inv.where(expr("doc_id % 10 >= 2")))
+    standing.write.mode("overwrite").bucketBy(8, "band", "bkey")
+      .sortBy("band", "bkey").saveAsTable("standing_bands_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = Dedup.minhashBands(inv.where(expr("doc_id % 10 < 2")))
+        .select(col("doc_id").as("doc_new"), col("band"), col("bkey"))
+      val joined = batch.join(spark.table("standing_bands_b")
+          .select(col("doc_id").as("doc_old"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the standing side reads bucket files directly (bucketed scan);
+      // exactly ONE (band, bkey) exchange remains — the batch side
+      // shuffling its 8-rows-per-doc probe to the bucket layout
+      assert(plan.contains("SelectedBucketsCount"),
+        s"bucketed scan expected on the standing side:\n$plan")
+      val nExchanges = "Exchange hashpartitioning\\(band".r
+        .findAllIn(plan).length
+      assert(nExchanges == 1,
+        s"only the batch probe side may shuffle, saw $nExchanges " +
+          s"band exchanges:\n$plan")
+      // and the candidate pairs are exactly the unbucketed join's
+      val want = batch.join(standing
+          .select(col("doc_id").as("doc_old"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+        .select(col("doc_new"), col("doc_old"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = joined.select(col("doc_new"), col("doc_old"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS standing_bands_b")
+    }
+  }
 }
