@@ -116,5 +116,116 @@ object TopK {
       SELECT query_id, rnk, neighbor_id, cosine FROM r
       WHERE rnk <= $K ORDER BY query_id, rnk"""))
 
-  val all: Seq[QueryDef] = Seq(q30)
+  // ---------- q481: incremental top-k maintenance ----------------------
+
+  /** Top-k state maintenance across an ingest boundary — and the
+    * classic mistake it exists to catch: the MERGEABLE state for
+    * "top-10 parts by revenue" is the full per-key aggregate (one
+    * DECIMAL sum per part — compressed corpus state, |parts| rows),
+    * NOT the top-10 list. Merging two top-10 lists silently drops a
+    * part that ranks 11th in both halves but 8th overall; this query
+    * computes the merge BOTH ways and reports each against an
+    * independent full recompute: `merge_equals_full` (per-key-state
+    * merge — exact, DECIMAL sums are associative) is true,
+    * `naive_equals_full` (top-list merge) is FALSE on this very
+    * fixture. Orders split at a date watermark (q479's 4/5-range cut,
+    * integer-day arithmetic). Shape: per-(part, side) partials → one
+    * |parts|-row merge; three TakeOrdered(10)s; 10-row output.
+    */
+  private val q481 = QueryDef(
+    "q481_ingest_topk_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val o = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("datediff(o_orderdate, DATE '1970-01-01')").as("d"))
+      val mm = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      val term = expr("l_extendedprice * (1 - l_discount)")
+        .cast(DecimalType(28, 6))
+      val li = Fixtures.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), term.as("t"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .crossJoin(broadcast(mm))
+        .withColumn("isb",
+          (col("d") >= col("lo") + expr("(hi - lo) * 4 div 5"))
+            .cast("long"))
+      // the per-side per-key states (what an ingest keeps between runs)
+      val rev = PlanCache.freeze(li.groupBy(col("l_partkey"), col("isb"))
+        .agg(sum(col("t")).as("r")))
+      // state merge: sum the side partials per key
+      val merged = rev.groupBy(col("l_partkey")).agg(sum(col("r")).as("rr"))
+      // independent full recompute (no side split in the plan)
+      val full = li.groupBy(col("l_partkey")).agg(sum(col("t")).as("rr"))
+      val wTop = Window.orderBy(col("rr").desc, col("l_partkey"))
+      def top10(df: DataFrame) = df
+        .orderBy(col("rr").desc, col("l_partkey")).limit(10)
+        .withColumn("rnk", row_number().over(wTop))
+      val f10 = top10(full)
+      val m10 = top10(merged)
+      // the naive (WRONG at scale) merge: union of the two side top-10
+      // lists, re-summed and re-ranked — keys outside both lists are
+      // unrecoverable
+      val s10 = rev.where(col("isb") === 0)
+        .orderBy(col("r").desc, col("l_partkey")).limit(10)
+        .select(col("l_partkey"))
+      val b10 = rev.where(col("isb") === 1)
+        .orderBy(col("r").desc, col("l_partkey")).limit(10)
+        .select(col("l_partkey"))
+      val n10 = top10(merged.join(
+        s10.unionAll(b10).distinct(), Seq("l_partkey"), "left_semi"))
+      def matches(a: DataFrame, b: DataFrame) = a.alias("a")
+        .join(b.alias("b"), Seq("rnk"), "full_outer")
+        .agg(min(when(col("a.l_partkey") === col("b.l_partkey")
+          && col("a.rr") === col("b.rr"), 1L).otherwise(0L))
+          .as("all_eq"))
+      val mEq = matches(f10, m10).select(col("all_eq").as("m_eq"))
+      val nEq = matches(f10, n10).select(col("all_eq").as("n_eq"))
+      f10.crossJoin(broadcast(mEq)).crossJoin(broadcast(nEq))
+        .select(col("rnk"), col("l_partkey").as("p_partkey"),
+          col("rr").cast(DoubleType).as("revenue"),
+          (col("m_eq") === 1L).as("merge_equals_full"),
+          (col("n_eq") === 1L).as("naive_equals_full"))
+        .orderBy("rnk")
+    },
+    Some("""WITH o AS (SELECT o_orderkey,
+          datediff('day', DATE '1970-01-01', o_orderdate) AS d
+        FROM orders),
+      mm AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
+      li AS (SELECT l_partkey,
+          CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS t,
+          CASE WHEN d >= lo + (hi - lo) * 4 // 5 THEN 1 ELSE 0 END
+            AS isb
+        FROM lineitem JOIN o ON l_orderkey = o_orderkey, mm),
+      rev AS (SELECT l_partkey, isb, sum(t) AS r FROM li GROUP BY 1, 2),
+      merged AS (SELECT l_partkey, sum(r) AS rr FROM rev GROUP BY 1),
+      fullr AS (SELECT l_partkey, sum(t) AS rr FROM li GROUP BY 1),
+      f10 AS (SELECT l_partkey, rr, row_number() OVER
+          (ORDER BY rr DESC, l_partkey) AS rnk
+        FROM fullr ORDER BY rr DESC, l_partkey LIMIT 10),
+      m10 AS (SELECT l_partkey, rr, row_number() OVER
+          (ORDER BY rr DESC, l_partkey) AS rnk
+        FROM merged ORDER BY rr DESC, l_partkey LIMIT 10),
+      sb AS (SELECT l_partkey FROM (SELECT l_partkey FROM rev
+          WHERE isb = 0 ORDER BY r DESC, l_partkey LIMIT 10)
+        UNION SELECT l_partkey FROM (SELECT l_partkey FROM rev
+          WHERE isb = 1 ORDER BY r DESC, l_partkey LIMIT 10)),
+      n10 AS (SELECT l_partkey, rr, row_number() OVER
+          (ORDER BY rr DESC, l_partkey) AS rnk
+        FROM (SELECT m.l_partkey, m.rr FROM merged m
+          JOIN sb ON sb.l_partkey = m.l_partkey)
+        ORDER BY rr DESC, l_partkey LIMIT 10),
+      meq AS (SELECT min(CASE WHEN f.l_partkey = m.l_partkey
+            AND f.rr = m.rr THEN 1 ELSE 0 END) AS m_eq
+        FROM f10 f FULL JOIN m10 m USING (rnk)),
+      neq AS (SELECT min(CASE WHEN f.l_partkey = n.l_partkey
+            AND f.rr = n.rr THEN 1 ELSE 0 END) AS n_eq
+        FROM f10 f FULL JOIN n10 n USING (rnk))
+      SELECT rnk::BIGINT AS rnk, f10.l_partkey AS p_partkey,
+        rr::DOUBLE AS revenue,
+        (m_eq = 1) AS merge_equals_full,
+        (n_eq = 1) AS naive_equals_full
+      FROM f10, meq, neq ORDER BY rnk"""))
+
+  val all: Seq[QueryDef] = Seq(q30, q481)
 }
