@@ -2254,38 +2254,57 @@ object Quality {
     * corpus-sized single-partition window), the 9 boundaries
     * broadcast onto the batch, PSI is q105's pinned integer-unit sum.
     */
+  /** q14's per-doc quality score — exposed so q477's streaming twin
+    * spec can pin its row-local reimplementation against the same
+    * expression tree.
+    */
+  private[graft] def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr(
+        "size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"))
+      .select(col("doc_id"),
+        (lit(0.3) * (size(array_distinct(col("toks"))).cast("double")
+            / col("n_tokens"))
+          + lit(0.2) * (lit(1.0) - col("n_stop").cast("double")
+            / col("n_tokens"))
+          + lit(0.2) * (lit(1.0)
+            - length(regexp_replace(col("text"), "[a-z ]", ""))
+              .cast("double") / length(col("text")))
+          + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
+            lit(1.0))).as("quality"))
+
+  /** q477's frozen decile boundaries — (bucket, hq, hd) for buckets
+    * 1..9, cut on the STANDING corpus; the streaming twin receives
+    * these as its side input.
+    */
+  private[graft] def standingQualityBounds(s: SparkSession,
+      dir: String): DataFrame = {
+    val standing = PlanCache.freeze(scoredDocs(s, dir))
+      .where(col("doc_id") % 10 >= 2)
+    PlanCache.freeze(RangeNtile.withNtile(standing,
+        Seq(col("quality"), col("doc_id")), 10, "bucket"))
+      .groupBy(col("bucket"))
+      .agg(max(struct(col("quality"), col("doc_id"))).as("hi"))
+      .where(col("bucket") <= 9)
+      .select(col("bucket").as("bb"), col("hi.quality").as("hq"),
+        col("hi.doc_id").as("hd"))
+  }
+
   private val q477 = QueryDef(
     "q477_ingest_quality_psi",
     (s, dir) => {
-      val scored = docs(s, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("n_stop", expr(
-          "size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"))
-        .select(col("doc_id"),
-          (lit(0.3) * (size(array_distinct(col("toks"))).cast("double")
-              / col("n_tokens"))
-            + lit(0.2) * (lit(1.0) - col("n_stop").cast("double")
-              / col("n_tokens"))
-            + lit(0.2) * (lit(1.0)
-              - length(regexp_replace(col("text"), "[a-z ]", ""))
-                .cast("double") / length(col("text")))
-            + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
-              lit(1.0))).as("quality"))
       // frozen: scored feeds both split branches (one corpus scan, not
       // two) and the standing decile labeling feeds both the boundary
       // extraction and the reference counts (one RangeNtile pass, not
       // two) — the PlanCache.freeze dedup idiom
-      val scoredF = PlanCache.freeze(scored)
+      val scoredF = PlanCache.freeze(scoredDocs(s, dir))
       val standing = scoredF.where(col("doc_id") % 10 >= 2)
       val batch = scoredF.where(col("doc_id") % 10 < 2)
       val labeled = PlanCache.freeze(RangeNtile.withNtile(standing,
         Seq(col("quality"), col("doc_id")), 10, "bucket"))
-      val bounds = labeled.groupBy(col("bucket"))
-        .agg(max(struct(col("quality"), col("doc_id"))).as("hi"))
-        .where(col("bucket") <= 9)
-        .select(col("bucket").as("bb"), col("hi.quality").as("hq"),
-          col("hi.doc_id").as("hd"))
+      val bounds = standingQualityBounds(s, dir)
       val assigned = batch.join(broadcast(bounds),
           col("quality") < col("hq")
             || (col("quality") === col("hq") && col("doc_id") <= col("hd")),

@@ -471,6 +471,63 @@ object DocStream {
         Seq("band", "bkey")) // stream-static inner join: append-legal
       .select(col("doc_new"), col("doc_old"))
 
+  final case class DocBucket(doc_id: Long, bucket: Long)
+
+  /** Streaming twin of q477's frozen-edge quality gate — the
+    * bucket-assignment stage as a STATELESS map: each arriving
+    * document computes its q14 quality score row-locally (same
+    * expression-tree order as the batch plan, so doubles agree
+    * bit-for-bit on the ASCII corpus) and walks the driver-held
+    * frozen boundaries (bucket, hq, hd) — 9 tuples cut on the
+    * standing corpus at calibration time, the [[dsirScore]]
+    * side-input convention — assigning the first bucket whose
+    * (quality, doc_id) boundary bounds it, open-ended bucket 10
+    * above all. The PSI fold itself stays a downstream aggregation
+    * over these assignments (per-bucket counts are the only state a
+    * continuous gate keeps). StreamingSpec pins the stream's
+    * per-bucket counts equal to batch q477's n_batch column.
+    */
+  def qualityBucket(docsStream: DataFrame,
+      bounds: Seq[(Long, Double, Long)]): Dataset[DocBucket] = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bounds.sortBy(_._1))
+    docsStream
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val n = toks.length.toDouble
+          val ttr = toks.distinct.length.toDouble / n
+          var stop = 0
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            if (t == "the" || t == "a" || t == "of" || t == "to"
+              || t == "and") stop += 1
+            i += 1
+          }
+          val alpha = 1.0 -
+            text.replaceAll("[a-z ]", "").length.toDouble / text.length
+          val lf = math.min(n / 50.0, 1.0)
+          // the batch expression tree's exact association order
+          val q = 0.3 * ttr + 0.2 * (1.0 - stop.toDouble / n) +
+            0.2 * alpha + 0.3 * lf
+          var bucket = 10L
+          var k = 0
+          var done = false
+          val bs = bc.value
+          while (k < bs.length && !done) {
+            val (b, hq, hd) = bs(k)
+            if (q < hq || (q == hq && id <= hd)) { bucket = b; done = true }
+            k += 1
+          }
+          DocBucket(id, bucket)
+        }
+      }
+  }
+
   def ingestNearDups(newDocsStream: DataFrame, standingInv: DataFrame,
       threshold: Double = 0.8): Dataset[IngestDup] = {
     val spark = newDocsStream.sparkSession

@@ -752,4 +752,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("streaming quality-gate bucketing matches batch q477's batch " +
+    "counts (AvailableNow)") {
+    import graft.streaming.DocStream
+    // the frozen boundaries as the driver-held side input, cut on the
+    // standing corpus exactly as batch q477 cuts them
+    val bounds = graft.ops.Quality.standingQualityBounds(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(bounds.length == 9)
+    val newDocs = DocStream.readDocuments(spark, sf)
+      .where(col("doc_id") % 10 < 2)
+    val q = DocStream.qualityBucket(newDocs, bounds)
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("qgate").groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch q477 output: (bucket, n_batch) — buckets with zero batch
+    // docs appear with n_batch = 0 and must be absent from the stream
+    val want = SparkEntry.queries("q477_ingest_quality_psi")(spark, sf)
+      .select(col("bucket"), col("n_batch")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0).toMap
+    assert(got === want)
+    assert(got.values.sum > 0)
+  }
 }
