@@ -6166,8 +6166,9 @@ object Analytics {
       import org.apache.spark.sql.types.DecimalType
       val pairs = copurchasePairs(s, dir)
         .select(col("part_a"), col("part_b"))
-      val nodes = pairs.select(col("part_a").as("pk"))
-        .union(pairs.select(col("part_b").as("pk"))).distinct()
+      // the graph's node set IS the shared degree table's key set —
+      // no pair-table rescan + distinct
+      val nodes = copurchaseDegrees(s, dir).select(col("node").as("pk"))
         .join(Fixtures.table(s, dir, "part")
           .select(col("p_partkey"), col("p_retailprice")),
           col("pk") === col("p_partkey"))
@@ -6177,9 +6178,10 @@ object Analytics {
       val mean = nodes.agg(count(lit(1)).as("n"),
         expr("CAST(round(sum(price_cents) * 1.0 / count(1)) AS BIGINT)")
           .as("mean_cents"))
-      val z = nodes.crossJoin(broadcast(mean))
+      // frozen: z feeds the denominator and both endpoint joins
+      val z = PlanCache.freeze(nodes.crossJoin(broadcast(mean))
         .select(col("pk"), col("n"),
-          (col("price_cents") - col("mean_cents")).as("zc"))
+          (col("price_cents") - col("mean_cents")).as("zc")))
       val denom = z.agg(first(col("n")).as("n"),
         sum((col("zc") * col("zc")).cast(DecimalType(38, 0)))
           .cast("double").as("szz"))

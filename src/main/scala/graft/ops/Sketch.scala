@@ -919,9 +919,11 @@ object Sketch {
   private val q394 = QueryDef(
     "q394_histogram_quantile_audit",
     (s, dir) => {
-      val x = Fixtures.table(s, dir, "lineitem")
+      // frozen: the cents projection feeds three consumers (range agg,
+      // bin histogram, exact-percentile audit) — one scan, not three
+      val x = PlanCache.freeze(Fixtures.table(s, dir, "lineitem")
         .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
-          .as("x"))
+          .as("x")))
       val rng = x.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
         count(lit(1)).as("n"))
       val bins = x.crossJoin(broadcast(rng))
