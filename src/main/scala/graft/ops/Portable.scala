@@ -12,6 +12,18 @@ private[graft] object Portable {
   def h32Duck(e: String): String =
     s"('0x' || substring(md5($e), 1, 8))::BIGINT"
 
+  /** 52-bit string hash: first 13 md5 hex chars as int64. Used where a
+    * hash IS the sampled identity (q482's bottom-k sample): 32 bits
+    * collide visibly at corpus scale (birthday bound ≈ n²/2³³), 52 bits
+    * keep the collision probability ≪ 1 at 10⁷ keys while still fitting
+    * a non-negative BIGINT in both engines (and, when a caller ever
+    * needs it in a DOUBLE, an exact IEEE-754 integer).
+    */
+  def h52Spark(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 13), 16, 10) AS BIGINT)"
+  def h52Duck(e: String): String =
+    s"('0x' || substring(md5($e), 1, 13))::BIGINT"
+
   /** Deterministic 80/10/10 train/val/test assignment from doc_id —
     * the q37_split_assign contract (pure hash function: stable across
     * runs, engines, and corpus growth).

@@ -697,7 +697,11 @@ object Sketch {
     * and 39th of the 40 resample means — a ~5/95 band). Shape: a 40×
     * row fan-out of a 2-column projection into a 40-group aggregate;
     * the rank step sorts 40 rows. At 100 TB nothing but the scan and
-    * one 40-key shuffle.
+    * one 40-key shuffle. (A column-wise single-pass form with 80
+    * conditional-sum aggregate expressions was measured 1.5× SLOWER
+    * at sf0.1 — the 40 CASE chains blow past whole-stage codegen's
+    * method budget and the aggregate falls back to interpreted eval;
+    * the explode form keeps every operator codegen'd.)
     */
   private val q195 = QueryDef(
     "q195_bootstrap_ci",
@@ -1099,7 +1103,267 @@ object Sketch {
       JOIN est_full ef ON ef.o_orderpriority = e.o_orderpriority
       ORDER BY e.o_orderpriority"""))
 
+  // ---------- q482: ingest-batch uniform-sample merge ------------------
+
+  private val SampleK = 16
+
+  /** Mergeable uniform corpus sample across an ingest boundary — the
+    * reservoir-sampling problem in its deterministic, distributed form:
+    * a bottom-k-by-hash sample (the k smallest 52-bit doc-id hashes)
+    * IS a uniform k-sample, and its state is mergeable exactly the way
+    * q478's KMV is — the k smallest of two k-smallest sets are the k
+    * smallest overall — so the standing corpus keeps only K longs of
+    * state and each ingest batch contributes its own K, no standing
+    * rescan. (A classic rand()-reservoir can't do this: it is neither
+    * deterministic nor cross-engine reproducible, and merging two
+    * reservoirs needs weighted resampling.) The query computes the
+    * standing-side and batch-side bottom-K states with the bounded
+    * KmvAgg, merges them in SQL (`slice(array_sort(distinct ∪))`),
+    * proves `merge_equals_full` against an independent whole-corpus
+    * bottom-K, and reports the merged sample itself — rank, doc, side —
+    * by joining the ≤K winning hashes back to the corpus (broadcast,
+    * one narrow pass). 52-bit hashes (not 32) because here the hash is
+    * the sampled IDENTITY: a birthday collision would make "the k-th
+    * smallest" ambiguous; at 52 bits that probability is ≪ 1e-6 even
+    * at sf1. Shape: one distinct-hash shuffle + two bounded typed
+    * aggregations; K-row output.
+    */
+  private val q482 = QueryDef(
+    "q482_ingest_sample_merge",
+    (s, dir) => {
+      import s.implicits._
+      import Portable.{h52Spark => h52}
+      val d = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(h52("concat('smp_', cast(doc_id AS STRING))")).as("h"),
+          (col("doc_id") % 10 < 2).cast("int").as("isb"))
+      def mins(side: DataFrame, nm: String) = side
+        .select(col("h")).distinct().as[Long]
+        .groupByKey(_ => 0)
+        .agg(new KmvAgg(SampleK).toColumn.name("kmv"))
+        .toDF("g", "kmv")
+        .select(col("kmv.mins").as(nm))
+      val a = mins(d.where(col("isb") === 0), "mins_standing")
+      val b = mins(d.where(col("isb") === 1), "mins_batch")
+      val f = mins(d, "mins_full")
+      val picked = a.crossJoin(broadcast(b)).crossJoin(broadcast(f))
+        .withColumn("merged", expr("slice(array_sort(array_distinct(" +
+          s"concat(mins_standing, mins_batch))), 1, $SampleK)"))
+        .withColumn("ok",
+          col("merged") === expr(s"slice(mins_full, 1, $SampleK)"))
+        .select(col("ok"), posexplode(col("merged")).as(Seq("i", "h")))
+      d.join(broadcast(picked), "h")
+        .groupBy(col("h"), col("i"), col("ok"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("isb")).as("isb"))
+        .select((col("i") + 1).cast("long").as("rank"), col("doc_id"),
+          col("h"), (col("isb") === 1).as("is_batch"),
+          col("ok").as("merge_equals_full"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+          ${Portable.h52Duck("'smp_' || doc_id::VARCHAR")} AS h,
+          CASE WHEN doc_id % 10 < 2 THEN 1 ELSE 0 END AS isb
+        FROM documents),
+      sideh AS (SELECT DISTINCT isb, h FROM d),
+      side AS (SELECT isb, h, row_number() OVER (PARTITION BY isb
+          ORDER BY h) AS rn FROM sideh),
+      pool AS (SELECT DISTINCT h FROM side WHERE rn <= $SampleK),
+      merged AS (SELECT h, row_number() OVER (ORDER BY h) AS rnk
+        FROM pool),
+      fullh AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM d)),
+      eq AS (SELECT (count(*) = $SampleK) AS ok
+        FROM merged m JOIN fullh f ON m.rnk = f.rn AND m.h = f.h
+        WHERE m.rnk <= $SampleK AND f.rn <= $SampleK),
+      byh AS (SELECT h, min(doc_id) AS doc_id, min(isb) AS isb
+        FROM d GROUP BY h)
+      SELECT m.rnk::BIGINT AS rank, b.doc_id, m.h,
+        (b.isb = 1) AS is_batch, eq.ok AS merge_equals_full
+      FROM merged m JOIN byh b USING (h), eq
+      WHERE m.rnk <= $SampleK ORDER BY rank"""))
+
+  // ---------- q483: ingest-batch Bloom-filter delta ---------------------
+
+  /** Incremental maintenance of q66's data-skipping Bloom filter: a
+    * Bloom filter is OR-mergeable state — the filter of a union is the
+    * bitwise OR of the filters — so an ingest batch updates the
+    * standing filter by contributing only its OWN position set (here
+    * the distinct h32 positions of the batch's customer keys), never
+    * rescanning standing orders. The query builds both side position
+    * sets, merges them relationally (per-position max flags = the OR),
+    * proves `merge_equals_full` against an independently recomputed
+    * whole-corpus position set, and reports the maintenance numbers a
+    * skipping layer budgets by: bits per side, `bits_delta` (positions
+    * the batch newly sets — the actual write), fill ratio, and the
+    * k-probe false-positive estimate fill³ computed as three exact
+    * IEEE multiplications (pow() would hang cross-engine parity on
+    * libm rounding). Shape: position sets are ≤ $BloomBits small ints
+    * per side — the shuffle carries positions, never keys; 1-row
+    * output.
+    */
+  private val q483 = QueryDef(
+    "q483_ingest_bloom_delta",
+    (s, dir) => {
+      def posCols(key: String) = (0 until BloomK).map(i =>
+        expr(s"${h32Spark(s"concat('b${i}_', cast($key AS STRING))")} " +
+          s"% $BloomBits"))
+      val o = Fixtures.table(s, dir, "orders")
+        .select(col("o_custkey"),
+          (col("o_orderkey") % 10 < 2).cast("int").as("isb"))
+      val pos = o
+        .select(col("isb"),
+          explode(array(posCols("o_custkey"): _*)).as("pos"))
+        .distinct()
+      val byPos = pos.groupBy(col("pos")).agg(
+        max(when(col("isb") === 0, 1).otherwise(0)).as("in_a"),
+        max(when(col("isb") === 1, 1).otherwise(0)).as("in_b"))
+      val fullPos = Fixtures.table(s, dir, "orders")
+        .select(explode(array(posCols("o_custkey"): _*)).as("pos"))
+        .distinct()
+      val m = byPos.agg(
+        sum(col("in_a")).cast("long").as("bits_standing"),
+        sum(col("in_b")).cast("long").as("bits_batch"),
+        sum(when(col("in_b") === 1 && col("in_a") === 0, 1L)
+          .otherwise(0L)).as("bits_delta"),
+        count(lit(1)).as("bits_merged"))
+      val fc = fullPos.agg(count(lit(1)).as("bits_full"))
+      val mm = byPos.select(col("pos").as("pm"))
+        .join(fullPos.select(col("pos").as("pf")),
+          col("pm") === col("pf"), "full_outer")
+        .agg(sum(when(col("pm").isNull || col("pf").isNull, 1L)
+          .otherwise(0L)).as("n_mismatch"))
+      m.crossJoin(broadcast(fc)).crossJoin(broadcast(mm))
+        .select(col("bits_standing"), col("bits_batch"),
+          col("bits_delta"), col("bits_merged"), col("bits_full"),
+          (coalesce(col("n_mismatch"), lit(0L)) === 0L)
+            .as("merge_equals_full"),
+          expr(s"CAST(bits_merged AS DOUBLE) / $BloomBits.0")
+            .as("fill_ratio"),
+          expr(s"(CAST(bits_merged AS DOUBLE) / $BloomBits.0) * " +
+            s"(CAST(bits_merged AS DOUBLE) / $BloomBits.0) * " +
+            s"(CAST(bits_merged AS DOUBLE) / $BloomBits.0)")
+            .as("est_fp_rate"))
+    },
+    Some {
+      val dpos = (i: Int, key: String) =>
+        s"${h32Duck(s"'b${i}_' || $key::VARCHAR")} % $BloomBits"
+      val sideUnion = (0 until BloomK).map(i =>
+        s"SELECT isb, ${dpos(i, "o_custkey")} AS pos FROM o")
+        .mkString(" UNION ALL ")
+      val fullUnion = (0 until BloomK).map(i =>
+        s"SELECT ${dpos(i, "o_custkey")} AS pos FROM orders")
+        .mkString(" UNION ALL ")
+      s"""WITH o AS (SELECT o_custkey,
+          CASE WHEN o_orderkey % 10 < 2 THEN 1 ELSE 0 END AS isb
+        FROM orders),
+      pos AS (SELECT DISTINCT isb, pos FROM ($sideUnion)),
+      byp AS (SELECT pos,
+          max(CASE WHEN isb = 0 THEN 1 ELSE 0 END) AS in_a,
+          max(CASE WHEN isb = 1 THEN 1 ELSE 0 END) AS in_b
+        FROM pos GROUP BY pos),
+      fullp AS (SELECT DISTINCT pos FROM ($fullUnion)),
+      m AS (SELECT sum(in_a)::BIGINT AS bits_standing,
+          sum(in_b)::BIGINT AS bits_batch,
+          sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)::BIGINT
+            AS bits_delta,
+          count(*)::BIGINT AS bits_merged
+        FROM byp),
+      fc AS (SELECT count(*)::BIGINT AS bits_full FROM fullp),
+      mm AS (SELECT sum(CASE WHEN b.pos IS NULL OR f.pos IS NULL
+            THEN 1 ELSE 0 END)::BIGINT AS n_mismatch
+        FROM byp b FULL JOIN fullp f ON b.pos = f.pos)
+      SELECT bits_standing, bits_batch, bits_delta, bits_merged,
+        bits_full,
+        (COALESCE(n_mismatch, 0) = 0) AS merge_equals_full,
+        CAST(bits_merged AS DOUBLE) / $BloomBits.0 AS fill_ratio,
+        (CAST(bits_merged AS DOUBLE) / $BloomBits.0) *
+          (CAST(bits_merged AS DOUBLE) / $BloomBits.0) *
+          (CAST(bits_merged AS DOUBLE) / $BloomBits.0) AS est_fp_rate
+      FROM m, fc, mm"""
+    })
+
+  // ---------- q484: ingest-batch CMS merge ------------------------------
+
+  /** Incremental maintenance of q63's count-min sketch: CMS is a LINEAR
+    * sketch — sketch(A ∪ B) = sketch(A) + sketch(B) cell-wise, exactly,
+    * not approximately — so the heavy-hitter table over a growing
+    * corpus is maintained by adding each ingest batch's 4×1024 cell
+    * counts into the standing cells; the standing corpus is never
+    * re-tokenized. The query builds per-side cell tables from the
+    * document split, merges by cell-wise sum, proves the merge against
+    * an independently recomputed whole-corpus sketch two ways —
+    * `cells_equal` (every cell count identical, min-flag over a
+    * full-outer cell join) and per-token estimates (`est_merged` vs
+    * `est_full` on the top-20 candidates) — and emits the top-20 table.
+    * Shape: both sketches are map-side-combined hash aggregations into
+    * ≤ 2·4096 cells; candidate probing joins the bounded cell tables;
+    * 20-row output.
+    */
+  private val q484 = QueryDef(
+    "q484_ingest_cms_merge",
+    (s, dir) => {
+      val toks = Fixtures.table(s, dir, "documents")
+        .select((col("doc_id") % 10 < 2).cast("int").as("isb"),
+          explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      def rows(df: DataFrame, cols: Seq[String]): DataFrame = df.select(
+        cols.map(col) :+
+          posexplode(array((0 until CmsDepth).map(r =>
+            expr(s"${h32Spark(s"concat('cms$r|', tok)")} % $CmsWidth"))
+            : _*)).as(Seq("r", "bucket")): _*)
+      val sideCells = rows(toks, Seq("isb", "tok"))
+        .groupBy(col("isb"), col("r"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val merged = sideCells.groupBy(col("r"), col("bucket"))
+        .agg(sum(col("c")).cast("long").as("cm"))
+      val full = rows(toks, Seq("tok"))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cf"))
+      val eq = merged.join(full, Seq("r", "bucket"), "full_outer")
+        .agg(min(when(col("cm") === col("cf"), 1L).otherwise(0L))
+          .as("alleq"))
+      val crows = rows(toks.select("tok").distinct(), Seq("tok"))
+      val estM = crows.join(merged, Seq("r", "bucket"))
+        .groupBy(col("tok")).agg(min(col("cm")).as("est_merged"))
+      val estF = crows.join(full, Seq("r", "bucket"))
+        .groupBy(col("tok")).agg(min(col("cf")).as("est_full"))
+      estM.join(estF, "tok").crossJoin(broadcast(eq))
+        .select(col("tok"), col("est_merged"), col("est_full"),
+          (col("alleq") === 1L).as("cells_equal"))
+        .orderBy(col("est_merged").desc, col("tok")).limit(20)
+    },
+    Some {
+      val bucket = (side: String, extra: String) =>
+        (0 until CmsDepth).map(r =>
+          s"SELECT $extra tok, $r AS r, " +
+            s"${h32Duck(s"'cms$r|' || tok")} % $CmsWidth AS bucket " +
+            s"FROM $side").mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT
+          CASE WHEN doc_id % 10 < 2 THEN 1 ELSE 0 END AS isb,
+          unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      occ AS (SELECT isb, tok FROM toks WHERE len(tok) > 0),
+      srows AS (${bucket("occ", "isb,")}),
+      side_cells AS (SELECT isb, r, bucket, count(*)::BIGINT AS c
+        FROM srows GROUP BY 1, 2, 3),
+      merged AS (SELECT r, bucket, sum(c)::BIGINT AS cm
+        FROM side_cells GROUP BY 1, 2),
+      frows AS (${bucket("occ", "")}),
+      fullc AS (SELECT r, bucket, count(*)::BIGINT AS cf
+        FROM frows GROUP BY 1, 2),
+      eq AS (SELECT min(CASE WHEN cm = cf THEN 1 ELSE 0 END) AS alleq
+        FROM merged FULL JOIN fullc USING (r, bucket)),
+      cand AS (SELECT DISTINCT tok FROM occ),
+      crows AS (${bucket("cand", "")}),
+      estm AS (SELECT cr.tok, min(m.cm)::BIGINT AS est_merged
+        FROM crows cr JOIN merged m USING (r, bucket) GROUP BY cr.tok),
+      estf AS (SELECT cr.tok, min(f.cf)::BIGINT AS est_full
+        FROM crows cr JOIN fullc f USING (r, bucket) GROUP BY cr.tok)
+      SELECT em.tok, est_merged, est_full, (alleq = 1) AS cells_equal
+      FROM estm em JOIN estf ef ON em.tok = ef.tok, eq
+      ORDER BY est_merged DESC, em.tok LIMIT 20"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
-      q180, q195, q200, q264, q394, q478)
+      q180, q195, q200, q264, q394, q478, q482, q483, q484)
 }

@@ -528,6 +528,39 @@ object DocStream {
       }
   }
 
+  final case class SampleMins(mins: Seq[Long])
+
+  /** Streaming twin of q482's bottom-K uniform sample — reservoir
+    * sampling in its deterministic, mergeable streaming form: each
+    * arriving document's 52-bit identity hash is computed row-locally
+    * (the Portable h52 contract, byte-identical to the batch
+    * projection), and ONE stateful stage folds every microbatch into
+    * the running bottom-K — K longs of TOTAL state on an unbounded
+    * stream, emitted after each batch (Update mode). The fold is the
+    * same merge the batch KmvAgg performs (k smallest of k-smallests),
+    * so at any point the emitted state equals a batch bottom-K over
+    * everything ingested so far — StreamingSpec pins exactly that
+    * against q482's `mins_full`. Single-group state here; a production
+    * layout keeps per-partition partials and merges on read, the same
+    * two-level shape the batch aggregate uses.
+    */
+  def sampleBottomK(docsStream: DataFrame, k: Int): Dataset[SampleMins] = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    docsStream
+      .select(expr(graft.ops.Portable
+        .h52Spark("concat('smp_', cast(doc_id AS STRING))")).as("h"))
+      .as[Long]
+      .groupByKey(_ => 0)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[Long], state: GroupState[Seq[Long]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++ rows)
+            .distinct.sorted.take(k)
+          state.update(merged)
+          SampleMins(merged)
+      }
+  }
+
   def ingestNearDups(newDocsStream: DataFrame, standingInv: DataFrame,
       threshold: Double = 0.8): Dataset[IngestDup] = {
     val spark = newDocsStream.sparkSession

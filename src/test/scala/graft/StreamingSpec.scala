@@ -779,4 +779,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.values.sum > 0)
   }
+
+  test("streaming bottom-K sample state == batch q482 whole-corpus " +
+    "bottom-K (AvailableNow, update)") {
+    import graft.streaming.DocStream
+    val k = 16
+    val q = DocStream.sampleBottomK(DocStream.readDocuments(spark, sf), k)
+      .writeStream.format("memory").queryName("bksample")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the final sample state is the lexicographic minimum of the
+    // full-length emissions (bottom-K state only ever improves)
+    import scala.math.Ordering.Implicits._
+    val emissions = spark.table("bksample").collect()
+      .map(_.getSeq[Long](0).toSeq)
+    val got = emissions.filter(_.length == k).min
+    val want = Fixtures.table(spark, sf, "documents")
+      .select(expr(graft.ops.Portable
+        .h52Spark("concat('smp_', cast(doc_id AS STRING))")).as("h"))
+      .distinct().orderBy("h").limit(k).collect().map(_.getLong(0)).toSeq
+    assert(got === want)
+    assert(got.length == k)
+    // and it equals the h column batch q482 reports, rank for rank
+    val viaQuery = SparkEntry.queries("q482_ingest_sample_merge")(spark, sf)
+      .orderBy("rank").collect().map(_.getAs[Long]("h")).toSeq
+    assert(viaQuery === want)
+  }
 }
