@@ -2029,7 +2029,208 @@ object Planning {
           ELSE 'sort_merge' END AS strategy
       FROM rows4 ORDER BY join_name"""))
 
+  // ---------- q486: data-layout zone-map pruning audit -----------------------
+
+  /** Which physical LAYOUT should a 100-TB table be written in? The
+    * question every lakehouse writer answers once and pays for on
+    * every query: this audit simulates three layouts of the orders
+    * table — insertion order, sort-by-date, and Z-ORDER (Morton
+    * interleave of 8 date bits × 8 customer bits) — cuts each into
+    * 128 files, computes each file's zone maps (min/max of both
+    * dims), and counts how many files a mid-range date predicate, a
+    * customer predicate, and their conjunction actually have to scan.
+    * The structural result the numbers show: sort-by-date prunes the
+    * date filter to ~13 files but scans ALL files for the customer
+    * filter; Z-order prunes BOTH to a fraction — the multi-dimensional
+    * locality that makes it the default clustering for multi-filter
+    * scan tables. All layout assignment is integer arithmetic off one
+    * broadcast min/max row (bit extraction via div/mod — identical
+    * text both engines); zone maps are one grouped pass over the
+    * 3-layout fan; the verdict frame is ≤ 384 file cells. 3-row
+    * output.
+    */
+  private val q486 = QueryDef(
+    "q486_layout_pruning_audit",
+    (s, dir) => {
+      def zText(a: String, b: String, divOp: String) = (0 until 8).map {
+        i =>
+          s"((($a $divOp ${1 << i}) % 2) * ${1 << (2 * i + 1)} + " +
+            s"(($b $divOp ${1 << i}) % 2) * ${1 << (2 * i)})"
+      }.mkString(" + ")
+      val o = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("datediff(o_orderdate, DATE '1970-01-01')").as("d"))
+      val mm = o.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"),
+        min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+        min(col("o_orderkey")).as("okmin"),
+        max(col("o_orderkey")).as("okmax"))
+      val bits = o.crossJoin(broadcast(mm))
+        .select(col("d"), col("o_custkey").as("c"),
+          expr("(d - dmin) * 256 div (dmax - dmin + 1)").as("dbit"),
+          expr("(o_custkey - cmin) * 256 div (cmax - cmin + 1)")
+            .as("cbit"),
+          expr("(o_orderkey - okmin) * 128 div (okmax - okmin + 1)")
+            .as("f_ins"),
+          expr("dmin + (dmax - dmin + 1) * 45 div 100").as("d_lo"),
+          expr("dmin + (dmax - dmin + 1) * 55 div 100").as("d_hi"),
+          expr("cmin + (cmax - cmin + 1) * 45 div 100").as("c_lo"),
+          expr("cmin + (cmax - cmin + 1) * 55 div 100").as("c_hi"))
+        .withColumn("f_day", expr("dbit div 2"))
+        .withColumn("f_z", expr(s"(${zText("dbit", "cbit", "div")}) div 512"))
+      val fan = bits.select(col("d"), col("c"),
+        col("d_lo"), col("d_hi"), col("c_lo"), col("c_hi"),
+        explode(array(
+          struct(lit("insertion").as("layout"), col("f_ins").as("f")),
+          struct(lit("sort_day").as("layout"), col("f_day").as("f")),
+          struct(lit("zorder").as("layout"), col("f_z").as("f"))))
+          .as("lf"))
+        .select(col("lf.layout").as("layout"), col("lf.f").as("f"),
+          col("d"), col("c"),
+          col("d_lo"), col("d_hi"), col("c_lo"), col("c_hi"))
+      val zones = fan.groupBy(col("layout"), col("f"))
+        .agg(min(col("d")).as("dmn"), max(col("d")).as("dmx"),
+          min(col("c")).as("cmn"), max(col("c")).as("cmx"),
+          min(col("d_lo")).as("d_lo"), min(col("d_hi")).as("d_hi"),
+          min(col("c_lo")).as("c_lo"), min(col("c_hi")).as("c_hi"))
+      zones.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("dmx") >= col("d_lo")
+            && col("dmn") <= col("d_hi"), 1L).otherwise(0L))
+            .as("files_day_scan"),
+          sum(when(col("cmx") >= col("c_lo")
+            && col("cmn") <= col("c_hi"), 1L).otherwise(0L))
+            .as("files_cust_scan"),
+          sum(when(col("dmx") >= col("d_lo") && col("dmn") <= col("d_hi")
+            && col("cmx") >= col("c_lo") && col("cmn") <= col("c_hi"),
+            1L).otherwise(0L)).as("files_both_scan"))
+        .orderBy("layout")
+    },
+    Some {
+      def zText(a: String, b: String) = (0 until 8).map { i =>
+        s"((($a // ${1 << i}) % 2) * ${1 << (2 * i + 1)} + " +
+          s"(($b // ${1 << i}) % 2) * ${1 << (2 * i)})"
+      }.mkString(" + ")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey,
+          datediff('day', DATE '1970-01-01', o_orderdate) AS d
+        FROM orders),
+      mm AS (SELECT min(d) AS dmin, max(d) AS dmax,
+          min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+          min(o_orderkey) AS okmin, max(o_orderkey) AS okmax FROM o),
+      bits AS (SELECT d, o_custkey AS c,
+          (d - dmin) * 256 // (dmax - dmin + 1) AS dbit,
+          (o_custkey - cmin) * 256 // (cmax - cmin + 1) AS cbit,
+          (o_orderkey - okmin) * 128 // (okmax - okmin + 1) AS f_ins,
+          dmin + (dmax - dmin + 1) * 45 // 100 AS d_lo,
+          dmin + (dmax - dmin + 1) * 55 // 100 AS d_hi,
+          cmin + (cmax - cmin + 1) * 45 // 100 AS c_lo,
+          cmin + (cmax - cmin + 1) * 55 // 100 AS c_hi
+        FROM o, mm),
+      fan AS (
+        SELECT 'insertion' AS layout, f_ins AS f, d, c,
+          d_lo, d_hi, c_lo, c_hi FROM bits
+        UNION ALL
+        SELECT 'sort_day', dbit // 2, d, c, d_lo, d_hi, c_lo, c_hi
+          FROM bits
+        UNION ALL
+        SELECT 'zorder', (${zText("dbit", "cbit")}) // 512, d, c,
+          d_lo, d_hi, c_lo, c_hi FROM bits),
+      zones AS (SELECT layout, f, min(d) AS dmn, max(d) AS dmx,
+          min(c) AS cmn, max(c) AS cmx,
+          min(d_lo) AS d_lo, min(d_hi) AS d_hi,
+          min(c_lo) AS c_lo, min(c_hi) AS c_hi
+        FROM fan GROUP BY 1, 2)
+      SELECT layout, count(*)::BIGINT AS n_files,
+        sum(CASE WHEN dmx >= d_lo AND dmn <= d_hi THEN 1 ELSE 0
+          END)::BIGINT AS files_day_scan,
+        sum(CASE WHEN cmx >= c_lo AND cmn <= c_hi THEN 1 ELSE 0
+          END)::BIGINT AS files_cust_scan,
+        sum(CASE WHEN dmx >= d_lo AND dmn <= d_hi
+          AND cmx >= c_lo AND cmn <= c_hi THEN 1 ELSE 0
+          END)::BIGINT AS files_both_scan
+      FROM zones GROUP BY layout ORDER BY layout"""
+    })
+
+  // ---------- q487: compaction bin-packing planner ----------------------------
+
+  /** Small-file compaction planning — the table-service pass every
+    * lakehouse runs when ingest leaves thousands of sub-target files:
+    * simulate the file inventory (one file per 64-doc ingest chunk per
+    * source, bytes = its text volume), then plan the rewrite with the
+    * DISTRIBUTED packing rule production compactors actually use —
+    * order files (bytes DESC, id), take the running exclusive byte
+    * offset, and cut a bin wherever the offset crosses the 256 KiB
+    * target (next-fit over a sorted manifest: one window pass,
+    * deterministic, no sequential first-fit state). Reports, per
+    * source: the before inventory (file count, sub-¼-target stragglers,
+    * bytes), the planned after state (bin count, fattest bin, mean
+    * fill), and the compaction ratio. Shape: the corpus reduces to a
+    * ≤ |sources|·chunks file manifest in one grouped pass; the window
+    * sorts file rows, never documents; |sources|-row output.
+    */
+  private val q487 = QueryDef(
+    "q487_compaction_planner",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val target = 262144L
+      val files = Fixtures.table(s, dir, "documents")
+        .groupBy(col("source"), expr("doc_id div 64").as("chunk"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("bytes").desc, col("chunk"))
+      val planned = files
+        .withColumn("off",
+          coalesce(sum(col("bytes")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", expr(s"off div $target"))
+      val bins = planned.groupBy(col("source"), col("bin"))
+        .agg(sum(col("bytes")).as("bin_bytes"))
+      val before = files.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_files_before"),
+          sum(when(col("bytes") < target / 4, 1L).otherwise(0L))
+            .as("n_small_before"),
+          sum(col("bytes")).as("bytes_total"))
+      val after = bins.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins_after"),
+          max(col("bin_bytes")).as("max_bin_bytes"))
+      before.join(after, "source")
+        .select(col("source"), col("n_files_before"),
+          col("n_small_before"), col("bytes_total"),
+          col("n_bins_after"), col("max_bin_bytes"),
+          round(expr(s"bytes_total * 1e2 / (n_bins_after * $target.0)"),
+            6).as("fill_pct"),
+          round(expr("n_files_before * 1e0 / n_bins_after"), 6)
+            .as("compaction_ratio"))
+        .orderBy("source")
+    },
+    Some(s"""WITH files AS (SELECT source, doc_id // 64 AS chunk,
+          sum(n_chars)::BIGINT AS bytes
+        FROM documents GROUP BY 1, 2),
+      planned AS (SELECT source, chunk, bytes,
+          COALESCE(sum(bytes) OVER (PARTITION BY source
+            ORDER BY bytes DESC, chunk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS off
+        FROM files),
+      bins AS (SELECT source, off // 262144 AS bin,
+          sum(bytes)::BIGINT AS bin_bytes
+        FROM planned GROUP BY 1, 2),
+      before AS (SELECT source, count(*)::BIGINT AS n_files_before,
+          sum(CASE WHEN bytes < 65536 THEN 1 ELSE 0 END)::BIGINT
+            AS n_small_before,
+          sum(bytes)::BIGINT AS bytes_total
+        FROM files GROUP BY 1),
+      aft AS (SELECT source, count(*)::BIGINT AS n_bins_after,
+          max(bin_bytes)::BIGINT AS max_bin_bytes
+        FROM bins GROUP BY 1)
+      SELECT source, n_files_before, n_small_before, bytes_total,
+        n_bins_after, max_bin_bytes,
+        round(bytes_total * 1e2 / (n_bins_after * 262144.0), 6)
+          AS fill_pct,
+        round(n_files_before * 1e0 / n_bins_after, 6)
+          AS compaction_ratio
+      FROM before JOIN aft USING (source) ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(q447, q448, q449, q450, q451, q452,
     q453, q454, q455, q456, q457, q458, q459, q460, q461, q462, q463,
-    q464, q465, q466, q467, q468, q469, q470, q471, q472)
+    q464, q465, q466, q467, q468, q469, q470, q471, q472, q486, q487)
 }

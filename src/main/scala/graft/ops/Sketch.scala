@@ -1363,7 +1363,117 @@ object Sketch {
       ORDER BY est_merged DESC, em.tok LIMIT 20"""
     })
 
+  // ---------- q485: ingest-batch HLL register merge ---------------------
+
+  /** Incremental maintenance of q85's HyperLogLog sketch — the
+    * MAX-merge member that completes the ingest-state family's merge
+    * taxonomy (q478 KMV = min-merge, q483 Bloom = OR-merge, q484 CMS =
+    * additive, q481 top-k = sum-merge, q476 centroids = mean-update):
+    * an HLL register holds the max leading-zero rank ever seen, so the
+    * sketch of a union is the register-wise MAX of the side sketches,
+    * exactly — the standing corpus keeps 64 small ints per group and
+    * each ingest batch contributes its own 64, no standing rescan. The
+    * query builds per-side register tables from the order split,
+    * max-merges them, proves register-level equality against an
+    * independently recomputed whole-corpus sketch (full-outer min-flag,
+    * the q484 gate shape), and reports merged vs full estimates beside
+    * the exact count through q85's exact-arithmetic estimator (string-
+    * length ranks, never float log2). Shape: register tables are ≤ 64
+    * rows per (group, side) past the map-side partial max; all
+    * estimate math on |groups|-row frames; 5-row output.
+    */
+  private val q485 = QueryDef(
+    "q485_ingest_hll_merge",
+    (s, dir) => {
+      val o = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"),
+          (col("o_orderkey") % 10 < 2).cast("int").as("isb"))
+      def regs(df: DataFrame, nm: String) = df
+        .select(col("o_orderpriority"),
+          expr(h32Spark("cast(o_custkey AS STRING)")).as("h"))
+        .select(col("o_orderpriority"), (col("h") % 64).as("reg"),
+          expr("CASE WHEN h div 64 > 0 THEN 27 - length(bin(h div 64)) " +
+            "ELSE 27 END").as("rho"))
+        .groupBy(col("o_orderpriority"), col("reg"))
+        .agg(max(col("rho")).as(nm))
+      val a = regs(o.where(col("isb") === 0), "mr_a")
+      val b = regs(o.where(col("isb") === 1), "mr_b")
+      val f = regs(o, "mr_f")
+      // register-wise MAX of the side sketches (rho ≥ 1, so 0 is a
+      // safe absent-register sentinel)
+      val merged = a.join(b, Seq("o_orderpriority", "reg"), "full_outer")
+        .select(col("o_orderpriority"), col("reg"),
+          greatest(coalesce(col("mr_a"), lit(0)),
+            coalesce(col("mr_b"), lit(0))).as("mr_m"))
+      val eq = merged.join(f, Seq("o_orderpriority", "reg"), "full_outer")
+        .agg(min(when(col("mr_m") === col("mr_f"), 1L).otherwise(0L))
+          .as("alleq"))
+      def est(df: DataFrame, mrCol: String, nm: String) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr(s"power(0.5, $mrCol)")).as("zp"),
+          count(lit(1)).as("nreg"))
+        .select(col("o_orderpriority"),
+          expr("zp + (64 - nreg) * 1.0").as("z"),
+          expr("64 - nreg").as("v"))
+        .select(col("o_orderpriority"),
+          expr("CASE WHEN 0.709 * 4096.0 / z <= 160.0 AND v > 0 " +
+            "THEN round(64.0 * ln(64.0 / v), 6) " +
+            "ELSE round(0.709 * 4096.0 / z, 6) END").as(nm))
+      val exact = o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      exact
+        .join(est(merged, "mr_m", "est_merged"), "o_orderpriority")
+        .join(est(f, "mr_f", "est_full"), "o_orderpriority")
+        .crossJoin(broadcast(eq))
+        .select(col("o_orderpriority"), col("n_exact"),
+          col("est_merged"), col("est_full"),
+          (col("alleq") === 1L).as("merge_equals_full"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""WITH o AS (SELECT o_orderpriority, o_custkey,
+          CASE WHEN o_orderkey % 10 < 2 THEN 1 ELSE 0 END AS isb,
+          ${h32Duck("o_custkey::VARCHAR")} AS h
+        FROM orders),
+      r AS (SELECT o_orderpriority, isb, h % 64 AS reg,
+          CASE WHEN h // 64 > 0 THEN 27 - length(bin(h // 64))
+            ELSE 27 END AS rho FROM o),
+      side AS (SELECT o_orderpriority, isb, reg, max(rho) AS mr
+        FROM r GROUP BY 1, 2, 3),
+      merged AS (SELECT o_orderpriority, reg,
+          greatest(COALESCE(max(CASE WHEN isb = 0 THEN mr END), 0),
+            COALESCE(max(CASE WHEN isb = 1 THEN mr END), 0)) AS mr_m
+        FROM side GROUP BY 1, 2),
+      fullr AS (SELECT o_orderpriority, reg, max(rho) AS mr_f
+        FROM r GROUP BY 1, 2),
+      eq AS (SELECT min(CASE WHEN mr_m = mr_f THEN 1 ELSE 0 END)
+          AS alleq
+        FROM merged FULL JOIN fullr USING (o_orderpriority, reg)),
+      zm AS (SELECT o_orderpriority,
+          sum(power(0.5, mr_m)) + (64 - count(*)) * 1.0 AS z,
+          64 - count(*) AS v FROM merged GROUP BY 1),
+      em AS (SELECT o_orderpriority,
+          CASE WHEN 0.709 * 4096.0 / z <= 160.0 AND v > 0
+            THEN round(64.0 * ln(64.0 / v), 6)
+            ELSE round(0.709 * 4096.0 / z, 6) END AS est_merged
+        FROM zm),
+      zf AS (SELECT o_orderpriority,
+          sum(power(0.5, mr_f)) + (64 - count(*)) * 1.0 AS z,
+          64 - count(*) AS v FROM fullr GROUP BY 1),
+      ef AS (SELECT o_orderpriority,
+          CASE WHEN 0.709 * 4096.0 / z <= 160.0 AND v > 0
+            THEN round(64.0 * ln(64.0 / v), 6)
+            ELSE round(0.709 * 4096.0 / z, 6) END AS est_full
+        FROM zf),
+      exact AS (SELECT o_orderpriority,
+          count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1)
+      SELECT exact.o_orderpriority, n_exact, est_merged, est_full,
+        (alleq = 1) AS merge_equals_full
+      FROM exact
+      JOIN em USING (o_orderpriority)
+      JOIN ef USING (o_orderpriority), eq
+      ORDER BY o_orderpriority"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
-      q180, q195, q200, q264, q394, q478, q482, q483, q484)
+      q180, q195, q200, q264, q394, q478, q482, q483, q484, q485)
 }
