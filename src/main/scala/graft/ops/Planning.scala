@@ -2230,7 +2230,193 @@ object Planning {
           AS compaction_ratio
       FROM before JOIN aft USING (source) ORDER BY source"""))
 
+  // ---------- q488: delete-strategy planner (COW vs deletion vectors) --------
+
+  /** How should a 100-TB table physically execute a delete?
+    * Copy-on-write rewrites every file a victim row touches; a
+    * deletion vector appends a tombstone bitmap per touched file and
+    * defers the rewrite. Which wins depends on the DELETE SHAPE, and
+    * this planner measures exactly that on the simulated 256-file
+    * insertion layout (q486's file arithmetic, 128 B/row): a
+    * key-scattered predicate (`o_custkey % 97 = 0`, ~1 % of rows
+    * spread uniformly) touches ~every file — COW rewrites the whole
+    * table for a 1 % delete (write amplification ~100×) while DVs
+    * write bytes ∝ victims; a contiguous predicate (the oldest 1/32
+    * of order keys) clusters its victims into ~8 files — COW
+    * amplification collapses to ~1× and the rewrite also reclaims the
+    * space DVs would leave behind. Shape: ONE grouped pass builds the
+    * per-file census (both shapes as conditional sums), all strategy
+    * math on the 256-row frame, 4-row output (shape × strategy).
+    */
+  private val q488 = QueryDef(
+    "q488_delete_strategy_planner",
+    (s, dir) => {
+      val rowBytes = 128L
+      val o = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val mm = o.agg(min(col("o_orderkey")).as("okmin"),
+        max(col("o_orderkey")).as("okmax"))
+      val census = o.crossJoin(broadcast(mm))
+        .select(
+          expr("(o_orderkey - okmin) * 256 div (okmax - okmin + 1)")
+            .as("f"),
+          when(col("o_custkey") % 97 === 0, 1L).otherwise(0L)
+            .as("del_scat"),
+          when(expr("o_orderkey < okmin + (okmax - okmin + 1) div 32"),
+            1L).otherwise(0L).as("del_clus"))
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("del_scat")).as("d_scat"),
+          sum(col("del_clus")).as("d_clus"))
+      val fan = census.select(col("n_rows"),
+        explode(array(
+          struct(lit("scattered").as("shape"), col("d_scat").as("nd")),
+          struct(lit("contiguous").as("shape"), col("d_clus").as("nd"))))
+          .as("x"))
+        .select(col("x.shape").as("shape"), col("x.nd").as("nd"),
+          col("n_rows"))
+      val perShape = fan.groupBy(col("shape")).agg(
+        sum(col("nd")).as("rows_deleted"),
+        sum(when(col("nd") > 0, 1L).otherwise(0L)).as("files_touched"),
+        sum(when(col("nd") > 0, col("n_rows") * rowBytes)
+          .otherwise(0L)).as("bytes_cow"),
+        sum(when(col("nd") > 0, lit(256L) + col("nd") * 8L)
+          .otherwise(0L)).as("bytes_dv"))
+      perShape.select(col("shape"), col("rows_deleted"),
+        col("files_touched"),
+        explode(array(
+          struct(lit("copy_on_write").as("strategy"),
+            col("bytes_cow").as("bytes_written")),
+          struct(lit("deletion_vector").as("strategy"),
+            col("bytes_dv").as("bytes_written")))).as("y"))
+        .select(col("shape"), col("y.strategy").as("strategy"),
+          col("rows_deleted"), col("files_touched"),
+          col("y.bytes_written").as("bytes_written"),
+          round(expr(s"y.bytes_written * 1e0 / " +
+            s"(rows_deleted * $rowBytes.0)"), 6)
+            .as("write_amplification"))
+        .orderBy("shape", "strategy")
+    },
+    Some("""WITH mm AS (SELECT min(o_orderkey) AS okmin,
+          max(o_orderkey) AS okmax FROM orders),
+      census AS (SELECT
+          (o_orderkey - okmin) * 256 // (okmax - okmin + 1) AS f,
+          count(*)::BIGINT AS n_rows,
+          sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT
+            AS d_scat,
+          sum(CASE WHEN o_orderkey < okmin + (okmax - okmin + 1) // 32
+            THEN 1 ELSE 0 END)::BIGINT AS d_clus
+        FROM orders, mm GROUP BY 1),
+      fan AS (SELECT 'scattered' AS shape, d_scat AS nd, n_rows
+          FROM census
+        UNION ALL
+        SELECT 'contiguous', d_clus, n_rows FROM census),
+      pershape AS (SELECT shape,
+          sum(nd)::BIGINT AS rows_deleted,
+          sum(CASE WHEN nd > 0 THEN 1 ELSE 0 END)::BIGINT
+            AS files_touched,
+          sum(CASE WHEN nd > 0 THEN n_rows * 128 ELSE 0 END)::BIGINT
+            AS bytes_cow,
+          sum(CASE WHEN nd > 0 THEN 256 + nd * 8 ELSE 0 END)::BIGINT
+            AS bytes_dv
+        FROM fan GROUP BY 1),
+      strat AS (SELECT shape, 'copy_on_write' AS strategy,
+          rows_deleted, files_touched, bytes_cow AS bytes_written
+          FROM pershape
+        UNION ALL
+        SELECT shape, 'deletion_vector', rows_deleted, files_touched,
+          bytes_dv FROM pershape)
+      SELECT shape, strategy, rows_deleted, files_touched,
+        bytes_written,
+        round(bytes_written * 1e0 / (rows_deleted * 128.0), 6)
+          AS write_amplification
+      FROM strat ORDER BY shape, strategy"""))
+
+  // ---------- q489: KV-cache capacity planner ---------------------------------
+
+  /** Serving-side capacity planning from the real sequence-length
+    * distribution: a transformer's KV cache costs
+    * 2(K,V) × layers × kv-heads × head-dim × 2 B ≈ 128 KiB per token
+    * (32L × 8H × 128D fp16 literals below), and the planner compares,
+    * per context cap C ∈ {24, 48, 96}, the two allocation policies —
+    * RESERVED (every sequence pre-books C tokens; the pre-paging
+    * default) vs PAGED (block-granular allocation sized by the
+    * actual token demand, the vLLM model) — against an 8 GiB cache
+    * budget. Fleet sizes come out as exact integer divisions of the
+    * budget by per-seq bytes; the paged gain is the reciprocal of cap
+    * utilization, here ~2–4× more concurrent sequences from the same
+    * HBM. p50/p99 effective lengths are exact rank selections off a
+    * token-DOMAIN histogram cumsum (≤ cap distinct lengths per grid
+    * row — the q135 bounded-window contract, never a corpus-row
+    * window). Shape: one token-count pass, grid fan in-projection,
+    * all math on ≤ 3×100 histogram cells; 3-row output.
+    */
+  private val q489 = QueryDef(
+    "q489_kv_cache_planner",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bytesPerTok = 131072L // 2 * 32 layers * 8 heads * 128 dim * 2B
+      val budget = 8589934592L  // 8 GiB
+      val lens = Fixtures.table(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val fan = lens.select(col("n_toks"),
+          explode(array(lit(24L), lit(48L), lit(96L))).as("cap"))
+        .select(col("cap"), least(col("n_toks"), col("cap")).as("eff"))
+      val hist = fan.groupBy(col("cap"), col("eff"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("cap")).orderBy(col("eff"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy(col("cap"))))
+        .withColumn("s_eff", sum(col("eff") * col("c")).over(
+          Window.partitionBy(col("cap"))))
+      cum.groupBy(col("cap"), col("n"), col("s_eff"))
+        .agg(min(when(col("cum") * 100 >= col("n") * 50, col("eff")))
+          .as("p50_eff"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("eff")))
+            .as("p99_eff"))
+        .select(col("cap").as("context_cap"), col("n").as("n_seqs"),
+          col("p50_eff"), col("p99_eff"),
+          expr(s"$budget div (cap * $bytesPerTok)")
+            .as("max_seqs_reserved"),
+          expr(s"$budget * n div (s_eff * $bytesPerTok)")
+            .as("max_seqs_paged"),
+          round(expr("s_eff * 1e2 / (cap * n)"), 6)
+            .as("cap_utilization_pct"),
+          round(expr(s"($budget * n div (s_eff * $bytesPerTok)) * 1e0 " +
+            s"/ ($budget div (cap * $bytesPerTok))"), 6)
+            .as("paged_gain"))
+        .orderBy("context_cap")
+    },
+    Some("""WITH lens AS (SELECT len(string_split(text, ' '))::BIGINT
+          AS n_toks FROM documents),
+      fan AS (SELECT cap, least(n_toks, cap) AS eff
+        FROM lens, (SELECT CAST(unnest([24, 48, 96]) AS BIGINT)
+          AS cap)),
+      hist AS (SELECT cap, eff, count(*)::BIGINT AS c
+        FROM fan GROUP BY 1, 2),
+      cum AS (SELECT cap, eff, c,
+          sum(c) OVER (PARTITION BY cap ORDER BY eff)::BIGINT AS cum,
+          sum(c) OVER (PARTITION BY cap)::BIGINT AS n,
+          sum(eff * c) OVER (PARTITION BY cap)::BIGINT AS s_eff
+        FROM hist),
+      red AS (SELECT cap, n, s_eff,
+          min(CASE WHEN cum * 100 >= n * 50 THEN eff END)::BIGINT
+            AS p50_eff,
+          min(CASE WHEN cum * 100 >= n * 99 THEN eff END)::BIGINT
+            AS p99_eff
+        FROM cum GROUP BY 1, 2, 3)
+      SELECT cap AS context_cap, n AS n_seqs, p50_eff, p99_eff,
+        8589934592 // (cap * 131072) AS max_seqs_reserved,
+        8589934592 * n // (s_eff * 131072) AS max_seqs_paged,
+        round(s_eff * 1e2 / (cap * n), 6) AS cap_utilization_pct,
+        round((8589934592 * n // (s_eff * 131072)) * 1e0
+          / (8589934592 // (cap * 131072)), 6) AS paged_gain
+      FROM red ORDER BY context_cap"""))
+
   val all: Seq[QueryDef] = Seq(q447, q448, q449, q450, q451, q452,
     q453, q454, q455, q456, q457, q458, q459, q460, q461, q462, q463,
-    q464, q465, q466, q467, q468, q469, q470, q471, q472, q486, q487)
+    q464, q465, q466, q467, q468, q469, q470, q471, q472, q486, q487,
+    q488, q489)
 }
