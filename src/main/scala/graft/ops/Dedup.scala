@@ -2180,12 +2180,15 @@ object Dedup {
       val t = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("parts"))
         .withColumn("n", size(col("parts")))
-      val inst = t.where(col("n") >= 8)
+      // frozen: the window-hash table feeds BOTH the shared-span
+      // aggregate and the coverage join below — without the persist the
+      // per-window md5 pass (the query's dominant cost) runs twice
+      val inst = PlanCache.freeze(t.where(col("n") >= 8)
         .select(col("doc_id"), col("parts"),
           explode(sequence(lit(1), col("n") - 7)).as("i"))
         .select(col("doc_id"), col("i"),
           md5(array_join(slice(col("parts"), col("i"), lit(8)), " "))
-            .as("k"))
+            .as("k")))
       val shared = inst.groupBy(col("k"))
         .agg(countDistinct(col("doc_id")).as("nd"),
           min(col("doc_id")).as("owner"))

@@ -2005,13 +2005,20 @@ object Similarity {
     * index — coarse-quantize against the standing codebook (centroids
     * computed from standing members only; the batch must not move the
     * codebook it is being routed by), then exact top-k against
-    * standing members of the assigned cell only. Asymmetric by
-    * construction: new×old, never new×new or old×old — probe cost is
-    * |batch| × cell occupancy and the standing corpus never shuffles
-    * (in production it is bucketed by cell id, so the probe co-locates;
-    * the codebook is a broadcast). This is the search path an index
-    * serves BETWEEN rebuilds; q476 is the maintenance diagnostic that
-    * decides when a rebuild is due.
+    * standing members of the assigned (cell, sign-bit sub-cell) only.
+    * Asymmetric by construction: new×old, never new×new or old×old —
+    * probe cost is |batch| × sub-cell occupancy, and the occupancy is
+    * CAPPED: the sub-cell bit count grows as ⌊log2(occupancy/64)⌋ with
+    * the standing census, so a 30× corpus probes ~the same number of
+    * members per query (measured: fixed label cells alone were 16.6×
+    * at 10× data and 10.0× at a further 3× — candidate-quadratic;
+    * with occupancy sub-cells the same points read 1.9× and 2.2× —
+    * sub-linear, BASELINE.md round 12). The standing corpus never
+    * shuffles (in production it is bucketed by (cell, sub), so the
+    * probe co-locates; codebook and census are broadcasts). This is
+    * the search path an index serves BETWEEN rebuilds; q476 is the
+    * maintenance diagnostic that decides when the centroids themselves
+    * need re-training.
     */
   /** The STANDING-members-only codebook (label, cvec) q474 routes by —
     * public to graft so the streaming twin's spec can collect it into
@@ -2030,27 +2037,66 @@ object Similarity {
       .agg(expr("transform(sort_array(collect_list(struct(pos, " +
         "centroid))), s -> s.centroid)").as("cvec"))
 
+  /** Occupancy-driven sub-cell bit count from a standing census row:
+    * s_bits = ⌊log2(n / (cells · 64))⌋ once any cell's expected
+    * occupancy passes 64 members, else 0 — integer log2 via bin()
+    * string length (the q85 rank trick; never a float log2). Shared by
+    * q474 and its streaming twin's spec so the two can't drift.
+    */
+  private[graft] val subBitsExpr: String =
+    "CASE WHEN n_stand div (n_cells * 64) >= 1 " +
+      "THEN length(bin(n_stand div (n_cells * 64))) - 1 ELSE 0 END"
+
+  /** Sign-bit sub-cell id of the first `s_bits` components (SRP over
+    * the coordinate axes; component signs measured balanced per label,
+    * so sub-cells split occupancy near-uniformly). `s_bits` is a
+    * column, so the unrolled 8-bit form gates each bit on i < s_bits.
+    */
+  private[graft] def subcellSpark(e: String): String = (0 until 8).map {
+    i =>
+      s"(CASE WHEN $i < s_bits AND element_at($e, ${i + 1}) >= 0 " +
+        s"THEN ${1 << i} ELSE 0 END)"
+  }.mkString(" + ")
+
   private val q474 = QueryDef(
     "q474_ingest_ann_assign",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val standCvec = standingCodebook(s, dir)
+      // the census that SCALES the cell structure with the corpus:
+      // fixed label cells alone go candidate-quadratic on ingest
+      // (measured 16.6x at 10x data, 10.0x at a further 3x — the
+      // stale-codebook cost curve), because per-cell occupancy grows
+      // linearly on BOTH join sides. The sign-bit sub-cells below cap
+      // expected occupancy at ~64·2 members regardless of corpus size
+      // — the relational analogue of re-training the codebook with
+      // more cells as the corpus grows (q476 decides when the
+      // centroids themselves need that rebuild).
+      val census = emb(s, dir).where(col("vec_id") % 10 >= 2)
+        .agg(count(lit(1)).as("n_stand"),
+          countDistinct(col("label")).as("n_cells"))
+        .select(expr(subBitsExpr).as("s_bits"))
       val batch = emb(s, dir).where(col("vec_id") % 10 < 2)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .crossJoin(broadcast(census))
+        .withColumn("sub", expr(subcellSpark("qe")))
       val wCell = Window.partitionBy(col("query_id"))
         .orderBy(col("ccos").desc, col("label"))
       val assign = batch.crossJoin(broadcast(standCvec))
-        .select(col("query_id"), col("qe"), col("label"),
+        .select(col("query_id"), col("qe"), col("sub"), col("label"),
           expr("graft_cosine(qe, cvec)").as("ccos"))
         .withColumn("rn", row_number().over(wCell))
         .where(col("rn") === 1)
-        .select(col("query_id"), col("qe"), col("label").as("cell"))
+        .select(col("query_id"), col("qe"), col("sub"),
+          col("label").as("cell"))
       val standing = emb(s, dir).where(col("vec_id") % 10 >= 2)
+        .crossJoin(broadcast(census))
         .select(col("label").as("cell"), col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"))
+          col("embedding").as("ne"),
+          expr(subcellSpark("embedding")).as("sub"))
       val wTop = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
-      assign.join(standing, Seq("cell"))
+      assign.join(standing, Seq("cell", "sub"))
         .select(col("query_id"), col("cell"), col("neighbor_id"),
           expr("graft_cosine(qe, ne)").as("cosine"))
         .withColumn("rnk", row_number().over(wTop))
@@ -2059,7 +2105,12 @@ object Similarity {
           col("neighbor_id"), col("cosine"))
         .orderBy("query_id", "rnk")
     },
-    Some(s"""WITH ex AS (SELECT label, vec_id, pos - 1 AS pos,
+    Some {
+      val subDuck = (e: String) => (0 until 8).map { i =>
+        s"(CASE WHEN $i < s_bits AND $e[${i + 1}] >= 0 " +
+          s"THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH ex AS (SELECT label, vec_id, pos - 1 AS pos,
           embedding[pos] AS val
         FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(pos)
         WHERE vec_id % 10 >= 2),
@@ -2070,24 +2121,35 @@ object Similarity {
         FROM ex GROUP BY label, pos),
       cvec AS (SELECT label, list(centroid ORDER BY pos) AS cvec
         FROM cent GROUP BY label),
-      q AS (SELECT vec_id AS query_id, embedding AS qe
-        FROM embeddings WHERE vec_id % 10 < 2),
-      cellscore AS (SELECT query_id, qe, label,
+      census AS (SELECT CASE WHEN n_stand // (n_cells * 64) >= 1
+          THEN length(bin(n_stand // (n_cells * 64))) - 1
+          ELSE 0 END AS s_bits
+        FROM (SELECT count(*) AS n_stand,
+            count(DISTINCT label) AS n_cells
+          FROM embeddings WHERE vec_id % 10 >= 2)),
+      q AS (SELECT vec_id AS query_id, embedding AS qe,
+          ${subDuck("embedding")} AS sub
+        FROM embeddings, census WHERE vec_id % 10 < 2),
+      cellscore AS (SELECT query_id, qe, sub, label,
           ${Dedup.cosDuck("qe", "cvec")} AS ccos
         FROM q CROSS JOIN cvec),
-      assign AS (SELECT query_id, qe, label AS cell FROM (
-          SELECT query_id, qe, label, row_number() OVER (
+      assign AS (SELECT query_id, qe, sub, label AS cell FROM (
+          SELECT query_id, qe, sub, label, row_number() OVER (
             PARTITION BY query_id ORDER BY ccos DESC, label) AS rn
           FROM cellscore) WHERE rn = 1),
-      scored AS (SELECT query_id, cell, b.vec_id AS neighbor_id,
+      stand AS (SELECT label AS cell, vec_id AS neighbor_id,
+          embedding, ${subDuck("embedding")} AS sub
+        FROM embeddings, census WHERE vec_id % 10 >= 2),
+      scored AS (SELECT query_id, a.cell, b.neighbor_id,
           ${Dedup.cosDuck("qe", "b.embedding")} AS cosine
-        FROM assign a JOIN embeddings b
-        ON b.label = a.cell AND b.vec_id % 10 >= 2),
+        FROM assign a JOIN stand b
+        ON b.cell = a.cell AND b.sub = a.sub),
       r AS (SELECT query_id, cell, neighbor_id, cosine,
           row_number() OVER (PARTITION BY query_id
             ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
       SELECT query_id, cell, rnk, neighbor_id, cosine FROM r
-      WHERE rnk <= $KAnn ORDER BY query_id, rnk"""))
+      WHERE rnk <= $KAnn ORDER BY query_id, rnk"""
+    })
 
   // ---------- q476: ingest-batch centroid drift ------------------------
 

@@ -76,7 +76,8 @@ object VecStream {
     */
   def ingestAnnCandidates(newVecsStream: DataFrame,
       codebook: Map[Int, Array[Double]],
-      standing: DataFrame): Dataset[AnnCand] = {
+      standing: DataFrame,
+      subBits: Int = 0): Dataset[AnnCand] = {
     val spark = newVecsStream.sparkSession
     import spark.implicits._
     val cells = codebook.toSeq.sortBy(_._1)
@@ -89,13 +90,22 @@ object VecStream {
           val c = cos(e, cvec)
           if (c > bestCos) { bestCos = c; bestCell = label }
         }
-        (id, bestCell, e)
+        // batch q474's occupancy sub-cell: sign bits of the first
+        // subBits components (a driver-held side input here, like the
+        // codebook — recomputed from the standing census at rebuild)
+        var sub = 0; var i = 0
+        while (i < subBits) { if (e(i) >= 0) sub |= (1 << i); i += 1 }
+        (id, bestCell, sub, e)
       }
-      .toDF("query_id", "cell", "qe")
+      .toDF("query_id", "cell", "sub", "qe")
+    val standSub = standing.select(col("label").as("cell"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      (0 until 8).map(i =>
+        when(lit(i) < subBits
+          && expr(s"element_at(embedding, ${i + 1})") >= 0,
+          1 << i).otherwise(0)).reduce(_ + _).as("sub"))
     routed
-      .join(standing.select(col("label").as("cell"),
-          col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
-        Seq("cell")) // stream-static inner join: append-legal
+      .join(standSub, Seq("cell", "sub")) // stream-static: append-legal
       .select(col("query_id"), col("cell"), col("neighbor_id"),
         expr("graft_cosine(qe, ne)").as("cosine"))
       .as[AnnCand]

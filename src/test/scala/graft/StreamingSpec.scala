@@ -719,7 +719,16 @@ class StreamingSpec extends AnyFunSuite {
       .where(col("vec_id") % 10 < 2)
     val standing = Fixtures.table(spark, sf, "embeddings")
       .where(col("vec_id") % 10 >= 2)
-    val q = VecStream.ingestAnnCandidates(newVecs, codebook, standing)
+    // the occupancy census as a second driver-held side input — the
+    // same integer log2 batch q474 computes in-plan
+    val nStand = standing.count()
+    val nCells = standing.select("label").distinct().count()
+    val sBits = {
+      val occ = nStand / (nCells * 64)
+      if (occ >= 1) 63 - java.lang.Long.numberOfLeadingZeros(occ) else 0
+    }
+    val q = VecStream.ingestAnnCandidates(newVecs, codebook, standing,
+        sBits)
       .writeStream.format("memory").queryName("ingestann")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
@@ -729,21 +738,27 @@ class StreamingSpec extends AnyFunSuite {
     // batch re-derivation: q474's assign ⋈ standing scored set BEFORE
     // the top-k rank (the rank is the consumer's job in the stream)
     import org.apache.spark.sql.expressions.Window
+    def subCol(e: String) = (0 until 8).map(i =>
+      when(lit(i) < sBits && expr(s"element_at($e, ${i + 1})") >= 0,
+        1 << i).otherwise(0)).reduce(_ + _)
     val standCvec = graft.ops.Similarity.standingCodebook(spark, sf)
     val batch = Fixtures.table(spark, sf, "embeddings")
       .where(col("vec_id") % 10 < 2)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        subCol("embedding").as("sub"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("label"))
     val want = batch.crossJoin(broadcast(standCvec))
-      .select(col("query_id"), col("qe"), col("label"),
+      .select(col("query_id"), col("qe"), col("sub"), col("label"),
         expr("graft_cosine(qe, cvec)").as("ccos"))
       .withColumn("rn", row_number().over(wCell))
       .where(col("rn") === 1)
-      .select(col("query_id"), col("qe"), col("label").as("cell"))
+      .select(col("query_id"), col("qe"), col("sub"),
+        col("label").as("cell"))
       .join(standing.select(col("label").as("cell"),
-        col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
-        Seq("cell"))
+        col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        subCol("embedding").as("sub")),
+        Seq("cell", "sub"))
       .select(col("query_id"), col("cell"), col("neighbor_id"),
         expr("graft_cosine(qe, ne)").as("cosine"))
       .collect()
