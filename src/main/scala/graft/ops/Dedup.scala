@@ -2943,10 +2943,125 @@ object Dedup {
       FROM wd
       GROUP BY source ORDER BY source"""))
 
+  // ---------- q490: LSH index maintenance after ingest ------------------
+
+  /** The state-update step q473's verdicts imply — append the admitted
+    * batch's band rows to the standing LSH index, and PROVE the append
+    * is the whole job: because MinHash signatures are ROW-LOCAL per
+    * document (hashes of the doc's own shingles, no corpus statistics),
+    * index(standing ∪ admitted) ≡ index(standing) ∪ index(admitted)
+    * exactly — the union-merge member of the ingest-state family, and
+    * the gate that would FAIL for any signature scheme that sneaks a
+    * corpus-dependent term in (df-weighted MinHash, idf-scaled
+    * SimHash), which is the design lesson: keep signatures row-local
+    * or pay a full re-index per ingest. Admission here is the
+    * conservative no-collision rule (zero standing band hits; q473's
+    * verified-Jaccard verdict slots in downstream), so the admitted
+    * band rows come from one anti-join of the batch's 8 fixed rows per
+    * doc. Gate: merged vs an independent re-index of the post-ingest
+    * member set, full-outer on (doc, band, bkey). 8-row output (one
+    * per band), standing corpus never re-shingled for the merge path.
+    */
+  private val q490 = QueryDef(
+    "q490_ingest_index_update",
+    (s, dir) => {
+      val inv = persistedInverted(s, dir)
+      val oldBands = corpusBands(s, dir)
+      val newBands = minhashBands(inv.where(expr("doc_id % 10 < 2")))
+      val colliding = newBands.alias("n")
+        .join(oldBands.alias("o"),
+          col("n.band") === col("o.band")
+            && col("n.bkey") === col("o.bkey"), "left_semi")
+        .select(col("n.doc_id")).distinct()
+      val admitted = inv.where(expr("doc_id % 10 < 2"))
+        .select(col("doc_id")).distinct()
+        .join(colliding, Seq("doc_id"), "left_anti")
+      val admittedBands = newBands
+        .join(admitted, Seq("doc_id"), "left_semi")
+      val merged = oldBands.select(col("doc_id"), col("band"),
+        col("bkey")).unionAll(admittedBands)
+      // independent re-index of the post-ingest member set
+      val members = inv.where(expr("doc_id % 10 >= 2"))
+        .select(col("doc_id")).distinct().unionAll(admitted)
+      val full = minhashBands(
+        inv.join(members, Seq("doc_id"), "left_semi"))
+      val eq = merged.alias("m")
+        .join(full.alias("f"),
+          col("m.doc_id") === col("f.doc_id")
+            && col("m.band") === col("f.band")
+            && col("m.bkey") === col("f.bkey"), "full_outer")
+        .agg(sum(when(col("m.doc_id").isNull || col("f.doc_id").isNull,
+          1L).otherwise(0L)).as("n_mismatch"))
+      val perBand = oldBands.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_standing"))
+        .join(admittedBands.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_admitted")), Seq("band"), "full_outer")
+        .join(merged.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_merged"),
+            countDistinct(col("bkey")).as("n_buckets")),
+          Seq("band"), "full_outer")
+        .join(full.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_full")), Seq("band"), "full_outer")
+      perBand.crossJoin(broadcast(eq))
+        .select(col("band"),
+          coalesce(col("n_standing"), lit(0L)).as("n_standing"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("n_merged"), lit(0L)).as("n_merged"),
+          coalesce(col("n_full"), lit(0L)).as("n_full"),
+          col("n_buckets"),
+          (coalesce(col("n_mismatch"), lit(0L)) === 0L)
+            .as("merge_equals_full"))
+        .orderBy("band")
+    },
+    Some {
+      val minSelects = minSelectsDuck
+      val bandSelects = (0 until NBands).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, md5(mh${2 * bnd}::VARCHAR || ',' || " +
+          s"mh${2 * bnd + 1}::VARCHAR) AS bkey FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shingledDuckCte,
+      mh AS (SELECT doc_id, $minSelects FROM inv GROUP BY doc_id),
+      bands AS ($bandSelects),
+      oldb AS (SELECT * FROM bands WHERE doc_id % 10 >= 2),
+      newb AS (SELECT * FROM bands WHERE doc_id % 10 < 2),
+      colliding AS (SELECT DISTINCT n.doc_id FROM newb n
+        WHERE EXISTS (SELECT 1 FROM oldb o
+          WHERE o.band = n.band AND o.bkey = n.bkey)),
+      admitted AS (SELECT DISTINCT doc_id FROM inv
+        WHERE doc_id % 10 < 2
+          AND doc_id NOT IN (SELECT doc_id FROM colliding)),
+      admb AS (SELECT b.* FROM newb b
+        WHERE b.doc_id IN (SELECT doc_id FROM admitted)),
+      merged AS (SELECT * FROM oldb UNION ALL SELECT * FROM admb),
+      members AS (SELECT DISTINCT doc_id FROM inv WHERE doc_id % 10 >= 2
+        UNION ALL SELECT doc_id FROM admitted),
+      fullb AS (SELECT b.* FROM bands b
+        WHERE b.doc_id IN (SELECT doc_id FROM members)),
+      eq AS (SELECT sum(CASE WHEN m.doc_id IS NULL OR f.doc_id IS NULL
+            THEN 1 ELSE 0 END)::BIGINT AS n_mismatch
+        FROM merged m FULL JOIN fullb f
+        ON m.doc_id = f.doc_id AND m.band = f.band AND m.bkey = f.bkey),
+      pb AS (SELECT band,
+          count(CASE WHEN src = 'o' THEN 1 END)::BIGINT AS n_standing,
+          count(CASE WHEN src = 'a' THEN 1 END)::BIGINT AS n_admitted
+        FROM (SELECT band, 'o' AS src FROM oldb
+          UNION ALL SELECT band, 'a' FROM admb) GROUP BY band),
+      pm AS (SELECT band, count(*)::BIGINT AS n_merged,
+          count(DISTINCT bkey)::BIGINT AS n_buckets
+        FROM merged GROUP BY band),
+      pf AS (SELECT band, count(*)::BIGINT AS n_full
+        FROM fullb GROUP BY band)
+      SELECT pb.band, n_standing, n_admitted, n_merged, n_full,
+        n_buckets, (n_mismatch = 0) AS merge_equals_full
+      FROM pb JOIN pm ON pm.band = pb.band
+      JOIN pf ON pf.band = pb.band, eq
+      ORDER BY pb.band"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
       q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
-      q201, q204, q246, q321, q336, q381, q473)
+      q201, q204, q246, q321, q336, q381, q473, q490)
 
 }
