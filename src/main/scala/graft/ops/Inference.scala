@@ -1641,11 +1641,14 @@ object Inference {
     * attack; measuring ONE side tells you nothing). Removal is a pure
     * hash of the node id (deterministic, engine-portable, no RNG), so
     * each removal fraction is a PROJECTION over the edge list: an
-    * edge survives iff both endpoint hashes clear the threshold, and
-    * isolation folds from the per-node surviving-neighbor count
-    * exactly as q340 does — one edge-list pass fanned across the
-    * 3-threshold grid by explode, one node-level aggregate, no second
-    * edge pass, 3-row output.
+    * edge survives iff both endpoint hashes clear the threshold, so
+    * the whole 3-threshold grid folds into CONDITIONAL SUMS — one
+    * un-fanned edge pass (global agg, no key) for survival, one
+    * 2|E|-row adjacency aggregate carrying the three
+    * surviving-neighbor counts side by side, and the threshold fan
+    * happens only on the 1-row summary. No 3× explode of the edge
+    * list (the round-11 shape shuffled 6|E| rows; this one shuffles
+    * 2|E| once), 3-row output.
     */
   private val q430 = QueryDef(
     "q430_random_robustness",
@@ -1654,38 +1657,42 @@ object Inference {
         .select(col("part_a"), col("part_b"))
       val ha = Portable.h32Spark("concat('rb_', part_a)")
       val hb = Portable.h32Spark("concat('rb_', part_b)")
-      val fan = pairs
-        .select(col("part_a"), col("part_b"),
-          expr(s"$ha % 100").as("hash_a"),
-          expr(s"$hb % 100").as("hash_b"),
-          explode(array(lit(10L), lit(30L), lit(50L))).as("p_pct"))
-        .select(col("p_pct"), col("part_a"), col("part_b"),
-          (col("hash_a") >= col("p_pct")).as("keep_a"),
-          (col("hash_b") >= col("p_pct")).as("keep_b"))
-      val nodeStats = fan
-        .select(col("p_pct"), col("part_a").as("node"),
-          col("keep_a").as("keep_me"), col("keep_b").as("keep_nbr"))
-        .union(fan.select(col("p_pct"), col("part_b").as("node"),
-          col("keep_b").as("keep_me"), col("keep_a").as("keep_nbr")))
-        .groupBy(col("p_pct"), col("node"))
-        .agg(max(col("keep_me").cast("long")).as("kept"),
-          count(lit(1)).as("deg"),
-          sum(col("keep_nbr").cast("long")).as("kept_nbrs"))
-      val edges = fan.groupBy(col("p_pct"))
+      val ps = Seq(10L, 30L, 50L)
+      // edge survival: 3 conditional sums over ONE un-fanned pair pass
+      val edges = pairs
+        .select(expr(s"$ha % 100").as("hash_a"),
+          expr(s"$hb % 100").as("hash_b"))
         .agg(count(lit(1)).as("n_edges"),
-          sum((col("keep_a") && col("keep_b")).cast("long"))
-            .as("edges_kept"))
-      val nodes = nodeStats.groupBy(col("p_pct"))
-        .agg(count(lit(1)).as("n_nodes"), sum(col("kept")).as("kept_n"),
-          sum(when(col("kept") === 1 && col("kept_nbrs") === 0, 1L)
-            .otherwise(0L)).as("isolated"))
-      nodes.join(broadcast(edges), "p_pct")
-        .select(col("p_pct"), col("n_nodes"),
-          col("kept_n").as("nodes_kept"),
-          round(col("edges_kept").cast("double")
+          ps.map(p => sum((col("hash_a") >= p && col("hash_b") >= p)
+            .cast("long")).as(s"ek_$p")): _*)
+      // node stats: one adjacency groupBy with per-threshold
+      // surviving-neighbor counts as parallel conditional sums
+      val hnbr = Portable.h32Spark("concat('rb_', nbr)")
+      val hme = Portable.h32Spark("concat('rb_', node)")
+      val knCols = ps.map(p =>
+        sum((col("h_nbr") >= p).cast("long")).as(s"kn_$p"))
+      val nodes = Analytics.copurchaseAdj(s, dir)
+        .select(col("node"), expr(s"$hnbr % 100").as("h_nbr"))
+        .groupBy(col("node"))
+        .agg(knCols.head, knCols.tail: _*)
+        .select((expr(s"$hme % 100").as("h_me") +:
+          ps.map(p => col(s"kn_$p"))): _*)
+        .agg(count(lit(1)).as("n_nodes"),
+          ps.flatMap(p => Seq(
+            sum((col("h_me") >= p).cast("long")).as(s"kept_$p"),
+            sum(when(col("h_me") >= p && col(s"kn_$p") === 0, 1L)
+              .otherwise(0L)).as(s"iso_$p"))): _*)
+      nodes.crossJoin(broadcast(edges))
+        .select(col("n_nodes"), col("n_edges"),
+          explode(array(ps.map(p => struct(lit(p).as("p_pct"),
+            col(s"kept_$p").as("kept_n"), col(s"iso_$p").as("isolated"),
+            col(s"ek_$p").as("edges_kept"))): _*)).as("r"))
+        .select(col("r.p_pct").as("p_pct"), col("n_nodes"),
+          col("r.kept_n").as("nodes_kept"),
+          round(col("r.edges_kept").cast("double")
             / col("n_edges").cast("double"), 9).as("edge_survival"),
-          round(col("isolated").cast("double")
-            / col("kept_n").cast("double"), 9).as("isolated_share"))
+          round(col("r.isolated").cast("double")
+            / col("r.kept_n").cast("double"), 9).as("isolated_share"))
         .orderBy(col("p_pct"))
     },
     Some(s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
