@@ -2167,12 +2167,16 @@ object Dedup {
     * not per-doc distinct — within-doc repeats of a shared span
     * strip too, q43's repetition case) join the shared-span owner
     * table on the 16-byte key; coverage is an ≤8× explode of MARKED
-    * instances only (bounded by duplicated text, not corpus), made
-    * distinct per (doc, pos); the kept sequence re-assembles via one
-    * doc_id shuffle — the same cost any per-doc rewrite pays, and at
-    * 100 TB the natural place to fuse the actual text rewrite.
-    * Within-owner duplicate occurrences are kept (within-doc dedup is
-    * q43's concern, not this op's).
+    * instances only (bounded by duplicated text, not corpus), folded
+    * to one position-SET row per touched doc; the rewrite itself is a
+    * higher-order `filter` over the token array INSIDE the corpus
+    * scan projection — the corpus's tokens never shuffle (the
+    * round-11 shape posexploded every token and collect_list'd them
+    * back, a full-corpus token shuffle; this one joins only the
+    * bounded covered-doc frame back to the scan), which is exactly
+    * the shape a 100-TB text rewrite needs. Within-owner duplicate
+    * occurrences are kept (within-doc dedup is q43's concern, not
+    * this op's).
     */
   private val q154 = QueryDef(
     "q154_span_strip",
@@ -2193,28 +2197,26 @@ object Dedup {
         .agg(countDistinct(col("doc_id")).as("nd"),
           min(col("doc_id")).as("owner"))
         .where(col("nd") >= 2)
-      val covered = inst.join(shared.select(col("k"), col("owner")), "k")
+      // one position-set row per touched doc (collect_set dedups the
+      // overlapping-window positions); bounded by duplicated text
+      val covAgg = inst.join(shared.select(col("k"), col("owner")), "k")
         .where(col("doc_id") =!= col("owner"))
         .select(col("doc_id"),
           explode(sequence(col("i"), col("i") + 7)).as("pos"))
-        .distinct()
-      val toks = t.select(col("doc_id"), col("n"),
-          posexplode(col("parts")).as(Seq("p0", "tok")))
-        .withColumn("pos", col("p0") + 1)
-      val keptAgg = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_after"),
-          expr("md5(array_join(transform(array_sort(" +
-            "collect_list(struct(pos, tok))), x -> x.tok), ' '))")
-            .as("kept_key"))
-      t.select(col("doc_id"), col("n"))
-        .join(keptAgg, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          col("n").cast("long").as("n_before"),
-          (col("n").cast("long") - coalesce(col("n_after"), lit(0L)))
+        .agg(collect_set(col("pos")).as("cov"))
+      t.join(covAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").cast("long").as("n_before"),
+          expr("""filter(transform(parts, (x, j) ->
+              struct(j + 1 AS pos, x AS tok)),
+            s -> cov IS NULL OR NOT array_contains(cov, s.pos))""")
+            .as("kept"))
+        .select(col("doc_id"), col("n_before"),
+          (col("n_before") - size(col("kept")).cast("long"))
             .as("n_removed"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"),
-          coalesce(col("kept_key"), md5(lit(""))).as("kept_key"))
+          size(col("kept")).cast("long").as("n_after"),
+          md5(expr("array_join(transform(kept, s -> s.tok), ' ')"))
+            .as("kept_key"))
         .orderBy("doc_id")
     },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts,
