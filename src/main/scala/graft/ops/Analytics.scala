@@ -10109,6 +10109,69 @@ object Analytics {
           AS pearson_r
       FROM one ORDER BY pair"""))
 
+  // ---------- q492: snapshot diff (CDC classify) ------------------------
+
+  /** Change-data-capture reconciliation between two table snapshots —
+    * the operator the reference's at-least-once watermark export makes
+    * necessary downstream (SURVEY §2.9: re-delivered windows mean the
+    * warehouse holds OVERLAPPING snapshots; the consumer must classify
+    * per key what actually changed). Snapshots are carved
+    * deterministically from `orders`: the old snapshot misses keys
+    * ≡3 (mod 97) (later inserts), the new snapshot misses keys ≡7
+    * (mod 89) (deletes) and perturbs the cent value of keys ≡5
+    * (mod 13) (updates). One FULL OUTER equi-join on the key
+    * classifies every key into insert/update/delete/unchanged, with
+    * cent-exact value sums per class for the reconciliation ledger.
+    * Shape: the single sort-merge join on the key IS the whole
+    * operator; at 100 TB both snapshots are bucketed by key and the
+    * join co-locates shuffle-free, and the classify+sum is one
+    * map-side pass over the joined stream. 4-row output. All money
+    * handled in integer cents (one deterministic round per row).
+    */
+  private val q492 = QueryDef(
+    "q492_snapshot_diff",
+    (s, dir) => {
+      val base = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val snapOld = base.where(expr("k % 97 <> 3"))
+        .select(col("k"), col("cents").as("v_old"))
+      val snapNew = base.where(expr("k % 89 <> 7"))
+        .select(col("k"),
+          (col("cents") + expr(
+            "CASE WHEN k % 13 = 5 THEN k % 100 + 1 ELSE 0 END"))
+            .as("v_new"))
+      snapOld.join(snapNew, Seq("k"), "full_outer")
+        .select(
+          when(col("v_old").isNull, "insert")
+            .when(col("v_new").isNull, "delete")
+            .when(col("v_old") =!= col("v_new"), "update")
+            .otherwise("unchanged").as("status"),
+          col("v_old"), col("v_new"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(coalesce(col("v_old"), lit(0L))).as("sum_old_cents"),
+          sum(coalesce(col("v_new"), lit(0L))).as("sum_new_cents"))
+        .orderBy("status")
+    },
+    Some("""WITH base AS (SELECT o_orderkey AS k,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      so AS (SELECT k, cents AS v_old FROM base WHERE k % 97 <> 3),
+      sn AS (SELECT k, cents + CASE WHEN k % 13 = 5 THEN k % 100 + 1
+          ELSE 0 END AS v_new
+        FROM base WHERE k % 89 <> 7),
+      j AS (SELECT
+          CASE WHEN v_old IS NULL THEN 'insert'
+            WHEN v_new IS NULL THEN 'delete'
+            WHEN v_old <> v_new THEN 'update'
+            ELSE 'unchanged' END AS status, v_old, v_new
+        FROM so FULL JOIN sn USING (k))
+      SELECT status, count(*)::BIGINT AS n_keys,
+        sum(coalesce(v_old, 0))::BIGINT AS sum_old_cents,
+        sum(coalesce(v_new, 0))::BIGINT AS sum_new_cents
+      FROM j GROUP BY status ORDER BY status"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -10122,5 +10185,5 @@ object Analytics {
       q325, q326, q327, q330, q333, q338, q340, q341, q342, q345, q348,
       q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
       q363, q371, q372, q373, q374, q375, q383, q385, q388, q389, q397,
-      q398, q400, q401, q403, q407, q408, q409, q410, q411, q412)
+      q398, q400, q401, q403, q407, q408, q409, q410, q411, q412, q492)
 }

@@ -3060,10 +3060,106 @@ object Dedup {
       ORDER BY pb.band"""
     })
 
+  // ---------- q491: ingest-batch SimHash delta --------------------------
+
+  /** The SimHash member of the cross-snapshot ingest family — q473's
+    * shape (new×old only, never old×old) at q19's cost point: 8-byte
+    * signatures instead of 8 band rows, byte-block banding instead of
+    * MinHash buckets, exact Hamming verify (≤ 8 of 32, q19's
+    * threshold) instead of exact Jaccard. The asymmetric join makes
+    * the daily-ingest economics explicit: the standing side is a
+    * 4-row-per-doc block table (bucketed by (blk, bval) at 100 TB,
+    * rebuilt never — signatures are row-local, q490's lesson), the
+    * batch side is 4·|batch| rows that broadcast when the batch is
+    * daily-sized, and candidates ∝ block collisions. Verdict per NEW
+    * doc: drop iff some standing doc verifies at Hamming ≤ 8, with
+    * the (hamming, id)-lexicographic-min standing doc as `dup_of`
+    * (encoded through one integer key so Spark's struct-min and the
+    * oracle's scalar min agree bit-for-bit). Batch docs with < 3
+    * tokens have no signature and keep with n_cand = 0.
+    */
+  private val q491 = QueryDef(
+    "q491_ingest_simhash_delta",
+    (s, dir) => {
+      val cnts = persistedInverted(s, dir).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          (0 until 32).map { b =>
+            sum(expr(s"CASE WHEN (h div ${1L << b}) % 2 = 1 THEN 1 " +
+              "ELSE 0 END")).as(s"c$b")
+          }: _*)
+      val sigExpr = (0 until 32).map { b =>
+        s"(CASE WHEN 2 * c$b > n THEN ${1L << b}L ELSE 0L END)"
+      }.mkString(" + ")
+      val sig = cnts.select(col("doc_id"), expr(sigExpr).as("simhash"))
+      val blockCols = (0 until 4).map(i =>
+        expr(s"(simhash div ${1L << (8 * i)}) % 256"))
+      val blocks = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array(blockCols: _*)).as(Seq("blk", "bval")))
+      val cand = blocks.alias("a")
+        .join(blocks.alias("b"),
+          col("a.blk") === col("b.blk")
+            && col("a.bval") === col("b.bval")
+            && col("a.doc_id") % 10 < 2 && col("b.doc_id") % 10 >= 2)
+        .select(col("a.doc_id").as("doc_id"),
+          col("b.doc_id").as("doc_old"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .distinct()
+      val per = cand.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("hamming") <= 8, 1L).otherwise(0L)).as("n_dup"),
+          min(when(col("hamming") <= 8,
+            col("hamming").cast("long") * 1000000000L + col("doc_old")))
+            .as("bk"))
+      docs(s, dir).where(expr("doc_id % 10 < 2")).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          coalesce(expr("bk div 1000000000"), lit(-1L)).as("hamming_min"),
+          coalesce(expr("bk % 1000000000"), lit(-1L)).as("dup_of"),
+          when(col("bk").isNull, "keep").otherwise("drop").as("verdict"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val bitSums = (0 until 32).map { b =>
+        s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE 0 END) AS c$b"
+      }.mkString(", ")
+      val sigExpr = (0 until 32).map { b =>
+        s"(CASE WHEN 2 * c$b > n THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString(" + ")
+      val blockSelects = (0 until 4).map { i =>
+        s"SELECT doc_id, simhash, $i AS blk, " +
+          s"(simhash // ${1L << (8 * i)}) % 256 AS bval FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shingledDuckCte,
+      cnts AS (SELECT doc_id, count(*) AS n, $bitSums FROM inv
+        GROUP BY doc_id),
+      sig AS (SELECT doc_id, $sigExpr AS simhash FROM cnts),
+      blocks AS ($blockSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_old,
+          bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bval = b.bval
+        WHERE a.doc_id % 10 < 2 AND b.doc_id % 10 >= 2),
+      per AS (SELECT doc_id, count(*)::BIGINT AS n_cand,
+          sum(CASE WHEN hamming <= 8 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+          min(CASE WHEN hamming <= 8
+            THEN hamming * 1000000000 + doc_old END) AS bk
+        FROM cand GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_cand, 0)::BIGINT AS n_cand,
+        coalesce(n_dup, 0)::BIGINT AS n_dup,
+        coalesce(bk // 1000000000, -1)::BIGINT AS hamming_min,
+        coalesce(bk % 1000000000, -1)::BIGINT AS dup_of,
+        CASE WHEN bk IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+      FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      WHERE d.doc_id % 10 < 2
+      ORDER BY d.doc_id"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
       q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
-      q201, q204, q246, q321, q336, q381, q473, q490)
+      q201, q204, q246, q321, q336, q381, q473, q490, q491)
 
 }

@@ -5918,6 +5918,136 @@ object Events {
         (n_standing + n_batch - n_spanned = n_full) AS merge_equals_full
       FROM ns, sp, nf"""))
 
+  // ---------- q493: SCD2 interval build ---------------------------------
+
+  /** Slowly-changing-dimension type-2 history from an event log — the
+    * warehouse-side transform the reference's snapshot export feeds:
+    * each change of a user's event_type (ordered by ts, event_id)
+    * opens a validity interval; the next change closes it; the last
+    * interval per user stays open (valid_to NULL — the current
+    * state). Reported per state (event_type): interval counts,
+    * open-interval count, and closed-interval duration stats — the
+    * dwell-time profile of each state. Shape: one lag window
+    * (partitioned by user_id — never a global sort) marks change
+    * rows, a second lead window over ONLY the change rows (a small
+    * fraction of the log) closes intervals; both windows reuse the
+    * same per-user sort. At 100 TB this is the standard two-window
+    * gaps-and-islands pass: one shuffle on user_id, durations in
+    * exact int64 microseconds, |states|-row output.
+    */
+  private val q493 = QueryDef(
+    "q493_scd2_intervals",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val starts = ev(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNull
+          || col("prev_type") =!= col("event_type"))
+      val closed = starts
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("event_type"),
+          expr("timestampdiff(MICROSECOND, ts, valid_to)").as("dur_us"))
+      closed.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when(col("dur_us").isNull, 1L).otherwise(0L)).as("n_open"),
+          sum(col("dur_us")).as("sum_dur_us"),
+          max(col("dur_us")).as("max_dur_us"))
+        .select(col("event_type"), col("n_intervals"), col("n_open"),
+          (col("n_intervals") - col("n_open")).as("n_closed"),
+          round(col("sum_dur_us").cast("double")
+            / (col("n_intervals") - col("n_open")) / 1e6, 6)
+            .as("avg_dur_sec"),
+          col("max_dur_us"))
+        .orderBy("event_type")
+    },
+    Some("""WITH marked AS (SELECT user_id, event_id, ts, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      starts AS (SELECT user_id, event_id, ts, event_type FROM marked
+        WHERE prev_type IS NULL OR prev_type <> event_type),
+      closed AS (SELECT event_type,
+          epoch_us(lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+        FROM starts),
+      agg AS (SELECT event_type, count(*)::BIGINT AS n_intervals,
+          sum(CASE WHEN dur_us IS NULL THEN 1 ELSE 0 END)::BIGINT
+            AS n_open,
+          sum(dur_us)::BIGINT AS sum_dur_us,
+          max(dur_us)::BIGINT AS max_dur_us
+        FROM closed GROUP BY 1)
+      SELECT event_type, n_intervals, n_open,
+        (n_intervals - n_open)::BIGINT AS n_closed,
+        round(sum_dur_us::DOUBLE / (n_intervals - n_open) / 1e6, 6)
+          AS avg_dur_sec,
+        max_dur_us
+      FROM agg ORDER BY event_type"""))
+
+  // ---------- q494: watermark-lateness audit -----------------------------
+
+  /** Event-time disorder audit — the measurement that SETS a streaming
+    * watermark delay instead of guessing it: within each user's
+    * arrival order (event_id — the log's monotone ingest sequence),
+    * an event is LATE iff some earlier-arriving event carries a later
+    * event time; its lateness is the gap to the running event-time
+    * maximum. Per event_type: late share, the lateness histogram at
+    * the operationally interesting cuts (≤ 1 min, ≤ 1 h, > 1 h), and
+    * the max — read directly as "a 1-minute watermark delay loses
+    * X % of rows, an hour loses Y %". Shape: one running-max window
+    * per user (rowsBetween to 1 PRECEDING, partitioned — no global
+    * sort), one grouped pass of conditional sums; exact int64
+    * microseconds end to end. |event_types|-row output.
+    */
+  private val q494 = QueryDef(
+    "q494_watermark_lateness",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val late = ev(s, dir)
+        .withColumn("hwm", max(col("ts")).over(w))
+        .select(col("event_type"),
+          greatest(lit(0L),
+            coalesce(expr("timestampdiff(MICROSECOND, ts, hwm)"),
+              lit(0L))).as("late_us"))
+      late.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+          sum(when(col("late_us") > 0L
+            && col("late_us") <= 60000000L, 1L).otherwise(0L))
+            .as("n_late_1m"),
+          sum(when(col("late_us") > 60000000L
+            && col("late_us") <= 3600000000L, 1L).otherwise(0L))
+            .as("n_late_1h"),
+          sum(when(col("late_us") > 3600000000L, 1L).otherwise(0L))
+            .as("n_late_over_1h"),
+          max(col("late_us")).as("max_late_us"))
+        .select(col("event_type"), col("n_events"), col("n_late"),
+          round(col("n_late").cast("double") / col("n_events"), 9)
+            .as("late_share"),
+          col("n_late_1m"), col("n_late_1h"), col("n_late_over_1h"),
+          col("max_late_us"))
+        .orderBy("event_type")
+    },
+    Some("""WITH hw AS (SELECT event_type,
+          greatest(0, coalesce(
+            epoch_us(max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            - epoch_us(ts), 0))::BIGINT AS late_us
+        FROM events)
+      SELECT event_type, count(*)::BIGINT AS n_events,
+        sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+        round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::DOUBLE
+          / count(*), 9) AS late_share,
+        sum(CASE WHEN late_us > 0 AND late_us <= 60000000
+          THEN 1 ELSE 0 END)::BIGINT AS n_late_1m,
+        sum(CASE WHEN late_us > 60000000 AND late_us <= 3600000000
+          THEN 1 ELSE 0 END)::BIGINT AS n_late_1h,
+        sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)::BIGINT
+          AS n_late_over_1h,
+        max(late_us)::BIGINT AS max_late_us
+      FROM hw GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -5926,5 +6056,5 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393, q395, q399, q402, q405, q479)
+      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494)
 }
