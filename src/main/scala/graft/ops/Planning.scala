@@ -2415,8 +2415,229 @@ object Planning {
           / (8589934592 // (cap * 131072)), 6) AS paged_gain
       FROM red ORDER BY context_cap"""))
 
+  // ---------- q495: balanced-quota stratified sampler --------------------
+
+  /** Power-allocation stratified sampling — the corpus-balancing step
+    * a multilingual training mix needs: proportional sampling lets the
+    * head language swamp the mix, equal quotas starve it, so the
+    * standard compromise allocates per-language quotas ∝ √n (power
+    * 0.5, the Neyman-style balance used for low-resource upsampling).
+    * Admission is a deterministic hash gate (admit iff
+    * h32('qs_'‖doc_id) mod 1e6 < quota·1e6 div n — reproducible,
+    * coordinator-free, exactly the property a 1000-executor sampler
+    * needs: no global shuffle, no RNG state, every executor decides
+    * each row locally from the broadcast 5-row quota table). All
+    * allocation math in exact int64 (√n through floor(sqrt) — an
+    * integer both engines compute identically; the integer-sum
+    * denominator keeps the plan order-independent where a double
+    * Σ√n would not be). Per-language output: stratum size, quota,
+    * gate rate, admitted count, realized rate.
+    */
+  private val q495 = QueryDef(
+    "q495_quota_sampler",
+    (s, dir) => {
+      val d = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val strata = d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("isq",
+          expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      val tot = strata.agg(sum(col("n_docs")).as("n_tot"),
+        sum(col("isq")).as("s_isq"))
+      val quotas = strata.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          expr("(n_tot div 2) * isq div s_isq").as("quota"))
+        .withColumn("rate_ppm", expr("quota * 1000000 div n_docs"))
+      val admitted = d
+        .join(broadcast(quotas.select(col("lang"), col("rate_ppm"))),
+          "lang")
+        .where(expr(
+          s"${Portable.h32Spark("concat('qs_', doc_id)")} % 1000000")
+          < col("rate_ppm"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_admitted"))
+      quotas.join(admitted, Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_docs"), col("quota"),
+          col("rate_ppm"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          expr("coalesce(n_admitted, 0) * 1000000 div n_docs")
+            .as("realized_ppm"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH strata AS (SELECT lang, count(*)::BIGINT AS n_docs,
+          CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS isq
+        FROM documents GROUP BY lang),
+      tot AS (SELECT sum(n_docs)::BIGINT AS n_tot,
+          sum(isq)::BIGINT AS s_isq FROM strata),
+      quotas AS (SELECT lang, n_docs,
+          (n_tot // 2) * isq // s_isq AS quota,
+          (n_tot // 2) * isq // s_isq * 1000000 // n_docs AS rate_ppm
+        FROM strata, tot),
+      adm AS (SELECT d.lang, count(*)::BIGINT AS n_admitted
+        FROM documents d JOIN quotas q ON q.lang = d.lang
+        WHERE ${Portable.h32Duck("'qs_' || doc_id")} % 1000000
+          < q.rate_ppm
+        GROUP BY d.lang)
+      SELECT q.lang, n_docs, quota, rate_ppm,
+        coalesce(n_admitted, 0)::BIGINT AS n_admitted,
+        coalesce(n_admitted, 0) * 1000000 // n_docs AS realized_ppm
+      FROM quotas q LEFT JOIN adm ON adm.lang = q.lang
+      ORDER BY q.lang"""))
+
+  // ---------- q496: token-budget admission ledger -------------------------
+
+  /** Greedy token-budget fill — the "which sources make the cut" step
+    * of assembling a fixed-size training mix: sources are ranked by a
+    * deterministic quality proxy (mean tokens per doc, in exact milli
+    * units), then admitted in rank order until the budget (60 % of
+    * the corpus's tokens) is exhausted; the boundary source is
+    * admitted partially, everything after it is excluded. Shape: one
+    * corpus pass folds to a |sources|-row frame; the running
+    * cumulative sum is a window over that BOUNDED aggregate (the
+    * PlanLint-sanctioned single-partition class — 20 rows, never the
+    * corpus); all arithmetic exact int64. Per-source output: tokens,
+    * rank metric, cumulative tokens before, admitted tokens, status.
+    */
+  private val q496 = QueryDef(
+    "q496_token_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = Fixtures.table(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("tk"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("tokens"))
+        .withColumn("avg_tok_milli",
+          expr("tokens * 1000 div n_docs"))
+      val tot = src.agg(sum(col("tokens")).as("t_tot"))
+      val w = Window.orderBy(col("avg_tok_milli").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      src.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("t_tot * 6 div 10"))
+        .withColumn("cum_before",
+          coalesce(sum(col("tokens")).over(w), lit(0L)))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          col("avg_tok_milli"), col("cum_before"),
+          greatest(lit(0L),
+            least(col("tokens"), col("budget") - col("cum_before")))
+            .as("admitted_tokens"))
+        .withColumn("status",
+          when(col("admitted_tokens") === col("tokens"), "full")
+            .when(col("admitted_tokens") > 0L, "partial")
+            .otherwise("excluded"))
+        .orderBy("source")
+    },
+    Some("""WITH src AS (SELECT source, count(*)::BIGINT AS n_docs,
+          sum(len(string_split(text, ' ')))::BIGINT AS tokens
+        FROM documents GROUP BY source),
+      rk AS (SELECT source, n_docs, tokens,
+          tokens * 1000 // n_docs AS avg_tok_milli FROM src),
+      tot AS (SELECT sum(tokens)::BIGINT AS t_tot FROM rk),
+      led AS (SELECT source, n_docs, tokens, avg_tok_milli,
+          t_tot * 6 // 10 AS budget,
+          coalesce(sum(tokens) OVER (
+            ORDER BY avg_tok_milli DESC, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            ::BIGINT AS cum_before
+        FROM rk, tot)
+      SELECT source, n_docs, tokens, avg_tok_milli, cum_before,
+        greatest(0, least(tokens, budget - cum_before))::BIGINT
+          AS admitted_tokens,
+        CASE WHEN greatest(0, least(tokens, budget - cum_before))
+            = tokens THEN 'full'
+          WHEN greatest(0, least(tokens, budget - cum_before)) > 0
+            THEN 'partial'
+          ELSE 'excluded' END AS status
+      FROM led ORDER BY source"""))
+
+  // ---------- q497: clustering-decay audit --------------------------------
+
+  /** What an unsorted ingest append does to zone-map pruning — the
+    * lakehouse maintenance question q486 (layout choice) and q487
+    * (compaction) bracket: the standing corpus is value-range
+    * clustered on n_chars (each of 32 files carries a tight min/max),
+    * the arriving batch lands in arrival-order files (doc_id chunks —
+    * each spanning nearly the full n_chars range), and a selective
+    * band predicate (the middle decile) is costed against both
+    * layouts. Before: scan ∝ selectivity. After the append: every
+    * batch file straddles the band, so the scanned-row share decays
+    * toward the batch's share of the corpus — the measured argument
+    * for re-clustering after ingest (q487's job). Shape: file
+    * assignment is integer arithmetic off one broadcast min/max row;
+    * zone maps are one grouped pass; the verdict frame is ≤ 40 file
+    * cells fanned to the 2-phase report. 2-row output.
+    */
+  private val q497 = QueryDef(
+    "q497_clustering_decay",
+    (s, dir) => {
+      val d = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val standing = d.where(expr("doc_id % 10 >= 2"))
+      val mm = standing.agg(min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+      val sFiles = standing.crossJoin(broadcast(mm))
+        .select(expr("(n_chars - mn) * 32 div (mx - mn + 1)").as("f"),
+          col("n_chars"))
+        .groupBy(col("f"))
+        .agg(min(col("n_chars")).as("fmin"), max(col("n_chars")).as("fmax"),
+          count(lit(1)).as("rows"))
+        .withColumn("phase_batch", lit(0))
+      val bFiles = d.where(expr("doc_id % 10 < 2"))
+        .select(expr("doc_id div 64").as("f"), col("n_chars"))
+        .groupBy(col("f"))
+        .agg(min(col("n_chars")).as("fmin"), max(col("n_chars")).as("fmax"),
+          count(lit(1)).as("rows"))
+        .withColumn("phase_batch", lit(1))
+      val files = sFiles.unionAll(bFiles).crossJoin(broadcast(mm))
+        .withColumn("lo", expr("mn + (mx - mn + 1) * 45 div 100"))
+        .withColumn("hi", expr("mn + (mx - mn + 1) * 55 div 100"))
+        .withColumn("hit",
+          (col("fmax") >= col("lo") && col("fmin") <= col("hi"))
+            .cast("long"))
+      files
+        .select(explode(when(col("phase_batch") === 0,
+          array(lit("before"), lit("after")))
+          .otherwise(array(lit("after")))).as("phase"),
+          col("rows"), col("hit"))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("hit")).as("n_scanned_files"),
+          sum(col("rows")).as("n_rows"),
+          sum(col("rows") * col("hit")).as("n_scanned_rows"))
+        .withColumn("scan_share",
+          round(col("n_scanned_rows").cast("double") / col("n_rows"), 9))
+        .orderBy("phase")
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars FROM documents),
+      mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+        FROM d WHERE doc_id % 10 >= 2),
+      sf AS (SELECT (n_chars - mn) * 32 // (mx - mn + 1) AS f,
+          min(n_chars) AS fmin, max(n_chars) AS fmax,
+          count(*)::BIGINT AS rows_, 0 AS phase_batch
+        FROM d, mm WHERE doc_id % 10 >= 2 GROUP BY 1),
+      bf AS (SELECT doc_id // 64 AS f,
+          min(n_chars) AS fmin, max(n_chars) AS fmax,
+          count(*)::BIGINT AS rows_, 1 AS phase_batch
+        FROM d WHERE doc_id % 10 < 2 GROUP BY 1),
+      files AS (SELECT *,
+          (SELECT mn + (mx - mn + 1) * 45 // 100 FROM mm) AS lo,
+          (SELECT mn + (mx - mn + 1) * 55 // 100 FROM mm) AS hi
+        FROM (SELECT * FROM sf UNION ALL SELECT * FROM bf)),
+      hits AS (SELECT *, CASE WHEN fmax >= lo AND fmin <= hi
+          THEN 1 ELSE 0 END AS hit FROM files),
+      fanned AS (
+        SELECT 'before' AS phase, rows_, hit FROM hits
+          WHERE phase_batch = 0
+        UNION ALL
+        SELECT 'after', rows_, hit FROM hits)
+      SELECT phase, count(*)::BIGINT AS n_files,
+        sum(hit)::BIGINT AS n_scanned_files,
+        sum(rows_)::BIGINT AS n_rows,
+        sum(rows_ * hit)::BIGINT AS n_scanned_rows,
+        round(sum(rows_ * hit)::DOUBLE / sum(rows_), 9) AS scan_share
+      FROM fanned GROUP BY phase ORDER BY phase"""))
+
   val all: Seq[QueryDef] = Seq(q447, q448, q449, q450, q451, q452,
     q453, q454, q455, q456, q457, q458, q459, q460, q461, q462, q463,
     q464, q465, q466, q467, q468, q469, q470, q471, q472, q486, q487,
-    q488, q489)
+    q488, q489, q495, q496, q497)
 }

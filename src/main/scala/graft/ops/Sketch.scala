@@ -1473,7 +1473,116 @@ object Sketch {
       JOIN ef USING (o_orderpriority), eq
       ORDER BY o_orderpriority"""))
 
+  // ---------- q498: Bloom-filter ingest pre-gate --------------------------
+
+  /** The cheap first gate of the ingest pipeline — probe the arriving
+    * batch against a Bloom filter of the standing corpus's exact
+    * content keys (q17's normalization) BEFORE paying any join: a
+    * negative probe is a guaranteed-new document that skips the
+    * exact-dup lookup entirely; only positives (true dups + false
+    * positives) hit the key table. This query builds the filter
+    * (m = 16 384 bits, k = 4 salted h32 positions — deterministic,
+    * engine-portable, mergeable across ingests by bit-OR, the q483
+    * delta's contract), probes the batch, and AUDITS the economics:
+    * fill ratio, measured false-positive rate against ground truth
+    * (the exact key semi-join the filter is supposed to save), and
+    * the probe traffic saved. Shape: the filter is a ≤ m-row distinct
+    * position table that BROADCASTS to the probe side (at 100 TB the
+    * real artifact is m/8 bytes per executor — no shuffle of the
+    * corpus); build is one distinct-key pass, probe is one batch
+    * pass; every rate in exact integer ppm. 1-row output.
+    */
+  private val q498 = QueryDef(
+    "q498_bloom_ingest_gate",
+    (s, dir) => {
+      val M = 16384L
+      val keyed = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " "))).as("key"))
+      val standingKeys = keyed.where(expr("doc_id % 10 >= 2"))
+        .select(col("key")).distinct()
+      val posCols = (0 until 4).map(i =>
+        expr(s"${Portable.h32Spark(s"concat('b${i}_', key)")} % $M"))
+      val bloomPos = standingKeys
+        .select(explode(array(posCols: _*)).as("pos")).distinct()
+      val nKeys = standingKeys.agg(count(lit(1)).as("n_standing_keys"))
+      val bits = bloomPos.agg(count(lit(1)).as("bits_set"))
+      val batch = keyed.where(expr("doc_id % 10 < 2"))
+      val probe = batch
+        .select(col("doc_id"), posexplode(array(posCols: _*))
+          .as(Seq("i", "pos")))
+        .join(broadcast(bloomPos), Seq("pos"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_match"))
+      val truth = batch
+        .join(standingKeys, Seq("key"), "left_semi")
+        .select(col("doc_id")).withColumn("is_dup", lit(1L))
+      val verdicts = batch.select(col("doc_id"))
+        .join(probe, Seq("doc_id"), "left_outer")
+        .join(truth.select(col("doc_id"), col("is_dup")),
+          Seq("doc_id"), "left_outer")
+        .select(
+          (coalesce(col("n_match"), lit(0L)) === 4L).cast("long")
+            .as("positive"),
+          coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+      val agg = verdicts.agg(count(lit(1)).as("n_batch"),
+        sum(col("positive")).as("n_positive"),
+        sum(col("is_dup")).as("n_true_dup"),
+        sum(col("positive") * (lit(1L) - col("is_dup")))
+          .as("n_false_pos"))
+      agg.crossJoin(broadcast(nKeys)).crossJoin(broadcast(bits))
+        .select(col("n_standing_keys"), col("bits_set"),
+          expr(s"bits_set * 1000000 div $M").as("fill_ppm"),
+          col("n_batch"), col("n_positive"), col("n_true_dup"),
+          col("n_false_pos"),
+          expr("CASE WHEN n_batch - n_true_dup > 0 THEN n_false_pos " +
+            "* 1000000 div (n_batch - n_true_dup) ELSE 0 END")
+            .as("fpr_ppm"),
+          expr("(n_batch - n_positive) * 1000000 div n_batch")
+            .as("skipped_lookup_ppm"))
+    },
+    Some {
+      val posSelects = (0 until 4).map { i =>
+        s"SELECT ${Portable.h32Duck(s"'b${i}_' || key")} % 16384 AS pos " +
+          "FROM sk"
+      }.mkString(" UNION ALL ")
+      val probePos = (0 until 4).map { i =>
+        s"SELECT doc_id, key, " +
+          s"${Portable.h32Duck(s"'b${i}_' || key")} % 16384 AS pos FROM bt"
+      }.mkString(" UNION ALL ")
+      s"""WITH keyed AS (SELECT doc_id, md5(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+          ' +', ' ', 'g'))) AS key FROM documents),
+      sk AS (SELECT DISTINCT key FROM keyed WHERE doc_id % 10 >= 2),
+      bp AS (SELECT DISTINCT pos FROM ($posSelects)),
+      bt AS (SELECT doc_id, key FROM keyed WHERE doc_id % 10 < 2),
+      pr AS (SELECT doc_id, count(*)::BIGINT AS n_match
+        FROM ($probePos) p WHERE pos IN (SELECT pos FROM bp)
+        GROUP BY doc_id),
+      vd AS (SELECT b.doc_id,
+          CASE WHEN coalesce(n_match, 0) = 4 THEN 1 ELSE 0 END
+            ::BIGINT AS positive,
+          CASE WHEN b.key IN (SELECT key FROM sk) THEN 1 ELSE 0 END
+            ::BIGINT AS is_dup
+        FROM bt b LEFT JOIN pr ON pr.doc_id = b.doc_id),
+      ag AS (SELECT count(*)::BIGINT AS n_batch,
+          sum(positive)::BIGINT AS n_positive,
+          sum(is_dup)::BIGINT AS n_true_dup,
+          sum(positive * (1 - is_dup))::BIGINT AS n_false_pos FROM vd),
+      nk AS (SELECT count(*)::BIGINT AS n_standing_keys FROM sk),
+      bs AS (SELECT count(*)::BIGINT AS bits_set FROM bp)
+      SELECT n_standing_keys, bits_set,
+        bits_set * 1000000 // 16384 AS fill_ppm,
+        n_batch, n_positive, n_true_dup, n_false_pos,
+        CASE WHEN n_batch - n_true_dup > 0 THEN n_false_pos * 1000000
+          // (n_batch - n_true_dup) ELSE 0 END AS fpr_ppm,
+        (n_batch - n_positive) * 1000000 // n_batch
+          AS skipped_lookup_ppm
+      FROM ag, nk, bs"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
-      q180, q195, q200, q264, q394, q478, q482, q483, q484, q485)
+      q180, q195, q200, q264, q394, q478, q482, q483, q484, q485, q498)
 }
