@@ -3156,10 +3156,274 @@ object Dedup {
       ORDER BY d.doc_id"""
     })
 
+  // ---------- q499: block-level chunk-store dedup at ingest ---------------
+
+  /** Content-block dedup of the arriving batch against the standing
+    * chunk store — the storage-layer member of the ingest family:
+    * document-level dedup (q473/q491) decides what to TRAIN on, but
+    * the object store underneath dedups at fixed-block granularity
+    * (the rsync/CAS model; q166's content-defined cuts are the
+    * variable-block variant), and a batch full of near-copies costs
+    * almost no new bytes. Each doc splits into 64-char blocks inside
+    * the scan projection (sequence→transform→explode, no window); the
+    * standing store is the DISTINCT block-key set; the probe is one
+    * semi-join-shaped left join on the 16-byte key, so shuffle ∝
+    * batch blocks, never the standing store (which at 100 TB is
+    * bucketed by key and the join co-locates). Per-source report:
+    * block counts, within-batch distinct, standing hits, byte
+    * savings at block grain. All counts exact int64.
+    */
+  private val q499 = QueryDef(
+    "q499_ingest_block_dedup",
+    (s, dir) => {
+      def blocks(side: DataFrame) = side
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          explode(expr("""transform(
+            sequence(0, CAST((length(text) - 1) div 64 AS INT)),
+            i -> substring(text, i * 64 + 1, 64))""")).as("blk"))
+        .select(col("doc_id"), col("source"),
+          md5(col("blk")).as("bkey"),
+          length(col("blk")).cast("long").as("blen"))
+      val d = docs(s, dir)
+      val standing = blocks(d.where(expr("doc_id % 10 >= 2")))
+        .select(col("bkey")).distinct()
+      val batch = blocks(d.where(expr("doc_id % 10 < 2")))
+      batch
+        .join(standing.withColumn("hit", lit(1L)), Seq("bkey"),
+          "left_outer")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_blocks"),
+          countDistinct(col("bkey")).as("n_distinct_blocks"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_standing_hits"),
+          sum(col("blen")).as("bytes_total"),
+          sum(col("blen") * coalesce(col("hit"), lit(0L)))
+            .as("bytes_dedup"))
+        .select(col("source"), col("n_docs"), col("n_blocks"),
+          col("n_distinct_blocks"), col("n_standing_hits"),
+          col("bytes_total"), col("bytes_dedup"),
+          round(col("bytes_dedup").cast("double") / col("bytes_total"), 9)
+            .as("dedup_share"))
+        .orderBy("source")
+    },
+    Some("""WITH blk AS (SELECT doc_id, source,
+          unnest(list_transform(range(0, (length(text) + 63) // 64),
+            i -> substring(text, i * 64 + 1, 64))) AS blk
+        FROM documents WHERE length(text) > 0),
+      keyed AS (SELECT doc_id, source, md5(blk) AS bkey,
+          length(blk)::BIGINT AS blen FROM blk),
+      standing AS (SELECT DISTINCT bkey FROM keyed
+        WHERE doc_id % 10 >= 2),
+      batch AS (SELECT k.*, CASE WHEN s.bkey IS NULL THEN 0 ELSE 1 END
+          ::BIGINT AS hit
+        FROM keyed k LEFT JOIN standing s ON s.bkey = k.bkey
+        WHERE doc_id % 10 < 2)
+      SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        count(*)::BIGINT AS n_blocks,
+        count(DISTINCT bkey)::BIGINT AS n_distinct_blocks,
+        sum(hit)::BIGINT AS n_standing_hits,
+        sum(blen)::BIGINT AS bytes_total,
+        sum(blen * hit)::BIGINT AS bytes_dedup,
+        round(sum(blen * hit)::DOUBLE / sum(blen), 9) AS dedup_share
+      FROM batch GROUP BY source ORDER BY source"""))
+
+  // ---------- q500: ingest acceptance funnel ------------------------------
+
+  /** The capstone the ingest family composes into — ONE pass over the
+    * arriving batch applying the pipeline's gates in their production
+    * order and attributing every document to the FIRST gate that
+    * rejects it: (1) exact dup vs the standing corpus (q17's
+    * content key, q498's Bloom stands in front of this at scale),
+    * (2) verified near-dup vs the standing LSH index (q473's
+    * asymmetric band join + exact-Jaccard verify), (3) quality floor
+    * (q14's composite < 0.5), (4) language allowlist (q15's serving
+    * set — zh has no gated pipeline here). The funnel ledger —
+    * docs AND tokens per stage — is what a data-engineering review
+    * actually reads: where the batch died, and how many tokens
+    * survived to training. Shape: every gate is a flag column from a
+    * key- or band-join (shuffles ∝ batch, standing side pre-built and
+    * bucketed at 100 TB); the funnel itself is conditional sums in
+    * one aggregate fanned to the 6-row report from a single row.
+    */
+  private val q500 = QueryDef(
+    "q500_ingest_funnel",
+    (s, dir) => {
+      val inv = persistedInverted(s, dir)
+      val d = docs(s, dir)
+      val norm = md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")))
+      val standingKeys = d.where(expr("doc_id % 10 >= 2"))
+        .select(norm.as("key")).distinct()
+      val batch = d.where(expr("doc_id % 10 < 2"))
+        .withColumn("key", norm)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_stop", expr(
+          "size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))"))
+        .withColumn("quality",
+          lit(0.3) * (size(array_distinct(col("toks"))).cast("double")
+            / col("n_tokens"))
+            + lit(0.2) * (lit(1.0) - col("n_stop").cast("double")
+            / col("n_tokens"))
+            + lit(0.2) * (lit(1.0)
+            - length(regexp_replace(col("text"), "[a-z ]", ""))
+            .cast("double") / length(col("text")))
+            + lit(0.3) * least(col("n_tokens").cast("double") / lit(50.0),
+            lit(1.0)))
+      // near-dup verdicts: q473's asymmetric band join + exact verify
+      val cand = minhashBands(inv.where(expr("doc_id % 10 < 2")))
+        .alias("n")
+        .join(corpusBands(s, dir).alias("o"),
+          col("n.band") === col("o.band")
+            && col("n.bkey") === col("o.bkey"))
+        .select(col("n.doc_id").as("doc_new"),
+          col("o.doc_id").as("doc_old"))
+        .distinct()
+      val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val nearSet = cand
+        .join(inv.select(col("doc_id").as("doc_new"), col("h")),
+          "doc_new")
+        .join(inv.select(col("doc_id").as("doc_old"), col("h")),
+          Seq("doc_old", "h"))
+        .groupBy(col("doc_new"), col("doc_old"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("doc_new"),
+          col("n").as("nn")), "doc_new")
+        .join(sizes.select(col("doc_id").as("doc_old"),
+          col("n").as("no")), "doc_old")
+        .where(col("n_common").cast("double")
+          / (col("nn") + col("no") - col("n_common")) >= 0.5)
+        .select(col("doc_new").as("doc_id")).distinct()
+        .withColumn("is_near", lit(1L))
+      val flagged = batch
+        .join(standingKeys.withColumn("is_exact", lit(1L)), Seq("key"),
+          "left_outer")
+        .join(nearSet, Seq("doc_id"), "left_outer")
+        .select(col("n_tokens"),
+          coalesce(col("is_exact"), lit(0L)).as("fe"),
+          coalesce(col("is_near"), lit(0L)).as("fn"),
+          (col("quality") < 0.5).cast("long").as("fq"),
+          (!col("lang").isin("en", "de", "es", "fr")).cast("long")
+            .as("fl"))
+        .select(col("n_tokens"), col("fe"),
+          ((lit(1L) - col("fe")) * col("fn")).as("dn"),
+          ((lit(1L) - col("fe")) * (lit(1L) - col("fn")) * col("fq"))
+            .as("dq"),
+          ((lit(1L) - col("fe")) * (lit(1L) - col("fn"))
+            * (lit(1L) - col("fq")) * col("fl")).as("dl"))
+        .withColumn("adm", lit(1L) - col("fe") - col("dn") - col("dq")
+          - col("dl"))
+      val one = flagged.agg(count(lit(1)).as("n_in"),
+        sum(col("n_tokens")).as("t_in"),
+        sum(col("fe")).as("n_ex"), sum(col("fe") * col("n_tokens"))
+          .as("t_ex"),
+        sum(col("dn")).as("n_nd"), sum(col("dn") * col("n_tokens"))
+          .as("t_nd"),
+        sum(col("dq")).as("n_q"), sum(col("dq") * col("n_tokens"))
+          .as("t_q"),
+        sum(col("dl")).as("n_l"), sum(col("dl") * col("n_tokens"))
+          .as("t_l"),
+        sum(col("adm")).as("n_adm"), sum(col("adm") * col("n_tokens"))
+          .as("t_adm"))
+      one.select(explode(array(
+        struct(lit("1_input").as("stage"), col("n_in").as("n_docs"),
+          col("t_in").as("n_tokens")),
+        struct(lit("2_drop_exact").as("stage"), col("n_ex").as("n_docs"),
+          col("t_ex").as("n_tokens")),
+        struct(lit("3_drop_neardup").as("stage"), col("n_nd").as("n_docs"),
+          col("t_nd").as("n_tokens")),
+        struct(lit("4_drop_quality").as("stage"), col("n_q").as("n_docs"),
+          col("t_q").as("n_tokens")),
+        struct(lit("5_drop_lang").as("stage"), col("n_l").as("n_docs"),
+          col("t_l").as("n_tokens")),
+        struct(lit("6_admitted").as("stage"), col("n_adm").as("n_docs"),
+          col("t_adm").as("n_tokens")))).as("r"))
+        .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"),
+          col("r.n_tokens").as("n_tokens"))
+        .orderBy("stage")
+    },
+    Some {
+      val minSelects = minSelectsDuck
+      val bandSelects = (0 until NBands).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, md5(mh${2 * bnd}::VARCHAR || ',' " +
+          s"|| mh${2 * bnd + 1}::VARCHAR) AS bkey FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shingledDuckCte,
+      mh AS (SELECT doc_id, $minSelects FROM inv GROUP BY doc_id),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+        FROM bands n JOIN bands o
+        ON n.band = o.band AND n.bkey = o.bkey
+        WHERE n.doc_id % 10 < 2 AND o.doc_id % 10 >= 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
+      near AS (SELECT DISTINCT c.doc_new AS doc_id
+        FROM cand c
+        JOIN inv a ON a.doc_id = c.doc_new
+        JOIN inv b ON b.doc_id = c.doc_old AND b.h = a.h
+        JOIN sizes sn ON sn.doc_id = c.doc_new
+        JOIN sizes so ON so.doc_id = c.doc_old
+        GROUP BY c.doc_new, c.doc_old, sn.n, so.n
+        HAVING count(*)::DOUBLE / (sn.n + so.n - count(*)) >= 0.5),
+      sk AS (SELECT DISTINCT md5(trim(regexp_replace(
+          regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+          ' +', ' ', 'g'))) AS key FROM documents WHERE doc_id % 10 >= 2),
+      bt AS (SELECT doc_id, lang,
+          md5(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            ' +', ' ', 'g'))) AS key,
+          len(string_split(text, ' '))::BIGINT AS n_tokens,
+          0.3 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0 - len(list_filter(string_split(text, ' '),
+            t -> t IN ('the', 'a', 'of', 'to', 'and')))::DOUBLE
+            / len(string_split(text, ' ')))
+          + 0.2 * (1.0 - length(regexp_replace(text, '[a-z ]', '', 'g'))
+            ::DOUBLE / length(text))
+          + 0.3 * least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0)
+            AS quality
+        FROM documents WHERE doc_id % 10 < 2),
+      fl AS (SELECT n_tokens,
+          CASE WHEN key IN (SELECT key FROM sk) THEN 1 ELSE 0 END
+            ::BIGINT AS fe,
+          CASE WHEN doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0
+            END::BIGINT AS fn,
+          CASE WHEN quality < 0.5 THEN 1 ELSE 0 END::BIGINT AS fq,
+          CASE WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 1 ELSE 0
+            END::BIGINT AS fl
+        FROM bt),
+      att AS (SELECT n_tokens, fe,
+          (1 - fe) * fn AS dn,
+          (1 - fe) * (1 - fn) * fq AS dq,
+          (1 - fe) * (1 - fn) * (1 - fq) * fl AS dl,
+          1 - fe - (1 - fe) * fn - (1 - fe) * (1 - fn) * fq
+            - (1 - fe) * (1 - fn) * (1 - fq) * fl AS adm
+        FROM fl),
+      one AS (SELECT count(*)::BIGINT AS n_in,
+          sum(n_tokens)::BIGINT AS t_in,
+          sum(fe)::BIGINT AS n_ex, sum(fe * n_tokens)::BIGINT AS t_ex,
+          sum(dn)::BIGINT AS n_nd, sum(dn * n_tokens)::BIGINT AS t_nd,
+          sum(dq)::BIGINT AS n_q, sum(dq * n_tokens)::BIGINT AS t_q,
+          sum(dl)::BIGINT AS n_l, sum(dl * n_tokens)::BIGINT AS t_l,
+          sum(adm)::BIGINT AS n_adm,
+          sum(adm * n_tokens)::BIGINT AS t_adm
+        FROM att)
+      SELECT stage, n_docs, n_tokens FROM (
+        SELECT '1_input' AS stage, n_in AS n_docs, t_in AS n_tokens
+          FROM one
+        UNION ALL SELECT '2_drop_exact', n_ex, t_ex FROM one
+        UNION ALL SELECT '3_drop_neardup', n_nd, t_nd FROM one
+        UNION ALL SELECT '4_drop_quality', n_q, t_q FROM one
+        UNION ALL SELECT '5_drop_lang', n_l, t_l FROM one
+        UNION ALL SELECT '6_admitted', n_adm, t_adm FROM one)
+      ORDER BY stage"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
       q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
-      q201, q204, q246, q321, q336, q381, q473, q490, q491)
+      q201, q204, q246, q321, q336, q381, q473, q490, q491, q499, q500)
 
 }
