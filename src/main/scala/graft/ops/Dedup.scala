@@ -3078,23 +3078,33 @@ object Dedup {
     * oracle's scalar min agree bit-for-bit). Batch docs with < 3
     * tokens have no signature and keep with n_cand = 0.
     */
+  /** (doc_id, simhash, blk, bval) SimHash block rows over a posting
+    * table — q19's signature construction (one codegen'd 32-bit-count
+    * aggregation, majority-bit fold, 4 byte-blocks) factored out so
+    * q491's asymmetric ingest join and StreamingSpec's standing-side
+    * fixture share one definition.
+    */
+  private[graft] def simhashBlocks(inv: DataFrame): DataFrame = {
+    val cnts = inv.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        (0 until 32).map { b =>
+          sum(expr(s"CASE WHEN (h div ${1L << b}) % 2 = 1 THEN 1 " +
+            "ELSE 0 END")).as(s"c$b")
+        }: _*)
+    val sigExpr = (0 until 32).map { b =>
+      s"(CASE WHEN 2 * c$b > n THEN ${1L << b}L ELSE 0L END)"
+    }.mkString(" + ")
+    val sig = cnts.select(col("doc_id"), expr(sigExpr).as("simhash"))
+    val blockCols = (0 until 4).map(i =>
+      expr(s"(simhash div ${1L << (8 * i)}) % 256"))
+    sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(blockCols: _*)).as(Seq("blk", "bval")))
+  }
+
   private val q491 = QueryDef(
     "q491_ingest_simhash_delta",
     (s, dir) => {
-      val cnts = persistedInverted(s, dir).groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n"),
-          (0 until 32).map { b =>
-            sum(expr(s"CASE WHEN (h div ${1L << b}) % 2 = 1 THEN 1 " +
-              "ELSE 0 END")).as(s"c$b")
-          }: _*)
-      val sigExpr = (0 until 32).map { b =>
-        s"(CASE WHEN 2 * c$b > n THEN ${1L << b}L ELSE 0L END)"
-      }.mkString(" + ")
-      val sig = cnts.select(col("doc_id"), expr(sigExpr).as("simhash"))
-      val blockCols = (0 until 4).map(i =>
-        expr(s"(simhash div ${1L << (8 * i)}) % 256"))
-      val blocks = sig.select(col("doc_id"), col("simhash"),
-        posexplode(array(blockCols: _*)).as(Seq("blk", "bval")))
+      val blocks = simhashBlocks(persistedInverted(s, dir))
       val cand = blocks.alias("a")
         .join(blocks.alias("b"),
           col("a.blk") === col("b.blk")

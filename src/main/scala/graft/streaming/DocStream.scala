@@ -471,6 +471,53 @@ object DocStream {
         Seq("band", "bkey")) // stream-static inner join: append-legal
       .select(col("doc_new"), col("doc_old"))
 
+  /** Streaming twin of q491's asymmetric SimHash block join — the
+    * 8-byte-signature member of the ingest candidate family: each
+    * arriving document computes its 32-bit SimHash ROW-LOCALLY (the
+    * majority-bit fold as 32 `filter`-count HOFs over the row's own
+    * shingle array — per-row interpreted cost, the standing DocStream
+    * statelessness price; the batch path keeps the codegen'd
+    * aggregation) and stream-static joins its 4 byte-block rows
+    * against the STANDING block table
+    * ([[graft.ops.Dedup.simhashBlocks]] over the standing slice in
+    * batch; the persisted bucketed block index in production).
+    * Stateless append: (doc_new, doc_old, hamming) pairs emit as
+    * documents arrive — the exact-Hamming verify needs no second
+    * pass because both signatures ride the join row. A pair
+    * colliding in several blocks emits once per block (consumers
+    * `dropDuplicates`, the DocStream convention). StreamingSpec pins
+    * the collected distinct pair set equal to batch q491's candidate
+    * set.
+    */
+  def ingestSimhashCandidates(newDocsStream: DataFrame,
+      standingBlocks: DataFrame): DataFrame = {
+    import graft.ops.Dedup.{C1, C2, P}
+    import graft.ops.Portable
+    val hts = s"transform(split(text, ' '), t -> ${Portable.h32Spark("t")})"
+    val shs = s"array_distinct(transform(sequence(0, size(hts) - 3), " +
+      s"i -> (element_at(hts, i + 1) * $C1 + element_at(hts, i + 2) * $C2" +
+      s" + element_at(hts, i + 3)) % $P))"
+    val sigExpr = (0 until 32).map { b =>
+      s"(CASE WHEN 2 * size(filter(shs, h -> (h div ${1L << b}) % 2 = 1))" +
+        s" > size(shs) THEN ${1L << b}L ELSE 0L END)"
+    }.mkString(" + ")
+    val blockCols = (0 until 4).map(i =>
+      expr(s"(simhash div ${1L << (8 * i)}) % 256"))
+    newDocsStream
+      .where(expr("size(split(text, ' ')) >= 3"))
+      .withColumn("hts", expr(hts))
+      .withColumn("shs", expr(shs))
+      .withColumn("simhash", expr(sigExpr))
+      .select(col("doc_id").as("doc_new"), col("simhash").as("sig_new"),
+        posexplode(array(blockCols: _*)).as(Seq("blk", "bval")))
+      .join(standingBlocks
+          .select(col("doc_id").as("doc_old"),
+            col("simhash").as("sig_old"), col("blk"), col("bval")),
+        Seq("blk", "bval")) // stream-static inner join: append-legal
+      .select(col("doc_new"), col("doc_old"),
+        expr("bit_count(sig_new ^ sig_old)").as("hamming"))
+  }
+
   final case class DocBucket(doc_id: Long, bucket: Long)
 
   /** Streaming twin of q477's frozen-edge quality gate — the

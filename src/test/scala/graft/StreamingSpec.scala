@@ -706,6 +706,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming ingest SimHash candidates (stream-static block join) " +
+    "== batch q491 candidate set (AvailableNow)") {
+    import graft.ops.Dedup
+    import graft.streaming.DocStream
+    // the standing block table: the batch signature construction over
+    // the old slice — exactly the old side of batch q491's join
+    val standingBlocks = Dedup.simhashBlocks(
+      Dedup.inverted(spark, sf).where(col("doc_id") % 10 >= 2))
+    val newDocs = DocStream.readDocuments(spark, sf)
+      .where(col("doc_id") % 10 < 2)
+    val q = DocStream.ingestSimhashCandidates(newDocs, standingBlocks)
+      .writeStream.format("memory").queryName("ingestsim")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // per-block emissions dedup in the collected set (the DocStream
+    // convention), then compare against the batch block join
+    val got = spark.table("ingestsim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val newBlocks = Dedup.simhashBlocks(
+      Dedup.inverted(spark, sf).where(col("doc_id") % 10 < 2))
+    val want = newBlocks.alias("a").join(standingBlocks.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("bit_count(a.simhash ^ b.simhash)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming ingest ANN candidates equal batch q474's scored set " +
     "(AvailableNow)") {
     import graft.streaming.VecStream
