@@ -89,7 +89,17 @@ class PlanLintSpec extends AnyFunSuite {
     //    (Window.orderBy with no partition key plans a numPartitions=1
     //    exchange below the WindowExec) — the runtime metric, not a
     //    static estimate, decides.
-    val failures = SparkEntry.registry.flatMap { q =>
+    // The sweep submits queries from a bounded pool (6 threads, one
+    // shared session — Spark schedules concurrent jobs FIFO and
+    // PlanCache.getOrBuild is synchronized), because a 500-query
+    // serial sweep dominated the suite's wall time (~7.7 of 12.6 min
+    // in round 12); the assertions are per-query and order-free.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def lintOne(q: QueryDef): Seq[String] = {
       val df = q.fn(spark, sfVolume)
       val n = df.queryExecution.toRdd.count() // materialize → AQE-final
       val nodes = walk(df.queryExecution.executedPlan)
@@ -128,6 +138,11 @@ class PlanLintSpec extends AnyFunSuite {
       }
       empty ++ cart ++ bigBnlj ++ volume
     }
+    val failures =
+      try Await.result(
+        Future.sequence(SparkEntry.registry.map(q => Future(lintOne(q)))),
+        Duration.Inf).flatten
+      finally pool.shutdown()
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
