@@ -5988,11 +5988,15 @@ object Events {
 
   /** Event-time disorder audit — the measurement that SETS a streaming
     * watermark delay instead of guessing it: within each user's
-    * arrival order (event_id — the log's monotone ingest sequence),
-    * an event is LATE iff some earlier-arriving event carries a later
-    * event time; its lateness is the gap to the running event-time
-    * maximum. Per event_type: late share, the lateness histogram at
-    * the operationally interesting cuts (≤ 1 min, ≤ 1 h, > 1 h), and
+    * ARRIVAL order, an event is LATE iff some earlier-arriving event
+    * carries a later event time; its lateness is the gap to the
+    * running event-time maximum. The fixture's event_id sequence is
+    * already time-sorted per user (zero disorder — a synthetic-data
+    * artifact no production ingest enjoys), so arrival is modeled as
+    * a deterministic permutation of it: arr = h32('arr_'‖event_id),
+    * the engine-portable stand-in for network-shuffled delivery.
+    * Per event_type: late share, the lateness histogram at the
+    * operationally interesting cuts (≤ 1 min, ≤ 1 h, > 1 h), and
     * the max — read directly as "a 1-minute watermark delay loses
     * X % of rows, an hour loses Y %". Shape: one running-max window
     * per user (rowsBetween to 1 PRECEDING, partitioned — no global
@@ -6002,7 +6006,9 @@ object Events {
   private val q494 = QueryDef(
     "q494_watermark_lateness",
     (s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val arr = Portable.h32Spark("concat('arr_', event_id)")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr(arr), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val late = ev(s, dir)
         .withColumn("hwm", max(col("ts")).over(w))
@@ -6029,9 +6035,10 @@ object Events {
           col("max_late_us"))
         .orderBy("event_type")
     },
-    Some("""WITH hw AS (SELECT event_type,
+    Some(s"""WITH hw AS (SELECT event_type,
           greatest(0, coalesce(
-            epoch_us(max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+            epoch_us(max(ts) OVER (PARTITION BY user_id
+              ORDER BY ${Portable.h32Duck("'arr_' || event_id")}, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
             - epoch_us(ts), 0))::BIGINT AS late_us
         FROM events)

@@ -240,6 +240,9 @@ object EventStream {
   final case class Attribution(user_id: Long, event_id: Long,
       channel: String, value: Double)
 
+  final case class HwmState(hwmUs: Long)
+  final case class LateOut(event_id: Long, late_us: Long)
+
   private val GapUs = 1800000000L // 30 min
   private val LookbackUs = 604800000000L // 7 days
 
@@ -307,6 +310,51 @@ object EventStream {
           } else {
             open.foreach(state.update)
           }
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of q494's watermark-lateness measurement — the
+    * per-user event-time high-water mark as ONE long of custom state
+    * (exactly the watermark state a streaming engine keeps; this twin
+    * makes it observable per event): events inside a micro-batch are
+    * processed in arrival order (the deterministic
+    * h32('arr_'‖event_id) permutation batch q494's window walks —
+    * the fixture's event_id sequence is time-sorted, so the hash
+    * permutation IS the simulated network-shuffled delivery), each
+    * event's lateness is its gap to the HWM of STRICTLY earlier
+    * arrivals (0 for on-time, the rowsBetween(-1) convention), and
+    * the HWM then absorbs the event. The per-type histogram q494
+    * reports is a downstream
+    * aggregation of these rows. Backfill over one AvailableNow batch
+    * reproduces the batch lateness event-for-event (StreamingSpec
+    * pins it); a continuous deployment carries the one-long state
+    * per user forever — constant memory, no window sort.
+    */
+  def latenessUs(events: Dataset[Ev]): Dataset[LateOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[HwmState, LateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Ev], state: GroupState[HwmState]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def h32(t: String): Long = {
+            md.reset()
+            val d = md.digest(t.getBytes("UTF-8"))
+            ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          }
+          val sorted = it.toIndexedSeq
+            .sortBy(e => (h32(s"arr_${e.event_id}"), e.event_id))
+          var hwm = state.getOption.map(_.hwmUs).getOrElse(Long.MinValue)
+          val out = sorted.map { e =>
+            val us = toUs(e.ts)
+            val late = if (hwm == Long.MinValue) 0L
+              else math.max(0L, hwm - us)
+            if (us > hwm) hwm = us
+            LateOut(e.event_id, late)
+          }
+          state.update(HwmState(hwm))
           out.iterator
       }
   }

@@ -192,6 +192,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("flatMapGroupsWithState lateness HWM == batch q494's window " +
+    "lateness, event-for-event (backfill mode)") {
+    import spark.implicits._
+    val src = EventStream.readEvents(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[EventStream.Ev]
+    val q = EventStream.latenessUs(src)
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("late").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the batch-side per-event lateness: the exact window expression
+    // q494 aggregates (running event-time max over strictly earlier
+    // arrivals per user, in the hashed arrival permutation)
+    import org.apache.spark.sql.expressions.Window
+    val arr = graft.ops.Portable.h32Spark("concat('arr_', event_id)")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr(arr), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = Fixtures.table(spark, sf, "events")
+      .withColumn("hwm", max(col("ts")).over(w))
+      .select(col("event_id"),
+        greatest(lit(0L), coalesce(
+          expr("timestampdiff(MICROSECOND, ts, hwm)"), lit(0L)))
+          .as("late_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(got.exists(_._2 > 0L)) // the fixture contains genuine lateness
+  }
+
   test("streaming MinHash LSH candidates == batch q18 candidate pairs " +
     "(AvailableNow)") {
     import graft.ops.Dedup
