@@ -3077,14 +3077,32 @@ object Dedup {
     * (encoded through one integer key so Spark's struct-min and the
     * oracle's scalar min agree bit-for-bit). Batch docs with < 3
     * tokens have no signature and keep with n_cand = 0.
+    *
+    * BLOCK WIDTH is the scale knob, and this query deliberately sets
+    * it wider than q19: q19's 4×8-bit blocks give only 256 buckets
+    * per block, so bucket collisions — and the verify join behind
+    * them — grow ∝ corpus²/256 (the round-12 sf1→sf3 canary measured
+    * exactly that: 6.0× wall on 3× data with 8-bit blocks). The
+    * ingest join uses 2×16-bit blocks (65 536 buckets per block):
+    * the pigeonhole guarantee narrows to Hamming ≤ 1, pairs at 2–8
+    * are found only when their differing bits cluster in one half —
+    * the standard SimHash width-for-recall tradeoff q19 documents,
+    * pushed one step toward scale (production at 100 TB runs 64-bit
+    * signatures with 16-bit blocks for the same reason). The oracle
+    * replicates the identical 16-bit construction, so the gate
+    * checks the deployed setting, not a toy one.
     */
   /** (doc_id, simhash, blk, bval) SimHash block rows over a posting
     * table — q19's signature construction (one codegen'd 32-bit-count
-    * aggregation, majority-bit fold, 4 byte-blocks) factored out so
-    * q491's asymmetric ingest join and StreamingSpec's standing-side
-    * fixture share one definition.
+    * aggregation, majority-bit fold) factored out so q491's
+    * asymmetric ingest join and StreamingSpec's standing-side fixture
+    * share one definition. `blockBits` selects the banding width:
+    * 8 (q19's 4 byte-blocks, Hamming ≤ 3 guaranteed) or 16 (q491's
+    * 2 half-blocks, Hamming ≤ 1 guaranteed, 256× fewer bucket
+    * collisions at corpus scale).
     */
-  private[graft] def simhashBlocks(inv: DataFrame): DataFrame = {
+  private[graft] def simhashBlocks(inv: DataFrame,
+      blockBits: Int = 8): DataFrame = {
     val cnts = inv.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"),
         (0 until 32).map { b =>
@@ -3095,8 +3113,10 @@ object Dedup {
       s"(CASE WHEN 2 * c$b > n THEN ${1L << b}L ELSE 0L END)"
     }.mkString(" + ")
     val sig = cnts.select(col("doc_id"), expr(sigExpr).as("simhash"))
-    val blockCols = (0 until 4).map(i =>
-      expr(s"(simhash div ${1L << (8 * i)}) % 256"))
+    val nBlocks = 32 / blockBits
+    val blockCols = (0 until nBlocks).map(i =>
+      expr(s"(simhash div ${1L << (blockBits * i)}) " +
+        s"% ${1L << blockBits}"))
     sig.select(col("doc_id"), col("simhash"),
       posexplode(array(blockCols: _*)).as(Seq("blk", "bval")))
   }
@@ -3104,7 +3124,7 @@ object Dedup {
   private val q491 = QueryDef(
     "q491_ingest_simhash_delta",
     (s, dir) => {
-      val blocks = simhashBlocks(persistedInverted(s, dir))
+      val blocks = simhashBlocks(persistedInverted(s, dir), blockBits = 16)
       val cand = blocks.alias("a")
         .join(blocks.alias("b"),
           col("a.blk") === col("b.blk")
@@ -3137,9 +3157,9 @@ object Dedup {
       val sigExpr = (0 until 32).map { b =>
         s"(CASE WHEN 2 * c$b > n THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"
       }.mkString(" + ")
-      val blockSelects = (0 until 4).map { i =>
+      val blockSelects = (0 until 2).map { i =>
         s"SELECT doc_id, simhash, $i AS blk, " +
-          s"(simhash // ${1L << (8 * i)}) % 256 AS bval FROM sig"
+          s"(simhash // ${1L << (16 * i)}) % 65536 AS bval FROM sig"
       }.mkString(" UNION ALL ")
       s"""WITH $shingledDuckCte,
       cnts AS (SELECT doc_id, count(*) AS n, $bitSums FROM inv

@@ -477,7 +477,7 @@ object DocStream {
     * majority-bit fold as 32 `filter`-count HOFs over the row's own
     * shingle array — per-row interpreted cost, the standing DocStream
     * statelessness price; the batch path keeps the codegen'd
-    * aggregation) and stream-static joins its 4 byte-block rows
+    * aggregation) and stream-static joins its 2 16-bit half-block rows
     * against the STANDING block table
     * ([[graft.ops.Dedup.simhashBlocks]] over the standing slice in
     * batch; the persisted bucketed block index in production).
@@ -501,8 +501,10 @@ object DocStream {
       s"(CASE WHEN 2 * size(filter(shs, h -> (h div ${1L << b}) % 2 = 1))" +
         s" > size(shs) THEN ${1L << b}L ELSE 0L END)"
     }.mkString(" + ")
-    val blockCols = (0 until 4).map(i =>
-      expr(s"(simhash div ${1L << (8 * i)}) % 256"))
+    // q491's width-for-scale banding: 2×16-bit half-blocks (65 536
+    // buckets per block — see q491's docstring for the collision math)
+    val blockCols = (0 until 2).map(i =>
+      expr(s"(simhash div ${1L << (16 * i)}) % 65536"))
     newDocsStream
       .where(expr("size(split(text, ' ')) >= 3"))
       .withColumn("hts", expr(hts))

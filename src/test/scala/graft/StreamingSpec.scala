@@ -743,9 +743,11 @@ class StreamingSpec extends AnyFunSuite {
     import graft.ops.Dedup
     import graft.streaming.DocStream
     // the standing block table: the batch signature construction over
-    // the old slice — exactly the old side of batch q491's join
+    // the old slice — exactly the old side of batch q491's join, at
+    // q491's 16-bit width-for-scale banding
     val standingBlocks = Dedup.simhashBlocks(
-      Dedup.inverted(spark, sf).where(col("doc_id") % 10 >= 2))
+      Dedup.inverted(spark, sf).where(col("doc_id") % 10 >= 2),
+      blockBits = 16)
     val newDocs = DocStream.readDocuments(spark, sf)
       .where(col("doc_id") % 10 < 2)
     val q = DocStream.ingestSimhashCandidates(newDocs, standingBlocks)
@@ -757,7 +759,8 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("ingestsim").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val newBlocks = Dedup.simhashBlocks(
-      Dedup.inverted(spark, sf).where(col("doc_id") % 10 < 2))
+      Dedup.inverted(spark, sf).where(col("doc_id") % 10 < 2),
+      blockBits = 16)
     val want = newBlocks.alias("a").join(standingBlocks.alias("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval"))
       .select(col("a.doc_id"), col("b.doc_id"),
