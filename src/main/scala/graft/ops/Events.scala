@@ -2917,13 +2917,17 @@ object Events {
         .filter(col("nxt").isNotNull)
         .groupBy(col("cur"), col("nxt"))
         .agg(count(lit(1)).as("n"))
-      val matrix = trans
+      // frozen: the 4 power steps below each join against the matrix —
+      // without the persist the transitions window+aggregate (the
+      // query's dominant cost) re-runs once per step
+      val matrix = graft.ops.PlanCache.freeze(trans
         .withColumn("ncur", sum(col("n"))
           .over(Window.partitionBy(col("cur"))))
         .select(col("cur"), col("nxt"),
           round(col("n").cast("double") / col("ncur").cast("double")
-            * lit(1e9)).cast("long").as("p_nano"))
-      val states = matrix.select(col("cur").as("state")).distinct()
+            * lit(1e9)).cast("long").as("p_nano")))
+      val states = graft.ops.PlanCache.freeze(
+        matrix.select(col("cur").as("state")).distinct())
       // f0: 1e9 at the purchase state, 0 elsewhere
       val f0 = states.select(col("state"),
         when(col("state") === "purchase", lit(1000000000L)).otherwise(0L)

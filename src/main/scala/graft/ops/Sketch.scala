@@ -1501,15 +1501,19 @@ object Sketch {
           md5(trim(regexp_replace(
             regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
             " +", " "))).as("key"))
-      val standingKeys = keyed.where(expr("doc_id % 10 >= 2"))
-        .select(col("key")).distinct()
+      // frozen: the standing key set feeds the position build AND the
+      // ground-truth semi-join, the batch slice feeds probe + truth +
+      // verdict base — without the persists the md5 normalization (the
+      // build's dominant cost) re-runs once per consumer
+      val standingKeys = PlanCache.freeze(
+        keyed.where(expr("doc_id % 10 >= 2")).select(col("key")).distinct())
       val posCols = (0 until 4).map(i =>
         expr(s"${Portable.h32Spark(s"concat('b${i}_', key)")} % $M"))
       val bloomPos = standingKeys
         .select(explode(array(posCols: _*)).as("pos")).distinct()
       val nKeys = standingKeys.agg(count(lit(1)).as("n_standing_keys"))
       val bits = bloomPos.agg(count(lit(1)).as("bits_set"))
-      val batch = keyed.where(expr("doc_id % 10 < 2"))
+      val batch = PlanCache.freeze(keyed.where(expr("doc_id % 10 < 2")))
       val probe = batch
         .select(col("doc_id"), posexplode(array(posCols: _*))
           .as(Seq("i", "pos")))
