@@ -10172,6 +10172,109 @@ object Analytics {
         sum(coalesce(v_new, 0))::BIGINT AS sum_new_cents
       FROM j GROUP BY status ORDER BY status"""))
 
+  // ---------- q501: snapshot value-profile drift -------------------------
+
+  /** Column-level VALUE drift between two table snapshots — the data
+    * counterpart of the reference's schema dump (its MD5 gate catches
+    * structural change; nothing catches a column whose VALUES quietly
+    * shift): per column, both snapshots are profiled to (row count,
+    * distinct count, min, max, order-independent content fingerprint)
+    * and compared. The snapshots reuse q492's deterministic carve and
+    * add two value drifts on the new side — perturbed cents (q492's
+    * update rule) and a NEW ENUM VALUE in o_orderpriority (keys ≡2
+    * mod 17 become 'UNKNOWN', the classic upstream-code-change
+    * signature). String columns profile through their h32 hash (what
+    * a profiler stores when values aren't ordinal — ranges are
+    * hash-ranges, the fingerprint is the drift signal); everything is
+    * exact int64, the fingerprint a sum of bounded residues. Shape:
+    * each snapshot is ONE scan fanned 5-wide by `stack` inside the
+    * projection (no join, no window), profiles are a 10-cell
+    * aggregate, the comparison a 5-row join. |columns|-row output.
+    */
+  private val q501 = QueryDef(
+    "q501_snapshot_profile_drift",
+    (s, dir) => {
+      val h = (e: String) => Portable.h32Spark(e)
+      def snap(isNew: Boolean): DataFrame = {
+        val base = Fixtures.table(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents0"),
+            expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+              .as("oday"),
+            col("o_custkey"), col("o_orderpriority"), col("o_orderstatus"))
+        val carved =
+          if (!isNew) base.where(expr("k % 97 <> 3"))
+            .withColumn("cents", col("cents0"))
+            .withColumn("prio", col("o_orderpriority"))
+          else base.where(expr("k % 89 <> 7"))
+            .withColumn("cents", col("cents0") + expr(
+              "CASE WHEN k % 13 = 5 THEN k % 100 + 1 ELSE 0 END"))
+            .withColumn("prio", expr(
+              "CASE WHEN k % 17 = 2 THEN 'UNKNOWN' ELSE o_orderpriority END"))
+        carved.select(expr(s"""stack(5,
+            'cents', cents,
+            'custkey', o_custkey,
+            'oday', oday,
+            'priority', ${h("prio")},
+            'status', ${h("o_orderstatus")})""").as(Seq("cname", "v")))
+      }
+      def profile(df: DataFrame, sfx: String) = df
+        .groupBy(col("cname"))
+        .agg(count(lit(1)).as(s"n_$sfx"),
+          countDistinct(col("v")).as(s"nd_$sfx"),
+          min(col("v")).as(s"min_$sfx"), max(col("v")).as(s"max_$sfx"),
+          sum(col("v") % 1048573L).as(s"fp_$sfx"))
+      profile(snap(isNew = false), "old")
+        .join(profile(snap(isNew = true), "new"), "cname")
+        .select(col("cname"), col("n_old"), col("n_new"),
+          col("nd_old"), col("nd_new"),
+          col("min_old"), col("max_old"), col("min_new"), col("max_new"),
+          (col("fp_old") =!= col("fp_new")).as("content_drift"),
+          (col("min_new") < col("min_old")
+            || col("max_new") > col("max_old")).as("range_widened"),
+          (col("nd_new") > col("nd_old")).as("new_values"))
+        .orderBy("cname")
+    },
+    Some {
+      val hD = (e: String) => Portable.h32Duck(e)
+      def snapSql(isNew: Boolean): String = {
+        val (filter, cents, prio) =
+          if (!isNew) ("k % 97 <> 3", "cents0",
+            "o_orderpriority")
+          else ("k % 89 <> 7",
+            "cents0 + CASE WHEN k % 13 = 5 THEN k % 100 + 1 ELSE 0 END",
+            "CASE WHEN k % 17 = 2 THEN 'UNKNOWN' ELSE o_orderpriority END")
+        s"""SELECT 'cents' AS cname, $cents AS v FROM b WHERE $filter
+          UNION ALL SELECT 'custkey', o_custkey FROM b WHERE $filter
+          UNION ALL SELECT 'oday', oday FROM b WHERE $filter
+          UNION ALL SELECT 'priority', ${hD(s"($prio)")} FROM b
+            WHERE $filter
+          UNION ALL SELECT 'status', ${hD("o_orderstatus")} FROM b
+            WHERE $filter"""
+      }
+      s"""WITH b AS (SELECT o_orderkey AS k,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents0,
+          CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+            AS BIGINT) AS oday,
+          o_custkey, o_orderpriority, o_orderstatus FROM orders),
+      po AS (SELECT cname, count(*)::BIGINT AS n_old,
+          count(DISTINCT v)::BIGINT AS nd_old,
+          min(v)::BIGINT AS min_old, max(v)::BIGINT AS max_old,
+          sum(v % 1048573)::BIGINT AS fp_old
+        FROM (${snapSql(isNew = false)}) GROUP BY cname),
+      pn AS (SELECT cname, count(*)::BIGINT AS n_new,
+          count(DISTINCT v)::BIGINT AS nd_new,
+          min(v)::BIGINT AS min_new, max(v)::BIGINT AS max_new,
+          sum(v % 1048573)::BIGINT AS fp_new
+        FROM (${snapSql(isNew = true)}) GROUP BY cname)
+      SELECT cname, n_old, n_new, nd_old, nd_new,
+        min_old, max_old, min_new, max_new,
+        (fp_old <> fp_new) AS content_drift,
+        (min_new < min_old OR max_new > max_old) AS range_widened,
+        (nd_new > nd_old) AS new_values
+      FROM po JOIN pn USING (cname) ORDER BY cname"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -10185,5 +10288,6 @@ object Analytics {
       q325, q326, q327, q330, q333, q338, q340, q341, q342, q345, q348,
       q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
       q363, q371, q372, q373, q374, q375, q383, q385, q388, q389, q397,
-      q398, q400, q401, q403, q407, q408, q409, q410, q411, q412, q492)
+      q398, q400, q401, q403, q407, q408, q409, q410, q411, q412, q492,
+      q501)
 }

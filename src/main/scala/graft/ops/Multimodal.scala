@@ -592,7 +592,114 @@ object Multimodal {
         sum(CASE WHEN n_shots > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi
       FROM per GROUP BY source ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(q29, q52, q96, q131, q144, q166, q382, q480)
+  // ---------- q503: ingest CDC-chunk dedup vs the standing store --------
+
+  /** The variable-block member of the ingest storage family — q166's
+    * content-defined chunking applied ASYMMETRICALLY (batch vs the
+    * standing chunk store), beside q499's fixed 64-byte blocks: CDC
+    * cut points ride the CONTENT (the `graft_cdc_cuts` rolling-hash
+    * expression, one codegen'd pass per payload), so an insertion
+    * near the head of a near-copy re-synchronizes within one chunk
+    * and the rest of the document still dedups — the property
+    * fixed-block chunking structurally lacks, and the reason rsync/
+    * CAS stores pay the rolling hash. Chunk identity is (h, len)
+    * (q166's collision rule). Standing store = DISTINCT standing
+    * chunks; the probe is one batch-bounded join on the identity
+    * key. Per-source ledger: chunks, within-batch distinct, standing
+    * hits, byte savings. At 100 TB the store is bucketed by h and
+    * the batch side broadcasts at daily size; payload bytes never
+    * shuffle (only (h, len) pairs).
+    */
+  private val q503 = QueryDef(
+    "q503_ingest_cdc_blocks",
+    (s, dir) => {
+      val d = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          length(col("text")).as("n"))
+      def chunks(side: DataFrame) = {
+        val cuts = side.where(col("n") >= 8)
+          .select(col("doc_id"),
+            explode(expr("graft_cdc_cuts(text, 8, 32)")).as("e"))
+        val ends = cuts
+          .union(side.where(col("n") >= 1)
+            .select(col("doc_id"), col("n").cast("long").as("e")))
+          .distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("e")
+        ends
+          .withColumn("start",
+            coalesce(lag(col("e"), 1).over(w) + 1, lit(1)))
+          .join(side.select(col("doc_id"), col("source"), col("text")),
+            "doc_id")
+          .select(col("doc_id"), col("source"),
+            (col("e") - col("start") + 1).as("len"),
+            expr(graft.ops.Portable.h32Spark(
+              "substring(text, start, e - start + 1)")).as("h"))
+      }
+      val standing = chunks(d.where(expr("doc_id % 10 >= 2")))
+        .select(col("h"), col("len")).distinct()
+      chunks(d.where(expr("doc_id % 10 < 2")))
+        .join(standing.withColumn("hit", lit(1L)), Seq("h", "len"),
+          "left_outer")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("h"), col("len")).as("n_distinct_chunks"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_standing_hits"),
+          sum(col("len")).as("bytes_total"),
+          sum(col("len") * coalesce(col("hit"), lit(0L)))
+            .as("bytes_dedup"))
+        .select(col("source"), col("n_docs"), col("n_chunks"),
+          col("n_distinct_chunks"), col("n_standing_hits"),
+          col("bytes_total"), col("bytes_dedup"),
+          round(col("bytes_dedup").cast("double") / col("bytes_total"), 9)
+            .as("dedup_share"))
+        .orderBy("source")
+    },
+    Some {
+      val rolling = "(ord(substring(text, i::INT, 1)) * 155737 " +
+        "+ ord(substring(text, (i + 1)::INT, 1)) * 410923 " +
+        "+ ord(substring(text, (i + 2)::INT, 1)) * 317680 " +
+        "+ ord(substring(text, (i + 3)::INT, 1)) * 923521 " +
+        "+ ord(substring(text, (i + 4)::INT, 1)) * 29791 " +
+        "+ ord(substring(text, (i + 5)::INT, 1)) * 961 " +
+        "+ ord(substring(text, (i + 6)::INT, 1)) * 31 " +
+        "+ ord(substring(text, (i + 7)::INT, 1))) % 1048573 % 32 = 0"
+      s"""WITH d AS (SELECT doc_id, source, text, length(text) AS n
+        FROM documents),
+      cuts AS (SELECT doc_id, i + 7 AS e
+        FROM d, unnest(range(1, n - 6)) AS t(i)
+        WHERE n >= 8 AND $rolling),
+      ends AS (SELECT DISTINCT doc_id, e FROM
+        (SELECT doc_id, e FROM cuts
+         UNION ALL SELECT doc_id, n AS e FROM d WHERE n >= 1)),
+      spans AS (SELECT doc_id, e,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e) + 1, 1)
+            AS start
+        FROM ends),
+      chunks AS (SELECT d.doc_id, source, (e - start + 1) AS len,
+          ${graft.ops.Portable.h32Duck(
+            "substring(text, start::INT, (e - start + 1)::INT)")} AS h
+        FROM spans JOIN d USING (doc_id)),
+      standing AS (SELECT DISTINCT h, len FROM chunks
+        WHERE doc_id % 10 >= 2),
+      batch AS (SELECT c.*, CASE WHEN s.h IS NULL THEN 0 ELSE 1 END
+          ::BIGINT AS hit
+        FROM chunks c LEFT JOIN standing s
+          ON s.h = c.h AND s.len = c.len
+        WHERE c.doc_id % 10 < 2)
+      SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        count(*)::BIGINT AS n_chunks,
+        count(DISTINCT (h, len))::BIGINT AS n_distinct_chunks,
+        sum(hit)::BIGINT AS n_standing_hits,
+        sum(len)::BIGINT AS bytes_total,
+        sum(len * hit)::BIGINT AS bytes_dedup,
+        round(sum(len * hit)::DOUBLE / sum(len), 9) AS dedup_share
+      FROM batch GROUP BY source ORDER BY source"""
+    })
+
+  val all: Seq[QueryDef] =
+    Seq(q29, q52, q96, q131, q144, q166, q382, q480, q503)
 }
 
 /** Per-frame features (the frame-sampling stub's output row). */
