@@ -2636,8 +2636,154 @@ object Planning {
         round(sum(rows_ * hit)::DOUBLE / sum(rows_), 9) AS scan_share
       FROM fanned GROUP BY phase ORDER BY phase"""))
 
+  // ---------- q502: watermark-delay planner -------------------------------
+
+  /** Turning q494's lateness MEASUREMENT into the streaming config
+    * DECISION: for each candidate watermark delay (0 s, 1 s, 10 s,
+    * 1 min, 10 min, 1 h) compute exactly how many rows the pipeline
+    * would drop (an event is lost iff its lateness under the hashed
+    * arrival order exceeds the delay), and mark the smallest delay
+    * meeting a 0.1 % loss SLA — the number an engineer actually sets
+    * `withWatermark` to, derived from the data instead of folklore.
+    * Shape: ONE per-user running-max window pass (q494's), one 1-row
+    * aggregate of 6 conditional sums, the grid fanned from that row;
+    * the SLA pick is a second 1-row aggregate joined back broadcast.
+    * All integer µs/ppm. 6-row output.
+    */
+  private val q502 = QueryDef(
+    "q502_watermark_delay_planner",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val arr = Portable.h32Spark("concat('arr_', event_id)")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr(arr), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val grid = Seq(0L, 1000000L, 10000000L, 60000000L, 600000000L,
+        3600000000L)
+      val late = Fixtures.table(s, dir, "events")
+        .withColumn("hwm", max(col("ts")).over(w))
+        .select(greatest(lit(0L),
+          coalesce(expr("timestampdiff(MICROSECOND, ts, hwm)"), lit(0L)))
+          .as("late_us"))
+      val one = late.agg(count(lit(1)).as("n"),
+        grid.map(d => sum(when(col("late_us") > d, 1L).otherwise(0L))
+          .as(s"lost_$d")): _*)
+      val fanned = one.select(col("n"),
+        explode(array(grid.map(d => struct(lit(d).as("delay_us"),
+          col(s"lost_$d").as("n_lost"))): _*)).as("r"))
+        .select(col("r.delay_us").as("delay_us"), col("n"),
+          col("r.n_lost").as("n_lost"))
+        .withColumn("loss_ppm", expr("n_lost * 1000000 div n"))
+        .withColumn("meets_sla", col("loss_ppm") <= 1000L)
+      val pick = fanned.agg(min(when(col("meets_sla"),
+        col("delay_us"))).as("chosen_us"))
+      fanned.crossJoin(broadcast(pick))
+        .select(col("delay_us"), col("n_lost"), col("loss_ppm"),
+          col("meets_sla"),
+          (col("delay_us") === col("chosen_us")).as("chosen"))
+        .orderBy("delay_us")
+    },
+    Some(s"""WITH hw AS (SELECT greatest(0, coalesce(
+          epoch_us(max(ts) OVER (PARTITION BY user_id
+            ORDER BY ${Portable.h32Duck("'arr_' || event_id")}, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+          - epoch_us(ts), 0))::BIGINT AS late_us
+        FROM events),
+      g AS (SELECT CAST(unnest([0, 1000000, 10000000, 60000000,
+          600000000, 3600000000]) AS BIGINT) AS delay_us),
+      f AS (SELECT delay_us,
+          (SELECT count(*) FROM hw WHERE late_us > delay_us)::BIGINT
+            AS n_lost,
+          (SELECT count(*) FROM hw)::BIGINT AS n
+        FROM g),
+      f2 AS (SELECT delay_us, n_lost,
+          n_lost * 1000000 // n AS loss_ppm,
+          n_lost * 1000000 // n <= 1000 AS meets_sla
+        FROM f),
+      pick AS (SELECT min(CASE WHEN meets_sla THEN delay_us END)
+          AS chosen_us FROM f2)
+      SELECT delay_us, n_lost, loss_ppm, meets_sla,
+        (delay_us = chosen_us) AS chosen
+      FROM f2, pick ORDER BY delay_us"""))
+
+  // ---------- q504: retention / vacuum planner ----------------------------
+
+  /** Time-travel retention planning — the VACUUM decision a versioned
+    * (lakehouse) table needs: snapshots are daily versions of the
+    * event log (epoch-day), the policy keeps the trailing R days plus
+    * weekly anchor versions (day ≡ 0 mod 7 — the long-term audit
+    * trail), and everything else is reclaimable. Swept over
+    * R ∈ {7, 30, 90}: versions dropped, rows and bytes reclaimed
+    * (payload-proxy = JSON props length), reclaim share — the
+    * storage-vs-history curve the retention knob trades along.
+    * Shape: one grouped pass folds the log to a ≤|days|-row version
+    * manifest; the 3-policy sweep fans THAT frame, never the log.
+    * 3-row output, exact int64.
+    */
+  private val q504 = QueryDef(
+    "q504_retention_vacuum",
+    (s, dir) => {
+      val vers = Fixtures.table(s, dir, "events")
+        .select(expr("CAST(datediff(ts, DATE '1970-01-01') AS BIGINT)")
+          .as("v"),
+          length(col("props")).cast("long").as("b"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("b")).as("bytes"))
+      val latest = vers.agg(max(col("v")).as("latest"),
+        count(lit(1)).as("n_versions_total"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(col("bytes")).as("bytes_total"))
+      vers.crossJoin(broadcast(latest))
+        .select(explode(array(Seq(7L, 30L, 90L).map(lit): _*))
+          .as("retention_days"),
+          col("v"), col("latest"), col("n_rows"), col("bytes"),
+          col("n_versions_total"), col("rows_total"), col("bytes_total"))
+        .withColumn("keep",
+          col("v") > col("latest") - col("retention_days")
+            || col("v") % 7 === 0L)
+        .groupBy(col("retention_days"))
+        .agg(max(col("n_versions_total")).as("n_versions_total"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_versions_dropped"),
+          sum(when(!col("keep"), col("n_rows")).otherwise(0L))
+            .as("rows_reclaimed"),
+          sum(when(!col("keep"), col("bytes")).otherwise(0L))
+            .as("bytes_reclaimed"),
+          max(col("bytes_total")).as("bytes_total"))
+        .select(col("retention_days"), col("n_versions_total"),
+          col("n_versions_dropped"), col("rows_reclaimed"),
+          col("bytes_reclaimed"),
+          round(col("bytes_reclaimed").cast("double")
+            / col("bytes_total"), 9).as("reclaim_share"))
+        .orderBy("retention_days")
+    },
+    Some("""WITH vers AS (SELECT epoch_us(ts) // 86400000000 AS v,
+          count(*)::BIGINT AS n_rows,
+          sum(length(props))::BIGINT AS bytes
+        FROM events GROUP BY 1),
+      tot AS (SELECT max(v) AS latest, count(*)::BIGINT
+            AS n_versions_total,
+          sum(n_rows)::BIGINT AS rows_total,
+          sum(bytes)::BIGINT AS bytes_total FROM vers),
+      fan AS (SELECT r.retention_days, v, latest, n_rows, bytes,
+          n_versions_total, bytes_total,
+          (v > latest - r.retention_days OR v % 7 = 0) AS keep
+        FROM vers, tot,
+          (SELECT CAST(unnest([7, 30, 90]) AS BIGINT)
+            AS retention_days) r)
+      SELECT retention_days, max(n_versions_total)::BIGINT
+          AS n_versions_total,
+        sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT
+          AS n_versions_dropped,
+        sum(CASE WHEN keep THEN 0 ELSE n_rows END)::BIGINT
+          AS rows_reclaimed,
+        sum(CASE WHEN keep THEN 0 ELSE bytes END)::BIGINT
+          AS bytes_reclaimed,
+        round(sum(CASE WHEN keep THEN 0 ELSE bytes END)::DOUBLE
+          / max(bytes_total), 9) AS reclaim_share
+      FROM fan GROUP BY retention_days ORDER BY retention_days"""))
+
   val all: Seq[QueryDef] = Seq(q447, q448, q449, q450, q451, q452,
     q453, q454, q455, q456, q457, q458, q459, q460, q461, q462, q463,
     q464, q465, q466, q467, q468, q469, q470, q471, q472, q486, q487,
-    q488, q489, q495, q496, q497)
+    q488, q489, q495, q496, q497, q502, q504)
 }

@@ -2378,9 +2378,77 @@ object Quality {
         (sum(units) OVER ())::DOUBLE / 1e9 AS psi
       FROM terms ORDER BY bucket"""))
 
+  // ---------- q505: row-level DQ quarantine --------------------------------
+
+  /** Row-level data-quality gating with FIRST-FAILING-RULE attribution
+    * — the validation step between the reference's extract and its
+    * sink (the reference ships rows unvalidated; any consumer
+    * warehouse runs exactly this): an ingest batch of `lineitem`
+    * rows (keys ≡0 mod 11) passes through an ordered rule list —
+    * negative extended price, non-positive quantity, tax above the
+    * 0.07 contract ceiling — and each row lands in the quarantine
+    * class of its FIRST violated rule or in 'admitted' (q500's
+    * attribution discipline, at row grain). The fixture violates no
+    * rule, so corruption is injected deterministically (price negated
+    * for linenumber ≡0 mod 3, quantity zeroed for orderkey ≡0
+    * mod 13) — the repeatable test harness a DQ gate ships with.
+    * Per class: row count, cent-exact absolute value at stake, and
+    * the minimal (orderkey, linenumber) example a triage ticket
+    * links. Shape: one scan, flags in the projection, one 4-class
+    * aggregate; example keys via min over an encoded int64. 4-row
+    * output.
+    */
+  private val q505 = QueryDef(
+    "q505_dq_quarantine",
+    (s, dir) => {
+      val batch = Fixtures.table(s, dir, "lineitem")
+        .where(expr("l_orderkey % 11 = 0"))
+        .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+          expr("""CASE WHEN l_linenumber % 3 = 0
+              THEN -CAST(round(l_extendedprice * 100) AS BIGINT)
+              ELSE CAST(round(l_extendedprice * 100) AS BIGINT)
+            END""").as("price_c"),
+          expr("CASE WHEN l_orderkey % 13 = 0 THEN 0.0 ELSE l_quantity " +
+            "END").as("qty"),
+          col("l_tax"))
+        .select(col("k"), col("ln"), col("price_c"),
+          expr("""CASE WHEN price_c < 0 THEN '1_neg_price'
+              WHEN qty <= 0.0 THEN '2_zero_qty'
+              WHEN l_tax > 0.07 THEN '3_tax_ceiling'
+              ELSE '4_admitted' END""").as("class"))
+      batch.groupBy(col("class"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(abs(col("price_c"))).as("abs_cents_at_stake"),
+          min(col("k") * 10L + col("ln")).as("ex"))
+        .select(col("class"), col("n_rows"), col("abs_cents_at_stake"),
+          expr("ex div 10").as("example_orderkey"),
+          expr("ex % 10").as("example_linenumber"))
+        .orderBy("class")
+    },
+    Some("""WITH batch AS (SELECT l_orderkey AS k, l_linenumber AS ln,
+          CASE WHEN l_linenumber % 3 = 0
+            THEN -CAST(round(l_extendedprice * 100) AS BIGINT)
+            ELSE CAST(round(l_extendedprice * 100) AS BIGINT)
+          END AS price_c,
+          CASE WHEN l_orderkey % 13 = 0 THEN 0.0 ELSE l_quantity END
+            AS qty,
+          l_tax
+        FROM lineitem WHERE l_orderkey % 11 = 0),
+      cl AS (SELECT k, ln, price_c,
+          CASE WHEN price_c < 0 THEN '1_neg_price'
+            WHEN qty <= 0.0 THEN '2_zero_qty'
+            WHEN l_tax > 0.07 THEN '3_tax_ceiling'
+            ELSE '4_admitted' END AS class
+        FROM batch)
+      SELECT class, count(*)::BIGINT AS n_rows,
+        sum(abs(price_c))::BIGINT AS abs_cents_at_stake,
+        min(k * 10 + ln) // 10 AS example_orderkey,
+        min(k * 10 + ln) % 10 AS example_linenumber
+      FROM cl GROUP BY class ORDER BY class"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
       q262, q271, q274, q299, q309, q310, q319, q320, q354, q380, q384,
-      q396, q477)
+      q396, q477, q505)
 }
