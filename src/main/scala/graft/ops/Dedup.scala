@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions._
   *                    their differing bits cluster outside one block —
   *                    the standard SimHash blocking tradeoff (raise block
   *                    count for a stricter guarantee). The oracle
-  *                    replicates the identical construction.
+  *                    replicates the identical construction. NOTE scale:
+  *                    8-bit blocks = 256 buckets, so the candidate join
+  *                    grows ∝ corpus²/256 — measured 6.0× wall on 3× data
+  *                    by the round-12 canary; q491's ingest variant bands
+  *                    on 2×16-bit blocks for exactly this reason, and a
+  *                    100-TB self-join would widen the same way.
   *  - q20 n-gram Jaccard (exact): inverted-index self-join on shingle
   *                    hash. Finds every pair ≥ τ (any such pair shares a
   *                    shingle), cost bounded by posting-list skew — the
