@@ -3208,22 +3208,26 @@ object Dedup {
     * block counts, within-batch distinct, standing hits, byte
     * savings at block grain. All counts exact int64.
     */
+  /** Fixed 64-char content blocks cut inside the scan projection —
+    * q499's chunk derivation, shared with ScaleSpec's bucketed
+    * chunk-store proof. */
+  private[graft] def chunkBlocks64(side: DataFrame): DataFrame = side
+    .where(length(col("text")) > 0)
+    .select(col("doc_id"), col("source"),
+      explode(expr("""transform(
+        sequence(0, CAST((length(text) - 1) div 64 AS INT)),
+        i -> substring(text, i * 64 + 1, 64))""")).as("blk"))
+    .select(col("doc_id"), col("source"),
+      md5(col("blk")).as("bkey"),
+      length(col("blk")).cast("long").as("blen"))
+
   private val q499 = QueryDef(
     "q499_ingest_block_dedup",
     (s, dir) => {
-      def blocks(side: DataFrame) = side
-        .where(length(col("text")) > 0)
-        .select(col("doc_id"), col("source"),
-          explode(expr("""transform(
-            sequence(0, CAST((length(text) - 1) div 64 AS INT)),
-            i -> substring(text, i * 64 + 1, 64))""")).as("blk"))
-        .select(col("doc_id"), col("source"),
-          md5(col("blk")).as("bkey"),
-          length(col("blk")).cast("long").as("blen"))
       val d = docs(s, dir)
-      val standing = blocks(d.where(expr("doc_id % 10 >= 2")))
+      val standing = chunkBlocks64(d.where(expr("doc_id % 10 >= 2")))
         .select(col("bkey")).distinct()
-      val batch = blocks(d.where(expr("doc_id % 10 < 2")))
+      val batch = chunkBlocks64(d.where(expr("doc_id % 10 < 2")))
       batch
         .join(standing.withColumn("hit", lit(1L)), Seq("bkey"),
           "left_outer")

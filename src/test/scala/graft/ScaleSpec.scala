@@ -183,4 +183,43 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS standing_bands_b")
     }
   }
+
+  test("bucketed standing chunk store makes the q499 block probe " +
+    "store-shuffle-free, with unchanged hits") {
+    // q499's production claim made checkable, the standing_bands_b
+    // pattern at the storage layer: persist the standing chunk-key
+    // store bucketed by the 16-byte key, and the per-ingest block
+    // probe no longer exchanges the store side — only the batch's own
+    // blocks shuffle to the bucket layout. This is the CAS-store
+    // layout a 100 TB deployment maintains between ingests.
+    import graft.ops.Dedup
+    val d = Fixtures.table(spark, sf, "documents")
+    val standing = Dedup.chunkBlocks64(d.where(expr("doc_id % 10 >= 2")))
+      .select(col("bkey")).distinct()
+    standing.write.mode("overwrite").bucketBy(8, "bkey")
+      .sortBy("bkey").saveAsTable("standing_chunks_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = Dedup.chunkBlocks64(d.where(expr("doc_id % 10 < 2")))
+      val joined = batch.join(spark.table("standing_chunks_b"), "bkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"bucketed scan expected on the store side:\n$plan")
+      val nExchanges = "Exchange hashpartitioning\\(bkey".r
+        .findAllIn(plan).length
+      assert(nExchanges == 1,
+        s"only the batch probe side may shuffle, saw $nExchanges " +
+          s"bkey exchanges:\n$plan")
+      val want = batch.join(standing, "bkey")
+        .select(col("doc_id"), col("bkey"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val got = joined.select(col("doc_id"), col("bkey"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS standing_chunks_b")
+    }
+  }
 }
