@@ -3459,10 +3459,86 @@ object Dedup {
       ORDER BY stage"""
     })
 
+  // ---------- q506: dedup canonical order-dependence ----------------------
+
+  /** Does STREAMING dedup pick the same survivors as BATCH dedup? The
+    * ingest family (q473/q490/q491, DocStream.exactDedup) admits the
+    * FIRST arrival of each content key; the batch family (q17/q39)
+    * canonicalizes by MIN doc_id. Replaying the whole corpus as ten
+    * arrival micro-batches (b = doc_id mod 10 — the standing split
+    * convention generalized to a full history) and comparing the two
+    * canonical assignments measures the divergence directly: every
+    * dup group (content key = q148's 128-char template prefix — the
+    * fixture's exact-dup surface; q17's whole-text key would find no
+    * groups here) whose min-id member arrives LATE is a key where the
+    * streaming index and a batch rebuild disagree about which copy
+    * survives — the thing that silently changes training data when a
+    * pipeline switches between the two modes, and the reason q490's
+    * merge gate alone isn't enough (the index can be exactly mergeable
+    * yet order-dependent in its VERDICTS). No iteration: first-wins is
+    * argmin over the (batch, doc_id) arrival order, so the whole
+    * 10-batch replay is ONE groupBy(key) aggregate (encoded-int64
+    * argmin) plus a ≤10-row ownership fold per scheme. Per arrival
+    * batch: keys each scheme canonicalizes there, dup keys among
+    * them, and the disagreement count.
+    */
+  private val q506 = QueryDef(
+    "q506_dedup_order_dependence",
+    (s, dir) => {
+      val per = docs(s, dir)
+        .select(col("doc_id"),
+          md5(substring(col("text"), 1, 128)).as("key"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"),
+          min(expr("(doc_id % 10) * 1000000000000 + doc_id")).as("ks"),
+          min(col("doc_id")).as("batch_canon"))
+        .select(col("n"), expr("ks % 1000000000000").as("stream_canon"),
+          col("batch_canon"))
+      val streamSide = per.groupBy(expr("stream_canon % 10").as("b"))
+        .agg(count(lit(1)).as("n_stream_canon"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L))
+            .as("n_dup_keys_stream"),
+          sum(when(col("stream_canon") =!= col("batch_canon"), 1L)
+            .otherwise(0L)).as("n_disagree"))
+      val batchSide = per.groupBy(expr("batch_canon % 10").as("b"))
+        .agg(count(lit(1)).as("n_batch_canon"))
+      streamSide.join(batchSide, Seq("b"), "full_outer")
+        .select(col("b"),
+          coalesce(col("n_stream_canon"), lit(0L)).as("n_stream_canon"),
+          coalesce(col("n_batch_canon"), lit(0L)).as("n_batch_canon"),
+          coalesce(col("n_dup_keys_stream"), lit(0L))
+            .as("n_dup_keys_stream"),
+          coalesce(col("n_disagree"), lit(0L)).as("n_disagree"))
+        .orderBy("b")
+    },
+    Some("""WITH per AS (SELECT count(*)::BIGINT AS n,
+          min((doc_id % 10) * 1000000000000 + doc_id) % 1000000000000
+            AS stream_canon,
+          min(doc_id) AS batch_canon
+        FROM (SELECT doc_id, md5(substring(text, 1, 128)) AS key
+          FROM documents)
+        GROUP BY key),
+      ss AS (SELECT stream_canon % 10 AS b,
+          count(*)::BIGINT AS n_stream_canon,
+          sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT
+            AS n_dup_keys_stream,
+          sum(CASE WHEN stream_canon <> batch_canon THEN 1 ELSE 0 END)
+            ::BIGINT AS n_disagree
+        FROM per GROUP BY 1),
+      bs AS (SELECT batch_canon % 10 AS b,
+          count(*)::BIGINT AS n_batch_canon FROM per GROUP BY 1)
+      SELECT coalesce(ss.b, bs.b) AS b,
+        coalesce(n_stream_canon, 0)::BIGINT AS n_stream_canon,
+        coalesce(n_batch_canon, 0)::BIGINT AS n_batch_canon,
+        coalesce(n_dup_keys_stream, 0)::BIGINT AS n_dup_keys_stream,
+        coalesce(n_disagree, 0)::BIGINT AS n_disagree
+      FROM ss FULL JOIN bs ON bs.b = ss.b ORDER BY b"""))
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
       q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
-      q201, q204, q246, q321, q336, q381, q473, q490, q491, q499, q500)
+      q201, q204, q246, q321, q336, q381, q473, q490, q491, q499, q500,
+      q506)
 
 }
