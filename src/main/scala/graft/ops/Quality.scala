@@ -2446,9 +2446,75 @@ object Quality {
         min(k * 10 + ln) % 10 AS example_linenumber
       FROM cl GROUP BY class ORDER BY class"""))
 
+  // ---------- q507: late-arriving-dimension audit ---------------------------
+
+  /** The referential gate at INGEST time — q106 audits the whole
+    * warehouse's FK health after the fact; this classifies each
+    * arriving fact row at the door, with the distinction that decides
+    * the pipeline's retry design: a batch order whose customer is not
+    * yet in the loaded dimension slice is either LATE-ARRIVING (the
+    * key exists in the eventual full dimension — park the row and
+    * re-join after the next dim load, Kimball's classic case) or a
+    * true ORPHAN (the key exists nowhere — quarantine, q505's lane).
+    * Batch = keys ≡0,1 mod 10 (the standing convention); the loaded
+    * dim slice = customers ≡2–9 mod 10; the eventual dimension is the
+    * full table minus a deterministic lost-row injection (keys ≡13
+    * mod 997), so the orphan lane is exercised, not vacuous. Shape:
+    * two LEFT SEMI-shaped flag joins of the batch against dimension
+    * key sets (both broadcast at daily batch scale; bucketed at
+    * 100 TB), one 3-class aggregate with cent-exact money at stake
+    * and min-key examples. 3-row output.
+    */
+  private val q507 = QueryDef(
+    "q507_late_dim_audit",
+    (s, dir) => {
+      val batch = Fixtures.table(s, dir, "orders")
+        .where(expr("o_orderkey % 10 < 2"))
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val loaded = Fixtures.table(s, dir, "customer")
+        .where(expr("c_custkey % 10 >= 2"))
+        .select(col("c_custkey").as("ck")).distinct()
+        .withColumn("in_loaded", lit(1L))
+      val eventual = Fixtures.table(s, dir, "customer")
+        .where(expr("c_custkey % 997 <> 13"))
+        .select(col("c_custkey").as("ck")).distinct()
+        .withColumn("in_eventual", lit(1L))
+      batch
+        .join(broadcast(loaded), Seq("ck"), "left_outer")
+        .join(broadcast(eventual), Seq("ck"), "left_outer")
+        .select(col("k"), col("ck"), col("cents"),
+          when(col("in_loaded") === 1L, "1_ok")
+            .when(col("in_eventual") === 1L, "2_late_dim")
+            .otherwise("3_orphan").as("class"))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("ck")).as("n_custkeys"),
+          sum(col("cents")).as("cents_at_stake"),
+          min(col("k")).as("example_orderkey"))
+        .orderBy("class")
+    },
+    Some("""WITH batch AS (SELECT o_orderkey AS k, o_custkey AS ck,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 10 < 2),
+      loaded AS (SELECT DISTINCT c_custkey AS ck FROM customer
+        WHERE c_custkey % 10 >= 2),
+      eventual AS (SELECT DISTINCT c_custkey AS ck FROM customer
+        WHERE c_custkey % 997 <> 13),
+      cl AS (SELECT k, ck, cents,
+          CASE WHEN ck IN (SELECT ck FROM loaded) THEN '1_ok'
+            WHEN ck IN (SELECT ck FROM eventual) THEN '2_late_dim'
+            ELSE '3_orphan' END AS class
+        FROM batch)
+      SELECT class, count(*)::BIGINT AS n_orders,
+        count(DISTINCT ck)::BIGINT AS n_custkeys,
+        sum(cents)::BIGINT AS cents_at_stake,
+        min(k)::BIGINT AS example_orderkey
+      FROM cl GROUP BY class ORDER BY class"""))
+
   val all: Seq[QueryDef] =
     Seq(q43, q44, q47, q50, q91, q101, q109, q110, q116, q125, q138, q139,
       q149, q168, q170, q172, q173, q183, q216, q225, q249, q250, q257,
       q262, q271, q274, q299, q309, q310, q319, q320, q354, q380, q384,
-      q396, q477, q505)
+      q396, q477, q505, q507)
 }
