@@ -5996,9 +5996,10 @@ object Events {
     * carries a later event time; its lateness is the gap to the
     * running event-time maximum. The fixture's event_id sequence is
     * already time-sorted per user (zero disorder — a synthetic-data
-    * artifact no production ingest enjoys), so arrival is modeled as
-    * a deterministic permutation of it: arr = h32('arr_'‖event_id),
-    * the engine-portable stand-in for network-shuffled delivery.
+    * artifact no production ingest enjoys), so arrival is modeled by
+    * [[Portable.arrivalSeqSpark]]: a 5 % hash-chosen late tail
+    * displaced 50 slots, everything else in order — the bounded
+    * disorder real queues exhibit.
     * Per event_type: late share, the lateness histogram at the
     * operationally interesting cuts (≤ 1 min, ≤ 1 h, > 1 h), and
     * the max — read directly as "a 1-minute watermark delay loses
@@ -6010,7 +6011,7 @@ object Events {
   private val q494 = QueryDef(
     "q494_watermark_lateness",
     (s, dir) => {
-      val arr = Portable.h32Spark("concat('arr_', event_id)")
+      val arr = Portable.arrivalSeqSpark
       val w = Window.partitionBy(col("user_id"))
         .orderBy(expr(arr), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -6042,7 +6043,7 @@ object Events {
     Some(s"""WITH hw AS (SELECT event_type,
           greatest(0, coalesce(
             epoch_us(max(ts) OVER (PARTITION BY user_id
-              ORDER BY ${Portable.h32Duck("'arr_' || event_id")}, event_id
+              ORDER BY ${Portable.arrivalSeqDuck}, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
             - epoch_us(ts), 0))::BIGINT AS late_us
         FROM events)

@@ -2654,7 +2654,7 @@ object Planning {
     "q502_watermark_delay_planner",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val arr = Portable.h32Spark("concat('arr_', event_id)")
+      val arr = Portable.arrivalSeqSpark
       val w = Window.partitionBy(col("user_id"))
         .orderBy(expr(arr), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -2680,12 +2680,13 @@ object Planning {
       fanned.crossJoin(broadcast(pick))
         .select(col("delay_us"), col("n_lost"), col("loss_ppm"),
           col("meets_sla"),
-          (col("delay_us") === col("chosen_us")).as("chosen"))
+          (col("delay_us") === coalesce(col("chosen_us"), lit(-1L)))
+            .as("chosen"))
         .orderBy("delay_us")
     },
     Some(s"""WITH hw AS (SELECT greatest(0, coalesce(
           epoch_us(max(ts) OVER (PARTITION BY user_id
-            ORDER BY ${Portable.h32Duck("'arr_' || event_id")}, event_id
+            ORDER BY ${Portable.arrivalSeqDuck}, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
           - epoch_us(ts), 0))::BIGINT AS late_us
         FROM events),
@@ -2703,7 +2704,7 @@ object Planning {
       pick AS (SELECT min(CASE WHEN meets_sla THEN delay_us END)
           AS chosen_us FROM f2)
       SELECT delay_us, n_lost, loss_ppm, meets_sla,
-        (delay_us = chosen_us) AS chosen
+        (delay_us = coalesce(chosen_us, -1)) AS chosen
       FROM f2, pick ORDER BY delay_us"""))
 
   // ---------- q504: retention / vacuum planner ----------------------------
@@ -2782,8 +2783,83 @@ object Planning {
           / max(bytes_total), 9) AS reclaim_share
       FROM fan GROUP BY retention_days ORDER BY retention_days"""))
 
+  // ---------- q508: backfill partition planner ----------------------------
+
+  /** What late data COSTS in rewrites — the operational consequence of
+    * q502's watermark choice on a date-partitioned sink: every event
+    * later than the chosen delay (60 s here, q502's grid point) misses
+    * its micro-batch and must be backfilled into its EVENT-DATE
+    * partition; on a copy-on-write table each dirtied partition
+    * rewrites whole, so the cost is (partition rows) per touched
+    * partition, not (late rows). Per event-date partition: resident
+    * rows, late arrivals landing there, and the rewrite amplification
+    * (partition rows div late rows — how many clean rows each dirty
+    * row drags through the writer); the 1-row summary a merge-on-read
+    * vs copy-on-write decision reads (q488's delete-shape logic, at
+    * the ingest end) rides along on every row. Shape: q494's one
+    * running-max window pass, one per-day aggregate, one ≤|days|-row
+    * join; exact int64. Only dirtied partitions emit.
+    */
+  private val q508 = QueryDef(
+    "q508_backfill_partitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val arr = Portable.arrivalSeqSpark
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr(arr), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = Fixtures.table(s, dir, "events")
+        .withColumn("hwm", max(col("ts")).over(w))
+        .select(expr("CAST(datediff(ts, DATE '1970-01-01') AS BIGINT)")
+          .as("day"),
+          (greatest(lit(0L), coalesce(
+            expr("timestampdiff(MICROSECOND, ts, hwm)"), lit(0L)))
+            > 60000000L).cast("long").as("is_late"))
+      val perDay = ev.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("is_late")).as("n_late"))
+      val tot = perDay.agg(
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(col("n_late") > 0L, col("n_rows")).otherwise(0L))
+          .as("rows_rewritten"),
+        sum(col("n_late")).as("late_total"),
+        sum(when(col("n_late") > 0L, 1L).otherwise(0L))
+          .as("n_dirty_partitions"))
+      perDay.where(col("n_late") > 0L)
+        .crossJoin(broadcast(tot))
+        .select(col("day"), col("n_rows"), col("n_late"),
+          expr("n_rows div n_late").as("rewrite_amplification"),
+          col("n_dirty_partitions"), col("late_total"),
+          round(col("rows_rewritten").cast("double")
+            / col("rows_total"), 9).as("corpus_rewrite_share"))
+        .orderBy("day")
+    },
+    Some(s"""WITH ev AS (SELECT
+          epoch_us(ts) // 86400000000 AS day,
+          CASE WHEN greatest(0, coalesce(
+            epoch_us(max(ts) OVER (PARTITION BY user_id
+              ORDER BY ${Portable.arrivalSeqDuck}, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            - epoch_us(ts), 0)) > 60000000 THEN 1 ELSE 0 END
+            ::BIGINT AS is_late
+        FROM events),
+      pd AS (SELECT day, count(*)::BIGINT AS n_rows,
+          sum(is_late)::BIGINT AS n_late FROM ev GROUP BY 1),
+      tot AS (SELECT sum(n_rows)::BIGINT AS rows_total,
+          sum(CASE WHEN n_late > 0 THEN n_rows ELSE 0 END)::BIGINT
+            AS rows_rewritten,
+          sum(n_late)::BIGINT AS late_total,
+          sum(CASE WHEN n_late > 0 THEN 1 ELSE 0 END)::BIGINT
+            AS n_dirty_partitions
+        FROM pd)
+      SELECT day, n_rows, n_late,
+        n_rows // n_late AS rewrite_amplification,
+        n_dirty_partitions, late_total,
+        round(rows_rewritten::DOUBLE / rows_total, 9)
+          AS corpus_rewrite_share
+      FROM pd, tot WHERE n_late > 0 ORDER BY day"""))
+
   val all: Seq[QueryDef] = Seq(q447, q448, q449, q450, q451, q452,
     q453, q454, q455, q456, q457, q458, q459, q460, q461, q462, q463,
     q464, q465, q466, q467, q468, q469, q470, q471, q472, q486, q487,
-    q488, q489, q495, q496, q497, q502, q504)
+    q488, q489, q495, q496, q497, q502, q504, q508)
 }

@@ -24,6 +24,24 @@ private[graft] object Portable {
   def h52Duck(e: String): String =
     s"('0x' || substring(md5($e), 1, 13))::BIGINT"
 
+  /** Deterministic simulated ARRIVAL sequence for the event log — the
+    * q494/q502/q508 lateness family's shared contract: the fixture's
+    * event_id order is perfectly time-sorted per user (a synthetic
+    * artifact no production ingest enjoys), so disorder is modeled as
+    * a 5 % late tail: hash-chosen events arrive 5 positions behind
+    * their slot (≈ 20 min of event time on the fixture's cadence),
+    * everything else in order. (A full hash permutation —
+    * the first-cut model — made ~93 % of rows "late", which turns the
+    * watermark decision and the backfill plan degenerate; a bounded
+    * displaced tail matches how real queues misbehave.)
+    */
+  val arrivalSeqSpark: String =
+    s"event_id + CASE WHEN ${h32Spark("concat('arr_', event_id)")} " +
+      "% 100 < 5 THEN 5 ELSE 0 END"
+  val arrivalSeqDuck: String =
+    s"event_id + CASE WHEN ${h32Duck("'arr_' || event_id")} " +
+      "% 100 < 5 THEN 5 ELSE 0 END"
+
   /** Deterministic 80/10/10 train/val/test assignment from doc_id —
     * the q37_split_assign contract (pure hash function: stable across
     * runs, engines, and corpus growth).

@@ -318,10 +318,10 @@ object EventStream {
     * per-user event-time high-water mark as ONE long of custom state
     * (exactly the watermark state a streaming engine keeps; this twin
     * makes it observable per event): events inside a micro-batch are
-    * processed in arrival order (the deterministic
-    * h32('arr_'‖event_id) permutation batch q494's window walks —
-    * the fixture's event_id sequence is time-sorted, so the hash
-    * permutation IS the simulated network-shuffled delivery), each
+    * processed in arrival order (the deterministic displaced
+    * sequence batch q494's window walks — Portable.arrivalSeqSpark's
+    * 5 % late tail; the fixture's event_id order is time-sorted, so
+    * the displacement IS the simulated queue misbehavior), each
     * event's lateness is its gap to the HWM of STRICTLY earlier
     * arrivals (0 for on-time, the rowsBetween(-1) convention), and
     * the HWM then absorbs the event. The per-type histogram q494
@@ -345,7 +345,9 @@ object EventStream {
               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
           }
           val sorted = it.toIndexedSeq
-            .sortBy(e => (h32(s"arr_${e.event_id}"), e.event_id))
+            .sortBy(e => (e.event_id +
+              (if (h32(s"arr_${e.event_id}") % 100 < 5) 5L else 0L),
+              e.event_id))
           var hwm = state.getOption.map(_.hwmUs).getOrElse(Long.MinValue)
           val out = sorted.map { e =>
             val us = toUs(e.ts)

@@ -208,7 +208,7 @@ class StreamingSpec extends AnyFunSuite {
     // q494 aggregates (running event-time max over strictly earlier
     // arrivals per user, in the hashed arrival permutation)
     import org.apache.spark.sql.expressions.Window
-    val arr = graft.ops.Portable.h32Spark("concat('arr_', event_id)")
+    val arr = graft.ops.Portable.arrivalSeqSpark
     val w = Window.partitionBy(col("user_id"))
       .orderBy(expr(arr), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
