@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CdcCuts, CosineSimilarity, LshBuckets, SelfCosineRule}
+import graft.expressions.{CdcCuts, CosineSimilarity, FreqSketch, LshBuckets, SelfCosineRule}
 
 /** Session extensions for the graft engine: registers the library's
   * native Catalyst expressions as SQL functions, so they are available
@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3,
           s"graft_cdc_cuts expects 3 arguments, got ${children.length}")
         CdcCuts(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "graft_freq_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_freq_sketch expects 2 arguments, got ${children.length}")
+        new FreqSketch(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => SelfCosineRule)
   }

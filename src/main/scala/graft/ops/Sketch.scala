@@ -1586,7 +1586,60 @@ object Sketch {
       FROM ag, nk, bs"""
     })
 
+  // ---------- q509: exact heavy hitters via native MG sketch ----------
+
+  /** Corpus-wide heavy-hitter tokens (boilerplate / stopword discovery
+    * for pretraining-data curation) — the two-pass EXACT heavy-hitters
+    * shape built on the library's native Misra–Gries
+    * TypedImperativeAggregate (`graft_freq_sketch`, FreqSketch.scala):
+    *
+    *   Pass 1: ONE fixed-width sketch pass over the exploded token
+    *     stream. ObjectHashAggregate keeps a ≤K-counter MG summary per
+    *     map task and the shuffle carries K counters per partition —
+    *     never the tokens. By the MG guarantee every token with
+    *     true count > n/(K+1) is in the summary.
+    *   Pass 2: the ≤K candidates broadcast back as a semi-join; only
+    *     candidate-token rows reach the exact groupBy shuffle. The
+    *     final filter cnt·(K+1) > n keeps exactly the tokens the
+    *     theorem guarantees pass 1 captured — so the result is
+    *     deterministic and independent of sketch merge order (which is
+    *     why `est` is never emitted).
+    *
+    * At 100 TB: pass 1 is scan-bound with O(K·tasks) shuffle bytes;
+    * pass 2's shuffle is bounded by the heavy tokens' own rows. The
+    * oracle is the definitionally-exact form (full groupBy + HAVING).
+    */
+  private val q509 = QueryDef(
+    "q509_heavy_hitter_tokens",
+    (s, dir) => {
+      val kHh = 64
+      val toks = Fixtures.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "")
+      val sketch = toks.agg(
+        expr(s"graft_freq_sketch(token, $kHh)").as("sk"),
+        count(lit(1)).as("n"))
+      val cand = sketch.select(col("n"),
+        explode(col("sk.token")).as("token"))
+      toks.join(broadcast(cand), Seq("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+        .where(col("cnt") * (kHh + 1) > col("n"))
+        .select(col("token"), col("cnt"),
+          round(col("cnt").cast("double") / col("n"), 9).as("share"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      tk AS (SELECT token FROM t WHERE token <> ''),
+      tot AS (SELECT count(*)::BIGINT AS n FROM tk)
+      SELECT token, count(*)::BIGINT AS cnt,
+        round(count(*)::DOUBLE / max(n), 9) AS share
+      FROM tk, tot GROUP BY token HAVING count(*) * 65 > max(n)
+      ORDER BY cnt DESC, token"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
-      q180, q195, q200, q264, q394, q478, q482, q483, q484, q485, q498)
+      q180, q195, q200, q264, q394, q478, q482, q483, q484, q485, q498,
+      q509)
 }
