@@ -49,5 +49,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FreqSketch(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => SelfCosineRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -6060,6 +6060,52 @@ object Events {
         max(late_us)::BIGINT AS max_late_us
       FROM hw GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------- q510: native as-of join (attribution with tolerance) -----
+
+  /** Click→purchase attribution through the library's NATIVE as-of join
+    * operator (graft.plans.AsOfJoin → AsOfJoinExec, injected planner
+    * strategy): every purchase left-outer as-of joined to the same
+    * user's latest click at-or-before it, attributed only when the
+    * click is within a 7-day window (tolerance), else null-extended.
+    *
+    * vs q25 (the union+window composition of plain as-of): this gated
+    * path exercises the whole-operator rung — co-partitioned sorted
+    * merge, one buffered right row per partition, tolerance and outer
+    * semantics inside the exec. The oracle is DuckDB's native
+    * ASOF LEFT JOIN (an independent implementation) with the tolerance
+    * as a post-CASE — equivalent because as-of picks the single
+    * greatest click ≤ ts, so "outside window" and "no match" coincide.
+    * Scale: two key-clustered shuffles (the SortMergeJoin contract),
+    * merge O(1) memory; no band constant, no candidate duplication.
+    */
+  private val q510 = QueryDef(
+    "q510_asof_attribution",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+          col("event_id").as("c_event_id"))
+      val week = 7L * 86400L * 1000000L
+      graft.plans.AsOf.asofJoin(purchases, clicks,
+        Seq("user_id"), Seq("c_user_id"), "ts", "click_ts",
+        rightTieBreak = Seq("c_event_id"),
+        toleranceUs = Some(week), leftOuter = true)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("click_ts"),
+          expr("timestampdiff(MICROSECOND, click_ts, ts)").as("latency_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+      CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY THEN c.ts END AS click_ts,
+      CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY
+        THEN epoch_us(p.ts) - epoch_us(c.ts) END AS latency_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -6068,5 +6114,5 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494)
+      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510)
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{AsOf, AsOfJoinExec}
+
+/** Native as-of join (AsOfJoinExec): equivalence against the
+  * independent union+window formulation (q25), plan shape (custom exec
+  * planned, co-partitioned, no cartesian/broadcast-nested-loop), outer
+  * and tolerance semantics, tie-break determinism, and null handling.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = GraftSession.builder("4").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ev: DataFrame = Fixtures.table(spark, sf, "events")
+
+  private def nativeAsOf(outer: Boolean, tolUs: Option[Long] = None): DataFrame = {
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("c_event_id"))
+    AsOf.asofJoin(purchases, clicks,
+      Seq("user_id"), Seq("c_user_id"), "ts", "click_ts",
+      rightTieBreak = Seq("c_event_id"), toleranceUs = tolUs,
+      leftOuter = outer)
+  }
+
+  test("inner as-of equals the q25 union+window formulation") {
+    val native = nativeAsOf(outer = false)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"), col("click_ts").as("last_click_ts"))
+    val q25 = SparkEntry.queries("q25_asof_join")(spark, sf)
+    assert(native.count() === q25.count())
+    assert(native.exceptAll(q25).count() === 0L)
+    assert(q25.exceptAll(native).count() === 0L)
+  }
+
+  test("plan uses AsOfJoinExec with co-partitioned children, no cartesian") {
+    val df = nativeAsOf(outer = false)
+    df.collect() // materialize the AQE-final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"),
+      s"native exec not planned:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("left-outer null-extends unmatched purchases") {
+    val inner = nativeAsOf(outer = false)
+    val outer = nativeAsOf(outer = true)
+    val purchases = ev.where(col("event_type") === "purchase")
+    assert(outer.count() === purchases.count())
+    val unmatched = outer.where(col("click_ts").isNull).count()
+    assert(unmatched === purchases.count() - inner.count())
+  }
+
+  test("tolerance drops matches older than the window") {
+    val all = nativeAsOf(outer = false)
+    val hour = 3600L * 1000000L
+    val tol = nativeAsOf(outer = false, tolUs = Some(hour))
+    val expected = all.where(
+      expr("timestampdiff(MICROSECOND, click_ts, ts)") <= hour).count()
+    assert(tol.count() === expected)
+    assert(tol.count() < all.count()) // the window actually bites
+  }
+
+  test("ties on (key, time) resolve to the greatest tie-break value") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 100L, 1L), (1L, 100L, 2L), (1L, 50L, 3L))
+      .toDF("rk", "rt", "rid")
+    val out = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTieBreak = Seq("rid")).select("rid").as[Long].collect()
+    assert(out.toSeq === Seq(2L))
+  }
+
+  test("null keys and null times never match; outer still emits them") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(100L), 1L), (None, Some(100L), 2L),
+      (Some(1L), None, 3L)).toDF("k", "t", "lid")
+    val r = Seq((Some(1L), Some(90L), 7L), (None, Some(80L), 8L),
+      (Some(1L), None, 9L)).toDF("rk", "rt", "rid")
+    val inner = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTieBreak = Seq("rid"))
+    assert(inner.select("lid", "rid").as[(Long, Long)].collect().toSeq
+      === Seq((1L, 7L)))
+    val outer = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTieBreak = Seq("rid"), leftOuter = true)
+    assert(outer.count() === 3L)
+    assert(outer.where(col("rid").isNull).count() === 2L)
+  }
+
+  test("brute-force equivalence on a random keyed stream") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val lRows = Seq.fill(300)((rnd.nextInt(8).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextLong())).distinct
+    val rRows = Seq.fill(300)((rnd.nextInt(8).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextLong())).distinct
+    val l = lRows.toDF("k", "t", "lid").repartition(5)
+    val r = rRows.toDF("rk", "rt", "rid").repartition(3)
+    val native = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTieBreak = Seq("rid"), leftOuter = true)
+      .select(col("k"), col("t"), col("lid"), col("rid"))
+    // driver-side oracle
+    val byKey = rRows.groupBy(_._1)
+    val expect = lRows.map { case (k, t, lid) =>
+      val m = byKey.getOrElse(k, Seq.empty).filter(_._2 <= t)
+      val best = if (m.isEmpty) None
+        else Some(m.maxBy(x => (x._2, x._3))._3)
+      (k, t, lid, best)
+    }.toSet
+    val got = native.as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === expect)
+  }
+}
