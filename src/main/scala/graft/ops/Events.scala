@@ -6106,6 +6106,51 @@ object Events {
       ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY purchase_id"""))
 
+  // ---------- q512: point-in-time dimension lookup (native as-of) ------
+
+  /** The canonical as-of use: fact rows enriched with a slowly-changing
+    * dimension's state AS OF each fact's own time. Facts = purchases;
+    * dimension stream = every other event of the same user (its
+    * event_type is the user's "state"); each purchase picks the
+    * greatest state change ≤ its timestamp via the native AsOfJoinExec,
+    * left-outer so first-touch purchases survive with null state.
+    *
+    * vs q251 (one fixed AS-OF instant for all users, an argmax
+    * aggregate): here every fact row has its OWN as-of instant, which
+    * is exactly the case composition can't do with one aggregate — and
+    * where the union+window trick (q25) must null-pad and carry both
+    * sides' payloads through one window. The native exec keeps each
+    * side's columns in its own shuffle and merges sorted runs.
+    * (user_id, ts) is unique in the fixture at every sf (verified
+    * 0.001/0.01/0.1), and event_id tie-breaks defensively, so emitting
+    * the matched row's type/time is deterministic. Oracle: DuckDB's
+    * native ASOF LEFT JOIN.
+    */
+  private val q512 = QueryDef(
+    "q512_asof_state_lookup",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val dim = e.where(col("event_type") =!= "purchase")
+        .select(col("user_id").as("d_user_id"), col("ts").as("state_ts"),
+          col("event_type").as("state"), col("event_id").as("d_event_id"))
+      graft.plans.AsOf.asofJoin(purchases, dim,
+        Seq("user_id"), Seq("d_user_id"), "ts", "state_ts",
+        rightTieBreak = Seq("d_event_id"), leftOuter = true)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("state"), col("state_ts"),
+          expr("timestampdiff(MICROSECOND, state_ts, ts)").as("state_age_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+      d.event_type AS state, d.ts AS state_ts,
+      epoch_us(p.ts) - epoch_us(d.ts) AS state_age_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') d
+      ON p.user_id = d.user_id AND p.ts >= d.ts
+      ORDER BY purchase_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -6114,5 +6159,5 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510)
+      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510, q512)
 }

@@ -1638,8 +1638,51 @@ object Sketch {
       FROM tk, tot GROUP BY token HAVING count(*) * 65 > max(n)
       ORDER BY cnt DESC, token"""))
 
+  // ---------- q511: per-group heavy hitters (grouped MG sketch) --------
+
+  /** q509's two-pass exact-heavy-hitter shape, GROUPED: boilerplate
+    * tokens per language (the per-slice curation view — a token can be
+    * boilerplate in `de` while rare corpus-wide). Pass 1 is ONE grouped
+    * ObjectHashAggregate carrying a ≤K-counter MG state per (task,
+    * lang) — the sketch state replaces the per-(lang, token) shuffle a
+    * direct groupBy would pay. Candidates (≤K·|langs| rows) broadcast
+    * into the exact re-count, whose shuffle carries only
+    * candidate-token rows. Same theorem threshold per group:
+    * cnt·(K+1) > n_lang guarantees pass-1 capture, so the result is
+    * deterministic regardless of sketch merge order.
+    */
+  private val q511 = QueryDef(
+    "q511_heavy_hitters_by_lang",
+    (s, dir) => {
+      val kHh = 32
+      val toks = Fixtures.table(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "")
+      val sk = toks.groupBy(col("lang")).agg(
+        expr(s"graft_freq_sketch(token, $kHh)").as("sk"),
+        count(lit(1)).as("n"))
+      val cand = sk.select(col("lang"), col("n"),
+        explode(col("sk.token")).as("token"))
+      toks.join(broadcast(cand), Seq("lang", "token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("cnt"), max(col("n")).as("n"))
+        .where(col("cnt") * (kHh + 1) > col("n"))
+        .select(col("lang"), col("token"), col("cnt"),
+          round(col("cnt").cast("double") / col("n"), 9).as("share"))
+        .orderBy(col("lang"), col("cnt").desc, col("token"))
+    },
+    Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      tk AS (SELECT lang, token FROM t WHERE token <> ''),
+      tot AS (SELECT lang, count(*)::BIGINT AS n FROM tk GROUP BY 1)
+      SELECT tk.lang AS lang, token, count(*)::BIGINT AS cnt,
+        round(count(*)::DOUBLE / max(n), 9) AS share
+      FROM tk JOIN tot ON tk.lang = tot.lang
+      GROUP BY tk.lang, token HAVING count(*) * 33 > max(n)
+      ORDER BY lang, cnt DESC, token"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
       q180, q195, q200, q264, q394, q478, q482, q483, q484, q485, q498,
-      q509)
+      q509, q511)
 }

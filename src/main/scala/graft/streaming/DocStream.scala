@@ -610,6 +610,57 @@ object DocStream {
       }
   }
 
+  final case class ShardSketch(shard: Int, tokens: Seq[String],
+      ests: Seq[Long], n: Long)
+
+  /** Streaming twin of q509's heavy-hitter pass: a continuously
+    * maintained Misra–Gries sketch, sharded by token hash so state
+    * distributes — each shard's ≤k-counter map is the same MG update
+    * rule as the batch `graft_freq_sketch` aggregate (FreqSketch.scala)
+    * over that shard's (disjoint) token slice.
+    *
+    * Superset guarantee carried over from batch: a token with corpus
+    * count > n/(k+1) has, inside its own shard, count > n_shard/(k+1)
+    * (shards partition tokens, so n_shard ≤ n and the token's count is
+    * undiminished) — so every batch heavy hitter is PRESENT in its
+    * shard's streaming state at every point after its arrivals. The
+    * StreamingSpec twin asserts exactly that against the gated q509
+    * result. State is k counters per shard — bounded on an unbounded
+    * stream.
+    */
+  def heavyHitterSketch(docsStream: DataFrame, k: Int = 64,
+      shards: Int = 16): Dataset[ShardSketch] = {
+    val spark = docsStream.sparkSession
+    import spark.implicits._
+    docsStream
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .select(col("token"),
+        pmod(xxhash64(col("token")), lit(shards)).cast("int").as("shard"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(String, Int)],
+         state: GroupState[(Map[String, Long], Long)]) =>
+          val (m0, n0) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          val m = scala.collection.mutable.HashMap[String, Long](m0.toSeq: _*)
+          var n = n0
+          rows.foreach { case (tok, _) =>
+            n += 1
+            m.get(tok) match {
+              case Some(c) => m.update(tok, c + 1L)
+              case None if m.size < k => m.update(tok, 1L)
+              case None =>
+                m.filterInPlace((_, c) => c > 1L)
+                m.mapValuesInPlace((_, c) => c - 1L)
+            }
+          }
+          state.update((m.toMap, n))
+          val sorted = m.toSeq.sortBy { case (t, c) => (-c, t) }
+          ShardSketch(shard, sorted.map(_._1), sorted.map(_._2), n)
+      }
+  }
+
   def ingestNearDups(newDocsStream: DataFrame, standingInv: DataFrame,
       threshold: Double = 0.8): Dataset[IngestDup] = {
     val spark = newDocsStream.sparkSession

@@ -884,4 +884,23 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("rank").collect().map(_.getAs[Long]("h")).toSeq
     assert(viaQuery === want)
   }
+
+  test("streaming MG sketch state contains every batch heavy hitter " +
+    "(q509 superset guarantee, AvailableNow)") {
+    import graft.streaming.DocStream
+    val q = DocStream.heavyHitterSketch(DocStream.readDocuments(spark, sf))
+      .writeStream.format("memory").queryName("hhsketch")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // latest emission per shard (n is cumulative, so max-n row wins)
+    val streamTokens = spark.table("hhsketch").collect()
+      .groupBy(_.getInt(0))
+      .values.map(_.maxBy(_.getLong(3)))
+      .flatMap(_.getSeq[String](1)).toSet
+    val heavy = SparkEntry.queries("q509_heavy_hitter_tokens")(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(heavy.nonEmpty)
+    assert(heavy.subsetOf(streamTokens),
+      s"missing: ${heavy.diff(streamTokens)}")
+  }
 }
