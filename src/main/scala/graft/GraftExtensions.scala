@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FreqSketch(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => SelfCosineRule)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -100,6 +100,62 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(outer.where(col("rid").isNull).count() === 2L)
   }
 
+  test("left-only filters written ABOVE the join push into the left scan") {
+    val purchases = ev.select(col("user_id"), col("ts"), col("event_id"),
+      col("value"))
+    val clicks = ev.select(col("user_id").as("c_user_id"),
+      col("ts").as("click_ts"), col("event_id").as("c_event_id"))
+    val df = graft.plans.AsOf.asofJoin(purchases, clicks,
+      Seq("user_id"), Seq("c_user_id"), "ts", "click_ts",
+      rightTieBreak = Seq("c_event_id"))
+      .where(col("value") > 900.0) // left-side filter above the node
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val leftScan = scans.find(_.contains("value"))
+    assert(leftScan.exists(_.contains("GreaterThan(value,900.0)")),
+      s"left filter not pushed to scan:\n${scans.mkString("\n\n")}")
+    // equivalent to filtering before the join
+    val pre = graft.plans.AsOf.asofJoin(
+      purchases.where(col("value") > 900.0), clicks,
+      Seq("user_id"), Seq("c_user_id"), "ts", "click_ts",
+      rightTieBreak = Seq("c_event_id"))
+    assert(df.count() === pre.count())
+    assert(df.exceptAll(pre).count() === 0L)
+  }
+
+  test("right-side filters above the join do NOT push (they would change the match)") {
+    import spark.implicits._
+    // k=1 at t=100 matches rt=90; a filter rt<90 ABOVE the join drops
+    // the row, while (wrongly) pushing it below would re-expose rt=50.
+    val l = Seq((1L, 100L, 1L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 50L, 10L), (1L, 90L, 11L)).toDF("rk", "rt", "rid")
+    def join() = graft.plans.AsOf.asofJoin(l, r, Seq("k"), Seq("rk"),
+      "t", "rt", rightTieBreak = Seq("rid"))
+    val above = join().where(col("rt") < 90L)
+    assert(above.count() === 0L,
+      "right-side filter was pushed below the as-of join")
+    val pushedWrong = graft.plans.AsOf.asofJoin(l, r.where(col("rt") < 90L),
+      Seq("k"), Seq("rk"), "t", "rt", rightTieBreak = Seq("rid"))
+    assert(pushedWrong.count() === 1L) // the semantics genuinely differ
+  }
+
+  test("narrow select above the join prunes unused right columns from the scan") {
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val wideClicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("c_event_id"), col("value").as("c_value"),
+        col("props").as("c_props"))
+    val df = graft.plans.AsOf.asofJoin(purchases, wideClicks,
+      Seq("user_id"), Seq("c_user_id"), "ts", "click_ts",
+      rightTieBreak = Seq("c_event_id"))
+      .select(col("event_id"), col("click_ts")) // c_value/c_props unused
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("c_value") && !plan.contains("props"),
+      s"unused right columns not pruned:\n$plan")
+  }
+
   test("brute-force equivalence on a random keyed stream") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
