@@ -6151,6 +6151,52 @@ object Events {
       ON p.user_id = d.user_id AND p.ts >= d.ts
       ORDER BY purchase_id"""))
 
+  // ---------- q513: conversion labels (forward as-of) ------------------
+
+  /** Training-label generation by FORWARD as-of join: for every click,
+    * the same user's NEXT purchase (smallest purchase ts ≥ click ts)
+    * within a 7-day attribution window — label = converted, plus the
+    * click→purchase lag. The forward direction is the one the
+    * union+window trick cannot do in the same pass as backward (it
+    * needs a reversed sort), and is AsOfJoinExec's peek-don't-consume
+    * path: one purchase row can label MANY preceding clicks. Oracle:
+    * DuckDB ASOF LEFT JOIN with the reversed inequality (c.ts ≤ p.ts),
+    * tolerance as a post-CASE (equivalent because forward as-of picks
+    * the single smallest ≥, so "beyond window" and "no match"
+    * coincide). Scale: the q510 contract — two key-clustered shuffles,
+    * O(1) merge memory.
+    */
+  private val q513 = QueryDef(
+    "q513_asof_conversion",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("conv_ts"),
+          col("event_id").as("p_event_id"))
+      val week = 7L * 86400L * 1000000L
+      graft.plans.AsOf.asofJoin(clicks, purchases,
+        Seq("user_id"), Seq("p_user_id"), "ts", "conv_ts",
+        rightTieBreak = Seq("p_event_id"),
+        toleranceUs = Some(week), leftOuter = true, forward = true)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts"), col("conv_ts"),
+          expr("timestampdiff(MICROSECOND, ts, conv_ts)").as("conv_lag_us"),
+          col("conv_ts").isNotNull.as("converted"))
+        .orderBy("click_id")
+    },
+    Some("""SELECT c.event_id AS click_id, c.user_id, c.ts,
+      CASE WHEN p.ts <= c.ts + INTERVAL 7 DAY THEN p.ts END AS conv_ts,
+      CASE WHEN p.ts <= c.ts + INTERVAL 7 DAY
+        THEN epoch_us(p.ts) - epoch_us(c.ts) END AS conv_lag_us,
+      CASE WHEN p.ts <= c.ts + INTERVAL 7 DAY
+        THEN TRUE ELSE FALSE END AS converted
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY click_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -6159,5 +6205,5 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510, q512)
+      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510, q512, q513)
 }

@@ -40,12 +40,18 @@ import org.apache.spark.sql.graft.PlanBridge
   * distributions, so reuse kicks in), merge cost linear in the two
   * sides' sorted runs.
   *
+  * Directions: backward (default — greatest right time ≤ left time,
+  * DuckDB `l.t >= r.t`) and forward (smallest right time ≥ left time,
+  * DuckDB `l.t <= r.t`, pandas merge_asof direction='forward') — the
+  * forward form is what conversion-label generation needs (q513).
+  *
   * Determinism contract: among right rows tied on (keys, time) the
-  * merge keeps the LAST in sort order, i.e. ties are resolved by the
-  * right child's `tieBreak` ordering columns; gated queries pass an
-  * explicit tie-break (q510: event_id) or have unique (key, time).
-  * Null left time or null left key never matches (SQL join-key
-  * convention); null right times/keys are skipped.
+  * merge keeps the LAST in sort order for backward and the FIRST for
+  * forward, i.e. ties are resolved by the right child's `tieBreak`
+  * ordering columns; gated queries pass an explicit tie-break (q510:
+  * event_id) or have unique (key, time). Null left time or null left
+  * key never matches (SQL join-key convention); null right times/keys
+  * are skipped.
   */
 final case class AsOfJoin(
     left: LogicalPlan,
@@ -56,7 +62,8 @@ final case class AsOfJoin(
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
     toleranceUs: Option[Long],
-    leftOuter: Boolean) extends BinaryNode {
+    leftOuter: Boolean,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -71,8 +78,8 @@ final case class AsOfJoin(
 object AsOfJoinStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie, tol, outer) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, tol, outer,
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, tol, outer, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, tol, outer, fwd,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -94,6 +101,7 @@ final case class AsOfJoinExec(
     rightTieBreak: Seq[Expression],
     toleranceUs: Option[Long],
     leftOuter: Boolean,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -131,6 +139,7 @@ final case class AsOfJoinExec(
     val timeType = leftTime.dataType
     val tol = toleranceUs
     val outer = leftOuter
+    val fwd = forward
     val lOut = left.output
     val rOut = right.output
     val lKeysB = leftKeys.map(BindReferences.bindReference(_, lOut))
@@ -180,10 +189,11 @@ final case class AsOfJoinExec(
               keyIsNull = lKeysB.indices.exists(k.isNullAt)
               lk = k
             }
-            if (lt != null && !keyIsNull) {
-              // Consume right rows that can never match a future left
-              // row: smaller key, null key/time, or same key with
-              // time ≤ lt (each such row becomes the new best match).
+            if (lt != null && !keyIsNull && !fwd) {
+              // BACKWARD: consume right rows that can never match a
+              // future left row: smaller key, null key/time, or same
+              // key with time ≤ lt (each such row becomes the new best
+              // match).
               var go = true
               while (go && rBuf.hasNext) {
                 val r = rBuf.head
@@ -214,6 +224,47 @@ final case class AsOfJoinExec(
                 }
               if (matches) {
                 nextRow = joiner(joined(l, lastRow))
+                ready = true
+              } else if (outer) {
+                nextRow = joiner(joined(l, nullRight))
+                ready = true
+              }
+            } else if (lt != null && !keyIsNull) {
+              // FORWARD: consume right rows strictly behind (smaller
+              // key, or same key with time < lt — left times ascend, so
+              // they can't match later lefts either); the surviving
+              // head, if same-keyed, is the smallest time ≥ lt. It is
+              // only PEEKED, never consumed: the same right row may be
+              // the next-event match of many earlier left rows.
+              var go = true
+              while (go && rBuf.hasNext) {
+                val r = rBuf.head
+                val rt = rTimeB.eval(r)
+                val rk = rKeyProj(r)
+                if (rKeysB.indices.exists(rk.isNullAt) || rt == null) {
+                  rBuf.next()
+                } else {
+                  val c = keyOrd.compare(rk, lk)
+                  if (c < 0 || (c == 0 &&
+                      timeOrd.asInstanceOf[Ordering[Any]].compare(rt, lt) < 0)) {
+                    rBuf.next()
+                  } else {
+                    go = false
+                  }
+                }
+              }
+              val cand = if (rBuf.hasNext) rBuf.head else null
+              val matches = cand != null && {
+                val rk = rKeyProj(cand)
+                keyOrd.compare(rk, lk) == 0 && {
+                  val rt = rTimeB.eval(cand)
+                  tol.forall { t =>
+                    rt.asInstanceOf[Long] - lt.asInstanceOf[Long] <= t
+                  }
+                }
+              }
+              if (matches) {
+                nextRow = joiner(joined(l, cand))
                 ready = true
               } else if (outer) {
                 nextRow = joiner(joined(l, nullRight))
@@ -260,7 +311,8 @@ object AsOf {
       rightTimeCol: String,
       rightTieBreak: Seq[String] = Nil,
       toleranceUs: Option[Long] = None,
-      leftOuter: Boolean = false): DataFrame = {
+      leftOuter: Boolean = false,
+      forward: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     var lPlan = leftDf.queryExecution.analyzed
     var rPlan = rightDf.queryExecution.analyzed
@@ -286,7 +338,8 @@ object AsOf {
       resolve(rPlan, rightTimeCol),
       rightTieBreak.map(resolve(rPlan, _)),
       toleranceUs,
-      leftOuter)
+      leftOuter,
+      forward)
     PlanBridge.ofRows(spark, node)
   }
 }

@@ -156,6 +156,53 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"unused right columns not pruned:\n$plan")
   }
 
+  test("forward direction: ties resolve to smallest tie-break; peek does not consume") {
+    import spark.implicits._
+    // two lefts before the same right row: both must match it (peek,
+    // not consume); equal-time right ties resolve to the FIRST rid.
+    val l = Seq((1L, 10L, 100L), (1L, 20L, 101L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 30L, 1L), (1L, 30L, 2L), (1L, 5L, 3L))
+      .toDF("rk", "rt", "rid")
+    val out = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTieBreak = Seq("rid"), forward = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out === Set((100L, 1L), (101L, 1L)))
+  }
+
+  test("forward brute-force equivalence on a random keyed stream") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val lRows = Seq.fill(300)((rnd.nextInt(8).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextLong())).distinct
+    val rRows = Seq.fill(300)((rnd.nextInt(8).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextLong())).distinct
+    val l = lRows.toDF("k", "t", "lid").repartition(5)
+    val r = rRows.toDF("rk", "rt", "rid").repartition(3)
+    val native = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTieBreak = Seq("rid"), leftOuter = true, forward = true)
+      .select(col("k"), col("t"), col("lid"), col("rid"))
+    val byKey = rRows.groupBy(_._1)
+    val expect = lRows.map { case (k, t, lid) =>
+      val m = byKey.getOrElse(k, Seq.empty).filter(_._2 >= t)
+      val best = if (m.isEmpty) None
+        else Some(m.minBy(x => (x._2, x._3))._3)
+      (k, t, lid, best)
+    }.toSet
+    val got = native.as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === expect)
+  }
+
+  test("forward tolerance: match further than the window is dropped") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 15L, 1L), (2L, 50L, 2L)).toDF("rk", "rt", "rid")
+    val out = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      rightTieBreak = Seq("rid"), toleranceUs = Some(10L),
+      leftOuter = true, forward = true)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    assert(out === Set((100L, Some(1L)), (200L, None)))
+  }
+
   test("brute-force equivalence on a random keyed stream") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
