@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Pro
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graft.PlanBridge
 
 /** Native AS-OF JOIN — the whole-operator rung of this library's
@@ -126,6 +127,12 @@ final case class AsOfJoinExec(
         +: rightTieBreak.map(SortOrder(_,
           org.apache.spark.sql.catalyst.expressions.Ascending))))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext,
+      "number of matched left rows"))
+
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -148,6 +155,8 @@ final case class AsOfJoinExec(
     val rTimeB = BindReferences.bindReference(rightTime, rOut)
     val outAtts = output
 
+    val numOut = longMetric("numOutputRows")
+    val numMatchedM = longMetric("numMatched")
     val lRdd = left.execute()
     val rRdd = right.execute()
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
@@ -224,9 +233,12 @@ final case class AsOfJoinExec(
                 }
               if (matches) {
                 nextRow = joiner(joined(l, lastRow))
+                numMatchedM += 1
+                numOut += 1
                 ready = true
               } else if (outer) {
                 nextRow = joiner(joined(l, nullRight))
+                numOut += 1
                 ready = true
               }
             } else if (lt != null && !keyIsNull) {
@@ -265,13 +277,17 @@ final case class AsOfJoinExec(
               }
               if (matches) {
                 nextRow = joiner(joined(l, cand))
+                numMatchedM += 1
+                numOut += 1
                 ready = true
               } else if (outer) {
                 nextRow = joiner(joined(l, nullRight))
+                numOut += 1
                 ready = true
               }
             } else if (outer) {
               nextRow = joiner(joined(l, nullRight))
+              numOut += 1
               ready = true
             }
           }
