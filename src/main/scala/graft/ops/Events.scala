@@ -6197,6 +6197,55 @@ object Events {
       ON c.user_id = p.user_id AND c.ts <= p.ts
       ORDER BY click_id"""))
 
+  // ---------- q514: time-to-next-error survival features ----------------
+
+  /** Survival-analysis features by FORWARD as-of join: for every
+    * non-error event, the same user's NEXT error (smallest error ts ≥
+    * event ts, unbounded window), aggregated per event type — exposure
+    * count, observed-failure count (the rest are right-censored), mean
+    * and max time-to-failure. The feature a reliability model trains
+    * on, and the aggregate consumer shape for AsOfJoinExec's forward
+    * path: one error row labels MANY preceding events (peek, never
+    * consume). (user_id, ts) is unique at every sf, so matches are
+    * deterministic; mean stays portable via exact int64 lag sums
+    * divided once at the end. Oracle: DuckDB forward ASOF LEFT JOIN +
+    * the same aggregate.
+    */
+  private val q514 = QueryDef(
+    "q514_time_to_error",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val exposed = e.where(col("event_type") =!= "error")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("event_id"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id").as("x_user_id"), col("ts").as("err_ts"),
+          col("event_id").as("x_event_id"))
+      graft.plans.AsOf.asofJoin(exposed, errors,
+        Seq("user_id"), Seq("x_user_id"), "ts", "err_ts",
+        rightTieBreak = Seq("x_event_id"), leftOuter = true, forward = true)
+        .select(col("event_type"),
+          expr("timestampdiff(MICROSECOND, ts, err_ts)").as("lag_us"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_exposed"),
+          count(col("lag_us")).as("n_observed"),
+          (count(lit(1)) - count(col("lag_us"))).as("n_censored"),
+          round(sum(col("lag_us")).cast("double")
+            / count(col("lag_us")), 9).as("mean_lag_us"),
+          max(col("lag_us")).as("max_lag_us"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT e.event_type, count(*)::BIGINT AS n_exposed,
+      count(x.ts)::BIGINT AS n_observed,
+      (count(*) - count(x.ts))::BIGINT AS n_censored,
+      round(sum(epoch_us(x.ts) - epoch_us(e.ts))::DOUBLE
+        / count(x.ts), 9) AS mean_lag_us,
+      max(epoch_us(x.ts) - epoch_us(e.ts))::BIGINT AS max_lag_us
+      FROM (SELECT * FROM events WHERE event_type <> 'error') e
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') x
+      ON e.user_id = x.user_id AND e.ts <= x.ts
+      GROUP BY e.event_type ORDER BY e.event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -6205,5 +6254,5 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510, q512, q513)
+      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510, q512, q513, q514)
 }

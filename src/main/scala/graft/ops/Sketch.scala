@@ -1681,8 +1681,82 @@ object Sketch {
       GROUP BY tk.lang, token HAVING count(*) * 33 > max(n)
       ORDER BY lang, cnt DESC, token"""))
 
+  // ---------- q515: heavy-hitter drift between snapshots ---------------
+
+  /** Boilerplate DRIFT between two corpus snapshots (q492's modular
+    * carve convention: old = doc_id % 3 ≠ 0, new = doc_id % 3 ≠ 1 —
+    * overlapping thirds, so real churn): each snapshot's heavy-hitter
+    * token set found by its own MG sketch pass (q509's two-pass
+    * shape), the ≤2K candidate union broadcast into ONE exact re-count
+    * per snapshot, then a token-level full-outer comparison — status
+    * gained/lost/stable by the theorem threshold cnt·(K+1) > n within
+    * each snapshot. The monitoring view a curation pipeline alerts on:
+    * a template suddenly entering the heavy set is an ingest anomaly
+    * (new crawler boilerplate), one leaving is a filter regression.
+    * Sketches only FIND candidates; status and counts are exact, so
+    * the oracle (two HAVING sets full-outer joined, candidate re-count)
+    * never references the sketch. Scale: two fixed-width sketch passes
+    * + two candidate-bounded count shuffles.
+    */
+  private val q515 = QueryDef(
+    "q515_heavy_hitter_drift",
+    (s, dir) => {
+      val kHh = 64
+      val docs = Fixtures.table(s, dir, "documents")
+      def toks(snap: String) = docs.where(expr(snap))
+        .select(explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "")
+      val tOld = toks("doc_id % 3 <> 0")
+      val tNew = toks("doc_id % 3 <> 1")
+      def heavyCand(t: org.apache.spark.sql.DataFrame) = t
+        .agg(expr(s"graft_freq_sketch(token, $kHh)").as("sk"))
+        .select(explode(col("sk.token")).as("token"))
+      val cand = heavyCand(tOld).unionByName(heavyCand(tNew)).distinct()
+      def counts(t: org.apache.spark.sql.DataFrame, side: String) = {
+        val n1 = t.agg(count(lit(1)).as(s"n_$side"))
+        t.join(broadcast(cand), Seq("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as(s"cnt_$side"))
+          .crossJoin(broadcast(n1))
+      }
+      counts(tOld, "old").join(counts(tNew, "new"), Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
+          coalesce(col("cnt_new"), lit(0L)).as("cnt_new"),
+          (coalesce(col("cnt_old"), lit(0L)) * (kHh + 1)
+            > coalesce(col("n_old"), lit(Long.MaxValue))).as("heavy_old"),
+          (coalesce(col("cnt_new"), lit(0L)) * (kHh + 1)
+            > coalesce(col("n_new"), lit(Long.MaxValue))).as("heavy_new"))
+        .where(col("heavy_old") || col("heavy_new"))
+        .select(col("token"), col("cnt_old"), col("cnt_new"),
+          when(col("heavy_old") && col("heavy_new"), "stable")
+            .when(col("heavy_new"), "gained").otherwise("lost")
+            .as("status"))
+        .orderBy("token")
+    },
+    Some("""WITH t_old AS (SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id % 3 <> 0),
+      t_new AS (SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id % 3 <> 1),
+      co AS (SELECT token, count(*)::BIGINT AS cnt_old FROM t_old
+        WHERE token <> '' GROUP BY 1),
+      cn AS (SELECT token, count(*)::BIGINT AS cnt_new FROM t_new
+        WHERE token <> '' GROUP BY 1),
+      no AS (SELECT sum(cnt_old)::BIGINT AS n_old FROM co),
+      nn AS (SELECT sum(cnt_new)::BIGINT AS n_new FROM cn),
+      j AS (SELECT coalesce(co.token, cn.token) AS token,
+          coalesce(cnt_old, 0)::BIGINT AS cnt_old,
+          coalesce(cnt_new, 0)::BIGINT AS cnt_new,
+          coalesce(cnt_old, 0) * 65 > n_old AS heavy_old,
+          coalesce(cnt_new, 0) * 65 > n_new AS heavy_new
+        FROM co FULL OUTER JOIN cn ON co.token = cn.token, no, nn)
+      SELECT token, cnt_old, cnt_new,
+        CASE WHEN heavy_old AND heavy_new THEN 'stable'
+          WHEN heavy_new THEN 'gained' ELSE 'lost' END AS status
+      FROM j WHERE heavy_old OR heavy_new ORDER BY token"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
       q180, q195, q200, q264, q394, q478, q482, q483, q484, q485, q498,
-      q509, q511)
+      q509, q511, q515)
 }
