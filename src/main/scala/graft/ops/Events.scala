@@ -6246,6 +6246,55 @@ object Events {
       ON e.user_id = x.user_id AND e.ts <= x.ts
       GROUP BY e.event_type ORDER BY e.event_type"""))
 
+  // ---------- q516: session bracketing (composed as-ofs) ----------------
+
+  /** Each purchase bracketed by the user's LAST signup before it
+    * (backward as-of) and NEXT error after it (forward as-of) — two
+    * native as-of joins composed in one plan. The composition is the
+    * point: AsOfJoinExec declares `outputPartitioning = left's` and
+    * `outputOrdering = left's`, so the second join sees its left side
+    * already hash-clustered on user_id and sorted by (user_id, ts) and
+    * plans NO new exchange or sort for it — three exchanges total for
+    * three base relations (asserted by AsOfJoinSpec), exactly how
+    * SortMergeJoin chains reuse layout. Oracle: two chained DuckDB
+    * ASOF LEFT JOINs with opposite inequalities.
+    */
+  private val q516 = QueryDef(
+    "q516_asof_bracketing",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"),
+          col("event_id").as("s_event_id"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id").as("x_user_id"), col("ts").as("err_ts"),
+          col("event_id").as("x_event_id"))
+      val back = graft.plans.AsOf.asofJoin(purchases, signups,
+        Seq("user_id"), Seq("s_user_id"), "ts", "signup_ts",
+        rightTieBreak = Seq("s_event_id"), leftOuter = true)
+      graft.plans.AsOf.asofJoin(back, errors,
+        Seq("user_id"), Seq("x_user_id"), "ts", "err_ts",
+        rightTieBreak = Seq("x_event_id"), leftOuter = true, forward = true)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("signup_ts"), col("err_ts"),
+          expr("CASE WHEN signup_ts IS NOT NULL AND err_ts IS NOT NULL " +
+            "THEN timestampdiff(MICROSECOND, signup_ts, err_ts) END")
+            .as("bracket_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+      s.ts AS signup_ts, x.ts AS err_ts,
+      CASE WHEN s.ts IS NOT NULL AND x.ts IS NOT NULL
+        THEN epoch_us(x.ts) - epoch_us(s.ts) END AS bracket_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') x
+        ON p.user_id = x.user_id AND p.ts <= x.ts
+      ORDER BY purchase_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -6254,5 +6303,5 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510, q512, q513, q514)
+      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510, q512, q513, q514, q516)
 }

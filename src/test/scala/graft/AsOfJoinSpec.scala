@@ -192,6 +192,39 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("composed as-ofs reuse the left layout: 3 base exchanges, no mid re-sort") {
+    val df = SparkEntry.queries("q516_asof_bracketing")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def countNodes(p: org.apache.spark.sql.execution.SparkPlan,
+        pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
+      var n = 0
+      def walk(x: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        if (pred(x)) n += 1
+        x.children.foreach(walk)
+        x match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ =>
+        }
+      }
+      walk(p)
+      n
+    }
+    val asofs = countNodes(plan, _.isInstanceOf[graft.plans.AsOfJoinExec])
+    assert(asofs === 2, s"expected 2 AsOfJoinExec nodes:\n$plan")
+    // 3 base-relation exchanges + the final orderBy range exchange;
+    // the second join must NOT re-shuffle or re-sort its left side
+    val exchanges = countNodes(plan,
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(exchanges === 4, s"expected 4 exchanges (3 hash + 1 range):\n$plan")
+    val sorts = countNodes(plan,
+      _.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+    assert(sorts === 4, s"expected 4 sorts (3 child + 1 final):\n$plan")
+  }
+
   test("forward tolerance: match further than the window is dropped") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("k", "t", "lid")
