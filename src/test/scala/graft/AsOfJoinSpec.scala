@@ -236,6 +236,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out === Set((100L, Some(1L)), (200L, None)))
   }
 
+  test("multi-column and string keys; empty right side") {
+    import spark.implicits._
+    val l = Seq(("a", 1L, 100L, 1L), ("a", 2L, 100L, 2L),
+      ("b", 1L, 100L, 3L)).toDF("g", "k", "t", "lid")
+    val r = Seq(("a", 1L, 90L, 10L), ("a", 2L, 80L, 11L),
+      ("b", 1L, 95L, 12L), ("a", 1L, 99L, 13L))
+      .toDF("rg", "rk", "rt", "rid")
+    val out = AsOf.asofJoin(l, r, Seq("g", "k"), Seq("rg", "rk"),
+      "t", "rt", rightTieBreak = Seq("rid"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 13L), (2L, 11L), (3L, 12L)))
+    // empty right: inner → empty, outer → all-left null-extended
+    val empty = r.where(col("rt") < 0L)
+    assert(AsOf.asofJoin(l, empty, Seq("g", "k"), Seq("rg", "rk"),
+      "t", "rt").count() === 0L)
+    val outer = AsOf.asofJoin(l, empty, Seq("g", "k"), Seq("rg", "rk"),
+      "t", "rt", leftOuter = true)
+    assert(outer.count() === 3L)
+    assert(outer.where(col("rid").isNotNull).count() === 0L)
+  }
+
   test("brute-force equivalence on a random keyed stream") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
