@@ -10275,6 +10275,44 @@ object Analytics {
       FROM po JOIN pn USING (cname) ORDER BY cname"""
     })
 
+  // ---------- q517: previous-order gap features (strict as-of) ----------
+
+  /** Repeat-purchase recency features: every order joined to the SAME
+    * customer's most recent STRICTLY EARLIER order — the native as-of
+    * join's `strict` knob (pandas allow_exact_matches=false), which is
+    * what makes a self-as-of well-defined: inclusive matching would
+    * return the row itself at distance zero. First orders survive
+    * null-extended (left outer). Emits the inter-order gap in days —
+    * the recency feature a churn/LTV model trains on. Oracle: DuckDB
+    * ASOF LEFT JOIN with the strict inequality (l.date > r.date).
+    * Scale: one self-clustered shuffle pair on o_custkey, merge O(1);
+    * ties on (custkey, date) can't leak the self-row back in (strict
+    * excludes the whole equal-time class, self included).
+    */
+  private val q517 = QueryDef(
+    "q517_prev_order_gap",
+    (s, dir) => {
+      val o = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val prev = o.select(col("o_custkey").as("p_custkey"),
+        col("o_orderdate").as("prev_date"),
+        col("o_orderkey").as("p_orderkey"))
+      graft.plans.AsOf.asofJoin(o, prev,
+        Seq("o_custkey"), Seq("p_custkey"), "o_orderdate", "prev_date",
+        rightTieBreak = Seq("p_orderkey"), leftOuter = true, strict = true)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("prev_date"),
+          expr("CAST(timestampdiff(DAY, prev_date, o_orderdate) AS BIGINT)")
+            .as("gap_days"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT l.o_orderkey, l.o_custkey, l.o_orderdate,
+      r.o_orderdate AS prev_date,
+      date_diff('day', r.o_orderdate, l.o_orderdate)::BIGINT AS gap_days
+      FROM orders l ASOF LEFT JOIN orders r
+      ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate
+      ORDER BY l.o_orderkey"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -10289,5 +10327,5 @@ object Analytics {
       q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
       q363, q371, q372, q373, q374, q375, q383, q385, q388, q389, q397,
       q398, q400, q401, q403, q407, q408, q409, q410, q411, q412, q492,
-      q501)
+      q501, q517)
 }

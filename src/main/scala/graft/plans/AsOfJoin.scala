@@ -45,6 +45,11 @@ import org.apache.spark.sql.graft.PlanBridge
   * DuckDB `l.t >= r.t`) and forward (smallest right time ≥ left time,
   * DuckDB `l.t <= r.t`, pandas merge_asof direction='forward') — the
   * forward form is what conversion-label generation needs (q513).
+  * `strict` excludes exact time equality (pandas
+  * allow_exact_matches=false, DuckDB `>`/`<`): the knob self-joins
+  * need so a row doesn't match itself (q517's previous-order lookup).
+  * Any orderable time type works (DateType in q517); tolerance is
+  * restricted to long-backed types by a constructor guard.
   *
   * Determinism contract: among right rows tied on (keys, time) the
   * merge keeps the LAST in sort order for backward and the FIRST for
@@ -64,7 +69,8 @@ final case class AsOfJoin(
     rightTieBreak: Seq[Expression],
     toleranceUs: Option[Long],
     leftOuter: Boolean,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    strict: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -79,8 +85,8 @@ final case class AsOfJoin(
 object AsOfJoinStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie, tol, outer, fwd) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, tol, outer, fwd,
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie, tol, outer, fwd, strict) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, tol, outer, fwd, strict,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -103,6 +109,7 @@ final case class AsOfJoinExec(
     toleranceUs: Option[Long],
     leftOuter: Boolean,
     forward: Boolean,
+    strict: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -111,6 +118,10 @@ final case class AsOfJoinExec(
   require(leftTime.dataType == rightTime.dataType,
     s"as-of join: time type mismatch " +
       s"(${leftTime.dataType.sql} vs ${rightTime.dataType.sql})")
+  require(toleranceUs.isEmpty || Seq("TIMESTAMP_NTZ", "TIMESTAMP", "BIGINT")
+      .contains(leftTime.dataType.sql),
+    s"as-of join: tolerance needs a long-backed time type, " +
+      s"got ${leftTime.dataType.sql}")
 
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -147,6 +158,7 @@ final case class AsOfJoinExec(
     val tol = toleranceUs
     val outer = leftOuter
     val fwd = forward
+    val excl = strict
     val lOut = left.output
     val rOut = right.output
     val lKeysB = leftKeys.map(BindReferences.bindReference(_, lOut))
@@ -215,8 +227,10 @@ final case class AsOfJoinExec(
                   val c = keyOrd.compare(rk, lk)
                   if (c < 0) {
                     rBuf.next()
-                  } else if (c == 0 &&
-                      timeOrd.asInstanceOf[Ordering[Any]].compare(rt, lt) <= 0) {
+                  } else if (c == 0 && {
+                      val tc = timeOrd.asInstanceOf[Ordering[Any]].compare(rt, lt)
+                      if (excl) tc < 0 else tc <= 0
+                    }) {
                     lastKey = rk.copy()
                     lastTime = rt
                     lastRow = rBuf.next().copy()
@@ -257,8 +271,10 @@ final case class AsOfJoinExec(
                   rBuf.next()
                 } else {
                   val c = keyOrd.compare(rk, lk)
-                  if (c < 0 || (c == 0 &&
-                      timeOrd.asInstanceOf[Ordering[Any]].compare(rt, lt) < 0)) {
+                  if (c < 0 || (c == 0 && {
+                      val tc = timeOrd.asInstanceOf[Ordering[Any]].compare(rt, lt)
+                      if (excl) tc <= 0 else tc < 0
+                    })) {
                     rBuf.next()
                   } else {
                     go = false
@@ -328,7 +344,8 @@ object AsOf {
       rightTieBreak: Seq[String] = Nil,
       toleranceUs: Option[Long] = None,
       leftOuter: Boolean = false,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      strict: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     var lPlan = leftDf.queryExecution.analyzed
     var rPlan = rightDf.queryExecution.analyzed
@@ -355,7 +372,8 @@ object AsOf {
       rightTieBreak.map(resolve(rPlan, _)),
       toleranceUs,
       leftOuter,
-      forward)
+      forward,
+      strict)
     PlanBridge.ofRows(spark, node)
   }
 }

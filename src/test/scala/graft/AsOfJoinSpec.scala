@@ -236,6 +236,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out === Set((100L, Some(1L)), (200L, None)))
   }
 
+  test("strict mode excludes exact-time matches in both directions") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 1L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 100L, 10L), (1L, 90L, 11L), (1L, 110L, 12L))
+      .toDF("rk", "rt", "rid")
+    def run(fwd: Boolean, strict: Boolean) =
+      AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        rightTieBreak = Seq("rid"), forward = fwd, strict = strict)
+        .select("rid").as[Long].collect().toSeq
+    assert(run(fwd = false, strict = false) === Seq(10L)) // inclusive: 100
+    assert(run(fwd = false, strict = true) === Seq(11L))  // strict: 90
+    assert(run(fwd = true, strict = false) === Seq(10L))  // inclusive: 100
+    assert(run(fwd = true, strict = true) === Seq(12L))   // strict: 110
+  }
+
   test("multi-column and string keys; empty right side") {
     import spark.implicits._
     val l = Seq(("a", 1L, 100L, 1L), ("a", 2L, 100L, 2L),
