@@ -95,7 +95,7 @@ object BenchAsOf {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup + results-equal assertion at the small SF
-    Seq(0, 8).foreach { extra =>
+    Seq(0, 8, 32).foreach { extra =>
       val a = native(spark, "/root/testdata/sf0.001", extra).collect().toSeq
       val b = windowForm(spark, "/root/testdata/sf0.001", extra).collect().toSeq
       require(a == b, s"native != window at extra=$extra: $a vs $b")

@@ -103,14 +103,7 @@ case class FreqSketch(
     if (v == null) return buf
     // UTF8String may alias reused row memory — materialize to String.
     val key = v.asInstanceOf[UTF8String].toString
-    buf.get(key) match {
-      case Some(c) => buf.update(key, c + 1L)
-      case None if buf.size < k => buf.update(key, 1L)
-      case None =>
-        // Full and untracked: global decrement (consumes this item too).
-        buf.filterInPlace((_, c) => c > 1L)
-        buf.mapValuesInPlace((_, c) => c - 1L)
-    }
+    FreqSketch.mgUpdate(buf, key, k)
     buf
   }
 
@@ -189,4 +182,24 @@ case class FreqSketch(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FreqSketch =
     copy(left = newLeft, right = newRight)
+}
+
+object FreqSketch {
+  /** One Misra–Gries update step — THE algorithm, shared by the batch
+    * aggregate above and the streaming shard sketch
+    * (DocStream.heavyHitterSketch) so the two paths cannot drift:
+    * increment a tracked key; insert if a slot is free; otherwise
+    * globally decrement (dropping counters that would hit zero —
+    * filter BEFORE decrement keeps the map minimal), which "consumes"
+    * the untracked arrival.
+    */
+  def mgUpdate(m: scala.collection.mutable.HashMap[String, Long],
+      key: String, k: Int): Unit =
+    m.get(key) match {
+      case Some(c) => m.update(key, c + 1L)
+      case None if m.size < k => m.update(key, 1L)
+      case None =>
+        m.filterInPlace((_, c) => c > 1L)
+        m.mapValuesInPlace((_, c) => c - 1L)
+    }
 }

@@ -1708,18 +1708,26 @@ object Sketch {
         .where(col("token") =!= "")
       val tOld = toks("doc_id % 3 <> 0")
       val tNew = toks("doc_id % 3 <> 1")
-      def heavyCand(t: org.apache.spark.sql.DataFrame) = t
-        .agg(expr(s"graft_freq_sketch(token, $kHh)").as("sk"))
-        .select(explode(col("sk.token")).as("token"))
-      val cand = heavyCand(tOld).unionByName(heavyCand(tNew)).distinct()
-      def counts(t: org.apache.spark.sql.DataFrame, side: String) = {
-        val n1 = t.agg(count(lit(1)).as(s"n_$side"))
+      // ONE pass per snapshot yields sketch AND n (the q509 shape);
+      // frozen because both the candidate union and the per-side total
+      // consume it — without the freeze each consumer would recompute
+      // the full explode+aggregate scan.
+      def sketchRow(t: org.apache.spark.sql.DataFrame) = PlanCache.freeze(
+        t.agg(expr(s"graft_freq_sketch(token, $kHh)").as("sk"),
+          count(lit(1)).as("n")))
+      val skOld = sketchRow(tOld)
+      val skNew = sketchRow(tNew)
+      val cand = skOld.select(explode(col("sk.token")).as("token"))
+        .unionByName(skNew.select(explode(col("sk.token")).as("token")))
+        .distinct()
+      def counts(t: org.apache.spark.sql.DataFrame,
+          sk1: org.apache.spark.sql.DataFrame, side: String) =
         t.join(broadcast(cand), Seq("token"))
           .groupBy(col("token"))
           .agg(count(lit(1)).as(s"cnt_$side"))
-          .crossJoin(broadcast(n1))
-      }
-      counts(tOld, "old").join(counts(tNew, "new"), Seq("token"), "full_outer")
+          .crossJoin(broadcast(sk1.select(col("n").as(s"n_$side"))))
+      counts(tOld, skOld, "old")
+        .join(counts(tNew, skNew, "new"), Seq("token"), "full_outer")
         .select(col("token"),
           coalesce(col("cnt_old"), lit(0L)).as("cnt_old"),
           coalesce(col("cnt_new"), lit(0L)).as("cnt_new"),

@@ -359,10 +359,13 @@ object AsOf {
     if (lPlan.outputSet.intersect(rPlan.outputSet).nonEmpty) {
       rPlan = Project(rPlan.output.map(a => Alias(a, a.name)()), rPlan)
     }
-    def resolve(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"as-of join: no column '$name' in ${plan.output.map(_.name)}"))
+    def resolve(plan: LogicalPlan, name: String): Attribute = {
+      val hits = plan.output.filter(_.name == name)
+      require(hits.length == 1, s"as-of join: column '$name' is " +
+        s"${if (hits.isEmpty) "missing" else "ambiguous"} in " +
+        s"${plan.output.map(_.name)}")
+      hits.head
+    }
     val node = AsOfJoin(
       lPlan, rPlan,
       leftKeyCols.map(resolve(lPlan, _)),

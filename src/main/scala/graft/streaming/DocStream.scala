@@ -647,13 +647,7 @@ object DocStream {
           var n = n0
           rows.foreach { case (tok, _) =>
             n += 1
-            m.get(tok) match {
-              case Some(c) => m.update(tok, c + 1L)
-              case None if m.size < k => m.update(tok, 1L)
-              case None =>
-                m.filterInPlace((_, c) => c > 1L)
-                m.mapValuesInPlace((_, c) => c - 1L)
-            }
+            graft.expressions.FreqSketch.mgUpdate(m, tok, k)
           }
           state.update((m.toMap, n))
           val sorted = m.toSeq.sortBy { case (t, c) => (-c, t) }
