@@ -6295,6 +6295,67 @@ object Events {
         ON p.user_id = x.user_id AND p.ts <= x.ts
       ORDER BY purchase_id"""))
 
+  // ---------- q518: nearest-event alignment (composed as-ofs) -----------
+
+  /** merge_asof direction='nearest', composed: for every click the
+    * CLOSEST purchase by the same user in EITHER direction — backward
+    * and forward native as-ofs chained (the second reuses the first's
+    * clustering and order, q516's proven 3-exchange shape), then a
+    * projection picks the nearer side (ties prefer the past, the
+    * pandas convention). Signed lag: negative = purchase preceded the
+    * click. The stream-alignment primitive for joining two
+    * irregularly-sampled series. Oracle: two chained DuckDB ASOF LEFT
+    * JOINs with opposite inequalities + the same CASE.
+    */
+  private val q518 = QueryDef(
+    "q518_asof_nearest",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val pB = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user_id"), col("ts").as("b_ts"),
+          col("event_id").as("b_event_id"))
+      val pF = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("f_user_id"), col("ts").as("f_ts"),
+          col("event_id").as("f_event_id"))
+      val back = graft.plans.AsOf.asofJoin(clicks, pB,
+        Seq("user_id"), Seq("b_user_id"), "ts", "b_ts",
+        rightTieBreak = Seq("b_event_id"), leftOuter = true)
+      graft.plans.AsOf.asofJoin(back, pF,
+        Seq("user_id"), Seq("f_user_id"), "ts", "f_ts",
+        rightTieBreak = Seq("f_event_id"), leftOuter = true, forward = true)
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          expr("""CASE
+            WHEN b_ts IS NULL THEN f_ts
+            WHEN f_ts IS NULL THEN b_ts
+            WHEN timestampdiff(MICROSECOND, b_ts, ts)
+              <= timestampdiff(MICROSECOND, ts, f_ts) THEN b_ts
+            ELSE f_ts END""").as("nearest_ts"))
+        .withColumn("signed_lag_us",
+          expr("timestampdiff(MICROSECOND, ts, nearest_ts)"))
+        .orderBy("click_id")
+    },
+    Some("""SELECT c.event_id AS click_id, c.user_id, c.ts,
+      CASE
+        WHEN b.ts IS NULL THEN f.ts
+        WHEN f.ts IS NULL THEN b.ts
+        WHEN epoch_us(c.ts) - epoch_us(b.ts)
+          <= epoch_us(f.ts) - epoch_us(c.ts) THEN b.ts
+        ELSE f.ts END AS nearest_ts,
+      epoch_us(CASE
+        WHEN b.ts IS NULL THEN f.ts
+        WHEN f.ts IS NULL THEN b.ts
+        WHEN epoch_us(c.ts) - epoch_us(b.ts)
+          <= epoch_us(f.ts) - epoch_us(c.ts) THEN b.ts
+        ELSE f.ts END) - epoch_us(c.ts) AS signed_lag_us
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        ON c.user_id = b.user_id AND c.ts >= b.ts
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') f
+        ON c.user_id = f.user_id AND c.ts <= f.ts
+      ORDER BY click_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -6303,5 +6364,5 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510, q512, q513, q514, q516)
+      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510, q512, q513, q514, q516, q518)
 }
