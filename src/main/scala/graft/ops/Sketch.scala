@@ -1763,8 +1763,53 @@ object Sketch {
           WHEN heavy_new THEN 'gained' ELSE 'lost' END AS status
       FROM j WHERE heavy_old OR heavy_new ORDER BY token"""))
 
+  // ---------- q519: weighted sample without replacement (A-ES) ---------
+
+  /** Deterministic weighted sampling WITHOUT replacement — Efraimidis–
+    * Spirakis (A-ES, IPL 2006): each doc draws u ∈ (0,1) from the
+    * portable 52-bit hash of its id and competes with key
+    * −ln(u)/w (equivalent ordering to u^(1/w)); the k smallest keys
+    * are EXACTLY a weight-proportional sample without replacement.
+    * Weight = n_chars, so long documents are proportionally favored —
+    * the length-balanced doc sampler a mixing pipeline uses where
+    * uniform sampling (q482) would under-represent long-tail tokens.
+    *
+    * Deterministic by the library's sketch rule: u comes from a hash,
+    * not rand(), so the same corpus always yields the same sample and
+    * the DuckDB oracle reproduces it bit-for-bit; keys are rounded to
+    * 9 decimals with a doc_id tie-break so cross-engine libm ulp
+    * differences cannot reorder ranks. Scale shape: key is a scan
+    * projection; the global bottom-k is TakeOrderedAndProject (map-side
+    * partial top-k, ≤k rows per partition to the driver-side merge —
+    * no full sort, no full shuffle). Top-k selection over weights, not
+    * a per-row filter — the sample size is exact, unlike Bernoulli
+    * p·w sampling whose size is only expected.
+    */
+  private val q519 = QueryDef(
+    "q519_weighted_sample",
+    (s, dir) => {
+      val kS = 100
+      Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr(s"round(-ln((${Portable.h52Spark("concat('ws_', cast(doc_id AS STRING))")} + 1.0) / 4503599627370497.0) / n_chars, 9)")
+            .as("es_key"))
+        .orderBy(col("es_key"), col("doc_id"))
+        .limit(kS)
+        .withColumn("rank", expr(
+          "row_number() OVER (ORDER BY es_key, doc_id)"))
+        .select(col("rank"), col("doc_id"), col("n_chars"), col("es_key"))
+    },
+    Some(s"""WITH keyed AS (SELECT doc_id, n_chars,
+        round(-ln((${Portable.h52Duck("'ws_' || doc_id::VARCHAR")} + 1.0)
+          / 4503599627370497.0) / n_chars, 9) AS es_key
+      FROM documents),
+      r AS (SELECT doc_id, n_chars, es_key,
+        row_number() OVER (ORDER BY es_key, doc_id) AS rank FROM keyed)
+      SELECT rank, doc_id, n_chars, es_key FROM r
+      WHERE rank <= 100 ORDER BY rank"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
       q180, q195, q200, q264, q394, q478, q482, q483, q484, q485, q498,
-      q509, q511, q515)
+      q509, q511, q515, q519)
 }
