@@ -5,23 +5,30 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, TimestampNTZType}
 
-/** As-of join implementation benchmark: the native AsOfJoinExec
-  * (graft.plans.AsOf) vs the union+window composition (q25's shape),
-  * at two payload widths, over the events fixture at the given SF.
+/** As-of join implementation benchmark: the native merge AsOfJoinExec
+  * vs the union+window composition (q25's shape) vs the broadcast
+  * BroadcastAsOfJoinExec, at several payload widths, over the events
+  * fixture at the given SF; plus a high-row-count narrow point (where
+  * per-comparison cost, not shuffle width, dominates) and a skewed-key
+  * point (one hot key carrying ~all left rows).
   *
-  * The structural claim under test (AsOfJoin scaladoc): the window
-  * form null-pads every column of BOTH sides into one union and drags
-  * them through a single per-key window sort, paying one
-  * `last(_, ignoreNulls)` PER right payload column; the native exec
-  * shuffles each side's columns separately and merges sorted runs. On
-  * narrow payloads the two are shuffle-bound and tie (BASELINE.md,
-  * round 12); this main measures whether/where the wide-payload
-  * separation appears. Both forms end in the same checksum aggregate
-  * (sum of lengths + count) so column pruning cannot silently drop
-  * the payloads being measured, and both results are asserted equal
-  * before times are reported.
+  * The structural claims under test (AsOfJoin scaladoc):
+  *  - the window form null-pads every column of BOTH sides into one
+  *    union and drags them through a single per-key window sort, paying
+  *    one `last(_, ignoreNulls)` PER right payload column; the native
+  *    merge exec shuffles each side's columns separately and merges
+  *    sorted runs;
+  *  - the broadcast exec never shuffles or sorts the left side at all
+  *    (zero fact-side exchanges) — the fact×dim shape;
+  *  - the skewed point: a hot key serializes ONE merge partition, but
+  *    the broadcast exec is immune (left stays scan-partitioned) —
+  *    measured here, mitigation documented in AsOf.asofJoinSalted.
   *
-  * Prints ONE JSON line: seconds per (impl × width), best of 2, after
+  * All impls end in the same checksum aggregate (sum of lengths +
+  * count) so column pruning cannot silently drop the payloads being
+  * measured, and results are asserted equal before times are reported.
+  *
+  * Prints ONE JSON line: seconds per (impl × point), best of 2, after
   * an sf0.001 warmup. Recorded in BASELINE.md; no driver gate.
   */
 object BenchAsOf {
@@ -30,7 +37,8 @@ object BenchAsOf {
     * tolerance), both sides carrying `extra` copies of the props
     * payload; returns the checksum frame (1 row).
     */
-  private def native(spark: SparkSession, dir: String, extra: Int): DataFrame = {
+  private def native(spark: SparkSession, dir: String, extra: Int,
+      broadcast: Boolean): DataFrame = {
     val e = Fixtures.table(spark, dir, "events")
     val pay = (1 to extra).map(i => col("props").as(s"lp$i"))
     val rpay = (1 to extra).map(i => col("props").as(s"rp$i"))
@@ -41,7 +49,7 @@ object BenchAsOf {
         col("event_id").as("c_event_id")) ++ rpay: _*)
     val j = graft.plans.AsOf.asofJoin(purchases, clicks,
       Seq("user_id"), Seq("c_user_id"), "ts", "click_ts",
-      rightTieBreak = Seq("c_event_id"))
+      rightTieBreak = Seq("c_event_id"), broadcast = Some(broadcast))
     checksum(j, extra)
   }
 
@@ -88,6 +96,63 @@ object BenchAsOf {
       payLen)
   }
 
+  /** Narrow high-row-count point: synthetic (key, time, id) streams —
+    * per-comparison cost dominates (the boxing the primitive merge
+    * path removes), not shuffle width. `mult` scales row count.
+    */
+  private def narrow(spark: SparkSession, rows: Int, impl: String): DataFrame = {
+    // deterministic synthetic streams; id() is a pure projection so
+    // the generation cost is identical across impls
+    val l = spark.range(rows.toLong)
+      .select((col("id") % 4096).as("k"), (col("id") * 7 % 1000003).as("t"),
+        col("id").as("lid"))
+    val r = spark.range(rows.toLong)
+      .select((col("id") % 4096).as("rk"), (col("id") * 11 % 1000003).as("rt"),
+        col("id").as("rid"))
+    val j = impl match {
+      case "merge" => graft.plans.AsOf.asofJoin(l, r, Seq("k"), Seq("rk"),
+        "t", "rt", rightTieBreak = Seq("rid"), leftOuter = true,
+        broadcast = Some(false))
+      case "bcast" => graft.plans.AsOf.asofJoin(l, r, Seq("k"), Seq("rk"),
+        "t", "rt", rightTieBreak = Seq("rid"), leftOuter = true,
+        broadcast = Some(true))
+    }
+    j.agg(count(lit(1)).as("n"), sum(col("rid")).as("rid_sum"),
+      sum(col("t") - col("rt")).as("lag_sum"))
+  }
+
+  /** Skewed point: ONE hot key carries 98% of left rows (the one-user-
+    * with-10⁸-events shape). The merge exec funnels the hot key into a
+    * single partition's merge; the broadcast exec keeps the left side
+    * scan-partitioned (immune, but only viable while the right side
+    * fits the broadcast budget); the salted variant balances the hot
+    * key across 16 buckets at the cost of replicating the (much
+    * smaller) right side ×16 — the big-big mitigation.
+    */
+  private def skewed(spark: SparkSession, rows: Int, impl: String): DataFrame = {
+    val l = spark.range(rows.toLong)
+      .select(when(col("id") % 50 < 49, lit(0L)).otherwise(col("id") % 4096)
+          .as("k"), // 98% of rows on key 0
+        (col("id") * 7 % 1000003).as("t"), col("id").as("lid"))
+    val r = spark.range((rows / 16).toLong)
+      .select(when(col("id") % 50 < 49, lit(0L)).otherwise(col("id") % 4096)
+          .as("rk"),
+        (col("id") * 11 % 1000003).as("rt"), col("id").as("rid"))
+    val j = impl match {
+      case "merge" => graft.plans.AsOf.asofJoin(l, r, Seq("k"), Seq("rk"),
+        "t", "rt", rightTieBreak = Seq("rid"), leftOuter = true,
+        broadcast = Some(false))
+      case "bcast" => graft.plans.AsOf.asofJoin(l, r, Seq("k"), Seq("rk"),
+        "t", "rt", rightTieBreak = Seq("rid"), leftOuter = true,
+        broadcast = Some(true))
+      case "salted" => graft.plans.AsOf.asofJoinSalted(l, r,
+        Seq("k"), Seq("rk"), "t", "rt", rightTieBreak = Seq("rid"),
+        leftOuter = true, salts = 16)
+    }
+    j.agg(count(lit(1)).as("n"), sum(col("rid")).as("rid_sum"),
+      sum(col("t") - col("rt")).as("lag_sum"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -96,10 +161,21 @@ object BenchAsOf {
 
     // warmup + results-equal assertion at the small SF
     Seq(0, 8, 32).foreach { extra =>
-      val a = native(spark, "/root/testdata/sf0.001", extra).collect().toSeq
-      val b = windowForm(spark, "/root/testdata/sf0.001", extra).collect().toSeq
-      require(a == b, s"native != window at extra=$extra: $a vs $b")
+      val a = native(spark, "/root/testdata/sf0.001", extra, broadcast = false)
+        .collect().toSeq
+      val b = windowForm(spark, "/root/testdata/sf0.001", extra)
+        .collect().toSeq
+      val c = native(spark, "/root/testdata/sf0.001", extra, broadcast = true)
+        .collect().toSeq
+      require(a == b, s"merge != window at extra=$extra: $a vs $b")
+      require(a == c, s"merge != broadcast at extra=$extra: $a vs $c")
     }
+    // narrow + skew impl-equality at a small row count
+    require(narrow(spark, 50000, "merge").collect().toSeq ==
+      narrow(spark, 50000, "bcast").collect().toSeq, "narrow merge != bcast")
+    val sk = Seq("merge", "bcast", "salted")
+      .map(i => skewed(spark, 50000, i).collect().toSeq)
+    require(sk.distinct.length == 1, s"skewed impls disagree: $sk")
 
     def time(f: => DataFrame): Double = {
       val runs = (1 to 2).map { _ =>
@@ -110,14 +186,33 @@ object BenchAsOf {
       runs.min
     }
 
-    val results = for {
+    // boxed baseline for the primitive-time merge path: the debug knob
+    // forces eval + interpreted-Ordering comparisons (what the exec did
+    // before the TimeGetter path)
+    def timeBoxed(f: => DataFrame): Double = {
+      spark.conf.set("graft.asof.timeCompare", "generic")
+      try time(f) finally spark.conf.unset("graft.asof.timeCompare")
+    }
+
+    val wide = for {
       extra <- Seq(0, 8, 32)
       (name, fn) <- Seq(
-        "native" -> (() => native(spark, sfDir, extra)),
-        "window" -> (() => windowForm(spark, sfDir, extra)))
+        "native" -> (() => native(spark, sfDir, extra, broadcast = false)),
+        "window" -> (() => windowForm(spark, sfDir, extra)),
+        "bcast" -> (() => native(spark, sfDir, extra, broadcast = true)))
     } yield s""""${name}_x$extra":${"%.3f".format(time(fn()))}"""
+    val wideBoxed = s""""native_x32_boxed":${"%.3f".format(
+      timeBoxed(native(spark, sfDir, 32, broadcast = false)))}"""
 
-    println(s"""{"metric":"asof_impl_sec",${results.mkString(",")},"sf":"$sfDir"}""")
+    val nRows = 4000000
+    val narrowPts = Seq(
+      s""""narrow_merge":${"%.3f".format(time(narrow(spark, nRows, "merge")))}""",
+      s""""narrow_merge_boxed":${"%.3f".format(
+        timeBoxed(narrow(spark, nRows, "merge")))}""")
+    val skewPts = Seq("merge", "bcast", "salted").map(i =>
+      s""""skew_$i":${"%.3f".format(time(skewed(spark, nRows, i)))}""")
+
+    println(s"""{"metric":"asof_impl_sec",${(wide :+ wideBoxed) ++ narrowPts ++ skewPts mkString ","},"narrow_rows":$nRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_freq_sketch expects 2 arguments, got ${children.length}")
         new FreqSketch(children.head, children(1))
       }))
+    // table-valued function: SQL-text surface for the native as-of
+    // join (see plans/AsOfSqlSurface.scala)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.AsOfSqlSurface.FUNCTION_NAME),
+      new ExpressionInfo(graft.plans.UnresolvedAsOfJoin.getClass.getName,
+        graft.plans.AsOfSqlSurface.FUNCTION_NAME),
+      (children: Seq[Expression]) => graft.plans.AsOfSqlSurface.build(children)))
+    ext.injectResolutionRule(_ => graft.plans.ResolveGraftAsOfJoin)
     ext.injectOptimizerRule(_ => SelfCosineRule)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -10297,9 +10297,12 @@ object Analytics {
       val prev = o.select(col("o_custkey").as("p_custkey"),
         col("o_orderdate").as("prev_date"),
         col("o_orderkey").as("p_orderkey"))
+      // self-as-of over the full orders table: fact-scale both sides,
+      // merge exec pinned (q510's convention)
       graft.plans.AsOf.asofJoin(o, prev,
         Seq("o_custkey"), Seq("p_custkey"), "o_orderdate", "prev_date",
-        rightTieBreak = Seq("p_orderkey"), leftOuter = true, strict = true)
+        rightTieBreak = Seq("p_orderkey"), leftOuter = true, strict = true,
+        broadcast = Some(false))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           col("prev_date"),
           expr("CAST(timestampdiff(DAY, prev_date, o_orderdate) AS BIGINT)")
@@ -10312,6 +10315,56 @@ object Analytics {
       FROM orders l ASOF LEFT JOIN orders r
       ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate
       ORDER BY l.o_orderkey"""))
+
+  // ---------- q522: broadcast as-of — calendar-bounded dimension --------
+
+  /** The canonical BroadcastAsOfJoinExec shape, with a dimension that
+    * is small AT ANY CORPUS SIZE: "policy revisions" = the distinct
+    * (priority, month-start) pairs that saw a >480 k order — bounded
+    * by 5 priorities × months-in-history (~400 rows forever, calendar-
+    * bounded), while the fact side grows with the corpus. Each order
+    * is enriched with the latest revision ≤ its own date (left-outer:
+    * orders before their priority's first revision survive null).
+    * `broadcast = Some(true)` is PINNED — unlike q512's stats-adaptive
+    * pick, this dim is known-small at 100 TB, so the fact table must
+    * never shuffle: the plan is scan → broadcast probe → aggregate-
+    * free projection, zero fact-side exchanges (BroadcastAsOfJoinSpec
+    * asserts the exec's contract; PLANS.md shows the shape). The
+    * per-executor index build is once per broadcast (weak-keyed memo).
+    * Oracle: DuckDB ASOF LEFT JOIN against the same derived dim.
+    */
+  private val q522 = QueryDef(
+    "q522_asof_policy_lookup",
+    (s, dir) => {
+      val o = Fixtures.table(s, dir, "orders")
+      val facts = o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_orderdate"))
+      val dim = o.where(col("o_totalprice") > 480000.0)
+        .select(col("o_orderpriority").as("p_priority"),
+          // cast back to the facts' TIMESTAMP_NTZ (date_trunc yields
+          // TIMESTAMP; value-identical under the UTC session zone)
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+            .as("policy_ts"))
+        .distinct()
+      graft.plans.AsOf.asofJoin(facts, dim,
+        Seq("o_orderpriority"), Seq("p_priority"),
+        "o_orderdate", "policy_ts",
+        leftOuter = true, broadcast = Some(true))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"), col("policy_ts"),
+          expr("CAST(timestampdiff(DAY, policy_ts, o_orderdate) AS BIGINT)")
+            .as("days_since_policy"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH d AS (SELECT DISTINCT o_orderpriority AS p_priority,
+        date_trunc('month', o_orderdate) AS policy_ts
+      FROM orders WHERE o_totalprice > 480000)
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_orderdate, d.policy_ts,
+        date_diff('day', d.policy_ts, o.o_orderdate)::BIGINT
+          AS days_since_policy
+      FROM orders o ASOF LEFT JOIN d
+      ON o.o_orderpriority = d.p_priority AND o.o_orderdate >= d.policy_ts
+      ORDER BY o.o_orderkey"""))
 
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
@@ -10327,5 +10380,5 @@ object Analytics {
       q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
       q363, q371, q372, q373, q374, q375, q383, q385, q388, q389, q397,
       q398, q400, q401, q403, q407, q408, q409, q410, q411, q412, q492,
-      q501, q517)
+      q501, q517, q522)
 }

@@ -6088,10 +6088,13 @@ object Events {
         .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
           col("event_id").as("c_event_id"))
       val week = 7L * 86400L * 1000000L
+      // both sides are fact-scale at 100 TB: pin the merge exec (the
+      // broadcast auto-pick would fire at test SF only — q382's
+      // merge-pinning convention)
       graft.plans.AsOf.asofJoin(purchases, clicks,
         Seq("user_id"), Seq("c_user_id"), "ts", "click_ts",
         rightTieBreak = Seq("c_event_id"),
-        toleranceUs = Some(week), leftOuter = true)
+        toleranceUs = Some(week), leftOuter = true, broadcast = Some(false))
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts"), col("click_ts"),
           expr("timestampdiff(MICROSECOND, click_ts, ts)").as("latency_us"))
@@ -6125,6 +6128,15 @@ object Events {
     * 0.001/0.01/0.1), and event_id tie-breaks defensively, so emitting
     * the matched row's type/time is deterministic. Oracle: DuckDB's
     * native ASOF LEFT JOIN.
+    *
+    * Strategy: left on AUTO (no pin) — the dimension side fits under
+    * the broadcast threshold at every gate SF, so AsOfJoinStrategy
+    * plans BroadcastAsOfJoinExec and the fact side never shuffles or
+    * sorts (zero fact-side exchanges, the BroadcastHashJoin analogue).
+    * At 100 TB this dimension is fact-scale and the same stats pick
+    * flips to the merge exec — the adaptive behavior is the point of
+    * this gate entry; hash is identical under both execs
+    * (BroadcastAsOfJoinSpec proves exec equality on the full matrix).
     */
   private val q512 = QueryDef(
     "q512_asof_state_lookup",
@@ -6176,10 +6188,12 @@ object Events {
         .select(col("user_id").as("p_user_id"), col("ts").as("conv_ts"),
           col("event_id").as("p_event_id"))
       val week = 7L * 86400L * 1000000L
+      // fact-scale × fact-scale: merge exec pinned (q510's convention)
       graft.plans.AsOf.asofJoin(clicks, purchases,
         Seq("user_id"), Seq("p_user_id"), "ts", "conv_ts",
         rightTieBreak = Seq("p_event_id"),
-        toleranceUs = Some(week), leftOuter = true, forward = true)
+        toleranceUs = Some(week), leftOuter = true, forward = true,
+        broadcast = Some(false))
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts"), col("conv_ts"),
           expr("timestampdiff(MICROSECOND, ts, conv_ts)").as("conv_lag_us"),
@@ -6221,9 +6235,11 @@ object Events {
       val errors = e.where(col("event_type") === "error")
         .select(col("user_id").as("x_user_id"), col("ts").as("err_ts"),
           col("event_id").as("x_event_id"))
+      // fact-scale × fact-scale: merge exec pinned (q510's convention)
       graft.plans.AsOf.asofJoin(exposed, errors,
         Seq("user_id"), Seq("x_user_id"), "ts", "err_ts",
-        rightTieBreak = Seq("x_event_id"), leftOuter = true, forward = true)
+        rightTieBreak = Seq("x_event_id"), leftOuter = true, forward = true,
+        broadcast = Some(false))
         .select(col("event_type"),
           expr("timestampdiff(MICROSECOND, ts, err_ts)").as("lag_us"))
         .groupBy(col("event_type"))
@@ -6271,12 +6287,16 @@ object Events {
       val errors = e.where(col("event_type") === "error")
         .select(col("user_id").as("x_user_id"), col("ts").as("err_ts"),
           col("event_id").as("x_event_id"))
+      // merge exec pinned on BOTH joins: the composed layout-reuse
+      // shape (3 exchanges for 3 relations) is the thing under test
       val back = graft.plans.AsOf.asofJoin(purchases, signups,
         Seq("user_id"), Seq("s_user_id"), "ts", "signup_ts",
-        rightTieBreak = Seq("s_event_id"), leftOuter = true)
+        rightTieBreak = Seq("s_event_id"), leftOuter = true,
+        broadcast = Some(false))
       graft.plans.AsOf.asofJoin(back, errors,
         Seq("user_id"), Seq("x_user_id"), "ts", "err_ts",
-        rightTieBreak = Seq("x_event_id"), leftOuter = true, forward = true)
+        rightTieBreak = Seq("x_event_id"), leftOuter = true, forward = true,
+        broadcast = Some(false))
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts"), col("signup_ts"), col("err_ts"),
           expr("CASE WHEN signup_ts IS NOT NULL AND err_ts IS NOT NULL " +
@@ -6319,12 +6339,15 @@ object Events {
       val pF = e.where(col("event_type") === "purchase")
         .select(col("user_id").as("f_user_id"), col("ts").as("f_ts"),
           col("event_id").as("f_event_id"))
+      // merge exec pinned (fact-scale sides; composed layout reuse)
       val back = graft.plans.AsOf.asofJoin(clicks, pB,
         Seq("user_id"), Seq("b_user_id"), "ts", "b_ts",
-        rightTieBreak = Seq("b_event_id"), leftOuter = true)
+        rightTieBreak = Seq("b_event_id"), leftOuter = true,
+        broadcast = Some(false))
       graft.plans.AsOf.asofJoin(back, pF,
         Seq("user_id"), Seq("f_user_id"), "ts", "f_ts",
-        rightTieBreak = Seq("f_event_id"), leftOuter = true, forward = true)
+        rightTieBreak = Seq("f_event_id"), leftOuter = true, forward = true,
+        broadcast = Some(false))
         .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
           expr("""CASE
             WHEN b_ts IS NULL THEN f_ts
@@ -6356,6 +6379,87 @@ object Events {
         ON c.user_id = f.user_id AND c.ts <= f.ts
       ORDER BY click_id"""))
 
+  // ---------- q520: as-of join through the SQL-text surface ------------
+
+  /** q512's point-in-time lookup expressed ENTIRELY in SQL text through
+    * the `graft_asof_join` table-valued function (plans/AsOfSqlSurface,
+    * injectTableFunction + a resolution rule) — the surface the
+    * reference's SQL-driven consumers would call. Same relations, same
+    * semantics, same ORACLE SQL shape as q512 (hash equality between
+    * the two gate entries is the point: the SQL form lowers to the
+    * identical AsOfJoin node, then the identical strategy pick —
+    * broadcast at gate SFs, merge at scale). AsOfSqlSpec proves
+    * form-equality and option handling; this entry gates it end-to-end
+    * against DuckDB.
+    */
+  private val q520 = QueryDef(
+    "q520_asof_sql_surface",
+    (s, dir) => {
+      val e = ev(s, dir)
+      e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .createOrReplaceTempView("q520_facts")
+      e.where(col("event_type") =!= "purchase")
+        .select(col("user_id").as("d_user_id"), col("ts").as("state_ts"),
+          col("event_type").as("state"), col("event_id").as("d_event_id"))
+        .createOrReplaceTempView("q520_dim")
+      s.sql("""
+        SELECT event_id AS purchase_id, user_id, ts, state, state_ts,
+          timestampdiff(MICROSECOND, state_ts, ts) AS state_age_us
+        FROM graft_asof_join(
+          'q520_facts', 'q520_dim',
+          'user_id', 'd_user_id', 'ts', 'state_ts', 'd_event_id', 'outer')
+        ORDER BY purchase_id""")
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+      d.event_type AS state, d.ts AS state_ts,
+      epoch_us(p.ts) - epoch_us(d.ts) AS state_age_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') d
+      ON p.user_id = d.user_id AND p.ts >= d.ts
+      ORDER BY purchase_id"""))
+
+  // ---------- q523: salted as-of join (hot-key mitigation, gated) -------
+
+  /** The big-big skew mitigation path of the native as-of join, gated
+    * for semantics: purchases enriched with the same user's latest
+    * VIEW event ≤ ts via `AsOf.asofJoinSalted` (salts = 8) — the left
+    * side hash-salted into 8 buckets, the right side replicated to all
+    * salts so every bucket sees its key's FULL right run, which is
+    * what makes salting SAFE for as-of in every mode (unlike equi-join
+    * salting, which may split the right side). Salting is semantics-
+    * invisible: the oracle is the plain DuckDB ASOF LEFT JOIN with no
+    * notion of salt. Use when one hot key (one user with 10⁸ events)
+    * would serialize a merge partition and the right side is too big
+    * to broadcast — measured in BenchAsOf (skew_salted vs skew_merge);
+    * AQE's OptimizeSkewedJoin does not rewrite custom execs, so this
+    * and the broadcast exec are the two documented mitigations.
+    */
+  private val q523 = QueryDef(
+    "q523_asof_salted_views",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"),
+          col("event_id").as("v_event_id"))
+      graft.plans.AsOf.asofJoinSalted(purchases, views,
+        Seq("user_id"), Seq("v_user_id"), "ts", "view_ts",
+        rightTieBreak = Seq("v_event_id"), leftOuter = true, salts = 8)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("view_ts"),
+          expr("timestampdiff(MICROSECOND, view_ts, ts)").as("dwell_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+      v.ts AS view_ts,
+      epoch_us(p.ts) - epoch_us(v.ts) AS dwell_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY purchase_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -6364,5 +6468,6 @@ object Events {
       q273, q276, q282, q283, q286, q290, q300, q308, q312, q322, q324,
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
-      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510, q512, q513, q514, q516, q518)
+      q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510,
+      q512, q513, q514, q516, q518, q520, q523)
 }

@@ -1778,7 +1778,14 @@ object Sketch {
     * not rand(), so the same corpus always yields the same sample and
     * the DuckDB oracle reproduces it bit-for-bit; keys are rounded to
     * 9 decimals with a doc_id tie-break so cross-engine libm ulp
-    * differences cannot reorder ranks. Scale shape: key is a scan
+    * differences cannot reorder ranks. Residual risk (documented, not
+    * eliminated): the tie-break only fires on exactly-equal rounded
+    * keys, so a cross-engine ln() ulp difference landing EXACTLY on a
+    * rounding boundary could still flip the 9th decimal and swap two
+    * ranks near the k=100 cutoff. No exact rational equivalent of the
+    * −ln(u)/w ordering exists (it is genuinely transcendental in u and
+    * w jointly), so if a boundary flip ever surfaces at a new SF the
+    * fix is to compare ranked SETS rather than exact ranks. Scale shape: key is a scan
     * projection; the global bottom-k is TakeOrderedAndProject (map-side
     * partial top-k, ≤k rows per partition to the driver-side merge —
     * no full sort, no full shuffle). Top-k selection over weights, not
@@ -1808,8 +1815,116 @@ object Sketch {
       SELECT rank, doc_id, n_chars, es_key FROM r
       WHERE rank <= 100 ORDER BY rank"""))
 
+  // ---------- q521: PERSISTED sketch-state round-trip -------------------
+
+  /** The production contract q478 only proves in-plan: sketch state
+    * must survive a PARQUET ROUND-TRIP between sessions — the standing
+    * corpus's per-group KMV state is written to storage by one job and
+    * merged with a later ingest batch's state by ANOTHER job that never
+    * rescans the standing corpus. This query executes that contract
+    * end-to-end inside the gate: phase 1 aggregates the standing side's
+    * KMV state (n + the K min hashes per group) and WRITES it to a
+    * scratch parquet artifact; phase 2 REOPENS the artifact with a
+    * fresh read (schema re-inferred from the file, no lineage to the
+    * standing scan), merges it with the in-plan batch state, and proves
+    * `merge_equals_full` against an independent full recompute — KMV
+    * union is exactly mergeable, so the persisted estimate is
+    * bit-identical. PersistedSketchSpec additionally reopens the same
+    * artifact in a `newSession()` and across Bloom/Misra–Gries states.
+    * Scale: the artifact is ≤ K longs per group — the "standing index"
+    * whose size is independent of corpus size; the batch-side work is
+    * the only per-ingest cost.
+    */
+  private val q521 = QueryDef(
+    "q521_persisted_kmv",
+    (s, dir) => {
+      import s.implicits._
+      val o = Fixtures.table(s, dir, "orders")
+      def kmvState(side: DataFrame) = side
+        .select(col("o_orderpriority"),
+          expr(h32Spark("cast(o_custkey AS STRING)")).as("h")).distinct()
+        .as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new KmvAgg(K).toColumn.name("kmv"))
+        .toDF("o_orderpriority", "kmv")
+      val stateDir = s"${sys.props("java.io.tmpdir")}/graft_q521_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      // phase 1: persist the standing side's state
+      kmvState(o.where(col("o_orderkey") % 10 >= 2))
+        .select(col("o_orderpriority"), col("kmv.n").as("n_standing"),
+          col("kmv.mins").as("mins_standing"))
+        .write.mode("overwrite").parquet(stateDir)
+      // phase 2: reopen the artifact (no lineage to the standing scan)
+      // and merge with the batch's in-plan state
+      val loaded = s.read.parquet(stateDir)
+      val batch = kmvState(o.where(col("o_orderkey") % 10 < 2))
+        .select(col("o_orderpriority").as("b_pri"),
+          col("kmv.mins").as("mins_batch"))
+      val full = kmvState(o)
+        .select(col("o_orderpriority").as("f_pri"),
+          expr(s"CASE WHEN kmv.n >= $K THEN ${K - 1}.0 * 4294967296.0 " +
+            s"/ try_element_at(kmv.mins, $K) " +
+            "ELSE cast(kmv.n AS DOUBLE) END").as("est_full"))
+      val exact = o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      loaded.join(batch, col("o_orderpriority") === col("b_pri"))
+        .withColumn("merged", expr(
+          s"slice(array_sort(array_distinct(" +
+            s"concat(mins_standing, mins_batch))), 1, $K)"))
+        .withColumn("est_merged", expr(
+          s"CASE WHEN size(merged) >= $K THEN ${K - 1}.0 * 4294967296.0 " +
+            s"/ try_element_at(merged, $K) " +
+            "ELSE cast(size(merged) AS DOUBLE) END"))
+        .join(full, col("o_orderpriority") === col("f_pri"))
+        .join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_exact"),
+          col("est_merged"), col("est_full"),
+          (col("est_merged") === col("est_full")).as("merge_equals_full"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""WITH h AS (SELECT DISTINCT o_orderpriority,
+          ${h32Duck("o_custkey::VARCHAR")} AS h,
+          CASE WHEN o_orderkey % 10 < 2 THEN 1 ELSE 0 END AS isb
+        FROM orders),
+      side AS (SELECT o_orderpriority, isb, h,
+          row_number() OVER (PARTITION BY o_orderpriority, isb
+            ORDER BY h) AS rn
+        FROM h),
+      hf AS (SELECT DISTINCT o_orderpriority, h FROM h),
+      fullr AS (SELECT o_orderpriority, h,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY h)
+            AS rn,
+          count(*) OVER (PARTITION BY o_orderpriority) AS nd
+        FROM hf),
+      est_full AS (SELECT o_orderpriority,
+          CASE WHEN max(nd) >= $K THEN ${K - 1}.0 * 4294967296.0
+            / max(CASE WHEN rn = $K THEN h END)
+          ELSE cast(max(nd) AS DOUBLE) END AS est_full
+        FROM fullr GROUP BY 1),
+      mu AS (SELECT o_orderpriority, h FROM side WHERE rn <= $K),
+      mdist AS (SELECT DISTINCT o_orderpriority, h FROM mu),
+      mr AS (SELECT o_orderpriority, h,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY h)
+            AS rn,
+          count(*) OVER (PARTITION BY o_orderpriority) AS nm
+        FROM mdist),
+      est_merged AS (SELECT o_orderpriority,
+          CASE WHEN max(nm) >= $K THEN ${K - 1}.0 * 4294967296.0
+            / max(CASE WHEN rn = $K THEN h END)
+          ELSE cast(max(nm) AS DOUBLE) END AS est_merged
+        FROM mr WHERE rn <= $K GROUP BY 1),
+      exact AS (SELECT o_orderpriority,
+          count(DISTINCT o_custkey)::BIGINT AS n_exact
+        FROM orders GROUP BY 1)
+      SELECT e.o_orderpriority, n_exact, em.est_merged, ef.est_full,
+        (em.est_merged = ef.est_full) AS merge_equals_full
+      FROM exact e
+      JOIN est_merged em ON em.o_orderpriority = e.o_orderpriority
+      JOIN est_full ef ON ef.o_orderpriority = e.o_orderpriority
+      ORDER BY e.o_orderpriority"""))
+
   val all: Seq[QueryDef] =
     Seq(q35, q36, q37, q51, q63, q66, q67, q79, q85, q86, q107, q178,
       q180, q195, q200, q264, q394, q478, q482, q483, q484, q485, q498,
-      q509, q511, q515, q519)
+      q509, q511, q515, q519, q521)
 }

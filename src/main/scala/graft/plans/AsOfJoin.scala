@@ -70,7 +70,8 @@ final case class AsOfJoin(
     toleranceUs: Option[Long],
     leftOuter: Boolean,
     forward: Boolean = false,
-    strict: Boolean = false) extends BinaryNode {
+    strict: Boolean = false,
+    broadcastHint: Option[Boolean] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -81,13 +82,34 @@ final case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoin]] to [[AsOfJoinExec]]; injected by GraftExtensions. */
+/** Plans [[AsOfJoin]]; injected by GraftExtensions.
+  *
+  * Exec choice, mirroring JoinSelection's broadcast-vs-sort-merge
+  * decision: [[BroadcastAsOfJoinExec]] when the right (dimension) side's
+  * optimized-plan stats fit under `spark.sql.autoBroadcastJoinThreshold`
+  * — the fact side then never shuffles or sorts — else the
+  * co-partitioned sorted-merge [[AsOfJoinExec]]. `broadcastHint`
+  * overrides in either direction: gated big-big queries pin merge so
+  * the 100 TB plan shape is the one the gate exercises (both sides
+  * fact-scale — tiny only at test SF), and callers with external
+  * knowledge of dimension size can force broadcast.
+  */
 object AsOfJoinStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tie, tol, outer, fwd, strict) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, tol, outer, fwd, strict,
-        planLater(l), planLater(r)) :: Nil
+    case j @ AsOfJoin(l, r, lk, rk, lt, rt, tie, tol, outer, fwd, strict, hint) =>
+      val useBroadcast = hint.getOrElse {
+        val thr = org.apache.spark.sql.internal.SQLConf.get
+          .autoBroadcastJoinThreshold
+        thr > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= thr
+      }
+      if (useBroadcast) {
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, tie, tol, outer, fwd, strict,
+          planLater(l), planLater(r)) :: Nil
+      } else {
+        AsOfJoinExec(lk, rk, lt, rt, tie, tol, outer, fwd, strict,
+          planLater(l), planLater(r)) :: Nil
+      }
     case _ => Nil
   }
 }
@@ -118,8 +140,10 @@ final case class AsOfJoinExec(
   require(leftTime.dataType == rightTime.dataType,
     s"as-of join: time type mismatch " +
       s"(${leftTime.dataType.sql} vs ${rightTime.dataType.sql})")
-  require(toleranceUs.isEmpty || Seq("TIMESTAMP_NTZ", "TIMESTAMP", "BIGINT")
-      .contains(leftTime.dataType.sql),
+  // a negative tolerance would silently produce an empty/near-empty join
+  require(toleranceUs.forall(_ >= 0L),
+    s"as-of join: tolerance must be >= 0, got ${toleranceUs.get}")
+  require(toleranceUs.isEmpty || AsOfJoinExec.isLongBacked(leftTime.dataType),
     s"as-of join: tolerance needs a long-backed time type, " +
       s"got ${leftTime.dataType.sql}")
 
@@ -169,6 +193,11 @@ final case class AsOfJoinExec(
 
     val numOut = longMetric("numOutputRows")
     val numMatchedM = longMetric("numMatched")
+    // benchmark/debug knob (read driver-side, captured by the closure):
+    // graft.asof.timeCompare=generic forces the boxed interpreted-ordering
+    // path so BenchAsOf can measure what the primitive path saves
+    val forceGeneric = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.asof.timeCompare", "auto") == "generic"
     val lRdd = left.execute()
     val rRdd = right.execute()
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
@@ -178,8 +207,37 @@ final case class AsOfJoinExec(
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB)
       val rKeyProj = UnsafeProjection.create(rKeysB)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      // codegen'd key ordering over the projected UnsafeRow key schema
+      // (interpreted fallback inside RowOrdering.create) — no
+      // per-comparison interpreted dispatch
+      val keyOrd = RowOrdering.create(
+        keyTypes.zipWithIndex.map { case (dt, i) =>
+          SortOrder(org.apache.spark.sql.catalyst.expressions
+            .BoundReference(i, dt, nullable = true),
+            org.apache.spark.sql.catalyst.expressions.Ascending)
+        }, Nil)
+      // Primitive time path (TimeGetter): long-backed/date times compare
+      // as primitive longs — zero boxed allocations in the merge loop.
+      // Non-long-backed orderable types (rare) fall back to eval + the
+      // type's interpreted ordering.
+      val lGet = TimeGetter.create(lTimeB)
+      val rGet = TimeGetter.create(rTimeB)
+      val primitive = !forceGeneric && lGet.isDefined && rGet.isDefined
+      val lG = lGet.orNull
+      val rG = rGet.orNull
+      val anyOrd =
+        if (primitive) null
+        else TypeUtils.getInterpretedOrdering(timeType)
+          .asInstanceOf[Ordering[Any]]
+      // sign of (right row's time − left row's time); callers ensure
+      // both are non-null
+      def cmpRL(r: InternalRow, l: InternalRow): Int =
+        if (primitive) java.lang.Long.compare(rG.get(r), lG.get(l))
+        else anyOrd.compare(rTimeB.eval(r), lTimeB.eval(l))
+      def leftTimeNull(l: InternalRow): Boolean =
+        if (primitive) lG.isNull(l) else lTimeB.eval(l) == null
+      def rightTimeNull(r: InternalRow): Boolean =
+        if (primitive) rG.isNull(r) else rTimeB.eval(r) == null
       // In outer mode the null-extended right side must bind as nullable,
       // or non-nullable right columns would read 0/"" instead of null.
       val rBind = if (outer) rOut.map(_.withNullability(true)) else rOut
@@ -192,7 +250,6 @@ final case class AsOfJoinExec(
       // and time ≤ the current left time. Copied out of the iterator's
       // reused buffers.
       var lastKey: InternalRow = null
-      var lastTime: Any = null
       var lastRow: InternalRow = null
 
       new Iterator[InternalRow] {
@@ -202,15 +259,15 @@ final case class AsOfJoinExec(
         private def advance(): Unit = {
           while (!ready && lIter.hasNext) {
             val l = lIter.next()
-            val lt = lTimeB.eval(l)
+            val ltNull = leftTimeNull(l)
             var lk: InternalRow = null
             var keyIsNull = false
-            if (lt != null) {
+            if (!ltNull) {
               val k = lKeyProj(l)
               keyIsNull = lKeysB.indices.exists(k.isNullAt)
               lk = k
             }
-            if (lt != null && !keyIsNull && !fwd) {
+            if (!ltNull && !keyIsNull && !fwd) {
               // BACKWARD: consume right rows that can never match a
               // future left row: smaller key, null key/time, or same
               // key with time ≤ lt (each such row becomes the new best
@@ -218,21 +275,19 @@ final case class AsOfJoinExec(
               var go = true
               while (go && rBuf.hasNext) {
                 val r = rBuf.head
-                val rt = rTimeB.eval(r)
                 val rk = rKeyProj(r)
                 val rKeyNull = rKeysB.indices.exists(rk.isNullAt)
-                if (rKeyNull || rt == null) {
+                if (rKeyNull || rightTimeNull(r)) {
                   rBuf.next()
                 } else {
                   val c = keyOrd.compare(rk, lk)
                   if (c < 0) {
                     rBuf.next()
                   } else if (c == 0 && {
-                      val tc = timeOrd.asInstanceOf[Ordering[Any]].compare(rt, lt)
+                      val tc = cmpRL(r, l)
                       if (excl) tc < 0 else tc <= 0
                     }) {
                     lastKey = rk.copy()
-                    lastTime = rt
                     lastRow = rBuf.next().copy()
                   } else {
                     go = false
@@ -242,8 +297,9 @@ final case class AsOfJoinExec(
               val matches = lastRow != null &&
                 keyOrd.compare(lastKey, lk) == 0 &&
                 tol.forall { t =>
-                  // tolerance only defined for long-backed time types
-                  lt.asInstanceOf[Long] - lastTime.asInstanceOf[Long] <= t
+                  // tolerance only defined for long-backed time types,
+                  // which always take the primitive path
+                  lG.get(l) - rG.get(lastRow) <= t
                 }
               if (matches) {
                 nextRow = joiner(joined(l, lastRow))
@@ -255,7 +311,7 @@ final case class AsOfJoinExec(
                 numOut += 1
                 ready = true
               }
-            } else if (lt != null && !keyIsNull) {
+            } else if (!ltNull && !keyIsNull) {
               // FORWARD: consume right rows strictly behind (smaller
               // key, or same key with time < lt — left times ascend, so
               // they can't match later lefts either); the surviving
@@ -265,14 +321,13 @@ final case class AsOfJoinExec(
               var go = true
               while (go && rBuf.hasNext) {
                 val r = rBuf.head
-                val rt = rTimeB.eval(r)
                 val rk = rKeyProj(r)
-                if (rKeysB.indices.exists(rk.isNullAt) || rt == null) {
+                if (rKeysB.indices.exists(rk.isNullAt) || rightTimeNull(r)) {
                   rBuf.next()
                 } else {
                   val c = keyOrd.compare(rk, lk)
                   if (c < 0 || (c == 0 && {
-                      val tc = timeOrd.asInstanceOf[Ordering[Any]].compare(rt, lt)
+                      val tc = cmpRL(r, l)
                       if (excl) tc <= 0 else tc < 0
                     })) {
                     rBuf.next()
@@ -284,12 +339,8 @@ final case class AsOfJoinExec(
               val cand = if (rBuf.hasNext) rBuf.head else null
               val matches = cand != null && {
                 val rk = rKeyProj(cand)
-                keyOrd.compare(rk, lk) == 0 && {
-                  val rt = rTimeB.eval(cand)
-                  tol.forall { t =>
-                    rt.asInstanceOf[Long] - lt.asInstanceOf[Long] <= t
-                  }
-                }
+                keyOrd.compare(rk, lk) == 0 &&
+                  tol.forall(t => rG.get(cand) - lG.get(l) <= t)
               }
               if (matches) {
                 nextRow = joiner(joined(l, cand))
@@ -321,6 +372,66 @@ final case class AsOfJoinExec(
   }
 }
 
+object AsOfJoinExec {
+  /** Time types whose values are long-backed in InternalRow — the types
+    * tolerance arithmetic (and the exec's primitive comparison path)
+    * supports. Matched on the DataType itself, not its `.sql` string.
+    */
+  def isLongBacked(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.TimestampNTZType => true
+    case org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+}
+
+/** Primitive time access for the merge loop: null check + long value
+  * without a boxed allocation per comparison. The common case — the
+  * time expression is a bound column of a long-backed type (every
+  * gated query: TIMESTAMP/TIMESTAMP_NTZ/BIGINT, plus DATE/INT widened)
+  * — reads `row.getLong/getInt` directly; a computed long-backed
+  * expression falls back to eval+unbox (one young-gen box per ROW, not
+  * per comparison); other orderable types take the generic interpreted
+  * ordering path in the exec.
+  */
+private[plans] abstract class TimeGetter extends Serializable {
+  def isNull(r: InternalRow): Boolean
+  def get(r: InternalRow): Long
+}
+
+private[plans] object TimeGetter {
+  import org.apache.spark.sql.types._
+
+  def create(bound: Expression): Option[TimeGetter] = bound match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference =>
+      b.dataType match {
+        case TimestampType | TimestampNTZType | LongType =>
+          Some(new TimeGetter {
+            private val ord = b.ordinal
+            def isNull(r: InternalRow): Boolean = r.isNullAt(ord)
+            def get(r: InternalRow): Long = r.getLong(ord)
+          })
+        case DateType | IntegerType =>
+          Some(new TimeGetter {
+            private val ord = b.ordinal
+            def isNull(r: InternalRow): Boolean = r.isNullAt(ord)
+            def get(r: InternalRow): Long = r.getInt(ord).toLong
+          })
+        case _ => None
+      }
+    case e => e.dataType match {
+      case TimestampType | TimestampNTZType | LongType |
+           DateType | IntegerType =>
+        Some(new TimeGetter {
+          def isNull(r: InternalRow): Boolean = e.eval(r) == null
+          def get(r: InternalRow): Long =
+            e.eval(r).asInstanceOf[Number].longValue()
+        })
+      case _ => None
+    }
+  }
+}
+
 /** Public API for the native as-of join. */
 object AsOf {
 
@@ -332,7 +443,10 @@ object AsOf {
     * avoid collisions before calling (the method asserts this).
     * `rightTieBreak` columns resolve on the right side and break
     * equal-(key, time) ties deterministically (last in ascending
-    * order wins).
+    * order wins). Column names resolve with the session's resolver
+    * (case-insensitive unless `spark.sql.caseSensitive`). `broadcast`:
+    * None = auto (strategy broadcasts the right side under the session
+    * broadcast threshold), Some(true)/Some(false) = force.
     */
   def asofJoin(
       leftDf: DataFrame,
@@ -345,12 +459,16 @@ object AsOf {
       toleranceUs: Option[Long] = None,
       leftOuter: Boolean = false,
       forward: Boolean = false,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      broadcast: Option[Boolean] = None): DataFrame = {
     val spark = leftDf.sparkSession
+    // name resolution follows the session's resolver (case-insensitive by
+    // default, matching DataFrame.col), not raw string equality
+    val resolver = spark.sessionState.conf.resolver
     var lPlan = leftDf.queryExecution.analyzed
     var rPlan = rightDf.queryExecution.analyzed
-    val dupNames = lPlan.output.map(_.name).toSet
-      .intersect(rPlan.output.map(_.name).toSet)
+    val dupNames = lPlan.output.map(_.name)
+      .filter(ln => rPlan.output.exists(ra => resolver(ra.name, ln)))
     require(dupNames.isEmpty,
       s"as-of join: rename right-side columns first, duplicates: $dupNames")
     // Self-joins reuse expression IDs across sides; re-alias the right
@@ -360,7 +478,7 @@ object AsOf {
       rPlan = Project(rPlan.output.map(a => Alias(a, a.name)()), rPlan)
     }
     def resolve(plan: LogicalPlan, name: String): Attribute = {
-      val hits = plan.output.filter(_.name == name)
+      val hits = plan.output.filter(a => resolver(a.name, name))
       require(hits.length == 1, s"as-of join: column '$name' is " +
         s"${if (hits.isEmpty) "missing" else "ambiguous"} in " +
         s"${plan.output.map(_.name)}")
@@ -376,7 +494,57 @@ object AsOf {
       toleranceUs,
       leftOuter,
       forward,
-      strict)
+      strict,
+      broadcast)
     PlanBridge.ofRows(spark, node)
+  }
+
+  /** Skew-mitigated as-of join for BIG × BIG shapes with a hot key.
+    *
+    * AQE's OptimizeSkewedJoin only rewrites SMJ/SHJ, so a hot key (one
+    * user with 10⁸ events) funnels one [[AsOfJoinExec]] partition with
+    * no runtime mitigation. This helper applies the salting scheme
+    * that IS safe for as-of (unlike equi-join salting, which splits
+    * the right side): the left side salts each row into one of
+    * `salts` buckets (hash of its time value — any deterministic
+    * per-row assignment works, since every left row is matched
+    * independently), and the right side is REPLICATED to all salts, so
+    * each salt bucket sees the FULL right run of its key and the merge
+    * semantics are unchanged in every mode (backward/forward/strict/
+    * tolerance/outer) — proven by the equality checks in BenchAsOf and
+    * AsOfJoinSpec. Cost: the right shuffle grows ×salts; worth it when
+    * the hot key's left run dwarfs the whole right side (the typical
+    * skew shape). For fact × small-dim skew prefer the broadcast exec
+    * ([[BroadcastAsOfJoinExec]]), which is immune for free.
+    */
+  def asofJoinSalted(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      leftKeyCols: Seq[String],
+      rightKeyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightTieBreak: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None,
+      leftOuter: Boolean = false,
+      forward: Boolean = false,
+      strict: Boolean = false,
+      salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, hash, lit, pmod, sequence}
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val saltCol = "__graft_asof_salt"
+    val rSaltCol = "__graft_asof_rsalt"
+    require(!(leftDf.columns ++ rightDf.columns).exists(
+        c => c == saltCol || c == rSaltCol),
+      s"column name collision with $saltCol/$rSaltCol")
+    val l2 = leftDf.withColumn(saltCol,
+      pmod(hash(col(leftTimeCol)), lit(salts)).cast("long"))
+    val r2 = rightDf.withColumn(rSaltCol,
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    asofJoin(l2, r2,
+      leftKeyCols :+ saltCol, rightKeyCols :+ rSaltCol,
+      leftTimeCol, rightTimeCol, rightTieBreak, toleranceUs,
+      leftOuter, forward, strict, broadcast = Some(false))
+      .drop(saltCol, rSaltCol)
   }
 }

@@ -23,13 +23,30 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   private def ev: DataFrame = Fixtures.table(spark, sf, "events")
 
+  /** AsOf.asofJoin pinned to the MERGE exec — this suite tests the
+    * sorted-merge path specifically; the tiny fixtures would otherwise
+    * auto-broadcast (BroadcastAsOfJoinSpec covers that exec).
+    */
+  private def asofM(
+      leftDf: DataFrame, rightDf: DataFrame,
+      leftKeyCols: Seq[String], rightKeyCols: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      rightTieBreak: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None,
+      leftOuter: Boolean = false,
+      forward: Boolean = false,
+      strict: Boolean = false): DataFrame =
+    AsOf.asofJoin(leftDf, rightDf, leftKeyCols, rightKeyCols, leftTimeCol,
+      rightTimeCol, rightTieBreak, toleranceUs, leftOuter, forward, strict,
+      broadcast = Some(false))
+
   private def nativeAsOf(outer: Boolean, tolUs: Option[Long] = None): DataFrame = {
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"))
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
         col("event_id").as("c_event_id"))
-    AsOf.asofJoin(purchases, clicks,
+    asofM(purchases, clicks,
       Seq("user_id"), Seq("c_user_id"), "ts", "click_ts",
       rightTieBreak = Seq("c_event_id"), toleranceUs = tolUs,
       leftOuter = outer)
@@ -79,7 +96,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     val l = Seq((1L, 100L, 10L)).toDF("k", "t", "lid")
     val r = Seq((1L, 100L, 1L), (1L, 100L, 2L), (1L, 50L, 3L))
       .toDF("rk", "rt", "rid")
-    val out = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+    val out = asofM(l, r, Seq("k"), Seq("rk"), "t", "rt",
       rightTieBreak = Seq("rid")).select("rid").as[Long].collect()
     assert(out.toSeq === Seq(2L))
   }
@@ -90,11 +107,11 @@ class AsOfJoinSpec extends AnyFunSuite {
       (Some(1L), None, 3L)).toDF("k", "t", "lid")
     val r = Seq((Some(1L), Some(90L), 7L), (None, Some(80L), 8L),
       (Some(1L), None, 9L)).toDF("rk", "rt", "rid")
-    val inner = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+    val inner = asofM(l, r, Seq("k"), Seq("rk"), "t", "rt",
       rightTieBreak = Seq("rid"))
     assert(inner.select("lid", "rid").as[(Long, Long)].collect().toSeq
       === Seq((1L, 7L)))
-    val outer = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+    val outer = asofM(l, r, Seq("k"), Seq("rk"), "t", "rt",
       rightTieBreak = Seq("rid"), leftOuter = true)
     assert(outer.count() === 3L)
     assert(outer.where(col("rid").isNull).count() === 2L)
@@ -105,7 +122,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       col("value"))
     val clicks = ev.select(col("user_id").as("c_user_id"),
       col("ts").as("click_ts"), col("event_id").as("c_event_id"))
-    val df = graft.plans.AsOf.asofJoin(purchases, clicks,
+    val df = asofM(purchases, clicks,
       Seq("user_id"), Seq("c_user_id"), "ts", "click_ts",
       rightTieBreak = Seq("c_event_id"))
       .where(col("value") > 900.0) // left-side filter above the node
@@ -115,7 +132,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(leftScan.exists(_.contains("GreaterThan(value,900.0)")),
       s"left filter not pushed to scan:\n${scans.mkString("\n\n")}")
     // equivalent to filtering before the join
-    val pre = graft.plans.AsOf.asofJoin(
+    val pre = asofM(
       purchases.where(col("value") > 900.0), clicks,
       Seq("user_id"), Seq("c_user_id"), "ts", "click_ts",
       rightTieBreak = Seq("c_event_id"))
@@ -129,12 +146,12 @@ class AsOfJoinSpec extends AnyFunSuite {
     // the row, while (wrongly) pushing it below would re-expose rt=50.
     val l = Seq((1L, 100L, 1L)).toDF("k", "t", "lid")
     val r = Seq((1L, 50L, 10L), (1L, 90L, 11L)).toDF("rk", "rt", "rid")
-    def join() = graft.plans.AsOf.asofJoin(l, r, Seq("k"), Seq("rk"),
+    def join() = asofM(l, r, Seq("k"), Seq("rk"),
       "t", "rt", rightTieBreak = Seq("rid"))
     val above = join().where(col("rt") < 90L)
     assert(above.count() === 0L,
       "right-side filter was pushed below the as-of join")
-    val pushedWrong = graft.plans.AsOf.asofJoin(l, r.where(col("rt") < 90L),
+    val pushedWrong = asofM(l, r.where(col("rt") < 90L),
       Seq("k"), Seq("rk"), "t", "rt", rightTieBreak = Seq("rid"))
     assert(pushedWrong.count() === 1L) // the semantics genuinely differ
   }
@@ -146,7 +163,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
         col("event_id").as("c_event_id"), col("value").as("c_value"),
         col("props").as("c_props"))
-    val df = graft.plans.AsOf.asofJoin(purchases, wideClicks,
+    val df = asofM(purchases, wideClicks,
       Seq("user_id"), Seq("c_user_id"), "ts", "click_ts",
       rightTieBreak = Seq("c_event_id"))
       .select(col("event_id"), col("click_ts")) // c_value/c_props unused
@@ -163,7 +180,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     val l = Seq((1L, 10L, 100L), (1L, 20L, 101L)).toDF("k", "t", "lid")
     val r = Seq((1L, 30L, 1L), (1L, 30L, 2L), (1L, 5L, 3L))
       .toDF("rk", "rt", "rid")
-    val out = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+    val out = asofM(l, r, Seq("k"), Seq("rk"), "t", "rt",
       rightTieBreak = Seq("rid"), forward = true)
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(out === Set((100L, 1L), (101L, 1L)))
@@ -178,7 +195,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       rnd.nextInt(1000).toLong, rnd.nextLong())).distinct
     val l = lRows.toDF("k", "t", "lid").repartition(5)
     val r = rRows.toDF("rk", "rt", "rid").repartition(3)
-    val native = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+    val native = asofM(l, r, Seq("k"), Seq("rk"), "t", "rt",
       rightTieBreak = Seq("rid"), leftOuter = true, forward = true)
       .select(col("k"), col("t"), col("lid"), col("rid"))
     val byKey = rRows.groupBy(_._1)
@@ -215,21 +232,64 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
     val asofs = countNodes(plan, _.isInstanceOf[graft.plans.AsOfJoinExec])
     assert(asofs === 2, s"expected 2 AsOfJoinExec nodes:\n$plan")
-    // 3 base-relation exchanges + the final orderBy range exchange;
-    // the second join must NOT re-shuffle or re-sort its left side
-    val exchanges = countNodes(plan,
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
-    assert(exchanges === 4, s"expected 4 exchanges (3 hash + 1 range):\n$plan")
-    val sorts = countNodes(plan,
-      _.isInstanceOf[org.apache.spark.sql.execution.SortExec])
-    assert(sorts === 4, s"expected 4 sorts (3 child + 1 final):\n$plan")
+    // The layout-reuse invariant itself (not node counts, which are
+    // brittle to AQE/version changes): the OUTER as-of join — the one
+    // whose left subtree contains the inner as-of — must plan NO
+    // shuffle and NO sort between itself and the inner join, because
+    // AsOfJoinExec advertises its left child's partitioning/ordering.
+    def findOuter(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[graft.plans.AsOfJoinExec] = {
+      var found: Option[graft.plans.AsOfJoinExec] = None
+      def walk(x: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        x match {
+          case a: graft.plans.AsOfJoinExec if found.isEmpty &&
+              countNodes(a.left, _.isInstanceOf[graft.plans.AsOfJoinExec]) > 0 =>
+            found = Some(a)
+          case _ =>
+        }
+        x.children.foreach(walk)
+        x match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ =>
+        }
+      }
+      walk(p)
+      found
+    }
+    val outer = findOuter(plan)
+    assert(outer.isDefined, s"no composed as-of found:\n$plan")
+    // walk the outer join's left spine down to the inner as-of join
+    var spine: org.apache.spark.sql.execution.SparkPlan = outer.get.left
+    var hops = 0
+    while (!spine.isInstanceOf[graft.plans.AsOfJoinExec] && hops < 50) {
+      assert(!spine.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ShuffleExchangeExec],
+        s"outer as-of re-shuffled its left side:\n$plan")
+      assert(!spine.isInstanceOf[org.apache.spark.sql.execution.SortExec],
+        s"outer as-of re-sorted its left side:\n$plan")
+      spine = spine match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other =>
+          assert(other.children.length == 1,
+            s"unexpected branch on the left spine: ${other.nodeName}\n$plan")
+          other.children.head
+      }
+      hops += 1
+    }
+    assert(spine.isInstanceOf[graft.plans.AsOfJoinExec],
+      s"inner as-of not reachable on the left spine:\n$plan")
   }
 
   test("forward tolerance: match further than the window is dropped") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("k", "t", "lid")
     val r = Seq((1L, 15L, 1L), (2L, 50L, 2L)).toDF("rk", "rt", "rid")
-    val out = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+    val out = asofM(l, r, Seq("k"), Seq("rk"), "t", "rt",
       rightTieBreak = Seq("rid"), toleranceUs = Some(10L),
       leftOuter = true, forward = true)
       .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
@@ -242,7 +302,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     val r = Seq((1L, 100L, 10L), (1L, 90L, 11L), (1L, 110L, 12L))
       .toDF("rk", "rt", "rid")
     def run(fwd: Boolean, strict: Boolean) =
-      AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      asofM(l, r, Seq("k"), Seq("rk"), "t", "rt",
         rightTieBreak = Seq("rid"), forward = fwd, strict = strict)
         .select("rid").as[Long].collect().toSeq
     assert(run(fwd = false, strict = false) === Seq(10L)) // inclusive: 100
@@ -258,18 +318,46 @@ class AsOfJoinSpec extends AnyFunSuite {
     val r = Seq(("a", 1L, 90L, 10L), ("a", 2L, 80L, 11L),
       ("b", 1L, 95L, 12L), ("a", 1L, 99L, 13L))
       .toDF("rg", "rk", "rt", "rid")
-    val out = AsOf.asofJoin(l, r, Seq("g", "k"), Seq("rg", "rk"),
+    val out = asofM(l, r, Seq("g", "k"), Seq("rg", "rk"),
       "t", "rt", rightTieBreak = Seq("rid"))
       .select("lid", "rid").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 13L), (2L, 11L), (3L, 12L)))
     // empty right: inner → empty, outer → all-left null-extended
     val empty = r.where(col("rt") < 0L)
-    assert(AsOf.asofJoin(l, empty, Seq("g", "k"), Seq("rg", "rk"),
+    assert(asofM(l, empty, Seq("g", "k"), Seq("rg", "rk"),
       "t", "rt").count() === 0L)
-    val outer = AsOf.asofJoin(l, empty, Seq("g", "k"), Seq("rg", "rk"),
+    val outer = asofM(l, empty, Seq("g", "k"), Seq("rg", "rk"),
       "t", "rt", leftOuter = true)
     assert(outer.count() === 3L)
     assert(outer.where(col("rid").isNotNull).count() === 0L)
+  }
+
+  test("salted as-of equals unsalted across the mode matrix on a skewed stream") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    // hot key 0 carries ~70% of rows on both sides
+    def gen(n: Int) = Seq.fill(n)((
+      if (rnd.nextInt(10) < 7) 0L else rnd.nextInt(6).toLong,
+      rnd.nextInt(500).toLong, rnd.nextLong())).distinct
+    val l = gen(500).toDF("k", "t", "lid").repartition(5)
+    val r = gen(500).toDF("rk", "rt", "rid").repartition(3)
+    for {
+      fwd <- Seq(false, true)
+      strict <- Seq(false, true)
+      outer <- Seq(false, true)
+      tol <- Seq(None, Some(60L))
+    } {
+      val plain = asofM(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        rightTieBreak = Seq("rid"), toleranceUs = tol, leftOuter = outer,
+        forward = fwd, strict = strict)
+        .orderBy("k", "t", "lid").collect().toSeq
+      val salted = AsOf.asofJoinSalted(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        rightTieBreak = Seq("rid"), toleranceUs = tol, leftOuter = outer,
+        forward = fwd, strict = strict, salts = 7)
+        .orderBy("k", "t", "lid").collect().toSeq
+      assert(salted === plain,
+        s"salted mismatch at fwd=$fwd strict=$strict outer=$outer tol=$tol")
+    }
   }
 
   test("brute-force equivalence on a random keyed stream") {
@@ -281,7 +369,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       rnd.nextInt(1000).toLong, rnd.nextLong())).distinct
     val l = lRows.toDF("k", "t", "lid").repartition(5)
     val r = rRows.toDF("rk", "rt", "rid").repartition(3)
-    val native = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+    val native = asofM(l, r, Seq("k"), Seq("rk"), "t", "rt",
       rightTieBreak = Seq("rid"), leftOuter = true)
       .select(col("k"), col("t"), col("lid"), col("rid"))
     // driver-side oracle
