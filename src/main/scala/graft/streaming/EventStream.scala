@@ -400,6 +400,49 @@ object EventStream {
       }
   }
 
+  final case class AsOfState(state: String, stateUs: Long)
+  final case class StateLookupOut(user_id: Long, purchase_id: Long,
+      state: Option[String], state_ts: Option[java.time.LocalDateTime])
+
+  /** Streaming twin of q512's point-in-time state lookup (the native
+    * as-of join's canonical use): per-user state is exactly ONE
+    * (latest non-purchase event_type, its time) pair — the running
+    * "current state" — overwritten by every state-change event and
+    * READ by every purchase, which emits its enrichment the
+    * micro-batch it arrives in. This is backward-inclusive as-of with
+    * O(1) state per key, vs the batch exec's sorted-run merge: the
+    * stream never buffers history, because arrival in event-time order
+    * (guaranteed here by the per-micro-batch (ts, event_id) sort — the
+    * library's twin convention) makes "greatest state_ts ≤ ts" the
+    * same thing as "last state seen". Same-instant caveat (the twins'
+    * standard note): a dim row with state_ts == ts but a HIGHER
+    * event_id than the purchase is eligible for batch inclusive as-of
+    * but follows the purchase in stream order; (user_id, ts) is unique
+    * in the fixture at every SF, so backfill over one AvailableNow
+    * batch reproduces q512 purchase-for-purchase (StreamingSpec).
+    */
+  def asOfStateLookup(events: Dataset[EvT]): Dataset[StateLookupOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, StateLookupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[AsOfState]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[StateLookupOut]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase") {
+              out += StateLookupOut(uid, e.event_id,
+                st.map(_.state), st.map(s => fromUs(s.stateUs)))
+            } else {
+              st = Some(AsOfState(e.event_type, toUs(e.ts)))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class ThrottleState(lastUs: Long)
 
   /** Streaming twin of batch q222's throttle dedup (alert

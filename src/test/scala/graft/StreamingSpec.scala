@@ -574,6 +574,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.values.sum > 0)
   }
 
+  test("streaming as-of state lookup == batch q512 (AvailableNow)") {
+    import spark.implicits._
+    val src = EventStream.readEvents(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStream.EvT]
+    val q = EventStream.asOfStateLookup(src)
+      .writeStream.format("memory").queryName("asofstate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("asofstate")
+      .select(col("purchase_id"), col("state"), col("state_ts")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.toString))).toSet
+    val want = SparkEntry.queries("q512_asof_state_lookup")(spark, sf)
+      .select(col("purchase_id"), col("state"), col("state_ts")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.toString))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty),
+      "fixture should exercise both matched and null-state purchases")
+  }
+
   test("stream-stream interval join == batch q26 range join " +
     "(AvailableNow, append)") {
     val q = EventStream.errorPairs(
