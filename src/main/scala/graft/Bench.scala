@@ -32,13 +32,16 @@ object Bench {
     catch { case _: Throwable => "n/a" }
 
   /** Per-query values from the committed BENCH_FULL.json, if present —
-    * the reference points the contention guard compares against.
+    * the reference points the contention guard compares against. Armed
+    * only when the committed run used the SAME sf dir: comparing an
+    * sf3 canary against sf0.1 priors would re-bench everything.
     */
-  private def priorValues(): Map[String, Double] =
+  private def priorValues(sfDir: String): Map[String, Double] =
     try {
       val txt = java.nio.file.Files.readString(
         java.nio.file.Paths.get("BENCH_FULL.json"))
-      """"(q[0-9][^"]*)":(-?[0-9.]+)""".r.findAllMatchIn(txt)
+      if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+      else """"(q[0-9][^"]*)":(-?[0-9.]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
 
@@ -48,7 +51,7 @@ object Bench {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
-    val prior = priorValues()
+    val prior = priorValues(sfDir)
 
     // full-plan materialization: forces every projection column and the
     // query's own sort, unlike a count() on top

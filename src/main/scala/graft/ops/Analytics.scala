@@ -10366,6 +10366,49 @@ object Analytics {
       ON o.o_orderpriority = d.p_priority AND o.o_orderdate >= d.policy_ts
       ORDER BY o.o_orderkey"""))
 
+  // ---------- q524: broadcast as-of, forward direction -------------------
+
+  /** q522's calendar-bounded policy dim probed in the FORWARD
+    * direction: each order → the NEXT policy revision at-or-after its
+    * date (smallest policy_ts ≥ o_orderdate), left-outer so orders
+    * after their priority's last revision survive null — "how long
+    * until the rules change" exposure windows. Completes the gate
+    * coverage of BroadcastAsOfJoinExec's direction matrix (q522
+    * backward, here forward — the binary-search lower-bound path);
+    * broadcast PINNED for the same calendar-bounded-dim reason.
+    * Oracle: DuckDB ASOF LEFT JOIN with the reversed inequality.
+    */
+  private val q524 = QueryDef(
+    "q524_asof_policy_forward",
+    (s, dir) => {
+      val o = Fixtures.table(s, dir, "orders")
+      val facts = o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_orderdate"))
+      val dim = o.where(col("o_totalprice") > 480000.0)
+        .select(col("o_orderpriority").as("p_priority"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+            .as("policy_ts"))
+        .distinct()
+      graft.plans.AsOf.asofJoin(facts, dim,
+        Seq("o_orderpriority"), Seq("p_priority"),
+        "o_orderdate", "policy_ts",
+        leftOuter = true, forward = true, broadcast = Some(true))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"), col("policy_ts"),
+          expr("CAST(timestampdiff(DAY, o_orderdate, policy_ts) AS BIGINT)")
+            .as("days_until_policy"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH d AS (SELECT DISTINCT o_orderpriority AS p_priority,
+        date_trunc('month', o_orderdate) AS policy_ts
+      FROM orders WHERE o_totalprice > 480000)
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_orderdate, d.policy_ts,
+        date_diff('day', o.o_orderdate, d.policy_ts)::BIGINT
+          AS days_until_policy
+      FROM orders o ASOF LEFT JOIN d
+      ON o.o_orderpriority = d.p_priority AND o.o_orderdate <= d.policy_ts
+      ORDER BY o.o_orderkey"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -10380,5 +10423,5 @@ object Analytics {
       q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
       q363, q371, q372, q373, q374, q375, q383, q385, q388, q389, q397,
       q398, q400, q401, q403, q407, q408, q409, q410, q411, q412, q492,
-      q501, q517, q522)
+      q501, q517, q522, q524)
 }

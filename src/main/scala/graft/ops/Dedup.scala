@@ -872,12 +872,22 @@ object Dedup {
   /** Brute-force O(n²/2) pair scan — correct exact baseline; the 100 TB
     * path is q23's LSH bucketing (Similarity.scala), which reuses the
     * same verify expression over a candidate set instead of all pairs.
+    *
+    * Parallelism note (round-13 sf3 canary finding): AQE's byte-based
+    * coalescing sees only a few MB of vectors per side and planned a
+    * 1×1 CartesianProduct grid — serializing the n²/2 CPU-bound cosine
+    * evaluations on ONE core (35+ min at sf3, unbounded). Byte-sized
+    * planning is blind to CPU-quadratic operators, so the left side
+    * pins an explicit 32-way round-robin repartition (user-specified →
+    * AQE keeps it): the pair grid becomes 32 × right-side tasks with
+    * identical semantics, and the exact baseline scales with cores.
     */
   private val q21 = QueryDef(
     "q21_embedding_neardup",
     (s, dir) => {
       val e = Fixtures.table(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .repartition(32)
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
