@@ -80,12 +80,26 @@ object Bench {
     }
 
     var errors = List.empty[String]
+    var recovered = List.empty[String]
     var rebenched = List.empty[(String, Double, Double, Double)] // name, prior, first, rebenchBest
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val times = (1 to 2).map(_ => timedOnce(fn))
-        val good = times.filterNot(_.isNaN)
+        var good = times.filterNot(_.isNaN)
+        if (good.isEmpty) {
+          // Failure hygiene (round-13 sf3 canary lesson): one executor
+          // OOM can wedge the heap — cached subplan blocks pin old-gen
+          // and every subsequent query fails spuriously (87 cascade
+          // failures at sf3/8g). Free the SQL cache (PlanCache entries
+          // rebuild on demand), nudge a full GC, and retry before
+          // recording an error; recoveries are reported separately so
+          // the record shows WHERE the heap wedged.
+          spark.catalog.clearCache()
+          System.gc()
+          good = (1 to 2).map(_ => timedOnce(fn)).filterNot(_.isNaN)
+          if (good.nonEmpty) recovered ::= name
+        }
         if (good.isEmpty) { errors ::= name; name -> -1.0 }
         else {
           val extra = if (good.min > 1.5) Seq(timedOnce(fn)).filterNot(_.isNaN)
@@ -121,7 +135,8 @@ object Bench {
     val rebJson = rebenched.sortBy(_._1).map { case (n, p, f, r) =>
       s""""$n":{"prior":${fmt(p)},"first":${fmt(f)},"rebench":${fmt(r)}}"""
     }.mkString("{", ",", "}")
-    val meta = s""""load_start":"$loadStart","load_end":"$loadEnd","cores":$cores,"rebenched":$rebJson"""
+    val recJson = recovered.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val meta = s""""load_start":"$loadStart","load_end":"$loadEnd","cores":$cores,"rebenched":$rebJson,"recovered":$recJson"""
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"errors":$errs,$meta,"sf":"$sfDir"}"""
     // Isolation re-benches (BENCH_ONLY set) go to a side file so they can
     // never clobber the committed full-run detail — that overwrite bit the
