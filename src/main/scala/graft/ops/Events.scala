@@ -6460,6 +6460,60 @@ object Events {
       ON p.user_id = v.user_id AND p.ts >= v.ts
       ORDER BY purchase_id"""))
 
+  // ---------- q525: SCD2 effective-dated join via native as-of ----------
+
+  /** The warehouse-standard effective-dated join: facts matched to the
+    * SCD2 dimension row whose validity interval CONTAINS the fact's
+    * instant — here the dim is the per-user state history (each
+    * non-purchase event opens [ts, next_ts)). Spark side: build the
+    * intervals with one lead() window, then the native backward as-of
+    * on `valid_from` — when intervals tile time, "greatest valid_from
+    * ≤ ts" IS interval containment, so the as-of exec replaces the
+    * usual non-equi range join (which Spark plans as a broadcast
+    * nested loop or a banded join) with one co-partitioned merge.
+    * The ORACLE is deliberately the OTHER formulation — a plain
+    * inequality interval-containment join (ts >= valid_from AND
+    * (valid_to IS NULL OR ts < valid_to)), not DuckDB's ASOF — so the
+    * gate proves the equivalence of the two semantics, not just two
+    * ASOF implementations. Merge exec pinned (dim is fact-scale).
+    */
+  private val q525 = QueryDef(
+    "q525_asof_scd2_enrich",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val dim = e.where(col("event_type") =!= "purchase")
+        .select(col("user_id").as("d_user_id"),
+          col("ts").as("valid_from"),
+          col("event_type").as("state"),
+          col("event_id").as("d_event_id"))
+        .withColumn("valid_to",
+          org.apache.spark.sql.functions.lead(col("valid_from"), 1)
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("d_user_id"))
+              .orderBy(col("valid_from"), col("d_event_id"))))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.plans.AsOf.asofJoin(purchases, dim,
+        Seq("user_id"), Seq("d_user_id"), "ts", "valid_from",
+        rightTieBreak = Seq("d_event_id"), leftOuter = true,
+        broadcast = Some(false))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("state"), col("valid_from"), col("valid_to"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH dim AS (SELECT user_id AS d_user_id, ts AS valid_from,
+        event_type AS state, event_id AS d_event_id,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS valid_to
+      FROM events WHERE event_type <> 'purchase')
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+        d.state, d.valid_from, d.valid_to
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN dim d ON p.user_id = d.d_user_id
+        AND p.ts >= d.valid_from
+        AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+      ORDER BY purchase_id"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -6469,5 +6523,5 @@ object Events {
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
       q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510,
-      q512, q513, q514, q516, q518, q520, q523)
+      q512, q513, q514, q516, q518, q520, q523, q525)
 }
