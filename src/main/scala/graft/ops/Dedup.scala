@@ -878,16 +878,19 @@ object Dedup {
     * 1×1 CartesianProduct grid — serializing the n²/2 CPU-bound cosine
     * evaluations on ONE core (35+ min at sf3, unbounded). Byte-sized
     * planning is blind to CPU-quadratic operators, so the left side
-    * pins an explicit 32-way round-robin repartition (user-specified →
-    * AQE keeps it): the pair grid becomes 32 × right-side tasks with
-    * identical semantics, and the exact baseline scales with cores.
+    * pins an explicit core-count round-robin repartition (user-specified
+    * → AQE keeps it; width = the session's defaultParallelism, so the
+    * grid matches whatever host the job lands on instead of a
+    * hardcoded 32): the pair grid becomes cores × right-side tasks
+    * with identical semantics, and the exact baseline scales with
+    * cores.
     */
   private val q21 = QueryDef(
     "q21_embedding_neardup",
     (s, dir) => {
       val e = Fixtures.table(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        .repartition(32)
+        .repartition(s.sparkContext.defaultParallelism)
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),

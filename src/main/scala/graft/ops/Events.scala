@@ -6396,20 +6396,32 @@ object Events {
     "q520_asof_sql_surface",
     (s, dir) => {
       val e = ev(s, dir)
+      // Unique per-call view names, dropped once the plan is analyzed
+      // (spark.sql analyzes eagerly, binding the view plans into the
+      // returned DataFrame) — so a gated query leaves no catalog state
+      // behind and concurrent executions in one session cannot race on
+      // the names.
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val factsView = s"q520_facts_$tag"
+      val dimView = s"q520_dim_$tag"
       e.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id"))
-        .createOrReplaceTempView("q520_facts")
+        .createOrReplaceTempView(factsView)
       e.where(col("event_type") =!= "purchase")
         .select(col("user_id").as("d_user_id"), col("ts").as("state_ts"),
           col("event_type").as("state"), col("event_id").as("d_event_id"))
-        .createOrReplaceTempView("q520_dim")
-      s.sql("""
+        .createOrReplaceTempView(dimView)
+      try s.sql(s"""
         SELECT event_id AS purchase_id, user_id, ts, state, state_ts,
           timestampdiff(MICROSECOND, state_ts, ts) AS state_age_us
         FROM graft_asof_join(
-          'q520_facts', 'q520_dim',
+          '$factsView', '$dimView',
           'user_id', 'd_user_id', 'ts', 'state_ts', 'd_event_id', 'outer')
         ORDER BY purchase_id""")
+      finally {
+        s.catalog.dropTempView(factsView): Unit
+        s.catalog.dropTempView(dimView): Unit
+      }
     },
     Some("""SELECT p.event_id AS purchase_id, p.user_id, p.ts,
       d.event_type AS state, d.ts AS state_ts,

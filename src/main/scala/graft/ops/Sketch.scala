@@ -1847,8 +1847,12 @@ object Sketch {
         .groupByKey(_._1).mapValues(_._2)
         .agg(new KmvAgg(K).toColumn.name("kmv"))
         .toDF("o_orderpriority", "kmv")
+      // Per-run scratch path (applicationId suffix): two concurrent
+      // runs at the same SF must not race on mode(overwrite) — phase 2
+      // could read the other run's half-overwritten artifact.
       val stateDir = s"${sys.props("java.io.tmpdir")}/graft_q521_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
       // phase 1: persist the standing side's state
       kmvState(o.where(col("o_orderkey") % 10 >= 2))
         .select(col("o_orderpriority"), col("kmv.n").as("n_standing"),

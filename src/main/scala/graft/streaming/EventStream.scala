@@ -400,7 +400,8 @@ object EventStream {
       }
   }
 
-  final case class AsOfState(state: String, stateUs: Long)
+  final case class AsOfState(state: String, stateUs: Long,
+      maxSeenUs: Long = Long.MinValue)
   final case class StateLookupOut(user_id: Long, purchase_id: Long,
       state: Option[String], state_ts: Option[java.time.LocalDateTime])
 
@@ -420,25 +421,46 @@ object EventStream {
     * but follows the purchase in stream order; (user_id, ts) is unique
     * in the fixture at every SF, so backfill over one AvailableNow
     * batch reproduces q512 purchase-for-purchase (StreamingSpec).
+    *
+    * CROSS-batch ordering contract: the per-micro-batch sort fixes
+    * order only WITHIN a batch — an event arriving in a LATER batch
+    * with an EARLIER event time (late data) is processed against the
+    * newest state, not the state as of its timestamp, and a purchase
+    * older than the stored state would silently read a "future" state.
+    * The function is therefore exact for AvailableNow backfill (one
+    * batch = total order) and for live streams whose source preserves
+    * per-key event-time order. To make violations observable rather
+    * than silent, the state tracks the max event time seen per key and
+    * every cross-batch late arrival increments the
+    * `graft.asof.lateEvents` accumulator (visible in the Spark UI and
+    * via `sparkContext` accumulator APIs) — a non-zero count means the
+    * enrichment of those purchases is suspect and the batch as-of
+    * (q512) should be re-run over the affected window.
     */
   def asOfStateLookup(events: Dataset[EvT]): Dataset[StateLookupOut] = {
     import events.sparkSession.implicits._
+    val lateEvents = events.sparkSession.sparkContext
+      .longAccumulator("graft.asof.lateEvents")
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[AsOfState, StateLookupOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[EvT], state: GroupState[AsOfState]) =>
           val sorted = it.toIndexedSeq.sortBy(e => (toUs(e.ts), e.event_id))
           var st = state.getOption
+          var maxSeen = st.map(_.maxSeenUs).getOrElse(Long.MinValue)
           val out = scala.collection.mutable.ArrayBuffer.empty[StateLookupOut]
           sorted.foreach { e =>
+            val us = toUs(e.ts)
+            if (us < maxSeen) lateEvents.add(1L)
+            maxSeen = math.max(maxSeen, us)
             if (e.event_type == "purchase") {
               out += StateLookupOut(uid, e.event_id,
                 st.map(_.state), st.map(s => fromUs(s.stateUs)))
             } else {
-              st = Some(AsOfState(e.event_type, toUs(e.ts)))
+              st = Some(AsOfState(e.event_type, us, maxSeen))
             }
           }
-          st.foreach(state.update)
+          st.foreach(s => state.update(s.copy(maxSeenUs = maxSeen)))
           out.iterator
       }
   }
