@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.StandingIndex
+
+/** Bootstrap-write benchmark for the persisted standing LSH index —
+  * the one-time cost the two-job ingest pipeline pays so every later
+  * ingest probe is O(batch): shingle + minhash the standing corpus
+  * once and write the bucketed band + posting artifacts through the
+  * catalog. Prints ONE JSON line (best-of-2 wall seconds plus artifact
+  * row counts); numbers are recorded in BASELINE.md §"Standing-index
+  * bootstrap" — no driver gate (the registry bench is the gated
+  * artifact), they exist so a bootstrap regression is visible across
+  * rounds and so the amortization claim ("daily ingest ∝ batch, not
+  * corpus") has a measured denominator.
+  */
+object BenchIndex {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // JIT/codegen warmup at the smallest SF, mirroring Bench's protocol
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      StandingIndex.bootstrap(spark, warmDir): Unit
+
+    def once(): (Double, StandingIndex.Artifacts) = {
+      val t0 = System.nanoTime()
+      val arts = StandingIndex.bootstrap(spark, sfDir)
+      ((System.nanoTime() - t0) / 1e9, arts)
+    }
+    val (sec, arts) = (1 to 2).map(_ => once()).minBy(_._1)
+    val bandRows = spark.table(arts.bandsTable).count()
+    val postRows = spark.table(arts.postingsTable).count()
+    println(f"""{"metric":"standing_index_bootstrap","sec":$sec%.2f,""" +
+      s""""band_rows":$bandRows,"posting_rows":$postRows,""" +
+      s""""buckets":${StandingIndex.NBuckets},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
