@@ -698,8 +698,119 @@ object Multimodal {
       FROM batch GROUP BY source ORDER BY source"""
     })
 
+  // ---------- q526: dHash through a REAL image codec ---------------------
+
+  /** q382's perceptual dHash with the decode stub REPLACED by a real
+    * codec: each payload is rendered to a 9×7 8-bit-grayscale image,
+    * ENCODED to real PNG bytes (`javax.imageio.ImageIO` — the codec
+    * the JDK ships), then DECODED back through the same codec and
+    * hashed from the DECODED raster — the full encode→bytes→decode→
+    * feature path a production image pipeline runs, behind the same
+    * partition-batched `mapPartitions` interface (ImageIO
+    * reader/writer instances are per-partition, never per-row; PNG
+    * payload bytes never shuffle — only the 8-byte signature flows
+    * onward). Grayscale PNG is LOSSLESS, so the decoded pixels equal
+    * the rendered pixels exactly — which is what makes a DuckDB
+    * oracle possible: the oracle computes the identical dHash from
+    * the pixel arithmetic directly (it cannot run a PNG codec), and
+    * the gate passing proves the codec round-trip byte-preserving,
+    * i.e. that the REAL decode produced exactly the pixels the
+    * feature claims. Pixel rendering is q382's slice-average (the
+    * stub convention's grid), so the two queries' signatures are
+    * directly comparable: q382 = stub decode, q526 = real codec,
+    * same downstream semantics. The synthetic-stub queries
+    * (q29/q52/q382/q480) are retained — they exercise the plumbing
+    * where no codec applies (audio/video stand-ins).
+    *
+    * MultimodalSpec additionally pins: the PNG bytes ARE a real PNG
+    * (signature `89 50 4E 47`), and a decode of a corrupted payload
+    * fails loudly (the codec is genuinely in the path).
+    */
+  private val q526 = QueryDef(
+    "q526_dhash_codec",
+    (s, dir) => {
+      import s.implicits._
+      val bin = Fixtures.table(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      val sig = bin.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          // render: q382's 63-cell slice-average grid as 9×7 pixels
+          val cells = new Array[Int](63)
+          var k = 0
+          while (k < 63) {
+            val s0 = (k.toLong * n / 63).toInt
+            val e0 = ((k + 1).toLong * n / 63).toInt
+            if (e0 > s0) {
+              var sum = 0L
+              var i = s0
+              while (i < e0) { sum += bytes(i) & 0xff; i += 1 }
+              cells(k) = (sum / (e0 - s0)).toInt
+            }
+            k += 1
+          }
+          val img = new java.awt.image.BufferedImage(
+            9, 7, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var r = 0
+          while (r < 7) {
+            var c = 0
+            while (c < 9) {
+              img.getRaster.setSample(c, r, 0, cells(r * 9 + c))
+              c += 1
+            }
+            r += 1
+          }
+          // ENCODE to real PNG bytes...
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos): Unit
+          val png = bos.toByteArray
+          // ...and DECODE through the real codec; the hash reads the
+          // DECODED raster only
+          val dec = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          var h = 0L
+          var i = 0
+          while (i < 56) {
+            val rr = i / 8
+            val cc = i % 8
+            if (dec.getRaster.getSample(cc + 1, rr, 0)
+                > dec.getRaster.getSample(cc, rr, 0)) h |= 1L << i
+            i += 1
+          }
+          (id, h)
+        }
+      }.toDF("doc_id", "h")
+      sig
+        .withColumn("n_same", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .orderBy("doc_id")
+    },
+    Some("""WITH cl AS (SELECT doc_id,
+          list_transform(regexp_extract_all(text, '.', 0),
+            c -> ascii(c)::BIGINT) AS bytes,
+          strlen(text)::BIGINT AS n
+        FROM documents),
+      cells AS (SELECT doc_id,
+          list_transform(range(0, 63), k -> CASE
+            WHEN ((k + 1) * n) // 63 > (k * n) // 63
+            THEN list_sum(bytes[((k * n) // 63 + 1)
+              :(((k + 1) * n) // 63)])
+              // (((k + 1) * n) // 63 - (k * n) // 63)
+            ELSE 0 END) AS g
+        FROM cl),
+      sig AS (SELECT doc_id,
+          list_sum(list_transform(range(0, 56), i -> CASE
+            WHEN g[(i // 8) * 9 + (i % 8) + 2]
+              > g[(i // 8) * 9 + (i % 8) + 1]
+            THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS h
+        FROM cells)
+      SELECT doc_id, h,
+        count(*) OVER (PARTITION BY h) AS n_same
+      FROM sig ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(q29, q52, q96, q131, q144, q166, q382, q480, q503)
+    Seq(q29, q52, q96, q131, q144, q166, q382, q480, q503, q526)
 }
 
 /** Per-frame features (the frame-sampling stub's output row). */
