@@ -186,13 +186,17 @@ object BenchAsOf {
       runs.min
     }
 
-    // boxed baseline for the primitive-time merge path: the debug knob
-    // forces eval + interpreted-Ordering comparisons (what the exec did
-    // before the TimeGetter path)
-    def timeBoxed(f: => DataFrame): Double = {
-      spark.conf.set("graft.asof.timeCompare", "generic")
+    // baselines for the merge hot path, selected via the debug knob:
+    //  - "generic"   boxed eval + interpreted-Ordering comparisons
+    //    (the exec before the TimeGetter path)
+    //  - "projected" primitive comparisons but per-row UnsafeProjection
+    //    key/output work (the exec before the round-14 fast path:
+    //    single-long-key getters + bitwise UnsafeRowJoiner output)
+    def timeWith(knob: String)(f: => DataFrame): Double = {
+      spark.conf.set("graft.asof.timeCompare", knob)
       try time(f) finally spark.conf.unset("graft.asof.timeCompare")
     }
+    def timeBoxed(f: => DataFrame): Double = timeWith("generic")(f)
 
     val wide = for {
       extra <- Seq(0, 8, 32)
@@ -207,6 +211,8 @@ object BenchAsOf {
     val nRows = 4000000
     val narrowPts = Seq(
       s""""narrow_merge":${"%.3f".format(time(narrow(spark, nRows, "merge")))}""",
+      s""""narrow_merge_projected":${"%.3f".format(
+        timeWith("projected")(narrow(spark, nRows, "merge")))}""",
       s""""narrow_merge_boxed":${"%.3f".format(
         timeBoxed(narrow(spark, nRows, "merge")))}""")
     val skewPts = Seq("merge", "bcast", "salted").map(i =>

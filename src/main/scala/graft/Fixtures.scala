@@ -52,6 +52,23 @@ object GraftSession {
       // same knob against executor memory, SURVEY §7.4
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
+      // protect less cached data from execution-pressure eviction: the
+      // round-13 sf3 canary showed cached subplan blocks pinning
+      // old-gen in a single 8g JVM until one heavy aggregation OOM'd
+      // and wedged the heap for every query after it; with
+      // MEMORY_AND_DISK persists (PlanCache.freeze) an evicted block
+      // just drops to disk, so a small protected fraction trades a
+      // re-read for not OOMing the canary
+      .config("spark.memory.storageFraction", "0.3")
+      // skew-split trigger sized to local-mode data: the default 256m
+      // threshold never fires on bench-scale partitions (hot keys here
+      // are 5–50 MB of shuffle bytes), so neither Spark's
+      // OptimizeSkewedJoin nor the graft AsOfSkewMitigation rule would
+      // ever demonstrate the mitigation they exist for; production
+      // keeps the default (its partitions are gigabytes). The factor×
+      // median condition still guards against splitting uniform loads.
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "4m")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")

@@ -59,5 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => SelfCosineRule)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+    // AQE runtime skew splitting for the native as-of join (Spark's
+    // OptimizeSkewedJoin rewrites only SMJ/SHJ) — see
+    // org.apache.spark.sql.graft.AsOfSkewMitigation
+    ext.injectQueryStageOptimizerRule(_ =>
+      org.apache.spark.sql.graft.AsOfSkewMitigation)
   }
 }

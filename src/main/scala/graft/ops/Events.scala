@@ -86,12 +86,21 @@ object Events {
 
   // ---------- q26: range join (banded) --------------------------------
 
-  /** Pairs of error events by the same user within 6 h of each other.
-    * Spark has no native range join, so the interval is banded into
-    * 6 h buckets: a pair at distance ≤ 6 h lands in the same or the
-    * next bucket, so two equi-joins on (user, bucket) + an exact filter
-    * cover all pairs. Shuffle cost ∝ rows, not the O(n²) cross product —
-    * the standard banded-interval-join pattern at scale.
+  /** Pairs of error events by the same user within 6 h of each other,
+    * on the NATIVE interval-containment operator
+    * ([[graft.plans.RangeJoinOps.rangeJoin]] → `RangeJoinExec`): each
+    * left error carries the interval [ts, ts + 6 h], the right side is
+    * the same error stream as points, and the co-partitioned
+    * sliding-window merge emits exactly the in-interval pairs — no
+    * banding constant, no duplicate candidates to `distinct` away, no
+    * double scan (the old hand-banded form ran TWO bucket equi-joins +
+    * an exact filter). Shuffle shape is unchanged (both sides
+    * hash-clustered on user_id, as any equi-join would be); merge work
+    * is linear + output; peak memory is the 6 h window's per-user
+    * event density (the exec's `maxWindowRows` metric), never a key's
+    * whole run. RangeJoinSpec pins the operator against the θ-join on
+    * the mode matrix; BenchRange measures native vs banded across
+    * widths and a hot-key point.
     * The oracle is the plain θ-join (exact, fine at oracle scale).
     */
   private val q26 = QueryDef(
@@ -102,19 +111,15 @@ object Events {
         .select(col("user_id"), col("event_id"),
           expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
             .as("us"))
-        .withColumn("bucket", expr(s"us div $BandUs"))
       val a = err.select(col("user_id").as("u"), col("event_id").as("a_id"),
-        col("us").as("a_us"), col("bucket").as("a_b"))
-      val b = err.select(col("user_id").as("u"), col("event_id").as("b_id"),
-        col("us").as("b_us"), col("bucket").as("b_b"))
-      val same = a.join(b, Seq("u"), "inner")
-        .where(col("a_b") === col("b_b"))
-      val next = a.join(b, Seq("u"), "inner")
-        .where(col("a_b") + 1 === col("b_b"))
-      same.unionAll(next)
+        col("us").as("a_us"), (col("us") + BandUs).as("a_hi"))
+      val b = err.select(col("user_id").as("bu"), col("event_id").as("b_id"),
+        col("us").as("b_us"))
+      graft.plans.RangeJoinOps.rangeJoin(a, b,
+        Seq("u"), Seq("bu"), "a_us", "a_hi", "b_us")
+        .where(col("a_id") < col("b_id"))
         .select(col("u").as("user_id"), col("a_id"), col("b_id"),
           (col("b_us") - col("a_us")).as("dt_us"))
-        .where(col("dt_us").between(0, BandUs) && col("a_id") < col("b_id"))
         .orderBy("user_id", "a_id", "b_id")
     },
     Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,

@@ -133,7 +133,8 @@ final case class AsOfJoinExec(
     forward: Boolean,
     strict: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    isSkewJoin: Boolean = false) extends BinaryExecNode {
 
   require(leftKeys.length == rightKeys.length,
     "as-of join: key arity mismatch")
@@ -151,8 +152,24 @@ final case class AsOfJoinExec(
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output
 
+  /** After the AQE skew rewrite (AsOfSkewMitigation) the children are
+    * AQEShuffleRead sub-partitions — mapper-range slices of the left's
+    * reducer partitions paired with full duplicates of the right's —
+    * whose partitioning no longer reports as clustered; the flag
+    * relaxes the declared requirement exactly the way
+    * SortMergeJoinExec.isSkewJoin does, while the rewrite itself
+    * guarantees the stronger pairwise invariant the merge needs (each
+    * left slice sees its keys' FULL right run).
+    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (isSkewJoin)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+        org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def nodeName: String =
+    if (isSkewJoin) super.nodeName + "(skew=true)" else super.nodeName
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending))
@@ -194,15 +211,126 @@ final case class AsOfJoinExec(
     val numOut = longMetric("numOutputRows")
     val numMatchedM = longMetric("numMatched")
     // benchmark/debug knob (read driver-side, captured by the closure):
-    // graft.asof.timeCompare=generic forces the boxed interpreted-ordering
-    // path so BenchAsOf can measure what the primitive path saves
-    val forceGeneric = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("graft.asof.timeCompare", "auto") == "generic"
+    //  - "generic"   forces the boxed interpreted-ordering path
+    //  - "projected" forces the primitive-compare path with per-row
+    //    UnsafeProjection key/output work (the pre-round-14 hot path)
+    //  - "auto"      (default) additionally takes the FAST path below
+    //    when eligible
+    val mode = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.asof.timeCompare", "auto")
+    val forceGeneric = mode == "generic"
+    // FAST backward path eligibility: single long-backed key column on
+    // both sides (read primitively, no per-row key projection or
+    // UnsafeRow key compare) — the round-13 boxing adjudication showed
+    // the merge loop is PROJECTION-bound, so the fast iterator also
+    // replaces the field-by-field output projection with the codegen'd
+    // bitwise UnsafeRowJoiner (row concatenation, no per-field copy).
+    val lKeyGetter =
+      if (leftKeys.length == 1) TimeGetter.create(lKeysB.head) else None
+    val rKeyGetter =
+      if (rightKeys.length == 1) TimeGetter.create(rKeysB.head) else None
+    val lGet0 = TimeGetter.create(lTimeB)
+    val rGet0 = TimeGetter.create(rTimeB)
+    val fastEligible = mode == "auto" && !forward &&
+      lGet0.isDefined && rGet0.isDefined &&
+      lKeyGetter.isDefined && rKeyGetter.isDefined
     val lRdd = left.execute()
     val rRdd = right.execute()
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
       "as-of join children are not co-partitioned " +
         s"(${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions})")
+
+    if (fastEligible) {
+      val lkG = lKeyGetter.get
+      val rkG = rKeyGetter.get
+      val lG = lGet0.get
+      val rG = rGet0.get
+      return lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
+        import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+        val rBind = if (outer) rOut.map(_.withNullability(true)) else rOut
+        val urj = org.apache.spark.sql.catalyst.expressions.codegen
+          .GenerateUnsafeRowJoiner.create(
+            org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .fromAttributes(lOut),
+            org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .fromAttributes(rBind))
+        // all-null right row as an UnsafeRow, for outer extension
+        val nullRightU = UnsafeProjection
+          .create(rBind.map(_.dataType).toArray)
+          .apply(new GenericInternalRow(rOut.length)).copy()
+        // fallback projection for the (never-expected) non-UnsafeRow case
+        val joiner = UnsafeProjection.create(outAtts, lOut ++ rBind)
+        val joined = new JoinedRow()
+        def emit(l: InternalRow, r: InternalRow): InternalRow = (l, r) match {
+          case (lu: UnsafeRow, ru: UnsafeRow) => urj.join(lu, ru)
+          case _ => joiner(joined(l, r))
+        }
+        val rBuf = rIter.buffered
+        var lastKey = 0L
+        var haveLast = false
+        var lastRow: InternalRow = null
+
+        new Iterator[InternalRow] {
+          private var nextRow: InternalRow = _
+          private var ready = false
+
+          private def advance(): Unit = {
+            while (!ready && lIter.hasNext) {
+              val l = lIter.next()
+              if (!lG.isNull(l) && !lkG.isNull(l)) {
+                val lk = lkG.get(l)
+                val lt = lG.get(l)
+                var go = true
+                while (go && rBuf.hasNext) {
+                  val r = rBuf.head
+                  if (rkG.isNull(r) || rG.isNull(r)) {
+                    rBuf.next(): Unit
+                  } else {
+                    val rk = rkG.get(r)
+                    if (rk < lk) {
+                      rBuf.next(): Unit
+                    } else if (rk == lk && {
+                        val tc = java.lang.Long.compare(rG.get(r), lt)
+                        if (excl) tc < 0 else tc <= 0
+                      }) {
+                      lastKey = rk
+                      haveLast = true
+                      lastRow = rBuf.next().copy()
+                    } else {
+                      go = false
+                    }
+                  }
+                }
+                val matches = haveLast && lastKey == lk && lastRow != null &&
+                  tol.forall(t => lt - rG.get(lastRow) <= t)
+                if (matches) {
+                  nextRow = emit(l, lastRow)
+                  numMatchedM += 1
+                  numOut += 1
+                  ready = true
+                } else if (outer) {
+                  nextRow = emit(l, nullRightU)
+                  numOut += 1
+                  ready = true
+                }
+              } else if (outer) {
+                nextRow = emit(l, nullRightU)
+                numOut += 1
+                ready = true
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { advance(); ready }
+          override def next(): InternalRow = {
+            advance()
+            if (!ready) throw new NoSuchElementException("empty iterator")
+            ready = false
+            nextRow
+          }
+        }
+      }
+    }
 
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB)

@@ -1,0 +1,370 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.graft.PlanBridge
+
+/** Native INTERVAL-CONTAINMENT RANGE JOIN — the second whole-operator
+  * rung after [[AsOfJoin]]: for each left row, every right row with
+  * equal keys and `lo <= r.time <= hi` (bounds inclusive; left carries
+  * the interval, right the point — the event-correlation / effective-
+  * dated-probe shape q26/q191/q193 previously expressed by hand-banded
+  * bucket joins).
+  *
+  * Why a custom operator: Spark plans a key-equal θ-join either as the
+  * equi-join on keys with the range as a post-filter — per-key
+  * CROSS-product work, quadratic in hot-key run length — or the caller
+  * hand-bands the time axis (q26's old form: two bucket equi-joins +
+  * exact filter), which duplicates probe rows, needs a tuning constant,
+  * and double-scans. This exec is the textbook merge form instead
+  * (DuckDB's IEJoin lineage, Sedona's range-join layout): both children
+  * hash-clustered on the keys (same contract SortMergeJoin declares, so
+  * EnsureRequirements/AQE plan the two shuffles exactly like an
+  * equi-join's) and sorted by (keys, lo) / (keys, time); a single
+  * forward pass per partition keeps a SLIDING WINDOW of right rows —
+  * rows with `time < lo` are evicted permanently (left los ascend, so
+  * they can never match a later left), rows stream in while
+  * `time <= hi`, and each left row emits exactly its window slice. Work
+  * is O(sorted runs + output); memory is the peak concurrent window
+  * (reported by the `maxWindowRows` metric) — bounded by interval width
+  * × per-key event density, the operator's natural working set, never
+  * the whole key run.
+  *
+  * Bound columns must be long-backed (TIMESTAMP/TIMESTAMP_NTZ/BIGINT,
+  * or DATE/INT widened) — the merge compares primitive longs, zero
+  * boxing (the [[TimeGetter]] path the as-of exec proved out).
+  * Inclusive bounds by convention; long-backed callers express strict
+  * bounds by ±1. Null left key/bounds never match (left-outer
+  * null-extends them); null right keys/times are skipped. `hi < lo`
+  * yields no match for that row (not an error).
+  *
+  * At 100 TB: two co-partitioned shuffles (or fewer when a side is
+  * already clustered — ordinary required distributions, so exchange
+  * reuse applies), merge cost linear + output. Hot-key intervals
+  * degrade only with genuine output size, not with banding constants.
+  */
+final case class RangeJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftLo: Expression,
+    leftHi: Expression,
+    rightTime: Expression,
+    leftOuter: Boolean) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[RangeJoin]]; injected by GraftExtensions. */
+object RangeJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RangeJoin(l, r, lk, rk, lo, hi, rt, outer) =>
+      RangeJoinExec(lk, rk, lo, hi, rt, outer,
+        planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Co-partitioned sliding-window merge range join (see [[RangeJoin]]
+  * scaladoc for the algorithm and its bounds).
+  */
+final case class RangeJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftLo: Expression,
+    leftHi: Expression,
+    rightTime: Expression,
+    leftOuter: Boolean,
+    left: SparkPlan,
+    right: SparkPlan,
+    isSkewJoin: Boolean = false) extends BinaryExecNode {
+
+  require(leftKeys.length == rightKeys.length,
+    "range join: key arity mismatch")
+  for (e <- Seq(leftLo, leftHi, rightTime))
+    require(AsOfJoinExec.isLongBacked(e.dataType)
+        || e.dataType == org.apache.spark.sql.types.DateType
+        || e.dataType == org.apache.spark.sql.types.IntegerType,
+      s"range join: bound/time must be long-backed, got ${e.dataType.sql}")
+
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  /** Relaxed after the AQE skew rewrite, same contract as
+    * [[AsOfJoinExec.requiredChildDistribution]]: a skewed left
+    * partition is split into mapper-range slices and the right
+    * partition duplicated per slice — every left interval still sees
+    * its keys' full right run, so the window semantics are unchanged
+    * and each left row is emitted from exactly one slice.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (isSkewJoin)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+        org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def nodeName: String =
+    if (isSkewJoin) super.nodeName + "(skew=true)" else super.nodeName
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftLo, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "maxWindowRows" -> SQLMetrics.createMetric(sparkContext,
+      "sum of per-task peak sliding-window rows"))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val outer = leftOuter
+    val lOut = left.output
+    val rOut = right.output
+    val lKeysB = leftKeys.map(BindReferences.bindReference(_, lOut))
+    val rKeysB = rightKeys.map(BindReferences.bindReference(_, rOut))
+    val loB = BindReferences.bindReference(leftLo, lOut)
+    val hiB = BindReferences.bindReference(leftHi, lOut)
+    val rtB = BindReferences.bindReference(rightTime, rOut)
+    val outAtts = output
+
+    val numOut = longMetric("numOutputRows")
+    val maxWin = longMetric("maxWindowRows")
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      "range join children are not co-partitioned " +
+        s"(${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions})")
+
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeysB)
+      val rKeyProj = UnsafeProjection.create(rKeysB)
+      val keyOrd = RowOrdering.create(
+        keyTypes.zipWithIndex.map { case (dt, i) =>
+          SortOrder(BoundReference(i, dt, nullable = true), Ascending)
+        }, Nil)
+      // long-backed by the constructor guard, so the getters always
+      // exist — the merge loop compares primitives only
+      val loG = TimeGetter.create(loB).get
+      val hiG = TimeGetter.create(hiB).get
+      val rtG = TimeGetter.create(rtB).get
+      val rBind = if (outer) rOut.map(_.withNullability(true)) else rOut
+      // per-pair output goes through the codegen'd bitwise
+      // UnsafeRowJoiner (row concatenation) rather than a field-by-field
+      // UnsafeProjection — the output side dominates wide hot windows
+      val urj = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateUnsafeRowJoiner.create(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(lOut),
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(rBind))
+      val joiner = UnsafeProjection.create(outAtts, lOut ++ rBind)
+      val joined = new JoinedRow()
+      val nullRight: InternalRow = UnsafeProjection
+        .create(rBind.map(_.dataType).toArray)
+        .apply(new GenericInternalRow(rOut.length)).copy()
+      def emit(l: InternalRow, r: InternalRow): InternalRow = (l, r) match {
+        case (lu: org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+            ru: org.apache.spark.sql.catalyst.expressions.UnsafeRow) =>
+          urj.join(lu, ru)
+        case _ => joiner(joined(l, r))
+      }
+      val rBuf = rIter.buffered
+
+      // sliding window for the current key: times ascending, rows are
+      // copies (the child iterator reuses its buffers)
+      val winTimes = scala.collection.mutable.ArrayDeque.empty[Long]
+      val winRows = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+      var winKey: InternalRow = null
+      // SQLMetrics merge by SUM, so the "peak" is tracked as a
+      // task-local high-water mark whose increases are added — the
+      // reported number is the sum of per-task peaks (aggregate peak
+      // memory demand), not a global max
+      var localPeak = 0L
+
+      new Iterator[InternalRow] {
+        private var curL: InternalRow = _
+        private var curHi = 0L
+        private var matchIdx = 0
+        private var nextRow: InternalRow = _
+        private var ready = false
+
+        /** Load the next left row, maintain the window for it. Sets
+          * `ready` directly for outer null-extensions of unmatchable
+          * left rows.
+          */
+        private def advanceLeft(): Unit = {
+          curL = null
+          while (curL == null && !ready && lIter.hasNext) {
+            val l = lIter.next()
+            val loNull = loG.isNull(l)
+            val hiNull = hiG.isNull(l)
+            var lk: InternalRow = null
+            var keyIsNull = false
+            if (!loNull && !hiNull) {
+              val k = lKeyProj(l)
+              keyIsNull = lKeysB.indices.exists(k.isNullAt)
+              lk = k
+            }
+            if (!loNull && !hiNull && !keyIsNull) {
+              val lo = loG.get(l)
+              val hi = hiG.get(l)
+              if (winKey == null || keyOrd.compare(winKey, lk) != 0) {
+                winTimes.clear()
+                winRows.clear()
+                winKey = lk.copy()
+              }
+              // evict rows no later left of this key can match
+              while (winTimes.nonEmpty && winTimes.head < lo) {
+                winTimes.removeHead(): Unit
+                winRows.removeHead(): Unit
+              }
+              // stream right rows in: drop smaller keys and
+              // behind-the-interval times; buffer rows inside [lo, hi];
+              // stop at the first row beyond hi or with a larger key
+              var go = true
+              while (go && rBuf.hasNext) {
+                val r = rBuf.head
+                val rk = rKeyProj(r)
+                if (rKeysB.indices.exists(rk.isNullAt) || rtG.isNull(r)) {
+                  rBuf.next(): Unit
+                } else {
+                  val c = keyOrd.compare(rk, lk)
+                  if (c < 0) rBuf.next(): Unit
+                  else if (c > 0) go = false
+                  else {
+                    val t = rtG.get(r)
+                    if (t < lo) rBuf.next(): Unit
+                    else if (t <= hi) {
+                      winTimes.append(t): Unit
+                      winRows.append(rBuf.next().copy()): Unit
+                      if (winTimes.length > localPeak) {
+                        maxWin += winTimes.length - localPeak
+                        localPeak = winTimes.length
+                      }
+                    } else go = false
+                  }
+                }
+              }
+              curL = l
+              curHi = hi
+              matchIdx = 0
+            } else if (outer) {
+              nextRow = emit(l, nullRight)
+              numOut += 1
+              ready = true
+            }
+          }
+        }
+
+        private def advance(): Unit = {
+          while (!ready) {
+            if (curL == null) {
+              advanceLeft()
+              if (curL == null) return // exhausted (or outer-ready)
+            }
+            if (!ready) {
+              // window times ascend and all are >= this row's lo; emit
+              // the prefix with t <= hi (a previous wider interval may
+              // have buffered beyond it)
+              if (matchIdx < winTimes.length
+                  && winTimes(matchIdx) <= curHi) {
+                nextRow = emit(curL, winRows(matchIdx))
+                numOut += 1
+                matchIdx += 1
+                ready = true
+              } else {
+                if (outer && matchIdx == 0) {
+                  nextRow = emit(curL, nullRight)
+                  numOut += 1
+                  ready = true
+                }
+                curL = null
+              }
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); ready }
+        override def next(): InternalRow = {
+          advance()
+          if (!ready) throw new NoSuchElementException("empty iterator")
+          ready = false
+          nextRow
+        }
+      }
+    }
+  }
+}
+
+/** Public API for the native range join. */
+object RangeJoinOps {
+
+  /** `rangeJoin(left, right, ...)`: for each left row, append every
+    * right row with equal key columns and `loCol <= rightTimeCol <=
+    * hiCol` (inclusive). Column names resolve per side with the
+    * session's resolver; right-side columns must not collide with left
+    * ones (asserted, as in [[AsOf.asofJoin]]). All three bound/time
+    * columns must be long-backed types.
+    */
+  def rangeJoin(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      leftKeyCols: Seq[String],
+      rightKeyCols: Seq[String],
+      loCol: String,
+      hiCol: String,
+      rightTimeCol: String,
+      leftOuter: Boolean = false): DataFrame = {
+    val spark = leftDf.sparkSession
+    val resolver = spark.sessionState.conf.resolver
+    val lPlan = leftDf.queryExecution.analyzed
+    var rPlan = rightDf.queryExecution.analyzed
+    val dupNames = lPlan.output.map(_.name)
+      .filter(ln => rPlan.output.exists(ra => resolver(ra.name, ln)))
+    require(dupNames.isEmpty,
+      s"range join: rename right-side columns first, duplicates: $dupNames")
+    if (lPlan.outputSet.intersect(rPlan.outputSet).nonEmpty) {
+      rPlan = Project(rPlan.output.map(a => Alias(a, a.name)()), rPlan)
+    }
+    def resolve(plan: LogicalPlan, name: String): Attribute = {
+      val hits = plan.output.filter(a => resolver(a.name, name))
+      require(hits.length == 1, s"range join: column '$name' is " +
+        s"${if (hits.isEmpty) "missing" else "ambiguous"} in " +
+        s"${plan.output.map(_.name)}")
+      hits.head
+    }
+    PlanBridge.ofRows(spark, RangeJoin(
+      lPlan, rPlan,
+      leftKeyCols.map(resolve(lPlan, _)),
+      rightKeyCols.map(resolve(rPlan, _)),
+      resolve(lPlan, loCol),
+      resolve(lPlan, hiCol),
+      resolve(rPlan, rightTimeCol),
+      leftOuter))
+  }
+}
