@@ -6531,6 +6531,61 @@ object Events {
         AND (d.valid_to IS NULL OR p.ts < d.valid_to)
       ORDER BY purchase_id"""))
 
+  // ---------- q527: variable-width outer range join (native) ------------
+
+  /** Post-purchase error exposure through the NATIVE range join's full
+    * surface: each purchase carries its OWN monitoring window
+    * [ts, ts + (1 + event_id % 3) hours] — VARIABLE per-row width, the
+    * case hand-banding fundamentally mis-fits (a single bucket constant
+    * under-covers wide rows or floods narrow ones with candidates) and
+    * the case that exercises the exec's non-monotone-hi window slicing
+    * (a wide interval buffers rows past a later narrow one's hi; the
+    * emit guard must re-check per row). LEFT OUTER keeps error-free
+    * purchases (count 0), gating the null-extension path; the
+    * downstream per-purchase aggregate shows the operator composing
+    * like any join (count skips the null-extended rows exactly as SQL
+    * count(col) does). Scale shape identical to q26's: two key-
+    * clustered shuffles, sliding-window merge, memory = per-user
+    * window density; [[graft.plans.RangeJoinOps.rangeJoin]], skew
+    * mitigation via AsOfSkewMitigation applies automatically.
+    */
+  private val q527 = QueryDef(
+    "q527_range_exposure",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val us = expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ " +
+        "'1970-01-01 00:00:00', ts)")
+      val H = 3600000000L
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), col("event_id").as("p_id"),
+          us.as("p_us"))
+        .withColumn("p_hi",
+          col("p_us") + (lit(1L) + col("p_id") % 3) * H)
+      val err = e.where(col("event_type") === "error")
+        .select(col("user_id").as("eu"), col("event_id").as("e_id"),
+          us.as("e_us"))
+      graft.plans.RangeJoinOps.rangeJoin(p, err,
+        Seq("u"), Seq("eu"), "p_us", "p_hi", "e_us", leftOuter = true)
+        .groupBy(col("p_id"))
+        .agg(count(col("e_id")).as("n_errors"),
+          min(col("e_id")).as("first_error_id"),
+          max(col("e_us") - col("p_us")).as("max_lag_us"))
+        .select(col("p_id").as("purchase_id"), col("n_errors"),
+          col("first_error_id"), col("max_lag_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""SELECT p.event_id AS purchase_id,
+      count(e.event_id) AS n_errors,
+      min(e.event_id) AS first_error_id,
+      max(epoch_us(e.ts) - epoch_us(p.ts)) AS max_lag_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON e.user_id = p.user_id
+      AND epoch_us(e.ts) >= epoch_us(p.ts)
+      AND epoch_us(e.ts) <= epoch_us(p.ts)
+        + (1 + p.event_id % 3) * 3600000000
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -6540,5 +6595,5 @@ object Events {
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
       q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510,
-      q512, q513, q514, q516, q518, q520, q523, q525)
+      q512, q513, q514, q516, q518, q520, q523, q525, q527)
 }
