@@ -1924,9 +1924,13 @@ object Events {
     * integer micro-units (round(1e6/n)) so channel totals sum exact
     * int64 regardless of aggregation order — the documented cost is
     * ≤0.5 µ-credit per purchase. Shape: purchases range-join their own
-    * user's touch rows (per-user key + lookback bound — never a
-    * corpus cross), distinct channels per purchase, two bounded
-    * aggregates. The anti-join for 'direct' reuses the same join key.
+    * user's touch rows on the NATIVE interval-containment operator
+    * ([[graft.plans.RangeJoinOps.rangeJoin]] → `RangeJoinExec`): each
+    * purchase carries [us − 7 d, us − 1 µs] and the touch stream is the
+    * point side, so a hot user costs its genuine output, not the
+    * key-equal θ-join's per-key cross product — then distinct channels
+    * per purchase and two bounded aggregates. The anti-join for
+    * 'direct' reuses the same join key.
     */
   private val q191 = QueryDef(
     "q191_linear_attribution",
@@ -1939,13 +1943,16 @@ object Events {
           expr("timestampdiff(MICROSECOND, " +
             "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").as("us"))
       val touches = base.where(col("event_type") =!= "purchase")
-        .select(col("user_id"), col("event_type").as("channel"),
-          col("us").as("t_us"))
+        .select(col("user_id").as("t_user"),
+          col("event_type").as("channel"), col("us").as("t_us"))
       val purch = base.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("us"), col("value"))
-      val j = purch.join(touches, "user_id")
-        .where(col("t_us") < col("us") &&
-          col("t_us") >= col("us") - LookbackUs)
+      // inclusive-bounds native range join: strict t_us < us becomes
+      // hi = us − 1 on the µs-integer axis
+      val j = graft.plans.RangeJoinOps.rangeJoin(
+          purch.withColumn("lo", col("us") - LookbackUs)
+            .withColumn("hi", col("us") - 1L),
+          touches, Seq("user_id"), Seq("t_user"), "lo", "hi", "t_us")
         .select(col("event_id"), col("value"), col("channel")).distinct()
       val n = j.groupBy(col("event_id")).agg(count(lit(1)).as("n_ch"))
       val credited = j.join(n, "event_id")
@@ -1995,11 +2002,14 @@ object Events {
     * the user's first view, a purchase only within 24 hours of that
     * click. Time-boxing changes the answer (q53's unbounded funnel
     * over-counts late conversions) and the implementation: each stage
-    * is still one min-aggregate joined forward on user_id, with the
-    * window bound as a join-range predicate — per-user work, one
-    * shuffle per stage on the same key, |users| rows between stages.
-    * Output is the 3-row stage table with exact counts and one
-    * division per rate.
+    * is one min-aggregate advanced through the NATIVE range join
+    * ([[graft.plans.RangeJoinOps.rangeJoin]]) — the per-user stage
+    * table carries the conversion window as its interval and the next
+    * event stream is the point side, so stage matching is the linear
+    * sliding-window merge rather than an equi-join's per-key cross
+    * product with a post-filter. Per-user work, one shuffle per stage
+    * on the same key, |users| rows between stages. Output is the
+    * 3-row stage table with exact counts and one division per rate.
     */
   private val q193 = QueryDef(
     "q193_timeboxed_funnel",
@@ -2012,13 +2022,20 @@ object Events {
             "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").as("us"))
       val v = base.where(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
-      val c = base.where(col("event_type") === "click").join(v, "user_id")
-        .where(col("us") > col("t_view") &&
-          col("us") <= col("t_view") + HourUs)
+      // strict us > t_stage on the µs-integer axis → lo = t_stage + 1
+      val c = graft.plans.RangeJoinOps.rangeJoin(
+          v.withColumn("lo", col("t_view") + 1L)
+            .withColumn("hi", col("t_view") + HourUs),
+          base.where(col("event_type") === "click")
+            .select(col("user_id").as("cu"), col("us")),
+          Seq("user_id"), Seq("cu"), "lo", "hi", "us")
         .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
-      val p = base.where(col("event_type") === "purchase").join(c, "user_id")
-        .where(col("us") > col("t_click") &&
-          col("us") <= col("t_click") + DayUs)
+      val p = graft.plans.RangeJoinOps.rangeJoin(
+          c.withColumn("lo", col("t_click") + 1L)
+            .withColumn("hi", col("t_click") + DayUs),
+          base.where(col("event_type") === "purchase")
+            .select(col("user_id").as("pu"), col("us")),
+          Seq("user_id"), Seq("pu"), "lo", "hi", "us")
         .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
       val nv = v.agg(count(lit(1)).as("n")).select(lit(1).as("stage"),
         lit("view").as("name"), col("n"))
