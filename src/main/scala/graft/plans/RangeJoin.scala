@@ -5,11 +5,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.DataType
 
 /** Native INTERVAL-CONTAINMENT RANGE JOIN — the second whole-operator
   * rung after [[AsOfJoin]]: for each left row, every right row with
@@ -81,6 +83,20 @@ object RangeJoinStrategy extends SparkStrategy {
 
 /** Co-partitioned sliding-window merge range join (see [[RangeJoin]]
   * scaladoc for the algorithm and its bounds).
+  *
+  * WHOLE-STAGE CODEGEN (inner case): the exec participates in codegen
+  * the way [[org.apache.spark.sql.execution.joins.SortMergeJoinExec]]
+  * does — `inputRDDs` hands both sorted children to the stage, and the
+  * generated loop drives a compiled per-task [[RangeMergeState]] (the
+  * same state machine the interpreted path uses) and feeds the current
+  * (left, right) pair's COLUMNS directly into the downstream consume.
+  * The win is on output-heavy plans: the interpreted path materializes
+  * one joined row per pair (an UnsafeRowJoiner memcpy of both sides —
+  * ~10⁸ × row-width bytes at the measured sf3 hot-key point), while
+  * the codegen'd consumer reads just the columns it needs and the
+  * joined row is never built. Left-outer falls back to the interpreted
+  * iterator (`supportCodegen = false`), exactly as SMJ once did for its
+  * non-inner shapes.
   */
 final case class RangeJoinExec(
     leftKeys: Seq[Expression],
@@ -91,7 +107,7 @@ final case class RangeJoinExec(
     leftOuter: Boolean,
     left: SparkPlan,
     right: SparkPlan,
-    isSkewJoin: Boolean = false) extends BinaryExecNode {
+    isSkewJoin: Boolean = false) extends BinaryExecNode with CodegenSupport {
 
   require(leftKeys.length == rightKeys.length,
     "range join: key arity mismatch")
@@ -140,20 +156,35 @@ final case class RangeJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Driver-built, serializable; shipped to tasks either inside the
+    * zipPartitions closure (interpreted path) or through the generated
+    * class's references array (codegen path).
+    */
+  private lazy val mergeFactory: RangeMergeFactory = {
+    val lOut = left.output
+    val rOut = right.output
+    val rBind = if (leftOuter) rOut.map(_.withNullability(true)) else rOut
+    new RangeMergeFactory(
+      leftKeys.map(BindReferences.bindReference(_, lOut)),
+      rightKeys.map(BindReferences.bindReference(_, rOut)),
+      leftKeys.map(_.dataType),
+      BindReferences.bindReference(leftLo, lOut),
+      BindReferences.bindReference(leftHi, lOut),
+      BindReferences.bindReference(rightTime, rOut),
+      leftOuter,
+      rBind.map(_.dataType).toArray,
+      longMetric("maxWindowRows"))
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyTypes = leftKeys.map(_.dataType)
     val outer = leftOuter
     val lOut = left.output
     val rOut = right.output
-    val lKeysB = leftKeys.map(BindReferences.bindReference(_, lOut))
-    val rKeysB = rightKeys.map(BindReferences.bindReference(_, rOut))
-    val loB = BindReferences.bindReference(leftLo, lOut)
-    val hiB = BindReferences.bindReference(leftHi, lOut)
-    val rtB = BindReferences.bindReference(rightTime, rOut)
+    val rBind = if (outer) rOut.map(_.withNullability(true)) else rOut
     val outAtts = output
+    val factory = mergeFactory
 
     val numOut = longMetric("numOutputRows")
-    val maxWin = longMetric("maxWindowRows")
     val lRdd = left.execute()
     val rRdd = right.execute()
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
@@ -161,18 +192,7 @@ final case class RangeJoinExec(
         s"(${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions})")
 
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(lKeysB)
-      val rKeyProj = UnsafeProjection.create(rKeysB)
-      val keyOrd = RowOrdering.create(
-        keyTypes.zipWithIndex.map { case (dt, i) =>
-          SortOrder(BoundReference(i, dt, nullable = true), Ascending)
-        }, Nil)
-      // long-backed by the constructor guard, so the getters always
-      // exist — the merge loop compares primitives only
-      val loG = TimeGetter.create(loB).get
-      val hiG = TimeGetter.create(hiB).get
-      val rtG = TimeGetter.create(rtB).get
-      val rBind = if (outer) rOut.map(_.withNullability(true)) else rOut
+      val state = factory.create(lIter, rIter)
       // per-pair output goes through the codegen'd bitwise
       // UnsafeRowJoiner (row concatenation) rather than a field-by-field
       // UnsafeProjection — the output side dominates wide hot windows
@@ -184,140 +204,278 @@ final case class RangeJoinExec(
             .fromAttributes(rBind))
       val joiner = UnsafeProjection.create(outAtts, lOut ++ rBind)
       val joined = new JoinedRow()
-      val nullRight: InternalRow = UnsafeProjection
-        .create(rBind.map(_.dataType).toArray)
-        .apply(new GenericInternalRow(rOut.length)).copy()
       def emit(l: InternalRow, r: InternalRow): InternalRow = (l, r) match {
         case (lu: org.apache.spark.sql.catalyst.expressions.UnsafeRow,
             ru: org.apache.spark.sql.catalyst.expressions.UnsafeRow) =>
           urj.join(lu, ru)
         case _ => joiner(joined(l, r))
       }
-      val rBuf = rIter.buffered
-
-      // sliding window for the current key: times ascending, rows are
-      // copies (the child iterator reuses its buffers)
-      val winTimes = scala.collection.mutable.ArrayDeque.empty[Long]
-      val winRows = scala.collection.mutable.ArrayDeque.empty[InternalRow]
-      var winKey: InternalRow = null
-      // SQLMetrics merge by SUM, so the "peak" is tracked as a
-      // task-local high-water mark whose increases are added — the
-      // reported number is the sum of per-task peaks (aggregate peak
-      // memory demand), not a global max
-      var localPeak = 0L
-
       new Iterator[InternalRow] {
-        private var curL: InternalRow = _
-        private var curHi = 0L
-        private var matchIdx = 0
-        private var nextRow: InternalRow = _
         private var ready = false
-
-        /** Load the next left row, maintain the window for it. Sets
-          * `ready` directly for outer null-extensions of unmatchable
-          * left rows.
-          */
-        private def advanceLeft(): Unit = {
-          curL = null
-          while (curL == null && !ready && lIter.hasNext) {
-            val l = lIter.next()
-            val loNull = loG.isNull(l)
-            val hiNull = hiG.isNull(l)
-            var lk: InternalRow = null
-            var keyIsNull = false
-            if (!loNull && !hiNull) {
-              val k = lKeyProj(l)
-              keyIsNull = lKeysB.indices.exists(k.isNullAt)
-              lk = k
-            }
-            if (!loNull && !hiNull && !keyIsNull) {
-              val lo = loG.get(l)
-              val hi = hiG.get(l)
-              if (winKey == null || keyOrd.compare(winKey, lk) != 0) {
-                winTimes.clear()
-                winRows.clear()
-                winKey = lk.copy()
-              }
-              // evict rows no later left of this key can match
-              while (winTimes.nonEmpty && winTimes.head < lo) {
-                winTimes.removeHead(): Unit
-                winRows.removeHead(): Unit
-              }
-              // stream right rows in: drop smaller keys and
-              // behind-the-interval times; buffer rows inside [lo, hi];
-              // stop at the first row beyond hi or with a larger key
-              var go = true
-              while (go && rBuf.hasNext) {
-                val r = rBuf.head
-                val rk = rKeyProj(r)
-                if (rKeysB.indices.exists(rk.isNullAt) || rtG.isNull(r)) {
-                  rBuf.next(): Unit
-                } else {
-                  val c = keyOrd.compare(rk, lk)
-                  if (c < 0) rBuf.next(): Unit
-                  else if (c > 0) go = false
-                  else {
-                    val t = rtG.get(r)
-                    if (t < lo) rBuf.next(): Unit
-                    else if (t <= hi) {
-                      winTimes.append(t): Unit
-                      winRows.append(rBuf.next().copy()): Unit
-                      if (winTimes.length > localPeak) {
-                        maxWin += winTimes.length - localPeak
-                        localPeak = winTimes.length
-                      }
-                    } else go = false
-                  }
-                }
-              }
-              curL = l
-              curHi = hi
-              matchIdx = 0
-            } else if (outer) {
-              nextRow = emit(l, nullRight)
-              numOut += 1
-              ready = true
-            }
-          }
+        override def hasNext: Boolean = {
+          if (!ready) ready = state.advance()
+          ready
         }
-
-        private def advance(): Unit = {
-          while (!ready) {
-            if (curL == null) {
-              advanceLeft()
-              if (curL == null) return // exhausted (or outer-ready)
-            }
-            if (!ready) {
-              // window times ascend and all are >= this row's lo; emit
-              // the prefix with t <= hi (a previous wider interval may
-              // have buffered beyond it)
-              if (matchIdx < winTimes.length
-                  && winTimes(matchIdx) <= curHi) {
-                nextRow = emit(curL, winRows(matchIdx))
-                numOut += 1
-                matchIdx += 1
-                ready = true
-              } else {
-                if (outer && matchIdx == 0) {
-                  nextRow = emit(curL, nullRight)
-                  numOut += 1
-                  ready = true
-                }
-                curL = null
-              }
-            }
-          }
-        }
-
-        override def hasNext: Boolean = { advance(); ready }
         override def next(): InternalRow = {
-          advance()
-          if (!ready) throw new NoSuchElementException("empty iterator")
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
           ready = false
-          nextRow
+          numOut += 1
+          emit(state.leftRow, state.rightRow)
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen (SortMergeJoinExec's participation shape:
+  // the stage zips this node's two sorted inputs, the generated loop
+  // drives the compiled merge state machine) -------------------------
+
+  /** Inner only: the outer form null-extends through the shared
+    * all-null right row, whose lifetime is simpler to keep correct in
+    * the interpreted iterator.
+    */
+  override def supportCodegen: Boolean = !leftOuter
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  /** Pair rows are operator-owned buffers (the left child's reused row,
+    * window copies) — a buffering parent must copy, as after SMJ.
+    */
+  override def needCopyResult: Boolean = true
+
+  /** The produce loop consumes both inputs itself, so limit checks can
+    * short-circuit it (the same contract SMJ declares).
+    */
+  override def canCheckLimitNotReached: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    // produce() seeds ctx.freshNamePrefix with the lowercased nodeName;
+    // after the AQE skew rewrite that is "rangejoin(skew=true)", which
+    // freshName splices verbatim into generated identifiers and Janino
+    // rejects at parse time (the builtin joins dodge this only via
+    // their hardcoded "smj"/"shj" prefixes). Pin an identifier-safe
+    // prefix before the first freshName/addMutableState call.
+    ctx.freshNamePrefix = "rangejoin"
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "rangeLeftInput", v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "rangeRightInput", v => s"$v = inputs[1];", forceInline = true)
+    val factoryRef = ctx.addReferenceObj("rangeMergeFactory", mergeFactory,
+      classOf[RangeMergeFactory].getName)
+    val state = ctx.addMutableState(classOf[RangeMergeState].getName,
+      "rangeMergeState",
+      v => s"$v = $factoryRef.create($leftInput, $rightInput);",
+      forceInline = true)
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val leftRow = ctx.freshName("rangeLeftRow")
+    val rightRow = ctx.freshName("rangeRightRow")
+    // column accessors read straight off the pair's two rows — the
+    // joined row of the interpreted path is never materialized
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = rightRow
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val allVars = leftVars ++ rightVars
+    s"""
+       |while ($limitNotReachedCond $state.advance()) {
+       |  InternalRow $leftRow = $state.leftRow();
+       |  InternalRow $rightRow = $state.rightRow();
+       |  $numOutput.add(1);
+       |  ${evaluateVariables(allVars)}
+       |  ${consume(ctx, allVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+}
+
+/** Serializable bundle of the bound merge expressions; builds one
+  * [[RangeMergeState]] per task from the two co-partitioned sorted
+  * iterators. Shared by [[RangeJoinExec]]'s interpreted and codegen
+  * paths (the generated class holds it in its references array and
+  * calls [[create]] from `init`).
+  */
+final class RangeMergeFactory(
+    lKeysB: Seq[Expression],
+    rKeysB: Seq[Expression],
+    keyTypes: Seq[DataType],
+    loB: Expression,
+    hiB: Expression,
+    rtB: Expression,
+    outer: Boolean,
+    nullRightTypes: Array[DataType],
+    maxWin: SQLMetric) extends Serializable {
+
+  def create(
+      lIter: Iterator[InternalRow],
+      rIter: Iterator[InternalRow]): RangeMergeState =
+    new RangeMergeState(lIter, rIter, lKeysB, rKeysB, keyTypes,
+      loB, hiB, rtB, outer, nullRightTypes, maxWin)
+}
+
+/** Per-task sliding-window merge state machine (the algorithm of
+  * [[RangeJoin]]'s scaladoc): `advance()` positions the next
+  * (left, right) output pair and returns false at stream end;
+  * [[leftRow]]/[[rightRow]] expose the current pair. For left-outer,
+  * an unmatched or unmatchable left row pairs with a shared all-null
+  * right row. The left row is the child iterator's reused buffer —
+  * valid until the next `advance()`; window rows are copies.
+  */
+final class RangeMergeState(
+    lIter: Iterator[InternalRow],
+    rIter: Iterator[InternalRow],
+    lKeysB: Seq[Expression],
+    rKeysB: Seq[Expression],
+    keyTypes: Seq[DataType],
+    loB: Expression,
+    hiB: Expression,
+    rtB: Expression,
+    outer: Boolean,
+    nullRightTypes: Array[DataType],
+    maxWin: SQLMetric) {
+
+  private val lKeyProj = UnsafeProjection.create(lKeysB)
+  private val rKeyProj = UnsafeProjection.create(rKeysB)
+  private val keyOrd = RowOrdering.create(
+    keyTypes.zipWithIndex.map { case (dt, i) =>
+      SortOrder(BoundReference(i, dt, nullable = true), Ascending)
+    }, Nil)
+  // long-backed by the exec's constructor guard, so the getters always
+  // exist — the merge loop compares primitives only
+  private val loG = TimeGetter.create(loB).get
+  private val hiG = TimeGetter.create(hiB).get
+  private val rtG = TimeGetter.create(rtB).get
+  private val nullRight: InternalRow =
+    if (outer) UnsafeProjection.create(nullRightTypes)
+      .apply(new GenericInternalRow(nullRightTypes.length)).copy()
+    else null
+  private val rBuf = rIter.buffered
+
+  // sliding window for the current key: times ascending, rows are
+  // copies (the child iterator reuses its buffers)
+  private val winTimes = scala.collection.mutable.ArrayDeque.empty[Long]
+  private val winRows = scala.collection.mutable.ArrayDeque.empty[InternalRow]
+  private var winKey: InternalRow = null
+  // SQLMetrics merge by SUM, so the "peak" is tracked as a task-local
+  // high-water mark whose increases are added — the reported number is
+  // the sum of per-task peaks (aggregate peak memory demand), not a
+  // global max
+  private var localPeak = 0L
+
+  private var curL: InternalRow = _
+  private var curHi = 0L
+  private var matchIdx = 0
+  private var outLeft: InternalRow = _
+  private var outRight: InternalRow = _
+
+  def leftRow: InternalRow = outLeft
+  def rightRow: InternalRow = outRight
+
+  /** Load the next matchable left row into `curL`, maintaining the
+    * window for it. Returns true when an outer null-extension of an
+    * UNMATCHABLE left (null key/bounds) became the ready pair instead.
+    */
+  private def advanceLeft(): Boolean = {
+    curL = null
+    while (lIter.hasNext) {
+      val l = lIter.next()
+      val loNull = loG.isNull(l)
+      val hiNull = hiG.isNull(l)
+      var lk: InternalRow = null
+      var keyIsNull = false
+      if (!loNull && !hiNull) {
+        val k = lKeyProj(l)
+        keyIsNull = lKeysB.indices.exists(k.isNullAt)
+        lk = k
+      }
+      if (!loNull && !hiNull && !keyIsNull) {
+        val lo = loG.get(l)
+        val hi = hiG.get(l)
+        if (winKey == null || keyOrd.compare(winKey, lk) != 0) {
+          winTimes.clear()
+          winRows.clear()
+          winKey = lk.copy()
+        }
+        // evict rows no later left of this key can match
+        while (winTimes.nonEmpty && winTimes.head < lo) {
+          winTimes.removeHead(): Unit
+          winRows.removeHead(): Unit
+        }
+        // stream right rows in: drop smaller keys and
+        // behind-the-interval times; buffer rows inside [lo, hi];
+        // stop at the first row beyond hi or with a larger key
+        var go = true
+        while (go && rBuf.hasNext) {
+          val r = rBuf.head
+          val rk = rKeyProj(r)
+          if (rKeysB.indices.exists(rk.isNullAt) || rtG.isNull(r)) {
+            rBuf.next(): Unit
+          } else {
+            val c = keyOrd.compare(rk, lk)
+            if (c < 0) rBuf.next(): Unit
+            else if (c > 0) go = false
+            else {
+              val t = rtG.get(r)
+              if (t < lo) rBuf.next(): Unit
+              else if (t <= hi) {
+                winTimes.append(t): Unit
+                winRows.append(rBuf.next().copy()): Unit
+                if (winTimes.length > localPeak) {
+                  maxWin += winTimes.length - localPeak
+                  localPeak = winTimes.length
+                }
+              } else go = false
+            }
+          }
+        }
+        curL = l
+        curHi = hi
+        matchIdx = 0
+        return false
+      } else if (outer) {
+        outLeft = l
+        outRight = nullRight
+        return true
+      }
+    }
+    false
+  }
+
+  /** Positions the next output pair; false when both inputs are
+    * drained. Called from the generated produce loop and the
+    * interpreted iterator alike.
+    */
+  def advance(): Boolean = {
+    while (true) {
+      if (curL == null) {
+        if (advanceLeft()) return true // outer-ready unmatchable left
+        if (curL == null) return false // exhausted
+      }
+      // window times ascend and all are >= this row's lo; emit the
+      // prefix with t <= hi (a previous wider interval may have
+      // buffered beyond it)
+      if (matchIdx < winTimes.length && winTimes(matchIdx) <= curHi) {
+        outLeft = curL
+        outRight = winRows(matchIdx)
+        matchIdx += 1
+        return true
+      }
+      val l = curL
+      val unmatched = matchIdx == 0
+      curL = null
+      if (outer && unmatched) {
+        outLeft = l
+        outRight = nullRight
+        return true
+      }
+    }
+    false // unreachable
   }
 }
 

@@ -131,4 +131,98 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  /** The `*(n)` plan marker is assigned at PLANNING time, so it cannot
+    * prove the generated stage actually compiles — a Janino error falls
+    * back to the interpreted path silently (the exact failure mode of
+    * the skew-rewrite nodeName, whose parens leaked into generated
+    * identifiers until doProduce pinned an identifier-safe prefix).
+    * This recompiles every codegen stage that contains the range join
+    * and fails the test on any compile error.
+    */
+  private def assertStageCompiles(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // TreeNode.collect stops at QueryStageExec (a leaf wrapping its
+    // materialized plan), so descend through AQE boundaries by hand
+    def wsces(p: SparkPlan): Seq[WholeStageCodegenExec] = p match {
+      case a: AdaptiveSparkPlanExec => wsces(a.executedPlan)
+      case q: QueryStageExec => wsces(q.plan)
+      case w: WholeStageCodegenExec => w +: w.children.flatMap(wsces)
+      case other => other.children.flatMap(wsces)
+    }
+    val finalP = df.queryExecution.executedPlan
+    val stages = wsces(finalP).filter(_.collectFirst {
+      case r: graft.plans.RangeJoinExec => r
+    }.isDefined)
+    assert(stages.nonEmpty,
+      s"RangeJoin not inside a whole-stage-codegen stage:\n$finalP")
+    for (w <- stages) {
+      val (_, src) = w.doCodeGen()
+      // throws CompileException on any identifier/shape regression
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .compile(src): Unit
+    }
+  }
+
+  test("whole-stage codegen: the inner join fuses into a compiling " +
+    "stage, results equal the interpreted path with codegen off") {
+    val l = mkLeft(Seq(
+      (1L: java.lang.Long, 0L: java.lang.Long, 100L: java.lang.Long, 1L),
+      (1L: java.lang.Long, 5L: java.lang.Long, 6L: java.lang.Long, 2L),
+      (2L: java.lang.Long, 10L: java.lang.Long, 20L: java.lang.Long, 5L)))
+    val r = mkRight(Seq(
+      (1L: java.lang.Long, 0L: java.lang.Long, 10L),
+      (1L: java.lang.Long, 5L: java.lang.Long, 11L),
+      (1L: java.lang.Long, 50L: java.lang.Long, 13L),
+      (2L: java.lang.Long, 15L: java.lang.Long, 16L)))
+    def run(): Set[(Long, Option[Long])] = native(l, r, outer = false)
+    val m = rangeJoin(l, r, Seq("k"), Seq("rk"), "lo", "hi", "t")
+    m.collect(): Unit
+    assertStageCompiles(m)
+    val on = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try run()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on === off)
+    assert(on.nonEmpty)
+  }
+
+  test("whole-stage codegen survives the AQE skew rewrite: " +
+    "skew=true plan, stage still compiles, results equal θ-join") {
+    // 98%-hot key, small thresholds to force the rewrite (the
+    // AsOfSkewSpec shape)
+    val l = spark.range(200000L)
+      .select(when(col("id") % 50 < 49, lit(0L))
+          .otherwise(col("id") % 512).as("k"),
+        (col("id") * 7 % 1000003).as("lo"),
+        (col("id") * 7 % 1000003 + 2000L).as("hi"),
+        col("id").as("lid"))
+    val r = spark.range(20000L)
+      .select(when(col("id") % 50 < 49, lit(0L))
+          .otherwise(col("id") % 512).as("rk"),
+        (col("id") * 11 % 1000003).as("rt"), col("id").as("rid"))
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "200k")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100k")
+    try {
+      val m = rangeJoin(l, r, Seq("k"), Seq("rk"), "lo", "hi", "rt")
+        .select(col("lid"), col("rid"))
+      val got = m.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val plan = m.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"skew mitigation did not fire:\n$plan")
+      assertStageCompiles(m)
+      val want = l.join(r, col("k") === col("rk")
+          && col("rt") >= col("lo") && col("rt") <= col("hi"))
+        .select(col("lid"), col("rid")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally {
+      spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
 }
