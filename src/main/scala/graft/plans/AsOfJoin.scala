@@ -4,13 +4,15 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.DataType
 
 /** Native AS-OF JOIN — the whole-operator rung of this library's
   * custom-operator ladder: a [[LogicalPlan]] node, a planner
@@ -121,6 +123,16 @@ object AsOfJoinStrategy extends SparkStrategy {
   * merge is a single forward pass per partition buffering exactly one
   * candidate right row (the current best match), so memory is O(1)
   * regardless of group size.
+  *
+  * WHOLE-STAGE CODEGEN (all modes, incl. left-outer): the exec
+  * participates the way [[RangeJoinExec]] does — `inputRDDs` hands the
+  * stage both sorted children, and the generated loop drives a
+  * compiled per-task [[AsOfMergeState]] (the same state machines the
+  * interpreted path uses: the single-long-key fast backward merge or
+  * the generic one), feeding the matched pair's COLUMNS straight into
+  * the downstream consume. The joined output row is never materialized
+  * on the codegen path; outer null-extensions read from a shared
+  * all-null right row through nullable accessors.
   */
 final case class AsOfJoinExec(
     leftKeys: Seq[Expression],
@@ -134,7 +146,8 @@ final case class AsOfJoinExec(
     strict: Boolean,
     left: SparkPlan,
     right: SparkPlan,
-    isSkewJoin: Boolean = false) extends BinaryExecNode {
+    isSkewJoin: Boolean = false)
+  extends BinaryExecNode with CodegenSupport {
 
   require(leftKeys.length == rightKeys.length,
     "as-of join: key arity mismatch")
@@ -193,310 +206,450 @@ final case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val keyTypes = leftKeys.map(_.dataType)
-    val timeType = leftTime.dataType
-    val tol = toleranceUs
-    val outer = leftOuter
-    val fwd = forward
-    val excl = strict
+  /** Driver-built, serializable; shipped to tasks either inside the
+    * zipPartitions closure (interpreted path) or through the generated
+    * class's references array (codegen path). The
+    * `graft.asof.timeCompare` knob is read HERE, driver-side, so both
+    * paths honor it.
+    */
+  private lazy val mergeFactory: AsOfMergeFactory = {
     val lOut = left.output
     val rOut = right.output
-    val lKeysB = leftKeys.map(BindReferences.bindReference(_, lOut))
-    val rKeysB = rightKeys.map(BindReferences.bindReference(_, rOut))
-    val lTimeB = BindReferences.bindReference(leftTime, lOut)
-    val rTimeB = BindReferences.bindReference(rightTime, rOut)
-    val outAtts = output
+    val rBind = if (leftOuter) rOut.map(_.withNullability(true)) else rOut
+    new AsOfMergeFactory(
+      leftKeys.map(BindReferences.bindReference(_, lOut)),
+      rightKeys.map(BindReferences.bindReference(_, rOut)),
+      leftKeys.map(_.dataType),
+      leftTime.dataType,
+      BindReferences.bindReference(leftTime, lOut),
+      BindReferences.bindReference(rightTime, rOut),
+      toleranceUs, leftOuter, forward, strict,
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.asof.timeCompare", "auto"),
+      rBind.map(_.dataType).toArray,
+      longMetric("numMatched"))
+  }
 
+  override protected def doExecute(): RDD[InternalRow] = {
+    val outer = leftOuter
+    val lOut = left.output
+    val rOut = right.output
+    val rBind = if (outer) rOut.map(_.withNullability(true)) else rOut
+    val outAtts = output
+    val factory = mergeFactory
     val numOut = longMetric("numOutputRows")
-    val numMatchedM = longMetric("numMatched")
-    // benchmark/debug knob (read driver-side, captured by the closure):
-    //  - "generic"   forces the boxed interpreted-ordering path
-    //  - "projected" forces the primitive-compare path with per-row
-    //    UnsafeProjection key/output work (the pre-round-14 hot path)
-    //  - "auto"      (default) additionally takes the FAST path below
-    //    when eligible
-    val mode = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("graft.asof.timeCompare", "auto")
-    val forceGeneric = mode == "generic"
-    // FAST backward path eligibility: single long-backed key column on
-    // both sides (read primitively, no per-row key projection or
-    // UnsafeRow key compare) — the round-13 boxing adjudication showed
-    // the merge loop is PROJECTION-bound, so the fast iterator also
-    // replaces the field-by-field output projection with the codegen'd
-    // bitwise UnsafeRowJoiner (row concatenation, no per-field copy).
-    val lKeyGetter =
-      if (leftKeys.length == 1) TimeGetter.create(lKeysB.head) else None
-    val rKeyGetter =
-      if (rightKeys.length == 1) TimeGetter.create(rKeysB.head) else None
-    val lGet0 = TimeGetter.create(lTimeB)
-    val rGet0 = TimeGetter.create(rTimeB)
-    val fastEligible = mode == "auto" && !forward &&
-      lGet0.isDefined && rGet0.isDefined &&
-      lKeyGetter.isDefined && rKeyGetter.isDefined
     val lRdd = left.execute()
     val rRdd = right.execute()
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
       "as-of join children are not co-partitioned " +
         s"(${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions})")
 
-    if (fastEligible) {
-      val lkG = lKeyGetter.get
-      val rkG = rKeyGetter.get
-      val lG = lGet0.get
-      val rG = rGet0.get
-      return lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
-        import org.apache.spark.sql.catalyst.expressions.UnsafeRow
-        val rBind = if (outer) rOut.map(_.withNullability(true)) else rOut
-        val urj = org.apache.spark.sql.catalyst.expressions.codegen
-          .GenerateUnsafeRowJoiner.create(
-            org.apache.spark.sql.catalyst.types.DataTypeUtils
-              .fromAttributes(lOut),
-            org.apache.spark.sql.catalyst.types.DataTypeUtils
-              .fromAttributes(rBind))
-        // all-null right row as an UnsafeRow, for outer extension
-        val nullRightU = UnsafeProjection
-          .create(rBind.map(_.dataType).toArray)
-          .apply(new GenericInternalRow(rOut.length)).copy()
-        // fallback projection for the (never-expected) non-UnsafeRow case
-        val joiner = UnsafeProjection.create(outAtts, lOut ++ rBind)
-        val joined = new JoinedRow()
-        def emit(l: InternalRow, r: InternalRow): InternalRow = (l, r) match {
-          case (lu: UnsafeRow, ru: UnsafeRow) => urj.join(lu, ru)
-          case _ => joiner(joined(l, r))
-        }
-        val rBuf = rIter.buffered
-        var lastKey = 0L
-        var haveLast = false
-        var lastRow: InternalRow = null
-
-        new Iterator[InternalRow] {
-          private var nextRow: InternalRow = _
-          private var ready = false
-
-          private def advance(): Unit = {
-            while (!ready && lIter.hasNext) {
-              val l = lIter.next()
-              if (!lG.isNull(l) && !lkG.isNull(l)) {
-                val lk = lkG.get(l)
-                val lt = lG.get(l)
-                var go = true
-                while (go && rBuf.hasNext) {
-                  val r = rBuf.head
-                  if (rkG.isNull(r) || rG.isNull(r)) {
-                    rBuf.next(): Unit
-                  } else {
-                    val rk = rkG.get(r)
-                    if (rk < lk) {
-                      rBuf.next(): Unit
-                    } else if (rk == lk && {
-                        val tc = java.lang.Long.compare(rG.get(r), lt)
-                        if (excl) tc < 0 else tc <= 0
-                      }) {
-                      lastKey = rk
-                      haveLast = true
-                      lastRow = rBuf.next().copy()
-                    } else {
-                      go = false
-                    }
-                  }
-                }
-                val matches = haveLast && lastKey == lk && lastRow != null &&
-                  tol.forall(t => lt - rG.get(lastRow) <= t)
-                if (matches) {
-                  nextRow = emit(l, lastRow)
-                  numMatchedM += 1
-                  numOut += 1
-                  ready = true
-                } else if (outer) {
-                  nextRow = emit(l, nullRightU)
-                  numOut += 1
-                  ready = true
-                }
-              } else if (outer) {
-                nextRow = emit(l, nullRightU)
-                numOut += 1
-                ready = true
-              }
-            }
-          }
-
-          override def hasNext: Boolean = { advance(); ready }
-          override def next(): InternalRow = {
-            advance()
-            if (!ready) throw new NoSuchElementException("empty iterator")
-            ready = false
-            nextRow
-          }
-        }
-      }
-    }
-
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(lKeysB)
-      val rKeyProj = UnsafeProjection.create(rKeysB)
-      // codegen'd key ordering over the projected UnsafeRow key schema
-      // (interpreted fallback inside RowOrdering.create) — no
-      // per-comparison interpreted dispatch
-      val keyOrd = RowOrdering.create(
-        keyTypes.zipWithIndex.map { case (dt, i) =>
-          SortOrder(org.apache.spark.sql.catalyst.expressions
-            .BoundReference(i, dt, nullable = true),
-            org.apache.spark.sql.catalyst.expressions.Ascending)
-        }, Nil)
-      // Primitive time path (TimeGetter): long-backed/date times compare
-      // as primitive longs — zero boxed allocations in the merge loop.
-      // Non-long-backed orderable types (rare) fall back to eval + the
-      // type's interpreted ordering.
-      val lGet = TimeGetter.create(lTimeB)
-      val rGet = TimeGetter.create(rTimeB)
-      val primitive = !forceGeneric && lGet.isDefined && rGet.isDefined
-      val lG = lGet.orNull
-      val rG = rGet.orNull
-      val anyOrd =
-        if (primitive) null
-        else TypeUtils.getInterpretedOrdering(timeType)
-          .asInstanceOf[Ordering[Any]]
-      // sign of (right row's time − left row's time); callers ensure
-      // both are non-null
-      def cmpRL(r: InternalRow, l: InternalRow): Int =
-        if (primitive) java.lang.Long.compare(rG.get(r), lG.get(l))
-        else anyOrd.compare(rTimeB.eval(r), lTimeB.eval(l))
-      def leftTimeNull(l: InternalRow): Boolean =
-        if (primitive) lG.isNull(l) else lTimeB.eval(l) == null
-      def rightTimeNull(r: InternalRow): Boolean =
-        if (primitive) rG.isNull(r) else rTimeB.eval(r) == null
-      // In outer mode the null-extended right side must bind as nullable,
-      // or non-nullable right columns would read 0/"" instead of null.
-      val rBind = if (outer) rOut.map(_.withNullability(true)) else rOut
+      val state = factory.create(lIter, rIter)
+      // per-pair output goes through the codegen'd bitwise
+      // UnsafeRowJoiner (row concatenation, no per-field copy); the
+      // field-by-field projection remains as the non-UnsafeRow fallback
+      val urj = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateUnsafeRowJoiner.create(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(lOut),
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(rBind))
       val joiner = UnsafeProjection.create(outAtts, lOut ++ rBind)
       val joined = new JoinedRow()
-      val nullRight = new GenericInternalRow(rOut.length)
-      val rBuf = rIter.buffered
-
-      // Current best match: the last right row seen with key == lastKey
-      // and time ≤ the current left time. Copied out of the iterator's
-      // reused buffers.
-      var lastKey: InternalRow = null
-      var lastRow: InternalRow = null
-
+      def emit(l: InternalRow, r: InternalRow): InternalRow = (l, r) match {
+        case (lu: org.apache.spark.sql.catalyst.expressions.UnsafeRow,
+            ru: org.apache.spark.sql.catalyst.expressions.UnsafeRow) =>
+          urj.join(lu, ru)
+        case _ => joiner(joined(l, r))
+      }
       new Iterator[InternalRow] {
-        private var nextRow: InternalRow = _
         private var ready = false
-
-        private def advance(): Unit = {
-          while (!ready && lIter.hasNext) {
-            val l = lIter.next()
-            val ltNull = leftTimeNull(l)
-            var lk: InternalRow = null
-            var keyIsNull = false
-            if (!ltNull) {
-              val k = lKeyProj(l)
-              keyIsNull = lKeysB.indices.exists(k.isNullAt)
-              lk = k
-            }
-            if (!ltNull && !keyIsNull && !fwd) {
-              // BACKWARD: consume right rows that can never match a
-              // future left row: smaller key, null key/time, or same
-              // key with time ≤ lt (each such row becomes the new best
-              // match).
-              var go = true
-              while (go && rBuf.hasNext) {
-                val r = rBuf.head
-                val rk = rKeyProj(r)
-                val rKeyNull = rKeysB.indices.exists(rk.isNullAt)
-                if (rKeyNull || rightTimeNull(r)) {
-                  rBuf.next()
-                } else {
-                  val c = keyOrd.compare(rk, lk)
-                  if (c < 0) {
-                    rBuf.next()
-                  } else if (c == 0 && {
-                      val tc = cmpRL(r, l)
-                      if (excl) tc < 0 else tc <= 0
-                    }) {
-                    lastKey = rk.copy()
-                    lastRow = rBuf.next().copy()
-                  } else {
-                    go = false
-                  }
-                }
-              }
-              val matches = lastRow != null &&
-                keyOrd.compare(lastKey, lk) == 0 &&
-                tol.forall { t =>
-                  // tolerance only defined for long-backed time types,
-                  // which always take the primitive path
-                  lG.get(l) - rG.get(lastRow) <= t
-                }
-              if (matches) {
-                nextRow = joiner(joined(l, lastRow))
-                numMatchedM += 1
-                numOut += 1
-                ready = true
-              } else if (outer) {
-                nextRow = joiner(joined(l, nullRight))
-                numOut += 1
-                ready = true
-              }
-            } else if (!ltNull && !keyIsNull) {
-              // FORWARD: consume right rows strictly behind (smaller
-              // key, or same key with time < lt — left times ascend, so
-              // they can't match later lefts either); the surviving
-              // head, if same-keyed, is the smallest time ≥ lt. It is
-              // only PEEKED, never consumed: the same right row may be
-              // the next-event match of many earlier left rows.
-              var go = true
-              while (go && rBuf.hasNext) {
-                val r = rBuf.head
-                val rk = rKeyProj(r)
-                if (rKeysB.indices.exists(rk.isNullAt) || rightTimeNull(r)) {
-                  rBuf.next()
-                } else {
-                  val c = keyOrd.compare(rk, lk)
-                  if (c < 0 || (c == 0 && {
-                      val tc = cmpRL(r, l)
-                      if (excl) tc <= 0 else tc < 0
-                    })) {
-                    rBuf.next()
-                  } else {
-                    go = false
-                  }
-                }
-              }
-              val cand = if (rBuf.hasNext) rBuf.head else null
-              val matches = cand != null && {
-                val rk = rKeyProj(cand)
-                keyOrd.compare(rk, lk) == 0 &&
-                  tol.forall(t => rG.get(cand) - lG.get(l) <= t)
-              }
-              if (matches) {
-                nextRow = joiner(joined(l, cand))
-                numMatchedM += 1
-                numOut += 1
-                ready = true
-              } else if (outer) {
-                nextRow = joiner(joined(l, nullRight))
-                numOut += 1
-                ready = true
-              }
-            } else if (outer) {
-              nextRow = joiner(joined(l, nullRight))
-              numOut += 1
-              ready = true
-            }
-          }
+        override def hasNext: Boolean = {
+          if (!ready) ready = state.advance()
+          ready
         }
-
-        override def hasNext: Boolean = { advance(); ready }
         override def next(): InternalRow = {
-          advance()
-          if (!ready) throw new NoSuchElementException("empty iterator")
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
           ready = false
-          nextRow
+          numOut += 1
+          emit(state.leftRow, state.rightRow)
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen (the RangeJoinExec participation shape) --
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  /** Pair rows are operator-owned buffers (the left child's reused row,
+    * the buffered best-match copy, or the peeked forward candidate) —
+    * a buffering parent must copy, as after SMJ.
+    */
+  override def needCopyResult: Boolean = true
+
+  /** The produce loop consumes both inputs itself, so limit checks can
+    * short-circuit it (the same contract SMJ declares).
+    */
+  override def canCheckLimitNotReached: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    // identifier-safe prefix: the default variablePrefix lowercases
+    // nodeName, whose "(skew=true)" suffix after the AQE rewrite is not
+    // a valid Java identifier fragment (the RangeJoinExec lesson)
+    ctx.freshNamePrefix = "asofjoin"
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];", forceInline = true)
+    val factoryRef = ctx.addReferenceObj("asofMergeFactory", mergeFactory,
+      classOf[AsOfMergeFactory].getName)
+    val state = ctx.addMutableState(classOf[AsOfMergeState].getName,
+      "asofMergeState",
+      v => s"$v = $factoryRef.create($leftInput, $rightInput);",
+      forceInline = true)
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val leftRow = ctx.freshName("asofLeftRow")
+    val rightRow = ctx.freshName("asofRightRow")
+    // column accessors read straight off the pair's two rows — the
+    // joined row of the interpreted path is never materialized; outer
+    // null-extension reads the shared all-null right row through
+    // NULLABLE accessors (rBind), matching the output's nullability
+    val rBind =
+      if (leftOuter) right.output.map(_.withNullability(true))
+      else right.output
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = rightRow
+    val rightVars = rBind.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val allVars = leftVars ++ rightVars
+    s"""
+       |while ($limitNotReachedCond $state.advance()) {
+       |  InternalRow $leftRow = $state.leftRow();
+       |  InternalRow $rightRow = $state.rightRow();
+       |  $numOutput.add(1);
+       |  ${evaluateVariables(allVars)}
+       |  ${consume(ctx, allVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+}
+
+/** Serializable bundle of the bound as-of merge expressions; builds one
+  * [[AsOfMergeState]] per task from the two co-partitioned sorted
+  * iterators, picking the single-long-key FAST backward merge when
+  * eligible (knob `graft.asof.timeCompare`=auto) and the generic
+  * machine otherwise. Shared by [[AsOfJoinExec]]'s interpreted and
+  * codegen paths.
+  */
+final class AsOfMergeFactory(
+    lKeysB: Seq[Expression],
+    rKeysB: Seq[Expression],
+    keyTypes: Seq[DataType],
+    timeType: DataType,
+    lTimeB: Expression,
+    rTimeB: Expression,
+    tol: Option[Long],
+    outer: Boolean,
+    fwd: Boolean,
+    excl: Boolean,
+    mode: String,
+    nullRightTypes: Array[DataType],
+    numMatched: SQLMetric) extends Serializable {
+
+  def create(
+      lIter: Iterator[InternalRow],
+      rIter: Iterator[InternalRow]): AsOfMergeState = {
+    val nullRight: InternalRow = UnsafeProjection.create(nullRightTypes)
+      .apply(new GenericInternalRow(nullRightTypes.length)).copy()
+    // FAST backward path eligibility: single long-backed key column on
+    // both sides (read primitively, no per-row key projection or
+    // UnsafeRow key compare) — the round-13 boxing adjudication showed
+    // the merge loop is PROJECTION-bound
+    val lKeyGetter =
+      if (lKeysB.length == 1) TimeGetter.create(lKeysB.head) else None
+    val rKeyGetter =
+      if (rKeysB.length == 1) TimeGetter.create(rKeysB.head) else None
+    val lGet = TimeGetter.create(lTimeB)
+    val rGet = TimeGetter.create(rTimeB)
+    if (mode == "auto" && !fwd && lGet.isDefined && rGet.isDefined
+        && lKeyGetter.isDefined && rKeyGetter.isDefined) {
+      new AsOfFastBackwardState(lIter, rIter, lKeyGetter.get,
+        rKeyGetter.get, lGet.get, rGet.get, tol, outer, excl, nullRight,
+        numMatched)
+    } else {
+      new AsOfGenericState(lIter, rIter, lKeysB, rKeysB, keyTypes,
+        timeType, lTimeB, rTimeB, lGet, rGet, tol, outer, fwd, excl,
+        mode == "generic", nullRight, numMatched)
+    }
+  }
+}
+
+/** Per-task as-of merge state machine: `advance()` positions the next
+  * output pair and returns false at stream end; [[leftRow]]/[[rightRow]]
+  * expose the current pair (for left-outer, an unmatched left pairs
+  * with a shared all-null right row). The left row is the child
+  * iterator's reused buffer and the forward candidate is a peeked
+  * right-child buffer — both valid until the next `advance()`.
+  */
+private[plans] abstract class AsOfMergeState {
+  def advance(): Boolean
+  def leftRow: InternalRow
+  def rightRow: InternalRow
+}
+
+/** Single-long-key backward merge: keys and times read primitively,
+  * zero boxing and zero per-row projections in the loop.
+  */
+private[plans] final class AsOfFastBackwardState(
+    lIter: Iterator[InternalRow],
+    rIter: Iterator[InternalRow],
+    lkG: TimeGetter,
+    rkG: TimeGetter,
+    lG: TimeGetter,
+    rG: TimeGetter,
+    tol: Option[Long],
+    outer: Boolean,
+    excl: Boolean,
+    nullRight: InternalRow,
+    numMatched: SQLMetric) extends AsOfMergeState {
+
+  private val rBuf = rIter.buffered
+  private var lastKey = 0L
+  private var haveLast = false
+  private var lastRow: InternalRow = null
+  private var outL: InternalRow = _
+  private var outR: InternalRow = _
+
+  def leftRow: InternalRow = outL
+  def rightRow: InternalRow = outR
+
+  def advance(): Boolean = {
+    while (lIter.hasNext) {
+      val l = lIter.next()
+      if (!lG.isNull(l) && !lkG.isNull(l)) {
+        val lk = lkG.get(l)
+        val lt = lG.get(l)
+        var go = true
+        while (go && rBuf.hasNext) {
+          val r = rBuf.head
+          if (rkG.isNull(r) || rG.isNull(r)) {
+            rBuf.next(): Unit
+          } else {
+            val rk = rkG.get(r)
+            if (rk < lk) {
+              rBuf.next(): Unit
+            } else if (rk == lk && {
+                val tc = java.lang.Long.compare(rG.get(r), lt)
+                if (excl) tc < 0 else tc <= 0
+              }) {
+              lastKey = rk
+              haveLast = true
+              lastRow = rBuf.next().copy()
+            } else {
+              go = false
+            }
+          }
+        }
+        val matches = haveLast && lastKey == lk && lastRow != null &&
+          tol.forall(t => lt - rG.get(lastRow) <= t)
+        if (matches) {
+          outL = l
+          outR = lastRow
+          numMatched += 1
+          return true
+        } else if (outer) {
+          outL = l
+          outR = nullRight
+          return true
+        }
+      } else if (outer) {
+        outL = l
+        outR = nullRight
+        return true
+      }
+    }
+    false
+  }
+}
+
+/** General merge: multi-column/arbitrary-type keys through projected
+  * UnsafeRow comparison, backward and forward directions, primitive or
+  * interpreted time ordering (`forceGeneric` pins the boxed path for
+  * measurement).
+  */
+private[plans] final class AsOfGenericState(
+    lIter: Iterator[InternalRow],
+    rIter: Iterator[InternalRow],
+    lKeysB: Seq[Expression],
+    rKeysB: Seq[Expression],
+    keyTypes: Seq[DataType],
+    timeType: DataType,
+    lTimeB: Expression,
+    rTimeB: Expression,
+    lGet: Option[TimeGetter],
+    rGet: Option[TimeGetter],
+    tol: Option[Long],
+    outer: Boolean,
+    fwd: Boolean,
+    excl: Boolean,
+    forceGeneric: Boolean,
+    nullRight: InternalRow,
+    numMatched: SQLMetric) extends AsOfMergeState {
+
+  private val lKeyProj = UnsafeProjection.create(lKeysB)
+  private val rKeyProj = UnsafeProjection.create(rKeysB)
+  // codegen'd key ordering over the projected UnsafeRow key schema
+  // (interpreted fallback inside RowOrdering.create) — no
+  // per-comparison interpreted dispatch
+  private val keyOrd = RowOrdering.create(
+    keyTypes.zipWithIndex.map { case (dt, i) =>
+      SortOrder(BoundReference(i, dt, nullable = true), Ascending)
+    }, Nil)
+  // Primitive time path (TimeGetter): long-backed/date times compare
+  // as primitive longs — zero boxed allocations in the merge loop.
+  // Non-long-backed orderable types (rare) fall back to eval + the
+  // type's interpreted ordering.
+  private val primitive = !forceGeneric && lGet.isDefined && rGet.isDefined
+  private val lG = lGet.orNull
+  private val rG = rGet.orNull
+  private val anyOrd =
+    if (primitive) null
+    else TypeUtils.getInterpretedOrdering(timeType)
+      .asInstanceOf[Ordering[Any]]
+  private val rBuf = rIter.buffered
+
+  // Current best match (backward): the last right row seen with key ==
+  // lastKey and time ≤ the current left time. Copied out of the
+  // iterator's reused buffers.
+  private var lastKey: InternalRow = null
+  private var lastRow: InternalRow = null
+  private var outL: InternalRow = _
+  private var outR: InternalRow = _
+
+  def leftRow: InternalRow = outL
+  def rightRow: InternalRow = outR
+
+  // sign of (right row's time − left row's time); callers ensure both
+  // are non-null
+  private def cmpRL(r: InternalRow, l: InternalRow): Int =
+    if (primitive) java.lang.Long.compare(rG.get(r), lG.get(l))
+    else anyOrd.compare(rTimeB.eval(r), lTimeB.eval(l))
+  private def leftTimeNull(l: InternalRow): Boolean =
+    if (primitive) lG.isNull(l) else lTimeB.eval(l) == null
+  private def rightTimeNull(r: InternalRow): Boolean =
+    if (primitive) rG.isNull(r) else rTimeB.eval(r) == null
+
+  def advance(): Boolean = {
+    while (lIter.hasNext) {
+      val l = lIter.next()
+      val ltNull = leftTimeNull(l)
+      var lk: InternalRow = null
+      var keyIsNull = false
+      if (!ltNull) {
+        val k = lKeyProj(l)
+        keyIsNull = lKeysB.indices.exists(k.isNullAt)
+        lk = k
+      }
+      if (!ltNull && !keyIsNull && !fwd) {
+        // BACKWARD: consume right rows that can never match a future
+        // left row: smaller key, null key/time, or same key with time
+        // ≤ lt (each such row becomes the new best match).
+        var go = true
+        while (go && rBuf.hasNext) {
+          val r = rBuf.head
+          val rk = rKeyProj(r)
+          val rKeyNull = rKeysB.indices.exists(rk.isNullAt)
+          if (rKeyNull || rightTimeNull(r)) {
+            rBuf.next(): Unit
+          } else {
+            val c = keyOrd.compare(rk, lk)
+            if (c < 0) {
+              rBuf.next(): Unit
+            } else if (c == 0 && {
+                val tc = cmpRL(r, l)
+                if (excl) tc < 0 else tc <= 0
+              }) {
+              lastKey = rk.copy()
+              lastRow = rBuf.next().copy()
+            } else {
+              go = false
+            }
+          }
+        }
+        val matches = lastRow != null &&
+          keyOrd.compare(lastKey, lk) == 0 &&
+          tol.forall { t =>
+            // tolerance only defined for long-backed time types,
+            // which always take the primitive path
+            lG.get(l) - rG.get(lastRow) <= t
+          }
+        if (matches) {
+          outL = l
+          outR = lastRow
+          numMatched += 1
+          return true
+        } else if (outer) {
+          outL = l
+          outR = nullRight
+          return true
+        }
+      } else if (!ltNull && !keyIsNull) {
+        // FORWARD: consume right rows strictly behind (smaller key, or
+        // same key with time < lt — left times ascend, so they can't
+        // match later lefts either); the surviving head, if same-keyed,
+        // is the smallest time ≥ lt. It is only PEEKED, never consumed:
+        // the same right row may be the next-event match of many
+        // earlier left rows.
+        var go = true
+        while (go && rBuf.hasNext) {
+          val r = rBuf.head
+          val rk = rKeyProj(r)
+          if (rKeysB.indices.exists(rk.isNullAt) || rightTimeNull(r)) {
+            rBuf.next(): Unit
+          } else {
+            val c = keyOrd.compare(rk, lk)
+            if (c < 0 || (c == 0 && {
+                val tc = cmpRL(r, l)
+                if (excl) tc <= 0 else tc < 0
+              })) {
+              rBuf.next(): Unit
+            } else {
+              go = false
+            }
+          }
+        }
+        val cand = if (rBuf.hasNext) rBuf.head else null
+        val matches = cand != null && {
+          val rk = rKeyProj(cand)
+          keyOrd.compare(rk, lk) == 0 &&
+            tol.forall(t => rG.get(cand) - lG.get(l) <= t)
+        }
+        if (matches) {
+          outL = l
+          outR = cand
+          numMatched += 1
+          return true
+        } else if (outer) {
+          outL = l
+          outR = nullRight
+          return true
+        }
+      } else if (outer) {
+        outL = l
+        outR = nullRight
+        return true
+      }
+    }
+    false
   }
 }
 

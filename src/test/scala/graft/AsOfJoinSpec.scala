@@ -383,4 +383,42 @@ class AsOfJoinSpec extends AnyFunSuite {
     val got = native.as[(Long, Long, Long, Option[Long])].collect().toSet
     assert(got === expect)
   }
+
+  test("whole-stage codegen: merge exec fuses into a compiling stage " +
+    "across the mode matrix, results equal the interpreted path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val l = Seq.fill(400)((rnd.nextInt(8).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextLong()))
+      .distinct.toDF("k", "t", "lid").repartition(5)
+    val r = Seq.fill(400)((rnd.nextInt(8).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextLong()))
+      .distinct.toDF("rk", "rt", "rid").repartition(3)
+    // backward = the fast single-long-key machine, forward = the
+    // generic one; outer exercises the nullable null-extension
+    // accessors inside generated code
+    for ((fwd, outer, tol) <- Seq(
+      (false, false, None), (false, true, Some(100L)),
+      (true, true, None))) {
+      def run(): Set[(Long, Long, Option[Long])] =
+        asofM(l, r, Seq("k"), Seq("rk"), "t", "rt",
+          rightTieBreak = Seq("rid"), toleranceUs = tol,
+          leftOuter = outer, forward = fwd)
+          .select(col("t"), col("lid"), col("rid"))
+          .as[(Long, Long, Option[Long])].collect().toSet
+      val df = asofM(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        rightTieBreak = Seq("rid"), toleranceUs = tol,
+        leftOuter = outer, forward = fwd)
+      df.collect(): Unit
+      CodegenTestUtil.assertStageCompiles(df) {
+        case _: AsOfJoinExec =>
+      }
+      val on = run()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val off = try run()
+        finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(on === off, s"fwd=$fwd outer=$outer tol=$tol")
+      assert(on.nonEmpty)
+    }
+  }
 }

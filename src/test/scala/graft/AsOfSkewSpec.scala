@@ -65,11 +65,18 @@ class AsOfSkewSpec extends AnyFunSuite {
       "t", "rt", rightTieBreak = Seq("rid"), leftOuter = true,
       broadcast = Some(false))
     withSkewConf {
-      val (got, plan) = runAndPlan(merged())
+      val m0 = merged()
+      val (got, plan) = runAndPlan(m0)
       assert(plan.contains("skew=true"),
         s"as-of skew mitigation did not fire:\n$plan")
       assert(plan.contains("AQEShuffleRead"),
         s"expected AQE read specs in the final plan:\n$plan")
+      // the rewritten "(skew=true)" nodeName must not leak into
+      // generated identifiers (the Janino-fallback regression class)
+      m0.collect(): Unit
+      CodegenTestUtil.assertStageCompiles(m0) {
+        case _: graft.plans.AsOfJoinExec =>
+      }
       val (want, _) = runAndPlan(graft.plans.AsOf.asofJoin(l, r,
         Seq("k"), Seq("rk"), "t", "rt", rightTieBreak = Seq("rid"),
         leftOuter = true, broadcast = Some(true)))
