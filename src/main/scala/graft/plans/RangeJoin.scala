@@ -94,9 +94,10 @@ object RangeJoinStrategy extends SparkStrategy {
   * one joined row per pair (an UnsafeRowJoiner memcpy of both sides —
   * ~10⁸ × row-width bytes at the measured sf3 hot-key point), while
   * the codegen'd consumer reads just the columns it needs and the
-  * joined row is never built. Left-outer falls back to the interpreted
-  * iterator (`supportCodegen = false`), exactly as SMJ once did for its
-  * non-inner shapes.
+  * joined row is never built. Left-outer participates too: the state
+  * machine null-extends through a shared all-null UnsafeRow and the
+  * generated right-side accessors bind NULLABLE, matching the output
+  * schema.
   */
 final case class RangeJoinExec(
     leftKeys: Seq[Expression],
@@ -230,12 +231,6 @@ final case class RangeJoinExec(
   // the stage zips this node's two sorted inputs, the generated loop
   // drives the compiled merge state machine) -------------------------
 
-  /** Inner only: the outer form null-extends through the shared
-    * all-null right row, whose lifetime is simpler to keep correct in
-    * the interpreted iterator.
-    */
-  override def supportCodegen: Boolean = !leftOuter
-
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     left.execute() :: right.execute() :: Nil
 
@@ -271,14 +266,19 @@ final case class RangeJoinExec(
     val leftRow = ctx.freshName("rangeLeftRow")
     val rightRow = ctx.freshName("rangeRightRow")
     // column accessors read straight off the pair's two rows — the
-    // joined row of the interpreted path is never materialized
+    // joined row of the interpreted path is never materialized; outer
+    // null-extension reads the shared all-null right row through
+    // NULLABLE accessors (rBind), matching the output's nullability
+    val rBind =
+      if (leftOuter) right.output.map(_.withNullability(true))
+      else right.output
     ctx.currentVars = null
     ctx.INPUT_ROW = leftRow
     val leftVars = left.output.zipWithIndex.map { case (a, i) =>
       BoundReference(i, a.dataType, a.nullable).genCode(ctx)
     }
     ctx.INPUT_ROW = rightRow
-    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+    val rightVars = rBind.zipWithIndex.map { case (a, i) =>
       BoundReference(i, a.dataType, a.nullable).genCode(ctx)
     }
     val allVars = leftVars ++ rightVars

@@ -132,60 +132,42 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  /** The `*(n)` plan marker is assigned at PLANNING time, so it cannot
-    * prove the generated stage actually compiles — a Janino error falls
-    * back to the interpreted path silently (the exact failure mode of
-    * the skew-rewrite nodeName, whose parens leaked into generated
-    * identifiers until doProduce pinned an identifier-safe prefix).
-    * This recompiles every codegen stage that contains the range join
-    * and fails the test on any compile error.
+  /** Recompiles every codegen stage containing the range join — see
+    * [[CodegenTestUtil.assertStageCompiles]] for why the `*(n)` plan
+    * marker alone cannot prove no silent Janino fallback happened.
     */
-  private def assertStageCompiles(df: DataFrame): Unit = {
-    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    // TreeNode.collect stops at QueryStageExec (a leaf wrapping its
-    // materialized plan), so descend through AQE boundaries by hand
-    def wsces(p: SparkPlan): Seq[WholeStageCodegenExec] = p match {
-      case a: AdaptiveSparkPlanExec => wsces(a.executedPlan)
-      case q: QueryStageExec => wsces(q.plan)
-      case w: WholeStageCodegenExec => w +: w.children.flatMap(wsces)
-      case other => other.children.flatMap(wsces)
+  private def assertStageCompiles(df: DataFrame): Unit =
+    CodegenTestUtil.assertStageCompiles(df) {
+      case _: graft.plans.RangeJoinExec =>
     }
-    val finalP = df.queryExecution.executedPlan
-    val stages = wsces(finalP).filter(_.collectFirst {
-      case r: graft.plans.RangeJoinExec => r
-    }.isDefined)
-    assert(stages.nonEmpty,
-      s"RangeJoin not inside a whole-stage-codegen stage:\n$finalP")
-    for (w <- stages) {
-      val (_, src) = w.doCodeGen()
-      // throws CompileException on any identifier/shape regression
-      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-        .compile(src): Unit
-    }
-  }
 
-  test("whole-stage codegen: the inner join fuses into a compiling " +
+  test("whole-stage codegen: inner AND outer fuse into a compiling " +
     "stage, results equal the interpreted path with codegen off") {
     val l = mkLeft(Seq(
       (1L: java.lang.Long, 0L: java.lang.Long, 100L: java.lang.Long, 1L),
       (1L: java.lang.Long, 5L: java.lang.Long, 6L: java.lang.Long, 2L),
-      (2L: java.lang.Long, 10L: java.lang.Long, 20L: java.lang.Long, 5L)))
+      (2L: java.lang.Long, 10L: java.lang.Long, 20L: java.lang.Long, 5L),
+      (3L: java.lang.Long, 0L: java.lang.Long, 1L: java.lang.Long, 9L)))
     val r = mkRight(Seq(
       (1L: java.lang.Long, 0L: java.lang.Long, 10L),
       (1L: java.lang.Long, 5L: java.lang.Long, 11L),
       (1L: java.lang.Long, 50L: java.lang.Long, 13L),
       (2L: java.lang.Long, 15L: java.lang.Long, 16L)))
-    def run(): Set[(Long, Option[Long])] = native(l, r, outer = false)
-    val m = rangeJoin(l, r, Seq("k"), Seq("rk"), "lo", "hi", "t")
-    m.collect(): Unit
-    assertStageCompiles(m)
-    val on = run()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    val off = try run()
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    assert(on === off)
-    assert(on.nonEmpty)
+    for (outer <- Seq(false, true)) {
+      def run(): Set[(Long, Option[Long])] = native(l, r, outer)
+      val m = rangeJoin(l, r, Seq("k"), Seq("rk"), "lo", "hi", "t",
+        leftOuter = outer)
+      m.collect(): Unit
+      assertStageCompiles(m)
+      val on = run()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val off = try run()
+        finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(on === off, s"outer=$outer")
+      assert(on.nonEmpty)
+      // outer: key 3's empty window must null-extend through codegen
+      if (outer) assert(on.contains((9L, None: Option[Long])))
+    }
   }
 
   test("whole-stage codegen survives the AQE skew rewrite: " +
