@@ -6603,6 +6603,78 @@ object Events {
         + (1 + p.event_id % 3) * 3600000000
       GROUP BY 1 ORDER BY 1"""))
 
+  // ---------- q528: interval OVERLAP join (both sides intervals) -------
+
+  /** Interval-overlap join — the temporal-join workhorse q26/q527
+    * don't cover: BOTH sides carry intervals (purchase monitoring
+    * windows [ts, ts+2 h] vs error incident windows [ts, ts+1 h]) and
+    * a pair matches iff the intervals intersect (`p_lo <= e_hi AND
+    * e_lo <= p_hi`). Spark plans that θ-join as a per-key cross
+    * product; hand-banding needs a constant that mis-fits one side's
+    * width. Instead the overlap predicate DECOMPOSES into two DISJOINT
+    * native-range-join cases — (1) the error window STARTS inside the
+    * purchase window (`e_lo ∈ [p_lo, p_hi]`), or (2) the purchase
+    * window starts STRICTLY inside the error window
+    * (`p_lo ∈ (e_lo, e_hi]`, strict lower bound = +1 µs so a shared
+    * start point isn't double-counted) — each a co-partitioned
+    * sliding-window merge ([[graft.plans.RangeJoinOps.rangeJoin]],
+    * codegen'd, AQE-skew-mitigated), unioned then aggregated to
+    * per-user overlap counts and durations (min(hi) − max(lo),
+    * closed-interval convention so touching endpoints count with
+    * duration 0). Scale: two linear merges on the same (user) key —
+    * the exchanges are reused across the two cases — never a per-key
+    * cross product; the oracle is the plain θ-join.
+    */
+  private val q528 = QueryDef(
+    "q528_interval_overlap_join",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val us = expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ " +
+        "'1970-01-01 00:00:00', ts)")
+      val H = 3600000000L
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), col("event_id").as("p_id"),
+          us.as("p_lo"))
+        .withColumn("p_hi", col("p_lo") + 2 * H)
+      val err = e.where(col("event_type") === "error")
+        .select(col("user_id").as("eu"), col("event_id").as("e_id"),
+          us.as("e_lo"))
+        .withColumn("e_hi", col("e_lo") + H)
+      val cols = Seq(col("u"), col("p_id"), col("e_id"),
+        col("p_lo"), col("p_hi"), col("e_lo"), col("e_hi"))
+      val c1 = graft.plans.RangeJoinOps.rangeJoin(p, err,
+          Seq("u"), Seq("eu"), "p_lo", "p_hi", "e_lo")
+        .select(cols: _*)
+      val c2 = graft.plans.RangeJoinOps.rangeJoin(
+          err.withColumn("olo", col("e_lo") + 1L), p,
+          Seq("eu"), Seq("u"), "olo", "e_hi", "p_lo")
+        .select((col("eu").as("u") +: cols.tail): _*)
+      c1.unionAll(c2)
+        .withColumn("ov_us",
+          least(col("p_hi"), col("e_hi")) -
+            greatest(col("p_lo"), col("e_lo")))
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("ov_us")).as("overlap_us_total"),
+          max(col("ov_us")).as("overlap_us_max"))
+        .select(col("u").as("user_id"), col("n_overlaps"),
+          col("overlap_us_total"), col("overlap_us_max"))
+        .orderBy("user_id")
+    },
+    Some("""WITH p AS (SELECT user_id AS u, event_id AS p_id,
+          epoch_us(ts) AS p_lo, epoch_us(ts) + 7200000000 AS p_hi
+        FROM events WHERE event_type = 'purchase'),
+      e AS (SELECT user_id AS eu, event_id AS e_id,
+          epoch_us(ts) AS e_lo, epoch_us(ts) + 3600000000 AS e_hi
+        FROM events WHERE event_type = 'error'),
+      pairs AS (SELECT u, p_id, e_id,
+          least(p_hi, e_hi) - greatest(p_lo, e_lo) AS ov
+        FROM p JOIN e ON eu = u AND p_lo <= e_hi AND e_lo <= p_hi)
+      SELECT u AS user_id, count(*)::BIGINT AS n_overlaps,
+        sum(ov)::BIGINT AS overlap_us_total,
+        max(ov)::BIGINT AS overlap_us_max
+      FROM pairs GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -6612,5 +6684,5 @@ object Events {
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
       q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510,
-      q512, q513, q514, q516, q518, q520, q523, q525, q527)
+      q512, q513, q514, q516, q518, q520, q523, q525, q527, q528)
 }
