@@ -1,13 +1,15 @@
 package graft.plans
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.execution.metric.SQLMetrics
-import org.apache.spark.sql.types.{DateType, IntegerType}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType}
 
 /** Broadcast variant of the native as-of join (see [[AsOfJoin]]).
   *
@@ -58,7 +60,8 @@ final case class BroadcastAsOfJoinExec(
     forward: Boolean,
     strict: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan)
+  extends BinaryExecNode with CodegenSupport {
 
   require(leftKeys.length == rightKeys.length,
     "as-of join: key arity mismatch")
@@ -108,133 +111,44 @@ final case class BroadcastAsOfJoinExec(
     case other => other.asInstanceOf[Long]
   }
 
+  /** Bound-expression bundle + per-executor index memo shared by the
+    * interpreted and codegen paths. Built at EXECUTION time (it holds
+    * the broadcast handle), shipped to tasks in the closure or the
+    * generated class's references array.
+    */
+  private def makeLookup(): BroadcastAsOfLookup = {
+    val rOut = right.output
+    val lOut = left.output
+    val rBind = if (leftOuter) rOut.map(_.withNullability(true)) else rOut
+    new BroadcastAsOfLookup(
+      right.executeBroadcast[Array[InternalRow]](),
+      rightKeys.map(BindReferences.bindReference(_, rOut)),
+      BindReferences.bindReference(rightTime, rOut),
+      rightTieBreak.map(t => BindReferences.bindReference(t, rOut)),
+      leftKeys.map(BindReferences.bindReference(_, lOut)),
+      BindReferences.bindReference(leftTime, lOut),
+      isPrimitiveTime, leftTime.dataType,
+      forward, strict, toleranceUs,
+      rBind.map(_.dataType).toArray,
+      longMetric("numMatched"))
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val rOut = right.output
     val lOut = left.output
-    val rKeysB = rightKeys.map(BindReferences.bindReference(_, rOut))
-    val lKeysB = leftKeys.map(BindReferences.bindReference(_, lOut))
-    val rTimeB = BindReferences.bindReference(rightTime, rOut)
-    val lTimeB = BindReferences.bindReference(leftTime, lOut)
-    val sortOrders = (SortOrder(rTimeB,
-        org.apache.spark.sql.catalyst.expressions.Ascending)
-      +: rightTieBreak.map(t => SortOrder(
-        BindReferences.bindReference(t, rOut),
-        org.apache.spark.sql.catalyst.expressions.Ascending)))
-    val primitive = isPrimitiveTime
-    val timeType = leftTime.dataType
-    val tol = toleranceUs
     val outer = leftOuter
-    val fwd = forward
-    val excl = strict
     val outAtts = output
     val numOut = longMetric("numOutputRows")
-    val numMatchedM = longMetric("numMatched")
-
-    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val lookup = makeLookup()
 
     left.execute().mapPartitions { lIter =>
-      val index = AsOfIndexCache.getOrBuild(bc.value, () => {
-        val keyProj = UnsafeProjection.create(rKeysB)
-        // codegen'd (time, tieBreak) ordering over right rows
-        val ord = RowOrdering.create(sortOrders, Nil)
-        val map = new java.util.HashMap[UnsafeRow,
-          scala.collection.mutable.ArrayBuffer[InternalRow]]()
-        bc.value.foreach { r =>
-          val rt = rTimeB.eval(r)
-          if (rt != null) {
-            val k = keyProj(r)
-            if (!rKeysB.indices.exists(k.isNullAt)) {
-              var buf = map.get(k)
-              if (buf == null) {
-                buf = new scala.collection.mutable.ArrayBuffer[InternalRow]()
-                map.put(k.copy(), buf)
-              }
-              buf += r
-            }
-          }
-        }
-        val groups = new java.util.HashMap[UnsafeRow, AsOfGroup](
-          map.size * 2 + 1)
-        map.forEach { (k, buf) =>
-          val rows = buf.toArray.sortWith((a, b) => ord.compare(a, b) < 0)
-          val g =
-            if (primitive) {
-              val times = rows.map(r => toLongTime(rTimeB.eval(r)))
-              new AsOfGroup(rows, times, null)
-            } else {
-              val times = rows.map(r => rTimeB.eval(r))
-              new AsOfGroup(rows, null, times)
-            }
-          groups.put(k, g)
-        }
-        groups
-      })
-
-      val lKeyProj = UnsafeProjection.create(lKeysB)
       val rBind = if (outer) rOut.map(_.withNullability(true)) else rOut
       val joiner = UnsafeProjection.create(outAtts, lOut ++ rBind)
       val joined = new JoinedRow()
-      val nullRight = new GenericInternalRow(rOut.length)
-      val anyOrd =
-        if (primitive) null
-        else TypeUtils.getInterpretedOrdering(timeType).asInstanceOf[Ordering[Any]]
-
+      val nullRight = lookup.nullRow()
       lIter.flatMap { l =>
-        val lt = lTimeB.eval(l)
-        var matched: InternalRow = null
-        if (lt != null) {
-          val k = lKeyProj(l)
-          if (!lKeysB.indices.exists(k.isNullAt)) {
-            val g = index.get(k)
-            if (g != null) {
-              // first index with time > lt (inclusive bound) or >= lt
-              // (strict bound); classic lower/upper-bound bisection
-              val n = g.rows.length
-              val idx =
-                if (primitive) {
-                  val t = toLongTime(lt)
-                  var lo = 0; var hi = n
-                  while (lo < hi) {
-                    val mid = (lo + hi) >>> 1
-                    val c = java.lang.Long.compare(g.timesLong(mid), t)
-                    val goRight = if (fwd) {
-                      if (excl) c <= 0 else c < 0 // first >= / > lt
-                    } else {
-                      if (excl) c < 0 else c <= 0 // first > / >= lt
-                    }
-                    if (goRight) lo = mid + 1 else hi = mid
-                  }
-                  lo
-                } else {
-                  var lo = 0; var hi = n
-                  while (lo < hi) {
-                    val mid = (lo + hi) >>> 1
-                    val c = anyOrd.compare(g.timesAny(mid), lt)
-                    val goRight = if (fwd) {
-                      if (excl) c <= 0 else c < 0
-                    } else {
-                      if (excl) c < 0 else c <= 0
-                    }
-                    if (goRight) lo = mid + 1 else hi = mid
-                  }
-                  lo
-                }
-              // backward: candidate = idx-1 (last ≤/< lt);
-              // forward: candidate = idx (first ≥/> lt)
-              val cand = if (fwd) idx else idx - 1
-              if (cand >= 0 && cand < n) {
-                val within = tol.forall { t =>
-                  val rt = g.timesLong(cand)
-                  val lv = toLongTime(lt)
-                  if (fwd) rt - lv <= t else lv - rt <= t
-                }
-                if (within) matched = g.rows(cand)
-              }
-            }
-          }
-        }
+        val matched = lookup.findRow(l)
         if (matched != null) {
-          numMatchedM += 1
           numOut += 1
           Iterator.single(joiner(joined(l, matched)))
         } else if (outer) {
@@ -243,6 +157,236 @@ final case class BroadcastAsOfJoinExec(
         } else Iterator.empty
       }
     }
+  }
+
+  // ---- whole-stage codegen (the BroadcastHashJoin participation
+  // shape: the streamed fact side produces THROUGH this node, and
+  // doConsume appends the broadcast lookup inline — scan → as-of →
+  // downstream fuse into one stage with zero fact-side exchanges) ----
+
+  /** Primitive (long-backed/date) times only — the generated call site
+    * passes the time as a primitive long; other orderable types take
+    * the interpreted path (rare, and tolerance already requires
+    * long-backed).
+    */
+  override def supportCodegen: Boolean = isPrimitiveTime
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  /** ≤1 output row per streamed row and the matched right rows live in
+    * the stable broadcast array, so copy requirements are exactly the
+    * streamed side's (the default implementation throws on binary
+    * nodes — every codegen join must answer this itself).
+    */
+  override def needCopyResult: Boolean = left match {
+    case c: CodegenSupport => c.needCopyResult
+    case _ => false
+  }
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    ctx.freshNamePrefix = "bcasof"
+    val lOut = left.output
+    val lKeysBnd = leftKeys.map(BindReferences.bindReference(_, lOut))
+    val lTimeBnd = BindReferences.bindReference(leftTime, lOut)
+    val lookupTerm = ctx.addReferenceObj("bcasofLookup", makeLookup(),
+      classOf[BroadcastAsOfLookup].getName)
+    // left key (UnsafeRow) + primitive time evaluated from the streamed
+    // side's column variables
+    ctx.currentVars = input
+    val keyEv = GenerateUnsafeProjection.createCode(ctx, lKeysBnd)
+    val timeEv = lTimeBnd.genCode(ctx)
+    val matched = ctx.freshName("bcasofMatched")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val rBind =
+      if (leftOuter) right.output.map(_.withNullability(true))
+      else right.output
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matched
+    val rightVars = rBind.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    if (leftOuter) {
+      s"""
+         |${keyEv.code}
+         |${timeEv.code}
+         |InternalRow $matched = null;
+         |if (!(${timeEv.isNull}) && !${keyEv.value}.anyNull()) {
+         |  $matched = $lookupTerm.find(${keyEv.value}, ${timeEv.value});
+         |}
+         |if ($matched == null) { $matched = $lookupTerm.nullRow(); }
+         |$numOutput.add(1);
+         |${evaluateVariables(rightVars)}
+         |${consume(ctx, input ++ rightVars)}
+       """.stripMargin
+    } else {
+      s"""
+         |${keyEv.code}
+         |${timeEv.code}
+         |InternalRow $matched = null;
+         |if (!(${timeEv.isNull}) && !${keyEv.value}.anyNull()) {
+         |  $matched = $lookupTerm.find(${keyEv.value}, ${timeEv.value});
+         |}
+         |if ($matched != null) {
+         |  $numOutput.add(1);
+         |  ${evaluateVariables(rightVars)}
+         |  ${consume(ctx, input ++ rightVars)}
+         |}
+       """.stripMargin
+    }
+  }
+}
+
+/** Serializable bound-expression bundle for the broadcast as-of
+  * lookup: builds (once per executor, memoized on the broadcast value
+  * through [[AsOfIndexCache]]) the per-key time-sorted index, and
+  * resolves one left row to its matched right row (or null).
+  * [[find]] is the codegen entry point (primitive time passed as a
+  * long); [[findRow]] the interpreted one (evaluates key/time off the
+  * row, any orderable time type).
+  */
+private[plans] final class BroadcastAsOfLookup(
+    bc: Broadcast[Array[InternalRow]],
+    rKeysB: Seq[Expression],
+    rTimeB: Expression,
+    rTieB: Seq[Expression],
+    lKeysB: Seq[Expression],
+    lTimeB: Expression,
+    primitive: Boolean,
+    timeType: DataType,
+    fwd: Boolean,
+    excl: Boolean,
+    tol: Option[Long],
+    nullRightTypes: Array[DataType],
+    numMatched: SQLMetric) extends Serializable {
+
+  private def toLongTime(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case other => other.asInstanceOf[Long]
+  }
+
+  @transient private lazy val index = AsOfIndexCache.getOrBuild(bc.value,
+    () => {
+      val keyProj = UnsafeProjection.create(rKeysB)
+      // codegen'd (time, tieBreak) ordering over right rows
+      val ord = RowOrdering.create(
+        SortOrder(rTimeB, Ascending) +:
+          rTieB.map(SortOrder(_, Ascending)), Nil)
+      val map = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[InternalRow]]()
+      bc.value.foreach { r =>
+        val rt = rTimeB.eval(r)
+        if (rt != null) {
+          val k = keyProj(r)
+          if (!rKeysB.indices.exists(k.isNullAt)) {
+            var buf = map.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+              map.put(k.copy(), buf)
+            }
+            buf += r
+          }
+        }
+      }
+      val groups = new java.util.HashMap[UnsafeRow, AsOfGroup](
+        map.size * 2 + 1)
+      map.forEach { (k, buf) =>
+        val rows = buf.toArray.sortWith((a, b) => ord.compare(a, b) < 0)
+        val g =
+          if (primitive) {
+            val times = rows.map(r => toLongTime(rTimeB.eval(r)))
+            new AsOfGroup(rows, times, null)
+          } else {
+            val times = rows.map(r => rTimeB.eval(r))
+            new AsOfGroup(rows, null, times)
+          }
+        groups.put(k, g)
+      }
+      groups
+    })
+
+  @transient private lazy val lKeyProj = UnsafeProjection.create(lKeysB)
+  @transient private lazy val anyOrd =
+    if (primitive) null
+    else TypeUtils.getInterpretedOrdering(timeType).asInstanceOf[Ordering[Any]]
+  @transient private lazy val nullRowU: InternalRow =
+    UnsafeProjection.create(nullRightTypes)
+      .apply(new GenericInternalRow(nullRightTypes.length)).copy()
+
+  /** Shared all-null right row for outer extension. */
+  def nullRow(): InternalRow = nullRowU
+
+  /** Codegen entry: match for (key, primitive time), or null. */
+  def find(key: UnsafeRow, t: Long): InternalRow = {
+    val g = index.get(key)
+    if (g == null) return null
+    // first index with time > t (inclusive bound) or >= t (strict
+    // bound); classic lower/upper-bound bisection
+    val n = g.rows.length
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val c = java.lang.Long.compare(g.timesLong(mid), t)
+      val goRight = if (fwd) {
+        if (excl) c <= 0 else c < 0 // first >= / > t
+      } else {
+        if (excl) c < 0 else c <= 0 // first > / >= t
+      }
+      if (goRight) lo = mid + 1 else hi = mid
+    }
+    // backward: candidate = lo-1 (last ≤/< t); forward: lo (first ≥/> t)
+    val cand = if (fwd) lo else lo - 1
+    if (cand >= 0 && cand < n) {
+      val within = tol.forall { w =>
+        val rt = g.timesLong(cand)
+        if (fwd) rt - t <= w else t - rt <= w
+      }
+      if (within) {
+        numMatched += 1
+        return g.rows(cand)
+      }
+    }
+    null
+  }
+
+  /** Interpreted entry: evaluates key/time off the left row; handles
+    * non-primitive orderable time types through the interpreted
+    * ordering.
+    */
+  def findRow(l: InternalRow): InternalRow = {
+    val lt = lTimeB.eval(l)
+    if (lt == null) return null
+    val k = lKeyProj(l)
+    if (lKeysB.indices.exists(k.isNullAt)) return null
+    if (primitive) return find(k, toLongTime(lt))
+    val g = index.get(k)
+    if (g == null) return null
+    val n = g.rows.length
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val c = anyOrd.compare(g.timesAny(mid), lt)
+      val goRight = if (fwd) {
+        if (excl) c <= 0 else c < 0
+      } else {
+        if (excl) c < 0 else c <= 0
+      }
+      if (goRight) lo = mid + 1 else hi = mid
+    }
+    val cand = if (fwd) lo else lo - 1
+    // tolerance requires long-backed times (constructor guard), which
+    // always take the primitive branch — no tolerance check here
+    if (cand >= 0 && cand < n) {
+      numMatched += 1
+      g.rows(cand)
+    } else null
   }
 }
 

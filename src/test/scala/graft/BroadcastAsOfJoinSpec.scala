@@ -177,4 +177,33 @@ class BroadcastAsOfJoinSpec extends AnyFunSuite {
     assert(outer.count() === 1L)
     assert(outer.where(col("rid").isNotNull).count() === 0L)
   }
+
+  test("whole-stage codegen: the streamed side produces THROUGH the " +
+    "broadcast exec (fused stage compiles), results equal codegen-off") {
+    import spark.implicits._
+    val (l, r) = randFrames(41)
+    for ((fwd, outer, tol) <- Seq(
+      (false, false, None), (false, true, Some(25L)),
+      (true, true, None))) {
+      def run(): Set[(Long, Long, Option[Long])] =
+        AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+          rightTieBreak = Seq("rid"), toleranceUs = tol,
+          leftOuter = outer, forward = fwd, broadcast = Some(true))
+          .select(col("t"), col("lid"), col("rid"))
+          .as[(Long, Long, Option[Long])].collect().toSet
+      val df = AsOf.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        rightTieBreak = Seq("rid"), toleranceUs = tol,
+        leftOuter = outer, forward = fwd, broadcast = Some(true))
+      df.collect(): Unit
+      CodegenTestUtil.assertStageCompiles(df) {
+        case _: BroadcastAsOfJoinExec =>
+      }
+      val on = run()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val off = try run()
+        finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(on === off, s"fwd=$fwd outer=$outer tol=$tol")
+      assert(on.nonEmpty)
+    }
+  }
 }
