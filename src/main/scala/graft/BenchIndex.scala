@@ -33,7 +33,24 @@ object BenchIndex {
     val (sec, arts) = (1 to 2).map(_ => once()).minBy(_._1)
     val bandRows = spark.table(arts.bandsTable).count()
     val postRows = spark.table(arts.postingsTable).count()
+
+    // COMPACTION cost: appending one accepted wave (docs % 10 >= 8,
+    // ~1/4 of the corpus slice — a deliberately OVERSIZED day so the
+    // number is conservative) into existing artifacts, vs the full
+    // re-bootstrap above. This is the daily-maintenance numerator the
+    // q529 contract claims is ∝ batch, not corpus.
+    def compactOnce(i: Int): Double = {
+      val base = StandingIndex.bootstrapWhere(spark, sfDir, s"_bench$i",
+        "doc_id % 10 >= 2 AND doc_id % 10 <= 7")
+      val delta = graft.ops.Dedup.inverted(spark, sfDir)
+        .where(org.apache.spark.sql.functions.expr("doc_id % 10 >= 8"))
+      val t0 = System.nanoTime()
+      StandingIndex.compactInto(spark, base, delta)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val compactSec = (1 to 2).map(compactOnce).min
     println(f"""{"metric":"standing_index_bootstrap","sec":$sec%.2f,""" +
+      f""""compact_append_sec":$compactSec%.2f,""" +
       s""""band_rows":$bandRows,"posting_rows":$postRows,""" +
       s""""buckets":${StandingIndex.NBuckets},"sf":"$sfDir"}""")
     spark.stop()

@@ -3576,11 +3576,131 @@ object Dedup {
         coalesce(n_disagree, 0)::BIGINT AS n_disagree
       FROM ss FULL JOIN bs ON bs.b = ss.b ORDER BY b"""))
 
+  // ---------- q529: ingest probe against a COMPACTED standing index ----
+
+  /** The day-over-day index-maintenance contract, gated end-to-end:
+    * the standing index q473 reads is bootstrapped ONCE, but real
+    * pipelines then grow it daily — each wave's accepted docs must be
+    * appended so the NEXT wave's probe sees them, without ever
+    * re-shingling the corpus. Here the index is built in two
+    * generations ([[StandingIndex.ensureCompacted]]): a partial
+    * bootstrap (doc_id % 10 in 2..7) plus one [[StandingIndex
+    * .compactInto]] append wave (% 10 in {8, 9}) — appended files
+    * follow the catalog bucket spec, so the probe's bucket pruning and
+    * partitioning survive compaction — and the arriving batch
+    * (% 10 < 2) is probed against the COMPACTED artifacts exactly as
+    * q473 probes the one-shot index. Because generations 1 + 2 cover
+    * precisely the % 10 >= 2 corpus, the DuckDB oracle is the plain
+    * union-corpus probe: any append defect (lost rows, wrong bucket
+    * file, missing postings) shifts candidates/verdicts and fails the
+    * hash. `n_cand_appended` counts candidates contributed by the
+    * APPENDED generation (nonzero at gate SF), so the output also
+    * proves the compacted rows are live, not just present.
+    * Scale shape: identical to q473 (batch bands shuffle or broadcast
+    * against the bucketed standing table; corpus never shuffles) plus
+    * an append cost ∝ accepted-batch size — measured against a full
+    * re-bootstrap in BenchIndex.
+    */
+  private val q529 = QueryDef(
+    "q529_ingest_index_compaction",
+    (s, dir) => {
+      val arts = StandingIndex.ensureCompacted(s, dir)
+      val batchInv = persistedInverted(s, dir)
+        .where(expr("doc_id % 10 < 2"))
+      val oldBands = s.table(arts.bandsTable)
+      val oldPost = s.table(arts.postingsTable)
+      val newBands = minhashBands(batchInv)
+      val cand = newBands.alias("n")
+        .join(oldBands.alias("o"),
+          col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+        .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
+        .distinct()
+      val sizesNew = batchInv.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+      val sizesOld = oldPost.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+      val j = cand
+        .join(batchInv.select(col("doc_id").as("doc_new"), col("h")),
+          "doc_new")
+        .join(oldPost.select(col("doc_id").as("doc_old"), col("h")),
+          Seq("doc_old", "h"))
+        .groupBy(col("doc_new"), col("doc_old"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizesNew.select(col("doc_id").as("doc_new"), col("n").as("nn")),
+          "doc_new")
+        .join(sizesOld.select(col("doc_id").as("doc_old"), col("n").as("no")),
+          "doc_old")
+        .select(col("doc_new"), col("doc_old"),
+          (col("n_common").cast("double")
+            / (col("nn") + col("no") - col("n_common"))).as("jaccard"))
+      val cagg = cand.groupBy(col("doc_new"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("doc_old") % 10 >= 8, 1L).otherwise(0L))
+            .as("n_cand_appended"))
+      val dagg = j.where(col("jaccard") >= 0.5)
+        .groupBy(col("doc_new"))
+        .agg(count(lit(1)).as("n_dups"),
+          max(col("jaccard")).as("best_jaccard"),
+          min(col("doc_old")).as("dup_of"))
+      docs(s, dir).where(expr("doc_id % 10 < 2")).select(col("doc_id"))
+        .join(cagg.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"),
+          "left_outer")
+        .join(dagg.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"),
+          "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_cand_appended"), lit(0L)).as("n_cand_appended"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("best_jaccard"), col("dup_of"),
+          when(col("dup_of").isNull, "keep").otherwise("drop")
+            .as("verdict"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val minSelects = minSelectsDuck
+      val bandSelects = (0 until NBands).map { bnd =>
+        s"SELECT doc_id, $bnd AS band, md5(mh${2 * bnd}::VARCHAR || ',' || " +
+          s"mh${2 * bnd + 1}::VARCHAR) AS bkey FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shingledDuckCte,
+      mh AS (SELECT doc_id, $minSelects FROM inv GROUP BY doc_id),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+        FROM bands n JOIN bands o
+        ON n.band = o.band AND n.bkey = o.bkey
+        WHERE n.doc_id % 10 < 2 AND o.doc_id % 10 >= 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY 1),
+      jac AS (SELECT c.doc_new, c.doc_old,
+          count(*)::DOUBLE / (sn.n + so.n - count(*)) AS jaccard
+        FROM cand c
+        JOIN inv a ON a.doc_id = c.doc_new
+        JOIN inv b ON b.doc_id = c.doc_old AND b.h = a.h
+        JOIN sizes sn ON sn.doc_id = c.doc_new
+        JOIN sizes so ON so.doc_id = c.doc_old
+        GROUP BY c.doc_new, c.doc_old, sn.n, so.n),
+      cagg AS (SELECT doc_new, count(*)::BIGINT AS n_cand,
+          sum(CASE WHEN doc_old % 10 >= 8 THEN 1 ELSE 0 END)::BIGINT
+            AS n_cand_appended
+        FROM cand GROUP BY 1),
+      dagg AS (SELECT doc_new, count(*)::BIGINT AS n_dups,
+          max(jaccard) AS best_jaccard, min(doc_old)::BIGINT AS dup_of
+        FROM jac WHERE jaccard >= 0.5 GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_cand, 0)::BIGINT AS n_cand,
+        coalesce(n_cand_appended, 0)::BIGINT AS n_cand_appended,
+        coalesce(n_dups, 0)::BIGINT AS n_dups, best_jaccard, dup_of,
+        CASE WHEN dup_of IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+      FROM documents d
+      LEFT JOIN cagg ON cagg.doc_new = d.doc_id
+      LEFT JOIN dagg ON dagg.doc_new = d.doc_id
+      WHERE d.doc_id % 10 < 2
+      ORDER BY d.doc_id"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(q17, q18, q19, q20, q21, q38, q39, q48, q49, q57, q76, q81, q82,
       q90, q92, q93, q104, q111, q115, q118, q120, q122, q124, q140,
       q146, q148, q150, q151, q152, q154, q156, q157, q184, q190, q194,
       q201, q204, q246, q321, q336, q381, q473, q490, q491, q499, q500,
-      q506)
+      q506, q529)
 
 }

@@ -157,9 +157,12 @@ class PersistedSketchSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Boolean]("merge_equals_full")),
       s"persisted KMV merge != full recompute: ${out.toSeq}")
-    // the artifact it left behind opens cleanly elsewhere
+    // the artifact it left behind opens cleanly elsewhere (scratch
+    // path carries the applicationId — the per-run suffix that keeps
+    // concurrent runs from racing on mode(overwrite))
     val stateDir = s"${sys.props("java.io.tmpdir")}/graft_q521_" +
-      sf.replaceAll("[^A-Za-z0-9]", "_")
+      sf.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     val s2 = spark.newSession()
     val re = s2.read.parquet(stateDir)
     assert(re.columns.toSet === Set("o_orderpriority", "n_standing",
