@@ -46,7 +46,8 @@ object BenchRange {
     val b = e.select(col("user_id").as("bu"), col("event_id").as("b_id"),
       col("us").as("b_us"))
     checksum(graft.plans.RangeJoinOps.rangeJoin(a, b,
-      Seq("u"), Seq("bu"), "a_us", "a_hi", "b_us")
+      Seq("u"), Seq("bu"), "a_us", "a_hi", "b_us",
+      broadcastHint = Some(false))
       .where(col("a_id") < col("b_id")))
   }
 
@@ -106,7 +107,37 @@ object BenchRange {
       }).min
       f""""${pn}_$in":$sec%.3f"""
     }).mkString(",")
-    println(s"""{"metric":"range_join",$fields,"sf":"$sfDir"}""")
+
+    // fact×dim point (q532's shape): every order's 30-day window over
+    // the ≤5×months policy-revision dim — the shape where the
+    // BROADCAST exec exists: merge shuffles+sorts the whole fact side,
+    // broadcast leaves it in scan order. Same count() checksum both
+    // ways, equality asserted before timing.
+    def dimShape(bcast: Boolean): DataFrame = {
+      val o = Fixtures.table(spark, sfDir, "orders")
+      val facts = o.select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"))
+        .withColumn("win_hi", expr("timestampadd(DAY, 30, o_orderdate)"))
+      val dim = o.where(col("o_totalprice") > 480000.0)
+        .select(col("o_orderpriority").as("p_priority"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+            .as("policy_ts"))
+        .distinct()
+      graft.plans.RangeJoinOps.rangeJoin(facts, dim,
+        Seq("o_orderpriority"), Seq("p_priority"),
+        "o_orderdate", "win_hi", "policy_ts",
+        leftOuter = true, broadcastHint = Some(bcast))
+        .agg(count(lit(1)).as("n"), count(col("policy_ts")).as("m"))
+    }
+    require(dimShape(bcast = true).collect().head
+      == dimShape(bcast = false).collect().head, "dim-shape impl mismatch")
+    val dimFields = Seq(true, false).map { b =>
+      val sec = (1 to 2).map(_ => time {
+        dimShape(b).queryExecution.toRdd.count(): Unit
+      }).min
+      f""""dim30d_${if (b) "bcast" else "merge"}":$sec%.3f"""
+    }.mkString(",")
+    println(s"""{"metric":"range_join",$fields,$dimFields,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -56,6 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.plans.AsOfSqlSurface.FUNCTION_NAME),
       (children: Seq[Expression]) => graft.plans.AsOfSqlSurface.build(children)))
     ext.injectResolutionRule(_ => graft.plans.ResolveGraftAsOfJoin)
+    // table-valued function: SQL-text surface for the native range
+    // join (see plans/RangeSqlSurface.scala)
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.plans.RangeSqlSurface.FUNCTION_NAME),
+      new ExpressionInfo(graft.plans.UnresolvedRangeJoin.getClass.getName,
+        graft.plans.RangeSqlSurface.FUNCTION_NAME),
+      (children: Seq[Expression]) => graft.plans.RangeSqlSurface.build(children)))
+    ext.injectResolutionRule(_ => graft.plans.ResolveGraftRangeJoin)
     ext.injectOptimizerRule(_ => SelfCosineRule)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

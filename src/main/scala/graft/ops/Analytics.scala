@@ -10409,6 +10409,57 @@ object Analytics {
       ON o.o_orderpriority = d.p_priority AND o.o_orderdate <= d.policy_ts
       ORDER BY o.o_orderkey"""))
 
+  // ---------- q532: broadcast RANGE join — revisions inside a window ----
+
+  /** The canonical BroadcastRangeJoinExec shape (round 14): q522's
+    * calendar-bounded policy dim probed by INTERVAL — every revision
+    * inside each order's own 30-day monitoring window
+    * [o_orderdate, o_orderdate + 30 d], not just the latest-before
+    * (as-of answers "which revision governs this order"; this answers
+    * "how much churn does the order sit through"). The dim stays ≤ 5
+    * priorities × months forever, so `broadcastHint = Some(true)` is
+    * PINNED: the fact table never shuffles or sorts — scan → broadcast
+    * probe loop (per-key time-sorted index, lower-bound bisection,
+    * emit the run) → partial-aggregable count, zero fact-side
+    * exchanges at 100 TB where the merge exec would shuffle the fact
+    * twice. Left-outer keeps revision-free windows (count 0 via
+    * count(col)'s null-skipping). BroadcastRangeJoinSpec pins the
+    * exec-vs-exec matrix; this gates it end-to-end against the plain
+    * DuckDB inequality LEFT JOIN.
+    */
+  private val q532 = QueryDef(
+    "q532_range_policy_churn",
+    (s, dir) => {
+      val o = Fixtures.table(s, dir, "orders")
+      val facts = o.select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"))
+        .withColumn("win_hi",
+          expr("timestampadd(DAY, 30, o_orderdate)"))
+      val dim = o.where(col("o_totalprice") > 480000.0)
+        .select(col("o_orderpriority").as("p_priority"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+            .as("policy_ts"))
+        .distinct()
+      graft.plans.RangeJoinOps.rangeJoin(facts, dim,
+        Seq("o_orderpriority"), Seq("p_priority"),
+        "o_orderdate", "win_hi", "policy_ts",
+        leftOuter = true, broadcastHint = Some(true))
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("policy_ts")).as("n_revisions"),
+          min(col("policy_ts")).as("first_revision"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH d AS (SELECT DISTINCT o_orderpriority AS p_priority,
+        date_trunc('month', o_orderdate) AS policy_ts
+      FROM orders WHERE o_totalprice > 480000)
+      SELECT o.o_orderkey, count(d.policy_ts)::BIGINT AS n_revisions,
+        min(d.policy_ts) AS first_revision
+      FROM orders o LEFT JOIN d
+      ON d.p_priority = o.o_orderpriority
+      AND d.policy_ts >= o.o_orderdate
+      AND d.policy_ts <= o.o_orderdate + INTERVAL 30 DAY
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q31, q32, q40, q41, q42, q45, q46, q58, q59, q60, q71, q74, q75,
       q77, q88, q89, q94, q105, q114, q147, q158, q160, q161, q162,
@@ -10423,5 +10474,5 @@ object Analytics {
       q349, q350, q351, q352, q353, q355, q357, q358, q360, q361, q362,
       q363, q371, q372, q373, q374, q375, q383, q385, q388, q389, q397,
       q398, q400, q401, q403, q407, q408, q409, q410, q411, q412, q492,
-      q501, q517, q522, q524)
+      q501, q517, q522, q524, q532)
 }

@@ -6675,6 +6675,66 @@ object Events {
         max(ov)::BIGINT AS overlap_us_max
       FROM pairs GROUP BY 1 ORDER BY 1"""))
 
+  // ---------- q530: range join through the SQL-text surface ------------
+
+  /** q527's variable-width outer range join expressed ENTIRELY in SQL
+    * text through the `graft_range_join` table-valued function
+    * (plans/RangeSqlSurface, injectTableFunction + a resolution rule)
+    * — the second native operator reaching the SQL-text rung the way
+    * q520 proved for the as-of join, so BOTH whole-operator additions
+    * are available to SQL-driven consumers without a line of Scala.
+    * Same relations, same window arithmetic, same ORACLE SQL shape as
+    * q527: the TVF lowers to the identical [[graft.plans.RangeJoin]]
+    * node and from there the identical codegen'd co-partitioned merge,
+    * so hash equality between the two gate entries is the point.
+    * View hygiene per q520's convention: unique per-call names, bound
+    * eagerly by spark.sql's analysis, dropped before returning.
+    */
+  private val q530 = QueryDef(
+    "q530_range_sql_surface",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val us = expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ " +
+        "'1970-01-01 00:00:00', ts)")
+      val H = 3600000000L
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val purchView = s"q530_purch_$tag"
+      val errView = s"q530_err_$tag"
+      e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), col("event_id").as("p_id"),
+          us.as("p_us"))
+        .withColumn("p_hi",
+          col("p_us") + (lit(1L) + col("p_id") % 3) * H)
+        .createOrReplaceTempView(purchView)
+      e.where(col("event_type") === "error")
+        .select(col("user_id").as("eu"), col("event_id").as("e_id"),
+          us.as("e_us"))
+        .createOrReplaceTempView(errView)
+      try s.sql(s"""
+        SELECT p_id AS purchase_id, count(e_id) AS n_errors,
+          min(e_id) AS first_error_id,
+          max(e_us - p_us) AS max_lag_us
+        FROM graft_range_join(
+          '$purchView', '$errView',
+          'u', 'eu', 'p_us', 'p_hi', 'e_us', 'outer')
+        GROUP BY p_id ORDER BY purchase_id""")
+      finally {
+        s.catalog.dropTempView(purchView): Unit
+        s.catalog.dropTempView(errView): Unit
+      }
+    },
+    Some("""SELECT p.event_id AS purchase_id,
+      count(e.event_id) AS n_errors,
+      min(e.event_id) AS first_error_id,
+      max(epoch_us(e.ts) - epoch_us(p.ts)) AS max_lag_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON e.user_id = p.user_id
+      AND epoch_us(e.ts) >= epoch_us(p.ts)
+      AND epoch_us(e.ts) <= epoch_us(p.ts)
+        + (1 + p.event_id % 3) * 3600000000
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(q24, q25, q26, q27, q28, q53, q54, q56, q61, q68, q69, q70, q72,
       q73, q83, q87, q95, q98, q99, q100, q103, q108, q113, q117, q126,
@@ -6684,5 +6744,6 @@ object Events {
       q329, q331, q334, q335, q337, q339, q343, q344, q346, q347, q356,
       q359, q364, q365, q366, q367, q368, q369, q370, q386, q387, q390,
       q391, q392, q393, q395, q399, q402, q405, q479, q493, q494, q510,
-      q512, q513, q514, q516, q518, q520, q523, q525, q527, q528)
+      q512, q513, q514, q516, q518, q520, q523, q525, q527, q528,
+      q530)
 }

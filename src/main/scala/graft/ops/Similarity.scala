@@ -2058,6 +2058,57 @@ object Similarity {
         s"THEN ${1 << i} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** Shared oracle for the ingest ANN probe: q474 (in-plan standing
+    * structure) and q531 (the [[StandingVecIndex]] persisted form)
+    * must produce the SAME rows — the artifacts freeze exactly what
+    * the in-plan formulation computes, so one oracle gates both.
+    */
+  private lazy val ingestAnnOracle: String = {
+    val subDuck = (e: String) => (0 until 8).map { i =>
+      s"(CASE WHEN $i < s_bits AND $e[${i + 1}] >= 0 " +
+        s"THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH ex AS (SELECT label, vec_id, pos - 1 AS pos,
+        embedding[pos] AS val
+      FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(pos)
+      WHERE vec_id % 10 >= 2),
+    cent AS (SELECT label, pos,
+      list_reduce(list_prepend(0.0::DOUBLE,
+          list(val::DOUBLE ORDER BY vec_id)),
+        (acc, v) -> acc + v) / count(*) AS centroid
+      FROM ex GROUP BY label, pos),
+    cvec AS (SELECT label, list(centroid ORDER BY pos) AS cvec
+      FROM cent GROUP BY label),
+    census AS (SELECT CASE WHEN n_stand // (n_cells * 64) >= 1
+        THEN length(bin(n_stand // (n_cells * 64))) - 1
+        ELSE 0 END AS s_bits
+      FROM (SELECT count(*) AS n_stand,
+          count(DISTINCT label) AS n_cells
+        FROM embeddings WHERE vec_id % 10 >= 2)),
+    q AS (SELECT vec_id AS query_id, embedding AS qe,
+        ${subDuck("embedding")} AS sub
+      FROM embeddings, census WHERE vec_id % 10 < 2),
+    cellscore AS (SELECT query_id, qe, sub, label,
+        ${Dedup.cosDuck("qe", "cvec")} AS ccos
+      FROM q CROSS JOIN cvec),
+    assign AS (SELECT query_id, qe, sub, label AS cell FROM (
+        SELECT query_id, qe, sub, label, row_number() OVER (
+          PARTITION BY query_id ORDER BY ccos DESC, label) AS rn
+        FROM cellscore) WHERE rn = 1),
+    stand AS (SELECT label AS cell, vec_id AS neighbor_id,
+        embedding, ${subDuck("embedding")} AS sub
+      FROM embeddings, census WHERE vec_id % 10 >= 2),
+    scored AS (SELECT query_id, a.cell, b.neighbor_id,
+        ${Dedup.cosDuck("qe", "b.embedding")} AS cosine
+      FROM assign a JOIN stand b
+      ON b.cell = a.cell AND b.sub = a.sub),
+    r AS (SELECT query_id, cell, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+    SELECT query_id, cell, rnk, neighbor_id, cosine FROM r
+    WHERE rnk <= $KAnn ORDER BY query_id, rnk"""
+  }
+
   private val q474 = QueryDef(
     "q474_ingest_ann_assign",
     (s, dir) => {
@@ -2105,51 +2156,7 @@ object Similarity {
           col("neighbor_id"), col("cosine"))
         .orderBy("query_id", "rnk")
     },
-    Some {
-      val subDuck = (e: String) => (0 until 8).map { i =>
-        s"(CASE WHEN $i < s_bits AND $e[${i + 1}] >= 0 " +
-          s"THEN ${1 << i} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH ex AS (SELECT label, vec_id, pos - 1 AS pos,
-          embedding[pos] AS val
-        FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(pos)
-        WHERE vec_id % 10 >= 2),
-      cent AS (SELECT label, pos,
-        list_reduce(list_prepend(0.0::DOUBLE,
-            list(val::DOUBLE ORDER BY vec_id)),
-          (acc, v) -> acc + v) / count(*) AS centroid
-        FROM ex GROUP BY label, pos),
-      cvec AS (SELECT label, list(centroid ORDER BY pos) AS cvec
-        FROM cent GROUP BY label),
-      census AS (SELECT CASE WHEN n_stand // (n_cells * 64) >= 1
-          THEN length(bin(n_stand // (n_cells * 64))) - 1
-          ELSE 0 END AS s_bits
-        FROM (SELECT count(*) AS n_stand,
-            count(DISTINCT label) AS n_cells
-          FROM embeddings WHERE vec_id % 10 >= 2)),
-      q AS (SELECT vec_id AS query_id, embedding AS qe,
-          ${subDuck("embedding")} AS sub
-        FROM embeddings, census WHERE vec_id % 10 < 2),
-      cellscore AS (SELECT query_id, qe, sub, label,
-          ${Dedup.cosDuck("qe", "cvec")} AS ccos
-        FROM q CROSS JOIN cvec),
-      assign AS (SELECT query_id, qe, sub, label AS cell FROM (
-          SELECT query_id, qe, sub, label, row_number() OVER (
-            PARTITION BY query_id ORDER BY ccos DESC, label) AS rn
-          FROM cellscore) WHERE rn = 1),
-      stand AS (SELECT label AS cell, vec_id AS neighbor_id,
-          embedding, ${subDuck("embedding")} AS sub
-        FROM embeddings, census WHERE vec_id % 10 >= 2),
-      scored AS (SELECT query_id, a.cell, b.neighbor_id,
-          ${Dedup.cosDuck("qe", "b.embedding")} AS cosine
-        FROM assign a JOIN stand b
-        ON b.cell = a.cell AND b.sub = a.sub),
-      r AS (SELECT query_id, cell, neighbor_id, cosine,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
-      SELECT query_id, cell, rnk, neighbor_id, cosine FROM r
-      WHERE rnk <= $KAnn ORDER BY query_id, rnk"""
-    })
+    Some(ingestAnnOracle))
 
   // ---------- q476: ingest-batch centroid drift ------------------------
 
@@ -2228,7 +2235,61 @@ object Similarity {
         (round(${Dedup.cosDuck("vo", "vn")}, 9) >= 0.9999) AS stable
       FROM v ORDER BY label"""))
 
+  // ---------- q531: ANN probe against the PERSISTED vector index -------
+
+  /** q474's ingest ANN search through the [[StandingVecIndex]]
+    * PERSISTED artifacts — the vector-side twin of q529's two-job
+    * contract: a bootstrap writes the (cell, sub)-bucketed member
+    * table plus the FROZEN codebook and census (the index geometry —
+    * s_bits, centroids — ships with the index, never recomputed at
+    * probe time), and the probe reads all three through the catalog.
+    * Query routing is two tiny broadcasts (census row + codebook) and
+    * one equi-join on (cell, sub) against the bucketed members, so the
+    * standing vectors NEVER exchange at probe time — at 100 TB the
+    * daily ANN probe cost is |batch| × capped sub-cell occupancy with
+    * zero corpus shuffle, and the bootstrap is the amortized one-time
+    * pass. Same rows as q474 (the artifacts freeze exactly what the
+    * in-plan form computes over this fixture), so the shared oracle
+    * gates both and any bootstrap defect — lost members, stale
+    * geometry, a sub computed under the wrong s_bits — shifts
+    * neighbors and fails the hash. VecIndexSpec pins artifact parity,
+    * the fresh-session probe, and the bucket-scan plan property.
+    */
+  private val q531 = QueryDef(
+    "q531_ann_persisted_index",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val arts = StandingVecIndex.ensure(s, dir)
+      val census = s.table(arts.censusTable)
+      val cvecs = s.table(arts.codebookTable)
+      val batch = emb(s, dir).where(col("vec_id") % 10 < 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .crossJoin(broadcast(census))
+        .withColumn("sub", expr(subcellSpark("qe")))
+      val wCell = Window.partitionBy(col("query_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val assign = batch.crossJoin(broadcast(cvecs))
+        .select(col("query_id"), col("qe"), col("sub"), col("label"),
+          expr("graft_cosine(qe, cvec)").as("ccos"))
+        .withColumn("rn", row_number().over(wCell))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("qe"), col("sub"),
+          col("label").as("cell"))
+      val standing = s.table(arts.membersTable)
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      assign.join(standing, Seq("cell", "sub"))
+        .select(col("query_id"), col("cell"), col("neighbor_id"),
+          expr("graft_cosine(qe, ne)").as("cosine"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= KAnn)
+        .select(col("query_id"), col("cell"), col("rnk"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(ingestAnnOracle))
+
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
     q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259,
-    q260, q265, q280, q318, q332, q376, q377, q404, q474, q476)
+    q260, q265, q280, q318, q332, q376, q377, q404, q474, q476, q531)
 }

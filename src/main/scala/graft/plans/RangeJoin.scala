@@ -60,7 +60,8 @@ final case class RangeJoin(
     leftLo: Expression,
     leftHi: Expression,
     rightTime: Expression,
-    leftOuter: Boolean) extends BinaryNode {
+    leftOuter: Boolean,
+    broadcastHint: Option[Boolean] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -71,12 +72,26 @@ final case class RangeJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[RangeJoin]]; injected by GraftExtensions. */
+/** Plans [[RangeJoin]]; injected by GraftExtensions. Same pick as
+  * [[AsOfJoinStrategy]]: broadcast exec when the right side's
+  * optimized-plan stats fit under `autoBroadcastJoinThreshold` (or
+  * the node pins it via `broadcastHint`), co-partitioned merge
+  * otherwise.
+  */
 object RangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeJoin(l, r, lk, rk, lo, hi, rt, outer) =>
-      RangeJoinExec(lk, rk, lo, hi, rt, outer,
-        planLater(l), planLater(r)) :: Nil
+    case RangeJoin(l, r, lk, rk, lo, hi, rt, outer, hint) =>
+      val useBroadcast = hint.getOrElse {
+        val thr = org.apache.spark.sql.internal.SQLConf.get
+          .autoBroadcastJoinThreshold
+        thr > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= thr
+      }
+      if (useBroadcast)
+        BroadcastRangeJoinExec(lk, rk, lo, hi, rt, outer,
+          planLater(l), planLater(r)) :: Nil
+      else
+        RangeJoinExec(lk, rk, lo, hi, rt, outer,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -497,7 +512,8 @@ object RangeJoinOps {
       loCol: String,
       hiCol: String,
       rightTimeCol: String,
-      leftOuter: Boolean = false): DataFrame = {
+      leftOuter: Boolean = false,
+      broadcastHint: Option[Boolean] = None): DataFrame = {
     val spark = leftDf.sparkSession
     val resolver = spark.sessionState.conf.resolver
     val lPlan = leftDf.queryExecution.analyzed
@@ -523,6 +539,7 @@ object RangeJoinOps {
       resolve(lPlan, loCol),
       resolve(lPlan, hiCol),
       resolve(rPlan, rightTimeCol),
-      leftOuter))
+      leftOuter,
+      broadcastHint))
   }
 }

@@ -449,8 +449,11 @@ object DocStream {
     * computes its 8 (band, bkey) LSH rows ROW-LOCALLY
     * ([[Dedup.minhashBandsRowLocal]], byte-identical to the batch band
     * projection) and stream-static joins them against the STANDING
-    * corpus band table ([[graft.ops.Dedup.corpusBands]] in the batch
-    * run; in production the persisted bucketed band index). The join is
+    * corpus band table — either the session-built
+    * [[graft.ops.Dedup.corpusBands]] or, the live-deployment shape,
+    * the bootstrap-written bucketed catalog artifact
+    * ([[graft.ops.StandingIndex.bands]]; StreamingSpec pins both
+    * static sides to the same candidate set). The join is
     * completely STATELESS — new×old candidate pairs append as documents
     * arrive, 8 fixed-width probe rows per doc regardless of document
     * length (vs [[ingestNearDups]]'s per-shingle posting probes) — and

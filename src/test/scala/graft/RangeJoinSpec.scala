@@ -51,7 +51,7 @@ class RangeJoinSpec extends AnyFunSuite {
   private def native(l: DataFrame, r: DataFrame,
       outer: Boolean): Set[(Long, Option[Long])] =
     rangeJoin(l, r, Seq("k"), Seq("rk"), "lo", "hi", "t",
-      leftOuter = outer)
+      leftOuter = outer, broadcastHint = Some(false))
       .select(col("lid"), col("rid")).collect()
       .map(x => (x.getLong(0),
         if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
@@ -156,7 +156,7 @@ class RangeJoinSpec extends AnyFunSuite {
     for (outer <- Seq(false, true)) {
       def run(): Set[(Long, Option[Long])] = native(l, r, outer)
       val m = rangeJoin(l, r, Seq("k"), Seq("rk"), "lo", "hi", "t",
-        leftOuter = outer)
+        leftOuter = outer, broadcastHint = Some(false))
       m.collect(): Unit
       assertStageCompiles(m)
       val on = run()
@@ -188,7 +188,8 @@ class RangeJoinSpec extends AnyFunSuite {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "200k")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100k")
     try {
-      val m = rangeJoin(l, r, Seq("k"), Seq("rk"), "lo", "hi", "rt")
+      val m = rangeJoin(l, r, Seq("k"), Seq("rk"), "lo", "hi", "rt",
+        broadcastHint = Some(false))
         .select(col("lid"), col("rid"))
       val got = m.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
       val plan = m.queryExecution.executedPlan.toString

@@ -762,6 +762,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming ingest LSH candidates against the PERSISTED band " +
+    "artifacts == batch q473 candidate set (AvailableNow)") {
+    import graft.ops.{Dedup, StandingIndex}
+    import graft.streaming.DocStream
+    // the static side is the bootstrap-written bucketed CATALOG table —
+    // the live-deployment shape: a stream probing the persisted index,
+    // not a session-built band projection
+    val standingBands = StandingIndex.bands(spark, sf)
+    val newDocs = DocStream.readDocuments(spark, sf)
+      .where(col("doc_id") % 10 < 2)
+    val q = DocStream.ingestLshCandidates(newDocs, standingBands)
+      .writeStream.format("memory").queryName("ingestlshpersist")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ingestlshpersist").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newBands = Dedup.minhashBands(
+      Dedup.inverted(spark, sf).where(col("doc_id") % 10 < 2))
+    val want = newBands.alias("n").join(
+        Dedup.corpusBands(spark, sf).alias("o"),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+      .select(col("n.doc_id"), col("o.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming ingest SimHash candidates (stream-static block join) " +
     "== batch q491 candidate set (AvailableNow)") {
     import graft.ops.Dedup
