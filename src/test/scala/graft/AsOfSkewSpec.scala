@@ -121,8 +121,12 @@ class AsOfSkewSpec extends AnyFunSuite {
       (col("t") + 2000L).as("hi"), col("lid"))
     val r = r0.select(col("rk"), col("rt"), col("rid"))
     withSkewConf {
+      // merge pinned: this test exercises the AQE skew rewrite, which
+      // exists for the co-partitioned exec (the tiny fixture would
+      // auto-broadcast since the round-14 strategy pick)
       val m = graft.plans.RangeJoinOps.rangeJoin(l, r,
-        Seq("k"), Seq("rk"), "lo", "hi", "rt")
+        Seq("k"), Seq("rk"), "lo", "hi", "rt",
+        broadcastHint = Some(false))
         .select(col("lid"), col("rid"))
       val got = m.collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet
