@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CdcCuts, CosineSimilarity, FreqSketch, LshBuckets, SelfCosineRule}
+import graft.expressions.{CdcCuts, CosineSimilarity, FreqSketch, LshBuckets, NormText, RollHash, SelfCosineRule}
 
 /** Session extensions for the graft engine: registers the library's
   * native Catalyst expressions as SQL functions, so they are available
@@ -47,6 +47,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_freq_sketch expects 2 arguments, got ${children.length}")
         new FreqSketch(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm_text"),
+      new ExpressionInfo(classOf[NormText].getName, "graft_norm_text"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_norm_text expects 1 argument, got ${children.length}")
+        NormText(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_roll_hash"),
+      new ExpressionInfo(classOf[RollHash].getName, "graft_roll_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_roll_hash expects 1 argument, got ${children.length}")
+        RollHash(children.head)
       }))
     // table-valued function: SQL-text surface for the native as-of
     // join (see plans/AsOfSqlSurface.scala)

@@ -142,9 +142,7 @@ object Dedup {
     "q17_dedup_exact",
     (s, dir) => docs(s, dir)
       .select(col("doc_id"),
-        md5(trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-          " +", " "))).as("content_key"))
+        md5(expr("graft_norm_text(text)")).as("content_key"))
       .groupBy(col("content_key"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .orderBy("canonical_id"),
@@ -3325,9 +3323,7 @@ object Dedup {
     (s, dir) => {
       val inv = persistedInverted(s, dir)
       val d = docs(s, dir)
-      val norm = md5(trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-        " +", " ")))
+      val norm = md5(expr("graft_norm_text(text)"))
       val standingKeys = d.where(expr("doc_id % 10 >= 2"))
         .select(norm.as("key")).distinct()
       val batch = d.where(expr("doc_id % 10 < 2"))

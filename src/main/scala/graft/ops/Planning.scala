@@ -1638,9 +1638,7 @@ object Planning {
     (s, dir) => {
       val cells = Fixtures.table(s, dir, "documents")
         .select(least(expr("n_chars div 500"), lit(9L)).as("len_class"),
-          md5(trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-            " +", " "))).as("k"))
+          md5(expr("graft_norm_text(text)")).as("k"))
         .groupBy(col("k"), col("len_class"))
         .agg(count(lit(1)).as("n"))
       val kc = cells.groupBy(col("k")).agg(sum(col("n")).as("nk"))

@@ -1498,9 +1498,7 @@ object Sketch {
       val M = 16384L
       val keyed = Fixtures.table(s, dir, "documents")
         .select(col("doc_id"),
-          md5(trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-            " +", " "))).as("key"))
+          md5(expr("graft_norm_text(text)")).as("key"))
       // frozen: the standing key set feeds the position build AND the
       // ground-truth semi-join, the batch slice feeds probe + truth +
       // verdict base — without the persists the md5 normalization (the

@@ -136,6 +136,14 @@ object TextOps {
   /** Document fingerprinting: content hash (md5), head-shingle hash, and
     * a rolling polynomial hash over characters (mod a prime, so the fold
     * stays in 64-bit range on both engines).
+    *
+    * The rolling hash is the native codegen'd
+    * [[graft.expressions.RollHash]] — one fused O(n) loop per document.
+    * The original HOF formulation (`aggregate(regexp_extract_all(text,
+    * '.', 0), ...)`) paid one regex match per CHARACTER plus an
+    * interpreted lambda per element, and was the registry's worst
+    * scale point at the sf3 canary (48 s, near-serial); RollHashSpec
+    * pins the two row-equal.
     */
   private val q16 = QueryDef(
     "q16_fingerprint",
@@ -144,8 +152,7 @@ object TextOps {
       md5(col("text")).as("fp_md5"),
       md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5)))
         .as("fp_head"),
-      expr("aggregate(regexp_extract_all(text, '.', 0), 0L, " +
-        "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fp_roll"))
+      expr("graft_roll_hash(text)").as("fp_roll"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
       md5(text) AS fp_md5,

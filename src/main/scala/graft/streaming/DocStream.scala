@@ -154,9 +154,7 @@ object DocStream {
     import spark.implicits._
     docsStream
       .select(col("doc_id"),
-        md5(trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-          " +", " "))).as("content_key"))
+        md5(expr("graft_norm_text(text)")).as("content_key"))
       .as[KeyRow]
       .groupByKey(_.content_key)
       .flatMapGroupsWithState(

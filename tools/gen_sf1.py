@@ -29,6 +29,13 @@ Usage: python3 tools/gen_sf1.py [/tmp/sf1 [R]]
   scaling point — two measured points distinguish capped-linear
   from quietly-quadratic).
 """
+# ROW_GROUP_SIZE on every fact COPY: duckdb's default writes one giant
+# row group per ~122k rows, and Spark cannot split a scan below row-group
+# granularity -- the round-14 sf3 canary measured CPU-dense text/vector
+# scans (q151 spans, q526 decode, q280 JL) running on ~2 effective cores
+# because documents.parquet had TWO row groups. Real corpora have
+# thousands of files/row groups; the canary fixture should too, so the
+# canary measures the ENGINE, not a fixture-layout artifact.
 import duckdb, os, shutil, sys
 
 SRC = "/root/testdata/sf0.1"
@@ -59,7 +66,7 @@ con.execute(f"""COPY (
     CASE WHEN i = 0 THEN embedding
     ELSE list_transform(e, x -> (x / n)::FLOAT) END AS embedding, label
   FROM nrm ORDER BY vec_id
-) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")
+) TO '{DST}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2000)""")
 
 KO = con.execute(f"SELECT max(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
 KE = con.execute(f"SELECT max(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
@@ -68,20 +75,20 @@ KD = con.execute(f"SELECT max(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchon
 con.execute(f"""COPY (SELECT o_orderkey + i*{KO} AS o_orderkey, o_custkey,
     o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM '{SRC}/orders.parquet', range({R}) r(i))
-  TO '{DST}/orders.parquet' (FORMAT PARQUET)""")
+  TO '{DST}/orders.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)""")
 
 con.execute(f"""COPY (SELECT l_orderkey + i*{KO} AS l_orderkey, l_partkey,
     l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
     l_tax, l_returnflag, l_linestatus, l_shipdate
   FROM '{SRC}/lineitem.parquet', range({R}) r(i))
-  TO '{DST}/lineitem.parquet' (FORMAT PARQUET)""")
+  TO '{DST}/lineitem.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 20000)""")
 
 # ts written as BIGINT nanos — the same physical shape the driver's
 # TIMESTAMP(NANOS) takes through Fixtures' nanosAsLong path
 con.execute(f"""COPY (SELECT event_id + i*{KE} AS event_id,
     epoch_ns(ts)::BIGINT + i*1000000 AS ts, user_id, event_type, value, props
   FROM '{SRC}/events.parquet', range({R}) r(i))
-  TO '{DST}/events.parquet' (FORMAT PARQUET)""")
+  TO '{DST}/events.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 100000)""")
 
 con.execute(f"""COPY (SELECT doc_id + i*{KD} AS doc_id,
     CASE WHEN i = 0 THEN text
@@ -91,7 +98,7 @@ con.execute(f"""COPY (SELECT doc_id + i*{KD} AS doc_id,
          ELSE length(replace(text, ' ', '_r'||i||' ') || '_r'||i)
          END AS n_chars
   FROM '{SRC}/documents.parquet', range({R}) r(i))
-  TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
+  TO '{DST}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 4000)""")
 
 for t in ["orders", "lineitem", "events", "documents"]:
     n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
