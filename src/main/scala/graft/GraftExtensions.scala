@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CdcCuts, CosineSimilarity, FreqSketch, LshBuckets, NormText, RollHash, SelfCosineRule}
+import graft.expressions.{CdcCuts, CosineSimilarity, FreqSketch, LshBuckets, NormText, RollHash, SelfCosineRule, TokenSpans}
 
 /** Session extensions for the graft engine: registers the library's
   * native Catalyst expressions as SQL functions, so they are available
@@ -55,6 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1,
           s"graft_norm_text expects 1 argument, got ${children.length}")
         NormText(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_spans"),
+      new ExpressionInfo(classOf[TokenSpans].getName, "graft_token_spans"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_token_spans expects 2 arguments, got ${children.length}")
+        TokenSpans(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_roll_hash"),

@@ -2115,14 +2115,13 @@ object Dedup {
   private val q151 = QueryDef(
     "q151_repeated_spans",
     (s, dir) => {
+      // native one-pass span projection (graft_token_spans): the
+      // HOF slice+join form materialized the token array and built
+      // every span interpreted -- see expressions/TokenSpans.scala;
+      // rows with <8 tokens yield an empty array (the old where-guard)
       docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("parts"))
-        .where(size(col("parts")) >= 8)
         .select(col("doc_id"),
-          explode(array_distinct(transform(
-            sequence(lit(1), size(col("parts")) - 7),
-            i => array_join(slice(col("parts"), i, lit(8)), " "))))
-            .as("span"))
+          explode(expr("graft_token_spans(text, 8)")).as("span"))
         .groupBy(md5(col("span")).as("span_key"))
         .agg(min(col("span")).as("span"),
           count(lit(1)).as("n_docs"),

@@ -97,13 +97,8 @@ object DocStream {
     val spark = docsStream.sparkSession
     import spark.implicits._
     docsStream
-      .select(col("doc_id"), split(col("text"), " ").as("parts"))
-      .where(size(col("parts")) >= 8)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("parts")) - 7),
-          i => array_join(slice(col("parts"), i, lit(8)), " "))))
-          .as("span"))
+        explode(expr("graft_token_spans(text, 8)")).as("span"))
       .select(col("doc_id"), md5(col("span")).as("span_key"), col("span"))
       .as[SpanRow]
       .groupByKey(_.span_key)
