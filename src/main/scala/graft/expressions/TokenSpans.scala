@@ -36,9 +36,16 @@ case class TokenSpans(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, IntegerType) =>
-        if (right.foldable) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
+        if (!right.foldable) TypeCheckResult.TypeCheckFailure(
           "graft_token_spans: n must be a constant")
+        else right.eval() match {
+          // n < 1 is a caller error, not a data condition — reject at
+          // analysis time instead of IndexOutOfBounds at runtime
+          case n: java.lang.Integer if n < 1 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"graft_token_spans: n must be >= 1, got $n")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case (a, b) => TypeCheckResult.TypeCheckFailure(
         s"graft_token_spans expects (string, int), got " +
           s"(${a.simpleString}, ${b.simpleString})")
@@ -65,6 +72,8 @@ object TokenSpans {
     * shared by the interpreted and generated paths.
     */
   def compute(text: UTF8String, n: Int): ArrayData = {
+    // defensive twin of the analysis-time n >= 1 check (direct callers)
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
     val s = text.toString
     // token start offsets under single-space split (limit -1): token i
     // spans [starts(i), ends(i)); an empty trailing token exists when

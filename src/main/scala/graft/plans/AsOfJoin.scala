@@ -664,6 +664,20 @@ object AsOfJoinExec {
     case org.apache.spark.sql.types.LongType => true
     case _ => false
   }
+
+  /** Unit family of a time/bound column. The range-join execs compare
+    * the raw stored longs, which is only meaningful when every bound
+    * shares one family: DATE/INT store days, TIMESTAMP/TIMESTAMP_NTZ/
+    * BIGINT store micros (or caller-defined long units). Mixing a DATE
+    * lower bound with a TIMESTAMP right-time would silently compare
+    * days against micros — the exec constructors reject it.
+    */
+  def timeUnitFamily(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.DateType => "day-backed"
+    case org.apache.spark.sql.types.IntegerType => "day-backed"
+    case d if isLongBacked(d) => "long-backed"
+    case _ => "unsupported"
+  }
 }
 
 /** Primitive time access for the merge loop: null check + long value

@@ -270,7 +270,17 @@ private[plans] final class BroadcastAsOfLookup(
     case other => other.asInstanceOf[Long]
   }
 
+  /** Everything that shapes the BUILT index (not the probe): bound
+    * key/time/tie expressions + the primitive-extraction flag. Two
+    * lookups sharing one broadcast array but differing in any of these
+    * must build separate indexes — see [[AsOfIndexCache]].
+    */
+  private val indexFingerprint: String =
+    "asof:" + (rKeysB ++ (rTimeB +: rTieB)).map(_.toString)
+      .mkString(";") + s"|prim=$primitive"
+
   @transient private lazy val index = AsOfIndexCache.getOrBuild(bc.value,
+    indexFingerprint,
     () => {
       val keyProj = UnsafeProjection.create(rKeysB)
       // codegen'd (time, tieBreak) ordering over right rows
@@ -399,21 +409,36 @@ private[plans] final class AsOfGroup(
     val timesLong: Array[Long],
     val timesAny: Array[Any])
 
-/** Executor-local memo of broadcast-value → built as-of index, so the
-  * per-key sort happens once per executor instead of once per
-  * partition. Weak keys: the entry is collectible as soon as the
-  * broadcast value itself is released, so the cache cannot pin freed
-  * broadcasts. `computeIfAbsent` on the synchronized wrapper is atomic,
-  * so concurrent partitions block on one build instead of duplicating
-  * it.
+/** Executor-local memo of (broadcast-value, lookup fingerprint) →
+  * built index, so the per-key sort happens once per executor instead
+  * of once per partition.
+  *
+  * TWO-LEVEL on purpose: `IdentityBroadcastMode` carries no key info,
+  * so ReuseExchange/AQE can feed the SAME broadcast row array to two
+  * different lookups (e.g. a range join and an as-of join against one
+  * dim, or two range joins with different right keys/time columns). A
+  * cache keyed on the bare array would silently serve the first-built
+  * index to the second lookup — wrong matches. The outer map stays
+  * weak-keyed on the broadcast value (entries are collectible as soon
+  * as the broadcast itself is released, so the cache cannot pin freed
+  * broadcasts); the inner map keys on the caller's expression
+  * fingerprint (bound right keys/time/sort exprs + probe semantics).
+  * `computeIfAbsent` is atomic at both levels, so concurrent
+  * partitions block on one build instead of duplicating it.
   */
 private[plans] object AsOfIndexCache {
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[AnyRef, AnyRef]())
+    new java.util.WeakHashMap[
+      AnyRef, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]())
 
-  def getOrBuild[T <: AnyRef](key: AnyRef, build: () => T): T = {
-    val got = cache.get(key)
-    if (got != null) got.asInstanceOf[T]
-    else cache.computeIfAbsent(key, _ => build()).asInstanceOf[T]
+  def getOrBuild[T <: AnyRef](
+      key: AnyRef, fingerprint: String, build: () => T): T = {
+    val inner = {
+      val got = cache.get(key)
+      if (got != null) got
+      else cache.computeIfAbsent(key, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, AnyRef]())
+    }
+    inner.computeIfAbsent(fingerprint, _ => build()).asInstanceOf[T]
   }
 }

@@ -58,11 +58,18 @@ final case class BroadcastRangeJoinExec(
     "range join: key arity mismatch")
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     "range join: key type mismatch")
-  for (e <- Seq(leftLo, leftHi, rightTime))
-    require(AsOfJoinExec.isLongBacked(e.dataType)
-        || e.dataType == org.apache.spark.sql.types.DateType
-        || e.dataType == org.apache.spark.sql.types.IntegerType,
-      s"range join: bound/time must be long-backed, got ${e.dataType.sql}")
+  locally {
+    val fams = Seq(leftLo, leftHi, rightTime)
+      .map(e => e.dataType -> AsOfJoinExec.timeUnitFamily(e.dataType))
+    for ((dt, fam) <- fams)
+      require(fam != "unsupported",
+        "range join: bound/time must be day-backed (DATE/INT) or " +
+          s"long-backed (TIMESTAMP/TIMESTAMP_NTZ/BIGINT), got ${dt.sql}")
+    require(fams.map(_._2).distinct.size == 1,
+      "range join: lo/hi/time must share one unit family (all " +
+        "day-backed or all long-backed) — raw-long comparison across " +
+        s"families is meaningless, got ${fams.map(_._1.sql).mkString(", ")}")
+  }
 
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -292,7 +299,16 @@ private[plans] final class BroadcastRangeLookup(
     case other => other.asInstanceOf[Long]
   }
 
+  /** Everything that shapes the BUILT index: bound key/time
+    * expressions (probe bounds don't affect the index). Distinguishes
+    * this range index from an as-of index built over the same reused
+    * broadcast array — see [[AsOfIndexCache]].
+    */
+  private val indexFingerprint: String =
+    "range:" + (rKeysB :+ rTimeB).map(_.toString).mkString(";")
+
   @transient private lazy val index = AsOfIndexCache.getOrBuild(bc.value,
+    indexFingerprint,
     () => {
       val keyProj = UnsafeProjection.create(rKeysB)
       val ord = RowOrdering.create(

@@ -127,11 +127,18 @@ final case class RangeJoinExec(
 
   require(leftKeys.length == rightKeys.length,
     "range join: key arity mismatch")
-  for (e <- Seq(leftLo, leftHi, rightTime))
-    require(AsOfJoinExec.isLongBacked(e.dataType)
-        || e.dataType == org.apache.spark.sql.types.DateType
-        || e.dataType == org.apache.spark.sql.types.IntegerType,
-      s"range join: bound/time must be long-backed, got ${e.dataType.sql}")
+  locally {
+    val fams = Seq(leftLo, leftHi, rightTime)
+      .map(e => e.dataType -> AsOfJoinExec.timeUnitFamily(e.dataType))
+    for ((dt, fam) <- fams)
+      require(fam != "unsupported",
+        "range join: bound/time must be day-backed (DATE/INT) or " +
+          s"long-backed (TIMESTAMP/TIMESTAMP_NTZ/BIGINT), got ${dt.sql}")
+    require(fams.map(_._2).distinct.size == 1,
+      "range join: lo/hi/time must share one unit family (all " +
+        "day-backed or all long-backed) — raw-long comparison across " +
+        s"families is meaningless, got ${fams.map(_._1.sql).mkString(", ")}")
+  }
 
   override def output: Seq[Attribute] =
     if (leftOuter) left.output ++ right.output.map(_.withNullability(true))

@@ -73,4 +73,18 @@ class TokenSpansSpec extends AnyFunSuite {
       finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     assert(on(0).getSeq[String](0) === off(0).getSeq[String](0))
   }
+
+  test("n < 1 is an analysis error, not a runtime crash") {
+    import spark.implicits._
+    val df = Seq("a b c").toDF("text")
+    for (n <- Seq(0, -1)) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(expr(s"graft_token_spans(text, $n)")).collect()
+      }
+      assert(e.getMessage.contains("n must be >= 1"), e.getMessage)
+    }
+    // n = 1 stays valid: the per-token distinct projection
+    val one = df.select(expr("graft_token_spans(text, 1)")).collect()
+    assert(one(0).getSeq[String](0) === Seq("a", "b", "c"))
+  }
 }
