@@ -56,9 +56,26 @@ object BenchIndex {
       .map(i => compactOnce(i, "doc_id % 10 >= 8")).min
     val compactSmallSec = (3 to 4)
       .map(i => compactOnce(i, "doc_id % 100 = 98")).min
+
+    // VACUUM cost: fold three small daily waves into one consolidated
+    // generation (keep = 2: untouched base + 1). The retention claim
+    // is that vacuum is ∝ the folded waves, NOT the corpus — so this
+    // number should track compact_append_2pct_sec × waves, never sec.
+    val vacuumSec = {
+      val base = StandingIndex.bootstrapWhere(spark, sfDir, "_benchvac",
+        "doc_id % 10 >= 2 AND doc_id % 10 <= 7")
+      for (m <- Seq(96, 97, 98))
+        StandingIndex.compactInto(spark, base,
+          graft.ops.Dedup.inverted(spark, sfDir)
+            .where(org.apache.spark.sql.functions.expr(s"doc_id % 100 = $m")))
+      val t0 = System.nanoTime()
+      StandingIndex.vacuum(spark, base, keep = 2)
+      (System.nanoTime() - t0) / 1e9
+    }
     println(f"""{"metric":"standing_index_bootstrap","sec":$sec%.2f,""" +
       f""""compact_append_sec":$compactSec%.2f,""" +
       f""""compact_append_2pct_sec":$compactSmallSec%.2f,""" +
+      f""""vacuum_fold3_sec":$vacuumSec%.2f,""" +
       s""""band_rows":$bandRows,"posting_rows":$postRows,""" +
       s""""buckets":${StandingIndex.NBuckets},"sf":"$sfDir"}""")
     spark.stop()

@@ -3602,8 +3602,10 @@ object Dedup {
       val arts = StandingIndex.ensureCompacted(s, dir)
       val batchInv = persistedInverted(s, dir)
         .where(expr("doc_id % 10 < 2"))
-      val oldBands = s.table(arts.bandsTable)
-      val oldPost = s.table(arts.postingsTable)
+      // manifest-resolved reads: only committed generations are
+      // visible, so a crashed half-appended wave can't shift candidates
+      val oldBands = StandingIndex.bandsOf(s, arts)
+      val oldPost = StandingIndex.postingsOf(s, arts)
       val newBands = minhashBands(batchInv)
       val cand = newBands.alias("n")
         .join(oldBands.alias("o"),

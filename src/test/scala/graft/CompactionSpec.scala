@@ -117,6 +117,119 @@ class CompactionSpec extends AnyFunSuite {
     } finally s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("writer exclusion: a second concurrent writer fails fast with " +
+    "a clear error instead of interleaving") {
+    val arts = StandingIndex.bootstrapWhere(spark, sf, "_lock",
+      "doc_id % 10 >= 2 AND doc_id % 10 <= 7")
+    val delta = Dedup.inverted(spark, sf).where(expr("doc_id % 10 = 8"))
+    // hold the lock the way a mid-append writer would, then try to
+    // start a second wave
+    val lock = java.nio.file.Paths.get(arts.base, ".writer.lock")
+    java.nio.file.Files.createDirectory(lock)
+    try {
+      val e = intercept[IllegalStateException] {
+        StandingIndex.compactInto(spark, arts, delta)
+      }
+      assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+      assert(e.getMessage.contains("single-writer"), e.getMessage)
+    } finally java.nio.file.Files.deleteIfExists(lock): Unit
+    // lock released -> the same wave now succeeds, and a failed
+    // attempt never half-committed anything
+    StandingIndex.compactInto(spark, arts, delta)
+    assert(StandingIndex.committedGens(arts).sorted === Seq(0, 1))
+  }
+
+  test("reader isolation: a crashed half-appended generation is " +
+    "invisible until manifest commit, and its id is never re-used") {
+    val arts = StandingIndex.bootstrapWhere(spark, sf, "_orphan",
+      "doc_id % 10 >= 2 AND doc_id % 10 <= 7")
+    val before = StandingIndex.postingsOf(spark, arts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beforeBands = StandingIndex.bandsOf(spark, arts).count()
+
+    // simulate a writer that died between its posting append and its
+    // band append: the posting partition lands on disk and in the
+    // catalog, but no manifest commit ever happens
+    Dedup.inverted(spark, sf).where(expr("doc_id % 10 = 8"))
+      .withColumn("gen", lit(1))
+      .write.mode("append").partitionBy("gen")
+      .bucketBy(StandingIndex.NBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(arts.postingsTable)
+
+    // sanctioned readers resolve the manifest: the orphan is invisible
+    assert(StandingIndex.committedGens(arts) === Seq(0))
+    val after = StandingIndex.postingsOf(spark, arts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before,
+      "uncommitted generation leaked into a manifest-resolved read")
+    assert(StandingIndex.bandsOf(spark, arts).count() === beforeBands)
+
+    // the next successful wave must allocate a FRESH id (disk-scan
+    // max, not manifest max) so the orphan is never adopted
+    StandingIndex.compactInto(spark, arts,
+      Dedup.inverted(spark, sf).where(expr("doc_id % 10 = 9")))
+    assert(StandingIndex.committedGens(arts).sorted === Seq(0, 2))
+    val mods = StandingIndex.postingsOf(spark, arts)
+      .select(col("doc_id") % 10).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(mods.contains(9L) && !mods.contains(8L),
+      s"committed read must include gen 2 and exclude the orphan: $mods")
+  }
+
+  test("vacuum folds the newest generations, leaves the base " +
+    "untouched, and probes answer identically") {
+    // base + three small waves (docs % 100 in {80, 81, 90})
+    val arts = StandingIndex.bootstrapWhere(spark, sf, "_vac",
+      "doc_id % 10 >= 2 AND doc_id % 10 <= 7")
+    for (m <- Seq(80, 81, 90))
+      StandingIndex.compactInto(spark, arts,
+        Dedup.inverted(spark, sf).where(expr(s"doc_id % 100 = $m")))
+    assert(StandingIndex.committedGens(arts).sorted === Seq(0, 1, 2, 3))
+    val wantPost = StandingIndex.postingsOf(spark, arts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantBands = StandingIndex.bandsOf(spark, arts)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val baseFiles = dataFiles(arts.postingsTable)
+      .filter(_._1.contains("gen=0"))
+    assert(baseFiles.nonEmpty)
+
+    StandingIndex.vacuum(spark, arts, keep = 2)
+
+    // two generations remain: the untouched base + one consolidated
+    val gens = StandingIndex.committedGens(arts).sorted
+    assert(gens.length === 2 && gens.head === 0, s"gens after vacuum: $gens")
+    val afterFiles = dataFiles(arts.postingsTable)
+    baseFiles.foreach { case (p, len) =>
+      assert(afterFiles.get(p).contains(len),
+        s"vacuum rewrote or removed base file $p")
+    }
+    // superseded wave directories are physically gone
+    for (g <- Seq(1, 2, 3); sub <- Seq("postings", "bands"))
+      assert(!new java.io.File(s"${arts.base}/$sub/gen=$g").exists(),
+        s"superseded $sub gen=$g directory survived vacuum")
+    // content-neutral: reads identical before and after
+    val gotPost = StandingIndex.postingsOf(spark, arts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPost === wantPost)
+    val gotBands = StandingIndex.bandsOf(spark, arts)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(gotBands === wantBands)
+    // and the vacuumed index still bucket-scans on probe (broadcast
+    // off so the bucketed distribution is what satisfies the join)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Dedup.minhashBands(
+        Dedup.inverted(spark, sf).where(expr("doc_id % 10 < 2")))
+        .select(col("doc_id").as("doc_new"), col("band"), col("bkey"))
+        .join(StandingIndex.bandsOf(spark, arts)
+          .select(col("doc_id").as("doc_old"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+      assert(probe.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount"))
+      assert(probe.count() > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q529 gate output: appended generation contributes candidates " +
     "and verdict columns are complete") {
     val rows = SparkEntry.queries("q529_ingest_index_compaction")(spark, sf)
