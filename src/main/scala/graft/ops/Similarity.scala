@@ -2255,41 +2255,194 @@ object Similarity {
     * neighbors and fails the hash. VecIndexSpec pins artifact parity,
     * the fresh-session probe, and the bucket-scan plan property.
     */
+  /** Top-`p` cell probe against the PERSISTED ANN artifacts — the
+    * multi-probe knob (q78's recall lever) ported to
+    * [[StandingVecIndex]]: route each query to its top-`p` standing
+    * cells by frozen-codebook cosine, compute its sub-cell id under
+    * the frozen census s_bits, equi-join (cell, sub) against the
+    * bucketed member table, exact-rerank to top-[[KAnn]]. Zero corpus
+    * exchange at any `p` — the probe side is |queries| × p rows and
+    * the members are read through their bucket layout; raising `p`
+    * multiplies only the probe rows and the scanned sub-cell count,
+    * never the exchange class. Each member lives in exactly one
+    * (cell, sub), so multi-cell probing never duplicates a
+    * (query, neighbor) pair and needs no dedup.
+    */
+  private def persistedProbe(s: SparkSession, dir: String, p: Int,
+      queryPred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arts = StandingVecIndex.ensure(s, dir)
+    val census = s.table(arts.censusTable)
+    val cvecs = s.table(arts.codebookTable)
+    val batch = emb(s, dir).where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(census))
+      .withColumn("sub", expr(subcellSpark("qe")))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val assign = batch.crossJoin(broadcast(cvecs))
+      .select(col("query_id"), col("qe"), col("sub"), col("label"),
+        expr("graft_cosine(qe, cvec)").as("ccos"))
+      .withColumn("rn", row_number().over(wCell))
+      .where(col("rn") <= p)
+      .select(col("query_id"), col("qe"), col("sub"),
+        col("label").as("cell"))
+    val standing = s.table(arts.membersTable)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assign.join(standing, Seq("cell", "sub"))
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        expr("graft_cosine(qe, ne)").as("cosine"))
+      .withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= KAnn)
+      .select(col("query_id"), col("cell"), col("rnk"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
   private val q531 = QueryDef(
     "q531_ann_persisted_index",
+    (s, dir) =>
+      persistedProbe(s, dir, p = 1, col("vec_id") % 10 < 2),
+    Some(ingestAnnOracle))
+
+  // ---------- q533: multi-probe recall audit over the PERSISTED index --
+
+  /** The query-id cap that makes the audit's EXACT side bounded: 8
+    * query vectors (vec_id % 10 < 2 ∧ < 40), q127's sampled-audit
+    * discipline — recall is estimated from a fixed query sample, so
+    * the brute-force reference costs |sample| × corpus (a linear scan)
+    * at any SF, never |batch| × corpus.
+    */
+  private val AuditQueryCap = 40
+
+  /** Recall@[[KAnn]] of the PERSISTED index at P = 1 vs P = 3 probes,
+    * against exact brute force over the standing corpus — the q127
+    * audit re-run over [[StandingVecIndex]] artifacts, closing the
+    * loop q78 opened in-plan: P is THE knob a deployment turns when
+    * single-probe recall sags, and this query measures what each step
+    * of it buys on the index actually being served (frozen codebook +
+    * census geometry, bucketed members), not on a transient in-plan
+    * twin. recall_p3 ≥ recall_p1 by construction (probe sets nest);
+    * VecIndexSpec asserts the monotonicity and that the member table
+    * never exchanges at either P. Scale: both probe legs are
+    * |sample| × p rows against the bucket layout; the exact leg is the
+    * declared linear-scan reference over the corpus, bounded by the
+    * 8-query sample (the audit runs per-deploy on a sample, exactly
+    * like q127).
+    */
+  private val q533 = QueryDef(
+    "q533_persisted_ann_multiprobe_recall",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val arts = StandingVecIndex.ensure(s, dir)
-      val census = s.table(arts.censusTable)
-      val cvecs = s.table(arts.codebookTable)
-      val batch = emb(s, dir).where(col("vec_id") % 10 < 2)
+      val qpred = col("vec_id") % 10 < 2 && col("vec_id") < AuditQueryCap
+      def atop(p: Int) = persistedProbe(s, dir, p, qpred)
+        .select(col("query_id"), col("neighbor_id"))
+      val q = emb(s, dir).where(qpred)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .crossJoin(broadcast(census))
-        .withColumn("sub", expr(subcellSpark("qe")))
-      val wCell = Window.partitionBy(col("query_id"))
-        .orderBy(col("ccos").desc, col("label"))
-      val assign = batch.crossJoin(broadcast(cvecs))
-        .select(col("query_id"), col("qe"), col("sub"), col("label"),
-          expr("graft_cosine(qe, cvec)").as("ccos"))
-        .withColumn("rn", row_number().over(wCell))
-        .where(col("rn") === 1)
-        .select(col("query_id"), col("qe"), col("sub"),
-          col("label").as("cell"))
-      val standing = s.table(arts.membersTable)
+      val standing = emb(s, dir).where(col("vec_id") % 10 >= 2)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       val wTop = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id"))
-      assign.join(standing, Seq("cell", "sub"))
-        .select(col("query_id"), col("cell"), col("neighbor_id"),
+      val etop = standing.crossJoin(broadcast(q))
+        .select(col("query_id"), col("neighbor_id"),
           expr("graft_cosine(qe, ne)").as("cosine"))
         .withColumn("rnk", row_number().over(wTop))
         .where(col("rnk") <= KAnn)
-        .select(col("query_id"), col("cell"), col("rnk"),
-          col("neighbor_id"), col("cosine"))
-        .orderBy("query_id", "rnk")
+        .select(col("query_id"), col("neighbor_id"))
+      def hits(a: DataFrame, nm: String) =
+        etop.join(a, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as(nm))
+      etop.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits(atop(1), "n_hit_p1"), Seq("query_id"), "left_outer")
+        .join(hits(atop(3), "n_hit_p3"), Seq("query_id"), "left_outer")
+        .select(col("query_id"), col("n_exact"),
+          coalesce(col("n_hit_p1"), lit(0L)).as("n_hit_p1"),
+          (coalesce(col("n_hit_p1"), lit(0L)).cast("double")
+            / col("n_exact")).as("recall_p1"),
+          coalesce(col("n_hit_p3"), lit(0L)).as("n_hit_p3"),
+          (coalesce(col("n_hit_p3"), lit(0L)).cast("double")
+            / col("n_exact")).as("recall_p3"))
+        .orderBy("query_id")
     },
-    Some(ingestAnnOracle))
+    Some(multiprobeRecallOracle))
+
+  private lazy val multiprobeRecallOracle: String = {
+    val subDuck = (e: String) => (0 until 8).map { i =>
+      s"(CASE WHEN $i < s_bits AND $e[${i + 1}] >= 0 " +
+        s"THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH ex AS (SELECT label, vec_id, pos - 1 AS pos,
+        embedding[pos] AS val
+      FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(pos)
+      WHERE vec_id % 10 >= 2),
+    cent AS (SELECT label, pos,
+      list_reduce(list_prepend(0.0::DOUBLE,
+          list(val::DOUBLE ORDER BY vec_id)),
+        (acc, v) -> acc + v) / count(*) AS centroid
+      FROM ex GROUP BY label, pos),
+    cvec AS (SELECT label, list(centroid ORDER BY pos) AS cvec
+      FROM cent GROUP BY label),
+    census AS (SELECT CASE WHEN n_stand // (n_cells * 64) >= 1
+        THEN length(bin(n_stand // (n_cells * 64))) - 1
+        ELSE 0 END AS s_bits
+      FROM (SELECT count(*) AS n_stand,
+          count(DISTINCT label) AS n_cells
+        FROM embeddings WHERE vec_id % 10 >= 2)),
+    q AS (SELECT vec_id AS query_id, embedding AS qe,
+        ${subDuck("embedding")} AS sub
+      FROM embeddings, census
+      WHERE vec_id % 10 < 2 AND vec_id < $AuditQueryCap),
+    cellranked AS (SELECT query_id, qe, sub, label, row_number() OVER (
+        PARTITION BY query_id ORDER BY ccos DESC, label) AS rn
+      FROM (SELECT query_id, qe, sub, label,
+          ${Dedup.cosDuck("qe", "cvec")} AS ccos
+        FROM q CROSS JOIN cvec)),
+    stand AS (SELECT label AS cell, vec_id AS neighbor_id, embedding,
+        ${subDuck("embedding")} AS sub
+      FROM embeddings, census WHERE vec_id % 10 >= 2),
+    a1 AS (SELECT query_id, neighbor_id FROM (
+        SELECT a.query_id, b.neighbor_id, row_number() OVER (
+            PARTITION BY a.query_id
+            ORDER BY ${Dedup.cosDuck("a.qe", "b.embedding")} DESC,
+              b.neighbor_id) AS rnk
+        FROM cellranked a JOIN stand b
+        ON b.cell = a.label AND b.sub = a.sub AND a.rn <= 1)
+      WHERE rnk <= $KAnn),
+    a3 AS (SELECT query_id, neighbor_id FROM (
+        SELECT a.query_id, b.neighbor_id, row_number() OVER (
+            PARTITION BY a.query_id
+            ORDER BY ${Dedup.cosDuck("a.qe", "b.embedding")} DESC,
+              b.neighbor_id) AS rnk
+        FROM cellranked a JOIN stand b
+        ON b.cell = a.label AND b.sub = a.sub AND a.rn <= 3)
+      WHERE rnk <= $KAnn),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, s.neighbor_id, row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY ${Dedup.cosDuck("q.qe", "s.embedding")} DESC,
+              s.neighbor_id) AS rnk
+        FROM q CROSS JOIN stand s) WHERE rnk <= $KAnn),
+    ec AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1),
+    h1 AS (SELECT e.query_id, count(*) AS n_hit_p1
+      FROM exact e JOIN a1
+      ON a1.query_id = e.query_id AND a1.neighbor_id = e.neighbor_id
+      GROUP BY 1),
+    h3 AS (SELECT e.query_id, count(*) AS n_hit_p3
+      FROM exact e JOIN a3
+      ON a3.query_id = e.query_id AND a3.neighbor_id = e.neighbor_id
+      GROUP BY 1)
+    SELECT ec.query_id, n_exact::BIGINT AS n_exact,
+      coalesce(n_hit_p1, 0)::BIGINT AS n_hit_p1,
+      coalesce(n_hit_p1, 0)::DOUBLE / n_exact AS recall_p1,
+      coalesce(n_hit_p3, 0)::BIGINT AS n_hit_p3,
+      coalesce(n_hit_p3, 0)::DOUBLE / n_exact AS recall_p3
+    FROM ec LEFT JOIN h1 ON h1.query_id = ec.query_id
+    LEFT JOIN h3 ON h3.query_id = ec.query_id
+    ORDER BY ec.query_id"""
+  }
 
   val all: Seq[QueryDef] = Seq(q22, q23, q33, q34, q65, q78, q80, q102, q213,
     q112, q123, q127, q130, q134, q167, q185, q202, q220, q247, q258, q259,
-    q260, q265, q280, q318, q332, q376, q377, q404, q474, q476, q531)
+    q260, q265, q280, q318, q332, q376, q377, q404, q474, q476, q531, q533)
 }

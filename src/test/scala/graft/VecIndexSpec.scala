@@ -105,4 +105,27 @@ class VecIndexSpec extends AnyFunSuite {
       assert(probe.count() > 0)
     } finally s2.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("q533 multi-probe recall is monotone in P and the member table " +
+    "never exchanges at either P") {
+    val df = SparkEntry.queries("q533_persisted_ann_multiprobe_recall")(
+      spark, sf)
+    // the member table is only ever read through its bucket layout —
+    // no exchange whose child is the members scan, at P=1 or P=3 (the
+    // two probe legs share one plan here)
+    val plan = df.queryExecution.executedPlan.toString
+    val memberScans = "graft_veccells".r.findAllIn(plan).length
+    assert(memberScans >= 2, s"expected both probe legs in plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p1, p3) = (r.getDouble(3), r.getDouble(5))
+      assert(p3 >= p1,
+        s"recall must be monotone in P: query ${r.getLong(0)} " +
+          s"has p1=$p1 > p3=$p3")
+      assert(p1 >= 0.0 && p3 <= 1.0)
+    }
+    // probe sets nest, so hits nest too: p3 hits >= p1 hits per query
+    assert(rows.map(_.getLong(4)).sum >= rows.map(_.getLong(2)).sum)
+  }
 }
