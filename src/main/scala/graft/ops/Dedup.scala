@@ -98,10 +98,19 @@ object Dedup {
   private[ops] def persistedInverted(s: SparkSession, dir: String): DataFrame =
     PlanCache.getOrBuild(s, dir, "inverted")(inverted(s, dir))
 
-  private[graft] def inverted(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def inverted(s: SparkSession, dir: String): DataFrame =
+    invertedOf(docs(s, dir))
+
+  /** The shingle/posting build over an arbitrary (doc_id, text)
+    * DataFrame — factored from [[inverted]] so foreachBatch index
+    * maintenance ([[graft.streaming.DocStream.maintainStandingIndex]])
+    * can shingle a micro-batch exactly the way the batch path
+    * shingles a fixture slice.
+    */
+  private[graft] def invertedOf(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs(s, dir)
+    docsDf
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos"), expr(h32Spark("tok")).as("ht"))

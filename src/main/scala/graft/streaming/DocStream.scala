@@ -467,6 +467,45 @@ object DocStream {
         Seq("band", "bkey")) // stream-static inner join: append-legal
       .select(col("doc_new"), col("doc_old"))
 
+  /** STREAMING INDEX MAINTENANCE — the write-back half the probe-only
+    * twins above leave out: accepted documents flow INTO the standing
+    * LSH index as they arrive, so tomorrow's probes (streaming or
+    * batch) see today's accepted stream without any batch re-shingle.
+    * Each micro-batch is one [[graft.ops.StandingIndex.compactInto]]
+    * generation: shingle the batch docs
+    * ([[graft.ops.Dedup.invertedOf]] — the exact batch-path build),
+    * append posting + band rows under the writer lock, publish via
+    * the atomic manifest swap. The commit protocol gives the
+    * streaming path its crash story for free: a micro-batch that dies
+    * mid-append leaves an orphan generation no reader resolves, and
+    * the retry appends under a fresh id — readers see each accepted
+    * batch exactly once or not yet, never partially.
+    *
+    * foreachBatch (not a continuous sink) on purpose: index
+    * maintenance is a MUTATION of shared catalog state, not an
+    * append-only row emission — the per-batch hook is where Structured
+    * Streaming hands over exactly-once batch boundaries for arbitrary
+    * sinks, and the single-writer lock serializes it against any
+    * concurrent batch compaction job. Cost per batch ∝ batch size
+    * (two bucketed appends); the standing corpus is never rescanned.
+    * StreamingSpec proves stream-maintained artifacts ≡ the batch
+    * two-generation story ([[graft.ops.StandingIndex.ensureCompacted]])
+    * under `Trigger.AvailableNow`, re-using q529's oracle-gated probe.
+    */
+  def maintainStandingIndex(acceptedDocsStream: DataFrame,
+      arts: graft.ops.StandingIndex.Artifacts)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    acceptedDocsStream
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.StandingIndex.compactInto(
+            batch.sparkSession, arts, Dedup.invertedOf(batch))
+      }
+      .start()
+
   /** Streaming twin of q491's asymmetric SimHash block join — the
     * 8-byte-signature member of the ingest candidate family: each
     * arriving document computes its 32-bit SimHash ROW-LOCALLY (the

@@ -954,4 +954,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(heavy.subsetOf(streamTokens),
       s"missing: ${heavy.diff(streamTokens)}")
   }
+
+  test("foreachBatch index maintenance: stream-appended generations == " +
+    "the batch two-generation story (AvailableNow), q529 probe re-used") {
+    import graft.ops.{Dedup, StandingIndex}
+    import graft.streaming.DocStream
+    // same split as ensureCompacted: bootstrap over % 10 in 2..7, the
+    // accepted % 10 >= 8 docs arrive as a STREAM instead of one batch
+    val arts = StandingIndex.bootstrapWhere(spark, sf, "_streammaint",
+      "doc_id % 10 >= 2 AND doc_id % 10 <= 7")
+    val accepted = DocStream.readDocuments(spark, sf)
+      .where(col("doc_id") % 10 >= 8)
+    val q = DocStream.maintainStandingIndex(accepted, arts)
+    q.awaitTermination(120000)
+    val gens = StandingIndex.committedGens(arts)
+    assert(gens.length >= 2,
+      s"expected bootstrap + at least one stream wave, got $gens")
+    // posting parity: stream-maintained artifacts cover exactly the
+    // union corpus the one-shot bootstrap would
+    val gotPost = StandingIndex.postingsOf(spark, arts).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPost = Dedup.inverted(spark, sf)
+      .where(expr("doc_id % 10 >= 2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPost === wantPost)
+    // q529's probe shape over the STREAM-maintained artifacts equals
+    // the probe over the batch ensureCompacted artifacts — the same
+    // candidates the oracle-gated q529 run verifies
+    val batchBands = Dedup.minhashBands(
+      Dedup.inverted(spark, sf).where(expr("doc_id % 10 < 2")))
+      .select(col("doc_id").as("doc_new"), col("band"), col("bkey"))
+    def candSet(bands: org.apache.spark.sql.DataFrame) =
+      batchBands.join(
+        bands.select(col("doc_id").as("doc_old"), col("band"),
+          col("bkey")),
+        Seq("band", "bkey"))
+      .select("doc_new", "doc_old").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotCand = candSet(StandingIndex.bandsOf(spark, arts))
+    val wantCand = candSet(
+      StandingIndex.bandsOf(spark, StandingIndex.ensureCompacted(spark, sf)))
+    assert(gotCand === wantCand)
+    assert(gotCand.nonEmpty)
+  }
 }
