@@ -55,6 +55,20 @@ class PlanLintSpec extends AnyFunSuite {
     p +: kids.flatMap(walk)
   }
 
+  /** Rows flowing INTO a window exec, from runtime metrics. WindowExec
+    * itself carries no row metric (only spillSize in Spark 4), so read
+    * the nearest descendant that does: the single-partition exchange
+    * below it ("shuffleRecordsWritten") or the first operator with
+    * "numOutputRows" (a join/scan child when no exchange intervenes,
+    * e.g. chained global windows). Windows are 1:1, so input rows =
+    * the serialized work the gate bounds.
+    */
+  private def windowInputRows(w: SparkPlan): Long =
+    walk(w).drop(1).iterator.flatMap { n =>
+      n.metrics.get("numOutputRows").orElse(
+        n.metrics.get("shuffleRecordsWritten")).map(_.value)
+    }.nextOption().getOrElse(0L)
+
   // (The cartesian/BNLJ gate runs inside the single consolidated sweep
   // below — one execution of the registry serves all three lints.)
 
@@ -71,6 +85,16 @@ class PlanLintSpec extends AnyFunSuite {
     * red. */
   private val MaxSinglePartitionRows = 2000L
   private val sfVolume = "/root/testdata/sf0.01"
+
+  /** Global-window allowlist: queries whose UNPARTITIONED window may
+    * legitimately process more than [[MaxSinglePartitionRows]] rows,
+    * with the reason recorded here (none today — every global window
+    * in the registry runs over a provably bounded frame: calendar
+    * spines, |sources|-row aggregates, constant grids). The logs
+    * stream `WindowExec: No Partition Defined` warnings for all of
+    * them; this gate is what keeps a future CORPUS-sized global
+    * sort-window from hiding in that noise. */
+  private val globalWindowAllowed = Map.empty[String, String]
 
   test("registry sweep at sf0.01: every query returns rows; no " +
     "cartesian product, corpus-sized nested-loop broadcast, or " +
@@ -136,7 +160,28 @@ class PlanLintSpec extends AnyFunSuite {
         s"${q.name}: single-partition shuffle carries $rows rows " +
           s"(limit $MaxSinglePartitionRows)"
       }
-      empty ++ cart ++ bigBnlj ++ volume
+      // Global-window gate: an UNPARTITIONED WindowExec serializes its
+      // whole input through one task. Every registry instance runs over
+      // a bounded frame (spines, per-source aggregates, constant
+      // grids) — this asserts it from the runtime row count, so a
+      // corpus-sized global window fails here instead of hiding among
+      // the `No Partition Defined` warnings. Complements the
+      // single-partition SHUFFLE gate above: a window fed by an
+      // already-single-partition child (chained global windows, AQE
+      // 1-partition coalesce) has no exchange of its own to trip that
+      // lint, but its own numOutputRows (= input rows, windows are
+      // 1:1) still counts here.
+      val globalWin =
+        if (globalWindowAllowed.contains(q.name)) Seq.empty
+        else nodes.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => windowInputRows(w)
+        }.filter(_ > MaxSinglePartitionRows).map { rows =>
+          s"${q.name}: UNPARTITIONED window processed $rows rows " +
+            s"(limit $MaxSinglePartitionRows); partition it, migrate " +
+            "to the Range* rewrite, or allowlist with a reason"
+        }
+      empty ++ cart ++ bigBnlj ++ volume ++ globalWin
     }
     val failures =
       try Await.result(
@@ -144,6 +189,25 @@ class PlanLintSpec extends AnyFunSuite {
         Duration.Inf).flatten
       finally pool.shutdown()
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("the global-window detector fires on a corpus-sized " +
+    "unpartitioned window (negative control)") {
+    // a lint that never fails is untested: build the exact shape the
+    // gate exists for and assert the detection logic sees it
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val df = spark.range(5000).toDF("id")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(org.apache.spark.sql.functions.col("id"))))
+    df.queryExecution.toRdd.count(): Unit
+    val hits = walk(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => windowInputRows(w)
+    }.filter(_ > MaxSinglePartitionRows)
+    assert(hits.nonEmpty,
+      "global-window detector failed to flag a 5000-row " +
+        "unpartitioned window — the registry gate above is blind")
   }
 
   test("PlanCache cap covers 2x the committed subplan key inventory") {
