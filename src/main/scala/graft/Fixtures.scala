@@ -31,6 +31,51 @@ object Fixtures {
           "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     } else df
   }
+
+  /** Scale-adaptive scan spread for HEAVY per-row work rooted at a scan.
+    *
+    * The driver's fixture files are written as a single parquet row
+    * group, so a scan stage is exactly ONE task no matter what
+    * `spark.sql.files.maxPartitionBytes` says: Spark splits files into
+    * byte ranges, but a row group is processed by the one task owning
+    * its byte midpoint. Any expensive per-row work planned into that
+    * stage — explode fan-outs, md5/shingle hashing, the Expand of a
+    * multi-countDistinct, percentile state building — therefore runs on
+    * one core while the other 31 idle (measured: q195's 40× explode ran
+    * wall 2.20 s ≈ cpu 2.11 s, i.e. fully serial).
+    *
+    * spread() inserts one round-robin exchange of the (projected) scan
+    * output, but ONLY when the file's byte-range split count at the
+    * session's maxPartitionBytes is below the default parallelism — the
+    * decision derives from input size (guide §2: scale-adaptive, not a
+    * constant). At production file sizes splits ≥ cores, the condition
+    * is false and spread() is the identity: the plan keeps the scan's
+    * natural partitioning and pays no exchange. Use it only where the
+    * work above the first natural exchange is heavy relative to one
+    * narrow row shuffle; plain scan→partial-aggregate queries are
+    * better off serial than paying a raw-row shuffle.
+    */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = table(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    val bytes =
+      try new java.io.File(s"$dir/$name.parquet").length
+      catch { case _: Throwable => Long.MaxValue }
+    val maxSplit =
+      try spark.conf.get("spark.sql.files.maxPartitionBytes")
+        .stripSuffix("b").stripSuffix("B") match {
+          case s if s.endsWith("m") || s.endsWith("M") =>
+            s.dropRight(1).toLong << 20
+          case s if s.endsWith("g") || s.endsWith("G") =>
+            s.dropRight(1).toLong << 30
+          case s if s.endsWith("k") || s.endsWith("K") =>
+            s.dropRight(1).toLong << 10
+          case s => s.toLong
+        }
+      catch { case _: Throwable => 128L << 20 }
+    val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (splits < p) df.repartition(p) else df
+  }
 }
 
 /** Session defaults shared by Verify / Bench / tests.

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CdcCuts, CosineSimilarity, FreqSketch, LshBuckets, NormText, RollHash, SelfCosineRule, TokenSpans}
+import graft.expressions.{CdcCuts, CosineSimilarity, FreqSketch, GraftPairs, GraftTriples, LshBuckets, NormText, RollHash, SelfCosineRule, TokenSpans}
 
 /** Session extensions for the graft engine: registers the library's
   * native Catalyst expressions as SQL functions, so they are available
@@ -63,6 +63,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"graft_token_spans expects 2 arguments, got ${children.length}")
         TokenSpans(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pairs"),
+      new ExpressionInfo(classOf[GraftPairs].getName, "graft_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_pairs expects 1 argument, got ${children.length}")
+        GraftPairs(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_triples"),
+      new ExpressionInfo(classOf[GraftTriples].getName, "graft_triples"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_triples expects 1 argument, got ${children.length}")
+        GraftTriples(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_roll_hash"),

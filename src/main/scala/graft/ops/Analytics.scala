@@ -30,10 +30,10 @@ object Analytics {
   private[ops] def copurchasePairs(s: SparkSession, dir: String): DataFrame =
     PlanCache.getOrBuild(s, dir, "copurchase_pairs")(
       copurchaseBaskets(s, dir)
-        .select(explode(expr(
-          """flatten(transform(parts, (x, i) ->
-               transform(slice(parts, i + 2, size(parts)),
-                 y -> struct(x AS part_a, y AS part_b))))""")).as("p"))
+        // graft_pairs replaces the interpreted flatten/transform/slice
+        // HOF: same (i < j) struct rows from one codegen-reachable tight
+        // loop, no O(b²) slice copies (r15; see expressions/BasketCombos)
+        .select(explode(expr("graft_pairs(parts)")).as("p"))
         .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_orders")))
@@ -1410,11 +1410,10 @@ object Analytics {
     (s, dir) => {
       copurchaseBaskets(s, dir)
         .where(size(col("parts")) <= 64)
-        .select(explode(expr(
-          """flatten(transform(parts, (x, i) ->
-               flatten(transform(slice(parts, i + 2, size(parts)), (y, j) ->
-                 transform(slice(parts, i + j + 3, size(parts)),
-                   z -> struct(x AS p1, y AS p2, z AS p3))))))""")).as("t"))
+        // graft_triples replaces the doubly-nested interpreted HOF —
+        // measured 21 executor-CPU-s at sf0.1, the board's 2nd-largest
+        // CPU burner; same i<j<k rows, one tight loop (r15)
+        .select(explode(expr("graft_triples(parts)")).as("t"))
         .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"),
           col("t.p3").as("p3"))
         .agg(count(lit(1)).as("support"))
@@ -3445,7 +3444,9 @@ object Analytics {
       // exact rational arithmetic at scale 6 (a double product cast
       // to decimal lands on rounding ties the two engines break
       // differently)
-      val lines = Fixtures.table(s, dir, "lineitem")
+      // spread (r15): the per-line exact-decimal product chain ran
+      // serial inside the single-row-group scan task (wall 1.48 ≈ cpu)
+      val lines = Fixtures.spread(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sum(expr("cast(l_extendedprice AS DECIMAL(12,2)) * " +
           "(1 - cast(l_discount AS DECIMAL(6,2))) * " +
@@ -7219,7 +7220,9 @@ object Analytics {
     "q348_shrunk_elasticity",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val pts = Fixtures.table(s, dir, "lineitem")
+      // spread (r15): two ln()s + decimal cross-moments per row ran
+      // serial inside the single-row-group scan task
+      val pts = Fixtures.spread(s, dir, "lineitem")
         .join(broadcast(Fixtures.table(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
@@ -7234,7 +7237,9 @@ object Analytics {
           sum(dl(col("x")) * dl(col("x"))).cast("double").as("sxx"),
           sum(dl(col("x")) * dl(col("y"))).cast("double").as("sxy"),
           sum(dl(col("y")) * dl(col("y"))).cast("double").as("syy"))
-      val per = mom.select(col("p_brand"), col("n"),
+      // frozen (r15): `per` feeds both the pooled-moment broadcast and
+      // the final projection — one |brands|-row table, two consumers
+      val per = PlanCache.freeze(mom.select(col("p_brand"), col("n"),
           (col("sxx") - col("sx").cast("double") * col("sx") / col("n"))
             .as("vxx"),
           (col("sxy") - col("sx").cast("double") * col("sy") / col("n"))
@@ -7245,7 +7250,7 @@ object Analytics {
           (col("vxy") / col("vxx")).as("slope"),
           // se² = (SSE/(n-2)) / Sxx, SSE = Syy − Sxy²/Sxx
           (((col("vyy") - col("vxy") * col("vxy") / col("vxx"))
-            / (col("n") - 2)) / col("vxx")).as("se2"))
+            / (col("n") - 2)) / col("vxx")).as("se2")))
       val pool = per.agg(count(lit(1)).as("k"),
         (sum(col("slope")) / count(lit(1))).as("slope_bar"),
         (sum(col("slope") * col("slope")) / count(lit(1))).as("s2bar"),
@@ -7384,7 +7389,11 @@ object Analytics {
     "q350_twfe_within",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val base = Fixtures.table(s, dir, "lineitem")
+      // frozen + spread (r15): this 3-table panel is consumed FOUR
+      // times (brand means, month means, grand means, demeaned pass) —
+      // the whole fact join re-executed per consumer before (wall
+      // 1.59 s ≈ cpu); one materialization now feeds all four
+      val base = PlanCache.freeze(Fixtures.spread(s, dir, "lineitem")
         .join(broadcast(Fixtures.table(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
@@ -7395,7 +7404,7 @@ object Analytics {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("p_brand"), col("month"),
           expr("CAST(round(l_discount * 1e6) AS BIGINT)").as("x"),
-          expr("CAST(round(l_quantity * 1e6) AS BIGINT)").as("y"))
+          expr("CAST(round(l_quantity * 1e6) AS BIGINT)").as("y")))
       def means(k: Seq[String], px: String) = {
         val g = if (k.isEmpty) base.groupBy() else base.groupBy(
           k.map(col): _*)
@@ -7623,24 +7632,63 @@ object Analytics {
             expr("CAST(round(c_acctbal / 100.0) AS BIGINT)").as("x3")),
           col("o_custkey") === col("c_custkey"))
       val xs = Seq("x1", "x2", "x3")
-      val means = feats.agg(
-        expr("CAST(round(sum(x1) * 1.0 / count(1)) AS BIGINT)").as("m1"),
-        expr("CAST(round(sum(x2) * 1.0 / count(1)) AS BIGINT)").as("m2"),
-        expr("CAST(round(sum(x3) * 1.0 / count(1)) AS BIGINT)").as("m3"))
-      val cent = feats.crossJoin(broadcast(means))
-        .select((col("x1") - col("m1")).as("x1"),
-          (col("x2") - col("m2")).as("x2"),
-          (col("x3") - col("m3")).as("x3"))
       def dl(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
-      val aggCols: Seq[org.apache.spark.sql.Column] =
+      // One-pass rewrite (r15, guide §2.4): the original computed means
+      // in a first aggregate, broadcast them, re-read feats to center,
+      // and aggregated again — two passes over feats plus a broadcast
+      // barrier (measured wall 1.35 s vs 0.24 cpu-s: almost all stage
+      // latency). The means are ROUNDED INTEGERS, so every centered
+      // moment expands exactly in integer (DECIMAL(38,0)) arithmetic
+      // over raw power sums collected in ONE aggregate:
+      //   Σ(a−ma)(b−mb)   = Sab − ma·Sb − mb·Sa + n·ma·mb
+      //   Σ(a−ma)²(b−mb)² = Sa²b² − 2mb·Sa²b − 2ma·Sab² + mb²·Sa²
+      //                     + ma²·Sb² + 4mamb·Sab − 2mamb²·Sa
+      //                     − 2ma²mb·Sb + n·ma²mb²
+      // The double values cast at the end are casts of the SAME exact
+      // integers the two-pass form produced, so results are bit-equal
+      // (oracle unchanged, re-proven at the gate per run).
+      val rawAggs: Seq[org.apache.spark.sql.Column] =
         count(lit(1)).as("n") +:
-          ((for (a <- xs; b <- xs if a <= b)
-            yield sum(dl(col(a)) * dl(col(b))).cast("double")
-              .as(s"s_${a}_$b")) ++
+          (xs.map(a => sum(col(a)).as(s"r_$a")) ++
+          (for (a <- xs; b <- xs if a <= b)
+            yield sum(dl(col(a)) * dl(col(b))).as(s"p2_${a}_$b")) ++
+          (for (a <- xs; b <- xs)
+            yield sum(dl(col(a)) * dl(col(a)) * dl(col(b)))
+              .as(s"p3_${a}_$b")) ++
           (for (a <- xs; b <- xs if a <= b)
             yield sum(dl(col(a)) * dl(col(a)) * dl(col(b)) * dl(col(b)))
-              .cast("double").as(s"q_${a}_$b")))
-      val mom = cent.agg(aggCols.head, aggCols.tail: _*)
+              .as(s"p4_${a}_$b")))
+      val raw = feats.agg(rawAggs.head, rawAggs.tail: _*)
+        .select((col("*") +:
+          xs.map(a => expr(s"CAST(round(r_$a * 1.0 / n) AS BIGINT)")
+            .as(s"m_$a"))): _*)
+      def D(x: String): String = s"CAST($x AS DECIMAL(38,0))"
+      def p2(a: String, b: String): String = {
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        s"p2_${lo}_$hi"
+      }
+      val momCols: Seq[org.apache.spark.sql.Column] =
+        col("n") +:
+          ((for (a <- xs; b <- xs if a <= b) yield expr(
+            s"""${D(p2(a, b))} - ${D(s"m_$a")} * ${D(s"r_$b")}
+              - ${D(s"m_$b")} * ${D(s"r_$a")}
+              + ${D("n")} * ${D(s"m_$a")} * ${D(s"m_$b")}""")
+            .cast("double").as(s"s_${a}_$b")) ++
+          (for (a <- xs; b <- xs if a <= b) yield expr(
+            s"""${D(s"p4_${a}_$b")}
+              - 2 * ${D(s"m_$b")} * ${D(s"p3_${a}_$b")}
+              - 2 * ${D(s"m_$a")} * ${D(s"p3_${b}_$a")}
+              + ${D(s"m_$b")} * ${D(s"m_$b")} * ${D(p2(a, a))}
+              + ${D(s"m_$a")} * ${D(s"m_$a")} * ${D(p2(b, b))}
+              + 4 * ${D(s"m_$a")} * ${D(s"m_$b")} * ${D(p2(a, b))}
+              - 2 * ${D(s"m_$a")} * ${D(s"m_$b")} * ${D(s"m_$b")}
+                * ${D(s"r_$a")}
+              - 2 * ${D(s"m_$a")} * ${D(s"m_$a")} * ${D(s"m_$b")}
+                * ${D(s"r_$b")}
+              + ${D("n")} * ${D(s"m_$a")} * ${D(s"m_$a")}
+                * ${D(s"m_$b")} * ${D(s"m_$b")}""")
+            .cast("double").as(s"q_${a}_$b")))
+      val mom = raw.select(momCols: _*)
       def cov(a: String, b: String): String = {
         val (lo, hi) = if (a <= b) (a, b) else (b, a)
         s"(s_${lo}_$hi / n)"
@@ -7742,7 +7790,11 @@ object Analytics {
     "q355_newsvendor",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val demand = Fixtures.table(s, dir, "lineitem")
+      // frozen + spread (r15): `demand` (the only fact pass) feeds the
+      // week spine AND the densified table, and `dense` feeds THREE
+      // consumers (histogram, stats, service join) — each re-ran the
+      // full fact aggregate before; both are bounded |brands × weeks|
+      val demand = PlanCache.freeze(Fixtures.spread(s, dir, "lineitem")
         .join(broadcast(Fixtures.table(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
@@ -7750,13 +7802,13 @@ object Analytics {
           expr("""timestampdiff(MICROSECOND,
             TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)
             div 604800000000""").as("week"))
-        .agg(expr("CAST(round(sum(l_quantity)) AS BIGINT)").as("d"))
+        .agg(expr("CAST(round(sum(l_quantity)) AS BIGINT)").as("d")))
       val weeks = demand.select(col("week")).distinct()
       val brands = Fixtures.table(s, dir, "part")
         .select(col("p_brand")).distinct()
-      val dense = brands.crossJoin(weeks)
+      val dense = PlanCache.freeze(brands.crossJoin(weeks)
         .join(demand, Seq("p_brand", "week"), "left")
-        .select(col("p_brand"), coalesce(col("d"), lit(0L)).as("d"))
+        .select(col("p_brand"), coalesce(col("d"), lit(0L)).as("d")))
       val hist = dense.groupBy(col("p_brand"), col("d"))
         .agg(count(lit(1)).as("n"))
       val wb = Window.partitionBy(col("p_brand"))
@@ -8682,7 +8734,13 @@ object Analytics {
   private val q375 = QueryDef(
     "q375_layout_planner",
     (s, dir) => {
-      val li = Fixtures.table(s, dir, "lineitem")
+      // r15: a single-pass rewrite (4-way key explode into one global
+      // multi-distinct) was MEASURED SLOWER here (1.65 → 4.02 s): the
+      // union's four branches execute concurrently inside one job, and
+      // collapsing them serialized a 3× Expand of the 4× exploded rows
+      // through one shuffle. Kept: the union shape (concurrent
+      // branches) + spread() so each branch's Expand runs parallel.
+      val li = Fixtures.spread(s, dir, "lineitem")
       def cand(name: String, key: org.apache.spark.sql.Column)
           : DataFrame =
         li.select(key.as("k"), col("l_orderkey"), col("l_partkey"))
@@ -10196,7 +10254,9 @@ object Analytics {
     (s, dir) => {
       val h = (e: String) => Portable.h32Spark(e)
       def snap(isNew: Boolean): DataFrame = {
-        val base = Fixtures.table(s, dir, "orders")
+        // spread (r15): the 5-wide stack + two per-row md5s otherwise
+        // run serial in the single-row-group scan task, twice
+        val base = Fixtures.spread(s, dir, "orders")
           .select(col("o_orderkey").as("k"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents0"),
             expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")

@@ -730,10 +730,15 @@ object Multimodal {
     "q526_dhash_codec",
     (s, dir) => {
       import s.implicits._
-      val bin = Fixtures.table(s, dir, "documents")
+      // spread (r15): the per-row PNG encode+decode otherwise runs in
+      // the single-row-group scan task (one core; measured 1.40 s wall)
+      val bin = Fixtures.spread(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
       val sig = bin.mapPartitions { it =>
+        // once per task: ImageIO's default stream cache is FILE-backed —
+        // per-row temp-file churn for 100-byte PNGs (r15)
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
           val n = bytes.length
           // render: q382's 63-cell slice-average grid as 9×7 pixels

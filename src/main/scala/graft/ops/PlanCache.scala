@@ -59,7 +59,8 @@ private[graft] object PlanCache {
     "q82_edges", "q125_scounts", "q140_old_labels",
     "copurchase_baskets", "copurchase_pairs", "copurchase_degree",
     "copurchase_adj_deg", "copurchase_deg_min2", "copurchase_oriented",
-    "train_unigram", "cust_supp_edges", "corpus_bands", "lsh_cand_pairs")
+    "train_unigram", "cust_supp_edges", "corpus_bands", "lsh_cand_pairs",
+    "corpus_sigs")
 
   /** Every distinct subplan name ever requested this JVM — the spec's
     * measurement of the key inventory, independent of eviction.

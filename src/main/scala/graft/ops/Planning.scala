@@ -910,7 +910,11 @@ object Planning {
   private val q459 = QueryDef(
     "q459_two_way_anova",
     (s, dir) => {
-      val cells = Fixtures.table(s, dir, "orders")
+      // spread + freeze (r15): the cents round + decimal square ran
+      // serial in the single-row-group scan task, and the bounded cell
+      // table `m` feeds FOUR consumers (tot/ra/rb/gab) — each re-ran
+      // the whole fact aggregate before (wall 1.36 s vs 0.9 cpu-s)
+      val cells = Fixtures.spread(s, dir, "orders")
         .join(broadcast(Fixtures.table(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))),
           col("o_custkey") === col("c_custkey"))
@@ -920,12 +924,12 @@ object Planning {
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
           sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
-      val m = cells.select(col("a"), col("b"), col("n"),
+      val m = PlanCache.freeze(cells.select(col("a"), col("b"), col("n"),
         expr("CAST(round(CAST(sy AS DOUBLE) / n * 1e3) AS BIGINT)")
           .as("m_milli"),
         expr("""CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
           * CAST(sy AS DOUBLE) / n""").as("ssw"),
-        expr("CAST(round(1e12 / n) AS BIGINT)").as("inv_pico"))
+        expr("CAST(round(1e12 / n) AS BIGINT)").as("inv_pico")))
       // p and q come from GLOBAL distinct level counts of the two dims —
       // per-group counts (levels present per a / per b) would silently
       // diverge from these if any p×q cell were empty, mixing
@@ -1496,7 +1500,9 @@ object Planning {
       val K = Dedup.C1
       val P = Dedup.P
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val base = Fixtures.table(s, dir, "documents")
+      // spread (r15): tokenize + per-token md5 otherwise serialize in
+      // the single-row-group scan task below the window's exchange
+      val base = Fixtures.spread(s, dir, "documents")
         .select(col("doc_id"), expr(Portable.splitCaseSpark).as("split"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("split"), col("pos"),
@@ -1509,9 +1515,13 @@ object Planning {
           s"pmod(($acc) * $K + h$i, $P)"
         }
       def leak(n: Int): DataFrame = {
-        val sh = withLeads.where(col(s"h${n - 1}").isNotNull)
+        // frozen (r15): each width's distinct shingle table feeds THREE
+        // consumers (test probe set, train side, train totals) — the
+        // tokenize+md5+7-lead window chain executed per consumer before
+        val sh = PlanCache.freeze(withLeads
+          .where(col(s"h${n - 1}").isNotNull)
           .select(col("doc_id"), col("split"),
-            expr(gram(n)).as("g")).distinct()
+            expr(gram(n)).as("g")).distinct())
         val testSet = sh.where(col("split") === "test")
           .select(col("g")).distinct()
         val trainDocs = sh.where(col("split") === "train")

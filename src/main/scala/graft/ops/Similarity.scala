@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  // spread (r15): per-row vector arithmetic (cosine, quantization,
+  // projections) is the similarity family's hot loop — one scan task on
+  // the single-row-group fixture without it
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Fixtures.table(s, dir, "embeddings")
+    Fixtures.spread(s, dir, "embeddings")
 
   // ---------- shared constants ---------------------------------------
 

@@ -711,7 +711,11 @@ object Sketch {
         WHEN u < 919699 THEN 2L WHEN u < 981012 THEN 3L
         WHEN u < 996340 THEN 4L WHEN u < 999406 THEN 5L
         WHEN u < 999917 THEN 6L WHEN u < 999990 THEN 7L ELSE 8L END"""
-      val o = Fixtures.table(s, dir, "orders")
+      // spread: the 40× explode below otherwise runs inside the
+      // single-row-group scan task (measured wall 2.20 s ≈ cpu 2.11 s,
+      // fully serial); one narrow 2-column exchange unblocks all cores
+      // and is an identity at production split counts (guide §2.5)
+      val o = Fixtures.spread(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
       val means = o
         .select(col("o_orderkey"), col("o_totalprice"),
@@ -860,16 +864,27 @@ object Sketch {
   private val q264 = QueryDef(
     "q264_cms_error_audit",
     (s, dir) => {
-      val toks = Fixtures.table(s, dir, "documents")
+      // r15: hash the VOCAB, not the occurrences — the exact count
+      // table already holds each distinct token's multiplicity, so the
+      // sketch's cell counts are Σ n_exact over vocab rows instead of
+      // a count over ~1 M re-hashed occurrences (4 md5s each). Cell
+      // values identical; oracle unchanged. spread: the tokenize
+      // explode otherwise serializes in the single-row-group scan task.
+      val toks = Fixtures.spread(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
         .where(length(col("tok")) > 0)
-      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      val exact = PlanCache.freeze(
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact")))
       def rows(df: DataFrame): DataFrame = df.select(col("tok"),
         posexplode(array((0 until CmsDepth).map(r =>
           expr(s"${h32Spark(s"concat('cms$r|', tok)")} % $CmsWidth")): _*))
           .as(Seq("r", "bucket")))
-      val sketch = rows(toks)
-        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      val sketch = exact.select(col("n_exact"),
+          posexplode(array((0 until CmsDepth).map(r =>
+            expr(s"${h32Spark(s"concat('cms$r|', tok)")} % $CmsWidth")): _*))
+            .as(Seq("r", "bucket")))
+        .groupBy(col("r"), col("bucket"))
+        .agg(sum(col("n_exact")).cast("long").as("c"))
       rows(exact.select(col("tok")))
         .join(sketch, Seq("r", "bucket"))
         .groupBy(col("tok")).agg(min(col("c")).as("est"))
@@ -924,8 +939,11 @@ object Sketch {
     "q394_histogram_quantile_audit",
     (s, dir) => {
       // frozen: the cents projection feeds three consumers (range agg,
-      // bin histogram, exact-percentile audit) — one scan, not three
-      val x = PlanCache.freeze(Fixtures.table(s, dir, "lineitem")
+      // bin histogram, exact-percentile audit) — one scan, not three.
+      // spread: without it the frozen RDD inherits the single-row-group
+      // scan's ONE partition and every consumer (percentile state build
+      // included) runs serial (measured wall 1.63 s ≈ cpu 1.57 s)
+      val x = PlanCache.freeze(Fixtures.spread(s, dir, "lineitem")
         .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
           .as("x")))
       val rng = x.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
@@ -1018,7 +1036,7 @@ object Sketch {
     "q478_ingest_kmv_merge",
     (s, dir) => {
       import s.implicits._
-      val o = Fixtures.table(s, dir, "orders")
+      val o = Fixtures.spread(s, dir, "orders")
       def kmv(side: DataFrame, est: String) = side
         .select(col("o_orderpriority"),
           expr(h32Spark("cast(o_custkey AS STRING)")).as("h")).distinct()
@@ -1207,7 +1225,7 @@ object Sketch {
       def posCols(key: String) = (0 until BloomK).map(i =>
         expr(s"${h32Spark(s"concat('b${i}_', cast($key AS STRING))")} " +
           s"% $BloomBits"))
-      val o = Fixtures.table(s, dir, "orders")
+      val o = Fixtures.spread(s, dir, "orders")
         .select(col("o_custkey"),
           (col("o_orderkey") % 10 < 2).cast("int").as("isb"))
       val pos = o
@@ -1217,7 +1235,7 @@ object Sketch {
       val byPos = pos.groupBy(col("pos")).agg(
         max(when(col("isb") === 0, 1).otherwise(0)).as("in_a"),
         max(when(col("isb") === 1, 1).otherwise(0)).as("in_b"))
-      val fullPos = Fixtures.table(s, dir, "orders")
+      val fullPos = Fixtures.spread(s, dir, "orders")
         .select(explode(array(posCols("o_custkey"): _*)).as("pos"))
         .distinct()
       val m = byPos.agg(
@@ -1302,26 +1320,41 @@ object Sketch {
   private val q484 = QueryDef(
     "q484_ingest_cms_merge",
     (s, dir) => {
-      val toks = Fixtures.table(s, dir, "documents")
+      // r15 restructure (guide §2.3 "shuffle keys/metadata, not
+      // payloads" + §1.2 per-task work): the old form re-tokenized the
+      // corpus for THREE consumers and ran the 4 per-depth md5s on
+      // every token OCCURRENCE (~12 M md5 evals at sf0.1; 5.4 cpu-s).
+      // CMS cell counts only need each DISTINCT (side, token)'s
+      // occurrence count, so: tokenize ONCE into a frozen (isb, tok,
+      // cnt) vocab (spread: the explode otherwise runs inside the
+      // single-row-group scan task), hash the VOCAB (4 md5s per
+      // distinct token, ~30× fewer), and weight cell counts by cnt.
+      // Cell counts, estimates and the merge-vs-full gate are
+      // value-identical (Σ over occurrences ≡ Σ over vocab of cnt);
+      // oracle unchanged, re-proven at the gate per run.
+      val toks = Fixtures.spread(s, dir, "documents")
         .select((col("doc_id") % 10 < 2).cast("int").as("isb"),
           explode(split(col("text"), " ")).as("tok"))
         .where(length(col("tok")) > 0)
+      val vocab = PlanCache.freeze(toks
+        .groupBy(col("isb"), col("tok")).agg(count(lit(1)).as("cnt")))
       def rows(df: DataFrame, cols: Seq[String]): DataFrame = df.select(
         cols.map(col) :+
           posexplode(array((0 until CmsDepth).map(r =>
             expr(s"${h32Spark(s"concat('cms$r|', tok)")} % $CmsWidth"))
             : _*)).as(Seq("r", "bucket")): _*)
-      val sideCells = rows(toks, Seq("isb", "tok"))
+      val sideCells = rows(vocab, Seq("isb", "cnt"))
         .groupBy(col("isb"), col("r"), col("bucket"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("cnt")).as("c"))
       val merged = sideCells.groupBy(col("r"), col("bucket"))
         .agg(sum(col("c")).cast("long").as("cm"))
-      val full = rows(toks, Seq("tok"))
-        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cf"))
+      val tokv = vocab.groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
+      val full = rows(tokv, Seq("cnt"))
+        .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cf"))
       val eq = merged.join(full, Seq("r", "bucket"), "full_outer")
         .agg(min(when(col("cm") === col("cf"), 1L).otherwise(0L))
           .as("alleq"))
-      val crows = rows(toks.select("tok").distinct(), Seq("tok"))
+      val crows = rows(tokv.select("tok"), Seq("tok"))
       val estM = crows.join(merged, Seq("r", "bucket"))
         .groupBy(col("tok")).agg(min(col("cm")).as("est_merged"))
       val estF = crows.join(full, Seq("r", "bucket"))
@@ -1385,7 +1418,7 @@ object Sketch {
   private val q485 = QueryDef(
     "q485_ingest_hll_merge",
     (s, dir) => {
-      val o = Fixtures.table(s, dir, "orders")
+      val o = Fixtures.spread(s, dir, "orders")
         .select(col("o_orderpriority"), col("o_custkey"),
           (col("o_orderkey") % 10 < 2).cast("int").as("isb"))
       def regs(df: DataFrame, nm: String) = df
@@ -1611,7 +1644,7 @@ object Sketch {
     "q509_heavy_hitter_tokens",
     (s, dir) => {
       val kHh = 64
-      val toks = Fixtures.table(s, dir, "documents")
+      val toks = Fixtures.spread(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .where(col("token") =!= "")
       val sketch = toks.agg(
@@ -1700,7 +1733,7 @@ object Sketch {
     "q515_heavy_hitter_drift",
     (s, dir) => {
       val kHh = 64
-      val docs = Fixtures.table(s, dir, "documents")
+      val docs = Fixtures.spread(s, dir, "documents")
       def toks(snap: String) = docs.where(expr(snap))
         .select(explode(split(col("text"), " ")).as("token"))
         .where(col("token") =!= "")
@@ -1837,7 +1870,7 @@ object Sketch {
     "q521_persisted_kmv",
     (s, dir) => {
       import s.implicits._
-      val o = Fixtures.table(s, dir, "orders")
+      val o = Fixtures.spread(s, dir, "orders")
       def kmvState(side: DataFrame) = side
         .select(col("o_orderpriority"),
           expr(h32Spark("cast(o_custkey AS STRING)")).as("h")).distinct()

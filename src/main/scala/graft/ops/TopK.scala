@@ -143,13 +143,17 @@ object TopK {
       val mm = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       val term = expr("l_extendedprice * (1 - l_discount)")
         .cast(DecimalType(28, 6))
-      val li = Fixtures.table(s, dir, "lineitem")
+      // frozen + spread (r15): `li` feeds both the side-state build and
+      // the independent full recompute — the lineitem⋈orders join ran
+      // twice before (the oracle's fullr likewise re-aggregates the
+      // shared li CTE, so independence-of-recompute is unchanged)
+      val li = PlanCache.freeze(Fixtures.spread(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), term.as("t"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .crossJoin(broadcast(mm))
         .withColumn("isb",
           (col("d") >= col("lo") + expr("(hi - lo) * 4 div 5"))
-            .cast("long"))
+            .cast("long")))
       // the per-side per-key states (what an ingest keeps between runs)
       val rev = PlanCache.freeze(li.groupBy(col("l_partkey"), col("isb"))
         .agg(sum(col("t")).as("r")))

@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  // spread (r15): every consumer in this file does per-row tokenize/
+  // regex/hash work rooted at the scan; on the single-row-group fixture
+  // that stage is ONE task (see Fixtures.spread — identity at
+  // production split counts)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Fixtures.table(s, dir, "documents")
+    Fixtures.spread(s, dir, "documents")
 
   /** Whitespace tokens + BPE-ish regex tokens + distinct-token count.
     * The regex tokenizer is the standard letters|digits|single-symbol
@@ -413,15 +417,22 @@ object TextOps {
     (s, dir) => {
       import graft.ops.PlanCache
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val toks = docs(s, dir)
+      // spread (r15): split+posexplode otherwise runs inside the
+      // single-row-group scan task before the window's shuffle
+      val toks = graft.Fixtures.spread(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      // frozen (r15): the scoring join re-derived the tokenize+lead
+      // instance table even though the bigram model comes from the
+      // PlanCache — one window pass now feeds both the (cached) model
+      // build and the scoring side
+      val inst = PlanCache.freeze(
+        toks.withColumn("w2", lead(col("w1"), 1).over(w))
+          .where(col("w2").isNotNull))
       val uni = PlanCache.getOrBuild(s, dir, "q55_uni")(
         toks.groupBy(col("w1")).agg(count(lit(1)).as("n")))
       val bi = PlanCache.getOrBuild(s, dir, "q55_bi")(
-        toks.withColumn("w2", lead(col("w1"), 1).over(w))
-          .where(col("w2").isNotNull)
-          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy")))
+        inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy")))
       val vocab = uni.agg(count(lit(1)).as("v"))
       val ctx = bi.groupBy(col("w1")).agg(sum(col("n_xy")).as("cx"))
       val model = bi.join(ctx, "w1").crossJoin(broadcast(vocab))
@@ -429,8 +440,7 @@ object TextOps {
           (-round(log((col("n_xy") + lit(1L)).cast("double")
             / (col("cx") + col("v")).cast("double")) * lit(1e9)))
             .cast("long").as("nll_units"))
-      toks.withColumn("w2", lead(col("w1"), 1).over(w))
-        .where(col("w2").isNotNull)
+      inst
         .join(model, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_units")).as("su"))
