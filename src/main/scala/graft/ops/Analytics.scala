@@ -3444,9 +3444,7 @@ object Analytics {
       // exact rational arithmetic at scale 6 (a double product cast
       // to decimal lands on rounding ties the two engines break
       // differently)
-      // spread (r15): the per-line exact-decimal product chain ran
-      // serial inside the single-row-group scan task (wall 1.48 ≈ cpu)
-      val lines = Fixtures.spread(s, dir, "lineitem")
+      val lines = Fixtures.table(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sum(expr("cast(l_extendedprice AS DECIMAL(12,2)) * " +
           "(1 - cast(l_discount AS DECIMAL(6,2))) * " +
@@ -7794,7 +7792,7 @@ object Analytics {
       // week spine AND the densified table, and `dense` feeds THREE
       // consumers (histogram, stats, service join) — each re-ran the
       // full fact aggregate before; both are bounded |brands × weeks|
-      val demand = PlanCache.freeze(Fixtures.spread(s, dir, "lineitem")
+      val demand = PlanCache.freeze(Fixtures.table(s, dir, "lineitem")
         .join(broadcast(Fixtures.table(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
@@ -8734,13 +8732,15 @@ object Analytics {
   private val q375 = QueryDef(
     "q375_layout_planner",
     (s, dir) => {
-      // r15: a single-pass rewrite (4-way key explode into one global
-      // multi-distinct) was MEASURED SLOWER here (1.65 → 4.02 s): the
-      // union's four branches execute concurrently inside one job, and
-      // collapsing them serialized a 3× Expand of the 4× exploded rows
-      // through one shuffle. Kept: the union shape (concurrent
-      // branches) + spread() so each branch's Expand runs parallel.
-      val li = Fixtures.spread(s, dir, "lineitem")
+      // r15: two rewrites were tried and MEASURED SLOWER, both kept out:
+      // (a) a single-pass form (4-way key explode into one global
+      // multi-distinct; 12 exchanges → 2 on paper) ran 1.65 → 4.02 s —
+      // the union's four branches execute concurrently inside one job,
+      // and the collapse serialized a 3× Expand of the 4×-exploded rows
+      // through one shuffle; (b) spread() on the shared scan also
+      // regressed (the Expand is memory-bound, and 4 branches × 32
+      // tasks oversubscribe bandwidth). Original shape retained.
+      val li = Fixtures.table(s, dir, "lineitem")
       def cand(name: String, key: org.apache.spark.sql.Column)
           : DataFrame =
         li.select(key.as("k"), col("l_orderkey"), col("l_partkey"))

@@ -61,11 +61,8 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Portable.{h32Spark, h32Duck}
 
-  // spread (r15): tokenize + per-token md5 below the shingle window is
-  // the dedup family's hottest row work — one task on the
-  // single-row-group fixture without it
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Fixtures.spread(s, dir, "documents")
+    Fixtures.table(s, dir, "documents")
 
   /** Trigram-shingle hash = (h(t1)*C1 + h(t2)*C2 + h(t3)) mod P over the
     * per-token hashes; distinct per doc. Docs with <3 tokens are

@@ -20,11 +20,8 @@ import org.apache.spark.sql.types._
   */
 object Events {
 
-  // spread (r15): event queries do per-row ts arithmetic/hash work and
-  // sessionization windows rooted at the scan — one task on the
-  // single-row-group fixture without it (identity at production splits)
   private def ev(s: SparkSession, dir: String): DataFrame =
-    Fixtures.spread(s, dir, "events")
+    Fixtures.table(s, dir, "events")
 
   /** Exact order-independent sum of a double column (see Relational). */
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -1500,9 +1500,7 @@ object Planning {
       val K = Dedup.C1
       val P = Dedup.P
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      // spread (r15): tokenize + per-token md5 otherwise serialize in
-      // the single-row-group scan task below the window's exchange
-      val base = Fixtures.spread(s, dir, "documents")
+      val base = Fixtures.table(s, dir, "documents")
         .select(col("doc_id"), expr(Portable.splitCaseSpark).as("split"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("split"), col("pos"),

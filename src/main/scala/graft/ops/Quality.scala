@@ -13,10 +13,8 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Quality {
 
-  // spread (r15): the quality battery is per-row split/regex work
-  // rooted at the scan — one task on the single-row-group fixture
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Fixtures.spread(s, dir, "documents")
+    Fixtures.table(s, dir, "documents")
 
   // ---------- q43: intra-document repetition --------------------------
 
@@ -2261,9 +2259,7 @@ object Quality {
     * expression tree.
     */
   private[graft] def scoredDocs(s: SparkSession, dir: String): DataFrame =
-    // spread (r15): the split/regexp scoring work otherwise runs serial
-    // in the single-row-group scan task (q477 measured 1.29 s ≈ cpu)
-    Fixtures.spread(s, dir, "documents")
+    docs(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_stop", expr(

@@ -31,11 +31,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  // spread (r15): per-row vector arithmetic (cosine, quantization,
-  // projections) is the similarity family's hot loop — one scan task on
-  // the single-row-group fixture without it
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Fixtures.spread(s, dir, "embeddings")
+    Fixtures.table(s, dir, "embeddings")
 
   // ---------- shared constants ---------------------------------------
 

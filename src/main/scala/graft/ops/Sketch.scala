@@ -1036,7 +1036,7 @@ object Sketch {
     "q478_ingest_kmv_merge",
     (s, dir) => {
       import s.implicits._
-      val o = Fixtures.spread(s, dir, "orders")
+      val o = Fixtures.table(s, dir, "orders")
       def kmv(side: DataFrame, est: String) = side
         .select(col("o_orderpriority"),
           expr(h32Spark("cast(o_custkey AS STRING)")).as("h")).distinct()
@@ -1225,7 +1225,7 @@ object Sketch {
       def posCols(key: String) = (0 until BloomK).map(i =>
         expr(s"${h32Spark(s"concat('b${i}_', cast($key AS STRING))")} " +
           s"% $BloomBits"))
-      val o = Fixtures.spread(s, dir, "orders")
+      val o = Fixtures.table(s, dir, "orders")
         .select(col("o_custkey"),
           (col("o_orderkey") % 10 < 2).cast("int").as("isb"))
       val pos = o
@@ -1235,7 +1235,7 @@ object Sketch {
       val byPos = pos.groupBy(col("pos")).agg(
         max(when(col("isb") === 0, 1).otherwise(0)).as("in_a"),
         max(when(col("isb") === 1, 1).otherwise(0)).as("in_b"))
-      val fullPos = Fixtures.spread(s, dir, "orders")
+      val fullPos = Fixtures.table(s, dir, "orders")
         .select(explode(array(posCols("o_custkey"): _*)).as("pos"))
         .distinct()
       val m = byPos.agg(
@@ -1418,7 +1418,7 @@ object Sketch {
   private val q485 = QueryDef(
     "q485_ingest_hll_merge",
     (s, dir) => {
-      val o = Fixtures.spread(s, dir, "orders")
+      val o = Fixtures.table(s, dir, "orders")
         .select(col("o_orderpriority"), col("o_custkey"),
           (col("o_orderkey") % 10 < 2).cast("int").as("isb"))
       def regs(df: DataFrame, nm: String) = df
@@ -1644,7 +1644,7 @@ object Sketch {
     "q509_heavy_hitter_tokens",
     (s, dir) => {
       val kHh = 64
-      val toks = Fixtures.spread(s, dir, "documents")
+      val toks = Fixtures.table(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .where(col("token") =!= "")
       val sketch = toks.agg(
@@ -1733,7 +1733,7 @@ object Sketch {
     "q515_heavy_hitter_drift",
     (s, dir) => {
       val kHh = 64
-      val docs = Fixtures.spread(s, dir, "documents")
+      val docs = Fixtures.table(s, dir, "documents")
       def toks(snap: String) = docs.where(expr(snap))
         .select(explode(split(col("text"), " ")).as("token"))
         .where(col("token") =!= "")
@@ -1870,7 +1870,7 @@ object Sketch {
     "q521_persisted_kmv",
     (s, dir) => {
       import s.implicits._
-      val o = Fixtures.spread(s, dir, "orders")
+      val o = Fixtures.table(s, dir, "orders")
       def kmvState(side: DataFrame) = side
         .select(col("o_orderpriority"),
           expr(h32Spark("cast(o_custkey AS STRING)")).as("h")).distinct()

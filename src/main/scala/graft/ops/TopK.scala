@@ -147,7 +147,7 @@ object TopK {
       // the independent full recompute — the lineitem⋈orders join ran
       // twice before (the oracle's fullr likewise re-aggregates the
       // shared li CTE, so independence-of-recompute is unchanged)
-      val li = PlanCache.freeze(Fixtures.spread(s, dir, "lineitem")
+      val li = PlanCache.freeze(Fixtures.table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), term.as("t"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .crossJoin(broadcast(mm))

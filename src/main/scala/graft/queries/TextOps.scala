@@ -19,12 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  // spread (r15): every consumer in this file does per-row tokenize/
-  // regex/hash work rooted at the scan; on the single-row-group fixture
-  // that stage is ONE task (see Fixtures.spread — identity at
-  // production split counts)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Fixtures.spread(s, dir, "documents")
+    Fixtures.table(s, dir, "documents")
 
   /** Whitespace tokens + BPE-ish regex tokens + distinct-token count.
     * The regex tokenizer is the standard letters|digits|single-symbol
