@@ -122,6 +122,7 @@ object Bench {
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (_, fn) =>
           try { run(fn, warmDir): Unit } catch { case _: Throwable => }
+          graft.ops.PlanCache.releaseScratch()
         }
 
     // Pre-build the SHARED persisted-index artifacts at the TARGET SF
@@ -145,7 +146,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // (wall seconds, executor cpu seconds); NaN wall on failure
+    // (wall seconds, executor cpu seconds); NaN wall on failure.
+    // releaseScratch after EVERY timed run (r16): per-query frozen
+    // intermediates are unpersisted between the best-of-2 runs, so each
+    // run times the full declared computation from the parquet inputs —
+    // the r15 verdict's warm-over neutralization. Shared getOrBuild
+    // subplans (LRU-capped) are the only cross-run carry-over.
     def timedOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       cpuListener.readAndReset(spark.sparkContext): Unit
       val t0 = System.nanoTime()
@@ -154,6 +160,7 @@ object Bench {
         catch { case _: Throwable => false }
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = cpuListener.readAndReset(spark.sparkContext) / 1e9
+      graft.ops.PlanCache.releaseScratch()
       if (ok) (wall, cpu) else (Double.NaN, cpu)
     }
 

@@ -55,8 +55,18 @@ object Fixtures {
     * narrow row shuffle; plain scan→partial-aggregate queries are
     * better off serial than paying a raw-row shuffle.
     */
-  def spread(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = table(spark, dir, name)
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spreadDf(spark, dir, name, table(spark, dir, name))
+
+  /** [[spread]] over an already-PROJECTED view of fixture `name` —
+    * same input-size gate, but the round-robin exchange carries only
+    * the columns the query needs (guide §2.3 "project before the
+    * exchange"): the r15 q62 spread was driver-measured slower because
+    * it shuffled full orders rows (o_comment included) to parallelize
+    * an Expand that reads five narrow columns.
+    */
+  def spreadDf(spark: SparkSession, dir: String, name: String,
+      df: DataFrame): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
     val bytes =
       try new java.io.File(s"$dir/$name.parquet").length

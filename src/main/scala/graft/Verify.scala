@@ -21,6 +21,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query frozen intermediates must not outlive the query
+      // (r16 session-hygiene fix; shared getOrBuild subplans persist)
+      graft.ops.PlanCache.releaseScratch()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -622,18 +622,33 @@ object Analytics {
   private val q75 = QueryDef(
     "q75_correlation",
     (s, dir) => {
+      // r16 (guide §1.2, §2.3 narrower types — the q233 pattern): the
+      // DECIMAL(18,4) moments paid per-order-row one double→decimal
+      // cast and three BigDecimal multiplies (x·y and x² exceed
+      // precision 18, leaving the compact-long fast path). x is an
+      // exact 2-decimal value, so the SAME rational moments come from
+      // xl = 100·x in plain long (floor(v·100+0.5) recovers the
+      // integer exactly), per-row products in long (xl² ≤ 3.6e15),
+      // sums in DECIMAL(38,0), and one exact descale per GROUP (5
+      // rows): S/10⁴ at true scale ≤ 4 is exact in the (38,6) HALF_UP
+      // result, so every cast-to-double sees the bit-identical value
+      // the decimal plan produced. Oracle SQL unchanged.
       val li = Fixtures.table(s, dir, "lineitem")
         .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
       Fixtures.table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_totalprice").cast(DecimalType(18, 4)).as("x"))
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("xl"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
+          sum(col("xl").cast(DecimalType(38, 0))).as("sxl"),
+          sum(col("y")).as("sy"),
+          sum((col("xl") * col("y")).cast(DecimalType(38, 0))).as("sxyl"),
+          sum((col("xl") * col("xl")).cast(DecimalType(38, 0))).as("sxxl"),
           sum(col("y") * col("y")).as("syy"))
+        .selectExpr("o_orderpriority", "n", "sxl / 100 AS sx", "sy",
+          "sxyl / 100 AS sxy", "sxxl / 10000 AS sxx", "syy")
         .selectExpr("o_orderpriority", "n",
           // round to 12 decimals: the formula is textually identical on
           // both engines, but the wide-DECIMAL→DOUBLE input conversions
@@ -2850,19 +2865,39 @@ object Analytics {
     */
   private val q233 = QueryDef(
     "q233_ols_price_qty",
+    // r16 (guide §1.2 "per-task work", §2.3 narrower types): the
+    // DECIMAL(18,4) moment aggregate paid, per row, two double→decimal
+    // casts (each a Double.toString + BigDecimal parse) and three
+    // BigDecimal multiplies (the (18,4)² product's 37-digit precision
+    // leaves Decimal's compact-long fast path). Both inputs are exact
+    // 2-decimal values, so the SAME rational moments come from scaled
+    // int64: xl = 100·x, yl = 100·y (floor(v·100+0.5) recovers the
+    // integer exactly — |v·100 − k| < 1e-6 ≪ 0.5), per-row products in
+    // long, sums in DECIMAL(38,0) (compact adds; never overflows at any
+    // SF), and the exact decimal moments reconstructed by one division
+    // per GROUP (25 rows): S/10⁴ at true scale ≤ 4 is exact in the
+    // (38,6) HALF_UP result, so every cast-to-double below sees the
+    // bit-identical value the old plan produced. Oracle SQL unchanged.
     (s, dir) => Fixtures.table(s, dir, "lineitem")
       .select(col("l_partkey"),
-        col("l_quantity").cast(DecimalType(18, 4)).as("x"),
-        col("l_extendedprice").cast(DecimalType(18, 4)).as("y"))
+        expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)").as("xl"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+          .as("yl"))
       .join(broadcast(Fixtures.table(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(col("xl").cast(DecimalType(38, 0))).as("sxl"),
+        sum(col("yl").cast(DecimalType(38, 0))).as("syl"),
+        sum((col("xl") * col("yl")).cast(DecimalType(38, 0))).as("sxyl"),
+        sum((col("xl") * col("xl")).cast(DecimalType(38, 0))).as("sxxl"),
+        sum((col("yl") * col("yl")).cast(DecimalType(38, 0))).as("syyl"))
+      // exact descale: the true quotients have ≤ 2 (sums) / ≤ 4
+      // (product sums) decimals, within the (38,6) division result
+      .selectExpr("p_brand", "n", "sxl / 100 AS sx", "syl / 100 AS sy",
+        "sxyl / 10000 AS sxy", "sxxl / 10000 AS sxx",
+        "syyl / 10000 AS syy")
       .selectExpr("p_brand", "n",
         "round((cast(n AS DOUBLE) * cast(sxy AS DOUBLE) - " +
           "cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) / " +
@@ -3439,24 +3474,38 @@ object Analytics {
   private val q248 = QueryDef(
     "q248_order_reconciliation",
     (s, dir) => {
-      // every factor is an exact 2-decimal value — cast EACH to a
-      // small-scale decimal BEFORE multiplying, so the product is
-      // exact rational arithmetic at scale 6 (a double product cast
-      // to decimal lands on rounding ties the two engines break
-      // differently)
+      // every factor is an exact 2-decimal value — the declared plan
+      // casts each to a small-scale decimal BEFORE multiplying so the
+      // product is exact rational arithmetic at scale 6. r16 (guide
+      // §1.2 per-task work): that paid, per lineitem row, three
+      // double→decimal casts (Double.toString + BigDecimal parse) and
+      // two BigDecimal multiplies (the (12,2)×(7,2) product's 20-digit
+      // precision leaves Decimal's compact-long fast path). The SAME
+      // exact rationals come from scaled int64: with ep = 100·price,
+      // d = 100·discount, t = 100·tax (floor(v·100+0.5) recovers each
+      // integer exactly — |v·100 − k| ≪ 0.5 for exact 2-decimal
+      // doubles), term·10⁶ = ep·(100−d)·(100+t) ≤ 1.1e7·100·108 ≈
+      // 1.2e11 in plain long, and the per-order sum (≤ 7 lines/order,
+      // any SF) stays far under 2⁶³. Downstream, au (micro-units of
+      // |header − computed|) is abs(10⁴·hl − Σterm·10⁶) with
+      // hl = 100·o_totalprice — bit-identical to the decimal plan's
+      // au, so every aggregate below is unchanged. Oracle SQL keeps
+      // the decimal form; hashes match because au is the same integer.
       val lines = Fixtures.table(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(sum(expr("cast(l_extendedprice AS DECIMAL(12,2)) * " +
-          "(1 - cast(l_discount AS DECIMAL(6,2))) * " +
-          "(1 + cast(l_tax AS DECIMAL(6,2)))")).as("computed"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)" +
+          " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))" +
+          " * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))"))
+          .as("computed_u"))
       Fixtures.table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice").cast(DecimalType(12, 2)).as("header"))
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000")
+            .as("header_u"))
         .join(lines, col("o_orderkey") === col("l_orderkey"), "left_outer")
         .select(col("o_orderstatus"),
-          col("computed").isNull.cast("long").as("no_lines"),
-          (abs(col("header") - coalesce(col("computed"), lit(0)))
-            * lit(1000000)).cast("long").as("au"))
+          col("computed_u").isNull.cast("long").as("no_lines"),
+          abs(col("header_u") - coalesce(col("computed_u"), lit(0L)))
+            .as("au"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("no_lines")).as("n_no_lines"),
@@ -3756,18 +3805,28 @@ object Analytics {
   private val q263 = QueryDef(
     "q263_simpson_audit",
     (s, dir) => {
+      // r16 (guide §1.2 — the q233 pattern): y's DECIMAL(18,4) cast and
+      // the y·x product ran BigDecimal per lineitem row; the identical
+      // rational sums come from yl = 100·y in plain long (exact for
+      // 2-decimal values), products in long (yl·x ≤ 5.5e8), sums in
+      // DECIMAL(38,0), descaled ONCE per 25-row group: S/100 at true
+      // scale ≤ 2 is exact in the (38,6) division result, so num's
+      // sign test and every downstream double are bit-identical.
       val byBrand = Fixtures.table(s, dir, "lineitem")
         .select(col("l_partkey"),
           col("l_quantity").cast("long").as("x"),
-          col("l_extendedprice").cast(DecimalType(18, 4)).as("y"))
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("yl"))
         .join(broadcast(Fixtures.table(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"),
-          sum(col("y") * col("x")).as("sxy"),
+          sum(col("yl").cast(DecimalType(38, 0))).as("syl"),
+          sum((col("yl") * col("x")).cast(DecimalType(38, 0))).as("sxyl"),
           sum(col("x") * col("x")).as("sxx"))
+        .selectExpr("p_brand", "n", "sx", "syl / 100 AS sy",
+          "sxyl / 100 AS sxy", "sxx")
       val num = (col("n").cast(DecimalType(38, 4)) * col("sxy")
         - col("sx").cast(DecimalType(38, 4)) * col("sy"))
       val flags = byBrand.select(

@@ -28,15 +28,59 @@ private[graft] object PlanCache {
     * `Dataset.storageLevel` consults the session CacheManager by
     * canonicalized-plan equality, the same lookup that makes a second
     * `persist` log `CacheManager: Asked to cache already cached data`.
-    * Re-running a query whose operator persists an intermediate (the
-    * RangeNtile/RangeLead freeze, the Jaccard posting table, bench
-    * best-of-2 passes) hits this constantly; reusing the live cache
-    * entry is both the intent and warning-free.
+    *
+    * SCRATCH TRACKING (r16): a bare per-query freeze used to stay
+    * persisted for the rest of the session — ~14 r15 call sites pinned
+    * full join intermediates in the shared local-mode heap and every
+    * later query paid for it (the r15 board's ~17 % wall tax, guide §5:
+    * "unpersist when done"). freeze now registers what it persisted in
+    * a scratch set; Bench/Verify call [[releaseScratch]] after each
+    * query's action completes (the Curate.scala try/finally pattern,
+    * centralized). Only [[getOrBuild]] entries — the LRU-capped shared
+    * subplans — survive across queries. Releasing AFTER the action is
+    * load-bearing for RangeNtile/RangeLead: their freeze pins sampled
+    * range boundaries between two passes of one query, both inside the
+    * action.
     */
   def freeze[T](ds: Dataset[T]): Dataset[T] =
-    if (ds.storageLevel == StorageLevel.NONE)
-      ds.persist(StorageLevel.MEMORY_AND_DISK)
-    else ds
+    if (ds.storageLevel == StorageLevel.NONE) {
+      val p = ds.persist(StorageLevel.MEMORY_AND_DISK)
+      scratch.synchronized { scratch.put(p, ()): Unit }
+      p
+    } else ds
+
+  /** Per-query persisted intermediates awaiting release; identity-keyed
+    * (Dataset has reference equality) so getOrBuild can take ownership
+    * of the exact object it stores.
+    */
+  private val scratch =
+    new java.util.IdentityHashMap[Dataset[_], Unit]()
+
+  /** Unpersist every freeze not owned by getOrBuild. Called by
+    * Bench/Verify after each query's action — also BETWEEN a query's
+    * best-of-2 timed runs, so each timed run pays the full declared
+    * computation instead of reading the previous run's cache (the r15
+    * verdict's warm-over note).
+    */
+  def releaseScratch(): Unit = {
+    val toRelease = scratch.synchronized {
+      val ds = new java.util.ArrayList(scratch.keySet())
+      scratch.clear()
+      ds
+    }
+    toRelease.forEach(_.unpersist(blocking = false): Unit)
+  }
+
+  /** Take ownership of a getOrBuild entry: drop it from scratch and
+    * re-persist if a prior release (a canonicalized-plan collision with
+    * a per-query freeze) unpersisted it out from under the map.
+    */
+  private def own(df: DataFrame): DataFrame = {
+    if (df.storageLevel == StorageLevel.NONE)
+      df.persist(StorageLevel.MEMORY_AND_DISK): Unit
+    scratch.synchronized { scratch.remove(df): Unit }
+    df
+  }
 
   /** Cap on live cached subplans; must stay >= 2x the distinct
     * per-dir key inventory (enforced by PlanLintSpec).
@@ -85,9 +129,9 @@ private[graft] object PlanCache {
       seenNames += name
       val key = (System.identityHashCode(s), dir, name)
       val cached = entries.get(key)
-      if (cached != null) cached
+      if (cached != null) own(cached)
       else {
-        val p = freeze(build)
+        val p = own(freeze(build))
         entries.put(key, p)
         p
       }

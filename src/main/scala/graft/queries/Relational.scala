@@ -281,8 +281,14 @@ object Relational {
         .mkString(", ")
       // spread: the multi-countDistinct plans an Expand (one projection
       // per distinct group) into the scan stage; on the single-row-group
-      // fixture that 6× fan-out ran serial (wall 1.90 s ≈ cpu 1.75 s)
-      Fixtures.spread(s, dir, "orders")
+      // fixture that 6× fan-out ran serial (wall 1.90 s ≈ cpu 1.75 s).
+      // r16: PROJECTED spread — the r15 full-row exchange (o_comment
+      // included) was driver-measured slower than no spread at all; the
+      // Expand only reads the five profiled columns, so only they cross
+      // the exchange (guide §2.3)
+      Fixtures.spreadDf(s, dir, "orders",
+          Fixtures.table(s, dir, "orders")
+            .select(profiledCols.map(col): _*))
         .agg(aggs.head, aggs.tail: _*)
         .select(expr(s"stack(${profiledCols.size}, $stackArgs) AS " +
           "(column_name, n_nonnull, n_distinct, min_str, max_str)"))

@@ -234,4 +234,31 @@ class PlanLintSpec extends AnyFunSuite {
         s"${unknown.toSeq.sorted.mkString(", ")} — add them and recheck " +
         "the cap")
   }
+
+  test("freeze scratch is released; getOrBuild entries survive release") {
+    import org.apache.spark.storage.StorageLevel
+    // a bare freeze is per-query scratch: gone after releaseScratch
+    val scratchDf = spark.range(100).toDF("sc_r16_scratch_probe")
+    val frozen = graft.ops.PlanCache.freeze(scratchDf)
+    assert(frozen.storageLevel != StorageLevel.NONE,
+      "freeze must persist an unpersisted plan")
+    graft.ops.PlanCache.releaseScratch()
+    assert(frozen.storageLevel == StorageLevel.NONE,
+      "releaseScratch must unpersist per-query freezes — the r15 " +
+        "board-wide leak was exactly this entry surviving")
+    // a getOrBuild entry is shared infrastructure: it must survive
+    val shared = graft.ops.PlanCache.getOrBuild(spark, "r16probe",
+      "corpus_sigs")(spark.range(50).toDF("sc_r16_shared_probe"))
+    graft.ops.PlanCache.releaseScratch()
+    assert(shared.storageLevel != StorageLevel.NONE,
+      "releaseScratch must NOT unpersist LRU-owned getOrBuild entries")
+    // self-heal: if a release unpersisted a shared entry (canonical-plan
+    // collision), the next getOrBuild access re-persists it
+    shared.unpersist(blocking = true)
+    val again = graft.ops.PlanCache.getOrBuild(spark, "r16probe",
+      "corpus_sigs")(fail("builder must not re-run on a cache hit"))
+    assert(again.storageLevel != StorageLevel.NONE,
+      "getOrBuild hit must re-persist an entry lost to a collision")
+    again.unpersist(blocking = false)
+  }
 }
