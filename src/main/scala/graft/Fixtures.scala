@@ -19,8 +19,22 @@ object Fixtures {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet schema per fixture path, inferred once per JVM. Metadata
+    * only (never data): every `spark.read.parquet` without an explicit
+    * schema re-reads a file footer on the DRIVER during analysis, and a
+    * bench session builds ~10⁴ fixture DataFrames — that footer I/O and
+    * per-call inference is pure per-query floor (guide §7.3: driver-side
+    * single-threaded work). Production pipelines pass explicit schemas
+    * for the same reason.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(sch).parquet(path)
     if (name == "events" && df.schema("ts").dataType == LongType) {
       // ns → us integer floor division (values are all positive; `/` would
       // be double division and lose precision above 2^53 ns). The NTZ value

@@ -7746,32 +7746,51 @@ object Analytics {
                 * ${D(s"m_$b")} * ${D(s"m_$b")}""")
             .cast("double").as(s"q_${a}_$b")))
       val mom = raw.select(momCols: _*)
-      def cov(a: String, b: String): String = {
+      // r16 (guide §7.3 "very large plans … planning time itself the
+      // bottleneck"): the old form inlined λ — itself built from the
+      // full d²/b̄² expansions — TWELVE times into the 6-way explode
+      // (measured: 1.44 s wall, 0.25 cpu-s — the wall was Catalyst
+      // analyzing thousands of duplicated expression nodes, not
+      // executors). Staged NAMED single-row columns below perform the
+      // IDENTICAL double operations in the identical order (Catalyst
+      // never reassociates fp arithmetic, and CollapseProject does not
+      // re-inline non-cheap multiply-referenced aliases), so every
+      // emitted double is bit-equal; only the expression-tree size
+      // changes. Oracle SQL unchanged.
+      val pairs = for (a <- xs; b <- xs if a <= b) yield (a, b)
+      def covc(a: String, b: String): String = {
         val (lo, hi) = if (a <= b) (a, b) else (b, a)
-        s"(s_${lo}_$hi / n)"
+        s"c_${lo}_$hi"
       }
-      def q4(a: String, b: String): String = {
+      val covd = mom.select(col("n") +:
+        (pairs.map { case (a, b) =>
+          expr(s"(s_${a}_$b / n)").as(s"c_${a}_$b") } ++
+        pairs.map { case (a, b) =>
+          expr(s"(q_${a}_$b / n)").as(s"f_${a}_$b") }): _*)
+      val withMu = covd.select(col("*"),
+        expr("((c_x1_x1 + c_x2_x2 + c_x3_x3) / 3.0)").as("mu"))
+      def q4c(a: String, b: String): String = {
         val (lo, hi) = if (a <= b) (a, b) else (b, a)
-        s"(q_${lo}_$hi / n)"
+        s"f_${lo}_$hi"
       }
-      val mu = s"((${cov("x1", "x1")} + ${cov("x2", "x2")} " +
-        s"+ ${cov("x3", "x3")}) / 3.0)"
+      // same 3×3 term ORDER as the inline form — fp sums must not
+      // reassociate
       val d2 = xs.flatMap(a => xs.map(b =>
-        if (a == b) s"(${cov(a, b)} - $mu) * (${cov(a, b)} - $mu)"
-        else s"${cov(a, b)} * ${cov(a, b)}")).mkString(" + ")
+        if (a == b) s"(${covc(a, b)} - mu) * (${covc(a, b)} - mu)"
+        else s"${covc(a, b)} * ${covc(a, b)}")).mkString(" + ")
       // b̄² = (1/n)·(Σ_ab q_ab/n − Σ_ab S_ab²): the average squared
       // Frobenius deviation ‖x xᵀ − S‖² of one CENTERED sample
       val b2 = "((" + xs.flatMap(a => xs.map(b =>
-          s"${q4(a, b)} - ${cov(a, b)} * ${cov(a, b)}"))
+          s"${q4c(a, b)} - ${covc(a, b)} * ${covc(a, b)}"))
         .mkString(" + ") + ") / n)"
-      val lam = s"least(1.0, greatest(0.0, ($b2) / ($d2)))"
-      val pairs = for (a <- xs; b <- xs if a <= b) yield (a, b)
-      mom.select(expr(s"""explode(array(${pairs.map { case (a, b) =>
-          s"""struct('${a}_$b' AS pair, CAST(round(${cov(a, b)}, 9)
-            AS DOUBLE) AS s_raw, CAST(round($lam
-            * (CASE WHEN '$a' = '$b' THEN $mu ELSE 0.0 END)
-            + (1.0 - $lam) * ${cov(a, b)}, 9) AS DOUBLE) AS s_shrunk,
-            CAST(round($lam, 9) AS DOUBLE) AS lambda)"""
+      val withLam = withMu.select(col("*"),
+        expr(s"least(1.0, greatest(0.0, ($b2) / ($d2)))").as("lam"))
+      withLam.select(expr(s"""explode(array(${pairs.map { case (a, b) =>
+          s"""struct('${a}_$b' AS pair, CAST(round(${covc(a, b)}, 9)
+            AS DOUBLE) AS s_raw, CAST(round(lam
+            * (CASE WHEN '$a' = '$b' THEN mu ELSE 0.0 END)
+            + (1.0 - lam) * ${covc(a, b)}, 9) AS DOUBLE) AS s_shrunk,
+            CAST(round(lam, 9) AS DOUBLE) AS lambda)"""
         }.mkString(", ")}))""").as("r"))
         .select(col("r.pair").as("pair"), col("r.s_raw").as("s_raw"),
           col("r.s_shrunk").as("s_shrunk"), col("r.lambda").as("lambda"))
