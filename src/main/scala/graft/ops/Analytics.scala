@@ -12,8 +12,22 @@ import org.apache.spark.sql.types._
   */
 object Analytics {
 
+  /** Order-independent exact sum of an exact-≤4-decimal double term.
+    *
+    * r16 (guide §1.2 per-task work): the old `cast(c AS DECIMAL(18,4))`
+    * paid a Double.toString + BigDecimal parse per row. Every call site
+    * feeds an exact ≤4-decimal rational (2-decimal money columns,
+    * price×(1−disc) products, the Q9 profit difference — audited per
+    * site), so `floor(c·10⁴ + 0.5)` recovers the same integer the
+    * HALF_UP decimal cast produced (|c·10⁴ − k| < 2e-5 ≪ 0.5), the sum
+    * lifts to DECIMAL(38,0) (compact adds, more headroom than the old
+    * (28,4)), and ONE exact descale per group (/10⁴ at true scale ≤ 4
+    * is exact in the (38,6) division result) feeds the same
+    * cast-to-double — bit-identical results, oracle SQL unchanged.
+    */
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+    (sum(floor(c * lit(10000.0) + lit(0.5)).cast(DecimalType(38, 0)))
+      / lit(10000)).cast(DoubleType)
 
   /** Per-order sorted distinct part baskets — shared by the basket
     * family (q158 pairs, q181 triples, q182 graph). */
@@ -76,6 +90,22 @@ object Analytics {
       pairs.select(col("a").as("n")).unionAll(
           pairs.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    })
+
+  /** Doubled (u, v) adjacency of the REPEAT (support-≥2) co-purchase
+    * graph — r16: q182, q207, q226 and q372 each re-derived this from
+    * the pair cache, and every reference re-scanned the full ~1.2M-row
+    * cached pair table to produce a ~7k-row edge list (the r15 session
+    * leak used to hide the rebuilds; with per-query scratch release the
+    * cost surfaced as +20–30 executor-cpu-s across the family). One
+    * tiny shared materialization; consumers rename columns as needed.
+    */
+  private[ops] def copurchaseEdges2(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "copurchase_edges_min2")({
+      val pairs = copurchasePairs(s, dir).where(col("n_orders") >= 2)
+        .select(col("part_a"), col("part_b"))
+      pairs.select(col("part_a").as("u"), col("part_b").as("v"))
+        .unionAll(pairs.select(col("part_b").as("u"), col("part_a").as("v")))
     })
 
   /** Degree-ordered (Ortmann–Brandes) oriented edge list (a, b) over
@@ -1460,11 +1490,10 @@ object Analytics {
   private val q182 = QueryDef(
     "q182_two_hop_reach",
     (s, dir) => {
-      val pairs = copurchasePairs(s, dir)
-        .where(col("n_orders") >= 2)
-        .select(col("part_a").as("p1"), col("part_b").as("p2"))
-      val edges = pairs.select(col("p1").as("u"), col("p2").as("v"))
-        .unionAll(pairs.select(col("p2").as("u"), col("p1").as("v")))
+      // shared ≥2-support doubled adjacency (r16): same rows the local
+      // derivation produced, one cached ~7k-row table instead of a full
+      // pair-cache scan per edge reference (this plan has five)
+      val edges = copurchaseEdges2(s, dir)
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
       val seeds = deg.orderBy(col("d").desc, col("u")).limit(20)
         .select(col("u").as("seed"), col("d").as("degree"))
@@ -1943,11 +1972,11 @@ object Analytics {
   private val q207 = QueryDef(
     "q207_bfs_distance",
     (s, dir) => {
-      val pairs = copurchasePairs(s, dir)
-        .where(col("n_orders") >= 2)
-        .select(col("part_a").as("p1"), col("part_b").as("p2"))
-      val edges = pairs.select(col("p1").as("node"), col("p2").as("v"))
-        .unionAll(pairs.select(col("p2").as("node"), col("p1").as("v")))
+      // shared ≥2-support doubled adjacency (r16) — identical rows; the
+      // three hop joins below re-read a ~7k-row cache, not the 1.2M-row
+      // pair table
+      val edges = copurchaseEdges2(s, dir)
+        .select(col("u").as("node"), col("v"))
       val deg = edges.groupBy(col("node")).agg(count(lit(1)).as("d"))
       // Each hop's frontier is PERSISTED (the connectedComponents
       // idiom): without it the hop-3 plan re-derives hop 1 and hop 2
@@ -2570,11 +2599,8 @@ object Analytics {
   private val q226 = QueryDef(
     "q226_assortativity",
     (s, dir) => {
-      val pairs = copurchasePairs(s, dir)
-        .where(col("n_orders") >= 2)
-        .select(col("part_a"), col("part_b"))
-      val edges = pairs.select(col("part_a").as("u"), col("part_b").as("v"))
-        .unionAll(pairs.select(col("part_b").as("u"), col("part_a").as("v")))
+      // shared ≥2-support doubled adjacency (r16) — identical rows
+      val edges = copurchaseEdges2(s, dir)
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
       val dd = edges
         .join(deg.select(col("u"), col("d").as("du")), "u")
@@ -8528,11 +8554,9 @@ object Analytics {
     "q372_closeness_sampled",
     (s, dir) => {
       import org.apache.spark.storage.StorageLevel
-      val pairs = copurchasePairs(s, dir)
-        .where(col("n_orders") >= 2)
-        .select(col("part_a").as("p1"), col("part_b").as("p2"))
-      val edges = pairs.select(col("p1").as("node"), col("p2").as("v"))
-        .unionAll(pairs.select(col("p2").as("node"), col("p1").as("v")))
+      // shared ≥2-support doubled adjacency (r16) — identical rows
+      val edges = copurchaseEdges2(s, dir)
+        .select(col("u").as("node"), col("v"))
         .repartition(col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val seedBits = edges.select(col("node")).distinct()

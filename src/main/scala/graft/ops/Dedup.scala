@@ -416,11 +416,14 @@ object Dedup {
   private[graft] def jaccardPairs(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     // The 0.8 table is the one the registry shares (q20/q38/q39/q124/
-    // q194/ccLabels/Curate all start from it) — PlanCache it so the
-    // posting self-join runs once per (session, dir); other thresholds
-    // are one-off probes (q150 sensitivity) and stay uncached.
-    if (threshold == 0.8)
-      PlanCache.getOrBuild(s, dir, "pairs_0.8")(
+    // q194/ccLabels/Curate all start from it); 0.5 is shared by q81's
+    // estimate audit and q246's LSH recall truth side (r16 — the r15
+    // session leak used to hide the second full posting self-join;
+    // with per-query scratch release it surfaced as ~+18 cpu-s on
+    // q246). Other thresholds are one-off probes (q150 sensitivity)
+    // and stay uncached.
+    if (threshold == 0.8 || threshold == 0.5)
+      PlanCache.getOrBuild(s, dir, s"pairs_$threshold")(
         jaccardPairsUncached(s, dir, threshold))
     else jaccardPairsUncached(s, dir, threshold)
   }

@@ -23,9 +23,16 @@ object Events {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Fixtures.table(s, dir, "events")
 
-  /** Exact order-independent sum of a double column (see Relational). */
+  /** Exact order-independent sum of a double column (see Relational).
+    * r16: scaled-int64 form — `value` is exact 2-decimal in the fixture
+    * contract (verified: 0 rows with value ≠ round(value,2)), so
+    * floor(c·10⁴+0.5) recovers the exact integer the DECIMAL(18,4) cast
+    * produced without the per-row Double.toString+BigDecimal parse;
+    * descale is one exact (38,6) division per group. Bit-identical.
+    */
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+    (sum(floor(c * lit(10000.0) + lit(0.5)).cast(DecimalType(38, 0)))
+      / lit(10000)).cast(DoubleType)
 
   // ---------- q24: tumbling-window aggregation ------------------------
 

@@ -98,7 +98,8 @@ private[graft] object PlanCache {
     * jaccardPairsUncached) but the spec accepts the prefix.
     */
   val KnownKeyNames: Set[String] = Set(
-    "inverted", "pairs_0.8", "cc_0.8", "sessions", "centroids", "blocks",
+    "inverted", "pairs_0.8", "pairs_0.5", "cc_0.8", "sessions",
+    "centroids", "blocks", "copurchase_edges_min2",
     "trade_edges", "q55_uni", "q55_bi", "q57_tf", "q57_topk", "q93_topk",
     "q82_edges", "q125_scounts", "q140_old_labels",
     "copurchase_baskets", "copurchase_pairs", "copurchase_degree",

@@ -579,15 +579,24 @@ object Sketch {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), max(col("lo")).as("lo"),
           max(col("hi")).as("hi"),
-          sum(expr("cast(least(greatest(o_totalprice, lo), hi) " +
-            "AS DECIMAL(18,4))")).as("wsum"),
-          sum(expr("cast(o_totalprice AS DECIMAL(18,4))")).as("rsum"))
+          // r16 scaled-int64 (the dsum pattern): the clamp of an exact
+          // 2-decimal price by 2-decimal bounds is an exact 2-decimal
+          // value, so floor(v·100+0.5) recovers the integer the
+          // DECIMAL(18,4) cast produced without per-row BigDecimal;
+          // descale once per group, exactly, same doubles out
+          sum(expr("CAST(floor(least(greatest(o_totalprice, lo), hi) " +
+            "* 100 + 0.5) AS BIGINT)")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("wsuml"),
+          sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("rsuml"))
         .select(col("o_orderpriority"), col("n_orders"), col("lo"),
           col("hi"),
-          (col("wsum").cast("double") / col("n_orders").cast("double"))
-            .as("wins_mean"),
-          (col("rsum").cast("double") / col("n_orders").cast("double"))
-            .as("raw_mean"))
+          ((col("wsuml") / lit(100)).cast("double")
+            / col("n_orders").cast("double")).as("wins_mean"),
+          ((col("rsuml") / lit(100)).cast("double")
+            / col("n_orders").cast("double")).as("raw_mean"))
         .orderBy("o_orderpriority")
     },
     Some("""WITH r AS (SELECT o_orderpriority, o_totalprice,
@@ -725,19 +734,28 @@ object Sketch {
             "% 2147483647L % 1000000").as("u"))
         .withColumn("wt", expr(wCase))
         .groupBy(col("b"))
-        .agg(sum(expr("cast(o_totalprice * wt AS DECIMAL(18,4))")).as("sw"),
+        // r16 scaled-int64: price is exact 2-decimal and wt a small
+        // integer, so price·wt·100 is an exact int64 (≤ ~6e8) — the
+        // per-(order×B)-row DECIMAL(18,4) cast (this query's hottest
+        // expression: a BigDecimal parse per fanned-out row) drops to
+        // one floor+multiply; one exact descale per bootstrap replica
+        .agg(sum(expr("CAST(floor(o_totalprice * wt * 100 + 0.5) " +
+          "AS BIGINT)").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("swl"),
           sum(col("wt")).as("nw"))
         .select(col("b"),
-          (col("sw").cast("double") / col("nw").cast("double")).as("m"))
+          ((col("swl") / lit(100)).cast("double")
+            / col("nw").cast("double")).as("m"))
       val w = Window.orderBy(col("m"), col("b"))
       val ci = means.withColumn("rn", row_number().over(w))
         .agg(max(expr("CASE WHEN rn = 2 THEN m END")).as("boot_lo"),
           max(expr(s"CASE WHEN rn = ${B - 1} THEN m END")).as("boot_hi"))
       val base = o.agg(count(lit(1)).as("n_orders"),
-        sum(expr("cast(o_totalprice AS DECIMAL(18,4))")).as("sp"))
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("spl"))
         .select(col("n_orders"),
-          (col("sp").cast("double") / col("n_orders").cast("double"))
-            .as("mean_price"))
+          ((col("spl") / lit(100)).cast("double")
+            / col("n_orders").cast("double")).as("mean_price"))
       base.crossJoin(ci)
         .select(col("n_orders"), col("mean_price"), col("boot_lo"),
           col("boot_hi"))

@@ -25,14 +25,22 @@ object Relational {
     * DECIMAL(18,scale) (exact for our fixed-point fixture data), sum
     * exactly, cast back. Survives any partitioning / AQE re-plan.
     */
-  private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+  private def dsum(c: Column, scale: Int = 2): Column = {
+    // r16 scaled-int64 form (see Analytics.dsum): every call site feeds
+    // an exact ≤`scale`-decimal rational, so floor(c·10^s + 0.5)
+    // recovers the integer the HALF_UP decimal cast produced; the sum
+    // lifts to DECIMAL(38,0) and descales once per group, exactly.
+    val m = math.pow(10, scale)
+    (sum(floor(c * lit(m) + lit(0.5)).cast(DecimalType(38, 0)))
+      / lit(m.toLong)).cast(DoubleType)
+  }
 
   /** Same, for derived terms that need a deterministic per-row rounding
-    * before the exact sum (e.g. price * (1-discount)).
+    * before the exact sum (e.g. price * (1-discount)) — for the exact
+    * ≤4-decimal products at every call site, round()+cast and the
+    * scaled floor produce the same integer.
     */
-  private def dsumRound(c: Column, scale: Int = 4): Column =
-    sum(round(c, scale).cast(DecimalType(18, scale))).cast(DoubleType)
+  private def dsumRound(c: Column, scale: Int = 4): Column = dsum(c, scale)
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Fixtures.table(s, dir, n)
