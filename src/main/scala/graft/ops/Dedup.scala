@@ -204,6 +204,20 @@ object Dedup {
     PlanCache.getOrBuild(s, dir, "corpus_sigs")(
       minhashSignatures(persistedInverted(s, dir)))
 
+  /** One row per doc: its distinct shingle set and set size — the
+    * broadcast-verify table (r16). q76's prefix verify and q321's
+    * calibration both compute pairwise |intersection| over candidate
+    * pairs; with ~52 longs × 5k docs (≈3 MB) the whole corpus's sets
+    * broadcast and the intersection is per-row `array_intersect`, so
+    * neither query shuffles posting payloads. At 100 TB the per-doc
+    * set stays bounded (shingle count ∝ doc length); the table is one
+    * row per doc like [[corpusSignatures]].
+    */
+  private[ops] def docShingleSets(s: SparkSession, dir: String): DataFrame =
+    PlanCache.getOrBuild(s, dir, "doc_sets")(
+      persistedInverted(s, dir).groupBy(col("doc_id"))
+        .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n")))
+
   /** One row per doc with its 16 minhash columns mh0..mh15 — the raw
     * signature [[minhashBands]] bands up, also consumed directly by the
     * q81 estimate-accuracy audit. */
@@ -1089,8 +1103,7 @@ object Dedup {
       // division are the unchanged expressions — identical rows out.
       // At 100 TB the candidate pair list is the scaling term and it
       // still never carries posting payloads.
-      val docSets = PlanCache.freeze(inv.groupBy(col("doc_id"))
-        .agg(collect_set(col("h")).as("hs"), count(lit(1)).as("n")))
+      val docSets = docShingleSets(s, dir)
       cand
         .join(broadcast(docSets.select(col("doc_id").as("doc_a"),
           col("hs").as("ha"), col("n").as("na"))), Seq("doc_a"))
@@ -2807,9 +2820,6 @@ object Dedup {
   private val q321 = QueryDef(
     "q321_lsh_planner",
     (s, dir) => {
-      val inv = persistedInverted(s, dir)
-      val sizes = inv.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_sh"))
       val nDocs = docs(s, dir).agg(count(lit(1)).as("N"))
       val randomPairs = docs(s, dir).select(col("doc_id"))
         .crossJoin(broadcast(nDocs))
@@ -2830,20 +2840,22 @@ object Dedup {
       val pairMap = randomPairs.union(candPairs).distinct()
       val withId = pairMap.select(col("doc_a"), col("doc_b"),
         expr(h32Spark("concat('pair_', doc_a, '_', doc_b)")).as("pid"))
-      val members = withId.select(col("pid"), col("doc_a").as("doc_id"))
-        .union(withId.select(col("pid"), col("doc_b").as("doc_id")))
-      val inter = members.join(inv, Seq("doc_id"))
-        .groupBy(col("pid"), col("h")).agg(count(lit(1)).as("c"))
-        .where(col("c") === 2)
-        .groupBy(col("pid")).agg(count(lit(1)).as("n_int"))
+      // r16 (the q76 broadcast-verify pattern): the old form exploded
+      // every sampled pair into member rows, joined the full posting
+      // table and double-aggregated (~2.5M intermediate rows for ~24k
+      // pairs); the shared doc-set table broadcasts and |intersection|
+      // is per-row array_intersect. Inner joins drop <3-token docs
+      // exactly as the old sizes joins did; n_int ≥ 0 directly replaces
+      // the left-join coalesce — identical pct per pair, same buckets.
+      val ds = docShingleSets(s, dir)
       val jacc = withId
-        .join(sizes.select(col("doc_id").as("doc_a"),
-          col("n_sh").as("na")), Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"),
-          col("n_sh").as("nb")), Seq("doc_b"))
-        .join(inter, Seq("pid"), "left")
-        .select(expr("""(coalesce(n_int, 0L) * 100)
-          div (na + nb - coalesce(n_int, 0L))""").as("pct"))
+        .join(broadcast(ds.select(col("doc_id").as("doc_a"),
+          col("hs").as("ha"), col("n").as("na"))), Seq("doc_a"))
+        .join(broadcast(ds.select(col("doc_id").as("doc_b"),
+          col("hs").as("hb"), col("n").as("nb"))), Seq("doc_b"))
+        .select(size(array_intersect(col("ha"), col("hb"))).cast("long")
+          .as("n_int"), col("na"), col("nb"))
+        .select(expr("(n_int * 100) div (na + nb - n_int)").as("pct"))
         .select(least(expr("pct div 5"), lit(19L)).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
       def pCand(b: Int, r: Int): org.apache.spark.sql.Column =

@@ -105,7 +105,7 @@ private[graft] object PlanCache {
     "copurchase_baskets", "copurchase_pairs", "copurchase_degree",
     "copurchase_adj_deg", "copurchase_deg_min2", "copurchase_oriented",
     "train_unigram", "cust_supp_edges", "corpus_bands", "lsh_cand_pairs",
-    "corpus_sigs")
+    "corpus_sigs", "doc_sets")
 
   /** Every distinct subplan name ever requested this JVM — the spec's
     * measurement of the key inventory, independent of eviction.

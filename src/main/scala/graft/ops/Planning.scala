@@ -1505,9 +1505,17 @@ object Planning {
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("split"), col("pos"),
           expr(Portable.h32Spark("tok")).as("h0"))
-      val withLeads = (1 to 7).foldLeft(base) { (df, i) =>
-        df.withColumn(s"h$i", lead(col("h0"), i).over(w))
-      }
+      // frozen ONCE for BOTH widths (r16): the tokenize+md5+7-lead
+      // window chain over ~1M token rows was re-executed inside each
+      // width's frozen shingle build (≈half this query's executor cpu);
+      // both gram(4) and gram(8) read the same h0..h7 columns, so one
+      // materialization (pos dropped — only the leads matter) serves
+      // the two sweep arms. Released after the query like every freeze.
+      val withLeads = PlanCache.freeze(
+        (1 to 7).foldLeft(base) { (df, i) =>
+          df.withColumn(s"h$i", lead(col("h0"), i).over(w))
+        }.select(col("doc_id") +: col("split") +:
+          (0 to 7).map(i => col(s"h$i")): _*))
       def gram(n: Int): String =
         (1 until n).foldLeft("h0") { (acc, i) =>
           s"pmod(($acc) * $K + h$i, $P)"

@@ -986,6 +986,16 @@ object Sketch {
               / col("c"))
             * (col("mx") - col("mn")).cast("double") / 64.0)
             .as("est_cents"))
+      // r16 note: a distributed exact-percentile rewrite (583k-row
+      // value histogram → range repartition → per-range cumulative →
+      // broadcast rank probe, reproducing Percentile.getPercentile's
+      // interpolation bit-for-bit) was implemented and MEASURED WORSE:
+      // 23.1 executor-cpu-s vs 2.6 (the cents domain is nearly unique
+      // per row, so the "histogram" is the data and the range
+      // repartition adds a sampling pass plus a full extra shuffle).
+      // Kept the percentile() aggregate; its per-group map is the right
+      // tool while the value domain ≪ memory, and the binned estimate
+      // beside it is this query's own answer for the 100 TB regime.
       val exact = x.agg(
         expr("percentile(x, array(0.25D, 0.5D, 0.9D, 0.99D))")
           .as("ex"))
